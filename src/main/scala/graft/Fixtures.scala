@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md /
+  * FIXTURES.md). All queries read through here so the events
+  * nanosecond-timestamp shim lives in exactly one place.
+  *
+  * Scale note (100 TB stance): these are plain `spark.read.parquet`
+  * scans — Spark's vectorized Parquet reader handles splits via
+  * `spark.sql.files.maxPartitionBytes`, so at cluster scale each table
+  * becomes N input splits with filter/column pushdown intact. Nothing
+  * here collects to the driver.
+  */
+object Fixtures {
+
+  /** Generic table loader. Filter/column pushdown reaches the Parquet
+    * scan because we return the raw relation (no caching, no coalesce).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS),
+    * which Spark 4 rejects unless `nanosAsLong` is set (FIXTURES.md
+    * gotcha #1). We read it as epoch-nanos LongType and rebuild a
+    * microsecond timestamp with exact integer division (`div`, not
+    * `/`, which would round-trip through Double and lose precision at
+    * 1e18 magnitudes). DuckDB reads the same column natively and
+    * truncates to microseconds — identical values.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

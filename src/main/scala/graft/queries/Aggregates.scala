@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.functions._
+
+/** Aggregation inventory (SURVEY.md §2B B-4).
+  *
+  * Scale notes: every query here is a `groupBy().agg()` over built-in
+  * aggregate functions, which Spark executes as partial (map-side)
+  * HashAggregate → shuffle on the grouping keys → final HashAggregate.
+  * Group cardinalities are tiny (≤ thousands), so the shuffle moves
+  * only pre-aggregated partials — this is the plan shape that survives
+  * a 100 TB scan. `countDistinct` is the exception (expands rows and
+  * shuffles distinct pairs); acceptable because its key space
+  * (event_type × user_id) is bounded; for unbounded key spaces use
+  * `approx_count_distinct` (q_agg_approx_distinct).
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: TPC-H-Q1-style pricing summary.
+    "q_agg_group" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_agg_global" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(min("l_discount"), 4).as("min_disc"),
+        round(max("l_tax"), 4).as("max_tax"))
+    }),
+
+    "q_agg_count_distinct" -> ((s, dir) => {
+      Fixtures.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    "q_agg_rollup" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        // Null grouping keys → sentinel so both engines sort identically.
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")
+    }),
+
+    "q_agg_having" -> ((s, dir) => {
+      val o = Fixtures.orders(s, dir)
+      val c = Fixtures.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("total_price"),
+             count(lit(1)).as("n_orders"))
+        .filter(col("total_price") > 3e8)
+        .orderBy("c_mktsegment")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(min(l_discount), 4) AS min_disc,
+        |       round(max(l_tax), 4) AS max_tax
+        |FROM lineitem""".stripMargin,
+    "q_agg_count_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_agg_having" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment HAVING sum(o_totalprice) > 3e8
+        |ORDER BY c_mktsegment""".stripMargin)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Smoke + hand-computed checks for every SparkEntry query at sf0.001.
+  * The primary correctness gate is the driver's DuckDB oracle
+  * (SURVEY.md §5.2); these specs catch regressions cheaply in-repo.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key exists") {
+    val qs = SparkEntry.queries
+    val missing = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(missing.isEmpty, s"oracleSql keys without a query: $missing")
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must execute without throwing
+    }
+  }
+
+  test("q_agg_group: six flag/status groups, totals add up") {
+    val rows = SparkEntry.queries("q_agg_group")(spark, sf).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val liCount = Fixtures.lineitem(spark, sf).count()
+    assert(total == liCount)
+  }
+}
