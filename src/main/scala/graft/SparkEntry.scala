@@ -15,12 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_group")(spark, "/root/testdata/sf0.001")
 
+  import graft.queries._
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Aggregates.queries
+    Scans.queries ++ Joins.queries ++ Aggregates.queries ++
+      Windows.queries ++ SetSortOps.queries ++ Scalars.queries ++
+      TextOps.queries ++ Similarity.queries ++ Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Aggregates.oracle
+    Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
+      Windows.oracle ++ SetSortOps.oracle ++ Scalars.oracle ++
+      TextOps.oracle ++ Similarity.oracle ++ Streaming.oracle
 }

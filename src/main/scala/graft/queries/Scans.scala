@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.functions._
+
+/** Scan / projection / filter-pushdown inventory (SURVEY.md §2B B-1,
+  * B-2). Mirrors the reference connector's pushdown surface
+  * [REF: connector/FilterPushdown.scala; datasource/DynamoScanBuilder.scala]
+  * expressed against the Parquet source: Catalyst's
+  * V2ScanRelationPushDown pushes these predicates/projections into the
+  * scan (visible as PushedFilters / ReadSchema in .explain), which is
+  * the property that matters at 100 TB — the scan reads only the
+  * row-groups and columns the query needs.
+  */
+object Scans {
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_full" -> ((s, dir) =>
+      Fixtures.nation(s, dir).orderBy("n_nationkey")),
+
+    "q_scan_prune" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_scan_filter" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+                col("l_discount") > 0.05)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // B-2 predicates — each maps to a pushdown the reference translates
+    // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
+    // StringStartsWith, contains, boolean algebra).
+    "q_filter_eq" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .orderBy("o_orderkey")),
+
+    "q_filter_range" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .orderBy("o_orderkey")),
+
+    "q_filter_in" -> ((s, dir) =>
+      Fixtures.customer(s, dir)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .orderBy("c_custkey")),
+
+    "q_filter_null" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .filter(nullif(col("l_linenumber"), lit(1)).isNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                coalesce(nullif(col("l_returnflag"), lit("A")), lit("was_A")).as("flag_or_a"))
+        .orderBy("l_orderkey")),
+
+    "q_filter_startswith" -> ((s, dir) =>
+      Fixtures.part(s, dir)
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .select("p_partkey", "p_brand", "p_name")
+        .orderBy("p_partkey")),
+
+    "q_filter_contains" -> ((s, dir) =>
+      Fixtures.part(s, dir)
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")),
+
+    "q_filter_combo" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .filter((col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F") ||
+                !(col("o_totalprice") > 200000.0))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")))
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_filter" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_eq" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
+    "q_filter_range" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_in" ->
+      """SELECT * FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_filter_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(nullif(l_returnflag, 'A'), 'was_A') AS flag_or_a
+        |FROM lineitem WHERE nullif(l_linenumber, 1) IS NULL
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_filter_startswith" ->
+      """SELECT p_partkey, p_brand, p_name FROM part
+        |WHERE p_brand LIKE 'Brand#1%' ORDER BY p_partkey""".stripMargin,
+    "q_filter_contains" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin,
+    "q_filter_combo" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE (o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+        |   OR NOT (o_totalprice > 200000.0)
+        |ORDER BY o_orderkey""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over `embeddings` (SURVEY.md §2B B-9).
+  *
+  * The cosine kernel is pure higher-order functions — `zip_with` for
+  * the element product, `aggregate` for a sequential double fold — so
+  * the whole pair computation stays codegen'd with no UDF. Elements
+  * are cast float→double BEFORE multiplying so both engines do the
+  * same double math (rule D2).
+  *
+  * Scale notes: all-pairs cosine is O(n²) and only sane on a bounded
+  * candidate set (here: vec_id < 200 → 19,900 pairs evaluated via a
+  * broadcast nested-loop join — the right plan, since one side is
+  * tiny). The 100 TB path is NOT all-pairs: it's LSH bucketing (see
+  * Dedup.scala) or IVF partition-pruned search (AnnIvf in
+  * operators/) where only same-bucket pairs are compared.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ as a sequential fold — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embeddings with the float[] column cast to double[]. */
+  def embDouble(s: SparkSession, dir: String): DataFrame =
+    Fixtures.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), _.cast("double")).as("emb"))
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine_pairs" -> ((s, dir) => {
+      val e = embDouble(s, dir).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+                round(cosine(col("ea"), col("eb")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("id1"), col("id2"))
+        .limit(10)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              generate_subscripts(embedding, 1) AS i FROM e),
+        |d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
+        |      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
+        |SELECT id1, id2, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM d JOIN n na ON d.id1 = na.vec_id JOIN n nb ON d.id2 = nb.vec_id
+        |ORDER BY cosine DESC, id1, id2 LIMIT 10""".stripMargin)
+}
