@@ -1,0 +1,248 @@
+package graft.sources.dynamo
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.sources.dynamo.ItemJson.Item
+
+/** Table metadata mirroring DynamoDB's key schema + capacity
+  * [REF: connector/KeySchema.scala; connector/TableConnector.scala —
+  * DescribeTable usage]. `shards` is the physical file fan-out the
+  * scan segments map onto (a stand-in for DynamoDB's internal hash
+  * partitioning); `throughput` is the provisioned RCU/WCU the rate
+  * limiter budgets against.
+  */
+final case class TableMeta(
+    hashKey: String,
+    rangeKey: Option[String],
+    shards: Int,
+    throughput: Long)
+
+/** Deterministic file-backed item store emulating the DynamoDB data
+  * model for the offline environment (SURVEY.md §7 M2) — the
+  * connector's "service endpoint". Layout per table:
+  *
+  * {{{
+  *   <dir>/<table>/meta.json
+  *   <dir>/<table>/shard-NNN.jsonl      base items (one wire-JSON item per line)
+  *   <dir>/<table>/wal-<seq>-<id>.jsonl put/update/delete journal entries
+  * }}}
+  *
+  * Segmented scans mirror DynamoDB's `Scan(segment, totalSegments)`:
+  * shard files are assigned round-robin to segments, so N segments
+  * read disjoint item sets in parallel with no coordination — the
+  * property that lets a 1000-executor cluster scan one table without
+  * contention. Writes append WAL files (no read-modify-write of
+  * shards), matching the reference's non-atomic commit model
+  * [REF: datasource/DynamoBatchWrite.scala — commit/abort no-ops].
+  */
+final class LocalKVStore(root: String) {
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+
+  def exists(table: String): Boolean =
+    Files.isRegularFile(tableDir(table).resolve("meta.json"))
+
+  // ---- metadata ----
+
+  def createTable(table: String, meta: TableMeta): Unit = {
+    val dir = tableDir(table)
+    Files.createDirectories(dir)
+    val m: Item = Map(
+      "hashKey" -> AttrVal.S(meta.hashKey),
+      "rangeKey" -> meta.rangeKey.map(AttrVal.S).getOrElse(AttrVal.Null),
+      "shards" -> AttrVal.N(BigDecimal(meta.shards)),
+      "throughput" -> AttrVal.N(BigDecimal(meta.throughput)))
+    Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
+  }
+
+  def describe(table: String): TableMeta = {
+    val m = ItemJson.parse(new String(
+      Files.readAllBytes(tableDir(table).resolve("meta.json")), UTF_8))
+    TableMeta(
+      hashKey = m("hashKey").asInstanceOf[AttrVal.S].v,
+      rangeKey = m("rangeKey") match {
+        case AttrVal.S(v) => Some(v)
+        case _            => None
+      },
+      shards = m("shards").asInstanceOf[AttrVal.N].v.toInt,
+      throughput = m("throughput").asInstanceOf[AttrVal.N].v.toLong)
+  }
+
+  /** Total stored bytes — the connector's partition-sizing input
+    * (readPartitions = bytes / maxPartitionBytes, SURVEY.md A2).
+    */
+  def sizeBytes(table: String): Long =
+    listFiles(table, "shard-").map(Files.size(_)).sum +
+      listFiles(table, "wal-").map(Files.size(_)).sum
+
+  // ---- primary key handling ----
+
+  def keyOf(meta: TableMeta, item: Item): String = {
+    def enc(a: AttrVal): String = a match {
+      case AttrVal.S(v) => "s:" + v
+      case AttrVal.N(v) => "n:" + v.bigDecimal.stripTrailingZeros.toPlainString
+      case AttrVal.B(v) => "b:" + java.util.Base64.getEncoder.encodeToString(v)
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+    val h = enc(item.getOrElse(meta.hashKey,
+      throw new IllegalArgumentException(s"item missing hash key ${meta.hashKey}")))
+    meta.rangeKey match {
+      case Some(rk) => h + "|" + enc(item(rk))
+      case None     => h
+    }
+  }
+
+  /** Stable shard assignment (String.hashCode is spec-fixed in Java,
+    * so layout is identical across JVMs/runs).
+    */
+  def shardOf(meta: TableMeta, item: Item): Int =
+    math.floorMod(keyOf(meta, item).hashCode, meta.shards)
+
+  // ---- bulk load (fixture → store) ----
+
+  def bulkLoad(table: String, meta: TableMeta, items: Iterator[Item]): Unit = {
+    createTable(table, meta)
+    val dir = tableDir(table)
+    val writers = Array.tabulate(meta.shards) { i =>
+      Files.newBufferedWriter(dir.resolve(f"shard-$i%03d.jsonl"), UTF_8)
+    }
+    try items.foreach { it =>
+      val w = writers(shardOf(meta, it))
+      w.write(ItemJson.write(it)); w.write("\n")
+    } finally writers.foreach(_.close())
+  }
+
+  // ---- write-ahead journal (connector write path) ----
+
+  sealed trait Op { def item: Item }
+  final case class Put(item: Item) extends Op
+  final case class Update(item: Item) extends Op
+  final case class Delete(item: Item) extends Op // item = key attrs only
+
+  /** Appends one WAL file atomically (tmp + rename). `seq` orders WAL
+    * replay; writers use a monotonic timestamp so concurrent tasks
+    * interleave deterministically by (seq, writerId) — partial writes
+    * from failed tasks simply persist, as in the reference (A14).
+    */
+  def appendWal(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
+    val dir = tableDir(table)
+    val lines = ops.map { op =>
+      val tag = op match {
+        case _: Put => "PUT"
+        case _: Update => "UPDATE"
+        case _: Delete => "DELETE"
+      }
+      ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item)))
+    }
+    val name = f"wal-$seq%020d-$writerId.jsonl"
+    val tmp = dir.resolve(name + ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def walOps(table: String): Iterator[Op] =
+    listFiles(table, "wal-").sortBy(_.getFileName.toString).iterator
+      .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val rec = ItemJson.parse(line)
+        val item = rec("item").asInstanceOf[AttrVal.M].v
+        rec("op").asInstanceOf[AttrVal.S].v match {
+          case "PUT" => Put(item)
+          case "UPDATE" => Update(item)
+          case "DELETE" => Delete(item)
+        }
+      }
+
+  // ---- segmented scan (merged view: shards + WAL) ----
+
+  /** Scan one segment of `totalSegments`, returning (item, byteSize)
+    * — byteSize feeds the reader's consumed-capacity rate math. The
+    * WAL is replayed per segment over only the keys that hash into
+    * this segment, so segments stay disjoint and independently
+    * computable on any executor.
+    */
+  def scanSegment(table: String, segment: Int, totalSegments: Int): Iterator[(Item, Int)] = {
+    val meta = describe(table)
+    def inSegment(item: Item): Boolean =
+      shardOf(meta, item) % totalSegments == segment
+
+    // WAL replay for this segment's keys. Value = None (deleted) or
+    // Some((attrs, replacesBase)): PUT replaces the base item wholesale,
+    // UPDATE merges non-key attrs over it (upsert) — the reference's
+    // UpdateItem semantics [REF: connector/TableConnector.scala — updateItem].
+    val overrides = mutable.LinkedHashMap.empty[String, Option[(Item, Boolean)]]
+    walOps(table).foreach { op =>
+      if (inSegment(op.item)) {
+        val k = keyOf(meta, op.item)
+        op match {
+          case Put(it)    => overrides(k) = Some((it, true))
+          case Delete(_)  => overrides(k) = None
+          case Update(it) => overrides(k) = overrides.get(k) match {
+            case Some(Some((prev, rep))) => Some((prev ++ it, rep))
+            case Some(None)              => Some((it, true)) // update after delete = fresh item
+            case None                    => Some((it, false)) // merge with base at scan time
+          }
+        }
+      }
+    }
+
+    val seen = mutable.HashSet.empty[String]
+    val shardFiles = listFiles(table, "shard-")
+      .filter(p => shardIndex(p) % totalSegments == segment)
+    val baseItems = shardFiles.iterator.flatMap { p =>
+      Files.lines(p, UTF_8).iterator().asScala.filter(_.nonEmpty)
+    }.flatMap { line =>
+      val item = ItemJson.parse(line)
+      val k = keyOf(meta, item)
+      seen += k
+      overrides.get(k) match {
+        case None => Some((item, line.length))
+        case Some(None) => None // deleted
+        case Some(Some((attrs, replacesBase))) =>
+          val merged = if (replacesBase) attrs else item ++ attrs
+          Some((merged, ItemJson.write(merged).length))
+      }
+    }
+    def fresh = overrides.iterator.collect {
+      case (k, Some((it, _))) if !seen.contains(k) =>
+        (it, ItemJson.write(it).length)
+    }
+    // Iterator ++ is lazy left-to-right, so `fresh` (which needs the
+    // final `seen` set) is only evaluated after baseItems drains.
+    baseItems ++ fresh
+  }
+
+  /** First ~1 MB of items — schema-inference sample (A6), mirroring
+    * the reference's one-page sample scan.
+    */
+  def samplePage(table: String, maxBytes: Int = 1 << 20): Seq[Item] = {
+    val it = scanSegment(table, 0, 1)
+    val out = Vector.newBuilder[Item]
+    var bytes = 0
+    while (it.hasNext && bytes < maxBytes) {
+      val (item, sz) = it.next()
+      out += item
+      bytes += sz
+    }
+    out.result()
+  }
+
+  // ---- helpers ----
+
+  private def shardIndex(p: Path): Int =
+    p.getFileName.toString.stripPrefix("shard-").stripSuffix(".jsonl").toInt
+
+  private def listFiles(table: String, prefix: String): Seq[Path] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix) &&
+                   p.getFileName.toString.endsWith(".jsonl"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+}
