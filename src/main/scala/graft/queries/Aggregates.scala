@@ -67,9 +67,14 @@ object Aggregates {
       val c = Fixtures.customer(s, dir)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        // HAVING on the *unrounded* sum, exactly like the oracle SQL —
+        // filtering the rounded value flips rows near the boundary.
+        .agg(sum("o_totalprice").as("raw_total"),
              count(lit(1)).as("n_orders"))
-        .filter(col("total_price") > 3e8)
+        .filter(col("raw_total") > 3e8)
+        .select(col("c_mktsegment"),
+                round(col("raw_total"), 2).as("total_price"),
+                col("n_orders"))
         .orderBy("c_mktsegment")
     }))
 

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: all-pairs cosine is O(n²) and only sane on a bounded
   * candidate set (here: vec_id < 200 → 19,900 pairs evaluated via a
   * broadcast nested-loop join — the right plan, since one side is
-  * tiny). The 100 TB path is NOT all-pairs: it's LSH bucketing (see
-  * Dedup.scala) or IVF partition-pruned search (AnnIvf in
-  * operators/) where only same-bucket pairs are compared.
+  * tiny). The 100 TB path is NOT all-pairs: only same-bucket pairs
+  * may be compared — see `q_sim_knn_bucketed` below (coarse-quantizer
+  * bucketing, IVF-style) and the token-bucketed near-dup join in
+  * TextOps (`q_dedup_near`).
   */
 object Similarity {
 

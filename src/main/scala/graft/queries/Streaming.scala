@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Streaming-semantics queries over `events` (SURVEY.md §2B B-10),
   * run here in batch mode: Spark's `window()` / `session_window()`
   * functions have identical semantics in batch and streaming, so the
-  * oracle checks the window math while the MemoryStream ScalaTest
-  * suite (streaming/ package) covers watermarks and incremental state.
+  * oracle checks the window math; watermarks and incremental state are
+  * covered by the MemoryStream ScalaTest suite (StreamingSpec).
   *
   * Scale notes: tumbling-window aggregation is a single shuffle keyed
   * by (window, type) with map-side partial aggregation — the grouped

@@ -76,7 +76,7 @@ object Codec {
       a => a match {
         case AttrVal.M(m) =>
           val entries = m.toSeq.sortBy(_._1) // deterministic map order
-          ArrayBasedMapData(
+          new ArrayBasedMapData(
             new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
             new GenericArrayData(entries.map {
               case (_, AttrVal.Null) => null
@@ -102,11 +102,11 @@ object Codec {
 
   def rowWriter(schema: StructType): InternalRow => Item = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      (f.name, f.dataType, i)
+      (f.name, f.dataType, attrWriter(f.dataType), i)
     }
-    row => fields.flatMap { case (name, dt, i) =>
-      if (row.isNullAt(i)) Some(name -> AttrVal.Null)
-      else Some(name -> attrWriter(dt)(row.get(i, dt)))
+    row => fields.map { case (name, dt, write, i) =>
+      if (row.isNullAt(i)) name -> (AttrVal.Null: AttrVal)
+      else name -> write(row.get(i, dt))
     }.toMap
   }
 

@@ -194,8 +194,11 @@ final class LocalKVStore(root: String) {
     val seen = mutable.HashSet.empty[String]
     val shardFiles = listFiles(table, "shard-")
       .filter(p => shardIndex(p) % totalSegments == segment)
+    // One shard file ≈ one partition's worth of items, so materializing
+    // its lines is bounded by partition sizing; avoids leaking the
+    // Files.lines handle held by a lazily-drained iterator.
     val baseItems = shardFiles.iterator.flatMap { p =>
-      Files.lines(p, UTF_8).iterator().asScala.filter(_.nonEmpty)
+      Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
     }.flatMap { line =>
       val item = ItemJson.parse(line)
       val k = keyOf(meta, item)
@@ -240,9 +243,13 @@ final class LocalKVStore(root: String) {
   private def listFiles(table: String, prefix: String): Seq[Path] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix) &&
-                   p.getFileName.toString.endsWith(".jsonl"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+                     p.getFileName.toString.endsWith(".jsonl"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
   }
 }
