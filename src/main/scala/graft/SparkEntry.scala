@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetSortOps.queries ++ Scalars.queries ++
-      TextOps.queries ++ Similarity.queries ++ Streaming.queries
+      TextOps.queries ++ Similarity.queries ++ Streaming.queries ++
+      DynamoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetSortOps.oracle ++ Scalars.oracle ++
-      TextOps.oracle ++ Similarity.oracle ++ Streaming.oracle
+      TextOps.oracle ++ Similarity.oracle ++ Streaming.oracle ++
+      DynamoQueries.oracle
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures
+import graft.sources.dynamo.{Implicits, LocalKVStore}
+import Implicits._
+
+/** Typed-read row shape for `q_dyn_typed` (A7) — schema derived via
+  * `Encoders.product`, no inference scan.
+  */
+final case class GCustomer(
+    c_custkey: Long,
+    c_name: String,
+    c_nationkey: Long,
+    c_acctbal: Double,
+    c_mktsegment: String)
+
+/** Queries through the `format("dynamo")` DSv2 connector (SURVEY.md
+  * §2B B-1 q_dyn_*): the store is seeded from the customer parquet
+  * fixture THROUGH THE CONNECTOR'S OWN WRITE PATH (A11 exercised on
+  * every cold run), then compacted so scans stream from base shards.
+  * The oracle compares against the parquet table directly — the store
+  * is a faithful copy, so results must hash-match.
+  *
+  * Scale notes: the read is a segmented scan (one input partition per
+  * store shard subset, no coordination); pushdown (A4/A5) drops
+  * non-matching items before JSON→row decode. Numbers round-trip
+  * through arbitrary-precision `N`, so doubles are bit-exact vs the
+  * oracle.
+  */
+object DynamoQueries {
+
+  private val seedLock = new Object
+
+  private def storeRoot(sfDir: String): String =
+    "/tmp/graft-dynamo/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** Seed `customer` into the store once per sfDir (marker-file
+    * guarded; safe to re-run — puts are keyed upserts).
+    */
+  private def seededRoot(s: SparkSession, sfDir: String): String = seedLock.synchronized {
+    val root = storeRoot(sfDir)
+    val marker = Paths.get(root, "customer", "_seeded")
+    if (!Files.exists(marker)) {
+      Fixtures.customer(s, sfDir).write.dynamo(root, "customer", "c_custkey")
+      new LocalKVStore(root).compact("customer")
+      Files.createFile(marker)
+    }
+    root
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Full connector scan with inferred (sampled) schema — A1/A6/A9.
+    "q_dyn_scan" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Column pruning + filter pushdown through the ScanBuilder — A4/A5.
+    "q_dyn_prune_filter" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0)
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // Typed read Dataset[GCustomer] — A7 — then back to a DataFrame.
+    "q_dyn_typed" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.dynamoAs[GCustomer](root, "customer")
+        .filter(_.c_acctbal > 0)
+        .toDF()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // int32 columns widen to BIGINT through the store's N type.
+    "q_dyn_scan" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_dyn_prune_filter" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_typed" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,324 @@
+package graft.sources.dynamo
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.dynamo.ItemJson.Item
+
+/** Parsed connector options — the reference's README option surface
+  * with the AWS endpoint replaced by a `path` pointing at a
+  * [[LocalKVStore]] root (offline environment; SURVEY.md §7 M2).
+  * [REF: datasource/DefaultSource.scala; README options table]
+  */
+final case class DynamoOptions(
+    path: String,
+    tableName: String,
+    readPartitions: Option[Int],
+    maxPartitionBytes: Long,
+    defaultParallelism: Int,
+    targetCapacity: Double,
+    stronglyConsistentReads: Boolean,
+    bytesPerRCU: Int,
+    bytesPerWCU: Int,
+    filterPushdown: Boolean,
+    throughput: Option[Long],
+    writeBatchSize: Int,
+    update: Boolean,
+    delete: Boolean,
+    hashKey: Option[String],
+    rangeKey: Option[String],
+    shards: Int) extends Serializable
+
+object DynamoOptions {
+  def apply(options: util.Map[String, String]): DynamoOptions = {
+    val m = new CaseInsensitiveStringMap(options)
+    def opt(k: String): Option[String] = Option(m.get(k))
+    DynamoOptions(
+      path = opt("path").getOrElse(
+        throw new IllegalArgumentException("dynamo source requires option 'path' (store root)")),
+      tableName = opt("tableName").getOrElse(
+        throw new IllegalArgumentException("dynamo source requires option 'tableName'")),
+      readPartitions = opt("readPartitions").map(_.toInt),
+      maxPartitionBytes = opt("maxPartitionBytes").map(_.toLong).getOrElse(128L * 1024 * 1024),
+      defaultParallelism = opt("defaultParallelism").map(_.toInt).getOrElse(32),
+      targetCapacity = opt("targetCapacity").map(_.toDouble).getOrElse(1.0),
+      stronglyConsistentReads = m.getBoolean("stronglyConsistentReads", false),
+      bytesPerRCU = opt("bytesPerRCU").map(_.toInt).getOrElse(4000),
+      bytesPerWCU = opt("bytesPerWCU").map(_.toInt).getOrElse(1000),
+      filterPushdown = m.getBoolean("filterPushdown", true),
+      throughput = opt("throughput").map(_.toLong),
+      writeBatchSize = opt("writeBatchSize").map(_.toInt).getOrElse(25),
+      update = m.getBoolean("update", false),
+      delete = m.getBoolean("delete", false),
+      hashKey = opt("hashKey"),
+      rangeKey = opt("rangeKey"),
+      shards = opt("shards").map(_.toInt).getOrElse(16))
+  }
+}
+
+/** `format("dynamo")` entry point: `TableProvider` + short-name
+  * registration (via META-INF/services)
+  * [REF: datasource/DefaultSource.scala — DefaultSource extends
+  * TableProvider with DataSourceRegister].
+  */
+final class DynamoTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "dynamo"
+
+  /** Dynamic schema from a ~1 MB sample page (A6), unless the user
+    * supplied `.schema(...)` (then Spark never calls this).
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = DynamoOptions(options)
+    val store = new LocalKVStore(opts.path)
+    Codec.inferSchema(store.samplePage(opts.tableName))
+  }
+
+  /** Write path hands us the DataFrame's schema. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DynamoTable(DynamoOptions(properties), schema)
+}
+
+final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"dynamo:${opts.tableName}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DynamoScanBuilder(opts, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DynamoWriteBuilder(opts, info.schema())
+}
+
+/** Pushdown negotiation (A4/A5): Catalyst's `V2ScanRelationPushDown`
+  * rule calls `pushFilters` / `pruneColumns`; we accept the subset the
+  * store can evaluate and return the rest for Spark to re-apply
+  * [REF: datasource/DynamoScanBuilder.scala; connector/FilterPushdown.scala
+  * — accept/translate split].
+  */
+final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!opts.filterPushdown) { pushed = Array.empty; return filters }
+    val (accepted, rejected) = filters.partition(FilterEval.supported)
+    pushed = accepted
+    rejected // Spark re-evaluates these post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan = new DynamoScan(opts, requiredSchema, pushed)
+}
+
+/** One scan segment ↔ one Spark input partition (A1). */
+final case class DynamoInputPartition(
+    segment: Int, totalSegments: Int, ratePerSegment: Double) extends InputPartition
+
+final class DynamoScan(opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${schema.catalogString}"
+
+  /** Segment count = stored bytes / maxPartitionBytes, clamped to
+    * [1, shards] and capped by defaultParallelism, or forced by the
+    * `readPartitions` option — the reference's partition-sizing
+    * arithmetic (A2) [REF: connector/TableConnector.scala]. Computed
+    * on the driver once per scan; each segment reads a disjoint set of
+    * store shards, so 1000 executors scan without coordination.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val store = new LocalKVStore(opts.path)
+    val meta = store.describe(opts.tableName)
+    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
+    val n = opts.readPartitions.getOrElse(
+      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+    val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
+    val rate = math.max(0.1, opts.targetCapacity * throughput / n)
+    Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DynamoReaderFactory(opts, schema, pushed)
+}
+
+final class DynamoReaderFactory(opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DynamoInputPartition]
+    new DynamoPartitionReader(opts, schema, pushed, p)
+  }
+}
+
+/** Executor-side segment reader (A1/A3/A9): streams the segment's
+  * items, applies pushed filters BEFORE decoding (DynamoDB
+  * FilterExpression semantics — saves decode, not storage I/O), then
+  * converts wire items to `InternalRow` through the precompiled codec.
+  * The rate limiter post-pays consumed capacity per item, like the
+  * reference acquiring each page's `ConsumedCapacity`.
+  */
+final class DynamoPartitionReader(
+    opts: DynamoOptions,
+    schema: StructType,
+    pushed: Array[Filter],
+    partition: DynamoInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val store = new LocalKVStore(opts.path)
+  private val decode = Codec.rowReader(schema)
+  private val limiter = new RateLimiter(partition.ratePerSegment)
+  // Eventually-consistent reads cost half an RCU per 4 KB, like DynamoDB.
+  private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
+
+  private val items: Iterator[(Item, Int)] =
+    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (items.hasNext) {
+      val (item, sz) = items.next()
+      limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+      if (pushed.forall(FilterEval.eval(_, item))) {
+        current = decode(item)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Write path (A11–A14, A16)
+// ---------------------------------------------------------------------------
+
+/** Put by default; `update=true` → upsert-merge per item; `delete=true`
+  * → delete by primary key [REF: datasource/DynamoWriteBuilder.scala,
+  * DynamoDataWriter.scala].
+  */
+final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new DynamoWrite(opts, schema)
+}
+
+final class DynamoWrite(opts: DynamoOptions, schema: StructType) extends Write {
+  override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema)
+}
+
+final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends BatchWrite {
+
+  /** Driver-side: create the table on first write (key schema from
+    * options), split the write-rate budget across writers (A16:
+    * targetCapacity × WCU / numPartitions). `seq` stamps this job's
+    * WAL files so replay orders jobs by submission time.
+    */
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val store = new LocalKVStore(opts.path)
+    if (!store.exists(opts.tableName)) {
+      val hk = opts.hashKey.getOrElse(throw new IllegalArgumentException(
+        s"table ${opts.tableName} does not exist; option 'hashKey' is required to create it"))
+      store.createTable(opts.tableName,
+        TableMeta(hk, opts.rangeKey, opts.shards, opts.throughput.getOrElse(1000000L)))
+    }
+    val meta = store.describe(opts.tableName)
+    val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
+    val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, info.numPartitions))
+    new DynamoWriterFactory(opts, schema, rate, seq = System.currentTimeMillis())
+  }
+
+  /** Non-atomic, like the reference: partial writes from failed tasks
+    * persist; commit/abort only log [REF: datasource/DynamoBatchWrite.scala].
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class DynamoWriterCommit(rows: Long) extends WriterCommitMessage
+
+final class DynamoWriterFactory(opts: DynamoOptions, schema: StructType, rate: Double, seq: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DynamoDataWriter(opts, schema, rate, seq, partitionId)
+}
+
+/** Executor-side writer: buffers `writeBatchSize` (25) rows, then
+  * flushes the batch to the shard-keyed WAL, post-paying consumed WCU
+  * (1 unit ≈ 1 KB written) against the task's rate budget
+  * [REF: datasource/DynamoDataWriter.scala — batch buffer + rate].
+  */
+final class DynamoDataWriter(
+    opts: DynamoOptions, schema: StructType, rate: Double, seq: Long, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val store = new LocalKVStore(opts.path)
+  private val meta = store.describe(opts.tableName)
+  private val encode = Codec.rowWriter(schema)
+  private val limiter = new RateLimiter(rate)
+  private val wal = store.walWriter(opts.tableName, seq, f"p$partitionId%05d")
+
+  private val keyAttrs: Set[String] = Set(meta.hashKey) ++ meta.rangeKey
+  private val buffer = new scala.collection.mutable.ArrayBuffer[store.Op](opts.writeBatchSize)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val item = encode(record)
+    val op: store.Op =
+      if (opts.delete) store.Delete(item.view.filterKeys(keyAttrs).toMap)
+      else if (opts.update) store.Update(item)
+      else store.Put(item)
+    buffer += op
+    rows += 1
+    if (buffer.size >= opts.writeBatchSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (buffer.nonEmpty) {
+      var bytes = 0L
+      buffer.foreach { op =>
+        wal.append(op)
+        bytes += ItemJson.write(op.item).length
+      }
+      wal.flush()
+      limiter.acquire(math.max(1.0, bytes.toDouble / opts.bytesPerWCU))
+      buffer.clear()
+    }
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); wal.close(); DynamoWriterCommit(rows) }
+  override def abort(): Unit = wal.close() // partial WAL persists (A14)
+  override def close(): Unit = ()
+}

@@ -1,0 +1,102 @@
+package graft.sources.dynamo
+
+import org.apache.spark.sql.sources._
+
+import graft.sources.dynamo.ItemJson.Item
+
+/** Store-side evaluation of Spark `sources.Filter`s over items — the
+  * accept/translate half of the reference's pushdown
+  * [REF: connector/FilterPushdown.scala]. `supported` mirrors the
+  * reference's pushable set (EqualTo, comparisons, In, IsNull,
+  * IsNotNull, begins_with, contains, And/Or/Not); anything else is
+  * left for Spark to re-evaluate post-scan.
+  *
+  * Like DynamoDB's `FilterExpression`, the filter is applied AFTER an
+  * item is read from storage — it saves decode + network width, not
+  * storage I/O (SURVEY.md §4.1 semantic note). The win here is that
+  * rejected items are dropped before JSON→InternalRow decoding and
+  * before entering Spark's row pipeline.
+  */
+object FilterEval {
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => simple(a)
+    case EqualNullSafe(a, _)      => simple(a)
+    case GreaterThan(a, _)        => simple(a)
+    case GreaterThanOrEqual(a, _) => simple(a)
+    case LessThan(a, _)           => simple(a)
+    case LessThanOrEqual(a, _)    => simple(a)
+    case In(a, _)                 => simple(a)
+    case IsNull(a)                => simple(a)
+    case IsNotNull(a)             => simple(a)
+    case StringStartsWith(a, _)   => simple(a)
+    case StringContains(a, _)     => simple(a)
+    case StringEndsWith(a, _)     => simple(a)
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case Not(c)                   => supported(c)
+    case _                        => false
+  }
+
+  /** Top-level attributes only — nested paths stay Spark-side. */
+  private def simple(attr: String): Boolean = !attr.contains(".")
+
+  def eval(f: Filter, item: Item): Boolean = f match {
+    case EqualTo(a, v)            => cmp(item, a, v).contains(0)
+    case EqualNullSafe(a, v) =>
+      if (isNull(item, a)) v == null else cmp(item, a, v).contains(0)
+    case GreaterThan(a, v)        => cmp(item, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(item, a, v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(item, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(item, a, v).exists(_ <= 0)
+    case In(a, vs)                => vs.exists(v => cmp(item, a, v).contains(0))
+    case IsNull(a)                => isNull(item, a)
+    case IsNotNull(a)             => !isNull(item, a)
+    case StringStartsWith(a, p)   => str(item, a).exists(_.startsWith(p))
+    case StringContains(a, p)     => str(item, a).exists(_.contains(p))
+    case StringEndsWith(a, p)     => str(item, a).exists(_.endsWith(p))
+    case And(l, r)                => eval(l, item) && eval(r, item)
+    case Or(l, r)                 => eval(l, item) || eval(r, item)
+    case Not(c)                   => !eval(c, item)
+    case other =>
+      throw new IllegalStateException(s"filter $other was not accepted for pushdown")
+  }
+
+  private def isNull(item: Item, attr: String): Boolean = item.get(attr) match {
+    case None | Some(AttrVal.Null) => true
+    case _ => false
+  }
+
+  private def str(item: Item, attr: String): Option[String] = item.get(attr) match {
+    case Some(AttrVal.S(s)) => Some(s)
+    case _ => None
+  }
+
+  /** Three-way compare of a stored attribute against a Spark literal;
+    * None = incomparable (missing attr, type mismatch) → predicate is
+    * false, matching SQL null semantics.
+    */
+  private def cmp(item: Item, attr: String, v: Any): Option[Int] =
+    item.get(attr).flatMap {
+      case AttrVal.S(s) => v match {
+        case x: String => Some(s.compareTo(x))
+        case _ => None
+      }
+      case AttrVal.N(n) => v match {
+        case x: Byte    => Some(n.compare(BigDecimal(x.toInt)))
+        case x: Short   => Some(n.compare(BigDecimal(x.toInt)))
+        case x: Int     => Some(n.compare(BigDecimal(x)))
+        case x: Long    => Some(n.compare(BigDecimal(x)))
+        case x: Float   => Some(n.compare(BigDecimal(x.toDouble)))
+        case x: Double  => Some(n.compare(BigDecimal(x)))
+        case x: java.math.BigDecimal => Some(n.compare(BigDecimal(x)))
+        case x: BigDecimal => Some(n.compare(x))
+        case _ => None
+      }
+      case AttrVal.Bool(b) => v match {
+        case x: Boolean => Some(java.lang.Boolean.compare(b, x))
+        case _ => None
+      }
+      case _ => None
+    }
+}

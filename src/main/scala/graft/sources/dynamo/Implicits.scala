@@ -1,0 +1,41 @@
+package graft.sources.dynamo
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Dataset, Encoders, SparkSession}
+
+/** Syntax mirroring the reference's public API shape
+  * (`spark.read.dynamodb(t)`, `spark.read.dynamodbAs[T](t)`,
+  * `df.write.dynamodb(t)`) [REF: implicits package object], with the
+  * store root as an extra argument since there is no ambient AWS
+  * region/endpoint in the offline environment.
+  */
+object Implicits {
+
+  implicit final class DynamoReaderOps(private val reader: DataFrameReader) extends AnyVal {
+    def dynamo(path: String, tableName: String): DataFrame =
+      reader.format("dynamo").option("path", path).option("tableName", tableName).load()
+  }
+
+  implicit final class DynamoSessionOps(private val spark: SparkSession) extends AnyVal {
+    /** Typed read: schema from the case class (no inference scan),
+      * result a `Dataset[T]` — the reference's `dynamodbAs[T]` (A7).
+      */
+    def dynamoAs[T <: Product : TypeTag](path: String, tableName: String): Dataset[T] = {
+      val enc = Encoders.product[T]
+      spark.read.format("dynamo")
+        .schema(enc.schema)
+        .option("path", path).option("tableName", tableName)
+        .load()
+        .as[T](enc)
+    }
+  }
+
+  implicit final class DynamoWriterOps[T](private val writer: DataFrameWriter[T]) extends AnyVal {
+    def dynamo(path: String, tableName: String, hashKey: String): Unit =
+      writer.format("dynamo")
+        .option("path", path).option("tableName", tableName).option("hashKey", hashKey)
+        .mode("append")
+        .save()
+  }
+}

@@ -122,30 +122,59 @@ final class LocalKVStore(root: String) {
   final case class Update(item: Item) extends Op
   final case class Delete(item: Item) extends Op // item = key attrs only
 
-  /** Appends one WAL file atomically (tmp + rename). `seq` orders WAL
-    * replay; writers use a monotonic timestamp so concurrent tasks
-    * interleave deterministically by (seq, writerId) — partial writes
-    * from failed tasks simply persist, as in the reference (A14).
+  /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
+    * **sharded by the same key-hash as the base shards** — one file per
+    * shard the writer touches, named `wal-<seq>-<writerId>-sNNN.jsonl`
+    * — so a scan segment replays only its own shards' journal instead
+    * of the whole table's (the O(segments × total-WAL) trap). `seq`
+    * orders replay across write jobs; (seq, writerId) orders within
+    * one. Rows are flushed as they come: partial files from failed
+    * tasks simply persist, as in the reference's non-atomic commit
+    * model (A14).
     */
-  def appendWal(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
-    val dir = tableDir(table)
-    val lines = ops.map { op =>
+  final class WalWriter private[LocalKVStore] (table: String, meta: TableMeta, seq: Long, writerId: String) {
+    private val dir = tableDir(table)
+    private val open = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+
+    def append(op: Op): Unit = {
       val tag = op match {
         case _: Put => "PUT"
         case _: Update => "UPDATE"
         case _: Delete => "DELETE"
       }
-      ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item)))
+      val shard = shardOf(meta, op.item)
+      val w = open.getOrElseUpdate(shard,
+        Files.newBufferedWriter(
+          dir.resolve(f"wal-$seq%020d-$writerId-s$shard%03d.jsonl"), UTF_8,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+      w.write(ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item))))
+      w.write("\n")
     }
-    val name = f"wal-$seq%020d-$writerId.jsonl"
-    val tmp = dir.resolve(name + ".tmp")
-    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, dir.resolve(name))
+
+    def flush(): Unit = open.values.foreach(_.flush())
+    def close(): Unit = open.values.foreach(_.close())
   }
 
-  private def walOps(table: String): Iterator[Op] =
-    listFiles(table, "wal-").sortBy(_.getFileName.toString).iterator
+  def walWriter(table: String, seq: Long, writerId: String): WalWriter =
+    new WalWriter(table, describe(table), seq, writerId)
+
+  /** One-shot WAL append (convenience over [[WalWriter]]). */
+  def appendWal(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
+    val w = walWriter(table, seq, writerId)
+    try ops.foreach(w.append) finally w.close()
+  }
+
+  private def walShard(p: Path): Int = {
+    val n = p.getFileName.toString.stripSuffix(".jsonl")
+    n.substring(n.lastIndexOf("-s") + 2).toInt
+  }
+
+  /** WAL ops for the given segment only (per-shard WAL files make this
+    * proportional to the segment's own journal, not the table's).
+    */
+  private def walOps(table: String, segment: Int, totalSegments: Int): Iterator[Op] =
+    listFiles(table, "wal-").filter(p => walShard(p) % totalSegments == segment)
+      .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
       .filter(_.nonEmpty)
       .map { line =>
@@ -175,8 +204,10 @@ final class LocalKVStore(root: String) {
     // Some((attrs, replacesBase)): PUT replaces the base item wholesale,
     // UPDATE merges non-key attrs over it (upsert) — the reference's
     // UpdateItem semantics [REF: connector/TableConnector.scala — updateItem].
+    // Per-shard WAL files mean this map holds only this segment's
+    // overridden keys, bounded by the segment's own write volume.
     val overrides = mutable.LinkedHashMap.empty[String, Option[(Item, Boolean)]]
-    walOps(table).foreach { op =>
+    walOps(table, segment, totalSegments).foreach { op =>
       if (inSegment(op.item)) {
         val k = keyOf(meta, op.item)
         op match {
@@ -233,6 +264,29 @@ final class LocalKVStore(root: String) {
       bytes += sz
     }
     out.result()
+  }
+
+  /** Folds the WAL into the base shard files and deletes it, restoring
+    * pure-streaming scans (no override map). Shard-local: each shard is
+    * merged independently against only its own WAL files, so at
+    * cluster scale this parallelizes per shard with bounded memory;
+    * here it loops shards sequentially (maintenance path, not a query
+    * path).
+    */
+  def compact(table: String): Unit = {
+    val meta = describe(table)
+    val dir = tableDir(table)
+    (0 until meta.shards).foreach { shard =>
+      // A "segment" of totalSegments = meta.shards is exactly one shard.
+      val merged = scanSegment(table, shard, meta.shards).map(_._1).toVector
+      val tmp = dir.resolve(f"compact-$shard%03d.tmp")
+      val w = Files.newBufferedWriter(tmp, UTF_8)
+      try merged.foreach { it => w.write(ItemJson.write(it)); w.write("\n") }
+      finally w.close()
+      Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    listFiles(table, "wal-").foreach(Files.delete)
   }
 
   // ---- helpers ----

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.dynamo.Implicits._
+import graft.sources.dynamo.{LocalKVStore, TableMeta}
+
+/** Connector read/write round-trips — the reference's DynamoDB-Local
+  * test pattern with [[LocalKVStore]] swapped in for the endpoint
+  * [REF: test/.../AbstractInMemoryTest.scala; WriteRelationTest]:
+  * put → read-after-write equality, update-merge semantics, delete,
+  * pushdown on/off equivalence, typed read.
+  */
+class DynamoConnectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-dynamo-test").toString
+
+  private def seedFruit(root: String): Unit = {
+    import spark.implicits._
+    Seq(
+      ("apple", "red", 0.15, 3L),
+      ("banana", "yellow", 0.12, 5L),
+      ("cherry", "red", 0.005, 100L),
+      ("durian", "green", 2.5, 1L))
+      .toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name")
+  }
+
+  test("put then read returns exactly the written rows") {
+    val root = freshRoot()
+    seedFruit(root)
+    val back = spark.read.dynamo(root, "fruit")
+      .select("name", "color", "weight_kg", "stock").orderBy("name")
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("apple", "red", 0.15, 3L),
+      ("banana", "yellow", 0.12, 5L),
+      ("cherry", "red", 0.005, 100L),
+      ("durian", "green", 2.5, 1L)))
+  }
+
+  test("update merges non-key attrs over existing items (upsert)") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    // update two existing + upsert one new; only (name, stock) columns.
+    Seq(("apple", 99L), ("durian", 0L), ("elderberry", 7L))
+      .toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("update", "true").mode("append").save()
+
+    val back = spark.read.dynamo(root, "fruit")
+      .select("name", "color", "stock").orderBy("name")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+    assert(back.toSeq == Seq(
+      ("apple", Some("red"), 99L),      // stock updated, color kept
+      ("banana", Some("yellow"), 5L),
+      ("cherry", Some("red"), 100L),
+      ("durian", Some("green"), 0L),
+      ("elderberry", None, 7L)))        // fresh item: no color attr
+  }
+
+  test("delete removes items by primary key") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq("banana", "cherry").toDF("name")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("delete", "true").mode("append").save()
+
+    val names = spark.read.dynamo(root, "fruit")
+      .select("name").orderBy("name").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(names.toSeq == Seq("apple", "durian"))
+  }
+
+  test("filter pushdown result equals pushdown-disabled result") {
+    val root = freshRoot()
+    seedFruit(root)
+    def q(pushdown: Boolean) = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("filterPushdown", pushdown.toString).load()
+      .filter(col("color") === "red" && col("stock") >= 100)
+      .select("name").orderBy("name").collect().map(_.getString(0)).toSeq
+    assert(q(true) == q(false))
+    assert(q(true) == Seq("cherry"))
+  }
+
+  test("compaction folds the WAL and preserves the merged view") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq(("apple", 42L)).toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("update", "true").mode("append").save()
+    val before = spark.read.dynamo(root, "fruit")
+      .select("name", "stock").orderBy("name").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    new LocalKVStore(root).compact("fruit")
+    val after = spark.read.dynamo(root, "fruit")
+      .select("name", "stock").orderBy("name").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(before == after)
+    assert(after.contains(("apple", 42L)))
+  }
+
+  test("segmented scan covers all items disjointly for any segment count") {
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    Seq(1, 2, 3, 7).foreach { n =>
+      val all = (0 until n).flatMap(seg => store.scanSegment("fruit", seg, n).map(_._1).toSeq)
+      assert(all.size == 4, s"segment count $n lost/duplicated items")
+    }
+  }
+
+  test("schema inference types integral N as long and decimal N as double") {
+    val root = freshRoot()
+    seedFruit(root)
+    val schema = spark.read.dynamo(root, "fruit").schema
+    assert(schema("stock").dataType.typeName == "long")
+    assert(schema("weight_kg").dataType.typeName == "double")
+    assert(schema("name").dataType.typeName == "string")
+  }
+
+  test("rate limiter throttles to roughly the configured rate") {
+    val limiter = new graft.sources.dynamo.RateLimiter(100.0) // 100 units/s, 100 burst
+    val t0 = System.nanoTime()
+    limiter.acquire(100.0) // burns the burst
+    limiter.acquire(50.0)  // must wait ~0.5 s
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 400, s"expected ~500ms throttle, got $elapsedMs ms")
+  }
+
+  test("range-keyed table keeps items with the same hash key distinct") {
+    val store = new LocalKVStore(freshRoot())
+    import graft.sources.dynamo.AttrVal
+    store.createTable("orders", TableMeta("user", Some("seq"), shards = 4, throughput = 1000))
+    val items = (1 to 3).map { i =>
+      Map("user" -> AttrVal.S("u1"), "seq" -> AttrVal.N(BigDecimal(i)),
+          "amount" -> AttrVal.N(BigDecimal(i * 10)))
+    }
+    store.appendWal("orders", 1L, "w0", items.map(store.Put(_)))
+    val back = store.scanSegment("orders", 0, 1).map(_._1).toSeq
+    assert(back.size == 3)
+  }
+}
