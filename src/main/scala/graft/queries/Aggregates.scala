@@ -62,6 +62,55 @@ object Aggregates {
         .orderBy("flag", "status")
     }),
 
+    "q_agg_cube" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")
+    }),
+
+    // GROUPING SETS is SQL-only surface in Spark; grouping_id() keeps
+    // the (flag) / (status) / () result shapes distinguishable.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       count(1) AS cnt
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, flag, status""".stripMargin)
+    }),
+
+    // List-valued outputs are cross-engine-fragile in parquet compare
+    // (SURVEY.md known-hard #3), so the sorted list is emitted as a
+    // joined string — same information, stable hash.
+    "q_agg_collect" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir)
+        .filter(col("l_orderkey") < 400)
+        .groupBy("l_orderkey")
+        .agg(array_join(
+               transform(array_sort(collect_list(col("l_linenumber"))),
+                         _.cast("string")), ",").as("linenumbers"))
+        .orderBy("l_orderkey")
+    }),
+
+    // HLL++ sketch — engine-specific values, so no DuckDB oracle
+    // (rule D3); AggregatesSpec asserts ±5% of exact instead.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      Fixtures.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_having" -> ((s, dir) => {
       val o = Fixtures.orders(s, dir)
       val c = Fixtures.customer(s, dir)
@@ -110,5 +159,25 @@ object Aggregates {
         |       count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment HAVING sum(o_totalprice) > 3e8
-        |ORDER BY c_mktsegment""".stripMargin)
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, flag, status""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
+        |FROM lineitem WHERE l_orderkey < 400
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 }

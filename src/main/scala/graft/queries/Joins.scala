@@ -53,6 +53,80 @@ object Joins {
       val big = Fixtures.orders(s, dir).filter(col("o_totalprice") > 400000.0)
       c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
         .orderBy("c_custkey")
+    }),
+
+    "q_join_right" -> ((s, dir) => {
+      val o = Fixtures.orders(s, dir)
+      val c = Fixtures.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    // Filtered sides manufacture unmatched rows on both ends; the join
+    // output is aggregated to per-side counts (stable single row).
+    "q_join_full" -> ((s, dir) => {
+      val o = Fixtures.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+        .select("o_orderkey")
+      val l = Fixtures.lineitem(s, dir).filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+             count("o_orderkey").as("n_left"),
+             count("l_orderkey").as("n_right"))
+    }),
+
+    "q_join_cross" -> ((s, dir) =>
+      Fixtures.region(s, dir).crossJoin(Fixtures.nation(s, dir))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // Equi key + non-equi residual: sort-merge on nationkey, the
+    // s_acctbal > c_acctbal predicate filters within each key group —
+    // never a full cartesian product at any scale.
+    "q_join_theta" -> ((s, dir) => {
+      val sup = Fixtures.supplier(s, dir)
+      val c = Fixtures.customer(s, dir)
+      sup.join(c, sup("s_nationkey") === c("c_nationkey") &&
+                  sup("s_acctbal") > c("c_acctbal"))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("nationkey")
+    }),
+
+    // As-of join: for each purchase event, the latest click of the
+    // same user with click.ts <= purchase.ts. Spark has no native
+    // batch as-of; the scalable formulation is a tagged union + one
+    // window pass (single shuffle on user_id — no inequality join, no
+    // per-row probe), which is how an as-of join should be executed at
+    // 100 TB when the right side fits the same partitioning.
+    "q_join_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Fixtures.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                when(col("event_type") === "click", col("ts")).as("click_ts"))
+      // Clicks sort before purchases at equal ts (as-of is inclusive).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_click_ts", last("click_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "asof_click_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Self-join: line-number pairs within an order, counted per order.
+    "q_join_self" -> ((s, dir) => {
+      val l = Fixtures.lineitem(s, dir).filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber")
+      val l1 = l.select(col("l_orderkey").as("k"), col("l_linenumber").as("ln1"))
+      val l2 = l.select(col("l_orderkey").as("k2"), col("l_linenumber").as("ln2"))
+      l1.join(l2, col("k") === col("k2") && col("ln1") < col("ln2"))
+        .groupBy(col("k").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("o_orderkey")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -79,5 +153,39 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c.c_custkey
         |                    AND o_totalprice > 400000.0)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT count(*) AS n_rows,
+        |       count(o_orderkey) AS n_left,
+        |       count(l_orderkey) AS n_right
+        |FROM (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) o
+        |FULL JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+        |           WHERE l_quantity > 45.0) l
+        |ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_theta" ->
+      """SELECT s_nationkey AS nationkey, count(*) AS n_pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |       (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+        |         AS asof_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q_join_self" ->
+      """SELECT l1.l_orderkey AS o_orderkey, count(*) AS n_pairs
+        |FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey < 1000) l1
+        |JOIN (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey < 1000) l2
+        |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -79,7 +79,50 @@ object Scalars {
                 get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    "q_str_regex" -> ((s, dir) =>
+      Fixtures.part(s, dir)
+        .select(col("p_partkey"),
+                regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+                  .cast("long").as("brand_num"),
+                regexp_replace(col("p_name"), "\\s+", "_").as("snake_name"))
+        .orderBy("p_partkey")),
+
+    "q_cast" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+          col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_str"),
+          col("o_orderkey").cast("int").cast("bigint").as("key_big"),
+          lit("1999-12-31").cast("date").as("fixed_date"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy("o_orderkey")),
+
+    // Higher-order functions over the embedding array — slice/fold
+    // run inside codegen, no UDF.
+    "q_array_funcs" -> ((s, dir) =>
+      Fixtures.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+          round(aggregate(transform(slice(col("embedding"), 1, 8), _.cast("double")),
+                          lit(0.0), (acc, x) => acc + x), 4).as("head_sum"))
+        .orderBy("vec_id")),
+
+    // Build a map, extract back — output the extracted scalars only
+    // (map-typed parquet output is cross-engine-fragile).
+    "q_map_from_entries" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .select(col("event_id"),
+                map(lit("type"), col("event_type"),
+                    lit("uid"), col("user_id").cast("string")).as("m"))
+        .select(col("event_id"),
+                element_at(col("m"), "type").as("type_val"),
+                element_at(col("m"), "uid").cast("long").as("uid_val"))
+        .orderBy("event_id")))
 
   val oracle: Map[String, String] = Map(
     "q_str_funcs" ->
@@ -127,5 +170,31 @@ object Scalars {
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_str_regex" ->
+      """SELECT p_partkey,
+        |       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+        |       regexp_replace(p_name, '\s+', '_', 'g') AS snake_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_cast" ->
+      """SELECT o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+        |       CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS key_big,
+        |       DATE '1999-12-31' AS fixed_date,
+        |       CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+        |       round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) +
+        |             CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) +
+        |             CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE) +
+        |             CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 4)
+        |         AS head_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_map_from_entries" ->
+      """SELECT event_id, event_type AS type_val, user_id AS uid_val
+        |FROM events ORDER BY event_id""".stripMargin)
 }

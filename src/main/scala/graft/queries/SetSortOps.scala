@@ -30,6 +30,14 @@ object SetSortOps {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)),
 
+    // Rows 101–200 of the same global order (Spark ≥3.4 offset).
+    "q_sort_offset" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(100)
+        .limit(100)),
+
     "q_union_all" -> ((s, dir) => {
       val o = Fixtures.orders(s, dir)
       o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -68,6 +76,9 @@ object SetSortOps {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_sort_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 100""".stripMargin,
     "q_union_all" ->
       """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |UNION ALL

@@ -77,7 +77,42 @@ object Windows {
         .withColumn("rn", row_number().over(byPrice))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")))
+        .orderBy("o_custkey", "rn")),
+
+    // RANGE frame: single numeric ORDER BY column (frames are
+    // value-based, peers included — deterministic without a tiebreak).
+    "q_win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-100000L, 0L)
+      Fixtures.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                count(lit(1)).over(w).as("n_in_range"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_ntile" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                ntile(4).over(byPrice).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // Full-partition frame so last_value sees the whole partition (the
+    // default frame would make it the current row).
+    "q_win_firstlast" -> ((s, dir) => {
+      val full = byPrice.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Fixtures.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                first("o_orderkey").over(full).as("best_order"),
+                last("o_orderkey").over(full).as("worst_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_pct" -> ((s, dir) =>
+      Fixtures.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                round(percent_rank().over(byPrice), 4).as("pct_rank"),
+                round(cume_dist().over(byPrice), 4).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")))
 
   val oracle: Map[String, String] = Map(
     "q_win_rownum" ->
@@ -119,5 +154,31 @@ object Windows {
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |         RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS best_order,
+        |       last_value(o_orderkey) OVER w AS worst_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_pct" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(percent_rank() OVER w, 4) AS pct_rank,
+        |       round(cume_dist() OVER w, 4) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }
