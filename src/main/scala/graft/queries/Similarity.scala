@@ -46,6 +46,24 @@ object Similarity {
                 round(cosine(col("ea"), col("eb")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
         .limit(10)
+    }),
+
+    // 5 nearest neighbors of vec_id=0, brute-force cosine. The query
+    // vector is a 1-row broadcast so the scan side streams with no
+    // shuffle; orderBy+limit lowers to TakeOrderedAndProject (per-
+    // partition top-k, then a 5-row driver merge). This brute-force
+    // shape IS the 100 TB baseline for one query vector — a full scan
+    // with a broadcast probe; the bucketed variant (q_sim_ann_label)
+    // cuts the scan to one candidate bucket.
+    "q_sim_knn" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("emb"), col("qe")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -59,5 +77,18 @@ object Similarity {
         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
         |SELECT id1, id2, round(dot / (na.nrm * nb.nrm), 4) AS cosine
         |FROM d JOIN n na ON d.id1 = na.vec_id JOIN n nb ON d.id2 = nb.vec_id
-        |ORDER BY cosine DESC, id1, id2 LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, id1, id2 LIMIT 10""".stripMargin,
+    "q_sim_knn" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id = 0),
+        |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings WHERE vec_id <> 0),
+        |d AS (SELECT vec_id, sum(ex.x * q.x) AS dot,
+        |             sqrt(sum(ex.x * ex.x)) AS na
+        |      FROM ex JOIN q ON ex.i = q.i GROUP BY vec_id),
+        |nq AS (SELECT sqrt(sum(x * x)) AS nb FROM q)
+        |SELECT vec_id, round(dot / (na * nb), 4) AS cosine
+        |FROM d, nq ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin)
 }

@@ -23,11 +23,60 @@ object Streaming {
              round(sum("value"), 2).as("sum_val"))
         .select(col("window.start").as("win_start"), col("event_type"),
                 col("cnt"), col("sum_val"))
-        .orderBy("win_start", "event_type")))
+        .orderBy("win_start", "event_type")),
+
+    // 1-hour windows sliding every 15 minutes: each event lands in
+    // exactly 4 epoch-aligned windows. Spark's `window(ts, len, slide)`
+    // expands rows 4x map-side (a Generate, no extra shuffle) then
+    // aggregates — the same plan streaming uses, and the expansion
+    // factor (len/slide), not data volume, bounds the cost at scale.
+    "q_stream_sliding" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("cnt"))
+        .orderBy("win_start")),
+
+    // Per-user 30-minute-gap session windows. Spark merges events whose
+    // [ts, ts+gap) windows overlap; a session's end is last-event ts +
+    // gap. State is per (user, session) — bounded by the gap, which is
+    // exactly why this survives unbounded streams. The oracle rebuilds
+    // identical sessions with gaps-and-islands SQL (new session when
+    // the gap from the previous event is >= 30 min).
+    "q_stream_session" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+                col("session_window.start").as("sess_start"),
+                col("session_window.end").as("sess_end"), col("cnt"))
+        .orderBy("user_id", "sess_start")))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', t)
+        |             - k * INTERVAL '15 minutes' AS win_start
+        |      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k))
+        |SELECT win_start, count(*) AS cnt
+        |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT user_id, t,
+        |             CASE WHEN lag(t) OVER w IS NULL
+        |                    OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t,
+        |             sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS sess_start,
+        |       max(t) + INTERVAL '30 minutes' AS sess_end, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin)
 }

@@ -46,6 +46,56 @@ object TextOps {
         .orderBy("lang", "label")
     }),
 
+    // Near-dup detection by token-set Jaccard >= 0.6 over the first 300
+    // docs. The pair generation is token-bucketed — docs only meet in
+    // the join if they SHARE a token — so the shuffle is keyed by token,
+    // never all-pairs. At 100 TB the same plan holds: explode to
+    // (token, doc) pairs, self-join per token bucket, aggregate shared
+    // counts; hot tokens (stopwords) are the skew risk and would be
+    // dropped by a df-frequency cap before the join (the 31-token
+    // fixture vocabulary doesn't need it). The threshold filter is
+    // exact integer math (shared*10 >= 6*(n1+n2-shared)) so both
+    // engines agree on pair membership regardless of float rounding.
+    "q_dedup_near" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
+      val tok = d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = tok.as("a")
+        .join(tok.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
+        .select(col("id1"), col("id2"),
+          round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+            .as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // tf-idf over the corpus: tf from one grouped count, df from a
+    // distinct+count, corpus size joined in as a 1-row broadcast. All
+    // three shuffles are keyed by (doc, token) / token — partial
+    // aggregation applies, and nothing is driver-side (`n_docs` is a
+    // cross-joined 1-row DataFrame, not a collect()).
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("token"))
+        .limit(20)
+    }),
+
     "q_dedup_events" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("ts", "event_id")
@@ -73,6 +123,28 @@ object TextOps {
         |       round(avg(n_chars), 2) AS avg_chars
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    "q_dedup_near" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT DISTINCT doc_id, tok FROM
+        |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |       FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
+        |FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
+        |WHERE shared * 10 >= (s1.n + s2.n - shared) * 6
+        |ORDER BY id1, id2""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, round(tf * ln(n_docs / df), 4) AS score
+        |FROM tf JOIN df USING (token), n
+        |ORDER BY score DESC, doc_id, token LIMIT 20""".stripMargin,
     "q_dedup_events" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,
