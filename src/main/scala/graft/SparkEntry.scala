@@ -22,7 +22,8 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetSortOps.queries ++ Scalars.queries ++
       TextOps.queries ++ Similarity.queries ++ Streaming.queries ++
-      DynamoQueries.queries
+      DynamoQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetSortOps.oracle ++ Scalars.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Streaming.oracle ++
-      DynamoQueries.oracle
+      DynamoQueries.oracle ++ Dedup.oracle ++ TextAnalysis.oracle ++
+      Multimodal.oracle
 }

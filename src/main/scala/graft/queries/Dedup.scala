@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near/exact-duplicate detection at corpus scale (SURVEY.md §2B B-9).
+  *
+  * Four strategies, each with the shuffle shape a 100 TB corpus needs:
+  *
+  *  - `q_dedup_fingerprint`: exact dedup keyed by sha2-256 of the text.
+  *    The shuffle carries (32-byte fingerprint, doc_id) — NOT the
+  *    document body — so shuffle width is constant per row regardless
+  *    of document size. This is the scale-safe form of `q_dedup_exact`
+  *    (TextOps.scala), which demonstrates the window-on-content shape.
+  *  - `q_dedup_minhash`: MinHash + LSH banding. Signatures are minima
+  *    of k affine hashes over token ids; docs meet ONLY inside a
+  *    (band, band-signature) bucket, then candidates are verified with
+  *    exact Jaccard. No all-pairs stage exists at any scale; cost is
+  *    bounded by bucket occupancy (collision-heavy buckets = real
+  *    near-dup clusters).
+  *  - `q_dedup_simhash`: 16-bit SimHash with tf-weighted bit votes.
+  *    Candidate pairs come from the pigeonhole principle: hamming ≤ 3
+  *    over 4 chunks ⇒ at least one 4-bit chunk matches exactly, so
+  *    candidates join on (chunk_idx, chunk_value) — again bucketed,
+  *    never all-pairs.
+  *  - `q_dedup_embed`: embedding-cosine near-dup over a bounded id
+  *    range (all-pairs is only sane on a candidate set; the unbounded
+  *    scale path is the bucketed ANN join in Similarity.scala
+  *    `q_sim_ann_bucket`).
+  *
+  * Every hash here is an explicit affine formula over deterministic
+  * token ids (alphabetical rank), so the DuckDB oracle reproduces the
+  * EXACT same signatures — the correctness check covers the hashing,
+  * banding and verification math, not just the final filter.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime modulus
+
+  /** (i, a, b) for minhash_i(tok) = (a·tokid + b) mod P; 12 hashes →
+    * 6 bands × 2 rows. Mirrored literally in the oracle SQL.
+    */
+  private val MinhashParams: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103L, 12345L), (1, 5077L, 999L), (2, 9173L, 471L),
+    (3, 7919L, 8191L), (4, 2663L, 30269L), (5, 4271L, 11213L),
+    (6, 6619L, 257L), (7, 3541L, 49157L), (8, 7333L, 6007L),
+    (9, 9901L, 331L), (10, 5683L, 7039L), (11, 8761L, 52361L))
+
+  /** (bit, a, c) for bit-hash h_b(tok) = ((a·tokid + c) mod P) mod 2. */
+  private val SimhashBits: Seq[(Int, Long, Long)] =
+    (0 until 16).map { b =>
+      (b, 3571L + 2L * 1009L * b, 1277L + 4057L * b)
+    }
+
+  /** Distinct (doc_id, tok) pairs for doc_id < 300. */
+  private def tokSet(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Token ids = alphabetical rank over the corpus vocabulary. The
+    * unpartitioned window is safe because it runs on the DISTINCT
+    * vocabulary (bounded; e.g. English BPE ~50k), not the corpus, and
+    * the result is broadcast back to the token stream.
+    */
+  private def withTokId(tok: DataFrame): DataFrame = {
+    val vocab = tok.select("tok").distinct()
+      .withColumn("tokid", row_number().over(Window.orderBy("tok")))
+    tok.join(broadcast(vocab), "tok")
+  }
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs; output
+    * pairs with jaccard ≥ 0.6 (integer-exact threshold, rule D2).
+    */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame): DataFrame = {
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val t1 = toks.select(col("doc_id").as("id1"), col("tokid"))
+    val t2 = toks.select(col("doc_id").as("id2"), col("tokid"))
+    cand.join(t1, "id1").join(t2, Seq("id2", "tokid"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
+      .select(col("id1"), col("id2"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+          .as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup keyed by content fingerprint: one narrow shuffle of
+    // (sha256, doc_id); survivors are min(doc_id) per fingerprint.
+    // sha2-256 collision probability is negligible at any corpus size,
+    // which is why production dedup keys on the digest, not the text.
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .groupBy(sha2(col("text"), 256).as("fp"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .select("doc_id", "dup_cnt")
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+      val params = MinhashParams.toDF("i", "a", "b")
+      val sig = toks.crossJoin(broadcast(params))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min((col("a") * col("tokid") + col("b")) % P).as("mh"))
+      // Band signature: the band's hash minima in hash-index order,
+      // concatenated — the LSH bucket key.
+      val bands = sig.withColumn("band", expr("i div 2"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      verifyJaccard(cand, toks)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
+      val tokAll = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = withTokId(
+          tokAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+      val bits = SimhashBits.toDF("b", "sa", "sc")
+      // tf-weighted vote per bit: +tf when the bit-hash is 1, −tf when 0.
+      val contrib = tf.crossJoin(broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(sum(col("tf") *
+          (((col("sa") * col("tokid") + col("sc")) % P % 2) * 2 - 1)).as("w"))
+      val sh = contrib.groupBy("doc_id")
+        .agg(sum(when(col("w") > 0, pow(lit(2.0), col("b")).cast("long"))
+          .otherwise(0L)).as("simhash"))
+      // Pigeonhole candidates: hamming ≤ 3 ⇒ one of the 4 nibbles equal.
+      val chunks = Seq((0, 1L), (1, 16L), (2, 256L), (3, 4096L)).toDF("c", "pw")
+      val ch = sh.crossJoin(broadcast(chunks))
+        .select(col("doc_id"), col("simhash"), col("c"),
+          expr("(simhash div pw) % 16").as("cv"))
+      ch.as("x").join(ch.as("y"),
+          col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+          col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= 3)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    }),
+
+    // Embedding-cosine near-dup: pairs whose rounded cosine clears the
+    // threshold. Both engines filter on the ROUNDED value so boundary
+    // membership can't disagree (the q_agg_having lesson).
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = Similarity.embDouble(s, dir).filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("ea"), col("eb")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.42)
+        .orderBy("id1", "id2")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tokid
+        |          FROM (SELECT DISTINCT tok FROM tok0)),
+        |toks AS (SELECT doc_id, tokid FROM tok0 JOIN vocab USING (tok)),
+        |p(i, a, b) AS (VALUES (0,1103,12345),(1,5077,999),(2,9173,471),
+        |  (3,7919,8191),(4,2663,30269),(5,4271,11213),(6,6619,257),
+        |  (7,3541,49157),(8,7333,6007),(9,9901,331),(10,5683,7039),
+        |  (11,8761,52361)),
+        |sig AS (SELECT doc_id, i, min((a * tokid + b) % 2147483647) AS mh
+        |        FROM toks, p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 array_to_string(list(mh ORDER BY i), ',') AS bkey
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |         FROM bands x JOIN bands y
+        |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |sh AS (SELECT id1, id2, count(*) AS shared FROM cand
+        |       JOIN toks a ON a.doc_id = id1
+        |       JOIN toks b ON b.doc_id = id2 AND b.tokid = a.tokid
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
+        |FROM sh JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE shared * 10 >= (s1.n + s2.n - shared) * 6
+        |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tokid
+        |          FROM (SELECT DISTINCT tok FROM tok0)),
+        |tf AS (SELECT doc_id, tokid, count(*) AS tf
+        |       FROM tok0 JOIN vocab USING (tok) GROUP BY 1, 2),
+        |bits AS (SELECT b, 3571 + 2 * 1009 * b AS sa, 1277 + 4057 * b AS sc
+        |         FROM (SELECT unnest(generate_series(0, 15)) AS b)),
+        |contrib AS (SELECT doc_id, b,
+        |                   sum(tf * (((sa * tokid + sc) % 2147483647 % 2) * 2 - 1)) AS w
+        |            FROM tf, bits GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN w > 0
+        |                       THEN CAST(round(2 ** b) AS BIGINT) ELSE 0 END)
+        |                   AS BIGINT) AS simhash
+        |       FROM contrib GROUP BY 1),
+        |chunks(c, pw) AS (VALUES (0, 1), (1, 16), (2, 256), (3, 4096)),
+        |ch AS (SELECT doc_id, simhash, c, (simhash // pw) % 16 AS cv
+        |       FROM sh, chunks),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |                x.simhash AS h1, y.simhash AS h2
+        |         FROM ch x JOIN ch y
+        |         ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              generate_subscripts(embedding, 1) AS i FROM e),
+        |dt AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
+        |       FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |       GROUP BY 1, 2),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1)
+        |SELECT id1, id2, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM dt JOIN n na ON dt.id1 = na.vec_id JOIN n nb ON dt.id2 = nb.vec_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.42
+        |ORDER BY id1, id2""".stripMargin)
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling (SURVEY.md §2B B-9): media payloads are
+  * opaque `binary` columns + typed metadata, exactly how a 100 TB
+  * image/audio corpus rides in parquet. Here the payload is derived
+  * from `text` (UTF-8 bytes) so the DuckDB oracle can reproduce every
+  * byte; the feature extraction itself — sizes, digests, dimension
+  * metadata — is real binary-column work and stays codegen'd.
+  *
+  * The batched DECODE path (the part that would call an image codec)
+  * lives in `graft.operators.MultimodalDecode`: typed Dataset in,
+  * `mapPartitions` batches out — the Scala analogue of `mapInPandas`
+  * with the codec call stubbed deterministically (no native media
+  * libs in this environment). Its spec asserts it agrees with this
+  * query's SQL-expressed features row-for-row.
+  */
+object Multimodal {
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_features" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          expr("octet_length(payload)").as("n_bytes"),
+          substring(sha2(col("payload"), 256), 1, 16).as("digest16"),
+          // stand-in "decoded" dimensions from the leading bytes (the
+          // fixture payload is ASCII, so byte k = codepoint of char k)
+          (lit(16) + ascii(substring(col("text"), 1, 1)) % 48).as("width"),
+          (lit(16) + ascii(substring(col("text"), 2, 1)) % 48).as("height"),
+          expr("octet_length(payload) div 256 + 1").as("frames"))
+        .withColumn("aspect", round(col("width") / col("height"), 4))
+        .orderBy("doc_id")))
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """WITH f AS (SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substring(sha256(text), 1, 16) AS digest16,
+        |  16 + ord(substring(text, 1, 1)) % 48 AS width,
+        |  16 + ord(substring(text, 2, 1)) % 48 AS height,
+        |  octet_length(encode(text)) // 256 + 1 AS frames
+        |FROM documents)
+        |SELECT doc_id, n_bytes, digest16, width, height, frames,
+        |       round(width / height, 4) AS aspect
+        |FROM f ORDER BY doc_id""".stripMargin)
+}

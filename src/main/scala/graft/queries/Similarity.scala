@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * candidate set (here: vec_id < 200 → 19,900 pairs evaluated via a
   * broadcast nested-loop join — the right plan, since one side is
   * tiny). The 100 TB path is NOT all-pairs: only same-bucket pairs
-  * may be compared — see `q_sim_knn_bucketed` below (coarse-quantizer
-  * bucketing, IVF-style) and the token-bucketed near-dup join in
-  * TextOps (`q_dedup_near`).
+  * may be compared — see `q_sim_ann_bucket` below (hyperplane-sign
+  * LSH bucketing), the token-bucketed near-dup join in TextOps
+  * (`q_dedup_near`), and the banded MinHash join in Dedup
+  * (`q_dedup_minhash`).
   */
 object Similarity {
 
@@ -53,13 +54,37 @@ object Similarity {
     // shuffle; orderBy+limit lowers to TakeOrderedAndProject (per-
     // partition top-k, then a 5-row driver merge). This brute-force
     // shape IS the 100 TB baseline for one query vector — a full scan
-    // with a broadcast probe; the bucketed variant (q_sim_ann_label)
+    // with a broadcast probe; the bucketed variant (q_sim_ann_bucket)
     // cuts the scan to one candidate bucket.
     "q_sim_knn" -> ((s, dir) => {
       val e = embDouble(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine(col("emb"), col("qe")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // Approximate kNN via hyperplane-sign LSH: bucket id = sign bits
+    // of the first 4 dimensions (axis-aligned hyperplanes — a fixed,
+    // data-independent quantizer both engines compute identically).
+    // Only the query's OWN bucket is scanned: the bucket equi-join
+    // prunes ~15/16 of the corpus before any cosine math, which is
+    // the IVF/LSH trade (recall for scan cost). At scale, recall is
+    // tuned with more tables (repeat with k bit-sets, union, distinct)
+    // — same plan shape, still no all-pairs stage.
+    "q_sim_ann_bucket" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val bucket = (0 until 4).map { d =>
+        when(element_at(col("emb"), d + 1) > 0.0, lit(1L << d)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val q = b.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qb"), col("emb").as("qe"))
+      b.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qb"))
         .select(col("vec_id"),
           round(cosine(col("emb"), col("qe")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -78,6 +103,26 @@ object Similarity {
         |SELECT id1, id2, round(dot / (na.nrm * nb.nrm), 4) AS cosine
         |FROM d JOIN n na ON d.id1 = na.vec_id JOIN n nb ON d.id2 = nb.vec_id
         |ORDER BY cosine DESC, id1, id2 LIMIT 10""".stripMargin,
+    "q_sim_ann_bucket" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |bk AS (SELECT vec_id,
+        |              CAST(sum(CASE WHEN x > 0 THEN
+        |                       CAST(round(2 ** (i - 1)) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM ex WHERE i <= 4 GROUP BY 1),
+        |q AS (SELECT bucket AS qb FROM bk WHERE vec_id = 0),
+        |qx AS (SELECT x, i FROM ex WHERE vec_id = 0),
+        |cand AS (SELECT b.vec_id FROM bk b, q
+        |         WHERE b.bucket = q.qb AND b.vec_id <> 0),
+        |d AS (SELECT e.vec_id, sum(e.x * qx.x) AS dot,
+        |             sqrt(sum(e.x * e.x)) AS na
+        |      FROM ex e JOIN cand USING (vec_id) JOIN qx ON e.i = qx.i
+        |      GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(x * x)) AS nb FROM qx)
+        |SELECT vec_id, round(dot / (na * nb), 4) AS cosine
+        |FROM d, nq ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
     "q_sim_knn" ->
       """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
         |                  generate_subscripts(embedding, 1) AS i

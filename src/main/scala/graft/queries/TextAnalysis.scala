@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Fixtures
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a training-data pipeline runs over every
+  * document: language ID, quality scoring, token counting, content
+  * fingerprinting (SURVEY.md §2B B-9).
+  *
+  * All four are per-document map-side work (plus one bounded
+  * profile/vocabulary broadcast for language ID) — the shapes scale
+  * linearly: no all-pairs, no unbounded state, no driver collection.
+  * Everything is built-in Catalyst expressions (higher-order
+  * functions, not UDFs) so the whole stage stays codegen'd.
+  */
+object TextAnalysis {
+
+  val queries: Map[String, Q] = Map(
+    // Language ID by token-profile overlap: the per-language profile =
+    // its top-5 most frequent tokens over the corpus (an n-gram
+    // profile degenerates to token profiles on this whitespace
+    // corpus); a document's predicted language maximizes profile
+    // overlap (ties → alphabetical). The profile is tiny (langs × 5)
+    // and broadcast; the document side is one explode + one grouped
+    // count — linear in corpus size.
+    "q_text_langid" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val tokAll = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      val prof = tokAll.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rk") <= 5)
+        .select(col("lang").as("plang"), col("tok"))
+      val dtok = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      dtok.join(broadcast(prof), "tok")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality score from cheap surface statistics: type-token ratio,
+    // stopword ratio, average token length. The score formula is the
+    // same expression tree on both engines (exact integer inputs →
+    // identical double ops), so round-4 values match bit-for-bit.
+    "q_text_quality" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+          size(filter(split(col("text"), " "),
+            t => t === "the" || t === "a")).as("n_stop"),
+          length(regexp_replace(col("text"), " ", "")).as("n_nospace"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_uniq") / col("n_tok"), 4).as("ttr"),
+          round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
+          round((col("n_uniq") / col("n_tok")) * 0.5
+            + (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3
+            + least((col("n_nospace") / col("n_tok")) / 8.0, lit(1.0)) * 0.2,
+            4).as("score"))
+        .orderBy("doc_id")),
+
+    // Token counting two ways: whitespace split vs a BPE-ish regex
+    // (letter/digit runs + single punctuation) — the pre-tokenizer
+    // shape BPE vocabularies use. Pure per-row expressions.
+    "q_text_tokens" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0))")
+            .as("re_tokens"),
+          length(col("text")).as("n_chars_txt"))
+        .withColumn("chars_per_tok",
+          round(col("n_chars_txt") / col("ws_tokens"), 4))
+        .orderBy("doc_id")),
+
+    // Content fingerprint: polynomial rolling hash over the character
+    // stream, h ← (31·h + codepoint) mod 1e9+7, as a sequential
+    // `aggregate` fold — order-dependent by construction (that's what
+    // distinguishes it from the bag-of-bytes sha256 in Dedup), and
+    // deterministic on both engines.
+    "q_text_fingerprint" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          // filter(''): Spark's split keeps a trailing empty element
+          // (Java split limit -1); DuckDB's char split does not.
+          aggregate(filter(split(col("text"), ""), c => c =!= ""), lit(0L),
+            (h, c) => (h * 31L + ascii(c)) % 1000000007L).as("fp"))
+        .orderBy("doc_id")))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      """WITH tokall AS (SELECT doc_id, lang,
+        |                       unnest(string_split(text, ' ')) AS tok
+        |                FROM documents),
+        |prof AS (SELECT lang AS plang, tok FROM (
+        |  SELECT lang, tok,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, tok) AS rk
+        |  FROM (SELECT lang, tok, count(*) AS cnt FROM tokall GROUP BY 1, 2))
+        |  WHERE rk <= 5),
+        |dtok AS (SELECT DISTINCT doc_id, tok FROM tokall WHERE doc_id < 200),
+        |sc AS (SELECT doc_id, plang, count(*) AS score
+        |       FROM dtok JOIN prof USING (tok) GROUP BY 1, 2)
+        |SELECT doc_id, plang AS pred_lang, score FROM (
+        |  SELECT doc_id, plang, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, plang) AS rk
+        |  FROM sc) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a'))) AS n_stop,
+        |  length(replace(text, ' ', '')) AS n_nospace
+        |FROM documents)
+        |SELECT doc_id, n_tok,
+        |  round(n_uniq / n_tok, 4) AS ttr,
+        |  round(n_stop / n_tok, 4) AS stop_ratio,
+        |  round((n_uniq / n_tok) * 0.5 + (1.0 - n_stop / n_tok) * 0.3
+        |        + least((n_nospace / n_tok) / 8.0, 1.0) * 0.2, 4) AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |  length(text) AS n_chars_txt,
+        |  round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Scale notes: dedup-by-content at 100 TB must never compare full
   * text across the cluster more than once — `q_dedup_exact` groups on
   * the text value itself (one shuffle keyed by the dedup key; the
-  * hash-keyed variant `q_dedup_fingerprint` below cuts shuffle width
-  * by keying on xxhash64(text) instead). Window `rn = 1` (not
+  * hash-keyed variant `q_dedup_fingerprint` in Dedup.scala cuts
+  * shuffle width by keying on sha2(text) instead). Window `rn = 1` (not
   * `dropDuplicates`) pins WHICH duplicate survives, a determinism
   * requirement the arbitrary-row semantics of dropDuplicates can't
   * give (SURVEY.md known-hard #7).
