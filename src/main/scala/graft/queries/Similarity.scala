@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over `embeddings` (SURVEY.md §2B B-9).
   *
-  * The cosine kernel is pure higher-order functions — `zip_with` for
-  * the element product, `aggregate` for a sequential double fold — so
-  * the whole pair computation stays codegen'd with no UDF. Elements
-  * are cast float→double BEFORE multiplying so both engines do the
-  * same double math (rule D2).
+  * Two interchangeable cosine kernels, both codegen'd, no UDFs:
+  * the higher-order-function composition below (`zip_with` product +
+  * sequential `aggregate` fold, used by q_sim_cosine_pairs) and the
+  * fused single-loop Catalyst expression `graft.functions.CosineSim`
+  * (used by q_sim_knn / q_sim_ann_bucket). They accumulate in the
+  * same index order, so results are bit-identical — FunctionsSpec
+  * asserts it. Elements are cast float→double BEFORE multiplying so
+  * both engines do the same double math (rule D2).
   *
   * Scale notes: all-pairs cosine is O(n²) and only sane on a bounded
   * candidate set (here: vec_id < 200 → 19,900 pairs evaluated via a
@@ -62,7 +65,8 @@ object Similarity {
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine(col("emb"), col("qe")), 4).as("cosine"))
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
     }),
@@ -86,7 +90,8 @@ object Similarity {
       b.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("qb"))
         .select(col("vec_id"),
-          round(cosine(col("emb"), col("qe")), 4).as("cosine"))
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
     }))
