@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming transforms (SURVEY.md §2B B-10). Batch-mode
+  * twins of the window math live in `queries.Streaming` (same window
+  * semantics, DuckDB-oracled); these are the `readStream`-side shapes
+  * with watermarks, i.e. what actually runs on an unbounded stream.
+  * StreamingSpec drives them through MemoryStream and pins the
+  * incremental behaviors the batch oracle can't see: append-mode
+  * finalization, late-data dropping, state cleanup via watermark.
+  *
+  * Scale notes: every transform keys state by a bounded quantity —
+  * (window × type) for tumbling/sliding, (user, open session) for
+  * sessions, event_id within the watermark horizon for dedup. The
+  * watermark is what makes state finite on an unbounded stream; all
+  * four run identically on a 1000-executor cluster because state is
+  * hash-partitioned by group key.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling counts + value sums per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_val"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_val"))
+
+  /** 1-hour windows sliding every 15 minutes (each event expands to 4
+    * epoch-aligned windows map-side, exactly like the batch twin).
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+
+  /** Per-user session windows with a 30-minute gap; a session closes
+    * (and its state is freed) once the watermark passes last-event
+    * ts + gap.
+    */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("cnt"))
+
+  /** Exactly-once-per-id event stream: duplicates of `event_id` are
+    * suppressed for as long as the id can still arrive (the watermark
+    * horizon), then state is dropped — the streaming analogue of the
+    * batch `q_dedup_events` window.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

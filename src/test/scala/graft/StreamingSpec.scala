@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental-semantics suite for StreamOps: what the batch oracle
+  * can't check — append-mode window finalization, late-data dropping
+  * behind the watermark, and in-watermark dedup — driven through
+  * MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double, event_id: Long)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def startAppend(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode("append").start()
+
+  test("tumbling append mode finalizes a window only after the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startAppend(StreamOps.tumblingCounts(in.toDF(), "10 minutes"), "tumb")
+    try {
+      // two events in the 10:00 window, one in 11:00 → watermark 10:55:
+      // the 10:00 window [10:00, 11:00) is NOT finalized yet
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(t("2024-01-01 10:30:00"), "click", 2.0, 2L),
+        Ev(t("2024-01-01 11:05:00"), "click", 4.0, 3L))
+      q.processAllAvailable()
+      assert(spark.table("tumb").count() === 0)
+
+      // advance watermark to 11:10 ≥ 11:00 → the 10:00 window emits once
+      in.addData(Ev(t("2024-01-01 11:20:00"), "click", 8.0, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("tumb").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Timestamp]("win_start") === t("2024-01-01 10:00:00"))
+      assert(rows.head.getAs[Long]("cnt") === 2L)
+      assert(rows.head.getAs[Double]("sum_val") === 3.0)
+
+      // a late event behind the watermark (10:45 < 11:10) is dropped:
+      // closing the 11:00 window must count only the on-time events
+      in.addData(Ev(t("2024-01-01 10:45:00"), "click", 100.0, 5L))
+      in.addData(Ev(t("2024-01-01 12:30:00"), "click", 16.0, 6L))
+      q.processAllAvailable()
+      val win11 = spark.table("tumb").collect()
+        .filter(_.getAs[Timestamp]("win_start") == t("2024-01-01 11:00:00"))
+      assert(win11.length === 1)
+      assert(win11.head.getAs[Long]("cnt") === 2L) // 11:05 + 11:20, no 10:45
+      assert(win11.head.getAs[Double]("sum_val") === 12.0)
+    } finally q.stop()
+  }
+
+  test("session windows merge within the gap and split across it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = startAppend(StreamOps.sessionCounts(df, "10 minutes"), "sess")
+    try {
+      in.addData(
+        (t("2024-01-01 10:00:00"), 1L),
+        (t("2024-01-01 10:10:00"), 1L), // gap 10 min < 30 → same session
+        (t("2024-01-01 11:30:00"), 1L)) // gap 80 min → new session
+      // push watermark far past 11:30 + 30 min gap to close everything
+      in.addData((t("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .sortBy(_.getAs[Timestamp]("sess_start").getTime)
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Timestamp]("sess_start") === t("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("sess_end") === t("2024-01-01 10:40:00"))
+      assert(rows(0).getAs[Long]("cnt") === 2L)
+      assert(rows(1).getAs[Timestamp]("sess_start") === t("2024-01-01 11:30:00"))
+      assert(rows(1).getAs[Long]("cnt") === 1L)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to len/slide windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = startAppend(StreamOps.slidingCounts(df, "10 minutes"), "slide")
+    try {
+      in.addData((t("2024-01-01 10:07:00"), "x"))
+      in.addData((t("2024-01-01 13:00:00"), "x")) // watermark → closes them
+      q.processAllAvailable()
+      val starts = spark.table("slide").collect()
+        .map(_.getAs[Timestamp]("win_start")).sortBy(_.getTime)
+      // 10:07 lands in the 1h windows starting 09:15, 09:30, 09:45, 10:00
+      assert(starts.toSeq === Seq(
+        t("2024-01-01 09:15:00"), t("2024-01-01 09:30:00"),
+        t("2024-01-01 09:45:00"), t("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = startAppend(StreamOps.dedupEvents(in.toDF(), "10 minutes"), "dedup")
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(t("2024-01-01 10:00:30"), "click", 1.0, 1L), // dup id in-watermark
+        Ev(t("2024-01-01 10:01:00"), "view", 2.0, 2L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
