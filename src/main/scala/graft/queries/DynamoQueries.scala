@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Fixtures
-import graft.sources.dynamo.{Implicits, LocalKVStore}
+import graft.sources.dynamo.{Implicits, IndexMeta, LocalKVStore}
 import Implicits._
 
 /** Typed-read row shape for `q_dyn_typed` (A7) — schema derived via
@@ -50,6 +50,14 @@ object DynamoQueries {
       new LocalKVStore(root).compact("customer")
       Files.createFile(marker)
     }
+    // GSI over market segment projecting the account balance (A8);
+    // separate from the marker so stores seeded before the index
+    // feature pick it up too.
+    val store = new LocalKVStore(root)
+    if (!store.describe("customer").indexes.contains("by_segment")) {
+      store.createIndex("customer", "by_segment",
+        IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
+    }
     root
   }
 
@@ -68,6 +76,17 @@ object DynamoQueries {
       s.read.dynamo(root, "customer")
         .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 0)
         .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // GSI read (A8): scan through the sparse `by_segment` index — the
+    // visible attribute set is (table key ∪ index key ∪ projection),
+    // and the index-key filter is pushed to the store scan.
+    "q_dyn_gsi" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamoIndex(root, "customer", "by_segment")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
         .orderBy("c_custkey")
     }),
 
@@ -93,5 +112,8 @@ object DynamoQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_typed" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin)
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "q_dyn_gsi" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)
 }

@@ -37,7 +37,8 @@ final case class DynamoOptions(
     delete: Boolean,
     hashKey: Option[String],
     rangeKey: Option[String],
-    shards: Int) extends Serializable
+    shards: Int,
+    indexName: Option[String]) extends Serializable
 
 object DynamoOptions {
   def apply(options: util.Map[String, String]): DynamoOptions = {
@@ -62,7 +63,8 @@ object DynamoOptions {
       delete = m.getBoolean("delete", false),
       hashKey = opt("hashKey"),
       rangeKey = opt("rangeKey"),
-      shards = opt("shards").map(_.toInt).getOrElse(16))
+      shards = opt("shards").map(_.toInt).getOrElse(16),
+      indexName = opt("indexName"))
   }
 }
 
@@ -81,7 +83,16 @@ final class DynamoTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = DynamoOptions(options)
     val store = new LocalKVStore(opts.path)
-    Codec.inferSchema(store.samplePage(opts.tableName))
+    val sample = opts.indexName match {
+      case None => store.samplePage(opts.tableName)
+      case Some(ix) => // GSI read (A8): sample through the index view
+        val meta = store.describe(opts.tableName)
+        val index = meta.indexes.getOrElse(ix, throw new IllegalArgumentException(
+          s"table ${opts.tableName} has no index '$ix' (has: ${meta.indexes.keys.mkString(", ")})"))
+        store.samplePage(opts.tableName)
+          .flatMap(store.indexView(meta, index, _))
+    }
+    Codec.inferSchema(sample)
   }
 
   /** Write path hands us the DataFrame's schema. */
@@ -202,6 +213,16 @@ final class DynamoPartitionReader(
   // Eventually-consistent reads cost half an RCU per 4 KB, like DynamoDB.
   private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
 
+  /** GSI view (A8): sparse-skip + projection applied before filters,
+    * so pushed predicates see exactly the attributes the index exposes
+    * (DynamoDB evaluates index-scan filters on projected attrs too).
+    */
+  private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
+    val meta = store.describe(opts.tableName)
+    (meta, meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+  }
+
   private val items: Iterator[(Item, Int)] =
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
 
@@ -209,11 +230,17 @@ final class DynamoPartitionReader(
 
   override def next(): Boolean = {
     while (items.hasNext) {
-      val (item, sz) = items.next()
+      val (item0, sz) = items.next()
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      if (pushed.forall(FilterEval.eval(_, item))) {
-        current = decode(item)
-        return true
+      val visible = index match {
+        case None => Some(item0)
+        case Some((meta, ix)) => store.indexView(meta, ix, item0)
+      }
+      visible match {
+        case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
+          current = decode(it)
+          return true
+        case _ => () // filtered out, or invisible through the sparse index
       }
     }
     false

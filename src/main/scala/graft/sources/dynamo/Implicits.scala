@@ -15,6 +15,13 @@ object Implicits {
   implicit final class DynamoReaderOps(private val reader: DataFrameReader) extends AnyVal {
     def dynamo(path: String, tableName: String): DataFrame =
       reader.format("dynamo").option("path", path).option("tableName", tableName).load()
+
+    /** GSI read (A8) — the reference's `indexName` option. */
+    def dynamoIndex(path: String, tableName: String, indexName: String): DataFrame =
+      reader.format("dynamo")
+        .option("path", path).option("tableName", tableName)
+        .option("indexName", indexName)
+        .load()
   }
 
   implicit final class DynamoSessionOps(private val spark: SparkSession) extends AnyVal {

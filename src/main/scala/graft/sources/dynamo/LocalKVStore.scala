@@ -18,7 +18,20 @@ final case class TableMeta(
     hashKey: String,
     rangeKey: Option[String],
     shards: Int,
-    throughput: Long)
+    throughput: Long,
+    indexes: Map[String, IndexMeta] = Map.empty)
+
+/** Global-secondary-index metadata (A8). `projection = None` means
+  * ALL attributes (DynamoDB's `ProjectionType.ALL`); `Some(attrs)`
+  * mirrors `INCLUDE` — the index exposes its own keys, the table's
+  * primary keys, and `attrs`, nothing else. The index is sparse:
+  * items missing the index hash key are invisible through it
+  * [REF: the reference's `indexName` option surface].
+  */
+final case class IndexMeta(
+    hashKey: String,
+    rangeKey: Option[String],
+    projection: Option[Seq[String]])
 
 /** Deterministic file-backed item store emulating the DynamoDB data
   * model for the offline environment (SURVEY.md §7 M2) — the
@@ -50,17 +63,53 @@ final class LocalKVStore(root: String) {
   def createTable(table: String, meta: TableMeta): Unit = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
+    val idxs: Item = meta.indexes.map { case (name, ix) =>
+      name -> AttrVal.M(Map(
+        "hashKey" -> AttrVal.S(ix.hashKey),
+        "rangeKey" -> ix.rangeKey.map(AttrVal.S).getOrElse(AttrVal.Null),
+        "projection" -> ix.projection
+          .map(p => AttrVal.L(p.map(AttrVal.S).toVector))
+          .getOrElse(AttrVal.Null)))
+    }
     val m: Item = Map(
       "hashKey" -> AttrVal.S(meta.hashKey),
       "rangeKey" -> meta.rangeKey.map(AttrVal.S).getOrElse(AttrVal.Null),
       "shards" -> AttrVal.N(BigDecimal(meta.shards)),
-      "throughput" -> AttrVal.N(BigDecimal(meta.throughput)))
+      "throughput" -> AttrVal.N(BigDecimal(meta.throughput)),
+      "indexes" -> AttrVal.M(idxs))
     Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
+  }
+
+  /** Register a GSI on an existing table (metadata-only: the local
+    * store serves index reads as a projected view over the base
+    * shards, which is semantically identical to DynamoDB's physical
+    * index copy for scans).
+    */
+  def createIndex(table: String, name: String, index: IndexMeta): Unit = {
+    val meta = describe(table)
+    createTable(table, meta.copy(indexes = meta.indexes + (name -> index)))
   }
 
   def describe(table: String): TableMeta = {
     val m = ItemJson.parse(new String(
       Files.readAllBytes(tableDir(table).resolve("meta.json")), UTF_8))
+    val indexes = m.get("indexes") match {
+      case Some(AttrVal.M(ix)) => ix.map {
+        case (name, AttrVal.M(f)) => name -> IndexMeta(
+          hashKey = f("hashKey").asInstanceOf[AttrVal.S].v,
+          rangeKey = f("rangeKey") match {
+            case AttrVal.S(v) => Some(v)
+            case _            => None
+          },
+          projection = f("projection") match {
+            case AttrVal.L(vs) => Some(vs.map(_.asInstanceOf[AttrVal.S].v))
+            case _             => None
+          })
+        case (name, other) =>
+          throw new IllegalStateException(s"bad index meta $name: $other")
+      }
+      case _ => Map.empty[String, IndexMeta]
+    }
     TableMeta(
       hashKey = m("hashKey").asInstanceOf[AttrVal.S].v,
       rangeKey = m("rangeKey") match {
@@ -68,8 +117,22 @@ final class LocalKVStore(root: String) {
         case _            => None
       },
       shards = m("shards").asInstanceOf[AttrVal.N].v.toInt,
-      throughput = m("throughput").asInstanceOf[AttrVal.N].v.toLong)
+      throughput = m("throughput").asInstanceOf[AttrVal.N].v.toLong,
+      indexes = indexes)
   }
+
+  /** The item as seen through a GSI: None for items the sparse index
+    * doesn't contain; otherwise the projected attribute set.
+    */
+  def indexView(meta: TableMeta, index: IndexMeta, item: Item): Option[Item] =
+    if (!item.contains(index.hashKey)) None
+    else index.projection match {
+      case None => Some(item)
+      case Some(incl) =>
+        val keep = (Set(meta.hashKey) ++ meta.rangeKey ++
+          Set(index.hashKey) ++ index.rangeKey ++ incl)
+        Some(item.view.filterKeys(keep).toMap)
+    }
 
   /** Total stored bytes — the connector's partition-sizing input
     * (readPartitions = bytes / maxPartitionBytes, SURVEY.md A2).

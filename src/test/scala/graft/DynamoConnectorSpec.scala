@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.dynamo.Implicits._
-import graft.sources.dynamo.{LocalKVStore, TableMeta}
+import graft.sources.dynamo.{IndexMeta, LocalKVStore, TableMeta}
 
 /** Connector read/write round-trips — the reference's DynamoDB-Local
   * test pattern with [[LocalKVStore]] swapped in for the endpoint
@@ -136,6 +136,42 @@ class DynamoConnectorSpec extends AnyFunSuite {
     limiter.acquire(50.0)  // must wait ~0.5 s
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 400, s"expected ~500ms throttle, got $elapsedMs ms")
+  }
+
+  test("GSI read projects, hides sparse items, and accepts pushed filters") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    // one item MISSING the index hash key → invisible through the index
+    Seq(("fig", 9L)).toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .mode("append").save()
+    val store = new LocalKVStore(root)
+    store.createIndex("fruit", "by_color",
+      IndexMeta("color", None, Some(Seq("stock"))))
+
+    val viaIndex = spark.read.dynamoIndex(root, "fruit", "by_color")
+    // projection: table key + index key + included attrs, nothing else
+    assert(viaIndex.schema.fieldNames.sorted.toSeq == Seq("color", "name", "stock"))
+    // sparse: 'fig' (no color) is not in the index
+    val names = viaIndex.select("name").orderBy("name").collect().map(_.getString(0))
+    assert(names.toSeq == Seq("apple", "banana", "cherry", "durian"))
+    // filters on index attrs still push down and evaluate correctly
+    val red = viaIndex.filter(col("color") === "red" && col("stock") >= 100)
+      .select("name").collect().map(_.getString(0))
+    assert(red.toSeq == Seq("cherry"))
+  }
+
+  test("index metadata round-trips through meta.json") {
+    val store = new LocalKVStore(freshRoot())
+    store.createTable("t", TableMeta("pk", None, shards = 2, throughput = 10,
+      indexes = Map("ix_all" -> IndexMeta("attr", Some("rk2"), None))))
+    store.createIndex("t", "ix_incl", IndexMeta("b", None, Some(Seq("x", "y"))))
+    val meta = store.describe("t")
+    assert(meta.indexes == Map(
+      "ix_all" -> IndexMeta("attr", Some("rk2"), None),
+      "ix_incl" -> IndexMeta("b", None, Some(Seq("x", "y")))))
   }
 
   test("range-keyed table keeps items with the same hash key distinct") {
