@@ -94,9 +94,28 @@ object Similarity {
             .as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // Typed-Aggregator UDAF (SURVEY.md UDF/UDAF surface): exact
+    // per-label centroid — partial buffers map-side, one shuffle keyed
+    // by label, exploded to (label, dim) rows for the oracle compare.
+    "q_agg_centroid" -> ((s, dir) => {
+      val centroid = graft.functions.CentroidAgg.asUdaf
+      embDouble(s, dir)
+        .groupBy("label")
+        .agg(centroid(col("emb")).as("c"))
+        .select(col("label"), posexplode(col("c")).as(Seq("i", "v")))
+        .select(col("label"), (col("i") + 1).as("dim"),
+          round(col("v"), 4).as("centroid"))
+        .orderBy("label", "dim")
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_centroid" ->
+      """SELECT label, i AS dim, round(avg(x), 4) AS centroid
+        |FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q_sim_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
         |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
