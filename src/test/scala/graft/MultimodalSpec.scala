@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{MediaItem, MultimodalDecode}
+import graft.queries.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batched decode path (`MultimodalDecode.decodeFeatures`,
+  * mapPartitions over typed rows) must agree row-for-row with the
+  * SQL-expressed features of `q_multimodal_features` — the stub codec
+  * and the codegen'd expressions encode the same formulas. Also pins
+  * the plumbing contracts: narrow transform (partitioning preserved)
+  * and payload-byte fidelity through the binary column.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mediaDs() = {
+    import spark.implicits._
+    Fixtures.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => MediaItem(id, "text/plain", bytes) }
+  }
+
+  test("mapPartitions decode agrees with the SQL feature query row-for-row") {
+    import spark.implicits._
+    val decoded = MultimodalDecode.decodeFeatures(mediaDs())
+      .select(col("docId").as("doc_id"), col("nBytes"), col("width"),
+        col("height"), col("nFrames"))
+    val sql = Multimodal.queries("q_multimodal_features")(spark, sf)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("frames"))
+    val mismatches = decoded.as("d")
+      .join(sql.as("s"), col("d.doc_id") === col("s.doc_id"), "full")
+      .filter(col("d.nBytes") =!= col("s.n_bytes") ||
+        col("d.width") =!= col("s.width") ||
+        col("d.height") =!= col("s.height") ||
+        col("d.nFrames") =!= col("s.frames") ||
+        col("d.doc_id").isNull || col("s.doc_id").isNull)
+    assert(mismatches.count() === 0)
+    assert(decoded.count() > 0)
+  }
+
+  test("decode is a narrow transform: partition count is preserved") {
+    val in = mediaDs().repartition(7)
+    val out = MultimodalDecode.decodeFeatures(in)
+    assert(out.rdd.getNumPartitions === 7)
+  }
+
+  test("payload bytes survive the binary column round-trip") {
+    import spark.implicits._
+    val first = mediaDs().filter(_.docId == 0L).collect().head
+    val text = Fixtures.documents(spark, sf)
+      .filter(col("doc_id") === 0).select("text").as[String].collect().head
+    assert(first.payload.toSeq === text.getBytes("UTF-8").toSeq)
+  }
+}

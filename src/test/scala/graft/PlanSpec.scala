@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations the engine's 100 TB story
+  * rests on must be visible in the physical plan, not just claimed in
+  * comments — pushdown reaching the scans, pruned read schemas,
+  * broadcasts where a side is small, rank-filter lowering to
+  * WindowGroupLimit, top-k lowering to TakeOrderedAndProject, and
+  * two-phase aggregation. A regression that silently de-optimizes a
+  * plan fails here even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("connector scan pushes filters and prunes columns (A4/A5)") {
+    val p = plan("q_dyn_prune_filter")
+    assert(p.contains("BatchScan dynamo:customer"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(c_acctbal,0.0)"))
+    // pruned to exactly the two projected columns
+    assert(p.contains("ReadSchema: struct<c_acctbal:double,c_custkey:bigint>"))
+  }
+
+  test("parquet scan receives pushed filters") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"))
+  }
+
+  test("rank<=k lowers to partial+final WindowGroupLimit") {
+    val p = plan("q_topk_group")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+    assert(p.contains("Final"))
+  }
+
+  test("explicit broadcast hint yields BroadcastHashJoin") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("kNN plan: broadcast probe + TakeOrderedAndProject, native kernel inlined") {
+    val p = plan("q_sim_knn")
+    assert(p.contains("TakeOrderedAndProject(limit=5"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("cosine_sim(")) // the custom expression, not a UDF
+  }
+
+  test("fingerprint dedup aggregates in two phases over a pruned scan") {
+    val p = plan("q_dedup_fingerprint")
+    assert(p.contains("partial_min"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("GSI read prunes to the index projection") {
+    val p = plan("q_dyn_gsi")
+    assert(p.contains("BatchScan dynamo:customer"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+}
