@@ -127,9 +127,36 @@ object Joins {
         .groupBy(col("k").as("o_orderkey"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("o_orderkey")
+    }),
+
+    // Salted skew join: the manual remedy when one join key dominates
+    // (AQE skew-join splits map partitions, but a single hot KEY still
+    // lands in one reducer — salting is what actually splits it). The
+    // fact side gets a deterministic salt from its own row id; the
+    // dimension side is replicated SALT× via explode, so the join key
+    // becomes (key, salt) and a hot key spreads over SALT reducers.
+    // The oracle is the PLAIN join aggregate — salting must be
+    // invisible in the result, and that invariant is exactly what the
+    // hash-compare proves.
+    "q_join_salted" -> ((s, dir) => {
+      val salt = 8
+      val o = Fixtures.orders(s, dir)
+        .withColumn("salt", pmod(col("o_orderkey"), lit(salt)).cast("int"))
+      val c = Fixtures.customer(s, dir)
+        .withColumn("salt", explode(lit((0 until salt).toArray)))
+      o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -96,6 +96,44 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF-style approximate kNN: (1) per-label centroids (the label
+    // column is the coarse quantizer's cell id — in a real IVF build
+    // the cells come from k-means; the probe math is identical),
+    // (2) the query picks its nearest centroid by cosine (argmax on
+    // the ROUNDED score, tie → smallest label, so both engines pick
+    // the same cell deterministically), (3) only that one cell is
+    // scanned for the top-5. At 100 TB: centroids are a tiny broadcast,
+    // cell assignment is a map-side lookup, and the probe reads 1/cells
+    // of the corpus — this is the real scan-cost/recall trade, with
+    // the exact bucket-choice math oracle-checked.
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("emb")).as(Seq("i", "x")))
+      val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
+      val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
+      val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
+      val best = cent.join(broadcast(qx), "i")
+        .groupBy("label")
+        .agg(sum(col("c") * col("qx")).as("dot"),
+          sqrt(sum(col("c") * col("c"))).as("cn"))
+        .crossJoin(broadcast(qnorm))
+        .select(col("label"),
+          round(col("dot") / (col("cn") * col("qn")), 6).as("score"))
+        .orderBy(col("score").desc, col("label"))
+        .limit(1)
+        .select(col("label").as("best_label"))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // Typed-Aggregator UDAF (SURVEY.md UDF/UDAF surface): exact
     // per-label centroid — partial buffers map-side, one shuffle keyed
     // by label, exploded to (label, dim) rows for the oracle compare.
@@ -111,6 +149,24 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |qx AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM qx),
+        |best AS (SELECT label FROM (
+        |  SELECT label, round(sum(c * qx) / (sqrt(sum(c * c)) * any_value(qn.qn)), 6)
+        |           AS score
+        |  FROM cent JOIN qx USING (i), qn GROUP BY label)
+        |  ORDER BY score DESC, label LIMIT 1),
+        |d AS (SELECT e.vec_id, sum(e.x * qx.qx) AS dot, sqrt(sum(e.x * e.x)) AS na
+        |      FROM ex e JOIN qx ON e.i = qx.i
+        |      WHERE e.label = (SELECT label FROM best) AND e.vec_id <> 0
+        |      GROUP BY 1)
+        |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
+        |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
     "q_agg_centroid" ->
       """SELECT label, i AS dim, round(avg(x), 4) AS centroid
         |FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -1,37 +1,29 @@
 package graft
 
-import graft.functions.{Funcs, GraftExtensions}
+import graft.functions.Funcs
 import graft.queries.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the custom codegen `CosineSim` expression: bit-equality
   * with the higher-order-function kernel (which the DuckDB oracle
-  * already validates), SQL registration via GraftExtensions, null
-  * semantics, and presence inside a codegen'd plan.
+  * already validates), SQL registration, and null semantics.
+  *
+  * Uses the shared TestSpark session (suites in this JVM share one
+  * SparkContext — a suite must never stop it), so SQL registration is
+  * exercised through `Funcs.register`; `GraftExtensions` wires the
+  * same descriptor for fresh sessions via spark.sql.extensions.
   */
-class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class FunctionsSpec extends AnyFunSuite {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir: String = TestSpark.sf
 
   private lazy val spark: SparkSession = {
-    // withExtensions covers the fresh-session path; Funcs.register
-    // covers the case where getOrCreate returns a session another
-    // suite already started in this JVM.
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-functions-spec")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val s = TestSpark.spark
     Funcs.register(s)
     s
   }
-
-  override def afterAll(): Unit = spark.stop()
 
   test("CosineSim is bit-identical to the zip_with/aggregate kernel") {
     val e = Similarity.embDouble(spark, sfDir)
@@ -46,7 +38,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.count() > 0)
   }
 
-  test("cosine_sim is callable from SQL via GraftExtensions") {
+  test("cosine_sim is callable from SQL once registered") {
     Similarity.embDouble(spark, sfDir).limit(10).createOrReplaceTempView("emb_v")
     val n = spark.sql(
       """SELECT a.vec_id, cosine_sim(a.emb, b.emb) AS c

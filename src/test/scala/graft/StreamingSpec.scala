@@ -6,26 +6,19 @@ import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental-semantics suite for StreamOps: what the batch oracle
   * can't check — append-mode window finalization, late-data dropping
   * behind the watermark, and in-watermark dedup — driven through
-  * MemoryStream micro-batches.
+  * MemoryStream micro-batches. Shares the TestSpark session (never
+  * stopped: all suites in this JVM share its SparkContext).
   */
-class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StreamingSpec extends AnyFunSuite {
 
   case class Ev(ts: Timestamp, event_type: String, value: Double, event_id: Long)
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-streaming-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+  private lazy val spark: SparkSession = TestSpark.spark
 
   private def t(s: String): Timestamp = Timestamp.valueOf(s)
 
