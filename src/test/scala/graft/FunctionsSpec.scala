@@ -54,6 +54,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("property: CosineSim matches a plain-Scala reference on random vectors") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val genPair: Gen[(Seq[Double], Seq[Double])] = for {
+      n <- Gen.choose(1, 64)
+      a <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+      b <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+    } yield (a, b)
+    val samples = (0 until 100).flatMap { i =>
+      genPair(Gen.Parameters.default, rng.Seed(i.toLong))
+    }
+    def ref(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = samples.map { case (a, b) => ref(a, b) }
+    val got = samples.toDF("a", "b")
+      .select(Funcs.cosineSim(col("a"), col("b"))).as[Double].collect()
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"sample $i: kernel=$g reference=$e") // bit-exact
+    }
+  }
+
   test("self-similarity is exactly 1 for unit-consistent vectors") {
     val e = Similarity.embDouble(spark, sfDir)
     val bad = e.select(Funcs.cosineSim(col("emb"), col("emb")).as("c"))

@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches via foreachBatch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "reach"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[(Timestamp, String)]
+    val joined = in.toDF().toDF("ts", "event_type").join(dim, "event_type")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= batch.groupBy("category").count().collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData(
+        (t("2024-01-01 10:00:00"), "click"),
+        (t("2024-01-01 10:01:00"), "click"),
+        (t("2024-01-01 10:02:00"), "view"),
+        (t("2024-01-01 10:03:00"), "scroll")) // no dim row → dropped by inner join
+      q.processAllAvailable()
+      val totals = seen.synchronized {
+        seen.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+      assert(totals === Map("engagement" -> 2L, "reach" -> 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
