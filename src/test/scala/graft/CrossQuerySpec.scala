@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query semantic invariants between the approximate operators
+  * and their exact counterparts — properties the per-query DuckDB
+  * oracle cannot express because they span two queries:
+  *
+  *  - LSH candidate generation may MISS near-dup pairs but must never
+  *    invent one: verified MinHash output ⊆ exact token-Jaccard output.
+  *  - Fingerprint dedup and exact dedup must elect identical survivors
+  *    (sha2-256 collisions are the only divergence, and there are none).
+  *  - Bucketed/IVF ANN probes search a subset of the corpus, so their
+  *    best hit can never beat exhaustive kNN.
+  */
+class CrossQuerySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("verified MinHash pairs are a subset of exact Jaccard pairs, scores equal") {
+    val lsh = run("q_dedup_minhash").select("id1", "id2", "jaccard")
+    val exact = run("q_dedup_near").select("id1", "id2", "jaccard")
+    assert(lsh.exceptAll(exact).count() === 0,
+      "LSH produced a pair the exact join does not contain")
+    assert(lsh.count() > 0)
+  }
+
+  test("fingerprint dedup and exact dedup elect the same survivors") {
+    val byFp = run("q_dedup_fingerprint").select("doc_id")
+    val byText = run("q_dedup_exact").select("doc_id")
+    assert(byFp.exceptAll(byText).count() === 0)
+    assert(byText.exceptAll(byFp).count() === 0)
+  }
+
+  test("bucketed and IVF ANN never beat exhaustive kNN's best hit") {
+    def best(name: String): Option[Double] =
+      run(name).collect().map(_.getAs[Double]("cosine")).maxOption
+    val exact = best("q_sim_knn").get
+    best("q_sim_ann_bucket").foreach(b => assert(b <= exact))
+    best("q_sim_ivf").foreach(b => assert(b <= exact))
+  }
+}
