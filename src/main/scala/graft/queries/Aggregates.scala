@@ -111,6 +111,46 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Exact percentiles (sort-based, linear interpolation — identical
+    // definition in Spark `percentile` and DuckDB `quantile_cont`).
+    // The array result is unpacked to scalar columns: list-valued
+    // outputs are fragile in cross-engine parquet compare (known-hard
+    // #3), three doubles are not.
+    "q_agg_percentile" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p25"),
+          round(element_at(col("pcts"), 2), 4).as("p50"),
+          round(element_at(col("pcts"), 3), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
+    // Statistical aggregate family. Both engines use numerically
+    // stable one-pass algorithms; rounding absorbs the last-ulp
+    // differences (rule D2).
+    "q_agg_stats" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qp"))
+        .orderBy("l_returnflag")),
+
+    // Pivot: one output column per pinned pivot value (explicit value
+    // list = deterministic schema; letting Spark scan for values would
+    // be an extra pass AND nondeterministic column order).
+    "q_pivot" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .na.fill(0.0, Seq("A", "N", "R"))
+        .orderBy("l_linestatus")),
+
     "q_agg_having" -> ((s, dir) => {
       val o = Fixtures.orders(s, dir)
       val c = Fixtures.customer(s, dir)
@@ -128,6 +168,25 @@ object Aggregates {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2), 0.0) AS A,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2), 0.0) AS N,
+        |  coalesce(round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2), 0.0) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

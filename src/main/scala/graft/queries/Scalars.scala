@@ -81,6 +81,21 @@ object Scalars {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // DataFrameNaFunctions surface: nulls manufactured by the outer
+    // join are filled per-column (numeric + string defaults) before a
+    // grouped aggregate — na.fill lowers to coalesce projections,
+    // staying codegen'd.
+    "q_na_fill" -> ((s, dir) => {
+      val c = Fixtures.customer(s, dir)
+      val o = Fixtures.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .na.fill(Map("o_totalprice" -> 0.0, "o_orderpriority" -> "NONE"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
     "q_str_regex" -> ((s, dir) =>
       Fixtures.part(s, dir)
         .select(col("p_partkey"),
@@ -125,6 +140,14 @@ object Scalars {
         .orderBy("event_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_na_fill" ->
+      """SELECT c_mktsegment,
+        |       coalesce(o_orderpriority, 'NONE') AS o_orderpriority,
+        |       count(*) AS cnt,
+        |       round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
     "q_str_funcs" ->
       """SELECT c_custkey,
         |       upper(c_name) AS up_name,

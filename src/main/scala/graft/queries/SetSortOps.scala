@@ -65,9 +65,29 @@ object SetSortOps {
       o.select("o_custkey")
         .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
         .orderBy("o_custkey")
-    }))
+    }),
+
+    // Wide→long reshape (Dataset.unpivot, Spark ≥3.4): one output row
+    // per (id, measure) pair — a map-side Expand, no shuffle.
+    "q_unpivot" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir).filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")))
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |           FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM l
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM l
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_sort_multi" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
         |FROM lineitem
