@@ -29,6 +29,28 @@ object Scans {
                 col("l_discount") > 0.05)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Pure-SQL entry point: the same engine through `spark.sql` over
+    // registered views (TPC-H Q3 shape) — Catalyst plans SQL text and
+    // the DataFrame API into the same logical plans, and the oracle
+    // runs the IDENTICAL statement, so this key pins SQL-dialect
+    // compatibility, not just operator semantics.
+    "q_sql_tpch_q3" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       o_orderdate, o_orderpriority
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+
     // B-2 predicates — each maps to a pushdown the reference translates
     // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
     // StringStartsWith, contains, boolean algebra).
@@ -76,6 +98,17 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q3" ->
+      """SELECT o_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
