@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,7 +113,7 @@ final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.ACCEPT_ANY_SCHEMA).asJava
+        TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DynamoScanBuilder(opts, tableSchema)
@@ -264,16 +265,16 @@ final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType) extends 
 
 final class DynamoWrite(opts: DynamoOptions, schema: StructType) extends Write {
   override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema)
+  override def toStreaming: StreamingWrite = new DynamoStreamingWrite(opts, schema)
 }
 
-final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends BatchWrite {
-
-  /** Driver-side: create the table on first write (key schema from
-    * options), split the write-rate budget across writers (A16:
-    * targetCapacity × WCU / numPartitions). `seq` stamps this job's
-    * WAL files so replay orders jobs by submission time.
-    */
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+/** Driver-side write setup shared by the batch and streaming sinks:
+  * create the table on first write (key schema from options) and split
+  * the write-rate budget across writers (A16: targetCapacity × WCU /
+  * numPartitions).
+  */
+private object WriteSetup {
+  def ratePerWriter(opts: DynamoOptions, numPartitions: Int): Double = {
     val store = new LocalKVStore(opts.path)
     if (!store.exists(opts.tableName)) {
       val hk = opts.hashKey.getOrElse(throw new IllegalArgumentException(
@@ -283,15 +284,55 @@ final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends Ba
     }
     val meta = store.describe(opts.tableName)
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
-    val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, info.numPartitions))
-    new DynamoWriterFactory(opts, schema, rate, seq = System.currentTimeMillis())
+    math.max(0.1, opts.targetCapacity * throughput / math.max(1, numPartitions))
   }
+}
+
+final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends BatchWrite {
+
+  /** `seq` stamps this job's WAL files so replay orders jobs by
+    * submission time.
+    */
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DynamoWriterFactory(opts, schema,
+      WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())
 
   /** Non-atomic, like the reference: partial writes from failed tasks
     * persist; commit/abort only log [REF: datasource/DynamoBatchWrite.scala].
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Structured Streaming sink (`df.writeStream.format("dynamo")`) — a
+  * capability extension beyond the reference, which has no streaming
+  * surface. Each micro-batch reuses the batch writer over the
+  * shard-keyed WAL with `seq = queryStartMillis + epochId`, so WAL
+  * replay orders epochs within a run and runs by start time. Commit is
+  * non-atomic per the store's model (A14); because every op is keyed
+  * by the item's primary key, a re-delivered epoch after failure
+  * re-appends the same per-key end state — item-level idempotence, the
+  * same at-least-once contract DynamoDB writers live with. Use
+  * `update=true` for streaming upserts (e.g. an aggregation in update
+  * output mode), `delete=true` for retraction feeds.
+  */
+final class DynamoStreamingWrite(opts: DynamoOptions, schema: StructType) extends StreamingWrite {
+  private val queryStart = System.currentTimeMillis()
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val rate = WriteSetup.ratePerWriter(opts, info.numPartitions)
+    new DynamoStreamingWriterFactory(opts, schema, rate, queryStart)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class DynamoStreamingWriterFactory(
+    opts: DynamoOptions, schema: StructType, rate: Double, queryStart: Long)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DynamoDataWriter(opts, schema, rate, seq = queryStart + epochId, partitionId)
 }
 
 final case class DynamoWriterCommit(rows: Long) extends WriterCommitMessage

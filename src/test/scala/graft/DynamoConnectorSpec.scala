@@ -129,6 +129,29 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(schema("name").dataType.typeName == "string")
   }
 
+  test("streaming sink upserts micro-batches; read-after-stream sees latest per key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = freshRoot()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("name", "stock")
+      .writeStream.format("dynamo")
+      .option("path", root).option("tableName", "inventory")
+      .option("hashKey", "name").option("update", "true")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      in.addData(("apple", 1L), ("banana", 2L))
+      q.processAllAvailable()
+      // later epoch wins per key: apple re-written, cherry fresh
+      in.addData(("apple", 10L), ("cherry", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.dynamo(root, "inventory").orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("stock")))
+    assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
+  }
+
   test("rate limiter throttles to roughly the configured rate") {
     val limiter = new graft.sources.dynamo.RateLimiter(100.0) // 100 units/s, 100 burst
     val t0 = System.nanoTime()
