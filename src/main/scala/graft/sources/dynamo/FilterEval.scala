@@ -41,23 +41,54 @@ object FilterEval {
   /** Top-level attributes only — nested paths stay Spark-side. */
   private def simple(attr: String): Boolean = !attr.contains(".")
 
-  def eval(f: Filter, item: Item): Boolean = f match {
-    case EqualTo(a, v)            => cmp(item, a, v).contains(0)
+  /** A row survives iff the predicate is definitely TRUE — the SQL
+    * WHERE-clause rule. Spark does NOT re-evaluate filters a source
+    * accepts, so this must implement full three-valued logic: a naive
+    * boolean `!eval(c)` for NOT would KEEP rows where `c` is UNKNOWN
+    * (null attribute), while SQL drops them — e.g.
+    * `NOT contains(s, 'x') OR n = 3` over a null `s` (Catalyst only
+    * adds an IsNotNull guard for top-level conjuncts, not under OR).
+    * PushdownLawsSpec property-checks this against Spark's own
+    * evaluation on random predicate trees.
+    */
+  def eval(f: Filter, item: Item): Boolean = eval3(f, item).contains(true)
+
+  /** Kleene three-valued evaluation: None = UNKNOWN (null attribute,
+    * or a type-mismatched comparison, which Spark's decoded column
+    * would also see as null).
+    */
+  private def eval3(f: Filter, item: Item): Option[Boolean] = f match {
+    case EqualTo(a, v)            => cmp(item, a, v).map(_ == 0)
     case EqualNullSafe(a, v) =>
-      if (isNull(item, a)) v == null else cmp(item, a, v).contains(0)
-    case GreaterThan(a, v)        => cmp(item, a, v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(item, a, v).exists(_ >= 0)
-    case LessThan(a, v)           => cmp(item, a, v).exists(_ < 0)
-    case LessThanOrEqual(a, v)    => cmp(item, a, v).exists(_ <= 0)
-    case In(a, vs)                => vs.exists(v => cmp(item, a, v).contains(0))
-    case IsNull(a)                => isNull(item, a)
-    case IsNotNull(a)             => !isNull(item, a)
-    case StringStartsWith(a, p)   => str(item, a).exists(_.startsWith(p))
-    case StringContains(a, p)     => str(item, a).exists(_.contains(p))
-    case StringEndsWith(a, p)     => str(item, a).exists(_.endsWith(p))
-    case And(l, r)                => eval(l, item) && eval(r, item)
-    case Or(l, r)                 => eval(l, item) || eval(r, item)
-    case Not(c)                   => !eval(c, item)
+      Some(if (isNull(item, a)) v == null else cmp(item, a, v).contains(0))
+    case GreaterThan(a, v)        => cmp(item, a, v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(item, a, v).map(_ >= 0)
+    case LessThan(a, v)           => cmp(item, a, v).map(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(item, a, v).map(_ <= 0)
+    case In(a, vs) =>
+      // SQL IN: TRUE on a match; UNKNOWN if the attr is null/incomparable
+      // or a null literal hides a potential match; else FALSE.
+      val cs = vs.toSeq.map(v => if (v == null) None else cmp(item, a, v))
+      if (cs.exists(_.contains(0))) Some(true)
+      else if (isNull(item, a) || vs.contains(null) ||
+               (cs.nonEmpty && cs.forall(_.isEmpty))) None
+      else Some(false)
+    case IsNull(a)                => Some(isNull(item, a))
+    case IsNotNull(a)             => Some(!isNull(item, a))
+    case StringStartsWith(a, p)   => str(item, a).map(_.startsWith(p))
+    case StringContains(a, p)     => str(item, a).map(_.contains(p))
+    case StringEndsWith(a, p)     => str(item, a).map(_.endsWith(p))
+    case And(l, r) => (eval3(l, item), eval3(r, item)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(l, r) => (eval3(l, item), eval3(r, item)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(c) => eval3(c, item).map(!_)
     case other =>
       throw new IllegalStateException(s"filter $other was not accepted for pushdown")
   }
@@ -73,8 +104,8 @@ object FilterEval {
   }
 
   /** Three-way compare of a stored attribute against a Spark literal;
-    * None = incomparable (missing attr, type mismatch) → predicate is
-    * false, matching SQL null semantics.
+    * None = incomparable (missing attr, type mismatch) → the enclosing
+    * predicate is UNKNOWN, feeding the Kleene logic in [[eval3]].
     */
   private def cmp(item: Item, attr: String, v: Any): Option[Int] =
     item.get(attr).flatMap {

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.dynamo.Implicits._
+
+/** Pushdown ≡ post-filter equivalence on random predicates (SURVEY.md
+  * §5.2 #3): for arbitrary filter trees — including `NOT` over nullable
+  * attributes, where SQL three-valued logic and naive boolean
+  * evaluation diverge — reading through the connector with
+  * `filterPushdown=true` must return exactly the rows Spark computes
+  * itself with `filterPushdown=false`. Spark does NOT re-evaluate
+  * filters a source accepts, so any store-side semantic drift is a
+  * silent wrong-answer bug, which is why this is property-tested
+  * rather than spot-tested.
+  */
+class PushdownLawsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Deterministic sample sweep (same pattern as CodecLawsSpec). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap { i =>
+      g.apply(Gen.Parameters.default.withSize(1 + i % 20), Seed(i.toLong))
+    }
+
+  // ---- one shared random-ish table with plenty of nulls ----
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-pushdown-laws").toString
+    import spark.implicits._
+    val strs = Seq("alpha", "beta", "gamma", "alphabet", "x")
+    val rows = (0L until 120L).map { i =>
+      (i,
+       if (i % 7 == 3) null else strs((i % strs.size).toInt),
+       if (i % 5 == 4) None else Some(i % 11),
+       if (i % 6 == 5) None else Some(i.toDouble / 3.0),
+       if (i % 4 == 2) None else Some(i % 3 == 0))
+    }
+    rows.toDF("id", "s", "n", "d", "flag")
+      .write.dynamo(r, "laws", "id")
+    r
+  }
+
+  private def read(pushdown: Boolean): DataFrame =
+    spark.read.format("dynamo")
+      .option("path", root).option("tableName", "laws")
+      .option("filterPushdown", pushdown.toString)
+      .load()
+
+  // ---- random predicate trees over the table's columns ----
+
+  private val genLeaf: Gen[Column] = Gen.oneOf(
+    Gen.oneOf("alpha", "beta", "zeta").map(v => col("s") === v),
+    Gen.oneOf("al", "be", "q").map(v => col("s").startsWith(v)),
+    Gen.oneOf("pha", "et", "zz").map(v => col("s").contains(v)),
+    Gen.oneOf("a", "t", "k").map(v => col("s").endsWith(v)),
+    Gen.const(col("s").isNull),
+    Gen.const(col("s").isNotNull),
+    Gen.choose(0L, 11L).map(v => col("n") > v),
+    Gen.choose(0L, 11L).map(v => col("n") <= v),
+    Gen.choose(0L, 11L).map(v => col("n") === v),
+    Gen.pick(3, 0L to 11L).map(vs => col("n").isin(vs.toSeq: _*)),
+    Gen.choose(0.0, 40.0).map(v => col("d") >= v),
+    Gen.choose(0.0, 40.0).map(v => col("d") < v),
+    Gen.oneOf(true, false).map(v => col("flag") === v),
+    Gen.const(col("flag").isNull))
+
+  private def genPred(depth: Int): Gen[Column] =
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => a && b },
+      2 -> Gen.zip(genPred(depth - 1), genPred(depth - 1)).map { case (a, b) => a || b },
+      2 -> genPred(depth - 1).map(c => !c))
+
+  test("connector pushdown result equals pushdown-disabled result for random predicates") {
+    val preds = samples(genPred(2), 40)
+    assert(preds.size >= 30)
+    val baseline = read(pushdown = false)
+    val pushed = read(pushdown = true)
+    preds.foreach { p =>
+      val expect = baseline.filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = pushed.filter(p).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expect, s"predicate $p: pushdown=$got expected=$expect")
+    }
+  }
+
+  test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
+    // The canonical three-valued-logic trap: s IS NULL on some rows.
+    val p = !(col("s") === "alpha")
+    val expect = read(pushdown = false).filter(p).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = read(pushdown = true).filter(p).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect)
+    // and the filter really is pushed (not silently rejected):
+    val plan = read(pushdown = true).filter(p).queryExecution.executedPlan.toString
+    assert(plan.contains("Not(EqualTo(s,alpha))"), plan)
+  }
+}
