@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured-Streaming transforms (SURVEY.md §2B B-10). Batch-mode
   * twins of the window math live in `queries.Streaming` (same window
@@ -57,4 +58,29 @@ object StreamOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state via `mapGroupsWithState` (the extension point
+    * windowed aggregation can't reach): lifetime running count + value
+    * sum per event type, re-emitted each micro-batch the key appears in
+    * (update output mode). State is one (Long, Double) per distinct
+    * event type — bounded by key cardinality, hash-partitioned across
+    * executors like any keyed state; an unbounded keyspace would use
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `state.remove()` to
+    * bound it (same callback, one more branch).
+    */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          var (cnt, sum) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => cnt += 1; sum += v }
+          state.update((cnt, sum))
+          (key, cnt, math.rint(sum * 100) / 100)
+      }
+      .toDF("event_type", "cnt", "sum_val")
+  }
 }

@@ -138,6 +138,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-key totals across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.runningTotals(in.toDF())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), "click", 1.5, 1L),
+        Ev(t("2024-01-01 10:01:00"), "click", 2.5, 2L),
+        Ev(t("2024-01-01 10:02:00"), "view", 3.0, 3L))
+      q.processAllAvailable()
+      in.addData(Ev(t("2024-01-01 10:05:00"), "click", 4.0, 4L))
+      q.processAllAvailable()
+      // update-mode memory sink appends one row per touched key per batch;
+      // the latest row per key carries the lifetime totals
+      val latest = spark.table("totals").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(latest("click") === ((3L, 8.0)))
+      assert(latest("view") === ((1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
