@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming transforms (SURVEY.md §2B B-10). Batch-mode
   * twins of the window math live in `queries.Streaming` (same window
@@ -82,5 +84,59 @@ object StreamOps {
           (key, cnt, math.rint(sum * 100) / 100)
       }
       .toDF("event_type", "cnt", "sum_val")
+  }
+
+  /** Custom sessionization via `flatMapGroupsWithState` — the full
+    * custom-state surface: zero-or-more outputs per group per batch,
+    * event-time timeout driven by the watermark. Semantically twins
+    * `sessionCounts` (session end = last event + gap), but hand-rolled
+    * state shows the shape `session_window` can't express (e.g.
+    * emitting enriched session records, early partial emits).
+    *
+    * State per user = one open session (startMs, lastMs, count) —
+    * O(1) per key, freed on timeout, hash-partitioned by user across
+    * executors. A session closes either in-batch (a later event
+    * exceeds the gap) or when the watermark passes last + gap
+    * (`setTimeoutTimestamp` → `hasTimedOut` branch).
+    */
+  def sessionize(
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts").as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Timestamp, Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, last, cnt) = state.get
+            state.remove()
+            Iterator((user, new Timestamp(start), new Timestamp(last + gapMs), cnt))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Timestamp, Timestamp, Long)]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some((s, l, c)) if t - l <= gapMs =>
+                  Some((math.min(s, t), math.max(l, t), c + 1))
+                case Some((s, l, c)) =>
+                  closed += ((user, new Timestamp(s), new Timestamp(l + gapMs), c))
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "sess_start", "sess_end", "cnt")
   }
 }

@@ -138,6 +138,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizes with in-batch splits and event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = startAppend(StreamOps.sessionize(df), "customsess")
+    try {
+      in.addData(
+        (t("2024-01-01 10:00:00"), 1L),
+        (t("2024-01-01 10:10:00"), 1L), // gap 10 min < 30 → same session
+        (t("2024-01-01 11:30:00"), 1L)) // gap 80 min → closes first session in-batch
+      // second session (11:30) stays open until the watermark passes
+      // 12:00; a far-future event for another user advances it
+      in.addData((t("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      // one more empty-ish batch so the event-time timeout fires
+      in.addData((t("2024-01-01 15:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("customsess").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .sortBy(_.getAs[Timestamp]("sess_start").getTime)
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Timestamp]("sess_start") === t("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[Timestamp]("sess_end") === t("2024-01-01 10:40:00"))
+      assert(rows(0).getAs[Long]("cnt") === 2L)
+      assert(rows(1).getAs[Timestamp]("sess_start") === t("2024-01-01 11:30:00"))
+      assert(rows(1).getAs[Timestamp]("sess_end") === t("2024-01-01 12:00:00"))
+      assert(rows(1).getAs[Long]("cnt") === 1L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key totals across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
