@@ -102,19 +102,24 @@ object Dedup {
         .orderBy("doc_id")),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      import s.implicits._
       val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
-      val params = MinhashParams.toDF("i", "a", "b")
-      val sig = toks.crossJoin(broadcast(params))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min((col("a") * col("tokid") + col("b")) % P).as("mh"))
+      // All 12 minima in ONE aggregation pass (one agg column per hash):
+      // the shuffle carries (doc_id, 12 longs) — no ×12 row expansion
+      // through the exchange, and no second shuffle to assemble bands.
+      val sigCols = MinhashParams.map { case (i, a, b) =>
+        min((col("tokid") * a + b) % P).as(s"mh$i")
+      }
+      val sig = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // Band signature: the band's hash minima in hash-index order,
-      // concatenated — the LSH bucket key.
-      val bands = sig.withColumn("band", expr("i div 2"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("bkey"))
+      // concatenated — the LSH bucket key. Map-side explode of the 6
+      // (band, bkey) structs per doc.
+      val bandStructs = (0 until MinhashParams.size / 2).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -130,15 +135,19 @@ object Dedup {
         explode(split(col("text"), " ")).as("tok"))
       val tf = withTokId(
           tokAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
-      val bits = SimhashBits.toDF("b", "sa", "sc")
-      // tf-weighted vote per bit: +tf when the bit-hash is 1, −tf when 0.
-      val contrib = tf.crossJoin(broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(sum(col("tf") *
-          (((col("sa") * col("tokid") + col("sc")) % P % 2) * 2 - 1)).as("w"))
-      val sh = contrib.groupBy("doc_id")
-        .agg(sum(when(col("w") > 0, pow(lit(2.0), col("b")).cast("long"))
-          .otherwise(0L)).as("simhash"))
+      // tf-weighted vote per bit, all 16 bits in ONE aggregation pass
+      // (one sum column per bit) — the shuffle carries (doc_id, 16
+      // longs) instead of 16× the token rows, and bit-assembly below
+      // is pure map-side arithmetic, not a second shuffle.
+      val voteCols = SimhashBits.map { case (b, sa, sc) =>
+        sum(col("tf") *
+          (((col("tokid") * sa + sc) % P % 2) * 2 - 1)).as(s"w$b")
+      }
+      val sh = tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          SimhashBits.map { case (b, _, _) =>
+            when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
       // Pigeonhole candidates: hamming ≤ 3 ⇒ one of the 4 nibbles equal.
       val chunks = Seq((0, 1L), (1, 16L), (2, 256L), (3, 4096L)).toDF("c", "pw")
       val ch = sh.crossJoin(broadcast(chunks))
