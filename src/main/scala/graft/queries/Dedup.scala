@@ -172,9 +172,13 @@ object Dedup {
       val e = Similarity.embDouble(s, dir).filter(col("vec_id") < 300)
       val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
       val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"))
+      // Fused single-loop kernel (bit-identical to the HOF composition
+      // — FunctionsSpec): one pass over both arrays per pair instead of
+      // three separate zip_with/aggregate folds.
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-          round(Similarity.cosine(col("ea"), col("eb")), 4).as("cosine"))
+          round(graft.functions.Funcs.cosineSim(col("ea"), col("eb")), 4)
+            .as("cosine"))
         .filter(col("cosine") >= 0.42)
         .orderBy("id1", "id2")
     }))
