@@ -3,6 +3,7 @@ package graft.sources.dynamo
 import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
 
 /** Syntax mirroring the reference's public API shape
   * (`spark.read.dynamodb(t)`, `spark.read.dynamodbAs[T](t)`,
@@ -36,6 +37,17 @@ object Implicits {
         .load()
         .as[T](enc)
     }
+  }
+
+  implicit final class DynamoStreamReaderOps(private val reader: DataStreamReader) extends AnyVal {
+    /** Change-feed read over the table's write journal (CDC when
+      * `cdc=true`: adds a `_op` column and emits delete markers).
+      */
+    def dynamoStream(path: String, tableName: String, cdc: Boolean = false): DataFrame =
+      reader.format("dynamo")
+        .option("path", path).option("tableName", tableName)
+        .option("cdc", cdc.toString)
+        .load()
   }
 
   implicit final class DynamoWriterOps[T](private val writer: DataFrameWriter[T]) extends AnyVal {

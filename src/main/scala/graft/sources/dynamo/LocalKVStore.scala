@@ -250,6 +250,29 @@ final class LocalKVStore(root: String) {
         }
       }
 
+  // ---- change feed (streaming read offsets) ----
+
+  /** WAL file names in replay order — the streaming source's offset
+    * space. Names embed a zero-padded write-job seq, so lexicographic
+    * order IS replay order, and the set only grows (append-only
+    * journal): "last name processed" is a complete, O(1)-size offset.
+    */
+  def walFileNames(table: String): Seq[String] =
+    listFiles(table, "wal-").map(_.getFileName.toString)
+
+  /** Ops of one WAL file as (tag, item, serializedBytes) — the unit of
+    * work one streaming input partition replays.
+    */
+  def readWalFile(table: String, fileName: String): Iterator[(String, Item, Int)] =
+    Files.readAllLines(tableDir(table).resolve(fileName), UTF_8).asScala.iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val rec = ItemJson.parse(line)
+        (rec("op").asInstanceOf[AttrVal.S].v,
+          rec("item").asInstanceOf[AttrVal.M].v,
+          line.length)
+      }
+
   // ---- segmented scan (merged view: shards + WAL) ----
 
   /** Scan one segment of `totalSegments`, returning (item, byteSize)

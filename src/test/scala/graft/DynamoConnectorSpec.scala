@@ -152,6 +152,59 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
   }
 
+  test("streaming read replays the journal as a CDC feed and tails new writes") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 PUT journal entries
+    Seq(("apple", 99L)).toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("update", "true").mode("append").save() // 1 UPDATE entry
+
+    val q = spark.readStream.dynamoStream(root, "fruit", cdc = true)
+      .writeStream.format("memory").queryName("cdcfeed")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ops = spark.table("cdcfeed").collect().map(_.getAs[String]("_op"))
+      assert(ops.count(_ == "PUT") === 4)
+      assert(ops.count(_ == "UPDATE") === 1)
+
+      // a delete lands while the stream runs → tailed as a marker row
+      Seq("banana").toDF("name")
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("delete", "true").mode("append").save()
+      q.processAllAvailable()
+      val dels = spark.table("cdcfeed").collect()
+        .filter(_.getAs[String]("_op") == "DELETE")
+      assert(dels.map(_.getAs[String]("name")).toSeq === Seq("banana"))
+      assert(dels.forall(_.isNullAt(dels.head.fieldIndex("color")))) // marker = key attrs only
+    } finally q.stop()
+  }
+
+  test("streaming read without cdc is an upsert feed: no _op, deletes hidden") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq("durian").toDF("name")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("delete", "true").mode("append").save()
+
+    val feed = spark.readStream.dynamoStream(root, "fruit")
+    assert(!feed.columns.contains("_op"))
+    val q = feed.writeStream.format("memory").queryName("upsertfeed")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val names = spark.table("upsertfeed").collect().map(_.getAs[String]("name"))
+      assert(names.sorted.toSeq === Seq("apple", "banana", "cherry", "durian")) // 4 puts, no delete row
+    } finally q.stop()
+  }
+
   test("rate limiter throttles to roughly the configured rate") {
     val limiter = new graft.sources.dynamo.RateLimiter(100.0) // 100 units/s, 100 burst
     val t0 = System.nanoTime()
