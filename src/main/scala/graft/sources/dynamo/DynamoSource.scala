@@ -139,10 +139,12 @@ final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
 final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tableSchema
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!opts.filterPushdown) { pushed = Array.empty; return filters }
@@ -156,21 +158,43 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
-  override def build(): Scan = new DynamoScan(opts, requiredSchema, pushed)
+  /** Limit pushdown: each segment reader stops after emitting `limit`
+    * post-filter rows, so a `.limit(k)` preview reads ~k items per
+    * segment instead of the table. Returning true = fully pushed
+    * (filters are applied below the limit in our reader, so the
+    * count is exact); Spark keeps only the global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = new DynamoScan(opts, requiredSchema, pushed, limit)
 }
 
 /** One scan segment ↔ one Spark input partition (A1). */
 final case class DynamoInputPartition(
     segment: Int, totalSegments: Int, ratePerSegment: Double) extends InputPartition
 
-final class DynamoScan(opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+final class DynamoScan(
+    opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       s"ReadSchema: ${schema.catalogString}"
+
+  /** Stored-size statistics (DynamoDB's `DescribeTable` table size) so
+    * Catalyst's join planning can auto-broadcast a small table — at
+    * cluster scale this is what turns `fact ⋈ small_dynamo_dim` into a
+    * broadcast join instead of shuffling the fact side.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = new LocalKVStore(opts.path).sizeBytes(opts.tableName)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
 
   /** Segment count = stored bytes / maxPartitionBytes, clamped to
     * [1, shards] and capped by defaultParallelism, or forced by the
@@ -191,7 +215,7 @@ final class DynamoScan(opts: DynamoOptions, schema: StructType, pushed: Array[Fi
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DynamoReaderFactory(opts, schema, pushed)
+    new DynamoReaderFactory(opts, schema, pushed, limit)
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -325,11 +349,13 @@ final class DynamoWalReader(
   override def close(): Unit = ()
 }
 
-final class DynamoReaderFactory(opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
+final class DynamoReaderFactory(
+    opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoPartitionReader(opts, schema, pushed, p)
+    new DynamoPartitionReader(opts, schema, pushed, p, limit)
   }
 }
 
@@ -344,7 +370,8 @@ final class DynamoPartitionReader(
     opts: DynamoOptions,
     schema: StructType,
     pushed: Array[Filter],
-    partition: DynamoInputPartition)
+    partition: DynamoInputPartition,
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -367,8 +394,10 @@ final class DynamoPartitionReader(
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
 
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed limit: stop the scan early
     while (items.hasNext) {
       val (item0, sz) = items.next()
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
@@ -379,6 +408,7 @@ final class DynamoPartitionReader(
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
           current = decode(it)
+          emitted += 1
           return true
         case _ => () // filtered out, or invisible through the sparse index
       }

@@ -152,6 +152,33 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
   }
 
+  test("limit pushdown stops the segment scan early and caps the result") {
+    val root = freshRoot()
+    seedFruit(root)
+    val limited = spark.read.dynamo(root, "fruit").limit(2)
+    assert(limited.count() === 2L)
+    val desc = limited.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedLimit: 2"))
+    // pushed filters still apply BELOW the limit: 2 red fruits exist,
+    // so filter+limit(2) must return both, not a truncated prefix
+    val redTwo = spark.read.dynamo(root, "fruit")
+      .filter(col("color") === "red").limit(2)
+    assert(redTwo.collect().map(_.getAs[String]("color")).toSeq === Seq("red", "red"))
+  }
+
+  test("reported table statistics let joins auto-broadcast the dynamo side") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val facts = Seq(("apple", 10L), ("banana", 20L), ("apple", 30L))
+      .toDF("name", "qty")
+    val joined = facts.join(spark.read.dynamo(root, "fruit"), "name")
+    // the store is a few hundred bytes < autoBroadcastJoinThreshold,
+    // so SupportsReportStatistics should make it the build side
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(joined.count() === 3L)
+  }
+
   test("streaming read replays the journal as a CDC feed and tails new writes") {
     import spark.implicits._
     val root = freshRoot()
