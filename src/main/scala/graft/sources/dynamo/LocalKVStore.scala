@@ -352,28 +352,32 @@ final class LocalKVStore(root: String) {
     out.result()
   }
 
-  /** Folds the WAL into the base shard files and deletes it, restoring
-    * pure-streaming scans (no override map). Shard-local: each shard is
-    * merged independently against only its own WAL files, so at
-    * cluster scale this parallelizes per shard with bounded memory;
-    * here it loops shards sequentially (maintenance path, not a query
-    * path).
+  /** Folds one shard's WAL into its base file and deletes that shard's
+    * journal — shard-local state only (one shard's items + its own WAL
+    * overrides in memory), and no file is shared with any other shard,
+    * so concurrent calls on different shards are safe. This is the
+    * unit [[DynamoMaintenance.compact]] fans out across executors.
     */
-  def compact(table: String): Unit = {
+  def compactShard(table: String, shard: Int): Unit = {
     val meta = describe(table)
     val dir = tableDir(table)
-    (0 until meta.shards).foreach { shard =>
-      // A "segment" of totalSegments = meta.shards is exactly one shard.
-      val merged = scanSegment(table, shard, meta.shards).map(_._1).toVector
-      val tmp = dir.resolve(f"compact-$shard%03d.tmp")
-      val w = Files.newBufferedWriter(tmp, UTF_8)
-      try merged.foreach { it => w.write(ItemJson.write(it)); w.write("\n") }
-      finally w.close()
-      Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    listFiles(table, "wal-").foreach(Files.delete)
+    // A "segment" of totalSegments = meta.shards is exactly one shard.
+    val merged = scanSegment(table, shard, meta.shards).map(_._1).toVector
+    val tmp = dir.resolve(f"compact-$shard%03d.tmp")
+    val w = Files.newBufferedWriter(tmp, UTF_8)
+    try merged.foreach { it => w.write(ItemJson.write(it)); w.write("\n") }
+    finally w.close()
+    Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    listFiles(table, "wal-").filter(walShard(_) == shard).foreach(Files.delete)
   }
+
+  /** Full-table compaction, restoring pure-streaming scans (no
+    * override map). Driver-side sequential loop — the distributed form
+    * is [[DynamoMaintenance.compact]].
+    */
+  def compact(table: String): Unit =
+    (0 until describe(table).shards).foreach(compactShard(table, _))
 
   // ---- helpers ----
 

@@ -152,6 +152,29 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
   }
 
+  test("distributed compaction folds the journal shard-parallel and preserves the view") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq(("apple", 99L), ("elderberry", 7L)).toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("update", "true").mode("append").save()
+    val before = spark.read.dynamo(root, "fruit")
+      .select("name", "stock").orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    graft.sources.dynamo.DynamoMaintenance.compact(spark, root, "fruit")
+
+    assert(new LocalKVStore(root).walFileNames("fruit").isEmpty)
+    val after = spark.read.dynamo(root, "fruit")
+      .select("name", "stock").orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(after.toSeq === before.toSeq)
+    assert(after.toMap.get("apple") === Some(99L))
+    assert(after.toMap.get("elderberry") === Some(7L))
+  }
+
   test("limit pushdown stops the segment scan early and caps the result") {
     val root = freshRoot()
     seedFruit(root)
