@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta}
+import graft.sources.dynamo.ItemJson.Item
+
+/** Property laws for the store's WAL-replay merge semantics
+  * (SURVEY.md §5.2 #3): for ANY interleaving of put/update/delete ops
+  * over a seeded table — including update-after-delete, deletes of
+  * absent keys, and multi-job WAL sequences — the merged scan view
+  * equals a trivial sequential fold, for every segment count, and
+  * segments stay disjoint. This is the law behind read-after-write
+  * correctness of the connector's non-atomic writers (A11–A14).
+  */
+class StoreLawsSpec extends AnyFunSuite {
+
+  /** 60 deterministic samples (seeds 0..59). */
+  private def forAll[T](g: Gen[T])(check: T => Unit): Unit =
+    (0 until 60).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(1 + i % 30), Seed(i.toLong))
+        .foreach(check)
+    }
+
+  // Small key pool to force collisions between base rows and ops.
+  private val genKey: Gen[String] = Gen.chooseNum(0, 11).map(i => s"k$i")
+
+  private def genAttrs: Gen[Item] =
+    Gen.mapOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"),
+      Gen.oneOf(
+        Gen.chooseNum(-999L, 999L).map(v => AttrVal.N(BigDecimal(v)): AttrVal),
+        Gen.alphaStr.map(s => AttrVal.S(s.take(6)): AttrVal))))
+
+  private def withKey(k: String, attrs: Item): Item = attrs + ("id" -> AttrVal.S(k))
+
+  private val genOp: Gen[(String, String, Item)] = for {
+    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE")
+    k <- genKey
+    attrs <- genAttrs
+  } yield (tag, k, attrs)
+
+  private val genScenario: Gen[(Seq[(String, Item)], Seq[Seq[(String, String, Item)]])] =
+    for {
+      baseKeys <- Gen.someOf((0 to 11).map(i => s"k$i"))
+      base <- Gen.sequence[Seq[(String, Item)], (String, Item)](
+        baseKeys.map(k => genAttrs.map(a => k -> withKey(k, a))))
+      jobs <- Gen.listOf(Gen.nonEmptyListOf(genOp).map(_.take(12)))
+    } yield (base, jobs.take(5))
+
+  /** The obviously-correct model: sequential fold of ops over the base. */
+  private def model(
+      base: Seq[(String, Item)],
+      jobs: Seq[Seq[(String, String, Item)]]): Map[String, Item] =
+    jobs.flatten.foldLeft(base.toMap) { case (m, (tag, k, attrs)) =>
+      val item = withKey(k, attrs)
+      tag match {
+        case "PUT"    => m + (k -> item)
+        case "DELETE" => m - k
+        case "UPDATE" => m + (k -> (m.getOrElse(k, Map.empty: Item) ++ item))
+      }
+    }
+
+  test("WAL replay == sequential fold, for any ops and any segmentation") {
+    forAll(genScenario) { case (base, jobs) =>
+      val root = Files.createTempDirectory("graft-store-laws").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+      store.bulkLoad("t", meta, base.map(_._2).iterator)
+      jobs.zipWithIndex.foreach { case (ops, j) =>
+        store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
+          ops.map {
+            case ("PUT", k, a)    => store.Put(withKey(k, a))
+            case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
+            case (_, k, a)        => store.Update(withKey(k, a))
+          })
+      }
+      val expected = model(base, jobs)
+      Seq(1, 3, 4, 7).foreach { n =>
+        val segs = (0 until n).map(s =>
+          store.scanSegment("t", s, n).map(_._1).toVector)
+        // segments are disjoint by primary key...
+        val keysPerSeg = segs.map(_.map(it => it("id")).toSet)
+        keysPerSeg.combinations(2).foreach { case Seq(x, y) =>
+          assert(x.intersect(y).isEmpty)
+        }
+        // ...and their union is exactly the sequential-fold state
+        val view = segs.flatten
+          .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+        assert(view.keySet === expected.keySet, s"n=$n base=$base jobs=$jobs")
+        expected.foreach { case (k, item) =>
+          assert(view(k) === item, s"n=$n key=$k")
+        }
+      }
+    }
+  }
+}
