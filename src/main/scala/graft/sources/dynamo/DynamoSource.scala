@@ -10,9 +10,10 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.dynamo.ItemJson.Item
@@ -140,11 +141,13 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tableSchema
   private var limit: Option[Int] = None
+  private var countStars = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!opts.filterPushdown) { pushed = Array.empty; return filters }
@@ -166,7 +169,21 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  override def build(): Scan = new DynamoScan(opts, requiredSchema, pushed, limit)
+  /** COUNT(*) pushdown — DynamoDB's `Select=COUNT` scan: segments
+    * count matching items without decoding or shipping them; Spark
+    * sums the per-partition partials (partial pushdown, so this
+    * composes with pushed filters evaluated below the count).
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countStars = agg.aggregateExpressions.length
+    ok
+  }
+
+  override def build(): Scan =
+    new DynamoScan(opts, requiredSchema, pushed, limit, countStars)
 }
 
 /** One scan segment ↔ one Spark input partition (A1). */
@@ -175,15 +192,21 @@ final case class DynamoInputPartition(
 
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, countStars: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    if (countStars > 0)
+      StructType((0 until countStars).map(i =>
+        StructField(s"count$i", LongType, nullable = false)))
+    else schema
+
   override def toBatch: Batch = this
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
-      s"ReadSchema: ${schema.catalogString}"
+      (if (countStars > 0) "PushedAggregates: [COUNT(*)], " else "") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   /** Stored-size statistics (DynamoDB's `DescribeTable` table size) so
     * Catalyst's join planning can auto-broadcast a small table — at
@@ -215,7 +238,8 @@ final class DynamoScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DynamoReaderFactory(opts, schema, pushed, limit)
+    if (countStars > 0) new DynamoCountReaderFactory(opts, pushed, countStars)
+    else new DynamoReaderFactory(opts, schema, pushed, limit)
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -417,6 +441,58 @@ final class DynamoPartitionReader(
   }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Count-only scan (pushed COUNT(*)): each segment emits ONE row of
+  * per-segment partial counts — no item decode, no row shipping, like
+  * DynamoDB's `Select=COUNT`. Capacity is still consumed (and
+  * rate-limited): a COUNT scan reads every matching item server-side.
+  */
+final class DynamoCountReaderFactory(opts: DynamoOptions, pushed: Array[Filter], countStars: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DynamoInputPartition]
+    new DynamoCountReader(opts, pushed, countStars, p)
+  }
+}
+
+final class DynamoCountReader(
+    opts: DynamoOptions, pushed: Array[Filter], countStars: Int,
+    partition: DynamoInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val store = new LocalKVStore(opts.path)
+  private val limiter = new RateLimiter(partition.ratePerSegment)
+  private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
+
+  private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
+    val meta = store.describe(opts.tableName)
+    (meta, meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+  }
+
+  private var emitted = false
+  private var count = 0L
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+      .foreach { case (item0, sz) =>
+        limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+        val visible = index match {
+          case None => Some(item0)
+          case Some((meta, ix)) => store.indexView(meta, ix, item0)
+        }
+        if (visible.exists(it => pushed.forall(FilterEval.eval(_, it)))) count += 1
+      }
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(Seq.fill(countStars)(count))
+
   override def close(): Unit = ()
 }
 

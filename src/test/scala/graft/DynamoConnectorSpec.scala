@@ -189,6 +189,23 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(redTwo.collect().map(_.getAs[String]("color")).toSeq === Seq("red", "red"))
   }
 
+  test("COUNT(*) pushdown counts per segment without decoding items") {
+    val root = freshRoot()
+    seedFruit(root)
+    val counted = spark.read.dynamo(root, "fruit").agg(count(lit(1)).as("n"))
+    assert(counted.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [COUNT(*)]"))
+    assert(counted.collect().head.getLong(0) === 4L)
+    // composes with pushed filters (evaluated below the count)
+    val red = spark.read.dynamo(root, "fruit")
+      .filter(col("color") === "red").agg(count(lit(1)).as("n"))
+    assert(red.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [COUNT(*)]"))
+    assert(red.collect().head.getLong(0) === 2L)
+    // plain df.count() takes the same path
+    assert(spark.read.dynamo(root, "fruit").count() === 4L)
+  }
+
   test("reported table statistics let joins auto-broadcast the dynamo side") {
     import spark.implicits._
     val root = freshRoot()
