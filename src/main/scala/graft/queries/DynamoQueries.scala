@@ -90,6 +90,16 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // COUNT(*) pushdown (DynamoDB Select=COUNT): the scan ships one
+    // partial count per segment and never decodes an item; the pushed
+    // filter is evaluated below the count.
+    "q_dyn_count" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Typed read Dataset[GCustomer] — A7 — then back to a DataFrame.
     "q_dyn_typed" -> ((s, dir) => {
       val root = seededRoot(s, dir)
@@ -110,6 +120,9 @@ object DynamoQueries {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
         |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_dyn_typed" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
