@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.{expressions => v2expr}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -193,7 +194,24 @@ final case class DynamoInputPartition(
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, countStars: Int = 0)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (dynamic-pruning) filters: Spark may inject join-key `IN`
+    * filters discovered at runtime — e.g. the build side of a
+    * broadcast join — into this scan. Any attribute is filterable
+    * (FilterEval evaluates on the wire item, pre-decode), so a
+    * `fact ⋈ dynamo` join can skip decoding items whose key never
+    * joins. Filters arrive after planning but before readers are
+    * created; they compose with the statically pushed set.
+    */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[v2expr.NamedReference] =
+    schema.fieldNames.map(v2expr.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(FilterEval.supported)
 
   override def readSchema(): StructType =
     if (countStars > 0)
@@ -238,8 +256,8 @@ final class DynamoScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStars > 0) new DynamoCountReaderFactory(opts, pushed, countStars)
-    else new DynamoReaderFactory(opts, schema, pushed, limit)
+    if (countStars > 0) new DynamoCountReaderFactory(opts, pushed ++ runtime, countStars)
+    else new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit)
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

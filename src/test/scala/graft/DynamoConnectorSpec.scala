@@ -206,6 +206,33 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(spark.read.dynamo(root, "fruit").count() === 4L)
   }
 
+  test("runtime filters injected into a planned scan prune the read") {
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val root = freshRoot()
+    seedFruit(root)
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "fruit"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val scan = new DynamoScan(opts, schema, Array.empty)
+    assert(scan.filterAttributes().map(_.describe()).contains("name"))
+    val parts = scan.toBatch.planInputPartitions()
+    // Spark calls filter() after planning, before reader creation —
+    // e.g. the IN-set from a broadcast join build side
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("name", Array("apple", "cherry"))))
+    val factory = scan.toBatch.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.next()) buf += r.get().asInstanceOf[InternalRow].getUTF8String(0).toString
+      buf
+    }
+    assert(rows.sorted.toSeq === Seq("apple", "cherry"))
+  }
+
   test("reported table statistics let joins auto-broadcast the dynamo side") {
     import spark.implicits._
     val root = freshRoot()
