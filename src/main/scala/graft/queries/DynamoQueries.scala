@@ -61,7 +61,38 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `orders` as a RANGE-KEYED table (hash o_custkey, range
+    * o_orderkey — DynamoDB's composite primary key), exercising the
+    * multi-item-per-hash-key path end-to-end. Date column omitted: the
+    * store's N type would widen it through inference (documented §1.2).
+    */
+  private def seededOrdersRoot(s: SparkSession, sfDir: String): String = seedLock.synchronized {
+    val root = storeRoot(sfDir)
+    val marker = Paths.get(root, "orders", "_seeded")
+    if (!Files.exists(marker)) {
+      Fixtures.orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "orders")
+        .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
+        .mode("append").save()
+      new LocalKVStore(root).compact("orders")
+      Files.createFile(marker)
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // Range-keyed scan (composite primary key): hash-key predicate +
+    // range predicate + non-key filter, all pushed to the store scan.
+    "q_dyn_range" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      s.read.dynamo(root, "orders")
+        .filter(col("o_custkey") <= 100 && col("o_totalprice") > 50000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Full connector scan with inferred (sampled) schema — A1/A6/A9.
     "q_dyn_scan" -> ((s, dir) => {
       val root = seededRoot(s, dir)
@@ -111,6 +142,10 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_dyn_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey <= 100 AND o_totalprice > 50000
+        |ORDER BY o_orderkey""".stripMargin,
     // int32 columns widen to BIGINT through the store's N type.
     "q_dyn_scan" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -47,11 +47,22 @@ final case class DynamoOptions(
     startingOffsets: String) extends Serializable
 
 object DynamoOptions {
+
+  /** The SQL catalog qualifies `path` to a URI (`file:/...`) for
+    * DDL-created tables (`CREATE TABLE ... USING dynamo`); the store
+    * wants a plain filesystem path.
+    */
+  private def stripScheme(p: String): String =
+    if (!p.startsWith("file:")) p
+    else try new java.net.URI(p).getPath catch {
+      case _: java.net.URISyntaxException => p.stripPrefix("file:")
+    }
+
   def apply(options: util.Map[String, String]): DynamoOptions = {
     val m = new CaseInsensitiveStringMap(options)
     def opt(k: String): Option[String] = Option(m.get(k))
     DynamoOptions(
-      path = opt("path").getOrElse(
+      path = opt("path").map(stripScheme).getOrElse(
         throw new IllegalArgumentException("dynamo source requires option 'path' (store root)")),
       tableName = opt("tableName").getOrElse(
         throw new IllegalArgumentException("dynamo source requires option 'tableName'")),

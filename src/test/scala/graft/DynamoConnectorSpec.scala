@@ -206,6 +206,21 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(spark.read.dynamo(root, "fruit").count() === 4L)
   }
 
+  test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
+    val root = freshRoot()
+    seedFruit(root)
+    spark.sql(s"""CREATE TABLE fruit_sql USING dynamo
+                 |OPTIONS (path '$root', tableName 'fruit')""".stripMargin)
+    try {
+      val reds = spark.sql(
+        "SELECT name FROM fruit_sql WHERE color = 'red' ORDER BY name")
+        .collect().map(_.getString(0))
+      assert(reds.toSeq === Seq("apple", "cherry"))
+      assert(spark.sql("SELECT count(*) AS n FROM fruit_sql")
+        .collect().head.getLong(0) === 4L)
+    } finally spark.sql("DROP TABLE fruit_sql")
+  }
+
   test("runtime filters injected into a planned scan prune the read") {
     import graft.sources.dynamo.{DynamoOptions, DynamoScan}
     import org.apache.spark.sql.catalyst.InternalRow
