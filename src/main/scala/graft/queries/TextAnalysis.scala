@@ -46,9 +46,12 @@ object TextAnalysis {
     }),
 
     // Quality score from cheap surface statistics: type-token ratio,
-    // stopword ratio, average token length. The score formula is the
-    // same expression tree on both engines (exact integer inputs →
-    // identical double ops), so round-4 values match bit-for-bit.
+    // stopword ratio, average token length. Ratios are emitted as
+    // floor(x*1e4 + 0.5) BIGINTs: the same IEEE op order on both
+    // engines gives bit-identical doubles, and floor can't disagree —
+    // unlike round(x, 4), where Spark (BigDecimal half-up on the
+    // shortest decimal repr) and DuckDB (C math on the raw double)
+    // split when x lands on a .xxxx5 boundary (seen at sf0.001).
     "q_text_quality" -> ((s, dir) =>
       Fixtures.documents(s, dir)
         .select(col("doc_id"),
@@ -58,12 +61,12 @@ object TextAnalysis {
             t => t === "the" || t === "a")).as("n_stop"),
           length(regexp_replace(col("text"), " ", "")).as("n_nospace"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("n_uniq") / col("n_tok"), 4).as("ttr"),
-          round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
-          round((col("n_uniq") / col("n_tok")) * 0.5
+          floor(col("n_uniq") / col("n_tok") * 10000 + 0.5).as("ttr_x1e4"),
+          floor(col("n_stop") / col("n_tok") * 10000 + 0.5).as("stop_x1e4"),
+          floor(((col("n_uniq") / col("n_tok")) * 0.5
             + (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3
-            + least((col("n_nospace") / col("n_tok")) / 8.0, lit(1.0)) * 0.2,
-            4).as("score"))
+            + least((col("n_nospace") / col("n_tok")) / 8.0, lit(1.0)) * 0.2)
+            * 10000 + 0.5).as("score_x1e4"))
         .orderBy("doc_id")),
 
     // Token counting two ways: whitespace split vs a BPE-ish regex
@@ -122,10 +125,11 @@ object TextAnalysis {
         |  length(replace(text, ' ', '')) AS n_nospace
         |FROM documents)
         |SELECT doc_id, n_tok,
-        |  round(n_uniq / n_tok, 4) AS ttr,
-        |  round(n_stop / n_tok, 4) AS stop_ratio,
-        |  round((n_uniq / n_tok) * 0.5 + (1.0 - n_stop / n_tok) * 0.3
-        |        + least((n_nospace / n_tok) / 8.0, 1.0) * 0.2, 4) AS score
+        |  CAST(floor(n_uniq / n_tok * 10000 + 0.5) AS BIGINT) AS ttr_x1e4,
+        |  CAST(floor(n_stop / n_tok * 10000 + 0.5) AS BIGINT) AS stop_x1e4,
+        |  CAST(floor(((n_uniq / n_tok) * 0.5 + (1.0 - n_stop / n_tok) * 0.3
+        |        + least((n_nospace / n_tok) / 8.0, 1.0) * 0.2)
+        |        * 10000 + 0.5) AS BIGINT) AS score_x1e4
         |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
