@@ -12,6 +12,12 @@ case class MediaItem(docId: Long, mediaType: String, payload: Array[Byte])
 case class MediaFeatures(docId: Long, mediaType: String, nBytes: Long,
                          width: Int, height: Int, nFrames: Int)
 
+/** One resized media row: payload re-encoded to target dimensions. */
+case class ResizedMedia(docId: Long, width: Int, height: Int, payload: Array[Byte])
+
+/** One sampled frame: (item, frame index, frame payload slice). */
+case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
+
 /** Batched media decode — the Spark-side plumbing for an image/audio
   * feature-extraction stage.
   *
@@ -53,6 +59,49 @@ object MultimodalDecode {
         MediaFeatures(m.docId, m.mediaType, m.payload.length.toLong, w, h, frames)
       }
       // and release it on batch exhaustion
+    }
+  }
+
+  /** Resize stage: decode → scale to (targetW, targetH) → re-encode.
+    * Same batching contract as [[decodeFeatures]] (narrow, codec
+    * amortized per task). STUB scaler: output payload = input bytes
+    * truncated/padded to targetW×targetH/8 — deterministic and
+    * size-faithful (a resized payload's size depends on the TARGET
+    * dims, not the source), which is what downstream partition-sizing
+    * cares about.
+    */
+  def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    val outBytes = math.max(1, targetW * targetH / 8)
+    items.mapPartitions { batch =>
+      batch.map { m =>
+        val out = java.util.Arrays.copyOf(m.payload, outBytes)
+        ResizedMedia(m.docId, targetW, targetH, out)
+      }
+    }
+  }
+
+  /** Frame sampling: explode each item into ≤ `maxFrames` evenly
+    * spaced frames — the one multimodal stage that CHANGES cardinality
+    * (flatMap shape, 1→N). Still narrow; downstream repartition
+    * controls fan-out placement. STUB extractor: frame i = the i-th
+    * 256-byte payload window, matching `decodeDims`'s frame count.
+    */
+  def sampleFrames(items: Dataset[MediaItem], maxFrames: Int): Dataset[MediaFrame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val (_, _, nFrames) = decodeDims(m.payload)
+      val take = math.min(maxFrames, nFrames)
+      // evenly spaced indices over the available frames, first-aligned
+      (0 until take).map { i =>
+        val frameIdx = if (take == 1) 0 else i * (nFrames - 1) / (take - 1)
+        val from = frameIdx * 256
+        val until = math.min(m.payload.length, from + 256)
+        val frame =
+          if (from >= m.payload.length) Array.empty[Byte]
+          else java.util.Arrays.copyOfRange(m.payload, from, until)
+        MediaFrame(m.docId, frameIdx, frame)
+      }
     }
   }
 }

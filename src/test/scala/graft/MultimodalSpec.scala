@@ -48,6 +48,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions === 7)
   }
 
+  test("resize emits target-dim payloads, preserving cardinality") {
+    import spark.implicits._
+    val out = MultimodalDecode.resize(mediaDs(), targetW = 64, targetH = 32)
+    assert(out.count() === mediaDs().count())
+    val rows = out.collect()
+    assert(rows.forall(r => r.width == 64 && r.height == 32))
+    assert(rows.forall(_.payload.length == 64 * 32 / 8))
+  }
+
+  test("frame sampling explodes items into evenly spaced frames, capped") {
+    import spark.implicits._
+    val frames = MultimodalDecode.sampleFrames(mediaDs(), maxFrames = 3)
+    val byDoc = frames.collect().groupBy(_.docId)
+    val expected = MultimodalDecode.decodeFeatures(mediaDs())
+      .collect().map(f => f.docId -> f.nFrames).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length === math.min(3, expected(id)))
+      // indices strictly increasing, within range, first frame = 0
+      val idxs = fs.map(_.frameIdx).sorted
+      assert(idxs.head === 0)
+      assert(idxs.distinct.length === idxs.length)
+      assert(idxs.last < expected(id))
+      // every frame slice is a real payload window (≤ 256 bytes)
+      assert(fs.forall(_.frame.length <= 256))
+    }
+  }
+
   test("payload bytes survive the binary column round-trip") {
     import spark.implicits._
     val first = mediaDs().filter(_.docId == 0L).collect().head
