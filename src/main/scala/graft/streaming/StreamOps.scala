@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming transforms (SURVEY.md §2B B-10). Batch-mode
   * twins of the window math live in `queries.Streaming` (same window
@@ -138,5 +138,44 @@ object StreamOps {
           }
       }
       .toDF("user_id", "sess_start", "sess_end", "cnt")
+  }
+
+  /** Per-key high-water-mark detector on Spark 4's `transformWithState`
+    * (the arbitrary-state API succeeding *GroupsWithState): emits a row
+    * ONLY when a key's running max increases — zero-or-one outputs per
+    * key per batch, a shape windowed aggregation can't express and
+    * `mapGroupsWithState` (exactly-one-output) can't either. State =
+    * one `ValueState[Double]` per key in the RocksDB provider; a TTL
+    * (`TTLConfig`) would bound an unbounded keyspace with no code
+    * change. Requires
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`.
+    */
+  def highWaterMarks(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new HighWaterMark, TimeMode.None(), OutputMode.Update())
+      .toDF("event_type", "hwm")
+  }
+}
+
+/** StatefulProcessor for [[StreamOps.highWaterMarks]]. */
+final class HighWaterMark
+    extends StatefulProcessor[String, (String, Double), (String, Double)] {
+
+  @transient private var hwm: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    hwm = getHandle.getValueState[Double]("hwm", Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(String, Double)],
+      timers: TimerValues): Iterator[(String, Double)] = {
+    val prev = if (hwm.exists()) hwm.get() else Double.NegativeInfinity
+    val mx = rows.foldLeft(prev) { case (acc, (_, v)) => math.max(acc, v) }
+    if (mx > prev) { hwm.update(mx); Iterator.single((key, mx)) }
+    else Iterator.empty
   }
 }

@@ -193,6 +193,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState emits only when a key's high-water mark rises") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = StreamOps.highWaterMarks(in.toDF())
+      .writeStream.format("memory").queryName("hwm").outputMode("update").start()
+    try {
+      in.addData(
+        Ev(t("2024-01-01 10:00:00"), "click", 5.0, 1L),
+        Ev(t("2024-01-01 10:01:00"), "click", 3.0, 2L),
+        Ev(t("2024-01-01 10:02:00"), "view", 2.0, 3L))
+      q.processAllAvailable()
+      in.addData(
+        Ev(t("2024-01-01 10:05:00"), "click", 4.0, 4L), // below hwm → silent
+        Ev(t("2024-01-01 10:06:00"), "view", 7.0, 5L))  // new hwm → emit
+      q.processAllAvailable()
+      val rows = spark.table("hwm").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows("click") === Seq(5.0))      // second batch stayed silent
+      assert(rows("view") === Seq(2.0, 7.0))  // rose twice → two emissions
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
