@@ -254,16 +254,76 @@ final class DynamoScan(
     * arithmetic (A2) [REF: connector/TableConnector.scala]. Computed
     * on the driver once per scan; each segment reads a disjoint set of
     * store shards, so 1000 executors scan without coordination.
+    *
+    * Point-lookup fast path: shard placement is a pure function of the
+    * primary key, so when the pushed (or runtime) filters pin the full
+    * key — `EqualTo`/`In` on the hash key, plus the range key if the
+    * table has one — the scan plans ONLY the shards those keys can
+    * live in: the connector's `GetItem`/`Query` analogue (a key-pinned
+    * read touches 1 shard instead of all of them, at any table size).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
-    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
-    val n = opts.readPartitions.getOrElse(
-      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
-    val rate = math.max(0.1, opts.targetCapacity * throughput / n)
-    Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
+    keyShards(store, meta) match {
+      case Some(shards) =>
+        val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, shards.size))
+        // One partition per candidate shard; segment space = shard space.
+        shards.toArray.sorted
+          .map(sh => DynamoInputPartition(sh, meta.shards, rate): InputPartition)
+      case None =>
+        val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
+        val n = opts.readPartitions.getOrElse(
+          math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+        val rate = math.max(0.1, opts.targetCapacity * throughput / n)
+        Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
+    }
+  }
+
+  /** Candidate shard set when the filters pin the primary key; None =
+    * key not pinned (full scan). GSI reads never prune (index keys
+    * don't determine base-shard placement).
+    */
+  private def keyShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
+    if (opts.indexName.isDefined) return None
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val flat = (pushed ++ runtime).flatMap(conjuncts)
+    def pinned(attr: String): Option[Seq[Any]] = flat.collectFirst {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if a == attr && v != null => Seq(v)
+      case org.apache.spark.sql.sources.In(a, vs) if a == attr && vs.nonEmpty &&
+        !vs.contains(null) => vs.toSeq
+    }
+    def toAttr(v: Any): Option[AttrVal] = v match {
+      case s: String => Some(AttrVal.S(s))
+      case n: Byte => Some(AttrVal.N(BigDecimal(n.toInt)))
+      case n: Short => Some(AttrVal.N(BigDecimal(n.toInt)))
+      case n: Int => Some(AttrVal.N(BigDecimal(n)))
+      case n: Long => Some(AttrVal.N(BigDecimal(n)))
+      case n: Double => Some(AttrVal.N(BigDecimal(n)))
+      case n: Float => Some(AttrVal.N(BigDecimal(n.toDouble)))
+      case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
+      case _ => None // binary/bool/etc: skip pruning, stay correct
+    }
+    for {
+      hks <- pinned(meta.hashKey)
+      rks <- meta.rangeKey match {
+        case None => Some(Seq(None))
+        case Some(rk) => pinned(rk).map(_.map(Some(_)))
+      }
+      keys <- {
+        val combos = for { h <- hks; r <- rks } yield (toAttr(h), r.map(toAttr)) match {
+          case (Some(ha), None) => Some(Map(meta.hashKey -> ha))
+          case (Some(ha), Some(Some(ra))) =>
+            Some(Map(meta.hashKey -> ha, meta.rangeKey.get -> ra))
+          case _ => None
+        }
+        if (combos.forall(_.isDefined)) Some(combos.flatten) else None
+      }
+    } yield keys.map(store.shardOf(meta, _)).toSet
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -221,6 +221,56 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE fruit_sql")
   }
 
+  test("key-pinned filters prune the scan to the owning shards (GetItem path)") {
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan}
+    val root = freshRoot()
+    seedFruit(root) // hash-only table, 16 shards
+    // readPartitions forced to 16 so the full-scan path is visibly wide
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "fruit", "readPartitions", "16"))
+    val schema = spark.read.dynamo(root, "fruit").schema
+
+    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+
+    assert(parts(EqualTo("name", "apple")).length === 1)
+    assert(parts(In("name", Array("apple", "banana", "cherry"))).length <= 3)
+    assert(parts(GreaterThan("name", "a")).length === 16) // not pinned → full scan
+    assert(parts(EqualTo("color", "red")).length === 16)  // non-key attr → full scan
+
+    // end-to-end: the pruned point lookup returns exactly the item
+    val row = spark.read.dynamo(root, "fruit")
+      .filter(col("name") === "durian").select("name", "color").collect()
+    assert(row.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("durian", "green")))
+  }
+
+  test("range-keyed tables prune only when the full composite key is pinned") {
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("kv", TableMeta("hk", Some("rk"), shards = 8, throughput = 1000L),
+      (1 to 50).iterator.map(i => Map(
+        "hk" -> (AttrVal.N(BigDecimal(i % 5)): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.S(s"v$i"): AttrVal))))
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "kv", "readPartitions", "8"))
+    val schema = spark.read.dynamo(root, "kv").schema
+
+    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+
+    assert(parts(EqualTo("hk", 2L)).length === 8) // hash alone ≠ shard → full scan
+    assert(parts(EqualTo("hk", 2L), EqualTo("rk", 7L)).length === 1)
+
+    val hit = spark.read.dynamo(root, "kv")
+      .filter(col("hk") === 2L && col("rk") === 7L).select("v").collect()
+    assert(hit.map(_.getString(0)).toSeq === Seq("v7"))
+  }
+
   test("runtime filters injected into a planned scan prune the read") {
     import graft.sources.dynamo.{DynamoOptions, DynamoScan}
     import org.apache.spark.sql.catalyst.InternalRow
