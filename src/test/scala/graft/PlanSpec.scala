@@ -54,6 +54,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("flagship aggregation stays inside WholeStageCodegen") {
+    // two-phase: partial (map-side) then final hash aggregation
+    assert(plan("q_agg_group").contains("partial_sum"))
+    // codegen stages only render in the final (post-AQE) plan; the
+    // `*(n)` prefix marks operators fused into a WholeStageCodegen span
+    val df = SparkEntry.queries("q_agg_group")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("GSI read prunes to the index projection") {
     val p = plan("q_dyn_gsi")
     assert(p.contains("BatchScan dynamo:customer"))
