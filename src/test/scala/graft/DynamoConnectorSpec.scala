@@ -343,6 +343,67 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read with startingOffsets=latest skips history, tails new writes") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // history the stream must NOT replay
+    val q = spark.readStream.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("startingOffsets", "latest")
+      .load()
+      .writeStream.format("memory").queryName("tailfeed")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tailfeed").count() === 0)
+      Seq(("fig", "purple", 0.05, 9L)).toDF("name", "color", "weight_kg", "stock")
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .mode("append").save()
+      q.processAllAvailable()
+      val names = spark.table("tailfeed").collect().map(_.getAs[String]("name"))
+      assert(names.toSeq === Seq("fig"))
+    } finally q.stop()
+  }
+
+  test("streaming read resumes from a checkpoint without replaying delivered files") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 PUT entries
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start() = spark.readStream.dynamoStream(root, "fruit")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= batch.collect().map(_.getAs[String]("name")) }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.synchronized(seen.sorted.toSeq) ===
+      Seq("apple", "banana", "cherry", "durian"))
+
+    // new write while the stream is down
+    Seq(("grape", "green", 0.01, 40L)).toDF("name", "color", "weight_kg", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .mode("append").save()
+
+    // restart from the checkpoint: deserializeOffset drives the resume —
+    // only the delta is delivered, no re-replay of the first four
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) ===
+        Seq("apple", "banana", "cherry", "durian", "grape"))
+    } finally q2.stop()
+  }
+
   test("streaming read without cdc is an upsert feed: no _op, deletes hidden") {
     import spark.implicits._
     val root = freshRoot()
