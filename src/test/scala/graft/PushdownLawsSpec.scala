@@ -92,6 +92,31 @@ class PushdownLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookups prune shards without losing rows for hostile key values") {
+    // Shard pruning recomputes the key hash from the FILTER literal; if
+    // its canonicalization ever differs from the write path's (5.0 vs 5,
+    // -0.0, repeating fractions), the lookup scans the wrong shard and
+    // silently returns nothing — hence a sweep over hostile doubles.
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-keyprune-laws").toString
+    val keys: Seq[Double] = (Seq(0.0, -0.0, 5.0, -5.0, 0.15, -123456.789,
+      1e15, 1.0 / 3.0, 2.5e-7) ++ (1 to 40).map(_ * 1.25)).distinct
+    keys.zipWithIndex.map { case (k, i) => (k, s"row$i") }
+      .toDF("k", "v").write.dynamo(r, "pts", "k")
+    val df = spark.read.format("dynamo")
+      .option("path", r).option("tableName", "pts")
+      .option("readPartitions", "16")
+      .load()
+    keys.foreach { k =>
+      val hits = df.filter(col("k") === k).collect()
+      assert(hits.length === 1, s"point lookup lost key $k")
+    }
+    // In() over a key subset also prunes and stays complete
+    val some = keys.take(7)
+    val got = df.filter(col("k").isin(some: _*)).collect()
+    assert(got.length === some.length)
+  }
+
   test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
     // The canonical three-valued-logic trap: s IS NULL on some rows.
     val p = !(col("s") === "alpha")
