@@ -218,6 +218,13 @@ class DynamoConnectorSpec extends AnyFunSuite {
       assert(reds.toSeq === Seq("apple", "cherry"))
       assert(spark.sql("SELECT count(*) AS n FROM fruit_sql")
         .collect().head.getLong(0) === 4L)
+      // SQL INSERT routes through the same V2 write path (put mode).
+      // Column list required: the table accepts any schema (for
+      // partial-column updates), so names must come from the statement.
+      spark.sql("""INSERT INTO fruit_sql (name, color, weight_kg, stock)
+                  |VALUES ('kiwi', 'brown', 0.08, 12)""".stripMargin)
+      assert(spark.sql("SELECT color FROM fruit_sql WHERE name = 'kiwi'")
+        .collect().map(_.getString(0)).toSeq === Seq("brown"))
     } finally spark.sql("DROP TABLE fruit_sql")
   }
 
