@@ -620,6 +620,32 @@ private object WriteSetup {
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
     math.max(0.1, opts.targetCapacity * throughput / math.max(1, numPartitions))
   }
+
+  /** Driver-side fail-fast: every written row needs the primary key,
+    * so a write schema without the key columns can only fail — catch
+    * it at planning time with an actionable message instead of a
+    * per-task "item missing hash key" (classic trigger: positional
+    * `INSERT INTO t VALUES ...` — the table accepts any schema for
+    * partial-column updates, so names must come from the statement).
+    */
+  def validateSchema(opts: DynamoOptions, schema: StructType): Unit = {
+    val store = new LocalKVStore(opts.path)
+    if (store.exists(opts.tableName)) {
+      val meta = store.describe(opts.tableName)
+      val missing = (Seq(meta.hashKey) ++ meta.rangeKey)
+        .filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"write schema ${schema.fieldNames.mkString("(", ", ", ")")} is missing key " +
+          s"column(s) ${missing.mkString(", ")} of table ${opts.tableName}; " +
+          "for SQL INSERT, supply an explicit column list")
+    } else {
+      opts.hashKey.foreach { hk =>
+        val missing = (Seq(hk) ++ opts.rangeKey).filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"write schema is missing declared key column(s) ${missing.mkString(", ")}")
+      }
+    }
+  }
 }
 
 final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends BatchWrite {
@@ -627,9 +653,11 @@ final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends Ba
   /** `seq` stamps this job's WAL files so replay orders jobs by
     * submission time.
     */
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    WriteSetup.validateSchema(opts, schema)
     new DynamoWriterFactory(opts, schema,
       WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())
+  }
 
   /** Non-atomic, like the reference: partial writes from failed tasks
     * persist; commit/abort only log [REF: datasource/DynamoBatchWrite.scala].
@@ -654,6 +682,7 @@ final class DynamoStreamingWrite(opts: DynamoOptions, schema: StructType) extend
   private val queryStart = System.currentTimeMillis()
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    WriteSetup.validateSchema(opts, schema)
     val rate = WriteSetup.ratePerWriter(opts, info.numPartitions)
     new DynamoStreamingWriterFactory(opts, schema, rate, queryStart)
   }

@@ -228,6 +228,21 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE fruit_sql")
   }
 
+  test("a write schema without the key columns fails fast with a clear error") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val e = intercept[Exception] {
+      Seq(("red", 1L)).toDF("color", "stock") // no 'name' key column
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("update", "true").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("missing key column")))
+  }
+
   test("key-pinned filters prune the scan to the owning shards (GetItem path)") {
     import graft.sources.dynamo.{DynamoOptions, DynamoScan}
     import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan}
