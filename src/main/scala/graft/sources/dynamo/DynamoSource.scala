@@ -202,6 +202,26 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
 final case class DynamoInputPartition(
     segment: Int, totalSegments: Int, ratePerSegment: Double) extends InputPartition
 
+/** Per-query scan metrics, surfaced in the Spark UI (SQL tab): how
+  * many wire items each scan read vs dropped store-side — the
+  * observability DynamoDB exposes as `ScannedCount` vs `Count`.
+  */
+private object ScanMetrics {
+  final class ItemsScanned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "itemsScanned"
+    override def description(): String = "wire items read from the store"
+  }
+  final class ItemsFiltered extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "itemsFiltered"
+    override def description(): String = "items dropped by pushed filters before decode"
+  }
+  final case class TaskMetric(metricName: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+}
+
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, countStars: Int = 0)
@@ -223,6 +243,9 @@ final class DynamoScan(
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(FilterEval.supported)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
 
   override def readSchema(): StructType =
     if (countStars > 0)
@@ -508,11 +531,14 @@ final class DynamoPartitionReader(
 
   private var current: InternalRow = _
   private var emitted = 0
+  private var scanned = 0L
+  private var filtered = 0L
 
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false // pushed limit: stop the scan early
     while (items.hasNext) {
       val (item0, sz) = items.next()
+      scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
       val visible = index match {
         case None => Some(item0)
@@ -523,13 +549,18 @@ final class DynamoPartitionReader(
           current = decode(it)
           emitted += 1
           return true
-        case _ => () // filtered out, or invisible through the sparse index
+        case _ => filtered += 1 // dropped by pushed filter or sparse index
       }
     }
     false
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
+      ScanMetrics.TaskMetric("itemsFiltered", filtered))
+
   override def close(): Unit = ()
 }
 

@@ -228,6 +228,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE fruit_sql")
   }
 
+  test("scan metrics report items scanned vs dropped by pushed filters") {
+    val root = freshRoot()
+    seedFruit(root)
+    val df = spark.read.dynamo(root, "fruit").filter(col("color") === "red")
+    assert(df.count() === 2L)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan"))
+      .getOrElse(fail("no BatchScan node in the final plan"))
+    val m = scan.metrics
+    assert(m("itemsScanned").value === 4L)  // DynamoDB's ScannedCount
+    assert(m("itemsFiltered").value === 2L) // dropped before decode
+  }
+
   test("a write schema without the key columns fails fast with a clear error") {
     import spark.implicits._
     val root = freshRoot()
