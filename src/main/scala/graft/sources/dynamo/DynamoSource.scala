@@ -463,10 +463,13 @@ final class DynamoWalReader(
 
   private val ops = store.readWalFile(opts.tableName, partition.fileName)
   private var current: InternalRow = _
+  private var scanned = 0L
+  private var filtered = 0L
 
   override def next(): Boolean = {
     while (ops.hasNext) {
       val (tag, item0, sz) = ops.next()
+      scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
       // Upsert mode (cdc=false) hides delete markers; CDC mode emits
       // them (key attrs + _op) so downstream can retract.
@@ -475,13 +478,18 @@ final class DynamoWalReader(
         if (pushed.forall(FilterEval.eval(_, item))) {
           current = decode(item)
           return true
-        }
-      }
+        } else filtered += 1
+      } else filtered += 1
     }
     false
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
+      ScanMetrics.TaskMetric("itemsFiltered", filtered))
+
   override def close(): Unit = ()
 }
 
@@ -631,6 +639,24 @@ final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType) extends 
 final class DynamoWrite(opts: DynamoOptions, schema: StructType) extends Write {
   override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema)
   override def toStreaming: StreamingWrite = new DynamoStreamingWrite(opts, schema)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WriteMetrics.RowsWritten, new WriteMetrics.BytesWritten)
+}
+
+/** Writer metrics (Spark UI, SQL tab): rows and journal bytes written
+  * — the write-side twin of [[ScanMetrics]] (DynamoDB's consumed-WCU
+  * observability, in bytes rather than capacity units).
+  */
+private object WriteMetrics {
+  final class RowsWritten extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "rowsWritten"
+    override def description(): String = "rows appended to the write journal"
+  }
+  final class BytesWritten extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "bytesWritten"
+    override def description(): String = "journal bytes written"
+  }
 }
 
 /** Driver-side write setup shared by the batch and streaming sinks:
@@ -755,6 +781,7 @@ final class DynamoDataWriter(
   private val keyAttrs: Set[String] = Set(meta.hashKey) ++ meta.rangeKey
   private val buffer = new scala.collection.mutable.ArrayBuffer[store.Op](opts.writeBatchSize)
   private var rows = 0L
+  private var bytes = 0L
 
   override def write(record: InternalRow): Unit = {
     val item = encode(record)
@@ -769,16 +796,21 @@ final class DynamoDataWriter(
 
   private def flush(): Unit = {
     if (buffer.nonEmpty) {
-      var bytes = 0L
+      var batchBytes = 0L
       buffer.foreach { op =>
         wal.append(op)
-        bytes += ItemJson.write(op.item).length
+        batchBytes += ItemJson.write(op.item).length
       }
       wal.flush()
-      limiter.acquire(math.max(1.0, bytes.toDouble / opts.bytesPerWCU))
+      limiter.acquire(math.max(1.0, batchBytes.toDouble / opts.bytesPerWCU))
+      bytes += batchBytes
       buffer.clear()
     }
   }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("rowsWritten", rows),
+      ScanMetrics.TaskMetric("bytesWritten", bytes))
 
   override def commit(): WriterCommitMessage = { flush(); wal.close(); DynamoWriterCommit(rows) }
   override def abort(): Unit = wal.close() // partial WAL persists (A14)

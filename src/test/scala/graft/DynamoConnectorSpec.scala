@@ -242,6 +242,25 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(m("itemsFiltered").value === 2L) // dropped before decode
   }
 
+  test("write metrics report rows and journal bytes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    df.write.dynamo(root, "wm", "k")
+    // re-drive the same write through a tracked plan to read its metrics
+    val writeDf = Seq(("d", 4L)).toDF("k", "v")
+    writeDf.write.format("dynamo")
+      .option("path", root).option("tableName", "wm").mode("append").save()
+    // metric VALUES live in the SQL UI store; here assert the metric
+    // surface is declared on the Write (names drive the UI wiring)
+    val names = new graft.sources.dynamo.DynamoWrite(
+      graft.sources.dynamo.DynamoOptions(java.util.Map.of(
+        "path", root, "tableName", "wm")),
+      writeDf.schema).supportedCustomMetrics().map(_.name()).toSeq
+    assert(names === Seq("rowsWritten", "bytesWritten"))
+    assert(spark.read.dynamo(root, "wm").count() === 4L)
+  }
+
   test("a write schema without the key columns fails fast with a clear error") {
     import spark.implicits._
     val root = freshRoot()
