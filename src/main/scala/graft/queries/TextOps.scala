@@ -76,6 +76,38 @@ object TextOps {
         .orderBy("id1", "id2")
     }),
 
+    // Near-dup by character-3-gram Jaccard >= 0.5 (docs < 120): the
+    // shingle analogue of q_dedup_near — order-sensitive where token
+    // sets are not ("badly formatted" vs "formatted badly" share all
+    // tokens but few trigram positions... shared trigrams still bucket
+    // the join). Same scale shape: explode distinct shingles, meet
+    // only inside a shingle bucket, exact integer threshold. Texts
+    // shorter than one shingle are excluded on BOTH sides (Spark's
+    // sequence(1, 0) runs descending; DuckDB's generate_series is
+    // empty — don't let engines disagree on degenerate inputs).
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+        .filter(col("doc_id") < 120 && length(col("text")) >= 3)
+      val gr = d.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+          .as("g"))
+      val sizes = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = gr.as("a")
+        .join(gr.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .filter(col("shared") * 2 >= col("n1") + col("n2") - col("shared"))
+        .select(col("id1"), col("id2"),
+          round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+            .as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     // tf-idf over the corpus: tf from one grouped count, df from a
     // distinct+count, corpus size joined in as a 1-row broadcast. All
     // three shuffles are keyed by (doc, token) / token — partial
@@ -135,6 +167,23 @@ object TextOps {
         |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
         |FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
         |WHERE shared * 10 >= (s1.n + s2.n - shared) * 6
+        |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 120 AND length(text) >= 3),
+        |gr AS (SELECT DISTINCT doc_id, g FROM
+        |       (SELECT doc_id,
+        |               unnest(list_transform(generate_series(1, length(text) - 2),
+        |                                     i -> substring(text, i, 3))) AS g
+        |        FROM d)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |       FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
+        |FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
+        |WHERE shared * 2 >= s1.n + s2.n - shared
         |ORDER BY id1, id2""".stripMargin,
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
