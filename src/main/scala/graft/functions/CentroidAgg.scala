@@ -22,8 +22,11 @@ object CentroidAgg extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
 
   override def reduce(b: CentroidBuf, a: Seq[Double]): CentroidBuf = {
     if (b.sums.length == 0) b.sums = new Array[Double](a.length)
+    require(a.length == b.sums.length,
+      s"centroid over ragged dimensions: saw a ${a.length}-dim vector " +
+        s"after ${b.sums.length}-dim input; pad or filter to one width first")
     var i = 0
-    while (i < b.sums.length && i < a.length) {
+    while (i < b.sums.length) {
       b.sums(i) += a(i)
       i += 1
     }
@@ -35,6 +38,9 @@ object CentroidAgg extends Aggregator[Seq[Double], CentroidBuf, Seq[Double]] {
     if (x.sums.length == 0) y
     else if (y.sums.length == 0) x
     else {
+      require(x.sums.length == y.sums.length,
+        s"centroid over ragged dimensions: merging ${x.sums.length}-dim " +
+          s"and ${y.sums.length}-dim partial buffers")
       var i = 0
       while (i < x.sums.length) {
         x.sums(i) += y.sums(i)

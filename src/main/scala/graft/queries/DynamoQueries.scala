@@ -39,24 +39,45 @@ object DynamoQueries {
   private def storeRoot(sfDir: String): String =
     "/tmp/graft-dynamo/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
+  /** Cross-process seed guard: the seeded store lives in shared /tmp,
+    * so two JVMs (e.g. bench and verify) can race seed + compact —
+    * compaction deletes WAL files a concurrent scan may be replaying.
+    * A blocking OS `FileLock` on `<root>/.seed.lock` serializes the
+    * whole seed-if-absent critical section across processes; the
+    * JVM-local `seedLock` stays because `FileChannel.lock` throws
+    * `OverlappingFileLockException` for a second lock attempt from the
+    * same JVM.
+    */
+  private def withSeedLock[A](root: String)(body: => A): A = seedLock.synchronized {
+    Files.createDirectories(Paths.get(root))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(root, ".seed.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   /** Seed `customer` into the store once per sfDir (marker-file
     * guarded; safe to re-run — puts are keyed upserts).
     */
-  private def seededRoot(s: SparkSession, sfDir: String): String = seedLock.synchronized {
+  private def seededRoot(s: SparkSession, sfDir: String): String = {
     val root = storeRoot(sfDir)
-    val marker = Paths.get(root, "customer", "_seeded")
-    if (!Files.exists(marker)) {
-      Fixtures.customer(s, sfDir).write.dynamo(root, "customer", "c_custkey")
-      new LocalKVStore(root).compact("customer")
-      Files.createFile(marker)
-    }
-    // GSI over market segment projecting the account balance (A8);
-    // separate from the marker so stores seeded before the index
-    // feature pick it up too.
-    val store = new LocalKVStore(root)
-    if (!store.describe("customer").indexes.contains("by_segment")) {
-      store.createIndex("customer", "by_segment",
-        IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.customer(s, sfDir).write.dynamo(root, "customer", "c_custkey")
+        new LocalKVStore(root).compact("customer")
+        Files.createFile(marker)
+      }
+      // GSI over market segment projecting the account balance (A8);
+      // separate from the marker so stores seeded before the index
+      // feature pick it up too.
+      val store = new LocalKVStore(root)
+      if (!store.describe("customer").indexes.contains("by_segment")) {
+        store.createIndex("customer", "by_segment",
+          IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
+      }
     }
     root
   }
@@ -66,18 +87,20 @@ object DynamoQueries {
     * multi-item-per-hash-key path end-to-end. Date column omitted: the
     * store's N type would widen it through inference (documented §1.2).
     */
-  private def seededOrdersRoot(s: SparkSession, sfDir: String): String = seedLock.synchronized {
+  private def seededOrdersRoot(s: SparkSession, sfDir: String): String = {
     val root = storeRoot(sfDir)
-    val marker = Paths.get(root, "orders", "_seeded")
-    if (!Files.exists(marker)) {
-      Fixtures.orders(s, sfDir)
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-        .write.format("dynamo")
-        .option("path", root).option("tableName", "orders")
-        .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
-        .mode("append").save()
-      new LocalKVStore(root).compact("orders")
-      Files.createFile(marker)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "orders", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.orders(s, sfDir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "orders")
+          .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
+          .mode("append").save()
+        new LocalKVStore(root).compact("orders")
+        Files.createFile(marker)
+      }
     }
     root
   }

@@ -104,11 +104,16 @@ object Scalars {
                 regexp_replace(col("p_name"), "\\s+", "_").as("snake_name"))
         .orderBy("p_partkey")),
 
+    // The DECIMAL(12,2) round-trips exercise the cast paths, but the
+    // output schema stays decimal-free (double/string/bigint/date):
+    // the oracle harness normalizes arrow decimal128 and DuckDB DECIMAL
+    // differently, so a decimal-typed result column hash-mismatches
+    // even when every value is identical.
     "q_cast" -> ((s, dir) =>
       Fixtures.orders(s, dir)
         .select(
           col("o_orderkey"),
-          col("o_totalprice").cast("decimal(12,2)").as("price_dec"),
+          col("o_totalprice").cast("decimal(12,2)").cast("double").as("price_dec"),
           col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_str"),
           col("o_orderkey").cast("int").cast("bigint").as("key_big"),
           lit("1999-12-31").cast("date").as("fixed_date"),
@@ -201,7 +206,7 @@ object Scalars {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_cast" ->
       """SELECT o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
         |       CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS key_big,
         |       DATE '1999-12-31' AS fixed_date,

@@ -44,7 +44,8 @@ final case class DynamoOptions(
     shards: Int,
     indexName: Option[String],
     cdc: Boolean,
-    startingOffsets: String) extends Serializable
+    startingOffsets: String,
+    cdcGraceMs: Long) extends Serializable
 
 object DynamoOptions {
 
@@ -83,7 +84,8 @@ object DynamoOptions {
       shards = opt("shards").map(_.toInt).getOrElse(16),
       indexName = opt("indexName"),
       cdc = m.getBoolean("cdc", false),
-      startingOffsets = opt("startingOffsets").getOrElse("earliest"))
+      startingOffsets = opt("startingOffsets").getOrElse("earliest"),
+      cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -113,7 +115,15 @@ final class DynamoTableProvider extends TableProvider with DataSourceRegister {
     }
     val inferred = Codec.inferSchema(sample)
     // CDC reads surface the journal op alongside the item attributes.
-    if (opts.cdc) inferred.add(StructField("_op", StringType)) else inferred
+    // A user attribute named `_op` would be silently shadowed by the
+    // stream reader's tag — reject it up front with a clear error.
+    if (opts.cdc) {
+      require(!inferred.fieldNames.contains("_op"),
+        s"table ${opts.tableName} has an item attribute named '_op', " +
+          "which collides with the CDC op column; rename the attribute " +
+          "or read without cdc=true")
+      inferred.add(StructField("_op", StringType))
+    } else inferred
   }
 
   /** Write path hands us the DataFrame's schema. */
@@ -253,7 +263,15 @@ final class DynamoScan(
         StructField(s"count$i", LongType, nullable = false)))
     else schema
 
-  override def toBatch: Batch = this
+  // A cdc=true batch read would surface a phantom always-null `_op`
+  // column (the op tag exists only on journal records, which the batch
+  // scan merges away) — fail fast instead of returning misleading data.
+  override def toBatch: Batch = {
+    require(!opts.cdc,
+      "cdc=true is a streaming option: use spark.readStream.format(\"dynamo\") " +
+        "for the change feed, or drop the option for a batch snapshot read")
+    this
+  }
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
@@ -363,9 +381,10 @@ final class DynamoScan(
 // ---------------------------------------------------------------------------
 
 /** Offset = the last WAL file name fully processed ("" = none). File
-  * names embed a zero-padded job seq, so lexicographic order is replay
-  * order and the comparison `start < name <= end` selects exactly the
-  * new journal files. O(1)-size regardless of history length.
+  * names embed a zero-padded publish seq, so lexicographic order is
+  * publish order and the comparison `start < name <= end` selects
+  * exactly the new journal files. O(1)-size regardless of history
+  * length.
   */
 final case class WalOffset(last: String) extends Offset {
   override def json(): String = s"""{"last":"$last"}"""
@@ -396,10 +415,18 @@ object WalOffset {
   * produce many files per epoch, so replay parallelism tracks write
   * parallelism; each partition streams one file, applies pushed
   * filters before decoding, and rate-limits against read capacity.
-  * At-least-once: a same-millisecond writer racing `latestOffset` can
-  * land a file that sorts below the captured maximum; re-delivery is
-  * keyed by primary key, so downstream upserts converge (same contract
-  * as the sink's non-atomic commit, A14).
+  *
+  * Delivery: WAL files are published atomically (tmp + rename, named
+  * by publish time — see [[graft.sources.dynamo.LocalKVStore.WalWriter]]),
+  * so listings never see torn or in-flight files, and `latestOffset`
+  * admits names only through a publish-time fence (`now - cdcGraceMs`):
+  * a publisher racing the listing lands in the next batch instead of
+  * being skipped behind a larger committed offset. The remaining loss
+  * window is a writer descheduled between stamping its publish seq and
+  * completing the rename syscall while an offset is captured in
+  * between — microseconds, not (as with naming at write-job start) the
+  * job's whole runtime; deployments that need to cover even that can
+  * lag the fence with `cdcGraceMs`.
   */
 final class DynamoMicroBatchStream(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
@@ -410,9 +437,23 @@ final class DynamoMicroBatchStream(
   override def initialOffset(): Offset =
     if (opts.startingOffsets == "latest") latestOffset() else WalOffset("")
 
+  // Monotone cursor: latestOffset must stand still when nothing new
+  // published, or `processAllAvailable` (which waits for a no-new-data
+  // trigger) would chase an ever-advancing offset forever.
+  private var lastSeen: String = ""
+
+  /** Max *published* file name, admitted through a publish-time fence:
+    * only names stamped at or before `now - cdcGraceMs` are eligible,
+    * so a writer racing this listing — stamped before the fence but
+    * not yet renamed — is picked up by the next trigger instead of
+    * being skipped behind a larger committed offset. (`~` > `-` makes
+    * the fence inclusive of every name sharing its millisecond.)
+    */
   override def latestOffset(): Offset = {
-    val names = store.walFileNames(opts.tableName)
-    WalOffset(if (names.isEmpty) "" else names.max)
+    val fence = f"wal-${System.currentTimeMillis() - opts.cdcGraceMs}%020d~"
+    val eligible = store.walFileNames(opts.tableName).filter(_ <= fence)
+    if (eligible.nonEmpty && eligible.max > lastSeen) lastSeen = eligible.max
+    WalOffset(lastSeen)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -602,12 +643,14 @@ final class DynamoCountReader(
 
   private var emitted = false
   private var count = 0L
+  private var scanned = 0L
 
   override def next(): Boolean = {
     if (emitted) return false
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+        scanned += 1
         val visible = index match {
           case None => Some(item0)
           case Some((meta, ix)) => store.indexView(meta, ix, item0)
@@ -620,6 +663,13 @@ final class DynamoCountReader(
 
   override def get(): InternalRow =
     InternalRow.fromSeq(Seq.fill(countStars)(count))
+
+  // The count scan consumes capacity like any other scan, so it
+  // reports the same UI metrics as the row readers (items the pushed
+  // filters dropped never reach the emitted count).
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
+      ScanMetrics.TaskMetric("itemsFiltered", scanned - count))
 
   override def close(): Unit = ()
 }
@@ -716,8 +766,12 @@ final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends Ba
       WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())
   }
 
-  /** Non-atomic, like the reference: partial writes from failed tasks
-    * persist; commit/abort only log [REF: datasource/DynamoBatchWrite.scala].
+  /** Job-level commit is non-atomic, like the reference
+    * [REF: datasource/DynamoBatchWrite.scala]: each task publishes its
+    * own WAL files atomically at task commit, and tasks that committed
+    * before a job-level abort stay published (keyed upserts make
+    * re-runs converge). Failed/aborted tasks publish nothing — see
+    * [[graft.sources.dynamo.LocalKVStore.WalWriter]].
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -752,7 +806,7 @@ final class DynamoStreamingWriterFactory(
     opts: DynamoOptions, schema: StructType, rate: Double, queryStart: Long)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DynamoDataWriter(opts, schema, rate, seq = queryStart + epochId, partitionId)
+    new DynamoDataWriter(opts, schema, rate, seq = queryStart + epochId, partitionId, taskId)
 }
 
 final case class DynamoWriterCommit(rows: Long) extends WriterCommitMessage
@@ -760,7 +814,7 @@ final case class DynamoWriterCommit(rows: Long) extends WriterCommitMessage
 final class DynamoWriterFactory(opts: DynamoOptions, schema: StructType, rate: Double, seq: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DynamoDataWriter(opts, schema, rate, seq, partitionId)
+    new DynamoDataWriter(opts, schema, rate, seq, partitionId, taskId)
 }
 
 /** Executor-side writer: buffers `writeBatchSize` (25) rows, then
@@ -769,14 +823,18 @@ final class DynamoWriterFactory(opts: DynamoOptions, schema: StructType, rate: D
   * [REF: datasource/DynamoDataWriter.scala — batch buffer + rate].
   */
 final class DynamoDataWriter(
-    opts: DynamoOptions, schema: StructType, rate: Double, seq: Long, partitionId: Int)
+    opts: DynamoOptions, schema: StructType, rate: Double, seq: Long,
+    partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
   private val meta = store.describe(opts.tableName)
   private val encode = Codec.rowWriter(schema)
   private val limiter = new RateLimiter(rate)
-  private val wal = store.walWriter(opts.tableName, seq, f"p$partitionId%05d")
+  // taskId in the writer id keeps a speculative/retried attempt's WAL
+  // buffer distinct from the original's; only the attempt that reaches
+  // commit() publishes, the loser's abort() discards.
+  private val wal = store.walWriter(opts.tableName, seq, f"p$partitionId%05d-t$taskId")
 
   private val keyAttrs: Set[String] = Set(meta.hashKey) ++ meta.rangeKey
   private val buffer = new scala.collection.mutable.ArrayBuffer[store.Op](opts.writeBatchSize)
@@ -812,7 +870,12 @@ final class DynamoDataWriter(
     Array(ScanMetrics.TaskMetric("rowsWritten", rows),
       ScanMetrics.TaskMetric("bytesWritten", bytes))
 
+  // Task-level atomic: commit publishes this task's WAL files with an
+  // atomic rename; abort discards the unpublished buffers, so a failed
+  // task leaves nothing visible. Job-level commit stays non-atomic
+  // like the reference (A14): tasks that committed before a job abort
+  // remain published.
   override def commit(): WriterCommitMessage = { flush(); wal.close(); DynamoWriterCommit(rows) }
-  override def abort(): Unit = wal.close() // partial WAL persists (A14)
+  override def abort(): Unit = wal.abort()
   override def close(): Unit = ()
 }

@@ -187,13 +187,27 @@ final class LocalKVStore(root: String) {
 
   /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
     * **sharded by the same key-hash as the base shards** — one file per
-    * shard the writer touches, named `wal-<seq>-<writerId>-sNNN.jsonl`
-    * — so a scan segment replays only its own shards' journal instead
-    * of the whole table's (the O(segments × total-WAL) trap). `seq`
-    * orders replay across write jobs; (seq, writerId) orders within
-    * one. Rows are flushed as they come: partial files from failed
-    * tasks simply persist, as in the reference's non-atomic commit
-    * model (A14).
+    * shard the writer touches — so a scan segment replays only its own
+    * shards' journal instead of the whole table's (the
+    * O(segments × total-WAL) trap).
+    *
+    * Visibility is atomic per file: rows buffer into a dot-prefixed
+    * `.tmp` file that no scan or change-feed listing can see (listings
+    * require the `wal-` prefix and `.jsonl` suffix), and [[close]]
+    * publishes each file with an atomic rename to
+    * `wal-<pubSeq>-<writerId>-sNNN.jsonl`. Readers therefore never
+    * observe a torn half-flushed line, and a failed task that calls
+    * [[abort]] (or never reaches close) leaves nothing visible.
+    *
+    * `pubSeq = max(seq, now)` is stamped immediately before each
+    * rename, so lexicographic name order is PUBLISH order: a file's
+    * name can sort below an already-listed name only if the writer is
+    * descheduled between the `currentTimeMillis` read and the rename
+    * syscall — a window of one syscall, not (as with naming at append
+    * time) the whole write job's runtime. The caller's `seq` acts as a
+    * floor so callers that hand out increasing seqs (e.g. the
+    * streaming sink's queryStart+epoch) keep their ordering even on a
+    * clock step backwards; ties break by `writerId`.
     */
   final class WalWriter private[LocalKVStore] (table: String, meta: TableMeta, seq: Long, writerId: String) {
     private val dir = tableDir(table)
@@ -208,14 +222,29 @@ final class LocalKVStore(root: String) {
       val shard = shardOf(meta, op.item)
       val w = open.getOrElseUpdate(shard,
         Files.newBufferedWriter(
-          dir.resolve(f"wal-$seq%020d-$writerId-s$shard%03d.jsonl"), UTF_8,
+          dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"), UTF_8,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND))
       w.write(ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item))))
       w.write("\n")
     }
 
     def flush(): Unit = open.values.foreach(_.flush())
-    def close(): Unit = open.values.foreach(_.close())
+
+    /** Publish: close and atomically rename every buffered file. */
+    def close(): Unit = open.foreach { case (shard, w) =>
+      w.close()
+      val pubSeq = math.max(seq, System.currentTimeMillis())
+      Files.move(
+        dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"),
+        dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Discard: close and delete the unpublished buffers. */
+    def abort(): Unit = open.foreach { case (shard, w) =>
+      w.close()
+      Files.deleteIfExists(dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"))
+    }
   }
 
   def walWriter(table: String, seq: Long, writerId: String): WalWriter =
