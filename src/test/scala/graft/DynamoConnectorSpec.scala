@@ -537,4 +537,49 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val back = store.scanSegment("orders", 0, 1).map(_._1).toSeq
     assert(back.size == 3)
   }
+
+  test("unclosed WAL buffers are invisible; close publishes, abort discards") {
+    val store = new LocalKVStore(freshRoot())
+    import graft.sources.dynamo.AttrVal
+    store.createTable("t", TableMeta("id", None, shards = 2, throughput = 1000))
+    def item(k: String) = Map("id" -> AttrVal.S(k))
+
+    val w = store.walWriter("t", 1L, "w0")
+    w.append(store.Put(item("a"))); w.flush()
+    // flushed but unpublished: no scan or change-feed listing sees it
+    assert(store.scanSegment("t", 0, 1).isEmpty)
+    assert(store.walFileNames("t").isEmpty)
+    w.close()
+    assert(store.scanSegment("t", 0, 1).map(_._1).toSeq.size == 1)
+
+    val loser = store.walWriter("t", 2L, "w1")
+    loser.append(store.Put(item("b")))
+    loser.abort()
+    // aborted writer leaves nothing — visible state unchanged
+    assert(store.scanSegment("t", 0, 1).map(_._1).toSeq.size == 1)
+    assert(store.walFileNames("t").size == 1)
+  }
+
+  test("cdc=true on a batch read fails fast instead of a phantom _op column") {
+    val root = freshRoot()
+    seedFruit(root)
+    val err = intercept[Exception] {
+      spark.read.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("cdc", "true").load().collect()
+    }
+    assert(err.getMessage.contains("cdc=true is a streaming option"))
+  }
+
+  test("cdc read rejects tables whose items already carry an _op attribute") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(("k1", "user-data")).toDF("id", "_op").write.dynamo(root, "t", "id")
+    val err = intercept[Exception] {
+      spark.readStream.format("dynamo")
+        .option("path", root).option("tableName", "t")
+        .option("cdc", "true").load()
+    }
+    assert(err.getMessage.contains("_op"))
+  }
 }

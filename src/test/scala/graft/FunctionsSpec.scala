@@ -80,6 +80,20 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid rejects ragged-dimension input with a clear error") {
+    import graft.functions.CentroidAgg
+    val b2 = CentroidAgg.reduce(CentroidAgg.zero, Seq(1.0, 2.0))
+    val err = intercept[IllegalArgumentException] {
+      CentroidAgg.reduce(b2, Seq(1.0, 2.0, 3.0))
+    }
+    assert(err.getMessage.contains("ragged"))
+    val b3 = CentroidAgg.reduce(CentroidAgg.zero, Seq(1.0, 2.0, 3.0))
+    val merr = intercept[IllegalArgumentException] {
+      CentroidAgg.merge(CentroidAgg.reduce(CentroidAgg.zero, Seq(1.0, 2.0)), b3)
+    }
+    assert(merr.getMessage.contains("ragged"))
+  }
+
   test("self-similarity is exactly 1 for unit-consistent vectors") {
     val e = Similarity.embDouble(spark, sfDir)
     val bad = e.select(Funcs.cosineSim(col("emb"), col("emb")).as("c"))
