@@ -154,6 +154,18 @@ object DynamoQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Point lookup (DynamoDB GetItem shape): the primary-key equality
+    // pins the owning shard, so the scan plans ONE input partition and
+    // reads one base shard + its own WAL slice — item-proportional,
+    // not table-proportional (PushdownLawsSpec property-tests the
+    // shard pruning against hostile key values).
+    "q_dyn_point" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .filter(col("c_custkey") === 42)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    }),
+
     // Typed read Dataset[GCustomer] — A7 — then back to a DataFrame.
     "q_dyn_typed" -> ((s, dir) => {
       val root = seededRoot(s, dir)
@@ -165,6 +177,9 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_dyn_point" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey = 42""".stripMargin,
     "q_dyn_range" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey <= 100 AND o_totalprice > 50000

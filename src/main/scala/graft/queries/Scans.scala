@@ -51,6 +51,29 @@ object Scans {
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
 
+    // Second SQL flagship (TPC-H Q10 shape): 4-way join — lineitem ⋈
+    // orders shuffles on the fact keys, nation (25 rows) broadcasts —
+    // returned-item revenue per customer, global top-20. Same
+    // statement on both engines.
+    "q_sql_tpch_q10" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Fixtures.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+          |            AS BIGINT) AS revenue_cents,
+          |       c_acctbal, n_name
+          |FROM customer, orders, lineitem, nation
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)
+    }),
+
     // B-2 predicates — each maps to a pushdown the reference translates
     // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
     // StringStartsWith, contains, boolean algebra).
@@ -109,6 +132,18 @@ object Scans {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        |            AS BIGINT) AS revenue_cents,
+        |       c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
     "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

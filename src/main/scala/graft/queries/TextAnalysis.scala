@@ -83,6 +83,39 @@ object TextAnalysis {
           round(col("n_chars_txt") / col("ws_tokens"), 4))
         .orderBy("doc_id")),
 
+    // Deterministic hash sampling — the production way to sample a
+    // 100 TB corpus: md5(key) prefix <= threshold admits a fixed,
+    // reproducible ~10% (0x00–0x19 = 26/256) slice with NO coordination
+    // — every executor decides per row, re-runs pick the identical
+    // rows (unlike rand()-based .sample), and the slice is stable
+    // under repartitioning. Pure map-side: predicate evaluates inside
+    // the scan, no shuffle at all.
+    "q_sample_hash" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // Repetition ratio — the C4/Gopher-style quality signal: fraction
+    // of duplicate word bigrams per document. Bigrams come from
+    // zipping the token array with its own tail (all inside codegen);
+    // ratio emitted as floor(x*1e4+0.5) for cross-engine determinism.
+    "q_text_repetition" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bg = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Fixtures.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), bg.as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          floor((lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")))
+            * 10000 + 0.5).as("rep_x1e4"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprint: polynomial rolling hash over the character
     // stream, h ← (31·h + codepoint) mod 1e9+7, as a sequential
     // `aggregate` fold — order-dependent by construction (that's what
@@ -98,6 +131,21 @@ object TextAnalysis {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |             list_transform(range(1, len(toks)),
+        |                            i -> toks[i] || ' ' || toks[i+1]) AS bg
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |       CAST(floor((1.0 - len(list_distinct(bg)) * 1.0 / len(bg))
+        |            * 10000 + 0.5) AS BIGINT) AS rep_x1e4
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH tokall AS (SELECT doc_id, lang,
         |                       unnest(string_split(text, ' ')) AS tok
