@@ -39,6 +39,9 @@ final case class DynamoOptions(
     writeBatchSize: Int,
     update: Boolean,
     delete: Boolean,
+    ifNotExists: Boolean,
+    ttlAttribute: Option[String],
+    ttlNow: Option[Long],
     hashKey: Option[String],
     rangeKey: Option[String],
     shards: Int,
@@ -79,6 +82,9 @@ object DynamoOptions {
       writeBatchSize = opt("writeBatchSize").map(_.toInt).getOrElse(25),
       update = m.getBoolean("update", false),
       delete = m.getBoolean("delete", false),
+      ifNotExists = m.getBoolean("ifNotExists", false),
+      ttlAttribute = opt("ttlAttribute"),
+      ttlNow = opt("ttlNow").map(_.toLong),
       hashKey = opt("hashKey"),
       rangeKey = opt("rangeKey"),
       shards = opt("shards").map(_.toInt).getOrElse(16),
@@ -578,6 +584,10 @@ final class DynamoPartitionReader(
   private val items: Iterator[(Item, Int)] =
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
 
+  // One clock per scan task: every item in the partition sees the same
+  // expiry cutoff (TTL — expired items are hidden, counted as filtered).
+  private val ttlNow = Ttl.now(opts)
+
   private var current: InternalRow = _
   private var emitted = 0
   private var scanned = 0L
@@ -589,10 +599,10 @@ final class DynamoPartitionReader(
       val (item0, sz) = items.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      val visible = index match {
+      val visible = (index match {
         case None => Some(item0)
         case Some((meta, ix)) => store.indexView(meta, ix, item0)
-      }
+      }).filter(Ttl.alive(opts, ttlNow))
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
           current = decode(it)
@@ -644,6 +654,7 @@ final class DynamoCountReader(
   private var emitted = false
   private var count = 0L
   private var scanned = 0L
+  private val ttlNow = Ttl.now(opts)
 
   override def next(): Boolean = {
     if (emitted) return false
@@ -651,10 +662,10 @@ final class DynamoCountReader(
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
-        val visible = index match {
+        val visible = (index match {
           case None => Some(item0)
           case Some((meta, ix)) => store.indexView(meta, ix, item0)
-        }
+        }).filter(Ttl.alive(opts, ttlNow))
         if (visible.exists(it => pushed.forall(FilterEval.eval(_, it)))) count += 1
       }
     emitted = true
@@ -714,6 +725,28 @@ private object WriteMetrics {
   * the write-rate budget across writers (A16: targetCapacity × WCU /
   * numPartitions).
   */
+/** DynamoDB TTL semantics (a service-level feature the connector
+  * surfaces as a read option): with `ttlAttribute` set, an item whose
+  * attribute holds a number <= the scan's epoch-second clock is
+  * expired and hidden from batch reads — the service deletes expired
+  * items lazily (up to ~48 h later), so correct readers filter.
+  * Missing or non-numeric attributes never expire an item, and the
+  * CDC journal keeps full history (TTL is a read-view concern, not a
+  * log rewrite). `ttlNow` pins the clock for reproducible reads.
+  */
+private object Ttl {
+  def now(opts: DynamoOptions): Long =
+    opts.ttlNow.getOrElse(System.currentTimeMillis() / 1000)
+
+  def alive(opts: DynamoOptions, nowEpochS: Long)(item: Item): Boolean =
+    opts.ttlAttribute.forall { attr =>
+      item.get(attr) match {
+        case Some(AttrVal.N(v)) => v > BigDecimal(nowEpochS)
+        case _ => true
+      }
+    }
+}
+
 private object WriteSetup {
   def ratePerWriter(opts: DynamoOptions, numPartitions: Int): Double = {
     val store = new LocalKVStore(opts.path)
@@ -736,6 +769,9 @@ private object WriteSetup {
     * partial-column updates, so names must come from the statement).
     */
   def validateSchema(opts: DynamoOptions, schema: StructType): Unit = {
+    require(!(opts.ifNotExists && (opts.update || opts.delete)),
+      "ifNotExists=true is a conditional PUT mode; it cannot combine " +
+        "with update=true or delete=true")
     val store = new LocalKVStore(opts.path)
     if (store.exists(opts.tableName)) {
       val meta = store.describe(opts.tableName)
@@ -846,6 +882,7 @@ final class DynamoDataWriter(
     val op: store.Op =
       if (opts.delete) store.Delete(item.view.filterKeys(keyAttrs).toMap)
       else if (opts.update) store.Update(item)
+      else if (opts.ifNotExists) store.PutIfAbsent(item)
       else store.Put(item)
     buffer += op
     rows += 1

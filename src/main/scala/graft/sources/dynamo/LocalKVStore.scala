@@ -184,6 +184,11 @@ final class LocalKVStore(root: String) {
   final case class Put(item: Item) extends Op
   final case class Update(item: Item) extends Op
   final case class Delete(item: Item) extends Op // item = key attrs only
+  /** Conditional put (DynamoDB `attribute_not_exists(pk)` condition):
+    * takes effect only if the key has no visible item at its point in
+    * replay order.
+    */
+  final case class PutIfAbsent(item: Item) extends Op
 
   /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
     * **sharded by the same key-hash as the base shards** — one file per
@@ -218,6 +223,7 @@ final class LocalKVStore(root: String) {
         case _: Put => "PUT"
         case _: Update => "UPDATE"
         case _: Delete => "DELETE"
+        case _: PutIfAbsent => "PUTNX"
       }
       val shard = shardOf(meta, op.item)
       val w = open.getOrElseUpdate(shard,
@@ -276,6 +282,7 @@ final class LocalKVStore(root: String) {
           case "PUT" => Put(item)
           case "UPDATE" => Update(item)
           case "DELETE" => Delete(item)
+          case "PUTNX" => PutIfAbsent(item)
         }
       }
 
@@ -315,24 +322,34 @@ final class LocalKVStore(root: String) {
     def inSegment(item: Item): Boolean =
       shardOf(meta, item) % totalSegments == segment
 
-    // WAL replay for this segment's keys. Value = None (deleted) or
-    // Some((attrs, replacesBase)): PUT replaces the base item wholesale,
-    // UPDATE merges non-key attrs over it (upsert) — the reference's
-    // UpdateItem semantics [REF: connector/TableConnector.scala — updateItem].
+    // WAL replay for this segment's keys. Each key's journal suffix
+    // composes into ONE function `Option[baseItem] => Option[visible]`,
+    // applied to the base item (or None for journal-only keys) at scan
+    // time — which expresses every op uniformly, including the
+    // base-dependent ones (UPDATE merges over whatever is visible;
+    // PUTNX takes effect only if nothing is):
+    //   PUT it    → _ => Some(it)          (replace wholesale)
+    //   DELETE    → _ => None
+    //   UPDATE it → prev => prev.map(_ ++ it).orElse(Some(it))  — the
+    //               reference's UpdateItem upsert
+    //               [REF: connector/TableConnector.scala — updateItem]
+    //   PUTNX it  → prev => prev.orElse(Some(it))
     // Per-shard WAL files mean this map holds only this segment's
     // overridden keys, bounded by the segment's own write volume.
-    val overrides = mutable.LinkedHashMap.empty[String, Option[(Item, Boolean)]]
+    type Fold = Option[Item] => Option[Item]
+    val overrides = mutable.LinkedHashMap.empty[String, Fold]
     walOps(table, segment, totalSegments).foreach { op =>
       if (inSegment(op.item)) {
         val k = keyOf(meta, op.item)
-        op match {
-          case Put(it)    => overrides(k) = Some((it, true))
-          case Delete(_)  => overrides(k) = None
-          case Update(it) => overrides(k) = overrides.get(k) match {
-            case Some(Some((prev, rep))) => Some((prev ++ it, rep))
-            case Some(None)              => Some((it, true)) // update after delete = fresh item
-            case None                    => Some((it, false)) // merge with base at scan time
-          }
+        val step: Fold = op match {
+          case Put(it)         => _ => Some(it)
+          case Delete(_)       => _ => None
+          case Update(it)      => prev => prev.map(_ ++ it).orElse(Some(it))
+          case PutIfAbsent(it) => prev => prev.orElse(Some(it))
+        }
+        overrides(k) = overrides.get(k) match {
+          case Some(prior) => prior.andThen(step)
+          case None        => step
         }
       }
     }
@@ -351,15 +368,12 @@ final class LocalKVStore(root: String) {
       seen += k
       overrides.get(k) match {
         case None => Some((item, line.length))
-        case Some(None) => None // deleted
-        case Some(Some((attrs, replacesBase))) =>
-          val merged = if (replacesBase) attrs else item ++ attrs
-          Some((merged, ItemJson.write(merged).length))
+        case Some(fold) => fold(Some(item)).map(m => (m, ItemJson.write(m).length))
       }
     }
-    def fresh = overrides.iterator.collect {
-      case (k, Some((it, _))) if !seen.contains(k) =>
-        (it, ItemJson.write(it).length)
+    def fresh = overrides.iterator.flatMap { case (k, fold) =>
+      if (seen.contains(k)) None
+      else fold(None).map(it => (it, ItemJson.write(it).length))
     }
     // Iterator ++ is lazy left-to-right, so `fresh` (which needs the
     // final `seen` set) is only evaluated after baseItems drains.

@@ -366,6 +366,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(joined.count() === 3L)
   }
 
+  test("cdcGraceMs lags the offset fence until publishes age past it") {
+    import graft.sources.dynamo.{DynamoMicroBatchStream, DynamoOptions, WalOffset}
+    val root = freshRoot()
+    seedFruit(root) // journal files published milliseconds ago
+    def stream(graceMs: String) = new DynamoMicroBatchStream(
+      DynamoOptions(java.util.Map.of(
+        "path", root, "tableName", "fruit", "cdcGraceMs", graceMs)),
+      new org.apache.spark.sql.types.StructType(), Array.empty)
+    // fence an hour in the past: fresh publishes are not yet claimable
+    assert(stream("3600000").latestOffset().asInstanceOf[WalOffset].last === "")
+    // no grace: the same files are claimable immediately
+    assert(stream("0").latestOffset().asInstanceOf[WalOffset].last.nonEmpty)
+  }
+
   test("streaming read replays the journal as a CDC feed and tails new writes") {
     import spark.implicits._
     val root = freshRoot()
@@ -558,6 +572,53 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // aborted writer leaves nothing — visible state unchanged
     assert(store.scanSegment("t", 0, 1).map(_._1).toSeq.size == 1)
     assert(store.walFileNames("t").size == 1)
+  }
+
+  test("ifNotExists=true puts only keys with no visible item (conditional put)") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    // apple exists → kept; elderberry absent → inserted
+    Seq(("apple", "SHOULD_NOT_WIN"), ("elderberry", "purple"))
+      .toDF("name", "color")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("ifNotExists", "true").mode("append").save()
+    val back = spark.read.dynamo(root, "fruit")
+      .select("name", "color").orderBy("name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(
+      ("apple", "red"), ("banana", "yellow"), ("cherry", "red"),
+      ("durian", "green"), ("elderberry", "purple")))
+    // conditional put composes with modes: ifNotExists + update rejected
+    val err = intercept[Exception] {
+      Seq(("fig", "brown")).toDF("name", "color")
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("ifNotExists", "true").option("update", "true")
+        .mode("append").save()
+    }
+    assert(err.getMessage.contains("ifNotExists"))
+  }
+
+  test("ttlAttribute hides expired items from scans and COUNT pushdown") {
+    import spark.implicits._
+    val root = freshRoot()
+    // expires_at in epoch seconds: 100 is long past, 2_000_000_000 far future
+    Seq(("a", 100L), ("b", 2000000000L), ("c", 100L))
+      .toDF("id", "expires_at")
+      .write.dynamo(root, "t", "id")
+    def read(ttl: Boolean) = {
+      val r = spark.read.format("dynamo")
+        .option("path", root).option("tableName", "t")
+      (if (ttl) r.option("ttlAttribute", "expires_at")
+               .option("ttlNow", "1000000000") else r).load()
+    }
+    assert(read(ttl = false).count() == 3) // without the option: all visible
+    val alive = read(ttl = true)
+    assert(alive.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("b"))
+    // COUNT(*) pushdown path applies the same expiry
+    assert(alive.agg(count(lit(1))).collect().head.getLong(0) == 1L)
   }
 
   test("cdc=true on a batch read fails fast instead of a phantom _op column") {

@@ -39,7 +39,7 @@ class StoreLawsSpec extends AnyFunSuite {
   private def withKey(k: String, attrs: Item): Item = attrs + ("id" -> AttrVal.S(k))
 
   private val genOp: Gen[(String, String, Item)] = for {
-    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE")
+    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE", 2 -> "PUTNX")
     k <- genKey
     attrs <- genAttrs
   } yield (tag, k, attrs)
@@ -62,6 +62,7 @@ class StoreLawsSpec extends AnyFunSuite {
         case "PUT"    => m + (k -> item)
         case "DELETE" => m - k
         case "UPDATE" => m + (k -> (m.getOrElse(k, Map.empty: Item) ++ item))
+        case "PUTNX"  => if (m.contains(k)) m else m + (k -> item)
       }
     }
 
@@ -76,6 +77,7 @@ class StoreLawsSpec extends AnyFunSuite {
           ops.map {
             case ("PUT", k, a)    => store.Put(withKey(k, a))
             case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
+            case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
             case (_, k, a)        => store.Update(withKey(k, a))
           })
       }
