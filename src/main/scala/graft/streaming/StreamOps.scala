@@ -61,6 +61,30 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time interval: each click
+    * pairs with the same user's views from the preceding `horizon`.
+    * Watermarks on BOTH sides + the time-range predicate are what let
+    * the engine bound join state: a buffered view is droppable once
+    * the click watermark passes view_ts + horizon, so state per user
+    * is one horizon's worth of events, not the stream's history —
+    * the canonical attribution-join shape at any scale.
+    */
+  def clickViewJoin(
+      clicks: DataFrame, views: DataFrame,
+      horizon: String = "10 minutes", watermark: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Custom per-key state via `mapGroupsWithState` (the extension point
     * windowed aggregation can't reach): lifetime running count + value
     * sum per event type, re-emitted each micro-batch the key appears in

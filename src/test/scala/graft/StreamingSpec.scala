@@ -226,6 +226,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  case class UEv(ts: Timestamp, user_id: Long, event_id: Long)
+
+  test("stream-stream interval join pairs clicks with in-horizon views only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[UEv]
+    val views = MemoryStream[UEv]
+    val q = startAppend(
+      StreamOps.clickViewJoin(clicks.toDF(), views.toDF()), "ssjoin")
+    try {
+      views.addData(
+        UEv(t("2024-01-01 10:00:00"), 1L, 100L), // 5 min before click: in horizon
+        UEv(t("2024-01-01 09:40:00"), 1L, 101L), // 25 min before: outside
+        UEv(t("2024-01-01 10:02:00"), 2L, 102L)) // other user
+      clicks.addData(UEv(t("2024-01-01 10:05:00"), 1L, 200L))
+      q.processAllAvailable()
+      // advance both watermarks so the joined row finalizes in append
+      // mode (distinct users so the advance events don't join)
+      views.addData(UEv(t("2024-01-01 11:00:00"), 8L, 109L))
+      clicks.addData(UEv(t("2024-01-01 11:00:00"), 9L, 209L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("view_id")))
+      assert(rows.toSet === Set((1L, 200L, 100L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
