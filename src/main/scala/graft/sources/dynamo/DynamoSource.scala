@@ -100,7 +100,7 @@ object DynamoOptions {
   * [REF: datasource/DefaultSource.scala — DefaultSource extends
   * TableProvider with DataSourceRegister].
   */
-final class DynamoTableProvider extends TableProvider with DataSourceRegister {
+class DynamoTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "dynamo"
 
@@ -140,6 +140,14 @@ final class DynamoTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new DynamoTable(DynamoOptions(properties), schema)
+}
+
+/** Migration-compatible short name: the reference registers
+  * `"dynamodb"` [REF: datasource/DefaultSource.scala], so a user's
+  * existing `spark.read.format("dynamodb")` resolves unchanged.
+  */
+final class DynamoDbCompatProvider extends DynamoTableProvider {
+  override def shortName(): String = "dynamodb"
 }
 
 final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)

@@ -23,6 +23,10 @@ object Implicits {
         .option("path", path).option("tableName", tableName)
         .option("indexName", indexName)
         .load()
+
+    /** Reference-spelled alias [REF: implicits — `dynamodb`]. */
+    def dynamodb(path: String, tableName: String): DataFrame =
+      dynamo(path, tableName)
   }
 
   implicit final class DynamoSessionOps(private val spark: SparkSession) extends AnyVal {
@@ -37,6 +41,10 @@ object Implicits {
         .load()
         .as[T](enc)
     }
+
+    /** Reference-spelled alias [REF: implicits — `dynamodbAs[T]`]. */
+    def dynamodbAs[T <: Product : TypeTag](path: String, tableName: String): Dataset[T] =
+      dynamoAs[T](path, tableName)
   }
 
   implicit final class DynamoStreamReaderOps(private val reader: DataStreamReader) extends AnyVal {
@@ -56,5 +64,9 @@ object Implicits {
         .option("path", path).option("tableName", tableName).option("hashKey", hashKey)
         .mode("append")
         .save()
+
+    /** Reference-spelled alias [REF: implicits — `dynamodb`]. */
+    def dynamodb(path: String, tableName: String, hashKey: String): Unit =
+      dynamo(path, tableName, hashKey)
   }
 }

@@ -14,6 +14,8 @@ import graft.sources.dynamo.{IndexMeta, LocalKVStore, TableMeta}
   * put → read-after-write equality, update-merge semantics, delete,
   * pushdown on/off equivalence, typed read.
   */
+case class KV(id: String, v: Double)
+
 class DynamoConnectorSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -364,6 +366,16 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // so SupportsReportStatistics should make it the build side
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(joined.count() === 3L)
+  }
+
+  test("reference-spelled API works: format(\"dynamodb\") and dynamodb/dynamodbAs") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(("k1", 1.5)).toDF("id", "v").write.dynamodb(root, "t", "id")
+    assert(spark.read.format("dynamodb")
+      .option("path", root).option("tableName", "t").load().count() === 1L)
+    assert(spark.read.dynamodb(root, "t").count() === 1L)
+    assert(spark.dynamodbAs[KV](root, "t").collect().toSeq === Seq(KV("k1", 1.5)))
   }
 
   test("cdcGraceMs lags the offset fence until publishes age past it") {

@@ -69,4 +69,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BatchScan dynamo:customer"))
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
   }
+
+  test("TPC-H Q10 broadcasts the dimension and keeps the top-k global sort bounded") {
+    // run to let AQE settle on the final plan
+    val df = SparkEntry.queries("q_sql_tpch_q10")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // nation (25 rows) must come in as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"))
+    // LIMIT 20 over the ordered aggregate lowers to TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("point lookup prunes the connector scan to one partition") {
+    val df = SparkEntry.queries("q_dyn_point")(spark, sf)
+    assert(df.rdd.getNumPartitions === 1)
+  }
+
+  test("hash sampling stays map-side: no exchange before the filter") {
+    val df = SparkEntry.queries("q_sample_hash")(spark, sf)
+    // the only exchange allowed is the final orderBy's range partitioning
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") ===
+      p.sliding("rangepartitioning".length).count(_.equalsIgnoreCase("rangepartitioning")))
+  }
 }
