@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Fixtures
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near/exact-duplicate detection at corpus scale (SURVEY.md §2B B-9).
@@ -31,7 +30,7 @@ import org.apache.spark.sql.functions._
   *    `q_sim_ann_bucket`).
   *
   * Every hash here is an explicit affine formula over deterministic
-  * token ids (alphabetical rank), so the DuckDB oracle reproduces the
+  * token ids (md5-prefix integers), so the DuckDB oracle reproduces the
   * EXACT same signatures — the correctness check covers the hashing,
   * banding and verification math, not just the final filter.
   */
@@ -60,16 +59,21 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Token ids = alphabetical rank over the corpus vocabulary. The
-    * unpartitioned window is safe because it runs on the DISTINCT
-    * vocabulary (bounded; e.g. English BPE ~50k), not the corpus, and
-    * the result is broadcast back to the token stream.
+  /** Token ids = 44-bit integers from the md5 prefix — a pure per-row
+    * codegen'd expression, no vocabulary shuffle/window/broadcast
+    * anywhere. A rank-based id needs a global sort of the distinct
+    * vocabulary (an unpartitioned window — a single-task bottleneck at
+    * web-corpus vocabulary sizes); the hash id costs one expression
+    * per token and the oracle reproduces it bit-identically
+    * (`('0x' || substring(md5(tok),1,11))::BIGINT`). 44 bits keeps
+    * every affine-hash product (max multiplier 33841) inside int64
+    * under ANSI arithmetic; hash collisions (~|V|²/2⁴⁵) only nudge
+    * sketch quality, never cross-engine agreement, because both
+    * engines compute the identical id.
     */
-  private def withTokId(tok: DataFrame): DataFrame = {
-    val vocab = tok.select("tok").distinct()
-      .withColumn("tokid", row_number().over(Window.orderBy("tok")))
-    tok.join(broadcast(vocab), "tok")
-  }
+  private def withTokId(tok: DataFrame): DataFrame =
+    tok.withColumn("tokid",
+      conv(substring(md5(col("tok")), 1, 11), 16, 10).cast("long"))
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs; output
     * pairs with jaccard ≥ 0.6 (integer-exact threshold, rule D2).
@@ -190,9 +194,9 @@ object Dedup {
     "q_dedup_minhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
-        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tokid
-        |          FROM (SELECT DISTINCT tok FROM tok0)),
-        |toks AS (SELECT doc_id, tokid FROM tok0 JOIN vocab USING (tok)),
+        |toks AS (SELECT doc_id,
+        |                ('0x' || substring(md5(tok), 1, 11))::BIGINT AS tokid
+        |         FROM tok0),
         |p(i, a, b) AS (VALUES (0,1103,12345),(1,5077,999),(2,9173,471),
         |  (3,7919,8191),(4,2663,30269),(5,4271,11213),(6,6619,257),
         |  (7,3541,49157),(8,7333,6007),(9,9901,331),(10,5683,7039),
@@ -218,10 +222,10 @@ object Dedup {
     "q_dedup_simhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
-        |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tokid
-        |          FROM (SELECT DISTINCT tok FROM tok0)),
-        |tf AS (SELECT doc_id, tokid, count(*) AS tf
-        |       FROM tok0 JOIN vocab USING (tok) GROUP BY 1, 2),
+        |tf AS (SELECT doc_id,
+        |              ('0x' || substring(md5(tok), 1, 11))::BIGINT AS tokid,
+        |              count(*) AS tf
+        |       FROM tok0 GROUP BY 1, 2),
         |bits AS (SELECT b, 3571 + 2 * 1009 * b AS sa, 1277 + 4057 * b AS sc
         |         FROM (SELECT unnest(generate_series(0, 15)) AS b)),
         |contrib AS (SELECT doc_id, b,
