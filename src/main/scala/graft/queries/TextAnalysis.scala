@@ -83,6 +83,33 @@ object TextAnalysis {
           round(col("n_chars_txt") / col("ws_tokens"), 4))
         .orderBy("doc_id")),
 
+    // The flagship curation pipeline — the C4-style shape every
+    // training-data corpus goes through, composed end-to-end from the
+    // engine's own operators: language filter → surface-quality gates
+    // (length, stopword ratio) → exact dedup by content digest (keep
+    // min doc_id) → deterministic hash sample. Two linear passes over
+    // the corpus (per-doc stats map-side; one narrow digest shuffle)
+    // + a keyed semi-join — no stage is super-linear, so the plan is
+    // the one you'd run at 100 TB.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val q = docs.select(col("doc_id"), col("lang"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"),
+        size(filter(toks, t => t === "the" || t === "a")).as("n_stop"))
+      val keep = docs.groupBy(sha2(col("text"), 256))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      q.join(keep, "doc_id")
+        .filter(col("lang") === "en" && col("n_tok") >= 20 &&
+                col("n_stop") * lit(1.0) / col("n_tok") < 0.4)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor(col("n_uniq") * lit(1.0) / col("n_tok") * 10000 + 0.5)
+            .as("ttr_x1e4"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <= "7")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash sampling — the production way to sample a
     // 100 TB corpus: md5(key) prefix <= threshold admits a fixed,
     // reproducible ~10% (0x00–0x19 = 26/256) slice with NO coordination
@@ -131,6 +158,23 @@ object TextAnalysis {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      """WITH q AS (SELECT doc_id, text, lang,
+        |         len(string_split(text, ' ')) AS n_tok,
+        |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a'))) AS n_stop
+        |       FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |         GROUP BY sha256(text))
+        |SELECT doc_id, lang, n_tok,
+        |       CAST(floor((n_uniq * 1.0 / n_tok) * 10000 + 0.5) AS BIGINT)
+        |         AS ttr_x1e4
+        |FROM q JOIN keep USING (doc_id)
+        |WHERE lang = 'en' AND n_tok >= 20
+        |  AND n_stop * 1.0 / n_tok < 0.4
+        |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
