@@ -42,12 +42,17 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_pairs" -> ((s, dir) => {
+      // Norms precomputed per vector (n folds), not per pair (n² folds)
+      // — the same factoring the oracle's CTE uses, and bit-identical
+      // to inlining since each vector's fold order is unchanged.
       val e = embDouble(s, dir).filter(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
-      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"))
+        .withColumn("nrm", norm(col("emb")))
+      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"), col("nrm").as("nb"))
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-                round(cosine(col("ea"), col("eb")), 4).as("cosine"))
+                round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+                  .as("cosine"))
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
         .limit(10)
     }),

@@ -118,8 +118,10 @@ object TextOps {
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      // document frequency from the tf aggregate, not a second explode:
+      // tf's rows ARE the distinct (doc, token) pairs, and the identical
+      // subplan lets ReuseExchange scan+shuffle the corpus once.
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
