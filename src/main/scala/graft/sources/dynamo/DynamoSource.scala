@@ -607,10 +607,15 @@ final class DynamoPartitionReader(
       val (item0, sz) = items.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      val visible = (index match {
-        case None => Some(item0)
-        case Some((meta, ix)) => store.indexView(meta, ix, item0)
-      }).filter(Ttl.alive(opts, ttlNow))
+      // TTL checks the BASE item: an index projection may omit the ttl
+      // attribute, and DynamoDB expires index entries with their table
+      // item regardless of projection.
+      val visible =
+        if (!Ttl.alive(opts, ttlNow)(item0)) None
+        else index match {
+          case None => Some(item0)
+          case Some((meta, ix)) => store.indexView(meta, ix, item0)
+        }
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
           current = decode(it)
@@ -670,10 +675,12 @@ final class DynamoCountReader(
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
-        val visible = (index match {
-          case None => Some(item0)
-          case Some((meta, ix)) => store.indexView(meta, ix, item0)
-        }).filter(Ttl.alive(opts, ttlNow))
+        val visible =
+          if (!Ttl.alive(opts, ttlNow)(item0)) None
+          else index match {
+            case None => Some(item0)
+            case Some((meta, ix)) => store.indexView(meta, ix, item0)
+          }
         if (visible.exists(it => pushed.forall(FilterEval.eval(_, it)))) count += 1
       }
     emitted = true

@@ -236,10 +236,16 @@ final class LocalKVStore(root: String) {
 
     def flush(): Unit = open.values.foreach(_.flush())
 
-    /** Publish: close and atomically rename every buffered file. */
+    /** Publish: close and atomically rename every buffered file. The
+      * existence loop bumps the seq past a same-millisecond publish by
+      * the same writerId+shard — POSIX rename would otherwise replace
+      * the earlier file silently.
+      */
     def close(): Unit = open.foreach { case (shard, w) =>
       w.close()
-      val pubSeq = math.max(seq, System.currentTimeMillis())
+      var pubSeq = math.max(seq, System.currentTimeMillis())
+      while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl")))
+        pubSeq += 1
       Files.move(
         dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"),
         dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl"),

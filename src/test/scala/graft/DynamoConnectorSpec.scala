@@ -631,6 +631,17 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(alive.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("b"))
     // COUNT(*) pushdown path applies the same expiry
     assert(alive.agg(count(lit(1))).collect().head.getLong(0) == 1L)
+
+    // expiry must hold through a GSI whose projection OMITS the ttl
+    // attribute (DynamoDB expires index entries with their table item)
+    val store = new LocalKVStore(root)
+    store.createIndex("t", "by_id", IndexMeta("id", None, Some(Seq.empty)))
+    val viaIx = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_id")
+      .option("ttlAttribute", "expires_at").option("ttlNow", "1000000000")
+      .load()
+    assert(viaIx.select("id").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
   test("cdc=true on a batch read fails fast instead of a phantom _op column") {
