@@ -448,6 +448,32 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC feed composes with windowed streaming aggregation") {
+    import spark.implicits._
+    val root = freshRoot()
+    // epoch-second event times: two in the 10:00 hour, one in 11:00
+    val h10 = 1704103200L // 2024-01-01 10:00:00 UTC
+    Seq(("e1", h10 + 60, 2.0), ("e2", h10 + 1800, 3.0), ("e3", h10 + 3660, 5.0))
+      .toDF("eid", "ts_epoch", "value")
+      .write.dynamo(root, "ev", "eid")
+    val q = spark.readStream.dynamoStream(root, "ev")
+      .select(col("eid"), col("ts_epoch").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .select(col("window.start").as("ws"), col("cnt"), col("sv"))
+      .writeStream.format("memory").queryName("cdcagg")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdcagg").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws").getTime / 1000, r.getAs[Long]("cnt"), r.getAs[Double]("sv")))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq((h10, 2L, 5.0), (h10 + 3600, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming read resumes from a checkpoint without replaying delivered files") {
     import spark.implicits._
     val root = freshRoot()
