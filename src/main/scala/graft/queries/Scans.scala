@@ -74,6 +74,31 @@ object Scans {
           |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)
     }),
 
+    // Third SQL flagship (TPC-H Q5 shape): the 6-way join touching
+    // every TPC-H table — lineitem⋈orders⋈customer⋈supplier shuffle on
+    // fact keys; nation and region (25 / 5 rows) broadcast; the
+    // c_nationkey = s_nationkey local-supplier condition makes it the
+    // classic multi-equi-join reorder test.
+    "q_sql_tpch_q5" -> ((s, dir) => {
+      Seq("customer" -> Fixtures.customer(s, dir), "orders" -> Fixtures.orders(s, dir),
+          "lineitem" -> Fixtures.lineitem(s, dir), "supplier" -> Fixtures.supplier(s, dir),
+          "nation" -> Fixtures.nation(s, dir), "region" -> Fixtures.region(s, dir))
+        .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      s.sql(
+        """SELECT n_name,
+          |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+          |            AS BIGINT) AS revenue_cents
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+    }),
+
     // B-2 predicates — each maps to a pushdown the reference translates
     // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
     // StringStartsWith, contains, boolean algebra).
@@ -144,6 +169,19 @@ object Scans {
         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        |            AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
