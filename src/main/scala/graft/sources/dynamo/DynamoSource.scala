@@ -48,7 +48,8 @@ final case class DynamoOptions(
     indexName: Option[String],
     cdc: Boolean,
     startingOffsets: String,
-    cdcGraceMs: Long) extends Serializable
+    cdcGraceMs: Long,
+    cdcPendingTmpMs: Long) extends Serializable
 
 object DynamoOptions {
 
@@ -91,7 +92,8 @@ object DynamoOptions {
       indexName = opt("indexName"),
       cdc = m.getBoolean("cdc", false),
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
-      cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L))
+      cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
+      cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L))
   }
 }
 
@@ -433,14 +435,15 @@ object WalOffset {
   * Delivery: WAL files are published atomically (tmp + rename, named
   * by publish time — see [[graft.sources.dynamo.LocalKVStore.WalWriter]]),
   * so listings never see torn or in-flight files, and `latestOffset`
-  * admits names only through a publish-time fence (`now - cdcGraceMs`):
-  * a publisher racing the listing lands in the next batch instead of
-  * being skipped behind a larger committed offset. The remaining loss
-  * window is a writer descheduled between stamping its publish seq and
-  * completing the rename syscall while an offset is captured in
-  * between — microseconds, not (as with naming at write-job start) the
-  * job's whole runtime; deployments that need to cover even that can
-  * lag the fence with `cdcGraceMs`.
+  * admits names only through a fence held BELOW both the grace-lagged
+  * clock (`now - cdcGraceMs`) and every live in-flight write buffer
+  * (`pendingWalFloor`): a publisher racing the listing — even one
+  * descheduled for seconds mid-rename — lands in a later batch instead
+  * of being skipped behind a committed offset. The residual window is
+  * a writer that goes completely silent for longer than
+  * `cdcPendingTmpMs` (default 60 s) between its last buffered write
+  * and its publish rename, then wakes and completes — raise that
+  * option in environments with longer worst-case pauses.
   */
 final class DynamoMicroBatchStream(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
@@ -453,20 +456,35 @@ final class DynamoMicroBatchStream(
 
   // Monotone cursor: latestOffset must stand still when nothing new
   // published, or `processAllAvailable` (which waits for a no-new-data
-  // trigger) would chase an ever-advancing offset forever.
+  // trigger) would chase an ever-advancing offset forever. It is also
+  // floored by every offset the engine shows us (checkpointed starts
+  // via deserializeOffset, batch ends via commit), so a restart with a
+  // raised fence can never claim an offset BELOW the checkpoint and
+  // re-deliver already-committed journal files.
   private var lastSeen: String = ""
+  private def lift(name: String): Unit =
+    synchronized { if (name > lastSeen) lastSeen = name }
 
-  /** Max *published* file name, admitted through a publish-time fence:
-    * only names stamped at or before `now - cdcGraceMs` are eligible,
-    * so a writer racing this listing — stamped before the fence but
-    * not yet renamed — is picked up by the next trigger instead of
-    * being skipped behind a larger committed offset. (`~` > `-` makes
-    * the fence inclusive of every name sharing its millisecond.)
+  /** Max *published* file name, admitted through a fence that is the
+    * LOWER of two bounds: the grace-lagged clock (`now - cdcGraceMs`)
+    * and one below the oldest live in-flight write buffer
+    * ([[LocalKVStore.pendingWalFloor]] — a buffer's eventual published
+    * name always carries `pubSeq >= seq`, so holding the fence under
+    * it means even a writer descheduled for seconds inside its publish
+    * rename cannot land behind a committed offset; its file is simply
+    * claimed by a later trigger). Buffers idle past `cdcPendingTmpMs`
+    * are presumed crashed and stop holding the feed back. (`~` > `-`
+    * makes the fence inclusive of every name sharing its millisecond.)
     */
   override def latestOffset(): Offset = {
-    val fence = f"wal-${System.currentTimeMillis() - opts.cdcGraceMs}%020d~"
+    val clockBound = System.currentTimeMillis() - opts.cdcGraceMs
+    val bound = store.pendingWalFloor(opts.tableName, opts.cdcPendingTmpMs) match {
+      case Some(floor) => math.min(clockBound, floor - 1)
+      case None        => clockBound
+    }
+    val fence = f"wal-$bound%020d~"
     val eligible = store.walFileNames(opts.tableName).filter(_ <= fence)
-    if (eligible.nonEmpty && eligible.max > lastSeen) lastSeen = eligible.max
+    if (eligible.nonEmpty) lift(eligible.max)
     WalOffset(lastSeen)
   }
 
@@ -485,8 +503,13 @@ final class DynamoMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new DynamoWalReaderFactory(opts, schema, pushed)
 
-  override def deserializeOffset(json: String): Offset = WalOffset.parse(json)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val o = WalOffset.parse(json)
+    lift(o.last) // checkpointed offsets floor the cursor across restarts
+    o
+  }
+  override def commit(end: Offset): Unit =
+    lift(end.asInstanceOf[WalOffset].last)
   override def stop(): Unit = ()
 }
 
@@ -753,10 +776,12 @@ private object Ttl {
   def now(opts: DynamoOptions): Long =
     opts.ttlNow.getOrElse(System.currentTimeMillis() / 1000)
 
+  // DynamoDB expires items whose attribute is STRICTLY LESS than the
+  // current epoch time, so an item stamped exactly `now` is still alive.
   def alive(opts: DynamoOptions, nowEpochS: Long)(item: Item): Boolean =
     opts.ttlAttribute.forall { attr =>
       item.get(attr) match {
-        case Some(AttrVal.N(v)) => v > BigDecimal(nowEpochS)
+        case Some(AttrVal.N(v)) => v >= BigDecimal(nowEpochS)
         case _ => true
       }
     }

@@ -262,10 +262,14 @@ final class LocalKVStore(root: String) {
   def walWriter(table: String, seq: Long, writerId: String): WalWriter =
     new WalWriter(table, describe(table), seq, writerId)
 
-  /** One-shot WAL append (convenience over [[WalWriter]]). */
+  /** One-shot WAL append (convenience over [[WalWriter]]). All-or-
+    * nothing per file: a failure mid-sequence discards the buffers
+    * instead of publishing the partial prefix.
+    */
   def appendWal(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
     val w = walWriter(table, seq, writerId)
-    try ops.foreach(w.append) finally w.close()
+    try { ops.foreach(w.append); w.close() }
+    catch { case e: Throwable => w.abort(); throw e }
   }
 
   private def walShard(p: Path): Int = {
@@ -302,6 +306,35 @@ final class LocalKVStore(root: String) {
   def walFileNames(table: String): Seq[String] =
     listFiles(table, "wal-").map(_.getFileName.toString)
 
+  /** Oldest caller seq among LIVE unpublished WAL buffers (`.tmp`
+    * files modified within `liveWithinMs`), if any. A buffer's final
+    * published name always carries `pubSeq >= seq`, so a change-feed
+    * fence held strictly below this floor can never be overtaken by an
+    * in-flight publish — even one descheduled for seconds inside
+    * close(). Buffers idle longer than the window are presumed dead
+    * (crashed writer) and ignored.
+    */
+  def pendingWalFloor(table: String, liveWithinMs: Long): Option[Long] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val cutoff = System.currentTimeMillis() - liveWithinMs
+    val stream = Files.list(dir)
+    try {
+      val seqs = stream.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        val live = n.startsWith(".wal-") && n.endsWith(".jsonl.tmp") &&
+          (try Files.getLastModifiedTime(p).toMillis >= cutoff
+           catch { case _: java.io.IOException => false }) // racing publish
+        if (!live) None
+        else {
+          val s = n.stripPrefix(".wal-").takeWhile(_ != '-')
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        }
+      }.toSeq
+      if (seqs.isEmpty) None else Some(seqs.min)
+    } finally stream.close()
+  }
+
   /** Ops of one WAL file as (tag, item, serializedBytes) — the unit of
     * work one streaming input partition replays.
     */
@@ -329,34 +362,45 @@ final class LocalKVStore(root: String) {
       shardOf(meta, item) % totalSegments == segment
 
     // WAL replay for this segment's keys. Each key's journal suffix
-    // composes into ONE function `Option[baseItem] => Option[visible]`,
-    // applied to the base item (or None for journal-only keys) at scan
-    // time — which expresses every op uniformly, including the
-    // base-dependent ones (UPDATE merges over whatever is visible;
-    // PUTNX takes effect only if nothing is):
-    //   PUT it    → _ => Some(it)          (replace wholesale)
-    //   DELETE    → _ => None
-    //   UPDATE it → prev => prev.map(_ ++ it).orElse(Some(it))  — the
-    //               reference's UpdateItem upsert
-    //               [REF: connector/TableConnector.scala — updateItem]
-    //   PUTNX it  → prev => prev.orElse(Some(it))
+    // collapses EAGERLY into a two-sided normal form
+    //   (present: what the base item becomes, absent: what nothing
+    //    becomes)
+    // where `present` is either Left(result) — base-independent
+    // (PUT/DELETE won) — or Right(attrs) — merge `attrs` over the base
+    // (pending UPDATEs; the reference's UpdateItem upsert
+    // [REF: connector/TableConnector.scala — updateItem]). The algebra
+    // of {PUT, DELETE, UPDATE, PUTNX} is closed over this form, so
+    // state stays O(1) per key (one attrs map, bounded by item size)
+    // no matter how many ops the journal holds — never a chain of
+    // per-op closures, and resolution at scan time is a single merge.
     // Per-shard WAL files mean this map holds only this segment's
     // overridden keys, bounded by the segment's own write volume.
-    type Fold = Option[Item] => Option[Item]
-    val overrides = mutable.LinkedHashMap.empty[String, Fold]
+    final case class KeyState(present: Either[Option[Item], Item], absent: Option[Item])
+    def applyOp(st: KeyState, op: Op): KeyState = op match {
+      case Put(it)    => KeyState(Left(Some(it)), Some(it))
+      case Delete(_)  => KeyState(Left(None), None)
+      case Update(it) => KeyState(
+        st.present match {
+          case Left(Some(x)) => Left(Some(x ++ it))
+          case Left(None)    => Left(Some(it)) // update after delete = fresh item
+          case Right(m)      => Right(m ++ it)
+        },
+        st.absent.map(_ ++ it).orElse(Some(it)))
+      case PutIfAbsent(it) => KeyState(
+        st.present match {
+          case Left(None) => Left(Some(it)) // deleted = absent → NX wins
+          case other      => other          // any visible value → no-op
+        },
+        st.absent.orElse(Some(it)))
+    }
+    // A key first touched by UPDATE merges with the base at scan time;
+    // by PUTNX keeps the base untouched (present → no-op).
+    val init = KeyState(Right(Map.empty: Item), None)
+    val overrides = mutable.LinkedHashMap.empty[String, KeyState]
     walOps(table, segment, totalSegments).foreach { op =>
       if (inSegment(op.item)) {
         val k = keyOf(meta, op.item)
-        val step: Fold = op match {
-          case Put(it)         => _ => Some(it)
-          case Delete(_)       => _ => None
-          case Update(it)      => prev => prev.map(_ ++ it).orElse(Some(it))
-          case PutIfAbsent(it) => prev => prev.orElse(Some(it))
-        }
-        overrides(k) = overrides.get(k) match {
-          case Some(prior) => prior.andThen(step)
-          case None        => step
-        }
+        overrides(k) = applyOp(overrides.getOrElse(k, init), op)
       }
     }
 
@@ -374,12 +418,17 @@ final class LocalKVStore(root: String) {
       seen += k
       overrides.get(k) match {
         case None => Some((item, line.length))
-        case Some(fold) => fold(Some(item)).map(m => (m, ItemJson.write(m).length))
+        case Some(st) =>
+          val resolved = st.present match {
+            case Left(r)  => r
+            case Right(m) => Some(item ++ m)
+          }
+          resolved.map(m => (m, ItemJson.write(m).length))
       }
     }
-    def fresh = overrides.iterator.flatMap { case (k, fold) =>
+    def fresh = overrides.iterator.flatMap { case (k, st) =>
       if (seen.contains(k)) None
-      else fold(None).map(it => (it, ItemJson.write(it).length))
+      else st.absent.map(it => (it, ItemJson.write(it).length))
     }
     // Iterator ++ is lazy left-to-right, so `fresh` (which needs the
     // final `seen` set) is only evaluated after baseItems drains.
@@ -419,6 +468,22 @@ final class LocalKVStore(root: String) {
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     listFiles(table, "wal-").filter(walShard(_) == shard).foreach(Files.delete)
+    // Reap abandoned write buffers for this shard: a `.tmp` untouched
+    // for an hour has no live writer (crashed before publish). Deleting
+    // it both bounds orphan accumulation and makes a zombie writer's
+    // eventual close() fail loudly (missing rename source) instead of
+    // silently publishing behind committed change-feed offsets.
+    val reapCutoff = System.currentTimeMillis() - 3600000L
+    val stream = Files.list(dir)
+    val stale = try stream.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".wal-") && n.endsWith(f"-s$shard%03d.jsonl.tmp") &&
+          (try Files.getLastModifiedTime(p).toMillis < reapCutoff
+           catch { case _: java.io.IOException => false })
+      }.toList
+    finally stream.close()
+    stale.foreach(Files.deleteIfExists(_))
   }
 
   /** Full-table compaction, restoring pure-streaming scans (no

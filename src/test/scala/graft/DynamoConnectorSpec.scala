@@ -378,6 +378,24 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(spark.dynamodbAs[KV](root, "t").collect().toSeq === Seq(KV("k1", 1.5)))
   }
 
+  test("an in-flight write buffer holds the CDC fence below its eventual name") {
+    import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
+    val root = freshRoot()
+    seedFruit(root) // published history
+    val store = new LocalKVStore(root)
+    def latest() = new DynamoMicroBatchStream(
+      DynamoOptions(java.util.Map.of("path", root, "tableName", "fruit")),
+      new org.apache.spark.sql.types.StructType(), Array.empty)
+      .latestOffset().asInstanceOf[WalOffset].last
+    // a writer mid-job (buffered, unpublished, seq below all history)
+    val w = store.walWriter("fruit", 1L, "slow")
+    w.append(store.Put(Map("name" -> AttrVal.S("in-flight"))))
+    assert(latest() === "", "pending buffer with seq 1 must hold the fence below ALL names")
+    w.close() // publish → fence releases, everything becomes claimable
+    val after = latest()
+    assert(after.nonEmpty && after === store.walFileNames("fruit").max)
+  }
+
   test("cdcGraceMs lags the offset fence until publishes age past it") {
     import graft.sources.dynamo.{DynamoMicroBatchStream, DynamoOptions, WalOffset}
     val root = freshRoot()
@@ -642,8 +660,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
   test("ttlAttribute hides expired items from scans and COUNT pushdown") {
     import spark.implicits._
     val root = freshRoot()
-    // expires_at in epoch seconds: 100 is long past, 2_000_000_000 far future
-    Seq(("a", 100L), ("b", 2000000000L), ("c", 100L))
+    // expires_at in epoch seconds: 100 is long past, 2_000_000_000 far
+    // future, and 1_000_000_000 is EXACTLY the pinned clock — DynamoDB
+    // expires strictly-less-than now, so "b2" must stay visible.
+    Seq(("a", 100L), ("b", 2000000000L), ("b2", 1000000000L), ("c", 100L))
       .toDF("id", "expires_at")
       .write.dynamo(root, "t", "id")
     def read(ttl: Boolean) = {
@@ -652,11 +672,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
       (if (ttl) r.option("ttlAttribute", "expires_at")
                .option("ttlNow", "1000000000") else r).load()
     }
-    assert(read(ttl = false).count() == 3) // without the option: all visible
+    assert(read(ttl = false).count() == 4) // without the option: all visible
     val alive = read(ttl = true)
-    assert(alive.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("b"))
+    assert(alive.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("b", "b2"))
     // COUNT(*) pushdown path applies the same expiry
-    assert(alive.agg(count(lit(1))).collect().head.getLong(0) == 1L)
+    assert(alive.agg(count(lit(1))).collect().head.getLong(0) == 2L)
 
     // expiry must hold through a GSI whose projection OMITS the ttl
     // attribute (DynamoDB expires index entries with their table item)
@@ -667,7 +687,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .option("indexName", "by_id")
       .option("ttlAttribute", "expires_at").option("ttlNow", "1000000000")
       .load()
-    assert(viaIx.select("id").collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(viaIx.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("b", "b2"))
   }
 
   test("cdc=true on a batch read fails fast instead of a phantom _op column") {
