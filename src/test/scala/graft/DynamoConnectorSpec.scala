@@ -378,6 +378,18 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(spark.dynamodbAs[KV](root, "t").collect().toSeq === Seq(KV("k1", 1.5)))
   }
 
+  test("two same-writer publishes never replace each other's WAL file") {
+    import graft.sources.dynamo.AttrVal
+    val store = new LocalKVStore(freshRoot())
+    store.createTable("t", TableMeta("id", None, shards = 1, throughput = 1000))
+    // identical (seq, writerId, shard): the publish rename must bump
+    // past an existing same-millisecond name, not replace it
+    store.appendWal("t", 7L, "w", Seq(store.Put(Map("id" -> AttrVal.S("a")))))
+    store.appendWal("t", 7L, "w", Seq(store.Put(Map("id" -> AttrVal.S("b")))))
+    assert(store.walFileNames("t").size === 2)
+    assert(store.scanSegment("t", 0, 1).size === 2)
+  }
+
   test("an in-flight write buffer holds the CDC fence below its eventual name") {
     import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
     val root = freshRoot()
