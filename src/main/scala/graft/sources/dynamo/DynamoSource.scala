@@ -467,23 +467,30 @@ final class DynamoMicroBatchStream(
 
   /** Max *published* file name, admitted through a fence that is the
     * LOWER of two bounds: the grace-lagged clock (`now - cdcGraceMs`)
-    * and one below the oldest live in-flight write buffer
-    * ([[LocalKVStore.pendingWalFloor]] — a buffer's eventual published
-    * name always carries `pubSeq >= seq`, so holding the fence under
-    * it means even a writer descheduled for seconds inside its publish
-    * rename cannot land behind a committed offset; its file is simply
-    * claimed by a later trigger). Buffers idle past `cdcPendingTmpMs`
-    * are presumed crashed and stop holding the feed back. (`~` > `-`
-    * makes the fence inclusive of every name sharing its millisecond.)
+    * and one below the oldest live in-flight write buffer's floor
+    * ([[LocalKVStore.walListingWithPendingFloor]] — a buffer's
+    * eventual published name always carries
+    * `pubSeq = max(seq, closeTime) >= max(seq, mtime)`, so holding the
+    * fence under the floor means even a writer descheduled for seconds
+    * inside its publish rename cannot land behind a committed offset;
+    * its file is simply claimed by a later trigger — and the
+    * mtime-based floor tracks the buffer's recent activity, so a
+    * long-running streaming sink does not drag the fence back to its
+    * start time). Buffers idle past `cdcPendingTmpMs` are presumed
+    * crashed and stop holding the feed back. Names and floor come from
+    * ONE directory snapshot. (`~` > `-` makes the fence inclusive of
+    * every name sharing its millisecond.)
     */
   override def latestOffset(): Offset = {
+    val (names, floor) =
+      store.walListingWithPendingFloor(opts.tableName, opts.cdcPendingTmpMs)
     val clockBound = System.currentTimeMillis() - opts.cdcGraceMs
-    val bound = store.pendingWalFloor(opts.tableName, opts.cdcPendingTmpMs) match {
-      case Some(floor) => math.min(clockBound, floor - 1)
-      case None        => clockBound
+    val bound = floor match {
+      case Some(f) => math.min(clockBound, f - 1)
+      case None    => clockBound
     }
     val fence = f"wal-$bound%020d~"
-    val eligible = store.walFileNames(opts.tableName).filter(_ <= fence)
+    val eligible = names.filter(_ <= fence)
     if (eligible.nonEmpty) lift(eligible.max)
     WalOffset(lastSeen)
   }
@@ -630,15 +637,7 @@ final class DynamoPartitionReader(
       val (item0, sz) = items.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      // TTL checks the BASE item: an index projection may omit the ttl
-      // attribute, and DynamoDB expires index entries with their table
-      // item regardless of projection.
-      val visible =
-        if (!Ttl.alive(opts, ttlNow)(item0)) None
-        else index match {
-          case None => Some(item0)
-          case Some((meta, ix)) => store.indexView(meta, ix, item0)
-        }
+      val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
           current = decode(it)
@@ -698,12 +697,7 @@ final class DynamoCountReader(
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
-        val visible =
-          if (!Ttl.alive(opts, ttlNow)(item0)) None
-          else index match {
-            case None => Some(item0)
-            case Some((meta, ix)) => store.indexView(meta, ix, item0)
-          }
+        val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
         if (visible.exists(it => pushed.forall(FilterEval.eval(_, it)))) count += 1
       }
     emitted = true
@@ -784,6 +778,21 @@ private object Ttl {
         case Some(AttrVal.N(v)) => v >= BigDecimal(nowEpochS)
         case _ => true
       }
+    }
+
+  /** Shared visibility rule for scan and COUNT readers — TTL checks
+    * the BASE item BEFORE any index projection (a projection may omit
+    * the ttl attribute, and DynamoDB expires index entries with their
+    * table item regardless of projection).
+    */
+  def visibleItem(
+      opts: DynamoOptions, nowEpochS: Long,
+      index: Option[(TableMeta, IndexMeta)], store: LocalKVStore)(
+      item0: Item): Option[Item] =
+    if (!alive(opts, nowEpochS)(item0)) None
+    else index match {
+      case None => Some(item0)
+      case Some((meta, ix)) => store.indexView(meta, ix, item0)
     }
 }
 

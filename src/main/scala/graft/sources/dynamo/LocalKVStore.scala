@@ -252,19 +252,31 @@ final class LocalKVStore(root: String) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
-    /** Discard: close and delete the unpublished buffers. */
+    /** Discard: close and delete the unpublished buffers. Best-effort
+      * per shard — a close() that throws (e.g. the same disk-full that
+      * broke the append) must not stop the remaining buffers from
+      * being deleted, or they'd hold the change-feed fence down until
+      * reaped.
+      */
     def abort(): Unit = open.foreach { case (shard, w) =>
-      w.close()
+      try w.close() catch { case _: java.io.IOException => () }
       Files.deleteIfExists(dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"))
     }
   }
 
+  /** CONTRACT: `(seq, writerId)` must be unique among CONCURRENT
+    * writers of a table — concurrent callers sharing both would share
+    * buffer paths (interleaved lines) and can race the publish rename.
+    * The DSv2 write path guarantees this by folding the Spark task id
+    * into the writerId; direct callers must do the equivalent.
+    */
   def walWriter(table: String, seq: Long, writerId: String): WalWriter =
     new WalWriter(table, describe(table), seq, writerId)
 
-  /** One-shot WAL append (convenience over [[WalWriter]]). All-or-
-    * nothing per file: a failure mid-sequence discards the buffers
-    * instead of publishing the partial prefix.
+  /** One-shot WAL append (convenience over [[WalWriter]]; the
+    * [[walWriter]] uniqueness contract applies). All-or-nothing per
+    * file: a failure mid-sequence discards the buffers instead of
+    * publishing the partial prefix.
     */
   def appendWal(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
     val w = walWriter(table, seq, writerId)
@@ -306,33 +318,48 @@ final class LocalKVStore(root: String) {
   def walFileNames(table: String): Seq[String] =
     listFiles(table, "wal-").map(_.getFileName.toString)
 
-  /** Oldest caller seq among LIVE unpublished WAL buffers (`.tmp`
-    * files modified within `liveWithinMs`), if any. A buffer's final
-    * published name always carries `pubSeq >= seq`, so a change-feed
-    * fence held strictly below this floor can never be overtaken by an
-    * in-flight publish — even one descheduled for seconds inside
-    * close(). Buffers idle longer than the window are presumed dead
-    * (crashed writer) and ignored.
+  /** ONE directory pass feeding the change-feed offset decision:
+    * (all published WAL names, floor over live unpublished buffers).
+    *
+    * The floor for a live `.tmp` buffer is `max(callerSeq, mtime)`:
+    * its eventual published name carries `pubSeq = max(seq, closeTime)`
+    * and `closeTime >= mtime`, so a fence held strictly below the
+    * floor can never be overtaken by that publish — even one
+    * descheduled for seconds inside close(). Using the mtime (not the
+    * raw caller seq) keeps the floor tracking the buffer's RECENT
+    * activity: a streaming sink whose caller seq is pinned at query
+    * start does not drag the fence back to its start time. Buffers
+    * idle longer than `liveWithinMs` are presumed dead (crashed
+    * writer) and ignored.
+    *
+    * Single snapshot on purpose: a publish racing the listing shows up
+    * as pending, as published, or (readdir permitting) as neither —
+    * in which case the NEXT trigger claims it; it can never be counted
+    * published by one listing and missed as pending by a later one.
     */
-  def pendingWalFloor(table: String, liveWithinMs: Long): Option[Long] = {
+  def walListingWithPendingFloor(
+      table: String, liveWithinMs: Long): (Seq[String], Option[Long]) = {
     val dir = tableDir(table)
-    if (!Files.isDirectory(dir)) return None
+    if (!Files.isDirectory(dir)) return (Seq.empty, None)
     val cutoff = System.currentTimeMillis() - liveWithinMs
+    val published = Vector.newBuilder[String]
+    var floor = Long.MaxValue
     val stream = Files.list(dir)
-    try {
-      val seqs = stream.iterator().asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        val live = n.startsWith(".wal-") && n.endsWith(".jsonl.tmp") &&
-          (try Files.getLastModifiedTime(p).toMillis >= cutoff
-           catch { case _: java.io.IOException => false }) // racing publish
-        if (!live) None
-        else {
+    try stream.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("wal-") && n.endsWith(".jsonl")) published += n
+      else if (n.startsWith(".wal-") && n.endsWith(".jsonl.tmp")) {
+        val mtime =
+          try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => Long.MinValue } // racing publish
+        if (mtime >= cutoff) {
           val s = n.stripPrefix(".wal-").takeWhile(_ != '-')
-          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+          if (s.nonEmpty && s.forall(_.isDigit))
+            floor = math.min(floor, math.max(s.toLong, mtime))
         }
-      }.toSeq
-      if (seqs.isEmpty) None else Some(seqs.min)
+      }
     } finally stream.close()
+    (published.result().sorted, if (floor == Long.MaxValue) None else Some(floor))
   }
 
   /** Ops of one WAL file as (tag, item, serializedBytes) — the unit of
@@ -455,8 +482,15 @@ final class LocalKVStore(root: String) {
     * overrides in memory), and no file is shared with any other shard,
     * so concurrent calls on different shards are safe. This is the
     * unit [[DynamoMaintenance.compact]] fans out across executors.
+    *
+    * `reapTmpIdleMs`: write buffers idle longer than this are deleted
+    * as abandoned. Keep it COMFORTABLY ABOVE any change-feed reader's
+    * `cdcPendingTmpMs` — reaping a buffer the fence still considers
+    * live would void the no-skip guarantee (the zombie writer's
+    * close() then at least fails loudly on the missing rename source).
     */
-  def compactShard(table: String, shard: Int): Unit = {
+  def compactShard(table: String, shard: Int,
+      reapTmpIdleMs: Long = 3600000L): Unit = {
     val meta = describe(table)
     val dir = tableDir(table)
     // A "segment" of totalSegments = meta.shards is exactly one shard.
@@ -468,12 +502,12 @@ final class LocalKVStore(root: String) {
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     listFiles(table, "wal-").filter(walShard(_) == shard).foreach(Files.delete)
-    // Reap abandoned write buffers for this shard: a `.tmp` untouched
-    // for an hour has no live writer (crashed before publish). Deleting
+    // Reap abandoned write buffers for this shard: a `.tmp` idle past
+    // the window has no live writer (crashed before publish). Deleting
     // it both bounds orphan accumulation and makes a zombie writer's
     // eventual close() fail loudly (missing rename source) instead of
     // silently publishing behind committed change-feed offsets.
-    val reapCutoff = System.currentTimeMillis() - 3600000L
+    val reapCutoff = System.currentTimeMillis() - reapTmpIdleMs
     val stream = Files.list(dir)
     val stale = try stream.iterator().asScala
       .filter { p =>

@@ -399,13 +399,19 @@ class DynamoConnectorSpec extends AnyFunSuite {
       DynamoOptions(java.util.Map.of("path", root, "tableName", "fruit")),
       new org.apache.spark.sql.types.StructType(), Array.empty)
       .latestOffset().asInstanceOf[WalOffset].last
-    // a writer mid-job (buffered, unpublished, seq below all history)
+    // a writer mid-job: published history stays claimable (the floor
+    // tracks the buffer's mtime, not all of history) ...
     val w = store.walWriter("fruit", 1L, "slow")
     w.append(store.Put(Map("name" -> AttrVal.S("in-flight"))))
-    assert(latest() === "", "pending buffer with seq 1 must hold the fence below ALL names")
-    w.close() // publish → fence releases, everything becomes claimable
+    val before = latest()
+    assert(before === store.walFileNames("fruit").max)
+    Thread.sleep(2) // ensure the publish stamp lands after `before`
+    w.close()
+    // ... and the publish lands ABOVE the fence captured while it was
+    // pending — deferred to a later batch, never skipped behind it
     val after = latest()
-    assert(after.nonEmpty && after === store.walFileNames("fruit").max)
+    assert(after > before)
+    assert(after === store.walFileNames("fruit").max)
   }
 
   test("cdcGraceMs lags the offset fence until publishes age past it") {
