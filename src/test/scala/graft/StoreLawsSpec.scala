@@ -100,4 +100,32 @@ class StoreLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("aborted writers contribute nothing, for any interleaving of publishes") {
+    forAll(genScenario) { case (base, jobs) =>
+      val root = Files.createTempDirectory("graft-store-laws").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+      store.bulkLoad("t", meta, base.map(_._2).iterator)
+      // even-indexed jobs publish; odd-indexed jobs buffer then abort —
+      // interleaved with the publishes, as concurrent tasks would be
+      val writers = jobs.zipWithIndex.map { case (ops, j) =>
+        val w = store.walWriter("t", seq = j.toLong, writerId = f"w$j%03d")
+        ops.foreach {
+          case ("PUT", k, a)    => w.append(store.Put(withKey(k, a)))
+          case ("DELETE", k, _) => w.append(store.Delete(Map("id" -> AttrVal.S(k))))
+          case ("PUTNX", k, a)  => w.append(store.PutIfAbsent(withKey(k, a)))
+          case (_, k, a)        => w.append(store.Update(withKey(k, a)))
+        }
+        (w, j)
+      }
+      writers.foreach { case (w, j) => if (j % 2 == 0) w.close() else w.abort() }
+      val expected = model(base, jobs.zipWithIndex.collect {
+        case (ops, j) if j % 2 == 0 => ops
+      })
+      val view = store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+      assert(view === expected, s"base=$base jobs=$jobs")
+    }
+  }
 }
