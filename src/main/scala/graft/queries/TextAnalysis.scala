@@ -123,6 +123,34 @@ object TextAnalysis {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Stratified hash sampling — different admission rates per
+    // language (downsample the dominant language, keep more of the
+    // low-resource ones: the standard corpus-balancing move). Still a
+    // pure map-side predicate: rate choice is a CASE on lang, the
+    // admission test the same md5 prefix, so the stratified sample is
+    // as coordination-free and reproducible as the flat one.
+    "q_sample_stratified" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <=
+          when(col("lang") === "en", "0c").otherwise("33"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Per-source document caps (domain caps): keep at most 10 docs per
+    // source, preferring longer ones — the RefinedWeb/C4 guard against
+    // one domain flooding the corpus. One shuffle keyed by source;
+    // rank <= k lowers to WindowGroupLimit (partial top-k map-side
+    // before the shuffle), so the exchange carries at most k rows per
+    // (source, partition), not the domain's whole flood.
+    "q_cap_source" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
+        .orderBy("source", "rk")),
+
     // Repetition ratio — the C4/Gopher-style quality signal: fraction
     // of duplicate word bigrams per document. Bigrams come from
     // zipping the token array with its own tail (all inside codegen);
@@ -179,6 +207,18 @@ object TextAnalysis {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |      CASE WHEN lang = 'en' THEN '0c' ELSE '33' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_cap_source" ->
+      """SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
