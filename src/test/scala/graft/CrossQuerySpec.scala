@@ -34,6 +34,16 @@ class CrossQuerySpec extends AnyFunSuite {
     assert(byText.exceptAll(byFp).count() === 0)
   }
 
+  test("driver contract: oracle keys == query keys minus the sketch-valued set") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphanOracles = o -- q
+    assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
+    val noOracle = q -- o
+    assert(noOracle === Set("q_agg_approx_distinct"),
+      s"queries silently missing an oracle: ${noOracle - "q_agg_approx_distinct"}")
+  }
+
   test("bucketed and IVF ANN never beat exhaustive kNN's best hit") {
     def best(name: String): Option[Double] =
       run(name).collect().map(_.getAs[Double]("cosine")).maxOption
