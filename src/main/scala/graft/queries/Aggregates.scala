@@ -127,6 +127,26 @@ object Aggregates {
           round(element_at(col("pcts"), 3), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Per-group mode (most frequent value), tie → lexicographically
+    // smallest — NOT the built-in `mode()`, whose tie-break is
+    // engine-dependent; the two-level aggregate with an explicit rank
+    // is deterministic on both engines and is the same two-shuffle
+    // shape at any scale (first keyed by (group, value), then by
+    // group).
+    "q_agg_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Fixtures.orders(s, dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Statistical aggregate family. Both engines use numerically
     // stable one-pass algorithms; rounding absorbs the last-ulp
     // differences (rule D2).
@@ -174,6 +194,13 @@ object Aggregates {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
