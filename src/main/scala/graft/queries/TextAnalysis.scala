@@ -171,6 +171,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Cross-document n-gram novelty — the decontamination primitive:
+    // the fraction of a document's distinct token trigrams that appear
+    // in NO other document. The same shape checks a training corpus
+    // against a benchmark's n-grams (overlap = 1 - novelty); cost is
+    // one explode + two keyed shuffles (gram df, then per-doc ratio) —
+    // linear, the 100 TB decontamination-sweep plan.
+    "q_text_novelty" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val grams = zip_with(
+        zip_with(slice(toks, lit(1), size(toks) - 2),
+                 slice(toks, lit(2), size(toks) - 2),
+                 (a, b) => concat(a, lit(" "), b)),
+        slice(toks, lit(3), size(toks) - 2),
+        (ab, c) => concat(ab, lit(" "), c))
+      val g = Fixtures.documents(s, dir)
+        .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      val dfreq = g.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+      g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          floor(sum(when(col("ndocs") === 1, 1.0).otherwise(0.0)) / count(lit(1))
+            * 10000 + 0.5).as("novelty_x1e4"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprint: polynomial rolling hash over the character
     // stream, h ← (31·h + codepoint) mod 1e9+7, as a sequential
     // `aggregate` fold — order-dependent by construction (that's what
@@ -207,6 +233,20 @@ object TextAnalysis {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+    "q_text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT DISTINCT doc_id,
+        |             unnest(list_transform(range(1, len(toks) - 1),
+        |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               AS gram
+        |      FROM t WHERE len(toks) >= 3),
+        |dfq AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(floor(sum(CASE WHEN ndocs = 1 THEN 1.0 ELSE 0.0 END)
+        |            / count(*) * 10000 + 0.5) AS BIGINT) AS novelty_x1e4
+        |FROM g JOIN dfq USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
