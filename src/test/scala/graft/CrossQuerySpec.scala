@@ -34,6 +34,14 @@ class CrossQuerySpec extends AnyFunSuite {
     assert(byText.exceptAll(byFp).count() === 0)
   }
 
+  test("curation pipeline emits only exact-dedup survivors") {
+    val curated = run("q_pipeline_curate").select("doc_id")
+    val survivors = run("q_dedup_exact").select("doc_id")
+    assert(curated.exceptAll(survivors).count() === 0,
+      "curate kept a doc that exact dedup would have dropped")
+    assert(curated.count() > 0)
+  }
+
   test("driver contract: oracle keys == query keys minus the sketch-valued set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
