@@ -40,6 +40,7 @@ final case class DynamoOptions(
     update: Boolean,
     delete: Boolean,
     ifNotExists: Boolean,
+    ifExists: Boolean,
     ttlAttribute: Option[String],
     ttlNow: Option[Long],
     hashKey: Option[String],
@@ -84,6 +85,7 @@ object DynamoOptions {
       update = m.getBoolean("update", false),
       delete = m.getBoolean("delete", false),
       ifNotExists = m.getBoolean("ifNotExists", false),
+      ifExists = m.getBoolean("ifExists", false),
       ttlAttribute = opt("ttlAttribute"),
       ttlNow = opt("ttlNow").map(_.toLong),
       hashKey = opt("hashKey"),
@@ -821,6 +823,9 @@ private object WriteSetup {
     require(!(opts.ifNotExists && (opts.update || opts.delete)),
       "ifNotExists=true is a conditional PUT mode; it cannot combine " +
         "with update=true or delete=true")
+    require(!opts.ifExists || (opts.update && !opts.delete && !opts.ifNotExists),
+      "ifExists=true is a condition on update mode: set update=true " +
+        "and no other write mode")
     val store = new LocalKVStore(opts.path)
     if (store.exists(opts.tableName)) {
       val meta = store.describe(opts.tableName)
@@ -930,6 +935,7 @@ final class DynamoDataWriter(
     val item = encode(record)
     val op: store.Op =
       if (opts.delete) store.Delete(item.view.filterKeys(keyAttrs).toMap)
+      else if (opts.update && opts.ifExists) store.UpdateIfExists(item)
       else if (opts.update) store.Update(item)
       else if (opts.ifNotExists) store.PutIfAbsent(item)
       else store.Put(item)

@@ -189,6 +189,11 @@ final class LocalKVStore(root: String) {
     * replay order.
     */
   final case class PutIfAbsent(item: Item) extends Op
+  /** Conditional update (DynamoDB `attribute_exists(pk)` condition):
+    * merges non-key attrs only if the key HAS a visible item — never
+    * upserts a fresh one.
+    */
+  final case class UpdateIfExists(item: Item) extends Op
 
   /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
     * **sharded by the same key-hash as the base shards** — one file per
@@ -224,6 +229,7 @@ final class LocalKVStore(root: String) {
         case _: Update => "UPDATE"
         case _: Delete => "DELETE"
         case _: PutIfAbsent => "PUTNX"
+        case _: UpdateIfExists => "UPDIF"
       }
       val shard = shardOf(meta, op.item)
       val w = open.getOrElseUpdate(shard,
@@ -305,6 +311,7 @@ final class LocalKVStore(root: String) {
           case "UPDATE" => Update(item)
           case "DELETE" => Delete(item)
           case "PUTNX" => PutIfAbsent(item)
+          case "UPDIF" => UpdateIfExists(item)
         }
       }
 
@@ -419,6 +426,13 @@ final class LocalKVStore(root: String) {
           case other      => other          // any visible value → no-op
         },
         st.absent.orElse(Some(it)))
+      case UpdateIfExists(it) => KeyState(
+        st.present match {
+          case Left(Some(x)) => Left(Some(x ++ it))
+          case Left(None)    => Left(None)  // deleted = absent → no-op
+          case Right(m)      => Right(m ++ it) // base present → merges
+        },
+        st.absent.map(_ ++ it)) // absent stays absent (no upsert)
     }
     // A key first touched by UPDATE merges with the base at scan time;
     // by PUTNX keeps the base untouched (present → no-op).

@@ -675,6 +675,31 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ifNotExists"))
   }
 
+  test("update with ifExists=true merges existing keys and never upserts") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    // apple exists → stock merged; fig absent → must NOT appear
+    Seq(("apple", 77L), ("fig", 1L)).toDF("name", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("update", "true").option("ifExists", "true")
+      .mode("append").save()
+    val back = spark.read.dynamo(root, "fruit")
+      .select("name", "stock").orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(back.toSeq == Seq(
+      ("apple", 77L), ("banana", 5L), ("cherry", 100L), ("durian", 1L)))
+    // condition flag without update mode is rejected
+    val err = intercept[Exception] {
+      Seq(("grape", 2L)).toDF("name", "stock")
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("ifExists", "true").mode("append").save()
+    }
+    assert(err.getMessage.contains("ifExists"))
+  }
+
   test("ttlAttribute hides expired items from scans and COUNT pushdown") {
     import spark.implicits._
     val root = freshRoot()

@@ -39,7 +39,7 @@ class StoreLawsSpec extends AnyFunSuite {
   private def withKey(k: String, attrs: Item): Item = attrs + ("id" -> AttrVal.S(k))
 
   private val genOp: Gen[(String, String, Item)] = for {
-    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE", 2 -> "PUTNX")
+    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE", 2 -> "PUTNX", 2 -> "UPDIF")
     k <- genKey
     attrs <- genAttrs
   } yield (tag, k, attrs)
@@ -63,6 +63,7 @@ class StoreLawsSpec extends AnyFunSuite {
         case "DELETE" => m - k
         case "UPDATE" => m + (k -> (m.getOrElse(k, Map.empty: Item) ++ item))
         case "PUTNX"  => if (m.contains(k)) m else m + (k -> item)
+        case "UPDIF"  => if (m.contains(k)) m + (k -> (m(k) ++ item)) else m
       }
     }
 
@@ -78,6 +79,7 @@ class StoreLawsSpec extends AnyFunSuite {
             case ("PUT", k, a)    => store.Put(withKey(k, a))
             case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
             case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
+            case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
             case (_, k, a)        => store.Update(withKey(k, a))
           })
       }
@@ -115,6 +117,7 @@ class StoreLawsSpec extends AnyFunSuite {
           case ("PUT", k, a)    => w.append(store.Put(withKey(k, a)))
           case ("DELETE", k, _) => w.append(store.Delete(Map("id" -> AttrVal.S(k))))
           case ("PUTNX", k, a)  => w.append(store.PutIfAbsent(withKey(k, a)))
+          case ("UPDIF", k, a)  => w.append(store.UpdateIfExists(withKey(k, a)))
           case (_, k, a)        => w.append(store.Update(withKey(k, a)))
         }
         (w, j)
