@@ -171,6 +171,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Token-distribution Shannon entropy per document — low entropy =
+    // repetitive/templated text, a standard quality gate next to the
+    // repetition ratio. One keyed shuffle for tf, re-aggregated per
+    // doc; the -Σ p·ln p sum is over identical (tf, n) integer pairs
+    // on both engines, so the floor-scaled result is stable (swept at
+    // all three SFs).
+    "q_text_entropy" -> ((s, dir) => {
+      val tf = Fixtures.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val n = tf.groupBy("doc_id").agg(sum("tf").as("n"))
+      val p = col("tf") * lit(1.0) / col("n")
+      tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(floor(-sum(p * log(p)) * 10000 + 0.5).as("entropy_x1e4"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document n-gram novelty — the decontamination primitive:
     // the fraction of a document's distinct token trigrams that appear
     // in NO other document. The same shape checks a training corpus
@@ -233,6 +251,16 @@ object TextAnalysis {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       CAST(floor(-sum((tf * 1.0 / n) * ln(tf * 1.0 / n))
+        |            * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
+        |FROM tf JOIN n USING (doc_id)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 300),
