@@ -139,6 +139,42 @@ object Similarity {
         .limit(5)
     }),
 
+    // Full-corpus centroid assignment — the distributed k-means E-step:
+    // every vector goes to its nearest label-centroid by rounded
+    // cosine (tie → label asc). Centroids and their norms are a tiny
+    // broadcast; the corpus side is one map-side join keyed by
+    // dimension plus a per-vector argmax window — linear in corpus
+    // size, the shape an actual clustering iteration runs at 100 TB.
+    // Ranking happens on the ROUNDED score so near-ties cannot order
+    // differently across engines (the q_sim_ivf rule).
+    "q_emb_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embDouble(s, dir)
+      val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+      val centBase = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+      // centroids rounded to 6 decimals: the raw averages differ
+      // between engines in last ulps (summation order over thousands
+      // of doubles), and every downstream score must start from
+      // bit-identical centroid values or display rounding can flip
+      val cent = centBase.groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
+      val vnorm = ex.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("vn"))
+      val cnorm = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+      // floor-scaled integer scores, NOT round(): chaining round(,6)
+      // then round(,4) manufactures .xxxx5 ties where Spark (BigDecimal
+      // half-up) and DuckDB (C math) split — the scaled-floor form is
+      // one identical IEEE op sequence on both engines
+      ex.join(broadcast(cent), "i")
+        .groupBy("vec_id", "label").agg(sum(col("x") * col("c")).as("dot"))
+        .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
+        .select(col("vec_id"), col("label"),
+          floor(col("dot") / (col("vn") * col("cn")) * 10000 + 0.5).as("score_x1e4"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score_x1e4").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label").as("cluster"), col("score_x1e4"))
+        .orderBy("vec_id")
+    }),
+
     // Typed-Aggregator UDAF (SURVEY.md UDF/UDAF surface): exact
     // per-label centroid — partial buffers map-side, one shuffle keyed
     // by label, exploded to (label, dim) rows for the oracle compare.
@@ -172,6 +208,24 @@ object Similarity {
         |      GROUP BY 1)
         |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
         |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "q_emb_assign" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, round(avg(x), 6) AS c FROM ex GROUP BY 1, 2),
+        |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vn FROM ex GROUP BY 1),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, cent.label, sum(e.x * cent.c) AS dot
+        |       FROM ex e JOIN cent ON e.i = cent.i GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label,
+        |             CAST(floor(dot / (vn.vn * cn.cn) * 10000 + 0.5) AS BIGINT)
+        |               AS score_x1e4
+        |      FROM sc JOIN vn USING (vec_id) JOIN cn USING (label))
+        |SELECT vec_id, label AS cluster, score_x1e4 FROM (
+        |  SELECT vec_id, label, score_x1e4,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score_x1e4 DESC, label) AS rk
+        |  FROM r) WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q_agg_centroid" ->
       """SELECT label, i AS dim, round(avg(x), 4) AS centroid
         |FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
