@@ -152,11 +152,13 @@ object Similarity {
       val e = embDouble(s, dir)
       val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
       val centBase = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
-      // centroids rounded to 6 decimals: the raw averages differ
-      // between engines in last ulps (summation order over thousands
-      // of doubles), and every downstream score must start from
-      // bit-identical centroid values or display rounding can flip
-      val cent = centBase.groupBy("label", "i").agg(round(avg("x"), 6).as("c"))
+      // centroids quantized at 1e-6 with the scaled-floor form (NOT
+      // round(), whose tie handling differs across engines): the raw
+      // averages differ between engines in last ulps (summation order
+      // over thousands of doubles), and every downstream score must
+      // start from bit-identical centroid values
+      val cent = centBase.groupBy("label", "i")
+        .agg((floor(avg("x") * 1000000 + 0.5) / 1000000).as("c"))
       val vnorm = ex.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("vn"))
       val cnorm = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("cn"))
       // floor-scaled integer scores, NOT round(): chaining round(,6)
@@ -166,8 +168,12 @@ object Similarity {
       ex.join(broadcast(cent), "i")
         .groupBy("vec_id", "label").agg(sum(col("x") * col("c")).as("dot"))
         .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
+        // zero-norm guard: floor(NaN) long-casts on the Spark side but
+        // errors in the oracle's CAST — keep NULL on both instead
         .select(col("vec_id"), col("label"),
-          floor(col("dot") / (col("vn") * col("cn")) * 10000 + 0.5).as("score_x1e4"))
+          when(col("vn") * col("cn") > 0,
+            floor(col("dot") / (col("vn") * col("cn")) * 10000 + 0.5))
+            .as("score_x1e4"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("score_x1e4").desc, col("label"))))
         .filter(col("rk") === 1)
@@ -212,14 +218,16 @@ object Similarity {
       """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                   generate_subscripts(embedding, 1) AS i
         |            FROM embeddings),
-        |cent AS (SELECT label, i, round(avg(x), 6) AS c FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, i, floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+        |         FROM ex GROUP BY 1, 2),
         |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vn FROM ex GROUP BY 1),
         |cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1),
         |sc AS (SELECT e.vec_id, cent.label, sum(e.x * cent.c) AS dot
         |       FROM ex e JOIN cent ON e.i = cent.i GROUP BY 1, 2),
         |r AS (SELECT vec_id, label,
-        |             CAST(floor(dot / (vn.vn * cn.cn) * 10000 + 0.5) AS BIGINT)
-        |               AS score_x1e4
+        |             CASE WHEN vn.vn * cn.cn > 0
+        |                  THEN CAST(floor(dot / (vn.vn * cn.cn) * 10000 + 0.5)
+        |                       AS BIGINT) END AS score_x1e4
         |      FROM sc JOIN vn USING (vec_id) JOIN cn USING (label))
         |SELECT vec_id, label AS cluster, score_x1e4 FROM (
         |  SELECT vec_id, label, score_x1e4,

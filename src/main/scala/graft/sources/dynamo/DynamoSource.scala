@@ -424,9 +424,11 @@ object WalOffset {
   * Semantics: the stream carries CHANGES (connector writes), not the
   * base snapshot — compose `spark.read.dynamo` (snapshot) with this
   * (changes since) for the classic CDC bootstrap. With `cdc=true` the
-  * schema gains a `_op` string column (PUT/UPDATE/DELETE) and delete
-  * markers are emitted (key attrs + `_op`); without it the feed is an
-  * upsert stream (puts+updates only). `startingOffsets` = `earliest`
+  * schema gains a `_op` string column (PUT / UPDATE / DELETE / PUTNX /
+  * UPDIF) and delete markers are emitted (key attrs + `_op`); without
+  * it the feed is an upsert stream carrying only the UNCONDITIONAL
+  * ops (puts + updates — conditional ops and deletes need `_op` to be
+  * applied correctly downstream). `startingOffsets` = `earliest`
   * (default; replay the whole journal) or `latest` (new changes only).
   *
   * Scale: one input partition per new WAL file — writer-parallel jobs
@@ -558,9 +560,15 @@ final class DynamoWalReader(
       val (tag, item0, sz) = ops.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      // Upsert mode (cdc=false) hides delete markers; CDC mode emits
-      // them (key attrs + _op) so downstream can retract.
-      if (opts.cdc || tag != "DELETE") {
+      // Upsert mode (cdc=false) carries only ops whose effect is
+      // unconditional (puts + updates): delete markers are hidden, and
+      // conditional ops (PUTNX/UPDIF) are excluded too — whether they
+      // APPLIED depends on replay state this per-file reader cannot
+      // see, and emitting a failed conditional as a plain upsert would
+      // diverge a downstream materializer from the batch-scan view.
+      // CDC mode emits everything with its `_op` tag so the consumer
+      // resolves conditions against its own state.
+      if (opts.cdc || tag == "PUT" || tag == "UPDATE") {
         val item = if (opts.cdc) item0 + ("_op" -> AttrVal.S(tag)) else item0
         if (pushed.forall(FilterEval.eval(_, item))) {
           current = decode(item)
