@@ -484,6 +484,44 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert feed (cdc=false) excludes conditional ops; CDC feed tags them") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 unconditional PUTs
+    // one conditional put (fails: apple exists) + one conditional
+    // update (fails: fig absent) — neither changed the table
+    Seq(("apple", "LOSER")).toDF("name", "color")
+      .write.format("dynamo").option("path", root).option("tableName", "fruit")
+      .option("ifNotExists", "true").mode("append").save()
+    Seq(("fig", 1L)).toDF("name", "stock")
+      .write.format("dynamo").option("path", root).option("tableName", "fruit")
+      .option("update", "true").option("ifExists", "true").mode("append").save()
+
+    val up = spark.readStream.dynamoStream(root, "fruit")
+      .writeStream.format("memory").queryName("upfeed")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      up.processAllAvailable()
+      // only the 4 unconditional puts ride the upsert stream — a
+      // failed conditional op must not materialize downstream
+      val names = spark.table("upfeed").collect().map(_.getAs[String]("name"))
+      assert(names.sorted.toSeq === Seq("apple", "banana", "cherry", "durian"))
+    } finally up.stop()
+
+    val cdc = spark.readStream.dynamoStream(root, "fruit", cdc = true)
+      .writeStream.format("memory").queryName("cdctagged")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      cdc.processAllAvailable()
+      val tags = spark.table("cdctagged").collect().map(_.getAs[String]("_op"))
+      assert(tags.count(_ == "PUT") === 4)
+      assert(tags.count(_ == "PUTNX") === 1)
+      assert(tags.count(_ == "UPDIF") === 1)
+    } finally cdc.stop()
+  }
+
   test("CDC feed composes with windowed streaming aggregation") {
     import spark.implicits._
     val root = freshRoot()
