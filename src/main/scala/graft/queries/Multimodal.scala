@@ -33,7 +33,22 @@ object Multimodal {
           (lit(16) + ascii(substring(col("text"), 2, 1)) % 48).as("height"),
           expr("octet_length(payload) div 256 + 1").as("frames"))
         .withColumn("aspect", round(col("width") / col("height"), 4))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Frame sampling: 4 evenly spaced frame indices per media row
+    // (slot j → floor(j·(frames−1)/3), pure integer math) — the
+    // planning half of video frame extraction: each sampled (row,
+    // frame_idx) pair is one decode-work unit downstream, and the
+    // explode is a map-side Generate with no shuffle.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          (expr("octet_length(cast(text AS binary)) div 256") + 1).as("frames"))
+        .selectExpr("doc_id", "CAST(frames AS BIGINT) AS frames",
+          "posexplode(transform(sequence(0, 3), j -> (j * (frames - 1)) div 3)) AS (slot, frame_idx)")
+        .selectExpr("doc_id", "frames", "CAST(slot AS BIGINT) AS slot",
+          "CAST(frame_idx AS BIGINT) AS frame_idx")
+        .orderBy("doc_id", "slot")))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -46,5 +61,14 @@ object Multimodal {
         |FROM documents)
         |SELECT doc_id, n_bytes, digest16, width, height, frames,
         |       round(width / height, 4) AS aspect
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |                  octet_length(encode(text)) // 256 + 1 AS frames
+        |           FROM documents)
+        |SELECT doc_id, CAST(frames AS BIGINT) AS frames,
+        |       CAST(j AS BIGINT) AS slot,
+        |       CAST(j * (frames - 1) // 3 AS BIGINT) AS frame_idx
+        |FROM f, (SELECT unnest(range(0, 4)) AS j)
+        |ORDER BY doc_id, slot""".stripMargin)
 }
