@@ -75,6 +75,35 @@ object Dedup {
     tok.withColumn("tokid",
       conv(substring(md5(col("tok")), 1, 11), 16, 10).cast("long"))
 
+  /** MinHash + LSH banding, verified with exact Jaccard — shared by
+    * `q_dedup_minhash` (emits the pairs) and `q_dedup_cluster`
+    * (components over them). All 12 minima in ONE aggregation pass
+    * (one agg column per hash): the shuffle carries (doc_id, 12 longs)
+    * — no ×12 row expansion through the exchange, and no second
+    * shuffle to assemble bands; candidates meet only inside a
+    * (band, band-signature) bucket.
+    */
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+    val sigCols = MinhashParams.map { case (i, a, b) =>
+      min((col("tokid") * a + b) % P).as(s"mh$i")
+    }
+    val sig = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until MinhashParams.size / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, toks)
+  }
+
   /** Exact-Jaccard verification of candidate (id1, id2) pairs; output
     * pairs with jaccard ≥ 0.6 (integer-exact threshold, rule D2).
     */
@@ -105,31 +134,42 @@ object Dedup {
         .select("doc_id", "dup_cnt")
         .orderBy("doc_id")),
 
-    "q_dedup_minhash" -> ((s, dir) => {
-      val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
-      // All 12 minima in ONE aggregation pass (one agg column per hash):
-      // the shuffle carries (doc_id, 12 longs) — no ×12 row expansion
-      // through the exchange, and no second shuffle to assemble bands.
-      val sigCols = MinhashParams.map { case (i, a, b) =>
-        min((col("tokid") * a + b) % P).as(s"mh$i")
+    "q_dedup_minhash" -> ((s, dir) => minhashVerified(s, dir)),
+
+    // Near-dup CLUSTERING — the step after pair detection: connected
+    // components of the verified-pair graph, every doc labeled with
+    // its component's min doc_id (survivor election per duplicate
+    // CLUSTER, not per pair — A~B, B~C must retire both B and C even
+    // if A~C was never a candidate pair). Min-label propagation to
+    // fixpoint: each round every node takes the min of its own and its
+    // neighbors' labels — a handful of keyed shuffles (rounds = graph
+    // diameter; dup clusters are shallow), each round's frame
+    // localCheckpoint'd so lineage stays flat. The fixpoint is unique,
+    // so the oracle's recursive-CTE closure lands on identical labels.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val pairs = minhashVerified(s, dir).select("id1", "id2")
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .localCheckpoint(true)
+      var labels = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = edges
+          .join(labels.select(col("id").as("nid"), col("comp")), col("b") === col("nid"))
+          .groupBy("a").agg(min("comp").as("nbrmin"))
+        val next = labels.join(nbr, labels("id") === nbr("a"), "left")
+          .select(labels("id").as("id"),
+            least(labels("comp"), coalesce(col("nbrmin"), labels("comp"))).as("comp"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev")).count()
+        labels = next
       }
-      val sig = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // Band signature: the band's hash minima in hash-index order,
-      // concatenated — the LSH bucket key. Map-side explode of the 6
-      // (band, bkey) structs per doc.
-      val bandStructs = (0 until MinhashParams.size / 2).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-        .distinct()
-      verifyJaccard(cand, toks)
+      labels.select(col("id").as("doc_id"), col("comp").cast("long").as("cluster"))
+        .orderBy("doc_id")
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -191,6 +231,40 @@ object Dedup {
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |toks AS (SELECT doc_id,
+        |                ('0x' || substring(md5(tok), 1, 11))::BIGINT AS tokid
+        |         FROM tok0),
+        |p(i, a, b) AS (VALUES (0,1103,12345),(1,5077,999),(2,9173,471),
+        |  (3,7919,8191),(4,2663,30269),(5,4271,11213),(6,6619,257),
+        |  (7,3541,49157),(8,7333,6007),(9,9901,331),(10,5683,7039),
+        |  (11,8761,52361)),
+        |sig AS (SELECT doc_id, i, min((a * tokid + b) % 2147483647) AS mh
+        |        FROM toks, p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 array_to_string(list(mh ORDER BY i), ',') AS bkey
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |         FROM bands x JOIN bands y
+        |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |sh AS (SELECT id1, id2, count(*) AS shared FROM cand
+        |       JOIN toks a ON a.doc_id = id1
+        |       JOIN toks b ON b.doc_id = id2 AND b.tokid = a.tokid
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2
+        |          FROM sh JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |          WHERE shared * 10 >= (s1.n + s2.n - shared) * 6),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
