@@ -215,6 +215,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Sequence-packing plan — the batch-construction step that turns a
+    // curated corpus into fixed-token training chunks: docs are packed
+    // greedily in deterministic (source, doc_id) order, and each doc's
+    // chunk is the 256-token block its first token lands in
+    // (floor(preceding-tokens / 256)). One window cumsum keyed by
+    // source + one grouped agg — both shuffles narrow (source key),
+    // linear at corpus scale; the decode/concat half is I/O the engine
+    // schedules per (source, chunk) unit.
+    "q_pack_chunks" -> ((s, dir) => {
+      val cum = sum(col("n_tok")).over(
+        Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("chunk_id",
+          floor((cum - col("n_tok")) / 256).cast("long"))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+        .orderBy("source", "chunk_id")
+    }),
+
+    // Temperature-scaled mixture weights (T = 0.7) — the standard
+    // corpus-mixing computation: upsample low-resource sources,
+    // dampen the head (w_i ∝ c_i^T). The per-source token counts
+    // reduce to #sources rows before any non-linear math, so the
+    // whole computation after one grouped agg is driver-trivial; the
+    // pow() output is floor-pinned to integers BEFORE summing so the
+    // normalization is exact integer math on both engines.
+    "q_mix_temperature" -> ((s, dir) => {
+      val c = Fixtures.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("toks"))
+      val p = c.withColumn("p", floor(pow(col("toks"), 0.7) * 1000 + 0.5))
+      val tot = p.agg(sum("p").as("tp"))
+      p.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          floor(col("p") * 1000000.0 / col("tp") + 0.5).as("w_x1e6"))
+        .orderBy("source")
+    }),
+
     // Content fingerprint: polynomial rolling hash over the character
     // stream, h ← (31·h + codepoint) mod 1e9+7, as a sequential
     // `aggregate` fold — order-dependent by construction (that's what
@@ -230,6 +271,28 @@ object TextAnalysis {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT source, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, chunk_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, sum(len(string_split(text, ' '))) AS toks
+        |           FROM documents GROUP BY 1),
+        |p AS (SELECT source, toks,
+        |             CAST(floor(pow(toks, 0.7) * 1000 + 0.5) AS BIGINT) AS p
+        |      FROM c)
+        |SELECT source, CAST(toks AS BIGINT) AS toks,
+        |       CAST(floor(p * 1000000.0 / (SELECT sum(p) FROM p) + 0.5)
+        |            AS BIGINT) AS w_x1e6
+        |FROM p ORDER BY source""".stripMargin,
     "q_pipeline_curate" ->
       """WITH q AS (SELECT doc_id, text, lang,
         |         len(string_split(text, ' ')) AS n_tok,

@@ -399,6 +399,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
       DynamoOptions(java.util.Map.of("path", root, "tableName", "fruit")),
       new org.apache.spark.sql.types.StructType(), Array.empty)
       .latestOffset().asInstanceOf[WalOffset].last
+    // Age the published history strictly below the buffer's mtime
+    // floor: a same-millisecond collision would (correctly but
+    // unassertably) defer the newest published name to a later trigger.
+    Thread.sleep(5)
     // a writer mid-job: published history stays claimable (the floor
     // tracks the buffer's mtime, not all of history) ...
     val w = store.walWriter("fruit", 1L, "slow")
