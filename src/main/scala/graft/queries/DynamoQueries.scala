@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Fixtures
-import graft.sources.dynamo.{Implicits, IndexMeta, LocalKVStore}
+import graft.sources.dynamo.{DynamoMaintenance, Implicits, IndexMeta, LocalKVStore}
 import Implicits._
 
 /** Typed-read row shape for `q_dyn_typed` (A7) — schema derived via
@@ -66,8 +66,11 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "customer", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.customer(s, sfDir).write.dynamo(root, "customer", "c_custkey")
-        new LocalKVStore(root).compact("customer")
+        // repartition widens the one-file parquet scan so the WAL write
+        // runs task-parallel; compaction fans out one task per shard
+        Fixtures.customer(s, sfDir).repartition(16)
+          .write.dynamo(root, "customer", "c_custkey")
+        DynamoMaintenance.compact(s, root, "customer")
         Files.createFile(marker)
       }
       // GSI over market segment projecting the account balance (A8);
@@ -94,11 +97,12 @@ object DynamoQueries {
       if (!Files.exists(marker)) {
         Fixtures.orders(s, sfDir)
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartition(16)
           .write.format("dynamo")
           .option("path", root).option("tableName", "orders")
           .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
           .mode("append").save()
-        new LocalKVStore(root).compact("orders")
+        DynamoMaintenance.compact(s, root, "orders")
         Files.createFile(marker)
       }
     }
