@@ -149,9 +149,50 @@ object Joins {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Bucketed band join — the scale form of a time-interval join
+    // (click within 30 min after a view, per user). Spark plans a raw
+    // band predicate as a nested-loop join; bucketing event time into
+    // band-width buckets turns it into an EQUI-join on (user, bucket):
+    // each view probes its own bucket and the next (a 30-min band can
+    // span at most two 30-min buckets), and the exact band predicate
+    // filters residually. Cost drops from |views|×|clicks| per user to
+    // bucket-local pairs — the same pigeonhole move the simhash
+    // chunk-join uses, applied to time.
+    "q_join_band" -> ((s, dir) => {
+      val bandUs = 1800000000L // 30 min in microseconds
+      val e = Fixtures.events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val bkt = floor(col("tus") / bandUs).cast("long")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("tus").as("vtus"), explode(array(bkt, bkt + 1)).as("jb"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+          col("tus").as("ctus"), bkt.as("cb"))
+      v.join(c, col("user_id") === col("cuid") && col("jb") === col("cb") &&
+          col("ctus") > col("vtus") && col("ctus") <= col("vtus") + bandUs)
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          (col("ctus") - col("vtus")).as("lag_us"))
+        .orderBy("view_id", "click_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    // The oracle is the PLAIN band join — bucketing must be invisible
+    // in the result, exactly like the salted join's invariant.
+    "q_join_band" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |           FROM events WHERE user_id < 50)
+        |SELECT v.event_id AS view_id, c.event_id AS click_id,
+        |       v.user_id, c.tus - v.tus AS lag_us
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.tus > v.tus AND c.tus <= v.tus + 1800000000
+        |ORDER BY view_id, click_id""".stripMargin,
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total

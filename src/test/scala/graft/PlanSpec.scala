@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 1)
   }
 
+  test("bucketed band join plans as an equi-join, never a nested loop") {
+    val p = plan("q_join_band")
+    // the whole point of time-bucketing: the band predicate must ride
+    // on a hash-partitionable (user, bucket) key
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("Join") )
+  }
+
   test("hash sampling stays map-side: no exchange before the filter") {
     val df = SparkEntry.queries("q_sample_hash")(spark, sf)
     // the only exchange allowed is the final orderBy's range partitioning
