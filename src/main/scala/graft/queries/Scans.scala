@@ -99,6 +99,26 @@ object Scans {
           |ORDER BY revenue_cents DESC, n_name""".stripMargin)
     }),
 
+    // Correlated scalar subqueries — Catalyst must DECORRELATE these
+    // (RewriteCorrelatedScalarSubquery lowers each to an aggregate +
+    // left outer join on the correlation key) or the plan degenerates
+    // to per-row re-execution. Orders priced above 2× their customer's
+    // average, with all money pinned to exact integer cents first so
+    // the threshold compare never rides on float summation order.
+    "q_sql_correlated" -> ((s, dir) => {
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH o AS (SELECT o_orderkey, o_custkey,
+          |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |           FROM orders)
+          |SELECT o_orderkey, o_custkey, cents FROM o x
+          |WHERE x.cents * (SELECT count(*) FROM o i
+          |                 WHERE i.o_custkey = x.o_custkey)
+          |      > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM o i
+          |             WHERE i.o_custkey = x.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // B-2 predicates — each maps to a pushdown the reference translates
     // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
     // StringStartsWith, contains, boolean algebra).
@@ -182,6 +202,16 @@ object Scans {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q_sql_correlated" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey, cents FROM o x
+        |WHERE x.cents * (SELECT count(*) FROM o i
+        |                 WHERE i.o_custkey = x.o_custkey)
+        |      > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM o i
+        |             WHERE i.o_custkey = x.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
