@@ -256,6 +256,42 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // BM25 retrieval scoring — the ranking primitive behind
+    // retrieval-based curation (quality classifiers seeded from a
+    // reference corpus, contamination sweeps, hard-negative mining).
+    // Standard k1=1.2, b=0.75 with the +1 idf form; every input to the
+    // per-(doc, term) formula is an exact integer (tf, df, dl, N) or a
+    // ratio of integer aggregates (avgdl), so both engines compute
+    // bit-identical doubles, and each term's contribution is
+    // floor-pinned to an integer BEFORE the per-doc sum — summation
+    // order across query terms can never move the result. Cost: one
+    // tf shuffle keyed by (doc, token) + a 3-row broadcast of the
+    // query terms — linear in corpus size.
+    "q_bm25" -> ((s, dir) => {
+      val qterms = Seq("data", "spark", "fast")
+      val docs = Fixtures.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(qterms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val term = col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          floor(idf * term * 1000000 + 0.5).cast("long").as("c_x1e6"))
+        .groupBy("doc_id").agg(sum("c_x1e6").as("score_x1e6"))
+        .orderBy(col("score_x1e6").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Content fingerprint: polynomial rolling hash over the character
     // stream, h ← (31·h + codepoint) mod 1e9+7, as a sequential
     // `aggregate` fold — order-dependent by construction (that's what
@@ -271,6 +307,25 @@ object TextAnalysis {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |       WHERE tok IN ('data', 'spark', 'fast') GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id,
+        |             CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |               * 1000000 + 0.5) AS BIGINT) AS c_x1e6
+        |      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |      CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(c_x1e6) AS BIGINT) AS score_x1e6
+        |FROM c GROUP BY doc_id
+        |ORDER BY score_x1e6 DESC, doc_id LIMIT 20""".stripMargin,
     "q_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |                  len(string_split(text, ' ')) AS n_tok
