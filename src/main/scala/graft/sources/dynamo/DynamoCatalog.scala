@@ -1,0 +1,169 @@
+package graft.sources.dynamo
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin over one store root: `spark.sql.catalog.<name> =
+  * graft.sources.dynamo.DynamoCatalog` (+ `.path` option) makes every
+  * store table addressable as `<name>.<table>` in SQL and
+  * `spark.table` — the multi-table face of the same connector the
+  * path-based `format("dynamo")` reads expose one table at a time.
+  *
+  * Implementing [[FunctionCatalog]] is what unlocks
+  * storage-partitioned joins: Catalyst resolves the `bucket(shards,
+  * keyCols)` transform a [[DynamoScan]] reports through the owning
+  * catalog's function registry, and two co-sharded tables then join
+  * with no exchange on either side. Path-based reads have no owning
+  * catalog, so only catalog-loaded tables get the shuffle-free plan —
+  * the reason this class exists.
+  */
+class DynamoCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  // catalog-level read defaults (readPartitions, targetCapacity, ...)
+  // forwarded into every table's options — `spark.table` has no
+  // per-read option surface, the catalog IS that surface
+  private var defaults: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option 'path' (store root): " +
+          s"spark.sql.catalog.$name.path = /store/root"))
+    defaults = options.asCaseSensitiveMap().asScala.toMap - "path"
+  }
+
+  private def tableOpts(table: String): DynamoOptions = {
+    val m = new util.HashMap[String, String]()
+    defaults.foreach { case (k, v) => m.put(k, v) }
+    m.put("path", root)
+    m.put("tableName", table)
+    DynamoOptions(m)
+  }
+
+  override def name(): String = catalogName
+
+  private def store = new LocalKVStore(root)
+
+  /** Flat namespace: every identifier resolves by its table name (the
+    * store has no database level); a namespace, if given, is ignored.
+    */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p.resolve("meta.json")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean = store.exists(ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
+    new DynamoTable(tableOpts(ident.name()),
+      Codec.inferSchema(store.samplePage(ident.name())))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (store.exists(ident.name())) throw new TableAlreadyExistsException(ident)
+    val props = new CaseInsensitiveStringMap(properties)
+    val hashKey = Option(props.get("hashKey")).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE ${ident.name()} requires table property 'hashKey'"))
+    store.createTable(ident.name(), TableMeta(
+      hashKey = hashKey,
+      rangeKey = Option(props.get("rangeKey")),
+      shards = Option(props.get("shards")).map(_.toInt).getOrElse(16),
+      throughput = Option(props.get("throughput")).map(_.toLong).getOrElse(100L)))
+    new DynamoTable(tableOpts(ident.name()), schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!store.exists(ident.name())) return false
+    val dir = java.nio.file.Paths.get(root, ident.name())
+    val s = java.nio.file.Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- FunctionCatalog: the bucket transform the scans report ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") DynamoBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The store's shard function as a V2 catalog function. Two scans'
+  * `bucket` transforms compare equal through [[BoundFunction
+  * .canonicalName]], which is what lets Catalyst prove co-partitioning
+  * without evaluating anything; `produceResult` nevertheless computes
+  * the REAL placement (identical to [[LocalKVStore.shardOf]]) so a
+  * plan that does evaluate it (e.g. shuffling one mismatched side)
+  * agrees with the files on disk.
+  */
+object DynamoBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, keyCols...): shard id of the store's key-hash layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    val types = inputType.fields.map(_.dataType)
+    require(types.nonEmpty, "bucket() needs at least one argument")
+    new ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] = types
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.dynamo.bucket"
+      override def isResultNullable: Boolean = false
+
+      // args arrive as (numBuckets, key attrs...) — the literal rides
+      // first in the transform's argument list
+      override def produceResult(input: InternalRow): Int = {
+        val n = input.getInt(0)
+        val parts = (1 until input.numFields).map { i =>
+          types(i) match {
+            case StringType => "s:" + input.getUTF8String(i).toString
+            case LongType => "n:" + BigDecimal(input.getLong(i))
+              .bigDecimal.stripTrailingZeros.toPlainString
+            case IntegerType => "n:" + BigDecimal(input.getInt(i))
+              .bigDecimal.stripTrailingZeros.toPlainString
+            case DoubleType => "n:" + BigDecimal(input.getDouble(i))
+              .bigDecimal.stripTrailingZeros.toPlainString
+            case other => throw new UnsupportedOperationException(
+              s"bucket over $other key is not supported")
+          }
+        }
+        math.floorMod(parts.mkString("|").hashCode, n)
+      }
+    }
+  }
+}

@@ -226,9 +226,16 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     new DynamoScan(opts, requiredSchema, pushed, limit, countStars)
 }
 
-/** One scan segment ↔ one Spark input partition (A1). */
+/** One scan segment ↔ one Spark input partition (A1). When the scan
+  * plans one segment per store shard, the segment id IS the bucket id
+  * of the table's key-hash layout — reported via [[HasPartitionKey]]
+  * so Catalyst can group partitions for storage-partitioned joins.
+  */
 final case class DynamoInputPartition(
-    segment: Int, totalSegments: Int, ratePerSegment: Double) extends InputPartition
+    segment: Int, totalSegments: Int, ratePerSegment: Double)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(segment)
+}
 
 /** Per-query scan metrics, surfaced in the Spark UI (SQL tab): how
   * many wire items each scan read vs dropped store-side — the
@@ -254,7 +261,7 @@ final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, countStars: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** Runtime (dynamic-pruning) filters: Spark may inject join-key `IN`
     * filters discovered at runtime — e.g. the build side of a
@@ -305,6 +312,46 @@ final class DynamoScan(
     private val bytes = new LocalKVStore(opts.path).sizeBytes(opts.tableName)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  /** Storage-partitioned layout report: when the scan plans ONE
+    * segment per store shard, its output is exactly the table's
+    * bucket-by-primary-key layout — declared as
+    * `KeyGroupedPartitioning(bucket(shards, keyCols), shards)`. Two
+    * tables sharded on the same key count then join with ZERO
+    * shuffle on either side (storage-partitioned join,
+    * `spark.sql.sources.v2.bucketing.enabled`), and aggregations
+    * keyed by the primary key reuse the layout the same way — at
+    * 100 TB this removes the dominant repeated cost of re-shuffling
+    * a fact table for every key-joined query. Tables big enough that
+    * `bytes/maxPartitionBytes >= shards` plan per-shard naturally, so
+    * the declaration is automatic exactly at the scale it matters;
+    * merged-segment (small-table) scans, GSI views (row placement
+    * follows the BASE key, not the index key), COUNT pushdown, and a
+    * pruned-away key column all fall back to UnknownPartitioning.
+    *
+    * Reported from static planning state only (pushed filters, not
+    * runtime ones): runtime filtering may prune shards later, which
+    * preserves per-shard grouping but not the declared partition
+    * count, and Catalyst resolves that against the ACTUAL partitions
+    * at execution.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val store = new LocalKVStore(opts.path)
+    val meta = store.describe(opts.tableName)
+    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
+    val n = opts.readPartitions.getOrElse(
+      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+    val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
+    val perShard = n == meta.shards && opts.indexName.isEmpty &&
+      countStars == 0 && !opts.cdc &&
+      keyCols.forall(readSchema().fieldNames.contains)
+    if (perShard)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array[v2expr.Expression](v2expr.Expressions.bucket(meta.shards, keyCols: _*)),
+        meta.shards)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
   }
 
   /** Segment count = stored bytes / maxPartitionBytes, clamped to

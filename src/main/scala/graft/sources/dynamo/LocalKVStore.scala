@@ -343,6 +343,13 @@ final class LocalKVStore(root: String) {
     * as pending, as published, or (readdir permitting) as neither —
     * in which case the NEXT trigger claims it; it can never be counted
     * published by one listing and missed as pending by a later one.
+    *
+    * Clock-source note: mtimes come from the kernel's COARSE clock and
+    * can lag `currentTimeMillis` by up to one tick (~1–10 ms), so the
+    * floor may sit a few ms below names published in that window. The
+    * skew is only ever conservative — a published name gets DEFERRED a
+    * trigger, never skipped, because a buffer's eventual
+    * `pubSeq = max(seq, precise close time)` is always ≥ this floor.
     */
   def walListingWithPendingFloor(
       table: String, liveWithinMs: Long): (Seq[String], Option[Long]) = {

@@ -400,9 +400,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
       new org.apache.spark.sql.types.StructType(), Array.empty)
       .latestOffset().asInstanceOf[WalOffset].last
     // Age the published history strictly below the buffer's mtime
-    // floor: a same-millisecond collision would (correctly but
-    // unassertably) defer the newest published name to a later trigger.
-    Thread.sleep(5)
+    // floor: a collision would (correctly but unassertably) defer the
+    // newest published name to a later trigger. The margin must beat
+    // one kernel tick — file mtimes come from the coarse clock, which
+    // can lag currentTimeMillis-stamped publish names by up to ~10 ms.
+    Thread.sleep(25)
     // a writer mid-job: published history stays claimable (the floor
     // tracks the buffer's mtime, not all of history) ...
     val w = store.walWriter("fruit", 1L, "slow")

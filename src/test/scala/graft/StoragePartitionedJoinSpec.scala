@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.dynamo.Implicits._
+
+/** Storage-partitioned join through the connector: two tables sharded
+  * on the same key count report `KeyGroupedPartitioning(bucket(n,
+  * key))`, and when they are loaded through [[graft.sources.dynamo
+  * .DynamoCatalog]] (whose FunctionCatalog resolves the bucket
+  * transform) a key-equi join runs with NO exchange on EITHER side —
+  * the store's own layout is the join partitioning. The parquet-side
+  * analogue is BucketingSpec; this pins the same contract for the
+  * connector, where it matters most (a 100 TB item table re-shuffled
+  * per join would dominate every query).
+  *
+  * Per-shard planning kicks in when `bytes/maxPartitionBytes >=
+  * shards` (any production-size table); the tiny fixtures force it
+  * with a catalog-level `readPartitions = shards`, the same plan shape.
+  */
+class StoragePartitionedJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("co-sharded catalog tables join with zero shuffle on either side") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj").toString
+    val n = 200
+    Seq.tabulate(n)(i => (f"k$i%04d", i.toLong))
+      .toDF("id", "qty").write.dynamo(root, "left_t", "id")
+    Seq.tabulate(n)(i => (f"k$i%04d", s"cat${i % 7}"))
+      .toDF("id", "cat").write.dynamo(root, "right_t", "id")
+
+    withConf(
+      "spark.sql.catalog.spjcat" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjcat.path" -> root,
+      "spark.sql.catalog.spjcat.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("spjcat.left_t")
+        .join(spark.table("spjcat.right_t"), "id")
+        .select("id", "qty", "cat")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffles:\n$plan")
+
+      val rows = j.orderBy("id").collect()
+      assert(rows.length === n)
+      assert(rows.take(2).map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ===
+        Seq(("k0000", 0L, "cat0"), ("k0001", 1L, "cat1")))
+    }
+  }
+
+  test("catalog DDL + path-based reads fall back gracefully") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj2").toString
+    withConf(
+      "spark.sql.catalog.spjddl" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjddl.path" -> root,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // DDL through the catalog, data through the path-based writer
+      spark.sql(
+        "CREATE TABLE spjddl.small (id STRING, qty BIGINT) TBLPROPERTIES ('hashKey'='id')")
+      Seq(("a", 1L), ("b", 2L)).toDF("id", "qty").write
+        .format("dynamo").option("path", root).option("tableName", "small")
+        .mode("append").save()
+      assert(spark.sql("SHOW TABLES IN spjddl").collect()
+        .map(_.getAs[String]("tableName")).contains("small"))
+
+      // merged-segment scan (tiny table, no readPartitions): the scan
+      // must NOT claim a bucket layout it no longer exposes — the join
+      // plans with whatever exchange it needs and stays correct
+      val d = spark.table("spjddl.small")
+      val j = d.as("x").join(d.as("y"), "id").select(col("id"), col("x.qty"))
+      assert(j.count() === 2L)
+      assert(spark.table("spjddl.small").count() === 2L)
+
+      spark.sql("DROP TABLE spjddl.small")
+      assert(!new graft.sources.dynamo.LocalKVStore(root).exists("small"))
+    }
+  }
+}
