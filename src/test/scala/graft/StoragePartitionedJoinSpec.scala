@@ -65,6 +65,24 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation keyed by the primary key reuses the shard layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj-agg").toString
+    Seq.tabulate(100)(i => (f"k$i%04d", i.toLong))
+      .toDF("id", "qty").write.dynamo(root, "t", "id")
+    withConf(
+      "spark.sql.catalog.spjagg" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjagg.path" -> root,
+      "spark.sql.catalog.spjagg.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val a = spark.table("spjagg.t").groupBy("id").agg(sum("qty").as("s"))
+      val plan = a.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"key-grouped aggregate still shuffles:\n$plan")
+      assert(a.count() === 100L)
+    }
+  }
+
   test("catalog DDL + path-based reads fall back gracefully") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj2").toString
