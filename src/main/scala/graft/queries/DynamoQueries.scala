@@ -109,7 +109,47 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `customer_flags` — a second table sharing `customer`'s exact
+    * layout (hash c_custkey, 16 shards) so the two are co-partitioned
+    * for the storage-partitioned join.
+    */
+  private def seededFlagsRoot(s: SparkSession, sfDir: String): String = {
+    val root = seededRoot(s, sfDir) // ensures customer exists first
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer_flags", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.customer(s, sfDir)
+          .select(col("c_custkey"), (col("c_acctbal") > 0).as("positive"))
+          .repartition(16)
+          .write.dynamo(root, "customer_flags", "c_custkey")
+        DynamoMaintenance.compact(s, root, "customer_flags")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // Storage-partitioned join: customer ⋈ customer_flags share the
+    // bucket(16, c_custkey) layout, both loaded through the catalog
+    // (whose FunctionCatalog resolves the transform), so the join runs
+    // with ZERO exchange on either side — the plan PlanSpec pins. The
+    // merge hint only rules out broadcast; bucketing.enabled is global
+    // and result-neutral. Catalog name is root-derived because catalog
+    // instances cache per name for the session's lifetime.
+    "q_dyn_spj" -> ((s, dir) => {
+      val root = seededFlagsRoot(s, dir)
+      val cat = "graftdyn" + root.replaceAll("[^A-Za-z0-9]", "")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root)
+      s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.customer")
+        .join(s.table(s"$cat.customer_flags").hint("merge"), "c_custkey")
+        .filter(col("positive"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // Range-keyed scan (composite primary key): hash-key predicate +
     // range predicate + non-key filter, all pushed to the store scan.
     "q_dyn_range" -> ((s, dir) => {
@@ -181,6 +221,11 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // flags table = (c_acctbal > 0) per customer, so the co-sharded
+    // join reduces to the plain predicate on the parquet fixture
+    "q_dyn_spj" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
     "q_dyn_point" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 42""".stripMargin,

@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 1)
   }
 
+  test("q_dyn_spj runs as a storage-partitioned join: no exchange on either side") {
+    val p = plan("q_dyn_spj")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join still shuffles:\n$p")
+  }
+
   test("bucketed band join plans as an equi-join, never a nested loop") {
     val p = plan("q_join_band")
     // the whole point of time-bucketing: the band predicate must ride
