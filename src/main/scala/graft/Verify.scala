@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // uniform for the whole run: q_dyn_spj needs it, and setting it
+      // per-query would make other queries' plans order-dependent
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

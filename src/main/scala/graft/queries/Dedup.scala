@@ -161,8 +161,12 @@ object Dedup {
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
+        // keyed shuffle joins on purpose: labels is corpus-sized (one
+        // row per doc), so broadcasting it would be the 100 TB anti-
+        // pattern — AQE still downgrades to broadcast when a side
+        // measures small at runtime
         val nbr = edges
-          .join(broadcast(labels.select(col("id").as("nid"), col("comp"))),
+          .join(labels.select(col("id").as("nid"), col("comp")),
             col("b") === col("nid"))
           .groupBy("a").agg(min("comp").as("nbrmin"))
         val stepped = labels.join(nbr, labels("id") === nbr("a"), "left")
@@ -171,7 +175,7 @@ object Dedup {
         // pointer jump: c1 is itself a doc id carried in the label
         // table, so label(c1) is one hop closer to the component root
         val next = stepped
-          .join(broadcast(labels.select(col("id").as("pid"), col("comp").as("pcomp"))),
+          .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
             stepped("c1") === col("pid"), "left")
           .select(col("id"),
             least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("comp"))

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTa
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.{expressions => v2expr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -74,10 +75,20 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
 
   override def tableExists(ident: Identifier): Boolean = store.exists(ident.name())
 
+  private def schemaPath(table: String) =
+    java.nio.file.Paths.get(root, table, "schema.json")
+
   override def loadTable(ident: Identifier): Table = {
     if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
-    new DynamoTable(tableOpts(ident.name()),
-      Codec.inferSchema(store.samplePage(ident.name())))
+    // DDL-declared schema wins (authoritative types, works on an empty
+    // table); tables seeded through the path-based writer fall back to
+    // sample inference like a path-based read would
+    val sp = schemaPath(ident.name())
+    val schema =
+      if (java.nio.file.Files.isRegularFile(sp))
+        DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
+      else Codec.inferSchema(store.samplePage(ident.name()))
+    new DynamoTable(tableOpts(ident.name()), schema)
   }
 
   override def createTable(
@@ -88,11 +99,32 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
     val hashKey = Option(props.get("hashKey")).getOrElse(
       throw new IllegalArgumentException(
         s"CREATE TABLE ${ident.name()} requires table property 'hashKey'"))
+    val rangeKey = Option(props.get("rangeKey"))
+    // PARTITIONED BY is honored only in the one form the store can
+    // satisfy — bucket(n, <exact primary key>) — and rejected loudly
+    // otherwise rather than silently dropped.
+    val bucketShards = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        val refs = t.references().map(_.fieldNames().mkString("."))
+        val n = t.arguments().collectFirst {
+          case l: v2expr.Literal[_] if l.value().isInstanceOf[Int] =>
+            l.value().asInstanceOf[Int]
+        }
+        require(refs.toSeq == (Seq(hashKey) ++ rangeKey) && n.isDefined,
+          s"PARTITIONED BY must be bucket(n, ${(Seq(hashKey) ++ rangeKey).mkString(", ")}) " +
+            s"— the store's only layout — got ${t.describe()}")
+        n
+      case other => throw new UnsupportedOperationException(
+        s"unsupported PARTITIONED BY ${other.map(_.describe()).mkString(", ")}: " +
+          "only bucket(n, <primary key>) matches the store layout")
+    }
     store.createTable(ident.name(), TableMeta(
       hashKey = hashKey,
-      rangeKey = Option(props.get("rangeKey")),
-      shards = Option(props.get("shards")).map(_.toInt).getOrElse(16),
+      rangeKey = rangeKey,
+      shards = bucketShards.orElse(Option(props.get("shards")).map(_.toInt)).getOrElse(16),
       throughput = Option(props.get("throughput")).map(_.toLong).getOrElse(100L)))
+    java.nio.file.Files.writeString(schemaPath(ident.name()), schema.json)
     new DynamoTable(tableOpts(ident.name()), schema)
   }
 

@@ -339,9 +339,7 @@ final class DynamoScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
-    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
-    val n = opts.readPartitions.getOrElse(
-      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+    val n = fullScanSegments(store, meta)
     val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
     val perShard = n == meta.shards && opts.indexName.isEmpty &&
       countStars == 0 && !opts.cdc &&
@@ -352,6 +350,17 @@ final class DynamoScan(
         meta.shards)
     else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
+  }
+
+  /** ONE definition of the full-scan segment count, shared by
+    * [[outputPartitioning]] and [[planInputPartitions]]: if these ever
+    * drifted, the scan could claim a bucket layout while planning
+    * merged segments — silently wrong join results, not a plan error.
+    */
+  private def fullScanSegments(store: LocalKVStore, meta: TableMeta): Int = {
+    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
+    opts.readPartitions.getOrElse(
+      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
   }
 
   /** Segment count = stored bytes / maxPartitionBytes, clamped to
@@ -379,9 +388,7 @@ final class DynamoScan(
         shards.toArray.sorted
           .map(sh => DynamoInputPartition(sh, meta.shards, rate): InputPartition)
       case None =>
-        val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
-        val n = opts.readPartitions.getOrElse(
-          math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+        val n = fullScanSegments(store, meta)
         val rate = math.max(0.1, opts.targetCapacity * throughput / n)
         Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
     }

@@ -28,13 +28,12 @@ class PartitionPruningSpec extends AnyFunSuite {
 
     // the lang predicate prunes directories, the n_chars predicate
     // pushes into the parquet row groups — different mechanisms, and
-    // each must land in its own slot
-    assert(plan.contains("PartitionFilters") &&
-      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("lang"), plan)
-    assert(plan.contains("PushedFilters") &&
-      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("GreaterThan(n_chars,100)"), plan)
+    // each must land in its own slot (findFirstMatchIn, not replaceAll:
+    // a no-match must FAIL, not fall through to the whole plan string)
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    assert(partFilters.exists(_.group(1).contains("lang")), plan)
+    val pushedFilters = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    assert(pushedFilters.exists(_.group(1).contains("GreaterThan(n_chars,100)")), plan)
 
     val expected = Fixtures.documents(spark, sf)
       .filter(col("lang") === "en" && col("n_chars") > 100)

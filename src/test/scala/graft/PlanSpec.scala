@@ -98,7 +98,8 @@ class PlanSpec extends AnyFunSuite {
     // the whole point of time-bucketing: the band predicate must ride
     // on a hash-partitionable (user, bucket) key
     assert(!p.contains("NestedLoop"), p)
-    assert(p.contains("Join") )
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
   }
 
   test("hash sampling stays map-side: no exchange before the filter") {

@@ -91,9 +91,18 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "spark.sql.catalog.spjddl.path" -> root,
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      // DDL through the catalog, data through the path-based writer
+      // DDL through the catalog, data through the path-based writer;
+      // PARTITIONED BY bucket(n, key) maps onto the store's shard count
       spark.sql(
-        "CREATE TABLE spjddl.small (id STRING, qty BIGINT) TBLPROPERTIES ('hashKey'='id')")
+        """CREATE TABLE spjddl.small (id STRING, qty BIGINT)
+          |PARTITIONED BY (bucket(8, id))
+          |TBLPROPERTIES ('hashKey'='id')""".stripMargin)
+      assert(new graft.sources.dynamo.LocalKVStore(root)
+        .describe("small").shards === 8)
+      // the DDL-declared schema is authoritative even before any write
+      assert(spark.table("spjddl.small").schema.fieldNames.toSeq ===
+        Seq("id", "qty"))
+      assert(spark.table("spjddl.small").count() === 0L)
       Seq(("a", 1L), ("b", 2L)).toDF("id", "qty").write
         .format("dynamo").option("path", root).option("tableName", "small")
         .mode("append").save()
