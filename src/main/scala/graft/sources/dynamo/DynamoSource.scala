@@ -162,7 +162,7 @@ final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-        TableCapability.ACCEPT_ANY_SCHEMA).asJava
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DynamoScanBuilder(opts, tableSchema)
@@ -787,15 +787,27 @@ final class DynamoCountReader(
 
 /** Put by default; `update=true` → upsert-merge per item; `delete=true`
   * → delete by primary key [REF: datasource/DynamoWriteBuilder.scala,
-  * DynamoDataWriter.scala].
+  * DynamoDataWriter.scala]. `SupportsTruncate` backs
+  * `mode("overwrite")`: content is wiped driver-side before tasks
+  * write — non-atomic like every write here (A14), so concurrent
+  * readers can observe the empty window.
   */
-final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType) extends WriteBuilder {
-  override def build(): Write = new DynamoWrite(opts, schema)
+final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new DynamoWrite(opts, schema, truncateFirst)
 }
 
-final class DynamoWrite(opts: DynamoOptions, schema: StructType) extends Write {
-  override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema)
-  override def toStreaming: StreamingWrite = new DynamoStreamingWrite(opts, schema)
+final class DynamoWrite(
+    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false) extends Write {
+  override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema, truncateFirst)
+  override def toStreaming: StreamingWrite = {
+    if (truncateFirst) throw new UnsupportedOperationException(
+      "complete-mode streaming (truncate per epoch) is not supported; " +
+        "use outputMode update or append")
+    new DynamoStreamingWrite(opts, schema)
+  }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new WriteMetrics.RowsWritten, new WriteMetrics.BytesWritten)
@@ -907,13 +919,19 @@ private object WriteSetup {
   }
 }
 
-final class DynamoBatchWrite(opts: DynamoOptions, schema: StructType) extends BatchWrite {
+final class DynamoBatchWrite(
+    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false)
+    extends BatchWrite {
 
   /** `seq` stamps this job's WAL files so replay orders jobs by
     * submission time.
     */
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     WriteSetup.validateSchema(opts, schema)
+    if (truncateFirst) {
+      val store = new LocalKVStore(opts.path)
+      if (store.exists(opts.tableName)) store.truncateTable(opts.tableName)
+    }
     new DynamoWriterFactory(opts, schema,
       WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())
   }

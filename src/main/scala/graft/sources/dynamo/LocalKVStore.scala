@@ -548,6 +548,17 @@ final class LocalKVStore(root: String) {
   def compact(table: String): Unit =
     (0 until describe(table).shards).foreach(compactShard(table, _))
 
+  /** Delete all content (base shards + journal), keeping the table
+    * definition — the `mode("overwrite")` reset. Not atomic: a
+    * concurrent reader can observe the empty window, and an in-flight
+    * writer's later publish survives the truncate (A14's non-atomic
+    * commit model applies to overwrite too).
+    */
+  def truncateTable(table: String): Unit = {
+    listFiles(table, "shard-").foreach(Files.delete)
+    listFiles(table, "wal-").foreach(Files.delete)
+  }
+
   // ---- helpers ----
 
   private def shardIndex(p: Path): Int =

@@ -46,6 +46,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ("durian", "green", 2.5, 1L)))
   }
 
+  test("mode(overwrite) truncates content but keeps the table definition") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 rows
+    Seq(("kiwi", "green", 0.08, 12L))
+      .toDF("name", "color", "weight_kg", "stock")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .mode("overwrite").save()
+    val back = spark.read.dynamo(root, "fruit")
+    assert(back.count() === 1L)
+    assert(back.select("name").head.getString(0) === "kiwi")
+    // table definition survives the truncate
+    assert(new LocalKVStore(root).describe("fruit").hashKey === "name")
+  }
+
   test("update merges non-key attrs over existing items (upsert)") {
     import spark.implicits._
     val root = freshRoot()
