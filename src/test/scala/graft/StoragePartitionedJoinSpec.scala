@@ -65,6 +65,33 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ survives one side pruned to a shard subset (push-part-values)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj-prune").toString
+    Seq.tabulate(200)(i => (f"k$i%04d", i.toLong))
+      .toDF("id", "qty").write.dynamo(root, "lp", "id")
+    Seq.tabulate(200)(i => (f"k$i%04d", s"cat${i % 7}"))
+      .toDF("id", "cat").write.dynamo(root, "rp", "id")
+    withConf(
+      "spark.sql.catalog.spjpr" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjpr.path" -> root,
+      "spark.sql.catalog.spjpr.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the pushed key filter prunes the left scan to ONE shard; the
+      // right side stays full — partition values no longer line up and
+      // Spark must fill the gaps instead of shuffling (or at minimum
+      // stay correct)
+      val j = spark.table("spjpr.lp").filter(col("id") === "k0005")
+        .join(spark.table("spjpr.rp").hint("merge"), "id")
+        .select("id", "qty", "cat")
+      val rows = j.collect()
+      assert(rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2))) ===
+        Seq(("k0005", 5L, "cat5")))
+    }
+  }
+
   test("aggregation keyed by the primary key reuses the shard layout") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj-agg").toString
