@@ -170,20 +170,20 @@ object Dedup {
             col("b") === col("nid"))
           .groupBy("a").agg(min("comp").as("nbrmin"))
         val stepped = labels.join(nbr, labels("id") === nbr("a"), "left")
-          .select(labels("id").as("id"),
+          .select(labels("id").as("id"), labels("comp").as("prev"),
             least(labels("comp"), coalesce(col("nbrmin"), labels("comp"))).as("c1"))
         // pointer jump: c1 is itself a doc id carried in the label
-        // table, so label(c1) is one hop closer to the component root
+        // table, so label(c1) is one hop closer to the component root;
+        // the previous label rides along so convergence is a filter
+        // over the checkpointed frame, not another join
         val next = stepped
           .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
             stepped("c1") === col("pid"), "left")
-          .select(col("id"),
+          .select(col("id"), col("prev"),
             least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("comp"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.withColumnRenamed("comp", "prev"), "id")
-          .filter(col("comp") =!= col("prev")).count()
-        labels = next
+        changed = next.filter(col("comp") =!= col("prev")).count()
+        labels = next.select("id", "comp")
       }
       labels.select(col("id").as("doc_id"), col("comp").cast("long").as("cluster"))
         .orderBy("doc_id")
