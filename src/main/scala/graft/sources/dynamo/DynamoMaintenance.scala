@@ -22,4 +22,29 @@ object DynamoMaintenance {
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
   }
+
+  /** Re-bucket a table into a new shard count — the split/merge move a
+    * long-lived table needs when data volume outruns its layout (more
+    * shards = more scan/write parallelism and finer SPJ buckets; fewer
+    * = less small-file overhead). One distributed pass: the journal is
+    * folded away first (stale WAL shard suffixes would replay into the
+    * wrong segment under the new numbering), each OLD shard's task
+    * splits its items into per-new-shard part files, and the driver
+    * swaps the layout + metadata. Data is read once and written once
+    * regardless of either shard count. Requires exclusive access, like
+    * compaction; not crash-atomic (rerun on failure — placement is a
+    * pure function of the key, so the rebuild converges).
+    */
+  def reshard(spark: SparkSession, path: String, table: String, newShards: Int): Unit = {
+    require(newShards > 0, s"newShards must be positive, got $newShards")
+    val store = new LocalKVStore(path)
+    val oldShards = store.describe(table).shards
+    if (oldShards == newShards) return
+    compact(spark, path, table)
+    val parallelism = math.min(oldShards, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(0 until oldShards, parallelism)
+      .foreach(sh => new LocalKVStore(path).reshardShard(table, sh, newShards))
+    store.finishReshard(table, newShards)
+  }
 }

@@ -559,6 +559,74 @@ final class LocalKVStore(root: String) {
     listFiles(table, "wal-").foreach(Files.delete)
   }
 
+  // ---- resharding (layout change; see DynamoMaintenance.reshard) ----
+
+  /** Reshard phase 1, the task-side unit: stream ONE old shard's items
+    * into per-new-shard part files under `reshard-tmp/`. Memory is one
+    * line at a time; tasks touch disjoint inputs and distinct part
+    * files, so old shards reshard concurrently.
+    */
+  def reshardShard(table: String, oldShard: Int, newShards: Int): Unit = {
+    val meta = describe(table)
+    val tmp = tableDir(table).resolve("reshard-tmp")
+    Files.createDirectories(tmp)
+    val src = tableDir(table).resolve(f"shard-$oldShard%03d.jsonl")
+    if (!Files.isRegularFile(src)) return
+    val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+    try {
+      val lines = Files.lines(src, UTF_8)
+      try lines.iterator().asScala.filter(_.nonEmpty).foreach { line =>
+        val ns = math.floorMod(keyOf(meta, ItemJson.parse(line)).hashCode, newShards)
+        val w = writers.getOrElseUpdate(ns, Files.newBufferedWriter(
+          tmp.resolve(f"part-$ns%03d-from-$oldShard%03d.jsonl"), UTF_8))
+        w.write(line); w.write("\n")
+      } finally lines.close()
+    } finally writers.values.foreach(_.close())
+  }
+
+  /** Reshard phase 2 (driver-side): concatenate each new shard's parts
+    * in old-shard order (deterministic layout), swap the shard files,
+    * rewrite the metadata. Requires the same exclusive access as
+    * compaction — the journal must be empty (compact first: stale WAL
+    * shard suffixes would replay into the wrong segment under the new
+    * numbering) and no concurrent writer may hold the OLD shard count.
+    */
+  def finishReshard(table: String, newShards: Int): Unit = {
+    val meta = describe(table)
+    require(listFiles(table, "wal-").isEmpty,
+      s"reshard of $table requires an empty journal; compact first")
+    val dir = tableDir(table)
+    val tmp = dir.resolve("reshard-tmp")
+    (0 until newShards).foreach { ns =>
+      val parts =
+        if (!Files.isDirectory(tmp)) Seq.empty
+        else {
+          val s = Files.list(tmp)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(f"part-$ns%03d-from-"))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally s.close()
+        }
+      val w = Files.newBufferedWriter(tmp.resolve(f"shard-$ns%03d.jsonl"), UTF_8)
+      try parts.foreach { p =>
+        val lines = Files.lines(p, UTF_8)
+        try lines.iterator().asScala.filter(_.nonEmpty)
+          .foreach { l => w.write(l); w.write("\n") }
+        finally lines.close()
+      } finally w.close()
+    }
+    listFiles(table, "shard-").foreach(Files.delete)
+    (0 until newShards).foreach { ns =>
+      Files.move(tmp.resolve(f"shard-$ns%03d.jsonl"),
+        dir.resolve(f"shard-$ns%03d.jsonl"))
+    }
+    val leftover = Files.list(tmp)
+    try leftover.iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally leftover.close()
+    Files.deleteIfExists(tmp)
+    createTable(table, meta.copy(shards = newShards))
+  }
+
   // ---- helpers ----
 
   private def shardIndex(p: Path): Int =

@@ -110,6 +110,42 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("reshard re-buckets the layout; reads and cross-layout joins stay correct") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoMaintenance, LocalKVStore}
+    val root = Files.createTempDirectory("graft-reshard").toString
+    val df = Seq.tabulate(300)(i => (f"k$i%04d", i.toLong)).toDF("id", "qty")
+    df.write.dynamo(root, "grow", "id")
+    // pending journal entries must fold in, not get lost or misplaced
+    Seq(("k0000", 999L)).toDF("id", "qty").write.format("dynamo")
+      .option("path", root).option("tableName", "grow")
+      .option("update", "true").mode("append").save()
+
+    DynamoMaintenance.reshard(spark, root, "grow", 32)
+    assert(new LocalKVStore(root).describe("grow").shards === 32)
+    val up = spark.read.dynamo(root, "grow")
+    assert(up.count() === 300L)
+    assert(up.filter(col("id") === "k0000").head.getAs[Long]("qty") === 999L)
+
+    DynamoMaintenance.reshard(spark, root, "grow", 4)
+    assert(new LocalKVStore(root).describe("grow").shards === 4)
+    assert(spark.read.dynamo(root, "grow").count() === 300L)
+
+    // a co-sharded partner resharded to a DIFFERENT count: the scans
+    // report incompatible bucket layouts, so the join must fall back
+    // to a shuffle — and stay correct
+    df.write.dynamo(root, "partner", "id")
+    withConf(
+      "spark.sql.catalog.spjrs" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjrs.path" -> root,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = spark.table("spjrs.grow")
+        .join(spark.table("spjrs.partner").select(col("id"), col("qty").as("q2")), "id")
+      assert(j.count() === 300L)
+      assert(j.filter(col("qty") =!= col("q2")).count() === 1L) // the updated row
+    }
+  }
+
   test("catalog DDL + path-based reads fall back gracefully") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj2").toString
