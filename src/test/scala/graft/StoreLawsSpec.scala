@@ -131,4 +131,40 @@ class StoreLawsSpec extends AnyFunSuite {
       assert(view === expected, s"base=$base jobs=$jobs")
     }
   }
+
+  test("reshard preserves the merged view, for any old/new shard counts") {
+    forAll(Gen.zip(genScenario, Gen.chooseNum(1, 9), Gen.chooseNum(1, 9))) {
+      case ((base, jobs), oldShards, newShards) =>
+        val root = Files.createTempDirectory("graft-store-laws").toString
+        val store = new LocalKVStore(root)
+        store.bulkLoad("t",
+          TableMeta("id", None, shards = oldShards, throughput = 1000000L),
+          base.map(_._2).iterator)
+        jobs.zipWithIndex.foreach { case (ops, j) =>
+          store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
+            ops.map {
+              case ("PUT", k, a)    => store.Put(withKey(k, a))
+              case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
+              case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
+              case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
+              case (_, k, a)        => store.Update(withKey(k, a))
+            })
+        }
+        val expected = model(base, jobs)
+        // serial form of DynamoMaintenance.reshard's phases
+        store.compact("t")
+        (0 until oldShards).foreach(store.reshardShard("t", _, newShards))
+        store.finishReshard("t", newShards)
+        assert(store.describe("t").shards === newShards)
+        val segs = (0 until newShards).map(s =>
+          store.scanSegment("t", s, newShards).map(_._1).toVector)
+        segs.map(_.map(it => it("id")).toSet).combinations(2).foreach {
+          case Seq(x, y) => assert(x.intersect(y).isEmpty)
+        }
+        val view = segs.flatten
+          .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+        assert(view === expected,
+          s"old=$oldShards new=$newShards base=$base jobs=$jobs")
+    }
+  }
 }
