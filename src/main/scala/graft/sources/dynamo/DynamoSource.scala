@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.dynamo.ItemJson.Item
@@ -649,6 +649,90 @@ final class DynamoReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     new DynamoPartitionReader(opts, schema, pushed, p, limit)
+  }
+
+  /** Vectorized path for flat primitive schemas: rows pack into
+    * `ColumnarBatch`es so the scan feeds WholeStageCodegen columnar
+    * input instead of one virtual call per row. Nested types (and any
+    * schema holding them) fall back to the row reader — same decode
+    * either way, so the two paths cannot disagree.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    schema.fields.forall(f => DynamoColumnarReader.supported(f.dataType))
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[DynamoInputPartition]
+    new DynamoColumnarReader(
+      new DynamoPartitionReader(opts, schema, pushed, p, limit), schema)
+  }
+}
+
+/** Batches the row reader's output into on-heap column vectors —
+  * decode, pushed filters, TTL, rate limiting, and metrics all run in
+  * the wrapped [[DynamoPartitionReader]] unchanged; this layer only
+  * changes the shipping format.
+  */
+object DynamoColumnarReader {
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | BooleanType | StringType | BinaryType |
+         TimestampType | DateType => true
+    case _ => false
+  }
+}
+
+final class DynamoColumnarReader(
+    rows: DynamoPartitionReader, schema: StructType, batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    val vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
+    var n = 0
+    while (n < batchSize && rows.next()) {
+      val row = rows.get()
+      var i = 0
+      while (i < schema.length) {
+        val v = vectors(i)
+        if (row.isNullAt(i)) v.putNull(n)
+        else schema.fields(i).dataType match {
+          case LongType | TimestampType => v.putLong(n, row.getLong(i))
+          case IntegerType | DateType   => v.putInt(n, row.getInt(i))
+          case ShortType   => v.putShort(n, row.getShort(i))
+          case ByteType    => v.putByte(n, row.getByte(i))
+          case DoubleType  => v.putDouble(n, row.getDouble(i))
+          case FloatType   => v.putFloat(n, row.getFloat(i))
+          case BooleanType => v.putBoolean(n, row.getBoolean(i))
+          case StringType =>
+            val b = row.getUTF8String(i).getBytes
+            v.putByteArray(n, b, 0, b.length)
+          case BinaryType =>
+            val b = row.getBinary(i)
+            v.putByteArray(n, b, 0, b.length)
+          case other => throw new UnsupportedOperationException(
+            s"columnar read of $other (factory gates on supported types)")
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (n == 0) { vectors.foreach(_.close()); false }
+    else { batch = new ColumnarBatch(vectors.map(v => v: ColumnVector), n); true }
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    rows.currentMetricsValues()
+
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    rows.close()
   }
 }
 

@@ -46,6 +46,26 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ("durian", "green", 2.5, 1L)))
   }
 
+  test("flat schemas read through the columnar (vectorized) path") {
+    val root = freshRoot()
+    seedFruit(root)
+    val d = spark.read.dynamo(root, "fruit")
+      .select("name", "color", "weight_kg", "stock")
+    // the executed plan marks a columnar scan with a ColumnarToRow
+    // bridge above the BatchScan
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // and the batched values are the written ones, nulls included
+    val rows = d.orderBy("name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("apple", "red", 0.15, 3L),
+      ("banana", "yellow", 0.12, 5L),
+      ("cherry", "red", 0.005, 100L),
+      ("durian", "green", 2.5, 1L)))
+  }
+
   test("mode(overwrite) truncates content but keeps the table definition") {
     import spark.implicits._
     val root = freshRoot()
