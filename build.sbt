@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE parseable JSON line on stdout;
+// sbt's default logger would prefix forked output with "[info] ",
+// which breaks a plain json.loads on the line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
