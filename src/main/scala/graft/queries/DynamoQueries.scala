@@ -150,6 +150,27 @@ object DynamoQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     }),
+    // Partially-clustered SPJ: the pushed IN-filter prunes the
+    // customer scan to a shard SUBSET while customer_flags stays full;
+    // `pushPartValues` aligns the mismatched partition-value sets so
+    // the join still runs with zero exchange on either side (the full
+    // 100 TB side is never re-shuffled just because the probe side was
+    // pruned) — StoragePartitionedJoinSpec pins the plan.
+    "q_dyn_spj_pruned" -> ((s, dir) => {
+      val root = seededFlagsRoot(s, dir)
+      val cat = "graftdyn" + root.replaceAll("[^A-Za-z0-9]", "")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root)
+      s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.table(s"$cat.customer")
+        .filter(col("c_custkey").isin(42, 999, 1077))
+        .join(s.table(s"$cat.customer_flags").hint("merge"), "c_custkey")
+        .select("c_custkey", "c_name", "c_acctbal", "positive")
+        .orderBy("c_custkey")
+    }),
+
     // Range-keyed scan (composite primary key): hash-key predicate +
     // range predicate + non-key filter, all pushed to the store scan.
     "q_dyn_range" -> ((s, dir) => {
@@ -226,6 +247,10 @@ object DynamoQueries {
     "q_dyn_spj" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "q_dyn_spj_pruned" ->
+      """SELECT c_custkey, c_name, c_acctbal, (c_acctbal > 0) AS positive
+        |FROM customer WHERE c_custkey IN (42, 999, 1077)
+        |ORDER BY c_custkey""".stripMargin,
     "q_dyn_point" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 42""".stripMargin,

@@ -232,7 +232,8 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   * so Catalyst can group partitions for storage-partitioned joins.
   */
 final case class DynamoInputPartition(
-    segment: Int, totalSegments: Int, ratePerSegment: Double)
+    segment: Int, totalSegments: Int, ratePerSegment: Double,
+    padEmpty: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(segment)
 }
@@ -339,17 +340,35 @@ final class DynamoScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
-    val n = fullScanSegments(store, meta)
-    val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
-    val perShard = n == meta.shards && opts.indexName.isEmpty &&
-      countStars == 0 && !opts.cdc &&
-      keyCols.forall(readSchema().fieldNames.contains)
-    if (perShard)
+    if (reportsPerShard(store, meta)) {
+      val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array[v2expr.Expression](v2expr.Expressions.bucket(meta.shards, keyCols: _*)),
         meta.shards)
-    else
-      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        fullScanSegments(store, meta))
+  }
+
+  /** True when this scan's segments ARE the table's shard layout — the
+    * condition under which [[outputPartitioning]] declares the bucket
+    * transform and [[planInputPartitions]] must keep the segment↔shard
+    * identity (including for key-pruned subsets — see the pad rule).
+    * Binary-typed keys are excluded: [[DynamoBucketFunction]] cannot
+    * evaluate them, and a plan that shuffles one mismatched side
+    * evaluates the function (`spark.sql.sources.v2.bucketing.shuffle
+    * .enabled`) — claiming the layout would trade a working shuffle
+    * for a runtime throw.
+    */
+  private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean = {
+    val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
+    fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
+      countStars == 0 && !opts.cdc &&
+      keyCols.forall(readSchema().fieldNames.contains) &&
+      keyCols.forall(c => readSchema().fields(readSchema().fieldIndex(c)).dataType match {
+        case BinaryType => false
+        case _ => true
+      })
   }
 
   /** ONE definition of the full-scan segment count, shared by
@@ -385,8 +404,24 @@ final class DynamoScan(
       case Some(shards) =>
         val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, shards.size))
         // One partition per candidate shard; segment space = shard space.
-        shards.toArray.sorted
+        val live = shards.toArray.sorted
           .map(sh => DynamoInputPartition(sh, meta.shards, rate): InputPartition)
+        // Partially-clustered SPJ pad: a key-pinned scan pruned to ONE
+        // shard would surface as Spark's SinglePartition (the exec
+        // collapses any 1-partition scan), forfeiting the declared
+        // bucket layout — and with it the shuffle-free join against a
+        // full-shard partner (`spark.sql.sources.v2.bucketing
+        // .pushPartValues.enabled` aligns mismatched partition-value
+        // sets, but only between two KeyGroupedPartitionings). One
+        // deliberately-empty partition for a neighbouring shard keeps
+        // the layout visible. Correct by construction: shard placement
+        // is a pure function of the key, so an honest scan of the pad
+        // shard under the pushed key filter returns zero rows — the
+        // pad just skips the I/O. Cost: one no-op task.
+        if (live.length == 1 && reportsPerShard(store, meta)) {
+          val pad = (shards.head + 1) % meta.shards
+          live :+ (DynamoInputPartition(pad, meta.shards, rate, padEmpty = true): InputPartition)
+        } else live
       case None =>
         val n = fullScanSegments(store, meta)
         val rate = math.max(0.1, opts.targetCapacity * throughput / n)
@@ -767,8 +802,11 @@ final class DynamoPartitionReader(
       throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
   }
 
+  // A pad partition exists only to keep the shard layout visible to
+  // SPJ planning (see planInputPartitions); it owns no matching rows.
   private val items: Iterator[(Item, Int)] =
-    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+    if (partition.padEmpty) Iterator.empty
+    else store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
 
   // One clock per scan task: every item in the partition sees the same
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).
@@ -841,6 +879,7 @@ final class DynamoCountReader(
 
   override def next(): Boolean = {
     if (emitted) return false
+    if (partition.padEmpty) { emitted = true; return true } // zero partial
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)

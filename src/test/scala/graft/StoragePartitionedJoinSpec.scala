@@ -79,16 +79,32 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      // the pushed key filter prunes the left scan to ONE shard; the
-      // right side stays full — partition values no longer line up and
-      // Spark must fill the gaps instead of shuffling (or at minimum
-      // stay correct)
+      // the pushed key filter prunes the left scan to ONE shard (plus
+      // the SPJ pad partition that keeps the bucket layout visible);
+      // the right side stays full — partition values no longer line
+      // up, and pushPartValues must fill the gaps instead of shuffling
+      // EITHER side (partially-clustered storage-partitioned join)
       val j = spark.table("spjpr.lp").filter(col("id") === "k0005")
         .join(spark.table("spjpr.rp").hint("merge"), "id")
         .select("id", "qty", "cat")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"shard-pruned SPJ side still forces a shuffle:\n$plan")
       val rows = j.collect()
       assert(rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2))) ===
         Seq(("k0005", 5L, "cat5")))
+
+      // IN spanning several shards: multi-shard subset vs full side
+      val in = spark.table("spjpr.lp")
+        .filter(col("id").isin("k0005", "k0017", "k0123"))
+        .join(spark.table("spjpr.rp").hint("merge"), "id")
+        .select("id", "qty", "cat")
+      val inPlan = in.queryExecution.executedPlan.toString
+      assert(!inPlan.contains("Exchange hashpartitioning"),
+        s"multi-shard-pruned SPJ side still forces a shuffle:\n$inPlan")
+      assert(in.orderBy("id").collect().map(_.getString(0)).toSeq ===
+        Seq("k0005", "k0017", "k0123"))
     }
   }
 
