@@ -1,6 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+
 object Bench {
+
+  /** Materialize a result so the measurement includes the REAL work:
+    * a full-column checksum forces every projected expression to
+    * evaluate (a bare `count()` lets Spark prune final-projection
+    * expressions — it flattered expression-heavy queries). `bit_xor`
+    * folds the row hashes without the ANSI long-overflow a `sum`
+    * hits. Queries whose output holds a type `xxhash64` can't hash
+    * (maps) fall back to `count()`; the analysis fails before any
+    * execution, so the fallback costs planning only.
+    */
+  def materialize(df: DataFrame): Unit = {
+    try df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    catch { case _: AnalysisException => df.count() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,15 +36,28 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
+    // Two repetitions per query, keeping the min: one concurrent job on
+    // the machine (the round-3 artifact showed phantom 5-9x inflation
+    // from exactly that) can't masquerade as a code regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained artifact: the driver captures a bounded stdout
+    // tail, which truncated 47 of 114 per-query keys in round 3 — the
+    // file copy survives regardless of how the line is captured.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }
