@@ -417,8 +417,15 @@ final class DynamoScan(
         // the layout visible. Correct by construction: shard placement
         // is a pure function of the key, so an honest scan of the pad
         // shard under the pushed key filter returns zero rows — the
-        // pad just skips the I/O. Cost: one no-op task.
-        if (live.length == 1 && reportsPerShard(store, meta)) {
+        // pad just skips the I/O. Cost: one no-op task — paid only
+        // when the session opted into SPJ (both v2.bucketing confs);
+        // otherwise a point lookup stays exactly one task.
+        val spjPadEnabled = {
+          val c = org.apache.spark.sql.internal.SQLConf.get
+          c.getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+            c.getConfString("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false").toBoolean
+        }
+        if (live.length == 1 && spjPadEnabled && reportsPerShard(store, meta)) {
           val pad = (shards.head + 1) % meta.shards
           live :+ (DynamoInputPartition(pad, meta.shards, rate, padEmpty = true): InputPartition)
         } else live
@@ -709,11 +716,20 @@ final class DynamoReaderFactory(
   * changes the shipping format.
   */
 object DynamoColumnarReader {
-  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+  private def flat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | BooleanType | StringType | BinaryType |
          TimestampType | DateType => true
     case _ => false
+  }
+  /** Flat primitives plus one level of array-of-primitive — the
+    * embedding-table shape (`Array[Float]` columns), which would
+    * otherwise demote the whole scan to the row path. Nested
+    * arrays/structs/maps still fall back.
+    */
+  def supported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ArrayType(et, _) => flat(et)
+    case other => flat(other)
   }
 }
 
@@ -725,36 +741,68 @@ final class DynamoColumnarReader(
 
   private var batch: ColumnarBatch = _
 
+  /** One scalar cell into a writable vector at row `n`. Shared by the
+    * top-level fill and the array-element fill so the two cannot
+    * diverge on a type.
+    */
+  private def putScalar(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      n: Int, dt: org.apache.spark.sql.types.DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Unit =
+    dt match {
+      case LongType | TimestampType => v.putLong(n, row.getLong(i))
+      case IntegerType | DateType   => v.putInt(n, row.getInt(i))
+      case ShortType   => v.putShort(n, row.getShort(i))
+      case ByteType    => v.putByte(n, row.getByte(i))
+      case DoubleType  => v.putDouble(n, row.getDouble(i))
+      case FloatType   => v.putFloat(n, row.getFloat(i))
+      case BooleanType => v.putBoolean(n, row.getBoolean(i))
+      case StringType =>
+        val b = row.getUTF8String(i).getBytes
+        v.putByteArray(n, b, 0, b.length)
+      case BinaryType =>
+        val b = row.getBinary(i)
+        v.putByteArray(n, b, 0, b.length)
+      case other => throw new UnsupportedOperationException(
+        s"columnar read of $other (factory gates on supported types)")
+    }
+
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
     val vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
     var n = 0
-    while (n < batchSize && rows.next()) {
-      val row = rows.get()
-      var i = 0
-      while (i < schema.length) {
-        val v = vectors(i)
-        if (row.isNullAt(i)) v.putNull(n)
-        else schema.fields(i).dataType match {
-          case LongType | TimestampType => v.putLong(n, row.getLong(i))
-          case IntegerType | DateType   => v.putInt(n, row.getInt(i))
-          case ShortType   => v.putShort(n, row.getShort(i))
-          case ByteType    => v.putByte(n, row.getByte(i))
-          case DoubleType  => v.putDouble(n, row.getDouble(i))
-          case FloatType   => v.putFloat(n, row.getFloat(i))
-          case BooleanType => v.putBoolean(n, row.getBoolean(i))
-          case StringType =>
-            val b = row.getUTF8String(i).getBytes
-            v.putByteArray(n, b, 0, b.length)
-          case BinaryType =>
-            val b = row.getBinary(i)
-            v.putByteArray(n, b, 0, b.length)
-          case other => throw new UnsupportedOperationException(
-            s"columnar read of $other (factory gates on supported types)")
+    // If the row reader (or a decode) throws mid-batch the vectors are
+    // not yet owned by a ColumnarBatch — close them here or they leak
+    // until GC.
+    try {
+      while (n < batchSize && rows.next()) {
+        val row = rows.get()
+        var i = 0
+        while (i < schema.length) {
+          val v = vectors(i)
+          if (row.isNullAt(i)) v.putNull(n)
+          else schema.fields(i).dataType match {
+            case ArrayType(et, _) =>
+              val arr = row.getArray(i)
+              val child = v.arrayData()
+              val start = child.getElementsAppended
+              val len = arr.numElements()
+              child.reserve(start + len)
+              var j = 0
+              while (j < len) {
+                if (arr.isNullAt(j)) child.appendNull()
+                else { putScalar(child, start + j, et, arr, j); child.addElementsAppended(1) }
+                j += 1
+              }
+              v.putArray(n, start, len)
+            case dt => putScalar(v, n, dt, row, i)
+          }
+          i += 1
         }
-        i += 1
+        n += 1
       }
-      n += 1
+    } catch {
+      case t: Throwable => vectors.foreach(_.close()); throw t
     }
     if (n == 0) { vectors.foreach(_.close()); false }
     else { batch = new ColumnarBatch(vectors.map(v => v: ColumnVector), n); true }

@@ -66,6 +66,43 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ("durian", "green", 2.5, 1L)))
   }
 
+  test("array-of-primitive columns (embeddings) read columnar, equal to the row path") {
+    import spark.implicits._
+    val root = freshRoot()
+    // embedding-table shape: id + float[] (+ a null vector and a null
+    // element to exercise the null paths; no empty list — an empty L
+    // carries no element type, so sample inference would widen the
+    // column to array<string>, which is an inference property, not a
+    // columnar one)
+    val rows = Seq(
+      (0L, Some(Seq(Some(0.5f), Some(-1.25f), Some(3.0f))), "a"),
+      (1L, Some(Seq(Some(1.0f), None, Some(2.0f))), "b"),
+      (2L, None, "c"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.dynamo(root, "emb", "vec_id")
+
+    val d = spark.read.dynamo(root, "emb")
+      .select("vec_id", "embedding", "label")
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"array schema fell back to the row path:\n$plan")
+
+    // The columnar layer wraps the SAME row reader (decode, filters,
+    // TTL all shared), so value equality with the written rows is the
+    // whole contract — floats widen to double through the store's N
+    // type, like ints widen to long.
+    val got = d.orderBy("vec_id").collect().map { r =>
+      (r.getLong(0),
+       if (r.isNullAt(1)) null else r.getSeq[Any](1).toList,
+       r.getString(2))
+    }.toSeq
+    assert(got === Seq(
+      (0L, List(0.5d, -1.25d, 3.0d), "a"),
+      (1L, List(1.0d, null, 2.0d), "b"),
+      (2L, null, "c")))
+  }
+
   test("mode(overwrite) truncates content but keeps the table definition") {
     import spark.implicits._
     val root = freshRoot()
