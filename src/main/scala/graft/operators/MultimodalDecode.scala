@@ -18,13 +18,88 @@ case class ResizedMedia(docId: Long, width: Int, height: Int, payload: Array[Byt
 /** One sampled frame: (item, frame index, frame payload slice). */
 case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
 
-/** Batched media decode — the Spark-side plumbing for an image/audio
+/** Per-task media codec. REAL image decode for image payloads —
+  * BMP/PNG/GIF/JPEG through `javax.imageio`, pure JVM, headless-safe,
+  * no native libraries — and a deterministic byte-derived stand-in for
+  * opaque payloads (video/audio containers have no JVM-builtin codec;
+  * a deployment drops its own decoder into [[decodeImage]]'s slot).
+  * Constructed ONCE per task inside `mapPartitions`, so reader setup
+  * amortizes over the partition's rows — the contract a native codec
+  * needs, exercised by a real one.
+  */
+final class MediaCodec {
+  import java.awt.image.BufferedImage
+
+  // In-memory decode only: ImageIO's default disk cache would turn
+  // every executor decode into temp-file I/O.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Full image decode, or None for non-image/corrupt payloads (the
+    * magic-byte sniff keeps opaque payloads off the ImageIO parse
+    * path entirely — cheap rejection at 100 TB matters as much as
+    * decode speed).
+    */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (!MultimodalDecode.looksLikeImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+  /** (width, height, frameCount). Images: actual decoded dimensions,
+    * one frame. Opaque payloads: dimensions derived from the leading
+    * payload bytes (mirrors the SQL-expressible formula in
+    * `queries.Multimodal` so the oracle can reproduce them) and one
+    * frame per 256-byte window.
+    */
+  def dims(payload: Array[Byte]): (Int, Int, Int) =
+    decodeImage(payload) match {
+      case Some(img) => (img.getWidth, img.getHeight, 1)
+      case None =>
+        val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+        val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+        (16 + b0 % 48, 16 + b1 % 48, payload.length / 256 + 1)
+    }
+
+  /** Real resize for images: decode → Graphics2D scale →
+    * BMP re-encode (BMP: JVM-builtin, compression-free, so output
+    * size is a pure function of the target dims). Opaque payloads:
+    * truncated/padded to targetW×targetH/8 — size-faithful (a resized
+    * payload's size depends on the TARGET dims), which is what
+    * downstream partition-sizing cares about.
+    */
+  def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    decodeImage(payload) match {
+      case Some(img) =>
+        val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "bmp", baos)
+        baos.toByteArray
+      case None =>
+        java.util.Arrays.copyOf(payload, math.max(1, targetW * targetH / 8))
+    }
+
+  /** Frame `idx` of the payload: an image IS its only frame; opaque
+    * payloads expose 256-byte windows (the stand-in for container
+    * frame extraction).
+    */
+  def frame(payload: Array[Byte], idx: Int): Array[Byte] =
+    if (MultimodalDecode.looksLikeImage(payload)) payload // sniff only: no second decode
+    else {
+      val from = idx * 256
+      val until = math.min(payload.length, from + 256)
+      if (from >= payload.length) Array.empty[Byte]
+      else java.util.Arrays.copyOfRange(payload, from, until)
+    }
+}
+
+/** Batched media decode — the Spark side of an image/audio
   * feature-extraction stage.
   *
   * Shape notes (this is the part that matters at 100 TB):
-  *  - `mapPartitions`, not `map`: a real codec initializes native
-  *    state once per task and amortizes it over the partition's rows —
-  *    the same batching contract `mapInPandas` gives Python codecs.
+  *  - `mapPartitions`, not `map`: the [[MediaCodec]] initializes once
+  *    per task and amortizes over the partition's rows — the same
+  *    batching contract `mapInPandas` gives Python codecs.
   *  - The transform is narrow (no shuffle); partitioning and ordering
   *    of the input pass through untouched, so an upstream
   *    `repartition(N)` fully controls decode parallelism and batch
@@ -32,51 +107,41 @@ case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
   *  - Typed Datasets on both sides: Encoders do the row codec work;
   *    payload bytes are never copied through an interpreted UDF boxing
   *    layer.
-  *
-  * STUB: the codec call itself is faked deterministically (no media
-  * libraries in this environment) — `decodeDims` derives dimensions
-  * from the leading payload bytes. A real deployment replaces ONLY
-  * `decodeDims`; every contract above stays as-is.
   */
 object MultimodalDecode {
 
-  /** Deterministic stand-in for the native decode call. Mirrors the
-    * SQL-expressible formula in `queries.Multimodal` so the spec can
-    * cross-check the two paths row-for-row.
+  /** Magic-byte sniff for the JVM-decodable image formats; anything
+    * else is treated as an opaque payload.
     */
-  private def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
-    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-    (16 + b0 % 48, 16 + b1 % 48, payload.length / 256 + 1)
-  }
+  private[graft] def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||          // BMP
+      (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||                        // PNG
+      (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte) ||                                              // GIF
+      (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)     // JPEG
 
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { batch =>
-      // real impl: acquire the codec/native context once, here
+      val codec = new MediaCodec // per-task init, amortized over the batch
       batch.map { m =>
-        val (w, h, frames) = decodeDims(m.payload)
+        val (w, h, frames) = codec.dims(m.payload)
         MediaFeatures(m.docId, m.mediaType, m.payload.length.toLong, w, h, frames)
       }
-      // and release it on batch exhaustion
     }
   }
 
   /** Resize stage: decode → scale to (targetW, targetH) → re-encode.
     * Same batching contract as [[decodeFeatures]] (narrow, codec
-    * amortized per task). STUB scaler: output payload = input bytes
-    * truncated/padded to targetW×targetH/8 — deterministic and
-    * size-faithful (a resized payload's size depends on the TARGET
-    * dims, not the source), which is what downstream partition-sizing
-    * cares about.
+    * amortized per task).
     */
   def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
     import items.sparkSession.implicits._
-    val outBytes = math.max(1, targetW * targetH / 8)
     items.mapPartitions { batch =>
+      val codec = new MediaCodec
       batch.map { m =>
-        val out = java.util.Arrays.copyOf(m.payload, outBytes)
-        ResizedMedia(m.docId, targetW, targetH, out)
+        ResizedMedia(m.docId, targetW, targetH, codec.resize(m.payload, targetW, targetH))
       }
     }
   }
@@ -84,23 +149,20 @@ object MultimodalDecode {
   /** Frame sampling: explode each item into ≤ `maxFrames` evenly
     * spaced frames — the one multimodal stage that CHANGES cardinality
     * (flatMap shape, 1→N). Still narrow; downstream repartition
-    * controls fan-out placement. STUB extractor: frame i = the i-th
-    * 256-byte payload window, matching `decodeDims`'s frame count.
+    * controls fan-out placement.
     */
   def sampleFrames(items: Dataset[MediaItem], maxFrames: Int): Dataset[MediaFrame] = {
     import items.sparkSession.implicits._
-    items.flatMap { m =>
-      val (_, _, nFrames) = decodeDims(m.payload)
-      val take = math.min(maxFrames, nFrames)
-      // evenly spaced indices over the available frames, first-aligned
-      (0 until take).map { i =>
-        val frameIdx = if (take == 1) 0 else i * (nFrames - 1) / (take - 1)
-        val from = frameIdx * 256
-        val until = math.min(m.payload.length, from + 256)
-        val frame =
-          if (from >= m.payload.length) Array.empty[Byte]
-          else java.util.Arrays.copyOfRange(m.payload, from, until)
-        MediaFrame(m.docId, frameIdx, frame)
+    items.mapPartitions { batch =>
+      val codec = new MediaCodec
+      batch.flatMap { m =>
+        val (_, _, nFrames) = codec.dims(m.payload)
+        val take = math.min(maxFrames, nFrames)
+        // evenly spaced indices over the available frames, first-aligned
+        (0 until take).map { i =>
+          val frameIdx = if (take == 1) 0 else i * (nFrames - 1) / (take - 1)
+          MediaFrame(m.docId, frameIdx, codec.frame(m.payload, frameIdx))
+        }
       }
     }
   }

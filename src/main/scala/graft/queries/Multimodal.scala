@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * byte; the feature extraction itself — sizes, digests, dimension
   * metadata — is real binary-column work and stays codegen'd.
   *
-  * The batched DECODE path (the part that would call an image codec)
-  * lives in `graft.operators.MultimodalDecode`: typed Dataset in,
-  * `mapPartitions` batches out — the Scala analogue of `mapInPandas`
-  * with the codec call stubbed deterministically (no native media
-  * libs in this environment). Its spec asserts it agrees with this
-  * query's SQL-expressed features row-for-row.
+  * The batched DECODE path lives in `graft.operators.MultimodalDecode`:
+  * typed Dataset in, `mapPartitions` batches out — the Scala analogue
+  * of `mapInPandas`. Image payloads (BMP/PNG/GIF/JPEG) decode for REAL
+  * through `javax.imageio`; opaque payloads (this fixture's text
+  * bytes — video/audio have no JVM-builtin codec) take the
+  * deterministic byte-derived path below, which is what keeps the
+  * DuckDB oracle able to reproduce every value. MultimodalSpec asserts
+  * the two agree row-for-row on opaque payloads and decodes real BMPs
+  * synthesized in-test.
   */
 object Multimodal {
 

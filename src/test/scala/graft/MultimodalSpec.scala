@@ -75,6 +75,65 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- real image payloads (BMP synthesized in-test, decoded by the
+  // JVM codec — no stub on this path) ----
+
+  private def bmp(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  test("real BMP payloads decode to their actual dimensions") {
+    import spark.implicits._
+    val items = Seq(
+      MediaItem(1L, "image/bmp", bmp(37, 21, 5)),
+      MediaItem(2L, "image/bmp", bmp(128, 64, 9)),
+      MediaItem(3L, "text/plain", "not an image".getBytes("UTF-8")))
+    val out = MultimodalDecode.decodeFeatures(spark.createDataset(items))
+      .collect().map(f => f.docId -> f).toMap
+    assert((out(1L).width, out(1L).height, out(1L).nFrames) === ((37, 21, 1)))
+    assert((out(2L).width, out(2L).height, out(2L).nFrames) === ((128, 64, 1)))
+    assert(out(1L).nBytes === items.head.payload.length.toLong)
+    // the opaque row in the SAME batch stays on the deterministic path
+    val p = items(2).payload
+    assert(out(3L).width === 16 + (p(0) & 0xff) % 48)
+    assert(out(3L).height === 16 + (p(1) & 0xff) % 48)
+  }
+
+  test("resize re-encodes real images at the target dimensions") {
+    import spark.implicits._
+    val items = Seq(MediaItem(1L, "image/bmp", bmp(100, 50, 3)))
+    val out = MultimodalDecode.resize(spark.createDataset(items), 40, 20).collect().head
+    assert((out.width, out.height) === ((40, 20)))
+    // output is itself a decodable BMP with the target dims
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(img != null)
+    assert((img.getWidth, img.getHeight) === ((40, 20)))
+  }
+
+  test("an image is its own single frame") {
+    import spark.implicits._
+    val payload = bmp(24, 24, 1)
+    val frames = MultimodalDecode.sampleFrames(
+      spark.createDataset(Seq(MediaItem(7L, "image/bmp", payload))), maxFrames = 4)
+      .collect()
+    assert(frames.length === 1)
+    assert(frames.head.frameIdx === 0)
+    assert(frames.head.frame.toSeq === payload.toSeq)
+  }
+
   test("payload bytes survive the binary column round-trip") {
     import spark.implicits._
     val first = mediaDs().filter(_.docId == 0L).collect().head
