@@ -219,6 +219,18 @@ object DynamoQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // MIN/MAX(+COUNT) pushdown: segments ship one row of partials
+    // each — extrema decode only the aggregated attribute, items never
+    // leave the store side (DynamoDB offers only Select=COUNT; the
+    // per-segment MIN/MAX partial is the natural extension).
+    "q_dyn_minmax" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .agg(min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
+             min("c_name").as("first_name"), count(lit(1)).as("n"))
+    }),
+
     // Point lookup (DynamoDB GetItem shape): the primary-key equality
     // pins the owning shard, so the scan plans ONE input partition and
     // reads one base shard + its own WAL slice — item-proportional,
@@ -270,6 +282,10 @@ object DynamoQueries {
     "q_dyn_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_dyn_minmax" ->
+      """SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |       min(c_name) AS first_name, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_dyn_typed" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -187,7 +187,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tableSchema
   private var limit: Option[Int] = None
-  private var countStars = 0
+  private var aggs: Seq[PushedAgg] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!opts.filterPushdown) { pushed = Array.empty; return filters }
@@ -209,21 +209,65 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  /** COUNT(*) pushdown — DynamoDB's `Select=COUNT` scan: segments
-    * count matching items without decoding or shipping them; Spark
-    * sums the per-partition partials (partial pushdown, so this
-    * composes with pushed filters evaluated below the count).
+  /** Ungrouped COUNT(*) / MIN / MAX pushdown: segments compute one
+    * partial per aggregate without shipping items; Spark folds the
+    * per-partition partials (partial pushdown — `sum` over counts,
+    * `min`/`max` over extrema — so this composes with pushed filters
+    * evaluated below the aggregate). COUNT is DynamoDB's
+    * `Select=COUNT` scan; per-segment MIN/MAX is extension territory
+    * (DynamoDB itself only offers COUNT). All-or-nothing: one
+    * unsupported aggregate rejects the whole push, because Spark
+    * consumes the scan output positionally.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (ok) countStars = agg.aggregateExpressions.length
-    ok
+    def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
+      case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
+        tableSchema.fields.find(_.name == f.fieldNames().head)
+      case _ => None
+    }
+    // Orderable scalars whose AttrVal decode + Catalyst ordering both
+    // exist; nested/binary/boolean extrema stay Spark-side.
+    def orderable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | TimestampType | DateType | _: DecimalType => true
+      case _ => false
+    }
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return false
+    val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAgg.CountAll)
+      case m: Min => fieldOf(m.column).filter(f => orderable(f.dataType))
+        .map(f => PushedAgg.MinOf(f))
+      case m: Max => fieldOf(m.column).filter(f => orderable(f.dataType))
+        .map(f => PushedAgg.MaxOf(f))
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) { aggs = parsed.flatten; true } else false
   }
 
   override def build(): Scan =
-    new DynamoScan(opts, requiredSchema, pushed, limit, countStars)
+    new DynamoScan(opts, requiredSchema, pushed, limit, aggs)
+}
+
+/** One pushed ungrouped aggregate; the scan emits exactly one partial
+  * column per entry, in push order (Spark consumes them positionally).
+  */
+sealed trait PushedAgg extends Serializable {
+  /** The partial's column type in the scan output. */
+  def resultField(i: Int): StructField
+}
+object PushedAgg {
+  case object CountAll extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", LongType, nullable = false)
+  }
+  final case class MinOf(field: StructField) extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", field.dataType, nullable = true) // empty segment → null
+  }
+  final case class MaxOf(field: StructField) extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", field.dataType, nullable = true)
+  }
 }
 
 /** One scan segment ↔ one Spark input partition (A1). When the scan
@@ -260,7 +304,7 @@ private object ScanMetrics {
 
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None, countStars: Int = 0)
+    limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -284,9 +328,8 @@ final class DynamoScan(
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
 
   override def readSchema(): StructType =
-    if (countStars > 0)
-      StructType((0 until countStars).map(i =>
-        StructField(s"count$i", LongType, nullable = false)))
+    if (aggs.nonEmpty)
+      StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
     else schema
 
   // A cdc=true batch read would surface a phantom always-null `_op`
@@ -301,7 +344,14 @@ final class DynamoScan(
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
-      (if (countStars > 0) "PushedAggregates: [COUNT(*)], " else "") +
+      (if (aggs.nonEmpty) {
+        val names = aggs.map {
+          case PushedAgg.CountAll => "COUNT(*)"
+          case PushedAgg.MinOf(f) => s"MIN(${f.name})"
+          case PushedAgg.MaxOf(f) => s"MAX(${f.name})"
+        }
+        s"PushedAggregates: [${names.mkString(", ")}], "
+      } else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
   /** Stored-size statistics (DynamoDB's `DescribeTable` table size) so
@@ -363,7 +413,7 @@ final class DynamoScan(
   private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean = {
     val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
-      countStars == 0 && !opts.cdc &&
+      aggs.isEmpty && !opts.cdc &&
       keyCols.forall(readSchema().fieldNames.contains) &&
       keyCols.forall(c => readSchema().fields(readSchema().fieldIndex(c)).dataType match {
         case BinaryType => false
@@ -482,7 +532,7 @@ final class DynamoScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStars > 0) new DynamoCountReaderFactory(opts, pushed ++ runtime, countStars)
+    if (aggs.nonEmpty) new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs)
     else new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit)
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
@@ -892,21 +942,23 @@ final class DynamoPartitionReader(
   override def close(): Unit = ()
 }
 
-/** Count-only scan (pushed COUNT(*)): each segment emits ONE row of
-  * per-segment partial counts — no item decode, no row shipping, like
-  * DynamoDB's `Select=COUNT`. Capacity is still consumed (and
-  * rate-limited): a COUNT scan reads every matching item server-side.
+/** Aggregate-only scan (pushed COUNT(*)/MIN/MAX): each segment emits
+  * ONE row of per-segment partials — no full-row decode, no row
+  * shipping. COUNT mirrors DynamoDB's `Select=COUNT`; MIN/MAX decode
+  * just the aggregated attribute per matching item. Capacity is still
+  * consumed (and rate-limited): an aggregate scan reads every matching
+  * item server-side.
   */
-final class DynamoCountReaderFactory(opts: DynamoOptions, pushed: Array[Filter], countStars: Int)
+final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoCountReader(opts, pushed, countStars, p)
+    new DynamoAggReader(opts, pushed, aggs, p)
   }
 }
 
-final class DynamoCountReader(
-    opts: DynamoOptions, pushed: Array[Filter], countStars: Int,
+final class DynamoAggReader(
+    opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
     partition: DynamoInputPartition)
     extends PartitionReader[InternalRow] {
 
@@ -920,34 +972,71 @@ final class DynamoCountReader(
       throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
   }
 
+  /** One accumulator per pushed aggregate, in push order. */
+  private sealed trait Acc { def update(item: Item): Unit; def result: Any }
+  private final class CountAcc extends Acc {
+    var n = 0L
+    def update(item: Item): Unit = n += 1
+    def result: Any = n
+  }
+  /** MIN/MAX share one extremum accumulator, differing only in the
+    * comparison sign. Values decode through the same [[Codec]] path as
+    * row reads (one-field schema), so pushed and unpushed plans cannot
+    * disagree; Catalyst's interpreted ordering compares them in the
+    * column's own domain. Absent/null attributes are skipped, matching
+    * Spark's null-excluding min/max.
+    */
+  private final class ExtremumAcc(field: StructField, sign: Int) extends Acc {
+    private val decode = Codec.rowReader(StructType(Seq(field)))
+    private val ord =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(field.dataType)
+    private var best: Any = null
+    def update(item: Item): Unit = {
+      val row = decode(item)
+      if (!row.isNullAt(0)) {
+        val v = row.get(0, field.dataType)
+        if (best == null || sign * ord.compare(v, best) < 0) best = v
+      }
+    }
+    def result: Any = best
+  }
+  private val accs: Array[Acc] = aggs.map {
+    case PushedAgg.CountAll => new CountAcc
+    case PushedAgg.MinOf(f) => new ExtremumAcc(f, 1)
+    case PushedAgg.MaxOf(f) => new ExtremumAcc(f, -1)
+  }.toArray
+
   private var emitted = false
-  private var count = 0L
+  private var matched = 0L
   private var scanned = 0L
   private val ttlNow = Ttl.now(opts)
 
   override def next(): Boolean = {
     if (emitted) return false
-    if (partition.padEmpty) { emitted = true; return true } // zero partial
+    if (partition.padEmpty) { emitted = true; return true } // empty partials
     store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
         val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
-        if (visible.exists(it => pushed.forall(FilterEval.eval(_, it)))) count += 1
+        visible.filter(it => pushed.forall(FilterEval.eval(_, it))).foreach { it =>
+          matched += 1
+          accs.foreach(_.update(it))
+        }
       }
     emitted = true
     true
   }
 
   override def get(): InternalRow =
-    InternalRow.fromSeq(Seq.fill(countStars)(count))
+    InternalRow.fromSeq(accs.map(_.result).toSeq)
 
-  // The count scan consumes capacity like any other scan, so it
+  // The aggregate scan consumes capacity like any other scan, so it
   // reports the same UI metrics as the row readers (items the pushed
-  // filters dropped never reach the emitted count).
+  // filters dropped never reach the aggregates).
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
-      ScanMetrics.TaskMetric("itemsFiltered", scanned - count))
+      ScanMetrics.TaskMetric("itemsFiltered", scanned - matched))
 
   override def close(): Unit = ()
 }

@@ -281,6 +281,38 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(spark.read.dynamo(root, "fruit").count() === 4L)
   }
 
+  test("MIN/MAX pushdown ships per-segment extrema, not items") {
+    val root = freshRoot()
+    seedFruit(root)
+    // mixed MIN/MAX/COUNT in one aggregate, all pushed together
+    val agg = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("lo"), max("weight_kg").as("hi"),
+           max("color").as("c"), count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.toString.contains(
+      "PushedAggregates: [MIN(weight_kg), MAX(weight_kg), MAX(color), COUNT(*)]"))
+    val r = agg.collect().head
+    assert((r.getDouble(0), r.getDouble(1), r.getString(2), r.getLong(3)) ===
+      ((0.005, 2.5, "yellow", 4L)))
+    // composes with pushed filters (evaluated below the aggregate)
+    val red = spark.read.dynamo(root, "fruit")
+      .filter(col("color") === "red")
+      .agg(min("stock").as("lo"), max("stock").as("hi"))
+    assert(red.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [MIN(stock), MAX(stock)]"))
+    assert(red.collect().head match { case row => (row.getLong(0), row.getLong(1)) === ((3L, 100L)) })
+    // an unsupported aggregate in the mix rejects the whole push, and
+    // the plan stays correct through the row path
+    val mixed = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("lo"), avg("stock").as("a"))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(mixed.collect().head.getDouble(0) === 0.005)
+    // a grouped aggregate never pushes
+    val grouped = spark.read.dynamo(root, "fruit")
+      .groupBy("color").agg(max("stock"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.count() === 3L)
+  }
+
   test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
     val root = freshRoot()
     seedFruit(root)
