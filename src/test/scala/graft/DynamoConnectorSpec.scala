@@ -696,6 +696,65 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CDC feed is fenced across a reshard: no replay, no loss") {
+    import graft.sources.dynamo.DynamoMaintenance
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 PUTs into the 16-shard layout
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def start() = spark.readStream.dynamoStream(root, "fruit", cdc = true)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized {
+          seen ++= batch.collect().map(r =>
+            (r.getAs[String]("name"), r.getAs[String]("_op")))
+        }
+        ()
+      }
+      .start()
+
+    // phase 1: deliver the seed ops, then quiesce (reshard requires
+    // the same exclusive access as compaction)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.synchronized(seen.sortBy(_._1).toSeq) ===
+      Seq("apple", "banana", "cherry", "durian").map(_ -> "PUT"))
+
+    // reshard 16 → 8: folds the journal away (the WAL files phase 1
+    // delivered are DELETED) and renumbers every shard
+    DynamoMaintenance.reshard(spark, root, "fruit", 8)
+    assert(new LocalKVStore(root).describe("fruit").shards === 8)
+
+    // phase 2: ops committed under the NEW layout
+    Seq(("grape", "green", 0.01, 40L)).toDF("name", "color", "weight_kg", "stock")
+      .write.format("dynamo").option("path", root).option("tableName", "fruit")
+      .mode("append").save()
+    Seq("durian").toDF("name")
+      .write.format("dynamo").option("path", root).option("tableName", "fruit")
+      .option("delete", "true").mode("append").save()
+
+    // restart from the checkpoint: publish seqs are wall-clock-floored,
+    // so the new WAL names sort ABOVE the checkpointed fence even
+    // though the journal was wiped — exactly the two new ops arrive,
+    // none of the delivered four replay
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.sortBy(_._1).toSeq) === Seq(
+        "apple" -> "PUT", "banana" -> "PUT", "cherry" -> "PUT",
+        "durian" -> "PUT", "durian" -> "DELETE", "grape" -> "PUT"))
+    } finally q2.stop()
+
+    // and the batch view under the new layout agrees with the feed's
+    // materialization: 4 seeds + grape - durian
+    val names = spark.read.dynamo(root, "fruit").select("name")
+      .collect().map(_.getString(0)).sorted
+    assert(names.toSeq === Seq("apple", "banana", "cherry", "grape"))
+  }
+
   test("streaming read without cdc is an upsert feed: no _op, deletes hidden") {
     import spark.implicits._
     val root = freshRoot()
