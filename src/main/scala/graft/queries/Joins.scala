@@ -83,7 +83,15 @@ object Joins {
 
     // Equi key + non-equi residual: sort-merge on nationkey, the
     // s_acctbal > c_acctbal predicate filters within each key group —
-    // never a full cartesian product at any scale.
+    // never a full cartesian product at any scale. Scale note: the
+    // equi key has only ~25 distinct values, and the per-group work is
+    // inherently QUADRATIC (every supplier×customer pair within a
+    // nation is examined) — that cost is the query's semantics, the
+    // oracle pays it identically, and no plan choice removes it. At
+    // 100 TB this shape needs either a coarser residual pre-filter or
+    // the banded-bucket rewrite q_join_band demonstrates; for skew in
+    // the ~25-reducer layout, the salting pattern q_join_salted
+    // demonstrates (SkewJoinSpec) applies as-is.
     "q_join_theta" -> ((s, dir) => {
       val sup = Fixtures.supplier(s, dir)
       val c = Fixtures.customer(s, dir)

@@ -243,7 +243,13 @@ object TextAnalysis {
     // reduce to #sources rows before any non-linear math, so the
     // whole computation after one grouped agg is driver-trivial; the
     // pow() output is floor-pinned to integers BEFORE summing so the
-    // normalization is exact integer math on both engines.
+    // normalization is exact integer math on both engines. Caveat the
+    // pin rests on: pow() is transcendental, and IEEE 754 does not
+    // require correctly-rounded pow, so the JVM's and the oracle
+    // libm's results may differ by an ulp — floor(x·1000 + 0.5)
+    // absorbs that everywhere except a value landing within an ulp of
+    // a .0005 boundary (none of the fixture values do; a paranoid
+    // variant would compare at a coarser scale).
     "q_mix_temperature" -> ((s, dir) => {
       val c = Fixtures.documents(s, dir)
         .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
@@ -261,10 +267,14 @@ object TextAnalysis {
     // reference corpus, contamination sweeps, hard-negative mining).
     // Standard k1=1.2, b=0.75 with the +1 idf form; every input to the
     // per-(doc, term) formula is an exact integer (tf, df, dl, N) or a
-    // ratio of integer aggregates (avgdl), so both engines compute
-    // bit-identical doubles, and each term's contribution is
-    // floor-pinned to an integer BEFORE the per-doc sum — summation
-    // order across query terms can never move the result. Cost: one
+    // ratio of integer aggregates (avgdl), and each term's
+    // contribution is floor-pinned to an integer BEFORE the per-doc
+    // sum — summation order across query terms can never move the
+    // result. The ln() in idf is the one transcendental: IEEE 754
+    // does not require it correctly rounded, so the two engines'
+    // libms may differ by an ulp and the floor-pin absorbs that
+    // unless a score sits within an ulp of an integer boundary
+    // (none of the fixture scores do). Cost: one
     // tf shuffle keyed by (doc, token) + a 3-row broadcast of the
     // query terms — linear in corpus size.
     "q_bm25" -> ((s, dir) => {

@@ -1185,6 +1185,19 @@ final class DynamoBatchWrite(
 
   /** `seq` stamps this job's WAL files so replay orders jobs by
     * submission time.
+    *
+    * The truncate runs DRIVER-SIDE, before any task writes, and is as
+    * non-atomic as the rest of the write path (A14). Two hazards
+    * beyond the concurrent-reader empty window documented on the
+    * builder: (1) a SELF-referential overwrite — a query reading the
+    * same dynamo table it overwrites — wipes the input before the
+    * read executes (Spark's lazy scans have not run when this factory
+    * is created), yielding an empty result, not an error: stage
+    * through a different table name; (2) a job that fails after this
+    * point leaves the table truncated with the old content
+    * unrecoverable — DynamoDB itself has no transactional
+    * table-replace either; keep a copy if the overwrite must be
+    * revertible.
     */
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     WriteSetup.validateSchema(opts, schema)
