@@ -219,16 +219,19 @@ object DynamoQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // MIN/MAX(+COUNT) pushdown: segments ship one row of partials
-    // each — extrema decode only the aggregated attribute, items never
-    // leave the store side (DynamoDB offers only Select=COUNT; the
-    // per-segment MIN/MAX partial is the natural extension).
+    // MIN/MAX/SUM/COUNT(col) pushdown: segments ship one row of
+    // partials each — the aggregates decode only their own attribute,
+    // items never leave the store side (DynamoDB offers only
+    // Select=COUNT; the per-segment partials are the natural
+    // extension). The sum rides an integral column so the partials
+    // fold exactly on both engines.
     "q_dyn_minmax" -> ((s, dir) => {
       val root = seededRoot(s, dir)
       s.read.dynamo(root, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .agg(min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
-             min("c_name").as("first_name"), count(lit(1)).as("n"))
+             min("c_name").as("first_name"), sum("c_custkey").as("sum_key"),
+             count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
     // Point lookup (DynamoDB GetItem shape): the primary-key equality
@@ -284,7 +287,10 @@ object DynamoQueries {
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_dyn_minmax" ->
       """SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-        |       min(c_name) AS first_name, CAST(count(*) AS BIGINT) AS n
+        |       min(c_name) AS first_name,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |       CAST(count(c_acctbal) AS BIGINT) AS n_bal,
+        |       CAST(count(*) AS BIGINT) AS n
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
     "q_dyn_typed" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

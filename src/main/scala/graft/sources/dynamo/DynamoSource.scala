@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -209,15 +209,18 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  /** Ungrouped COUNT(*) / MIN / MAX pushdown: segments compute one
-    * partial per aggregate without shipping items; Spark folds the
-    * per-partition partials (partial pushdown — `sum` over counts,
-    * `min`/`max` over extrema — so this composes with pushed filters
-    * evaluated below the aggregate). COUNT is DynamoDB's
-    * `Select=COUNT` scan; per-segment MIN/MAX is extension territory
-    * (DynamoDB itself only offers COUNT). All-or-nothing: one
-    * unsupported aggregate rejects the whole push, because Spark
-    * consumes the scan output positionally.
+  /** Ungrouped COUNT(*) / COUNT(col) / MIN / MAX / SUM pushdown:
+    * segments compute one partial per aggregate without shipping
+    * items; Spark folds the per-partition partials (partial pushdown —
+    * `sum` over counts and sums, `min`/`max` over extrema — so this
+    * composes with pushed filters evaluated below the aggregate).
+    * COUNT(*) is DynamoDB's `Select=COUNT` scan; the rest is extension
+    * territory (DynamoDB itself only offers COUNT). DISTINCT never
+    * pushes (not partial-foldable); AVG needs no case here — Spark
+    * only offers complete pushdown for it, which a segmented scan
+    * can't honor. All-or-nothing: one unsupported aggregate rejects
+    * the whole push, because Spark consumes the scan output
+    * positionally.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
@@ -232,9 +235,24 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
            FloatType | StringType | TimestampType | DateType | _: DecimalType => true
       case _ => false
     }
+    // SUM partial type mirrors Spark's own widening (int-family → long,
+    // float-family → double). Decimal stays Spark-side: its sum widens
+    // precision in ways the partial column can't declare faithfully.
+    def sumType(dt: DataType): Option[DataType] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some(LongType)
+      case DoubleType | FloatType => Some(DoubleType)
+      case _ => None
+    }
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return false
     val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(PushedAgg.CountAll)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(f => orderable(f.dataType) ||
+          f.dataType == BooleanType || f.dataType == BinaryType)
+          .map(f => PushedAgg.CountOf(f))
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).flatMap(f => sumType(f.dataType)
+          .map(w => PushedAgg.SumOf(f, w)))
       case m: Min => fieldOf(m.column).filter(f => orderable(f.dataType))
         .map(f => PushedAgg.MinOf(f))
       case m: Max => fieldOf(m.column).filter(f => orderable(f.dataType))
@@ -259,6 +277,18 @@ object PushedAgg {
   case object CountAll extends PushedAgg {
     def resultField(i: Int): StructField =
       StructField(s"agg$i", LongType, nullable = false)
+  }
+  /** COUNT(col): non-null occurrences of one attribute. */
+  final case class CountOf(field: StructField) extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", LongType, nullable = false)
+  }
+  /** SUM(col); `wide` is the partial's type (long for the int family,
+    * double for the float family — Spark's own sum widening).
+    */
+  final case class SumOf(field: StructField, wide: DataType) extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", wide, nullable = true) // all-null segment → null
   }
   final case class MinOf(field: StructField) extends PushedAgg {
     def resultField(i: Int): StructField =
@@ -347,6 +377,8 @@ final class DynamoScan(
       (if (aggs.nonEmpty) {
         val names = aggs.map {
           case PushedAgg.CountAll => "COUNT(*)"
+          case PushedAgg.CountOf(f) => s"COUNT(${f.name})"
+          case PushedAgg.SumOf(f, _) => s"SUM(${f.name})"
           case PushedAgg.MinOf(f) => s"MIN(${f.name})"
           case PushedAgg.MaxOf(f) => s"MAX(${f.name})"
         }
@@ -1000,8 +1032,48 @@ final class DynamoAggReader(
     }
     def result: Any = best
   }
+  /** COUNT(col)/SUM share the one-field decode the extrema use, so a
+    * pushed aggregate counts/sums exactly what the row path would.
+    * SUM over the long family adds with `Math.addExact`: Spark 4 runs
+    * ANSI by default and its own sum throws on long overflow — a
+    * silently wrapping partial would diverge from the unpushed plan.
+    */
+  private final class CountColAcc(field: StructField) extends Acc {
+    private val decode = Codec.rowReader(StructType(Seq(field)))
+    private var n = 0L
+    def update(item: Item): Unit = if (!decode(item).isNullAt(0)) n += 1
+    def result: Any = n
+  }
+  private final class SumAcc(field: StructField, wide: DataType) extends Acc {
+    private val decode = Codec.rowReader(StructType(Seq(field)))
+    private var any = false
+    private var l = 0L
+    private var d = 0.0
+    def update(item: Item): Unit = {
+      val row = decode(item)
+      if (!row.isNullAt(0)) {
+        any = true
+        (field.dataType, wide) match {
+          case (_, LongType) =>
+            val v = field.dataType match {
+              case LongType => row.getLong(0)
+              case IntegerType => row.getInt(0).toLong
+              case ShortType => row.getShort(0).toLong
+              case ByteType => row.getByte(0).toLong
+              case other => throw new IllegalStateException(s"long sum over $other")
+            }
+            l = Math.addExact(l, v)
+          case (FloatType, _) => d += row.getFloat(0)
+          case _ => d += row.getDouble(0)
+        }
+      }
+    }
+    def result: Any = if (!any) null else if (wide == LongType) l else d
+  }
   private val accs: Array[Acc] = aggs.map {
     case PushedAgg.CountAll => new CountAcc
+    case PushedAgg.CountOf(f) => new CountColAcc(f)
+    case PushedAgg.SumOf(f, w) => new SumAcc(f, w)
     case PushedAgg.MinOf(f) => new ExtremumAcc(f, 1)
     case PushedAgg.MaxOf(f) => new ExtremumAcc(f, -1)
   }.toArray

@@ -293,6 +293,17 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val r = agg.collect().head
     assert((r.getDouble(0), r.getDouble(1), r.getString(2), r.getLong(3)) ===
       ((0.005, 2.5, "yellow", 4L)))
+    // COUNT(col) and SUM push alongside: long sums add exactly
+    // (ANSI-matching addExact), double sums fold per segment
+    val sums = spark.read.dynamo(root, "fruit")
+      .agg(sum("stock").as("s"), count(col("weight_kg")).as("nw"),
+           sum("weight_kg").as("sw"))
+    assert(sums.queryExecution.executedPlan.toString.contains(
+      "PushedAggregates: [SUM(stock), COUNT(weight_kg), SUM(weight_kg)]"))
+    val sr = sums.collect().head
+    assert(sr.getLong(0) === 109L)
+    assert(sr.getLong(1) === 4L)
+    assert(math.abs(sr.getDouble(2) - 2.775) < 1e-9)
     // composes with pushed filters (evaluated below the aggregate)
     val red = spark.read.dynamo(root, "fruit")
       .filter(col("color") === "red")
@@ -300,12 +311,23 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(red.queryExecution.executedPlan.toString
       .contains("PushedAggregates: [MIN(stock), MAX(stock)]"))
     assert(red.collect().head match { case row => (row.getLong(0), row.getLong(1)) === ((3L, 100L)) })
-    // an unsupported aggregate in the mix rejects the whole push, and
-    // the plan stays correct through the row path
+    // AVG pushes by decomposition: Spark rewrites it to SUM+COUNT and
+    // the scan ships those partials
     val mixed = spark.read.dynamo(root, "fruit")
       .agg(min("weight_kg").as("lo"), avg("stock").as("a"))
-    assert(!mixed.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-    assert(mixed.collect().head.getDouble(0) === 0.005)
+    assert(mixed.queryExecution.executedPlan.toString.contains(
+      "PushedAggregates: [MIN(weight_kg), SUM(stock), COUNT(stock)]"))
+    val mr = mixed.collect().head
+    assert(mr.getDouble(0) === 0.005)
+    assert(mr.getDouble(1) === 27.25) // 109 / 4
+    // a genuinely unsupported aggregate (DISTINCT is not
+    // partial-foldable) rejects the whole push, and the plan stays
+    // correct through the row path
+    val dist = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("lo"), countDistinct("color").as("nc"))
+    assert(!dist.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val dr = dist.collect().head
+    assert((dr.getDouble(0), dr.getLong(1)) === ((0.005, 3L)))
     // a grouped aggregate never pushes
     val grouped = spark.read.dynamo(root, "fruit")
       .groupBy("color").agg(max("stock"))
