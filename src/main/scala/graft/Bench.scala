@@ -25,9 +25,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // uniform for the whole run (q_dyn_spj would otherwise flip it
-      // mid-run and make later timings order-dependent)
+      // uniform for the whole run (q_dyn_spj / q_dyn_spj_pruned would
+      // otherwise flip them mid-run and make later timings
+      // order-dependent)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

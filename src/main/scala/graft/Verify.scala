@@ -15,9 +15,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // uniform for the whole run: q_dyn_spj needs it, and setting it
-      // per-query would make other queries' plans order-dependent
+      // uniform for the whole run: q_dyn_spj / q_dyn_spj_pruned need
+      // them, and setting them per-query would make other queries'
+      // plans order-dependent
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

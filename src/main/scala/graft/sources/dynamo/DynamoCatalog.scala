@@ -190,6 +190,8 @@ object DynamoBucketFunction extends UnboundFunction {
               .bigDecimal.stripTrailingZeros.toPlainString
             case DoubleType => "n:" + BigDecimal(input.getDouble(i))
               .bigDecimal.stripTrailingZeros.toPlainString
+            case BinaryType => "b:" + java.util.Base64.getEncoder
+              .encodeToString(input.getBinary(i))
             case other => throw new UnsupportedOperationException(
               s"bucket over $other key is not supported")
           }

@@ -436,21 +436,17 @@ final class DynamoScan(
     * condition under which [[outputPartitioning]] declares the bucket
     * transform and [[planInputPartitions]] must keep the segment↔shard
     * identity (including for key-pruned subsets — see the pad rule).
-    * Binary-typed keys are excluded: [[DynamoBucketFunction]] cannot
-    * evaluate them, and a plan that shuffles one mismatched side
-    * evaluates the function (`spark.sql.sources.v2.bucketing.shuffle
-    * .enabled`) — claiming the layout would trade a working shuffle
-    * for a runtime throw.
+    * Every key type [[LocalKVStore.keyOf]] accepts (string, number,
+    * binary) has a matching [[DynamoBucketFunction]] branch, so a plan
+    * that evaluates the function (`spark.sql.sources.v2.bucketing
+    * .shuffle.enabled` shuffling one mismatched side) lands rows on
+    * the same shard the store files use.
     */
   private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean = {
     val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
       aggs.isEmpty && !opts.cdc &&
-      keyCols.forall(readSchema().fieldNames.contains) &&
-      keyCols.forall(c => readSchema().fields(readSchema().fieldIndex(c)).dataType match {
-        case BinaryType => false
-        case _ => true
-      })
+      keyCols.forall(readSchema().fieldNames.contains)
   }
 
   /** ONE definition of the full-scan segment count, shared by

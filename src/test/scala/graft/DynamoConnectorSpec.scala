@@ -406,7 +406,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
   }
 
   test("key-pinned filters prune the scan to the owning shards (GetItem path)") {
-    import graft.sources.dynamo.{DynamoOptions, DynamoScan}
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan}
     import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan}
     val root = freshRoot()
     seedFruit(root) // hash-only table, 16 shards
@@ -418,7 +418,16 @@ class DynamoConnectorSpec extends AnyFunSuite {
     def parts(filters: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
 
-    assert(parts(EqualTo("name", "apple")).length === 1)
+    // With SPJ opted in (TestSpark mirrors Verify/Bench: both
+    // v2.bucketing confs on), a 1-shard lookup plans 1 live partition
+    // + 1 deliberately-empty pad that keeps the bucket layout visible.
+    val point = parts(EqualTo("name", "apple"))
+    assert(point.length === 2)
+    assert(point.count(!_.asInstanceOf[DynamoInputPartition].padEmpty) === 1)
+    // Without the SPJ opt-in, a point lookup is exactly one task.
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+    try assert(parts(EqualTo("name", "apple")).length === 1)
+    finally spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     assert(parts(In("name", Array("apple", "banana", "cherry"))).length <= 3)
     assert(parts(GreaterThan("name", "a")).length === 16) // not pinned → full scan
     assert(parts(EqualTo("color", "red")).length === 16)  // non-key attr → full scan
@@ -448,7 +457,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
       new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
 
     assert(parts(EqualTo("hk", 2L)).length === 8) // hash alone ≠ shard → full scan
-    assert(parts(EqualTo("hk", 2L), EqualTo("rk", 7L)).length === 1)
+    // full composite pin → 1 live shard (+1 SPJ pad, see GetItem test)
+    val pinned = parts(EqualTo("hk", 2L), EqualTo("rk", 7L))
+    assert(pinned.length === 2)
+    assert(pinned.count(!_.asInstanceOf[graft.sources.dynamo.DynamoInputPartition].padEmpty) === 1)
 
     val hit = spark.read.dynamo(root, "kv")
       .filter(col("hk") === 2L && col("rk") === 7L).select("v").collect()

@@ -10,9 +10,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      // mirror Verify/Bench: uniformly on, so q_dyn_spj can't flip a
-      // shared-session conf mid-suite and make other plans order-dependent
+      // mirror Verify/Bench: uniformly on, so q_dyn_spj / q_dyn_spj_pruned
+      // can't flip a shared-session conf mid-suite and make other plans
+      // order-dependent
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

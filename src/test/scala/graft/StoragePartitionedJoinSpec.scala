@@ -162,6 +162,56 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("binary-keyed co-sharded tables also join shuffle-free") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj-bin").toString
+    Seq.tabulate(100)(i => (f"k$i%03d".getBytes("UTF-8"), i.toLong))
+      .toDF("id", "qty").write.dynamo(root, "bl", "id")
+    Seq.tabulate(100)(i => (f"k$i%03d".getBytes("UTF-8"), s"c${i % 5}"))
+      .toDF("id", "cat").write.dynamo(root, "br", "id")
+    withConf(
+      "spark.sql.catalog.spjbin" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjbin.path" -> root,
+      "spark.sql.catalog.spjbin.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("spjbin.bl")
+        .join(spark.table("spjbin.br"), "id")
+        .select("id", "qty", "cat")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"binary-keyed SPJ still shuffles:\n$plan")
+      val rows = j.collect()
+      assert(rows.length === 100)
+      assert(rows.map(r => (new String(r.getAs[Array[Byte]]("id"), "UTF-8"),
+        r.getLong(1))).sortBy(_._1).take(2).toSeq ===
+        Seq(("k000", 0L), ("k001", 1L)))
+    }
+  }
+
+  test("bucket function places binary keys exactly like the store") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import graft.sources.dynamo.{AttrVal, DynamoBucketFunction, LocalKVStore, TableMeta}
+    // A binary-keyed table reports KeyGroupedPartitioning like any
+    // other; a plan that EVALUATES the bucket function (e.g. v2
+    // bucketing shuffling the mismatched side) must land rows on the
+    // same shard the store files use, or SPJ would silently mis-join.
+    val bound = DynamoBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("k", BinaryType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int]]
+    val store = new LocalKVStore(Files.createTempDirectory("graft-bin").toString)
+    val meta = TableMeta(hashKey = "k", rangeKey = None, shards = 16, throughput = 100L)
+    Seq[Array[Byte]](Array(0, 1, 2), Array(-128, 127), Array(), Array(42))
+      .foreach { bytes =>
+        val expected = store.shardOf(meta, Map("k" -> AttrVal.B(bytes)))
+        val got = bound.produceResult(
+          new GenericInternalRow(Array[Any](16, bytes)))
+        assert(got === expected, s"bytes ${bytes.toSeq}")
+      }
+  }
+
   test("catalog DDL + path-based reads fall back gracefully") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj2").toString
