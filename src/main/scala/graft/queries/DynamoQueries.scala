@@ -234,6 +234,20 @@ object DynamoQueries {
              count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
+    // Top-N pushdown (ORDER BY ... LIMIT over the scan): each segment
+    // ships only its own best 10 rows through a bounded heap — at
+    // table scale the scan emits ~10×segments candidate rows, not the
+    // table — and Spark's TakeOrderedAndProject merges them (partial
+    // push, exact by construction). Tie-break on the unique key keeps
+    // the result deterministic.
+    "q_dyn_topn" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .limit(10)
+    }),
+
     // Point lookup (DynamoDB GetItem shape): the primary-key equality
     // pins the owning shard, so the scan plans ONE input partition and
     // reads one base shard + its own WAL slice — item-proportional,
@@ -292,6 +306,9 @@ object DynamoQueries {
         |       CAST(count(c_acctbal) AS BIGINT) AS n_bal,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_dyn_topn" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
     "q_dyn_typed" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,

@@ -182,11 +182,13 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tableSchema
   private var limit: Option[Int] = None
+  private var topN: Option[PushedTopN] = None
   private var aggs: Seq[PushedAgg] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -208,6 +210,37 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * count is exact); Spark keeps only the global limit on top.
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** Top-N pushdown (`ORDER BY ... LIMIT n` directly over the scan):
+    * each segment ships only its own best n rows instead of the whole
+    * segment — DynamoDB's `Query` with `ScanIndexForward`/`Limit`
+    * generalized to any orderable attribute set. Partial push
+    * ([[isPartiallyPushed]] = true): Spark keeps the global
+    * TakeOrderedAndProject, which merges the per-segment candidates —
+    * exact by construction, since a row absent from its segment's top
+    * n cannot be in the global top n. Sort keys must be plain
+    * top-level columns of orderable type; anything else stays
+    * Spark-side untouched.
+    */
+  override def pushTopN(orders: Array[v2expr.SortOrder], n: Int): Boolean = {
+    val keys = orders.toSeq.map { o =>
+      (o.expression() match {
+        case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
+          tableSchema.fields.find(_.name == f.fieldNames().head)
+        case _ => None
+      }).collect {
+        case f if PushedTopN.orderable(f.dataType) =>
+          SortKey(f.name,
+            descending = o.direction() == v2expr.SortDirection.DESCENDING,
+            nullsFirst = o.nullOrdering() == v2expr.NullOrdering.NULLS_FIRST)
+      }
+    }
+    if (n > 0 && keys.nonEmpty && keys.forall(_.isDefined)) {
+      topN = Some(PushedTopN(keys.flatten, n)); true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Ungrouped COUNT(*) / COUNT(col) / MIN / MAX / SUM pushdown:
     * segments compute one partial per aggregate without shipping
@@ -262,8 +295,81 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     if (parsed.forall(_.isDefined)) { aggs = parsed.flatten; true } else false
   }
 
-  override def build(): Scan =
-    new DynamoScan(opts, requiredSchema, pushed, limit, aggs)
+  override def build(): Scan = {
+    // Sort columns are always in the scan output (the Sort references
+    // them), but guard against a pruned key anyway: dropping the push
+    // is correct, resolving a missing column is a crash.
+    val safeTopN = topN.filter(_.keys.forall(k =>
+      requiredSchema.fieldNames.contains(k.name)))
+    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN)
+  }
+}
+
+/** One pushed sort key: column name + v2 SortOrder direction/null
+  * placement. Null placement is absolute (NULLS FIRST puts nulls
+  * first regardless of direction), mirroring Catalyst's SortOrder.
+  */
+final case class SortKey(name: String, descending: Boolean, nullsFirst: Boolean)
+  extends Serializable
+
+/** A pushed `ORDER BY keys LIMIT n`. */
+final case class PushedTopN(keys: Seq[SortKey], n: Int) extends Serializable {
+  def describe: String = keys.map(k =>
+    s"${k.name} ${if (k.descending) "DESC" else "ASC"} " +
+      s"NULLS ${if (k.nullsFirst) "FIRST" else "LAST"}").mkString(", ") + s" LIMIT $n"
+
+  /** Output-order comparator over decoded rows: row a before row b in
+    * the sorted output ⇒ negative. Per-type compares mirror Catalyst's
+    * orderings (UTF8String binary order; java.lang.Double/Float
+    * .compare = NaN largest and NaN-equal, Spark's NaN semantics).
+    */
+  def ordering(schema: StructType): Ordering[InternalRow] = {
+    val ks = keys.map { k =>
+      val i = schema.fieldIndex(k.name)
+      (k, i, schema.fields(i).dataType)
+    }
+    (a: InternalRow, b: InternalRow) => {
+      var res = 0
+      val it = ks.iterator
+      while (res == 0 && it.hasNext) {
+        val (k, i, dt) = it.next()
+        val (an, bn) = (a.isNullAt(i), b.isNullAt(i))
+        res =
+          if (an && bn) 0
+          else if (an) { if (k.nullsFirst) -1 else 1 }
+          else if (bn) { if (k.nullsFirst) 1 else -1 }
+          else {
+            val c = dt match {
+              case LongType | TimestampType =>
+                java.lang.Long.compare(a.getLong(i), b.getLong(i))
+              case IntegerType | DateType =>
+                Integer.compare(a.getInt(i), b.getInt(i))
+              case ShortType => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+              case ByteType => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+              case DoubleType => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+              case FloatType => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+              case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+              case d: DecimalType =>
+                a.getDecimal(i, d.precision, d.scale)
+                  .compareTo(b.getDecimal(i, d.precision, d.scale))
+              case other => throw new UnsupportedOperationException(
+                s"top-N over $other (builder gates on orderable types)")
+            }
+            if (k.descending) -c else c
+          }
+      }
+      res
+    }
+  }
+}
+
+object PushedTopN {
+  /** Same orderable-scalar set as the MIN/MAX pushdown gate. */
+  def orderable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | TimestampType | DateType | _: DecimalType => true
+    case _ => false
+  }
 }
 
 /** One pushed ungrouped aggregate; the scan emits exactly one partial
@@ -334,7 +440,8 @@ private object ScanMetrics {
 
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil)
+    limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
+    topN: Option[PushedTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -374,6 +481,7 @@ final class DynamoScan(
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      topN.map(t => s"PushedTopN: [${t.describe}], ").getOrElse("") +
       (if (aggs.nonEmpty) {
         val names = aggs.map {
           case PushedAgg.CountAll => "COUNT(*)"
@@ -561,7 +669,7 @@ final class DynamoScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (aggs.nonEmpty) new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs)
-    else new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit)
+    else new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN)
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -764,21 +872,28 @@ final class DynamoWalReader(
 
 final class DynamoReaderFactory(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, topN: Option[PushedTopN] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoPartitionReader(opts, schema, pushed, p, limit)
+    topN match {
+      case Some(t) =>
+        new DynamoTopNReader(new DynamoPartitionReader(opts, schema, pushed, p), schema, t)
+      case None =>
+        new DynamoPartitionReader(opts, schema, pushed, p, limit)
+    }
   }
 
   /** Vectorized path for flat primitive schemas: rows pack into
     * `ColumnarBatch`es so the scan feeds WholeStageCodegen columnar
     * input instead of one virtual call per row. Nested types (and any
     * schema holding them) fall back to the row reader — same decode
-    * either way, so the two paths cannot disagree.
+    * either way, so the two paths cannot disagree. A pushed top-N
+    * emits ≤ n rows per segment — nothing left to vectorize.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    schema.fields.forall(f => DynamoColumnarReader.supported(f.dataType))
+    topN.isEmpty &&
+      schema.fields.forall(f => DynamoColumnarReader.supported(f.dataType))
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -968,6 +1083,45 @@ final class DynamoPartitionReader(
       ScanMetrics.TaskMetric("itemsFiltered", filtered))
 
   override def close(): Unit = ()
+}
+
+/** Pushed top-N over one segment: drains the wrapped row reader
+  * (pushed filters, TTL, rate limiting, and metrics all run there
+  * unchanged) through a bounded heap of size n, then emits the
+  * segment's n best rows. Memory is O(n) regardless of segment size —
+  * at 100 TB a `ORDER BY price DESC LIMIT 100` ships 100 rows per
+  * segment instead of the table. The decoded rows are fresh
+  * `GenericInternalRow`s ([[Codec.rowReader]]), so they are safe to
+  * retain without copying.
+  */
+final class DynamoTopNReader(
+    rows: DynamoPartitionReader, schema: StructType, topN: PushedTopN)
+    extends PartitionReader[InternalRow] {
+
+  private val ord = topN.ordering(schema)
+
+  /** Max-heap on output order: head = the worst of the kept rows. */
+  private lazy val best: Iterator[InternalRow] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+    while (rows.next()) {
+      val r = rows.get()
+      if (heap.size < topN.n) heap.enqueue(r)
+      else if (ord.compare(r, heap.head) < 0) { heap.dequeue(); heap.enqueue(r) }
+    }
+    heap.dequeueAll.reverseIterator // ascending output order
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (best.hasNext) { current = best.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    rows.currentMetricsValues()
+
+  override def close(): Unit = rows.close()
 }
 
 /** Aggregate-only scan (pushed COUNT(*)/MIN/MAX): each segment emits
