@@ -151,6 +151,60 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
         .orderBy("source", "rk")),
 
+    // Deterministic train/val/test split — the standard leakage-proof
+    // corpus partition: membership is a pure function of doc_id's md5
+    // prefix (~94/3/3), so re-runs, late-arriving shards, and other
+    // engines agree on every document's split with NO coordination.
+    // Map-side CASE + one tiny aggregate; at 100 TB the split column
+    // is free and the only shuffle carries 3 rows per partition.
+    "q_split_hash" -> ((s, dir) => {
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Fixtures.documents(s, dir)
+        .withColumn("split",
+          when(b <= "ef", "train").when(b <= "f7", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // PII-style regex scrubbing: redact a term set, report per-doc hit
+    // counts and the post-redaction length. Pure per-row codegen'd
+    // expressions (regexp_extract_all + regexp_replace) — linear,
+    // no shuffle; the filter keeps the audit output to touched docs.
+    "q_text_redact" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '\\\\b(customer|order|value)\\\\b', 0))")
+            .as("n_hits"),
+          length(regexp_replace(col("text"), "\\b(customer|order|value)\\b", "[X]"))
+            .as("redacted_len"),
+          length(col("text")).as("orig_len"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")),
+
+    // Token-count histogram (sequence-length planning for packing /
+    // truncation budgets): bucket by 25-token bins. Map-side bucket
+    // expression + one aggregate over ~#buckets rows.
+    "q_tok_histogram" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select((floor(size(split(col("text"), " ")) / 25) * 25)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")),
+
+    // Deterministic corpus shuffle — the training-order shuffle done
+    // reproducibly: global sort by md5(doc_id) (unique key ⇒ total
+    // order), so every run and every engine emits the identical
+    // sequence. Spark's orderBy range-partitions (sampled bounds),
+    // so at 100 TB this is the standard distributed sort, not a
+    // single-reducer funnel; the limit keeps the demo output bounded.
+    "q_shuffle_det" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"), col("source"))
+        .orderBy("shuffle_key")
+        .limit(200)),
+
     // Repetition ratio — the C4/Gopher-style quality signal: fraction
     // of duplicate word bigrams per document. Bigrams come from
     // zipping the token array with its own tail (all inside codegen);
@@ -415,6 +469,34 @@ object TextAnalysis {
         |                            ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q_split_hash" ->
+      """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT CASE
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'ef'
+        |          THEN 'train'
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f7'
+        |          THEN 'val'
+        |        ELSE 'test' END AS split, n_chars
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(customer|order|value)\b')) AS n_hits,
+        |  length(regexp_replace(text, '\b(customer|order|value)\b', '[X]', 'g'))
+        |    AS redacted_len,
+        |  length(text) AS orig_len
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\b(customer|order|value)\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_tok_histogram" ->
+      """SELECT CAST(floor(len(string_split(text, ' ')) / 25) * 25 AS BIGINT)
+        |         AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_shuffle_det" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key, source
+        |FROM documents ORDER BY shuffle_key LIMIT 200""".stripMargin,
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
