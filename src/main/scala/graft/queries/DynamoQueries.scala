@@ -36,8 +36,11 @@ object DynamoQueries {
 
   private val seedLock = new Object
 
+  // v2 path suffix: stores seeded by pre-partition-key-placement
+  // builds live under the old root and would read as legacy layout —
+  // a fresh root guarantees these queries exercise the current layout
   private def storeRoot(sfDir: String): String =
-    "/tmp/graft-dynamo/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    "/tmp/graft-dynamo-v2/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
     * so two JVMs (e.g. bench and verify) can race seed + compact —

@@ -101,7 +101,8 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
         s"CREATE TABLE ${ident.name()} requires table property 'hashKey'"))
     val rangeKey = Option(props.get("rangeKey"))
     // PARTITIONED BY is honored only in the one form the store can
-    // satisfy — bucket(n, <exact primary key>) — and rejected loudly
+    // satisfy — bucket(n, <partition key>), DynamoDB's placement
+    // (sort keys cluster within the partition) — and rejected loudly
     // otherwise rather than silently dropped.
     val bucketShards = partitions.toSeq match {
       case Seq() => None
@@ -111,9 +112,9 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
           case l: v2expr.Literal[_] if l.value().isInstanceOf[Int] =>
             l.value().asInstanceOf[Int]
         }
-        require(refs.toSeq == (Seq(hashKey) ++ rangeKey) && n.isDefined,
-          s"PARTITIONED BY must be bucket(n, ${(Seq(hashKey) ++ rangeKey).mkString(", ")}) " +
-            s"— the store's only layout — got ${t.describe()}")
+        require(refs.toSeq == Seq(hashKey) && n.isDefined,
+          s"PARTITIONED BY must be bucket(n, $hashKey) " +
+            s"— the store's only layout (partition-key placement) — got ${t.describe()}")
         n
       case other => throw new UnsupportedOperationException(
         s"unsupported PARTITIONED BY ${other.map(_.describe()).mkString(", ")}: " +

@@ -527,13 +527,23 @@ final class DynamoScan(
     * count, and Catalyst resolves that against the ACTUAL partitions
     * at execution.
     */
+  /** The placement-key column set for the reported bucket transform:
+    * partition key alone under layout 2 (so composite tables join
+    * shuffle-free on just the partition key — the classic co-location
+    * win), the full composite under legacy layout 1 (whose files were
+    * placed by hash|range).
+    */
+  private def placementCols(meta: TableMeta): Seq[String] =
+    if (meta.layout >= 2) Seq(meta.hashKey)
+    else Seq(meta.hashKey) ++ meta.rangeKey
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     if (reportsPerShard(store, meta)) {
-      val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array[v2expr.Expression](v2expr.Expressions.bucket(meta.shards, keyCols: _*)),
+        Array[v2expr.Expression](
+          v2expr.Expressions.bucket(meta.shards, placementCols(meta): _*)),
         meta.shards)
     } else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -550,12 +560,10 @@ final class DynamoScan(
     * .shuffle.enabled` shuffling one mismatched side) lands rows on
     * the same shard the store files use.
     */
-  private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean = {
-    val keyCols = Seq(meta.hashKey) ++ meta.rangeKey
+  private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean =
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
       aggs.isEmpty && !opts.cdc &&
-      keyCols.forall(readSchema().fieldNames.contains)
-  }
+      placementCols(meta).forall(readSchema().fieldNames.contains)
 
   /** ONE definition of the full-scan segment count, shared by
     * [[outputPartitioning]] and [[planInputPartitions]]: if these ever
@@ -622,8 +630,13 @@ final class DynamoScan(
     }
   }
 
-  /** Candidate shard set when the filters pin the primary key; None =
-    * key not pinned (full scan). GSI reads never prune (index keys
+  /** Candidate shard set when the filters pin the placement key; None
+    * = not pinned (full scan). Under partition-key placement (layout
+    * 2, current) pinning the HASH key alone prunes — DynamoDB's
+    * `Query` shape: all of a partition key's items live in one shard,
+    * any range-key predicate narrows within it. Legacy full-key
+    * stores (layout 1) need the whole composite pinned, since their
+    * placement hashed hash|range. GSI reads never prune (index keys
     * don't determine base-shard placement).
     */
   private def keyShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
@@ -649,22 +662,33 @@ final class DynamoScan(
       case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
       case _ => None // binary/bool/etc: skip pruning, stay correct
     }
-    for {
-      hks <- pinned(meta.hashKey)
-      rks <- meta.rangeKey match {
-        case None => Some(Seq(None))
-        case Some(rk) => pinned(rk).map(_.map(Some(_)))
-      }
-      keys <- {
-        val combos = for { h <- hks; r <- rks } yield (toAttr(h), r.map(toAttr)) match {
-          case (Some(ha), None) => Some(Map(meta.hashKey -> ha))
-          case (Some(ha), Some(Some(ra))) =>
-            Some(Map(meta.hashKey -> ha, meta.rangeKey.get -> ra))
-          case _ => None
+    if (meta.layout >= 2)
+      for {
+        hks <- pinned(meta.hashKey)
+        keys <- {
+          val attrs = hks.map(toAttr)
+          if (attrs.forall(_.isDefined))
+            Some(attrs.flatten.map(a => Map(meta.hashKey -> a)))
+          else None
         }
-        if (combos.forall(_.isDefined)) Some(combos.flatten) else None
-      }
-    } yield keys.map(store.shardOf(meta, _)).toSet
+      } yield keys.map(store.shardOf(meta, _)).toSet
+    else
+      for {
+        hks <- pinned(meta.hashKey)
+        rks <- meta.rangeKey match {
+          case None => Some(Seq(None))
+          case Some(rk) => pinned(rk).map(_.map(Some(_)))
+        }
+        keys <- {
+          val combos = for { h <- hks; r <- rks } yield (toAttr(h), r.map(toAttr)) match {
+            case (Some(ha), None) => Some(Map(meta.hashKey -> ha))
+            case (Some(ha), Some(Some(ra))) =>
+              Some(Map(meta.hashKey -> ha, meta.rangeKey.get -> ra))
+            case _ => None
+          }
+          if (combos.forall(_.isDefined)) Some(combos.flatten) else None
+        }
+      } yield keys.map(store.shardOf(meta, _)).toSet
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -19,7 +19,19 @@ final case class TableMeta(
     rangeKey: Option[String],
     shards: Int,
     throughput: Long,
-    indexes: Map[String, IndexMeta] = Map.empty)
+    indexes: Map[String, IndexMeta] = Map.empty,
+    /** Shard-placement layout version, persisted in meta.json so a
+      * store written by an older build keeps reading correctly:
+      * 2 (current) places items by the PARTITION (hash) key alone —
+      * DynamoDB's model, where sort keys cluster within the partition
+      * (a hash-pinned Query touches one shard; co-partition-keyed
+      * tables co-locate) — while 1 (legacy, assumed when the field is
+      * absent) hashed the full hash|range composite. Layout-dependent
+      * features (key-pruned scans, the reported bucket transform)
+      * consult this field; a legacy composite table still scans and
+      * prunes by its own rules, it just keeps its legacy layout.
+      */
+    layout: Int = 2)
 
 /** Global-secondary-index metadata (A8). `projection = None` means
   * ALL attributes (DynamoDB's `ProjectionType.ALL`); `Some(attrs)`
@@ -76,6 +88,7 @@ final class LocalKVStore(root: String) {
       "rangeKey" -> meta.rangeKey.map(AttrVal.S).getOrElse(AttrVal.Null),
       "shards" -> AttrVal.N(BigDecimal(meta.shards)),
       "throughput" -> AttrVal.N(BigDecimal(meta.throughput)),
+      "layout" -> AttrVal.N(BigDecimal(meta.layout)),
       "indexes" -> AttrVal.M(idxs))
     Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
   }
@@ -118,7 +131,13 @@ final class LocalKVStore(root: String) {
       },
       shards = m("shards").asInstanceOf[AttrVal.N].v.toInt,
       throughput = m("throughput").asInstanceOf[AttrVal.N].v.toLong,
-      indexes = indexes)
+      indexes = indexes,
+      // absent in stores written before partition-key placement →
+      // legacy full-key layout
+      layout = m.get("layout") match {
+        case Some(AttrVal.N(v)) => v.toInt
+        case _                  => 1
+      })
   }
 
   /** The item as seen through a GSI: None for items the sparse index
@@ -143,26 +162,44 @@ final class LocalKVStore(root: String) {
 
   // ---- primary key handling ----
 
+  private def encKeyAttr(a: AttrVal): String = a match {
+    case AttrVal.S(v) => "s:" + v
+    case AttrVal.N(v) => "n:" + v.bigDecimal.stripTrailingZeros.toPlainString
+    case AttrVal.B(v) => "b:" + java.util.Base64.getEncoder.encodeToString(v)
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+
+  /** Item IDENTITY: the full primary key (hash, plus range if the
+    * table has one) — what dedups puts, resolves updates, and keys
+    * the WAL normal form. Distinct from PLACEMENT ([[placementOf]]).
+    */
   def keyOf(meta: TableMeta, item: Item): String = {
-    def enc(a: AttrVal): String = a match {
-      case AttrVal.S(v) => "s:" + v
-      case AttrVal.N(v) => "n:" + v.bigDecimal.stripTrailingZeros.toPlainString
-      case AttrVal.B(v) => "b:" + java.util.Base64.getEncoder.encodeToString(v)
-      case other => throw new IllegalArgumentException(s"unsupported key type $other")
-    }
-    val h = enc(item.getOrElse(meta.hashKey,
+    val h = encKeyAttr(item.getOrElse(meta.hashKey,
       throw new IllegalArgumentException(s"item missing hash key ${meta.hashKey}")))
     meta.rangeKey match {
-      case Some(rk) => h + "|" + enc(item(rk))
+      case Some(rk) => h + "|" + encKeyAttr(item(rk))
       case None     => h
     }
   }
+
+  /** Item PLACEMENT: which shard an item lives in. Layout 2 (current)
+    * hashes the PARTITION key alone — DynamoDB's model: all sort keys
+    * of one partition key co-locate, so a hash-pinned Query touches
+    * one shard and co-partition-keyed tables are co-located for
+    * storage-partitioned joins. Layout 1 (legacy stores) hashed the
+    * full composite key. Hash-only tables are identical under both.
+    */
+  def placementOf(meta: TableMeta, item: Item): String =
+    if (meta.layout >= 2)
+      encKeyAttr(item.getOrElse(meta.hashKey,
+        throw new IllegalArgumentException(s"item missing hash key ${meta.hashKey}")))
+    else keyOf(meta, item)
 
   /** Stable shard assignment (String.hashCode is spec-fixed in Java,
     * so layout is identical across JVMs/runs).
     */
   def shardOf(meta: TableMeta, item: Item): Int =
-    math.floorMod(keyOf(meta, item).hashCode, meta.shards)
+    math.floorMod(placementOf(meta, item).hashCode, meta.shards)
 
   // ---- bulk load (fixture → store) ----
 
@@ -576,7 +613,7 @@ final class LocalKVStore(root: String) {
     try {
       val lines = Files.lines(src, UTF_8)
       try lines.iterator().asScala.filter(_.nonEmpty).foreach { line =>
-        val ns = math.floorMod(keyOf(meta, ItemJson.parse(line)).hashCode, newShards)
+        val ns = math.floorMod(placementOf(meta, ItemJson.parse(line)).hashCode, newShards)
         val w = writers.getOrElseUpdate(ns, Files.newBufferedWriter(
           tmp.resolve(f"part-$ns%03d-from-$oldShard%03d.jsonl"), UTF_8))
         w.write(line); w.write("\n")

@@ -498,8 +498,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(("durian", "green")))
   }
 
-  test("range-keyed tables prune only when the full composite key is pinned") {
-    import graft.sources.dynamo.{DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
+  test("partition-key pin prunes a range-keyed table to one shard (Query path)") {
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
     import org.apache.spark.sql.sources.EqualTo
     val root = freshRoot()
     val store = new LocalKVStore(root)
@@ -512,16 +512,61 @@ class DynamoConnectorSpec extends AnyFunSuite {
       "path", root, "tableName", "kv", "readPartitions", "8"))
     val schema = spark.read.dynamo(root, "kv").schema
 
-    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+    def live(filters: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+        .collect { case p: DynamoInputPartition if !p.padEmpty => p.segment }
 
-    assert(parts(EqualTo("hk", 2L)).length === 8) // hash alone ≠ shard → full scan
-    // full composite pin → 1 live shard (+1 SPJ pad, see GetItem test)
-    val pinned = parts(EqualTo("hk", 2L), EqualTo("rk", 7L))
-    assert(pinned.length === 2)
-    assert(pinned.count(!_.asInstanceOf[graft.sources.dynamo.DynamoInputPartition].padEmpty) === 1)
+    assert(live(EqualTo("v", "v7")).length === 8) // non-key attr → full scan
+    // DynamoDB Query shape: the partition key alone pins the shard —
+    // all of hk=2's sort keys co-locate
+    val hashPinned = live(EqualTo("hk", 2L))
+    assert(hashPinned.length === 1)
+    // a full composite pin lands in the SAME shard (placement ignores rk)
+    assert(live(EqualTo("hk", 2L), EqualTo("rk", 7L)).toSeq === hashPinned.toSeq)
 
+    // end-to-end: the one-shard Query returns every item of the
+    // partition key, and the composite pin narrows within it
+    val q = spark.read.dynamo(root, "kv").filter(col("hk") === 2L)
+    assert(q.count() === 10L) // hk = i % 5 → 10 of 50 items
     val hit = spark.read.dynamo(root, "kv")
+      .filter(col("hk") === 2L && col("rk") === 7L).select("v").collect()
+    assert(hit.map(_.getString(0)).toSeq === Seq("v7"))
+  }
+
+  test("legacy full-key-layout stores keep reading and pruning by their own rules") {
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // a store written before partition-key placement: items placed by
+    // hash|range (layout 1); its meta may predate the field entirely
+    store.bulkLoad("legacy", TableMeta("hk", Some("rk"), shards = 8,
+      throughput = 1000L, layout = 1),
+      (1 to 50).iterator.map(i => Map(
+        "hk" -> (AttrVal.N(BigDecimal(i % 5)): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.S(s"v$i"): AttrVal))))
+    // strip the layout field: meta.json written before the field
+    // existed must parse as layout 1
+    val mp = java.nio.file.Paths.get(root, "legacy", "meta.json")
+    Files.writeString(mp, graft.sources.dynamo.ItemJson.write(
+      graft.sources.dynamo.ItemJson.parse(Files.readString(mp)) - "layout"))
+    assert(store.describe("legacy").layout === 1)
+
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "legacy", "readPartitions", "8"))
+    val schema = spark.read.dynamo(root, "legacy").schema
+    def live(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+        .collect { case p: DynamoInputPartition if !p.padEmpty => p.segment }
+
+    // hash alone does NOT pin a legacy shard (placement hashed hk|rk)
+    assert(live(EqualTo("hk", 2L)).length === 8)
+    // the full composite pin still prunes to the one legacy shard
+    assert(live(EqualTo("hk", 2L), EqualTo("rk", 7L)).length === 1)
+    // and reads stay correct either way
+    assert(spark.read.dynamo(root, "legacy").filter(col("hk") === 2L).count() === 10L)
+    val hit = spark.read.dynamo(root, "legacy")
       .filter(col("hk") === 2L && col("rk") === 7L).select("v").collect()
     assert(hit.map(_.getString(0)).toSeq === Seq("v7"))
   }
