@@ -237,6 +237,21 @@ object DynamoQueries {
              count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
+    // Grouped aggregate pushdown, COMPLETE: grouping by the PARTITION
+    // key makes every group shard-local (layout-2 placement), so the
+    // whole GROUP BY runs inside the scan — segments ship one FINAL
+    // row per customer and Spark plans no aggregate at all: a grouped
+    // rollup over a 100 TB order table with zero shuffle. The sum
+    // rides the integral order key so partials fold exactly.
+    "q_dyn_group_push" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      s.read.dynamo(root, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"),
+             min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+        .orderBy("o_custkey")
+    }),
+
     // Top-N pushdown (ORDER BY ... LIMIT over the scan): each segment
     // ships only its own best 10 rows through a bounded heap — at
     // table scale the scan emits ~10×segments candidate rows, not the
@@ -309,6 +324,11 @@ object DynamoQueries {
         |       CAST(count(c_acctbal) AS BIGINT) AS n_bal,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_dyn_group_push" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_dyn_topn" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,

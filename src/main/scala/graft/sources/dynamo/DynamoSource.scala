@@ -190,6 +190,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var limit: Option[Int] = None
   private var topN: Option[PushedTopN] = None
   private var aggs: Seq[PushedAgg] = Nil
+  private var grouped: Option[PushedGroupBy] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!opts.filterPushdown) { pushed = Array.empty; return filters }
@@ -209,7 +210,15 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * (filters are applied below the limit in our reader, so the
     * count is exact); Spark keeps only the global limit on top.
     */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean = {
+    // After a COMPLETE aggregate push the relation's rows are agg
+    // results; a limit pushed then would have to cap RESULT rows, not
+    // items — decline and let Spark keep its own limit. (Aggregates
+    // push before limits in V2ScanRelationPushDown, so `aggs`/`grouped`
+    // are already settled here.)
+    if (aggs.nonEmpty || grouped.isDefined) return false
+    limit = Some(l); true
+  }
 
   /** Top-N pushdown (`ORDER BY ... LIMIT n` directly over the scan):
     * each segment ships only its own best n rows instead of the whole
@@ -223,6 +232,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * Spark-side untouched.
     */
   override def pushTopN(orders: Array[v2expr.SortOrder], n: Int): Boolean = {
+    if (aggs.nonEmpty || grouped.isDefined) return false // see pushLimit
     val keys = orders.toSeq.map { o =>
       (o.expression() match {
         case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
@@ -242,57 +252,104 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
 
   override def isPartiallyPushed(): Boolean = true
 
-  /** Ungrouped COUNT(*) / COUNT(col) / MIN / MAX / SUM pushdown:
-    * segments compute one partial per aggregate without shipping
-    * items; Spark folds the per-partition partials (partial pushdown —
-    * `sum` over counts and sums, `min`/`max` over extrema — so this
-    * composes with pushed filters evaluated below the aggregate).
-    * COUNT(*) is DynamoDB's `Select=COUNT` scan; the rest is extension
-    * territory (DynamoDB itself only offers COUNT). DISTINCT never
-    * pushes (not partial-foldable); AVG needs no case here — Spark
-    * only offers complete pushdown for it, which a segmented scan
-    * can't honor. All-or-nothing: one unsupported aggregate rejects
-    * the whole push, because Spark consumes the scan output
-    * positionally.
+  private def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
+    case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
+      tableSchema.fields.find(_.name == f.fieldNames().head)
+    case _ => None
+  }
+
+  // SUM partial type mirrors Spark's own widening (int-family → long,
+  // float-family → double). Decimal stays Spark-side: its sum widens
+  // precision in ways the partial column can't declare faithfully.
+  private def sumType(dt: DataType): Option[DataType] = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Some(LongType)
+    case DoubleType | FloatType => Some(DoubleType)
+    case _ => None
+  }
+
+  /** Aggregate functions we can evaluate store-side, or None if any
+    * one is unsupported — all-or-nothing, because Spark consumes the
+    * scan output positionally. Orderable-scalar gates keep
+    * nested/binary/boolean extrema Spark-side; DISTINCT never pushes
+    * (not partial-foldable); AVG needs no case — Spark itself rewrites
+    * it to SUM+COUNT for pushdown.
     */
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
-      case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
-        tableSchema.fields.find(_.name == f.fieldNames().head)
-      case _ => None
-    }
-    // Orderable scalars whose AttrVal decode + Catalyst ordering both
-    // exist; nested/binary/boolean extrema stay Spark-side.
-    def orderable(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType | StringType | TimestampType | DateType | _: DecimalType => true
-      case _ => false
-    }
-    // SUM partial type mirrors Spark's own widening (int-family → long,
-    // float-family → double). Decimal stays Spark-side: its sum widens
-    // precision in ways the partial column can't declare faithfully.
-    def sumType(dt: DataType): Option[DataType] = dt match {
-      case LongType | IntegerType | ShortType | ByteType => Some(LongType)
-      case DoubleType | FloatType => Some(DoubleType)
-      case _ => None
-    }
-    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return false
+  private def parseAggFuncs(agg: Aggregation): Option[Seq[PushedAgg]] = {
     val parsed: Seq[Option[PushedAgg]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(PushedAgg.CountAll)
       case c: Count if !c.isDistinct =>
-        fieldOf(c.column).filter(f => orderable(f.dataType) ||
+        fieldOf(c.column).filter(f => PushedTopN.orderable(f.dataType) ||
           f.dataType == BooleanType || f.dataType == BinaryType)
           .map(f => PushedAgg.CountOf(f))
       case s: Sum if !s.isDistinct =>
         fieldOf(s.column).flatMap(f => sumType(f.dataType)
           .map(w => PushedAgg.SumOf(f, w)))
-      case m: Min => fieldOf(m.column).filter(f => orderable(f.dataType))
+      case m: Min => fieldOf(m.column).filter(f => PushedTopN.orderable(f.dataType))
         .map(f => PushedAgg.MinOf(f))
-      case m: Max => fieldOf(m.column).filter(f => orderable(f.dataType))
+      case m: Max => fieldOf(m.column).filter(f => PushedTopN.orderable(f.dataType))
         .map(f => PushedAgg.MaxOf(f))
       case _ => None
     }
-    if (parsed.forall(_.isDefined)) { aggs = parsed.flatten; true } else false
+    if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+  }
+
+  /** Grouping columns as plain top-level fields of groupable type, or
+    * None if any grouping expression is something else.
+    */
+  private def parseGroupCols(agg: Aggregation): Option[Seq[StructField]] = {
+    val cols = agg.groupByExpressions.toSeq.map(e =>
+      fieldOf(e).filter(f => PushedTopN.orderable(f.dataType)))
+    if (cols.nonEmpty && cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  /** A grouped pushdown is COMPLETE (per-segment results are final,
+    * Spark drops its aggregate entirely) exactly when every group is
+    * shard-local: the grouping columns contain the table's placement
+    * key set — the partition key under layout 2, the full composite
+    * under legacy layout 1. GSI reads never qualify (index attrs don't
+    * determine base-shard placement).
+    */
+  private def groupedComplete(groupCols: Seq[StructField]): Boolean = {
+    if (opts.indexName.isDefined) return false
+    val meta = new LocalKVStore(opts.path).describe(opts.tableName)
+    val placement =
+      if (meta.layout >= 2) Seq(meta.hashKey)
+      else Seq(meta.hashKey) ++ meta.rangeKey
+    placement.forall(groupCols.map(_.name).contains)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    parseGroupCols(agg).exists(g =>
+      parseAggFuncs(agg).isDefined && groupedComplete(g))
+
+  /** Aggregate pushdown. Ungrouped: segments compute one partial per
+    * aggregate without shipping items; Spark folds the per-partition
+    * partials (`sum` over counts and sums, `min`/`max` over extrema).
+    * COUNT(*) is DynamoDB's `Select=COUNT` scan; the rest is extension
+    * territory. Grouped: segments ship one row per group — FINAL when
+    * the grouping covers the placement key (groups are shard-local, so
+    * `GROUP BY <partition key>` runs entirely in the scan with zero
+    * shuffle — [[supportCompletePushDown]]), partial map-side combine
+    * otherwise (Spark re-aggregates the per-segment group rows). An
+    * empty aggregate list with grouping is DISTINCT pushdown. Pushed
+    * filters always evaluate below the aggregate.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.isEmpty) {
+      if (agg.aggregateExpressions.isEmpty) return false
+      parseAggFuncs(agg) match {
+        case Some(parsed) => aggs = parsed; true
+        case None => false
+      }
+    } else {
+      (parseGroupCols(agg), parseAggFuncs(agg)) match {
+        case (Some(g), Some(parsed)) =>
+          grouped = Some(PushedGroupBy(g, groupedComplete(g)))
+          aggs = parsed
+          true
+        case _ => false
+      }
+    }
   }
 
   override def build(): Scan = {
@@ -301,9 +358,17 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // is correct, resolving a missing column is a crash.
     val safeTopN = topN.filter(_.keys.forall(k =>
       requiredSchema.fieldNames.contains(k.name)))
-    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN)
+    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped)
   }
 }
+
+/** A pushed GROUP BY: the grouping columns (in push order — the scan
+  * emits them first, aggregates after) and whether the push is
+  * complete (shard-local groups, per-segment results are final) or a
+  * partial map-side combine Spark re-aggregates.
+  */
+final case class PushedGroupBy(fields: Seq[StructField], complete: Boolean)
+  extends Serializable
 
 /** One pushed sort key: column name + v2 SortOrder direction/null
   * placement. Null placement is absolute (NULLS FIRST puts nulls
@@ -441,7 +506,7 @@ private object ScanMetrics {
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
-    topN: Option[PushedTopN] = None)
+    topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -464,10 +529,13 @@ final class DynamoScan(
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
 
-  override def readSchema(): StructType =
-    if (aggs.nonEmpty)
+  override def readSchema(): StructType = grouped match {
+    case Some(g) =>
+      StructType(g.fields ++ aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+    case None if aggs.nonEmpty =>
       StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
-    else schema
+    case None => schema
+  }
 
   // A cdc=true batch read would surface a phantom always-null `_op`
   // column (the op tag exists only on journal records, which the batch
@@ -482,7 +550,7 @@ final class DynamoScan(
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       topN.map(t => s"PushedTopN: [${t.describe}], ").getOrElse("") +
-      (if (aggs.nonEmpty) {
+      (if (aggs.nonEmpty || grouped.isDefined) {
         val names = aggs.map {
           case PushedAgg.CountAll => "COUNT(*)"
           case PushedAgg.CountOf(f) => s"COUNT(${f.name})"
@@ -490,7 +558,10 @@ final class DynamoScan(
           case PushedAgg.MinOf(f) => s"MIN(${f.name})"
           case PushedAgg.MaxOf(f) => s"MAX(${f.name})"
         }
-        s"PushedAggregates: [${names.mkString(", ")}], "
+        grouped.map(g =>
+          s"PushedGroupBy: [${g.fields.map(_.name).mkString(", ")}] " +
+            s"(${if (g.complete) "complete" else "partial"}), ").getOrElse("") +
+          s"PushedAggregates: [${names.mkString(", ")}], "
       } else "") +
       s"ReadSchema: ${readSchema().catalogString}"
 
@@ -562,7 +633,11 @@ final class DynamoScan(
     */
   private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean =
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
-      aggs.isEmpty && !opts.cdc &&
+      // ungrouped-agg output isn't keyed; a complete grouped push IS —
+      // its rows stay keyed by the placement key in their own shard's
+      // segment, so downstream key-joins/aggs still reuse the layout
+      ((aggs.isEmpty && grouped.isEmpty) || grouped.exists(_.complete)) &&
+      !opts.cdc &&
       placementCols(meta).forall(readSchema().fieldNames.contains)
 
   /** ONE definition of the full-scan segment count, shared by
@@ -691,9 +766,11 @@ final class DynamoScan(
       } yield keys.map(store.shardOf(meta, _)).toSet
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (aggs.nonEmpty) new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs)
-    else new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN)
+  override def createReaderFactory(): PartitionReaderFactory = grouped match {
+    case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs)
+    case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs)
+    case None => new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN)
+  }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -1109,6 +1186,106 @@ final class DynamoPartitionReader(
   override def close(): Unit = ()
 }
 
+final class DynamoGroupedAggReaderFactory(
+    opts: DynamoOptions, pushed: Array[Filter],
+    group: PushedGroupBy, aggs: Seq[PushedAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DynamoInputPartition]
+    new DynamoGroupedAggReader(opts, pushed, group, aggs, p)
+  }
+}
+
+/** Grouped aggregate scan: one hash-aggregation pass per segment,
+  * emitting one row per group — `(group cols..., agg partials...)`.
+  * When the push is COMPLETE (grouping covers the placement key) these
+  * rows are final: a `GROUP BY <partition key>` over a 100 TB table
+  * runs entirely inside the scan with zero shuffle and ships only
+  * group rows. Otherwise they are map-side partials Spark
+  * re-aggregates — still only one row per (group, segment) through
+  * the exchange. Group state is in-memory per segment (bounded by the
+  * segment's distinct group count, the same bound Spark's own hash
+  * aggregate carries; there is no spill path — a group explosion
+  * belongs Spark-side, where grouping columns wouldn't cover the
+  * placement key anyway). Group values decode through the same
+  * [[Codec]] path as row reads; doubles normalize -0.0/NaN the way
+  * Spark's grouping does.
+  */
+final class DynamoGroupedAggReader(
+    opts: DynamoOptions, pushed: Array[Filter],
+    group: PushedGroupBy, aggs: Seq[PushedAgg],
+    partition: DynamoInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val store = new LocalKVStore(opts.path)
+  private val limiter = new RateLimiter(partition.ratePerSegment)
+  private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
+  private val groupDecode = Codec.rowReader(StructType(group.fields))
+  private val groupTypes = group.fields.map(_.dataType)
+
+  private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
+    val meta = store.describe(opts.tableName)
+    (meta, meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+  }
+
+  private var matched = 0L
+  private var scanned = 0L
+  private val ttlNow = Ttl.now(opts)
+
+  /** Spark's grouping equates 0.0 with -0.0 and all NaNs; boxed
+    * Double/Float equals does neither, so normalize map-key values.
+    */
+  private def normKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.isNaN => java.lang.Double.valueOf(Double.NaN)
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.isNaN => java.lang.Float.valueOf(Float.NaN)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    // LinkedHashMap: group emission order = first-seen order, so
+    // re-runs of the same segment emit identically (scan order is
+    // file order, which is deterministic).
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[List[Any], (Array[Any], Array[AggAccs.Acc])]
+    if (!partition.padEmpty) {
+      store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+        .foreach { case (item0, sz) =>
+          limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+          scanned += 1
+          val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+          visible.filter(it => pushed.forall(FilterEval.eval(_, it))).foreach { it =>
+            matched += 1
+            val g = groupDecode(it)
+            val vals = Array.tabulate[Any](groupTypes.length)(i =>
+              if (g.isNullAt(i)) null else g.get(i, groupTypes(i)))
+            val key = vals.map(normKey).toList
+            val (_, accs) = groups.getOrElseUpdate(key, (vals, AggAccs.make(aggs)))
+            accs.foreach(_.update(it))
+          }
+        }
+    }
+    groups.valuesIterator.map { case (vals, accs) =>
+      InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
+      ScanMetrics.TaskMetric("itemsFiltered", scanned - matched))
+
+  override def close(): Unit = ()
+}
+
 /** Pushed top-N over one segment: drains the wrapped row reader
   * (pushed filters, TTL, rate limiting, and metrics all run there
   * unchanged) through a bounded heap of size n, then emits the
@@ -1163,23 +1340,13 @@ final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], a
   }
 }
 
-final class DynamoAggReader(
-    opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
-    partition: DynamoInputPartition)
-    extends PartitionReader[InternalRow] {
-
-  private val store = new LocalKVStore(opts.path)
-  private val limiter = new RateLimiter(partition.ratePerSegment)
-  private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
-
-  private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
-    val meta = store.describe(opts.tableName)
-    (meta, meta.indexes.getOrElse(ix,
-      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
-  }
-
+/** Aggregate accumulators shared by the ungrouped ([[DynamoAggReader]])
+  * and grouped ([[DynamoGroupedAggReader]]) pushed scans — one
+  * machinery, so the two paths cannot disagree on aggregate semantics.
+  */
+private[dynamo] object AggAccs {
   /** One accumulator per pushed aggregate, in push order. */
-  private sealed trait Acc { def update(item: Item): Unit; def result: Any }
+  sealed trait Acc { def update(item: Item): Unit; def result: Any }
   private final class CountAcc extends Acc {
     var n = 0L
     def update(item: Item): Unit = n += 1
@@ -1244,13 +1411,31 @@ final class DynamoAggReader(
     }
     def result: Any = if (!any) null else if (wide == LongType) l else d
   }
-  private val accs: Array[Acc] = aggs.map {
+  def make(aggs: Seq[PushedAgg]): Array[Acc] = aggs.map {
     case PushedAgg.CountAll => new CountAcc
     case PushedAgg.CountOf(f) => new CountColAcc(f)
     case PushedAgg.SumOf(f, w) => new SumAcc(f, w)
     case PushedAgg.MinOf(f) => new ExtremumAcc(f, 1)
     case PushedAgg.MaxOf(f) => new ExtremumAcc(f, -1)
   }.toArray
+}
+
+final class DynamoAggReader(
+    opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
+    partition: DynamoInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val store = new LocalKVStore(opts.path)
+  private val limiter = new RateLimiter(partition.ratePerSegment)
+  private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
+
+  private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
+    val meta = store.describe(opts.tableName)
+    (meta, meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+  }
+
+  private val accs: Array[AggAccs.Acc] = AggAccs.make(aggs)
 
   private var emitted = false
   private var matched = 0L

@@ -387,11 +387,15 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(!dist.queryExecution.executedPlan.toString.contains("PushedAggregates"))
     val dr = dist.collect().head
     assert((dr.getDouble(0), dr.getLong(1)) === ((0.005, 3L)))
-    // a grouped aggregate never pushes
+    // a grouped aggregate pushes too — partially here, since `color`
+    // is not the placement key (see the grouped-pushdown test)
     val grouped = spark.read.dynamo(root, "fruit")
-      .groupBy("color").agg(max("stock"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      .groupBy("color").agg(max("stock").as("mx"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [color] (partial)"))
     assert(grouped.count() === 3L)
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq(("green", 1L), ("red", 100L), ("yellow", 5L)))
   }
 
   test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
@@ -531,6 +535,59 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val hit = spark.read.dynamo(root, "kv")
       .filter(col("hk") === 2L && col("rk") === 7L).select("v").collect()
     assert(hit.map(_.getString(0)).toSeq === Seq("v7"))
+  }
+
+  test("grouped aggregate pushdown: complete on the partition key, partial otherwise") {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // 60 items, 5 partition keys, a low-cardinality non-key attribute
+    store.bulkLoad("gkv", TableMeta("hk", Some("rk"), shards = 8, throughput = 1000L),
+      (1 to 60).iterator.map(i => Map(
+        "hk" -> (AttrVal.N(BigDecimal(i % 5)): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "par" -> (AttrVal.S(s"p${i % 3}"): AttrVal))))
+
+    // COMPLETE: grouping by the partition key — every group is
+    // shard-local, so no Spark-side aggregate survives in the plan
+    val complete = spark.read.dynamo(root, "gkv")
+      .groupBy("hk")
+      .agg(count(lit(1)).as("n"), sum("rk").as("s"), max("rk").as("mx"))
+      .orderBy("hk")
+    val cPlan = complete.queryExecution.executedPlan.toString
+    assert(cPlan.contains("PushedGroupBy: [hk] (complete)"), cPlan)
+    assert(!cPlan.contains("HashAggregate"),
+      s"complete grouped push left a Spark-side aggregate:\n$cPlan")
+    val got = complete.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = (1 to 60).groupBy(_ % 5).toSeq.sortBy(_._1).map { case (h, is) =>
+      (h.toLong, is.size.toLong, is.map(_.toLong).sum, is.max.toLong)
+    }
+    assert(got.toSeq === expect)
+
+    // PARTIAL: grouping by a non-placement attribute — groups span
+    // shards, segments ship per-segment partials, Spark re-aggregates
+    val partial = spark.read.dynamo(root, "gkv")
+      .groupBy("par").agg(count(lit(1)).as("n"), min("rk").as("mn"))
+      .orderBy("par")
+    val pPlan = partial.queryExecution.executedPlan.toString
+    assert(pPlan.contains("PushedGroupBy: [par] (partial)"), pPlan)
+    assert(pPlan.contains("HashAggregate"), pPlan)
+    val gotP = partial.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expectP = (1 to 60).groupBy(i => s"p${i % 3}").toSeq.sortBy(_._1)
+      .map { case (p, is) => (p, is.size.toLong, is.min.toLong) }
+    assert(gotP.toSeq === expectP)
+
+    // DISTINCT pushdown: grouping with no aggregates
+    val dist = spark.read.dynamo(root, "gkv").select("hk").distinct()
+    val dPlan = dist.queryExecution.executedPlan.toString
+    assert(dPlan.contains("PushedGroupBy: [hk] (complete)"), dPlan)
+    assert(dist.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+
+    // pushed filters evaluate BELOW the grouped aggregate
+    val filtered = spark.read.dynamo(root, "gkv")
+      .filter(col("rk") <= 30L).groupBy("hk").agg(count(lit(1)).as("n"))
+    assert(filtered.collect().map(_.getLong(1)).sum === 30L)
   }
 
   test("legacy full-key-layout stores keep reading and pruning by their own rules") {
