@@ -237,6 +237,29 @@ object DynamoQueries {
              count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
+    // Fact ⋈ dim storage-partitioned join on the PARTITION key: the
+    // composite-keyed orders table (hash o_custkey, range o_orderkey)
+    // and hash-only customer co-locate each customer's orders with its
+    // dim row (layout-2 placement), so the classic fact-table join
+    // runs with ZERO exchange on either side — at 100 TB the dominant
+    // repeated cost (re-shuffling the fact side per join) is gone.
+    // StoragePartitionedJoinSpec pins the exchange-free plan shape.
+    "q_dyn_spj_fact" -> ((s, dir) => {
+      seededRoot(s, dir) // customer (and its GSI)
+      val root = seededOrdersRoot(s, dir) // same store root
+      val cat = "graftdyn" + root.replaceAll("[^A-Za-z0-9]", "")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root)
+      s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.orders")
+        .join(s.table(s"$cat.customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Grouped aggregate pushdown, COMPLETE: grouping by the PARTITION
     // key makes every group shard-local (layout-2 placement), so the
     // whole GROUP BY runs inside the scan — segments ship one FINAL
@@ -324,6 +347,11 @@ object DynamoQueries {
         |       CAST(count(c_acctbal) AS BIGINT) AS n_bal,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q_dyn_spj_fact" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_dyn_group_push" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -162,6 +162,50 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("composite-key fact joins a hash-only dim on the partition key, zero shuffle") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj-fact").toString
+    // dim: hash-only on id; fact: composite (id, seq). Partition-key
+    // placement (layout 2) co-locates a key's fact rows with its dim
+    // row, so the classic fact ⋈ dim equi-join needs NO exchange on
+    // either side — under full-key placement this plan was impossible
+    // (a fact key's rows scattered across shards).
+    Seq.tabulate(100)(i => (f"k$i%03d", s"name$i")).toDF("id", "nm")
+      .write.dynamo(root, "dim", "id")
+    Seq.tabulate(400)(i => (f"k${i % 100}%03d", i.toLong, (i * 7 % 100).toLong))
+      .toDF("id", "seq", "amt")
+      .write.format("dynamo").option("path", root).option("tableName", "fact")
+      .option("hashKey", "id").option("rangeKey", "seq").mode("append").save()
+    withConf(
+      "spark.sql.catalog.spjfact" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjfact.path" -> root,
+      "spark.sql.catalog.spjfact.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("spjfact.fact")
+        .join(spark.table("spjfact.dim").hint("merge"), "id")
+        .select("id", "seq", "amt", "nm")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"fact ⋈ dim on the partition key still shuffles:\n$plan")
+      assert(j.count() === 400L)
+      val row = j.filter(col("seq") === 123L).collect()
+      assert(row.map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq ===
+        Seq(("k023", (123 * 7 % 100).toLong, "name23")))
+
+      // and a grouped aggregate keyed by the fact's partition key
+      // composes: complete pushdown, still no exchange
+      val g = spark.table("spjfact.fact").groupBy("id")
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      val gPlan = g.queryExecution.executedPlan.toString
+      assert(gPlan.contains("PushedGroupBy: [id] (complete)"), gPlan)
+      assert(!gPlan.contains("Exchange hashpartitioning"), gPlan)
+      assert(g.count() === 100L)
+      assert(g.filter(col("id") === "k000").collect().head.getLong(1) === 4L)
+    }
+  }
+
   test("binary-keyed co-sharded tables also join shuffle-free") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj-bin").toString
