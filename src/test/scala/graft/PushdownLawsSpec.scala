@@ -117,6 +117,50 @@ class PushdownLawsSpec extends AnyFunSuite {
     assert(got.length === some.length)
   }
 
+  test("grouped pushdown equals driver-side aggregation for random filters and groupings") {
+    // The grouped-aggregate pushdown (complete for hk — the partition
+    // key — partial for the rest) must agree with a plain row read
+    // aggregated on the driver, under arbitrary pushed/unpushed filter
+    // trees and null-holding group keys. Spark trusts complete results
+    // verbatim, so drift here is a silent wrong answer — property over
+    // spot checks.
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-gagg-laws").toString
+    val strs = Seq("alpha", "beta", "gamma", null, "x")
+    (0L until 140L).map { i =>
+      (i % 7, i,
+       strs((i % strs.size).toInt),
+       if (i % 5 == 4) None else Some(i % 11),
+       if (i % 6 == 5) None else Some(i.toDouble / 3.0),
+       if (i % 4 == 2) None else Some(i % 3 == 0))
+    }.toDF("hk", "id", "s", "n", "d", "flag")
+      .write.format("dynamo").option("path", r).option("tableName", "glaws")
+      .option("hashKey", "hk").option("rangeKey", "id")
+      .mode("append").save()
+    val d = spark.read.format("dynamo")
+      .option("path", r).option("tableName", "glaws").load()
+
+    val preds = samples(genPred(1), 10)
+    for (p <- preds; g <- Seq("hk", "s", "flag")) {
+      val base = d.filter(p).select(col(g), col("n"), col("s")).collect()
+      val expect = base.groupBy(row => row.get(0)).map { case (k, rs) =>
+        val ns = rs.collect { case row if !row.isNullAt(1) => row.getLong(1) }
+        val ss = rs.collect { case row if !row.isNullAt(2) => row.getString(2) }
+        (k,
+         rs.length.toLong,
+         if (ns.isEmpty) null else ns.sum,
+         if (ns.isEmpty) null else ns.min,
+         if (ss.isEmpty) null else ss.max)
+      }.toSet
+      val got = d.filter(p).groupBy(col(g))
+        .agg(count(lit(1)).as("c"), sum("n").as("sn"),
+             min("n").as("mn"), max("s").as("mx"))
+        .collect().map(row => (row.get(0), row.getLong(1),
+          row.get(2), row.get(3), row.get(4))).toSet
+      assert(got === expect, s"grouping $g under predicate $p")
+    }
+  }
+
   test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
     // The canonical three-valued-logic trap: s IS NULL on some rows.
     val p = !(col("s") === "alpha")
