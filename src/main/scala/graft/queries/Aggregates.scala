@@ -49,6 +49,24 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Mergeable sketch rollup — THE 100 TB distinct-count pattern: a
+    // daily rollup persists one small DataSketches HLL per
+    // (type, day); "distinct users per type over any day range" is
+    // then answered by UNIONING sketches, never rescanning raw
+    // events. Sketch bytes are merge-associative, so both levels fold
+    // map-side like any algebraic aggregate and the rollup stays
+    // incremental (append tomorrow's sketches, union again).
+    // Sketch-valued ⇒ no SQL oracle (like q_agg_approx_distinct);
+    // QueriesSpec bands the estimate against the exact count.
+    "q_agg_sketch_union" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")),
+
     "q_agg_rollup" -> ((s, dir) => {
       Fixtures.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")

@@ -1717,10 +1717,19 @@ final class DynamoDataWriter(
 
   override def write(record: InternalRow): Unit = {
     val item = encode(record)
+    // UpdateItem semantics: an update touches ONLY the attributes the
+    // row provides — null columns are "not provided", not "set to
+    // null" (DynamoDB's SET cannot write NULL; the reference's update
+    // path likewise skips null columns). This is what lets a CDC
+    // UPDATE event — whose decoded row holds nulls for every attr the
+    // original update didn't carry — re-apply without erasing the
+    // target's other attributes. Puts keep nulls: a put replaces the
+    // whole item, so an explicit null column IS the item's content.
     val op: store.Op =
       if (opts.delete) store.Delete(item.view.filterKeys(keyAttrs).toMap)
-      else if (opts.update && opts.ifExists) store.UpdateIfExists(item)
-      else if (opts.update) store.Update(item)
+      else if (opts.update && opts.ifExists)
+        store.UpdateIfExists(item.filter(_._2 != AttrVal.Null))
+      else if (opts.update) store.Update(item.filter(_._2 != AttrVal.Null))
       else if (opts.ifNotExists) store.PutIfAbsent(item)
       else store.Put(item)
     buffer += op

@@ -47,9 +47,11 @@ class CrossQuerySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     val orphanOracles = o -- q
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
+    // both are sketch-valued by design, each banded by QueriesSpec
+    val sketchValued = Set("q_agg_approx_distinct", "q_agg_sketch_union")
     val noOracle = q -- o
-    assert(noOracle === Set("q_agg_approx_distinct"),
-      s"queries silently missing an oracle: ${noOracle - "q_agg_approx_distinct"}")
+    assert(noOracle === sketchValued,
+      s"queries silently missing an oracle: ${noOracle -- sketchValued}")
   }
 
   test("bucketed and IVF ANN never beat exhaustive kNN's best hit") {

@@ -766,6 +766,58 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC feed materializes an exact replica via foreachBatch") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+
+    // The classic derived-table loop: apply each micro-batch's changes
+    // to a second table in op order, honoring _op — the pattern that
+    // maintains any downstream materialization off the change feed.
+    // Per-epoch batches are idempotent per key (last write wins within
+    // a batch replay), so checkpoint recovery re-applies safely.
+    val q = spark.readStream.dynamoStream(root, "fruit", cdc = true)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt2").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val upserts = batch.filter(col("_op").isin("PUT", "UPDATE")).drop("_op")
+        if (!upserts.isEmpty)
+          upserts.write.format("dynamo")
+            .option("path", root).option("tableName", "fruit_replica")
+            .option("hashKey", "name")
+            .option("update", "true").mode("append").save()
+        val deletes = batch.filter(col("_op") === "DELETE").select("name")
+        if (!deletes.isEmpty)
+          deletes.write.format("dynamo")
+            .option("path", root).option("tableName", "fruit_replica")
+            .option("hashKey", "name")
+            .option("delete", "true").mode("append").save()
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // mutate the source while the stream runs: update, fresh put, delete
+      Seq(("apple", 77L)).toDF("name", "stock").write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("update", "true").mode("append").save()
+      Seq(("kiwi", "green", 0.08, 12L)).toDF("name", "color", "weight_kg", "stock")
+        .write.format("dynamo").option("path", root).option("tableName", "fruit")
+        .mode("append").save()
+      Seq("cherry").toDF("name").write.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("delete", "true").mode("append").save()
+      q.processAllAvailable()
+
+      def snap(t: String) = spark.read.dynamo(root, t)
+        .select("name", "color", "weight_kg", "stock").orderBy("name").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+        .toSeq
+      assert(snap("fruit_replica") === snap("fruit"))
+      assert(snap("fruit").map(_._1) === Seq("apple", "banana", "durian", "kiwi"))
+    } finally q.stop()
+  }
+
   test("streaming read with startingOffsets=latest skips history, tails new writes") {
     import spark.implicits._
     val root = freshRoot()

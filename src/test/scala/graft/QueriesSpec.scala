@@ -45,6 +45,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_sketch_union: two-level sketch rollup within 5% of exact") {
+    val approx = SparkEntry.queries("q_agg_sketch_union")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_agg_count_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: sketch-union ${approx(k)} vs exact $n")
+    }
+  }
+
   test("q_agg_approx_distinct: HLL estimate within 5% of exact") {
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
