@@ -151,6 +151,31 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
         .orderBy("source", "rk")),
 
+    // Benchmark-contamination screen (decontamination): flag training
+    // docs sharing any 4-token shingle with the benchmark set (docs
+    // 0-19 stand in for an eval benchmark). The benchmark's shingle
+    // set is tiny next to the corpus → Spark auto-broadcasts it, so
+    // each train doc's shingles probe a hash table map-side and only
+    // matches shuffle (keyed by doc for the count) — linear in the
+    // corpus, no all-pairs. The per-doc distinct is on (doc, gram)
+    // full rows, so survivors are deterministic.
+    "q_text_contaminate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      def grams(d: org.apache.spark.sql.DataFrame) = d
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(toks) - lit(3)),
+          i => array_join(slice(toks, i, lit(4)), " "))).as("gram"))
+        .distinct()
+      val all = Fixtures.documents(s, dir)
+      val bench = grams(all.filter(col("doc_id") < 20)).select("gram").distinct()
+      grams(all.filter(col("doc_id") >= 20))
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split — the standard leakage-proof
     // corpus partition: membership is a pure function of doc_id's md5
     // prefix (~94/3/3), so re-runs, late-arriving shards, and other
@@ -469,6 +494,19 @@ object TextAnalysis {
         |                            ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "q_text_contaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |             unnest(list_transform(range(1, len(toks) - 2),
+        |                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+        |               AS gram
+        |      FROM t WHERE len(toks) >= 4),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g JOIN b USING (gram)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_split_hash" ->
       """SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
