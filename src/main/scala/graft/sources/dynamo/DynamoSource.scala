@@ -155,7 +155,8 @@ final class DynamoDbCompatProvider extends DynamoTableProvider {
 }
 
 final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"dynamo:${opts.tableName}"
   override def schema(): StructType = tableSchema
@@ -169,6 +170,34 @@ final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DynamoWriteBuilder(opts, info.schema())
+
+  /** SQL `DELETE FROM <table> WHERE <cond>` — DynamoDB's PartiQL
+    * DELETE surface. Accepted only when the store can evaluate every
+    * conjunct itself ([[FilterEval]], the same evaluator pushed scan
+    * filters use — accept-then-mismatch would silently delete the
+    * wrong rows); otherwise Spark reports the condition unsupported
+    * rather than half-applying it. Executes as one driver-side merged
+    * scan appending per-key delete markers to the journal — the same
+    * non-atomic append model as every other write (A14); a reader
+    * may observe intermediate states, never torn files.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterEval.supported)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val store = new LocalKVStore(opts.path)
+    val meta = store.describe(opts.tableName)
+    val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
+    val wal = store.walWriter(opts.tableName, System.currentTimeMillis(),
+      f"delw-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      store.scanSegment(opts.tableName, 0, 1)
+        .map(_._1)
+        .filter(it => filters.forall(FilterEval.eval(_, it)))
+        .foreach(it => wal.append(store.Delete(it.view.filterKeys(keyAttrs).toMap)))
+      wal.flush()
+    } finally wal.close()
+  }
 }
 
 /** Pushdown negotiation (A4/A5): Catalyst's `V2ScanRelationPushDown`

@@ -35,6 +35,8 @@ object FilterEval {
     case And(l, r)                => supported(l) && supported(r)
     case Or(l, r)                 => supported(l) && supported(r)
     case Not(c)                   => supported(c)
+    case _: AlwaysTrue            => true // e.g. DELETE FROM t WHERE true
+    case _: AlwaysFalse           => true
     case _                        => false
   }
 
@@ -58,6 +60,8 @@ object FilterEval {
     * would also see as null).
     */
   private def eval3(f: Filter, item: Item): Option[Boolean] = f match {
+    case _: AlwaysTrue            => Some(true)
+    case _: AlwaysFalse           => Some(false)
     case EqualTo(a, v)            => cmp(item, a, v).map(_ == 0)
     case EqualNullSafe(a, v) =>
       Some(if (isNull(item, a)) v == null else cmp(item, a, v).contains(0))

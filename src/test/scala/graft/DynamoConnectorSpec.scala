@@ -398,6 +398,27 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .toSeq === Seq(("green", 1L), ("red", 100L), ("yellow", 5L)))
   }
 
+  test("SQL DELETE FROM deletes by pushable condition and rejects the rest") {
+    val root = freshRoot()
+    seedFruit(root)
+    spark.sql(s"""CREATE TABLE fruit_del USING dynamo
+                 |OPTIONS (path '$root', tableName 'fruit')""".stripMargin)
+    try {
+      spark.sql("DELETE FROM fruit_del WHERE color = 'red'")
+      assert(spark.sql("SELECT name FROM fruit_del ORDER BY name")
+        .collect().map(_.getString(0)).toSeq === Seq("banana", "durian"))
+      // a condition the store cannot evaluate must be REJECTED, not
+      // half-applied: Spark raises and the table stays untouched
+      intercept[Exception] {
+        spark.sql("DELETE FROM fruit_del WHERE length(name) > 5")
+      }
+      assert(spark.sql("SELECT count(*) FROM fruit_del").collect().head.getLong(0) === 2L)
+      // delete-all (no condition) routes through the same path
+      spark.sql("DELETE FROM fruit_del WHERE true")
+      assert(spark.sql("SELECT count(*) FROM fruit_del").collect().head.getLong(0) === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS fruit_del")
+  }
+
   test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
     val root = freshRoot()
     seedFruit(root)
