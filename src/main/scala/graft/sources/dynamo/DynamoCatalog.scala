@@ -129,8 +129,46 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
     new DynamoTable(tableOpts(ident.name()), schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** ALTER TABLE ADD/DROP COLUMN: pure metadata on a schemaless item
+    * store — adding a column exposes an attribute existing items
+    * simply lack (reads see null), dropping one hides it without
+    * touching a byte of data. Anything that would require rewriting
+    * items (RENAME — old attrs wouldn't follow; type changes — stored
+    * values may not decode) is rejected loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
+    val meta = store.describe(ident.name())
+    val keyCols = Set(meta.hashKey) ++ meta.rangeKey
+    val sp = schemaPath(ident.name())
+    val current =
+      if (java.nio.file.Files.isRegularFile(sp))
+        DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
+      else Codec.inferSchema(store.samplePage(ident.name()))
+    val updated = changes.foldLeft(current) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "ALTER TABLE: nested columns are not supported")
+        val col = add.fieldNames().head
+        require(add.isNullable,
+          s"new column $col must be nullable: existing items lack the attribute")
+        require(!sch.fieldNames.contains(col), s"column $col already exists")
+        sch.add(StructField(col, add.dataType(), nullable = true))
+      case (sch, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "ALTER TABLE: nested columns are not supported")
+        val col = del.fieldNames().head
+        require(!keyCols(col), s"cannot drop key column $col")
+        if (!sch.fieldNames.contains(col)) {
+          require(del.ifExists, s"no such column $col"); sch
+        } else StructType(sch.filterNot(_.name == col))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
+          "(renames and type changes would require rewriting stored items)")
+    }
+    java.nio.file.Files.writeString(sp, updated.json)
+    new DynamoTable(tableOpts(ident.name()), updated)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!store.exists(ident.name())) return false

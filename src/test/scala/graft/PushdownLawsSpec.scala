@@ -161,6 +161,43 @@ class PushdownLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("top-N pushdown equals Spark's own sort for random sort specs") {
+    // The pushed per-segment heap uses its own comparator; this law
+    // pins it to Spark's sort semantics (null placement, NaN, string
+    // binary order) over random key lists and directions. `id` rides
+    // as the final tiebreak so ties at the limit boundary are
+    // deterministic on both sides.
+    val genKey: Gen[Column] = for {
+      name <- Gen.oneOf("s", "n", "d", "flag")
+      dir <- Gen.oneOf(0, 1, 2, 3)
+    } yield dir match {
+      case 0 => col(name).asc_nulls_first
+      case 1 => col(name).asc_nulls_last
+      case 2 => col(name).desc_nulls_first
+      case _ => col(name).desc_nulls_last
+    }
+    val genSpec: Gen[(List[Column], Int)] = for {
+      ks <- Gen.listOfN(2, genKey)
+      n <- Gen.choose(1, 30)
+    } yield (ks, n)
+
+    val full = read(pushdown = true)
+    // ground truth: same rows via a connector-free DataFrame
+    val local = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(full.collect(): _*)),
+      full.schema)
+    samples(genSpec, 25).foreach { case (ks, n) =>
+      val order = ks :+ col("id").asc
+      val got = full.orderBy(order: _*).limit(n)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got.length === math.min(n, 120),
+        s"top-N returned ${got.length} rows for n=$n")
+      val expect = local.orderBy(order: _*).limit(n)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got === expect, s"sort ${order.mkString(", ")} limit $n")
+    }
+  }
+
   test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
     // The canonical three-valued-logic trap: s IS NULL on some rows.
     val p = !(col("s") === "alpha")

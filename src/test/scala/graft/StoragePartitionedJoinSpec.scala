@@ -256,6 +256,38 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       }
   }
 
+  test("ALTER TABLE add/drop column is metadata-only on the schemaless store") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-alter").toString
+    Seq(("a", 1L), ("b", 2L)).toDF("id", "qty").write.dynamo(root, "alt", "id")
+    withConf(
+      "spark.sql.catalog.altcat" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.altcat.path" -> root) {
+      spark.sql("ALTER TABLE altcat.alt ADD COLUMN note STRING")
+      // existing items lack the attribute → read as null
+      val rows = spark.table("altcat.alt").orderBy("id").collect()
+      assert(rows.map(_.schema.fieldNames.toSeq).head === Seq("id", "qty", "note"))
+      assert(rows.forall(_.isNullAt(2)))
+      // new writes can carry it
+      Seq(("c", 3L, "hello")).toDF("id", "qty", "note")
+        .write.format("dynamo").option("path", root).option("tableName", "alt")
+        .mode("append").save()
+      assert(spark.table("altcat.alt").filter(col("id") === "c")
+        .head.getString(2) === "hello")
+      // drop hides the attribute without touching data
+      spark.sql("ALTER TABLE altcat.alt DROP COLUMN note")
+      assert(spark.table("altcat.alt").schema.fieldNames.toSeq === Seq("id", "qty"))
+      // a re-add exposes the stored attribute again (metadata-only)
+      spark.sql("ALTER TABLE altcat.alt ADD COLUMN note STRING")
+      assert(spark.table("altcat.alt").filter(col("id") === "c")
+        .head.getString(2) === "hello")
+      // rejected: key drop, rename, type change
+      intercept[Exception](spark.sql("ALTER TABLE altcat.alt DROP COLUMN id"))
+      intercept[Exception](spark.sql("ALTER TABLE altcat.alt RENAME COLUMN qty TO q"))
+      intercept[Exception](spark.sql("ALTER TABLE altcat.alt ALTER COLUMN qty TYPE STRING"))
+    }
+  }
+
   test("catalog DDL + path-based reads fall back gracefully") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spj2").toString
