@@ -88,7 +88,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
       if (java.nio.file.Files.isRegularFile(sp))
         DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
       else Codec.inferSchema(store.samplePage(ident.name()))
-    new DynamoTable(tableOpts(ident.name()), schema)
+    new DynamoTable(tableOpts(ident.name()), schema, acceptAnySchema = false)
   }
 
   override def createTable(
@@ -126,7 +126,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
       shards = bucketShards.orElse(Option(props.get("shards")).map(_.toInt)).getOrElse(16),
       throughput = Option(props.get("throughput")).map(_.toLong).getOrElse(100L)))
     java.nio.file.Files.writeString(schemaPath(ident.name()), schema.json)
-    new DynamoTable(tableOpts(ident.name()), schema)
+    new DynamoTable(tableOpts(ident.name()), schema, acceptAnySchema = false)
   }
 
   /** ALTER TABLE ADD/DROP COLUMN: pure metadata on a schemaless item
@@ -167,7 +167,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
           "(renames and type changes would require rewriting stored items)")
     }
     java.nio.file.Files.writeString(sp, updated.json)
-    new DynamoTable(tableOpts(ident.name()), updated)
+    new DynamoTable(tableOpts(ident.name()), updated, acceptAnySchema = false)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -154,22 +154,62 @@ final class DynamoDbCompatProvider extends DynamoTableProvider {
   override def shortName(): String = "dynamodb"
 }
 
-final class DynamoTable(opts: DynamoOptions, tableSchema: StructType)
+/** `acceptAnySchema` steers a real capability trade-off: path-based
+  * reads/writes (`format("dynamo")`) declare ACCEPT_ANY_SCHEMA so a
+  * partial-column DataFrame can drive update/delete writes (the
+  * reference's surface), but that same capability tells Spark to SKIP
+  * assignment schema resolution for SQL UPDATE/MERGE — which then
+  * never reach their aligned, rewritable form and fail planning.
+  * Catalog-loaded tables therefore drop it: SQL writes provide full
+  * rows (the output resolver adds casts), and row-level commands
+  * rewrite into delta ops. Partial-column df writes keep using the
+  * path/format API.
+  */
+final class DynamoTable(
+    opts: DynamoOptions, tableSchema: StructType, acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"dynamo:${opts.tableName}"
-  override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+
+  /** Key columns are non-nullable by construction (the store rejects
+    * an item missing its key), and declaring it matters: delta-based
+    * row-level operations refuse a nullable rowId, and Catalyst
+    * drops null-guard work for free elsewhere. A write-only target
+    * that doesn't exist yet has no key schema to consult — leave the
+    * schema as given until first write creates the table.
+    */
+  override def schema(): StructType = {
+    val store = new LocalKVStore(opts.path)
+    if (!store.exists(opts.tableName)) tableSchema
+    else {
+      val meta = store.describe(opts.tableName)
+      val keyCols = Set(meta.hashKey) ++ meta.rangeKey
+      StructType(tableSchema.map(f =>
+        if (keyCols(f.name)) f.copy(nullable = false) else f))
+    }
+  }
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+        TableCapability.TRUNCATE)
+    (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DynamoScanBuilder(opts, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DynamoWriteBuilder(opts, info.schema())
+
+  /** SQL `UPDATE` / `MERGE INTO` — delta-based row-level operations
+    * (see [[DynamoRowLevelBuilder]]): only changed rows ship, keyed by
+    * the primary key.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new DynamoRowLevelBuilder(opts, tableSchema, info)
 
   /** SQL `DELETE FROM <table> WHERE <cond>` — DynamoDB's PartiQL
     * DELETE surface. Accepted only when the store can evaluate every

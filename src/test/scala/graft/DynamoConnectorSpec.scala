@@ -398,25 +398,70 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .toSeq === Seq(("green", 1L), ("red", 100L), ("yellow", 5L)))
   }
 
-  test("SQL DELETE FROM deletes by pushable condition and rejects the rest") {
+  test("SQL DELETE FROM: metadata fast path for pushable conditions, delta rewrite for the rest") {
     val root = freshRoot()
     seedFruit(root)
     spark.sql(s"""CREATE TABLE fruit_del USING dynamo
                  |OPTIONS (path '$root', tableName 'fruit')""".stripMargin)
     try {
+      // store-evaluable condition → SupportsDelete metadata path
       spark.sql("DELETE FROM fruit_del WHERE color = 'red'")
       assert(spark.sql("SELECT name FROM fruit_del ORDER BY name")
         .collect().map(_.getString(0)).toSeq === Seq("banana", "durian"))
-      // a condition the store cannot evaluate must be REJECTED, not
-      // half-applied: Spark raises and the table stays untouched
-      intercept[Exception] {
-        spark.sql("DELETE FROM fruit_del WHERE length(name) > 5")
-      }
-      assert(spark.sql("SELECT count(*) FROM fruit_del").collect().head.getLong(0) === 2L)
-      // delete-all (no condition) routes through the same path
+      // a condition the store cannot evaluate falls back to the
+      // row-level DELTA rewrite (scan → matched keys → delete markers)
+      // instead of failing — both names have length 6
+      spark.sql("DELETE FROM fruit_del WHERE length(name) > 5")
+      assert(spark.sql("SELECT count(*) FROM fruit_del").collect().head.getLong(0) === 0L)
+      // delete-all on the emptied table is a no-op, not an error
       spark.sql("DELETE FROM fruit_del WHERE true")
       assert(spark.sql("SELECT count(*) FROM fruit_del").collect().head.getLong(0) === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS fruit_del")
+  }
+
+  test("SQL UPDATE and MERGE INTO apply as keyed deltas") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    spark.conf.set("spark.sql.catalog.rlcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.rlcat.path", root)
+    try {
+      // UPDATE over a store-evaluable predicate
+      spark.sql("UPDATE rlcat.fruit SET stock = stock + 10 WHERE color = 'red'")
+      assert(spark.sql("SELECT name, stock FROM rlcat.fruit ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("apple", 13L), ("banana", 5L), ("cherry", 110L), ("durian", 1L)))
+
+      // a KEY-changing update must move the item, not duplicate it
+      spark.sql("UPDATE rlcat.fruit SET name = 'kirsche' WHERE name = 'cherry'")
+      val names = spark.sql("SELECT name FROM rlcat.fruit ORDER BY name")
+        .collect().map(_.getString(0)).toSeq
+      assert(names === Seq("apple", "banana", "durian", "kirsche"))
+      assert(spark.sql("SELECT stock FROM rlcat.fruit WHERE name = 'kirsche'")
+        .head.getLong(0) === 110L)
+
+      // MERGE INTO: matched → update, not matched → insert,
+      // matched-with-condition → delete
+      Seq(("apple", 50L), ("elderberry", 7L), ("durian", -1L))
+        .toDF("name", "stock").createOrReplaceTempView("changes")
+      spark.sql("""MERGE INTO rlcat.fruit t USING changes s ON t.name = s.name
+                  |WHEN MATCHED AND s.stock < 0 THEN DELETE
+                  |WHEN MATCHED THEN UPDATE SET t.stock = s.stock
+                  |WHEN NOT MATCHED THEN
+                  |  INSERT (name, color, weight_kg, stock)
+                  |  VALUES (s.name, NULL, NULL, s.stock)""".stripMargin)
+      val after = spark.sql("SELECT name, stock FROM rlcat.fruit ORDER BY name")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(after.toSeq === Seq(
+        ("apple", 50L), ("banana", 5L), ("elderberry", 7L), ("kirsche", 110L)))
+      // untouched attributes survive the merge-update (delta, not rewrite)
+      assert(spark.sql("SELECT color FROM rlcat.fruit WHERE name = 'apple'")
+        .head.getString(0) === "red")
+    } finally {
+      spark.catalog.dropTempView("changes")
+      spark.conf.unset("spark.sql.catalog.rlcat")
+      spark.conf.unset("spark.sql.catalog.rlcat.path")
+    }
   }
 
   test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
