@@ -157,16 +157,17 @@ object TextAnalysis {
     // set is tiny next to the corpus → Spark auto-broadcasts it, so
     // each train doc's shingles probe a hash table map-side and only
     // matches shuffle (keyed by doc for the count) — linear in the
-    // corpus, no all-pairs. The per-doc distinct is on (doc, gram)
-    // full rows, so survivors are deterministic.
+    // corpus, no all-pairs. Per-doc shingle dedup happens INSIDE the
+    // row (array_distinct before the explode): a corpus-wide
+    // `.distinct()` here would shuffle every shingle of every
+    // document — the one stage that would dominate at 100 TB.
     "q_text_contaminate" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       def grams(d: org.apache.spark.sql.DataFrame) = d
         .filter(size(split(col("text"), " ")) >= 4)
-        .select(col("doc_id"), explode(transform(
+        .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(1), size(toks) - lit(3)),
-          i => array_join(slice(toks, i, lit(4)), " "))).as("gram"))
-        .distinct()
+          i => array_join(slice(toks, i, lit(4)), " ")))).as("gram"))
       val all = Fixtures.documents(s, dir)
       val bench = grams(all.filter(col("doc_id") < 20)).select("gram").distinct()
       grams(all.filter(col("doc_id") >= 20))
