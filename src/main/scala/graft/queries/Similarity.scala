@@ -139,6 +139,41 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF multi-probe (nprobe = 3): same coarse quantizer, but the
+    // query scans its THREE nearest cells instead of one — the
+    // standard recall/latency dial (recall is monotone in nprobe:
+    // CrossQuerySpec pins mprobe's best hit ≥ single-probe's ≥ ...
+    // ≤ exhaustive kNN's). Scan cost is nprobe/cells of the corpus;
+    // everything else — tiny centroid broadcast, map-side cell
+    // filter — is the q_sim_ivf shape unchanged.
+    "q_sim_ivf_mprobe" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("emb")).as(Seq("i", "x")))
+      val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
+      val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
+      val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
+      val best = cent.join(broadcast(qx), "i")
+        .groupBy("label")
+        .agg(sum(col("c") * col("qx")).as("dot"),
+          sqrt(sum(col("c") * col("c"))).as("cn"))
+        .crossJoin(broadcast(qnorm))
+        .select(col("label"),
+          round(col("dot") / (col("cn") * col("qn")), 6).as("score"))
+        .orderBy(col("score").desc, col("label"))
+        .limit(3)
+        .select(col("label").as("best_label"))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // Full-corpus centroid assignment — the distributed k-means E-step:
     // every vector goes to its nearest label-centroid by rounded
     // cosine (tie → label asc). Centroids and their norms are a tiny
@@ -211,6 +246,24 @@ object Similarity {
         |d AS (SELECT e.vec_id, sum(e.x * qx.qx) AS dot, sqrt(sum(e.x * e.x)) AS na
         |      FROM ex e JOIN qx ON e.i = qx.i
         |      WHERE e.label = (SELECT label FROM best) AND e.vec_id <> 0
+        |      GROUP BY 1)
+        |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
+        |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "q_sim_ivf_mprobe" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |qx AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM qx),
+        |best AS (SELECT label FROM (
+        |  SELECT label, round(sum(c * qx) / (sqrt(sum(c * c)) * any_value(qn.qn)), 6)
+        |           AS score
+        |  FROM cent JOIN qx USING (i), qn GROUP BY label)
+        |  ORDER BY score DESC, label LIMIT 3),
+        |d AS (SELECT e.vec_id, sum(e.x * qx.qx) AS dot, sqrt(sum(e.x * e.x)) AS na
+        |      FROM ex e JOIN qx ON e.i = qx.i
+        |      WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> 0
         |      GROUP BY 1)
         |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
         |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,

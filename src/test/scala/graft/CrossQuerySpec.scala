@@ -60,5 +60,10 @@ class CrossQuerySpec extends AnyFunSuite {
     val exact = best("q_sim_knn").get
     best("q_sim_ann_bucket").foreach(b => assert(b <= exact))
     best("q_sim_ivf").foreach(b => assert(b <= exact))
+    // recall is monotone in nprobe: 3 probed cells can only improve
+    // on 1, and both stay below the exhaustive scan
+    val mprobe = best("q_sim_ivf_mprobe").get
+    best("q_sim_ivf").foreach(b => assert(mprobe >= b))
+    assert(mprobe <= exact)
   }
 }
