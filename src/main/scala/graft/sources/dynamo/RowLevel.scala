@@ -79,6 +79,9 @@ final class DynamoDeltaWrite(
     extends DeltaWrite {
   override def toBatch(): DeltaBatchWrite =
     new DynamoDeltaBatchWrite(opts, rowSchema, idSchema)
+  // same Spark-UI metrics as the ordinary write path
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WriteMetrics.RowsWritten, new WriteMetrics.BytesWritten)
 }
 
 final class DynamoDeltaBatchWrite(
@@ -153,4 +156,8 @@ final class DynamoDeltaWriter(
   }
   override def abort(): Unit = wal.abort()
   override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ScanMetrics.TaskMetric("rowsWritten", rows),
+      ScanMetrics.TaskMetric("bytesWritten", bytes))
 }
