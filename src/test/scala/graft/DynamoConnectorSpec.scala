@@ -464,6 +464,36 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level commands work on composite-key tables (two-column rowId)") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 20L, "c"))
+      .toDF("hk", "rk", "v")
+      .write.format("dynamo").option("path", root).option("tableName", "ckv")
+      .option("hashKey", "hk").option("rangeKey", "rk").mode("append").save()
+    spark.conf.set("spark.sql.catalog.ckcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.ckcat.path", root)
+    try {
+      spark.sql("UPDATE ckcat.ckv SET v = 'B' WHERE hk = 1 AND rk = 11")
+      // a range-key-changing update moves the item within the partition
+      spark.sql("UPDATE ckcat.ckv SET rk = 21 WHERE hk = 2 AND rk = 20")
+      Seq((1L, 10L, "A2"), (3L, 30L, "new")).toDF("hk", "rk", "v")
+        .createOrReplaceTempView("ck_changes")
+      spark.sql("""MERGE INTO ckcat.ckv t USING ck_changes s
+                  |ON t.hk = s.hk AND t.rk = s.rk
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table("ckcat.ckv").orderBy("hk", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got === Seq((1L, 10L, "A2"), (1L, 11L, "B"),
+        (2L, 21L, "c"), (3L, 30L, "new")))
+    } finally {
+      spark.catalog.dropTempView("ck_changes")
+      spark.conf.unset("spark.sql.catalog.ckcat")
+      spark.conf.unset("spark.sql.catalog.ckcat.path")
+    }
+  }
+
   test("SQL DDL: CREATE TABLE ... USING dynamo queries through spark.sql") {
     val root = freshRoot()
     seedFruit(root)
