@@ -103,18 +103,28 @@ object BaselineBench {
         .groupBy("token").agg(count(lit(1)).as("cnt")).orderBy("token")))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Same failure discipline as Bench: a broken query surfaces in
+    // "errors" rather than benching at ~0 s.
     val results = queries.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      var firstErr: Option[String] = None
+      val ok = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try Bench.materialize(fn()) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+        try { Bench.materialize(fn()); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          if (firstErr.isEmpty)
+            firstErr = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+          None
+        }
+      }
+      (name, ok.minOption, firstErr)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"baseline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, None, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"baseline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,18 +42,33 @@ object Bench {
     // the machine (the round-3 artifact showed phantom 5-9x inflation
     // from exactly that) can't masquerade as a code regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // A failing query must surface as an "err" entry, not bench at ~0 s
+    // and flatter the total: only successful reps are timed, and keys
+    // with zero successful reps are excluded from `queries`/the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      var firstErr: Option[String] = None
+      val ok = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+        try {
+          materialize(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (firstErr.isEmpty)
+              firstErr = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+            None
+        }
+      }
+      (name, ok.minOption, firstErr)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = results.collect { case (k, None, Some(e)) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the driver captures a bounded stdout
     // tail, which truncated 47 of 114 per-query keys in round 3 — the
