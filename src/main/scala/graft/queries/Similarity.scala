@@ -40,6 +40,49 @@ object Similarity {
       .select(col("vec_id"), col("label"),
               transform(col("embedding"), _.cast("double")).as("emb"))
 
+  /** The `nprobe` nearest cell ids to query vec_id=0, by cosine against
+    * per-label centroids (the label column is the coarse quantizer's
+    * cell id). Argmax on the ROUNDED score, tie → smallest label, so
+    * both engines pick the same cells deterministically. Centroids are
+    * a tiny broadcast at any scale.
+    */
+  private def ivfTopCells(e: DataFrame, nprobe: Int): DataFrame = {
+    val ex = e.select(col("vec_id"), col("label"),
+      posexplode(col("emb")).as(Seq("i", "x")))
+    val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
+    val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
+    val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
+    cent.join(broadcast(qx), "i")
+      .groupBy("label")
+      .agg(sum(col("c") * col("qx")).as("dot"),
+        sqrt(sum(col("c") * col("c"))).as("cn"))
+      .crossJoin(broadcast(qnorm))
+      .select(col("label"),
+        round(col("dot") / (col("cn") * col("qn")), 6).as("score"))
+      .orderBy(col("score").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label").as("best_label"))
+  }
+
+  /** IVF probe: scan only the query's `nprobe` nearest cells for the
+    * exact top-5 by cosine. Scan cost is nprobe/cells of the corpus;
+    * recall is monotone in nprobe (CrossQuerySpec pins single ≤ multi
+    * ≤ exhaustive).
+    */
+  private def ivfProbe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val e = embDouble(s, dir)
+    val best = ivfTopCells(e, nprobe)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_pairs" -> ((s, dir) => {
       // Norms precomputed per vector (n folds), not per pair (n² folds)
@@ -104,68 +147,92 @@ object Similarity {
     // IVF-style approximate kNN: (1) per-label centroids (the label
     // column is the coarse quantizer's cell id — in a real IVF build
     // the cells come from k-means; the probe math is identical),
-    // (2) the query picks its nearest centroid by cosine (argmax on
-    // the ROUNDED score, tie → smallest label, so both engines pick
-    // the same cell deterministically), (3) only that one cell is
-    // scanned for the top-5. At 100 TB: centroids are a tiny broadcast,
-    // cell assignment is a map-side lookup, and the probe reads 1/cells
-    // of the corpus — this is the real scan-cost/recall trade, with
-    // the exact bucket-choice math oracle-checked.
-    "q_sim_ivf" -> ((s, dir) => {
-      val e = embDouble(s, dir)
-      val ex = e.select(col("vec_id"), col("label"),
-        posexplode(col("emb")).as(Seq("i", "x")))
-      val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
-      val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
-      val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
-      val best = cent.join(broadcast(qx), "i")
-        .groupBy("label")
-        .agg(sum(col("c") * col("qx")).as("dot"),
-          sqrt(sum(col("c") * col("c"))).as("cn"))
-        .crossJoin(broadcast(qnorm))
-        .select(col("label"),
-          round(col("dot") / (col("cn") * col("qn")), 6).as("score"))
-        .orderBy(col("score").desc, col("label"))
-        .limit(1)
-        .select(col("label").as("best_label"))
-      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(best), col("label") === col("best_label"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(5)
-    }),
+    // (2) the query picks its nearest centroid by cosine, (3) only
+    // that one cell is scanned for the top-5. At 100 TB: centroids
+    // are a tiny broadcast, cell assignment is a map-side lookup, and
+    // the probe reads 1/cells of the corpus — this is the real
+    // scan-cost/recall trade, with the exact bucket-choice math
+    // oracle-checked. Shared machinery: `ivfTopCells`/`ivfProbe`.
+    "q_sim_ivf" -> ((s, dir) => ivfProbe(s, dir, 1)),
 
     // IVF multi-probe (nprobe = 3): same coarse quantizer, but the
     // query scans its THREE nearest cells instead of one — the
     // standard recall/latency dial (recall is monotone in nprobe:
     // CrossQuerySpec pins mprobe's best hit ≥ single-probe's ≥ ...
-    // ≤ exhaustive kNN's). Scan cost is nprobe/cells of the corpus;
-    // everything else — tiny centroid broadcast, map-side cell
-    // filter — is the q_sim_ivf shape unchanged.
-    "q_sim_ivf_mprobe" -> ((s, dir) => {
+    // ≤ exhaustive kNN's). Scan cost is nprobe/cells of the corpus.
+    "q_sim_ivf_mprobe" -> ((s, dir) => ivfProbe(s, dir, 3)),
+
+    // IVF + product quantization (the FAISS IVFPQ shape): residuals
+    // vs the cell centroid are split into M=4 subspaces of 16 dims;
+    // each subspace gets a K=4-entry codebook (trained by one
+    // deterministic assignment step: 2-bit sign-quadrant seeds →
+    // per-code mean); vectors are ENCODED as their nearest codebook
+    // entry per subspace (so 64 doubles compress to 4 2-bit codes);
+    // the query probes its 3 nearest cells with ASYMMETRIC distance
+    // (query residual vs codebook entry, a 4×4-entry lookup table per
+    // cell) to shortlist 20 candidates, which are re-ranked EXACTLY
+    // by cosine for the top-5. At 100 TB: the codebook is 4×4×16
+    // doubles, the LUT is built once per query, encoding is map-side,
+    // and only the 20-row shortlist ever touches full vectors.
+    // Distances are floor-quantized (×1e6) with deterministic
+    // tie-breaks so both engines pick identical codes and shortlists
+    // (the q_emb_assign rule).
+    "q_sim_ivf_pq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sub = 16 // subspace width: 64 dims → M = 4 subspaces
       val e = embDouble(s, dir)
+      val probed = ivfTopCells(e, 3)
       val ex = e.select(col("vec_id"), col("label"),
         posexplode(col("emb")).as(Seq("i", "x")))
-      val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
+      // residual basis: floor-quantized per-cell centroids, so both
+      // engines subtract bit-identical values
+      val cent = ex.groupBy("label", "i")
+        .agg((floor(avg("x") * 1000000 + 0.5) / 1000000).as("c"))
+      val res = ex.join(broadcast(probed), col("label") === col("best_label"))
+        .filter(col("vec_id") =!= 0)
+        .join(broadcast(cent), Seq("label", "i"))
+        .select(col("vec_id"), col("label"),
+          (col("i") / sub).cast("int").as("m"), (col("i") % sub).as("j"),
+          (col("x") - col("c")).as("r"))
+      // trainer: 2-bit sign-quadrant seed per residual subvector
+      // (signs of local dims 0 and 1) → codebook entry = per-(m, code,
+      // j) mean residual, floor-quantized
+      val seed = res.filter(col("j") < 2)
+        .groupBy("vec_id", "m")
+        .agg(sum(when(col("j") === 0 && col("r") > 0, 1).otherwise(0)
+               + when(col("j") === 1 && col("r") > 0, 2).otherwise(0)).as("code"))
+      val cb = res.join(seed, Seq("vec_id", "m"))
+        .groupBy("m", "code", "j")
+        .agg((floor(avg("r") * 1000000 + 0.5) / 1000000).as("v"))
+      // encode: nearest codebook entry per (vector, subspace) by
+      // quantized L2 (tie → code asc)
+      val enc = res.join(broadcast(cb), Seq("m", "j"))
+        .groupBy("vec_id", "label", "m", "code")
+        .agg(floor(sum((col("r") - col("v")) * (col("r") - col("v"))) * 1000000 + 0.5)
+          .as("d"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("code").asc)))
+        .filter(col("rk") === 1)
+        .select("vec_id", "label", "m", "code")
+      // asymmetric-distance LUT: query residual (per probed cell) vs
+      // each codebook entry
       val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
-      val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
-      val best = cent.join(broadcast(qx), "i")
-        .groupBy("label")
-        .agg(sum(col("c") * col("qx")).as("dot"),
-          sqrt(sum(col("c") * col("c"))).as("cn"))
-        .crossJoin(broadcast(qnorm))
+      val qres = cent.join(broadcast(probed), col("label") === col("best_label"))
+        .join(broadcast(qx), "i")
         .select(col("label"),
-          round(col("dot") / (col("cn") * col("qn")), 6).as("score"))
-        .orderBy(col("score").desc, col("label"))
-        .limit(3)
-        .select(col("label").as("best_label"))
+          (col("i") / sub).cast("int").as("m"), (col("i") % sub).as("j"),
+          (col("qx") - col("c")).as("qr"))
+      val lut = qres.join(broadcast(cb), Seq("m", "j"))
+        .groupBy("label", "m", "code")
+        .agg(sum((col("qr") - col("v")) * (col("qr") - col("v"))).as("ld"))
+      // shortlist by quantized ADC distance, then EXACT re-rank
+      val short = enc.join(broadcast(lut), Seq("label", "m", "code"))
+        .groupBy("vec_id")
+        .agg(floor(sum(col("ld")) * 1000000 + 0.5).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(20)
       val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(best), col("label") === col("best_label"))
+      e.join(broadcast(short.select("vec_id")), "vec_id")
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
@@ -264,6 +331,58 @@ object Similarity {
         |d AS (SELECT e.vec_id, sum(e.x * qx.qx) AS dot, sqrt(sum(e.x * e.x)) AS na
         |      FROM ex e JOIN qx ON e.i = qx.i
         |      WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> 0
+        |      GROUP BY 1)
+        |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
+        |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "q_sim_ivf_pq" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |centq AS (SELECT label, i, floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+        |          FROM ex GROUP BY 1, 2),
+        |qx AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM qx),
+        |probed AS (SELECT label FROM (
+        |  SELECT label, round(sum(c * qx) / (sqrt(sum(c * c)) * any_value(qn.qn)), 6)
+        |           AS score
+        |  FROM cent JOIN qx USING (i), qn GROUP BY label)
+        |  ORDER BY score DESC, label LIMIT 3),
+        |res AS (SELECT e.vec_id, e.label,
+        |               CAST(floor((e.i - 1) / 16) AS INT) AS m,
+        |               (e.i - 1) % 16 AS j, e.x - cq.c AS r
+        |        FROM ex e JOIN centq cq ON e.label = cq.label AND e.i = cq.i
+        |        WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> 0),
+        |seed AS (SELECT vec_id, m,
+        |                sum(CASE WHEN j = 0 AND r > 0 THEN 1 ELSE 0 END
+        |                  + CASE WHEN j = 1 AND r > 0 THEN 2 ELSE 0 END) AS code
+        |         FROM res WHERE j < 2 GROUP BY 1, 2),
+        |cb AS (SELECT r.m, seed.code, r.j,
+        |              floor(avg(r.r) * 1000000 + 0.5) / 1000000 AS v
+        |       FROM res r JOIN seed ON r.vec_id = seed.vec_id AND r.m = seed.m
+        |       GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, label, m, code FROM (
+        |  SELECT r.vec_id, r.label, r.m, cb.code,
+        |         row_number() OVER (PARTITION BY r.vec_id, r.m
+        |           ORDER BY floor(sum((r.r - cb.v) * (r.r - cb.v)) * 1000000 + 0.5) ASC,
+        |                    cb.code ASC) AS rk
+        |  FROM res r JOIN cb ON r.m = cb.m AND r.j = cb.j
+        |  GROUP BY r.vec_id, r.label, r.m, cb.code) WHERE rk = 1),
+        |qres AS (SELECT cq.label, CAST(floor((cq.i - 1) / 16) AS INT) AS m,
+        |                (cq.i - 1) % 16 AS j, qx.qx - cq.c AS qr
+        |         FROM centq cq JOIN qx ON cq.i = qx.i
+        |         WHERE cq.label IN (SELECT label FROM probed)),
+        |lut AS (SELECT q.label, q.m, cb.code,
+        |               sum((q.qr - cb.v) * (q.qr - cb.v)) AS ld
+        |        FROM qres q JOIN cb ON q.m = cb.m AND q.j = cb.j
+        |        GROUP BY 1, 2, 3),
+        |short AS (SELECT e.vec_id, floor(sum(l.ld) * 1000000 + 0.5) AS adist
+        |          FROM enc e JOIN lut l
+        |            ON e.label = l.label AND e.m = l.m AND e.code = l.code
+        |          GROUP BY 1 ORDER BY adist ASC, vec_id ASC LIMIT 20),
+        |d AS (SELECT e.vec_id, sum(e.x * qx.qx) AS dot, sqrt(sum(e.x * e.x)) AS na
+        |      FROM ex e JOIN qx ON e.i = qx.i
+        |      WHERE e.vec_id IN (SELECT vec_id FROM short)
         |      GROUP BY 1)
         |SELECT vec_id, round(dot / (na * qn.qn), 4) AS cosine
         |FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,

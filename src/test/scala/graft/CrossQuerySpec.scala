@@ -65,5 +65,12 @@ class CrossQuerySpec extends AnyFunSuite {
     val mprobe = best("q_sim_ivf_mprobe").get
     best("q_sim_ivf").foreach(b => assert(mprobe >= b))
     assert(mprobe <= exact)
+    // PQ probes the same 3 cells but shortlists through lossy codes,
+    // so its best hit can only lose to the exact multi-probe scan —
+    // and its exact re-rank keeps it honest (a real cosine, ≤ exact)
+    val pq = best("q_sim_ivf_pq").get
+    assert(pq <= mprobe)
+    assert(pq <= exact)
+    assert(run("q_sim_ivf_pq").count() === 5)
   }
 }
