@@ -50,7 +50,8 @@ final case class DynamoOptions(
     cdc: Boolean,
     startingOffsets: String,
     cdcGraceMs: Long,
-    cdcPendingTmpMs: Long) extends Serializable
+    cdcPendingTmpMs: Long,
+    maxPushedGroups: Int) extends Serializable
 
 object DynamoOptions {
 
@@ -95,7 +96,8 @@ object DynamoOptions {
       cdc = m.getBoolean("cdc", false),
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
       cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
-      cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L))
+      cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L),
+      maxPushedGroups = opt("maxPushedGroups").map(_.toInt).getOrElse(65536))
   }
 }
 
@@ -371,14 +373,16 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     if (cols.nonEmpty && cols.forall(_.isDefined)) Some(cols.flatten) else None
   }
 
-  /** A grouped pushdown is COMPLETE (per-segment results are final,
-    * Spark drops its aggregate entirely) exactly when every group is
-    * shard-local: the grouping columns contain the table's placement
-    * key set — the partition key under layout 2, the full composite
-    * under legacy layout 1. GSI reads never qualify (index attrs don't
-    * determine base-shard placement).
+  /** A grouped pushdown is KEYED when every group is shard-local: the
+    * grouping columns contain the table's placement key set — the
+    * partition key under layout 2, the full composite under legacy
+    * layout 1. GSI reads never qualify (index attrs don't determine
+    * base-shard placement). A keyed push's output rows stay keyed by
+    * the placement key inside their own shard's segment, so the scan
+    * keeps reporting the bucket layout and downstream aggregates/joins
+    * run exchange-free — whether or not the push is also COMPLETE.
     */
-  private def groupedComplete(groupCols: Seq[StructField]): Boolean = {
+  private def groupedKeyed(groupCols: Seq[StructField]): Boolean = {
     if (opts.indexName.isDefined) return false
     val meta = new LocalKVStore(opts.path).describe(opts.tableName)
     val placement =
@@ -386,6 +390,50 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
       else Seq(meta.hashKey) ++ meta.rangeKey
     placement.forall(groupCols.map(_.name).contains)
   }
+
+  /** A grouped pushdown is UNIQUE when the grouping columns contain
+    * the table's FULL primary key: the store holds exactly one item
+    * per key, so every item is its own group and the reader streams
+    * final rows with zero group state — `GROUP BY <primary key>` over
+    * a 100 TB table is complete, exchange-free AND O(1) memory.
+    */
+  private def groupedUnique(groupCols: Seq[StructField]): Boolean = {
+    if (opts.indexName.isDefined) return false
+    val meta = new LocalKVStore(opts.path).describe(opts.tableName)
+    (Seq(meta.hashKey) ++ meta.rangeKey).forall(groupCols.map(_.name).contains)
+  }
+
+  /** A grouped pushdown is COMPLETE (per-segment results are final,
+    * Spark drops its aggregate entirely) when it is keyed AND bounded:
+    * either the grouping covers the full primary key (unique — the
+    * reader streams, no state) or the cardinality screen says groups
+    * look bounded. A COMPLETE push must emit exactly one final row per
+    * group, so its per-segment group map cannot flush.
+    */
+  private def groupedComplete(groupCols: Seq[StructField]): Boolean =
+    groupedKeyed(groupCols) &&
+      (groupedUnique(groupCols) || groupsLookBounded(groupCols.map(_.name)))
+
+  /** Plan-time cardinality screen for COMPLETE pushes: if more than
+    * half the sample page's items form distinct group tuples, groups
+    * scale with rows (the `GROUP BY o_orderkey` shape) and the
+    * per-segment group map would grow with the segment. Declining
+    * completeness is always safe — the push degrades to per-segment
+    * partials, Spark keeps its final (spillable) aggregate, and the
+    * reader bounds its map by flushing at `maxPushedGroups`. Samples
+    * under 64 items skip the screen (the table is tiny, or items are
+    * so large a segment holds few of them — either way the map stays
+    * small).
+    */
+  private var boundedCache = Map.empty[Seq[String], Boolean]
+  private def groupsLookBounded(cols: Seq[String]): Boolean =
+    boundedCache.getOrElse(cols, {
+      val sample = new LocalKVStore(opts.path).samplePage(opts.tableName)
+      val r = sample.size < 64 ||
+        sample.map(it => cols.map(it.get)).distinct.size * 2 <= sample.size
+      boundedCache += cols -> r
+      r
+    })
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     parseGroupCols(agg).exists(g =>
@@ -413,7 +461,8 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     } else {
       (parseGroupCols(agg), parseAggFuncs(agg)) match {
         case (Some(g), Some(parsed)) =>
-          grouped = Some(PushedGroupBy(g, groupedComplete(g)))
+          grouped = Some(PushedGroupBy(g, groupedKeyed(g), groupedUnique(g),
+            groupedComplete(g)))
           aggs = parsed
           true
         case _ => false
@@ -432,12 +481,16 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
 }
 
 /** A pushed GROUP BY: the grouping columns (in push order — the scan
-  * emits them first, aggregates after) and whether the push is
-  * complete (shard-local groups, per-segment results are final) or a
+  * emits them first, aggregates after), whether the grouping covers
+  * the placement key (`keyed` — output rows stay shard-local, the
+  * bucket layout stays reported), whether it covers the FULL primary
+  * key (`unique` — one item per group, the reader streams with no
+  * state), and whether the push is complete (keyed AND bounded:
+  * per-segment results are final, Spark drops its aggregate) versus a
   * partial map-side combine Spark re-aggregates.
   */
-final case class PushedGroupBy(fields: Seq[StructField], complete: Boolean)
-  extends Serializable
+final case class PushedGroupBy(fields: Seq[StructField], keyed: Boolean,
+    unique: Boolean, complete: Boolean) extends Serializable
 
 /** One pushed sort key: column name + v2 SortOrder direction/null
   * placement. Null placement is absolute (NULLS FIRST puts nulls
@@ -702,10 +755,12 @@ final class DynamoScan(
     */
   private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean =
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
-      // ungrouped-agg output isn't keyed; a complete grouped push IS —
-      // its rows stay keyed by the placement key in their own shard's
-      // segment, so downstream key-joins/aggs still reuse the layout
-      ((aggs.isEmpty && grouped.isEmpty) || grouped.exists(_.complete)) &&
+      // ungrouped-agg output isn't keyed; a KEYED grouped push is —
+      // its rows (final or flushed partials) stay keyed by the
+      // placement key in their own shard's segment, so downstream
+      // key-joins/aggs — including Spark's own final aggregate over a
+      // bounded partial push — still reuse the layout
+      ((aggs.isEmpty && grouped.isEmpty) || grouped.exists(_.keyed)) &&
       !opts.cdc &&
       placementCols(meta).forall(readSchema().fieldNames.contains)
 
@@ -1271,14 +1326,17 @@ final class DynamoGroupedAggReaderFactory(
   * rows are final: a `GROUP BY <partition key>` over a 100 TB table
   * runs entirely inside the scan with zero shuffle and ships only
   * group rows. Otherwise they are map-side partials Spark
-  * re-aggregates — still only one row per (group, segment) through
-  * the exchange. Group state is in-memory per segment (bounded by the
-  * segment's distinct group count, the same bound Spark's own hash
-  * aggregate carries; there is no spill path — a group explosion
-  * belongs Spark-side, where grouping columns wouldn't cover the
-  * placement key anyway). Group values decode through the same
-  * [[Codec]] path as row reads; doubles normalize -0.0/NaN the way
-  * Spark's grouping does.
+  * re-aggregates. Group state is in-memory per segment but BOUNDED:
+  * a partial push flushes its accumulated group rows downstream
+  * whenever the map reaches `maxPushedGroups` (default 65536) and
+  * starts fresh — Spark's final aggregate merges the extra partials,
+  * so a `GROUP BY <high-cardinality column>` holds at most
+  * `maxPushedGroups` groups per segment no matter the segment size.
+  * A COMPLETE push cannot flush (its rows are final), so completeness
+  * is only claimed when the plan-time cardinality screen says groups
+  * look bounded ([[DynamoScanBuilder.groupsLookBounded]]). Group
+  * values decode through the same [[Codec]] path as row reads;
+  * doubles normalize -0.0/NaN the way Spark's grouping does.
   */
 final class DynamoGroupedAggReader(
     opts: DynamoOptions, pushed: Array[Filter],
@@ -1313,15 +1371,54 @@ final class DynamoGroupedAggReader(
     case other => other
   }
 
+  // A COMPLETE push must emit exactly one final row per group, so it
+  // never flushes (the plan-time screen keeps unbounded groupings out
+  // of complete mode); a partial push caps its map and flushes.
+  private val maxGroups = if (group.complete) Int.MaxValue else opts.maxPushedGroups
+
   private lazy val rows: Iterator[InternalRow] = {
-    // LinkedHashMap: group emission order = first-seen order, so
-    // re-runs of the same segment emit identically (scan order is
-    // file order, which is deterministic).
-    val groups = scala.collection.mutable.LinkedHashMap
-      .empty[List[Any], (Array[Any], Array[AggAccs.Acc])]
-    if (!partition.padEmpty) {
-      store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
-        .foreach { case (item0, sz) =>
+    // local alias: inside the anonymous Iterator, `partition` would
+    // resolve to Iterator#partition
+    val part = partition
+    if (part.padEmpty) Iterator.empty
+    else if (group.unique) {
+      // grouping ⊇ the full primary key: the store holds one item per
+      // key, so every item is its own (final) group — stream rows with
+      // zero group state, at any segment size
+      store.scanSegment(opts.tableName, part.segment, part.totalSegments)
+        .flatMap { case (item0, sz) =>
+          limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+          scanned += 1
+          val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+          visible.filter(it => pushed.forall(FilterEval.eval(_, it))).map { it =>
+            matched += 1
+            val g = groupDecode(it)
+            val vals = Array.tabulate[Any](groupTypes.length)(i =>
+              if (g.isNullAt(i)) null else g.get(i, groupTypes(i)))
+            val accs = AggAccs.make(aggs)
+            accs.foreach(_.update(it))
+            InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+          }
+        }
+    }
+    else new Iterator[InternalRow] {
+      private val src =
+        store.scanSegment(opts.tableName, part.segment, part.totalSegments)
+      // LinkedHashMap: group emission order = first-seen order, so
+      // re-runs of the same segment emit identically (scan order is
+      // file order, which is deterministic).
+      private val groups = scala.collection.mutable.LinkedHashMap
+        .empty[List[Any], (Array[Any], Array[AggAccs.Acc])]
+      private var batch: Iterator[InternalRow] = Iterator.empty
+      private var drained = false
+
+      /** Scan until the map reaches `maxGroups` (or the segment ends),
+        * then materialize the accumulated group rows as the next
+        * emission batch — at most `maxGroups` rows of memory at once.
+        */
+      private def refill(): Unit = {
+        while (src.hasNext && groups.size < maxGroups) {
+          val (item0, sz) = src.next()
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
           val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
@@ -1335,9 +1432,20 @@ final class DynamoGroupedAggReader(
             accs.foreach(_.update(it))
           }
         }
-    }
-    groups.valuesIterator.map { case (vals, accs) =>
-      InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+        if (!src.hasNext) drained = true
+        batch = groups.values.toVector.iterator.map { case (vals, accs) =>
+          InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+        }
+        groups.clear()
+      }
+
+      override def hasNext: Boolean = {
+        while (!batch.hasNext && !drained) refill()
+        batch.hasNext
+      }
+
+      override def next(): InternalRow =
+        if (hasNext) batch.next() else throw new NoSuchElementException
     }
   }
 

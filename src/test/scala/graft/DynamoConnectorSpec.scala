@@ -686,6 +686,65 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getLong(1)).sum === 30L)
   }
 
+  test("grouped pushdown stays bounded when groups scale with rows") {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // composite-key table: 200 items, 4 partition keys, a unique
+    // non-key attribute `u` — so (hk, u) covers placement but groups
+    // scale with rows, the shape whose map would grow with the segment
+    store.bulkLoad("big", TableMeta("hk", Some("rk"), shards = 4, throughput = 1000L),
+      (1 to 200).iterator.map(i => Map(
+        "hk" -> (AttrVal.N(BigDecimal(i % 4)): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "u" -> (AttrVal.S(s"u$i"): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i * 3)): AttrVal))))
+
+    // grouping by the FULL primary key: one item per group by store
+    // invariant, so the reader streams final rows with zero group
+    // state — complete at any cardinality, no Spark-side aggregate
+    val byKey = spark.read.dynamo(root, "big")
+      .groupBy("hk", "rk").agg(sum("v").as("s"))
+    val kPlan = byKey.queryExecution.executedPlan.toString
+    assert(kPlan.contains("PushedGroupBy: [hk, rk] (complete)"), kPlan)
+    assert(!kPlan.contains("HashAggregate"), kPlan)
+    assert(byKey.collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq ===
+      (1 to 200).map(i => (i.toLong, i * 3L)))
+
+    // grouping that covers placement but NOT the full key, with
+    // per-row cardinality: the plan-time screen sees groups ≈ rows in
+    // the sample page and declines completeness — Spark keeps its
+    // final (spillable) aggregate and the reader is allowed to flush
+    val screened = spark.read.dynamo(root, "big")
+      .groupBy("hk", "u").agg(sum("v").as("s"))
+    val sPlan = screened.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PushedGroupBy: [hk, u] (partial)"), sPlan)
+    assert(sPlan.contains("HashAggregate"), sPlan)
+    assert(screened.collect().map(r => (r.getString(1), r.getLong(2))).sortBy(_._1)
+      .toSeq === (1 to 200).map(i => (s"u$i", i * 3L)).sortBy(_._1))
+
+    // memory ceiling: cap the per-segment map at 8 groups → the reader
+    // flushes partial rows many times per segment, and Spark's final
+    // aggregate still merges them back to exactly one row per group
+    val capped = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "big")
+      .option("maxPushedGroups", "8").load()
+      .groupBy("u").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val cPlan = capped.queryExecution.executedPlan.toString
+    assert(cPlan.contains("PushedGroupBy: [u] (partial)"), cPlan)
+    assert(capped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ===
+      (1 to 200).map(i => (s"u$i", 1L, i * 3L)).sortBy(_._1))
+
+    // a genuinely bounded partition-key grouping (4 keys, 50 rows
+    // each) keeps COMPLETE pushdown through the same screen
+    val bounded = spark.read.dynamo(root, "big")
+      .groupBy("hk").agg(count(lit(1)).as("n"))
+    val bPlan = bounded.queryExecution.executedPlan.toString
+    assert(bPlan.contains("PushedGroupBy: [hk] (complete)"), bPlan)
+    assert(bounded.collect().map(_.getLong(1)).toSeq === Seq.fill(4)(50L))
+  }
+
   test("legacy full-key-layout stores keep reading and pruning by their own rules") {
     import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
     import org.apache.spark.sql.sources.EqualTo
