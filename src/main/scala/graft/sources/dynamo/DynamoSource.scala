@@ -180,9 +180,15 @@ final class DynamoTable(
     * row-level operations refuse a nullable rowId, and Catalyst
     * drops null-guard work for free elsewhere. A write-only target
     * that doesn't exist yet has no key schema to consult — leave the
-    * schema as given until first write creates the table.
+    * schema as given until first write creates the table. Computed
+    * once per table instance: Spark calls schema() repeatedly during
+    * analysis and row-level planning, and a meta.json parse per call
+    * adds up; a table's key set never changes after creation, so the
+    * lazy snapshot cannot go stale (a not-yet-created table keeps the
+    * given schema for this instance — the next load re-resolves).
     */
-  override def schema(): StructType = {
+  override def schema(): StructType = cachedSchema
+  private lazy val cachedSchema: StructType = {
     val store = new LocalKVStore(opts.path)
     if (!store.exists(opts.tableName)) tableSchema
     else {
@@ -195,7 +201,12 @@ final class DynamoTable(
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.TRUNCATE,
+        // MERGE ... WITH SCHEMA EVOLUTION: the analyzer routes new
+        // source columns through DynamoCatalog.alterTable (the
+        // metadata-only ADD COLUMN path — natural on a schemaless
+        // store) and reloads the table before planning the delta
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
 
@@ -230,11 +241,22 @@ final class DynamoTable(
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
+    // Same visibility and throughput rules as every read path: a
+    // TTL-expired item is invisible, so DELETE must not evaluate its
+    // condition against it (lazy expiry reclaims it instead), and the
+    // scan draws from the table's read capacity like any other.
+    val ttlNow = Ttl.now(opts)
+    val limiter = new RateLimiter(
+      math.max(0.1, opts.targetCapacity * opts.throughput.getOrElse(meta.throughput).toDouble))
+    val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
     val wal = store.walWriter(opts.tableName, System.currentTimeMillis(),
       f"delw-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       store.scanSegment(opts.tableName, 0, 1)
-        .map(_._1)
+        .flatMap { case (it, sz) =>
+          limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
+          Ttl.visibleItem(opts, ttlNow, None, store)(it)
+        }
         .filter(it => filters.forall(FilterEval.eval(_, it)))
         .foreach(it => wal.append(store.Delete(it.view.filterKeys(keyAttrs).toMap)))
       wal.flush()

@@ -464,6 +464,56 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds new source columns") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    spark.conf.set("spark.sql.catalog.evcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.evcat.path", root)
+    try {
+      // source carries a column the target lacks: WITH SCHEMA
+      // EVOLUTION rides the ALTER TABLE ADD COLUMN metadata path
+      // (schemaless store — existing items just lack the attribute)
+      Seq(("apple", 50L, "US"), ("fig", 7L, "TR"))
+        .toDF("name", "stock", "origin").createOrReplaceTempView("ev_changes")
+      // NB: the evolving column must be referenced UNQUALIFIED in
+      // assignments — Spark matches assignment-key name parts against
+      // source field paths, and a `t.`-qualified reference to a
+      // not-yet-existing column defeats that match
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO evcat.fruit t
+                  |USING ev_changes s ON t.name = s.name
+                  |WHEN MATCHED THEN UPDATE SET stock = s.stock, origin = s.origin
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.table("evcat.fruit").columns.contains("origin"))
+      val got = spark.sql(
+        "SELECT name, stock, origin FROM evcat.fruit ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      assert(got === Seq(("apple", 50L, "US"), ("banana", 5L, null),
+        ("cherry", 100L, null), ("durian", 1L, null), ("fig", 7L, "TR")))
+      // untouched attributes survive (delta, not rewrite), and rows the
+      // merge never touched keep reading with the evolved schema
+      assert(spark.sql("SELECT color FROM evcat.fruit WHERE name = 'apple'")
+        .head.getString(0) === "red")
+
+      // plain MERGE (no clause) still rejects unknown columns instead
+      // of silently evolving
+      Seq(("grape", 1L, 9L)).toDF("name", "stock", "sweetness")
+        .createOrReplaceTempView("ev_changes2")
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("""MERGE INTO evcat.fruit t USING ev_changes2 s
+                    |ON t.name = s.name
+                    |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(!spark.table("evcat.fruit").columns.contains("sweetness"), err.message)
+    } finally {
+      spark.catalog.dropTempView("ev_changes")
+      spark.catalog.dropTempView("ev_changes2")
+      spark.conf.unset("spark.sql.catalog.evcat")
+      spark.conf.unset("spark.sql.catalog.evcat.path")
+    }
+  }
+
   test("row-level commands work on composite-key tables (two-column rowId)") {
     import spark.implicits._
     val root = freshRoot()
