@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.{expressions => v2expr}
+import org.apache.spark.sql.connector.expressions.{filter => v2filter}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -97,7 +98,13 @@ object DynamoOptions {
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
       cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
       cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L),
-      maxPushedGroups = opt("maxPushedGroups").map(_.toInt).getOrElse(65536))
+      maxPushedGroups = {
+        val g = opt("maxPushedGroups").map(_.toInt).getOrElse(65536)
+        require(g > 0,
+          "option 'maxPushedGroups' must be > 0 (it bounds the grouped-pushdown " +
+            "reader's per-segment group map; 0 would never accumulate nor drain)")
+        g
+      })
   }
 }
 
@@ -265,34 +272,53 @@ final class DynamoTable(
 }
 
 /** Pushdown negotiation (A4/A5): Catalyst's `V2ScanRelationPushDown`
-  * rule calls `pushFilters` / `pruneColumns`; we accept the subset the
-  * store can evaluate and return the rest for Spark to re-apply
+  * rule calls `pushPredicates` / `pruneColumns`; we accept the subset
+  * the store can evaluate and return the rest for Spark to re-apply
   * [REF: datasource/DynamoScanBuilder.scala; connector/FilterPushdown.scala
-  * — accept/translate split].
+  * — accept/translate split, widened to Spark 4's v2 `Predicate`s].
   */
 final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters
+    with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var pushedV2: Array[v2filter.Predicate] = Array.empty
+  private var advPushed: Seq[PredicateV2.VPred] = Nil
   private var requiredSchema: StructType = tableSchema
   private var limit: Option[Int] = None
   private var topN: Option[PushedTopN] = None
   private var aggs: Seq[PushedAgg] = Nil
   private var grouped: Option[PushedGroupBy] = None
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (!opts.filterPushdown) { pushed = Array.empty; return filters }
-    val (accepted, rejected) = filters.partition(FilterEval.supported)
-    pushed = accepted
-    rejected // Spark re-evaluates these post-scan
+  /** V2 `Predicate` negotiation — the ONLY filter-pushdown interface
+    * this builder implements: Spark 4's `PushDownUtils` prefers v1
+    * `SupportsPushDownFilters` when both are present, which would keep
+    * every scan on the narrower v1 family, so the v1 interface is
+    * deliberately absent. Predicates exactly expressible as v1 filters
+    * land in `pushed` so the whole existing machinery — point-lookup
+    * shard pruning, [[FilterEval]], streaming readers, SPJ reporting —
+    * sees them unchanged; the v2-only residue (column-vs-column,
+    * arithmetic comparisons) lands in `advPushed` and is evaluated
+    * store-side by [[PredicateV2.eval]]. Spark does not re-evaluate
+    * accepted predicates, so acceptance is exactness: anything not
+    * provably exact is returned for Spark to keep
+    * ([[PredicateV2.translate]] declines it).
+    */
+  override def pushPredicates(predicates: Array[v2filter.Predicate]): Array[v2filter.Predicate] = {
+    if (!opts.filterPushdown) return predicates
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    val tr = predicates.map(p => p -> PredicateV2.translate(p, tableSchema, ansi))
+    pushedV2 = tr.collect { case (p, Some(_)) => p }
+    pushed = tr.collect { case (_, Some(Left(f))) => f }
+    advPushed = tr.collect { case (_, Some(Right(vp))) => vp }.toSeq
+    tr.collect { case (p, None) => p }
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[v2filter.Predicate] = pushedV2
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -498,7 +524,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // is correct, resolving a missing column is a crash.
     val safeTopN = topN.filter(_.keys.forall(k =>
       requiredSchema.fieldNames.contains(k.name)))
-    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped)
+    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed)
   }
 }
 
@@ -650,7 +676,8 @@ private object ScanMetrics {
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
-    topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None)
+    topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -692,6 +719,7 @@ final class DynamoScan(
   }
   override def description(): String =
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (adv.nonEmpty) s"PushedV2Predicates: [${adv.mkString(", ")}], " else "") +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       topN.map(t => s"PushedTopN: [${t.describe}], ").getOrElse("") +
       (if (aggs.nonEmpty || grouped.isDefined) {
@@ -913,14 +941,14 @@ final class DynamoScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = grouped match {
-    case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs)
-    case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs)
-    case None => new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN)
+    case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv)
+    case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv)
+    case None => new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv)
   }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DynamoMicroBatchStream(opts, schema, pushed)
+    new DynamoMicroBatchStream(opts, schema, pushed, adv)
 }
 
 // ---------------------------------------------------------------------------
@@ -979,7 +1007,8 @@ object WalOffset {
   * option in environments with longer worst-case pauses.
   */
 final class DynamoMicroBatchStream(
-    opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
+    opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends MicroBatchStream {
 
   private val store = new LocalKVStore(opts.path)
@@ -1041,7 +1070,7 @@ final class DynamoMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DynamoWalReaderFactory(opts, schema, pushed)
+    new DynamoWalReaderFactory(opts, schema, pushed, adv)
 
   override def deserializeOffset(json: String): Offset = {
     val o = WalOffset.parse(json)
@@ -1055,10 +1084,11 @@ final class DynamoMicroBatchStream(
 
 final case class DynamoWalPartition(fileName: String, rate: Double) extends InputPartition
 
-final class DynamoWalReaderFactory(opts: DynamoOptions, schema: StructType, pushed: Array[Filter])
+final class DynamoWalReaderFactory(opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DynamoWalReader(opts, schema, pushed, partition.asInstanceOf[DynamoWalPartition])
+    new DynamoWalReader(opts, schema, pushed, partition.asInstanceOf[DynamoWalPartition], adv)
 }
 
 /** Executor-side journal-file reader. The op tag rides as a synthetic
@@ -1071,7 +1101,8 @@ final class DynamoWalReader(
     opts: DynamoOptions,
     schema: StructType,
     pushed: Array[Filter],
-    partition: DynamoWalPartition)
+    partition: DynamoWalPartition,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1099,7 +1130,8 @@ final class DynamoWalReader(
       // resolves conditions against its own state.
       if (opts.cdc || tag == "PUT" || tag == "UPDATE") {
         val item = if (opts.cdc) item0 + ("_op" -> AttrVal.S(tag)) else item0
-        if (pushed.forall(FilterEval.eval(_, item))) {
+        if (pushed.forall(FilterEval.eval(_, item)) &&
+            adv.forall(PredicateV2.eval(_, item))) {
           current = decode(item)
           return true
         } else filtered += 1
@@ -1119,15 +1151,17 @@ final class DynamoWalReader(
 
 final class DynamoReaderFactory(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None, topN: Option[PushedTopN] = None)
+    limit: Option[Int] = None, topN: Option[PushedTopN] = None,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     topN match {
       case Some(t) =>
-        new DynamoTopNReader(new DynamoPartitionReader(opts, schema, pushed, p), schema, t)
+        new DynamoTopNReader(
+          new DynamoPartitionReader(opts, schema, pushed, p, adv = adv), schema, t)
       case None =>
-        new DynamoPartitionReader(opts, schema, pushed, p, limit)
+        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv)
     }
   }
 
@@ -1146,7 +1180,7 @@ final class DynamoReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     new DynamoColumnarReader(
-      new DynamoPartitionReader(opts, schema, pushed, p, limit), schema)
+      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv), schema)
   }
 }
 
@@ -1271,7 +1305,8 @@ final class DynamoPartitionReader(
     schema: StructType,
     pushed: Array[Filter],
     partition: DynamoInputPartition,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1313,7 +1348,8 @@ final class DynamoPartitionReader(
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
       val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
       visible match {
-        case Some(it) if pushed.forall(FilterEval.eval(_, it)) =>
+        case Some(it) if pushed.forall(FilterEval.eval(_, it)) &&
+            adv.forall(PredicateV2.eval(_, it)) =>
           current = decode(it)
           emitted += 1
           return true
@@ -1334,11 +1370,12 @@ final class DynamoPartitionReader(
 
 final class DynamoGroupedAggReaderFactory(
     opts: DynamoOptions, pushed: Array[Filter],
-    group: PushedGroupBy, aggs: Seq[PushedAgg])
+    group: PushedGroupBy, aggs: Seq[PushedAgg],
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoGroupedAggReader(opts, pushed, group, aggs, p)
+    new DynamoGroupedAggReader(opts, pushed, group, aggs, p, adv)
   }
 }
 
@@ -1363,7 +1400,8 @@ final class DynamoGroupedAggReaderFactory(
 final class DynamoGroupedAggReader(
     opts: DynamoOptions, pushed: Array[Filter],
     group: PushedGroupBy, aggs: Seq[PushedAgg],
-    partition: DynamoInputPartition)
+    partition: DynamoInputPartition,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1412,7 +1450,8 @@ final class DynamoGroupedAggReader(
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
           val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
-          visible.filter(it => pushed.forall(FilterEval.eval(_, it))).map { it =>
+          visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
+              adv.forall(PredicateV2.eval(_, it))).map { it =>
             matched += 1
             val g = groupDecode(it)
             val vals = Array.tabulate[Any](groupTypes.length)(i =>
@@ -1444,7 +1483,8 @@ final class DynamoGroupedAggReader(
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
           val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
-          visible.filter(it => pushed.forall(FilterEval.eval(_, it))).foreach { it =>
+          visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
+              adv.forall(PredicateV2.eval(_, it))).foreach { it =>
             matched += 1
             val g = groupDecode(it)
             val vals = Array.tabulate[Any](groupTypes.length)(i =>
@@ -1531,11 +1571,12 @@ final class DynamoTopNReader(
   * consumed (and rate-limited): an aggregate scan reads every matching
   * item server-side.
   */
-final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg])
+final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoAggReader(opts, pushed, aggs, p)
+    new DynamoAggReader(opts, pushed, aggs, p, adv)
   }
 }
 
@@ -1621,7 +1662,8 @@ private[dynamo] object AggAccs {
 
 final class DynamoAggReader(
     opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
-    partition: DynamoInputPartition)
+    partition: DynamoInputPartition,
+    adv: Seq[PredicateV2.VPred] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1649,7 +1691,8 @@ final class DynamoAggReader(
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
         val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
-        visible.filter(it => pushed.forall(FilterEval.eval(_, it))).foreach { it =>
+        visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
+            adv.forall(PredicateV2.eval(_, it))).foreach { it =>
           matched += 1
           accs.foreach(_.update(it))
         }

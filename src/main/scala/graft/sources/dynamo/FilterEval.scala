@@ -57,9 +57,10 @@ object FilterEval {
 
   /** Kleene three-valued evaluation: None = UNKNOWN (null attribute,
     * or a type-mismatched comparison, which Spark's decoded column
-    * would also see as null).
+    * would also see as null). Package-visible so [[PredicateV2]]'s
+    * mixed v2 trees reuse it for their v1-expressible subtrees.
     */
-  private def eval3(f: Filter, item: Item): Option[Boolean] = f match {
+  private[dynamo] def eval3(f: Filter, item: Item): Option[Boolean] = f match {
     case _: AlwaysTrue            => Some(true)
     case _: AlwaysFalse           => Some(false)
     case EqualTo(a, v)            => cmp(item, a, v).map(_ == 0)

@@ -70,7 +70,16 @@ class PushdownLawsSpec extends AnyFunSuite {
     Gen.choose(0.0, 40.0).map(v => col("d") >= v),
     Gen.choose(0.0, 40.0).map(v => col("d") < v),
     Gen.oneOf(true, false).map(v => col("flag") === v),
-    Gen.const(col("flag").isNull))
+    Gen.const(col("flag").isNull),
+    // v2-only shapes (SupportsPushDownV2Filters): column-vs-column and
+    // arithmetic comparisons — the adv tier must obey the same
+    // three-valued law as the v1 family
+    Gen.const(col("n") > col("d")),
+    Gen.const(col("n") <= col("d")),
+    Gen.choose(0L, 22L).map(v => col("n") * 2 > v),
+    Gen.choose(-5L, 15L).map(v => col("n") - 3 <= v),
+    Gen.choose(0.0, 30.0).map(v => col("d") * 2.0 < v),
+    Gen.const(-col("n") < col("d")))
 
   private def genPred(depth: Int): Gen[Column] =
     if (depth <= 0) genLeaf
