@@ -118,10 +118,15 @@ object BaselineBench {
       }
       (name, ok.minOption, firstErr)
     }
+    // Same esc rules as Bench.scala: multi-line Spark analysis errors
+    // must not break the one-line JSON contract.
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => " "; case c => c.toString }
     val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, None, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"baseline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

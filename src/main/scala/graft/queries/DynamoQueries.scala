@@ -137,8 +137,9 @@ object DynamoQueries {
     // bucket(16, c_custkey) layout, both loaded through the catalog
     // (whose FunctionCatalog resolves the transform), so the join runs
     // with ZERO exchange on either side — the plan PlanSpec pins. The
-    // merge hint only rules out broadcast; bucketing.enabled is global
-    // and result-neutral. Catalog name is root-derived because catalog
+    // merge hint only rules out broadcast; the v2.bucketing confs are
+    // pinned uniformly by every harness session (Verify/Bench/
+    // TestSpark), never re-set inside a query builder. Catalog name is root-derived because catalog
     // instances cache per name for the session's lifetime.
     "q_dyn_spj" -> ((s, dir) => {
       val root = seededFlagsRoot(s, dir)
@@ -146,7 +147,6 @@ object DynamoQueries {
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.path", root)
       s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.table(s"$cat.customer")
         .join(s.table(s"$cat.customer_flags").hint("merge"), "c_custkey")
         .filter(col("positive"))
@@ -165,8 +165,6 @@ object DynamoQueries {
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.path", root)
       s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       s.table(s"$cat.customer")
         .filter(col("c_custkey").isin(42, 999, 1077))
         .join(s.table(s"$cat.customer_flags").hint("merge"), "c_custkey")
@@ -251,7 +249,9 @@ object DynamoQueries {
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.path", root)
       s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // SPJ needs spark.sql.sources.v2.bucketing.enabled, which every
+      // harness session pins uniformly (Verify/Bench/TestSpark) — do
+      // not re-set session-wide conf inside a query builder.
       s.table(s"$cat.orders")
         .join(s.table(s"$cat.customer").hint("merge"),
           col("o_custkey") === col("c_custkey"))

@@ -18,6 +18,68 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Distinct (doc_id, tok) pairs of a `doc_id, text` frame. */
+  private[queries] def tokenize(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Document-frequency-capped near-dup pipeline: candidate pairs are
+    * generated ONLY from tokens whose df ≤ `dfCap` (tokens above the
+    * cap are stopword-shaped: a bucket self-join on one of them is
+    * quadratic in its document frequency — the one scale-killer shape
+    * in token-bucketed dedup), then every candidate pair is verified
+    * with an EXACT Jaccard over the FULL token sets — the LSH
+    * candidate+verify split, with df-capping as the (deterministic)
+    * candidate generator. The hot-token list is tiny by construction
+    * (few tokens exceed a high cap), so it broadcasts and the corpus
+    * never reshuffles to drop them. A pair sharing ONLY above-cap
+    * tokens is not considered (that is the point: stopword-only
+    * overlap is not similarity).
+    */
+  private[graft] def nearDupCapped(d: DataFrame, dfCap: Long): DataFrame = {
+    val tok = tokenize(d)
+    val hot = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("tok")
+    val rare = tok.join(broadcast(hot), Seq("tok"), "left_anti")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(tok.as("ta"), col("id1") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("id2") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
+      .select(col("id1"), col("id2"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
+          .as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Candidate pairs only (pre-verify) — exposed so DedupSkewSpec can
+    * assert the cap keeps candidate counts linear on a hot-token corpus.
+    */
+  private[graft] def cappedCandidates(d: DataFrame, dfCap: Long): DataFrame = {
+    val tok = tokenize(d)
+    val hot = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("tok")
+    val rare = tok.join(broadcast(hot), Seq("tok"), "left_anti")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) => {
       val w = Window.partitionBy("text").orderBy("doc_id")
@@ -51,9 +113,10 @@ object TextOps {
     // the join if they SHARE a token — so the shuffle is keyed by token,
     // never all-pairs. At 100 TB the same plan holds: explode to
     // (token, doc) pairs, self-join per token bucket, aggregate shared
-    // counts; hot tokens (stopwords) are the skew risk and would be
-    // dropped by a df-frequency cap before the join (the 31-token
-    // fixture vocabulary doesn't need it). The threshold filter is
+    // counts; hot tokens (stopwords) are the skew risk — the scale
+    // form is `q_dedup_near_capped` below, which drops them from
+    // candidate generation (df cap) and exact-verifies the survivors
+    // over full token sets. The threshold filter is
     // exact integer math (shared*10 >= 6*(n1+n2-shared)) so both
     // engines agree on pair membership regardless of float rounding.
     "q_dedup_near" -> ((s, dir) => {
@@ -107,6 +170,12 @@ object TextOps {
             .as("jaccard"))
         .orderBy("id1", "id2")
     }),
+
+    // The scale form of q_dedup_near: candidates only from tokens with
+    // df <= 150 (half the 300-doc scope), exact full-set Jaccard on the
+    // survivors — see [[nearDupCapped]]. Same integer threshold math.
+    "q_dedup_near_capped" -> ((s, dir) =>
+      nearDupCapped(Fixtures.documents(s, dir).filter(col("doc_id") < 300), 150L)),
 
     // tf-idf over the corpus: tf from one grouped count, df from a
     // distinct+count, corpus size joined in as a 1-row broadcast. All
@@ -186,6 +255,26 @@ object TextOps {
         |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
         |FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
         |WHERE shared * 2 >= s1.n + s2.n - shared
+        |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_near_capped" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT DISTINCT doc_id, tok FROM
+        |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+        |rare AS (SELECT t.doc_id, t.tok FROM tok t JOIN dfreq f USING (tok)
+        |         WHERE f.df <= 150),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |sh AS (SELECT c.id1, c.id2, count(*) AS shared
+        |       FROM cand c
+        |       JOIN tok ta ON ta.doc_id = c.id1
+        |       JOIN tok tb ON tb.doc_id = c.id2 AND tb.tok = ta.tok
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       round(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 4) AS jaccard
+        |FROM sh JOIN sz s1 ON sh.id1 = s1.doc_id JOIN sz s2 ON sh.id2 = s2.doc_id
+        |WHERE shared * 10 >= (s1.n + s2.n - shared) * 6
         |ORDER BY id1, id2""".stripMargin,
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -144,58 +144,65 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
     // The schema update is a read-modify-write of one file: two
     // concurrent ALTER TABLEs (possibly from different JVMs) would
     // lose one change to last-writer-wins — serialize through an OS
-    // file lock next to the schema file.
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(root, ident.name(), ".schema.lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val fileLock = ch.lock()
+    // file lock next to the schema file. FileChannel.lock() only
+    // arbitrates BETWEEN JVMs (a second locker in the same JVM gets
+    // OverlappingFileLockException, not a wait), so same-process
+    // callers first serialize on a process-wide monitor keyed by the
+    // lock-file path.
+    val lockPath = java.nio.file.Paths.get(root, ident.name(), ".schema.lock")
+    DynamoCatalog.jvmLock(lockPath.toString).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        val current =
-          if (java.nio.file.Files.isRegularFile(sp))
-            DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
-          else Codec.inferSchema(store.samplePage(ident.name()))
-        val updated = changes.foldLeft(current) {
-          case (sch, add: TableChange.AddColumn) =>
-            require(add.fieldNames().length == 1,
-              "ALTER TABLE: nested columns are not supported")
-            val col = add.fieldNames().head
-            require(add.isNullable,
-              s"new column $col must be nullable: existing items lack the attribute")
-            require(!sch.fieldNames.contains(col), s"column $col already exists")
-            // DROP then ADD under a different type would re-expose the
-            // stored attribute as something its values may not decode
-            // to — a re-added column must come back under a type the
-            // stored values actually carry (numeric widening is fine,
-            // the decoder reads N as any numeric).
-            Codec.inferSchema(store.samplePage(ident.name()))
-              .find(_.name == col).foreach { stored =>
-                val ok = stored.dataType == add.dataType() ||
-                  (stored.dataType.isInstanceOf[NumericType] &&
-                    add.dataType().isInstanceOf[NumericType])
-                require(ok,
-                  s"column $col exists in stored items as " +
-                    s"${stored.dataType.simpleString}; re-adding it as " +
-                    s"${add.dataType().simpleString} would fail decode at read time")
-              }
-            sch.add(StructField(col, add.dataType(), nullable = true))
-          case (sch, del: TableChange.DeleteColumn) =>
-            require(del.fieldNames().length == 1,
-              "ALTER TABLE: nested columns are not supported")
-            val col = del.fieldNames().head
-            require(!keyCols(col), s"cannot drop key column $col")
-            if (!sch.fieldNames.contains(col)) {
-              require(del.ifExists, s"no such column $col"); sch
-            } else StructType(sch.filterNot(_.name == col))
-          case (_, other) => throw new UnsupportedOperationException(
-            s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
-              "(renames and type changes would require rewriting stored items)")
-        }
-        java.nio.file.Files.writeString(sp, updated.json)
-        new DynamoTable(tableOpts(ident.name()), updated, acceptAnySchema = false)
-      } finally fileLock.release()
-    } finally ch.close()
+        val fileLock = ch.lock()
+        try {
+          val current =
+            if (java.nio.file.Files.isRegularFile(sp))
+              DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
+            else Codec.inferSchema(store.samplePage(ident.name()))
+          val updated = changes.foldLeft(current) {
+            case (sch, add: TableChange.AddColumn) =>
+              require(add.fieldNames().length == 1,
+                "ALTER TABLE: nested columns are not supported")
+              val col = add.fieldNames().head
+              require(add.isNullable,
+                s"new column $col must be nullable: existing items lack the attribute")
+              require(!sch.fieldNames.contains(col), s"column $col already exists")
+              // DROP then ADD under a different type would re-expose the
+              // stored attribute as something its values may not decode
+              // to — a re-added column must come back under a type the
+              // stored values actually carry (numeric widening is fine,
+              // the decoder reads N as any numeric).
+              Codec.inferSchema(store.samplePage(ident.name()))
+                .find(_.name == col).foreach { stored =>
+                  val ok = stored.dataType == add.dataType() ||
+                    (stored.dataType.isInstanceOf[NumericType] &&
+                      add.dataType().isInstanceOf[NumericType])
+                  require(ok,
+                    s"column $col exists in stored items as " +
+                      s"${stored.dataType.simpleString}; re-adding it as " +
+                      s"${add.dataType().simpleString} would fail decode at read time")
+                }
+              sch.add(StructField(col, add.dataType(), nullable = true))
+            case (sch, del: TableChange.DeleteColumn) =>
+              require(del.fieldNames().length == 1,
+                "ALTER TABLE: nested columns are not supported")
+              val col = del.fieldNames().head
+              require(!keyCols(col), s"cannot drop key column $col")
+              if (!sch.fieldNames.contains(col)) {
+                require(del.ifExists, s"no such column $col"); sch
+              } else StructType(sch.filterNot(_.name == col))
+            case (_, other) => throw new UnsupportedOperationException(
+              s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported " +
+                "(renames and type changes would require rewriting stored items)")
+          }
+          java.nio.file.Files.writeString(sp, updated.json)
+          new DynamoTable(tableOpts(ident.name()), updated, acceptAnySchema = false)
+        } finally fileLock.release()
+      } finally ch.close()
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -267,4 +274,16 @@ object DynamoBucketFunction extends UnboundFunction {
       }
     }
   }
+}
+
+object DynamoCatalog {
+  /** Process-wide ALTER TABLE locks, keyed by lock-file path: the
+    * in-JVM half of the two-level serialization in [[DynamoCatalog
+    * .alterTable]] (the OS file lock is the cross-JVM half, and throws
+    * rather than waits for same-JVM contention).
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[dynamo] def jvmLock(path: String): Object =
+    jvmLocks.computeIfAbsent(path, _ => new Object)
 }

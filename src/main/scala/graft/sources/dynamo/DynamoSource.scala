@@ -1436,6 +1436,28 @@ final class DynamoGroupedAggReader(
   // of complete mode); a partial push caps its map and flushes.
   private val maxGroups = if (group.complete) Int.MaxValue else opts.maxPushedGroups
 
+  /** Runtime backstop for COMPLETE pushes: completeness (for non-unique
+    * groupings) is claimed off a one-page cardinality sample
+    * ([[DynamoScanBuilder.groupsLookBounded]]), and a non-representative
+    * page can admit a grouping whose cardinality scales with rows — the
+    * exact unbounded-map shape the screen exists to prevent. A complete
+    * push cannot flush (its rows must be final), so if the map blows
+    * past a hard multiple of `maxPushedGroups`, fail loudly with the
+    * remedy instead of letting one segment eat the executor heap.
+    */
+  private val completeHardCap: Int =
+    math.min(16L * opts.maxPushedGroups, Int.MaxValue - 1L).toInt
+  private def checkCompleteCap(size: Int): Unit =
+    if (size > completeHardCap)
+      throw new IllegalStateException(
+        s"complete grouped pushdown exceeded $completeHardCap groups in one " +
+          s"segment (16 x maxPushedGroups): the plan-time cardinality sample " +
+          s"was not representative for grouping " +
+          s"[${group.fields.map(_.name).mkString(", ")}]. Raise maxPushedGroups " +
+          "if this group count is genuinely bounded and fits executor memory; " +
+          "otherwise rerun the query with the aggregate kept Spark-side " +
+          "(e.g. group on an expression, which the scan builder never claims).")
+
   private lazy val rows: Iterator[InternalRow] = {
     // local alias: inside the anonymous Iterator, `partition` would
     // resolve to Iterator#partition
@@ -1491,6 +1513,7 @@ final class DynamoGroupedAggReader(
               if (g.isNullAt(i)) null else g.get(i, groupTypes(i)))
             val key = vals.map(normKey).toList
             val (_, accs) = groups.getOrElseUpdate(key, (vals, AggAccs.make(aggs)))
+            if (group.complete) checkCompleteCap(groups.size)
             accs.foreach(_.update(it))
           }
         }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextOps
+
+/** The df cap is the dedup family's skew guard: on a corpus where every
+  * document shares a handful of stopword-shaped tokens, an uncapped
+  * token-bucket self-join generates O(n²) candidate pairs from the hot
+  * buckets alone — the one shape that would kill `q_dedup_near` on a
+  * real 100 TB corpus. The cap must (a) collapse that quadratic
+  * candidate set to the rare-token-driven linear one, and (b) still
+  * find every pair that shares a rare token, with Jaccard verified
+  * over FULL token sets so capping changes candidate generation, not
+  * similarity values.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // 200 docs, each = 3 shared hot tokens + one unique token; 5 planted
+  // near-dup pairs additionally share a rare "pair token".
+  private lazy val corpus = {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      val pair = if (i < 10) s"pairtok${i / 2}" else s"solo$i"
+      (i.toLong, s"the and of $pair uniq$i")
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("df cap collapses hot-token candidate blowup from quadratic to linear") {
+    val uncapped = TextOps.cappedCandidates(corpus, dfCap = 1000L).count()
+    val capped = TextOps.cappedCandidates(corpus, dfCap = 50L).count()
+    // every doc pair shares "the and of": C(200,2) candidates uncapped
+    assert(uncapped == 199L * 200L / 2)
+    // capped: only the 5 planted pairs share a sub-cap token
+    assert(capped == 5L)
+  }
+
+  test("capped near-dup still finds every rare-token pair, with full-set Jaccard") {
+    val pairs = TextOps.nearDupCapped(corpus, dfCap = 50L).collect()
+    // planted pairs: docs (0,1),(2,3),(4,5),(6,7),(8,9) share 4 of 5
+    // tokens → jaccard 4/6 = 0.6667 ≥ 0.6
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L)))
+    assert(pairs.forall(r => math.abs(r.getDouble(2) - 0.6667) < 1e-9))
+  }
+
+  test("hot-token list is broadcast, not shuffled against the corpus") {
+    val plan = TextOps.cappedCandidates(corpus, dfCap = 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"anti-join on the hot list should broadcast:\n$plan")
+  }
+}

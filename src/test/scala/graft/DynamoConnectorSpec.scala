@@ -1415,4 +1415,126 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("_op"))
   }
+
+  test("concurrent same-JVM ALTER TABLEs serialize instead of throwing") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    spark.conf.set("spark.sql.catalog.lockcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.lockcat.path", root)
+    try {
+      // FileChannel.lock() throws OverlappingFileLockException for a
+      // second locker in the same JVM; the catalog's process-wide
+      // monitor must make these block-and-win instead. Run enough
+      // rounds that an unserialized implementation would reliably trip.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cols = (0 until 8).map(i => s"alt_c$i")
+      val fs = cols.map(c => Future {
+        spark.sql(s"ALTER TABLE lockcat.fruit ADD COLUMN $c INT")
+      })
+      Await.result(Future.sequence(fs), 90.seconds)
+      val have = spark.table("lockcat.fruit").columns.toSet
+      assert(cols.forall(have), s"lost columns: ${cols.filterNot(have)}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lockcat")
+      spark.conf.unset("spark.sql.catalog.lockcat.path")
+    }
+  }
+
+  test("complete grouped push fails loudly when the cardinality sample lied") {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // One shard so scan order = insertion order: the first ~1 MB (the
+    // sample page) is a single hot partition key padded to ~4 KB per
+    // item, so the plan-time screen sees ONE group and claims the push
+    // complete — while the tail holds thousands of distinct keys.
+    val pad = "x" * 4096
+    val hot = (0 until 300).iterator.map(i => Map(
+      "hk" -> (AttrVal.S("hot"): AttrVal),
+      "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+      "pad" -> (AttrVal.S(pad): AttrVal),
+      "v" -> (AttrVal.N(BigDecimal(1)): AttrVal)))
+    val tail = (0 until 3000).iterator.map(i => Map(
+      "hk" -> (AttrVal.S(s"k$i"): AttrVal),
+      "rk" -> (AttrVal.N(BigDecimal(0)): AttrVal),
+      "v" -> (AttrVal.N(BigDecimal(1)): AttrVal)))
+    store.bulkLoad("lop", TableMeta("hk", Some("rk"), shards = 1,
+      throughput = 1000000L), hot ++ tail)
+
+    val q = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "lop")
+      .option("maxPushedGroups", "16") // runtime hard cap = 16 x 16 = 256
+      .load()
+      .groupBy("hk").agg(count(lit(1)).as("n"))
+    // the screen was fooled: the plan claims a complete push
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [hk] (complete)"))
+    // ... and the runtime backstop catches it instead of eating heap
+    val err = intercept[org.apache.spark.SparkException] { q.collect() }
+    val msg = Option(err.getCause).map(_.toString).getOrElse(err.toString)
+    assert(msg.contains("complete grouped pushdown exceeded"), msg)
+  }
+
+  test("TTL x row-level: DELETE/UPDATE/MERGE never observe or resurrect an expired item") {
+    import spark.implicits._
+    val root = freshRoot()
+    // k1 expired (999 < ttlNow), k2 live, k3 has no ttl attribute
+    Seq(("k1", 10L, Some(999L)), ("k2", 20L, Some(2000000000L)), ("k3", 30L, None))
+      .toDF("id", "v", "expires_at").write.dynamo(root, "ttlrow", "id")
+    spark.conf.set("spark.sql.catalog.ttlcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.ttlcat.path", root)
+    spark.conf.set("spark.sql.catalog.ttlcat.ttlAttribute", "expires_at")
+    spark.conf.set("spark.sql.catalog.ttlcat.ttlNow", "1000000000")
+    def raw = spark.read.dynamo(root, "ttlrow") // no ttl options: reaper's view
+    try {
+      // DELETE whose condition matches the expired item's values must
+      // not evaluate against it: lazy expiry reclaims it, DELETE doesn't
+      spark.sql("DELETE FROM ttlcat.ttlrow WHERE v <= 20")
+      assert(spark.table("ttlcat.ttlrow").select("id").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("k3"))
+      val rawAfterDelete = raw.select("id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(rawAfterDelete === Seq(("k1", 10L), ("k3", 30L)),
+        "DELETE must neither remove nor touch the expired item")
+
+      // UPDATE keyed at the expired item is a no-op (invisible row)
+      spark.sql("UPDATE ttlcat.ttlrow SET v = v + 1 WHERE id = 'k1'")
+      assert(raw.select("v").filter(col("id") === "k1").head.getLong(0) === 10L)
+
+      // MERGE: the expired item is NOT MATCHED, so the insert arm runs
+      // and must fully REPLACE the stored item — stale attributes
+      // (including the old ttl stamp) must not survive the rebirth
+      Seq(("k1", 77L, Option.empty[Long]))
+        .toDF("id", "v", "expires_at").createOrReplaceTempView("ttl_src")
+      spark.sql("""MERGE INTO ttlcat.ttlrow t USING ttl_src s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val reborn = spark.table("ttlcat.ttlrow").filter(col("id") === "k1")
+      assert(reborn.count() === 1L)
+      assert(reborn.head.getLong(1) === 77L)
+      // explicit schema: after the rebirth NO item carries expires_at,
+      // so inference would drop the column entirely — which is itself
+      // the assertion that the stale stamp did not survive
+      val rawK1 = spark.read.format("dynamo")
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.StringType)
+          .add("v", org.apache.spark.sql.types.LongType)
+          .add("expires_at", org.apache.spark.sql.types.LongType))
+        .option("path", root).option("tableName", "ttlrow").load()
+        .filter(col("id") === "k1").collect()
+      assert(rawK1.length === 1, "rebirth must replace, not duplicate")
+      assert(rawK1.head.getLong(1) === 77L)
+      assert(rawK1.head.isNullAt(2),
+        "stale ttl stamp survived the insert: the item would be born expired")
+    } finally {
+      spark.catalog.dropTempView("ttl_src")
+      spark.conf.unset("spark.sql.catalog.ttlcat")
+      spark.conf.unset("spark.sql.catalog.ttlcat.path")
+      spark.conf.unset("spark.sql.catalog.ttlcat.ttlAttribute")
+      spark.conf.unset("spark.sql.catalog.ttlcat.ttlNow")
+    }
+  }
 }
