@@ -132,7 +132,79 @@ object DynamoQueries {
     root
   }
 
+  /** Pinned journal sequence for the `customer_asof` epoch-2 batch:
+    * far enough in the future that `pubSeq = max(seq, closeTime)` is
+    * the seq itself — a deterministic time-travel point at any clock.
+    */
+  private val asofEpochSeq = 4102444800000L // 2100-01-01T00:00:00Z in ms
+
+  /** Seed `customer_asof` in two epochs: epoch 1 = the customer
+    * parquet copy, compacted into base shards; epoch 2 = a journal
+    * batch at [[asofEpochSeq]] deleting every `c_custkey % 10 == 3`
+    * customer and putting one sentinel row. An `asOfSeq` read below
+    * the epoch-2 seq must reproduce the parquet table exactly; a
+    * current read must see epoch 2 applied. Deletes are written from
+    * executors (per-partition WAL writers, distinct writer ids share
+    * the pinned seq) — nothing is collected to the driver.
+    */
+  private def seededAsofRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer_asof", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.customer(s, sfDir)
+          .select("c_custkey", "c_name", "c_acctbal")
+          .repartition(16)
+          .write.dynamo(root, "customer_asof", "c_custkey")
+        DynamoMaintenance.compact(s, root, "customer_asof")
+        val seq = asofEpochSeq
+        Fixtures.customer(s, sfDir)
+          .filter(col("c_custkey") % 10 === 3)
+          .select("c_custkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = new LocalKVStore(root)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val w = st.walWriter("customer_asof", seq, f"asofdel-p$pid%04d")
+            try {
+              it.foreach { r =>
+                w.append(st.Delete(Map("c_custkey" ->
+                  (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                    : graft.sources.dynamo.AttrVal))))
+              }
+              w.flush()
+            } finally w.close()
+          }
+        val st = new LocalKVStore(root)
+        st.appendWal("customer_asof", seq, "asofput", Seq(st.Put(Map(
+          "c_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(-1)),
+          "c_name" -> graft.sources.dynamo.AttrVal.S("time traveler"),
+          "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("0.5"))))))
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // WAL time travel (PITR shape): the snapshot read bounds the
+    // journal replay at a past sequence, so the result equals the
+    // table before the epoch-2 deletes/put — i.e. the parquet fixture
+    // exactly, which IS the oracle. The latest read sees epoch 2.
+    "q_dyn_asof" -> ((s, dir) => {
+      val root = seededAsofRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_asof")
+        .option("asOfSeq", (asofEpochSeq - 1).toString).load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    "q_dyn_asof_latest" -> ((s, dir) => {
+      val root = seededAsofRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_asof").load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // Storage-partitioned join: customer ⋈ customer_flags share the
     // bucket(16, c_custkey) layout, both loaded through the catalog
     // (whose FunctionCatalog resolves the transform), so the join runs
@@ -312,6 +384,20 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the snapshot read rolls the journal back to before epoch 2, so
+    // the oracle is the untouched parquet fixture; the latest read is
+    // the fixture with epoch 2 (deletes + sentinel put) expressed in SQL
+    "q_dyn_asof" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_asof_latest" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS c_custkey,
+        |         'time traveler' AS c_name, 0.5 AS c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     // flags table = (c_acctbal > 0) per customer, so the co-sharded
     // join reduces to the plain predicate on the parquet fixture
     "q_dyn_spj" ->

@@ -52,7 +52,14 @@ final case class DynamoOptions(
     startingOffsets: String,
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
-    maxPushedGroups: Int) extends Serializable
+    maxPushedGroups: Int,
+    /** Snapshot read at a past journal sequence (WAL PITR): the scan
+      * replays only journal files published at or before this offset —
+      * the same sequence space the CDC feed exposes. Read-only: write
+      * and row-level builders reject it. Window reaches back to the
+      * last compaction (compaction folds + deletes the journal).
+      */
+    asOfSeq: Option[Long]) extends Serializable
 
 object DynamoOptions {
 
@@ -104,7 +111,8 @@ object DynamoOptions {
           "option 'maxPushedGroups' must be > 0 (it bounds the grouped-pushdown " +
             "reader's per-segment group map; 0 would never accumulate nor drain)")
         g
-      })
+      },
+      asOfSeq = opt("asOfSeq").map(_.toLong))
   }
 }
 
@@ -124,12 +132,12 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
     val opts = DynamoOptions(options)
     val store = new LocalKVStore(opts.path)
     val sample = opts.indexName match {
-      case None => store.samplePage(opts.tableName)
+      case None => store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
       case Some(ix) => // GSI read (A8): sample through the index view
         val meta = store.describe(opts.tableName)
         val index = meta.indexes.getOrElse(ix, throw new IllegalArgumentException(
           s"table ${opts.tableName} has no index '$ix' (has: ${meta.indexes.keys.mkString(", ")})"))
-        store.samplePage(opts.tableName)
+        store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
           .flatMap(store.indexView(meta, index, _))
     }
     val inferred = Codec.inferSchema(sample)
@@ -220,16 +228,23 @@ final class DynamoTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DynamoScanBuilder(opts, tableSchema)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(opts.asOfSeq.isEmpty,
+      "asOfSeq is a snapshot-read option: writes always apply to the current table")
     new DynamoWriteBuilder(opts, info.schema())
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` — delta-based row-level operations
     * (see [[DynamoRowLevelBuilder]]): only changed rows ship, keyed by
     * the primary key.
     */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(opts.asOfSeq.isEmpty,
+      "asOfSeq is a snapshot-read option: UPDATE/MERGE/DELETE always " +
+        "apply to the current table")
     new DynamoRowLevelBuilder(opts, tableSchema, info)
+  }
 
   /** SQL `DELETE FROM <table> WHERE <cond>` — DynamoDB's PartiQL
     * DELETE surface. Accepted only when the store can evaluate every
@@ -245,6 +260,8 @@ final class DynamoTable(
     filters.forall(FilterEval.supported)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(opts.asOfSeq.isEmpty,
+      "asOfSeq is a snapshot-read option: DELETE always applies to the current table")
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
@@ -476,7 +493,8 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var boundedCache = Map.empty[Seq[String], Boolean]
   private def groupsLookBounded(cols: Seq[String]): Boolean =
     boundedCache.getOrElse(cols, {
-      val sample = new LocalKVStore(opts.path).samplePage(opts.tableName)
+      val sample = new LocalKVStore(opts.path)
+        .samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
       val r = sample.size < 64 ||
         sample.map(it => cols.map(it.get)).distinct.size * 2 <= sample.size
       boundedCache += cols -> r
@@ -1051,7 +1069,11 @@ final class DynamoMicroBatchStream(
       case Some(f) => math.min(clockBound, f - 1)
       case None    => clockBound
     }
-    val fence = f"wal-$bound%020d~"
+    // asOfSeq composes with the feed: the fence never admits names
+    // past the snapshot point, so the stream delivers exactly the
+    // changes a batch asOf read would have folded, then goes quiet.
+    val capped = opts.asOfSeq.fold(bound)(math.min(bound, _))
+    val fence = f"wal-$capped%020d~"
     val eligible = names.filter(_ <= fence)
     if (eligible.nonEmpty) lift(eligible.max)
     WalOffset(lastSeen)
@@ -1329,7 +1351,8 @@ final class DynamoPartitionReader(
   // SPJ planning (see planInputPartitions); it owns no matching rows.
   private val items: Iterator[(Item, Int)] =
     if (partition.padEmpty) Iterator.empty
-    else store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+    else store.scanSegment(opts.tableName, partition.segment, partition.totalSegments,
+      opts.asOfSeq)
 
   // One clock per scan task: every item in the partition sees the same
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).
@@ -1467,7 +1490,7 @@ final class DynamoGroupedAggReader(
       // grouping ⊇ the full primary key: the store holds one item per
       // key, so every item is its own (final) group — stream rows with
       // zero group state, at any segment size
-      store.scanSegment(opts.tableName, part.segment, part.totalSegments)
+      store.scanSegment(opts.tableName, part.segment, part.totalSegments, opts.asOfSeq)
         .flatMap { case (item0, sz) =>
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
@@ -1486,7 +1509,8 @@ final class DynamoGroupedAggReader(
     }
     else new Iterator[InternalRow] {
       private val src =
-        store.scanSegment(opts.tableName, part.segment, part.totalSegments)
+        store.scanSegment(opts.tableName, part.segment, part.totalSegments,
+          opts.asOfSeq)
       // LinkedHashMap: group emission order = first-seen order, so
       // re-runs of the same segment emit identically (scan order is
       // file order, which is deterministic).
@@ -1709,7 +1733,8 @@ final class DynamoAggReader(
   override def next(): Boolean = {
     if (emitted) return false
     if (partition.padEmpty) { emitted = true; return true } // empty partials
-    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments)
+    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments,
+        opts.asOfSeq)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1

@@ -332,11 +332,23 @@ final class LocalKVStore(root: String) {
     n.substring(n.lastIndexOf("-s") + 2).toInt
   }
 
+  /** Publish sequence embedded in a WAL file name
+    * (`wal-<pubSeq>-<writer>-s<shard>.jsonl`) — the same number the
+    * change feed uses as its offset space.
+    */
+  private def walPubSeq(p: Path): Long =
+    p.getFileName.toString.stripPrefix("wal-").takeWhile(_ != '-').toLong
+
   /** WAL ops for the given segment only (per-shard WAL files make this
     * proportional to the segment's own journal, not the table's).
+    * `asOfSeq` bounds the replay fold: only journal files published at
+    * or before that sequence participate — the snapshot-read half of
+    * the PITR story (see [[scanSegment]]).
     */
-  private def walOps(table: String, segment: Int, totalSegments: Int): Iterator[Op] =
+  private def walOps(table: String, segment: Int, totalSegments: Int,
+      asOfSeq: Option[Long] = None): Iterator[Op] =
     listFiles(table, "wal-").filter(p => walShard(p) % totalSegments == segment)
+      .filter(p => asOfSeq.forall(walPubSeq(p) <= _))
       .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
       .filter(_.nonEmpty)
@@ -433,8 +445,18 @@ final class LocalKVStore(root: String) {
     * WAL is replayed per segment over only the keys that hash into
     * this segment, so segments stay disjoint and independently
     * computable on any executor.
+    *
+    * `asOfSeq`: snapshot read at a past journal sequence — the replay
+    * fold simply stops admitting WAL files published after it, so the
+    * view equals the table as of that offset (DynamoDB PITR's shape,
+    * over the same journal the change feed exposes). The window
+    * reaches back to the last compaction: [[compactShard]] folds the
+    * journal into the base and deletes it, so compacted history is no
+    * longer addressable — callers wanting deep time travel retain
+    * their journal.
     */
-  def scanSegment(table: String, segment: Int, totalSegments: Int): Iterator[(Item, Int)] = {
+  def scanSegment(table: String, segment: Int, totalSegments: Int,
+      asOfSeq: Option[Long] = None): Iterator[(Item, Int)] = {
     val meta = describe(table)
     def inSegment(item: Item): Boolean =
       shardOf(meta, item) % totalSegments == segment
@@ -482,7 +504,7 @@ final class LocalKVStore(root: String) {
     // by PUTNX keeps the base untouched (present → no-op).
     val init = KeyState(Right(Map.empty: Item), None)
     val overrides = mutable.LinkedHashMap.empty[String, KeyState]
-    walOps(table, segment, totalSegments).foreach { op =>
+    walOps(table, segment, totalSegments, asOfSeq).foreach { op =>
       if (inSegment(op.item)) {
         val k = keyOf(meta, op.item)
         overrides(k) = applyOp(overrides.getOrElse(k, init), op)
@@ -523,8 +545,9 @@ final class LocalKVStore(root: String) {
   /** First ~1 MB of items — schema-inference sample (A6), mirroring
     * the reference's one-page sample scan.
     */
-  def samplePage(table: String, maxBytes: Int = 1 << 20): Seq[Item] = {
-    val it = scanSegment(table, 0, 1)
+  def samplePage(table: String, maxBytes: Int = 1 << 20,
+      asOfSeq: Option[Long] = None): Seq[Item] = {
+    val it = scanSegment(table, 0, 1, asOfSeq)
     val out = Vector.newBuilder[Item]
     var bytes = 0
     while (it.hasNext && bytes < maxBytes) {
