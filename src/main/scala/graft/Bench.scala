@@ -38,6 +38,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().collect()
+    // Connector first-touch warmup: store seeding (cold /tmp), schema
+    // inference, and catalog registration are one-time session costs
+    // that otherwise land on whichever q_dyn_* key happens to run
+    // first — round-5 showed ~1 s migrating between alphabetically
+    // adjacent connector keys for exactly this reason. BUILDING each
+    // connector query (no materialize) runs the seeding actions and
+    // registers catalogs, uncounted; per-query timings then measure
+    // the query.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      if (n.startsWith("q_dyn")) {
+        try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+      }
+    }
     // Two repetitions per query, keeping the min: one concurrent job on
     // the machine (the round-3 artifact showed phantom 5-9x inflation
     // from exactly that) can't masquerade as a code regression.

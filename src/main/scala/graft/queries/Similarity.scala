@@ -164,9 +164,10 @@ object Similarity {
 
     // IVF + product quantization (the FAISS IVFPQ shape): residuals
     // vs the cell centroid are split into M=4 subspaces of 16 dims;
-    // each subspace gets a K=4-entry codebook (trained by one
-    // deterministic assignment step: 2-bit sign-quadrant seeds →
-    // per-code mean); vectors are ENCODED as their nearest codebook
+    // each subspace gets a K=4-entry codebook trained by 2-bit
+    // sign-quadrant seeding plus ONE Lloyd (k-means) refinement step
+    // — the real training loop, kept deterministic end to end;
+    // vectors are ENCODED as their nearest codebook
     // entry per subspace (so 64 doubles compress to 4 2-bit codes);
     // the query probes its 3 nearest cells with ASYMMETRIC distance
     // (query residual vs codebook entry, a 4×4-entry lookup table per
@@ -195,25 +196,36 @@ object Similarity {
           (col("i") / sub).cast("int").as("m"), (col("i") % sub).as("j"),
           (col("x") - col("c")).as("r"))
       // trainer: 2-bit sign-quadrant seed per residual subvector
-      // (signs of local dims 0 and 1) → codebook entry = per-(m, code,
-      // j) mean residual, floor-quantized
+      // (signs of local dims 0 and 1), then ONE Lloyd refinement —
+      // assign every subvector to its nearest seed-codebook entry and
+      // recompute the means over that assignment. Both halves are the
+      // standard k-means steps, kept deterministic by the same
+      // floor-quantized distances/means and tie→code-asc rule as the
+      // final encode, so DuckDB replays the training bit-identically.
+      // assign: nearest codebook entry per (vector, subspace) by
+      // quantized L2 (tie → code asc) — the E-step, and also the encoder
+      def assign(codebook: DataFrame): DataFrame =
+        res.join(broadcast(codebook), Seq("m", "j"))
+          .groupBy("vec_id", "label", "m", "code")
+          .agg(floor(sum((col("r") - col("v")) * (col("r") - col("v"))) * 1000000 + 0.5)
+            .as("d"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("code").asc)))
+          .filter(col("rk") === 1)
+          .select("vec_id", "label", "m", "code")
+      // codebook: per-(m, code, j) mean residual over an assignment,
+      // floor-quantized — the M-step
+      def codebook(assignment: DataFrame): DataFrame =
+        res.join(assignment.select("vec_id", "m", "code"), Seq("vec_id", "m"))
+          .groupBy("m", "code", "j")
+          .agg((floor(avg("r") * 1000000 + 0.5) / 1000000).as("v"))
       val seed = res.filter(col("j") < 2)
         .groupBy("vec_id", "m")
         .agg(sum(when(col("j") === 0 && col("r") > 0, 1).otherwise(0)
                + when(col("j") === 1 && col("r") > 0, 2).otherwise(0)).as("code"))
-      val cb = res.join(seed, Seq("vec_id", "m"))
-        .groupBy("m", "code", "j")
-        .agg((floor(avg("r") * 1000000 + 0.5) / 1000000).as("v"))
-      // encode: nearest codebook entry per (vector, subspace) by
-      // quantized L2 (tie → code asc)
-      val enc = res.join(broadcast(cb), Seq("m", "j"))
-        .groupBy("vec_id", "label", "m", "code")
-        .agg(floor(sum((col("r") - col("v")) * (col("r") - col("v"))) * 1000000 + 0.5)
-          .as("d"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("code").asc)))
-        .filter(col("rk") === 1)
-        .select("vec_id", "label", "m", "code")
+      val cb0 = codebook(seed)
+      val cb = codebook(assign(cb0)) // refined codebook (one Lloyd step)
+      val enc = assign(cb)
       // asymmetric-distance LUT: query residual (per probed cell) vs
       // each codebook entry
       val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
@@ -357,9 +369,20 @@ object Similarity {
         |                sum(CASE WHEN j = 0 AND r > 0 THEN 1 ELSE 0 END
         |                  + CASE WHEN j = 1 AND r > 0 THEN 2 ELSE 0 END) AS code
         |         FROM res WHERE j < 2 GROUP BY 1, 2),
-        |cb AS (SELECT r.m, seed.code, r.j,
+        |cb0 AS (SELECT r.m, seed.code, r.j,
+        |               floor(avg(r.r) * 1000000 + 0.5) / 1000000 AS v
+        |        FROM res r JOIN seed ON r.vec_id = seed.vec_id AND r.m = seed.m
+        |        GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, m, code FROM (
+        |  SELECT r.vec_id, r.m, cb0.code,
+        |         row_number() OVER (PARTITION BY r.vec_id, r.m
+        |           ORDER BY floor(sum((r.r - cb0.v) * (r.r - cb0.v)) * 1000000 + 0.5) ASC,
+        |                    cb0.code ASC) AS rk
+        |  FROM res r JOIN cb0 ON r.m = cb0.m AND r.j = cb0.j
+        |  GROUP BY r.vec_id, r.m, cb0.code) WHERE rk = 1),
+        |cb AS (SELECT r.m, a1.code, r.j,
         |              floor(avg(r.r) * 1000000 + 0.5) / 1000000 AS v
-        |       FROM res r JOIN seed ON r.vec_id = seed.vec_id AND r.m = seed.m
+        |       FROM res r JOIN a1 ON r.vec_id = a1.vec_id AND r.m = a1.m
         |       GROUP BY 1, 2, 3),
         |enc AS (SELECT vec_id, label, m, code FROM (
         |  SELECT r.vec_id, r.label, r.m, cb.code,
