@@ -195,6 +195,11 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           (col("i") / sub).cast("int").as("m"), (col("i") % sub).as("j"),
           (col("x") - col("c")).as("r"))
+        // Residuals feed FIVE consumers (seed, both codebook M-steps,
+        // both assignment E-steps): materialize once instead of
+        // recomputing the explode+joins per consumer — at corpus scale
+        // the training set is persisted state, not a view.
+        .localCheckpoint()
       // trainer: 2-bit sign-quadrant seed per residual subvector
       // (signs of local dims 0 and 1), then ONE Lloyd refinement —
       // assign every subvector to its nearest seed-codebook entry and

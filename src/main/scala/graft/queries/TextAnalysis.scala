@@ -269,6 +269,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM cross-entropy scoring — the CCNet/Gopher-style
+    // perplexity quality filter with a bounded vocabulary: train
+    // p(tok) = cnt/total over the corpus, keep only the TOP-16 tokens
+    // by count (tie → token asc; TakeOrderedAndProject, so the vocab
+    // is a distributed top-K and stays broadcast-sized at ANY corpus
+    // scale), and score each document in bits/token with an OOV floor
+    // of 1/total. High bits = improbable text — the filter signal.
+    // Sum terms are per-(doc, tok) groups like q_text_entropy, so both
+    // engines fold identical (tf, cnt, total) tuples; floor-scaled.
+    "q_text_lm_score" -> ((s, dir) => {
+      val tf = Fixtures.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // corpus counts from the tf aggregate (its rows ARE the distinct
+      // (doc, tok) pairs) — ReuseExchange shares the scan+shuffle
+      val counts = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(16)
+      val bits = -log(coalesce(col("cnt"), lit(1L)) * lit(1.0) / col("total")) /
+        log(lit(2.0))
+      tf.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(floor(sum(col("tf") * bits) / sum(col("tf")) * 10000 + 0.5)
+          .as("bits_x1e4"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document n-gram novelty — the decontamination primitive:
     // the fraction of a document's distinct token trigrams that appear
     // in NO other document. The same shape checks a training corpus
@@ -469,6 +497,20 @@ object TextAnalysis {
         |            * 10000 + 0.5) AS BIGINT) AS entropy_x1e4
         |FROM tf JOIN n USING (doc_id)
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |counts AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+        |           FROM tf GROUP BY 1),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 16)
+        |SELECT doc_id,
+        |       CAST(floor(sum(tf * -ln(CAST(coalesce(v.cnt, 1) AS DOUBLE)
+        |                               / total.total) / ln(2.0))
+        |            / sum(tf) * 10000 + 0.5) AS BIGINT) AS bits_x1e4
+        |FROM tf LEFT JOIN vocab v USING (tok), total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 300),

@@ -23,6 +23,25 @@ object DynamoMaintenance {
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
   }
 
+  /** TTL reaper: the reclamation half of the TTL story. Reads only
+    * HIDE expired items (`ttlAttribute`/`ttlNow` options); this job
+    * physically deletes them, like DynamoDB's background TTL deletion
+    * — one task per shard, folding the journal and dropping every item
+    * whose `ttlAttribute` is strictly below `nowEpochS` (the same
+    * liveness rule scans use: missing/non-numeric attr = live). Run it
+    * on whatever cadence the table's churn needs; between runs expired
+    * items cost storage, never visibility.
+    */
+  def reapExpired(spark: SparkSession, path: String, table: String,
+      ttlAttribute: String, nowEpochS: Long): Unit = {
+    val shards = new LocalKVStore(path).describe(table).shards
+    val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(0 until shards, parallelism)
+      .foreach(sh => new LocalKVStore(path)
+        .compactShard(table, sh, expireTtl = Some((ttlAttribute, nowEpochS))))
+  }
+
   /** Re-bucket a table into a new shard count — the split/merge move a
     * long-lived table needs when data volume outruns its layout (more
     * shards = more scan/write parallelism and finer SPJ buckets; fewer

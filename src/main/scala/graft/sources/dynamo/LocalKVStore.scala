@@ -571,11 +571,25 @@ final class LocalKVStore(root: String) {
     * close() then at least fails loudly on the missing rename source).
     */
   def compactShard(table: String, shard: Int,
-      reapTmpIdleMs: Long = 3600000L): Unit = {
+      reapTmpIdleMs: Long = 3600000L,
+      expireTtl: Option[(String, Long)] = None): Unit = {
     val meta = describe(table)
     val dir = tableDir(table)
     // A "segment" of totalSegments = meta.shards is exactly one shard.
-    val merged = scanSegment(table, shard, meta.shards).map(_._1).toVector
+    // `expireTtl = (attr, nowEpochS)`: physically drop items whose ttl
+    // attribute is strictly below `now` while folding — the reaper half
+    // of the TTL story (reads only HIDE expired items; this reclaims
+    // them, like DynamoDB's background TTL deletion). Same liveness
+    // rule as scan-time Ttl.alive: non-numeric/missing attr = live.
+    val expired: Item => Boolean = expireTtl match {
+      case None => _ => false
+      case Some((attr, now)) => item => item.get(attr) match {
+        case Some(AttrVal.N(v)) => v < BigDecimal(now)
+        case _ => false
+      }
+    }
+    val merged = scanSegment(table, shard, meta.shards).map(_._1)
+      .filterNot(expired).toVector
     val tmp = dir.resolve(f"compact-$shard%03d.tmp")
     val w = Files.newBufferedWriter(tmp, UTF_8)
     try merged.foreach { it => w.write(ItemJson.write(it)); w.write("\n") }

@@ -1605,4 +1605,32 @@ class DynamoConnectorSpec extends AnyFunSuite {
         ("PUT", "k3"), ("UPDATE", "k1")), s"feed saw: $ops")
     } finally seen.stop()
   }
+
+  test("TTL reaper physically reclaims expired items; live items and reads intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(("k1", 10L, Some(999L)), ("k2", 20L, Some(2000000000L)), ("k3", 30L, None))
+      .toDF("id", "v", "expires_at").write.dynamo(root, "reap", "id")
+    def raw = spark.read.format("dynamo")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.StringType)
+        .add("v", org.apache.spark.sql.types.LongType)
+        .add("expires_at", org.apache.spark.sql.types.LongType))
+      .option("path", root).option("tableName", "reap").load()
+    // before the reap: the expired item is hidden by ttl reads but
+    // still physically present
+    assert(raw.count() === 3L)
+    graft.sources.dynamo.DynamoMaintenance
+      .reapExpired(spark, root, "reap", "expires_at", 1000000000L)
+    // after: physically gone; survivors byte-identical
+    val left = raw.select("id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(left === Seq(("k2", 20L), ("k3", 30L)))
+    // ttl-visible read agrees with the raw read now
+    val vis = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "reap")
+      .option("ttlAttribute", "expires_at").option("ttlNow", "1000000000")
+      .load().select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(vis === Seq("k2", "k3"))
+  }
 }
