@@ -300,6 +300,29 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // Random-projection dimensionality reduction (Achlioptas-style
+    // ±1 matrix): 64-dim embeddings → 8 projected coords. The matrix
+    // is a pure integer function of (i, j) — parity of (37i + 101j)
+    // mod 97 — so every engine and every executor materializes the
+    // SAME matrix with zero coordination or broadcast state: the
+    // coordination-free trick that makes the projection reproducible
+    // across reruns and engines at any scale. Spark side folds each
+    // output coord in ONE codegen'd `aggregate` pass over the vector
+    // (no 64× explode, no shuffle); only the 8× j-expansion is
+    // generated map-side. Linear in corpus — the 100 TB shape.
+    "q_emb_project" -> ((s, dir) =>
+      Fixtures.embeddings(s, dir)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("j"),
+          col("embedding"))
+        .select(col("vec_id"), col("j"),
+          expr("""round(aggregate(sequence(1, size(embedding)),
+                 |cast(0.0 as double), (acc, i) -> acc +
+                 |  cast(element_at(embedding, i) as double) *
+                 |  (case when ((37*i + 101*j) % 97) % 2 = 0
+                 |        then 1.0 else -1.0 end)), 4)""".stripMargin
+            .replace("\n", " ")).as("p"))
+        .orderBy("vec_id", "j")),
+
     // Typed-Aggregator UDAF (SURVEY.md UDF/UDAF surface): exact
     // per-label centroid — partial buffers map-side, one shuffle keyed
     // by label, exploded to (label, dim) rows for the oracle compare.
@@ -315,6 +338,16 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_emb_project" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |js AS (SELECT unnest(range(8)) AS j)
+        |SELECT vec_id, j,
+        |       round(sum(x * (CASE WHEN ((37*i + 101*j) % 97) % 2 = 0
+        |                           THEN 1.0 ELSE -1.0 END)), 4) AS p
+        |FROM ex CROSS JOIN js
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "q_sim_ivf" ->
       """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                   generate_subscripts(embedding, 1) AS i

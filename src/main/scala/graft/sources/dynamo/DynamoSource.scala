@@ -186,9 +186,36 @@ final class DynamoTable(
     opts: DynamoOptions, tableSchema: StructType, acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"dynamo:${opts.tableName}"
+
+  /** Hidden metadata columns (the Iceberg `_file`/`_pos` pattern):
+    * `_shard` = the store shard (bucket) the item lives in — placement
+    * debugging, skew analysis, SPJ layout inspection; `_size` = the
+    * item's wire size in bytes — DynamoDB's RCU unit, so
+    * `sum(_size)` IS the scan's capacity cost. Absent from `SELECT *`;
+    * projected only when named. A data column with the same name
+    * shadows the metadata column (excluded here, per the interface
+    * contract). Values are synthesized in the partition reader —
+    * placement is a pure key function and the size rides the wire
+    * tuple, so neither costs extra I/O.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val taken = tableSchema.fieldNames.toSet
+    def col(colName: String, dt: org.apache.spark.sql.types.DataType, doc: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = colName
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = doc
+      }
+    Array(
+      col(DynamoMetaCols.Shard, IntegerType, "store shard (bucket) holding the item"),
+      col(DynamoMetaCols.Size, IntegerType, "wire size of the item in bytes"))
+      .filterNot(c => taken(c.name()))
+  }
 
   /** Key columns are non-nullable by construction (the store rejects
     * an item missing its key), and declaring it matters: delta-based
@@ -299,6 +326,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
@@ -307,6 +335,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var advPushed: Seq[PredicateV2.VPred] = Nil
   private var requiredSchema: StructType = tableSchema
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Option[PushedTopN] = None
   private var aggs: Seq[PushedAgg] = Nil
   private var grouped: Option[PushedGroupBy] = None
@@ -342,9 +371,9 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
 
   /** Limit pushdown: each segment reader stops after emitting `limit`
     * post-filter rows, so a `.limit(k)` preview reads ~k items per
-    * segment instead of the table. Returning true = fully pushed
-    * (filters are applied below the limit in our reader, so the
-    * count is exact); Spark keeps only the global limit on top.
+    * segment instead of the table. Filters apply below the limit in
+    * our reader, so the per-segment count is exact; whether Spark may
+    * drop its own global limit is [[isPartiallyPushed]]'s call.
     */
   override def pushLimit(l: Int): Boolean = {
     // After a COMPLETE aggregate push the relation's rows are agg
@@ -354,6 +383,33 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // are already settled here.)
     if (aggs.nonEmpty || grouped.isDefined) return false
     limit = Some(l); true
+  }
+
+  /** True when the scan's full-scan plan is provably ONE segment —
+    * the condition under which a pushed limit is GLOBAL (Spark may
+    * then remove its own Limit) and a pushed offset is expressible at
+    * all. Computed once; [[build]] passes `pinSingleSegment` so the
+    * scan can't re-split after the promise.
+    */
+  private lazy val singleSegmentPlan: Boolean = {
+    val store = new LocalKVStore(opts.path)
+    DynamoScan.fullScanSegments(store, store.describe(opts.tableName), opts) == 1
+  }
+
+  /** Offset pushdown (`LIMIT n OFFSET m` / `df.offset(m)`): accepting
+    * means Spark REMOVES its Offset operator, so the skip must be
+    * GLOBAL — only a scan that provably plans ONE segment can honor
+    * that (the JDBC sources accept for the same single-partition
+    * reason). Multi-segment scans decline and Spark keeps the offset;
+    * nothing is lost but the small skip. Spark negotiates the paired
+    * limit first (`pushLimit` gets the PRE-offset row budget, and only
+    * a FULL limit push — [[isPartiallyPushed]] false — lets the offset
+    * be attempted), so the reader counts skipped rows against the
+    * pushed limit and drops the first `m` post-filter rows.
+    */
+  override def pushOffset(o: Int): Boolean = {
+    if (aggs.nonEmpty || grouped.isDefined || topN.isDefined || o <= 0) return false
+    if (singleSegmentPlan) { offset = Some(o); true } else false
   }
 
   /** Top-N pushdown (`ORDER BY ... LIMIT n` directly over the scan):
@@ -386,7 +442,15 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     } else false
   }
 
-  override def isPartiallyPushed(): Boolean = true
+  /** Shared by the limit and top-N interfaces (one JVM method). A
+    * pushed top-N is always partial: each segment ships its best n and
+    * Spark's TakeOrderedAndProject merges. A plain pushed limit is
+    * partial per-segment for the same reason — EXCEPT on a provably
+    * single-segment plan, where "per-segment" IS global: declaring the
+    * full push there is what lets Spark remove its Limit and negotiate
+    * the offset ([[pushOffset]]). [[build]] pins that plan.
+    */
+  override def isPartiallyPushed(): Boolean = topN.isDefined || !singleSegmentPlan
 
   private def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
     case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
@@ -542,7 +606,11 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // is correct, resolving a missing column is a crash.
     val safeTopN = topN.filter(_.keys.forall(k =>
       requiredSchema.fieldNames.contains(k.name)))
-    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed)
+    // A claimed-full limit (or any offset) push promised ONE segment;
+    // the scan must pin that plan and refuse re-splits.
+    val pin = offset.isDefined || (limit.isDefined && singleSegmentPlan && topN.isEmpty)
+    new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed,
+      offset, pinSingleSegment = pin)
   }
 }
 
@@ -659,6 +727,16 @@ object PushedAgg {
   }
 }
 
+/** Names of the connector's hidden metadata columns (see
+  * [[DynamoTable.metadataColumns]]); the partition reader synthesizes
+  * their values when the pruned schema asks for them.
+  */
+object DynamoMetaCols {
+  val Shard = "_shard"
+  val Size = "_size"
+  val names: Set[String] = Set(Shard, Size)
+}
+
 /** One scan segment ↔ one Spark input partition (A1). When the scan
   * plans one segment per store shard, the segment id IS the bucket id
   * of the table's key-hash layout — reported via [[HasPartitionKey]]
@@ -691,11 +769,27 @@ private object ScanMetrics {
   }
 }
 
+object DynamoScan {
+  /** ONE definition of the full-scan segment count, shared by
+    * [[DynamoScan.outputPartitioning]], [[DynamoScan.planInputPartitions]]
+    * and [[DynamoScanBuilder.pushOffset]]'s single-segment check: if
+    * these ever drifted, the scan could claim a bucket layout (or a
+    * pushed global offset) while planning different segments —
+    * silently wrong results, not a plan error.
+    */
+  def fullScanSegments(store: LocalKVStore, meta: TableMeta, opts: DynamoOptions): Int = {
+    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
+    opts.readPartitions.getOrElse(
+      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
+  }
+}
+
 final class DynamoScan(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
     topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None,
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil, pushedOffset: Option[Int] = None,
+    pinSingleSegment: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -710,10 +804,19 @@ final class DynamoScan(
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[v2expr.NamedReference] =
-    schema.fieldNames.map(v2expr.Expressions.column)
+    // metadata columns (`_shard`/`_size`) are synthesized AFTER the
+    // wire-item filter evaluation — a runtime filter on them would see
+    // a missing attribute and drop every row
+    schema.fieldNames.filterNot(DynamoMetaCols.names).map(v2expr.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit =
-    runtime = filters.filter(FilterEval.supported)
+    // A fully-pushed LIMIT/OFFSET counts post-filter rows: Spark may
+    // have removed its own Limit/Offset on that promise, so letting a
+    // runtime filter drop rows below the count would shift the window
+    // onto rows the original plan never returned. Decline runtime
+    // filters then — correctness over pruning (these scans are tiny).
+    if (!pinSingleSegment) runtime = filters.filter(f =>
+      FilterEval.supported(f) && !f.references.exists(DynamoMetaCols.names))
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
@@ -739,6 +842,7 @@ final class DynamoScan(
     s"dynamo:${opts.tableName} PushedFilters: [${pushed.mkString(", ")}], " +
       (if (adv.nonEmpty) s"PushedV2Predicates: [${adv.mkString(", ")}], " else "") +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
+      pushedOffset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       topN.map(t => s"PushedTopN: [${t.describe}], ").getOrElse("") +
       (if (aggs.nonEmpty || grouped.isDefined) {
         val names = aggs.map {
@@ -823,6 +927,7 @@ final class DynamoScan(
     */
   private def reportsPerShard(store: LocalKVStore, meta: TableMeta): Boolean =
     fullScanSegments(store, meta) == meta.shards && opts.indexName.isEmpty &&
+      !pinSingleSegment && // limit/offset full-push pins one merged segment
       // ungrouped-agg output isn't keyed; a KEYED grouped push is —
       // its rows (final or flushed partials) stay keyed by the
       // placement key in their own shard's segment, so downstream
@@ -832,16 +937,8 @@ final class DynamoScan(
       !opts.cdc &&
       placementCols(meta).forall(readSchema().fieldNames.contains)
 
-  /** ONE definition of the full-scan segment count, shared by
-    * [[outputPartitioning]] and [[planInputPartitions]]: if these ever
-    * drifted, the scan could claim a bucket layout while planning
-    * merged segments — silently wrong join results, not a plan error.
-    */
-  private def fullScanSegments(store: LocalKVStore, meta: TableMeta): Int = {
-    val bySize = math.max(1L, store.sizeBytes(opts.tableName) / opts.maxPartitionBytes).toInt
-    opts.readPartitions.getOrElse(
-      math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
-  }
+  private def fullScanSegments(store: LocalKVStore, meta: TableMeta): Int =
+    DynamoScan.fullScanSegments(store, meta, opts)
 
   /** Segment count = stored bytes / maxPartitionBytes, clamped to
     * [1, shards] and capped by defaultParallelism, or forced by the
@@ -861,6 +958,15 @@ final class DynamoScan(
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
+    // A fully-pushed LIMIT/OFFSET was accepted on the promise of ONE
+    // segment (a global count/skip); pin that plan here regardless of
+    // what key-shard pruning or a size re-read would now say — a
+    // re-split after the promise would count/skip PER segment,
+    // silently wrong once Spark dropped its own operator.
+    if (pinSingleSegment) {
+      val rate = math.max(0.1, opts.targetCapacity * throughput)
+      return Array(DynamoInputPartition(0, 1, rate))
+    }
     keyShards(store, meta) match {
       case Some(shards) =>
         val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, shards.size))
@@ -961,7 +1067,8 @@ final class DynamoScan(
   override def createReaderFactory(): PartitionReaderFactory = grouped match {
     case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv)
     case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv)
-    case None => new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv)
+    case None =>
+      new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv, pushedOffset)
   }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
@@ -1174,7 +1281,7 @@ final class DynamoWalReader(
 final class DynamoReaderFactory(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil, offset: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
@@ -1183,7 +1290,7 @@ final class DynamoReaderFactory(
         new DynamoTopNReader(
           new DynamoPartitionReader(opts, schema, pushed, p, adv = adv), schema, t)
       case None =>
-        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv)
+        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset)
     }
   }
 
@@ -1202,7 +1309,7 @@ final class DynamoReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     new DynamoColumnarReader(
-      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv), schema)
+      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset), schema)
   }
 }
 
@@ -1328,11 +1435,23 @@ final class DynamoPartitionReader(
     pushed: Array[Filter],
     partition: DynamoInputPartition,
     limit: Option[Int] = None,
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil,
+    offset: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
-  private val decode = Codec.rowReader(schema)
+  // Metadata columns (`_shard`/`_size`) are synthesized here, not
+  // decoded: split them out of the codec's schema and re-insert their
+  // values at the right ordinals per item.
+  private val metaCols: Array[(String, Int)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if DynamoMetaCols.names(f.name) => (f.name, i)
+    }
+  private val dataSchema: StructType =
+    if (metaCols.isEmpty) schema
+    else StructType(schema.fields.filterNot(f => DynamoMetaCols.names(f.name)))
+  private lazy val placementMeta: TableMeta = store.describe(opts.tableName)
+  private val decode = Codec.rowReader(dataSchema)
   private val limiter = new RateLimiter(partition.ratePerSegment)
   // Eventually-consistent reads cost half an RCU per 4 KB, like DynamoDB.
   private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
@@ -1359,13 +1478,16 @@ final class DynamoPartitionReader(
   private val ttlNow = Ttl.now(opts)
 
   private var current: InternalRow = _
-  private var emitted = 0
+  // Post-filter rows seen, INCLUDING ones a pushed offset skips: Spark
+  // negotiates the paired limit before the offset (the limit is the
+  // pre-offset row budget), so skipped rows count against it.
+  private var seen = 0
   private var scanned = 0L
   private var filtered = 0L
 
   override def next(): Boolean = {
-    if (limit.exists(emitted >= _)) return false // pushed limit: stop the scan early
     while (items.hasNext) {
+      if (limit.exists(seen >= _)) return false // pushed limit: stop the scan early
       val (item0, sz) = items.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
@@ -1373,13 +1495,35 @@ final class DynamoPartitionReader(
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) &&
             adv.forall(PredicateV2.eval(_, it)) =>
-          current = decode(it)
-          emitted += 1
-          return true
+          seen += 1
+          if (!offset.exists(seen <= _)) { // first `m` rows: pushed-OFFSET skip
+            current = withMetaCols(decode(it), it, sz)
+            return true
+          }
         case _ => filtered += 1 // dropped by pushed filter or sparse index
       }
     }
     false
+  }
+
+  /** Re-inserts synthesized metadata-column values around the decoded
+    * data columns. `_shard` is the item's placement bucket (a pure key
+    * function — same hash the writers and SPJ layout use); `_size` is
+    * the wire byte size the rate limiter charged.
+    */
+  private def withMetaCols(base: InternalRow, it: Item, sz: Int): InternalRow = {
+    if (metaCols.isEmpty) return base
+    val full = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(schema.length)
+    var di = 0
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (f.name == DynamoMetaCols.Shard) full.update(i, store.shardOf(placementMeta, it))
+      else if (f.name == DynamoMetaCols.Size) full.update(i, sz)
+      else { full.update(i, base.get(di, dataSchema.fields(di).dataType)); di += 1 }
+      i += 1
+    }
+    full
   }
 
   override def get(): InternalRow = current

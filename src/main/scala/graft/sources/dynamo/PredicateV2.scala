@@ -104,8 +104,17 @@ object PredicateV2 {
     * v1 filter (preferred: feeds shard pruning and the streaming
     * readers); Right = v2-only, evaluated via [[eval]]; None = decline.
     */
-  def translate(p: Predicate, schema: StructType, ansi: Boolean): Option[Either[Filter, VPred]] =
-    toV1(p).map(Left(_)).orElse(toAdv(p, schema, ansi).map(Right(_)))
+  def translate(p: Predicate, schema: StructType, ansi: Boolean): Option[Either[Filter, VPred]] = {
+    // A predicate may reference columns that exist in the QUERY but
+    // not on the wire — metadata columns (`_shard`/`_size`) being the
+    // live case. The store evaluates filters on the wire item, where a
+    // missing attribute reads as "doesn't match" — accepting such a
+    // push would silently drop every row. Decline; Spark keeps it.
+    val known = schema.fieldNames.toSet
+    if (!p.references().forall(r =>
+        r.fieldNames().length == 1 && known(r.fieldNames().head))) None
+    else toV1(p).map(Left(_)).orElse(toAdv(p, schema, ansi).map(Right(_)))
+  }
 
   private def colName(e: V2Expr): Option[String] = e match {
     case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames().head)

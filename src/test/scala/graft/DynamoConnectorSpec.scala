@@ -1606,6 +1606,70 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally seen.stop()
   }
 
+  test("offset pushdown skips globally on a single-segment scan and declines on multi") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 until 20).map(i => (f"k$i%02d", i.toLong)).toDF("id", "v")
+      .write.dynamo(root, "offs", "id")
+    def scanOrder(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("v"))).toSeq
+    val all = scanOrder(spark.read.dynamo(root, "offs").select("id", "v"))
+
+    // LIMIT+OFFSET page: rows [2, 5) of the single-segment scan order;
+    // both operators land in the scan (Spark's Offset is gone)
+    val page = spark.read.dynamo(root, "offs").select("id", "v").offset(2).limit(3)
+    val desc = page.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedOffset: 2"), desc)
+    assert(scanOrder(page) === all.slice(2, 5))
+
+    // offset alone (no limit) skips and returns the tail
+    val tail = spark.read.dynamo(root, "offs").select("id", "v").offset(17)
+    assert(tail.queryExecution.executedPlan.toString.contains("PushedOffset: 17"))
+    assert(scanOrder(tail) === all.drop(17))
+
+    // pushed filters apply BELOW the offset: skip 2 of the even rows
+    val filtered = spark.read.dynamo(root, "offs").select("id", "v")
+      .filter(col("v") % 2 === 0).offset(2).limit(4)
+    assert(scanOrder(filtered) === all.filter(_._2 % 2 == 0).slice(2, 6))
+
+    // a multi-segment scan DECLINES (global skip inexpressible): Spark
+    // keeps its own offset and the result is still exact
+    val multi = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "offs")
+      .option("readPartitions", "4").load()
+      .select("id", "v").offset(2).limit(3)
+    assert(!multi.queryExecution.executedPlan.toString.contains("PushedOffset"))
+    assert(multi.count() === 3L)
+  }
+
+  test("metadata columns _shard/_size project on demand, stay hidden from *") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 until 60).map(i => (f"k$i%03d", i.toLong)).toDF("id", "v")
+      .write.dynamo(root, "metac", "id")
+    val df = spark.read.dynamo(root, "metac")
+    // hidden from SELECT * / schema
+    assert(!df.columns.contains("_shard") && !df.columns.contains("_size"))
+    // projected on demand; _shard equals the store's placement function
+    val store = new LocalKVStore(root)
+    val meta = store.describe("metac")
+    val rows = df.select(col("id"), col("_shard"), col("_size")).collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val expect = store.shardOf(meta, Map("id" ->
+        (graft.sources.dynamo.AttrVal.S(r.getString(0)): graft.sources.dynamo.AttrVal)))
+      assert(r.getInt(1) === expect, s"shard of ${r.getString(0)}")
+      assert(r.getInt(2) > 0)
+    }
+    // usable in expressions: per-shard skew view sums back to the table
+    val per = df.groupBy(col("_shard")).count().collect()
+    assert(per.map(_.getLong(1)).sum === 60L)
+    assert(per.length === meta.shards || per.length < meta.shards) // ≤ shards buckets
+    // Spark-side filter on a metadata column (never pushed to the wire)
+    val some = df.filter(col("_shard") === per.head.getInt(0)).count()
+    assert(some === per.head.getLong(1))
+  }
+
   test("TTL reaper physically reclaims expired items; live items and reads intact") {
     import spark.implicits._
     val root = freshRoot()
