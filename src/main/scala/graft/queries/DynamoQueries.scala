@@ -262,6 +262,20 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // TABLESAMPLE pushdown: the seeded key-hash Bernoulli sample runs
+    // inside the scan (Spark's Sample operator is removed), so a 30%
+    // preview of a huge table reads 30% of the decode work per segment
+    // with no driver state. Deterministic per (table, seed) — the
+    // row set is reproducible across runs, but not expressible in
+    // portable SQL, so this key is rows-only checked (no oracle).
+    "q_dyn_sample" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .sample(0.3, 1234L)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // Column pruning + filter pushdown through the ScanBuilder — A4/A5.
     "q_dyn_prune_filter" -> ((s, dir) => {
       val root = seededRoot(s, dir)

@@ -328,6 +328,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     with SupportsPushDownLimit
     with SupportsPushDownOffset
     with SupportsPushDownTopN
+    with SupportsPushDownTableSample
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
@@ -337,8 +338,32 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
   private var topN: Option[PushedTopN] = None
+  private var sample: Option[PushedSample] = None
   private var aggs: Seq[PushedAgg] = Nil
   private var grouped: Option[PushedGroupBy] = None
+
+  /** TABLESAMPLE pushdown — Spark REMOVES its Sample operator on
+    * acceptance, so the scan's key-hash Bernoulli sampler
+    * ([[PushedSample]]) becomes the sample: each segment drops
+    * out-of-sample items before decode, reading a p-fraction preview
+    * of a 100 TB table at p× the decode cost with zero driver state.
+    * Sampling WITH replacement (Poisson row multiplicities — a
+    * per-item independent test can't produce duplicates) and
+    * degenerate bounds decline; Spark keeps its own Sample then.
+    * V2ScanRelationPushDown pushes samples before filters/aggregates,
+    * so nothing else is negotiated yet; [[pushAggregation]] declines
+    * after a pushed sample (agg readers don't sample), while
+    * limit/top-N/offset compose — their readers count post-sample,
+    * post-filter rows, exactly the rows the original plan counted.
+    */
+  override def pushTableSample(
+      lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || !(lowerBound < upperBound) ||
+        lowerBound < 0.0 || upperBound > 1.0) return false
+    sample = Some(PushedSample(lowerBound, upperBound, seed))
+    true
+  }
 
   /** V2 `Predicate` negotiation — the ONLY filter-pushdown interface
     * this builder implements: Spark 4's `PushDownUtils` prefers v1
@@ -566,7 +591,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     })
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    parseGroupCols(agg).exists(g =>
+    sample.isEmpty && parseGroupCols(agg).exists(g =>
       parseAggFuncs(agg).isDefined && groupedComplete(g))
 
   /** Aggregate pushdown. Ungrouped: segments compute one partial per
@@ -582,6 +607,11 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * filters always evaluate below the aggregate.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // Samples push before aggregates (V2ScanRelationPushDown order);
+    // the aggregate readers don't evaluate the sample predicate, so
+    // accepting here would aggregate the FULL table under a sampled
+    // plan — decline and let Spark aggregate the sampled scan output.
+    if (sample.isDefined) return false
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
@@ -610,7 +640,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // the scan must pin that plan and refuse re-splits.
     val pin = offset.isDefined || (limit.isDefined && singleSegmentPlan && topN.isEmpty)
     new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed,
-      offset, pinSingleSegment = pin)
+      offset, pinSingleSegment = pin, sample = sample)
   }
 }
 
@@ -632,6 +662,43 @@ final case class PushedGroupBy(fields: Seq[StructField], keyed: Boolean,
   */
 final case class SortKey(name: String, descending: Boolean, nullsFirst: Boolean)
   extends Serializable
+
+/** A pushed `TABLESAMPLE (x PERCENT)` / `df.sample(fraction, seed)`:
+  * an item is in-sample iff a seeded 64-bit hash of its CANONICAL
+  * PRIMARY KEY, mapped to [0,1), lands in [lower, upper) — a
+  * Bernoulli sampler with three properties the scan exploits. (1)
+  * Deterministic: the same (table, seed) always selects the same
+  * items, on any segment plan, so re-runs and retried tasks agree.
+  * (2) Filter-commutative: membership depends only on the key, never
+  * on other predicates, so evaluating the sample alongside pushed
+  * filters is exact regardless of whether the user wrote
+  * sample-then-filter or filter-then-sample. (3) Placement-preserving:
+  * sampled rows keep their shard, so the scan's reported bucket layout
+  * (SPJ) survives sampling. Per-item state is one hash — O(1) memory
+  * at any table size.
+  */
+final case class PushedSample(lower: Double, upper: Double, seed: Long)
+    extends Serializable {
+  def fraction: Double = upper - lower
+
+  /** FNV-1a over the canonical key bytes seeded per-query, then a
+    * splitmix64 finalizer so near-identical keys (sequential ids)
+    * still spread uniformly; top 53 bits → an exact double in [0,1).
+    */
+  def keeps(canonicalKey: String): Boolean = {
+    val bytes = canonicalKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    val u = (h >>> 11).toDouble / (1L << 53).toDouble
+    u >= lower && u < upper
+  }
+
+  def describe: String = f"[$lower%.4f, $upper%.4f) seed=$seed"
+}
 
 /** A pushed `ORDER BY keys LIMIT n`. */
 final case class PushedTopN(keys: Seq[SortKey], n: Int) extends Serializable {
@@ -789,7 +856,7 @@ final class DynamoScan(
     limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
     topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None,
     adv: Seq[PredicateV2.VPred] = Nil, pushedOffset: Option[Int] = None,
-    pinSingleSegment: Boolean = false)
+    pinSingleSegment: Boolean = false, sample: Option[PushedSample] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -844,6 +911,7 @@ final class DynamoScan(
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       pushedOffset.map(o => s"PushedOffset: $o, ").getOrElse("") +
       topN.map(t => s"PushedTopN: [${t.describe}], ").getOrElse("") +
+      sample.map(s => s"PushedSample: ${s.describe}, ").getOrElse("") +
       (if (aggs.nonEmpty || grouped.isDefined) {
         val names = aggs.map {
           case PushedAgg.CountAll => "COUNT(*)"
@@ -865,7 +933,12 @@ final class DynamoScan(
     * broadcast join instead of shuffling the fact side.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = new LocalKVStore(opts.path).sizeBytes(opts.tableName)
+    // A pushed sample shrinks the scan's output proportionally — scale
+    // the size estimate so a sampled big table can still auto-broadcast.
+    private val bytes = {
+      val raw = new LocalKVStore(opts.path).sizeBytes(opts.tableName)
+      sample.fold(raw)(s => math.max(1L, (raw * s.fraction).toLong))
+    }
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
@@ -1068,12 +1141,18 @@ final class DynamoScan(
     case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv)
     case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv)
     case None =>
-      new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv, pushedOffset)
+      new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv, pushedOffset,
+        sample)
   }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // Samples only push through the batch rule (V2ScanRelationPushDown
+    // matches DataSourceV2Relation); assert the invariant rather than
+    // silently ignoring a sample if that ever changes.
+    require(sample.isEmpty, "table-sample pushdown is a batch-scan feature")
     new DynamoMicroBatchStream(opts, schema, pushed, adv)
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -1281,16 +1360,18 @@ final class DynamoWalReader(
 final class DynamoReaderFactory(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
-    adv: Seq[PredicateV2.VPred] = Nil, offset: Option[Int] = None)
+    adv: Seq[PredicateV2.VPred] = Nil, offset: Option[Int] = None,
+    sample: Option[PushedSample] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     topN match {
       case Some(t) =>
         new DynamoTopNReader(
-          new DynamoPartitionReader(opts, schema, pushed, p, adv = adv), schema, t)
+          new DynamoPartitionReader(opts, schema, pushed, p, adv = adv, sample = sample),
+          schema, t)
       case None =>
-        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset)
+        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample)
     }
   }
 
@@ -1309,7 +1390,7 @@ final class DynamoReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     new DynamoColumnarReader(
-      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset), schema)
+      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample), schema)
   }
 }
 
@@ -1436,7 +1517,8 @@ final class DynamoPartitionReader(
     partition: DynamoInputPartition,
     limit: Option[Int] = None,
     adv: Seq[PredicateV2.VPred] = Nil,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    sample: Option[PushedSample] = None)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1477,6 +1559,15 @@ final class DynamoPartitionReader(
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).
   private val ttlNow = Ttl.now(opts)
 
+  // Pushed-TABLESAMPLE membership, decided on the BASE item's
+  // canonical primary key (pre-index-projection — a GSI view samples
+  // the same items its base table would). Key-only, so it commutes
+  // with every pushed/runtime filter; see [[PushedSample]].
+  private val inSample: Item => Boolean = sample match {
+    case Some(s) => it => s.keeps(store.keyOf(placementMeta, it))
+    case None => _ => true
+  }
+
   private var current: InternalRow = _
   // Post-filter rows seen, INCLUDING ones a pushed offset skips: Spark
   // negotiates the paired limit before the offset (the limit is the
@@ -1491,7 +1582,8 @@ final class DynamoPartitionReader(
       val (item0, sz) = items.next()
       scanned += 1
       limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
-      val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+      val visible =
+        if (inSample(item0)) Ttl.visibleItem(opts, ttlNow, index, store)(item0) else None
       visible match {
         case Some(it) if pushed.forall(FilterEval.eval(_, it)) &&
             adv.forall(PredicateV2.eval(_, it)) =>

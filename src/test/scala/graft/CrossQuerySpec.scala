@@ -47,11 +47,15 @@ class CrossQuerySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     val orphanOracles = o -- q
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
-    // both are sketch-valued by design, each banded by QueriesSpec
-    val sketchValued = Set("q_agg_approx_distinct", "q_agg_sketch_union")
+    // the sketch keys are approximate-valued by design (banded by
+    // QueriesSpec); q_dyn_sample's pushed key-hash sample is exact but
+    // not expressible in portable SQL (DynamoConnectorSpec pins its
+    // semantics instead)
+    val declaredNoOracle =
+      Set("q_agg_approx_distinct", "q_agg_sketch_union", "q_dyn_sample")
     val noOracle = q -- o
-    assert(noOracle === sketchValued,
-      s"queries silently missing an oracle: ${noOracle -- sketchValued}")
+    assert(noOracle === declaredNoOracle,
+      s"queries silently missing an oracle: ${noOracle -- declaredNoOracle}")
   }
 
   test("bucketed and IVF ANN never beat exhaustive kNN's best hit") {

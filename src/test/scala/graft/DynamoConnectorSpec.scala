@@ -1642,6 +1642,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(multi.count() === 3L)
   }
 
+  test("table-sample pushdown: deterministic, filter-commutative, Sample node removed") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 until 400).map(i => (f"k$i%03d", i.toLong)).toDF("id", "v")
+      .write.dynamo(root, "samp", "id")
+
+    def sampleExecs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SampleExec => s
+      }
+
+    val df = spark.read.dynamo(root, "samp").sample(0.5, 42L)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedSample: [0.0000, 0.5000) seed=42"), desc)
+    assert(sampleExecs(df).isEmpty, "Spark's Sample operator should be gone")
+
+    // a seeded Bernoulli(0.5) over 400 keys: count inside a generous
+    // ±5σ band, and exactly reproducible across plans
+    val ids = df.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.size > 150 && ids.size < 250, s"got ${ids.size} of 400 at p=0.5")
+    assert(df.select("id").collect().map(_.getString(0)).toSet === ids)
+
+    // key-hash sampling commutes with filters: a later filter pushed
+    // into the SAME scan sees exactly the sampled set — the scan's
+    // combined (sample ∧ filter) output equals filtering the sampled ids
+    val sf = spark.read.dynamo(root, "samp").sample(0.5, 42L).filter($"v" % 2 === 0)
+    val sfDesc = sf.queryExecution.executedPlan.toString
+    assert(sfDesc.contains("PushedSample"), sfDesc)
+    val sfIds = sf.select("id").collect().map(_.getString(0)).toSet
+    assert(sfIds === ids.filter(_.drop(1).toInt % 2 == 0))
+
+    // filter-THEN-sample leaves Filter between Sample and the relation
+    // when the sample rule runs (samples push first) — not pushed,
+    // Spark keeps its own Sample operator and stays correct
+    val fs = spark.read.dynamo(root, "samp").filter($"v" % 2 === 0).sample(0.5, 42L)
+    assert(!fs.queryExecution.executedPlan.toString.contains("PushedSample"))
+    assert(sampleExecs(fs).nonEmpty)
+    assert(fs.collect().forall(_.getLong(1) % 2 == 0))
+
+    // aggregate over a pushed sample: agg pushdown declines (readers
+    // don't sample), Spark counts the sampled scan output
+    val cnt = spark.read.dynamo(root, "samp").sample(0.5, 42L).count()
+    assert(cnt === ids.size.toLong)
+    val aggPlan = spark.read.dynamo(root, "samp").sample(0.5, 42L)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("PushedAggregates"), aggPlan)
+
+    // with-replacement can't be expressed per-item — declined, Spark
+    // keeps its Sample operator
+    val wr = spark.read.dynamo(root, "samp").sample(withReplacement = true, 0.5, 42L)
+    assert(!wr.queryExecution.executedPlan.toString.contains("PushedSample"))
+    assert(sampleExecs(wr).nonEmpty)
+  }
+
   test("metadata columns _shard/_size project on demand, stay hidden from *") {
     import spark.implicits._
     val root = freshRoot()
