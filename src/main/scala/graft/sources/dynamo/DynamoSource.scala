@@ -243,7 +243,7 @@ final class DynamoTable(
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-        TableCapability.TRUNCATE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
         // MERGE ... WITH SCHEMA EVOLUTION: the analyzer routes new
         // source columns through DynamoCatalog.alterTable (the
         // metadata-only ADD COLUMN path — natural on a schemaless
@@ -289,26 +289,38 @@ final class DynamoTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(opts.asOfSeq.isEmpty,
       "asOfSeq is a snapshot-read option: DELETE always applies to the current table")
+    DeleteWhere.run(opts, it => filters.forall(FilterEval.eval(_, it)), tag = "delw")
+  }
+}
+
+/** Driver-side delete-matching scan shared by SQL `DELETE FROM ...
+  * WHERE` ([[DynamoTable.deleteWhere]]) and overwrite-by-filter
+  * ([[DynamoWriteBuilder.overwrite]]): one merged scan of the table
+  * appending per-key delete markers to the journal — the same
+  * non-atomic append model as every other write (A14). Same
+  * visibility and throughput rules as every read path: a TTL-expired
+  * item is invisible, so the condition is never evaluated against it
+  * (lazy expiry reclaims it instead), and the scan draws from the
+  * table's read capacity like any other.
+  */
+private[dynamo] object DeleteWhere {
+  def run(opts: DynamoOptions, matches: Item => Boolean, tag: String): Unit = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
-    // Same visibility and throughput rules as every read path: a
-    // TTL-expired item is invisible, so DELETE must not evaluate its
-    // condition against it (lazy expiry reclaims it instead), and the
-    // scan draws from the table's read capacity like any other.
     val ttlNow = Ttl.now(opts)
     val limiter = new RateLimiter(
       math.max(0.1, opts.targetCapacity * opts.throughput.getOrElse(meta.throughput).toDouble))
     val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
     val wal = store.walWriter(opts.tableName, System.currentTimeMillis(),
-      f"delw-${java.util.UUID.randomUUID().toString.take(8)}")
+      f"$tag-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       store.scanSegment(opts.tableName, 0, 1)
         .flatMap { case (it, sz) =>
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           Ttl.visibleItem(opts, ttlNow, None, store)(it)
         }
-        .filter(it => filters.forall(FilterEval.eval(_, it)))
+        .filter(matches)
         .foreach(it => wal.append(store.Delete(it.view.filterKeys(keyAttrs).toMap)))
       wal.flush()
     } finally wal.close()
@@ -858,17 +870,24 @@ final class DynamoScan(
     adv: Seq[PredicateV2.VPred] = Nil, pushedOffset: Option[Int] = None,
     pinSingleSegment: Boolean = false, sample: Option[PushedSample] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
-  /** Runtime (dynamic-pruning) filters: Spark may inject join-key `IN`
-    * filters discovered at runtime — e.g. the build side of a
-    * broadcast join — into this scan. Any attribute is filterable
-    * (FilterEval evaluates on the wire item, pre-decode), so a
-    * `fact ⋈ dynamo` join can skip decoding items whose key never
-    * joins. Filters arrive after planning but before readers are
-    * created; they compose with the statically pushed set.
+  /** Runtime (dynamic-pruning) filters: Spark may inject join-key
+    * predicates discovered at runtime — e.g. the `IN` set from the
+    * build side of a broadcast join — into this scan. Implemented on
+    * the V2 `Predicate` interface (the same family the static push
+    * speaks): v1-expressible predicates ride the existing machinery —
+    * [[keyShards]] shard pruning sees a runtime key-IN exactly like a
+    * static one, so a `fact ⋈ dynamo` join touches only the shards the
+    * build side names — and the v2-only residue evaluates store-side
+    * via [[PredicateV2.eval]]. Any attribute is filterable (evaluation
+    * is on the wire item, pre-decode). Predicates arrive after
+    * planning but before readers are created; non-translatable ones
+    * are dropped (runtime filters are an optimization — the join that
+    * produced them still applies them exactly).
     */
   private var runtime: Array[Filter] = Array.empty
+  private var runtimeAdv: Seq[PredicateV2.VPred] = Nil
 
   override def filterAttributes(): Array[v2expr.NamedReference] =
     // metadata columns (`_shard`/`_size`) are synthesized AFTER the
@@ -876,14 +895,24 @@ final class DynamoScan(
     // a missing attribute and drop every row
     schema.fieldNames.filterNot(DynamoMetaCols.names).map(v2expr.Expressions.column)
 
-  override def filter(filters: Array[Filter]): Unit =
+  override def filter(predicates: Array[v2filter.Predicate]): Unit =
     // A fully-pushed LIMIT/OFFSET counts post-filter rows: Spark may
     // have removed its own Limit/Offset on that promise, so letting a
     // runtime filter drop rows below the count would shift the window
     // onto rows the original plan never returned. Decline runtime
     // filters then — correctness over pruning (these scans are tiny).
-    if (!pinSingleSegment) runtime = filters.filter(f =>
-      FilterEval.supported(f) && !f.references.exists(DynamoMetaCols.names))
+    if (!pinSingleSegment) {
+      val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+      val tr = predicates.toSeq
+        // the scan schema (unlike the builder's table schema) can
+        // contain selected metadata columns, so translate alone would
+        // accept a `_shard` predicate — guard explicitly
+        .filterNot(_.references().exists(r =>
+          r.fieldNames().length == 1 && DynamoMetaCols.names(r.fieldNames().head)))
+        .flatMap(p => PredicateV2.translate(p, schema, ansi))
+      runtime = tr.collect { case Left(f) => f }.toArray
+      runtimeAdv = tr.collect { case Right(vp) => vp }
+    }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
@@ -1138,11 +1167,13 @@ final class DynamoScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = grouped match {
-    case Some(g) => new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv)
-    case None if aggs.nonEmpty => new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv)
+    case Some(g) =>
+      new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv ++ runtimeAdv)
+    case None if aggs.nonEmpty =>
+      new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv ++ runtimeAdv)
     case None =>
-      new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN, adv, pushedOffset,
-        sample)
+      new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN,
+        adv ++ runtimeAdv, pushedOffset, sample)
   }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
@@ -2007,21 +2038,50 @@ final class DynamoAggReader(
   * DynamoDataWriter.scala]. `SupportsTruncate` backs
   * `mode("overwrite")`: content is wiped driver-side before tasks
   * write — non-atomic like every write here (A14), so concurrent
-  * readers can observe the empty window.
+  * readers can observe the empty window. `SupportsOverwriteV2` backs
+  * `df.writeTo(t).overwrite(cond)` / `INSERT OVERWRITE ... WHERE`:
+  * rows matching the condition are deleted driver-side (same
+  * [[DeleteWhere]] scan as SQL DELETE) before tasks append the new
+  * rows. Acceptance is exactness, like the scan side: every predicate
+  * must translate through [[PredicateV2.translate]] — store-evaluable
+  * v1 filters or the exact v2 residue — otherwise the overwrite is
+  * REJECTED outright (Spark fails the query rather than silently
+  * deleting the wrong row set).
   */
 final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwriteV2 {
   private var truncateFirst = false
+  private var overwriteWhere: Option[Seq[Either[Filter, PredicateV2.VPred]]] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new DynamoWrite(opts, schema, truncateFirst)
+
+  override def canOverwrite(predicates: Array[v2filter.Predicate]): Boolean = {
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    predicates.forall(p => PredicateV2.translate(p, schema, ansi).isDefined)
+  }
+
+  override def overwrite(predicates: Array[v2filter.Predicate]): WriteBuilder = {
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    val tr = predicates.toSeq.map(p => PredicateV2.translate(p, schema, ansi))
+    // Spark gates on canOverwrite, but guard anyway: accepting a
+    // half-translated condition would delete the wrong rows.
+    require(tr.forall(_.isDefined),
+      s"overwrite condition not store-evaluable: ${predicates.mkString(", ")}")
+    overwriteWhere = Some(tr.flatten)
+    this
+  }
+
+  override def build(): Write =
+    new DynamoWrite(opts, schema, truncateFirst, overwriteWhere)
 }
 
 final class DynamoWrite(
-    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false) extends Write {
-  override def toBatch: BatchWrite = new DynamoBatchWrite(opts, schema, truncateFirst)
+    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false,
+    overwriteWhere: Option[Seq[Either[Filter, PredicateV2.VPred]]] = None) extends Write {
+  override def toBatch: BatchWrite =
+    new DynamoBatchWrite(opts, schema, truncateFirst, overwriteWhere)
   override def toStreaming: StreamingWrite = {
-    if (truncateFirst) throw new UnsupportedOperationException(
-      "complete-mode streaming (truncate per epoch) is not supported; " +
+    if (truncateFirst || overwriteWhere.isDefined) throw new UnsupportedOperationException(
+      "complete-mode streaming (truncate/overwrite per epoch) is not supported; " +
         "use outputMode update or append")
     new DynamoStreamingWrite(opts, schema)
   }
@@ -2137,7 +2197,8 @@ private object WriteSetup {
 }
 
 final class DynamoBatchWrite(
-    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false)
+    opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false,
+    overwriteWhere: Option[Seq[Either[Filter, PredicateV2.VPred]]] = None)
     extends BatchWrite {
 
   /** `seq` stamps this job's WAL files so replay orders jobs by
@@ -2161,6 +2222,17 @@ final class DynamoBatchWrite(
     if (truncateFirst) {
       val store = new LocalKVStore(opts.path)
       if (store.exists(opts.tableName)) store.truncateTable(opts.tableName)
+    }
+    // Overwrite-by-filter: delete the matching rows (same scan as SQL
+    // DELETE — TTL-visible items only, rate-limited) before any task
+    // writes. Same non-atomic window and self-referential hazard as
+    // the truncate above.
+    overwriteWhere.foreach { conds =>
+      val store = new LocalKVStore(opts.path)
+      if (store.exists(opts.tableName))
+        DeleteWhere.run(opts,
+          it => conds.forall(_.fold(FilterEval.eval(_, it), PredicateV2.eval(_, it))),
+          tag = "ovw")
     }
     new DynamoWriterFactory(opts, schema,
       WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())

@@ -419,6 +419,46 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fruit_del")
   }
 
+  test("overwrite-by-filter replaces exactly the matching rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    spark.conf.set("spark.sql.catalog.ovwcat", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.ovwcat.path", root)
+    try {
+      // replace the red fruit with one new row: matching rows (apple,
+      // cherry) are deleted, non-matching rows survive untouched
+      Seq(("tomato", "red", 0.2, 42L))
+        .toDF("name", "color", "weight_kg", "stock")
+        .writeTo("ovwcat.fruit").overwrite($"color" === "red")
+      val after = spark.sql("SELECT name, color, stock FROM ovwcat.fruit ORDER BY name")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(after === Seq(("banana", "yellow", 5L), ("durian", "green", 1L),
+        ("tomato", "red", 42L)))
+
+      // INSERT OVERWRITE (AlwaysTrue) still routes through truncate
+      Seq(("kiwi", "green", 0.1, 9L))
+        .toDF("name", "color", "weight_kg", "stock")
+        .writeTo("ovwcat.fruit").overwrite(lit(true))
+      assert(spark.sql("SELECT name FROM ovwcat.fruit").collect()
+        .map(_.getString(0)).toSeq === Seq("kiwi"))
+
+      // a condition the store can't evaluate exactly is REJECTED, and
+      // the table is left untouched — never a half-applied overwrite
+      val err = intercept[Exception] {
+        Seq(("fig", "purple", 0.05, 2L))
+          .toDF("name", "color", "weight_kg", "stock")
+          .writeTo("ovwcat.fruit").overwrite(length($"color") * 2 > lit(8))
+      }
+      assert(err.getMessage != null)
+      assert(spark.sql("SELECT name FROM ovwcat.fruit").collect()
+        .map(_.getString(0)).toSeq === Seq("kiwi"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ovwcat")
+      spark.conf.unset("spark.sql.catalog.ovwcat.path")
+    }
+  }
+
   test("SQL UPDATE and MERGE INTO apply as keyed deltas") {
     import spark.implicits._
     val root = freshRoot()
@@ -847,9 +887,18 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(scan.filterAttributes().map(_.describe()).contains("name"))
     val parts = scan.toBatch.planInputPartitions()
     // Spark calls filter() after planning, before reader creation —
-    // e.g. the IN-set from a broadcast join build side
-    scan.filter(Array[org.apache.spark.sql.sources.Filter](
-      org.apache.spark.sql.sources.In("name", Array("apple", "cherry"))))
+    // e.g. the IN-set from a broadcast join build side, arriving as a
+    // V2 Predicate (SupportsRuntimeV2Filtering)
+    import org.apache.spark.sql.connector.{expressions => v2e}
+    import org.apache.spark.unsafe.types.UTF8String
+    def strLit(s: String): v2e.Literal[UTF8String] = new v2e.Literal[UTF8String] {
+      override def value(): UTF8String = UTF8String.fromString(s)
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+    }
+    scan.filter(Array(new v2e.filter.Predicate(
+      "IN", Array[v2e.Expression](
+        v2e.Expressions.column("name"), strLit("apple"), strLit("cherry")))))
     val factory = scan.toBatch.createReaderFactory()
     val rows = parts.flatMap { p =>
       val r = factory.createReader(p)
