@@ -119,6 +119,26 @@ object Scans {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Recursive CTE (WITH RECURSIVE, Spark 4 SQL surface): the
+    // recursion generates a 12-row month spine — bounded,
+    // driver-trivial — and the DISTRIBUTED work is the join + agg
+    // against orders. That division is the 100 TB shape for recursive
+    // SQL: recurse over a small dimension, never the fact table; the
+    // 12-row side broadcasts and orders shuffles once for the group.
+    // The IDENTICAL statement runs on DuckDB (same recursive syntax).
+    "q_sql_recursive" -> ((s, dir) => {
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE mo(k) AS (
+          |  SELECT 1 UNION ALL SELECT k + 1 FROM mo WHERE k < 12)
+          |SELECT k AS month,
+          |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS revenue
+          |FROM mo LEFT JOIN orders
+          |  ON year(o_orderdate) = 1995 AND month(o_orderdate) = k
+          |GROUP BY k ORDER BY k""".stripMargin)
+    }),
+
     // B-2 predicates — each maps to a pushdown the reference translates
     // to a DynamoDB FilterExpression (EqualTo, ranges, In, IsNull,
     // StringStartsWith, contains, boolean algebra).
@@ -166,6 +186,15 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH RECURSIVE mo(k) AS (
+        |  SELECT 1 UNION ALL SELECT k + 1 FROM mo WHERE k < 12)
+        |SELECT k AS month,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM mo LEFT JOIN orders
+        |  ON year(o_orderdate) = 1995 AND month(o_orderdate) = k
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT o_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

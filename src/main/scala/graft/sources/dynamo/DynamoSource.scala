@@ -363,10 +363,11 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * per-item independent test can't produce duplicates) and
     * degenerate bounds decline; Spark keeps its own Sample then.
     * V2ScanRelationPushDown pushes samples before filters/aggregates,
-    * so nothing else is negotiated yet; [[pushAggregation]] declines
-    * after a pushed sample (agg readers don't sample), while
-    * limit/top-N/offset compose — their readers count post-sample,
-    * post-filter rows, exactly the rows the original plan counted.
+    * so nothing else is negotiated yet; everything downstream
+    * composes — every reader (row, top-N, grouped/ungrouped
+    * aggregate) evaluates the sample membership per item, so a later
+    * aggregate push counts exactly the sampled rows and limits/top-N
+    * count post-sample, post-filter rows.
     */
   override def pushTableSample(
       lowerBound: Double, upperBound: Double,
@@ -603,7 +604,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     })
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    sample.isEmpty && parseGroupCols(agg).exists(g =>
+    parseGroupCols(agg).exists(g =>
       parseAggFuncs(agg).isDefined && groupedComplete(g))
 
   /** Aggregate pushdown. Ungrouped: segments compute one partial per
@@ -619,11 +620,10 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * filters always evaluate below the aggregate.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    // Samples push before aggregates (V2ScanRelationPushDown order);
-    // the aggregate readers don't evaluate the sample predicate, so
-    // accepting here would aggregate the FULL table under a sampled
-    // plan — decline and let Spark aggregate the sampled scan output.
-    if (sample.isDefined) return false
+    // Samples push before aggregates (V2ScanRelationPushDown order),
+    // and every aggregate reader evaluates the sample membership
+    // per-item, so `sample(p).count()` (and grouped variants) push
+    // fully and aggregate exactly the sampled rows.
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
@@ -1168,9 +1168,10 @@ final class DynamoScan(
 
   override def createReaderFactory(): PartitionReaderFactory = grouped match {
     case Some(g) =>
-      new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs, adv ++ runtimeAdv)
+      new DynamoGroupedAggReaderFactory(opts, pushed ++ runtime, g, aggs,
+        adv ++ runtimeAdv, sample)
     case None if aggs.nonEmpty =>
-      new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv ++ runtimeAdv)
+      new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv ++ runtimeAdv, sample)
     case None =>
       new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN,
         adv ++ runtimeAdv, pushedOffset, sample)
@@ -1661,11 +1662,12 @@ final class DynamoPartitionReader(
 final class DynamoGroupedAggReaderFactory(
     opts: DynamoOptions, pushed: Array[Filter],
     group: PushedGroupBy, aggs: Seq[PushedAgg],
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil,
+    sample: Option[PushedSample] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoGroupedAggReader(opts, pushed, group, aggs, p, adv)
+    new DynamoGroupedAggReader(opts, pushed, group, aggs, p, adv, sample)
   }
 }
 
@@ -1691,7 +1693,8 @@ final class DynamoGroupedAggReader(
     opts: DynamoOptions, pushed: Array[Filter],
     group: PushedGroupBy, aggs: Seq[PushedAgg],
     partition: DynamoInputPartition,
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil,
+    sample: Option[PushedSample] = None)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1709,6 +1712,15 @@ final class DynamoGroupedAggReader(
   private var matched = 0L
   private var scanned = 0L
   private val ttlNow = Ttl.now(opts)
+
+  // Pushed-TABLESAMPLE membership on the base item's key — same rule
+  // as the row reader ([[PushedSample]]); the aggregate sees exactly
+  // the rows a sampled row scan would ship.
+  private lazy val baseMeta: TableMeta = store.describe(opts.tableName)
+  private val inSample: Item => Boolean = sample match {
+    case Some(s) => it => s.keeps(store.keyOf(baseMeta, it))
+    case None => _ => true
+  }
 
   /** Spark's grouping equates 0.0 with -0.0 and all NaNs; boxed
     * Double/Float equals does neither, so normalize map-key values.
@@ -1761,7 +1773,8 @@ final class DynamoGroupedAggReader(
         .flatMap { case (item0, sz) =>
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
-          val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+          val visible =
+            if (inSample(item0)) Ttl.visibleItem(opts, ttlNow, index, store)(item0) else None
           visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
               adv.forall(PredicateV2.eval(_, it))).map { it =>
             matched += 1
@@ -1795,7 +1808,8 @@ final class DynamoGroupedAggReader(
           val (item0, sz) = src.next()
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
-          val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+          val visible =
+            if (inSample(item0)) Ttl.visibleItem(opts, ttlNow, index, store)(item0) else None
           visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
               adv.forall(PredicateV2.eval(_, it))).foreach { it =>
             matched += 1
@@ -1886,11 +1900,12 @@ final class DynamoTopNReader(
   * item server-side.
   */
 final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil,
+    sample: Option[PushedSample] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoAggReader(opts, pushed, aggs, p, adv)
+    new DynamoAggReader(opts, pushed, aggs, p, adv, sample)
   }
 }
 
@@ -1977,7 +1992,8 @@ private[dynamo] object AggAccs {
 final class DynamoAggReader(
     opts: DynamoOptions, pushed: Array[Filter], aggs: Seq[PushedAgg],
     partition: DynamoInputPartition,
-    adv: Seq[PredicateV2.VPred] = Nil)
+    adv: Seq[PredicateV2.VPred] = Nil,
+    sample: Option[PushedSample] = None)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
@@ -1997,6 +2013,14 @@ final class DynamoAggReader(
   private var scanned = 0L
   private val ttlNow = Ttl.now(opts)
 
+  // Pushed-TABLESAMPLE membership — same key-only rule as the row
+  // reader, so `sample(p).count()` counts exactly the sampled rows.
+  private lazy val baseMeta: TableMeta = store.describe(opts.tableName)
+  private val inSample: Item => Boolean = sample match {
+    case Some(s) => it => s.keeps(store.keyOf(baseMeta, it))
+    case None => _ => true
+  }
+
   override def next(): Boolean = {
     if (emitted) return false
     if (partition.padEmpty) { emitted = true; return true } // empty partials
@@ -2005,7 +2029,8 @@ final class DynamoAggReader(
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1
-        val visible = Ttl.visibleItem(opts, ttlNow, index, store)(item0)
+        val visible =
+          if (inSample(item0)) Ttl.visibleItem(opts, ttlNow, index, store)(item0) else None
         visible.filter(it => pushed.forall(FilterEval.eval(_, it)) &&
             adv.forall(PredicateV2.eval(_, it))).foreach { it =>
           matched += 1

@@ -1730,13 +1730,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(sampleExecs(fs).nonEmpty)
     assert(fs.collect().forall(_.getLong(1) % 2 == 0))
 
-    // aggregate over a pushed sample: agg pushdown declines (readers
-    // don't sample), Spark counts the sampled scan output
-    val cnt = spark.read.dynamo(root, "samp").sample(0.5, 42L).count()
-    assert(cnt === ids.size.toLong)
-    val aggPlan = spark.read.dynamo(root, "samp").sample(0.5, 42L)
-      .groupBy().count().queryExecution.executedPlan.toString
-    assert(!aggPlan.contains("PushedAggregates"), aggPlan)
+    // aggregate over a pushed sample: COUNT pushes too (the agg
+    // readers evaluate sample membership), and counts exactly the
+    // sampled rows
+    val aggDf = spark.read.dynamo(root, "samp").sample(0.5, 42L).groupBy().count()
+    val aggPlan = aggDf.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregates: [COUNT(*)]") &&
+      aggPlan.contains("PushedSample"), aggPlan)
+    assert(aggDf.collect().head.getLong(0) === ids.size.toLong)
+    // grouped variant: per-even/odd sum over the sampled set
+    val grp = spark.read.dynamo(root, "samp").sample(0.5, 42L)
+      .groupBy($"id").agg(org.apache.spark.sql.functions.sum($"v").as("sv"))
+    assert(grp.queryExecution.executedPlan.toString.contains("PushedGroupBy"),
+      grp.queryExecution.executedPlan.toString)
+    val grpRows = grp.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(grpRows.keySet === ids)
+    assert(grpRows.forall { case (k, v) => v === k.drop(1).toInt.toLong })
 
     // with-replacement can't be expressed per-item — declined, Spark
     // keeps its Sample operator
