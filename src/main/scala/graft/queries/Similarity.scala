@@ -323,6 +323,37 @@ object Similarity {
             .replace("\n", " ")).as("p"))
         .orderBy("vec_id", "j")),
 
+    // Symmetric int8 quantization of embeddings (the 4x memory
+    // compression an ANN index at 100 TB actually ships): per vector,
+    // scale = max|x|/127, code_i = floor(x_i/scale + 0.5). Both passes
+    // are codegen'd `aggregate` folds over the array — no explode, no
+    // shuffle, linear in corpus. Output pins the quantizer exactly:
+    // `code_sum` is an INTEGER checksum of the codes (bit-identical on
+    // any engine — integer arithmetic), `mean_abs_err` the
+    // reconstruction error. Zero vectors quantize to all-zero codes.
+    "q_emb_quantize" -> ((s, dir) =>
+      Fixtures.embeddings(s, dir)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          expr("""aggregate(embedding, cast(0.0 as double),
+                 |(m, x) -> greatest(m, abs(cast(x as double))))"""
+            .stripMargin.replace("\n", " ")).as("mx"),
+          col("embedding"))
+        .select(col("vec_id"),
+          round(col("mx") / 127.0, 6).as("scale"),
+          expr("""CASE WHEN mx = 0.0 THEN CAST(0 AS BIGINT) ELSE
+                 |aggregate(embedding, CAST(0 AS BIGINT), (a, x) ->
+                 |  a + CAST(floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5)
+                 |           AS BIGINT)) END"""
+            .stripMargin.replace("\n", " ")).as("code_sum"),
+          expr("""round(CASE WHEN mx = 0.0 THEN 0.0 ELSE
+                 |aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+                 |  a + abs(CAST(x AS DOUBLE) -
+                 |    floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) * (mx / 127.0)))
+                 |/ size(embedding) END, 6)"""
+            .stripMargin.replace("\n", " ")).as("mean_abs_err"))
+        .orderBy("vec_id")),
+
     // Typed-Aggregator UDAF (SURVEY.md UDF/UDAF surface): exact
     // per-label centroid — partial buffers map-side, one shuffle keyed
     // by label, exploded to (label, dim) rows for the oracle compare.
@@ -338,6 +369,21 @@ object Similarity {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_emb_quantize" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |            FROM embeddings WHERE vec_id < 200),
+        |mx AS (SELECT vec_id, max(abs(x)) AS m FROM ex GROUP BY vec_id)
+        |SELECT ex.vec_id,
+        |       round(m / 127.0, 6) AS scale,
+        |       CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(sum(CAST(floor(x / (m / 127.0) + 0.5) AS BIGINT))
+        |                      AS BIGINT) END AS code_sum,
+        |       round(CASE WHEN m = 0 THEN 0.0
+        |             ELSE sum(abs(x - floor(x / (m / 127.0) + 0.5) * (m / 127.0)))
+        |                  / count(*) END, 6) AS mean_abs_err
+        |FROM ex JOIN mx USING (vec_id)
+        |GROUP BY ex.vec_id, m
+        |ORDER BY ex.vec_id""".stripMargin,
     "q_emb_project" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                   generate_subscripts(embedding, 1) AS i

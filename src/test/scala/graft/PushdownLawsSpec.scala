@@ -207,6 +207,41 @@ class PushdownLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("PushedSample laws: determinism, uniformity, range partition, seed independence") {
+    import graft.sources.dynamo.PushedSample
+    val keys = (0 until 20000).map(i => s"S|k$i") // canonical-key-ish strings
+
+    // determinism: membership is a pure function of (key, seed, range)
+    val s = PushedSample(0.0, 0.3, seed = 7L)
+    assert(keys.map(s.keeps) === keys.map(s.keeps))
+
+    // uniformity: each of ten equal ranges holds 10% ± 5σ of the keys
+    // (σ = sqrt(n·p·(1-p)) ≈ 42 at n=20000, p=0.1)
+    (0 until 10).foreach { b =>
+      val r = PushedSample(b / 10.0, (b + 1) / 10.0, seed = 7L)
+      val n = keys.count(r.keeps)
+      assert(math.abs(n - 2000) < 210, s"bucket $b holds $n of 20000")
+    }
+
+    // range partition: [0,c) and [c,1) split the keys EXACTLY — the
+    // deterministic train/test-split property (disjoint + exhaustive)
+    val lo = PushedSample(0.0, 0.3, seed = 7L)
+    val hi = PushedSample(0.3, 1.0, seed = 7L)
+    keys.foreach(k => assert(lo.keeps(k) ^ hi.keeps(k), s"key $k not in exactly one split"))
+
+    // different seeds decorrelate: overlap of two 30% samples is near
+    // the independent 9% expectation, not near 30%
+    val other = PushedSample(0.0, 0.3, seed = 8L)
+    val both = keys.count(k => s.keeps(k) && other.keeps(k))
+    assert(both > 1200 && both < 2500, s"seed overlap $both of 20000")
+
+    // sequential keys (worst case for a weak hash) stay uniform: the
+    // sampled fraction of a contiguous id block is still ~30%
+    val block = (10000 until 12000).map(i => s"S|k$i")
+    val inBlock = block.count(s.keeps)
+    assert(inBlock > 480 && inBlock < 720, s"contiguous block sampled $inBlock of 2000")
+  }
+
   test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
     // The canonical three-valued-logic trap: s IS NULL on some rows.
     val p = !(col("s") === "alpha")
