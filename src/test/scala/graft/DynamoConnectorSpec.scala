@@ -1752,6 +1752,17 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val wr = spark.read.dynamo(root, "samp").sample(withReplacement = true, 0.5, 42L)
     assert(!wr.queryExecution.executedPlan.toString.contains("PushedSample"))
     assert(sampleExecs(wr).nonEmpty)
+
+    // SQL dialect path: TABLESAMPLE (50 PERCENT) REPEATABLE (42) is
+    // the same Sample node — pushes identically and selects the SAME
+    // rows as df.sample(0.5, 42)
+    spark.read.dynamo(root, "samp").createOrReplaceTempView("samp_v")
+    try {
+      val sqlDf = spark.sql(
+        "SELECT id FROM samp_v TABLESAMPLE (50 PERCENT) REPEATABLE (42)")
+      assert(sqlDf.queryExecution.executedPlan.toString.contains("PushedSample"))
+      assert(sqlDf.collect().map(_.getString(0)).toSet === ids)
+    } finally spark.catalog.dropTempView("samp_v")
   }
 
   test("metadata columns _shard/_size project on demand, stay hidden from *") {
