@@ -129,6 +129,25 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Approximate percentiles (Greenwald-Khanna sketch,
+    // `approx_percentile`) — the 100 TB path: the exact `percentile`
+    // buffers EVERY group value in one aggregation buffer (fine at
+    // bench scale, impossible at corpus scale), while the sketch is
+    // fixed-size per group, merges associatively map-side, and bounds
+    // rank error by 1/accuracy. Banded against the exact result in
+    // QueriesSpec (sketch-valued → no portable oracle).
+    "q_agg_approx_percentile" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D), 10000)")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p25"),
+          round(element_at(col("pcts"), 2), 4).as("p50"),
+          round(element_at(col("pcts"), 3), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
     // Exact percentiles (sort-based, linear interpolation — identical
     // definition in Spark `percentile` and DuckDB `quantile_cont`).
     // The array result is unpacked to scalar columns: list-valued

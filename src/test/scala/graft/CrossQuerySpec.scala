@@ -52,7 +52,8 @@ class CrossQuerySpec extends AnyFunSuite {
     // not expressible in portable SQL (DynamoConnectorSpec pins its
     // semantics instead)
     val declaredNoOracle =
-      Set("q_agg_approx_distinct", "q_agg_sketch_union", "q_dyn_sample")
+      Set("q_agg_approx_distinct", "q_agg_sketch_union",
+        "q_agg_approx_percentile", "q_dyn_sample")
     val noOracle = q -- o
     assert(noOracle === declaredNoOracle,
       s"queries silently missing an oracle: ${noOracle -- declaredNoOracle}")

@@ -69,6 +69,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_approx_percentile: GK sketch within 1% of exact percentiles") {
+    def asMap(key: String) = SparkEntry.queries(key)(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = asMap("q_agg_approx_percentile")
+    val exact = asMap("q_agg_percentile")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, es) =>
+      es.zip(approx(k)).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(math.abs(a - e) <= math.abs(e) * 0.01,
+          s"$k p[$i]: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q_agg_group: six flag/status groups, totals add up") {
     val rows = SparkEntry.queries("q_agg_group")(spark, sf).collect()
     assert(rows.length == 6)
