@@ -40,14 +40,10 @@ object TextOps {
     */
   private[graft] def nearDupCapped(d: DataFrame, dfCap: Long): DataFrame = {
     val tok = tokenize(d)
-    val hot = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("tok")
-    val rare = tok.join(broadcast(hot), Seq("tok"), "left_anti")
-    val cand = rare.as("a")
-      .join(rare.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    // ONE definition of the candidate generator, shared with the spec
+    // hook below — a cap-rule tweak applied to only one copy would let
+    // DedupSkewSpec keep passing against a stale pipeline.
+    val cand = cappedCandidates(d, dfCap)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(tok.as("ta"), col("id1") === col("ta.doc_id"))

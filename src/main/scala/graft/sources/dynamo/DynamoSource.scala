@@ -651,8 +651,13 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // A claimed-full limit (or any offset) push promised ONE segment;
     // the scan must pin that plan and refuse re-splits.
     val pin = offset.isDefined || (limit.isDefined && singleSegmentPlan && topN.isEmpty)
+    // Metadata columns yield to same-named DATA columns (the
+    // metadataColumns() shadowing contract): a table that genuinely
+    // stores a `_shard` attribute must read it as data, so only the
+    // non-shadowed names are synthesized downstream.
+    val metaNames = DynamoMetaCols.names.diff(tableSchema.fieldNames.toSet)
     new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed,
-      offset, pinSingleSegment = pin, sample = sample)
+      offset, pinSingleSegment = pin, sample = sample, metaNames = metaNames)
   }
 }
 
@@ -868,7 +873,8 @@ final class DynamoScan(
     limit: Option[Int] = None, aggs: Seq[PushedAgg] = Nil,
     topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None,
     adv: Seq[PredicateV2.VPred] = Nil, pushedOffset: Option[Int] = None,
-    pinSingleSegment: Boolean = false, sample: Option[PushedSample] = None)
+    pinSingleSegment: Boolean = false, sample: Option[PushedSample] = None,
+    metaNames: Set[String] = DynamoMetaCols.names)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -893,7 +899,7 @@ final class DynamoScan(
     // metadata columns (`_shard`/`_size`) are synthesized AFTER the
     // wire-item filter evaluation — a runtime filter on them would see
     // a missing attribute and drop every row
-    schema.fieldNames.filterNot(DynamoMetaCols.names).map(v2expr.Expressions.column)
+    schema.fieldNames.filterNot(metaNames).map(v2expr.Expressions.column)
 
   override def filter(predicates: Array[v2filter.Predicate]): Unit =
     // A fully-pushed LIMIT/OFFSET counts post-filter rows: Spark may
@@ -908,7 +914,7 @@ final class DynamoScan(
         // contain selected metadata columns, so translate alone would
         // accept a `_shard` predicate — guard explicitly
         .filterNot(_.references().exists(r =>
-          r.fieldNames().length == 1 && DynamoMetaCols.names(r.fieldNames().head)))
+          r.fieldNames().length == 1 && metaNames(r.fieldNames().head)))
         .flatMap(p => PredicateV2.translate(p, schema, ansi))
       runtime = tr.collect { case Left(f) => f }.toArray
       runtimeAdv = tr.collect { case Right(vp) => vp }
@@ -1135,6 +1141,10 @@ final class DynamoScan(
       case n: Double => Some(AttrVal.N(BigDecimal(n)))
       case n: Float => Some(AttrVal.N(BigDecimal(n.toDouble)))
       case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
+      // v2-translated literals arrive as scala BigDecimal (PredicateV2
+      // .external), the v1 path supplied java's — accept both or
+      // decimal-keyed point lookups silently lose shard pruning
+      case n: scala.math.BigDecimal => Some(AttrVal.N(n))
       case _ => None // binary/bool/etc: skip pruning, stay correct
     }
     if (meta.layout >= 2)
@@ -1174,7 +1184,7 @@ final class DynamoScan(
       new DynamoAggReaderFactory(opts, pushed ++ runtime, aggs, adv ++ runtimeAdv, sample)
     case None =>
       new DynamoReaderFactory(opts, schema, pushed ++ runtime, limit, topN,
-        adv ++ runtimeAdv, pushedOffset, sample)
+        adv ++ runtimeAdv, pushedOffset, sample, metaNames)
   }
 
   /** Streaming read (change feed) — see [[DynamoMicroBatchStream]]. */
@@ -1393,17 +1403,20 @@ final class DynamoReaderFactory(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     limit: Option[Int] = None, topN: Option[PushedTopN] = None,
     adv: Seq[PredicateV2.VPred] = Nil, offset: Option[Int] = None,
-    sample: Option[PushedSample] = None)
+    sample: Option[PushedSample] = None,
+    metaNames: Set[String] = DynamoMetaCols.names)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     topN match {
       case Some(t) =>
         new DynamoTopNReader(
-          new DynamoPartitionReader(opts, schema, pushed, p, adv = adv, sample = sample),
+          new DynamoPartitionReader(opts, schema, pushed, p, adv = adv, sample = sample,
+            metaNames = metaNames),
           schema, t)
       case None =>
-        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample)
+        new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample,
+          metaNames)
     }
   }
 
@@ -1422,7 +1435,8 @@ final class DynamoReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[DynamoInputPartition]
     new DynamoColumnarReader(
-      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample), schema)
+      new DynamoPartitionReader(opts, schema, pushed, p, limit, adv, offset, sample,
+        metaNames), schema)
   }
 }
 
@@ -1550,20 +1564,23 @@ final class DynamoPartitionReader(
     limit: Option[Int] = None,
     adv: Seq[PredicateV2.VPred] = Nil,
     offset: Option[Int] = None,
-    sample: Option[PushedSample] = None)
+    sample: Option[PushedSample] = None,
+    metaNames: Set[String] = DynamoMetaCols.names)
     extends PartitionReader[InternalRow] {
 
   private val store = new LocalKVStore(opts.path)
   // Metadata columns (`_shard`/`_size`) are synthesized here, not
   // decoded: split them out of the codec's schema and re-insert their
-  // values at the right ordinals per item.
+  // values at the right ordinals per item. `metaNames` excludes names
+  // shadowed by real data columns (the scan builder resolves that
+  // against the table schema) — those decode as ordinary attributes.
   private val metaCols: Array[(String, Int)] =
     schema.fields.zipWithIndex.collect {
-      case (f, i) if DynamoMetaCols.names(f.name) => (f.name, i)
+      case (f, i) if metaNames(f.name) => (f.name, i)
     }
   private val dataSchema: StructType =
     if (metaCols.isEmpty) schema
-    else StructType(schema.fields.filterNot(f => DynamoMetaCols.names(f.name)))
+    else StructType(schema.fields.filterNot(f => metaNames(f.name)))
   private lazy val placementMeta: TableMeta = store.describe(opts.tableName)
   private val decode = Codec.rowReader(dataSchema)
   private val limiter = new RateLimiter(partition.ratePerSegment)
@@ -1642,8 +1659,9 @@ final class DynamoPartitionReader(
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      if (f.name == DynamoMetaCols.Shard) full.update(i, store.shardOf(placementMeta, it))
-      else if (f.name == DynamoMetaCols.Size) full.update(i, sz)
+      if (metaNames(f.name) && f.name == DynamoMetaCols.Shard)
+        full.update(i, store.shardOf(placementMeta, it))
+      else if (metaNames(f.name) && f.name == DynamoMetaCols.Size) full.update(i, sz)
       else { full.update(i, base.get(di, dataSchema.fields(di).dataType)); di += 1 }
       i += 1
     }

@@ -115,7 +115,16 @@ object FilterEval {
   private def cmp(item: Item, attr: String, v: Any): Option[Int] =
     item.get(attr).flatMap {
       case AttrVal.S(s) => v match {
-        case x: String => Some(s.compareTo(x))
+        // UTF8String binary (code-point) order, matching Catalyst and
+        // PredicateV2.compare — java.lang.String.compareTo sorts by
+        // UTF-16 code UNIT, which orders supplementary characters
+        // (surrogate pairs, U+10000 and up) BELOW U+E000..U+FFFF: a pushed
+        // range filter would silently disagree with Spark's own order
+        // on exactly those rows, and Spark never re-checks pushed
+        // predicates.
+        case x: String =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(x)))
         case _ => None
       }
       case AttrVal.N(n) => v match {

@@ -458,6 +458,19 @@ final class LocalKVStore(root: String) {
   def scanSegment(table: String, segment: Int, totalSegments: Int,
       asOfSeq: Option[Long] = None): Iterator[(Item, Int)] = {
     val meta = describe(table)
+    // An asOfSeq below the compaction watermark is unsatisfiable: the
+    // folded base would serve post-snapshot state for every key whose
+    // journal history was compacted away — silently wrong results.
+    // Fail loudly instead; callers wanting deep time travel must
+    // retain their journal (skip compaction).
+    asOfSeq.foreach { seq =>
+      val wm = compactionWatermark(table)
+      require(seq >= wm,
+        s"asOfSeq=$seq predates the last compaction of '$table' " +
+          s"(watermark $wm): that history was folded into the base and " +
+          "is no longer addressable. Snapshot reads reach back only to " +
+          "the most recent compaction.")
+    }
     def inSegment(item: Item): Boolean =
       shardOf(meta, item) % totalSegments == segment
 
@@ -596,7 +609,29 @@ final class LocalKVStore(root: String) {
     finally w.close()
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    listFiles(table, "wal-").filter(walShard(_) == shard).foreach(Files.delete)
+    val folding = listFiles(table, "wal-").filter(walShard(_) == shard)
+    // Snapshot watermark: once these journal files fold into the base,
+    // history at or below their pubSeq is no longer addressable — an
+    // `asOfSeq` read below the mark would silently return POST-snapshot
+    // state (the base always participates in replay). Record the
+    // high-water mark so scanSegment can reject unsatisfiable snapshot
+    // reads loudly. One file per shard (compaction runs shard-parallel
+    // — a shared file would race); written atomically via tmp+move.
+    folding.map(walPubSeq).maxOption.foreach { mx =>
+      val wmPath = dir.resolve(f"compact-wm-s$shard%03d")
+      val prev =
+        if (Files.exists(wmPath))
+          new String(Files.readAllBytes(wmPath), UTF_8).trim.toLong
+        else 0L
+      if (mx > prev) {
+        val wmTmp = dir.resolve(f"compact-wm-s$shard%03d.tmp")
+        Files.write(wmTmp, mx.toString.getBytes(UTF_8))
+        Files.move(wmTmp, wmPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    folding.foreach(Files.delete)
     // Reap abandoned write buffers for this shard: a `.tmp` idle past
     // the window has no live writer (crashed before publish). Deleting
     // it both bounds orphan accumulation and makes a zombie writer's
@@ -621,6 +656,27 @@ final class LocalKVStore(root: String) {
     */
   def compact(table: String): Unit =
     (0 until describe(table).shards).foreach(compactShard(table, _))
+
+  /** Highest journal pubSeq ever folded into the base by compaction
+    * (0 = never compacted) — the floor below which `asOfSeq` snapshot
+    * reads are unsatisfiable. Table-level max over the per-shard
+    * marks: a snapshot must be consistent across the whole table, so
+    * one compacted shard invalidates the epoch for all of them.
+    */
+  def compactionWatermark(table: String): Long = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return 0L
+    val stream = Files.list(dir)
+    // not via listFiles: the marks are bare numbers, not .jsonl content
+    try stream.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("compact-wm-") && !n.endsWith(".tmp") // .tmp = in-flight write
+      }
+      .map(p => new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+      .maxOption.getOrElse(0L)
+    finally stream.close()
+  }
 
   /** Delete all content (base shards + journal), keeping the table
     * definition — the `mode("overwrite")` reset. Not atomic: a

@@ -1653,6 +1653,21 @@ class DynamoConnectorSpec extends AnyFunSuite {
       assert(ops === Seq(("DELETE", "k2"), ("PUT", "k1"), ("PUT", "k2"),
         ("PUT", "k3"), ("UPDATE", "k1")), s"feed saw: $ops")
     } finally seen.stop()
+
+    // Compaction folds the journal into the base, so epochs at or
+    // below the fold are no longer addressable: an asOfSeq below the
+    // watermark must FAIL (before this check it silently returned
+    // post-snapshot state); at/above the watermark reads still work.
+    store.compact("tt")
+    assert(store.compactionWatermark("tt") === s3)
+    val tooOld = intercept[Throwable] { stateAt(Some(s2)) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .flatMap(x => Option(x.getMessage))
+    assert(chain(tooOld).exists(_.contains("predates the last compaction")),
+      s"got: ${chain(tooOld)}")
+    assert(stateAt(Some(s3)) === Seq(("k1", 10L), ("k4", 4L)))
+    assert(stateAt(None) === Seq(("k1", 10L), ("k4", 4L)))
   }
 
   test("offset pushdown skips globally on a single-segment scan and declines on multi") {
@@ -1791,6 +1806,28 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // Spark-side filter on a metadata column (never pushed to the wire)
     val some = df.filter(col("_shard") === per.head.getInt(0)).count()
     assert(some === per.head.getLong(1))
+  }
+
+  test("a real _shard data column shadows the metadata column end to end") {
+    import spark.implicits._
+    val root = freshRoot()
+    // the table GENUINELY stores an attribute named _shard — the
+    // metadataColumns() shadowing contract says reads must return the
+    // stored values, never the synthesized placement bucket
+    (0 until 30).map(i => (f"k$i%03d", s"stored$i", i.toLong))
+      .toDF("id", "_shard", "v").write.dynamo(root, "shadow", "id")
+    val df = spark.read.dynamo(root, "shadow")
+    // the data column is part of the schema (not hidden like metadata)
+    assert(df.columns.contains("_shard"))
+    val got = df.select("id", "_shard").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size === 30)
+    got.foreach { case (id, s) =>
+      assert(s === "stored" + id.drop(1).toInt, s"$id read $s") }
+    // filters on the shadowed column evaluate against stored DATA
+    assert(df.filter(col("_shard") === "stored7").count() === 1L)
+    // the non-shadowed _size metadata column still synthesizes
+    assert(df.select(col("id"), col("_size")).collect().forall(_.getInt(1) > 0))
   }
 
   test("TTL reaper physically reclaims expired items; live items and reads intact") {

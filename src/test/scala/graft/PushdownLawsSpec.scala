@@ -207,6 +207,23 @@ class PushdownLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed string ranges use code-point order on supplementary characters") {
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-surrogate").toString
+    // U+FFFE sorts BELOW U+1F600 in code-point (UTF8String) order but
+    // ABOVE it in java.lang.String UTF-16 code-unit order — the exact
+    // divergence a store-side compareTo would smuggle into results.
+    Seq((1L, "\uFFFE"), (2L, new String(Character.toChars(0x1F600))), (3L, "zed"))
+      .toDF("id", "s").write.dynamo(r, "sup", "id")
+    def ids(pushdown: Boolean) = spark.read.format("dynamo")
+      .option("path", r).option("tableName", "sup")
+      .option("filterPushdown", pushdown.toString).load()
+      .filter(col("s") > "\uFFFD").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(pushdown = true) === ids(pushdown = false))
+    assert(ids(pushdown = true) === Seq(1L, 2L)) // emoji > U+FFFD, "zed" is not
+  }
+
   test("PushedSample laws: determinism, uniformity, range partition, seed independence") {
     import graft.sources.dynamo.PushedSample
     val keys = (0 until 20000).map(i => s"S|k$i") // canonical-key-ish strings
