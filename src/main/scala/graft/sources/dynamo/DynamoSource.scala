@@ -53,6 +53,12 @@ final case class DynamoOptions(
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
     maxPushedGroups: Int,
+    /** Size bound for the build (right) side of a pushed join: the
+      * negotiation declines when the right table's stored bytes exceed
+      * this, keeping every join task's in-memory hash build
+      * dimension-sized regardless of probe-side scale.
+      */
+    joinBuildMaxBytes: Long,
     /** Snapshot read at a past journal sequence (WAL PITR): the scan
       * replays only journal files published at or before this offset —
       * the same sequence space the CDC feed exposes. Read-only: write
@@ -112,6 +118,8 @@ object DynamoOptions {
             "reader's per-segment group map; 0 would never accumulate nor drain)")
         g
       },
+      joinBuildMaxBytes =
+        opt("joinBuildMaxBytes").map(_.toLong).getOrElse(64L * 1024 * 1024),
       asOfSeq = opt("asOfSeq").map(_.toLong))
   }
 }
@@ -333,7 +341,9 @@ private[dynamo] object DeleteWhere {
   * [REF: datasource/DynamoScanBuilder.scala; connector/FilterPushdown.scala
   * — accept/translate split, widened to Spark 4's v2 `Predicate`s].
   */
-final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
+final class DynamoScanBuilder(
+    private[dynamo] val opts: DynamoOptions,
+    private[dynamo] val tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
@@ -341,6 +351,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     with SupportsPushDownOffset
     with SupportsPushDownTopN
     with SupportsPushDownTableSample
+    with SupportsPushDownJoin
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
@@ -353,6 +364,80 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   private var sample: Option[PushedSample] = None
   private var aggs: Seq[PushedAgg] = Nil
   private var grouped: Option[PushedGroupBy] = None
+  private var joined: Option[PushedJoinSpec] = None
+
+  /** Nothing negotiated yet that a pushed join can't absorb: joins
+    * push after samples/filters but the absorbed state must be plain —
+    * base table (no GSI view, no change feed), no sample, and no
+    * prior join (chains decline; Spark keeps the outer join).
+    */
+  private def plainForJoin: Boolean =
+    opts.indexName.isEmpty && !opts.cdc && sample.isEmpty &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      aggs.isEmpty && grouped.isEmpty && joined.isEmpty
+
+  /** Join pushdown (`SupportsPushDownJoin`, Spark 4.1,
+    * `spark.sql.optimizer.datasourceV2JoinPushdown`): an INNER join of
+    * two tables in the SAME store collapses into one scan — Spark
+    * removes its Join operator, each scan task streams its own
+    * left-side segment and hash-builds the (filtered, size-bounded)
+    * right table, i.e. a broadcast-hash join whose build side is read
+    * store-side instead of shipped from the driver. Declines unless
+    * the right table's stored size fits `joinBuildMaxBytes` (the
+    * per-task build must stay dimension-sized at any probe scale) and
+    * the rewritten condition translates EXACTLY
+    * ([[PredicateV2.translate]] over the aliased joined schema) —
+    * Spark does not re-check a pushed join.
+    */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: DynamoScanBuilder =>
+        o.opts.path == opts.path && plainForJoin && o.plainForJoin &&
+          opts.filterPushdown && o.opts.filterPushdown &&
+          opts.asOfSeq == o.opts.asOfSeq && // one snapshot epoch per join
+          new LocalKVStore(o.opts.path).sizeBytes(o.opts.tableName) <=
+            opts.joinBuildMaxBytes
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: v2filter.Predicate): Boolean = {
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN ||
+        condition == null || !isOtherSideCompatibleForJoin(other)) return false
+    val o = other.asInstanceOf[DynamoScanBuilder]
+    def sideCols(req: Array[SupportsPushDownJoin.ColumnWithAlias],
+        schema: StructType): Option[Seq[(String, String, StructField)]] = {
+      val bySide = req.toSeq.map { cwa =>
+        val alias = Option(cwa.alias).getOrElse(cwa.colName)
+        schema.fields.find(_.name == cwa.colName)
+          .map(f => (cwa.colName, alias, f.copy(name = alias)))
+      }
+      if (bySide.forall(_.isDefined)) Some(bySide.flatten) else None
+    }
+    (sideCols(leftRequired, tableSchema), sideCols(rightRequired, o.tableSchema)) match {
+      case (Some(l), Some(r)) =>
+        val joinedSchema = StructType(l.map(_._3) ++ r.map(_._3))
+        val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+        PredicateV2.translate(condition, joinedSchema, ansi) match {
+          case Some(cond) =>
+            joined = Some(PushedJoinSpec(
+              PushedJoinSide(opts, pushed, advPushed, l.map(c => (c._1, c._2))),
+              PushedJoinSide(o.opts, o.pushed, o.advPushed, r.map(c => (c._1, c._2))),
+              cond, joinedSchema))
+            // this builder's pre-join filters moved into the left side;
+            // anything pushed from here on applies ABOVE the join
+            pushed = Array.empty; advPushed = Nil; pushedV2 = Array.empty
+            requiredSchema = joinedSchema
+            true
+          case None => false
+        }
+      case _ => false
+    }
+  }
 
   /** TABLESAMPLE pushdown — Spark REMOVES its Sample operator on
     * acceptance, so the scan's key-hash Bernoulli sampler
@@ -395,7 +480,10 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   override def pushPredicates(predicates: Array[v2filter.Predicate]): Array[v2filter.Predicate] = {
     if (!opts.filterPushdown) return predicates
     val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
-    val tr = predicates.map(p => p -> PredicateV2.translate(p, tableSchema, ansi))
+    // after a pushed join, predicates arrive over the ALIASED joined
+    // schema and evaluate on merged items (post-join)
+    val scope = joined.map(_.joinedSchema).getOrElse(tableSchema)
+    val tr = predicates.map(p => p -> PredicateV2.translate(p, scope, ansi))
     pushedV2 = tr.collect { case (p, Some(_)) => p }
     pushed = tr.collect { case (_, Some(Left(f))) => f }
     advPushed = tr.collect { case (_, Some(Right(vp))) => vp }.toSeq
@@ -418,8 +506,9 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // results; a limit pushed then would have to cap RESULT rows, not
     // items — decline and let Spark keep its own limit. (Aggregates
     // push before limits in V2ScanRelationPushDown, so `aggs`/`grouped`
-    // are already settled here.)
-    if (aggs.nonEmpty || grouped.isDefined) return false
+    // are already settled here.) A pushed join's readers don't count
+    // joined rows — decline there too.
+    if (aggs.nonEmpty || grouped.isDefined || joined.isDefined) return false
     limit = Some(l); true
   }
 
@@ -446,7 +535,8 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * pushed limit and drops the first `m` post-filter rows.
     */
   override def pushOffset(o: Int): Boolean = {
-    if (aggs.nonEmpty || grouped.isDefined || topN.isDefined || o <= 0) return false
+    if (aggs.nonEmpty || grouped.isDefined || topN.isDefined || joined.isDefined ||
+      o <= 0) return false
     if (singleSegmentPlan) { offset = Some(o); true } else false
   }
 
@@ -462,7 +552,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     * Spark-side untouched.
     */
   override def pushTopN(orders: Array[v2expr.SortOrder], n: Int): Boolean = {
-    if (aggs.nonEmpty || grouped.isDefined) return false // see pushLimit
+    if (aggs.nonEmpty || grouped.isDefined || joined.isDefined) return false // see pushLimit
     val keys = orders.toSeq.map { o =>
       (o.expression() match {
         case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
@@ -604,7 +694,7 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     })
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    parseGroupCols(agg).exists(g =>
+    joined.isEmpty && parseGroupCols(agg).exists(g =>
       parseAggFuncs(agg).isDefined && groupedComplete(g))
 
   /** Aggregate pushdown. Ungrouped: segments compute one partial per
@@ -623,7 +713,9 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
     // Samples push before aggregates (V2ScanRelationPushDown order),
     // and every aggregate reader evaluates the sample membership
     // per-item, so `sample(p).count()` (and grouped variants) push
-    // fully and aggregate exactly the sampled rows.
+    // fully and aggregate exactly the sampled rows. Aggregates over a
+    // pushed JOIN decline (the join readers emit rows, not partials).
+    if (joined.isDefined) return false
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
@@ -643,6 +735,9 @@ final class DynamoScanBuilder(opts: DynamoOptions, tableSchema: StructType)
   }
 
   override def build(): Scan = {
+    joined.foreach { spec =>
+      return new DynamoJoinScan(spec, requiredSchema, pushed, advPushed)
+    }
     // Sort columns are always in the scan output (the Sort references
     // them), but guard against a pruned key anyway: dropping the push
     // is correct, resolving a missing column is a crash.

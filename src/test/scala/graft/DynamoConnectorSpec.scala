@@ -419,6 +419,55 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fruit_del")
   }
 
+  test("join pushdown collapses a co-stored inner join into one scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq(("apple", "US", 10L), ("banana", "EC", 20L), ("cherry", "TR", 30L),
+      ("fig", "GR", 5L))
+      .toDF("name", "origin", "qty").write.dynamo(root, "supply", "name")
+
+    def joined() = {
+      val l = spark.read.dynamo(root, "fruit")
+      val r = spark.read.dynamo(root, "supply")
+      l.join(r, l("name") === r("name"))
+        .select(l("name"), col("color"), col("origin"), col("qty"))
+    }
+    // baseline with the conf off: Spark executes the join itself
+    val expect = joined().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val j = joined()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedJoin"), plan)
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"), plan)
+      val got = j.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(got === expect)
+      assert(got.map(_._1) === Seq("apple", "banana", "cherry"))
+
+      // a post-join filter stays exact over the pushed join
+      val f = joined().filter(col("qty") > 10L)
+      assert(f.collect().map(_.getString(0)).sorted.toSeq === Seq("banana", "cherry"))
+
+      // an oversized build side declines: the join stays Spark-side
+      val big = spark.read.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("joinBuildMaxBytes", "1").load()
+      val r2 = spark.read.format("dynamo")
+        .option("path", root).option("tableName", "supply")
+        .option("joinBuildMaxBytes", "1").load()
+      val declined = big.join(r2, big("name") === r2("name"))
+      assert(!declined.queryExecution.executedPlan.toString.contains("PushedJoin"))
+      assert(declined.count() === 3L)
+    } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   test("overwrite-by-filter replaces exactly the matching rows") {
     import spark.implicits._
     val root = freshRoot()
