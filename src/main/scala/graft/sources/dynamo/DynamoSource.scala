@@ -406,7 +406,8 @@ final class DynamoScanBuilder(
       leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
       rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
       condition: v2filter.Predicate): Boolean = {
-    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN ||
+    val outer = joinType == org.apache.spark.sql.connector.join.JoinType.LEFT_OUTER_JOIN
+    if ((joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN && !outer) ||
         condition == null || !isOtherSideCompatibleForJoin(other)) return false
     val o = other.asInstanceOf[DynamoScanBuilder]
     def sideCols(req: Array[SupportsPushDownJoin.ColumnWithAlias],
@@ -420,14 +421,18 @@ final class DynamoScanBuilder(
     }
     (sideCols(leftRequired, tableSchema), sideCols(rightRequired, o.tableSchema)) match {
       case (Some(l), Some(r)) =>
-        val joinedSchema = StructType(l.map(_._3) ++ r.map(_._3))
+        // LEFT OUTER null-extends unmatched probe rows, so the right
+        // side's output columns must declare nullable regardless of
+        // their stored nullability.
+        val rFields = if (outer) r.map(_._3.copy(nullable = true)) else r.map(_._3)
+        val joinedSchema = StructType(l.map(_._3) ++ rFields)
         val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
         PredicateV2.translate(condition, joinedSchema, ansi) match {
           case Some(cond) =>
             joined = Some(PushedJoinSpec(
               PushedJoinSide(opts, pushed, advPushed, l.map(c => (c._1, c._2))),
               PushedJoinSide(o.opts, o.pushed, o.advPushed, r.map(c => (c._1, c._2))),
-              cond, joinedSchema))
+              cond, joinedSchema, outer = outer))
             // this builder's pre-join filters moved into the left side;
             // anything pushed from here on applies ABOVE the join
             pushed = Array.empty; advPushed = Nil; pushedV2 = Array.empty

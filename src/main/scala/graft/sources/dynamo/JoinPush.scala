@@ -24,7 +24,8 @@ final case class PushedJoinSide(
 }
 
 /** A join absorbed into the left scan: both sides live in the SAME
-  * store, the join type is INNER, and the condition translated exactly
+  * store, the join type is INNER or LEFT OUTER (`outer` — unmatched
+  * probe rows null-extend), and the condition translated exactly
   * through [[PredicateV2.translate]] against the ALIASED joined schema
   * (Spark rewrites the condition onto the aliased output before
   * pushing). Anything else was declined at negotiation.
@@ -33,7 +34,8 @@ final case class PushedJoinSpec(
     left: PushedJoinSide,
     right: PushedJoinSide,
     cond: Either[Filter, PredicateV2.VPred],
-    joinedSchema: StructType) extends Serializable {
+    joinedSchema: StructType,
+    outer: Boolean = false) extends Serializable {
 
   /** Aliased (left, right) column pairs the condition constrains by
     * EQUALITY — the hash-join keys. Collected from `=` conjuncts of
@@ -58,7 +60,8 @@ final case class PushedJoinSpec(
 
   def describe: String = {
     val c = cond.fold(_.toString, _.toString)
-    s"${left.describe} INNER JOIN ${right.describe} ON $c"
+    val jt = if (outer) "LEFT OUTER JOIN" else "INNER JOIN"
+    s"${left.describe} $jt ${right.describe} ON $c"
   }
 }
 
@@ -215,9 +218,16 @@ final class DynamoJoinReader(
                 rightByKey.getOrElse(k.map(_.get), Vector.empty)
               else Vector.empty
             }
-          candidates.iterator
+          val merged = candidates.iterator
             .map(r => l ++ r)
             .filter(m => spec.cond.fold(FilterEval.eval(_, m), PredicateV2.eval(_, m)))
+          // LEFT OUTER: a probe row with no surviving candidate emits
+          // once, null-extended (right attrs absent → decode nulls)
+          val joinedRows =
+            if (!spec.outer) merged
+            else if (merged.hasNext) merged
+            else Iterator.single(l)
+          joinedRows
             .filter(m => postFilters.forall(FilterEval.eval(_, m)) &&
               postAdv.forall(PredicateV2.eval(_, m)))
             .map { m => matched += 1; decode(m) }

@@ -455,6 +455,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val f = joined().filter(col("qty") > 10L)
       assert(f.collect().map(_.getString(0)).sorted.toSeq === Seq("banana", "cherry"))
 
+      // LEFT OUTER pushes too: unmatched probe rows null-extend
+      val lo = {
+        val l = spark.read.dynamo(root, "fruit")
+        val r = spark.read.dynamo(root, "supply")
+        l.join(r, l("name") === r("name"), "left")
+          .select(l("name"), col("origin"), col("qty"))
+      }
+      val loPlan = lo.queryExecution.executedPlan.toString
+      assert(loPlan.contains("LEFT OUTER JOIN"), loPlan)
+      val loRows = lo.collect().map(r =>
+        (r.getString(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+      assert(loRows === Seq(
+        ("apple", Some("US"), Some(10L)), ("banana", Some("EC"), Some(20L)),
+        ("cherry", Some("TR"), Some(30L)), ("durian", None, None)))
+
       // an oversized build side declines: the join stays Spark-side
       val big = spark.read.format("dynamo")
         .option("path", root).option("tableName", "fruit")
