@@ -585,9 +585,12 @@ final class DynamoScanBuilder(
     */
   override def isPartiallyPushed(): Boolean = topN.isDefined || !singleSegmentPlan
 
+  // Aggregate columns resolve against the relation the aggregate sees:
+  // the ALIASED joined schema after a pushed join, the table otherwise.
   private def fieldOf(e: v2expr.Expression): Option[StructField] = e match {
     case f: v2expr.NamedReference if f.fieldNames().length == 1 =>
-      tableSchema.fields.find(_.name == f.fieldNames().head)
+      joined.map(_.joinedSchema).getOrElse(tableSchema)
+        .fields.find(_.name == f.fieldNames().head)
     case _ => None
   }
 
@@ -718,16 +721,20 @@ final class DynamoScanBuilder(
     // Samples push before aggregates (V2ScanRelationPushDown order),
     // and every aggregate reader evaluates the sample membership
     // per-item, so `sample(p).count()` (and grouped variants) push
-    // fully and aggregate exactly the sampled rows. Aggregates over a
-    // pushed JOIN decline (the join readers emit rows, not partials).
-    if (joined.isDefined) return false
+    // fully and aggregate exactly the sampled rows. Over a pushed
+    // JOIN (joins push before aggregates too), UNGROUPED aggregates
+    // compose — each join task folds its merged rows into one partial,
+    // so `fact.join(dim).count()` ships one row per segment; grouped
+    // aggregates over a join decline (group state belongs to Spark
+    // there — no shard-locality claim survives a join).
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
         case Some(parsed) => aggs = parsed; true
         case None => false
       }
-    } else {
+    } else if (joined.isDefined) false
+    else {
       (parseGroupCols(agg), parseAggFuncs(agg)) match {
         case (Some(g), Some(parsed)) =>
           grouped = Some(PushedGroupBy(g, groupedKeyed(g), groupedUnique(g),
@@ -741,7 +748,7 @@ final class DynamoScanBuilder(
 
   override def build(): Scan = {
     joined.foreach { spec =>
-      return new DynamoJoinScan(spec, requiredSchema, pushed, advPushed)
+      return new DynamoJoinScan(spec, requiredSchema, pushed, advPushed, aggs)
     }
     // Sort columns are always in the scan output (the Sort references
     // them), but guard against a pruned key anyway: dropping the push

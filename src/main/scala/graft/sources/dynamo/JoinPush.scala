@@ -79,10 +79,15 @@ final class DynamoJoinScan(
     spec: PushedJoinSpec,
     schema: StructType,
     postFilters: Array[Filter],
-    postAdv: Seq[PredicateV2.VPred])
+    postAdv: Seq[PredicateV2.VPred],
+    aggs: Seq[PushedAgg] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = schema
+  // An ungrouped aggregate pushed OVER the join: each task folds its
+  // merged rows into one partial row (Spark folds the partials).
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) schema
+    else StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
 
   override def description(): String =
     s"dynamo-join PushedJoin: [${spec.describe}], " +
@@ -90,7 +95,10 @@ final class DynamoJoinScan(
         s"PostJoinFilters: [${(postFilters.map(_.toString) ++
           postAdv.map(_.toString)).mkString(", ")}], "
       else "") +
-      s"ReadSchema: ${schema.catalogString}"
+      (if (aggs.nonEmpty)
+        s"PushedAggregates: [${aggs.mkString(", ")}], "
+      else "") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   override def toBatch: Batch = this
 
@@ -116,7 +124,7 @@ final class DynamoJoinScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv)
+    new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv, aggs)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
@@ -124,11 +132,12 @@ final class DynamoJoinScan(
 
 final class DynamoJoinReaderFactory(
     spec: PushedJoinSpec, schema: StructType,
-    postFilters: Array[Filter], postAdv: Seq[PredicateV2.VPred])
+    postFilters: Array[Filter], postAdv: Seq[PredicateV2.VPred],
+    aggs: Seq[PushedAgg] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DynamoJoinReader(spec, schema, postFilters, postAdv,
-      partition.asInstanceOf[DynamoInputPartition])
+      partition.asInstanceOf[DynamoInputPartition], aggs)
 }
 
 /** Executor-side join task: hash-build the filtered right table, then
@@ -143,10 +152,11 @@ final class DynamoJoinReader(
     schema: StructType,
     postFilters: Array[Filter],
     postAdv: Seq[PredicateV2.VPred],
-    partition: DynamoInputPartition)
+    partition: DynamoInputPartition,
+    aggs: Seq[PushedAgg] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private val decode = Codec.rowReader(schema)
+  private lazy val decode = Codec.rowReader(schema)
 
   private var scanned = 0L
   private var matched = 0L
@@ -201,7 +211,7 @@ final class DynamoJoinReader(
   private val leftConsistency =
     if (spec.left.opts.stronglyConsistentReads) 1.0 else 0.5
 
-  private val rows: Iterator[InternalRow] =
+  private val mergedItems: Iterator[Item] =
     leftStore.scanSegment(spec.left.opts.tableName, partition.segment,
         partition.totalSegments, spec.left.opts.asOfSeq)
       .flatMap { case (it0, sz) =>
@@ -230,14 +240,27 @@ final class DynamoJoinReader(
           joinedRows
             .filter(m => postFilters.forall(FilterEval.eval(_, m)) &&
               postAdv.forall(PredicateV2.eval(_, m)))
-            .map { m => matched += 1; decode(m) }
+            .map { m => matched += 1; m }
         }
       }
 
   private var current: InternalRow = _
+  private var aggEmitted = false
 
   override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (aggs.nonEmpty) {
+      // aggregate-over-join: fold this task's merged rows into ONE
+      // partial row (same accumulators as the plain aggregate scan)
+      if (aggEmitted) false
+      else {
+        val accs = AggAccs.make(aggs)
+        mergedItems.foreach(m => accs.foreach(_.update(m)))
+        current = InternalRow.fromSeq(accs.map(_.result).toSeq)
+        aggEmitted = true
+        true
+      }
+    } else if (mergedItems.hasNext) { current = decode(mergedItems.next()); true }
+    else false
 
   override def get(): InternalRow = current
 

@@ -471,6 +471,21 @@ class DynamoConnectorSpec extends AnyFunSuite {
         ("apple", Some("US"), Some(10L)), ("banana", Some("EC"), Some(20L)),
         ("cherry", Some("TR"), Some(30L)), ("durian", None, None)))
 
+      // an ungrouped aggregate composes OVER the pushed join: each
+      // task folds its merged rows into one partial — count ships one
+      // row per segment, zero joined rows reach Spark
+      val cntDf = {
+        val l = spark.read.dynamo(root, "fruit")
+        val r = spark.read.dynamo(root, "supply")
+        l.join(r, l("name") === r("name"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"))
+      }
+      val cntPlan = cntDf.queryExecution.executedPlan.toString
+      assert(cntPlan.contains("PushedJoin") && cntPlan.contains("PushedAggregates"),
+        cntPlan)
+      val cntRow = cntDf.collect().head
+      assert(cntRow.getLong(0) === 3L && cntRow.getLong(1) === 60L)
+
       // an oversized build side declines: the join stays Spark-side
       val big = spark.read.format("dynamo")
         .option("path", root).option("tableName", "fruit")
