@@ -389,12 +389,15 @@ final class DynamoScanBuilder(
     * ([[PredicateV2.translate]] over the aliased joined schema) —
     * Spark does not re-check a pushed join.
     */
+  private def structurallyJoinable(o: DynamoScanBuilder): Boolean =
+    o.opts.path == opts.path && plainForJoin && o.plainForJoin &&
+      opts.filterPushdown && o.opts.filterPushdown &&
+      opts.asOfSeq == o.opts.asOfSeq // one snapshot epoch per join
+
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
       case o: DynamoScanBuilder =>
-        o.opts.path == opts.path && plainForJoin && o.plainForJoin &&
-          opts.filterPushdown && o.opts.filterPushdown &&
-          opts.asOfSeq == o.opts.asOfSeq && // one snapshot epoch per join
+        structurallyJoinable(o) &&
           new LocalKVStore(o.opts.path).sizeBytes(o.opts.tableName) <=
             opts.joinBuildMaxBytes
       case _ => false
@@ -408,8 +411,12 @@ final class DynamoScanBuilder(
       condition: v2filter.Predicate): Boolean = {
     val outer = joinType == org.apache.spark.sql.connector.join.JoinType.LEFT_OUTER_JOIN
     if ((joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN && !outer) ||
-        condition == null || !isOtherSideCompatibleForJoin(other)) return false
+        condition == null || !other.isInstanceOf[DynamoScanBuilder]) return false
     val o = other.asInstanceOf[DynamoScanBuilder]
+    // Spark calls isOtherSideCompatibleForJoin immediately before this,
+    // which already walked the right table's size — only re-check the
+    // cheap structural half here.
+    if (!structurallyJoinable(o)) return false
     def sideCols(req: Array[SupportsPushDownJoin.ColumnWithAlias],
         schema: StructType): Option[Seq[(String, String, StructField)]] = {
       val bySide = req.toSeq.map { cwa =>

@@ -37,24 +37,31 @@ final case class PushedJoinSpec(
     joinedSchema: StructType,
     outer: Boolean = false) extends Serializable {
 
-  /** Aliased (left, right) column pairs the condition constrains by
-    * EQUALITY — the hash-join keys. Collected from `=` conjuncts of
-    * column-vs-column shape; the FULL condition is still re-evaluated
-    * on every merged candidate, so the pairs only need to be a sound
-    * subset (hashing on them can never drop a matching pair: rows
-    * whose key attrs are missing/null cannot satisfy `=` anyway).
+  /** Aliased (left, right, type) column pairs the condition constrains
+    * by EQUALITY — the hash-join keys. Collected from `=` conjuncts of
+    * column-vs-column shape with MATCHING evaluation types (a
+    * cross-type `=` would carry casts and never parse as plain
+    * VCol=VCol); the FULL condition is still re-evaluated on every
+    * merged candidate, so the pairs only need a sound subset property:
+    * hashing can never drop a matching pair. That holds because the
+    * hash keys are the TYPED values ([[PredicateV2.typedValue]] — the
+    * same coercion the `=` evaluation applies), not raw stored
+    * AttrVals, which can differ (N(1) vs N(1.0) under LongType) for
+    * values the compare calls equal.
     */
-  def equiKeys: Seq[(String, String)] = {
+  def equiKeys: Seq[(String, String, org.apache.spark.sql.types.DataType)] = {
     val leftAliases = left.cols.map(_._2).toSet
     val rightAliases = right.cols.map(_._2).toSet
-    def walk(p: PredicateV2.VPred): Seq[(String, String)] = p match {
-      case PredicateV2.VAnd(l, r) => walk(l) ++ walk(r)
-      case PredicateV2.VCmp("=", PredicateV2.VCol(a, _), PredicateV2.VCol(b, _)) =>
-        if (leftAliases(a) && rightAliases(b)) Seq((a, b))
-        else if (leftAliases(b) && rightAliases(a)) Seq((b, a))
-        else Nil
-      case _ => Nil
-    }
+    def walk(p: PredicateV2.VPred): Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      p match {
+        case PredicateV2.VAnd(l, r) => walk(l) ++ walk(r)
+        case PredicateV2.VCmp("=",
+            PredicateV2.VCol(a, dta), PredicateV2.VCol(b, dtb)) if dta == dtb =>
+          if (leftAliases(a) && rightAliases(b)) Seq((a, b, dta))
+          else if (leftAliases(b) && rightAliases(a)) Seq((b, a, dta))
+          else Nil
+        case _ => Nil
+      }
     cond.fold(_ => Nil, walk)
   }
 
@@ -113,15 +120,13 @@ final class DynamoJoinScan(
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val store = new LocalKVStore(spec.left.opts.path)
-    val meta = store.describe(spec.left.opts.tableName)
-    val n = DynamoScan.fullScanSegments(store, meta, spec.left.opts)
-    val throughput =
-      spec.left.opts.throughput.getOrElse(meta.throughput).toDouble
-    val rate = math.max(0.1, spec.left.opts.targetCapacity * throughput / n)
-    Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
-  }
+  // Delegate probe-side planning to the plain scan: its keyShards
+  // pruning applies unchanged — a pushed hash-key filter on the left
+  // side plans ONE shard's segment (point-lookup join), not a full
+  // sweep; rate splitting and segment arithmetic stay in one place.
+  override def planInputPartitions(): Array[InputPartition] =
+    new DynamoScan(spec.left.opts, StructType(Nil), spec.left.pushed,
+      adv = spec.left.adv).planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv, aggs)
@@ -158,49 +163,76 @@ final class DynamoJoinReader(
 
   private lazy val decode = Codec.rowReader(schema)
 
-  private var scanned = 0L
-  private var matched = 0L
-
   /** Rename a raw item into the join's alias space, keeping only the
     * side's projected columns; absent attributes stay absent.
     */
   private def project(it: Item, cols: Seq[(String, String)]): Item =
     cols.flatMap { case (c, a) => it.get(c).map(a -> _) }.toMap
 
-  private def sideVisible(side: PushedJoinSide, store: LocalKVStore,
-      ttlNow: Long)(it: Item): Boolean =
+  private def sideVisible(side: PushedJoinSide, ttlNow: Long)(it: Item): Boolean =
     Ttl.alive(side.opts, ttlNow)(it) &&
       side.pushed.forall(FilterEval.eval(_, it)) &&
       side.adv.forall(PredicateV2.eval(_, it))
 
   private val keys = spec.equiKeys
 
-  // Build side: the whole (filtered) right table, hashed on the equi
-  // keys — or a flat vector when the condition has none (rare; the
-  // nested-loop fallback is still bounded by joinBuildMaxBytes).
+  /** Spark's grouping/equality treats 0.0 ≡ -0.0 and NaN ≡ NaN; boxed
+    * equals does neither — normalize typed hash-key values the same
+    * way the grouped-aggregate reader does.
+    */
+  private def normKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.isNaN => java.lang.Double.valueOf(Double.NaN)
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.isNaN => java.lang.Float.valueOf(Float.NaN)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+
+  /** TYPED equi-key of a projected item (left side reads the left
+    * alias, right the right) — None when any key attr is missing,
+    * null, or uncoercible: such a row can never satisfy `=`.
+    */
+  private def keyOf(it: Item, leftSide: Boolean): Option[Seq[Any]] = {
+    val vs = keys.map { case (lc, rc, dt) =>
+      PredicateV2.typedValue(it, if (leftSide) lc else rc, dt) }
+    if (vs.forall(_.isDefined)) Some(vs.map(v => normKey(v.get))) else None
+  }
+
+  private var scanned = 0L
+  private var filtered = 0L
+
+  // Build side: the whole (filtered) right table, hashed on the typed
+  // equi keys — or a flat vector when the condition has none (rare;
+  // the nested-loop fallback is still bounded by joinBuildMaxBytes).
+  // The build's read budget divides by the probe task count, like any
+  // other concurrent reader of a table (totalSegments tasks each run
+  // this build).
   private lazy val (rightByKey, rightAll) = {
     val s = spec.right
     val store = new LocalKVStore(s.opts.path)
     val meta = store.describe(s.opts.tableName)
     val limiter = new RateLimiter(math.max(0.1,
-      s.opts.targetCapacity * s.opts.throughput.getOrElse(meta.throughput).toDouble))
+      s.opts.targetCapacity * s.opts.throughput.getOrElse(meta.throughput).toDouble /
+        math.max(1, partition.totalSegments)))
     val consistency = if (s.opts.stronglyConsistentReads) 1.0 else 0.5
     val ttlNow = Ttl.now(s.opts)
     val rows = store.scanSegment(s.opts.tableName, 0, 1, s.opts.asOfSeq)
       .map { case (it, sz) =>
-        limiter.acquire(sz.toDouble / s.opts.bytesPerRCU * consistency); it }
-      .filter(sideVisible(s, store, ttlNow))
+        limiter.acquire(sz.toDouble / s.opts.bytesPerRCU * consistency)
+        scanned += 1
+        it
+      }
+      .filter { it =>
+        val ok = sideVisible(s, ttlNow)(it)
+        if (!ok) filtered += 1
+        ok
+      }
       .map(project(_, s.cols))
       .toVector
-    if (keys.isEmpty) (Map.empty[Seq[AttrVal], Vector[Item]], rows)
+    if (keys.isEmpty) (Map.empty[Seq[Any], Vector[Item]], rows)
     else {
-      val m = rows.flatMap { it =>
-        val k = keys.map { case (_, r) => it.get(r) }
-        // a missing/null key attr can never satisfy `=` — skip
-        if (k.forall(v => v.isDefined && v != Some(AttrVal.Null)))
-          Some(k.map(_.get) -> it)
-        else None
-      }.groupMap(_._1)(_._2)
+      val m = rows.flatMap(it => keyOf(it, leftSide = false).map(_ -> it))
+        .groupMap(_._1)(_._2)
       (m, Vector.empty[Item])
     }
   }
@@ -217,30 +249,28 @@ final class DynamoJoinReader(
       .flatMap { case (it0, sz) =>
         leftLimiter.acquire(sz.toDouble / spec.left.opts.bytesPerRCU * leftConsistency)
         scanned += 1
-        if (!sideVisible(spec.left, leftStore, leftTtlNow)(it0)) Iterator.empty
+        if (!sideVisible(spec.left, leftTtlNow)(it0)) { filtered += 1; Iterator.empty }
         else {
           val l = project(it0, spec.left.cols)
           val candidates =
             if (keys.isEmpty) rightAll
-            else {
-              val k = keys.map { case (lc, _) => l.get(lc) }
-              if (k.forall(v => v.isDefined && v != Some(AttrVal.Null)))
-                rightByKey.getOrElse(k.map(_.get), Vector.empty)
-              else Vector.empty
-            }
-          val merged = candidates.iterator
+            else keyOf(l, leftSide = true)
+              .map(rightByKey.getOrElse(_, Vector.empty))
+              .getOrElse(Vector.empty)
+          val merged = candidates
             .map(r => l ++ r)
             .filter(m => spec.cond.fold(FilterEval.eval(_, m), PredicateV2.eval(_, m)))
           // LEFT OUTER: a probe row with no surviving candidate emits
           // once, null-extended (right attrs absent → decode nulls)
           val joinedRows =
-            if (!spec.outer) merged
-            else if (merged.hasNext) merged
-            else Iterator.single(l)
-          joinedRows
-            .filter(m => postFilters.forall(FilterEval.eval(_, m)) &&
+            if (spec.outer && merged.isEmpty) Vector(l) else merged
+          val out = joinedRows.filter(m =>
+            postFilters.forall(FilterEval.eval(_, m)) &&
               postAdv.forall(PredicateV2.eval(_, m)))
-            .map { m => matched += 1; m }
+          // a probe item whose every candidate was dropped counts as
+          // filtered, like a row a pushed filter rejected
+          if (out.isEmpty) filtered += 1
+          out.iterator
         }
       }
 
@@ -264,9 +294,12 @@ final class DynamoJoinReader(
 
   override def get(): InternalRow = current
 
+  // itemsScanned counts BOTH sides' wire items (the build read is real
+  // I/O); itemsFiltered counts items that contributed nothing — build
+  // rows a side filter dropped plus probe rows with no output.
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(ScanMetrics.TaskMetric("itemsScanned", scanned),
-      ScanMetrics.TaskMetric("itemsFiltered", scanned - matched))
+      ScanMetrics.TaskMetric("itemsFiltered", filtered))
 
   override def close(): Unit = ()
 }

@@ -357,6 +357,15 @@ object PredicateV2 {
     * attribute, stored null, or type-mismatched storage — the same
     * cases [[FilterEval]] treats as UNKNOWN).
     */
+  /** Typed read of one attribute in the evaluation domain `dt` — the
+    * SAME coercion [[eval]] applies to a `VCol` leaf, exposed so the
+    * pushed join hashes its equi keys on coerced values (raw stored
+    * AttrVals can differ for values the typed compare calls equal,
+    * e.g. N(1) vs N(1.0) under LongType).
+    */
+  private[dynamo] def typedValue(item: Item, name: String, dt: DataType): Option[Any] =
+    evalE(VCol(name, dt), item)
+
   private def evalE(e: VExpr, item: Item): Option[Any] = e match {
     case VLit(v, _) => Some(v)
     case VCol(name, dt) => item.get(name).flatMap {

@@ -486,6 +486,47 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val cntRow = cntDf.collect().head
       assert(cntRow.getLong(0) === 3L && cntRow.getLong(1) === 60L)
 
+      // probe-side key pruning survives the join: a pushed hash-key
+      // equality plans the owning shard, not readPartitions segments
+      val pruned = {
+        val l = spark.read.format("dynamo")
+          .option("path", root).option("tableName", "fruit")
+          .option("readPartitions", "8").load()
+        val r = spark.read.dynamo(root, "supply")
+        l.filter(l("name") === "apple").join(r, l("name") === r("name"))
+          .select(l("name"), col("qty"))
+      }
+      assert(pruned.queryExecution.executedPlan.toString.contains("PushedJoin"))
+      assert(pruned.rdd.getNumPartitions <= 2, // owning shard (+ SPJ pad at most)
+        s"got ${pruned.rdd.getNumPartitions} partitions")
+      assert(pruned.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("apple", 10L)))
+
+      // typed equi-key hashing: a LongType join key stored
+      // non-canonically (N(1.0) vs N(1)) still matches — the hash uses
+      // the coerced value the `=` comparison sees, not the raw AttrVal
+      val store = new LocalKVStore(root)
+      import graft.sources.dynamo.{AttrVal, TableMeta}
+      store.createTable("jl", TableMeta("id", None, shards = 2, throughput = 1000000L))
+      store.createTable("jr", TableMeta("id", None, shards = 2, throughput = 1000000L))
+      store.appendWal("jl", 1L, "w", Seq(store.Put(Map(
+        "id" -> (AttrVal.S("a"): AttrVal),
+        "k" -> (AttrVal.N(BigDecimal("1.0")): AttrVal)))))
+      store.appendWal("jr", 1L, "w", Seq(store.Put(Map(
+        "id" -> (AttrVal.S("b"): AttrVal),
+        "k" -> (AttrVal.N(BigDecimal(1)): AttrVal)))))
+      val sch = new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.StringType)
+        .add("k", org.apache.spark.sql.types.LongType)
+      val jl = spark.read.format("dynamo").schema(sch)
+        .option("path", root).option("tableName", "jl").load()
+      val jr = spark.read.format("dynamo").schema(sch)
+        .option("path", root).option("tableName", "jr").load()
+      val typedJoin = jl.join(jr, jl("k") === jr("k")).select(jl("id"), jr("id"))
+      assert(typedJoin.queryExecution.executedPlan.toString.contains("PushedJoin"))
+      assert(typedJoin.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("a", "b")))
+
       // an oversized build side declines: the join stays Spark-side
       val big = spark.read.format("dynamo")
         .option("path", root).option("tableName", "fruit")
