@@ -207,6 +207,41 @@ class PushdownLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed join equals Spark's own join under random predicate trees") {
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-joinlaw").toString
+    val strs = Seq("alpha", "beta", "gamma", "alphabet", "x")
+    (0L until 80L).map { i =>
+      (i, if (i % 7 == 3) null else strs((i % strs.size).toInt),
+        if (i % 5 == 4) None else Some(i % 11),
+        if (i % 6 == 5) None else Some(i.toDouble / 3.0),
+        if (i % 4 == 2) None else Some(i % 3 == 0))
+    }.toDF("id", "s", "n", "d", "flag").write.dynamo(r, "jlaw_l", "id")
+    (0L until 30L).map(i => (i % 11, s"g${i % 4}", i))
+      .toDF("n2", "grp", "rid").write.dynamo(r, "jlaw_r", "rid")
+
+    def joined() = {
+      val l = spark.read.dynamo(r, "jlaw_l")
+      val rt = spark.read.dynamo(r, "jlaw_r")
+      l.join(rt, l("n") === rt("n2"))
+    }
+    // predicates span both sides plus v2-only arithmetic shapes
+    val preds = samples(genPred(1), 12) ++ Seq(
+      col("grp") === "g1", col("rid") > col("n"), col("n2") * 2 <= col("n") + 10)
+    val expect = preds.map(p => joined().filter(p)
+      .select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq)
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      preds.zip(expect).foreach { case (p, exp) =>
+        val df = joined().filter(p).select("id", "rid")
+        assert(df.queryExecution.executedPlan.toString.contains("PushedJoin"),
+          s"join not pushed under $p")
+        val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        assert(got == exp, s"predicate $p over pushed join")
+      }
+    } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   test("pushed string ranges use code-point order on supplementary characters") {
     import spark.implicits._
     val r = Files.createTempDirectory("graft-surrogate").toString
