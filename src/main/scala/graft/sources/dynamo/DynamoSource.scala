@@ -729,19 +729,30 @@ final class DynamoScanBuilder(
     // and every aggregate reader evaluates the sample membership
     // per-item, so `sample(p).count()` (and grouped variants) push
     // fully and aggregate exactly the sampled rows. Over a pushed
-    // JOIN (joins push before aggregates too), UNGROUPED aggregates
-    // compose — each join task folds its merged rows into one partial,
-    // so `fact.join(dim).count()` ships one row per segment; grouped
-    // aggregates over a join decline (group state belongs to Spark
-    // there — no shard-locality claim survives a join).
+    // JOIN (joins push before aggregates too), aggregates compose as
+    // map-side combines: UNGROUPED, each join task folds its merged
+    // rows into one partial, so `fact.join(dim).count()` ships one row
+    // per segment; GROUPED, each task hash-aggregates its merged rows
+    // into per-group partials (bounded by `maxPushedGroups` flushing,
+    // like any partial grouped push) — never keyed or complete, since
+    // no shard-locality claim survives a join, so Spark always keeps
+    // the final aggregate and only group rows cross the shuffle.
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
         case Some(parsed) => aggs = parsed; true
         case None => false
       }
-    } else if (joined.isDefined) false
-    else {
+    } else if (joined.isDefined) {
+      (parseGroupCols(agg), parseAggFuncs(agg)) match {
+        case (Some(g), Some(parsed)) =>
+          grouped = Some(PushedGroupBy(g, keyed = false, unique = false,
+            complete = false))
+          aggs = parsed
+          true
+        case _ => false
+      }
+    } else {
       (parseGroupCols(agg), parseAggFuncs(agg)) match {
         case (Some(g), Some(parsed)) =>
           grouped = Some(PushedGroupBy(g, groupedKeyed(g), groupedUnique(g),
@@ -755,7 +766,7 @@ final class DynamoScanBuilder(
 
   override def build(): Scan = {
     joined.foreach { spec =>
-      return new DynamoJoinScan(spec, requiredSchema, pushed, advPushed, aggs)
+      return new DynamoJoinScan(spec, requiredSchema, pushed, advPushed, aggs, grouped)
     }
     // Sort columns are always in the scan output (the Sort references
     // them), but guard against a pruned key anyway: dropping the push

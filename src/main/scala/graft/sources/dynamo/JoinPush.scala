@@ -87,14 +87,21 @@ final class DynamoJoinScan(
     schema: StructType,
     postFilters: Array[Filter],
     postAdv: Seq[PredicateV2.VPred],
-    aggs: Seq[PushedAgg] = Nil)
+    aggs: Seq[PushedAgg] = Nil,
+    grouped: Option[PushedGroupBy] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  // An ungrouped aggregate pushed OVER the join: each task folds its
-  // merged rows into one partial row (Spark folds the partials).
-  override def readSchema(): StructType =
-    if (aggs.isEmpty) schema
-    else StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+  // An aggregate pushed OVER the join: ungrouped, each task folds its
+  // merged rows into one partial row (Spark folds the partials);
+  // grouped, each task ships per-group partial rows (group cols first,
+  // aggregates after — Spark consumes positionally and re-aggregates).
+  override def readSchema(): StructType = grouped match {
+    case Some(g) =>
+      StructType(g.fields ++ aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+    case None if aggs.nonEmpty =>
+      StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+    case None => schema
+  }
 
   override def description(): String =
     s"dynamo-join PushedJoin: [${spec.describe}], " +
@@ -102,6 +109,9 @@ final class DynamoJoinScan(
         s"PostJoinFilters: [${(postFilters.map(_.toString) ++
           postAdv.map(_.toString)).mkString(", ")}], "
       else "") +
+      grouped.map(g =>
+        s"PushedGroupBy: [${g.fields.map(_.name).mkString(", ")}] (partial), ")
+        .getOrElse("") +
       (if (aggs.nonEmpty)
         s"PushedAggregates: [${aggs.mkString(", ")}], "
       else "") +
@@ -129,7 +139,7 @@ final class DynamoJoinScan(
       adv = spec.left.adv).planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv, aggs)
+    new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv, aggs, grouped)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ScanMetrics.ItemsScanned, new ScanMetrics.ItemsFiltered)
@@ -138,11 +148,12 @@ final class DynamoJoinScan(
 final class DynamoJoinReaderFactory(
     spec: PushedJoinSpec, schema: StructType,
     postFilters: Array[Filter], postAdv: Seq[PredicateV2.VPred],
-    aggs: Seq[PushedAgg] = Nil)
+    aggs: Seq[PushedAgg] = Nil,
+    grouped: Option[PushedGroupBy] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DynamoJoinReader(spec, schema, postFilters, postAdv,
-      partition.asInstanceOf[DynamoInputPartition], aggs)
+      partition.asInstanceOf[DynamoInputPartition], aggs, grouped)
 }
 
 /** Executor-side join task: hash-build the filtered right table, then
@@ -158,7 +169,8 @@ final class DynamoJoinReader(
     postFilters: Array[Filter],
     postAdv: Seq[PredicateV2.VPred],
     partition: DynamoInputPartition,
-    aggs: Seq[PushedAgg] = Nil)
+    aggs: Seq[PushedAgg] = Nil,
+    grouped: Option[PushedGroupBy] = None)
     extends PartitionReader[InternalRow] {
 
   private lazy val decode = Codec.rowReader(schema)
@@ -274,11 +286,57 @@ final class DynamoJoinReader(
         }
       }
 
+  /** Grouped-aggregate-over-join: hash-aggregate this task's merged
+    * rows into per-group partial rows, flushing the map downstream
+    * whenever it reaches `maxPushedGroups` (never complete — Spark's
+    * final aggregate merges the extra partials), exactly the plain
+    * grouped reader's bounded partial mode over joined items.
+    */
+  private lazy val groupedRows: Iterator[InternalRow] = {
+    val g = grouped.get
+    val groupDecode = Codec.rowReader(StructType(g.fields))
+    val groupTypes = g.fields.map(_.dataType)
+    val maxGroups = spec.left.opts.maxPushedGroups
+    new Iterator[InternalRow] {
+      private val groups = scala.collection.mutable.LinkedHashMap
+        .empty[List[Any], (Array[Any], Array[AggAccs.Acc])]
+      private var batch: Iterator[InternalRow] = Iterator.empty
+      private var drained = false
+
+      private def refill(): Unit = {
+        while (mergedItems.hasNext && groups.size < maxGroups) {
+          val m = mergedItems.next()
+          val gr = groupDecode(m)
+          val vals = Array.tabulate[Any](groupTypes.length)(i =>
+            if (gr.isNullAt(i)) null else gr.get(i, groupTypes(i)))
+          val key = vals.map(normKey).toList
+          val (_, accs) = groups.getOrElseUpdate(key, (vals, AggAccs.make(aggs)))
+          accs.foreach(_.update(m))
+        }
+        if (!mergedItems.hasNext) drained = true
+        batch = groups.values.toVector.iterator.map { case (vals, accs) =>
+          InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+        }
+        groups.clear()
+      }
+
+      override def hasNext: Boolean = {
+        while (!batch.hasNext && !drained) refill()
+        batch.hasNext
+      }
+
+      override def next(): InternalRow =
+        if (hasNext) batch.next() else throw new NoSuchElementException
+    }
+  }
+
   private var current: InternalRow = _
   private var aggEmitted = false
 
   override def next(): Boolean =
-    if (aggs.nonEmpty) {
+    if (grouped.isDefined) {
+      if (groupedRows.hasNext) { current = groupedRows.next(); true } else false
+    } else if (aggs.nonEmpty) {
       // aggregate-over-join: fold this task's merged rows into ONE
       // partial row (same accumulators as the plain aggregate scan)
       if (aggEmitted) false

@@ -540,6 +540,56 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
   }
 
+  test("grouped aggregate composes over the pushed join as a bounded partial") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq(("apple", "US", 10L), ("banana", "EC", 20L), ("cherry", "US", 30L),
+      ("fig", "GR", 5L))
+      .toDF("name", "origin", "qty").write.dynamo(root, "supply", "name")
+
+    def grouped(joinType: String, maxGroups: Option[Int] = None) = {
+      val l = maxGroups.foldLeft(
+          spark.read.format("dynamo").option("path", root).option("tableName", "fruit"))(
+          (r, m) => r.option("maxPushedGroups", m.toString)).load()
+      val r = spark.read.dynamo(root, "supply")
+      l.join(r, l("name") === r("name"), joinType)
+        .groupBy(col("origin"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"),
+          max(l("color")).as("c"))
+    }
+    // baseline with the conf off: Spark joins and aggregates itself
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), Option(r.getString(3))))
+      .sortBy(_._1).toSeq
+    val expectInner = snap(grouped("inner"))
+    val expectLeft = snap(grouped("left"))
+
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val g = grouped("inner")
+      val plan = g.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedJoin") && plan.contains("PushedGroupBy"), plan)
+      // partial push: Spark KEEPS its final aggregate above the scan
+      // (SortAggregate here — max over string has no mutable buffer)
+      assert(plan.contains("Aggregate"), plan)
+      assert(snap(g) === expectInner)
+      assert(expectInner.map(_._1) === Seq(Some("EC"), Some("US")))
+
+      // LEFT OUTER: the unmatched probe row (durian) lands in the
+      // null-origin group, aggregated from null-extended merged rows
+      val lo = grouped("left")
+      assert(lo.queryExecution.executedPlan.toString.contains("PushedGroupBy"))
+      assert(snap(lo) === expectLeft)
+      assert(expectLeft.exists(_._1.isEmpty))
+
+      // maxPushedGroups=1 forces a flush per group: Spark's final
+      // aggregate merges the extra partials — results unchanged
+      assert(snap(grouped("inner", maxGroups = Some(1))) === expectInner)
+    } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   test("overwrite-by-filter replaces exactly the matching rows") {
     import spark.implicits._
     val root = freshRoot()

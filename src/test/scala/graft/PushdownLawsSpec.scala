@@ -230,6 +230,16 @@ class PushdownLawsSpec extends AnyFunSuite {
       col("grp") === "g1", col("rid") > col("n"), col("n2") * 2 <= col("n") + 10)
     val expect = preds.map(p => joined().filter(p)
       .select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq)
+    // grouped aggregate OVER the pushed join, same predicate sweep:
+    // per-task bounded partials + Spark's final aggregate must equal
+    // Spark running the whole join+aggregate itself
+    def aggOf(base: org.apache.spark.sql.DataFrame) = base
+      .groupBy(col("grp")).agg(count(lit(1)).as("c"), sum(col("n")).as("sn"),
+        min(col("d")).as("md"))
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).sortBy(_._1).toSeq
+    val expectAgg = preds.map(p => aggOf(joined().filter(p)))
     spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     try {
       preds.zip(expect).foreach { case (p, exp) =>
@@ -238,6 +248,10 @@ class PushdownLawsSpec extends AnyFunSuite {
           s"join not pushed under $p")
         val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
         assert(got == exp, s"predicate $p over pushed join")
+      }
+      preds.zip(expectAgg).foreach { case (p, exp) =>
+        assert(aggOf(joined().filter(p)) == exp,
+          s"grouped aggregate over pushed join under $p")
       }
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
   }
