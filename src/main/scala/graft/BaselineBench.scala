@@ -32,8 +32,16 @@ object BaselineBench {
       .groupBy("n_regionkey").count().collect()
 
     def p(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
-    def events: DataFrame =
-      p("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts has shipped as nanos-as-long AND as native micros across
+    // testdata generations — normalize like Fixtures.events does.
+    def events: DataFrame = {
+      val raw = p("events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    }
 
     val lineitem = p("lineitem")
     val orders = p("orders")

@@ -21,18 +21,29 @@ object Fixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS),
-    * which Spark 4 rejects unless `nanosAsLong` is set (FIXTURES.md
-    * gotcha #1). We read it as epoch-nanos LongType and rebuild a
-    * microsecond timestamp with exact integer division (`div`, not
-    * `/`, which would round-trip through Double and lose precision at
-    * 1e18 magnitudes). DuckDB reads the same column natively and
-    * truncates to microseconds — identical values.
+  /** `events.parquet` has shipped `ts` in two physical shapes across
+    * driver testdata generations: Parquet INT64 TIMESTAMP(NANOS)
+    * (which Spark 4 rejects unless `nanosAsLong` is set, then reads as
+    * epoch-nanos LongType) and plain TIMESTAMP(MICROS) (which reads as
+    * a timestamp directly, NTZ when not UTC-adjusted). Normalize both
+    * to session-zone TimestampType here so every query sees one shape:
+    * - LongType nanos → `timestamp_micros(ts div 1000)` (exact integer
+    *   division; `/` would round-trip through Double and lose precision
+    *   at 1e18 magnitudes);
+    * - TIMESTAMP_NTZ / TIMESTAMP → cast to "timestamp" (sessions pin
+    *   UTC, so the wall-clock reinterpretation is value-identical).
+    * DuckDB reads either shape natively and truncates to microseconds —
+    * identical values either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
