@@ -38,9 +38,20 @@ object DynamoQueries {
 
   // v2 path suffix: stores seeded by pre-partition-key-placement
   // builds live under the old root and would read as legacy layout —
-  // a fresh root guarantees these queries exercise the current layout
-  private def storeRoot(sfDir: String): String =
-    "/tmp/graft-dynamo-v2/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+  // a fresh root guarantees these queries exercise the current layout.
+  // The root also carries a fingerprint of the source fixture files
+  // (size + mtime of the tables we seed from): the seed markers are
+  // content-blind, so without this a driver-side testdata REGENERATION
+  // (it happened — round 6 → 7) would leave a stale store silently
+  // serving the old rows while the oracle reads the new parquet.
+  private def storeRoot(sfDir: String): String = {
+    val fp = Seq("customer", "orders").map { t =>
+      val p = Paths.get(s"$sfDir/$t.parquet")
+      if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      else "absent"
+    }.mkString(",").hashCode.toHexString
+    "/tmp/graft-dynamo-v2/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+  }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
     * so two JVMs (e.g. bench and verify) can race seed + compact —
