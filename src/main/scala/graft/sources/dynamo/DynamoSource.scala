@@ -409,14 +409,25 @@ final class DynamoScanBuilder(
       leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
       rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
       condition: v2filter.Predicate): Boolean = {
-    val outer = joinType == org.apache.spark.sql.connector.join.JoinType.LEFT_OUTER_JOIN
-    if ((joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN && !outer) ||
+    import org.apache.spark.sql.connector.join.JoinType._
+    val outer = joinType == LEFT_OUTER_JOIN
+    // RIGHT OUTER is LEFT OUTER with the sides swapped: the RIGHT
+    // table becomes the probe (its unmatched rows must all surface,
+    // which only the streamed side can guarantee per-task) and THIS
+    // table becomes the hash build — accepted only if it fits the
+    // build budget, the bound isOtherSideCompatibleForJoin applied to
+    // the other side.
+    val rightOuter = joinType == RIGHT_OUTER_JOIN
+    if ((joinType != INNER_JOIN && !outer && !rightOuter) ||
         condition == null || !other.isInstanceOf[DynamoScanBuilder]) return false
     val o = other.asInstanceOf[DynamoScanBuilder]
     // Spark calls isOtherSideCompatibleForJoin immediately before this,
     // which already walked the right table's size — only re-check the
     // cheap structural half here.
     if (!structurallyJoinable(o)) return false
+    if (rightOuter &&
+        new LocalKVStore(opts.path).sizeBytes(opts.tableName) > opts.joinBuildMaxBytes)
+      return false
     def sideCols(req: Array[SupportsPushDownJoin.ColumnWithAlias],
         schema: StructType): Option[Seq[(String, String, StructField)]] = {
       val bySide = req.toSeq.map { cwa =>
@@ -428,19 +439,26 @@ final class DynamoScanBuilder(
     }
     (sideCols(leftRequired, tableSchema), sideCols(rightRequired, o.tableSchema)) match {
       case (Some(l), Some(r)) =>
-        // LEFT OUTER null-extends unmatched probe rows, so the right
+        // Outer joins null-extend unmatched probe rows, so the BUILD
         // side's output columns must declare nullable regardless of
-        // their stored nullability.
+        // their stored nullability: the right table under LEFT OUTER,
+        // this table under RIGHT OUTER.
+        val lFields = if (rightOuter) l.map(_._3.copy(nullable = true)) else l.map(_._3)
         val rFields = if (outer) r.map(_._3.copy(nullable = true)) else r.map(_._3)
-        val joinedSchema = StructType(l.map(_._3) ++ rFields)
+        val joinedSchema = StructType(lFields ++ rFields)
         val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
         PredicateV2.translate(condition, joinedSchema, ansi) match {
           case Some(cond) =>
-            joined = Some(PushedJoinSpec(
-              PushedJoinSide(opts, pushed, advPushed, l.map(c => (c._1, c._2))),
-              PushedJoinSide(o.opts, o.pushed, o.advPushed, r.map(c => (c._1, c._2))),
-              cond, joinedSchema, outer = outer))
-            // this builder's pre-join filters moved into the left side;
+            val thisSide = PushedJoinSide(opts, pushed, advPushed, l.map(c => (c._1, c._2)))
+            val otherSide = PushedJoinSide(o.opts, o.pushed, o.advPushed, r.map(c => (c._1, c._2)))
+            // spec.left is always the PROBE: under RIGHT OUTER that is
+            // the other (right) table, and this table hash-builds.
+            joined = Some(
+              if (rightOuter)
+                PushedJoinSpec(otherSide, thisSide, cond, joinedSchema, outer = true)
+              else
+                PushedJoinSpec(thisSide, otherSide, cond, joinedSchema, outer = outer))
+            // this builder's pre-join filters moved into its side;
             // anything pushed from here on applies ABOVE the join
             pushed = Array.empty; advPushed = Nil; pushedV2 = Array.empty
             requiredSchema = joinedSchema
@@ -708,9 +726,40 @@ final class DynamoScanBuilder(
       r
     })
 
+  /** The probe (left) side's placement-key columns mapped through the
+    * pushed join's alias space — None when any placement column was
+    * not projected into the joined output (its locality is then
+    * invisible to anything downstream).
+    */
+  private def probeKeyAliases(j: PushedJoinSpec): Option[Seq[String]] = {
+    val meta = new LocalKVStore(j.left.opts.path).describe(j.left.opts.tableName)
+    val aliasOf = j.left.cols.toMap
+    val mapped = DynamoScan.placementCols(meta).map(aliasOf.get)
+    if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
+  }
+
+  /** A grouped push over the join is COMPLETE when the grouping covers
+    * the probe side's FULL primary-key aliases: the join reader emits
+    * each probe row's merged candidates as one contiguous run, two
+    * probe rows can never share a group tuple (their key columns
+    * differ), so per-RUN aggregation is final — one pass, state
+    * bounded by the build-side fan-out of a single key, regardless of
+    * probe-table size. Extra grouping columns (right-side attributes)
+    * only subdivide within a run, so they keep completeness.
+    */
+  private def joinGroupComplete(j: PushedJoinSpec, groupNames: Seq[String]): Boolean = {
+    val meta = new LocalKVStore(j.left.opts.path).describe(j.left.opts.tableName)
+    val aliasOf = j.left.cols.toMap
+    val fullKey = (Seq(meta.hashKey) ++ meta.rangeKey).map(aliasOf.get)
+    fullKey.forall(_.exists(groupNames.contains))
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    joined.isEmpty && parseGroupCols(agg).exists(g =>
-      parseAggFuncs(agg).isDefined && groupedComplete(g))
+    parseGroupCols(agg).exists(g => parseAggFuncs(agg).isDefined &&
+      (joined match {
+        case Some(j) => joinGroupComplete(j, g.map(_.name))
+        case None => groupedComplete(g)
+      }))
 
   /** Aggregate pushdown. Ungrouped: segments compute one partial per
     * aggregate without shipping items; Spark folds the per-partition
@@ -734,9 +783,12 @@ final class DynamoScanBuilder(
     // rows into one partial, so `fact.join(dim).count()` ships one row
     // per segment; GROUPED, each task hash-aggregates its merged rows
     // into per-group partials (bounded by `maxPushedGroups` flushing,
-    // like any partial grouped push) — never keyed or complete, since
-    // no shard-locality claim survives a join, so Spark always keeps
-    // the final aggregate and only group rows cross the shuffle.
+    // like any partial grouped push) — never complete (Spark always
+    // keeps the final aggregate), but KEYED when the grouping covers
+    // the PROBE side's placement-key aliases: every merged row rides
+    // its probe row's segment, so such groups stay shard-local and
+    // [[DynamoJoinScan.outputPartitioning]] keeps reporting the bucket
+    // layout — the final aggregate then needs no exchange at all.
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
@@ -746,8 +798,11 @@ final class DynamoScanBuilder(
     } else if (joined.isDefined) {
       (parseGroupCols(agg), parseAggFuncs(agg)) match {
         case (Some(g), Some(parsed)) =>
-          grouped = Some(PushedGroupBy(g, keyed = false, unique = false,
-            complete = false))
+          val keyed = joined.exists(j => probeKeyAliases(j)
+            .exists(_.forall(g.map(_.name).contains)))
+          val complete = joined.exists(j => joinGroupComplete(j, g.map(_.name)))
+          grouped = Some(PushedGroupBy(g, keyed = keyed, unique = false,
+            complete = complete))
           aggs = parsed
           true
         case _ => false
@@ -991,6 +1046,17 @@ object DynamoScan {
     opts.readPartitions.getOrElse(
       math.min(math.min(bySize, meta.shards), opts.defaultParallelism))
   }
+
+  /** The placement-key column set for a reported bucket transform:
+    * partition key alone under layout 2 (composite tables join
+    * shuffle-free on just the partition key), the full composite
+    * under legacy layout 1 (whose files were placed by hash|range).
+    * Shared with [[DynamoJoinScan]] — a pushed join's output stays
+    * keyed by its PROBE side's placement key.
+    */
+  def placementCols(meta: TableMeta): Seq[String] =
+    if (meta.layout >= 2) Seq(meta.hashKey)
+    else Seq(meta.hashKey) ++ meta.rangeKey
 }
 
 final class DynamoScan(
@@ -1125,15 +1191,8 @@ final class DynamoScan(
     * count, and Catalyst resolves that against the ACTUAL partitions
     * at execution.
     */
-  /** The placement-key column set for the reported bucket transform:
-    * partition key alone under layout 2 (so composite tables join
-    * shuffle-free on just the partition key — the classic co-location
-    * win), the full composite under legacy layout 1 (whose files were
-    * placed by hash|range).
-    */
   private def placementCols(meta: TableMeta): Seq[String] =
-    if (meta.layout >= 2) Seq(meta.hashKey)
-    else Seq(meta.hashKey) ++ meta.rangeKey
+    DynamoScan.placementCols(meta)
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val store = new LocalKVStore(opts.path)

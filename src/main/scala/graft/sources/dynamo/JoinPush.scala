@@ -24,11 +24,13 @@ final case class PushedJoinSide(
 }
 
 /** A join absorbed into the left scan: both sides live in the SAME
-  * store, the join type is INNER or LEFT OUTER (`outer` — unmatched
-  * probe rows null-extend), and the condition translated exactly
-  * through [[PredicateV2.translate]] against the ALIASED joined schema
-  * (Spark rewrites the condition onto the aliased output before
-  * pushing). Anything else was declined at negotiation.
+  * store, the join type is INNER, LEFT OUTER, or RIGHT OUTER (`outer`
+  * — unmatched probe rows null-extend; a RIGHT OUTER arrives here
+  * side-swapped, so `left` is ALWAYS the probe), and the condition
+  * translated exactly through [[PredicateV2.translate]] against the
+  * ALIASED joined schema (Spark rewrites the condition onto the
+  * aliased output before pushing). Anything else was declined at
+  * negotiation.
   */
 final case class PushedJoinSpec(
     left: PushedJoinSide,
@@ -89,7 +91,8 @@ final class DynamoJoinScan(
     postAdv: Seq[PredicateV2.VPred],
     aggs: Seq[PushedAgg] = Nil,
     grouped: Option[PushedGroupBy] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   // An aggregate pushed OVER the join: ungrouped, each task folds its
   // merged rows into one partial row (Spark folds the partials);
@@ -110,7 +113,8 @@ final class DynamoJoinScan(
           postAdv.map(_.toString)).mkString(", ")}], "
       else "") +
       grouped.map(g =>
-        s"PushedGroupBy: [${g.fields.map(_.name).mkString(", ")}] (partial), ")
+        s"PushedGroupBy: [${g.fields.map(_.name).mkString(", ")}] " +
+          s"(${if (g.complete) "complete" else "partial"}), ")
         .getOrElse("") +
       (if (aggs.nonEmpty)
         s"PushedAggregates: [${aggs.mkString(", ")}], "
@@ -134,9 +138,69 @@ final class DynamoJoinScan(
   // pruning applies unchanged — a pushed hash-key filter on the left
   // side plans ONE shard's segment (point-lookup join), not a full
   // sweep; rate splitting and segment arithmetic stay in one place.
+  // The delegate's schema carries the probe placement columns so ITS
+  // per-shard check (and the SPJ pad rule) agrees with the layout
+  // this scan reports — one source of truth for both.
+  private lazy val probeScan: DynamoScan = {
+    val meta = new LocalKVStore(spec.left.opts.path)
+      .describe(spec.left.opts.tableName)
+    val placement = StructType(DynamoScan.placementCols(meta).map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    new DynamoScan(spec.left.opts, placement, spec.left.pushed,
+      adv = spec.left.adv)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    new DynamoScan(spec.left.opts, StructType(Nil), spec.left.pushed,
-      adv = spec.left.adv).planInputPartitions()
+    probeScan.planInputPartitions()
+
+  /** Shard-locality SURVIVES the pushed join on the probe side: every
+    * merged (or null-extended) output row rides the probe row that
+    * produced it, inside that row's shard segment. So when the probe
+    * scan reports the bucket layout, this scan re-reports it in the
+    * JOIN's alias space. Falls back to Unknown when a placement
+    * column wasn't projected, or when the output rows are no longer
+    * probe-keyed (ungrouped aggregate partials; grouped partials
+    * whose grouping does not cover the placement aliases —
+    * `PushedGroupBy.keyed` encodes exactly that).
+    *
+    * Upstream caveat (Spark 4.1): `V2ScanPartitioningAndOrdering`
+    * converts a reported partitioning by resolving its references
+    * against the INNER `DataSourceV2Relation` and then requiring the
+    * result to reference the scan relation's output — but a
+    * join-pushed scan relation is rebuilt with FRESH attribute ids
+    * (`toAttributes(readSchema)` plus an aliasing Project), so the id
+    * subset check cannot pass and the report is ignored. The
+    * exchange-elision that matters TODAY therefore comes from the
+    * COMPLETE grouped push ([[DynamoScanBuilder.supportCompletePushDown]]
+    * over a join) rather than from this declaration; the declaration
+    * stays so the layout lights up under a Spark that resolves
+    * against the scan relation's own output.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val meta = new LocalKVStore(spec.left.opts.path)
+      .describe(spec.left.opts.tableName)
+    val aliasOf = spec.left.cols.toMap
+    val mapped = DynamoScan.placementCols(meta).map(aliasOf.get)
+    val aliased = mapped.flatten
+    val stillKeyed = grouped match {
+      case Some(g) => g.keyed
+      case None => aggs.isEmpty
+    }
+    probeScan.outputPartitioning() match {
+      case kg: KeyGroupedPartitioning
+          if stillKeyed && mapped.forall(_.isDefined) &&
+            aliased.forall(readSchema().fieldNames.contains) =>
+        new KeyGroupedPartitioning(
+          Array[org.apache.spark.sql.connector.expressions.Expression](
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(meta.shards, aliased: _*)),
+          kg.numPartitions())
+      case kg: KeyGroupedPartitioning => new UnknownPartitioning(kg.numPartitions())
+      case other => other
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DynamoJoinReaderFactory(spec, schema, postFilters, postAdv, aggs, grouped)
@@ -255,7 +319,12 @@ final class DynamoJoinReader(
   private val leftConsistency =
     if (spec.left.opts.stronglyConsistentReads) 1.0 else 0.5
 
-  private val mergedItems: Iterator[Item] =
+  /** One element per surviving probe row: that row's merged output
+    * rows, in build order — the RUN structure [[joinGroupComplete]]'s
+    * finality argument rests on (a group tuple containing the probe
+    * primary key can never span two runs).
+    */
+  private def probeRuns: Iterator[Vector[Item]] =
     leftStore.scanSegment(spec.left.opts.tableName, partition.segment,
         partition.totalSegments, spec.left.opts.asOfSeq)
       .flatMap { case (it0, sz) =>
@@ -281,10 +350,12 @@ final class DynamoJoinReader(
               postAdv.forall(PredicateV2.eval(_, m)))
           // a probe item whose every candidate was dropped counts as
           // filtered, like a row a pushed filter rejected
-          if (out.isEmpty) filtered += 1
-          out.iterator
+          if (out.isEmpty) { filtered += 1; Iterator.empty }
+          else Iterator.single(out)
         }
       }
+
+  private lazy val mergedItems: Iterator[Item] = probeRuns.flatten
 
   /** Grouped-aggregate-over-join: hash-aggregate this task's merged
     * rows into per-group partial rows, flushing the map downstream
@@ -330,12 +401,40 @@ final class DynamoJoinReader(
     }
   }
 
+  /** COMPLETE grouped-over-join: aggregate each probe run into final
+    * group rows — the group tuple carries the probe primary key, so a
+    * group never spans runs and per-run results are final (Spark
+    * planned no aggregate above this scan). State: one small map per
+    * run, bounded by a single key's build-side fan-out.
+    */
+  private lazy val groupedFinalRows: Iterator[InternalRow] = {
+    val g = grouped.get
+    val groupDecode = Codec.rowReader(StructType(g.fields))
+    val groupTypes = g.fields.map(_.dataType)
+    probeRuns.flatMap { run =>
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[List[Any], (Array[Any], Array[AggAccs.Acc])]
+      run.foreach { m =>
+        val gr = groupDecode(m)
+        val vals = Array.tabulate[Any](groupTypes.length)(i =>
+          if (gr.isNullAt(i)) null else gr.get(i, groupTypes(i)))
+        val key = vals.map(normKey).toList
+        val (_, accs) = groups.getOrElseUpdate(key, (vals, AggAccs.make(aggs)))
+        accs.foreach(_.update(m))
+      }
+      groups.values.iterator.map { case (vals, accs) =>
+        InternalRow.fromSeq(vals.toSeq ++ accs.map(_.result))
+      }
+    }
+  }
+
   private var current: InternalRow = _
   private var aggEmitted = false
 
   override def next(): Boolean =
     if (grouped.isDefined) {
-      if (groupedRows.hasNext) { current = groupedRows.next(); true } else false
+      val it = if (grouped.get.complete) groupedFinalRows else groupedRows
+      if (it.hasNext) { current = it.next(); true } else false
     } else if (aggs.nonEmpty) {
       // aggregate-over-join: fold this task's merged rows into ONE
       // partial row (same accumulators as the plain aggregate scan)

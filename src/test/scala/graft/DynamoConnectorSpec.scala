@@ -471,6 +471,26 @@ class DynamoConnectorSpec extends AnyFunSuite {
         ("apple", Some("US"), Some(10L)), ("banana", Some("EC"), Some(20L)),
         ("cherry", Some("TR"), Some(30L)), ("durian", None, None)))
 
+      // RIGHT OUTER pushes by swapping sides — the right table becomes
+      // the probe (its unmatched rows null-extend the left columns),
+      // the left table hash-builds. `fig` has no fruit row.
+      val ro = {
+        val l = spark.read.dynamo(root, "fruit")
+        val r = spark.read.dynamo(root, "supply")
+        l.join(r, l("name") === r("name"), "right")
+          .select(r("name"), col("color"), col("qty"))
+      }
+      val roPlan = ro.queryExecution.executedPlan.toString
+      assert(roPlan.contains("PushedJoin"), roPlan)
+      assert(!roPlan.contains("BroadcastHashJoin") && !roPlan.contains("SortMergeJoin"),
+        roPlan)
+      val roRows = ro.collect().map(r =>
+        (r.getString(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+      assert(roRows === Seq(
+        ("apple", Some("red"), Some(10L)), ("banana", Some("yellow"), Some(20L)),
+        ("cherry", Some("red"), Some(30L)), ("fig", None, Some(5L))))
+
       // an ungrouped aggregate composes OVER the pushed join: each
       // task folds its merged rows into one partial — count ships one
       // row per segment, zero joined rows reach Spark
@@ -588,6 +608,103 @@ class DynamoConnectorSpec extends AnyFunSuite {
       // aggregate merges the extra partials — results unchanged
       assert(snap(grouped("inner", maxGroups = Some(1))) === expectInner)
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
+  test("pushed join reports the probe layout: key-grouped agg runs exchange-free") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    Seq(("apple", "US", 10L), ("banana", "EC", 20L), ("cherry", "US", 30L),
+      ("fig", "GR", 5L))
+      .toDF("name", "origin", "qty").write.dynamo(root, "supply", "name")
+
+    // The layout report needs BOTH a per-shard plan (readPartitions =
+    // shards) and a FunctionCatalog to resolve the bucket transform —
+    // path-based reads have no catalog, so the probe reads through a
+    // DynamoCatalog like the SPJ specs do.
+    spark.conf.set("spark.sql.catalog.jpart", "graft.sources.dynamo.DynamoCatalog")
+    spark.conf.set("spark.sql.catalog.jpart.path", root)
+    spark.conf.set("spark.sql.catalog.jpart.readPartitions", "16")
+    def probe() = spark.table("jpart.fruit")
+    def dim() = spark.table("jpart.supply")
+    def keyAgg() = {
+      val l = probe(); val r = dim()
+      l.join(r, l("name") === r("name"))
+        .groupBy(l("name"))
+        .agg(sum(col("qty")).as("q"), count(lit(1)).as("n"))
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val expect = snap(keyAgg())
+
+    val prev = Seq("spark.sql.optimizer.datasourceV2JoinPushdown",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+      // grouping on the probe FULL-KEY alias: each group is confined
+      // to one probe run, so the push is COMPLETE — Spark plans no
+      // aggregate and no exchange at all
+      val g = keyAgg()
+      val plan = g.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedJoin") && plan.contains("PushedGroupBy"), plan)
+      assert(plan.contains("(complete)"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"probe-keyed agg over pushed join still shuffles:\n$plan")
+      assert(snap(g) === expect)
+
+      // grouping that does NOT cover the probe key claims nothing:
+      // the final aggregate keeps its exchange
+      val l2 = probe(); val r2 = dim()
+      val off = l2.join(r2, l2("name") === r2("name"))
+        .groupBy(col("origin")).agg(sum(col("qty")).as("q"))
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(offPlan.contains("PushedJoin"), offPlan)
+      assert(offPlan.contains("Exchange hashpartitioning"), offPlan)
+
+      // no aggregate at all: the joined ROWS are probe-keyed — a
+      // downstream distinct on the key alias also plans exchange-free
+      val l3 = probe(); val r3 = dim()
+      val d = l3.join(r3, l3("name") === r3("name")).select(l3("name")).distinct()
+      val dPlan = d.queryExecution.executedPlan.toString
+      assert(dPlan.contains("PushedJoin"), dPlan)
+      assert(!dPlan.contains("Exchange hashpartitioning"),
+        s"probe-keyed distinct over pushed join still shuffles:\n$dPlan")
+      assert(d.collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("apple", "banana", "cherry"))
+
+      // A second join against a third co-sharded table: the CHAIN
+      // declines pushdown (the left builder already absorbed a join),
+      // Spark keeps the join, and results stay exact. The pushed-join
+      // scan reports its probe layout for this case too, but Spark
+      // 4.1's V2ScanPartitioningAndOrdering resolves reported
+      // expressions against the INNER relation and then requires them
+      // to reference the scan relation's (fresh, aliased) output — a
+      // join-pushed scan can never pass that id check, so the SPJ
+      // shuffle stays upstream of us. When a Spark upgrade fixes the
+      // resolution, the layout report is already in place.
+      Seq(("apple", 3L), ("banana", 7L), ("durian", 2L))
+        .toDF("name", "bins").write.dynamo(root, "warehouse", "name")
+      val l4 = probe(); val r4 = dim()
+      val w = spark.table("jpart.warehouse")
+      val spj = l4.join(r4, l4("name") === r4("name"))
+        .select(l4("name"), col("origin"))
+        .join(w.hint("merge"), l4("name") === w("name"))
+        .select(l4("name"), col("origin"), col("bins"))
+      val spjPlan = spj.queryExecution.executedPlan.toString
+      assert(spjPlan.contains("PushedJoin"), spjPlan)
+      assert(spjPlan.contains("SortMergeJoin"), spjPlan)
+      assert(spj.collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+        .sorted.toSeq === Seq(("apple", "US", 3L), ("banana", "EC", 7L)))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq("spark.sql.catalog.jpart", "spark.sql.catalog.jpart.path",
+        "spark.sql.catalog.jpart.readPartitions").foreach(spark.conf.unset)
+    }
   }
 
   test("overwrite-by-filter replaces exactly the matching rows") {

@@ -256,6 +256,49 @@ class PushdownLawsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
   }
 
+  test("outer pushed joins equal Spark's own under random predicate trees") {
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-joinlaw2").toString
+    val strs = Seq("alpha", "beta", "gamma", "alphabet", "x")
+    (0L until 80L).map { i =>
+      (i, if (i % 7 == 3) null else strs((i % strs.size).toInt),
+        if (i % 5 == 4) None else Some(i % 11),
+        if (i % 6 == 5) None else Some(i.toDouble / 3.0),
+        if (i % 4 == 2) None else Some(i % 3 == 0))
+    }.toDF("id", "s", "n", "d", "flag").write.dynamo(r, "jlaw2_l", "id")
+    (0L until 30L).map(i => (i % 11, s"g${i % 4}", i))
+      .toDF("n2", "grp", "rid").write.dynamo(r, "jlaw2_r", "rid")
+
+    def joined(t: String) = {
+      val l = spark.read.dynamo(r, "jlaw2_l")
+      val rt = spark.read.dynamo(r, "jlaw2_r")
+      l.join(rt, l("n") === rt("n2"), t)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df.select("id", "rid")
+      .collect().map(x =>
+        (if (x.isNullAt(0)) None else Some(x.getLong(0)),
+          if (x.isNullAt(1)) None else Some(x.getLong(1)))).sorted.toSeq
+    // a filter ABOVE the outer join may let Catalyst collapse it to
+    // inner (null-filtering predicate) — both runs see the same
+    // rewrite, so the law still compares like with like
+    val preds = samples(genPred(1), 8) ++ Seq(
+      col("grp") === "g1", col("rid") > col("n"))
+    for (t <- Seq("left", "right")) {
+      val expPlain = snap(joined(t))
+      val exps = preds.map(p => snap(joined(t).filter(p)))
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      try {
+        val plain = joined(t)
+        assert(plain.queryExecution.executedPlan.toString.contains("PushedJoin"),
+          s"$t outer join not pushed")
+        assert(snap(plain) === expPlain, s"$t outer join, no predicate")
+        preds.zip(exps).foreach { case (p, exp) =>
+          assert(snap(joined(t).filter(p)) === exp, s"$t outer join under $p")
+        }
+      } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+    }
+  }
+
   test("pushed string ranges use code-point order on supplementary characters") {
     import spark.implicits._
     val r = Files.createTempDirectory("graft-surrogate").toString
