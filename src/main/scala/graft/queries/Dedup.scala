@@ -59,6 +59,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
 
+  /** Distinct (doc_id, tok) pairs over the WHOLE corpus — the
+    * full-scale variants' input.
+    */
+  private def tokSetAll(s: SparkSession, dir: String): DataFrame =
+    Fixtures.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+
   /** Token ids = 44-bit integers from the md5 prefix — a pure per-row
     * codegen'd expression, no vocabulary shuffle/window/broadcast
     * anywhere. A rank-based id needs a global sort of the distinct
@@ -83,8 +91,11 @@ object Dedup {
     * shuffle to assemble bands; candidates meet only inside a
     * (band, band-signature) bucket.
     */
-  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
-    val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+  /** LSH band rows (doc_id, band, bkey) from token-id sets: all 12
+    * signature minima in ONE aggregation pass, bands assembled
+    * map-side.
+    */
+  private def minhashBands(toks: DataFrame): DataFrame = {
     val sigCols = MinhashParams.map { case (i, a, b) =>
       min((col("tokid") * a + b) % P).as(s"mh$i")
     }
@@ -93,15 +104,53 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+    val bands = minhashBands(toks)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
     verifyJaccard(cand, toks)
+  }
+
+  /** Min-label connected components with PATH HALVING over verified
+    * duplicate pairs (see `q_dedup_cluster` for the full invariant
+    * argument): every doc labeled with its component's min doc_id,
+    * O(log diameter) rounds, each round's frame localCheckpoint'd.
+    */
+  private def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint(true)
+    var labels = docs
+      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges
+        .join(labels.select(col("id").as("nid"), col("comp")),
+          col("b") === col("nid"))
+        .groupBy("a").agg(min("comp").as("nbrmin"))
+      val stepped = labels.join(nbr, labels("id") === nbr("a"), "left")
+        .select(labels("id").as("id"), labels("comp").as("prev"),
+          least(labels("comp"), coalesce(col("nbrmin"), labels("comp"))).as("c1"))
+      val next = stepped
+        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
+          stepped("c1") === col("pid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("id", "comp")
+    }
+    labels.select(col("id").as("doc_id"), col("comp").cast("long").as("cluster"))
+      .orderBy("doc_id")
   }
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs; output
@@ -152,41 +201,42 @@ object Dedup {
     // closure. Each round's frame is localCheckpoint'd so lineage
     // stays flat across iterations.
     "q_dedup_cluster" -> ((s, dir) => {
-      val pairs = minhashVerified(s, dir).select("id1", "id2")
-      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-        .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-        .localCheckpoint(true)
-      var labels = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id").as("id"), col("doc_id").as("comp"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        // keyed shuffle joins on purpose: labels is corpus-sized (one
-        // row per doc), so broadcasting it would be the 100 TB anti-
-        // pattern — AQE still downgrades to broadcast when a side
-        // measures small at runtime
-        val nbr = edges
-          .join(labels.select(col("id").as("nid"), col("comp")),
-            col("b") === col("nid"))
-          .groupBy("a").agg(min("comp").as("nbrmin"))
-        val stepped = labels.join(nbr, labels("id") === nbr("a"), "left")
-          .select(labels("id").as("id"), labels("comp").as("prev"),
-            least(labels("comp"), coalesce(col("nbrmin"), labels("comp"))).as("c1"))
-        // pointer jump: c1 is itself a doc id carried in the label
-        // table, so label(c1) is one hop closer to the component root;
-        // the previous label rides along so convergence is a filter
-        // over the checkpointed frame, not another join
-        val next = stepped
-          .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
-            stepped("c1") === col("pid"), "left")
-          .select(col("id"), col("prev"),
-            least(col("c1"), coalesce(col("pcomp"), col("c1"))).as("comp"))
-          .localCheckpoint(true)
-        changed = next.filter(col("comp") =!= col("prev")).count()
-        labels = next.select("id", "comp")
-      }
-      labels.select(col("id").as("doc_id"), col("comp").cast("long").as("cluster"))
-        .orderBy("doc_id")
+      // keyed shuffle joins on purpose inside the CC loop: labels is
+      // corpus-sized (one row per doc), so broadcasting it would be
+      // the 100 TB anti-pattern — AQE still downgrades to broadcast
+      // when a side measures small at runtime
+      connectedComponents(
+        Fixtures.documents(s, dir).filter(col("doc_id") < 300),
+        minhashVerified(s, dir).select("id1", "id2"))
+    }),
+
+    // FULL-corpus duplicate clustering — the q_dedup_cluster shape
+    // without the candidate-set bound, made linear by BUCKET-STAR
+    // edges: inside each LSH (band, signature) bucket, candidates are
+    // only (bucket-min doc, member) — ≤ bands-per-doc edges per
+    // document instead of the bucket's full clique, so a pathological
+    // bucket of identical documents costs O(k) verified pairs, not
+    // O(k²). Exact-Jaccard verification then keeps only real
+    // duplicate edges, and path-halving CC closes the clusters: a
+    // clique's members all share the same bucket, so the star (or a
+    // chain of stars through shared members) connects exactly what
+    // the full pair graph would — only a member whose star edge FAILS
+    // verification while it genuinely matches some non-min member can
+    // split, the deliberate recall/cost trade documented here (at
+    // 100 TB the star bound is what makes full-corpus CC plannable).
+    // The oracle builds the IDENTICAL star graph in recursive SQL, so
+    // the semantics are pinned, not approximated.
+    "q_dedup_cluster_full" -> ((s, dir) => {
+      val toks = withTokId(tokSetAll(s, dir)).select("doc_id", "tokid")
+      val bands = minhashBands(toks)
+      val roots = bands.groupBy("band", "bkey").agg(min("doc_id").as("id1"))
+      val cand = bands.join(roots, Seq("band", "bkey"))
+        .filter(col("doc_id") > col("id1"))
+        .select(col("id1"), col("doc_id").as("id2"))
+        .distinct()
+      connectedComponents(
+        Fixtures.documents(s, dir),
+        verifyJaccard(cand, toks).select("id1", "id2"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -224,6 +274,33 @@ object Dedup {
         .filter(col("hamming") <= 3)
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped BY CLUSTER —
+    // assign every vector to its nearest centroid (the k-means E-step
+    // `q_emb_assign` runs), then inside each cluster drop vectors
+    // dominated by a lower-id member with rounded cosine ≥ τ. The
+    // cluster scoping is what makes semantic dedup plannable at
+    // 100 TB: candidate pairs exist only within a cluster (corpus/k
+    // rows each), never across the corpus, and k is the knob that
+    // bounds the quadratic stage. Determinism: domination by ANY
+    // lower-id member (not the iterative keep-set — order-free), on
+    // the ROUNDED cosine so boundary pairs can't split across
+    // engines. Output: surviving (vec_id, cluster).
+    "q_dedup_semantic" -> ((s, dir) => {
+      val assigned = Similarity.clusterAssign(s, dir).select("vec_id", "cluster")
+      val e = Similarity.embDouble(s, dir).select(col("vec_id"), col("emb"))
+      val withEmb = assigned.join(e, "vec_id")
+      val lower = withEmb.select(col("cluster").as("lc"),
+        col("vec_id").as("lo_id"), col("emb").as("lo_emb"))
+      val dominated = withEmb.join(lower,
+          col("cluster") === col("lc") && col("lo_id") < col("vec_id"))
+        .filter(round(graft.functions.Funcs.cosineSim(col("emb"), col("lo_emb")), 4)
+          >= 0.42)
+        .select("vec_id").distinct()
+      assigned.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
     }),
 
     // Embedding-cosine near-dup: pairs whose rounded cosine clears the
@@ -266,6 +343,41 @@ object Dedup {
         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
         |         FROM bands x JOIN bands y
         |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |sh AS (SELECT id1, id2, count(*) AS shared FROM cand
+        |       JOIN toks a ON a.doc_id = id1
+        |       JOIN toks b ON b.doc_id = id2 AND b.tokid = a.tokid
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2
+        |          FROM sh JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |          WHERE shared * 10 >= (s1.n + s2.n - shared) * 6),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_full" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents),
+        |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |toks AS (SELECT doc_id,
+        |                ('0x' || substring(md5(tok), 1, 11))::BIGINT AS tokid
+        |         FROM tok0),
+        |p(i, a, b) AS (VALUES (0,1103,12345),(1,5077,999),(2,9173,471),
+        |  (3,7919,8191),(4,2663,30269),(5,4271,11213),(6,6619,257),
+        |  (7,3541,49157),(8,7333,6007),(9,9901,331),(10,5683,7039),
+        |  (11,8761,52361)),
+        |sig AS (SELECT doc_id, i, min((a * tokid + b) % 2147483647) AS mh
+        |        FROM toks, p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 array_to_string(list(mh ORDER BY i), ',') AS bkey
+        |          FROM sig GROUP BY 1, 2),
+        |roots AS (SELECT band, bkey, min(doc_id) AS id1 FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT r.id1, b.doc_id AS id2
+        |         FROM bands b JOIN roots r
+        |         ON b.band = r.band AND b.bkey = r.bkey AND b.doc_id > r.id1),
         |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
         |sh AS (SELECT id1, id2, count(*) AS shared FROM cand
         |       JOIN toks a ON a.doc_id = id1
@@ -337,6 +449,38 @@ object Dedup {
         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+        |         FROM ex GROUP BY 1, 2),
+        |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vn FROM ex GROUP BY 1),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, cent.label, sum(e.x * cent.c) AS dot
+        |       FROM ex e JOIN cent ON e.i = cent.i GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label,
+        |             CASE WHEN vn.vn * cn.cn > 0
+        |                  THEN CAST(floor(dot / (vn.vn * cn.cn) * 10000 + 0.5)
+        |                       AS BIGINT) END AS score_x1e4
+        |      FROM sc JOIN vn USING (vec_id) JOIN cn USING (label)),
+        |asg AS (SELECT vec_id, label AS cluster FROM (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score_x1e4 DESC, label) AS rk
+        |  FROM r) WHERE rk = 1),
+        |dt AS (SELECT hi.vec_id AS hi, lo.vec_id AS lo, sum(a.x * b.x) AS dot
+        |       FROM asg hi JOIN asg lo
+        |         ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+        |       JOIN ex a ON a.vec_id = hi.vec_id
+        |       JOIN ex b ON b.vec_id = lo.vec_id AND b.i = a.i
+        |       GROUP BY 1, 2),
+        |dom AS (SELECT DISTINCT dt.hi FROM dt
+        |        JOIN vn na ON na.vec_id = dt.hi
+        |        JOIN vn nb ON nb.vec_id = dt.lo
+        |        WHERE round(dot / (na.vn * nb.vn), 4) >= 0.42)
+        |SELECT vec_id, cluster FROM asg
+        |WHERE vec_id NOT IN (SELECT hi FROM dom) ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
         |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

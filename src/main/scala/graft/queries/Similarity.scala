@@ -34,6 +34,50 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Full-corpus centroid assignment — the distributed k-means E-step
+    * behind `q_emb_assign` (and SemDeDup's cluster scoping): every
+    * vector goes to its nearest label-centroid by rounded cosine (tie
+    * → label asc). Centroids and their norms are a tiny broadcast;
+    * the corpus side is one map-side join keyed by dimension plus a
+    * per-vector argmax window — linear in corpus size, the shape an
+    * actual clustering iteration runs at 100 TB. Ranking happens on
+    * the ROUNDED score so near-ties cannot order differently across
+    * engines (the q_sim_ivf rule). Output: (vec_id, cluster,
+    * score_x1e4), unordered.
+    */
+  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embDouble(s, dir)
+    val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+    val centBase = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
+    // centroids quantized at 1e-6 with the scaled-floor form (NOT
+    // round(), whose tie handling differs across engines): the raw
+    // averages differ between engines in last ulps (summation order
+    // over thousands of doubles), and every downstream score must
+    // start from bit-identical centroid values
+    val cent = centBase.groupBy("label", "i")
+      .agg((floor(avg("x") * 1000000 + 0.5) / 1000000).as("c"))
+    val vnorm = ex.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("vn"))
+    val cnorm = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+    // floor-scaled integer scores, NOT round(): chaining round(,6)
+    // then round(,4) manufactures .xxxx5 ties where Spark (BigDecimal
+    // half-up) and DuckDB (C math) split — the scaled-floor form is
+    // one identical IEEE op sequence on both engines
+    ex.join(broadcast(cent), "i")
+      .groupBy("vec_id", "label").agg(sum(col("x") * col("c")).as("dot"))
+      .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
+      // zero-norm guard: floor(NaN) long-casts on the Spark side but
+      // errors in the oracle's CAST — keep NULL on both instead
+      .select(col("vec_id"), col("label"),
+        when(col("vn") * col("cn") > 0,
+          floor(col("dot") / (col("vn") * col("cn")) * 10000 + 0.5))
+          .as("score_x1e4"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score_x1e4").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("cluster"), col("score_x1e4"))
+  }
+
   /** Embeddings with the float[] column cast to double[]. */
   def embDouble(s: SparkSession, dir: String): DataFrame =
     Fixtures.embeddings(s, dir)
@@ -266,39 +310,7 @@ object Similarity {
     // size, the shape an actual clustering iteration runs at 100 TB.
     // Ranking happens on the ROUNDED score so near-ties cannot order
     // differently across engines (the q_sim_ivf rule).
-    "q_emb_assign" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = embDouble(s, dir)
-      val ex = e.select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
-      val centBase = e.select(col("label"), posexplode(col("emb")).as(Seq("i", "x")))
-      // centroids quantized at 1e-6 with the scaled-floor form (NOT
-      // round(), whose tie handling differs across engines): the raw
-      // averages differ between engines in last ulps (summation order
-      // over thousands of doubles), and every downstream score must
-      // start from bit-identical centroid values
-      val cent = centBase.groupBy("label", "i")
-        .agg((floor(avg("x") * 1000000 + 0.5) / 1000000).as("c"))
-      val vnorm = ex.groupBy("vec_id").agg(sqrt(sum(col("x") * col("x"))).as("vn"))
-      val cnorm = cent.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("cn"))
-      // floor-scaled integer scores, NOT round(): chaining round(,6)
-      // then round(,4) manufactures .xxxx5 ties where Spark (BigDecimal
-      // half-up) and DuckDB (C math) split — the scaled-floor form is
-      // one identical IEEE op sequence on both engines
-      ex.join(broadcast(cent), "i")
-        .groupBy("vec_id", "label").agg(sum(col("x") * col("c")).as("dot"))
-        .join(vnorm, "vec_id").join(broadcast(cnorm), "label")
-        // zero-norm guard: floor(NaN) long-casts on the Spark side but
-        // errors in the oracle's CAST — keep NULL on both instead
-        .select(col("vec_id"), col("label"),
-          when(col("vn") * col("cn") > 0,
-            floor(col("dot") / (col("vn") * col("cn")) * 10000 + 0.5))
-            .as("score_x1e4"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("score_x1e4").desc, col("label"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label").as("cluster"), col("score_x1e4"))
-        .orderBy("vec_id")
-    }),
+    "q_emb_assign" -> ((s, dir) => clusterAssign(s, dir).orderBy("vec_id")),
 
     // Random-projection dimensionality reduction (Achlioptas-style
     // ±1 matrix): 64-dim embeddings → 8 projected coords. The matrix

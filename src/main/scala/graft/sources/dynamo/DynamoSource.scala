@@ -53,6 +53,14 @@ final case class DynamoOptions(
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
     maxPushedGroups: Int,
+    /** Zone-map shard pruning (on by default): skip planning segments
+      * for shards whose [[ShardStats]] prove a pushed conjunct can
+      * never be TRUE there. Purely an optimization — stats are
+      * over-approximate by construction and any missing piece
+      * disables the skip — but the flag exists so a store with
+      * suspect sidecar files can be read with pruning off.
+      */
+    zonePruning: Boolean,
     /** Size bound for the build (right) side of a pushed join: the
       * negotiation declines when the right table's stored bytes exceed
       * this, keeping every join task's in-memory hash build
@@ -118,6 +126,7 @@ object DynamoOptions {
             "reader's per-segment group map; 0 would never accumulate nor drain)")
         g
       },
+      zonePruning = m.getBoolean("zonePruning", true),
       joinBuildMaxBytes =
         opt("joinBuildMaxBytes").map(_.toLong).getOrElse(64L * 1024 * 1024),
       asOfSeq = opt("asOfSeq").map(_.toLong))
@@ -1259,7 +1268,15 @@ final class DynamoScan(
       val rate = math.max(0.1, opts.targetCapacity * throughput)
       return Array(DynamoInputPartition(0, 1, rate))
     }
-    keyShards(store, meta) match {
+    // Key pruning and zone-map pruning compose by intersection: both
+    // produce "shards that could hold a qualifying item", both plan
+    // one partition per surviving shard in the full shard space.
+    val candidateShards: Option[Set[Int]] = (keyShards(store, meta), zoneShards(store, meta)) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (Some(a), None)    => Some(a)
+      case (None, zoned)      => zoned
+    }
+    candidateShards match {
       case Some(shards) =>
         val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, shards.size))
         // One partition per candidate shard; segment space = shard space.
@@ -1284,8 +1301,10 @@ final class DynamoScan(
           c.getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
             c.getConfString("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false").toBoolean
         }
-        if (live.length == 1 && spjPadEnabled && reportsPerShard(store, meta)) {
-          val pad = (shards.head + 1) % meta.shards
+        if (live.length <= 1 && spjPadEnabled && reportsPerShard(store, meta)) {
+          // (length 0 happens when zone pruning excludes every shard —
+          // the pad keeps the declared bucket layout non-degenerate)
+          val pad = (shards.headOption.getOrElse(-1) + 1) % meta.shards
           live :+ (DynamoInputPartition(pad, meta.shards, rate, padEmpty = true): InputPartition)
         } else live
       case None =>
@@ -1293,6 +1312,32 @@ final class DynamoScan(
         val rate = math.max(0.1, opts.targetCapacity * throughput / n)
         Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
     }
+  }
+
+  /** Zone-map pruning: shards whose folded [[ShardStats]] leave a
+    * pushed conjunct possibly-true; `None` = nothing pruned (no
+    * applicable predicate, stats unavailable, or every shard
+    * survives — the plan then keeps its normal full-scan
+    * segmentation). Sound because every stats record over-approximates
+    * the live values and [[ZoneMap.mayMatch]] only prunes predicates
+    * whose truth REQUIRES an in-range stored value. Skipped for GSI
+    * views (the scan filter references index-projected attrs but the
+    * stats describe base items — same attrs, same values, yet the
+    * sparse-index skip means absence semantics differ; conservative)
+    * and under `zonePruning=false`.
+    */
+  private def zoneShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
+    if (opts.indexName.isDefined || !opts.zonePruning) return None
+    val conjuncts = pushed ++ runtime
+    if (conjuncts.isEmpty) return None
+    val stats = store.tableZoneStats(opts.tableName, meta.shards)
+    val surviving = (0 until meta.shards).filter { sh =>
+      stats(sh) match {
+        case Some(st) => conjuncts.forall(ZoneMap.mayMatch(_, st))
+        case None     => true
+      }
+    }.toSet
+    if (surviving.size < meta.shards) Some(surviving) else None
   }
 
   /** Candidate shard set when the filters pin the placement key; None

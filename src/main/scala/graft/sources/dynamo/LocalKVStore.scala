@@ -45,6 +45,97 @@ final case class IndexMeta(
     rangeKey: Option[String],
     projection: Option[Seq[String]])
 
+/** Per-attribute zone-map entry: min/max over the NUMERIC values and
+  * over the STRING values an attribute has taken (UTF8String binary
+  * order for strings — the same order [[FilterEval]] compares in).
+  * Values of other types (bool, binary, list, map, null) are not
+  * ranged; predicates over them never prune.
+  */
+final case class AttrStats(
+    nMin: Option[BigDecimal], nMax: Option[BigDecimal],
+    sMin: Option[String], sMax: Option[String]) {
+  def widen(v: AttrVal): AttrStats = v match {
+    case AttrVal.N(n) => AttrStats(
+      Some(nMin.filter(_ <= n).getOrElse(n)),
+      Some(nMax.filter(_ >= n).getOrElse(n)), sMin, sMax)
+    case AttrVal.S(s) => AttrStats(nMin, nMax,
+      Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
+      Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)))
+    case _ => this
+  }
+  def union(o: AttrStats): AttrStats = AttrStats(
+    (nMin.toSeq ++ o.nMin).minOption,
+    (nMax.toSeq ++ o.nMax).maxOption,
+    (sMin.toSeq ++ o.sMin).minOption(AttrStats.utf8Order),
+    (sMax.toSeq ++ o.sMax).maxOption(AttrStats.utf8Order))
+}
+
+object AttrStats {
+  val empty: AttrStats = AttrStats(None, None, None, None)
+  /** UTF8String (code-point) order — [[FilterEval.cmp]]'s string
+    * order; java's compareTo disagrees on supplementary characters.
+    */
+  val utf8Order: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  def sLe(a: String, b: String): Boolean = utf8Order.lteq(a, b)
+  def sGe(a: String, b: String): Boolean = utf8Order.gteq(a, b)
+}
+
+/** One shard's zone map. `complete = true` means `attrs` covers EVERY
+  * attribute occurring in the covered items (so an attribute ABSENT
+  * from the map provably never occurs, and an equality/range predicate
+  * on it can never be TRUE). Accumulators flip it off past
+  * [[ShardStats.maxTrackedAttrs]] attributes; a fold with ANY
+  * incomplete piece disables pruning for the shard — soundness never
+  * rests on a partial map.
+  */
+final case class ShardStats(attrs: Map[String, AttrStats], complete: Boolean) {
+  def widen(item: Item): ShardStats =
+    if (!complete && attrs.isEmpty) this // saturated-and-empty fast path
+    else item.foldLeft(this) { case (st, (a, v)) =>
+      st.attrs.get(a) match {
+        case Some(as) => st.copy(attrs = st.attrs.updated(a, as.widen(v)))
+        case None if st.attrs.size < ShardStats.maxTrackedAttrs =>
+          st.copy(attrs = st.attrs.updated(a, AttrStats.empty.widen(v)))
+        case None => st.copy(complete = false)
+      }
+    }
+  def union(o: ShardStats): ShardStats = ShardStats(
+    (attrs.keySet ++ o.attrs.keySet).map(a =>
+      a -> attrs.getOrElse(a, AttrStats.empty)
+        .union(o.attrs.getOrElse(a, AttrStats.empty))).toMap,
+    complete && o.complete)
+}
+
+object ShardStats {
+  val maxTrackedAttrs = 64
+  val empty: ShardStats = ShardStats(Map.empty, complete = true)
+
+  def toJson(st: ShardStats): String = {
+    def num(v: Option[BigDecimal]) = v.map(AttrVal.N).getOrElse(AttrVal.Null)
+    def str(v: Option[String]) = v.map(AttrVal.S).getOrElse(AttrVal.Null)
+    ItemJson.write(Map(
+      "complete" -> AttrVal.Bool(st.complete),
+      "attrs" -> AttrVal.M(st.attrs.map { case (a, s) =>
+        a -> AttrVal.M(Map("nMin" -> num(s.nMin), "nMax" -> num(s.nMax),
+          "sMin" -> str(s.sMin), "sMax" -> str(s.sMax)))
+      })))
+  }
+
+  def fromJson(s: String): ShardStats = {
+    val m = ItemJson.parse(s)
+    def num(v: AttrVal) = v match { case AttrVal.N(n) => Some(n); case _ => None }
+    def str(v: AttrVal) = v match { case AttrVal.S(x) => Some(x); case _ => None }
+    ShardStats(
+      m("attrs").asInstanceOf[AttrVal.M].v.map { case (a, AttrVal.M(f)) =>
+        a -> AttrStats(num(f("nMin")), num(f("nMax")), str(f("sMin")), str(f("sMax")))
+      case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
+      },
+      m("complete") match { case AttrVal.Bool(b) => b; case _ => false })
+  }
+}
+
 /** Deterministic file-backed item store emulating the DynamoDB data
   * model for the offline environment (SURVEY.md §7 M2) — the
   * connector's "service endpoint". Layout per table:
@@ -53,7 +144,19 @@ final case class IndexMeta(
   *   <dir>/<table>/meta.json
   *   <dir>/<table>/shard-NNN.jsonl      base items (one wire-JSON item per line)
   *   <dir>/<table>/wal-<seq>-<id>.jsonl put/update/delete journal entries
+  *   <dir>/<table>/zstat-shard-sNNN.json  zone map of shard-NNN (bulk load/compaction)
+  *   <dir>/<table>/zstat-<seq>-<id>-sNNN.json  zone map of one WAL file's op items
   * }}}
+  *
+  * Zone maps ([[ShardStats]]) are written beside the data they cover
+  * and only ever OVER-approximate the live values (writes widen them;
+  * deletes and TTL expiry narrow nothing until compaction rewrites
+  * them exactly), so [[DynamoScan]] can skip a whole shard when a
+  * pushed range predicate excludes its value range — sound by
+  * construction, and a missing/unreadable stats file just disables
+  * the skip. A WAL file's stats publish BEFORE the WAL rename, so a
+  * visible journal file implies visible stats; a racing listing that
+  * catches the gap sees stats missing and declines to prune.
   *
   * Segmented scans mirror DynamoDB's `Scan(segment, totalSegments)`:
   * shard files are assigned round-robin to segments, so N segments
@@ -209,10 +312,17 @@ final class LocalKVStore(root: String) {
     val writers = Array.tabulate(meta.shards) { i =>
       Files.newBufferedWriter(dir.resolve(f"shard-$i%03d.jsonl"), UTF_8)
     }
+    val stats = Array.fill(meta.shards)(ShardStats.empty)
     try items.foreach { it =>
-      val w = writers(shardOf(meta, it))
+      val sh = shardOf(meta, it)
+      val w = writers(sh)
       w.write(ItemJson.write(it)); w.write("\n")
+      stats(sh) = stats(sh).widen(it)
     } finally writers.foreach(_.close())
+    stats.zipWithIndex.foreach { case (st, i) =>
+      Files.write(dir.resolve(f"zstat-shard-s$i%03d.json"),
+        ShardStats.toJson(st).getBytes(UTF_8))
+    }
   }
 
   // ---- write-ahead journal (connector write path) ----
@@ -259,6 +369,13 @@ final class LocalKVStore(root: String) {
   final class WalWriter private[LocalKVStore] (table: String, meta: TableMeta, seq: Long, writerId: String) {
     private val dir = tableDir(table)
     private val open = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+    // Zone map of this writer's op items, per shard file. Deletes
+    // widen nothing (removing an item never ADDS values); every other
+    // op's item attrs widen — an UPDATE's merged result draws each
+    // attr value from either the base (covered by the base/earlier
+    // stats) or the update item (covered here), so the union over all
+    // published stats always over-approximates the merged view.
+    private val stats = mutable.HashMap.empty[Int, ShardStats]
 
     def append(op: Op): Unit = {
       val tag = op match {
@@ -275,6 +392,8 @@ final class LocalKVStore(root: String) {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND))
       w.write(ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item))))
       w.write("\n")
+      if (!op.isInstanceOf[Delete])
+        stats(shard) = stats.getOrElse(shard, ShardStats.empty).widen(op.item)
     }
 
     def flush(): Unit = open.values.foreach(_.flush())
@@ -282,13 +401,23 @@ final class LocalKVStore(root: String) {
     /** Publish: close and atomically rename every buffered file. The
       * existence loop bumps the seq past a same-millisecond publish by
       * the same writerId+shard — POSIX rename would otherwise replace
-      * the earlier file silently.
+      * the earlier file silently. Each file's zone-map sidecar
+      * publishes immediately BEFORE its journal file: a reader that
+      * can see the journal can see the stats (pruning stays sound),
+      * and a crash between the two renames leaves only an orphan
+      * stats file, reaped at compaction.
       */
     def close(): Unit = open.foreach { case (shard, w) =>
       w.close()
       var pubSeq = math.max(seq, System.currentTimeMillis())
       while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl")))
         pubSeq += 1
+      val st = stats.getOrElse(shard, ShardStats.empty)
+      val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-s$shard%03d.json.tmp")
+      Files.write(zTmp, ShardStats.toJson(st).getBytes(UTF_8))
+      Files.move(zTmp,
+        dir.resolve(f"zstat-$pubSeq%020d-$writerId-s$shard%03d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       Files.move(
         dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"),
         dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl"),
@@ -304,6 +433,7 @@ final class LocalKVStore(root: String) {
     def abort(): Unit = open.foreach { case (shard, w) =>
       try w.close() catch { case _: java.io.IOException => () }
       Files.deleteIfExists(dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"))
+      Files.deleteIfExists(dir.resolve(f".zstat-$seq%020d-$writerId-s$shard%03d.json.tmp"))
     }
   }
 
@@ -609,6 +739,16 @@ final class LocalKVStore(root: String) {
     finally w.close()
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Exact zone map of the folded shard — the narrowing step (deletes
+    // and TTL reaping take effect here). Written BEFORE the journal
+    // deletes: a concurrent planner unioning new-base + old-journal
+    // stats still over-approximates.
+    val zTmp = dir.resolve(f"zstat-compact-s$shard%03d.tmp")
+    Files.write(zTmp, ShardStats.toJson(
+      merged.foldLeft(ShardStats.empty)(_.widen(_))).getBytes(UTF_8))
+    Files.move(zTmp, dir.resolve(f"zstat-shard-s$shard%03d.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val folding = listFiles(table, "wal-").filter(walShard(_) == shard)
     // Snapshot watermark: once these journal files fold into the base,
     // history at or below their pubSeq is no longer addressable — an
@@ -632,6 +772,16 @@ final class LocalKVStore(root: String) {
       }
     }
     folding.foreach(Files.delete)
+    // Journal zone maps whose WAL file is gone (just folded, or an
+    // orphan from a crash between the two publish renames) are dead
+    // weight — their values are covered by the new base stats.
+    val liveWal = listFiles(table, "wal-")
+      .map(p => p.getFileName.toString.stripPrefix("wal-").stripSuffix(".jsonl")).toSet
+    listStatFiles(table).foreach { p =>
+      val core = p.getFileName.toString.stripPrefix("zstat-").stripSuffix(".json")
+      if (!core.startsWith("shard-") && walStatShard(p) == shard && !liveWal(core))
+        Files.deleteIfExists(p)
+    }
     // Reap abandoned write buffers for this shard: a `.tmp` idle past
     // the window has no live writer (crashed before publish). Deleting
     // it both bounds orphan accumulation and makes a zombie writer's
@@ -687,6 +837,64 @@ final class LocalKVStore(root: String) {
   def truncateTable(table: String): Unit = {
     listFiles(table, "shard-").foreach(Files.delete)
     listFiles(table, "wal-").foreach(Files.delete)
+    listStatFiles(table).foreach(Files.deleteIfExists(_))
+  }
+
+  // ---- zone-map fold (scan-planning input) ----
+
+  private def listStatFiles(table: String): Seq[Path] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("zstat-") &&
+                     p.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
+  }
+
+  private def walStatShard(p: Path): Int = {
+    val n = p.getFileName.toString.stripSuffix(".json")
+    n.substring(n.lastIndexOf("-s") + 2).toInt
+  }
+
+  /** The zone map covering each shard's CURRENT merged view — `None`
+    * per shard where pruning must be declined. A shard's map is the
+    * union of the base shard's stats (required whenever a base file
+    * exists) and every published journal file's stats for the shard
+    * (each required — a journal file without readable stats, e.g. one
+    * listed mid-publish or written by an older build, voids the
+    * fold). Every piece must also be `complete`. The result
+    * over-approximates the merged view (deletes/TTL narrow only at
+    * compaction, which rewrites the base stats exactly), so
+    * "predicate excludes the stats range" implies "predicate excludes
+    * every item in the shard". ONE directory pass per call — the
+    * planner consults all shards at once.
+    */
+  def tableZoneStats(table: String, shards: Int): IndexedSeq[Option[ShardStats]] = {
+    val dir = tableDir(table)
+    def read(p: Path): Option[ShardStats] =
+      try Some(ShardStats.fromJson(new String(Files.readAllBytes(p), UTF_8)))
+      catch { case _: Exception => None }
+    val walByShard = listFiles(table, "wal-").groupBy(walShard)
+    (0 until shards).map { shard =>
+      val base: Option[ShardStats] =
+        if (Files.isRegularFile(dir.resolve(f"shard-$shard%03d.jsonl")))
+          read(dir.resolve(f"zstat-shard-s$shard%03d.json"))
+        else Some(ShardStats.empty) // no base file = no base items
+      val walStats = walByShard.getOrElse(shard, Seq.empty).map { p =>
+        val core = p.getFileName.toString.stripPrefix("wal-").stripSuffix(".jsonl")
+        read(dir.resolve(s"zstat-$core.json"))
+      }
+      val pieces = base +: walStats
+      if (pieces.exists(_.isEmpty)) None
+      else {
+        val folded = pieces.flatten.reduce(_.union(_))
+        if (folded.complete) Some(folded) else None
+      }
+    }
   }
 
   // ---- resharding (layout change; see DynamoMaintenance.reshard) ----
@@ -746,6 +954,10 @@ final class LocalKVStore(root: String) {
       } finally w.close()
     }
     listFiles(table, "shard-").foreach(Files.delete)
+    // Old-layout zone maps describe shard numbers that no longer mean
+    // the same item set — stale stats would prune the WRONG shards.
+    // Delete them all; the next compaction rebuilds exact ones.
+    listStatFiles(table).foreach(Files.deleteIfExists(_))
     (0 until newShards).foreach { ns =>
       Files.move(tmp.resolve(f"shard-$ns%03d.jsonl"),
         dir.resolve(f"shard-$ns%03d.jsonl"))

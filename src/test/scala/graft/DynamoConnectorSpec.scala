@@ -949,7 +949,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
     seedFruit(root) // hash-only table, 16 shards
     // readPartitions forced to 16 so the full-scan path is visibly wide
     val opts = DynamoOptions(java.util.Map.of(
-      "path", root, "tableName", "fruit", "readPartitions", "16"))
+      "path", root, "tableName", "fruit", "readPartitions", "16",
+      "zonePruning", "false")) // key-pruning semantics in isolation
     val schema = spark.read.dynamo(root, "fruit").schema
 
     def parts(filters: org.apache.spark.sql.sources.Filter*) =
@@ -976,6 +977,79 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(("durian", "green")))
   }
 
+  test("zone maps prune shards a pushed predicate provably excludes") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, StringStartsWith}
+    val root = freshRoot()
+    // The layout-correlation shape zone maps exist for: each partition
+    // key's items share a value locality (tenant t writes ts in
+    // [t*100, t*100+99]), so a recent-range predicate excludes every
+    // cold tenant's shard outright.
+    Seq.tabulate(200) { j =>
+      val t = j / 5
+      (f"tenant$t%03d", j.toLong % 5, (t * 100 + j % 5).toLong, s"m${j % 5}-t$t")
+    }.toDF("tenant", "seq", "ts", "tag")
+      .write.format("dynamo").option("path", root).option("tableName", "tz")
+      .option("hashKey", "tenant").option("rangeKey", "seq")
+      .mode("append").save()
+
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "tz", "readPartitions", "16"))
+    val schema = spark.read.dynamo(root, "tz").schema
+    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+        .map(_.asInstanceOf[DynamoInputPartition])
+    def live(filters: org.apache.spark.sql.sources.Filter*) =
+      parts(filters: _*).count(!_.padEmpty)
+
+    val all = live()
+    assert(all === 16)
+    // a satisfiable-everywhere predicate still prunes the shards NO
+    // tenant hashed into (an empty shard's complete empty map excludes
+    // everything) — `occupied` is the layout's populated-shard count
+    val occupied = live(GreaterThanOrEqual("ts", 0L))
+    assert(occupied > 0 && occupied <= 16)
+    // only tenant039 (ts 3900..3904) can satisfy ts > 3899 — one
+    // shard survives (its stats range includes other co-hashed
+    // tenants, which the per-item filter still removes)
+    assert(live(GreaterThan("ts", 3899L)) === 1)
+    // impossible range → zero live shards (pad may remain for SPJ)
+    assert(live(GreaterThan("ts", 100000L)) === 0)
+    // a COMPLETE map proves an absent attribute never occurs
+    assert(live(EqualTo("nosuch", 5L)) === 0)
+    // string zone: tags all start with "m"; an "z"-prefix can't match
+    assert(live(StringStartsWith("tag", "z")) === 0)
+    assert(live(StringStartsWith("tag", "m0")) === occupied)
+    // type discipline: a NUMERIC literal cannot match the string-only
+    // `tag` values (FilterEval's typed compare), so nothing survives
+    assert(live(EqualTo("tag", 7L)) === 0)
+    // ... while a string literal on `ts` (numeric-only) also prunes
+    assert(live(EqualTo("ts", "hello")) === 0)
+
+    // end-to-end: pruned plan and pruning-off plan agree exactly
+    def rows(zone: Boolean) = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "tz")
+      .option("readPartitions", "16").option("zonePruning", zone.toString).load()
+      .filter(col("ts") > 3899L).select("tenant", "ts")
+      .collect().map(x => (x.getString(0), x.getLong(1))).sorted.toSeq
+    assert(rows(zone = true) === rows(zone = false))
+    assert(rows(zone = true).nonEmpty)
+    assert(rows(zone = true).forall(_._2 > 3899L))
+
+    // deletes narrow only at compaction: removing tenant039's rows
+    // leaves its shard live (stats over-approximate) until compact()
+    // rewrites exact stats and the same predicate prunes everything
+    spark.sql(s"CREATE TABLE tz_del USING dynamo OPTIONS (path '$root', tableName 'tz')")
+    try {
+      spark.sql("DELETE FROM tz_del WHERE ts > 3899")
+      assert(live(GreaterThan("ts", 3899L)) === 1) // not narrowed yet
+      new LocalKVStore(root).compact("tz")
+      assert(live(GreaterThan("ts", 3899L)) === 0)
+      assert(rows(zone = true) === Seq.empty)
+    } finally spark.sql("DROP TABLE IF EXISTS tz_del")
+  }
+
   test("partition-key pin prunes a range-keyed table to one shard (Query path)") {
     import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
     import org.apache.spark.sql.sources.EqualTo
@@ -987,7 +1061,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
         "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
         "v" -> (AttrVal.S(s"v$i"): AttrVal))))
     val opts = DynamoOptions(java.util.Map.of(
-      "path", root, "tableName", "kv", "readPartitions", "8"))
+      "path", root, "tableName", "kv", "readPartitions", "8",
+      "zonePruning", "false")) // key-pruning semantics in isolation
     val schema = spark.read.dynamo(root, "kv").schema
 
     def live(filters: org.apache.spark.sql.sources.Filter*) =
@@ -1144,7 +1219,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(store.describe("legacy").layout === 1)
 
     val opts = DynamoOptions(java.util.Map.of(
-      "path", root, "tableName", "legacy", "readPartitions", "8"))
+      "path", root, "tableName", "legacy", "readPartitions", "8",
+      "zonePruning", "false")) // key-pruning semantics in isolation
     val schema = spark.read.dynamo(root, "legacy").schema
     def live(filters: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
