@@ -51,6 +51,51 @@ object Scans {
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
     }),
 
+    // TPC-H Q1 (pricing summary report) — THE scan-heavy aggregate
+    // benchmark shape: one pass over the fact table, 4 sums + 3 avgs
+    // + count into a 4-group hash aggregate, fully map-side-partial.
+    // At 100 TB this is bandwidth-bound by design; the plan must be a
+    // single scan + partial agg + 4-row final, nothing else.
+    "q_sql_tpch_q1" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(sum(l_extendedprice), 2) AS sum_base_price,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          |       round(avg(l_quantity), 2) AS avg_qty,
+          |       round(avg(l_extendedprice), 2) AS avg_price,
+          |       round(avg(l_discount), 2) AS avg_disc,
+          |       CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // TPC-H Q18 (large-volume customers): the IN-subquery over a
+    // grouped HAVING — Catalyst plans it as an aggregate feeding a
+    // left-semi join on the fact key, so the heavy side shuffles once
+    // on l_orderkey and is reused for both the gate and the final
+    // rollup. Same statement on both engines.
+    "q_sql_tpch_q18" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |       round(sum(l_quantity), 2) AS total_qty
+          |FROM customer, orders, lineitem
+          |WHERE o_orderkey IN (
+          |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          |    HAVING sum(l_quantity) > 190)
+          |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+          |LIMIT 100""".stripMargin)
+    }),
+
     // Second SQL flagship (TPC-H Q10 shape): 4-way join — lineitem ⋈
     // orders shuffles on the fact keys, nation (25 rows) broadcasts —
     // returned-item revenue per customer, global top-20. Same
@@ -206,6 +251,31 @@ object Scans {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_discount), 2) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |    HAVING sum(l_quantity) > 190)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_sql_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
