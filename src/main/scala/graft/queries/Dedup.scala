@@ -83,17 +83,10 @@ object Dedup {
     tok.withColumn("tokid",
       conv(substring(md5(col("tok")), 1, 11), 16, 10).cast("long"))
 
-  /** MinHash + LSH banding, verified with exact Jaccard — shared by
-    * `q_dedup_minhash` (emits the pairs) and `q_dedup_cluster`
-    * (components over them). All 12 minima in ONE aggregation pass
-    * (one agg column per hash): the shuffle carries (doc_id, 12 longs)
-    * — no ×12 row expansion through the exchange, and no second
-    * shuffle to assemble bands; candidates meet only inside a
-    * (band, band-signature) bucket.
-    */
   /** LSH band rows (doc_id, band, bkey) from token-id sets: all 12
-    * signature minima in ONE aggregation pass, bands assembled
-    * map-side.
+    * signature minima in ONE aggregation pass (one agg column per
+    * hash — the shuffle carries (doc_id, 12 longs), no ×12 row
+    * expansion through the exchange), bands assembled map-side.
     */
   private def minhashBands(toks: DataFrame): DataFrame = {
     val sigCols = MinhashParams.map { case (i, a, b) =>
@@ -108,6 +101,37 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
 
+  /** Bucket-STAR candidate edges over LSH bands: inside each
+    * (band, signature) bucket, only (bucket-min doc, member) pairs —
+    * ≤ bands-per-doc candidates per document, the bound that keeps a
+    * bucket of k identical documents at O(k) candidates instead of
+    * the clique's O(k²). Package-visible so DedupSkewSpec can pin the
+    * linearity directly.
+    */
+  private[graft] def starCandidates(toks: DataFrame): DataFrame = {
+    val bands = minhashBands(toks)
+    val roots = bands.groupBy("band", "bkey").agg(min("doc_id").as("id1"))
+    bands.join(roots, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("id1"))
+      .select(col("id1"), col("doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Token-id sets of an ad-hoc (doc_id, text) frame — the spec-side
+    * entry into the minhash pipeline.
+    */
+  private[graft] def tokIds(docs: DataFrame): DataFrame =
+    withTokId(docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok")))
+      .select("doc_id", "tokid")
+
+  /** MinHash + LSH banding, verified with exact Jaccard — shared by
+    * `q_dedup_minhash` (emits the pairs) and `q_dedup_cluster`
+    * (components over them). Candidates meet only inside a
+    * (band, band-signature) bucket — full within-bucket pairs here
+    * (the bounded demo); the full-corpus path uses
+    * [[starCandidates]]'s linear bound instead.
+    */
   private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
     val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
     val bands = minhashBands(toks)
@@ -228,15 +252,9 @@ object Dedup {
     // the semantics are pinned, not approximated.
     "q_dedup_cluster_full" -> ((s, dir) => {
       val toks = withTokId(tokSetAll(s, dir)).select("doc_id", "tokid")
-      val bands = minhashBands(toks)
-      val roots = bands.groupBy("band", "bkey").agg(min("doc_id").as("id1"))
-      val cand = bands.join(roots, Seq("band", "bkey"))
-        .filter(col("doc_id") > col("id1"))
-        .select(col("id1"), col("doc_id").as("id2"))
-        .distinct()
       connectedComponents(
         Fixtures.documents(s, dir),
-        verifyJaccard(cand, toks).select("id1", "id2"))
+        verifyJaccard(starCandidates(toks), toks).select("id1", "id2"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {

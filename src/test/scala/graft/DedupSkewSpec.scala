@@ -46,6 +46,23 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.forall(r => math.abs(r.getDouble(2) - 0.6667) < 1e-9))
   }
 
+  test("bucket-star candidates stay linear on an identical-document bucket") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // 120 IDENTICAL docs (one LSH bucket per band holds all of them)
+    // plus 30 singletons: the clique would be C(120,2) = 7140 pairs;
+    // the star must emit exactly 119 — one edge per non-min member,
+    // the same pairs in every band so distinct collapses them.
+    val docs = ((0 until 120).map(i => (i.toLong, "lorem ipsum dolor sit amet")) ++
+      (200 until 230).map(i => (i.toLong, s"u${i}a v${i}b w${i}c x${i}d")))
+      .toDF("doc_id", "text")
+    val cand = Dedup.starCandidates(Dedup.tokIds(docs))
+    val rows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 119)
+    assert(rows.forall(_._1 == 0L)) // every edge points at the bucket min
+    assert(rows.map(_._2).sorted.toSeq === (1L until 120L))
+  }
+
   test("hot-token list is broadcast, not shuffled against the corpus") {
     val plan = TextOps.cappedCandidates(corpus, dfCap = 50L)
       .queryExecution.executedPlan.toString

@@ -256,6 +256,62 @@ class PushdownLawsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
   }
 
+  test("zone-map mayMatch is an upper bound on FilterEval truth (soundness law)") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.dynamo.{AttrVal, FilterEval, ShardStats, ZoneMap}
+    // Items with mixed presence/types per attribute — exactly the
+    // schemaless shapes a real shard holds. Strings include the
+    // supplementary-plane orderings FilterEval compares in UTF8 order.
+    val emoji = new String(Character.toChars(0x1F600))
+    val genVal: Gen[Option[AttrVal]] = Gen.frequency(
+      3 -> Gen.choose(-50L, 50L).map(v => Some(AttrVal.N(BigDecimal(v)): AttrVal)),
+      2 -> Gen.oneOf("a", "alpha", "m0", "zz", "￾", emoji)
+        .map(v => Some(AttrVal.S(v): AttrVal)),
+      1 -> Gen.oneOf(true, false).map(v => Some(AttrVal.Bool(v): AttrVal)),
+      1 -> Gen.const(Some(AttrVal.Null: AttrVal)),
+      2 -> Gen.const(None: Option[AttrVal]))
+    val genItem: Gen[Map[String, AttrVal]] =
+      for { a <- genVal; b <- genVal; c <- genVal } yield
+        Seq("a" -> a, "b" -> b, "c" -> c)
+          .collect { case (k, Some(v)) => k -> v }.toMap
+    val attrs = Gen.oneOf("a", "b", "c")
+    val genLeafF: Gen[Filter] = Gen.oneOf(
+      Gen.zip(attrs, Gen.choose(-60L, 60L)).map { case (a, v) => EqualTo(a, v) },
+      Gen.zip(attrs, Gen.oneOf("a", "m0", "zz", "￾", emoji))
+        .map { case (a, v) => EqualTo(a, v): Filter },
+      Gen.zip(attrs, Gen.choose(-60L, 60L)).map { case (a, v) => GreaterThan(a, v) },
+      Gen.zip(attrs, Gen.oneOf("a", "zz", emoji)).map { case (a, v) => LessThan(a, v): Filter },
+      Gen.zip(attrs, Gen.choose(-60L, 60L)).map { case (a, v) => LessThanOrEqual(a, v) },
+      Gen.zip(attrs, Gen.pick(2, -60L to 60L)).map { case (a, vs) =>
+        In(a, vs.toArray.map(_.asInstanceOf[Any])) },
+      Gen.zip(attrs, Gen.oneOf("a", "m", "z", "￾")).map { case (a, p) =>
+        StringStartsWith(a, p): Filter },
+      attrs.map(IsNull(_): Filter),
+      attrs.map(IsNotNull(_): Filter),
+      Gen.zip(attrs, Gen.oneOf(true, false)).map { case (a, v) => EqualTo(a, v): Filter })
+    def genF(depth: Int): Gen[Filter] =
+      if (depth <= 0) genLeafF
+      else Gen.frequency(
+        3 -> genLeafF,
+        2 -> Gen.zip(genF(depth - 1), genF(depth - 1)).map { case (l, r) => And(l, r) },
+        2 -> Gen.zip(genF(depth - 1), genF(depth - 1)).map { case (l, r) => Or(l, r) },
+        1 -> genF(depth - 1).map(Not(_): Filter))
+
+    val cases = samples(Gen.zip(Gen.listOfN(6, genItem), genF(2)), 400)
+    var pruned = 0
+    cases.foreach { case (items, f) =>
+      val stats = items.foldLeft(ShardStats.empty)(_.widen(_))
+      val anyTrue = items.exists(FilterEval.eval(f, _))
+      val may = ZoneMap.mayMatch(f, stats)
+      // SOUNDNESS: a shard holding a matching item is never prunable
+      assert(!anyTrue || may,
+        s"unsound prune: $f over $items (stats $stats)")
+      if (!may) pruned += 1
+    }
+    // sanity: the law exercised real prunes, not vacuous truth
+    assert(pruned > 20, s"only $pruned prunes across ${cases.size} cases")
+  }
+
   test("outer pushed joins equal Spark's own under random predicate trees") {
     import spark.implicits._
     val r = Files.createTempDirectory("graft-joinlaw2").toString
