@@ -21,6 +21,10 @@ object DynamoMaintenance {
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
+    // Refresh materialized GSI copies from the freshly folded view —
+    // driver-side (the index cross-cuts base shards); no-op without
+    // registered indexes.
+    new LocalKVStore(path).refreshIndexes(table)
   }
 
   /** TTL reaper: the reclamation half of the TTL story. Reads only

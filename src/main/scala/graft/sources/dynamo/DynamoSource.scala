@@ -1017,7 +1017,13 @@ object DynamoMetaCols {
   */
 final case class DynamoInputPartition(
     segment: Int, totalSegments: Int, ratePerSegment: Double,
-    padEmpty: Boolean = false)
+    padEmpty: Boolean = false,
+    /** Read from the table's MATERIALIZED index copy instead of the
+      * base shards — set at planning time only when the copy is
+      * provably fresh ([[LocalKVStore.indexFresh]]); segment space is
+      * then the index's own hash layout.
+      */
+    viaIndex: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(segment)
 }
@@ -1066,6 +1072,20 @@ object DynamoScan {
   def placementCols(meta: TableMeta): Seq[String] =
     if (meta.layout >= 2) Seq(meta.hashKey)
     else Seq(meta.hashKey) ++ meta.rangeKey
+
+  /** Reader-side item source: the base merged view, or the table's
+    * materialized index copy when planning chose it
+    * (`partition.viaIndex` — items arrive pre-projected, and
+    * [[Ttl.visibleItem]]'s projection is idempotent on them).
+    */
+  def partitionItems(store: LocalKVStore, opts: DynamoOptions,
+      partition: DynamoInputPartition): Iterator[(Item, Int)] =
+    if (partition.viaIndex)
+      store.scanIndexSegment(opts.tableName, opts.indexName.get,
+        partition.segment, partition.totalSegments)
+    else
+      store.scanSegment(opts.tableName, partition.segment,
+        partition.totalSegments, opts.asOfSeq)
 }
 
 final class DynamoScan(
@@ -1268,6 +1288,32 @@ final class DynamoScan(
       val rate = math.max(0.1, opts.targetCapacity * throughput)
       return Array(DynamoInputPartition(0, 1, rate))
     }
+    // Materialized-GSI serve: when the copy is provably fresh — and
+    // no read option needs BASE items (TTL liveness checks the base
+    // item; snapshots address journal history the copy folded away) —
+    // plan over the index's own hash layout, pruning to the owning
+    // index shards when the index hash key is pinned (DynamoDB's GSI
+    // Query shape). Stale or absent copies fall through to the
+    // projected base-scan path below, unchanged.
+    opts.indexName.foreach { ixName =>
+      if (opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
+          meta.indexes.contains(ixName) &&
+          store.indexFresh(opts.tableName, ixName)) {
+        indexKeyShards(store, meta, meta.indexes(ixName)) match {
+          case Some(shards) =>
+            val rate = math.max(0.1,
+              opts.targetCapacity * throughput / math.max(1, shards.size))
+            return shards.toArray.sorted.map(sh =>
+              DynamoInputPartition(sh, meta.shards, rate,
+                viaIndex = true): InputPartition)
+          case None =>
+            val n = fullScanSegments(store, meta)
+            val rate = math.max(0.1, opts.targetCapacity * throughput / n)
+            return Array.tabulate(n)(i =>
+              DynamoInputPartition(i, n, rate, viaIndex = true))
+        }
+      }
+    }
     // Key pruning and zone-map pruning compose by intersection: both
     // produce "shards that could hold a qualifying item", both plan
     // one partition per surviving shard in the full shard space.
@@ -1349,33 +1395,54 @@ final class DynamoScan(
     * placement hashed hash|range. GSI reads never prune (index keys
     * don't determine base-shard placement).
     */
-  private def keyShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
-    if (opts.indexName.isDefined) return None
-    def conjuncts(f: Filter): Seq[Filter] = f match {
-      case org.apache.spark.sql.sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case org.apache.spark.sql.sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Values the pushed/runtime filters pin `attr` to by equality. */
+  private def pinned(attr: String): Option[Seq[Any]] = {
     val flat = (pushed ++ runtime).flatMap(conjuncts)
-    def pinned(attr: String): Option[Seq[Any]] = flat.collectFirst {
+    flat.collectFirst {
       case org.apache.spark.sql.sources.EqualTo(a, v) if a == attr && v != null => Seq(v)
       case org.apache.spark.sql.sources.In(a, vs) if a == attr && vs.nonEmpty &&
         !vs.contains(null) => vs.toSeq
     }
-    def toAttr(v: Any): Option[AttrVal] = v match {
-      case s: String => Some(AttrVal.S(s))
-      case n: Byte => Some(AttrVal.N(BigDecimal(n.toInt)))
-      case n: Short => Some(AttrVal.N(BigDecimal(n.toInt)))
-      case n: Int => Some(AttrVal.N(BigDecimal(n)))
-      case n: Long => Some(AttrVal.N(BigDecimal(n)))
-      case n: Double => Some(AttrVal.N(BigDecimal(n)))
-      case n: Float => Some(AttrVal.N(BigDecimal(n.toDouble)))
-      case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
-      // v2-translated literals arrive as scala BigDecimal (PredicateV2
-      // .external), the v1 path supplied java's — accept both or
-      // decimal-keyed point lookups silently lose shard pruning
-      case n: scala.math.BigDecimal => Some(AttrVal.N(n))
-      case _ => None // binary/bool/etc: skip pruning, stay correct
-    }
+  }
+
+  /** Spark literal → storable key attr; None = unprunable type. */
+  private def toAttr(v: Any): Option[AttrVal] = v match {
+    case s: String => Some(AttrVal.S(s))
+    case n: Byte => Some(AttrVal.N(BigDecimal(n.toInt)))
+    case n: Short => Some(AttrVal.N(BigDecimal(n.toInt)))
+    case n: Int => Some(AttrVal.N(BigDecimal(n)))
+    case n: Long => Some(AttrVal.N(BigDecimal(n)))
+    case n: Double => Some(AttrVal.N(BigDecimal(n)))
+    case n: Float => Some(AttrVal.N(BigDecimal(n.toDouble)))
+    case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
+    // v2-translated literals arrive as scala BigDecimal (PredicateV2
+    // .external), the v1 path supplied java's — accept both or
+    // decimal-keyed point lookups silently lose shard pruning
+    case n: scala.math.BigDecimal => Some(AttrVal.N(n))
+    case _ => None // binary/bool/etc: skip pruning, stay correct
+  }
+
+  /** Index-key shard pruning for MATERIALIZED index reads: the copy
+    * is hash-partitioned by the INDEX hash key, so pinning it plans
+    * only the owning index shards — DynamoDB's GSI `Query` shape.
+    */
+  private def indexKeyShards(store: LocalKVStore, meta: TableMeta,
+      ix: IndexMeta): Option[Set[Int]] =
+    for {
+      hks <- pinned(ix.hashKey)
+      attrs <- {
+        val as = hks.map(toAttr)
+        if (as.forall(_.isDefined)) Some(as.flatten) else None
+      }
+    } yield attrs.map(store.indexShardOf(meta, _)).toSet
+
+  private def keyShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
+    if (opts.indexName.isDefined) return None
     if (meta.layout >= 2)
       for {
         hks <- pinned(meta.hashKey)
@@ -1830,8 +1897,7 @@ final class DynamoPartitionReader(
   // SPJ planning (see planInputPartitions); it owns no matching rows.
   private val items: Iterator[(Item, Int)] =
     if (partition.padEmpty) Iterator.empty
-    else store.scanSegment(opts.tableName, partition.segment, partition.totalSegments,
-      opts.asOfSeq)
+    else DynamoScan.partitionItems(store, opts, partition)
 
   // One clock per scan task: every item in the partition sees the same
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).
@@ -2016,7 +2082,7 @@ final class DynamoGroupedAggReader(
       // grouping ⊇ the full primary key: the store holds one item per
       // key, so every item is its own (final) group — stream rows with
       // zero group state, at any segment size
-      store.scanSegment(opts.tableName, part.segment, part.totalSegments, opts.asOfSeq)
+      DynamoScan.partitionItems(store, opts, part)
         .flatMap { case (item0, sz) =>
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
@@ -2036,8 +2102,7 @@ final class DynamoGroupedAggReader(
     }
     else new Iterator[InternalRow] {
       private val src =
-        store.scanSegment(opts.tableName, part.segment, part.totalSegments,
-          opts.asOfSeq)
+        DynamoScan.partitionItems(store, opts, part)
       // LinkedHashMap: group emission order = first-seen order, so
       // re-runs of the same segment emit identically (scan order is
       // file order, which is deterministic).
@@ -2271,8 +2336,7 @@ final class DynamoAggReader(
   override def next(): Boolean = {
     if (emitted) return false
     if (partition.padEmpty) { emitted = true; return true } // empty partials
-    store.scanSegment(opts.tableName, partition.segment, partition.totalSegments,
-        opts.asOfSeq)
+    DynamoScan.partitionItems(store, opts, partition)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1

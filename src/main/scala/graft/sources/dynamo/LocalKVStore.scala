@@ -196,14 +196,125 @@ final class LocalKVStore(root: String) {
     Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
   }
 
-  /** Register a GSI on an existing table (metadata-only: the local
-    * store serves index reads as a projected view over the base
-    * shards, which is semantically identical to DynamoDB's physical
-    * index copy for scans).
+  /** Register a GSI on an existing table and BACKFILL its physical
+    * copy (DynamoDB creates an index by backfilling it from the
+    * table). Reads serve from the materialized copy while it is
+    * provably fresh ([[indexFresh]]) and fall back to the projected
+    * base-scan view otherwise — DynamoDB's eventual consistency,
+    * collapsed to "exactly current or recomputed from base".
     */
   def createIndex(table: String, name: String, index: IndexMeta): Unit = {
     val meta = describe(table)
     createTable(table, meta.copy(indexes = meta.indexes + (name -> index)))
+    buildIndex(table, name)
+  }
+
+  // ---- materialized GSI copies ----
+  //
+  // Files: gsi-<name>-shard-NNN.jsonl — projected index items placed
+  // by the INDEX hash key (floorMod(enc.hashCode, shards), the same
+  // function base placement uses on the table key), so an index-key
+  // pinned read touches one index shard: DynamoDB's actual GSI
+  // layout, where the index is its own hash-partitioned table.
+  // Marker: gsi-<name>.meta = "<viewVersion> <shards>", written last
+  // (atomic rename). The copy serves reads only while the marker's
+  // version equals the CURRENT [[viewVersion]] and its shard count
+  // matches the table's — any later write (or reshard) makes the copy
+  // stale and reads fall back to the base-scan path until the next
+  // build (compaction rebuilds registered indexes).
+
+  /** Monotone version of the table's merged view: the max publish
+    * sequence ever to enter it, whether still in the journal or
+    * already folded (compaction moves a pubSeq from the journal pool
+    * to the watermark pool without changing the max, so the version
+    * is invariant under compaction — exactly "has the VIEW changed").
+    */
+  def viewVersion(table: String): Long =
+    (listFiles(table, "wal-").map(walPubSeq) :+ compactionWatermark(table)).max
+
+  def indexShardOf(meta: TableMeta, hashVal: AttrVal): Int =
+    math.floorMod(encKeyAttr(hashVal).hashCode, meta.shards)
+
+  /** Backfill one index from the current merged view: stream every
+    * visible item, project through [[indexView]] (sparse items drop),
+    * place by index hash key. Version captured BEFORE the scan — a
+    * write racing the build publishes a higher pubSeq, so the marker
+    * compares stale and readers keep the base path (never a torn
+    * serve).
+    */
+  def buildIndex(table: String, name: String): Unit = {
+    val meta = describe(table)
+    val ix = meta.indexes.getOrElse(name,
+      throw new IllegalArgumentException(s"no index '$name' on $table"))
+    val version = viewVersion(table)
+    val dir = tableDir(table)
+    val writers = Array.tabulate(meta.shards) { i =>
+      Files.newBufferedWriter(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"), UTF_8)
+    }
+    try scanSegment(table, 0, 1).map(_._1)
+      .flatMap(indexView(meta, ix, _))
+      .foreach { it =>
+        val w = writers(indexShardOf(meta, it(ix.hashKey)))
+        w.write(ItemJson.write(it)); w.write("\n")
+      }
+    finally writers.foreach(_.close())
+    (0 until meta.shards).foreach { i =>
+      Files.move(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"),
+        dir.resolve(f"gsi-$name-shard-$i%03d.jsonl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
+    Files.write(mTmp, s"$version ${meta.shards}".getBytes(UTF_8))
+    Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Rebuild every registered index (compaction's index-refresh step;
+    * cheap no-op for tables without indexes).
+    */
+  def refreshIndexes(table: String): Unit =
+    describe(table).indexes.keys.foreach(buildIndex(table, _))
+
+  /** True when the materialized copy reflects the CURRENT merged view
+    * under the CURRENT layout — the gate for serving index reads from
+    * the copy.
+    */
+  def indexFresh(table: String, name: String): Boolean = {
+    val p = tableDir(table).resolve(s"gsi-$name.meta")
+    Files.isRegularFile(p) && {
+      val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
+      parts.length == 2 &&
+        parts(0).toLong == viewVersion(table) &&
+        parts(1).toInt == describe(table).shards
+    }
+  }
+
+  /** Scan one segment of a MATERIALIZED index copy (items are already
+    * projected; placement is by index hash key).
+    */
+  def scanIndexSegment(table: String, name: String,
+      segment: Int, totalSegments: Int): Iterator[(Item, Int)] =
+    listFiles(table, s"gsi-$name-shard-")
+      .filter(p => gsiShardIndex(name, p) % totalSegments == segment)
+      .iterator
+      .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
+      .filter(_.nonEmpty)
+      .map(line => (ItemJson.parse(line), line.length))
+
+  private def gsiShardIndex(name: String, p: Path): Int =
+    p.getFileName.toString
+      .stripPrefix(s"gsi-$name-shard-").stripSuffix(".jsonl").toInt
+
+  private def deleteIndexFiles(table: String): Unit = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("gsi-"))
+      .toList.foreach(Files.deleteIfExists(_))
+    finally stream.close()
   }
 
   def describe(table: String): TableMeta = {
@@ -308,6 +419,7 @@ final class LocalKVStore(root: String) {
 
   def bulkLoad(table: String, meta: TableMeta, items: Iterator[Item]): Unit = {
     createTable(table, meta)
+    deleteIndexFiles(table) // full rewrite: any materialized copy is stale
     val dir = tableDir(table)
     val writers = Array.tabulate(meta.shards) { i =>
       Files.newBufferedWriter(dir.resolve(f"shard-$i%03d.jsonl"), UTF_8)
@@ -804,8 +916,10 @@ final class LocalKVStore(root: String) {
     * override map). Driver-side sequential loop — the distributed form
     * is [[DynamoMaintenance.compact]].
     */
-  def compact(table: String): Unit =
+  def compact(table: String): Unit = {
     (0 until describe(table).shards).foreach(compactShard(table, _))
+    refreshIndexes(table)
+  }
 
   /** Highest journal pubSeq ever folded into the base by compaction
     * (0 = never compacted) — the floor below which `asOfSeq` snapshot
@@ -838,6 +952,7 @@ final class LocalKVStore(root: String) {
     listFiles(table, "shard-").foreach(Files.delete)
     listFiles(table, "wal-").foreach(Files.delete)
     listStatFiles(table).foreach(Files.deleteIfExists(_))
+    deleteIndexFiles(table)
   }
 
   // ---- zone-map fold (scan-planning input) ----
@@ -956,8 +1071,11 @@ final class LocalKVStore(root: String) {
     listFiles(table, "shard-").foreach(Files.delete)
     // Old-layout zone maps describe shard numbers that no longer mean
     // the same item set — stale stats would prune the WRONG shards.
-    // Delete them all; the next compaction rebuilds exact ones.
+    // Delete them all; the next compaction rebuilds exact ones. Same
+    // for materialized index copies (their marker pins the old shard
+    // count, but deleting is cheaper than letting readers re-check).
     listStatFiles(table).foreach(Files.deleteIfExists(_))
+    deleteIndexFiles(table)
     (0 until newShards).foreach { ns =>
       Files.move(tmp.resolve(f"shard-$ns%03d.jsonl"),
         dir.resolve(f"shard-$ns%03d.jsonl"))

@@ -1675,6 +1675,57 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(red.toSeq == Seq("cherry"))
   }
 
+  test("materialized GSI: fresh copy serves with index-key pruning, stale falls back") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.sources.EqualTo
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    // createIndex BACKFILLS the physical copy (DynamoDB's model)
+    store.createIndex("fruit", "by_color",
+      IndexMeta("color", None, Some(Seq("stock"))))
+    assert(store.indexFresh("fruit", "by_color"))
+
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "fruit", "indexName", "by_color",
+      "readPartitions", "16"))
+    val schema = spark.read.dynamoIndex(root, "fruit", "by_color").schema
+    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+        .map(_.asInstanceOf[DynamoInputPartition])
+    def reds() = spark.read.dynamoIndex(root, "fruit", "by_color")
+      .filter(col("color") === "red").select("name", "stock")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    // fresh: every partition reads the copy, and pinning the INDEX
+    // hash key plans only the owning index shard — the GSI Query shape
+    assert(parts().nonEmpty && parts().forall(_.viaIndex))
+    val pinnedParts = parts(EqualTo("color", "red"))
+    assert(pinnedParts.length === 1 && pinnedParts.head.viaIndex)
+    assert(reds() === Seq(("apple", 3L), ("cherry", 100L)))
+
+    // a write STALES the copy: reads fall back to the projected
+    // base-scan path and see the new item immediately
+    Seq(("elderberry", "red", 0.02, 7L))
+      .toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name")
+    assert(!store.indexFresh("fruit", "by_color"))
+    assert(parts().forall(p => !p.viaIndex))
+    assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
+
+    // compaction refreshes the copy from the folded view — serving
+    // resumes, including the new item
+    store.compact("fruit")
+    assert(store.indexFresh("fruit", "by_color"))
+    assert(parts().forall(_.viaIndex))
+    assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
+
+    // COUNT pushdown rides the copy too
+    val n = spark.read.dynamoIndex(root, "fruit", "by_color").count()
+    assert(n === 5L) // durian (green) included; fig-like sparse rows aren't present here
+  }
+
   test("index metadata round-trips through meta.json") {
     val store = new LocalKVStore(freshRoot())
     store.createTable("t", TableMeta("pk", None, shards = 2, throughput = 10,
