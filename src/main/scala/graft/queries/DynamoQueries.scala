@@ -95,6 +95,13 @@ object DynamoQueries {
         store.createIndex("customer", "by_segment",
           IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
       }
+      // Stores seeded before materialized-GSI copies existed have the
+      // index registered but no physical copy — backfill once so
+      // q_dyn_gsi exercises the index's own hash layout (an
+      // index-key-pinned read touching one index shard), not the
+      // base-scan fallback.
+      if (!store.indexFresh("customer", "by_segment"))
+        store.buildIndex("customer", "by_segment")
     }
     root
   }

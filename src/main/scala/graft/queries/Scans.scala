@@ -75,10 +75,12 @@ object Scans {
     }),
 
     // TPC-H Q18 (large-volume customers): the IN-subquery over a
-    // grouped HAVING — Catalyst plans it as an aggregate feeding a
-    // left-semi join on the fact key, so the heavy side shuffles once
-    // on l_orderkey and is reused for both the gate and the final
-    // rollup. Same statement on both engines.
+    // grouped HAVING lowers to an aggregate feeding LEFT-SEMI joins —
+    // and Catalyst infers the gate onto BOTH the orders and lineitem
+    // sides (predicate-through-join inference), so non-qualifying
+    // fact rows never reach the final rollup on either input, at the
+    // cost of computing the gating aggregate twice. Same statement on
+    // both engines.
     "q_sql_tpch_q18" -> ((s, dir) => {
       Fixtures.customer(s, dir).createOrReplaceTempView("customer")
       Fixtures.orders(s, dir).createOrReplaceTempView("orders")

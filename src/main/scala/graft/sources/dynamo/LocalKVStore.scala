@@ -223,14 +223,22 @@ final class LocalKVStore(root: String) {
   // stale and reads fall back to the base-scan path until the next
   // build (compaction rebuilds registered indexes).
 
-  /** Monotone version of the table's merged view: the max publish
-    * sequence ever to enter it, whether still in the journal or
-    * already folded (compaction moves a pubSeq from the journal pool
-    * to the watermark pool without changing the max, so the version
-    * is invariant under compaction — exactly "has the VIEW changed").
+  /** Version stamp of the table's merged view, compared for EQUALITY
+    * by [[indexFresh]]: (max publish seq ever to enter the view,
+    * live journal-file count, compaction watermark). The max alone
+    * is NOT collision-proof — a write publishing in the same
+    * millisecond as the previous maximum reuses its pubSeq — but no
+    * single store transition leaves all three components fixed: a
+    * write raises the count (or the max), compaction lowers the
+    * count and raises the watermark. Spurious inequality (e.g. right
+    * after compaction, before the index rebuild) only costs a
+    * base-path read, never a stale serve.
     */
-  def viewVersion(table: String): Long =
-    (listFiles(table, "wal-").map(walPubSeq) :+ compactionWatermark(table)).max
+  def viewVersion(table: String): String = {
+    val pubs = listFiles(table, "wal-").map(walPubSeq)
+    val mx = (pubs :+ compactionWatermark(table)).max
+    s"$mx:${pubs.size}:${compactionWatermark(table)}"
+  }
 
   def indexShardOf(meta: TableMeta, hashVal: AttrVal): Int =
     math.floorMod(encKeyAttr(hashVal).hashCode, meta.shards)
@@ -286,7 +294,7 @@ final class LocalKVStore(root: String) {
     Files.isRegularFile(p) && {
       val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
       parts.length == 2 &&
-        parts(0).toLong == viewVersion(table) &&
+        parts(0) == viewVersion(table) &&
         parts(1).toInt == describe(table).shards
     }
   }

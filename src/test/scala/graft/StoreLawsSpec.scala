@@ -103,6 +103,45 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("index freshness law: builds and compactions serve, ANY write stales") {
+    import graft.sources.dynamo.IndexMeta
+    forAll(genScenario) { case (base, jobs) =>
+      val root = Files.createTempDirectory("graft-store-laws").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+      store.bulkLoad("t", meta, base.map(_._2).iterator)
+      store.createIndex("t", "by_a", IndexMeta("a", None, None))
+      assert(store.indexFresh("t", "by_a")) // backfilled at creation
+      jobs.zipWithIndex.foreach { case (ops, j) =>
+        store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
+          ops.map { case (_, k, a) => store.Put(withKey(k, a)) })
+        // EVERY write stales the copy, including same-millisecond
+        // publishes that reuse the previous max pubSeq — the version
+        // stamp's file-count component catches those
+        assert(!store.indexFresh("t", "by_a"), s"job $j did not stale the index")
+      }
+      // compaction rebuilds registered copies: serving resumes, and
+      // the copy equals the index view of the folded state
+      store.compact("t")
+      if (jobs.nonEmpty) assert(store.indexFresh("t", "by_a"))
+      val ix = store.describe("t").indexes("by_a")
+      val viaCopy = store.scanIndexSegment("t", "by_a", 0, 1).map(_._1).toVector
+      val viaBase = store.scanSegment("t", 0, 1).map(_._1)
+        .flatMap(store.indexView(store.describe("t"), ix, _)).toVector
+      assert(viaCopy.sortBy(_.toString) === viaBase.sortBy(_.toString))
+    }
+  }
+
+  test("zone-map stats JSON round-trips for any accumulated items") {
+    import graft.sources.dynamo.ShardStats
+    forAll(Gen.listOfN(8, Gen.zip(genKey, genAttrs))) { rows =>
+      val st = rows.foldLeft(ShardStats.empty) { case (acc, (k, a)) =>
+        acc.widen(withKey(k, a))
+      }
+      assert(ShardStats.fromJson(ShardStats.toJson(st)) === st)
+    }
+  }
+
   test("aborted writers contribute nothing, for any interleaving of publishes") {
     forAll(genScenario) { case (base, jobs) =>
       val root = Files.createTempDirectory("graft-store-laws").toString
