@@ -85,6 +85,34 @@ object StreamOps {
         col("click_ts"), col("view_ts"))
   }
 
+  /** LEFT OUTER form of [[clickViewJoin]]: every click emits, matched
+    * or not — but an unmatched click's null-extended row can only be
+    * FINAL once no future view could still match it, so the engine
+    * holds it until the VIEW-side watermark passes `click_ts` (the
+    * condition's lower bound) and emits the null row then. This is
+    * the one outer-join shape streaming can do exactly: the time-range
+    * predicate + both watermarks bound how long "no match yet" stays
+    * provisional, so state AND result latency are one horizon, not
+    * the stream's history. The attribution use: clicks that converted
+    * vs clicks with no preceding view, one query.
+    */
+  def clickViewJoinLeftOuter(
+      clicks: DataFrame, views: DataFrame,
+      horizon: String = "10 minutes", watermark: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Custom per-key state via `mapGroupsWithState` (the extension point
     * windowed aggregation can't reach): lifetime running count + value
     * sum per event type, re-emitted each micro-batch the key appears in

@@ -253,6 +253,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join null-extends once the watermark proves no match") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[UEv]
+    val views = MemoryStream[UEv]
+    val q = startAppend(
+      StreamOps.clickViewJoinLeftOuter(clicks.toDF(), views.toDF()), "ssjoinlo")
+    try {
+      views.addData(
+        UEv(t("2024-01-01 10:00:00"), 1L, 100L)) // in horizon for user 1
+      clicks.addData(
+        UEv(t("2024-01-01 10:05:00"), 1L, 200L), // matches view 100
+        UEv(t("2024-01-01 10:05:00"), 3L, 201L)) // NO view for user 3
+      q.processAllAvailable()
+      // push both watermarks far past click_ts: the engine can now
+      // PROVE no view will ever match click 201 and emits it null-extended
+      views.addData(UEv(t("2024-01-01 11:00:00"), 8L, 109L))
+      clicks.addData(UEv(t("2024-01-01 11:00:00"), 9L, 209L))
+      q.processAllAvailable()
+      views.addData(UEv(t("2024-01-01 12:00:00"), 8L, 110L))
+      clicks.addData(UEv(t("2024-01-01 12:00:00"), 9L, 210L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoinlo").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+          if (r.isNullAt(r.fieldIndex("view_id"))) None
+          else Some(r.getAs[Long]("view_id"))))
+      assert(rows.toSet.contains((1L, 200L, Some(100L))), rows.mkString(","))
+      assert(rows.toSet.contains((3L, 201L, None)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
