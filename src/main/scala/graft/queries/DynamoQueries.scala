@@ -379,6 +379,21 @@ object DynamoQueries {
         .orderBy("o_custkey")
     }),
 
+    // AVG pushdown, COMPLETE only: Spark hands Avg to a source just
+    // when supportCompletePushDown accepted the aggregation — here
+    // grouping by the partition key makes every group shard-local and
+    // the screen says groups are bounded, so each segment emits FINAL
+    // averages and Spark plans no aggregate at all. Integral input
+    // (o_orderkey) keeps the double sum exact and order-independent,
+    // so the pushed value is bit-identical to the oracle's.
+    "q_dyn_avg_push" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      s.read.dynamo(root, "orders")
+        .groupBy("o_custkey")
+        .agg(avg("o_orderkey").as("avg_okey"), count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // Top-N pushdown (ORDER BY ... LIMIT over the scan): each segment
     // ships only its own best 10 rows through a bounded heap — at
     // table scale the scan emits ~10×segments candidate rows, not the
@@ -470,6 +485,10 @@ object DynamoQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 150000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dyn_avg_push" ->
+      """SELECT o_custkey, avg(o_orderkey) AS avg_okey,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_dyn_group_push" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -658,6 +658,11 @@ final class DynamoScanBuilder(
         .map(f => PushedAgg.MinOf(f))
       case m: Max => fieldOf(m.column).filter(f => PushedTopN.orderable(f.dataType))
         .map(f => PushedAgg.MaxOf(f))
+      case a: Avg if !a.isDistinct =>
+        fieldOf(a.column).filter(f => f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false // fractional/decimal: order-sensitive, decline
+        }).map(f => PushedAgg.AvgOf(f))
       case _ => None
     }
     if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
@@ -801,6 +806,9 @@ final class DynamoScanBuilder(
     if (agg.groupByExpressions.isEmpty) {
       if (agg.aggregateExpressions.isEmpty) return false
       parseAggFuncs(agg) match {
+        // AVG partials can't fold (avg of avgs is wrong); Spark never
+        // sends Avg outside a complete push, but decline defensively
+        case Some(parsed) if parsed.exists(_.isInstanceOf[PushedAgg.AvgOf]) => false
         case Some(parsed) => aggs = parsed; true
         case None => false
       }
@@ -810,19 +818,26 @@ final class DynamoScanBuilder(
           val keyed = joined.exists(j => probeKeyAliases(j)
             .exists(_.forall(g.map(_.name).contains)))
           val complete = joined.exists(j => joinGroupComplete(j, g.map(_.name)))
-          grouped = Some(PushedGroupBy(g, keyed = keyed, unique = false,
-            complete = complete))
-          aggs = parsed
-          true
+          if (!complete && parsed.exists(_.isInstanceOf[PushedAgg.AvgOf])) false
+          else {
+            grouped = Some(PushedGroupBy(g, keyed = keyed, unique = false,
+              complete = complete))
+            aggs = parsed
+            true
+          }
         case _ => false
       }
     } else {
       (parseGroupCols(agg), parseAggFuncs(agg)) match {
         case (Some(g), Some(parsed)) =>
-          grouped = Some(PushedGroupBy(g, groupedKeyed(g), groupedUnique(g),
-            groupedComplete(g)))
-          aggs = parsed
-          true
+          val complete = groupedComplete(g)
+          if (!complete && parsed.exists(_.isInstanceOf[PushedAgg.AvgOf])) false
+          else {
+            grouped = Some(PushedGroupBy(g, groupedKeyed(g), groupedUnique(g),
+              complete))
+            aggs = parsed
+            true
+          }
         case _ => false
       }
     }
@@ -997,6 +1012,20 @@ object PushedAgg {
   final case class MaxOf(field: StructField) extends PushedAgg {
     def resultField(i: Int): StructField =
       StructField(s"agg$i", field.dataType, nullable = true)
+  }
+  /** AVG(col), COMPLETE pushes only: Spark hands `Avg` to a source
+    * exclusively when `supportCompletePushDown` accepted the whole
+    * aggregation (otherwise it rewrites avg into sum/count and pushes
+    * those partially), so the emitted value is the FINAL average.
+    * Restricted to the integer family: Spark's own Average sums
+    * non-decimal inputs as DOUBLE, which is order-independent and
+    * exact for integers under 2^53 but last-ulp order-sensitive for
+    * fractional inputs — declining those keeps pushed and unpushed
+    * plans (and the DuckDB oracle) bit-identical.
+    */
+  final case class AvgOf(field: StructField) extends PushedAgg {
+    def resultField(i: Int): StructField =
+      StructField(s"agg$i", DoubleType, nullable = true) // empty group → null
   }
 }
 
@@ -1174,6 +1203,7 @@ final class DynamoScan(
           case PushedAgg.SumOf(f, _) => s"SUM(${f.name})"
           case PushedAgg.MinOf(f) => s"MIN(${f.name})"
           case PushedAgg.MaxOf(f) => s"MAX(${f.name})"
+          case PushedAgg.AvgOf(f) => s"AVG(${f.name})"
         }
         grouped.map(g =>
           s"PushedGroupBy: [${g.fields.map(_.name).mkString(", ")}] " +
@@ -2260,6 +2290,29 @@ private[dynamo] object AggAccs {
     * ANSI by default and its own sum throws on long overflow — a
     * silently wrapping partial would diverge from the unpushed plan.
     */
+  /** AVG over the integer family (complete pushes only): exact double
+    * sum + count, final division — identical to Spark's Average on
+    * integral input at any accumulation order.
+    */
+  private final class AvgAcc(field: StructField) extends Acc {
+    private val decode = Codec.rowReader(StructType(Seq(field)))
+    private var n = 0L
+    private var d = 0.0
+    def update(item: Item): Unit = {
+      val row = decode(item)
+      if (!row.isNullAt(0)) {
+        n += 1
+        d += (field.dataType match {
+          case LongType => row.getLong(0).toDouble
+          case IntegerType => row.getInt(0).toDouble
+          case ShortType => row.getShort(0).toDouble
+          case ByteType => row.getByte(0).toDouble
+          case other => throw new IllegalStateException(s"avg over $other")
+        })
+      }
+    }
+    def result: Any = if (n == 0) null else d / n
+  }
   private final class CountColAcc(field: StructField) extends Acc {
     private val decode = Codec.rowReader(StructType(Seq(field)))
     private var n = 0L
@@ -2298,6 +2351,7 @@ private[dynamo] object AggAccs {
     case PushedAgg.SumOf(f, w) => new SumAcc(f, w)
     case PushedAgg.MinOf(f) => new ExtremumAcc(f, 1)
     case PushedAgg.MaxOf(f) => new ExtremumAcc(f, -1)
+    case PushedAgg.AvgOf(f) => new AvgAcc(f)
   }.toArray
 }
 

@@ -1675,6 +1675,45 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(red.toSeq == Seq("cherry"))
   }
 
+  test("AVG pushes complete on keyed groupings, rewrites to sum/count otherwise") {
+    val root = freshRoot()
+    seedFruit(root)
+    val base = spark.read.dynamo(root, "fruit")
+
+    // keyed grouping (hash key) → complete push: Spark hands Avg to
+    // the scan and plans NO aggregate; integral input keeps the value
+    // bit-identical to Spark's own
+    val keyed = base.groupBy("name")
+      .agg(avg("stock").as("a"), count(lit(1)).as("n"))
+    val kPlan = keyed.queryExecution.executedPlan.toString
+    assert(kPlan.contains("AVG(stock)"), kPlan)
+    assert(!kPlan.contains("HashAggregate"), kPlan)
+    val got = keyed.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(("apple", 3.0, 1L), ("banana", 5.0, 1L),
+      ("cherry", 100.0, 1L), ("durian", 1.0, 1L)))
+
+    // non-key grouping: completeness is declined, so Spark REWRITES
+    // avg into sum/count partials — the scan never sees an Avg and
+    // the final aggregate assembles the exact average
+    val partial = spark.read.dynamo(root, "fruit").groupBy("color")
+      .agg(avg("stock").as("a"))
+    val pPlan = partial.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("AVG("), pPlan)
+    assert(pPlan.contains("SUM(stock)") && pPlan.contains("COUNT(stock)"), pPlan)
+    val pg = partial.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(pg === Seq(("green", 1.0), ("red", 51.5), ("yellow", 5.0)))
+
+    // fractional input declines entirely (order-sensitive double sum):
+    // Spark still computes the right answer itself via sum/count
+    val frac = spark.read.dynamo(root, "fruit").groupBy("name")
+      .agg(avg("weight_kg").as("w"))
+    val fPlan = frac.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("AVG("), fPlan)
+    assert(frac.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+      === Seq(("apple", 0.15), ("banana", 0.12), ("cherry", 0.005), ("durian", 2.5)))
+  }
+
   test("materialized GSI: fresh copy serves with index-key pruning, stale falls back") {
     import spark.implicits._
     import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan}
