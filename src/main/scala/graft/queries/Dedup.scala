@@ -294,6 +294,26 @@ object Dedup {
         .orderBy("id1", "id2")
     }),
 
+    // Fuzzy entity matching by edit distance — the data-cleaning
+    // resolution shape: match on the DISTINCT vocabulary (dedup
+    // first; the name table is orders of magnitude smaller than the
+    // corpus), block by a cheap key (first character) so candidate
+    // pairs are block-local, then exact Levenshtein <= 3 verifies.
+    // The distinct+block stages bound the quadratic the same way LSH
+    // bands do for minhash: all-pairs exists only inside a block of
+    // an already-tiny table, never across the corpus.
+    "q_match_fuzzy" -> ((s, dir) => {
+      val n = Fixtures.part(s, dir).select(col("p_name")).distinct()
+      val a = n.select(col("p_name").as("name1"))
+      val b = n.select(col("p_name").as("name2"))
+      a.join(b,
+          substring(col("name1"), 1, 1) === substring(col("name2"), 1, 1) &&
+            col("name1") < col("name2"))
+        .withColumn("dist", levenshtein(col("name1"), col("name2")))
+        .filter(col("dist") <= 3)
+        .orderBy("name1", "name2")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped BY CLUSTER —
     // assign every vector to its nearest centroid (the k-means E-step
     // `q_emb_assign` runs), then inside each cluster drop vectors
@@ -467,6 +487,15 @@ object Dedup {
         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+    "q_match_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name1, b.p_name AS name2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        | AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name1, name2""".stripMargin,
     "q_dedup_semantic" ->
       """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                   generate_subscripts(embedding, 1) AS i
