@@ -96,12 +96,12 @@ object DynamoQueries {
           IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
       }
       // Stores seeded before materialized-GSI copies existed have the
-      // index registered but no physical copy — backfill once so
-      // q_dyn_gsi exercises the index's own hash layout (an
-      // index-key-pinned read touching one index shard), not the
-      // base-scan fallback.
+      // index registered but no physical copy — backfill once (the
+      // DISTRIBUTED build, one task per base shard) so q_dyn_gsi
+      // exercises the index's own hash layout (an index-key-pinned
+      // read touching one index shard), not the base-scan fallback.
       if (!store.indexFresh("customer", "by_segment"))
-        store.buildIndex("customer", "by_segment")
+        DynamoMaintenance.buildIndex(s, root, "customer", "by_segment")
     }
     root
   }

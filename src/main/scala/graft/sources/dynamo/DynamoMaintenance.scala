@@ -21,10 +21,29 @@ object DynamoMaintenance {
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
-    // Refresh materialized GSI copies from the freshly folded view —
-    // driver-side (the index cross-cuts base shards); no-op without
-    // registered indexes.
-    new LocalKVStore(path).refreshIndexes(table)
+    // Refresh materialized GSI copies from the freshly folded view,
+    // shard-parallel like the fold itself; no-op without indexes.
+    new LocalKVStore(path).describe(table).indexes.keys
+      .foreach(buildIndex(spark, path, table, _))
+  }
+
+  /** Distributed GSI backfill: one task per BASE shard streams its
+    * merged view into per-index-shard part files (the reshard
+    * pattern), the driver concatenates and stamps the freshness
+    * marker with the version captured BEFORE the scan — a concurrent
+    * write leaves the marker stale and readers on the base path. This
+    * is the 100 TB form of [[LocalKVStore.buildIndex]] (which scans
+    * single-threaded and suits small tables / tests).
+    */
+  def buildIndex(spark: SparkSession, path: String, table: String, name: String): Unit = {
+    val store = new LocalKVStore(path)
+    val version = store.viewVersion(table)
+    val shards = store.describe(table).shards
+    val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(0 until shards, parallelism)
+      .foreach(sh => new LocalKVStore(path).buildIndexShardParts(table, name, sh))
+    store.finishIndexBuild(table, name, version)
   }
 
   /** TTL reaper: the reclamation half of the TTL story. Reads only

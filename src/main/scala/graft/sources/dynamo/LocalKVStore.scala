@@ -280,10 +280,83 @@ final class LocalKVStore(root: String) {
   }
 
   /** Rebuild every registered index (compaction's index-refresh step;
-    * cheap no-op for tables without indexes).
+    * cheap no-op for tables without indexes). Driver-local form — the
+    * distributed backfill is [[DynamoMaintenance.buildIndex]].
     */
   def refreshIndexes(table: String): Unit =
     describe(table).indexes.keys.foreach(buildIndex(table, _))
+
+  /** Distributed-backfill phase 1, the task-side unit: stream ONE
+    * base shard's merged view, project through the index, write
+    * per-index-shard part files under `gsi-tmp-<name>/`. Tasks touch
+    * disjoint inputs and distinct part files, so base shards backfill
+    * concurrently — the reshard pattern applied to index builds (a
+    * single-threaded full-table scan would be the one non-parallel
+    * step in a 100 TB index creation).
+    */
+  def buildIndexShardParts(table: String, name: String, baseShard: Int): Unit = {
+    val meta = describe(table)
+    val ix = meta.indexes.getOrElse(name,
+      throw new IllegalArgumentException(s"no index '$name' on $table"))
+    val tmp = tableDir(table).resolve(s"gsi-tmp-$name")
+    Files.createDirectories(tmp)
+    val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+    try scanSegment(table, baseShard, meta.shards).map(_._1)
+      .flatMap(indexView(meta, ix, _))
+      .foreach { it =>
+        val is = indexShardOf(meta, it(ix.hashKey))
+        val w = writers.getOrElseUpdate(is, Files.newBufferedWriter(
+          tmp.resolve(f"part-$is%03d-from-$baseShard%03d.jsonl"), UTF_8))
+        w.write(ItemJson.write(it)); w.write("\n")
+      }
+    finally writers.values.foreach(_.close())
+  }
+
+  /** Distributed-backfill phase 2 (driver-side): concatenate each
+    * index shard's parts in base-shard order (deterministic layout),
+    * swap the copy in atomically, stamp the marker with the version
+    * captured BEFORE phase 1 — a write racing the build leaves the
+    * marker stale and readers on the base path, exactly like the
+    * local build.
+    */
+  def finishIndexBuild(table: String, name: String, version: String): Unit = {
+    val meta = describe(table)
+    val dir = tableDir(table)
+    val tmp = dir.resolve(s"gsi-tmp-$name")
+    (0 until meta.shards).foreach { is =>
+      val parts =
+        if (!Files.isDirectory(tmp)) Seq.empty
+        else {
+          val st = Files.list(tmp)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(f"part-$is%03d-from-"))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally st.close()
+        }
+      val out = dir.resolve(f".gsi-$name-shard-$is%03d.jsonl.tmp")
+      val w = Files.newBufferedWriter(out, UTF_8)
+      try parts.foreach { p =>
+        val lines = Files.lines(p, UTF_8)
+        try lines.iterator().asScala.filter(_.nonEmpty)
+          .foreach { l => w.write(l); w.write("\n") }
+        finally lines.close()
+      } finally w.close()
+      Files.move(out, dir.resolve(f"gsi-$name-shard-$is%03d.jsonl"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
+    Files.write(mTmp, s"$version ${meta.shards}".getBytes(UTF_8))
+    Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (Files.isDirectory(tmp)) {
+      val st = Files.list(tmp)
+      try st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
+      finally st.close()
+      Files.deleteIfExists(tmp)
+    }
+  }
 
   /** True when the materialized copy reflects the CURRENT merged view
     * under the CURRENT layout — the gate for serving index reads from

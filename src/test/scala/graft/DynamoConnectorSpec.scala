@@ -1765,6 +1765,34 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(n === 5L) // durian (green) included; fig-like sparse rows aren't present here
   }
 
+  test("distributed GSI backfill equals the local build and serves fresh") {
+    import spark.implicits._
+    import graft.sources.dynamo.DynamoMaintenance
+    val root = freshRoot()
+    // enough rows that every base shard holds items
+    Seq.tabulate(200)(i => (f"k$i%04d", s"g${i % 7}", i.toLong))
+      .toDF("id", "grp", "v").write.dynamo(root, "t", "id")
+    val store = new LocalKVStore(root)
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    // capture the LOCAL build's copy (createIndex backfilled it)
+    def copyRows() = (0 until 1).flatMap(_ =>
+      store.scanIndexSegment("t", "by_grp", 0, 1).map(_._1).toVector)
+      .sortBy(_.toString)
+    val local = copyRows()
+    assert(local.nonEmpty && store.indexFresh("t", "by_grp"))
+    // rebuild DISTRIBUTED (one task per base shard) — same copy,
+    // still fresh, same marker semantics
+    DynamoMaintenance.buildIndex(spark, root, "t", "by_grp")
+    assert(store.indexFresh("t", "by_grp"))
+    assert(copyRows() === local)
+    // end-to-end: index-pinned read equals the base-path projection
+    val viaIdx = spark.read.dynamoIndex(root, "t", "by_grp")
+      .filter(col("grp") === "g3").select("id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(viaIdx === (0 until 200).filter(_ % 7 == 3)
+      .map(i => (f"k$i%04d", i.toLong)).sorted.toSeq)
+  }
+
   test("index metadata round-trips through meta.json") {
     val store = new LocalKVStore(freshRoot())
     store.createTable("t", TableMeta("pk", None, shards = 2, throughput = 10,
