@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: `sbt "runMain graft.ExplainQ <key>..."` prints the
+  * formatted physical plan of declared queries at sf0.01 — the
+  * plan-audit loop (PushedFilters/ReadSchema/exchange placement)
+  * without running Verify. Same family as BenchOne/BenchSeq.
+  */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
