@@ -16,14 +16,19 @@ object DynamoMaintenance {
     * segmented scans embarrassingly parallel makes compaction so.
     */
   def compact(spark: SparkSession, path: String, table: String): Unit = {
-    val shards = new LocalKVStore(path).describe(table).shards
+    val store = new LocalKVStore(path)
+    val shards = store.describe(table).shards
+    // capture BEFORE the fold: only transaction files every shard
+    // provably folded may be reclaimed afterwards
+    val txnBefore = store.txnJournalNames(table)
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
+    store.reclaimTxnJournal(table, txnBefore)
     // Refresh materialized GSI copies from the freshly folded view,
     // shard-parallel like the fold itself; no-op without indexes.
-    new LocalKVStore(path).describe(table).indexes.keys
+    store.describe(table).indexes.keys
       .foreach(buildIndex(spark, path, table, _))
   }
 

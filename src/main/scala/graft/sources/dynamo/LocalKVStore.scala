@@ -571,13 +571,7 @@ final class LocalKVStore(root: String) {
     private val stats = mutable.HashMap.empty[Int, ShardStats]
 
     def append(op: Op): Unit = {
-      val tag = op match {
-        case _: Put => "PUT"
-        case _: Update => "UPDATE"
-        case _: Delete => "DELETE"
-        case _: PutIfAbsent => "PUTNX"
-        case _: UpdateIfExists => "UPDIF"
-      }
+      val tag = tagOf(op)
       val shard = shardOf(meta, op.item)
       val w = open.getOrElseUpdate(shard,
         Files.newBufferedWriter(
@@ -650,9 +644,68 @@ final class LocalKVStore(root: String) {
     catch { case e: Throwable => w.abort(); throw e }
   }
 
+  /** Atomic multi-item, multi-shard write — the TransactWriteItems
+    * analogue: every op stages into ONE dot-prefixed buffer and the
+    * whole transaction publishes with ONE rename, so scans and the
+    * change feed observe all of it or none of it (per-shard WAL files
+    * publish shard-by-shard and can expose a partial write between
+    * renames — fine for bulk loads, wrong for transactions). The file
+    * carries the `-sall` shard suffix: EVERY segment replays it and
+    * each op lands by its own placement, trading per-shard journal
+    * locality for atomicity — the right trade for transactions, which
+    * DynamoDB bounds at 100 items. Keys validate before staging, so a
+    * malformed op aborts the transaction with nothing visible.
+    */
+  def transactWrite(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
+    require(ops.nonEmpty, "empty transaction")
+    val meta = describe(table)
+    ops.foreach(op => keyOf(meta, op.item)) // validate before staging
+    val dir = tableDir(table)
+    val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
+    val w = Files.newBufferedWriter(tmp, UTF_8)
+    var stats = ShardStats.empty
+    try {
+      try ops.foreach { op =>
+        w.write(ItemJson.write(Map(
+          "op" -> AttrVal.S(tagOf(op)), "item" -> AttrVal.M(op.item))))
+        w.write("\n")
+        if (!op.isInstanceOf[Delete]) stats = stats.widen(op.item)
+      } finally w.close()
+      var pubSeq = math.max(seq, System.currentTimeMillis())
+      while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl")))
+        pubSeq += 1
+      // stats publish first (a visible journal file implies visible
+      // stats), then the ONE rename that commits the transaction
+      val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp")
+      Files.write(zTmp, ShardStats.toJson(stats).getBytes(UTF_8))
+      Files.move(zTmp, dir.resolve(f"zstat-$pubSeq%020d-$writerId-sall.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      Files.deleteIfExists(tmp)
+      Files.deleteIfExists(dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp"))
+      throw e
+    }
+  }
+
+  private def tagOf(op: Op): String = op match {
+    case _: Put => "PUT"
+    case _: Update => "UPDATE"
+    case _: Delete => "DELETE"
+    case _: PutIfAbsent => "PUTNX"
+    case _: UpdateIfExists => "UPDIF"
+  }
+
+  /** Shard a journal file belongs to; [[LocalKVStore.TxnShard]] (-1)
+    * for transaction files (`-sall` suffix), which belong to EVERY
+    * segment — their ops carry their own placement and the replay's
+    * `inSegment` filter drops foreign items.
+    */
   private def walShard(p: Path): Int = {
     val n = p.getFileName.toString.stripSuffix(".jsonl")
-    n.substring(n.lastIndexOf("-s") + 2).toInt
+    val suffix = n.substring(n.lastIndexOf("-s") + 2)
+    if (suffix == "all") LocalKVStore.TxnShard else suffix.toInt
   }
 
   /** Publish sequence embedded in a WAL file name
@@ -670,7 +723,10 @@ final class LocalKVStore(root: String) {
     */
   private def walOps(table: String, segment: Int, totalSegments: Int,
       asOfSeq: Option[Long] = None): Iterator[Op] =
-    listFiles(table, "wal-").filter(p => walShard(p) % totalSegments == segment)
+    listFiles(table, "wal-").filter { p =>
+      val sh = walShard(p)
+      sh == LocalKVStore.TxnShard || sh % totalSegments == segment
+    }
       .filter(p => asOfSeq.forall(walPubSeq(p) <= _))
       .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
@@ -998,8 +1054,55 @@ final class LocalKVStore(root: String) {
     * is [[DynamoMaintenance.compact]].
     */
   def compact(table: String): Unit = {
+    val txnBefore = txnJournalNames(table)
     (0 until describe(table).shards).foreach(compactShard(table, _))
+    reclaimTxnJournal(table, txnBefore)
     refreshIndexes(table)
+  }
+
+  /** Names of the transaction journal files currently published —
+    * capture BEFORE a compaction pass and hand the set back to
+    * [[reclaimTxnJournal]]: only files every shard provably folded
+    * may be reclaimed (a transaction landing mid-pass is missing from
+    * the shards folded before it arrived and must keep replaying).
+    */
+  def txnJournalNames(table: String): Set[String] =
+    listFiles(table, "wal-").filter(walShard(_) == LocalKVStore.TxnShard)
+      .map(_.getFileName.toString).toSet
+
+  /** Delete transaction journal files once EVERY shard has folded
+    * them (full-table compaction only — a single shard's compaction
+    * must leave them for the other shards, which is safe because
+    * replaying an already-folded transaction is idempotent: its ops
+    * sort BELOW any later journal entry and reproduce the folded
+    * state). Watermark first, then delete — a crash between leaves
+    * replayable files, never missing history; asOfSeq reads below the
+    * mark are rejected like any compacted history.
+    */
+  private[dynamo] def reclaimTxnJournal(table: String, folded: Set[String]): Unit = {
+    val dir = tableDir(table)
+    val txn = listFiles(table, "wal-")
+      .filter(p => walShard(p) == LocalKVStore.TxnShard &&
+        folded(p.getFileName.toString))
+    if (txn.isEmpty) return
+    val mx = txn.map(walPubSeq).max
+    val wmPath = dir.resolve("compact-wm-txn")
+    val prev =
+      if (Files.exists(wmPath))
+        new String(Files.readAllBytes(wmPath), UTF_8).trim.toLong
+      else 0L
+    if (mx > prev) {
+      val wmTmp = dir.resolve("compact-wm-txn.tmp")
+      Files.write(wmTmp, mx.toString.getBytes(UTF_8))
+      Files.move(wmTmp, wmPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    txn.foreach { p =>
+      val core = p.getFileName.toString.stripPrefix("wal-").stripSuffix(".jsonl")
+      Files.deleteIfExists(dir.resolve(s"zstat-$core.json"))
+      Files.delete(p)
+    }
   }
 
   /** Highest journal pubSeq ever folded into the base by compaction
@@ -1053,7 +1156,8 @@ final class LocalKVStore(root: String) {
 
   private def walStatShard(p: Path): Int = {
     val n = p.getFileName.toString.stripSuffix(".json")
-    n.substring(n.lastIndexOf("-s") + 2).toInt
+    val suffix = n.substring(n.lastIndexOf("-s") + 2)
+    if (suffix == "all") LocalKVStore.TxnShard else suffix.toInt
   }
 
   /** The zone map covering each shard's CURRENT merged view — `None`
@@ -1075,16 +1179,20 @@ final class LocalKVStore(root: String) {
       try Some(ShardStats.fromJson(new String(Files.readAllBytes(p), UTF_8)))
       catch { case _: Exception => None }
     val walByShard = listFiles(table, "wal-").groupBy(walShard)
+    def statOf(p: Path): Option[ShardStats] = {
+      val core = p.getFileName.toString.stripPrefix("wal-").stripSuffix(".jsonl")
+      read(dir.resolve(s"zstat-$core.json"))
+    }
+    // transaction files (-sall) can hold items of ANY shard — their
+    // stats widen every shard's map (over-approximate, sound)
+    val txnStats = walByShard.getOrElse(LocalKVStore.TxnShard, Seq.empty).map(statOf)
     (0 until shards).map { shard =>
       val base: Option[ShardStats] =
         if (Files.isRegularFile(dir.resolve(f"shard-$shard%03d.jsonl")))
           read(dir.resolve(f"zstat-shard-s$shard%03d.json"))
         else Some(ShardStats.empty) // no base file = no base items
-      val walStats = walByShard.getOrElse(shard, Seq.empty).map { p =>
-        val core = p.getFileName.toString.stripPrefix("wal-").stripSuffix(".jsonl")
-        read(dir.resolve(s"zstat-$core.json"))
-      }
-      val pieces = base +: walStats
+      val walStats = walByShard.getOrElse(shard, Seq.empty).map(statOf)
+      val pieces = (base +: walStats) ++ txnStats
       if (pieces.exists(_.isEmpty)) None
       else {
         val folded = pieces.flatten.reduce(_.union(_))
@@ -1185,4 +1293,11 @@ final class LocalKVStore(root: String) {
       finally stream.close()
     }
   }
+}
+
+object LocalKVStore {
+  /** Sentinel shard id for transaction journal files (`-sall`
+    * suffix): they belong to every segment's replay.
+    */
+  val TxnShard: Int = -1
 }

@@ -142,6 +142,63 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("transactWrite commits atomically across shards; replay and compaction compose") {
+    val root = Files.createTempDirectory("graft-txn").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    def it(k: String, v: Long): Item =
+      Map("id" -> AttrVal.S(k), "v" -> AttrVal.N(BigDecimal(v)))
+    store.bulkLoad("t", meta, (0 until 10).map(i => it(s"k$i", i.toLong)).iterator)
+    def view() = store.scanSegment("t", 0, 1).map(_._1)
+      .map(m => m("id").asInstanceOf[AttrVal.S].v ->
+        m.get("v").map(_.asInstanceOf[AttrVal.N].v.toLong)).toMap
+
+    // one transaction touching several shards: puts, a delete, a merge
+    store.transactWrite("t", 1L, "tx0", Seq(
+      store.Put(it("k100", 100L)), store.Put(it("k101", 101L)),
+      store.Delete(Map("id" -> AttrVal.S("k0"))),
+      store.Update(Map("id" -> AttrVal.S("k3"), "v" -> AttrVal.N(BigDecimal(33))))))
+    // exactly ONE journal file published — the atomic commit unit —
+    // and the view reflects every op
+    val txnFiles = store.walFileNames("t").filter(_.endsWith("-sall.jsonl"))
+    assert(txnFiles.size === 1)
+    val v1 = view()
+    assert(!v1.contains("k0") && v1("k100") === Some(100L) &&
+      v1("k101") === Some(101L) && v1("k3") === Some(33L))
+    // the change feed replays the transaction as one file, in order
+    assert(store.readWalFile("t", txnFiles.head).map(_._1).toSeq ===
+      Seq("PUT", "PUT", "DELETE", "UPDATE"))
+
+    // a malformed op (missing key) aborts before staging: nothing
+    // visible, no buffer left behind
+    intercept[IllegalArgumentException] {
+      store.transactWrite("t", 2L, "tx1", Seq(
+        store.Put(it("k200", 200L)),
+        store.Put(Map("v" -> AttrVal.N(BigDecimal(1))))))
+    }
+    assert(view() === v1)
+    val lst = Files.list(java.nio.file.Paths.get(root, "t"))
+    try assert(!scala.jdk.CollectionConverters.IteratorHasAsScala(lst.iterator())
+      .asScala.exists(_.getFileName.toString.endsWith(".tmp")))
+    finally lst.close()
+
+    // later plain writes override transaction state in replay order
+    store.appendWal("t", System.currentTimeMillis() + 10, "w1",
+      Seq(store.Put(it("k3", 333L))))
+    assert(view()("k3") === Some(333L))
+
+    // full compaction folds the transaction, reclaims its file, and
+    // seals its history below the snapshot watermark
+    val txnSeq = txnFiles.head.stripPrefix("wal-").takeWhile(_ != '-').toLong
+    store.compact("t")
+    assert(store.walFileNames("t").isEmpty)
+    assert(view()("k3") === Some(333L) && !view().contains("k0"))
+    val ex = intercept[IllegalArgumentException] {
+      store.scanSegment("t", 0, 1, asOfSeq = Some(txnSeq - 1)).toVector
+    }
+    assert(ex.getMessage.contains("compaction"))
+  }
+
   test("aborted writers contribute nothing, for any interleaving of publishes") {
     forAll(genScenario) { case (base, jobs) =>
       val root = Files.createTempDirectory("graft-store-laws").toString
