@@ -1384,6 +1384,36 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC feed delivers a transaction's ops together, in op order") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+
+    val q = spark.readStream.dynamoStream(root, "fruit", cdc = true)
+      .writeStream.format("memory").queryName("cdctxn")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val before = spark.table("cdctxn").count()
+      // one transaction touching several shards: the change feed must
+      // surface ALL of it (one journal file = one replay unit), never
+      // a prefix — the atomicity the -sall commit rename guarantees
+      store.transactWrite("fruit", System.currentTimeMillis(), "txA", Seq(
+        store.Put(Map("name" -> graft.sources.dynamo.AttrVal.S("elderberry"),
+          "color" -> graft.sources.dynamo.AttrVal.S("red"))),
+        store.Delete(Map("name" -> graft.sources.dynamo.AttrVal.S("apple"))),
+        store.Update(Map("name" -> graft.sources.dynamo.AttrVal.S("banana"),
+          "stock" -> graft.sources.dynamo.AttrVal.N(BigDecimal(42))))))
+      q.processAllAvailable()
+      val rows = spark.table("cdctxn").collect().drop(before.toInt)
+        .map(r => (r.getAs[String]("_op"), r.getAs[String]("name")))
+      assert(rows.toSeq === Seq(
+        ("PUT", "elderberry"), ("DELETE", "apple"), ("UPDATE", "banana")))
+    } finally q.stop()
+  }
+
   test("CDC feed materializes an exact replica via foreachBatch") {
     import spark.implicits._
     val root = freshRoot()
