@@ -314,6 +314,25 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // Grouped aggregate pushdown over the MATERIALIZED GSI, COMPLETE:
+    // the copy is hash-partitioned by the INDEX hash key, so grouping
+    // by it makes every group index-shard-local — segments ship one
+    // FINAL row per segment value and Spark plans no aggregate at all.
+    // The serve-via-index decision is made at negotiation and PINNED
+    // into the scan (no plan-time freshness re-check), so the
+    // completeness claim can never execute over the base-scan
+    // fallback where these groups span segments. At 100 TB this is
+    // DynamoDB's "aggregate by GSI partition" shape with zero shuffle.
+    "q_dyn_gsi_group" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamoIndex(root, "customer", "by_segment")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("c_custkey").as("sum_key"),
+             avg("c_custkey").as("avg_key"),
+             min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // COUNT(*) pushdown (DynamoDB Select=COUNT): the scan ships one
     // partial count per segment and never decodes an item; the pushed
     // filter is evaluated below the count.
@@ -502,5 +521,11 @@ object DynamoQueries {
         |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_dyn_gsi_group" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |       avg(c_custkey) AS avg_key,
+        |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

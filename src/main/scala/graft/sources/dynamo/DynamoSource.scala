@@ -677,17 +677,45 @@ final class DynamoScanBuilder(
     if (cols.nonEmpty && cols.forall(_.isDefined)) Some(cols.flatten) else None
   }
 
-  /** A grouped pushdown is KEYED when every group is shard-local: the
-    * grouping columns contain the table's placement key set — the
-    * partition key under layout 2, the full composite under legacy
-    * layout 1. GSI reads never qualify (index attrs don't determine
+  /** Serve-via-index decision, made ONCE per builder and PINNED into
+    * the scan ([[build]]): an index read plans over the MATERIALIZED
+    * copy exactly when the copy is provably fresh and no read option
+    * needs BASE items (TTL liveness checks the base item; snapshot
+    * reads address journal history the copy folded away). Deciding
+    * here — not at `planInputPartitions` time — closes the TOCTOU
+    * between aggregate negotiation and planning: a completeness claim
+    * made over the index layout (groups segment-local by index hash
+    * key) must never execute over the base-shard fallback, where those
+    * groups span segments and "final" rows would silently duplicate.
+    * A write landing between negotiation and execution is therefore
+    * served from the pinned copy snapshot — within DynamoDB's own GSI
+    * contract, where index reads are eventually consistent.
+    */
+  private[dynamo] lazy val indexServe: Option[IndexMeta] =
+    opts.indexName.flatMap { ix =>
+      if (opts.ttlAttribute.nonEmpty || opts.asOfSeq.nonEmpty) None
+      else {
+        val store = new LocalKVStore(opts.path)
+        store.describe(opts.tableName).indexes.get(ix)
+          .filter(_ => store.indexFresh(opts.tableName, ix))
+      }
+    }
+
+  /** A grouped pushdown is KEYED when every group is shard-local. For
+    * base-table reads: the grouping columns contain the table's
+    * placement key set — the partition key under layout 2, the full
+    * composite under legacy layout 1. For GSI reads served from the
+    * MATERIALIZED copy (placement by INDEX hash key — [[indexServe]],
+    * pinned), the grouping must contain the index hash key; the
+    * base-scan fallback never qualifies (index attrs don't determine
     * base-shard placement). A keyed push's output rows stay keyed by
     * the placement key inside their own shard's segment, so the scan
     * keeps reporting the bucket layout and downstream aggregates/joins
     * run exchange-free — whether or not the push is also COMPLETE.
     */
   private def groupedKeyed(groupCols: Seq[StructField]): Boolean = {
-    if (opts.indexName.isDefined) return false
+    if (opts.indexName.isDefined)
+      return indexServe.exists(ix => groupCols.map(_.name).contains(ix.hashKey))
     val meta = new LocalKVStore(opts.path).describe(opts.tableName)
     val placement =
       if (meta.layout >= 2) Seq(meta.hashKey)
@@ -860,8 +888,12 @@ final class DynamoScanBuilder(
     // stores a `_shard` attribute must read it as data, so only the
     // non-shadowed names are synthesized downstream.
     val metaNames = DynamoMetaCols.names.diff(tableSchema.fieldNames.toSet)
+    // Pin the serve-via-index decision (Some(...)) so planning cannot
+    // re-decide after negotiation — see [[indexServe]] for why a
+    // completeness claim makes the re-check a correctness hazard.
     new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed,
-      offset, pinSingleSegment = pin, sample = sample, metaNames = metaNames)
+      offset, pinSingleSegment = pin, sample = sample, metaNames = metaNames,
+      serveViaIndex = Some(indexServe.isDefined))
   }
 }
 
@@ -1123,7 +1155,14 @@ final class DynamoScan(
     topN: Option[PushedTopN] = None, grouped: Option[PushedGroupBy] = None,
     adv: Seq[PredicateV2.VPred] = Nil, pushedOffset: Option[Int] = None,
     pinSingleSegment: Boolean = false, sample: Option[PushedSample] = None,
-    metaNames: Set[String] = DynamoMetaCols.names)
+    metaNames: Set[String] = DynamoMetaCols.names,
+    /** Builder-pinned serve-via-index decision: `Some(b)` = the
+      * negotiation already decided (and possibly claimed aggregate
+      * completeness over the index layout) — planning MUST honor it;
+      * `None` = directly-constructed scan, decide at plan time
+      * (legacy behavior, no completeness claim can exist).
+      */
+    serveViaIndex: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -1324,11 +1363,19 @@ final class DynamoScan(
     // plan over the index's own hash layout, pruning to the owning
     // index shards when the index hash key is pinned (DynamoDB's GSI
     // Query shape). Stale or absent copies fall through to the
-    // projected base-scan path below, unchanged.
+    // projected base-scan path below, unchanged. Builder-created
+    // scans arrive with the decision PINNED (`serveViaIndex` Some):
+    // negotiation may have claimed grouped-aggregate completeness
+    // over the index layout, and honoring a plan-time re-check here
+    // could demote the read to the base path where index-hash-keyed
+    // groups span segments — duplicated "final" rows. The pinned
+    // snapshot read is DynamoDB's eventually-consistent GSI contract.
     opts.indexName.foreach { ixName =>
-      if (opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
+      val serve = serveViaIndex.getOrElse(
+        opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
           meta.indexes.contains(ixName) &&
-          store.indexFresh(opts.tableName, ixName)) {
+          store.indexFresh(opts.tableName, ixName))
+      if (serve && meta.indexes.contains(ixName)) {
         indexKeyShards(store, meta, meta.indexes(ixName)) match {
           case Some(shards) =>
             val rate = math.max(0.1,

@@ -1823,6 +1823,65 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .map(i => (f"k$i%04d", i.toLong)).sorted.toSeq)
   }
 
+  test("GSI grouped-agg push: complete over a fresh copy, pinned across a staling write") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq.tabulate(300)(i => (f"k$i%04d", s"g${i % 5}", (i % 13).toLong))
+      .toDF("id", "grp", "v").write.dynamo(root, "t", "id")
+    val store = new LocalKVStore(root)
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    assert(store.indexFresh("t", "by_grp"))
+
+    def grouped() = spark.read.dynamoIndex(root, "t", "by_grp")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), avg("v").as("av"))
+    val expected = Seq.tabulate(300)(i => (s"g${i % 5}", (i % 13).toLong))
+      .groupBy(_._1).map { case (g, xs) =>
+        (g, xs.size.toLong, xs.map(_._2).sum,
+          xs.map(_._2).sum.toDouble / xs.size)
+      }.toSeq.sortBy(_._1)
+    // sort driver-side: an orderBy would build a NEW query execution,
+    // re-running pushdown negotiation — the pin under test lives in
+    // the ALREADY-PLANNED DataFrame
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+
+    // grouping by the INDEX hash key over the materialized copy is
+    // COMPLETE: each group lives in exactly one index shard, so the
+    // scan emits final rows and Spark plans no aggregate at all (the
+    // AVG rides along — it only ever pushes complete)
+    val d1 = grouped()
+    val p1 = d1.queryExecution.executedPlan.toString
+    assert(p1.contains("PushedGroupBy: [grp] (complete)"), p1)
+    assert(!p1.contains("HashAggregate"),
+      s"complete GSI grouped push left a Spark-side aggregate:\n$p1")
+    assert(rowsOf(d1) === expected)
+
+    // TOCTOU pin: negotiate + build over the FRESH copy, then land a
+    // write that stales it BEFORE execution. The completeness claim
+    // must not demote to the base-scan path (index-keyed groups span
+    // base segments there — duplicated "final" rows): the pinned scan
+    // serves the copy snapshot negotiation saw, DynamoDB's eventually-
+    // consistent GSI read. One row per group, pre-write values.
+    val d2 = grouped()
+    d2.queryExecution.executedPlan // forces pushdown negotiation + build()
+    Seq(("zzzz", "g0", 1000L)).toDF("id", "grp", "v").write.dynamo(root, "t", "id")
+    assert(!store.indexFresh("t", "by_grp"))
+    assert(rowsOf(d2) === expected)
+
+    // a freshly-planned read sees the stale copy, falls back to the
+    // projected base path (partial push — never complete there) and
+    // includes the new item
+    val d3 = grouped()
+    val p3 = d3.queryExecution.executedPlan.toString
+    assert(p3.contains("PushedGroupBy: [grp] (partial)"), p3)
+    val after = d3.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("g0") === expected.find(_._1 == "g0").get._2 + 1)
+  }
+
   test("index metadata round-trips through meta.json") {
     val store = new LocalKVStore(freshRoot())
     store.createTable("t", TableMeta("pk", None, shards = 2, throughput = 10,
