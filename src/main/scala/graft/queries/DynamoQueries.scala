@@ -50,7 +50,10 @@ object DynamoQueries {
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString(",").hashCode.toHexString
-    "/tmp/graft-dynamo-v2/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+    // v3: zone-map sidecars gained the `other` presence flag — stats
+    // written by older builds read back conservative (no stats-answered
+    // aggregates), so reseed once rather than serve declined fast paths
+    "/tmp/graft-dynamo-v3/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
   }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
@@ -358,6 +361,20 @@ object DynamoQueries {
              count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
+    // Zone-map-ANSWERED MIN/MAX: no filter, MIN/MAX-only aggregate
+    // list, compacted store (journal empty) with exact base sidecars —
+    // the scan plans ONE metadata partition carrying the folded
+    // zone-map ranges and reads ZERO items. At 100 TB this is
+    // `SELECT min(x), max(x)` answered from O(shards) sidecar files,
+    // the Parquet-footer-statistics move applied to the store.
+    "q_dyn_zone_minmax" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamo(root, "customer")
+        .agg(min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
+             min("c_name").as("min_name"), max("c_name").as("max_name"),
+             min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
+
     // Fact ⋈ dim storage-partitioned join on the PARTITION key: the
     // composite-keyed orders table (hash o_custkey, range o_orderkey)
     // and hash-only customer co-locate each customer's orders with its
@@ -522,6 +539,12 @@ object DynamoQueries {
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_dyn_zone_minmax" ->
+      """SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |       min(c_name) AS min_name, max(c_name) AS max_name,
+        |       CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |       CAST(max(c_custkey) AS BIGINT) AS max_key
+        |FROM customer""".stripMargin,
     "q_dyn_gsi_group" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(c_custkey) AS BIGINT) AS sum_key,

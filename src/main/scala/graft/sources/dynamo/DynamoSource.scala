@@ -1357,6 +1357,28 @@ final class DynamoScan(
       val rate = math.max(0.1, opts.targetCapacity * throughput)
       return Array(DynamoInputPartition(0, 1, rate))
     }
+    // Zone-map-ANSWERED MIN/MAX: when the aggregation is MIN/MAX-only
+    // with nothing below it that stats cannot see (no filters of any
+    // kind, no sample) and the base zone maps describe the merged view
+    // EXACTLY (journal empty — bulk load / compaction wrote them from
+    // the live items; no TTL attribute, whose expiry hides items the
+    // stats still include; no snapshot/GSI/CDC view), the answer IS
+    // the folded stats: plan ONE metadata partition carrying it and
+    // read zero items. At 100 TB, `SELECT min(ts), max(ts) FROM t`
+    // becomes O(shards) sidecar reads — the Parquet-footer-statistics
+    // move, applied to the store. Declines (normal scan) whenever any
+    // per-attribute subtlety (values a typed decode would reject or
+    // coerce, out-of-range numerics) makes the stats inexact.
+    if (aggs.nonEmpty && grouped.isEmpty && opts.indexName.isEmpty &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.isEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        aggs.forall(a => a.isInstanceOf[PushedAgg.MinOf] ||
+          a.isInstanceOf[PushedAgg.MaxOf])) {
+      zoneAnswer(store, meta).foreach { vals =>
+        return Array(DynamoZoneAnswerPartition(vals))
+      }
+    }
     // Materialized-GSI serve: when the copy is provably fresh — and
     // no read option needs BASE items (TTL liveness checks the base
     // item; snapshots address journal history the copy folded away) —
@@ -1461,6 +1483,74 @@ final class DynamoScan(
       }
     }.toSet
     if (surviving.size < meta.shards) Some(surviving) else None
+  }
+
+  /** The MIN/MAX answer derived from exact base zone maps, or None to
+    * decline (scan normally). Per aggregate attribute, the stats are
+    * usable only when every stored value is one the read schema's
+    * typed decode maps monotonically:
+    *  - numeric fields: only `N` values (an `S`/bool/binary value
+    *    would throw in [[Codec]] mid-scan — decline and let the real
+    *    scan surface it), integrals additionally within the type's
+    *    range (out-of-range wraps, which is not monotone);
+    *    BigDecimal→long/double truncation/rounding are monotone, so
+    *    decode(min of stored) = min of decoded.
+    *  - string fields: only `S` values (`N`/bool COERCE into strings
+    *    whose order differs from numeric order — "10" < "9").
+    *  - an attribute absent from a COMPLETE map provably never
+    *    occurs: the aggregate is null over every row.
+    * The answer is carried as wire [[AttrVal]]s and decoded by the
+    * same [[Codec]] path a scan would use — bit-identical results.
+    */
+  private def zoneAnswer(store: LocalKVStore, meta: TableMeta): Option[Seq[Option[AttrVal]]] = {
+    if (!store.journalEmpty(opts.tableName)) return None
+    val perShard = store.tableZoneStats(opts.tableName, meta.shards)
+    if (perShard.exists(_.isEmpty)) return None
+    val folded = perShard.flatten.reduceOption(_.union(_)).getOrElse(ShardStats.empty)
+    if (!folded.complete) return None
+    val vals = aggs.map { a =>
+      val (f, wantMin) = a match {
+        case PushedAgg.MinOf(f) => (f, true)
+        case PushedAgg.MaxOf(f) => (f, false)
+        case _ => return None
+      }
+      statBound(folded, f, wantMin) match {
+        case Some(v) => v
+        case None => return None
+      }
+    }
+    Some(vals)
+  }
+
+  /** One aggregate's stats-derived value: outer None = decline the
+    * fast path entirely; inner None = the aggregate is null.
+    */
+  private def statBound(st: ShardStats, f: StructField,
+      wantMin: Boolean): Option[Option[AttrVal]] = {
+    val as = st.attrs.get(f.name) match {
+      case None => return Some(None) // complete map: attr never occurs
+      case Some(x) => x
+    }
+    if (as.other) return None // bool/binary/list/map values present
+    def numeric(bounds: Option[(BigDecimal, BigDecimal)]): Option[Option[AttrVal]] =
+      if (as.sMin.nonEmpty) None // an S value fails the typed decode
+      else if (bounds.exists { case (lo, hi) =>
+        as.nMin.exists(_ < lo) || as.nMax.exists(_ > hi) }) None
+      else Some((if (wantMin) as.nMin else as.nMax).map(AttrVal.N))
+    def intBounds(lo: Long, hi: Long) = Some((BigDecimal(lo), BigDecimal(hi)))
+    f.dataType match {
+      case StringType =>
+        if (as.nMin.nonEmpty) None // N values coerce into the strings
+        else Some((if (wantMin) as.sMin else as.sMax).map(AttrVal.S))
+      case ByteType    => numeric(intBounds(Byte.MinValue, Byte.MaxValue))
+      case ShortType   => numeric(intBounds(Short.MinValue, Short.MaxValue))
+      case IntegerType => numeric(intBounds(Int.MinValue, Int.MaxValue))
+      case LongType    => numeric(intBounds(Long.MinValue, Long.MaxValue))
+      case TimestampType => numeric(intBounds(Long.MinValue, Long.MaxValue))
+      case DateType    => numeric(intBounds(Int.MinValue, Int.MaxValue))
+      case FloatType | DoubleType => numeric(None) // rounding is monotone
+      case _ => None // decimal/bool/binary/nested: no exactness claim
+    }
   }
 
   /** Candidate shard set when the filters pin the placement key; None
@@ -2292,10 +2382,37 @@ final class DynamoAggReaderFactory(opts: DynamoOptions, pushed: Array[Filter], a
     adv: Seq[PredicateV2.VPred] = Nil,
     sample: Option[PushedSample] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoAggReader(opts, pushed, aggs, p, adv, sample)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case z: DynamoZoneAnswerPartition => new DynamoZoneAnswerReader(aggs, z)
+      case p: DynamoInputPartition =>
+        new DynamoAggReader(opts, pushed, aggs, p, adv, sample)
+    }
+}
+
+/** The zone-map-answered MIN/MAX plan: ONE partition carrying the
+  * stats-derived wire values, computed on the driver from the base
+  * shard sidecars ([[DynamoScan.planInputPartitions]]'s fast path) —
+  * the scan reads zero items at any table size.
+  */
+final case class DynamoZoneAnswerPartition(values: Seq[Option[AttrVal]])
+    extends InputPartition
+
+final class DynamoZoneAnswerReader(
+    aggs: Seq[PushedAgg], partition: DynamoZoneAnswerPartition)
+    extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow = {
+    // decode through the SAME Codec path a scan's values would take,
+    // so the answer is bit-identical to the scanned aggregate
+    val schema = StructType(aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+    val item: Item = partition.values.zipWithIndex.collect {
+      case (Some(v), i) => s"agg$i" -> v
+    }.toMap
+    Codec.rowReader(schema)(item)
   }
+  override def close(): Unit = ()
 }
 
 /** Aggregate accumulators shared by the ungrouped ([[DynamoAggReader]])

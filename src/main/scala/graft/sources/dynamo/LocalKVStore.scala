@@ -48,26 +48,35 @@ final case class IndexMeta(
 /** Per-attribute zone-map entry: min/max over the NUMERIC values and
   * over the STRING values an attribute has taken (UTF8String binary
   * order for strings — the same order [[FilterEval]] compares in).
-  * Values of other types (bool, binary, list, map, null) are not
-  * ranged; predicates over them never prune.
+  * Values of other types (bool, binary, list, map) are not ranged;
+  * predicates over them never prune — but their PRESENCE is recorded
+  * (`other`), because the zone-map-ANSWERED MIN/MAX fast path must
+  * know whether any value exists that the ranges cannot describe
+  * (a bool coerces into a string-typed read; any of them fails a
+  * numeric-typed decode). Stats files written before the flag existed
+  * read back as `other = true` — conservative: pruning never consults
+  * the flag, and the answer path declines.
   */
 final case class AttrStats(
     nMin: Option[BigDecimal], nMax: Option[BigDecimal],
-    sMin: Option[String], sMax: Option[String]) {
+    sMin: Option[String], sMax: Option[String],
+    other: Boolean = false) {
   def widen(v: AttrVal): AttrStats = v match {
-    case AttrVal.N(n) => AttrStats(
-      Some(nMin.filter(_ <= n).getOrElse(n)),
-      Some(nMax.filter(_ >= n).getOrElse(n)), sMin, sMax)
-    case AttrVal.S(s) => AttrStats(nMin, nMax,
-      Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
-      Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)))
-    case _ => this
+    case AttrVal.N(n) => copy(
+      nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
+      nMax = Some(nMax.filter(_ >= n).getOrElse(n)))
+    case AttrVal.S(s) => copy(
+      sMin = Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
+      sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)))
+    case AttrVal.Null => this // reads as null everywhere: harmless
+    case _ => copy(other = true)
   }
   def union(o: AttrStats): AttrStats = AttrStats(
     (nMin.toSeq ++ o.nMin).minOption,
     (nMax.toSeq ++ o.nMax).maxOption,
     (sMin.toSeq ++ o.sMin).minOption(AttrStats.utf8Order),
-    (sMax.toSeq ++ o.sMax).maxOption(AttrStats.utf8Order))
+    (sMax.toSeq ++ o.sMax).maxOption(AttrStats.utf8Order),
+    other || o.other)
 }
 
 object AttrStats {
@@ -119,7 +128,8 @@ object ShardStats {
       "complete" -> AttrVal.Bool(st.complete),
       "attrs" -> AttrVal.M(st.attrs.map { case (a, s) =>
         a -> AttrVal.M(Map("nMin" -> num(s.nMin), "nMax" -> num(s.nMax),
-          "sMin" -> str(s.sMin), "sMax" -> str(s.sMax)))
+          "sMin" -> str(s.sMin), "sMax" -> str(s.sMax),
+          "other" -> AttrVal.Bool(s.other)))
       })))
   }
 
@@ -129,7 +139,9 @@ object ShardStats {
     def str(v: AttrVal) = v match { case AttrVal.S(x) => Some(x); case _ => None }
     ShardStats(
       m("attrs").asInstanceOf[AttrVal.M].v.map { case (a, AttrVal.M(f)) =>
-        a -> AttrStats(num(f("nMin")), num(f("nMax")), str(f("sMin")), str(f("sMax")))
+        a -> AttrStats(num(f("nMin")), num(f("nMax")), str(f("sMin")), str(f("sMax")),
+          // absent in pre-flag files: assume unranged values may exist
+          f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true })
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false })
@@ -1159,6 +1171,13 @@ final class LocalKVStore(root: String) {
     val suffix = n.substring(n.lastIndexOf("-s") + 2)
     if (suffix == "all") LocalKVStore.TxnShard else suffix.toInt
   }
+
+  /** True when the table has no published journal files: every live
+    * item is in a base shard and the base zone maps (rewritten EXACTLY
+    * at bulk load / compaction) describe the merged view exactly — the
+    * precondition for answering MIN/MAX from stats without scanning.
+    */
+  def journalEmpty(table: String): Boolean = listFiles(table, "wal-").isEmpty
 
   /** The zone map covering each shard's CURRENT merged view — `None`
     * per shard where pruning must be declined. A shard's map is the

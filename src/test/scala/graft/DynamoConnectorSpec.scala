@@ -1823,6 +1823,76 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .map(i => (f"k$i%04d", i.toLong)).sorted.toSeq)
   }
 
+  test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
+      DynamoOptions, DynamoScan, DynamoZoneAnswerPartition, PushedAgg}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "fruit"))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("color", StringType),
+      StructField("weight_kg", DoubleType), StructField("stock", LongType)))
+    val aggs: Seq[PushedAgg] = Seq(
+      PushedAgg.MinOf(StructField("weight_kg", DoubleType)),
+      PushedAgg.MaxOf(StructField("weight_kg", DoubleType)),
+      PushedAgg.MinOf(StructField("name", StringType)),
+      PushedAgg.MaxOf(StructField("stock", LongType)))
+    def parts(pushed: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
+        .toBatch.planInputPartitions()
+
+    // journal not yet compacted: stats over-approximate → DECLINE
+    assert(store.journalEmpty("fruit") === false)
+    assert(parts().forall(_.isInstanceOf[DynamoInputPartition]))
+
+    // compacted: journal empty, base sidecars exact → ONE metadata
+    // partition carrying the answer; the reader emits it with zero
+    // item reads, decoded through the normal Codec path
+    store.compact("fruit")
+    val fast = parts()
+    assert(fast.length === 1 && fast.head.isInstanceOf[DynamoZoneAnswerPartition], fast.toSeq)
+    val r = new DynamoAggReaderFactory(opts, Array.empty, aggs)
+      .createReader(fast.head)
+    assert(r.next())
+    val row = r.get()
+    assert(row.getDouble(0) === 0.005 && row.getDouble(1) === 2.5)
+    assert(row.getUTF8String(2).toString === "apple" && row.getLong(3) === 100L)
+    assert(!r.next())
+
+    // any pushed filter makes stats insufficient → normal scan plan
+    assert(parts(org.apache.spark.sql.sources.EqualTo("color", "red"))
+      .forall(_.isInstanceOf[DynamoInputPartition]))
+
+    // end-to-end through the DataFrame API: same values as a scan
+    val got = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("a"), max("weight_kg").as("b"),
+           min("name").as("c"), max("stock").as("d")).collect()(0)
+    assert((got.getDouble(0), got.getDouble(1), got.getString(2), got.getLong(3)) ===
+      ((0.005, 2.5, "apple", 100L)))
+
+    // a MIXED-TYPE attribute (N and S values) declines: a string-typed
+    // read COERCES numbers ("10" < "9"), so stats cannot answer it
+    store.appendWal("fruit", 10L, "mix", Seq(
+      store.Put(Map(
+        "name" -> graft.sources.dynamo.AttrVal.S("elderberry"),
+        "color" -> graft.sources.dynamo.AttrVal.N(BigDecimal(7)))),
+      store.Put(Map(
+        "name" -> graft.sources.dynamo.AttrVal.S("fig"),
+        "color" -> graft.sources.dynamo.AttrVal.S("purple")))))
+    store.compact("fruit")
+    val mixedAggs: Seq[PushedAgg] = Seq(PushedAgg.MinOf(StructField("color", StringType)))
+    val mixed = new DynamoScan(opts, schema, Array.empty, aggs = mixedAggs)
+      .toBatch.planInputPartitions()
+    assert(mixed.forall(_.isInstanceOf[DynamoInputPartition]), mixed.toSeq)
+    // while an untouched all-S attribute still answers
+    val pure = new DynamoScan(opts, schema, Array.empty,
+      aggs = Seq(PushedAgg.MinOf(StructField("name", StringType))))
+      .toBatch.planInputPartitions()
+    assert(pure.length === 1 && pure.head.isInstanceOf[DynamoZoneAnswerPartition])
+  }
+
   test("GSI grouped-agg push: complete over a fresh copy, pinned across a staling write") {
     import spark.implicits._
     val root = freshRoot()
