@@ -73,7 +73,16 @@ final case class DynamoOptions(
       * and row-level builders reject it. Window reaches back to the
       * last compaction (compaction folds + deletes the journal).
       */
-    asOfSeq: Option[Long]) extends Serializable
+    asOfSeq: Option[Long],
+    /** Transactional write (`TransactWriteItems` surface): each TASK's
+      * ops publish as ONE atomic transaction at task commit — scans
+      * and the change feed observe all of a task's ops or none, where
+      * the default path publishes per-shard WAL files one rename at a
+      * time. Bounded at 100 ops per task (DynamoDB's transaction
+      * limit); a bigger partition fails loudly. Job-level atomicity
+      * across tasks remains non-atomic (A14).
+      */
+    transactional: Boolean = false) extends Serializable
 
 object DynamoOptions {
 
@@ -129,7 +138,8 @@ object DynamoOptions {
       zonePruning = m.getBoolean("zonePruning", true),
       joinBuildMaxBytes =
         opt("joinBuildMaxBytes").map(_.toLong).getOrElse(64L * 1024 * 1024),
-      asOfSeq = opt("asOfSeq").map(_.toLong))
+      asOfSeq = opt("asOfSeq").map(_.toLong),
+      transactional = m.getBoolean("transactional", false))
   }
 }
 
@@ -2859,8 +2869,15 @@ final class DynamoDataWriter(
   private val limiter = new RateLimiter(rate)
   // taskId in the writer id keeps a speculative/retried attempt's WAL
   // buffer distinct from the original's; only the attempt that reaches
-  // commit() publishes, the loser's abort() discards.
-  private val wal = store.walWriter(opts.tableName, seq, f"p$partitionId%05d-t$taskId")
+  // commit() publishes, the loser's abort() discards. Lazy: a
+  // transactional writer never touches the per-shard WAL — its whole
+  // op set stages and publishes inside ONE transactWrite at commit.
+  private lazy val wal = store.walWriter(opts.tableName, seq, f"p$partitionId%05d-t$taskId")
+
+  /** DynamoDB bounds `TransactWriteItems` at 100 ops; the
+    * transactional writer inherits the bound per task.
+    */
+  private val txnCap = 100
 
   private val keyAttrs: Set[String] = Set(meta.hashKey) ++ meta.rangeKey
   private val buffer = new scala.collection.mutable.ArrayBuffer[store.Op](opts.writeBatchSize)
@@ -2886,7 +2903,13 @@ final class DynamoDataWriter(
       else store.Put(item)
     buffer += op
     rows += 1
-    if (buffer.size >= opts.writeBatchSize) flush()
+    if (opts.transactional) {
+      // the whole task is ONE transaction — no partial flush allowed
+      if (buffer.size > txnCap) throw new IllegalStateException(
+        s"transactional write: task $partitionId holds more than $txnCap rows " +
+          "(the TransactWriteItems bound). Repartition the input so every " +
+          "partition fits one transaction, or drop transactional=true")
+    } else if (buffer.size >= opts.writeBatchSize) flush()
   }
 
   private def flush(): Unit = {
@@ -2911,8 +2934,26 @@ final class DynamoDataWriter(
   // atomic rename; abort discards the unpublished buffers, so a failed
   // task leaves nothing visible. Job-level commit stays non-atomic
   // like the reference (A14): tasks that committed before a job abort
-  // remain published.
-  override def commit(): WriterCommitMessage = { flush(); wal.close(); DynamoWriterCommit(rows) }
-  override def abort(): Unit = wal.abort()
+  // remain published. Transactional mode strengthens the task commit
+  // from per-shard renames to ONE rename for the whole op set
+  // ([[LocalKVStore.transactWrite]]): no reader or change-feed
+  // consumer can observe part of this task's write.
+  override def commit(): WriterCommitMessage =
+    if (opts.transactional) {
+      if (buffer.nonEmpty) {
+        val batchBytes = buffer.iterator
+          .map(op => ItemJson.write(op.item).length.toLong).sum
+        store.transactWrite(opts.tableName, seq,
+          f"p$partitionId%05d-t$taskId", buffer.toSeq)
+        limiter.acquire(math.max(1.0, batchBytes.toDouble / opts.bytesPerWCU))
+        bytes += batchBytes
+        buffer.clear()
+      }
+      DynamoWriterCommit(rows)
+    } else { flush(); wal.close(); DynamoWriterCommit(rows) }
+  override def abort(): Unit =
+    // transactional: nothing staged before commit, and transactWrite
+    // cleans its own buffers on failure — no residue either way
+    if (!opts.transactional) wal.abort()
   override def close(): Unit = ()
 }

@@ -1823,6 +1823,56 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .map(i => (f"k$i%04d", i.toLong)).sorted.toSeq)
   }
 
+  test("transactional write: one atomic publish per task, oversized task fails with no residue") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    // 3 partitions → 3 transactions, each published with ONE rename
+    Seq.tabulate(30)(i => (f"k$i%03d", i.toLong)).toDF("id", "v")
+      .repartition(3)
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "t").option("hashKey", "id")
+      .option("transactional", "true")
+      .mode("append").save()
+    val dir = java.nio.file.Paths.get(root, "t")
+    val wal = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("wal-") && n.endsWith(".jsonl")).toSeq
+      finally s.close()
+    }
+    assert(wal.size === 3 && wal.forall(_.endsWith("-sall.jsonl")), wal)
+    val back = spark.read.dynamo(root, "t").select("id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(back === Seq.tabulate(30)(i => (f"k$i%03d", i.toLong)))
+
+    // a task holding more than the TransactWriteItems bound (100 ops)
+    // fails loudly, and the failed write leaves NOTHING visible
+    val before = spark.read.dynamo(root, "t").count()
+    val ex = intercept[Throwable] {
+      Seq.tabulate(150)(i => (f"x$i%03d", i.toLong)).toDF("id", "v")
+        .coalesce(1)
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "t")
+        .option("transactional", "true")
+        .mode("append").save()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(messages.contains("TransactWriteItems"), messages)
+    assert(spark.read.dynamo(root, "t").count() === before)
+
+    // update-mode ops ride the transaction too: merge semantics apply
+    Seq(("k001", 999L)).toDF("id", "v")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("transactional", "true").option("update", "true")
+      .mode("append").save()
+    val merged = spark.read.dynamo(root, "t")
+      .filter(col("id") === "k001").select("v").collect()
+    assert(merged.map(_.getLong(0)).toSeq === Seq(999L))
+  }
+
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
       DynamoOptions, DynamoScan, DynamoZoneAnswerPartition, PushedAgg}
