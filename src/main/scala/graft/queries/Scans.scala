@@ -98,6 +98,75 @@ object Scans {
           |LIMIT 100""".stripMargin)
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the pure filter-and-fold
+    // shape — a single scan with three pushed range predicates and one
+    // ungrouped sum, no join, no shuffle beyond the one-row partials.
+    // At 100 TB this is the canonical "predicate pushdown + column
+    // pruning decide everything" query: the scan must read 4 columns
+    // and the row groups the shipdate range admits, nothing else.
+    "q_sql_tpch_q6" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + 0.5)
+          |            AS BIGINT) AS revenue_cents
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
+    // TPC-H Q14 (promotion effect): fact ⋈ dim with a conditional
+    // aggregate — the month-bounded lineitem slice joins part (the
+    // dim side broadcasts), and the CASE-gated sum / total-sum ratio
+    // folds in one aggregate pass. LIKE rides the scan as a pushed
+    // StringStartsWith.
+    "q_sql_tpch_q14" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Fixtures.part(s, dir).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+          |                          THEN l_extendedprice * (1 - l_discount)
+          |                          ELSE 0 END)
+          |             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+          |FROM lineitem, part
+          |WHERE l_partkey = p_partkey
+          |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+
+    // TPC-H Q7 (volume shipping): the two-role-dimension shape — the
+    // nation table joins TWICE under different aliases (supplier's
+    // nation and customer's nation), with a symmetric disjunctive
+    // pair-filter and a derived-column (year) rollup. Both nation
+    // sides broadcast; the fact side shuffles once per fact-fact join
+    // key. Names adapted to the fixture's NATION_N vocabulary.
+    "q_sql_tpch_q7" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Fixtures.supplier(s, dir).createOrReplaceTempView("supplier")
+      Fixtures.nation(s, dir).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |       CAST(floor(sum(volume) * 100 + 0.5) AS BIGINT) AS revenue_cents
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |         year(l_shipdate) AS l_year,
+          |         l_extendedprice * (1 - l_discount) AS volume
+          |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          |    AND c_nationkey = n2.n_nationkey
+          |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |) shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
     // Second SQL flagship (TPC-H Q10 shape): 4-way join — lineitem ⋈
     // orders shuffles on the fact keys, nation (25 rows) broadcasts —
     // returned-item revenue per customer, global top-20. Same
@@ -253,6 +322,41 @@ object Scans {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sql_tpch_q6" ->
+      """SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + 0.5)
+        |            AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_tpch_q14" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(floor(sum(volume) * 100 + 0.5) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

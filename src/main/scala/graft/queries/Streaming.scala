@@ -50,7 +50,22 @@ object Streaming {
         .select(col("user_id"),
                 col("session_window.start").as("sess_start"),
                 col("session_window.end").as("sess_end"), col("cnt"))
-        .orderBy("user_id", "sess_start")))
+        .orderBy("user_id", "sess_start")),
+
+    // Streaming deduplication (exactly-once over an at-least-once
+    // feed): the input simulates redelivery by unioning the events
+    // feed with itself, and `dropDuplicates(event_id)` restores one
+    // row per event — the operator streaming runs with per-key state
+    // (StreamingSpec pins the watermark-bounded variant,
+    // dropDuplicatesWithinWatermark, where state ages out instead of
+    // growing with the stream). Deterministic because redelivered
+    // rows are bit-identical, exactly like a real redelivery.
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.union(ev).dropDuplicates("event_id")
+        .orderBy("event_id")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -78,5 +93,9 @@ object Streaming {
         |SELECT user_id, min(t) AS sess_start,
         |       max(t) + INTERVAL '30 minutes' AS sess_end, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin)
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin)
 }
