@@ -50,10 +50,11 @@ object DynamoQueries {
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString(",").hashCode.toHexString
-    // v3: zone-map sidecars gained the `other` presence flag — stats
-    // written by older builds read back conservative (no stats-answered
-    // aggregates), so reseed once rather than serve declined fast paths
-    "/tmp/graft-dynamo-v3/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+    // v4: zone-map sidecars gained the `other` presence flag and the
+    // per-shard item counter — stats written by older builds read back
+    // conservative (no stats-answered aggregates), so reseed once
+    // rather than serve declined fast paths
+    "/tmp/graft-dynamo-v4/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
   }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
@@ -361,18 +362,21 @@ object DynamoQueries {
              count(col("c_acctbal")).as("n_bal"), count(lit(1)).as("n"))
     }),
 
-    // Zone-map-ANSWERED MIN/MAX: no filter, MIN/MAX-only aggregate
-    // list, compacted store (journal empty) with exact base sidecars —
-    // the scan plans ONE metadata partition carrying the folded
-    // zone-map ranges and reads ZERO items. At 100 TB this is
-    // `SELECT min(x), max(x)` answered from O(shards) sidecar files,
-    // the Parquet-footer-statistics move applied to the store.
+    // Zone-map-ANSWERED MIN/MAX/COUNT(*): no filter, an aggregate
+    // list of only min/max/count(*), compacted store (journal empty)
+    // with exact base sidecars — the scan plans ONE metadata partition
+    // carrying the folded zone-map ranges + summed item counters and
+    // reads ZERO items. At 100 TB this is `SELECT min(x), max(x),
+    // count(*)` answered from O(shards) sidecar files — the
+    // Parquet-footer-statistics move (and DescribeTable's ItemCount)
+    // applied to the store.
     "q_dyn_zone_minmax" -> ((s, dir) => {
       val root = seededRoot(s, dir)
       s.read.dynamo(root, "customer")
         .agg(min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
              min("c_name").as("min_name"), max("c_name").as("max_name"),
-             min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+             min("c_custkey").as("min_key"), max("c_custkey").as("max_key"),
+             count(lit(1)).as("n"))
     }),
 
     // Fact ⋈ dim storage-partitioned join on the PARTITION key: the
@@ -543,7 +547,8 @@ object DynamoQueries {
       """SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |       min(c_name) AS min_name, max(c_name) AS max_name,
         |       CAST(min(c_custkey) AS BIGINT) AS min_key,
-        |       CAST(max(c_custkey) AS BIGINT) AS max_key
+        |       CAST(max(c_custkey) AS BIGINT) AS max_key,
+        |       CAST(count(*) AS BIGINT) AS n
         |FROM customer""".stripMargin,
     "q_dyn_gsi_group" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -1269,12 +1269,31 @@ final class DynamoScan(
   override def estimateStatistics(): Statistics = new Statistics {
     // A pushed sample shrinks the scan's output proportionally — scale
     // the size estimate so a sampled big table can still auto-broadcast.
+    private val store = new LocalKVStore(opts.path)
     private val bytes = {
-      val raw = new LocalKVStore(opts.path).sizeBytes(opts.tableName)
+      val raw = store.sizeBytes(opts.tableName)
       sample.fold(raw)(s => math.max(1L, (raw * s.fraction).toLong))
     }
+    // Row count from the sidecar item counters (DescribeTable's
+    // ItemCount) — reported only when it is EXACT: journal empty, so
+    // the base counts ARE the merged view, and no TTL/snapshot/GSI
+    // view hides or adds rows (a pushed sample declines too — its
+    // scaled row count would be an estimate, not this exact figure).
+    // Catalyst's cost models then see true cardinality, not just
+    // bytes. Filters shrink the actual output below this, which is
+    // the safe direction for planning.
+    private val rows: Option[Long] =
+      if (sample.isEmpty && opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
+          opts.indexName.isEmpty && store.journalEmpty(opts.tableName)) {
+        val meta = store.describe(opts.tableName)
+        val per = store.tableZoneStats(opts.tableName, meta.shards)
+        if (per.forall(_.exists(_.items.isDefined)))
+          Some(per.flatten.flatMap(_.items).sum)
+        else None
+      } else None
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
   }
 
   /** Storage-partitioned layout report: when the scan plans ONE
@@ -1384,7 +1403,7 @@ final class DynamoScan(
         opts.zonePruning && sample.isEmpty &&
         pushed.isEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
         aggs.forall(a => a.isInstanceOf[PushedAgg.MinOf] ||
-          a.isInstanceOf[PushedAgg.MaxOf])) {
+          a.isInstanceOf[PushedAgg.MaxOf] || a == PushedAgg.CountAll)) {
       zoneAnswer(store, meta).foreach { vals =>
         return Array(DynamoZoneAnswerPartition(vals))
       }
@@ -1495,8 +1514,10 @@ final class DynamoScan(
     if (surviving.size < meta.shards) Some(surviving) else None
   }
 
-  /** The MIN/MAX answer derived from exact base zone maps, or None to
-    * decline (scan normally). Per aggregate attribute, the stats are
+  /** The MIN/MAX/COUNT(*) answer derived from exact base zone maps,
+    * or None to decline (scan normally). COUNT(*) sums the per-shard
+    * item counters the base sidecars carry (exact under the same
+    * journal-empty condition). Per MIN/MAX attribute, the stats are
     * usable only when every stored value is one the read schema's
     * typed decode maps monotonically:
     *  - numeric fields: only `N` values (an `S`/bool/binary value
@@ -1518,16 +1539,26 @@ final class DynamoScan(
     if (perShard.exists(_.isEmpty)) return None
     val folded = perShard.flatten.reduceOption(_.union(_)).getOrElse(ShardStats.empty)
     if (!folded.complete) return None
-    val vals = aggs.map { a =>
-      val (f, wantMin) = a match {
-        case PushedAgg.MinOf(f) => (f, true)
-        case PushedAgg.MaxOf(f) => (f, false)
-        case _ => return None
-      }
-      statBound(folded, f, wantMin) match {
-        case Some(v) => v
-        case None => return None
-      }
+    val vals = aggs.map {
+      // COUNT(*) = the summed per-shard item counts (DescribeTable's
+      // ItemCount, exact under the same journal-empty condition);
+      // files from before the counter exist decline (items = None)
+      case PushedAgg.CountAll =>
+        folded.items match {
+          case Some(n) => Some(AttrVal.N(BigDecimal(n)): AttrVal)
+          case None => return None
+        }
+      case PushedAgg.MinOf(f) =>
+        statBound(folded, f, wantMin = true) match {
+          case Some(v) => v
+          case None => return None
+        }
+      case PushedAgg.MaxOf(f) =>
+        statBound(folded, f, wantMin = false) match {
+          case Some(v) => v
+          case None => return None
+        }
+      case _ => return None
     }
     Some(vals)
   }

@@ -98,23 +98,36 @@ object AttrStats {
   * [[ShardStats.maxTrackedAttrs]] attributes; a fold with ANY
   * incomplete piece disables pruning for the shard — soundness never
   * rests on a partial map.
+  *
+  * `items` counts the records this map covers: for BASE shard maps
+  * (bulk load / compaction, one live item per line) that is the
+  * shard's exact item count — DynamoDB's `DescribeTable` ItemCount,
+  * kept exact — which lets an unfiltered `COUNT(*)` answer from the
+  * sidecars when the journal is empty. For journal maps it counts ops
+  * (not net items); the answer path never consults those. `None` =
+  * written before the field existed.
   */
-final case class ShardStats(attrs: Map[String, AttrStats], complete: Boolean) {
-  def widen(item: Item): ShardStats =
-    if (!complete && attrs.isEmpty) this // saturated-and-empty fast path
-    else item.foldLeft(this) { case (st, (a, v)) =>
-      st.attrs.get(a) match {
-        case Some(as) => st.copy(attrs = st.attrs.updated(a, as.widen(v)))
-        case None if st.attrs.size < ShardStats.maxTrackedAttrs =>
-          st.copy(attrs = st.attrs.updated(a, AttrStats.empty.widen(v)))
-        case None => st.copy(complete = false)
+final case class ShardStats(attrs: Map[String, AttrStats], complete: Boolean,
+    items: Option[Long] = Some(0L)) {
+  def widen(item: Item): ShardStats = {
+    val counted =
+      if (!complete && attrs.isEmpty) this // saturated-and-empty fast path
+      else item.foldLeft(this) { case (st, (a, v)) =>
+        st.attrs.get(a) match {
+          case Some(as) => st.copy(attrs = st.attrs.updated(a, as.widen(v)))
+          case None if st.attrs.size < ShardStats.maxTrackedAttrs =>
+            st.copy(attrs = st.attrs.updated(a, AttrStats.empty.widen(v)))
+          case None => st.copy(complete = false)
+        }
       }
-    }
+    counted.copy(items = counted.items.map(_ + 1L))
+  }
   def union(o: ShardStats): ShardStats = ShardStats(
     (attrs.keySet ++ o.attrs.keySet).map(a =>
       a -> attrs.getOrElse(a, AttrStats.empty)
         .union(o.attrs.getOrElse(a, AttrStats.empty))).toMap,
-    complete && o.complete)
+    complete && o.complete,
+    for (a <- items; b <- o.items) yield a + b)
 }
 
 object ShardStats {
@@ -126,6 +139,8 @@ object ShardStats {
     def str(v: Option[String]) = v.map(AttrVal.S).getOrElse(AttrVal.Null)
     ItemJson.write(Map(
       "complete" -> AttrVal.Bool(st.complete),
+      "items" -> st.items.map(n => AttrVal.N(BigDecimal(n)): AttrVal)
+        .getOrElse(AttrVal.Null),
       "attrs" -> AttrVal.M(st.attrs.map { case (a, s) =>
         a -> AttrVal.M(Map("nMin" -> num(s.nMin), "nMax" -> num(s.nMax),
           "sMin" -> str(s.sMin), "sMax" -> str(s.sMax),
@@ -144,7 +159,11 @@ object ShardStats {
           f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true })
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
-      m("complete") match { case AttrVal.Bool(b) => b; case _ => false })
+      m("complete") match { case AttrVal.Bool(b) => b; case _ => false },
+      m.get("items") match {
+        case Some(AttrVal.N(n)) => Some(n.toLong)
+        case _ => None // pre-field files: count unknown
+      })
   }
 }
 

@@ -1888,14 +1888,18 @@ class DynamoConnectorSpec extends AnyFunSuite {
       PushedAgg.MinOf(StructField("weight_kg", DoubleType)),
       PushedAgg.MaxOf(StructField("weight_kg", DoubleType)),
       PushedAgg.MinOf(StructField("name", StringType)),
-      PushedAgg.MaxOf(StructField("stock", LongType)))
+      PushedAgg.MaxOf(StructField("stock", LongType)),
+      PushedAgg.CountAll)
     def parts(pushed: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
         .toBatch.planInputPartitions()
 
     // journal not yet compacted: stats over-approximate → DECLINE
+    // (both the answered plan and the exact numRows statistic)
     assert(store.journalEmpty("fruit") === false)
     assert(parts().forall(_.isInstanceOf[DynamoInputPartition]))
+    assert(!new DynamoScan(opts, schema, Array.empty)
+      .estimateStatistics().numRows().isPresent)
 
     // compacted: journal empty, base sidecars exact → ONE metadata
     // partition carrying the answer; the reader emits it with zero
@@ -1903,12 +1907,17 @@ class DynamoConnectorSpec extends AnyFunSuite {
     store.compact("fruit")
     val fast = parts()
     assert(fast.length === 1 && fast.head.isInstanceOf[DynamoZoneAnswerPartition], fast.toSeq)
+    // the same exactness condition feeds numRows (DescribeTable's
+    // ItemCount) to Catalyst's cost models
+    assert(new DynamoScan(opts, schema, Array.empty)
+      .estimateStatistics().numRows().getAsLong === 4L)
     val r = new DynamoAggReaderFactory(opts, Array.empty, aggs)
       .createReader(fast.head)
     assert(r.next())
     val row = r.get()
     assert(row.getDouble(0) === 0.005 && row.getDouble(1) === 2.5)
     assert(row.getUTF8String(2).toString === "apple" && row.getLong(3) === 100L)
+    assert(row.getLong(4) === 4L) // COUNT(*) from the summed item counters
     assert(!r.next())
 
     // any pushed filter makes stats insufficient → normal scan plan
@@ -1918,9 +1927,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // end-to-end through the DataFrame API: same values as a scan
     val got = spark.read.dynamo(root, "fruit")
       .agg(min("weight_kg").as("a"), max("weight_kg").as("b"),
-           min("name").as("c"), max("stock").as("d")).collect()(0)
-    assert((got.getDouble(0), got.getDouble(1), got.getString(2), got.getLong(3)) ===
-      ((0.005, 2.5, "apple", 100L)))
+           min("name").as("c"), max("stock").as("d"),
+           count(lit(1)).as("n")).collect()(0)
+    assert((got.getDouble(0), got.getDouble(1), got.getString(2), got.getLong(3),
+      got.getLong(4)) === ((0.005, 2.5, "apple", 100L, 4L)))
 
     // a MIXED-TYPE attribute (N and S values) declines: a string-typed
     // read COERCES numbers ("10" < "9"), so stats cannot answer it
