@@ -74,15 +74,23 @@ final case class DynamoOptions(
       * last compaction (compaction folds + deletes the journal).
       */
     asOfSeq: Option[Long],
-    /** Transactional write (`TransactWriteItems` surface): each TASK's
-      * ops publish as ONE atomic transaction at task commit — scans
-      * and the change feed observe all of a task's ops or none, where
-      * the default path publishes per-shard WAL files one rename at a
-      * time. Bounded at 100 ops per task (DynamoDB's transaction
-      * limit); a bigger partition fails loudly. Job-level atomicity
-      * across tasks remains non-atomic (A14).
+    /** Transactional write (`TransactWriteItems` surface), normalized
+      * to `off` / `task` / `job` (`true` accepted as `task`):
+      *  - `task`: each TASK's ops publish as ONE atomic transaction at
+      *    task commit — scans and the change feed observe all of a
+      *    task's ops or none, where the default path publishes
+      *    per-shard WAL files one rename at a time. Job-level
+      *    atomicity across tasks remains non-atomic (A14).
+      *  - `job`: tasks STAGE their transaction and the DRIVER
+      *    publishes every staged handle only after all tasks
+      *    committed — a failing task aborts the whole job with
+      *    NOTHING visible, including tasks that already committed.
+      *    (Atomic against task failures; a driver crash mid-publish
+      *    can still leave a prefix, the classic committer caveat.)
+      * Both bound at 100 ops per task (DynamoDB's transaction limit);
+      * a bigger partition fails loudly.
       */
-    transactional: Boolean = false) extends Serializable
+    transactional: String = "off") extends Serializable
 
 object DynamoOptions {
 
@@ -139,7 +147,13 @@ object DynamoOptions {
       joinBuildMaxBytes =
         opt("joinBuildMaxBytes").map(_.toLong).getOrElse(64L * 1024 * 1024),
       asOfSeq = opt("asOfSeq").map(_.toLong),
-      transactional = m.getBoolean("transactional", false))
+      transactional = opt("transactional").map(_.toLowerCase) match {
+        case None | Some("false") | Some("off") => "off"
+        case Some("true") | Some("task") => "task"
+        case Some("job") => "job"
+        case Some(x) => throw new IllegalArgumentException(
+          s"option 'transactional' must be one of false/task/job, got '$x'")
+      })
   }
 }
 
@@ -2833,15 +2847,52 @@ final class DynamoBatchWrite(
       WriteSetup.ratePerWriter(opts, info.numPartitions), seq = System.currentTimeMillis())
   }
 
-  /** Job-level commit is non-atomic, like the reference
+  /** Job-level commit is non-atomic by default, like the reference
     * [REF: datasource/DynamoBatchWrite.scala]: each task publishes its
     * own WAL files atomically at task commit, and tasks that committed
     * before a job-level abort stay published (keyed upserts make
     * re-runs converge). Failed/aborted tasks publish nothing — see
     * [[graft.sources.dynamo.LocalKVStore.WalWriter]].
+    *
+    * `transactional=job` upgrades this to a COMMIT FENCE: tasks only
+    * staged their transactions, and this driver hook publishes every
+    * staged handle — reached exclusively when ALL tasks committed, so
+    * one failing task aborts the job with nothing visible, including
+    * the tasks that had already committed. The publish loop itself is
+    * sequential renames: atomic against task failures by construction,
+    * while a driver crash mid-loop can leave a prefix published (the
+    * classic committer caveat — keyed upserts make a re-run converge).
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    DynamoTxnFence.publishAll(opts, messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    DynamoTxnFence.discardAll(opts, messages)
+}
+
+/** Driver-side transaction fence shared by the batch and per-epoch
+  * streaming commits: publish (or discard) every staged transaction
+  * the tasks shipped in their commit messages, in writer-id order so
+  * replay order is deterministic across re-runs.
+  */
+private object DynamoTxnFence {
+  private def staged(messages: Array[WriterCommitMessage]): Seq[StagedTxn] =
+    messages.toSeq.collect {
+      case DynamoWriterCommit(_, Some(st)) => st
+    }.sortBy(_.writerId)
+  def publishAll(opts: DynamoOptions, messages: Array[WriterCommitMessage]): Unit = {
+    val st = staged(messages)
+    if (st.nonEmpty) {
+      val store = new LocalKVStore(opts.path)
+      st.foreach(store.transactPublish)
+    }
+  }
+  def discardAll(opts: DynamoOptions, messages: Array[WriterCommitMessage]): Unit = {
+    val st = staged(messages)
+    if (st.nonEmpty) {
+      val store = new LocalKVStore(opts.path)
+      st.foreach(store.transactDiscard)
+    }
+  }
 }
 
 /** Structured Streaming sink (`df.writeStream.format("dynamo")`) — a
@@ -2865,8 +2916,12 @@ final class DynamoStreamingWrite(opts: DynamoOptions, schema: StructType) extend
     new DynamoStreamingWriterFactory(opts, schema, rate, queryStart)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  // `transactional=job` makes each EPOCH atomic: tasks stage, and the
+  // per-epoch driver commit publishes every staged handle together.
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    DynamoTxnFence.publishAll(opts, messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    DynamoTxnFence.discardAll(opts, messages)
 }
 
 final class DynamoStreamingWriterFactory(
@@ -2876,7 +2931,8 @@ final class DynamoStreamingWriterFactory(
     new DynamoDataWriter(opts, schema, rate, seq = queryStart + epochId, partitionId, taskId)
 }
 
-final case class DynamoWriterCommit(rows: Long) extends WriterCommitMessage
+final case class DynamoWriterCommit(rows: Long,
+    staged: Option[StagedTxn] = None) extends WriterCommitMessage
 
 final class DynamoWriterFactory(opts: DynamoOptions, schema: StructType, rate: Double, seq: Long)
     extends DataWriterFactory {
@@ -2934,12 +2990,12 @@ final class DynamoDataWriter(
       else store.Put(item)
     buffer += op
     rows += 1
-    if (opts.transactional) {
+    if (opts.transactional != "off") {
       // the whole task is ONE transaction — no partial flush allowed
       if (buffer.size > txnCap) throw new IllegalStateException(
         s"transactional write: task $partitionId holds more than $txnCap rows " +
           "(the TransactWriteItems bound). Repartition the input so every " +
-          "partition fits one transaction, or drop transactional=true")
+          "partition fits one transaction, or drop the transactional option")
     } else if (buffer.size >= opts.writeBatchSize) flush()
   }
 
@@ -2965,26 +3021,32 @@ final class DynamoDataWriter(
   // atomic rename; abort discards the unpublished buffers, so a failed
   // task leaves nothing visible. Job-level commit stays non-atomic
   // like the reference (A14): tasks that committed before a job abort
-  // remain published. Transactional mode strengthens the task commit
-  // from per-shard renames to ONE rename for the whole op set
+  // remain published. Transactional TASK mode strengthens the task
+  // commit from per-shard renames to ONE rename for the whole op set
   // ([[LocalKVStore.transactWrite]]): no reader or change-feed
-  // consumer can observe part of this task's write.
+  // consumer can observe part of this task's write. JOB mode only
+  // STAGES here and ships the handle to the driver, whose commit
+  // fence publishes every task's transaction together — or none.
   override def commit(): WriterCommitMessage =
-    if (opts.transactional) {
+    if (opts.transactional != "off") {
+      var staged: Option[StagedTxn] = None
       if (buffer.nonEmpty) {
         val batchBytes = buffer.iterator
           .map(op => ItemJson.write(op.item).length.toLong).sum
-        store.transactWrite(opts.tableName, seq,
-          f"p$partitionId%05d-t$taskId", buffer.toSeq)
+        val writerId = f"p$partitionId%05d-t$taskId"
+        if (opts.transactional == "job")
+          staged = Some(store.transactStage(opts.tableName, seq, writerId, buffer.toSeq))
+        else
+          store.transactWrite(opts.tableName, seq, writerId, buffer.toSeq)
         limiter.acquire(math.max(1.0, batchBytes.toDouble / opts.bytesPerWCU))
         bytes += batchBytes
         buffer.clear()
       }
-      DynamoWriterCommit(rows)
+      DynamoWriterCommit(rows, staged)
     } else { flush(); wal.close(); DynamoWriterCommit(rows) }
   override def abort(): Unit =
-    // transactional: nothing staged before commit, and transactWrite
-    // cleans its own buffers on failure — no residue either way
-    if (!opts.transactional) wal.abort()
+    // transactional: nothing staged before commit, and stage/publish
+    // clean their own buffers on failure — no residue either way
+    if (opts.transactional == "off") wal.abort()
   override def close(): Unit = ()
 }

@@ -688,11 +688,28 @@ final class LocalKVStore(root: String) {
     * malformed op aborts the transaction with nothing visible.
     */
   def transactWrite(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
+    val staged = transactStage(table, seq, writerId, ops)
+    try transactPublish(staged)
+    catch { case e: Throwable => transactDiscard(staged); throw e }
+  }
+
+  /** Stage a transaction WITHOUT publishing: ops and their stats land
+    * in dot-prefixed buffers invisible to scans/CDC, and the returned
+    * handle publishes ([[transactPublish]]) or discards
+    * ([[transactDiscard]]) them later — the split that lets a
+    * DRIVER-side commit fence make a whole multi-task job atomic
+    * (every task stages; the driver publishes all handles only after
+    * every task committed). Keys validate here, so a malformed op
+    * aborts with nothing staged.
+    */
+  def transactStage(table: String, seq: Long, writerId: String,
+      ops: Seq[Op]): StagedTxn = {
     require(ops.nonEmpty, "empty transaction")
     val meta = describe(table)
     ops.foreach(op => keyOf(meta, op.item)) // validate before staging
     val dir = tableDir(table)
     val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
+    val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp")
     val w = Files.newBufferedWriter(tmp, UTF_8)
     var stats = ShardStats.empty
     try {
@@ -702,22 +719,39 @@ final class LocalKVStore(root: String) {
         w.write("\n")
         if (!op.isInstanceOf[Delete]) stats = stats.widen(op.item)
       } finally w.close()
-      var pubSeq = math.max(seq, System.currentTimeMillis())
-      while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl")))
-        pubSeq += 1
-      // stats publish first (a visible journal file implies visible
-      // stats), then the ONE rename that commits the transaction
-      val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp")
       Files.write(zTmp, ShardStats.toJson(stats).getBytes(UTF_8))
-      Files.move(zTmp, dir.resolve(f"zstat-$pubSeq%020d-$writerId-sall.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      StagedTxn(table, seq, writerId)
     } catch { case e: Throwable =>
       Files.deleteIfExists(tmp)
-      Files.deleteIfExists(dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp"))
+      Files.deleteIfExists(zTmp)
       throw e
     }
+  }
+
+  /** Publish a staged transaction: stats rename first (a visible
+    * journal file implies visible stats), then the ONE rename that
+    * commits the whole op set.
+    */
+  def transactPublish(staged: StagedTxn): Unit = {
+    val seq = staged.seq; val writerId = staged.writerId
+    val dir = tableDir(staged.table)
+    val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
+    val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp")
+    var pubSeq = math.max(seq, System.currentTimeMillis())
+    while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl")))
+      pubSeq += 1
+    Files.move(zTmp, dir.resolve(f"zstat-$pubSeq%020d-$writerId-sall.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop a staged transaction's buffers; nothing was ever visible. */
+  def transactDiscard(staged: StagedTxn): Unit = {
+    val seq = staged.seq; val writerId = staged.writerId
+    val dir = tableDir(staged.table)
+    Files.deleteIfExists(dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp"))
+    Files.deleteIfExists(dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp"))
   }
 
   private def tagOf(op: Op): String = op match {
@@ -1339,3 +1373,12 @@ object LocalKVStore {
     */
   val TxnShard: Int = -1
 }
+
+/** Handle to a staged-but-unpublished transaction
+  * ([[LocalKVStore.transactStage]]): names the dot-prefixed buffer
+  * files deterministically, so it can travel from an executor (which
+  * staged) to the driver (which publishes or discards) as a write
+  * commit message.
+  */
+final case class StagedTxn(table: String, seq: Long, writerId: String)
+    extends Serializable

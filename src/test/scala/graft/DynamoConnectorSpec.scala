@@ -1873,6 +1873,46 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(merged.map(_.getLong(0)).toSeq === Seq(999L))
   }
 
+  test("transactional=job: the driver fence makes the whole job all-or-nothing") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    // success path: tasks stage, the driver publishes all 3 together
+    Seq.tabulate(30)(i => (f"k$i%03d", i.toLong)).toDF("id", "v")
+      .repartition(3)
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "t").option("hashKey", "id")
+      .option("transactional", "job")
+      .mode("append").save()
+    assert(spark.read.dynamo(root, "t").count() === 30L)
+    val dir = java.nio.file.Paths.get(root, "t")
+    def files(pred: String => Boolean) = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).filter(pred).toSeq
+      finally s.close()
+    }
+    assert(files(n => n.startsWith("wal-") && n.endsWith("-sall.jsonl")).size === 3)
+
+    // failure path: ONE poison task aborts the JOB — tasks that had
+    // already committed only STAGED, so the fence never publishes and
+    // nothing becomes visible (vs task mode, where committed tasks'
+    // transactions would stay)
+    val before = spark.read.dynamo(root, "t").count()
+    intercept[Throwable] {
+      Seq.tabulate(40)(i => (f"x$i%03d", i.toLong)).toDF("id", "v")
+        .repartition(8)
+        .withColumn("v", when(col("id") === "x007",
+          expr("raise_error('poison row')").cast("long")).otherwise(col("v")))
+        .write.format("dynamo")
+        .option("path", root).option("tableName", "t")
+        .option("transactional", "job")
+        .mode("append").save()
+    }
+    assert(spark.read.dynamo(root, "t").count() === before)
+    // and the abort hook discarded every staged buffer — no tmp residue
+    assert(files(n => n.contains("-sall") && n.endsWith(".tmp")).isEmpty)
+  }
+
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
       DynamoOptions, DynamoScan, DynamoZoneAnswerPartition, PushedAgg}
