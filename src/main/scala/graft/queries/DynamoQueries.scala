@@ -50,11 +50,12 @@ object DynamoQueries {
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString(",").hashCode.toHexString
-    // v4: zone-map sidecars gained the `other` presence flag and the
-    // per-shard item counter — stats written by older builds read back
+    // v5: zone-map sidecars gained the `other` presence flag, the
+    // per-shard item counter, and per-attribute present/nSum
+    // accumulators — stats written by older builds read back
     // conservative (no stats-answered aggregates), so reseed once
     // rather than serve declined fast paths
-    "/tmp/graft-dynamo-v4/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+    "/tmp/graft-dynamo-v5/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
   }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
@@ -376,7 +377,8 @@ object DynamoQueries {
         .agg(min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
              min("c_name").as("min_name"), max("c_name").as("max_name"),
              min("c_custkey").as("min_key"), max("c_custkey").as("max_key"),
-             count(lit(1)).as("n"))
+             count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"),
+             sum("c_custkey").as("sum_key"))
     }),
 
     // Fact ⋈ dim storage-partitioned join on the PARTITION key: the
@@ -548,7 +550,9 @@ object DynamoQueries {
         |       min(c_name) AS min_name, max(c_name) AS max_name,
         |       CAST(min(c_custkey) AS BIGINT) AS min_key,
         |       CAST(max(c_custkey) AS BIGINT) AS max_key,
-        |       CAST(count(*) AS BIGINT) AS n
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(c_acctbal) AS BIGINT) AS n_bal,
+        |       CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM customer""".stripMargin,
     "q_dyn_gsi_group" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

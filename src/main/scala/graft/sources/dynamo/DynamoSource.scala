@@ -1416,8 +1416,12 @@ final class DynamoScan(
         !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
         opts.zonePruning && sample.isEmpty &&
         pushed.isEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
-        aggs.forall(a => a.isInstanceOf[PushedAgg.MinOf] ||
-          a.isInstanceOf[PushedAgg.MaxOf] || a == PushedAgg.CountAll)) {
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true // exact; double sums are order-sensitive
+          case _ => false
+        }) {
       zoneAnswer(store, meta).foreach { vals =>
         return Array(DynamoZoneAnswerPartition(vals))
       }
@@ -1572,9 +1576,61 @@ final class DynamoScan(
           case Some(v) => v
           case None => return None
         }
+      // COUNT(col) = the attribute's non-Null occurrence counter,
+      // sound only under the same family-purity rules MIN/MAX use
+      // (an incompatible value would have crashed the scan's typed
+      // decode; a coercible one still counts — but `other` cannot
+      // tell a coercing bool from a crashing binary, so any presence
+      // declines). An attribute absent from the complete map counts 0.
+      case PushedAgg.CountOf(f) =>
+        statCount(folded, f) match {
+          case Some(n) => Some(AttrVal.N(BigDecimal(n)): AttrVal)
+          case None => return None
+        }
+      // SUM over the integral family: the sidecar's exact
+      // arbitrary-precision sum of N values. Long addition the scan
+      // does is ANSI (throws past Long range), so an out-of-range
+      // exact sum declines and the real scan surfaces the error;
+      // in-range sums are bit-identical. No non-null values → null.
+      case PushedAgg.SumOf(f, LongType) =>
+        folded.attrs.get(f.name) match {
+          case None => None // absent attr: SUM over no rows = null
+          case Some(as) =>
+            if (as.other || as.sMin.nonEmpty || !integralField(f.dataType))
+              return None
+            (as.present, as.nSum) match {
+              case (Some(0L), _) => None // all-Null or never present
+              case (Some(_), Some(sum))
+                  if sum >= BigDecimal(Long.MinValue) && sum <= BigDecimal(Long.MaxValue) =>
+                Some(AttrVal.N(sum): AttrVal)
+              case _ => return None
+            }
+        }
       case _ => return None
     }
     Some(vals)
+  }
+
+  private def integralField(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** COUNT(col)'s stats-derived value; None = decline the fast path. */
+  private def statCount(st: ShardStats, f: StructField): Option[Long] = {
+    val as = st.attrs.get(f.name) match {
+      case None => return Some(0L) // complete map: attr never occurs
+      case Some(x) => x
+    }
+    if (as.other) return None
+    val familyOk = f.dataType match {
+      case StringType => true // N and S both decode non-null
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | TimestampType | DateType =>
+        as.sMin.isEmpty // an S value would crash the typed decode
+      case _ => false
+    }
+    if (familyOk) as.present else None
   }
 
   /** One aggregate's stats-derived value: outer None = decline the

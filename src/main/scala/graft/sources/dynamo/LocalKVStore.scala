@@ -60,23 +60,39 @@ final case class IndexMeta(
 final case class AttrStats(
     nMin: Option[BigDecimal], nMax: Option[BigDecimal],
     sMin: Option[String], sMax: Option[String],
-    other: Boolean = false) {
+    other: Boolean = false,
+    /** Non-Null occurrences of the attribute — COUNT(col)'s value
+      * under the answer path's family-purity rules. `None` = pre-field
+      * stats file.
+      */
+    present: Option[Long] = Some(0L),
+    /** Exact arbitrary-precision sum of the `N` values — SUM over an
+      * integral column answers from this when it fits the long range
+      * (the scan's own ANSI sum would throw past it). `None` =
+      * pre-field stats file.
+      */
+    nSum: Option[BigDecimal] = Some(BigDecimal(0))) {
   def widen(v: AttrVal): AttrStats = v match {
     case AttrVal.N(n) => copy(
       nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
-      nMax = Some(nMax.filter(_ >= n).getOrElse(n)))
+      nMax = Some(nMax.filter(_ >= n).getOrElse(n)),
+      present = present.map(_ + 1L),
+      nSum = nSum.map(_ + n))
     case AttrVal.S(s) => copy(
       sMin = Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
-      sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)))
+      sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)),
+      present = present.map(_ + 1L))
     case AttrVal.Null => this // reads as null everywhere: harmless
-    case _ => copy(other = true)
+    case _ => copy(other = true, present = present.map(_ + 1L))
   }
   def union(o: AttrStats): AttrStats = AttrStats(
     (nMin.toSeq ++ o.nMin).minOption,
     (nMax.toSeq ++ o.nMax).maxOption,
     (sMin.toSeq ++ o.sMin).minOption(AttrStats.utf8Order),
     (sMax.toSeq ++ o.sMax).maxOption(AttrStats.utf8Order),
-    other || o.other)
+    other || o.other,
+    for (a <- present; b <- o.present) yield a + b,
+    for (a <- nSum; b <- o.nSum) yield a + b)
 }
 
 object AttrStats {
@@ -144,7 +160,9 @@ object ShardStats {
       "attrs" -> AttrVal.M(st.attrs.map { case (a, s) =>
         a -> AttrVal.M(Map("nMin" -> num(s.nMin), "nMax" -> num(s.nMax),
           "sMin" -> str(s.sMin), "sMax" -> str(s.sMax),
-          "other" -> AttrVal.Bool(s.other)))
+          "other" -> AttrVal.Bool(s.other),
+          "present" -> num(s.present.map(BigDecimal(_))),
+          "nSum" -> num(s.nSum)))
       })))
   }
 
@@ -156,7 +174,9 @@ object ShardStats {
       m("attrs").asInstanceOf[AttrVal.M].v.map { case (a, AttrVal.M(f)) =>
         a -> AttrStats(num(f("nMin")), num(f("nMax")), str(f("sMin")), str(f("sMax")),
           // absent in pre-flag files: assume unranged values may exist
-          f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true })
+          f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true },
+          f.get("present").flatMap(num).map(_.toLong),
+          f.get("nSum").flatMap(num))
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false },

@@ -1929,7 +1929,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
       PushedAgg.MaxOf(StructField("weight_kg", DoubleType)),
       PushedAgg.MinOf(StructField("name", StringType)),
       PushedAgg.MaxOf(StructField("stock", LongType)),
-      PushedAgg.CountAll)
+      PushedAgg.CountAll,
+      PushedAgg.CountOf(StructField("color", StringType)),
+      PushedAgg.SumOf(StructField("stock", LongType), LongType))
     def parts(pushed: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
         .toBatch.planInputPartitions()
@@ -1958,6 +1960,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(row.getDouble(0) === 0.005 && row.getDouble(1) === 2.5)
     assert(row.getUTF8String(2).toString === "apple" && row.getLong(3) === 100L)
     assert(row.getLong(4) === 4L) // COUNT(*) from the summed item counters
+    assert(row.getLong(5) === 4L) // COUNT(color): non-null occurrences
+    assert(row.getLong(6) === 109L) // SUM(stock) from the exact N-sum
     assert(!r.next())
 
     // any pushed filter makes stats insufficient → normal scan plan
@@ -1968,9 +1972,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val got = spark.read.dynamo(root, "fruit")
       .agg(min("weight_kg").as("a"), max("weight_kg").as("b"),
            min("name").as("c"), max("stock").as("d"),
-           count(lit(1)).as("n")).collect()(0)
+           count(lit(1)).as("n"), count(col("color")).as("nc"),
+           sum("stock").as("s")).collect()(0)
     assert((got.getDouble(0), got.getDouble(1), got.getString(2), got.getLong(3),
-      got.getLong(4)) === ((0.005, 2.5, "apple", 100L, 4L)))
+      got.getLong(4), got.getLong(5), got.getLong(6)) ===
+      ((0.005, 2.5, "apple", 100L, 4L, 4L, 109L)))
 
     // a MIXED-TYPE attribute (N and S values) declines: a string-typed
     // read COERCES numbers ("10" < "9"), so stats cannot answer it
