@@ -207,6 +207,27 @@ object Dedup {
         .select("doc_id", "dup_cnt")
         .orderBy("doc_id")),
 
+    // INCREMENTAL dedup — the recurring-crawl shape: the corpus below
+    // doc_id 400 is already deduplicated and summarized as a
+    // fingerprint set; only the NEW batch hashes and joins against it
+    // (left-anti on the 32-byte fingerprints — broadcast when small,
+    // keyed shuffle otherwise), then dedups within itself by min
+    // doc_id. At 100 TB the world is never re-deduplicated per crawl:
+    // each increment costs new-batch-size work against a fingerprint
+    // store, not corpus-size work.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val baseFp = docs.filter(col("doc_id") < 400)
+        .select(sha2(col("text"), 256).as("fp")).distinct()
+      docs.filter(col("doc_id") >= 400)
+        .withColumn("fp", sha2(col("text"), 256))
+        .join(baseFp, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+        .select("doc_id", "batch_dups")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => minhashVerified(s, dir)),
 
     // Near-dup CLUSTERING — the step after pair detection: connected
@@ -363,6 +384,14 @@ object Dedup {
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH base AS (SELECT DISTINCT sha256(text) AS fp
+        |              FROM documents WHERE doc_id < 400),
+        |fresh AS (SELECT doc_id, sha256(text) AS fp
+        |          FROM documents WHERE doc_id >= 400)
+        |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups
+        |FROM fresh WHERE fp NOT IN (SELECT fp FROM base)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),

@@ -136,6 +136,25 @@ object TextAnalysis {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Weighted priority sampling (length-weighted, without
+    // replacement): each document gets the deterministic priority
+    // hash(doc_id)/weight — a larger weight (n_chars) shrinks the
+    // priority, so longer documents are admitted more often — and the
+    // sample is the global bottom-100 by priority. Both operands are
+    // integers exact in a double and IEEE division is exactly
+    // specified, so the priority is bit-identical on any engine; the
+    // plan is a TakeOrderedAndProject (per-partition bounded heaps +
+    // driver merge), never a full sort — the coordination-free
+    // weighted corpus-mixing draw at any scale.
+    "q_sample_weighted" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .withColumn("pri",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("double") / col("n_chars"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", "pri")),
+
     // Per-source document caps (domain caps): keep at most 10 docs per
     // source, preferring longer ones — the RefinedWeb/C4 guard against
     // one domain flooding the corpus. One shuffle keyed by source;
@@ -487,6 +506,12 @@ object TextAnalysis {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+        |       (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)::DOUBLE
+        |         / n_chars AS pri
+        |FROM documents
+        |ORDER BY pri, doc_id LIMIT 100""".stripMargin,
     "q_text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
