@@ -1142,7 +1142,34 @@ final class LocalKVStore(root: String) {
     val txnBefore = txnJournalNames(table)
     (0 until describe(table).shards).foreach(compactShard(table, _))
     reclaimTxnJournal(table, txnBefore)
+    reapStaleTmp(table)
     refreshIndexes(table)
+  }
+
+  /** Reap dot-prefixed buffer files abandoned by a writer that died
+    * without reaching commit OR abort (a hard driver crash between a
+    * job-mode stage and its fence, a kill -9 mid-WAL-write). Nothing
+    * references a `.tmp` except its own writer, and the age threshold
+    * — one hour, far above any task lifetime and the CDC pending-tmp
+    * horizon (which treats only YOUNG buffers as live) — keeps every
+    * in-flight writer's buffers safe. Run from full-table compaction:
+    * the maintenance pass that already owns journal lifecycle.
+    */
+  private[dynamo] def reapStaleTmp(
+      table: String, maxAgeMs: Long = 60L * 60 * 1000): Unit = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".") && n.endsWith(".tmp") &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+      }
+      .toList.foreach(Files.deleteIfExists(_))
+    finally stream.close()
   }
 
   /** Names of the transaction journal files currently published —

@@ -1873,6 +1873,32 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(merged.map(_.getLong(0)).toSeq === Seq(999L))
   }
 
+  test("compaction reaps stale abandoned write buffers, spares live ones") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    val dir = java.nio.file.Paths.get(root, "fruit")
+    // an abandoned job-mode stage (driver died before fence) and an
+    // abandoned plain WAL buffer, both 2 hours old...
+    val stale1 = dir.resolve(".wal-00000000000000000010-dead-sall.jsonl.tmp")
+    val stale2 = dir.resolve(".wal-00000000000000000011-dead-s003.jsonl.tmp")
+    // ...and a YOUNG buffer of an in-flight writer
+    val young = dir.resolve(".wal-00000000000000000012-live-sall.jsonl.tmp")
+    Seq(stale1, stale2, young).foreach(p => java.nio.file.Files.write(p,
+      "x\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    java.nio.file.Files.setLastModifiedTime(stale1, old)
+    java.nio.file.Files.setLastModifiedTime(stale2, old)
+    store.compact("fruit")
+    assert(!java.nio.file.Files.exists(stale1))
+    assert(!java.nio.file.Files.exists(stale2))
+    assert(java.nio.file.Files.exists(young))
+    // and the data is untouched
+    assert(spark.read.dynamo(root, "fruit").count() === 4L)
+  }
+
   test("transactional=job: the driver fence makes the whole job all-or-nothing") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
