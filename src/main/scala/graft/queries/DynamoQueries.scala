@@ -436,6 +436,29 @@ object DynamoQueries {
         .orderBy("o_custkey")
     }),
 
+    // Exchange-free WINDOW over the store layout: the catalog scan
+    // reports bucket(16, o_custkey), which satisfies the window's
+    // ClusteredDistribution on the same key — rows of one customer
+    // are already co-located per shard, so rank-within-customer runs
+    // with NO exchange before the (per-partition) sort. At 100 TB the
+    // usual "shuffle the fact table to rank within key" disappears;
+    // the plan shape is pinned by StoragePartitionedJoinSpec's conf.
+    "q_dyn_win_local" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      val cat = "graftdyn" + root.replaceAll("[^A-Za-z0-9]", "")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root)
+      s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.table(s"$cat.orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
     // Top-N pushdown (ORDER BY ... LIMIT over the scan): each segment
     // ships only its own best 10 rows through a bounded heap — at
     // table scale the scan emits ~10×segments candidate rows, not the
@@ -545,6 +568,13 @@ object DynamoQueries {
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_dyn_win_local" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rk FROM r
+        |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
     "q_dyn_zone_minmax" ->
       """SELECT min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |       min(c_name) AS min_name, max(c_name) AS max_name,

@@ -126,6 +126,45 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("window partitioned by the primary key reuses the shard layout") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spj-win").toString
+    // several rows per key (composite primary key: hash id, range seq
+    // — plain puts would upsert-collapse to one row per id); layout-2
+    // placement is by the HASH key alone, so the reported bucket
+    // transform stays bucket(16, id)
+    Seq.tabulate(300)(i => (f"k${i % 50}%04d", i.toLong, (i * 7 % 100).toDouble))
+      .toDF("id", "seq", "v")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("hashKey", "id").option("rangeKey", "seq")
+      .mode("append").save()
+    withConf(
+      "spark.sql.catalog.spjwin" -> "graft.sources.dynamo.DynamoCatalog",
+      "spark.sql.catalog.spjwin.path" -> root,
+      "spark.sql.catalog.spjwin.readPartitions" -> "16",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("v").desc, col("seq"))
+      val d = spark.table("spjwin.t")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 1)
+      val plan = d.queryExecution.executedPlan.toString
+      // ClusteredDistribution(id) is satisfied by the reported
+      // bucket(16, id) layout: per-partition sort only, no exchange
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"window over the placement key still shuffles:\n$plan")
+      assert(plan.contains("Window"), plan)
+      val top = d.select("id", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // per key, the max-v row (ties by seq asc) — compute driver-side
+      val expect = Seq.tabulate(300)(i => (f"k${i % 50}%04d", i.toLong, (i * 7 % 100).toDouble))
+        .groupBy(_._1).map { case (k, xs) =>
+          val best = xs.minBy(x => (-x._3, x._2))
+          k -> best._2
+        }
+      assert(top === expect)
+    }
+  }
+
   test("reshard re-buckets the layout; reads and cross-layout joins stay correct") {
     import spark.implicits._
     import graft.sources.dynamo.{DynamoMaintenance, LocalKVStore}
