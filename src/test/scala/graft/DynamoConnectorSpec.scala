@@ -227,6 +227,41 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
   }
 
+  test("streaming sink with transactional=job publishes each epoch atomically") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val ctx = spark.sqlContext
+    val root = freshRoot()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("name", "stock")
+      .writeStream.format("dynamo")
+      .option("path", root).option("tableName", "inv")
+      .option("hashKey", "name").option("update", "true")
+      .option("transactional", "job")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      in.addData(("apple", 1L), ("banana", 2L))
+      q.processAllAvailable()
+      in.addData(("apple", 10L), ("cherry", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every journal file is a transaction file (the per-epoch fence
+    // published the staged handles; no per-shard WAL publishes), and
+    // no staged buffer is left behind
+    val dir = java.nio.file.Paths.get(root, "inv")
+    val names = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    val wal = names.filter(n => n.startsWith("wal-") && n.endsWith(".jsonl"))
+    assert(wal.nonEmpty && wal.forall(_.endsWith("-sall.jsonl")), wal)
+    assert(!names.exists(n => n.startsWith(".") && n.endsWith(".tmp")), names)
+    val back = spark.read.dynamo(root, "inv").orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("stock")))
+    assert(back.toSeq == Seq(("apple", 10L), ("banana", 2L), ("cherry", 3L)))
+  }
+
   test("distributed compaction folds the journal shard-parallel and preserves the view") {
     import spark.implicits._
     val root = freshRoot()
