@@ -707,10 +707,64 @@ final class LocalKVStore(root: String) {
     * DynamoDB bounds at 100 items. Keys validate before staging, so a
     * malformed op aborts the transaction with nothing visible.
     */
-  def transactWrite(table: String, seq: Long, writerId: String, ops: Seq[Op]): Unit = {
+  def transactWrite(table: String, seq: Long, writerId: String, ops: Seq[Op],
+      checks: Seq[TxnCheck] = Nil): Unit = {
     val staged = transactStage(table, seq, writerId, ops)
-    try transactPublish(staged)
-    catch { case e: Throwable => transactDiscard(staged); throw e }
+    try {
+      if (checks.isEmpty) transactPublish(staged)
+      else underTxnLock(table) {
+        // ConditionCheck entries (TransactWriteItems' check-without-
+        // write): evaluated against the CURRENT merged view, any
+        // failure aborts the whole transaction with nothing visible.
+        // The table-level transaction lock serializes check-evaluate-
+        // publish against OTHER transactions (cross-JVM file lock +
+        // in-process monitor); plain per-shard WAL writers are not
+        // serialized — they stay the store's non-atomic model (A14) —
+        // so conditions are serializable against the transactional
+        // world, the same scope DynamoDB's transaction conflicts
+        // arbitrate.
+        val meta = describe(table)
+        checks.foreach { c =>
+          val cur = currentItem(table, meta, c.key)
+          val ok = c match {
+            case TxnCheck.Exists(_) => cur.isDefined
+            case TxnCheck.Absent(_) => cur.isEmpty
+            case TxnCheck.ValueEq(_, attr, expected) =>
+              cur.exists(_.get(attr).contains(expected))
+          }
+          if (!ok) throw new TxnCheckFailedException(
+            s"transaction condition failed on ${keyOf(meta, c.key)}: $c " +
+              s"(current: ${cur.fold("absent")(ItemJson.write)})")
+        }
+        transactPublish(staged)
+      }
+    } catch { case e: Throwable => transactDiscard(staged); throw e }
+  }
+
+  /** The key's current merged item — one owning-shard segment read
+    * (base slice + journal replay), item-proportional like a GetItem.
+    */
+  private def currentItem(table: String, meta: TableMeta, key: Item): Option[Item] = {
+    val canon = keyOf(meta, key) // validates the full primary key too
+    val shard = shardOf(meta, key)
+    scanSegment(table, shard, meta.shards).map(_._1)
+      .find(it => keyOf(meta, it) == canon)
+  }
+
+  /** Cross-JVM + in-process serialization of transactional
+    * check-evaluate-publish sections for one table.
+    */
+  private def underTxnLock[A](table: String)(body: => A): A = {
+    val lockPath = tableDir(table).resolve(".txn.lock")
+    LocalKVStore.jvmLock(lockPath.toString).synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
   }
 
   /** Stage a transaction WITHOUT publishing: ops and their stats land
@@ -1419,7 +1473,35 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** In-process monitor per lock-file path: `FileChannel.lock` only
+    * arbitrates BETWEEN JVMs (a second same-JVM locker throws), so
+    * same-process callers serialize here first.
+    */
+  private[dynamo] def jvmLock(path: String): Object =
+    jvmLocks.computeIfAbsent(path, _ => new Object)
 }
+
+/** TransactWriteItems `ConditionCheck` analogues: conditions on items
+  * the transaction does NOT write, evaluated at publish time; a
+  * failure aborts the whole transaction. The key item must carry the
+  * full primary key.
+  */
+sealed trait TxnCheck { def key: ItemJson.Item }
+object TxnCheck {
+  final case class Exists(key: ItemJson.Item) extends TxnCheck
+  final case class Absent(key: ItemJson.Item) extends TxnCheck
+  final case class ValueEq(key: ItemJson.Item, attr: String,
+      expected: AttrVal) extends TxnCheck
+}
+
+/** A transaction condition did not hold at publish; nothing of the
+  * transaction became visible.
+  */
+final class TxnCheckFailedException(msg: String)
+    extends RuntimeException(msg)
 
 /** Handle to a staged-but-unpublished transaction
   * ([[LocalKVStore.transactStage]]): names the dot-prefixed buffer

@@ -142,6 +142,50 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("transaction condition checks gate the whole transaction") {
+    import graft.sources.dynamo.{TxnCheck, TxnCheckFailedException}
+    val root = Files.createTempDirectory("graft-txn-check").toString
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("pk", None, shards = 4, throughput = 1000000L))
+    def k(s: String): Item = Map("pk" -> AttrVal.S(s))
+    def it(s: String, v: Long): Item = k(s) + ("v" -> AttrVal.N(BigDecimal(v)))
+    def view() = store.scanSegment("t", 0, 1).map(_._1)
+      .map(m => m("pk").asInstanceOf[AttrVal.S].v).toSet
+    store.transactWrite("t", 1L, "w1", Seq(store.Put(it("a", 1L))))
+
+    // all checks hold (exists / absent / value) → the write applies
+    store.transactWrite("t", 2L, "w2", Seq(store.Put(it("b", 2L))),
+      checks = Seq(
+        TxnCheck.Exists(k("a")), TxnCheck.Absent(k("z")),
+        TxnCheck.ValueEq(k("a"), "v", AttrVal.N(BigDecimal(1)))))
+    assert(view() === Set("a", "b"))
+
+    // ANY failing check aborts the WHOLE transaction: the checked
+    // item is untouched, the would-be write never lands, no residue
+    val before = store.walFileNames("t").size
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 3L, "w3",
+        Seq(store.Put(it("c", 3L)), store.Put(it("d", 4L))),
+        checks = Seq(TxnCheck.ValueEq(k("a"), "v", AttrVal.N(BigDecimal(999)))))
+    }
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 4L, "w4", Seq(store.Put(it("c", 3L))),
+        checks = Seq(TxnCheck.Exists(k("nope"))))
+    }
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 5L, "w5", Seq(store.Put(it("c", 3L))),
+        checks = Seq(TxnCheck.Absent(k("a"))))
+    }
+    assert(view() === Set("a", "b"))
+    assert(store.walFileNames("t").size === before) // nothing published
+    // a malformed CHECK key (missing the primary key) also aborts clean
+    intercept[IllegalArgumentException] {
+      store.transactWrite("t", 6L, "w6", Seq(store.Put(it("c", 3L))),
+        checks = Seq(TxnCheck.Exists(Map("other" -> AttrVal.S("x")))))
+    }
+    assert(view() === Set("a", "b"))
+  }
+
   test("transactWrite commits atomically across shards; replay and compaction compose") {
     val root = Files.createTempDirectory("graft-txn").toString
     val store = new LocalKVStore(root)
