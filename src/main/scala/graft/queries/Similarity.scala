@@ -163,6 +163,33 @@ object Similarity {
         .limit(5)
     }),
 
+    // Hard-negative mining — the contrastive-training data op: for
+    // each query vector, the top-3 most-similar vectors whose LABEL
+    // differs (similar-but-not-same-class = the gradient-rich
+    // negatives). Queries broadcast against one linear corpus scan
+    // (the kNN shape fanned out to a query batch); rank on the
+    // ROUNDED score with vec_id tie-break so both engines pick
+    // identical negatives. At 100 TB the query batch stays broadcast-
+    // sized and the corpus side is one scan per batch — or the IVF
+    // path above when the batch grows.
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embDouble(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+                col("emb").as("qe"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neg_id"))))
+        .filter(col("rk") <= 3)
+        .select("q_id", "rk", "neg_id", "cosine")
+        .orderBy("q_id", "rk")
+    }),
+
     // Approximate kNN via hyperplane-sign LSH: bucket id = sign bits
     // of the first 4 dimensions (axis-aligned hyperplanes — a fixed,
     // data-independent quantizer both engines compute identically).
@@ -561,6 +588,26 @@ object Similarity {
         |nq AS (SELECT sqrt(sum(x * x)) AS nb FROM qx)
         |SELECT vec_id, round(dot / (na * nb), 4) AS cosine
         |FROM d, nq ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "q_sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 5),
+        |ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings),
+        |d AS (SELECT q.q_id, ex.vec_id AS neg_id,
+        |             sum(ex.x * q.x) AS dot, sqrt(sum(ex.x * ex.x)) AS na
+        |      FROM ex JOIN q ON ex.i = q.i
+        |       AND ex.label <> q.q_label AND ex.vec_id <> q.q_id
+        |      GROUP BY 1, 2),
+        |nq AS (SELECT q_id, sqrt(sum(x * x)) AS nb FROM q GROUP BY 1),
+        |r AS (SELECT d.q_id, neg_id, round(dot / (na * nb), 4) AS cosine,
+        |             row_number() OVER (PARTITION BY d.q_id
+        |               ORDER BY round(dot / (na * nb), 4) DESC, neg_id) AS rk
+        |      FROM d JOIN nq USING (q_id))
+        |SELECT q_id, rk, neg_id, cosine FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
     "q_sim_knn" ->
       """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
         |                  generate_subscripts(embedding, 1) AS i
