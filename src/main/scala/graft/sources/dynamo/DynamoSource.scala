@@ -1400,18 +1400,20 @@ final class DynamoScan(
       val rate = math.max(0.1, opts.targetCapacity * throughput)
       return Array(DynamoInputPartition(0, 1, rate))
     }
-    // Zone-map-ANSWERED MIN/MAX: when the aggregation is MIN/MAX-only
-    // with nothing below it that stats cannot see (no filters of any
-    // kind, no sample) and the base zone maps describe the merged view
-    // EXACTLY (journal empty — bulk load / compaction wrote them from
-    // the live items; no TTL attribute, whose expiry hides items the
-    // stats still include; no snapshot/GSI/CDC view), the answer IS
-    // the folded stats: plan ONE metadata partition carrying it and
-    // read zero items. At 100 TB, `SELECT min(ts), max(ts) FROM t`
-    // becomes O(shards) sidecar reads — the Parquet-footer-statistics
-    // move, applied to the store. Declines (normal scan) whenever any
-    // per-attribute subtlety (values a typed decode would reject or
-    // coerce, out-of-range numerics) makes the stats inexact.
+    // Zone-map-ANSWERED aggregates: when the aggregation is
+    // min/max/count/integral-sum-only with nothing below it that
+    // stats cannot see (no filters of any kind, no sample, no
+    // TTL/snapshot/GSI/CDC view), the CLEAN shards — no journal
+    // files, so their base sidecars (bulk load / compaction) describe
+    // them exactly — fold into ONE metadata partition, and only the
+    // journal-DIRTY shards plan scan segments; Spark folds the
+    // answered partial with the scanned ones. At 100 TB,
+    // `SELECT min(ts), max(ts) FROM t` under ongoing writes costs
+    // O(shards) sidecar reads plus a scan of just the hot shards —
+    // the Parquet-footer-statistics move, applied to the store.
+    // Declines (normal scan) whenever any per-attribute subtlety
+    // (values a typed decode would reject or coerce, out-of-range
+    // numerics) makes the folded stats inexact.
     if (aggs.nonEmpty && grouped.isEmpty && opts.indexName.isEmpty &&
         !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
         opts.zonePruning && sample.isEmpty &&
@@ -1422,8 +1424,12 @@ final class DynamoScan(
           case PushedAgg.SumOf(_, LongType) => true // exact; double sums are order-sensitive
           case _ => false
         }) {
-      zoneAnswer(store, meta).foreach { vals =>
-        return Array(DynamoZoneAnswerPartition(vals))
+      zoneAnswerPlan(store, meta).foreach { case (vals, scanShards) =>
+        val rate = math.max(0.1,
+          opts.targetCapacity * throughput / math.max(1, scanShards.size))
+        val scans = scanShards.toSeq.sorted.map(sh =>
+          DynamoInputPartition(sh, meta.shards, rate): InputPartition)
+        return (DynamoZoneAnswerPartition(vals) +: scans).toArray
       }
     }
     // Materialized-GSI serve: when the copy is provably fresh — and
@@ -1532,12 +1538,17 @@ final class DynamoScan(
     if (surviving.size < meta.shards) Some(surviving) else None
   }
 
-  /** The MIN/MAX/COUNT(*) answer derived from exact base zone maps,
-    * or None to decline (scan normally). COUNT(*) sums the per-shard
-    * item counters the base sidecars carry (exact under the same
-    * journal-empty condition). Per MIN/MAX attribute, the stats are
-    * usable only when every stored value is one the read schema's
-    * typed decode maps monotonically:
+  /** The aggregate answer over the CLEAN shards plus the dirty-shard
+    * set that must still be scanned; None declines the fast path
+    * entirely. A shard is clean when it has no journal files (its
+    * base sidecar is exact — bulk load / compaction wrote it from the
+    * live items) and its stats are readable+complete; unreadable
+    * clean shards just join the scan set. Transaction journal files
+    * (`-sall`) can land ops in ANY shard, so their presence declines
+    * everything. COUNT(*) sums the clean shards' item counters
+    * (DescribeTable's ItemCount, exact per clean shard). Per MIN/MAX
+    * attribute, the stats are usable only when every stored value is
+    * one the read schema's typed decode maps monotonically:
     *  - numeric fields: only `N` values (an `S`/bool/binary value
     *    would throw in [[Codec]] mid-scan — decline and let the real
     *    scan surface it), integrals additionally within the type's
@@ -1551,11 +1562,24 @@ final class DynamoScan(
     * The answer is carried as wire [[AttrVal]]s and decoded by the
     * same [[Codec]] path a scan would use — bit-identical results.
     */
-  private def zoneAnswer(store: LocalKVStore, meta: TableMeta): Option[Seq[Option[AttrVal]]] = {
-    if (!store.journalEmpty(opts.tableName)) return None
+  private def zoneAnswerPlan(store: LocalKVStore,
+      meta: TableMeta): Option[(Seq[Option[AttrVal]], Set[Int])] = {
+    val dirty = store.journalShards(opts.tableName)
+    if (dirty.contains(LocalKVStore.TxnShard)) return None
     val perShard = store.tableZoneStats(opts.tableName, meta.shards)
-    if (perShard.exists(_.isEmpty)) return None
-    val folded = perShard.flatten.reduceOption(_.union(_)).getOrElse(ShardStats.empty)
+    val scanSet = scala.collection.mutable.Set.empty[Int] ++ dirty
+    var folded = ShardStats.empty
+    (0 until meta.shards).foreach { sh =>
+      if (!scanSet(sh)) perShard(sh) match {
+        case Some(st) => folded = folded.union(st)
+        case None => scanSet += sh // unreadable sidecar: just scan it
+      }
+    }
+    if (scanSet.size >= meta.shards) return None // nothing answerable
+    answerValues(folded).map(vals => (vals, scanSet.toSet))
+  }
+
+  private def answerValues(folded: ShardStats): Option[Seq[Option[AttrVal]]] = {
     if (!folded.complete) return None
     val vals = aggs.map {
       // COUNT(*) = the summed per-shard item counts (DescribeTable's

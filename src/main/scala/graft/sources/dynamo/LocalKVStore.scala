@@ -1333,6 +1333,14 @@ final class LocalKVStore(root: String) {
     */
   def journalEmpty(table: String): Boolean = listFiles(table, "wal-").isEmpty
 
+  /** Shards with published journal files ([[LocalKVStore.TxnShard]]
+    * included when transaction files exist — their ops can land in ANY
+    * shard). A shard NOT in this set serves entirely from its base
+    * file, whose sidecar stats are exact.
+    */
+  def journalShards(table: String): Set[Int] =
+    listFiles(table, "wal-").map(walShard).toSet
+
   /** The zone map covering each shard's CURRENT merged view — `None`
     * per shard where pruning must be declined. A shard's map is the
     * union of the base shard's stats (required whenever a base file

@@ -1975,6 +1975,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
   }
 
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
+    import spark.implicits._
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
       DynamoOptions, DynamoScan, DynamoZoneAnswerPartition, PushedAgg}
     import org.apache.spark.sql.types._
@@ -1997,12 +1998,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
       new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
         .toBatch.planInputPartitions()
 
-    // journal not yet compacted: stats over-approximate → DECLINE
-    // (both the answered plan and the exact numRows statistic)
+    // journal not yet compacted: the journal-DIRTY shards plan scan
+    // segments while the clean (here: empty) shards fold into the
+    // answer partition — the fast path degrades per shard, it doesn't
+    // vanish. The exact numRows statistic stays journal-empty-only.
     assert(store.journalEmpty("fruit") === false)
-    assert(parts().forall(_.isInstanceOf[DynamoInputPartition]))
+    val mixed0 = parts()
+    assert(mixed0.count(_.isInstanceOf[DynamoZoneAnswerPartition]) === 1, mixed0.toSeq)
+    assert(mixed0.exists(_.isInstanceOf[DynamoInputPartition]), mixed0.toSeq)
     assert(!new DynamoScan(opts, schema, Array.empty)
       .estimateStatistics().numRows().isPresent)
+    // end-to-end equality holds on the mixed plan too
+    val preGot = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("a"), max("stock").as("b")).collect()(0)
+    assert((preGot.getDouble(0), preGot.getLong(1)) === ((0.005, 100L)))
 
     // compacted: journal empty, base sidecars exact → ONE metadata
     // partition carrying the answer; the reader emits it with zero
@@ -2038,6 +2047,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert((got.getDouble(0), got.getDouble(1), got.getString(2), got.getLong(3),
       got.getLong(4), got.getLong(5), got.getLong(6)) ===
       ((0.005, 2.5, "apple", 100L, 4L, 4L, 109L)))
+
+    // PARTIAL answering under ongoing writes: one new item dirties
+    // ONE shard — the plan is the clean-shard answer plus exactly the
+    // dirty shard's scan segment, and the folded result includes the
+    // new item
+    Seq(("kiwi", "green", 0.09, 7L)).toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name")
+    val mixed1 = parts()
+    assert(mixed1.count(_.isInstanceOf[DynamoZoneAnswerPartition]) === 1, mixed1.toSeq)
+    assert(mixed1.count(_.isInstanceOf[DynamoInputPartition]) === 1, mixed1.toSeq)
+    val partial = spark.read.dynamo(root, "fruit")
+      .agg(min("weight_kg").as("a"), max("stock").as("b"),
+           count(lit(1)).as("n"), sum("stock").as("s")).collect()(0)
+    assert((partial.getDouble(0), partial.getLong(1), partial.getLong(2),
+      partial.getLong(3)) === ((0.005, 100L, 5L, 116L)))
+    store.compact("fruit")
 
     // a MIXED-TYPE attribute (N and S values) declines: a string-typed
     // read COERCES numbers ("10" < "9"), so stats cannot answer it
