@@ -50,12 +50,12 @@ object DynamoQueries {
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString(",").hashCode.toHexString
-    // v5: zone-map sidecars gained the `other` presence flag, the
-    // per-shard item counter, and per-attribute present/nSum
+    // v6: zone-map sidecars gained the `other` presence flag, the
+    // per-shard item counter, and per-attribute present/nSum/nWhole
     // accumulators — stats written by older builds read back
     // conservative (no stats-answered aggregates), so reseed once
     // rather than serve declined fast paths
-    "/tmp/graft-dynamo-v5/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+    "/tmp/graft-dynamo-v6/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
   }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,

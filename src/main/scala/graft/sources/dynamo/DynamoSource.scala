@@ -1294,10 +1294,16 @@ final class DynamoScan(
     // view hides or adds rows (a pushed sample declines too — its
     // scaled row count would be an estimate, not this exact figure).
     // Catalyst's cost models then see true cardinality, not just
-    // bytes. Filters shrink the actual output below this, which is
-    // the safe direction for planning.
+    // bytes. Spark reads these statistics AFTER pushdown, as the
+    // stats of the post-pushdown scan: a pushed aggregate/group-by/
+    // limit/top-N/offset changes the scan's OUTPUT row count, so any
+    // of them declines — only a plain row scan reports the table
+    // count. Residual filters shrink the actual output below this,
+    // which is the safe direction for planning.
     private val rows: Option[Long] =
-      if (sample.isEmpty && opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
+      if (sample.isEmpty && aggs.isEmpty && grouped.isEmpty &&
+          limit.isEmpty && topN.isEmpty && pushedOffset.isEmpty &&
+          opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
           opts.indexName.isEmpty && store.journalEmpty(opts.tableName)) {
         val meta = store.describe(opts.tableName)
         val per = store.tableZoneStats(opts.tableName, meta.shards)
@@ -1612,21 +1618,39 @@ final class DynamoScan(
           case None => return None
         }
       // SUM over the integral family: the sidecar's exact
-      // arbitrary-precision sum of N values. Long addition the scan
-      // does is ANSI (throws past Long range), so an out-of-range
-      // exact sum declines and the real scan surfaces the error;
-      // in-range sums are bit-identical. No non-null values → null.
+      // arbitrary-precision sum of N values. Usable only when the
+      // scan's per-item decode is the identity on every value — all
+      // values WHOLE (a fractional value truncates per item, so its
+      // exact sum diverges from the sum of truncations) and inside
+      // the FIELD type's own range (out-of-range wraps per item) —
+      // and no intermediate partial sum can overflow long
+      // (present × max|value| bounds every prefix; the scan's ANSI
+      // Math.addExact would throw there, and the fast path must never
+      // return a value where the real plan errors). No non-null
+      // values → null.
       case PushedAgg.SumOf(f, LongType) =>
         folded.attrs.get(f.name) match {
           case None => None // absent attr: SUM over no rows = null
           case Some(as) =>
-            if (as.other || as.sMin.nonEmpty || !integralField(f.dataType))
+            if (as.other || as.sMin.nonEmpty || !as.nWhole ||
+                !integralField(f.dataType))
               return None
+            val (fLo, fHi) = f.dataType match {
+              case ByteType => (BigDecimal(Byte.MinValue), BigDecimal(Byte.MaxValue))
+              case ShortType => (BigDecimal(Short.MinValue), BigDecimal(Short.MaxValue))
+              case IntegerType => (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue))
+              case _ => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+            }
+            if (as.nMin.exists(_ < fLo) || as.nMax.exists(_ > fHi)) return None
             (as.present, as.nSum) match {
               case (Some(0L), _) => None // all-Null or never present
-              case (Some(_), Some(sum))
-                  if sum >= BigDecimal(Long.MinValue) && sum <= BigDecimal(Long.MaxValue) =>
-                Some(AttrVal.N(sum): AttrVal)
+              case (Some(n), Some(sum)) =>
+                val maxAbs = (as.nMin.map(_.abs).toSeq ++ as.nMax.map(_.abs)).maxOption
+                  .getOrElse(BigDecimal(0))
+                if (BigDecimal(n) * maxAbs <= BigDecimal(Long.MaxValue) &&
+                    sum >= BigDecimal(Long.MinValue) && sum <= BigDecimal(Long.MaxValue))
+                  Some(AttrVal.N(sum): AttrVal)
+                else return None
               case _ => return None
             }
         }
@@ -2961,10 +2985,10 @@ private object DynamoTxnFence {
     }.sortBy(_.writerId)
   def publishAll(opts: DynamoOptions, messages: Array[WriterCommitMessage]): Unit = {
     val st = staged(messages)
-    if (st.nonEmpty) {
-      val store = new LocalKVStore(opts.path)
-      st.foreach(store.transactPublish)
-    }
+    if (st.nonEmpty)
+      // under the table transaction lock: the fence's renames must not
+      // interleave with another transaction's check-evaluate-publish
+      new LocalKVStore(opts.path).transactPublishAll(st)
   }
   def discardAll(opts: DynamoOptions, messages: Array[WriterCommitMessage]): Unit = {
     val st = staged(messages)

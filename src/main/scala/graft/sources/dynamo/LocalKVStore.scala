@@ -71,13 +71,21 @@ final case class AttrStats(
       * (the scan's own ANSI sum would throw past it). `None` =
       * pre-field stats file.
       */
-    nSum: Option[BigDecimal] = Some(BigDecimal(0))) {
+    nSum: Option[BigDecimal] = Some(BigDecimal(0)),
+    /** True while every `N` value seen was WHOLE: a fractional value
+      * truncates per-item in an integral-typed decode, so its exact
+      * sum diverges from the scan's sum-of-truncations and the SUM
+      * answer path must decline. False when read from a pre-field
+      * stats file (unknown).
+      */
+    nWhole: Boolean = true) {
   def widen(v: AttrVal): AttrStats = v match {
     case AttrVal.N(n) => copy(
       nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
       nMax = Some(nMax.filter(_ >= n).getOrElse(n)),
       present = present.map(_ + 1L),
-      nSum = nSum.map(_ + n))
+      nSum = nSum.map(_ + n),
+      nWhole = nWhole && n.isWhole)
     case AttrVal.S(s) => copy(
       sMin = Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
       sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)),
@@ -92,7 +100,8 @@ final case class AttrStats(
     (sMax.toSeq ++ o.sMax).maxOption(AttrStats.utf8Order),
     other || o.other,
     for (a <- present; b <- o.present) yield a + b,
-    for (a <- nSum; b <- o.nSum) yield a + b)
+    for (a <- nSum; b <- o.nSum) yield a + b,
+    nWhole && o.nWhole)
 }
 
 object AttrStats {
@@ -162,7 +171,8 @@ object ShardStats {
           "sMin" -> str(s.sMin), "sMax" -> str(s.sMax),
           "other" -> AttrVal.Bool(s.other),
           "present" -> num(s.present.map(BigDecimal(_))),
-          "nSum" -> num(s.nSum)))
+          "nSum" -> num(s.nSum),
+          "nWhole" -> AttrVal.Bool(s.nWhole)))
       })))
   }
 
@@ -176,7 +186,8 @@ object ShardStats {
           // absent in pre-flag files: assume unranged values may exist
           f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true },
           f.get("present").flatMap(num).map(_.toLong),
-          f.get("nSum").flatMap(num))
+          f.get("nSum").flatMap(num),
+          f.get("nWhole") match { case Some(AttrVal.Bool(b)) => b; case _ => false })
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false },
@@ -711,8 +722,12 @@ final class LocalKVStore(root: String) {
       checks: Seq[TxnCheck] = Nil): Unit = {
     val staged = transactStage(table, seq, writerId, ops)
     try {
-      if (checks.isEmpty) transactPublish(staged)
-      else underTxnLock(table) {
+      // EVERY transactional publish runs under the table lock — not
+      // just checked ones. A checkless transaction is a transaction
+      // too: letting it publish between another transaction's
+      // check-evaluation and its rename would yield states no serial
+      // order of the two transactions produces.
+      underTxnLock(table) {
         // ConditionCheck entries (TransactWriteItems' check-without-
         // write): evaluated against the CURRENT merged view, any
         // failure aborts the whole transaction with nothing visible.
@@ -802,11 +817,27 @@ final class LocalKVStore(root: String) {
     }
   }
 
-  /** Publish a staged transaction: stats rename first (a visible
-    * journal file implies visible stats), then the ONE rename that
-    * commits the whole op set.
+  /** Publish a set of staged transactions under each table's
+    * transaction lock (writer-id order within a table, table order
+    * across) — the driver-side commit fence's entry point, serialized
+    * against concurrent `transactWrite`s so condition checks stay
+    * transaction-serializable.
     */
-  def transactPublish(staged: StagedTxn): Unit = {
+  def transactPublishAll(staged: Seq[StagedTxn]): Unit =
+    staged.groupBy(_.table).toSeq.sortBy(_._1).foreach { case (t, sts) =>
+      underTxnLock(t) {
+        sts.sortBy(_.writerId).foreach(transactPublish)
+      }
+    }
+
+  /** Publish ONE staged transaction: stats rename first (a visible
+    * journal file implies visible stats), then the ONE rename that
+    * commits the whole op set. Lock-free internal step — external
+    * callers go through [[transactWrite]] or [[transactPublishAll]],
+    * which hold the table's transaction lock (nesting the lock would
+    * throw: `FileChannel.lock` is not reentrant).
+    */
+  private[dynamo] def transactPublish(staged: StagedTxn): Unit = {
     val seq = staged.seq; val writerId = staged.writerId
     val dir = tableDir(staged.table)
     val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
@@ -1203,24 +1234,33 @@ final class LocalKVStore(root: String) {
   /** Reap dot-prefixed buffer files abandoned by a writer that died
     * without reaching commit OR abort (a hard driver crash between a
     * job-mode stage and its fence, a kill -9 mid-WAL-write). Nothing
-    * references a `.tmp` except its own writer, and the age threshold
-    * — one hour, far above any task lifetime and the CDC pending-tmp
-    * horizon (which treats only YOUNG buffers as live) — keeps every
-    * in-flight writer's buffers safe. Run from full-table compaction:
-    * the maintenance pass that already owns journal lifecycle.
+    * references a `.tmp` except its own writer; two age thresholds
+    * keep in-flight writers safe: per-shard WAL buffers (`-sNNN`)
+    * live only for one TASK, so an hour is far above their lifetime —
+    * but staged TRANSACTION buffers (`-sall`) legitimately wait for
+    * the whole JOB's commit fence, so they get a day (a job-mode
+    * write running past that has bigger problems, and reaping a live
+    * one would let the fence publish a prefix). Run from full-table
+    * compaction: the maintenance pass that already owns journal
+    * lifecycle.
     */
   private[dynamo] def reapStaleTmp(
-      table: String, maxAgeMs: Long = 60L * 60 * 1000): Unit = {
+      table: String,
+      taskAgeMs: Long = 60L * 60 * 1000,
+      jobAgeMs: Long = 24L * 60 * 60 * 1000): Unit = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return
-    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val now = System.currentTimeMillis()
     val stream = Files.list(dir)
     try stream.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith(".") && n.endsWith(".tmp") &&
-          (try Files.getLastModifiedTime(p).toMillis < cutoff
-           catch { case _: java.io.IOException => false })
+        n.startsWith(".") && n.endsWith(".tmp") && {
+          val cutoff =
+            now - (if (n.contains("-sall.")) jobAgeMs else taskAgeMs)
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
+        }
       }
       .toList.foreach(Files.deleteIfExists(_))
     finally stream.close()

@@ -1914,21 +1914,25 @@ class DynamoConnectorSpec extends AnyFunSuite {
     seedFruit(root)
     val store = new LocalKVStore(root)
     val dir = java.nio.file.Paths.get(root, "fruit")
-    // an abandoned job-mode stage (driver died before fence) and an
-    // abandoned plain WAL buffer, both 2 hours old...
+    // an abandoned job-mode stage (25 h — past the JOB threshold), an
+    // abandoned plain WAL buffer (2 h — past the TASK threshold)...
     val stale1 = dir.resolve(".wal-00000000000000000010-dead-sall.jsonl.tmp")
     val stale2 = dir.resolve(".wal-00000000000000000011-dead-s003.jsonl.tmp")
-    // ...and a YOUNG buffer of an in-flight writer
+    // ...a 2-hour-old staged transaction (could be a LIVE long job —
+    // only the day-old threshold applies to -sall), and a young buffer
+    val waiting = dir.resolve(".wal-00000000000000000013-slow-sall.jsonl.tmp")
     val young = dir.resolve(".wal-00000000000000000012-live-sall.jsonl.tmp")
-    Seq(stale1, stale2, young).foreach(p => java.nio.file.Files.write(p,
+    Seq(stale1, stale2, waiting, young).foreach(p => java.nio.file.Files.write(p,
       "x\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
-    java.nio.file.Files.setLastModifiedTime(stale1, old)
-    java.nio.file.Files.setLastModifiedTime(stale2, old)
+    def age(p: java.nio.file.Path, hours: Long) =
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - hours * 60 * 60 * 1000))
+    age(stale1, 25); age(stale2, 2); age(waiting, 2)
     store.compact("fruit")
     assert(!java.nio.file.Files.exists(stale1))
     assert(!java.nio.file.Files.exists(stale2))
+    assert(java.nio.file.Files.exists(waiting))
     assert(java.nio.file.Files.exists(young))
     // and the data is untouched
     assert(spark.read.dynamo(root, "fruit").count() === 4L)

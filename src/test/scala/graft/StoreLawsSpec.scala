@@ -186,6 +186,56 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(view() === Set("a", "b"))
   }
 
+  test("condition checks serialize against concurrent transactions") {
+    import graft.sources.dynamo.{TxnCheck, TxnCheckFailedException}
+    val root = Files.createTempDirectory("graft-txn-serial").toString
+    val store0 = new LocalKVStore(root)
+    store0.createTable("t", TableMeta("pk", None, shards = 4, throughput = 1000000L))
+    def item(v: Long): Item =
+      Map("pk" -> AttrVal.S("ctr"), "v" -> AttrVal.N(BigDecimal(v)))
+    store0.transactWrite("t", 0L, "init", Seq(store0.Put(item(0L))))
+    def readV(st: LocalKVStore): Long =
+      st.scanSegment("t", 0, 1).map(_._1)
+        .find(_("pk") == AttrVal.S("ctr")).get("v")
+        .asInstanceOf[AttrVal.N].v.toLong
+
+    // 8 writers × 5 successful optimistic increments each: a checked
+    // put only lands when the counter still holds the value the
+    // writer read — the classic compare-and-swap loop. Serializable
+    // check-evaluate-publish means every success increments exactly
+    // once: the final value counts the successes, with no lost
+    // updates. (Before the publish lock covered CHECKLESS
+    // transactions too, two increments could interleave and lose one.)
+    val threads = 8
+    val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val st = new LocalKVStore(root)
+            var done = 0
+            var attempt = 0
+            while (done < perThread) {
+              val cur = readV(st)
+              attempt += 1
+              try {
+                st.transactWrite("t", 1000L + t, s"w$t-a$attempt",
+                  Seq(st.Put(item(cur + 1))),
+                  checks = Seq(TxnCheck.ValueEq(
+                    Map("pk" -> AttrVal.S("ctr")), "v",
+                    AttrVal.N(BigDecimal(cur)))))
+                done += 1
+              } catch { case _: TxnCheckFailedException => () /* retry */ }
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(readV(store0) === (threads * perThread).toLong)
+  }
+
   test("transactWrite commits atomically across shards; replay and compaction compose") {
     val root = Files.createTempDirectory("graft-txn").toString
     val store = new LocalKVStore(root)
