@@ -407,6 +407,46 @@ class PushdownLawsSpec extends AnyFunSuite {
     assert(inBlock > 480 && inBlock < 720, s"contiguous block sampled $inBlock of 2000")
   }
 
+  test("zone-answered aggregates equal scanned aggregates on random tables") {
+    // The answer path (metadata partition folded from exact sidecars,
+    // zero items read) vs the same aggregation with zonePruning=false
+    // (normal per-segment pushed-aggregate scan): results must be
+    // IDENTICAL on arbitrary data with nulls and negatives, both on a
+    // fully-compacted table (single answer partition) and with a
+    // dirty journal (partial answer + hot-shard scans).
+    import spark.implicits._
+    val genRow: Gen[(Option[Long], Option[String], Option[Double])] = for {
+      n <- Gen.option(Gen.choose(-1000L, 1000L))
+      s <- Gen.option(Gen.oneOf("a", "bb", "ccc", "Zz", "alpha"))
+      d <- Gen.option(Gen.choose(-50.0, 50.0))
+    } yield (n, s, d)
+    (0 until 12).foreach { it =>
+      // anchor row with every attr present: schema inference samples
+      // stored attrs, and a tiny all-null column would otherwise not
+      // exist in the inferred schema at all
+      val rows = (-1L, Option(0L), Option("anchor"), Option(0.0)) +:
+        samples(genRow, 1 + it * 5).zipWithIndex
+          .map { case ((n, s, d), i) => (i.toLong, n, s, d) }
+      val root = Files.createTempDirectory("graft-zone-law").toString
+      val store = new graft.sources.dynamo.LocalKVStore(root)
+      rows.toDF("id", "n", "s", "d").write.dynamo(root, "t", "id")
+      store.compact("t")
+      def agg(zone: Boolean): Seq[Any] =
+        spark.read.format("dynamo")
+          .option("path", root).option("tableName", "t")
+          .option("zonePruning", zone.toString).load()
+          .agg(min("n"), max("n"), min("s"), max("s"), min("d"), max("d"),
+               count(lit(1)), count(col("n")), count(col("s")), sum("n"),
+               min("id"), max("id"), sum("id"))
+          .collect()(0).toSeq
+      assert(agg(zone = true) === agg(zone = false), s"iteration $it compacted")
+      // dirty the journal: the partial answer must still agree
+      Seq((100000L + it, Option(7L), Option("zz"), Option(1.5)))
+        .toDF("id", "n", "s", "d").write.dynamo(root, "t", "id")
+      assert(agg(zone = true) === agg(zone = false), s"iteration $it dirty")
+    }
+  }
+
   test("NOT over a nullable attribute is pushed and still matches SQL semantics") {
     // The canonical three-valued-logic trap: s IS NULL on some rows.
     val p = !(col("s") === "alpha")
