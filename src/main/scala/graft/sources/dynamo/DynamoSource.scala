@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,6 +52,34 @@ final case class DynamoOptions(
     startingOffsets: String,
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
+    /** Admission control for the CDC/upsert feed: at most this many
+      * journal FILES per micro-batch (the file is the unit of work —
+      * row counts are unknown before reading). Bounds a backlogged
+      * stream's batch size: a feed that fell hours behind catches up
+      * in `maxFilesPerTrigger`-sized steps instead of one giant batch
+      * that must fit executor memory at once. Unset = all available.
+      */
+    maxFilesPerTrigger: Option[Int],
+    /** Write-side clustering request (`RequiresDistributionAndOrdering`),
+      * `off` / `key` / `shard`:
+      *  - `key`: cluster the incoming rows by the partition key — all
+      *    rows of one key land in one task (DynamoDB's partition
+      *    locality), and each task sorts by (hash, range) so journal
+      *    records within a file are key-ordered.
+      *  - `shard`: cluster by the STORE's own placement bucket
+      *    (`bucket(shards, key)` — the same V2 catalog function SPJ
+      *    reads with), so a whole shard's rows converge on one task:
+      *    the job writes O(shards) journal files instead of
+      *    O(tasks × shards). At 1000 executors over 256 shards that is
+      *    256 files vs 256k — the difference between a listable journal
+      *    and file-system meltdown. Catalog-path writes only (the
+      *    `bucket` transform resolves through the table's
+      *    FunctionCatalog); path-based writes use `key`.
+      * Advisory (`distributionStrictlyRequired = false`): AQE may split
+      * a skewed shard's group into several tasks — each still writes
+      * only that shard's file(s).
+      */
+    clusterWrite: String,
     maxPushedGroups: Int,
     /** Zone-map shard pruning (on by default): skip planning segments
       * for shards whose [[ShardStats]] prove a pushed conjunct can
@@ -136,6 +164,13 @@ object DynamoOptions {
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
       cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
       cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L),
+      maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toInt).filter(_ > 0),
+      clusterWrite = opt("clusterWrite").map(_.toLowerCase) match {
+        case None | Some("off") | Some("false") => "off"
+        case Some(m @ ("key" | "shard")) => m
+        case Some(other) => throw new IllegalArgumentException(
+          s"clusterWrite must be off|key|shard, got '$other'")
+      },
       maxPushedGroups = {
         val g = opt("maxPushedGroups").map(_.toInt).getOrElse(65536)
         require(g > 0,
@@ -1877,7 +1912,8 @@ object WalOffset {
 final class DynamoMicroBatchStream(
     opts: DynamoOptions, schema: StructType, pushed: Array[Filter],
     adv: Seq[PredicateV2.VPred] = Nil)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val store = new LocalKVStore(opts.path)
 
@@ -1911,7 +1947,7 @@ final class DynamoMicroBatchStream(
     * ONE directory snapshot. (`~` > `-` makes the fence inclusive of
     * every name sharing its millisecond.)
     */
-  override def latestOffset(): Offset = {
+  private def eligibleNames(): Seq[String] = {
     val (names, floor) =
       store.walListingWithPendingFloor(opts.tableName, opts.cdcPendingTmpMs)
     val clockBound = System.currentTimeMillis() - opts.cdcGraceMs
@@ -1924,9 +1960,66 @@ final class DynamoMicroBatchStream(
     // changes a batch asOf read would have folded, then goes quiet.
     val capped = opts.asOfSeq.fold(bound)(math.min(bound, _))
     val fence = f"wal-$capped%020d~"
-    val eligible = names.filter(_ <= fence)
+    // Trigger.AvailableNow: the run's end goal was pinned at start —
+    // files published after prepare() wait for the next run.
+    val frozen = availableNowFence.fold(fence)(f => if (f < fence) f else fence)
+    names.filter(_ <= frozen)
+  }
+
+  override def latestOffset(): Offset = {
+    val eligible = eligibleNames()
     if (eligible.nonEmpty) lift(eligible.max)
     WalOffset(lastSeen)
+  }
+
+  /** Admission control (`maxFilesPerTrigger` / `Trigger.AvailableNow`):
+    * the journal FILE is the unit of admission — per-file row counts
+    * are unknown before reading, so `ReadMaxFiles` is the limit this
+    * source can honor exactly. A backlogged feed (hours of journal
+    * behind the checkpoint) advances in bounded steps: each trigger
+    * claims the next `maxFiles` eligible names past `start` instead of
+    * the whole backlog, so batch memory/task count stay flat no matter
+    * how far behind the stream fell. Row-based limits pass through as
+    * all-available (documented weaker bound), matching the file
+    * source's behavior for unknowable row counts.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case mf: ReadMaxFiles => Some(mf.maxFiles)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(math.min)
+    case _ => None
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[WalOffset].last
+    val past = eligibleNames().filter(_ > s).sorted
+    val admitted = maxFilesOf(limit).fold(past)(past.take)
+    if (admitted.isEmpty) start
+    else { lift(admitted.max); WalOffset(admitted.max) }
+  }
+
+  /** Uncapped frontier, for progress/lag reporting only — the engine
+    * never plans a batch from this, so no `lift` (the monotone cursor
+    * floors claimable offsets, and reporting must not claim).
+    */
+  override def reportLatestOffset(): Offset = {
+    val frontier = (eligibleNames() :+ lastSeen).max
+    if (frontier.isEmpty) null else WalOffset(frontier)
+  }
+
+  /** `Trigger.AvailableNow` contract: pin the end of the run BEFORE
+    * the first batch, so the query processes exactly the backlog that
+    * existed at start (in `maxFilesPerTrigger` steps, if set) and then
+    * stops — a writer racing the run cannot keep it alive forever.
+    */
+  private var availableNowFence: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowFence = None // compute against the live fence
+    val eligible = eligibleNames()
+    availableNowFence = Some(if (eligible.isEmpty) "" else eligible.max)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -2789,7 +2882,62 @@ final class DynamoWriteBuilder(opts: DynamoOptions, schema: StructType)
 
 final class DynamoWrite(
     opts: DynamoOptions, schema: StructType, truncateFirst: Boolean = false,
-    overwriteWhere: Option[Seq[Either[Filter, PredicateV2.VPred]]] = None) extends Write {
+    overwriteWhere: Option[Seq[Either[Filter, PredicateV2.VPred]]] = None)
+    extends Write with RequiresDistributionAndOrdering {
+
+  /** Placement facts for the clustering request: table meta when the
+    * table exists, declared options for a first write. Empty/partial
+    * keys (or keys missing from the write schema) degrade to an
+    * unspecified distribution — [[WriteSetup.validateSchema]] owns the
+    * actionable error for genuinely key-less writes.
+    */
+  private lazy val placement: (Seq[String], Seq[String], Int) = {
+    val store = new LocalKVStore(opts.path)
+    if (store.exists(opts.tableName)) {
+      val m = store.describe(opts.tableName)
+      (DynamoScan.placementCols(m), Seq(m.hashKey) ++ m.rangeKey, m.shards)
+    } else {
+      val keys = opts.hashKey.toSeq ++ opts.rangeKey
+      (opts.hashKey.toSeq, keys, opts.shards)
+    }
+  }
+  private def clusterable: Boolean =
+    opts.clusterWrite != "off" && placement._2.nonEmpty &&
+      placement._2.forall(schema.fieldNames.contains)
+
+  /** `shard` mode clusters by the store's own placement bucket — the
+    * SAME `graft.dynamo.bucket` function scans report for SPJ, so a
+    * `INSERT INTO t SELECT ... FROM t2` where t2 is bucket-aligned
+    * needs no exchange at all — and `key` mode by the partition-key
+    * column (resolvable without a function catalog). Shard mode makes
+    * the whole job write O(shards) journal files: every shard's rows
+    * converge on one task instead of every task touching every shard.
+    */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    if (!clusterable) Distributions.unspecified()
+    else if (opts.clusterWrite == "shard")
+      Distributions.clustered(Array(
+        v2expr.Expressions.bucket(placement._3, placement._1: _*)))
+    else
+      Distributions.clustered(
+        placement._1.map(c => v2expr.Expressions.column(c): v2expr.Expression).toArray)
+  }
+
+  // Advisory: let AQE split a skewed shard/key group across tasks —
+  // each split still writes only its own shard's files.
+  override def distributionStrictlyRequired(): Boolean = false
+
+  /** Key-sorted tasks write key-clustered journal files: replay and
+    * compaction touch each shard's keys in runs, and the 25-row write
+    * batches hit the rate limiter with locality instead of random
+    * shard hops.
+    */
+  override def requiredOrdering(): Array[v2expr.SortOrder] =
+    if (!clusterable) Array.empty
+    else placement._2.map(c => v2expr.Expressions.sort(
+      v2expr.Expressions.column(c),
+      v2expr.SortDirection.ASCENDING): v2expr.SortOrder).toArray
   override def toBatch: BatchWrite =
     new DynamoBatchWrite(opts, schema, truncateFirst, overwriteWhere)
   override def toStreaming: StreamingWrite = {

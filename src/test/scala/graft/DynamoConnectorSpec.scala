@@ -1387,6 +1387,140 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(stream("0").latestOffset().asInstanceOf[WalOffset].last.nonEmpty)
   }
 
+  test("clusterWrite=shard converges each shard's rows: O(shards) journal files per job") {
+    import spark.implicits._
+    val root = freshRoot()
+    val mk = (t: String) => Seq(("seed", 0L)).toDF("id", "qty")
+      .write.format("dynamo").option("path", root).option("tableName", t)
+      .option("hashKey", "id").option("shards", "4").mode("append").save()
+    mk("clus"); mk("ctrl")
+    val store = new LocalKVStore(root)
+    val before = (store.walFileNames("clus").size, store.walFileNames("ctrl").size)
+
+    val src = Seq.tabulate(200)(i => (f"k$i%04d", i.toLong))
+      .toDF("id", "qty").repartition(8)
+    src.createOrReplaceTempView("cw_src")
+    val prevCat = spark.conf.getOption("spark.sql.catalog.cwcat")
+    try {
+      spark.conf.set("spark.sql.catalog.cwcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.cwcat.path", root)
+      spark.conf.set("spark.sql.catalog.cwcat.clusterWrite", "shard")
+      spark.sql("INSERT INTO cwcat.clus SELECT id, qty FROM cw_src")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cwcat.clusterWrite")
+      spark.conf.unset("spark.sql.catalog.cwcat.path")
+      prevCat.fold(spark.conf.unset("spark.sql.catalog.cwcat"))(
+        spark.conf.set("spark.sql.catalog.cwcat", _))
+    }
+    // every shard's rows landed in one task: at most one journal file
+    // per shard for the whole 8-partition job ...
+    val clusFiles = store.walFileNames("clus").size - before._1
+    assert(clusFiles <= 4, s"clustered write produced $clusFiles journal files")
+    // ... where the unclustered control fans every task across every
+    // shard (8 tasks × up to 4 shards)
+    src.write.format("dynamo").option("path", root).option("tableName", "ctrl")
+      .mode("append").save()
+    val ctrlFiles = store.walFileNames("ctrl").size - before._2
+    assert(ctrlFiles > clusFiles, s"control=$ctrlFiles vs clustered=$clusFiles")
+    // and the clustered write is still a plain correct append
+    assert(spark.read.dynamo(root, "clus").count() === 201L)
+    assert(spark.read.dynamo(root, "clus").where(col("id") === "k0123")
+      .select("qty").as[Long].head() === 123L)
+  }
+
+  test("clusterWrite=key clusters the path-based write by partition key") {
+    import spark.implicits._
+    val root = freshRoot()
+    val src = Seq.tabulate(300)(i => (s"k${i % 3}", i.toLong))
+      .toDF("id", "qty").repartition(8)
+    src.write.format("dynamo").option("path", root).option("tableName", "t")
+      .option("hashKey", "id").option("shards", "8")
+      .option("clusterWrite", "key").mode("append").save()
+    val store = new LocalKVStore(root)
+    // 3 distinct keys → at most 3 (task × shard) journal files, where
+    // 8 unclustered tasks each touching up to 3 shards could write 24
+    assert(store.walFileNames("t").size <= 3)
+    // puts upsert by key: 3 live items remain
+    assert(spark.read.dynamo(root, "t").count() === 3L)
+  }
+
+  test("maxFilesPerTrigger admits a journal backlog in bounded file steps") {
+    import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 1, throughput = 1000))
+    (1 to 5).foreach { i =>
+      store.appendWal("t", i.toLong, "w", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+    }
+    val s = new DynamoMicroBatchStream(
+      DynamoOptions(java.util.Map.of(
+        "path", root, "tableName", "t", "maxFilesPerTrigger", "2")),
+      new org.apache.spark.sql.types.StructType(), Array.empty)
+    assert(s.getDefaultReadLimit.asInstanceOf[ReadMaxFiles].maxFiles === 2)
+    // a 5-file backlog drains 2/2/1, not in one giant batch
+    val start = WalOffset("")
+    val o1 = s.latestOffset(start, s.getDefaultReadLimit)
+    assert(s.planInputPartitions(start, o1).length === 2)
+    val o2 = s.latestOffset(o1, s.getDefaultReadLimit)
+    assert(s.planInputPartitions(o1, o2).length === 2)
+    val o3 = s.latestOffset(o2, s.getDefaultReadLimit)
+    assert(s.planInputPartitions(o2, o3).length === 1)
+    // caught up: the offset stands still, and the lag report agrees
+    assert(s.latestOffset(o3, s.getDefaultReadLimit) === o3)
+    assert(s.reportLatestOffset() === o3)
+    // mid-drain, the report already shows the true frontier (lag
+    // observability), while the claimable offset stays capped
+    assert(o1 !== o3)
+  }
+
+  test("Trigger.AvailableNow pins the run's end goal before the first batch") {
+    import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 1, throughput = 1000))
+    (1 to 3).foreach { i =>
+      store.appendWal("t", i.toLong, "w", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+    }
+    val s = new DynamoMicroBatchStream(
+      DynamoOptions(java.util.Map.of("path", root, "tableName", "t")),
+      new org.apache.spark.sql.types.StructType(), Array.empty)
+    s.prepareForTriggerAvailableNow()
+    // a writer racing the run publishes after prepare(): not claimable
+    store.appendWal("t", 99L, "w", Seq(store.Put(Map("id" -> AttrVal.S("late")))))
+    val end = s.latestOffset(WalOffset(""), ReadLimit.allAvailable())
+    assert(s.planInputPartitions(WalOffset(""), end).length === 3)
+    // the run terminates: no further offset past the pinned fence
+    assert(s.latestOffset(end, ReadLimit.allAvailable()) === end)
+  }
+
+  test("streaming with maxFilesPerTrigger drains the backlog across micro-batches") {
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    val backlog = store.walFileNames("fruit").size
+    assert(backlog > 0)
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.addAndGet(df.count()); batches.incrementAndGet(); ()
+      }
+      .start()
+    try {
+      assert(q.awaitTermination(120000))
+      // one journal file per micro-batch: the engine honored the cap
+      assert(batches.get() === backlog)
+      assert(rows.get() === 4L) // the 4 seeded PUT records
+    } finally q.stop()
+  }
+
   test("streaming read replays the journal as a CDC feed and tails new writes") {
     import spark.implicits._
     val root = freshRoot()
