@@ -1349,6 +1349,64 @@ final class DynamoScan(
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
       rows.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+
+    /** Column-level statistics for Catalyst's CBO, folded from the
+      * same zone-map sidecars ([[ShardStats]]) that answer aggregates:
+      * per-attribute null counts (items − present) and numeric
+      * min/max. Reported only under the EXACT-row gate above (journal
+      * empty, no view options, no output-shaping pushdown) — then the
+      * base sidecars describe the merged view precisely. Per
+      * attribute, every shard must either track it or have a COMPLETE
+      * attr map (absence from a complete map proves zero occurrences;
+      * absence from a saturated map proves nothing — decline).
+      * Min/max only for single-family numeric attrs whose sidecar
+      * bounds decode exactly through the same integral/fractional
+      * rules as the SUM answer path; pushed filters may shrink the
+      * real output below these stats, the same safe over-approximation
+      * direction `numRows` documents. With `spark.sql.cbo.enabled`,
+      * join/filter selectivity then estimates from true ranges and
+      * null fractions instead of bytes alone.
+      */
+    override def columnStats(): util.Map[v2expr.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val out = new util.HashMap[v2expr.NamedReference, ColumnStatistics]()
+      if (rows.isEmpty) return out
+      val total = rows.get
+      val meta = store.describe(opts.tableName)
+      val per = store.tableZoneStats(opts.tableName, meta.shards).flatten
+      def cvt(dt: DataType, v: BigDecimal, whole: Boolean): Option[Object] = dt match {
+        case LongType if whole && v.isValidLong => Some(java.lang.Long.valueOf(v.toLong))
+        case IntegerType if whole && v.isValidInt => Some(java.lang.Integer.valueOf(v.toInt))
+        case DoubleType => Some(java.lang.Double.valueOf(v.toDouble))
+        case _ => None
+      }
+      schema.fields.iterator.filterNot(f => metaNames(f.name)).foreach { f =>
+        val reliable = per.nonEmpty &&
+          per.forall(s => s.attrs.contains(f.name) || s.complete)
+        if (reliable) {
+          val folded = per.map(_.attrs.getOrElse(f.name, AttrStats.empty))
+            .reduce(_ union _)
+          val nullCnt = folded.present.map(p => math.max(0L, total - p))
+          val minMax = if (folded.other || folded.sMin.isDefined) None
+            else for {
+              lo <- folded.nMin; hi <- folded.nMax
+              l <- cvt(f.dataType, lo, folded.nWhole)
+              h <- cvt(f.dataType, hi, folded.nWhole)
+            } yield (l, h)
+          if (nullCnt.isDefined || minMax.isDefined)
+            out.put(v2expr.Expressions.column(f.name), new ColumnStatistics {
+              override def nullCount(): util.OptionalLong =
+                nullCnt.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                minMax.fold(java.util.Optional.empty[Object]())(m => java.util.Optional.of(m._1))
+              override def max(): java.util.Optional[Object] =
+                minMax.fold(java.util.Optional.empty[Object]())(m => java.util.Optional.of(m._2))
+            })
+        }
+      }
+      out
+    }
   }
 
   /** Storage-partitioned layout report: when the scan plans ONE

@@ -2223,6 +2223,42 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(pure.length === 1 && pure.head.isInstanceOf[DynamoZoneAnswerPartition])
   }
 
+  test("column statistics fold from the sidecars under the exact-row gate") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    seedFruit(root)
+    // one extra row with a NULL color: null counts must see it
+    Seq(("kiwi", null: String, 0.09, 7L))
+      .toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name")
+    val store = new LocalKVStore(root)
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "fruit"))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("color", StringType),
+      StructField("weight_kg", DoubleType), StructField("stock", LongType)))
+    def cs() = new DynamoScan(opts, schema, Array.empty)
+      .estimateStatistics().columnStats()
+    // journal dirty: the exact-row gate declines, no column stats
+    assert(cs().isEmpty)
+    store.compact("fruit")
+    val m = cs()
+    val stock = m.get(Expressions.column("stock"))
+    assert(stock.min().get() === java.lang.Long.valueOf(1L))
+    assert(stock.max().get() === java.lang.Long.valueOf(100L))
+    assert(stock.nullCount().getAsLong === 0L)
+    val w = m.get(Expressions.column("weight_kg"))
+    assert(w.min().get() === java.lang.Double.valueOf(0.005))
+    assert(w.max().get() === java.lang.Double.valueOf(2.5))
+    // string attrs report the null count but claim no numeric range
+    val color = m.get(Expressions.column("color"))
+    assert(!color.min().isPresent && !color.max().isPresent)
+    assert(color.nullCount().getAsLong === 1L) // the kiwi row
+    assert(m.get(Expressions.column("name")).nullCount().getAsLong === 0L)
+  }
+
   test("GSI grouped-agg push: complete over a fresh copy, pinned across a staling write") {
     import spark.implicits._
     val root = freshRoot()
