@@ -14,7 +14,134 @@ import org.apache.spark.sql.functions._
   */
 object Scans {
 
+  // TPC-H SQL shared verbatim between the Spark query and the DuckDB
+  // oracle — ONE constant per statement so the two sides cannot drift.
+
+  /** Q4 (order-priority checking), adapted: the fixture schema carries
+    * no commit/receipt dates, so the EXISTS probes discounted
+    * lineitems instead — the plan shape (correlated EXISTS lowered to
+    * a left-semi join feeding a grouped count) is exactly Q4's.
+    */
+  private val tpchQ4 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT * FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q8 (national market share): the widest flagship join — 8 relation
+    * instances (nation twice) reduced by two dimension filters before
+    * a two-level conditional aggregate. At 100 TB the plan property
+    * that matters is join ORDER: region/part filters must cut
+    * customer/supplier fan-out before lineitem joins, and every
+    * dimension side broadcasts.
+    */
+  private val tpchQ8 =
+    """SELECT o_year,
+      |       round(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END)
+      |             / sum(volume), 4) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |         l_extendedprice * (1 - l_discount) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                        AND TIMESTAMP '1996-12-31 00:00:00'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q13 (customer distribution): LEFT OUTER join preserved through a
+    * double aggregate — the classic two-shuffle shape whose first
+    * grouping key (c_custkey) is the join key, so Catalyst reuses the
+    * join exchange for the first aggregate.
+    */
+  private val tpchQ13 =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15 (top supplier): a CTE consumed twice — once as the join input
+    * and once under a scalar-subquery max. Revenue is rounded INSIDE
+    * the CTE so the equality gate compares identical doubles on both
+    * engines.
+    */
+  private val tpchQ15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q22 (global sales opportunity), adapted: no phone column, so the
+    * country code is the nation key and the "no recent orders" gate is
+    * value-based — the shape (scalar-subquery average filter + NOT
+    * EXISTS anti-join + grouped rollup) is Q22's.
+    */
+  private val tpchQ22 =
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |       round(sum(c_acctbal), 2) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                     WHERE c_acctbal > 0.00)
+      |    AND NOT EXISTS (SELECT * FROM orders
+      |                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |) custsale
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sql_tpch_q4" -> ((s, dir) => {
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(tpchQ4)
+    }),
+
+    "q_sql_tpch_q8" -> ((s, dir) => {
+      Fixtures.part(s, dir).createOrReplaceTempView("part")
+      Fixtures.supplier(s, dir).createOrReplaceTempView("supplier")
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.nation(s, dir).createOrReplaceTempView("nation")
+      Fixtures.region(s, dir).createOrReplaceTempView("region")
+      s.sql(tpchQ8)
+    }),
+
+    "q_sql_tpch_q13" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(tpchQ13)
+    }),
+
+    "q_sql_tpch_q15" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Fixtures.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(tpchQ15)
+    }),
+
+    "q_sql_tpch_q22" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(tpchQ22)
+    }),
+
     "q_scan_full" -> ((s, dir) =>
       Fixtures.nation(s, dir).orderBy("n_nationkey")),
 
@@ -302,6 +429,11 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q4" -> tpchQ4,
+    "q_sql_tpch_q8" -> tpchQ8,
+    "q_sql_tpch_q13" -> tpchQ13,
+    "q_sql_tpch_q15" -> tpchQ15,
+    "q_sql_tpch_q22" -> tpchQ22,
     "q_sql_recursive" ->
       """WITH RECURSIVE mo(k) AS (
         |  SELECT 1 UNION ALL SELECT k + 1 FROM mo WHERE k < 12)
