@@ -207,6 +207,37 @@ object Dedup {
         .select("doc_id", "dup_cnt")
         .orderBy("doc_id")),
 
+    // PREFIX dedup — boilerplate/truncation duplicates share a head
+    // even when tails differ (crawl mirrors, pagination cutoffs).
+    // Same constant-shuffle-width shape as the fingerprint key: the
+    // 32-byte prefix hash is the grouping key, never the text.
+    "q_dedup_prefix" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .groupBy(sha2(substring(col("text"), 1, 200), 256).as("pfx"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select("keeper", "n_docs")
+        .orderBy("keeper")),
+
+    // Cross-source duplication matrix — which source pairs share
+    // duplicated documents (mirror detection, and the contamination
+    // rate between any two corpus slices). Keyed on the 200-char
+    // PREFIX fingerprint (this corpus duplicates heads, not whole
+    // bodies — see q_dedup_prefix); the self-join meets only inside
+    // true duplicate groups, and output is one row per source pair.
+    "q_dedup_crosssource" -> ((s, dir) => {
+      val h = Fixtures.documents(s, dir)
+        .select(sha2(substring(col("text"), 1, 200), 256).as("th"),
+          col("source"), col("doc_id"))
+      h.as("a").join(h.as("b"),
+          col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+        .select(least(col("a.source"), col("b.source")).as("src_a"),
+          greatest(col("a.source"), col("b.source")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // INCREMENTAL dedup — the recurring-crawl shape: the corpus below
     // doc_id 400 is already deduplicated and summarized as a
     // fingerprint set; only the NEW batch hashes and joins against it
@@ -384,6 +415,19 @@ object Dedup {
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q_dedup_prefix" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY sha256(substring(text, 1, 200))
+        |HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
+    "q_dedup_crosssource" ->
+      """WITH h AS (SELECT sha256(substring(text, 1, 200)) AS th,
+        |                  source, doc_id FROM documents)
+        |SELECT least(a.source, b.source) AS src_a,
+        |       greatest(a.source, b.source) AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM h a JOIN h b ON a.th = b.th AND a.doc_id < b.doc_id
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_incremental" ->
       """WITH base AS (SELECT DISTINCT sha256(text) AS fp
         |              FROM documents WHERE doc_id < 400),

@@ -69,6 +69,22 @@ object TextAnalysis {
             * 10000 + 0.5).as("score_x1e4"))
         .orderBy("doc_id")),
 
+    // Curriculum quality binning: per-document TTR score → ABSOLUTE
+    // score bands (score/1000, capped at bin 9), with per-bin document
+    // and token budgets — what a data-mixing config consumes. Banding
+    // by fixed thresholds (not rank deciles) keeps the whole query
+    // map-side + one 10-group aggregate: no global sort, no window,
+    // nothing that needs a total order over 100 TB of documents.
+    "q_quality_bins" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+          floor(size(array_distinct(split(col("text"), " ")))
+            / size(split(col("text"), " ")) * 10000 + 0.5).as("score"))
+        .groupBy(least(floor(col("score") / 1000), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .orderBy("bin")),
+
     // Token counting two ways: whitespace split vs a BPE-ish regex
     // (letter/digit runs + single punctuation) — the pre-tokenizer
     // shape BPE vocabularies use. Pure per-row expressions.
@@ -632,6 +648,17 @@ object TextAnalysis {
         |         row_number() OVER (PARTITION BY doc_id
         |                            ORDER BY score DESC, plang) AS rk
         |  FROM sc) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_quality_bins" ->
+      """WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |  CAST(floor(len(list_distinct(string_split(text, ' ')))
+        |       / len(string_split(text, ' ')) * 10000 + 0.5) AS BIGINT) AS score
+        |FROM documents)
+        |SELECT least(CAST(floor(score / 1000) AS BIGINT), 9) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(score) AS min_score, max(score) AS max_score
+        |FROM f GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_text_quality" ->
       """WITH f AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tok,
