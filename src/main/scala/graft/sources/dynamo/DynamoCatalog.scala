@@ -78,7 +78,31 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
   private def schemaPath(table: String) =
     java.nio.file.Paths.get(root, table, "schema.json")
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** SQL time travel over the WAL journal (the `asOfSeq` read option
+    * surfaced as standard syntax): `VERSION AS OF <seq>` addresses the
+    * journal's publish-sequence space directly (epoch-millis — the
+    * number a CDC offset or `walFileNames` exposes), and
+    * `TIMESTAMP AS OF <ts>` maps Spark's microsecond timestamp into
+    * the same space, since publish sequences ARE clock stamps. The
+    * snapshot reaches back to the last compaction (compaction folds
+    * and deletes the journal); the scan builder rejects writes against
+    * a time-travel relation.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF on a dynamo table takes a journal sequence " +
+          s"(epoch-millis publish stamp), got '$version'")
+    }
+    loadAt(ident, Some(seq))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadAt(ident, Some(timestampMicros / 1000L))
+
+  private def loadAt(ident: Identifier, asOfSeq: Option[Long]): Table = {
     if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
     // DDL-declared schema wins (authoritative types, works on an empty
     // table); tables seeded through the path-based writer fall back to
@@ -88,7 +112,9 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
       if (java.nio.file.Files.isRegularFile(sp))
         DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
       else Codec.inferSchema(store.samplePage(ident.name()))
-    new DynamoTable(tableOpts(ident.name()), schema, acceptAnySchema = false)
+    val opts = asOfSeq.fold(tableOpts(ident.name()))(seq =>
+      tableOpts(ident.name()).copy(asOfSeq = Some(seq)))
+    new DynamoTable(opts, schema, acceptAnySchema = false)
   }
 
   override def createTable(

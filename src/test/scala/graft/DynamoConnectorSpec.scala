@@ -2223,6 +2223,43 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(pure.length === 1 && pure.head.isInstanceOf[DynamoZoneAnswerPartition])
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF read a journal snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 rows
+    Thread.sleep(15)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(15)
+    Seq(("elderberry", "purple", 0.01, 9L))
+      .toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name") // 5th row, after the cut
+    val prev = spark.conf.getOption("spark.sql.catalog.ttcat")
+    try {
+      spark.conf.set("spark.sql.catalog.ttcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.ttcat.path", root)
+      assert(spark.sql("SELECT count(*) AS c FROM ttcat.fruit")
+        .head().getLong(0) === 5L)
+      // VERSION AS OF addresses the journal's publish-seq space
+      assert(spark.sql(s"SELECT count(*) AS c FROM ttcat.fruit VERSION AS OF $cut")
+        .head().getLong(0) === 4L)
+      // TIMESTAMP AS OF maps into the same space (session tz is UTC)
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(cut))
+      assert(spark.sql(s"SELECT count(*) AS c FROM ttcat.fruit TIMESTAMP AS OF '$ts'")
+        .head().getLong(0) === 4L)
+      // the snapshot is row-accurate, not just a count
+      assert(spark.sql(s"SELECT name FROM ttcat.fruit VERSION AS OF $cut")
+        .collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("apple", "banana", "cherry", "durian"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ttcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.ttcat"))(
+        spark.conf.set("spark.sql.catalog.ttcat", _))
+    }
+  }
+
   test("column statistics fold from the sidecars under the exact-row gate") {
     import spark.implicits._
     import graft.sources.dynamo.{DynamoOptions, DynamoScan}
