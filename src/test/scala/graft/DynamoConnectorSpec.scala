@@ -2296,6 +2296,24 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(m.get(Expressions.column("name")).nullCount().getAsLong === 0L)
   }
 
+  test("Catalyst's optimizer sees the sidecar column stats end-to-end") {
+    val root = freshRoot()
+    seedFruit(root)
+    new LocalKVStore(root).compact("fruit")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.dynamo(root, "fruit").select("name", "stock")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(4)), stats)
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val stock = byName("stock")
+      assert(stock.min.contains(1L) && stock.max.contains(100L), stock)
+      assert(stock.nullCount.contains(BigInt(0)), stock)
+    } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("GSI grouped-agg push: complete over a fresh copy, pinned across a staling write") {
     import spark.implicits._
     val root = freshRoot()
