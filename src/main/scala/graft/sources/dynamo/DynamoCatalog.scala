@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, SupportsWrite, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.{expressions => v2expr}
@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog, so only catalog-loaded tables get the shuffle-free plan —
   * the reason this class exists.
   */
-class DynamoCatalog extends TableCatalog with FunctionCatalog {
+class DynamoCatalog extends TableCatalog with FunctionCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -67,6 +68,8 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
       val s = java.nio.file.Files.list(dir)
       try s.iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p.resolve("meta.json")))
+        // in-flight CTAS staging dirs are not tables yet
+        .filterNot(_.getFileName.toString.startsWith(".stage-"))
         .map(p => Identifier.of(namespace, p.getFileName.toString))
         .toArray
       finally s.close()
@@ -241,8 +244,57 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** RENAME TABLE — one atomic directory move. Nothing under a table
+    * dir embeds the table name (meta/schema/shards/WAL/GSI files are
+    * all name-relative), so the move IS the rename. As non-atomic
+    * against concurrent writers as the rest of the store (A14): a
+    * writer holding the old path mid-job publishes into a recreated
+    * old-name dir, exactly like DynamoDB's delete-and-recreate dance
+    * (which has no rename at all).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!store.exists(oldIdent.name())) throw new NoSuchTableException(oldIdent)
+    if (store.exists(newIdent.name())) throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, oldIdent.name()),
+      java.nio.file.Paths.get(root, newIdent.name()),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ----------------------
+  //
+  // CREATE TABLE AS SELECT through a plain TableCatalog is two visible
+  // steps (create, then append) — a failed query leaves an empty or
+  // half-written table behind, and readers can observe it. Staging
+  // writes the WHOLE result into a hidden `.stage-*` directory first;
+  // commit is ONE atomic directory move into the final name, abort
+  // deletes the staging dir. A CTAS either exists complete or not at
+  // all — the DDL-level counterpart of the transactional write modes.
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replacing: Boolean): StagedTable = {
+    if (!replacing && store.exists(ident.name()))
+      throw new TableAlreadyExistsException(ident)
+    val tmp = s".stage-${ident.name()}-${System.currentTimeMillis()}"
+    val inner = createTable(Identifier.of(ident.namespace(), tmp),
+      schema, partitions, properties).asInstanceOf[DynamoTable]
+    new DynamoStagedTable(inner, root, tmp, ident, replacing)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replacing = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replacing = true)
 
   // ---- FunctionCatalog: the bucket transform the scans report ----
 
@@ -252,6 +304,59 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") DynamoBucketFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** A CTAS/RTAS staging handle: all writes land in the hidden
+  * `.stage-*` table; [[commitStagedChanges]] publishes it with ONE
+  * atomic directory move (replace: the old table moves to a trash dir
+  * first, so the final name flips old→new in a single rename — a
+  * reader caught mid-replace sees old or new, never a blend), and
+  * [[abortStagedChanges]] deletes the staging dir leaving no trace.
+  */
+private final class DynamoStagedTable(
+    inner: DynamoTable, root: String, tmpName: String,
+    finalIdent: Identifier, replacing: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  override def name(): String = finalIdent.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val tmp = java.nio.file.Paths.get(root, tmpName)
+    val fin = java.nio.file.Paths.get(root, finalIdent.name())
+    if (java.nio.file.Files.exists(fin)) {
+      if (!replacing) {
+        deleteDir(tmp)
+        throw new TableAlreadyExistsException(finalIdent)
+      }
+      // move the old table aside so the final name swaps in one rename
+      val trash = java.nio.file.Paths.get(root, s"$tmpName-replaced")
+      java.nio.file.Files.move(fin, trash,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(tmp, fin,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      deleteDir(trash)
+    } else {
+      java.nio.file.Files.move(tmp, fin,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    deleteDir(java.nio.file.Paths.get(root, tmpName))
 }
 
 /** The store's shard function as a V2 catalog function. Two scans'
