@@ -1451,8 +1451,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val store = new LocalKVStore(root)
     store.createTable("t", TableMeta("id", None, shards = 1, throughput = 1000))
     (1 to 5).foreach { i =>
-      store.appendWal("t", i.toLong, "w", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+      store.appendWal("t", i.toLong, s"w$i", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
     }
+    Thread.sleep(15) // let the clock fence pass every publish stamp
     val s = new DynamoMicroBatchStream(
       DynamoOptions(java.util.Map.of(
         "path", root, "tableName", "t", "maxFilesPerTrigger", "2")),
@@ -1474,6 +1475,41 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(o1 !== o3)
   }
 
+  test("capped CDC drains compose to the uncapped frontier (property)") {
+    import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    for (n <- Seq(1, 4, 9); cap <- Seq(1, 2, 3, 100)) {
+      val root = freshRoot()
+      val store = new LocalKVStore(root)
+      store.createTable("t", TableMeta("id", None, shards = 2, throughput = 1000))
+      (1 to n).foreach { i =>
+        store.appendWal("t", i.toLong, s"w$i", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+      }
+      Thread.sleep(15) // let the clock fence pass every publish stamp
+      val s = new DynamoMicroBatchStream(
+        DynamoOptions(java.util.Map.of("path", root, "tableName", "t")),
+        new org.apache.spark.sql.types.StructType(), Array.empty)
+      val uncapped = s.latestOffset(WalOffset(""), ReadLimit.allAvailable())
+      var at: org.apache.spark.sql.connector.read.streaming.Offset = WalOffset("")
+      var total = 0
+      var steps = 0
+      while ({
+        val nxt = s.latestOffset(at, ReadLimit.maxFiles(cap))
+        val stepFiles = s.planInputPartitions(at, nxt).length
+        assert(stepFiles <= cap, s"n=$n cap=$cap: batch of $stepFiles files")
+        if (nxt != at) {
+          assert(nxt.asInstanceOf[WalOffset].last > at.asInstanceOf[WalOffset].last)
+          total += stepFiles; at = nxt; steps += 1; true
+        } else false
+      }) ()
+      // every file delivered exactly once, ending at the same frontier
+      // the uncapped claim reaches, in ceil(n/cap) steps
+      assert(total === n, s"n=$n cap=$cap delivered $total")
+      assert(at === uncapped)
+      assert(steps === (n + cap - 1) / cap)
+    }
+  }
+
   test("Trigger.AvailableNow pins the run's end goal before the first batch") {
     import graft.sources.dynamo.{AttrVal, DynamoMicroBatchStream, DynamoOptions, WalOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -1481,8 +1517,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val store = new LocalKVStore(root)
     store.createTable("t", TableMeta("id", None, shards = 1, throughput = 1000))
     (1 to 3).foreach { i =>
-      store.appendWal("t", i.toLong, "w", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+      store.appendWal("t", i.toLong, s"w$i", Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
     }
+    Thread.sleep(15) // let the clock fence pass every publish stamp
     val s = new DynamoMicroBatchStream(
       DynamoOptions(java.util.Map.of("path", root, "tableName", "t")),
       new org.apache.spark.sql.types.StructType(), Array.empty)
@@ -2221,6 +2258,65 @@ class DynamoConnectorSpec extends AnyFunSuite {
       aggs = Seq(PushedAgg.MinOf(StructField("name", StringType))))
       .toBatch.planInputPartitions()
     assert(pure.length === 1 && pure.head.isInstanceOf[DynamoZoneAnswerPartition])
+  }
+
+  test("CTAS/RTAS are atomic: one-move publish, failed CTAS leaves no trace") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    Seq.tabulate(50)(i => (f"k$i%03d", i.toLong)).toDF("id", "qty")
+      .createOrReplaceTempView("ct_src")
+    val prev = spark.conf.getOption("spark.sql.catalog.ctcat")
+    try {
+      spark.conf.set("spark.sql.catalog.ctcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.ctcat.path", root)
+      spark.sql("CREATE TABLE ctcat.ct TBLPROPERTIES('hashKey'='id') " +
+        "AS SELECT id, qty FROM ct_src")
+      assert(spark.table("ctcat.ct").count() === 50L)
+      // a failing CTAS aborts the staging dir: no table, no residue
+      intercept[Throwable] {
+        spark.sql("CREATE TABLE ctcat.ct2 TBLPROPERTIES('hashKey'='id') " +
+          "AS SELECT id, CAST(raise_error('poison') AS BIGINT) AS qty FROM ct_src")
+      }
+      assert(!new LocalKVStore(root).exists("ct2"))
+      val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try assert(!leftover.iterator().asScala.exists(
+        _.getFileName.toString.startsWith(".stage-")))
+      finally leftover.close()
+      // RTAS: the final name flips old->new in one rename
+      spark.sql("REPLACE TABLE ctcat.ct TBLPROPERTIES('hashKey'='id') " +
+        "AS SELECT id, qty * 2 AS qty FROM ct_src")
+      assert(spark.table("ctcat.ct").agg(sum("qty")).head().getLong(0) ===
+        2L * (0 until 50).sum)
+      // and the staged table never appeared in listings mid-flight
+      assert(spark.sql("SHOW TABLES IN ctcat").collect()
+        .map(_.getString(1)).toSet === Set("ct"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ctcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.ctcat"))(
+        spark.conf.set("spark.sql.catalog.ctcat", _))
+    }
+  }
+
+  test("RENAME TABLE moves the whole table in one atomic step") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val prev = spark.conf.getOption("spark.sql.catalog.rncat")
+    try {
+      spark.conf.set("spark.sql.catalog.rncat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.rncat.path", root)
+      spark.sql("ALTER TABLE rncat.fruit RENAME TO produce")
+      assert(!new LocalKVStore(root).exists("fruit"))
+      assert(spark.table("rncat.produce").count() === 4L)
+      // journal + sidecars traveled with the directory
+      assert(spark.table("rncat.produce")
+        .where(col("name") === "cherry").count() === 1L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rncat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.rncat"))(
+        spark.conf.set("spark.sql.catalog.rncat", _))
+    }
   }
 
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF read a journal snapshot") {
