@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the reason this class exists.
   */
 class DynamoCatalog extends TableCatalog with FunctionCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -296,6 +297,22 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
     stage(ident, schema, partitions, properties, replacing = true)
 
+  // ---- ProcedureCatalog: store maintenance as SQL CALL ------------
+  //
+  // DynamoDB's admin APIs (UpdateTable, TTL deletion, index backfill)
+  // surfaced as Spark 4 stored procedures over the DISTRIBUTED
+  // maintenance jobs — `CALL dyn.compact('t')` runs the shard-parallel
+  // fold, not a driver loop. Each returns a one-row summary.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    DynamoProcedures.names.map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    DynamoProcedures.load(root, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()}; available: " +
+          DynamoProcedures.names.mkString(", ")))
+
   // ---- FunctionCatalog: the bucket transform the scans report ----
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -304,6 +321,107 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") DynamoBucketFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** Store maintenance as Spark 4 stored procedures (`CALL dyn.<p>(…)`):
+  * every body dispatches to the DISTRIBUTED [[DynamoMaintenance]] job
+  * (one task per shard) through `SparkSession.active`, so `CALL` is a
+  * cluster operation, not a driver loop — the way table maintenance
+  * must run when a shard holds a terabyte. Each returns a one-row
+  * summary through a driver-side [[org.apache.spark.sql.connector.read.LocalScan]].
+  */
+private object DynamoProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Array[String] =
+    Array("compact", "build_index", "reshard", "reap_expired")
+
+  def load(root: String, name: String): Option[UnboundProcedure] = name match {
+    case "compact" => Some(proc(name,
+      "fold every shard's journal into its base file (one task per shard); " +
+        "refresh materialized GSI copies; reclaim sealed transaction files",
+      Array(ProcedureParameter.in("table", StringType).build())) { in =>
+      val t = in.getUTF8String(0).toString
+      DynamoMaintenance.compact(org.apache.spark.sql.SparkSession.active, root, t)
+      summary("table" -> t, "journal_empty" -> true)
+    })
+    case "build_index" => Some(proc(name,
+      "distributed GSI backfill: one task per base shard streams into " +
+        "per-index-shard part files; freshness marker stamped from the " +
+        "pre-scan view version",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("index", StringType).build())) { in =>
+      val (t, ix) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+      DynamoMaintenance.buildIndex(org.apache.spark.sql.SparkSession.active, root, t, ix)
+      summary("table" -> t, "index" -> ix)
+    })
+    case "reshard" => Some(proc(name,
+      "re-bucket into a new shard count (UpdateTable's capacity move): " +
+        "compact, split every old shard's items per new shard in one " +
+        "distributed pass, swap the layout",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("new_shards", IntegerType).build())) { in =>
+      val (t, n) = (in.getUTF8String(0).toString, in.getInt(1))
+      DynamoMaintenance.reshard(org.apache.spark.sql.SparkSession.active, root, t, n)
+      summary("table" -> t, "shards" -> n)
+    })
+    case "reap_expired" => Some(proc(name,
+      "physically delete TTL-expired items (DynamoDB's background TTL " +
+        "deletion): shard-parallel fold dropping items whose attribute " +
+        "is strictly below now_epoch_s",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("ttl_attribute", StringType).build(),
+        ProcedureParameter.in("now_epoch_s", LongType).build())) { in =>
+      val (t, a, now) =
+        (in.getUTF8String(0).toString, in.getUTF8String(1).toString, in.getLong(2))
+      DynamoMaintenance.reapExpired(
+        org.apache.spark.sql.SparkSession.active, root, t, a, now)
+      summary("table" -> t, "ttl_attribute" -> a)
+    })
+    case _ => None
+  }
+
+  /** One-row driver-side result: (column, value) pairs typed by the
+    * value (String/Boolean/Int/Long cover every summary here).
+    */
+  private def summary(cols: (String, Any)*): (StructType, InternalRow) = {
+    val schema = StructType(cols.map {
+      case (n, _: String) => StructField(n, StringType, nullable = false)
+      case (n, _: Boolean) => StructField(n, BooleanType, nullable = false)
+      case (n, _: Int) => StructField(n, IntegerType, nullable = false)
+      case (n, _: Long) => StructField(n, LongType, nullable = false)
+      case (n, v) => throw new IllegalStateException(s"summary $n: $v")
+    })
+    val row = new GenericInternalRow(cols.map {
+      case (_, v: String) => UTF8String.fromString(v): Any
+      case (_, v) => v: Any
+    }.toArray)
+    (schema, row)
+  }
+
+  private def proc(procName: String, desc: String,
+      params: Array[ProcedureParameter])(
+      body: InternalRow => (StructType, InternalRow)): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val (schema, row) = body(input)
+          util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      }
+    }
 }
 
 /** A CTAS/RTAS staging handle: all writes land in the hidden

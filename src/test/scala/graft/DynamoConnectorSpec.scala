@@ -2298,6 +2298,41 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL procedures run the distributed maintenance jobs") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    val prev = spark.conf.getOption("spark.sql.catalog.mcat")
+    try {
+      spark.conf.set("spark.sql.catalog.mcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.mcat.path", root)
+      // compact: journal folds away, summary row comes back
+      assert(!store.journalEmpty("fruit"))
+      val res = spark.sql("CALL mcat.compact('fruit')").collect()
+      assert(res.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+        Seq(("fruit", true)))
+      assert(store.journalEmpty("fruit"))
+      // reshard by named arguments; reads stay correct over the new layout
+      spark.sql("CALL mcat.reshard(table => 'fruit', new_shards => 5)")
+      assert(store.describe("fruit").shards === 5)
+      assert(spark.read.dynamo(root, "fruit").count() === 4L)
+      // reap_expired physically deletes items below the TTL clock
+      Seq(("mold", "grey", 0.0, 0L, 100L))
+        .toDF("name", "color", "weight_kg", "stock", "expiry")
+        .write.dynamo(root, "fruit", "name")
+      spark.sql("CALL mcat.reap_expired('fruit', 'expiry', 2000000000)")
+      assert(spark.read.dynamo(root, "fruit").count() === 4L)
+      val names = spark.read.dynamo(root, "fruit")
+        .select("name").as[String].collect().sorted.toSeq
+      assert(names === Seq("apple", "banana", "cherry", "durian"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.mcat"))(
+        spark.conf.set("spark.sql.catalog.mcat", _))
+    }
+  }
+
   test("RENAME TABLE moves the whole table in one atomic step") {
     import spark.implicits._
     val root = freshRoot()
