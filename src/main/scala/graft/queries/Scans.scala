@@ -106,7 +106,27 @@ object Scans {
       |) custsale
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** LATERAL correlated subquery (top-2 orders per customer): Spark
+    * decorrelates the per-row ORDER BY/LIMIT into a window rank over
+    * ONE join — the plan is a rank filter, never a per-customer
+    * re-execution of the subquery, which is what makes LATERAL usable
+    * against a fact table (DuckDB shares the syntax and semantics).
+    */
+  private val lateralTop2 =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sql_lateral" -> ((s, dir) => {
+      Fixtures.customer(s, dir).createOrReplaceTempView("customer")
+      Fixtures.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(lateralTop2)
+    }),
+
     "q_sql_tpch_q4" -> ((s, dir) => {
       Fixtures.orders(s, dir).createOrReplaceTempView("orders")
       Fixtures.lineitem(s, dir).createOrReplaceTempView("lineitem")
@@ -429,6 +449,7 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_lateral" -> lateralTop2,
     "q_sql_tpch_q4" -> tpchQ4,
     "q_sql_tpch_q8" -> tpchQ8,
     "q_sql_tpch_q13" -> tpchQ13,

@@ -102,6 +102,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("TPC-H Q8: every dimension broadcasts, the fact table never shuffles") {
+    val p = plan("q_sql_tpch_q8")
+    // 7 joins (part, supplier, orders, customer, nation x2, region),
+    // all broadcast — lineitem streams straight into the aggregate
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 6, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("TPC-H Q4's EXISTS lowers to a semi join, never a per-row subquery") {
+    val p = plan("q_sql_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("hash sampling stays map-side: no exchange before the filter") {
     val df = SparkEntry.queries("q_sample_hash")(spark, sf)
     // the only exchange allowed is the final orderBy's range partitioning
