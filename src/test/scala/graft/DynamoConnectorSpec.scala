@@ -2127,7 +2127,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
       try s.iterator().asScala.map(_.getFileName.toString).filter(pred).toSeq
       finally s.close()
     }
-    assert(files(n => n.startsWith("wal-") && n.endsWith("-sall.jsonl")).size === 3)
+    assert(files(n => n.startsWith("wal-") && n.endsWith("-sall.jsonl")).size === 3,
+      s"journal listing: ${files(_ => true).sorted.mkString(", ")}")
 
     // failure path: ONE poison task aborts the JOB — tasks that had
     // already committed only STAGED, so the fence never publishes and
@@ -2144,9 +2145,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
         .option("transactional", "job")
         .mode("append").save()
     }
-    assert(spark.read.dynamo(root, "t").count() === before)
+    assert(spark.read.dynamo(root, "t").count() === before,
+      s"journal listing: ${files(_ => true).sorted.mkString(", ")}")
     // and the abort hook discarded every staged buffer — no tmp residue
-    assert(files(n => n.contains("-sall") && n.endsWith(".tmp")).isEmpty)
+    assert(files(n => n.contains("-sall") && n.endsWith(".tmp")).isEmpty,
+      s"journal listing: ${files(_ => true).sorted.mkString(", ")}")
   }
 
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
