@@ -309,6 +309,37 @@ object Dedup {
         verifyJaccard(starCandidates(toks), toks).select("id1", "id2"))
     }),
 
+    // CONTAINMENT detection — sub-document duplication: a short
+    // document wholly inside a longer one (quote + boilerplate union,
+    // excerpt pages) scores LOW symmetric Jaccard but containment
+    // |A∩B| / min(|A|,|B|) near 1, so Jaccard dedup misses it by
+    // construction. Same LSH-bucketed candidate set as
+    // q_dedup_minhash — no all-pairs stage exists — with the
+    // verification ratio swapped.
+    "q_text_containment" -> ((s, dir) => {
+      val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+      val bands = minhashBands(toks)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = cand
+        .join(toks.as("a"), col("id1") === col("a.doc_id"))
+        .join(toks.as("b"),
+          col("id2") === col("b.doc_id") && col("a.tokid") === col("b.tokid"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
+        .select(col("id1"), col("id2"),
+          floor(col("shared") / least(col("s1.n"), col("s2.n")) * 10000 + 0.5)
+            .as("cont_x1e4"))
+        .filter(col("cont_x1e4") >= 8000)
+        .orderBy("id1", "id2")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       val docs = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
@@ -415,6 +446,36 @@ object Dedup {
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q_text_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |tok0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+        |toks AS (SELECT doc_id,
+        |                ('0x' || substring(md5(tok), 1, 11))::BIGINT AS tokid
+        |         FROM tok0),
+        |p(i, a, b) AS (VALUES (0,1103,12345),(1,5077,999),(2,9173,471),
+        |  (3,7919,8191),(4,2663,30269),(5,4271,11213),(6,6619,257),
+        |  (7,3541,49157),(8,7333,6007),(9,9901,331),(10,5683,7039),
+        |  (11,8761,52361)),
+        |sig AS (SELECT doc_id, i, min((a * tokid + b) % 2147483647) AS mh
+        |        FROM toks, p GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 array_to_string(list(mh ORDER BY i), ',') AS bkey
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |         FROM bands x JOIN bands y
+        |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |sh AS (SELECT id1, id2, count(*) AS shared FROM cand
+        |       JOIN toks a ON a.doc_id = id1
+        |       JOIN toks b ON b.doc_id = id2 AND b.tokid = a.tokid
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |       CAST(floor(CAST(shared AS DOUBLE) / least(s1.n, s2.n) * 10000 + 0.5)
+        |            AS BIGINT) AS cont_x1e4
+        |FROM sh JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE CAST(floor(CAST(shared AS DOUBLE) / least(s1.n, s2.n) * 10000 + 0.5)
+        |           AS BIGINT) >= 8000
+        |ORDER BY id1, id2""".stripMargin,
     "q_dedup_prefix" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         |       CAST(count(*) AS BIGINT) AS n_docs

@@ -15,7 +15,44 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
+  /** Ordered event-sequence funnel (view → click → purchase), shared
+    * verbatim with the oracle: each stage is a grouped min-timestamp
+    * over the PREVIOUS stage's survivors — three stage-keyed
+    * aggregations and joins on user_id, never a per-user sort or a
+    * sessionize-the-world window, so the funnel costs three bounded
+    * shuffles at any event volume. Strictly-after semantics (`>`), the
+    * conversion-analysis default.
+    */
+  private val funnelSql =
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+      |            FROM events
+      |            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'),
+      |v AS (SELECT user_id, min(t) AS t1 FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.t) AS t2
+      |      FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t1
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.t) AS t3
+      |      FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t2
+      |      GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |                 WHEN c.user_id IS NOT NULL THEN 2
+      |                 WHEN v.user_id IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS depth,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> ((s, dir) => {
+      Fixtures.events(s, dir).createOrReplaceTempView("events")
+      s.sql(funnelSql)
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -68,6 +105,7 @@ object Streaming {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_events_funnel" -> funnelSql,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val

@@ -69,6 +69,31 @@ object TextAnalysis {
             * 10000 + 0.5).as("score_x1e4"))
         .orderBy("doc_id")),
 
+    // Vocabulary coverage — what a tokenizer-training run consumes:
+    // corpus token frequencies, ranked, with the cumulative fraction
+    // of all token OCCURRENCES the top-k vocabulary covers (the
+    // "coverage at vocab size" curve; rank ties broken by token asc).
+    // The corpus-sized work (token counting) is a distributed
+    // explode+agg; the ranking window runs over the VOCABULARY — a
+    // table orders of magnitude smaller than the corpus, which is the
+    // only reason a global-order window is admissible here.
+    "q_tok_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Fixtures.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("tok").asc)
+      freq
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("freq").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(freq.agg(sum("freq").as("tot"))))
+        .select(col("rank").cast("long").as("rank"), col("tok"), col("freq"),
+          floor(col("cum") / col("tot") * 10000 + 0.5).as("cov_x1e4"))
+        .orderBy("rank")
+    }),
+
     // Curriculum quality binning: per-document TTR score → ABSOLUTE
     // score bands (score/1000, capped at bin 9), with per-bin document
     // and token budgets — what a data-mixing config consumes. Banding
@@ -648,6 +673,20 @@ object TextAnalysis {
         |         row_number() OVER (PARTITION BY doc_id
         |                            ORDER BY score DESC, plang) AS rk
         |  FROM sc) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_tok_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok),
+        |r AS (SELECT tok, freq,
+        |             CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+        |             sum(freq) OVER (ORDER BY freq DESC, tok
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM f),
+        |t AS (SELECT sum(freq) AS tot FROM f)
+        |SELECT rank, tok, freq,
+        |       CAST(floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 10000 + 0.5)
+        |            AS BIGINT) AS cov_x1e4
+        |FROM r, t WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
     "q_quality_bins" ->
       """WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
         |  CAST(floor(len(list_distinct(string_split(text, ' ')))
