@@ -2336,6 +2336,32 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS composes with clusterWrite=shard: staged write is bucket-clustered") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq.tabulate(200)(i => (f"k$i%04d", i.toLong)).toDF("id", "qty")
+      .repartition(8).createOrReplaceTempView("ctcw_src")
+    val prev = spark.conf.getOption("spark.sql.catalog.cwc")
+    try {
+      spark.conf.set("spark.sql.catalog.cwc", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.cwc.path", root)
+      spark.conf.set("spark.sql.catalog.cwc.clusterWrite", "shard")
+      spark.sql("CREATE TABLE cwc.t TBLPROPERTIES('hashKey'='id', 'shards'='4') " +
+        "AS SELECT id, qty FROM ctcw_src")
+      // catalog-level clusterWrite reached the STAGED table's write:
+      // 8 source partitions, at most 4 (one per shard) journal files
+      val store = new LocalKVStore(root)
+      assert(store.walFileNames("t").size <= 4,
+        store.walFileNames("t").mkString(", "))
+      assert(spark.table("cwc.t").count() === 200L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cwc.clusterWrite")
+      spark.conf.unset("spark.sql.catalog.cwc.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.cwc"))(
+        spark.conf.set("spark.sql.catalog.cwc", _))
+    }
+  }
+
   test("RENAME TABLE moves the whole table in one atomic step") {
     import spark.implicits._
     val root = freshRoot()
