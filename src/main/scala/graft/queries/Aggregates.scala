@@ -122,6 +122,24 @@ object Aggregates {
 
     // HLL++ sketch — engine-specific values, so no DuckDB oracle
     // (rule D3); AggregatesSpec asserts ±5% of exact instead.
+    // EXACT distinct at scale via bucketed bitmaps: ids hash into
+    // 32k-bit buckets (`bitmap_bucket_number`), each (group, bucket)
+    // folds to ONE 4 KB bitmap map-side (`bitmap_construct_agg`), and
+    // the per-group popcount sum is the exact distinct count. Where
+    // `count(DISTINCT)` shuffles every distinct VALUE, this shuffles
+    // one bitmap per (group, bucket) — the exact-count counterpart of
+    // the HLL sketch, and the pattern that keeps exact user counts
+    // feasible over 100 TB of events. Oracled against plain
+    // COUNT(DISTINCT): the bitmap path must agree exactly.
+    "q_agg_bitmap_distinct" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+        .orderBy("event_type")),
+
     "q_agg_approx_distinct" -> ((s, dir) => {
       Fixtures.events(s, dir)
         .groupBy("event_type")
@@ -269,6 +287,10 @@ object Aggregates {
         |       round(max(l_tax), 4) AS max_tax
         |FROM lineitem""".stripMargin,
     "q_agg_count_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bitmap path must agree exactly with plain COUNT(DISTINCT)
+    "q_agg_bitmap_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_rollup" ->
