@@ -42,13 +42,13 @@ object DynamoMaintenance {
     */
   def buildIndex(spark: SparkSession, path: String, table: String, name: String): Unit = {
     val store = new LocalKVStore(path)
-    val version = store.viewVersion(table)
+    val stamp = store.indexBuildStamp(table)
     val shards = store.describe(table).shards
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).buildIndexShardParts(table, name, sh))
-    store.finishIndexBuild(table, name, version)
+    store.finishIndexBuild(table, name, stamp)
   }
 
   /** TTL reaper: the reclamation half of the TTL story. Reads only

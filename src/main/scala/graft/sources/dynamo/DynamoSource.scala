@@ -95,6 +95,17 @@ final case class DynamoOptions(
       * dimension-sized regardless of probe-side scale.
       */
     joinBuildMaxBytes: Long,
+    /** Acceptance bound for DELTA-fresh GSI serves
+      * ([[LocalKVStore.IndexDelta]]): a read may serve the
+      * materialized index copy plus a journal-delta overlay as long
+      * as the delta's total bytes fit this budget — every index task
+      * replays the whole delta (any base shard can feed any index
+      * shard), so the bound keeps that per-task overhead
+      * recent-writes-sized. Bigger deltas fall back to the projected
+      * base-scan path (exact, just not index-served). 0 disables the
+      * delta tier entirely.
+      */
+    gsiDeltaMaxBytes: Long,
     /** Snapshot read at a past journal sequence (WAL PITR): the scan
       * replays only journal files published at or before this offset —
       * the same sequence space the CDC feed exposes. Read-only: write
@@ -181,6 +192,8 @@ object DynamoOptions {
       zonePruning = m.getBoolean("zonePruning", true),
       joinBuildMaxBytes =
         opt("joinBuildMaxBytes").map(_.toLong).getOrElse(64L * 1024 * 1024),
+      gsiDeltaMaxBytes =
+        opt("gsiDeltaMaxBytes").map(_.toLong).getOrElse(8L * 1024 * 1024),
       asOfSeq = opt("asOfSeq").map(_.toLong),
       transactional = opt("transactional").map(_.toLowerCase) match {
         case None | Some("false") | Some("off") => "off"
@@ -755,8 +768,20 @@ final class DynamoScanBuilder(
       if (opts.ttlAttribute.nonEmpty || opts.asOfSeq.nonEmpty) None
       else {
         val store = new LocalKVStore(opts.path)
-        store.describe(opts.tableName).indexes.get(ix)
-          .filter(_ => store.indexFresh(opts.tableName, ix))
+        store.describe(opts.tableName).indexes.get(ix).filter { _ =>
+          store.indexFreshness(opts.tableName, ix) match {
+            case LocalKVStore.IndexExact => true
+            // DELTA-fresh: serve the copy + a bounded journal overlay
+            // (recent writes no longer demote index reads to a full
+            // base scan — DynamoDB's GSI staying usable under load).
+            // Keyed/complete grouped claims stay sound: overlay
+            // images place by the same index-hash function as the
+            // copy, so groups remain confined to one index shard.
+            case LocalKVStore.IndexDelta(_, bytes) =>
+              bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
+            case LocalKVStore.IndexStale => false
+          }
+        }
       }
     }
 
@@ -1140,10 +1165,15 @@ final case class DynamoInputPartition(
     padEmpty: Boolean = false,
     /** Read from the table's MATERIALIZED index copy instead of the
       * base shards — set at planning time only when the copy is
-      * provably fresh ([[LocalKVStore.indexFresh]]); segment space is
-      * then the index's own hash layout.
+      * provably fresh ([[LocalKVStore.indexFreshness]]); segment
+      * space is then the index's own hash layout.
       */
-    viaIndex: Boolean = false)
+    viaIndex: Boolean = false,
+    /** Journal-delta overlay for a DELTA-fresh index serve: the file
+      * names (pinned at planning, so every task agrees on the
+      * touched-key set) the copy has not folded. Empty = exact copy.
+      */
+    deltaFiles: Seq[String] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(segment)
 }
@@ -1200,7 +1230,10 @@ object DynamoScan {
     */
   def partitionItems(store: LocalKVStore, opts: DynamoOptions,
       partition: DynamoInputPartition): Iterator[(Item, Int)] =
-    if (partition.viaIndex)
+    if (partition.viaIndex && partition.deltaFiles.nonEmpty)
+      store.scanIndexSegmentDelta(opts.tableName, opts.indexName.get,
+        partition.segment, partition.totalSegments, partition.deltaFiles)
+    else if (partition.viaIndex)
       store.scanIndexSegment(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments)
     else
@@ -1545,23 +1578,44 @@ final class DynamoScan(
     // groups span segments — duplicated "final" rows. The pinned
     // snapshot read is DynamoDB's eventually-consistent GSI contract.
     opts.indexName.foreach { ixName =>
+      // Freshness computed ONCE per plan: the serve decision and the
+      // pinned delta file list must come from the same listing.
+      val freshness =
+        if (meta.indexes.contains(ixName))
+          store.indexFreshness(opts.tableName, ixName)
+        else LocalKVStore.IndexStale
       val serve = serveViaIndex.getOrElse(
         opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
-          meta.indexes.contains(ixName) &&
-          store.indexFresh(opts.tableName, ixName))
+          meta.indexes.contains(ixName) && (freshness match {
+            case LocalKVStore.IndexExact => true
+            case LocalKVStore.IndexDelta(_, bytes) =>
+              bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
+            case LocalKVStore.IndexStale => false
+          }))
       if (serve && meta.indexes.contains(ixName)) {
+        // Pinned delta overlay: every task drops the same touched-key
+        // set. Under a BUILDER-pinned serve (completeness claimed) a
+        // plan-time Stale cannot demote to the base path — the copy
+        // snapshot serves alone, today's eventually-consistent
+        // behavior; a delta found here overlays even if it outgrew
+        // the negotiation-time budget (more work, still exact).
+        val delta: Seq[String] = freshness match {
+          case LocalKVStore.IndexDelta(files, _) => files
+          case _ => Nil
+        }
         indexKeyShards(store, meta, meta.indexes(ixName)) match {
           case Some(shards) =>
             val rate = math.max(0.1,
               opts.targetCapacity * throughput / math.max(1, shards.size))
             return shards.toArray.sorted.map(sh =>
               DynamoInputPartition(sh, meta.shards, rate,
-                viaIndex = true): InputPartition)
+                viaIndex = true, deltaFiles = delta): InputPartition)
           case None =>
             val n = fullScanSegments(store, meta)
             val rate = math.max(0.1, opts.targetCapacity * throughput / n)
             return Array.tabulate(n)(i =>
-              DynamoInputPartition(i, n, rate, viaIndex = true))
+              DynamoInputPartition(i, n, rate, viaIndex = true,
+                deltaFiles = delta))
         }
       }
     }

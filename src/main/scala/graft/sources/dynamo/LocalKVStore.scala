@@ -305,18 +305,37 @@ final class LocalKVStore(root: String) {
   def indexShardOf(meta: TableMeta, hashVal: AttrVal): Int =
     math.floorMod(encKeyAttr(hashVal).hashCode, meta.shards)
 
+  /** Marker payload a backfill stamps on completion, captured BEFORE
+    * the build scans (a write racing the build then compares stale /
+    * lands in the delta — never a torn serve). Beyond the exact
+    * `viewVersion` + shard count, it records WHICH journal the build
+    * folded, in a form [[indexFreshness]] can re-derive from a later
+    * listing: `foldedMax` (max pubSeq folded; later files are the
+    * delta) guarded by `belowCount` (how many files sat at or below
+    * that max — a file published LATER with a colliding pubSeq bumps
+    * the count and demotes to Stale instead of silently hiding in the
+    * folded set) and the compaction watermark (compaction deletes
+    * journal files, making the delta unenumerable — watermark drift
+    * demotes to Stale; compaction rebuilds indexes anyway).
+    */
+  def indexBuildStamp(table: String): String = {
+    val files = listFiles(table, "wal-")
+    val foldedMax = files.map(walPubSeq).maxOption.getOrElse(0L)
+    s"${viewVersion(table)} ${describe(table).shards} " +
+      s"$foldedMax ${files.size} ${compactionWatermark(table)}"
+  }
+
   /** Backfill one index from the current merged view: stream every
     * visible item, project through [[indexView]] (sparse items drop),
-    * place by index hash key. Version captured BEFORE the scan — a
+    * place by index hash key. Build stamp captured BEFORE the scan — a
     * write racing the build publishes a higher pubSeq, so the marker
-    * compares stale and readers keep the base path (never a torn
-    * serve).
+    * compares stale (or delta) and readers never get a torn serve.
     */
   def buildIndex(table: String, name: String): Unit = {
     val meta = describe(table)
     val ix = meta.indexes.getOrElse(name,
       throw new IllegalArgumentException(s"no index '$name' on $table"))
-    val version = viewVersion(table)
+    val stamp = indexBuildStamp(table)
     val dir = tableDir(table)
     val writers = Array.tabulate(meta.shards) { i =>
       Files.newBufferedWriter(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"), UTF_8)
@@ -335,7 +354,7 @@ final class LocalKVStore(root: String) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
-    Files.write(mTmp, s"$version ${meta.shards}".getBytes(UTF_8))
+    Files.write(mTmp, stamp.getBytes(UTF_8))
     Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -376,12 +395,13 @@ final class LocalKVStore(root: String) {
 
   /** Distributed-backfill phase 2 (driver-side): concatenate each
     * index shard's parts in base-shard order (deterministic layout),
-    * swap the copy in atomically, stamp the marker with the version
-    * captured BEFORE phase 1 — a write racing the build leaves the
-    * marker stale and readers on the base path, exactly like the
-    * local build.
+    * swap the copy in atomically, stamp the marker with the
+    * [[indexBuildStamp]] captured BEFORE phase 1 — a write racing the
+    * build leaves the marker stale (or in the delta), exactly like
+    * the local build. A legacy bare-version stamp still works: exact
+    * serve parses, the delta tier just stays unavailable.
     */
-  def finishIndexBuild(table: String, name: String, version: String): Unit = {
+  def finishIndexBuild(table: String, name: String, stamp: String): Unit = {
     val meta = describe(table)
     val dir = tableDir(table)
     val tmp = dir.resolve(s"gsi-tmp-$name")
@@ -408,7 +428,9 @@ final class LocalKVStore(root: String) {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
-    Files.write(mTmp, s"$version ${meta.shards}".getBytes(UTF_8))
+    val payload =
+      if (stamp.contains(' ')) stamp else s"$stamp ${meta.shards}"
+    Files.write(mTmp, payload.getBytes(UTF_8))
     Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -422,16 +444,105 @@ final class LocalKVStore(root: String) {
 
   /** True when the materialized copy reflects the CURRENT merged view
     * under the CURRENT layout — the gate for serving index reads from
-    * the copy.
+    * the copy with no overlay. (The triage form is [[indexFreshness]].)
     */
-  def indexFresh(table: String, name: String): Boolean = {
+  def indexFresh(table: String, name: String): Boolean =
+    indexFreshness(table, name) == LocalKVStore.IndexExact
+
+  /** Three-tier index freshness triage — the DynamoDB GSI story, where
+    * the service keeps an index usable UNDER writes instead of
+    * rebuilding it per write:
+    *  - [[LocalKVStore.IndexExact]]: marker version equals the current
+    *    view — serve the copy as-is (today's fast path).
+    *  - [[LocalKVStore.IndexDelta]]: the copy is behind by an
+    *    ENUMERABLE set of journal files (published after the build's
+    *    `foldedMax`, no pubSeq collision into the folded range, no
+    *    compaction since the build) — serve the copy PLUS a delta
+    *    overlay ([[scanIndexSegmentDelta]]): recent writes cost
+    *    O(delta), not O(table rebuild).
+    *  - [[LocalKVStore.IndexStale]]: anything unprovable (legacy
+    *    marker, collision, compaction drift, reshard) — base path.
+    *
+    * Soundness of the delta identification: under an unchanged
+    * compaction watermark the journal is append-only, so the build's
+    * folded set is exactly the files at or below `foldedMax` PROVIDED
+    * their count still equals the recorded `belowCount` — a file
+    * published later into that range (same-millisecond pubSeq
+    * collision) bumps the count and demotes to Stale rather than
+    * silently passing as folded. Overlaying a file the copy already
+    * folded would be harmless anyway (the overlay re-derives touched
+    * keys from the base, idempotently) — the guards keep the DELTA
+    * set complete, which is the direction that matters.
+    */
+  def indexFreshness(table: String, name: String): LocalKVStore.IndexServe = {
     val p = tableDir(table).resolve(s"gsi-$name.meta")
-    Files.isRegularFile(p) && {
-      val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
-      parts.length == 2 &&
-        parts(0) == viewVersion(table) &&
-        parts(1).toInt == describe(table).shards
+    if (!Files.isRegularFile(p)) return LocalKVStore.IndexStale
+    val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
+    val shardsOk = parts.length >= 2 &&
+      parts(1).forall(_.isDigit) && parts(1).toInt == describe(table).shards
+    if (!shardsOk) return LocalKVStore.IndexStale
+    if (parts(0) == viewVersion(table)) return LocalKVStore.IndexExact
+    if (parts.length < 5) return LocalKVStore.IndexStale // legacy marker
+    val (foldedMax, belowCount, wm) =
+      try (parts(2).toLong, parts(3).toLong, parts(4).toLong)
+      catch { case _: NumberFormatException => return LocalKVStore.IndexStale }
+    if (compactionWatermark(table) != wm) return LocalKVStore.IndexStale
+    val files = listFiles(table, "wal-")
+    if (files.count(walPubSeq(_) <= foldedMax) != belowCount)
+      return LocalKVStore.IndexStale
+    val delta = files.filter(walPubSeq(_) > foldedMax)
+      .sortBy(_.getFileName.toString)
+    LocalKVStore.IndexDelta(
+      delta.map(_.getFileName.toString), delta.map(Files.size(_)).sum)
+  }
+
+  /** Scan one index-copy segment WITH a journal-delta overlay — the
+    * read side of [[LocalKVStore.IndexDelta]]:
+    *  1. every delta op names a primary key → the TOUCHED set, and a
+    *     base shard (item placement) → the DIRTY shard set;
+    *  2. copy rows whose primary key is touched are dropped (their
+    *     index image may have changed — including to "absent");
+    *  3. touched keys' CURRENT images are re-derived by scanning only
+    *     the dirty base shards through the normal merged view, then
+    *     projected through [[indexView]] and placed by index hash —
+    *     only images landing in THIS segment emit.
+    * Work per task = full delta read + the dirty base shards — O(recent
+    * writes), never O(table); the planner bounds acceptance with
+    * `gsiDeltaMaxBytes`. Group-shard-locality is preserved (overlay
+    * images place by the same index-hash function as the copy), so
+    * keyed/complete grouped-aggregate claims over the index layout
+    * stay sound under the overlay. The delta FILE LIST is pinned by
+    * the planner, so every task drops the same touched set; touched
+    * keys' images read the live merged view (eventual consistency —
+    * monotonically fresher, per key, than the pinned list).
+    */
+  def scanIndexSegmentDelta(table: String, name: String,
+      segment: Int, totalSegments: Int,
+      deltaFiles: Seq[String]): Iterator[(Item, Int)] = {
+    val meta = describe(table)
+    val ix = meta.indexes.getOrElse(name,
+      throw new IllegalArgumentException(s"no index '$name' on $table"))
+    val touched = mutable.HashSet.empty[String]
+    val dirtyShards = mutable.LinkedHashSet.empty[Int]
+    deltaFiles.sorted.foreach { f =>
+      readWalFile(table, f).foreach { case (_, item, _) =>
+        touched += keyOf(meta, item)
+        dirtyShards += shardOf(meta, item)
+      }
     }
+    if (touched.isEmpty)
+      return scanIndexSegment(table, name, segment, totalSegments)
+    val copy = scanIndexSegment(table, name, segment, totalSegments)
+      .filterNot { case (it, _) => touched.contains(keyOf(meta, it)) }
+    def images = dirtyShards.iterator
+      .flatMap(sh => scanSegment(table, sh, meta.shards))
+      .filter { case (it, _) => touched.contains(keyOf(meta, it)) }
+      .flatMap { case (it, _) =>
+        indexView(meta, ix, it)
+          .filter(pi => indexShardOf(meta, pi(ix.hashKey)) % totalSegments == segment)
+          .map(pi => (pi, ItemJson.write(pi).length))
+      }
+    copy ++ images
   }
 
   /** Scan one segment of a MATERIALIZED index copy (items are already
@@ -1521,6 +1632,19 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** Result of [[LocalKVStore.indexFreshness]] — how a materialized
+    * GSI copy may serve reads right now.
+    */
+  sealed trait IndexServe extends Serializable
+  /** Copy equals the current merged view — serve as-is. */
+  case object IndexExact extends IndexServe
+  /** Copy is behind by exactly `files` (replay-ordered journal file
+    * names, `bytes` total) — serve copy + overlay.
+    */
+  final case class IndexDelta(files: Seq[String], bytes: Long) extends IndexServe
+  /** Unprovable — serve from the projected base-scan path. */
+  case object IndexStale extends IndexServe
 
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

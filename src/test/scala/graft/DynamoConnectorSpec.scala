@@ -1980,20 +1980,41 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(pinnedParts.length === 1 && pinnedParts.head.viaIndex)
     assert(reds() === Seq(("apple", 3L), ("cherry", 100L)))
 
-    // a write STALES the copy: reads fall back to the projected
-    // base-scan path and see the new item immediately
+    // a write demotes the copy from EXACT to DELTA: the read keeps
+    // serving via the index — copy plus a pinned journal overlay —
+    // and sees the new item immediately (no rebuild, no base sweep)
     Seq(("elderberry", "red", 0.02, 7L))
       .toDF("name", "color", "weight_kg", "stock")
       .write.dynamo(root, "fruit", "name")
     assert(!store.indexFresh("fruit", "by_color"))
-    assert(parts().forall(p => !p.viaIndex))
+    store.indexFreshness("fruit", "by_color") match {
+      case LocalKVStore.IndexDelta(files, bytes) =>
+        assert(files.nonEmpty && bytes > 0)
+      case other => fail(s"expected IndexDelta after a write, got $other")
+    }
+    assert(parts().forall(p => p.viaIndex && p.deltaFiles.nonEmpty))
     assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
 
-    // compaction refreshes the copy from the folded view — serving
-    // resumes, including the new item
+    // gsiDeltaMaxBytes=0 disables the delta tier: the same read falls
+    // back to the projected base-scan path (still exact)
+    val noDelta = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "fruit", "indexName", "by_color",
+      "readPartitions", "16", "gsiDeltaMaxBytes", "0"))
+    val noDeltaParts = new DynamoScan(noDelta, schema, Array.empty)
+      .toBatch.planInputPartitions().map(_.asInstanceOf[DynamoInputPartition])
+    assert(noDeltaParts.forall(p => !p.viaIndex))
+    val redsBase = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("indexName", "by_color").option("gsiDeltaMaxBytes", "0")
+      .load().filter(col("color") === "red").select("name", "stock")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(redsBase === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
+
+    // compaction refreshes the copy from the folded view — EXACT
+    // serving resumes (no overlay), including the new item
     store.compact("fruit")
     assert(store.indexFresh("fruit", "by_color"))
-    assert(parts().forall(_.viaIndex))
+    assert(parts().forall(p => p.viaIndex && p.deltaFiles.isEmpty))
     assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
 
     // COUNT pushdown rides the copy too
@@ -2027,6 +2048,108 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(viaIdx === (0 until 200).filter(_ % 7 == 3)
       .map(i => (f"k$i%04d", i.toLong)).sorted.toSeq)
+  }
+
+  test("GSI delta overlay equals a full rebuild for mixed put/update/delete deltas") {
+    import graft.sources.dynamo.AttrVal
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    def it(k: String, grp: Option[String], v: Long): Map[String, AttrVal] =
+      Map("id" -> AttrVal.S(k), "v" -> AttrVal.N(BigDecimal(v))) ++
+        grp.map(g => "grp" -> AttrVal.S(g))
+    store.bulkLoad("t", meta, (0 until 60).iterator.map(i =>
+      it(f"k$i%03d", if (i % 10 == 9) None else Some(s"c${i % 6}"), i.toLong)))
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+
+    // a mixed journal delta the copy has NOT folded: new keys, an
+    // index-key move (PUT replaces grp), a projected-attr update, a
+    // sparse→indexed transition (UPDATE adds grp), an indexed→sparse
+    // transition (PUT drops grp), and deletes
+    store.appendWal("t", 1L, "wA", Seq(
+      store.Put(it("new1", Some("c0"), 1000L)),
+      store.Put(it("k001", Some("c5"), 1L)), // moves c1 → c5
+      store.Update(it("k002", None, 2000L)), // projected attr changes
+      store.Delete(Map("id" -> AttrVal.S("k003")))))
+    store.appendWal("t", 2L, "wB", Seq(
+      store.Update(it("k009", Some("c2"), 9L)), // sparse row gains grp
+      store.Put(Map("id" -> AttrVal.S("k004"),
+        "v" -> AttrVal.N(BigDecimal(4)))), // indexed row loses grp
+      store.Delete(Map("id" -> AttrVal.S("new1"))), // delete within delta
+      store.Put(it("new2", Some("c3"), 2000L))))
+
+    val delta = store.indexFreshness("t", "by_grp") match {
+      case LocalKVStore.IndexDelta(files, bytes) =>
+        // appendWal publishes one journal file per shard it touched
+        assert(files.nonEmpty && bytes > 0); files
+      case other => fail(s"expected IndexDelta, got $other")
+    }
+    // overlay serve, across the index's own segmentation — capture
+    // BEFORE the rebuild mutates the marker
+    def keyed(rows: Seq[Map[String, AttrVal]]) =
+      rows.map(r => r("id").asInstanceOf[AttrVal.S].v -> r).sortBy(_._1)
+    val overlay = keyed((0 until 4).flatMap(s =>
+      store.scanIndexSegmentDelta("t", "by_grp", s, 4, delta).map(_._1)))
+    // segments are disjoint by primary key
+    assert(overlay.map(_._1).distinct.size == overlay.size)
+    // ground truth: a full rebuild of the copy
+    store.buildIndex("t", "by_grp")
+    assert(store.indexFresh("t", "by_grp"))
+    val rebuilt = keyed((0 until 4).flatMap(s =>
+      store.scanIndexSegment("t", "by_grp", s, 4).map(_._1)))
+    assert(overlay === rebuilt)
+    // spot-check the transitions landed
+    val byId = overlay.toMap
+    assert(byId("k001")("grp") == AttrVal.S("c5"))
+    assert(byId("k009")("grp") == AttrVal.S("c2"))
+    assert(!byId.contains("k003") && !byId.contains("k004") && !byId.contains("new1"))
+    assert(byId("new2")("v") == AttrVal.N(BigDecimal(2000)))
+  }
+
+  test("GSI delta guards: pubSeq collision and compaction drift demote to Stale") {
+    import graft.sources.dynamo.AttrVal
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+    store.bulkLoad("t", meta, (0 until 20).iterator.map(i =>
+      Map("id" -> AttrVal.S(f"k$i%02d"), "grp" -> AttrVal.S(s"g${i % 3}"))))
+    store.appendWal("t", 1L, "w0", Seq(
+      store.Put(Map("id" -> AttrVal.S("zz"), "grp" -> AttrVal.S("g0")))))
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, None))
+    assert(store.indexFresh("t", "by_grp"))
+
+    // normal write after the build → Delta (settle past the folded
+    // max's millisecond so this publish can't collide into it)
+    Thread.sleep(3)
+    store.appendWal("t", 2L, "w1", Seq(
+      store.Put(Map("id" -> AttrVal.S("yy"), "grp" -> AttrVal.S("g1")))))
+    assert(store.indexFreshness("t", "by_grp")
+      .isInstanceOf[LocalKVStore.IndexDelta])
+
+    // a pathological publisher lands a file AT the folded max pubSeq
+    // (same-millisecond collision): the belowCount guard must demote
+    // to Stale — assuming it folded would silently lose its ops
+    val dir = java.nio.file.Paths.get(root, "t")
+    val foldedMax = {
+      val marker = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("gsi-by_grp.meta")), UTF_8).trim.split(' ')
+      marker(2).toLong
+    }
+    val rogue = dir.resolve(f"wal-$foldedMax%020d-wrogue-s000.jsonl")
+    java.nio.file.Files.write(rogue,
+      """{"op":{"S":"PUT"},"item":{"M":{"id":{"S":"k00"},"grp":{"S":"g2"}}}}"""
+        .getBytes(UTF_8))
+    assert(store.indexFreshness("t", "by_grp") == LocalKVStore.IndexStale)
+    java.nio.file.Files.delete(rogue)
+    assert(store.indexFreshness("t", "by_grp")
+      .isInstanceOf[LocalKVStore.IndexDelta])
+
+    // per-shard compaction WITHOUT the index refresh (the crash
+    // window `compact` normally closes) moves the watermark: folded
+    // journal files are gone, the delta is unenumerable → Stale
+    (0 until 2).foreach(store.compactShard("t", _))
+    assert(store.indexFreshness("t", "by_grp") == LocalKVStore.IndexStale)
   }
 
   test("transactional write: one atomic publish per task, oversized task fails with no residue") {
@@ -2522,15 +2645,30 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(!store.indexFresh("t", "by_grp"))
     assert(rowsOf(d2) === expected)
 
-    // a freshly-planned read sees the stale copy, falls back to the
-    // projected base path (partial push — never complete there) and
-    // includes the new item
+    // a freshly-planned read sees the DELTA-fresh copy: the grouped
+    // push stays COMPLETE (overlay images place by the same index
+    // hash, so groups remain shard-confined) and includes the new
+    // item — the GSI stays fully usable under writes, no rebuild
     val d3 = grouped()
     val p3 = d3.queryExecution.executedPlan.toString
-    assert(p3.contains("PushedGroupBy: [grp] (partial)"), p3)
+    assert(p3.contains("PushedGroupBy: [grp] (complete)"), p3)
+    assert(!p3.contains("HashAggregate"), p3)
     val after = d3.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(after("g0") === expected.find(_._1 == "g0").get._2 + 1)
+
+    // with the delta tier disabled the same read falls back to the
+    // projected base path: partial push, still the post-write answer
+    val d4 = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_grp").option("gsiDeltaMaxBytes", "0")
+      .load().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), avg("v").as("av"))
+    val p4 = d4.queryExecution.executedPlan.toString
+    assert(p4.contains("PushedGroupBy: [grp] (partial)"), p4)
+    val after4 = d4.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after4("g0") === expected.find(_._1 == "g0").get._2 + 1)
   }
 
   test("index metadata round-trips through meta.json") {
