@@ -106,6 +106,179 @@ object Scans {
       |) custsale
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  // The fixture schema carries no partsupp table (and no
+  // shipmode/receipt dates/containers), so the five queries that need
+  // one derive the part–supplier relation from lineitem itself:
+  //   ps(partkey, suppkey, supplycost = min unit price, availqty =
+  //   total shipped quantity)
+  // — the same relation shape, computed with one grouped pass. Each
+  // adapted query keeps its original's STRUCTURE (the join topology,
+  // subquery nesting, and aggregate shape Catalyst must handle), which
+  // is what the flagship pins.
+
+  /** Q2 (minimum-cost supplier): the correlated-scalar-MIN shape — for
+    * each qualifying part, only suppliers matching the REGION-wide
+    * minimum cost survive. Catalyst must decorrelate the aggregated
+    * subquery (sharing the `ps` CTE) into an aggregate + join on
+    * p_partkey, not re-run it per row.
+    */
+  private val tpchQ2 =
+    """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |                   min(l_extendedprice / l_quantity) AS ps_supplycost
+      |            FROM lineitem GROUP BY 1, 2)
+      |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, ps, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_size = 30
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (SELECT min(ps_supplycost)
+      |                       FROM ps, supplier, nation, region
+      |                       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |                         AND s_nationkey = n_nationkey
+      |                         AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** Q9 (product type profit): every supplier-side relation joins the
+    * fact table at once — part, supplier, the derived ps costs, orders
+    * and nation — with profit = revenue − cost·qty rolled up by
+    * (nation, order year). The widest fact-side join after Q8.
+    */
+  private val tpchQ9 =
+    """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |                   min(l_extendedprice / l_quantity) AS ps_supplycost
+      |            FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      |FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+      |      FROM part, supplier, lineitem, ps, orders, nation
+      |      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+      |        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%widget%') profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q11 (important stock): grouped rollup gated by a scalar-subquery
+    * threshold over the SAME aggregation — the "more than x% of the
+    * national total" shape. Quantities are integral, so the HAVING
+    * compare is exact on both engines.
+    */
+  private val tpchQ11 =
+    """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |                   sum(l_quantity) AS ps_availqty
+      |            FROM lineitem GROUP BY 1, 2)
+      |SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS value
+      |FROM ps, supplier, nation
+      |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |GROUP BY ps_partkey
+      |HAVING sum(ps_availqty) > (
+      |  SELECT sum(ps_availqty) * 0.002 FROM ps, supplier, nation
+      |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5')
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** Q12 (shipping priority audit), adapted: no shipmode/receipt
+    * columns, so the "mode" is the return flag and "late" is shipped
+    * ≥30 days after ordering — the shape (fact ⋈ fact join, two-value
+    * IN filter, complementary CASE-gated counts) is Q12's exactly.
+    */
+  private val tpchQ12 =
+    """SELECT l_returnflag AS l_shipmode,
+      |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('R', 'A')
+      |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_shipmode""".stripMargin
+
+  /** Q16 (parts/supplier relationship): COUNT(DISTINCT) per attribute
+    * triple with a NOT IN exclusion subquery — the distinct aggregate
+    * must survive the anti-join (complaint suppliers = negative
+    * balance in this schema).
+    */
+  private val tpchQ16 =
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17 (small-quantity-order revenue): the per-part correlated
+    * average threshold — lineitems below 20% of their own part's mean
+    * quantity. Catalyst must rewrite the correlated aggregate into one
+    * grouped pass + join, or the fact table re-scans per row.
+    */
+  private val tpchQ17 =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+      |                    WHERE l_partkey = p_partkey)""".stripMargin
+
+  /** Q19 (discounted revenue): the three-bracket disjunction. The plan
+    * property under test: Catalyst extracts the COMMON p_partkey =
+    * l_partkey conjunct out of the OR so the join stays an equi-join
+    * with a residual bracket filter — never a cartesian product.
+    */
+  private val tpchQ19 =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |       AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |       AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |       AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** Q20 (potential part promotion): doubly-nested subqueries — an IN
+    * over a relation filtered by another IN plus a CORRELATED scalar
+    * aggregate ("stock exceeds half of what shipped in the window").
+    * Integral quantities keep the threshold compare exact.
+    */
+  private val tpchQ20 =
+    """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |                   sum(l_quantity) AS ps_availqty
+      |            FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT ps_suppkey FROM ps
+      |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      |      AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+      |                         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |                           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |                           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+      |ORDER BY s_name""".stripMargin
+
+  /** Q21 (suppliers who kept orders waiting), adapted: "late" is a
+    * returned lineitem. The EXISTS ∧ NOT-EXISTS pair over the SAME
+    * fact table — another supplier contributed to the order, but no
+    * OTHER supplier's item was returned — is Q21's exact correlated
+    * double-anti-join structure, with non-equality (<>) correlated
+    * conditions the decorrelator must preserve.
+    */
+  private val tpchQ21 =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT * FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT * FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   /** LATERAL correlated subquery (top-2 orders per customer): Spark
     * decorrelates the per-row ORDER BY/LIMIT into a window rank over
     * ONE join — the plan is a rank filter, never a per-customer
@@ -120,7 +293,32 @@ object Scans {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Register exactly the views a statement needs, then run it. */
+  private def sql(stmt: String, tables: String*): Q = (s, dir) => {
+    tables.foreach {
+      case t @ "region"   => Fixtures.region(s, dir).createOrReplaceTempView(t)
+      case t @ "nation"   => Fixtures.nation(s, dir).createOrReplaceTempView(t)
+      case t @ "customer" => Fixtures.customer(s, dir).createOrReplaceTempView(t)
+      case t @ "supplier" => Fixtures.supplier(s, dir).createOrReplaceTempView(t)
+      case t @ "part"     => Fixtures.part(s, dir).createOrReplaceTempView(t)
+      case t @ "orders"   => Fixtures.orders(s, dir).createOrReplaceTempView(t)
+      case t @ "lineitem" => Fixtures.lineitem(s, dir).createOrReplaceTempView(t)
+      case other => throw new IllegalArgumentException(s"unknown view $other")
+    }
+    s.sql(stmt)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_tpch_q2" -> sql(tpchQ2, "part", "supplier", "lineitem", "nation", "region"),
+    "q_sql_tpch_q9" -> sql(tpchQ9, "part", "supplier", "lineitem", "orders", "nation"),
+    "q_sql_tpch_q11" -> sql(tpchQ11, "lineitem", "supplier", "nation"),
+    "q_sql_tpch_q12" -> sql(tpchQ12, "orders", "lineitem"),
+    "q_sql_tpch_q16" -> sql(tpchQ16, "lineitem", "part", "supplier"),
+    "q_sql_tpch_q17" -> sql(tpchQ17, "lineitem", "part"),
+    "q_sql_tpch_q19" -> sql(tpchQ19, "lineitem", "part"),
+    "q_sql_tpch_q20" -> sql(tpchQ20, "supplier", "nation", "lineitem", "part"),
+    "q_sql_tpch_q21" -> sql(tpchQ21, "supplier", "lineitem", "orders", "nation"),
+
     "q_sql_lateral" -> ((s, dir) => {
       Fixtures.customer(s, dir).createOrReplaceTempView("customer")
       Fixtures.orders(s, dir).createOrReplaceTempView("orders")
@@ -449,6 +647,15 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q2" -> tpchQ2,
+    "q_sql_tpch_q9" -> tpchQ9,
+    "q_sql_tpch_q11" -> tpchQ11,
+    "q_sql_tpch_q12" -> tpchQ12,
+    "q_sql_tpch_q16" -> tpchQ16,
+    "q_sql_tpch_q17" -> tpchQ17,
+    "q_sql_tpch_q19" -> tpchQ19,
+    "q_sql_tpch_q20" -> tpchQ20,
+    "q_sql_tpch_q21" -> tpchQ21,
     "q_sql_lateral" -> lateralTop2,
     "q_sql_tpch_q4" -> tpchQ4,
     "q_sql_tpch_q8" -> tpchQ8,
