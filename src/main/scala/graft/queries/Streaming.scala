@@ -53,6 +53,42 @@ object Streaming {
       s.sql(funnelSql)
     }),
 
+    // Cohort retention matrix: users bucket by FIRST-seen day, then
+    // each (cohort, day-offset) cell counts distinct returners. Two
+    // keyed shuffles (first-seen min, then the cell count-distinct) —
+    // the canonical product-analytics rollup, and the grouped key
+    // space (days × 8 offsets) stays tiny at any event volume.
+    "q_events_retention" -> ((s, dir) => {
+      val e = Fixtures.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min("d").as("cohort"))
+      e.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")).cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("cohort").cast("string").as("cohort_day"),
+                col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Event-type co-occurrence (market-basket over sessions-as-days):
+    // which event types appear together for the same user on the same
+    // day. The self-join is keyed on (user, day) AFTER a distinct, so
+    // its fan-out per key is bounded by the type vocabulary (≤ |types|²
+    // rows per user-day), never by event volume — the shape that keeps
+    // co-occurrence mining linear at 100 TB.
+    "q_events_cooccur" -> ((s, dir) => {
+      val e = Fixtures.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        .distinct()
+      val a = e.withColumnRenamed("event_type", "t1")
+      val b = e.withColumnRenamed("event_type", "t2")
+      a.join(b, Seq("user_id", "d")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"))
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -106,6 +142,26 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "q_events_funnel" -> funnelSql,
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |           FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+        |       CAST(d - cohort AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |WHERE d - cohort <= 7
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_events_cooccur" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
+        |           FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val

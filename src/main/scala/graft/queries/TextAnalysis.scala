@@ -196,6 +196,41 @@ object TextAnalysis {
         .limit(100)
         .select("doc_id", "lang", "n_chars", "pri")),
 
+    // Importance (Bernoulli-by-weight) sampling: each document keeps
+    // with probability proportional to its importance score (here:
+    // length, the DSIR-style stand-in for a quality ratio), decided by
+    // a deterministic per-doc md5 uniform — so the sample is exactly
+    // reproducible, distributed map-side with zero coordination, and
+    // E[kept docs] follows the weight mass. Distinct from
+    // q_sample_weighted (priority top-k): this is the streaming-
+    // friendly independent test, no global sort or k.
+    "q_sample_importance" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .withColumn("w", least(lit(1.0), col("n_chars") / lit(600.0)))
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("double") / lit(16777216.0))
+        .filter(col("u") < col("w"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Distributed BPE pair statistics (the induction step of byte-pair
+    // / wordpiece training): count every ADJACENT token pair across
+    // the corpus and rank the merge candidates. One map-side transform
+    // (sequence + transform HOFs — no UDF, stays codegen'd) expands
+    // each document to its n−1 bigrams, then a single grouped count;
+    // at 100 TB the shuffle carries (pair, partial count), bounded by
+    // vocabulary², with map-side combine doing the heavy fold.
+    "q_tok_bpe_pairs" -> ((s, dir) =>
+      Fixtures.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(40)),
+
     // Per-source document caps (domain caps): keep at most 10 docs per
     // source, preferring longer ones — the RefinedWeb/C4 guard against
     // one domain flooding the corpus. One shuffle keyed by source;
@@ -553,6 +588,19 @@ object TextAnalysis {
         |         / n_chars AS pri
         |FROM documents
         |ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+    "q_sample_importance" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)::DOUBLE
+        |        / 16777216.0
+        |      < least(1.0, n_chars / 600.0)
+        |ORDER BY doc_id""".stripMargin,
+    "q_tok_bpe_pairs" ->
+      """WITH p AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS pair
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
     "q_text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
