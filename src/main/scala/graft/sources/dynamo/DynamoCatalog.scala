@@ -337,9 +337,48 @@ private object DynamoProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Array[String] =
-    Array("compact", "build_index", "reshard", "reap_expired")
+    Array("compact", "build_index", "reshard", "reap_expired", "history")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
+    // DESCRIBE HISTORY analogue (DynamoDB streams' DescribeStream +
+    // Delta's history, over the WAL): one row per published journal
+    // file in replay order — publish seq (the CDC offset space and
+    // VERSION AS OF coordinate), writer id, target shard ("all" =
+    // atomic transaction), op count and bytes. Window reaches back to
+    // the last compaction, which folds and deletes the journal —
+    // exactly the asOfSeq time-travel window this log lets a user
+    // pick a version from. Driver-side read: the journal between
+    // compactions is recent-writes-sized by construction.
+    case "history" => Some(proc(name,
+      "journal publish log since the last compaction: one row per " +
+        "published WAL file in replay order (pub_seq = CDC offset / " +
+        "VERSION AS OF coordinate)",
+      Array(ProcedureParameter.in("table", StringType).build())) { in =>
+      val t = in.getUTF8String(0).toString
+      val store = new LocalKVStore(root)
+      val schema = StructType(Seq(
+        StructField("pub_seq", LongType, nullable = false),
+        StructField("writer", StringType, nullable = false),
+        StructField("shard", StringType, nullable = false),
+        StructField("n_ops", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("file", StringType, nullable = false)))
+      val rows = store.walFileNames(t).sorted.map { f =>
+        val core = f.stripPrefix("wal-").stripSuffix(".jsonl")
+        val seq = core.takeWhile(_ != '-').toLong
+        val shardSuffix = core.substring(core.lastIndexOf("-s") + 2)
+        val writer = core.drop(core.indexOf('-') + 1)
+          .stripSuffix(s"-s$shardSuffix")
+        var ops = 0L; var bytes = 0L
+        store.readWalFile(t, f).foreach { case (_, _, len) =>
+          ops += 1; bytes += len }
+        new GenericInternalRow(Array[Any](
+          seq, UTF8String.fromString(writer),
+          UTF8String.fromString(shardSuffix), ops, bytes,
+          UTF8String.fromString(f))): InternalRow
+      }
+      (schema, rows.toArray)
+    })
     case "compact" => Some(proc(name,
       "fold every shard's journal into its base file (one task per shard); " +
         "refresh materialized GSI copies; reclaim sealed transaction files",
@@ -387,7 +426,7 @@ private object DynamoProcedures {
   /** One-row driver-side result: (column, value) pairs typed by the
     * value (String/Boolean/Int/Long cover every summary here).
     */
-  private def summary(cols: (String, Any)*): (StructType, InternalRow) = {
+  private def summary(cols: (String, Any)*): (StructType, Array[InternalRow]) = {
     val schema = StructType(cols.map {
       case (n, _: String) => StructField(n, StringType, nullable = false)
       case (n, _: Boolean) => StructField(n, BooleanType, nullable = false)
@@ -399,12 +438,12 @@ private object DynamoProcedures {
       case (_, v: String) => UTF8String.fromString(v): Any
       case (_, v) => v: Any
     }.toArray)
-    (schema, row)
+    (schema, Array[InternalRow](row))
   }
 
   private def proc(procName: String, desc: String,
       params: Array[ProcedureParameter])(
-      body: InternalRow => (StructType, InternalRow)): UnboundProcedure =
+      body: InternalRow => (StructType, Array[InternalRow])): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = desc
@@ -414,9 +453,9 @@ private object DynamoProcedures {
         override def parameters(): Array[ProcedureParameter] = params
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): util.Iterator[Scan] = {
-          val (schema, row) = body(input)
+          val (schema, resultRows) = body(input)
           util.List.of[Scan](new LocalScan {
-            override def rows(): Array[InternalRow] = Array(row)
+            override def rows(): Array[InternalRow] = resultRows
             override def readSchema(): StructType = schema
           }).iterator()
         }

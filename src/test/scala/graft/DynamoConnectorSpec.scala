@@ -2459,6 +2459,44 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL history lists the journal publish log, windowed to the last compaction") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // one write job → journal files exist
+    val store = new LocalKVStore(root)
+    val prev = spark.conf.getOption("spark.sql.catalog.hcat")
+    try {
+      spark.conf.set("spark.sql.catalog.hcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.hcat.path", root)
+      Seq(("elderberry", "red", 0.02, 7L))
+        .toDF("name", "color", "weight_kg", "stock")
+        .write.dynamo(root, "fruit", "name")
+      val hist = spark.sql("CALL hcat.history('fruit')").collect()
+      // one row per published journal file, in replay order, op counts
+      // summing to the five puts across both write jobs
+      assert(hist.map(_.getString(5)).toSeq ===
+        store.walFileNames("fruit").sorted)
+      assert(hist.map(_.getLong(3)).sum === 5L)
+      assert(hist.forall(_.getLong(4) > 0L)) // bytes
+      val seqs = hist.map(_.getLong(0)).toSeq
+      assert(seqs === seqs.sorted)
+      // pub_seq doubles as the VERSION AS OF coordinate: time travel
+      // to just before the LAST publish hides the second write job
+      val beforeLast = spark.read.format("dynamo")
+        .option("path", root).option("tableName", "fruit")
+        .option("asOfSeq", (seqs.max - 1).toString).load()
+      assert(beforeLast.count() === 4L)
+      // compaction folds + deletes the journal → empty history (the
+      // same window asOfSeq reads reach back to)
+      store.compact("fruit")
+      assert(spark.sql("CALL hcat.history('fruit')").collect().isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.hcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.hcat"))(
+        spark.conf.set("spark.sql.catalog.hcat", _))
+    }
+  }
+
   test("CTAS composes with clusterWrite=shard: staged write is bucket-clustered") {
     import spark.implicits._
     val root = freshRoot()
