@@ -1427,10 +1427,23 @@ final class DynamoScan(
               l <- cvt(f.dataType, lo, folded.nWhole)
               h <- cvt(f.dataType, hi, folded.nWhole)
             } yield (l, h)
-          if (nullCnt.isDefined || minMax.isDefined)
+          // NDV from the mergeable per-shard HLL sketches (±~6.5%):
+          // every shard must carry one (pre-field sidecars decline).
+          // Clamped by `present` — a distinct count can never exceed
+          // the non-null occurrences — and floored at 1 when any
+          // value exists. Estimation-grade by contract (CBO input,
+          // never an answer path).
+          val ndv = for {
+            h <- folded.hll
+            p <- folded.present
+            if p > 0L
+          } yield math.min(AttrStats.hllEstimate(h), p)
+          if (nullCnt.isDefined || minMax.isDefined || ndv.isDefined)
             out.put(v2expr.Expressions.column(f.name), new ColumnStatistics {
               override def nullCount(): util.OptionalLong =
                 nullCnt.fold(util.OptionalLong.empty())(util.OptionalLong.of)
+              override def distinctCount(): util.OptionalLong =
+                ndv.fold(util.OptionalLong.empty())(util.OptionalLong.of)
               override def min(): java.util.Optional[Object] =
                 minMax.fold(java.util.Optional.empty[Object]())(m => java.util.Optional.of(m._1))
               override def max(): java.util.Optional[Object] =

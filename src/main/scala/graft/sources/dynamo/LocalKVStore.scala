@@ -78,20 +78,33 @@ final case class AttrStats(
       * answer path must decline. False when read from a pre-field
       * stats file (unknown).
       */
-    nWhole: Boolean = true) {
+    nWhole: Boolean = true,
+    /** HyperLogLog registers (m = 256, ±~6.5% standard error) over the
+      * attribute's NON-NULL values, hashed through a canonical
+      * encoding that identifies decode-equal values (N(1) ≡ N(1.0)).
+      * Mergeable by register max — the property that lets per-shard
+      * sketches written independently at bulk load / compaction fold
+      * into a table-wide distinct-count estimate with zero items read
+      * (DESCRIBE-TABLE-style NDV for the CBO). `None` = pre-field
+      * stats file (unknown; no distinct-count claim).
+      */
+    hll: Option[Vector[Byte]] = Some(AttrStats.hllZero)) {
   def widen(v: AttrVal): AttrStats = v match {
     case AttrVal.N(n) => copy(
       nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
       nMax = Some(nMax.filter(_ >= n).getOrElse(n)),
       present = present.map(_ + 1L),
       nSum = nSum.map(_ + n),
-      nWhole = nWhole && n.isWhole)
+      nWhole = nWhole && n.isWhole,
+      hll = hll.map(AttrStats.hllAdd(_, v)))
     case AttrVal.S(s) => copy(
       sMin = Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
       sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)),
-      present = present.map(_ + 1L))
+      present = present.map(_ + 1L),
+      hll = hll.map(AttrStats.hllAdd(_, v)))
     case AttrVal.Null => this // reads as null everywhere: harmless
-    case _ => copy(other = true, present = present.map(_ + 1L))
+    case _ => copy(other = true, present = present.map(_ + 1L),
+      hll = hll.map(AttrStats.hllAdd(_, v)))
   }
   def union(o: AttrStats): AttrStats = AttrStats(
     (nMin.toSeq ++ o.nMin).minOption,
@@ -101,11 +114,67 @@ final case class AttrStats(
     other || o.other,
     for (a <- present; b <- o.present) yield a + b,
     for (a <- nSum; b <- o.nSum) yield a + b,
-    nWhole && o.nWhole)
+    nWhole && o.nWhole,
+    for (a <- hll; b <- o.hll)
+      yield a.lazyZip(b).map((x, y) => if (x >= y) x else y).toVector)
 }
 
 object AttrStats {
+  // ---- HyperLogLog (m = 1024 registers, 8-bit; ±~3.2%) ----
+  // declared BEFORE `empty`: the case-class default `Some(hllZero)`
+  // evaluates during `empty`'s construction
+  val hllM = 1024
+  val hllZero: Vector[Byte] = Vector.fill(hllM)(0: Byte)
+
   val empty: AttrStats = AttrStats(None, None, None, None)
+
+  /** Canonical value encoding for the sketch hash: identifies exactly
+    * the values the decode/compare paths treat as equal (numbers by
+    * normalized decimal, not representation) and is total over every
+    * AttrVal shape — byte arrays by content, containers recursively.
+    */
+  def hllEnc(v: AttrVal): String = v match {
+    case AttrVal.S(s)    => "s:" + s
+    case AttrVal.N(n)    => "n:" + n.bigDecimal.stripTrailingZeros.toPlainString
+    case AttrVal.Bool(b) => if (b) "t" else "f"
+    case AttrVal.B(b)    => "b:" + java.util.Base64.getEncoder.encodeToString(b)
+    case AttrVal.L(xs)   => xs.map(hllEnc).mkString("l[", ",", "]")
+    case AttrVal.M(m)    => m.toSeq.sortBy(_._1)
+      .map { case (k, x) => k + "=" + hllEnc(x) }.mkString("m{", ",", "}")
+    case AttrVal.Null    => "0"
+  }
+
+  def hllAdd(regs: Vector[Byte], v: AttrVal): Vector[Byte] = {
+    val enc = hllEnc(v)
+    // two independently-seeded hashes: one picks the register, one
+    // supplies the rank bits — avoids the bit-reuse correlation a
+    // single 32-bit hash splits into
+    val hi = scala.util.hashing.MurmurHash3.stringHash(enc, 0x5bd1e995)
+    val hr = scala.util.hashing.MurmurHash3.stringHash(enc, 0x9747b28c)
+    val idx = hi & (hllM - 1)
+    val rank = (java.lang.Integer.numberOfTrailingZeros(hr | 0x80000000) + 1).toByte
+    if (rank > regs(idx)) regs.updated(idx, rank) else regs
+  }
+
+  /** Standard HLL estimate with the small-range linear-counting
+    * correction. The switch is decided on the LINEAR-COUNT value
+    * (use it while it stays below 2.5m and zero registers remain),
+    * not the raw estimate — the raw estimator biases high in the
+    * n ≈ m transition zone, where gating on it would skip the
+    * correction exactly when it is needed.
+    */
+  def hllEstimate(regs: Vector[Byte]): Long = {
+    val m = regs.size
+    val zeros = regs.count(_ == 0)
+    val lc = if (zeros > 0) m * math.log(m.toDouble / zeros) else Double.MaxValue
+    val e =
+      if (zeros > 0 && lc <= 2.5 * m) lc
+      else {
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        alpha * m * m / regs.iterator.map(r => math.pow(2.0, -r.toDouble)).sum
+      }
+    math.max(1L, math.round(e))
+  }
   /** UTF8String (code-point) order — [[FilterEval.cmp]]'s string
     * order; java's compareTo disagrees on supplementary characters.
     */
@@ -172,7 +241,9 @@ object ShardStats {
           "other" -> AttrVal.Bool(s.other),
           "present" -> num(s.present.map(BigDecimal(_))),
           "nSum" -> num(s.nSum),
-          "nWhole" -> AttrVal.Bool(s.nWhole)))
+          "nWhole" -> AttrVal.Bool(s.nWhole),
+          "hll" -> s.hll.map(r => AttrVal.S(java.util.Base64.getEncoder
+            .encodeToString(r.toArray)): AttrVal).getOrElse(AttrVal.Null)))
       })))
   }
 
@@ -187,7 +258,13 @@ object ShardStats {
           f.get("other") match { case Some(AttrVal.Bool(b)) => b; case _ => true },
           f.get("present").flatMap(num).map(_.toLong),
           f.get("nSum").flatMap(num),
-          f.get("nWhole") match { case Some(AttrVal.Bool(b)) => b; case _ => false })
+          f.get("nWhole") match { case Some(AttrVal.Bool(b)) => b; case _ => false },
+          f.get("hll").flatMap(str).flatMap { b64 =>
+            val bytes = try java.util.Base64.getDecoder.decode(b64)
+              catch { case _: IllegalArgumentException => Array.empty[Byte] }
+            // wrong-width registers = unreadable sketch, not a crash
+            if (bytes.length == AttrStats.hllM) Some(bytes.toVector) else None
+          })
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false },

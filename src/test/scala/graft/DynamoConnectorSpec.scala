@@ -2615,6 +2615,41 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(!color.min().isPresent && !color.max().isPresent)
     assert(color.nullCount().getAsLong === 1L) // the kiwi row
     assert(m.get(Expressions.column("name")).nullCount().getAsLong === 0L)
+    // NDV from the per-shard HLL sketches: tiny cardinalities sit in
+    // the linear-counting regime and come back exact, clamped by the
+    // non-null count
+    assert(m.get(Expressions.column("name")).distinctCount().getAsLong === 5L)
+    assert(color.distinctCount().getAsLong === 3L) // red/yellow/green; null excluded
+  }
+
+  test("sidecar HLL sketches: shard merge equals whole-table sketch, estimate within tolerance") {
+    import graft.sources.dynamo.{AttrStats, AttrVal, ShardStats}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 8, throughput = 1000000L)
+    // 5000 unique ids, 7 distinct groups, 400 distinct values
+    store.bulkLoad("t", meta, (0 until 5000).iterator.map(i =>
+      Map("id" -> AttrVal.S(f"k$i%05d"),
+        "grp" -> AttrVal.S(s"g${i % 7}"),
+        "v" -> AttrVal.N(BigDecimal(i % 400)))))
+    val per = store.tableZoneStats("t", 8).flatten
+    assert(per.size === 8)
+    def ndv(attr: String): Long = AttrStats.hllEstimate(
+      per.map(_.attrs(attr)).reduce(_ union _).hll.get)
+    // merged-sketch estimates: exact in the linear-counting regime
+    // (grp), within the 256-register error band for the larger sets
+    assert(ndv("grp") === 7L)
+    assert(math.abs(ndv("v") - 400L) <= 40L, s"v ndv=${ndv("v")}")
+    assert(math.abs(ndv("id") - 5000L) <= 750L, s"id ndv=${ndv("id")}")
+    // merge law: folding per-shard sketches equals one sketch over
+    // the whole stream (registers are max-mergeable)
+    val whole = (0 until 5000).foldLeft(ShardStats.empty)((st, i) =>
+      st.widen(Map("id" -> AttrVal.S(f"k$i%05d"))))
+    val merged = per.map(_.attrs("id")).reduce(_ union _).hll.get
+    assert(whole.attrs("id").hll.get === merged)
+    // decode-equal numbers hash identically: N(1) vs N(1.0)
+    assert(AttrStats.hllAdd(AttrStats.hllZero, AttrVal.N(BigDecimal("1"))) ===
+      AttrStats.hllAdd(AttrStats.hllZero, AttrVal.N(BigDecimal("1.0"))))
   }
 
   test("Catalyst's optimizer sees the sidecar column stats end-to-end") {
@@ -2631,6 +2666,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val stock = byName("stock")
       assert(stock.min.contains(1L) && stock.max.contains(100L), stock)
       assert(stock.nullCount.contains(BigInt(0)), stock)
+      // NDV rides along (4 distinct stock values, linear-counting exact)
+      assert(stock.distinctCount.contains(BigInt(4)), stock)
     } finally prev.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
       spark.conf.set("spark.sql.cbo.enabled", _))
   }
