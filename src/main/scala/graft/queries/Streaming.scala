@@ -89,6 +89,24 @@ object Streaming {
         .orderBy(col("cnt").desc, col("t1"), col("t2"))
     }),
 
+    // Event-sequence transition matrix (the Markov-chain estimation
+    // step behind session modeling / next-event prediction): count
+    // (type → next type) transitions per user in time order. ONE
+    // keyed window (lead over user_id) + one small grouped count —
+    // the per-user sort is the only shuffle, and the output is
+    // |types|² rows at any event volume.
+    "q_events_markov" -> ((s, dir) => {
+      val e = Fixtures.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      e.withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -153,6 +171,16 @@ object Streaming {
         |WHERE d - cohort <= 7
         |GROUP BY cohort, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_events_markov" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type
+        |           FROM events),
+        |n AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY t, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM n WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "q_events_cooccur" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type

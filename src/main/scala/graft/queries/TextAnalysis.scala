@@ -214,6 +214,28 @@ object TextAnalysis {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Zipf-law fit over the corpus token distribution: least-squares
+    // slope of ln(frequency) against ln(rank) — the one-number corpus
+    // health check (natural text sits near −1; templated/synthetic
+    // corpora drift). Corpus-sized work is the distributed token
+    // count; the ranking window and the regression run over the
+    // VOCABULARY only (the same two-tier shape as q_tok_vocab).
+    "q_tok_zipf" -> ((s, dir) => {
+      val tf = Fixtures.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = tf.withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+        .select(log(col("rk")).as("x"), log(col("cnt")).as("y"))
+      ranked.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+          col("n").as("vocab_size"))
+    }),
+
     // Distributed BPE pair statistics (the induction step of byte-pair
     // / wordpiece training): count every ADJACENT token pair across
     // the corpus and rank the merge candidates. One map-side transform
@@ -594,6 +616,17 @@ object TextAnalysis {
         |        / 16777216.0
         |      < least(1.0, n_chars / 600.0)
         |ORDER BY doc_id""".stripMargin,
+    "q_tok_zipf" ->
+      """WITH tf AS (SELECT tok, count(*) AS cnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) GROUP BY tok),
+        |r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS x,
+        |             ln(cnt) AS y
+        |      FROM tf)
+        |SELECT round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |             (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+        |       CAST(count(*) AS BIGINT) AS vocab_size
+        |FROM r""".stripMargin,
     "q_tok_bpe_pairs" ->
       """WITH p AS (
         |  SELECT unnest(list_transform(range(1, len(ws)),

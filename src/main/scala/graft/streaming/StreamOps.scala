@@ -113,6 +113,34 @@ object StreamOps {
         col("click_ts"), col("view_ts"))
   }
 
+  /** FULL OUTER form of [[clickViewJoin]], completing the stream-stream
+    * join family: unmatched rows on EITHER side null-extend once the
+    * OTHER side's watermark proves no partner can still arrive — an
+    * unmatched click waits for the view watermark to pass `click_ts`
+    * (the condition's lower bound on views), an unmatched view waits
+    * for the click watermark to pass `view_ts + horizon` (the derived
+    * upper bound on clicks). Both directions are watermark-bounded, so
+    * state and result latency stay one horizon on each side. The
+    * audit-join use: conversions, orphan clicks AND orphan views in a
+    * single query — the reconciliation report shape.
+    */
+  def clickViewJoinFullOuter(
+      clicks: DataFrame, views: DataFrame,
+      horizon: String = "10 minutes", watermark: String = "5 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("v_user")).as("user_id"),
+        col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Custom per-key state via `mapGroupsWithState` (the extension point
     * windowed aggregation can't reach): lifetime running count + value
     * sum per event type, re-emitted each micro-batch the key appears in

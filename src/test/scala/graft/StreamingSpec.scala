@@ -284,6 +284,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join null-extends BOTH sides past their watermarks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[UEv]
+    val views = MemoryStream[UEv]
+    val q = startAppend(
+      StreamOps.clickViewJoinFullOuter(clicks.toDF(), views.toDF()), "ssjoinfo")
+    try {
+      views.addData(
+        UEv(t("2024-01-01 10:00:00"), 1L, 100L), // matches user 1's click
+        UEv(t("2024-01-01 10:00:00"), 5L, 101L)) // NO click for user 5
+      clicks.addData(
+        UEv(t("2024-01-01 10:05:00"), 1L, 200L), // matches view 100
+        UEv(t("2024-01-01 10:05:00"), 3L, 201L)) // NO view for user 3
+      q.processAllAvailable()
+      // advance both watermarks far enough that neither orphan can
+      // still find a partner (click side must pass view_ts + horizon)
+      views.addData(UEv(t("2024-01-01 11:00:00"), 8L, 109L))
+      clicks.addData(UEv(t("2024-01-01 11:00:00"), 9L, 209L))
+      q.processAllAvailable()
+      views.addData(UEv(t("2024-01-01 12:00:00"), 8L, 110L))
+      clicks.addData(UEv(t("2024-01-01 12:00:00"), 9L, 210L))
+      q.processAllAvailable()
+      def opt(r: org.apache.spark.sql.Row, f: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
+      val rows = spark.table("ssjoinfo").collect()
+        .map(r => (r.getAs[Long]("user_id"), opt(r, "click_id"), opt(r, "view_id")))
+      // matched pair once; orphan CLICK null-extends on the view side;
+      // orphan VIEW null-extends on the click side — the new half
+      assert(rows.toSet.contains((1L, Some(200L), Some(100L))), rows.mkString(","))
+      assert(rows.toSet.contains((3L, Some(201L), None)), rows.mkString(","))
+      assert(rows.toSet.contains((5L, None, Some(101L))), rows.mkString(","))
+      assert(rows.count(_._1 == 1L) === 1) // matched row emits exactly once
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-deliveries of an event id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
