@@ -208,7 +208,76 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `customer_gsid` for the DELTA-fresh GSI read: epoch 1 = the
+    * customer copy compacted + `by_seg` index backfilled (exact copy);
+    * epoch 2 = a journal delta the copy has NOT folded — deletes of
+    * every `c_custkey % 10 == 7` row, one sentinel put, and an UPDATE
+    * moving the sentinel's balance (update-merge through the overlay).
+    * No compaction after: reads via the index then run copy + overlay
+    * ([[graft.sources.dynamo.LocalKVStore.IndexDelta]]) — the
+    * DynamoDB shape where a GSI keeps serving under writes.
+    */
+  private def seededGsiDeltaRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer_gsid", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.customer(s, sfDir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .repartition(16)
+          .write.dynamo(root, "customer_gsid", "c_custkey")
+        DynamoMaintenance.compact(s, root, "customer_gsid")
+        val st = new LocalKVStore(root)
+        st.createIndex("customer_gsid", "by_seg",
+          IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
+        // the delta: executor-parallel deletes + a driver put/update
+        val seq = asofEpochSeq
+        Fixtures.customer(s, sfDir)
+          .filter(col("c_custkey") % 10 === 7)
+          .select("c_custkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val stl = new LocalKVStore(root)
+            val w = stl.walWriter("customer_gsid", seq,
+              f"gsiddel-p${org.apache.spark.TaskContext.getPartitionId()}%04d")
+            try {
+              it.foreach { r =>
+                w.append(stl.Delete(Map("c_custkey" ->
+                  (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                    : graft.sources.dynamo.AttrVal))))
+              }
+              w.flush()
+            } finally w.close()
+          }
+        st.appendWal("customer_gsid", seq, "gsidput", Seq(
+          st.Put(Map(
+            "c_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(9999999)),
+            "c_mktsegment" -> graft.sources.dynamo.AttrVal.S("BUILDING"),
+            "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("123.45"))))))
+        st.appendWal("customer_gsid", seq + 1, "gsidupd", Seq(
+          st.UpdateIfExists(Map(
+            "c_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(9999999)),
+            "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("678.9"))))))
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // DELTA-fresh GSI read: the index-key-pinned read serves the
+    // materialized copy PLUS the pinned journal overlay — deleted
+    // rows vanish, the updated sentinel appears at its merged value —
+    // without any rebuild. The oracle expresses the same final state
+    // over the parquet fixture.
+    "q_dyn_gsi_delta" -> ((s, dir) => {
+      val root = seededGsiDeltaRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_gsid")
+        .option("indexName", "by_seg").load()
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // WAL time travel (PITR shape): the snapshot read bounds the
     // journal replay at a past sequence, so the result equals the
     // table before the epoch-2 deletes/put — i.e. the parquet fixture
@@ -568,6 +637,15 @@ object DynamoQueries {
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_dyn_gsi_delta" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT CAST(9999999 AS BIGINT) AS c_custkey,
+        |         'BUILDING' AS c_mktsegment,
+        |         CAST(678.9 AS DOUBLE) AS c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "q_dyn_win_local" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey
