@@ -1616,14 +1616,42 @@ final class DynamoScan(
           case LocalKVStore.IndexDelta(files, _) => files
           case _ => Nil
         }
+        // Zone-map pruning over the INDEX copy's own sidecars
+        // (`gsi-zstat-*`, exact at every build): base-shard stats say
+        // nothing about an index shard, but the copy's do — a pushed
+        // conjunct on a projected attribute skips index shards whose
+        // value range excludes it. Only while the serve is
+        // OVERLAY-FREE: delta images aren't covered by the copy's
+        // stats, so any delta disables the skip (never the results).
+        def zoneSurviving(cands: Set[Int]): Set[Int] = {
+          val conjuncts = pushed ++ runtime
+          if (delta.nonEmpty || !opts.zonePruning || conjuncts.isEmpty) cands
+          else cands.filter { sh =>
+            store.indexZoneStats(opts.tableName, ixName, sh) match {
+              case Some(st) => conjuncts.forall(ZoneMap.mayMatch(_, st))
+              case None     => true
+            }
+          }
+        }
         indexKeyShards(store, meta, meta.indexes(ixName)) match {
           case Some(shards) =>
+            val live = zoneSurviving(shards)
             val rate = math.max(0.1,
-              opts.targetCapacity * throughput / math.max(1, shards.size))
-            return shards.toArray.sorted.map(sh =>
+              opts.targetCapacity * throughput / math.max(1, live.size))
+            return live.toArray.sorted.map(sh =>
               DynamoInputPartition(sh, meta.shards, rate,
                 viaIndex = true, deltaFiles = delta): InputPartition)
           case None =>
+            val all = (0 until meta.shards).toSet
+            val live = zoneSurviving(all)
+            if (live.size < meta.shards) {
+              // strict subset: plan per-shard so the skip is real
+              val rate = math.max(0.1,
+                opts.targetCapacity * throughput / math.max(1, live.size))
+              return live.toArray.sorted.map(sh =>
+                DynamoInputPartition(sh, meta.shards, rate,
+                  viaIndex = true, deltaFiles = delta): InputPartition)
+            }
             val n = fullScanSegments(store, meta)
             val rate = math.max(0.1, opts.targetCapacity * throughput / n)
             return Array.tabulate(n)(i =>

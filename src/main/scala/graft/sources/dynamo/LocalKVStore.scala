@@ -417,11 +417,13 @@ final class LocalKVStore(root: String) {
     val writers = Array.tabulate(meta.shards) { i =>
       Files.newBufferedWriter(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"), UTF_8)
     }
+    val stats = Array.fill(meta.shards)(ShardStats.empty)
     try scanSegment(table, 0, 1).map(_._1)
       .flatMap(indexView(meta, ix, _))
       .foreach { it =>
-        val w = writers(indexShardOf(meta, it(ix.hashKey)))
-        w.write(ItemJson.write(it)); w.write("\n")
+        val is = indexShardOf(meta, it(ix.hashKey))
+        writers(is).write(ItemJson.write(it)); writers(is).write("\n")
+        stats(is) = stats(is).widen(it)
       }
     finally writers.foreach(_.close())
     (0 until meta.shards).foreach { i =>
@@ -429,12 +431,43 @@ final class LocalKVStore(root: String) {
         dir.resolve(f"gsi-$name-shard-$i%03d.jsonl"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      writeIndexZoneStats(table, name, i, stats(i))
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
     Files.write(mTmp, stamp.getBytes(UTF_8))
     Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- per-index-shard zone maps ----
+  //
+  // `gsi-zstat-<name>-sNNN.json` — the index copy's own sidecars
+  // (projected items placed by INDEX hash, so BASE-shard stats say
+  // nothing about an index shard): exact at every build, written
+  // before the marker, deleted with the other `gsi-` files when any
+  // path invalidates the copy. Planning consults them only while the
+  // serve is overlay-free (the delta adds images the copy's stats
+  // never saw — pruning through them would drop those rows).
+
+  private[dynamo] def writeIndexZoneStats(
+      table: String, name: String, shard: Int, st: ShardStats): Unit = {
+    val dir = tableDir(table)
+    val tmp = dir.resolve(f".gsi-zstat-$name-s$shard%03d.json.tmp")
+    Files.write(tmp, ShardStats.toJson(st).getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(f"gsi-zstat-$name-s$shard%03d.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The exact zone map of one index-copy shard, `None` when absent
+    * or unreadable (pre-field copies; planning just skips pruning).
+    */
+  def indexZoneStats(table: String, name: String, shard: Int): Option[ShardStats] = {
+    val p = tableDir(table).resolve(f"gsi-zstat-$name-s$shard%03d.json")
+    if (!Files.isRegularFile(p)) None
+    else try Some(ShardStats.fromJson(new String(Files.readAllBytes(p), UTF_8)))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Rebuild every registered index (compaction's index-refresh step;
@@ -494,15 +527,20 @@ final class LocalKVStore(root: String) {
         }
       val out = dir.resolve(f".gsi-$name-shard-$is%03d.jsonl.tmp")
       val w = Files.newBufferedWriter(out, UTF_8)
+      var st = ShardStats.empty
       try parts.foreach { p =>
         val lines = Files.lines(p, UTF_8)
         try lines.iterator().asScala.filter(_.nonEmpty)
-          .foreach { l => w.write(l); w.write("\n") }
+          .foreach { l =>
+            w.write(l); w.write("\n")
+            st = st.widen(ItemJson.parse(l))
+          }
         finally lines.close()
       } finally w.close()
       Files.move(out, dir.resolve(f"gsi-$name-shard-$is%03d.jsonl"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      writeIndexZoneStats(table, name, is, st)
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
     val payload =

@@ -2084,6 +2084,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
         assert(files.nonEmpty && bytes > 0); files
       case other => fail(s"expected IndexDelta, got $other")
     }
+    // end-to-end negotiation path: a DataFrame loaded over the
+    // delta-fresh index plans viaIndex WITH the pinned delta files —
+    // a silent fallback to the base path would stay result-correct
+    // and hide the feature, so pin the partition shape itself
+    val df = spark.read.format("dynamo").option("path", root)
+      .option("tableName", "t").option("indexName", "by_grp").load()
+    val bse = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+    val dfParts = bse.inputPartitions
+      .map(_.asInstanceOf[graft.sources.dynamo.DynamoInputPartition])
+    assert(dfParts.nonEmpty &&
+      dfParts.forall(p => p.viaIndex && p.deltaFiles.nonEmpty))
+
     // overlay serve, across the index's own segmentation — capture
     // BEFORE the rebuild mutates the marker
     def keyed(rows: Seq[Map[String, AttrVal]]) =
@@ -2150,6 +2164,59 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // journal files are gone, the delta is unenumerable → Stale
     (0 until 2).foreach(store.compactShard("t", _))
     assert(store.indexFreshness("t", "by_grp") == LocalKVStore.IndexStale)
+  }
+
+  test("index-shard zone maps prune GSI scans; any delta disables the skip") {
+    import graft.sources.dynamo.{AttrVal, DynamoInputPartition, DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 8, throughput = 1000000L)
+    // group gX's projected values live in [X*1000, X*1000+99]: a range
+    // predicate on v excludes every index shard holding only low groups
+    store.bulkLoad("t", meta, (0 until 800).iterator.map { i =>
+      val g = i % 8
+      Map("id" -> AttrVal.S(f"k$i%04d"), "grp" -> AttrVal.S(s"g$g"),
+        "v" -> AttrVal.N(BigDecimal(g * 1000 + i / 8)))
+    })
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "t", "indexName", "by_grp",
+      "readPartitions", "8"))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("grp", StringType), StructField("v", LongType)))
+    def parts(filters: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, filters.toArray).toBatch.planInputPartitions()
+        .map(_.asInstanceOf[DynamoInputPartition])
+
+    val full = parts()
+    assert(full.length === 8 && full.forall(_.viaIndex))
+    val pruned = parts(GreaterThanOrEqual("v", 5000L))
+    assert(pruned.nonEmpty && pruned.length < full.length,
+      s"expected a strict index-shard subset, got ${pruned.length}/8")
+    assert(pruned.forall(p => p.viaIndex && p.deltaFiles.isEmpty))
+    // the skip never changes results: g5..g7 qualify, 100 rows each
+    val got = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_grp").option("readPartitions", "8")
+      .load().filter(col("v") >= 5000L)
+    assert(got.count() === 300L)
+
+    // a journal delta demotes the serve to copy+overlay: overlay
+    // images aren't covered by the copy's stats, so pruning disables
+    // (partitions still serve viaIndex, with the pinned delta)
+    store.appendWal("t", 1L, "w0", Seq(store.Put(Map(
+      "id" -> AttrVal.S("zzzz"), "grp" -> AttrVal.S("g0"),
+      "v" -> AttrVal.N(BigDecimal(9999))))))
+    val afterDelta = parts(GreaterThanOrEqual("v", 5000L))
+    assert(afterDelta.length === 8)
+    assert(afterDelta.forall(p => p.viaIndex && p.deltaFiles.nonEmpty))
+    // the g0 row with v=9999 now qualifies through the overlay
+    assert(spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_grp").option("readPartitions", "8")
+      .load().filter(col("v") >= 5000L).count() === 301L)
   }
 
   test("transactional write: one atomic publish per task, oversized task fails with no residue") {
