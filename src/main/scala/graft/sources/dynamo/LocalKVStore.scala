@@ -992,6 +992,37 @@ final class LocalKVStore(root: String) {
       .find(it => keyOf(meta, it) == canon)
   }
 
+  /** Snapshot-consistent multi-key read — the `TransactGetItems`
+    * analogue: every key resolves against ONE journal-file listing,
+    * so an atomic transaction published concurrently is either
+    * visible in ALL returned items or in none (its ops live in a
+    * single `-sall` file, whose membership in the one listing is
+    * atomic by construction) — where N independent [[currentItem]]
+    * calls could observe a transaction half-applied across keys.
+    * Plain per-shard writers keep the store's non-atomic model (A14);
+    * this pins exactly the guarantee DynamoDB's TransactGetItems
+    * adds over N GetItems. Cost: one owning-shard segment read per
+    * DISTINCT shard touched, item-proportional like GetItem; results
+    * positionally match `keys`, `None` = absent at the snapshot.
+    */
+  def transactGet(table: String, keys: Seq[Item]): Seq[Option[Item]] = {
+    val meta = describe(table)
+    val snapshot = Some(listFiles(table, "wal-")
+      .map(_.getFileName.toString).toSet)
+    val canon = keys.map(keyOf(meta, _))
+    val wanted = canon.toSet
+    val found = mutable.HashMap.empty[String, Item]
+    keys.map(shardOf(meta, _)).distinct.foreach { sh =>
+      scanSegment(table, sh, meta.shards, allowedWal = snapshot)
+        .map(_._1)
+        .foreach { it =>
+          val k = keyOf(meta, it)
+          if (wanted(k)) found(k) = it
+        }
+    }
+    canon.map(found.get)
+  }
+
   /** Cross-JVM + in-process serialization of transactional
     * check-evaluate-publish sections for one table.
     */
@@ -1118,12 +1149,14 @@ final class LocalKVStore(root: String) {
     * the PITR story (see [[scanSegment]]).
     */
   private def walOps(table: String, segment: Int, totalSegments: Int,
-      asOfSeq: Option[Long] = None): Iterator[Op] =
+      asOfSeq: Option[Long] = None,
+      allowedWal: Option[Set[String]] = None): Iterator[Op] =
     listFiles(table, "wal-").filter { p =>
       val sh = walShard(p)
       sh == LocalKVStore.TxnShard || sh % totalSegments == segment
     }
       .filter(p => asOfSeq.forall(walPubSeq(p) <= _))
+      .filter(p => allowedWal.forall(_.contains(p.getFileName.toString)))
       .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
       .filter(_.nonEmpty)
@@ -1231,7 +1264,11 @@ final class LocalKVStore(root: String) {
     * their journal.
     */
   def scanSegment(table: String, segment: Int, totalSegments: Int,
-      asOfSeq: Option[Long] = None): Iterator[(Item, Int)] = {
+      asOfSeq: Option[Long] = None,
+      /** Pin the replay to exactly this journal-file set (a caller's
+        * one-listing snapshot — [[transactGet]]); None = live listing.
+        */
+      allowedWal: Option[Set[String]] = None): Iterator[(Item, Int)] = {
     val meta = describe(table)
     // An asOfSeq below the compaction watermark is unsatisfiable: the
     // folded base would serve post-snapshot state for every key whose
@@ -1292,7 +1329,7 @@ final class LocalKVStore(root: String) {
     // by PUTNX keeps the base untouched (present → no-op).
     val init = KeyState(Right(Map.empty: Item), None)
     val overrides = mutable.LinkedHashMap.empty[String, KeyState]
-    walOps(table, segment, totalSegments, asOfSeq).foreach { op =>
+    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach { op =>
       if (inSegment(op.item)) {
         val k = keyOf(meta, op.item)
         overrides(k) = applyOp(overrides.getOrElse(k, init), op)

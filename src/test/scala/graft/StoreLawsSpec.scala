@@ -191,6 +191,30 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("transactGet: snapshot-consistent multi-key read (TransactGetItems analogue)") {
+    val root = Files.createTempDirectory("graft-txn-get").toString
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("pk", None, shards = 4, throughput = 1000000L))
+    def k(s: String): Item = Map("pk" -> AttrVal.S(s))
+    def item(s: String, v: Int): Item =
+      Map("pk" -> AttrVal.S(s), "v" -> AttrVal.N(BigDecimal(v)))
+    store.appendWal("t", 1L, "w0",
+      Seq(store.Put(item("a", 1)), store.Put(item("b", 2))))
+    // positional results; absent key = None; keys land in different shards
+    assert(store.transactGet("t", Seq(k("a"), k("zz"), k("b"))) ===
+      Seq(Some(item("a", 1)), None, Some(item("b", 2))))
+    // a STAGED transaction is invisible (all keys still pre-image);
+    // after its single-rename publish, ALL keys see it — the
+    // one-listing snapshot can never return it half-applied
+    val staged = store.transactStage("t", 2L, "w1",
+      Seq(store.Put(item("a", 10)), store.Put(item("b", 20))))
+    assert(store.transactGet("t", Seq(k("a"), k("b"))) ===
+      Seq(Some(item("a", 1)), Some(item("b", 2))))
+    store.transactPublishAll(Seq(staged))
+    assert(store.transactGet("t", Seq(k("a"), k("b"))) ===
+      Seq(Some(item("a", 10)), Some(item("b", 20))))
+  }
+
   test("transaction condition checks gate the whole transaction") {
     import graft.sources.dynamo.{TxnCheck, TxnCheckFailedException}
     val root = Files.createTempDirectory("graft-txn-check").toString
