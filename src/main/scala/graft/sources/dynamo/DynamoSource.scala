@@ -113,6 +113,19 @@ final case class DynamoOptions(
       * last compaction (compaction folds + deletes the journal).
       */
     asOfSeq: Option[Long],
+    /** Consistent parallel scan: pin ONE journal-file listing at
+      * planning time into every scan partition, so all tasks —
+      * including stragglers and RETRIES running long after their
+      * siblings — replay the same snapshot. Without it, each task
+      * lists the journal when it runs (DynamoDB's eventually-
+      * consistent parallel Scan, the default); with it, a concurrent
+      * writer can never make a retried task disagree with the
+      * partition it replaces, and a multi-segment scan is one
+      * consistent cut (an atomic transaction is in the snapshot
+      * entirely or not at all — the [[LocalKVStore.transactGet]]
+      * argument applied to whole segments).
+      */
+    consistentScan: Boolean,
     /** Transactional write (`TransactWriteItems` surface), normalized
       * to `off` / `task` / `job` (`true` accepted as `task`):
       *  - `task`: each TASK's ops publish as ONE atomic transaction at
@@ -195,6 +208,7 @@ object DynamoOptions {
       gsiDeltaMaxBytes =
         opt("gsiDeltaMaxBytes").map(_.toLong).getOrElse(8L * 1024 * 1024),
       asOfSeq = opt("asOfSeq").map(_.toLong),
+      consistentScan = m.getBoolean("consistentScan", false),
       transactional = opt("transactional").map(_.toLowerCase) match {
         case None | Some("false") | Some("off") => "off"
         case Some("true") | Some("task") => "task"
@@ -455,7 +469,11 @@ final class DynamoScanBuilder(
   private def plainForJoin: Boolean =
     opts.indexName.isEmpty && !opts.cdc && sample.isEmpty &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
-      aggs.isEmpty && grouped.isEmpty && joined.isEmpty
+      aggs.isEmpty && grouped.isEmpty && joined.isEmpty &&
+      // a consistent scan pins ONE table's journal listing; the pushed
+      // join's build side reads a different table live — decline so
+      // the option's snapshot promise is never silently weakened
+      !opts.consistentScan
 
   /** Join pushdown (`SupportsPushDownJoin`, Spark 4.1,
     * `spark.sql.optimizer.datasourceV2JoinPushdown`): an INNER join of
@@ -1173,7 +1191,13 @@ final case class DynamoInputPartition(
       * names (pinned at planning, so every task agrees on the
       * touched-key set) the copy has not folded. Empty = exact copy.
       */
-    deltaFiles: Seq[String] = Nil)
+    deltaFiles: Seq[String] = Nil,
+    /** `consistentScan`: the journal-file listing captured ONCE at
+      * planning — every task (and every task RETRY) replays exactly
+      * this set. None = live listing at execution (the default,
+      * DynamoDB's eventually-consistent parallel Scan).
+      */
+    pinnedWal: Option[Seq[String]] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(segment)
 }
@@ -1238,7 +1262,8 @@ object DynamoScan {
         partition.segment, partition.totalSegments)
     else
       store.scanSegment(opts.tableName, partition.segment,
-        partition.totalSegments, opts.asOfSeq)
+        partition.totalSegments, opts.asOfSeq,
+        allowedWal = partition.pinnedWal.map(_.toSet))
 }
 
 final class DynamoScan(
@@ -1536,6 +1561,14 @@ final class DynamoScan(
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
+    // Consistent parallel scan: capture the journal listing ONCE here
+    // (driver side) and pin it into every base-path partition — all
+    // tasks and all task RETRIES replay the same snapshot. Index
+    // serves are already snapshot-shaped (static copy files + the
+    // pinned delta list), so they don't consult this pin.
+    val pin: Option[Seq[String]] =
+      if (opts.consistentScan) Some(store.walFileNames(opts.tableName))
+      else None
     // A fully-pushed LIMIT/OFFSET was accepted on the promise of ONE
     // segment (a global count/skip); pin that plan here regardless of
     // what key-shard pruning or a size re-read would now say — a
@@ -1543,7 +1576,7 @@ final class DynamoScan(
     // silently wrong once Spark dropped its own operator.
     if (pinSingleSegment) {
       val rate = math.max(0.1, opts.targetCapacity * throughput)
-      return Array(DynamoInputPartition(0, 1, rate))
+      return Array(DynamoInputPartition(0, 1, rate, pinnedWal = pin))
     }
     // Zone-map-ANSWERED aggregates: when the aggregation is
     // min/max/count/integral-sum-only with nothing below it that
@@ -1573,7 +1606,8 @@ final class DynamoScan(
         val rate = math.max(0.1,
           opts.targetCapacity * throughput / math.max(1, scanShards.size))
         val scans = scanShards.toSeq.sorted.map(sh =>
-          DynamoInputPartition(sh, meta.shards, rate): InputPartition)
+          DynamoInputPartition(sh, meta.shards, rate,
+            pinnedWal = pin): InputPartition)
         return (DynamoZoneAnswerPartition(vals) +: scans).toArray
       }
     }
@@ -1673,7 +1707,8 @@ final class DynamoScan(
         val rate = math.max(0.1, opts.targetCapacity * throughput / math.max(1, shards.size))
         // One partition per candidate shard; segment space = shard space.
         val live = shards.toArray.sorted
-          .map(sh => DynamoInputPartition(sh, meta.shards, rate): InputPartition)
+          .map(sh => DynamoInputPartition(sh, meta.shards, rate,
+            pinnedWal = pin): InputPartition)
         // Partially-clustered SPJ pad: a key-pinned scan pruned to ONE
         // shard would surface as Spark's SinglePartition (the exec
         // collapses any 1-partition scan), forfeiting the declared
@@ -1697,12 +1732,13 @@ final class DynamoScan(
           // (length 0 happens when zone pruning excludes every shard —
           // the pad keeps the declared bucket layout non-degenerate)
           val pad = (shards.headOption.getOrElse(-1) + 1) % meta.shards
-          live :+ (DynamoInputPartition(pad, meta.shards, rate, padEmpty = true): InputPartition)
+          live :+ (DynamoInputPartition(pad, meta.shards, rate, padEmpty = true,
+            pinnedWal = pin): InputPartition)
         } else live
       case None =>
         val n = fullScanSegments(store, meta)
         val rate = math.max(0.1, opts.targetCapacity * throughput / n)
-        Array.tabulate(n)(i => DynamoInputPartition(i, n, rate))
+        Array.tabulate(n)(i => DynamoInputPartition(i, n, rate, pinnedWal = pin))
     }
   }
 

@@ -2166,6 +2166,42 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(store.indexFreshness("t", "by_grp") == LocalKVStore.IndexStale)
   }
 
+  test("consistentScan pins the journal listing: post-plan writes are invisible to execution") {
+    import graft.sources.dynamo.{AttrVal, DynamoInputPartition}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.appendWal("t", 1L, "w0", (0 until 10).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%02d"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    def load(consistent: Boolean) = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("consistentScan", consistent.toString).load()
+    def pinPlan(df: org.apache.spark.sql.DataFrame) = {
+      val bse = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec"))
+      bse.inputPartitions.map(_.asInstanceOf[DynamoInputPartition])
+    }
+    val pinnedDf = load(consistent = true)
+    val pinnedParts = pinPlan(pinnedDf) // forces planning NOW
+    assert(pinnedParts.nonEmpty && pinnedParts.forall(_.pinnedWal.isDefined))
+    val liveDf = load(consistent = false)
+    assert(pinPlan(liveDf).forall(_.pinnedWal.isEmpty))
+    // a write lands AFTER both plans exist
+    store.appendWal("t", 2L, "w1", Seq(store.Put(Map(
+      "id" -> AttrVal.S("zz"), "v" -> AttrVal.N(BigDecimal(99))))))
+    // the pinned scan executes against its snapshot; the live scan
+    // (tasks list the journal when they run) sees the new row.
+    // collect() runs the ALREADY-PLANNED query execution — a new
+    // action (count()) would build a new plan and capture a new pin,
+    // which is exactly the re-plan case asserted last.
+    assert(pinnedDf.collect().length === 10)
+    assert(liveDf.collect().length === 11)
+    // a FRESH consistent plan captures the new listing
+    assert(load(consistent = true).collect().length === 11)
+  }
+
   test("index-shard zone maps prune GSI scans; any delta disables the skip") {
     import graft.sources.dynamo.{AttrVal, DynamoInputPartition, DynamoOptions, DynamoScan}
     import org.apache.spark.sql.sources.GreaterThanOrEqual
