@@ -354,6 +354,20 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // Consistent parallel scan: the planner pins ONE journal listing
+    // into every partition, so all tasks (and task retries) replay the
+    // same snapshot. With no concurrent writer the result equals the
+    // plain scan — which IS the oracle; the snapshot semantics under
+    // writes are spec-pinned (DynamoConnectorSpec).
+    "q_dyn_consistent" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer")
+        .option("consistentScan", "true").load()
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // TABLESAMPLE pushdown: the seeded key-hash Bernoulli sample runs
     // inside the scan (Spark's Sample operator is removed), so a 30%
     // preview of a huge table reads 30% of the decode work per segment
@@ -597,6 +611,10 @@ object DynamoQueries {
         |ORDER BY o_orderkey""".stripMargin,
     // int32 columns widen to BIGINT through the store's N type.
     "q_dyn_scan" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_dyn_consistent" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
