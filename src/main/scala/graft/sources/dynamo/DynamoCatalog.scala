@@ -337,9 +337,25 @@ private object DynamoProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Array[String] =
-    Array("compact", "build_index", "reshard", "reap_expired", "history")
+    Array("compact", "build_index", "reshard", "reap_expired", "history",
+      "backup_table")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
+    // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
+    // the table into another store root — restore = open a store (or
+    // point a catalog) at the destination. Registered GSIs rebuild at
+    // the destination from the restored base.
+    case "backup_table" => Some(proc(name,
+      "consistent on-demand backup of a table into another store root " +
+        "(journal-before-base copy order keeps it consistent under " +
+        "concurrent writers/compaction); registered GSIs rebuild at " +
+        "the destination",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("dest_root", StringType).build())) { in =>
+      val (t, dest) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+      new LocalKVStore(root).backupTable(t, dest)
+      summary("table" -> t, "dest_root" -> dest)
+    })
     // DESCRIBE HISTORY analogue (DynamoDB streams' DescribeStream +
     // Delta's history, over the WAL): one row per published journal
     // file in replay order — publish seq (the CDC offset space and

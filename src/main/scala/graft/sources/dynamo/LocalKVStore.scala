@@ -1529,6 +1529,53 @@ final class LocalKVStore(root: String) {
     finally stream.close()
   }
 
+  /** On-demand backup (DynamoDB's OnDemandBackup analogue): copy the
+    * table directory into `destRoot/<table>` such that a store opened
+    * at `destRoot` serves a CONSISTENT state, even if writers or a
+    * compaction run concurrently. The copy order carries the
+    * argument:
+    *  1. `meta.json` first (layout/keys/indexes);
+    *  2. journal files from ONE listing (a file deleted before its
+    *     copy was folded by a concurrent compaction — skipped; the
+    *     base copied LATER contains its ops);
+    *  3. base shard files AFTER the journal — if compaction folded
+    *     between, the base includes ops the journal copy ALSO holds,
+    *     and replaying already-folded ops over the folded base is
+    *     idempotent (the store's replay normal form: a journal PUT/
+    *     UPDATE/DELETE reproduces exactly the folded outcome);
+    *  4. zone-map sidecars LAST — a sidecar at least as new as its
+    *     data only over-approximates (the sound direction; a missing
+    *     one just disables pruning).
+    * Writes landing after step 2's listing are simply not in the
+    * backup (it captures a state between call start and end). GSI
+    * copies are NOT shipped — restore rebuilds registered indexes
+    * from the restored base ([[refreshIndexes]]), which also renders
+    * freshness markers trivially correct.
+    */
+  def backupTable(table: String, destRoot: String): Unit = {
+    val src = tableDir(table)
+    val dst = Paths.get(destRoot, table)
+    Files.createDirectories(dst)
+    def cp(p: Path): Unit =
+      try Files.copy(p, dst.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.NoSuchFileException => () } // folded away
+    cp(src.resolve("meta.json"))
+    listFiles(table, "wal-").foreach(cp)
+    listFiles(table, "shard-").foreach(cp)
+    listStatFiles(table).foreach(cp)
+    // compaction watermarks: asOfSeq floors must survive the restore
+    // (history below them is unaddressable in the source too)
+    val st = Files.list(src)
+    try st.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("compact-wm-") && !n.endsWith(".tmp")
+      }.toList.foreach(cp)
+    finally st.close()
+    new LocalKVStore(destRoot).refreshIndexes(table)
+  }
+
   /** Names of the transaction journal files currently published —
     * capture BEFORE a compaction pass and hand the set back to
     * [[reclaimTxnJournal]]: only files every shard provably folded

@@ -2555,6 +2555,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val names = spark.read.dynamo(root, "fruit")
         .select("name").as[String].collect().sorted.toSeq
       assert(names === Seq("apple", "banana", "cherry", "durian"))
+      // on-demand backup: restore = read the destination root directly
+      val dest = freshRoot()
+      spark.sql(s"CALL mcat.backup_table('fruit', '$dest')")
+      val restored = spark.read.dynamo(dest, "fruit")
+        .select("name").as[String].collect().sorted.toSeq
+      assert(restored === names)
     } finally {
       spark.conf.unset("spark.sql.catalog.mcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.mcat"))(

@@ -191,6 +191,52 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("backupTable: restored store equals the source, pre- and post-compaction") {
+    import graft.sources.dynamo.IndexMeta
+    val srcRoot = Files.createTempDirectory("graft-backup-src").toString
+    val store = new LocalKVStore(srcRoot)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L,
+      indexes = Map("by_a" -> IndexMeta("a", None, None)))
+    store.bulkLoad("t", meta, (0 until 40).iterator.map(i =>
+      Map("id" -> AttrVal.S(f"k$i%02d"), "a" -> AttrVal.S(s"g${i % 3}"))))
+    store.buildIndex("t", "by_a")
+    store.appendWal("t", 1L, "w0", Seq(
+      store.Put(Map("id" -> AttrVal.S("zz"), "a" -> AttrVal.S("g9"))),
+      store.Delete(Map("id" -> AttrVal.S("k00")))))
+    def view(st: LocalKVStore) =
+      st.scanSegment("t", 0, 1).map(_._1).toVector.sortBy(_.toString)
+    val srcView = view(store)
+
+    // backup with live journal: restored merged view equals the source
+    val dst1 = Files.createTempDirectory("graft-backup-d1").toString
+    store.backupTable("t", dst1)
+    val r1 = new LocalKVStore(dst1)
+    assert(view(r1) === srcView)
+    // registered GSI rebuilt fresh at the destination and serves the
+    // restored state's index view
+    assert(r1.indexFresh("t", "by_a"))
+    val viaIdx = (0 until 4).flatMap(s =>
+      r1.scanIndexSegment("t", "by_a", s, 4).map(_._1)).sortBy(_.toString)
+    val viaBase = view(r1).flatMap(
+      r1.indexView(r1.describe("t"), r1.describe("t").indexes("by_a"), _))
+      .sortBy(_.toString)
+    assert(viaIdx === viaBase)
+
+    // after compaction the source folds; a new backup still restores
+    // the same logical state, and the watermark ships with it (a
+    // below-watermark snapshot read fails on the restore too)
+    store.compact("t")
+    val dst2 = Files.createTempDirectory("graft-backup-d2").toString
+    store.backupTable("t", dst2)
+    val r2 = new LocalKVStore(dst2)
+    assert(view(r2) === srcView)
+    assert(r2.compactionWatermark("t") === store.compactionWatermark("t"))
+    assertThrows[IllegalArgumentException] {
+      r2.scanSegment("t", 0, 1,
+        asOfSeq = Some(store.compactionWatermark("t") - 1)).toVector
+    }
+  }
+
   test("transactGet: snapshot-consistent multi-key read (TransactGetItems analogue)") {
     val root = Files.createTempDirectory("graft-txn-get").toString
     val store = new LocalKVStore(root)
