@@ -107,6 +107,26 @@ object Streaming {
         .orderBy("from_type", "to_type")
     }),
 
+    // Volume-anomaly detection (the monitoring rollup behind data
+    // quality alerting): per-type daily counts z-scored against that
+    // type's own mean/stddev, outlier days flagged. Two tiny grouped
+    // aggregates + a broadcast-sized join — the heavy input collapses
+    // to (days × types) rows in the FIRST aggregation, so everything
+    // after is metadata-sized at any event volume.
+    "q_events_anomaly" -> ((s, dir) => {
+      val daily = Fixtures.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev_samp("n").as("sd"))
+      daily.join(stats, "event_type")
+        .withColumn("z", (col("n") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 1.5)
+        .select(col("event_type"), col("d").cast("string").as("day"),
+          col("n"), round(col("z"), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -181,6 +201,17 @@ object Streaming {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM n WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |                      event_type, count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+        |       round((n - mu) / sd, 4) AS z
+        |FROM daily JOIN s USING (event_type)
+        |WHERE abs((n - mu) / sd) > 1.5
+        |ORDER BY event_type, day""".stripMargin,
     "q_events_cooccur" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
