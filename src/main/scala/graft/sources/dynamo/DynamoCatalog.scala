@@ -338,7 +338,7 @@ private object DynamoProcedures {
 
   val names: Array[String] =
     Array("compact", "build_index", "reshard", "reap_expired", "history",
-      "backup_table")
+      "backup_table", "restore_table")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
@@ -355,6 +355,24 @@ private object DynamoProcedures {
       val (t, dest) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
       new LocalKVStore(root).backupTable(t, dest)
       summary("table" -> t, "dest_root" -> dest)
+    })
+    // RestoreTableFromBackup: the same consistent copy run in reverse —
+    // the backup root's table lands in THIS catalog's store. Refuses
+    // to overwrite an existing table (DynamoDB restores to a new
+    // table; delete or rename first).
+    case "restore_table" => Some(proc(name,
+      "restore a table from a backup root into this catalog's store " +
+        "(refuses to overwrite an existing table); registered GSIs " +
+        "rebuild from the restored base",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("backup_root", StringType).build())) { in =>
+      val (t, src) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+      val here = new LocalKVStore(root)
+      require(!here.exists(t),
+        s"table '$t' already exists in this store — restore targets a " +
+          "new table (drop or rename the existing one first)")
+      new LocalKVStore(src).backupTable(t, root)
+      summary("table" -> t, "backup_root" -> src)
     })
     // DESCRIBE HISTORY analogue (DynamoDB streams' DescribeStream +
     // Delta's history, over the WAL): one row per published journal

@@ -2561,6 +2561,25 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val restored = spark.read.dynamo(dest, "fruit")
         .select("name").as[String].collect().sorted.toSeq
       assert(restored === names)
+      // restore_table round-trips the backup into a catalog store and
+      // refuses to overwrite an existing table
+      val root2 = freshRoot()
+      val prev2 = spark.conf.getOption("spark.sql.catalog.rcat")
+      try {
+        spark.conf.set("spark.sql.catalog.rcat", "graft.sources.dynamo.DynamoCatalog")
+        spark.conf.set("spark.sql.catalog.rcat.path", root2)
+        spark.sql(s"CALL rcat.restore_table('fruit', '$dest')")
+        assert(spark.read.dynamo(root2, "fruit")
+          .select("name").as[String].collect().sorted.toSeq === names)
+        val err = intercept[Exception] {
+          spark.sql(s"CALL rcat.restore_table('fruit', '$dest')")
+        }
+        assert(err.getMessage.contains("already exists"), err.getMessage)
+      } finally {
+        spark.conf.unset("spark.sql.catalog.rcat.path")
+        prev2.fold(spark.conf.unset("spark.sql.catalog.rcat"))(
+          spark.conf.set("spark.sql.catalog.rcat", _))
+      }
     } finally {
       spark.conf.unset("spark.sql.catalog.mcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.mcat"))(
