@@ -348,12 +348,13 @@ private object DynamoProcedures {
     case "backup_table" => Some(proc(name,
       "consistent on-demand backup of a table into another store root " +
         "(journal-before-base copy order keeps it consistent under " +
-        "concurrent writers/compaction); registered GSIs rebuild at " +
-        "the destination",
+        "concurrent writers/compaction); INCREMENTAL when the " +
+        "destination's manifest proves the base unchanged — only new " +
+        "journal files ship; registered GSIs rebuild at the destination",
       Array(ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("dest_root", StringType).build())) { in =>
       val (t, dest) = (in.getUTF8String(0).toString, in.getUTF8String(1).toString)
-      new LocalKVStore(root).backupTable(t, dest)
+      new LocalKVStore(root).backupTableIncremental(t, dest)
       summary("table" -> t, "dest_root" -> dest)
     })
     // RestoreTableFromBackup: the same consistent copy run in reverse —

@@ -1561,6 +1561,12 @@ final class LocalKVStore(root: String) {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       catch { case _: java.nio.file.NoSuchFileException => () } // folded away
     cp(src.resolve("meta.json"))
+    // a full copy REPLACES the destination's journal view: journal
+    // files from an earlier backup that the source has since folded
+    // would be harmless (idempotent replay over the folded base) but
+    // stale — clear them so the destination mirrors the source set
+    new LocalKVStore(destRoot).walFileNames(table)
+      .foreach(n => Files.deleteIfExists(dst.resolve(n)))
     listFiles(table, "wal-").foreach(cp)
     listFiles(table, "shard-").foreach(cp)
     listStatFiles(table).foreach(cp)
@@ -1573,7 +1579,61 @@ final class LocalKVStore(root: String) {
         n.startsWith("compact-wm-") && !n.endsWith(".tmp")
       }.toList.foreach(cp)
     finally st.close()
+    // manifest of the BASE files this backup captured — the
+    // incremental path's change detector (see backupTableIncremental)
+    Files.write(dst.resolve("_backup_manifest"),
+      baseManifest(table).getBytes(UTF_8))
     new LocalKVStore(destRoot).refreshIndexes(table)
+  }
+
+  /** (name, size, mtime) of every base-state file — anything that can
+    * change WITHOUT a new journal file appearing: base shards (rewritten
+    * by compaction, TTL reaping, bulk load) and the table meta (DDL).
+    * An incremental backup is valid exactly while this matches.
+    */
+  private def baseManifest(table: String): String = {
+    val dir = tableDir(table)
+    (listFiles(table, "shard-") :+ dir.resolve("meta.json"))
+      .filter(Files.isRegularFile(_))
+      .map(p => s"${p.getFileName} ${Files.size(p)} " +
+        s"${Files.getLastModifiedTime(p).toMillis}")
+      .sorted.mkString("\n")
+  }
+
+  /** Incremental on-demand backup: when the destination's manifest
+    * proves the source BASE state is unchanged since the last backup
+    * (no compaction/reap/bulk-load/DDL — any of those rewrites a base
+    * file's size or mtime), ship ONLY the journal files the
+    * destination lacks (plus their sidecars) — the backup cost is
+    * O(new writes), not O(table). Any base change, a missing
+    * manifest, or a first backup falls back to the FULL copy. Either
+    * way the destination ends in the same consistent state a full
+    * backup produces; registered GSIs refresh at the destination.
+    */
+  def backupTableIncremental(table: String, destRoot: String): Unit = {
+    val dst = Paths.get(destRoot, table)
+    val manifestPath = dst.resolve("_backup_manifest")
+    val incremental = Files.isRegularFile(manifestPath) &&
+      new String(Files.readAllBytes(manifestPath), UTF_8) == baseManifest(table)
+    if (!incremental) { backupTable(table, destRoot); return }
+    val dstStore = new LocalKVStore(destRoot)
+    def cp(p: Path): Unit =
+      try Files.copy(p, dst.resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    val have = dstStore.walFileNames(table).toSet
+    val fresh = listFiles(table, "wal-")
+      .filterNot(p => have(p.getFileName.toString))
+    fresh.foreach(cp)
+    // their journal sidecars (name-matched; base sidecars unchanged
+    // under an unchanged base manifest)
+    val freshCores = fresh.map(p => p.getFileName.toString
+      .stripPrefix("wal-").stripSuffix(".jsonl")).toSet
+    listStatFiles(table).filter { p =>
+      val core = p.getFileName.toString.stripPrefix("zstat-").stripSuffix(".json")
+      freshCores(core)
+    }.foreach(cp)
+    if (fresh.nonEmpty) dstStore.refreshIndexes(table)
   }
 
   /** Names of the transaction journal files currently published —

@@ -237,6 +237,47 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental backup ships only new journal; base changes force a full copy") {
+    val srcRoot = Files.createTempDirectory("graft-ibk-src").toString
+    val store = new LocalKVStore(srcRoot)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.appendWal("t", 1L, "w0", (0 until 20).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%02d"), "v" -> AttrVal.N(BigDecimal(i))))))
+    def view(st: LocalKVStore) =
+      st.scanSegment("t", 0, 1).map(_._1).toVector.sortBy(_.toString)
+    val dest = Files.createTempDirectory("graft-ibk-dst").toString
+    val dstStore = new LocalKVStore(dest)
+
+    store.backupTableIncremental("t", dest) // first = full
+    assert(view(dstStore) === view(store))
+    val baseFilesAfterFull = new java.io.File(s"$dest/t").list().sorted.toVector
+
+    // new writes, base untouched → the increment copies ONLY the new
+    // journal files (base shard files at dest keep their identity)
+    Thread.sleep(3)
+    store.appendWal("t", 2L, "w1", Seq(
+      store.Put(Map("id" -> AttrVal.S("zz"), "v" -> AttrVal.N(BigDecimal(99)))),
+      store.Delete(Map("id" -> AttrVal.S("k00")))))
+    val before = dstStore.walFileNames("t").toSet
+    store.backupTableIncremental("t", dest)
+    assert(view(dstStore) === view(store))
+    val added = dstStore.walFileNames("t").toSet -- before
+    assert(added.nonEmpty && added.forall(_.contains("-w1-")),
+      s"increment copied unexpected files: $added")
+
+    // compaction rewrites the base → the manifest mismatches and the
+    // next backup is a FULL copy again, still state-equal
+    store.compact("t")
+    store.backupTableIncremental("t", dest)
+    assert(view(dstStore) === view(store))
+    assert(dstStore.compactionWatermark("t") === store.compactionWatermark("t"))
+    // the folded journal is gone at the destination too (full re-copy
+    // replaced the directory contents it captured)
+    assert(dstStore.walFileNames("t").isEmpty ===
+      store.walFileNames("t").isEmpty)
+    baseFilesAfterFull // silence unused warning paranoia
+  }
+
   test("transactGet: snapshot-consistent multi-key read (TransactGetItems analogue)") {
     val root = Files.createTempDirectory("graft-txn-get").toString
     val store = new LocalKVStore(root)
