@@ -1256,7 +1256,8 @@ object DynamoScan {
       partition: DynamoInputPartition): Iterator[(Item, Int)] =
     if (partition.viaIndex && partition.deltaFiles.nonEmpty)
       store.scanIndexSegmentDelta(opts.tableName, opts.indexName.get,
-        partition.segment, partition.totalSegments, partition.deltaFiles)
+        partition.segment, partition.totalSegments, partition.deltaFiles,
+        imageWal = partition.pinnedWal.map(_.toSet))
     else if (partition.viaIndex)
       store.scanIndexSegment(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments)
@@ -1564,8 +1565,10 @@ final class DynamoScan(
     // Consistent parallel scan: capture the journal listing ONCE here
     // (driver side) and pin it into every base-path partition — all
     // tasks and all task RETRIES replay the same snapshot. Index
-    // serves are already snapshot-shaped (static copy files + the
-    // pinned delta list), so they don't consult this pin.
+    // serves are snapshot-shaped already (static copy files + the
+    // pinned delta list); under consistentScan the pin ALSO bounds
+    // the delta overlay's touched-key image derivation, so the whole
+    // index read reflects one listing.
     val pin: Option[Seq[String]] =
       if (opts.consistentScan) Some(store.walFileNames(opts.tableName))
       else None
@@ -1674,7 +1677,8 @@ final class DynamoScan(
               opts.targetCapacity * throughput / math.max(1, live.size))
             return live.toArray.sorted.map(sh =>
               DynamoInputPartition(sh, meta.shards, rate,
-                viaIndex = true, deltaFiles = delta): InputPartition)
+                viaIndex = true, deltaFiles = delta,
+                pinnedWal = pin): InputPartition)
           case None =>
             val all = (0 until meta.shards).toSet
             val live = zoneSurviving(all)
@@ -1684,13 +1688,14 @@ final class DynamoScan(
                 opts.targetCapacity * throughput / math.max(1, live.size))
               return live.toArray.sorted.map(sh =>
                 DynamoInputPartition(sh, meta.shards, rate,
-                  viaIndex = true, deltaFiles = delta): InputPartition)
+                  viaIndex = true, deltaFiles = delta,
+                  pinnedWal = pin): InputPartition)
             }
             val n = fullScanSegments(store, meta)
             val rate = math.max(0.1, opts.targetCapacity * throughput / n)
             return Array.tabulate(n)(i =>
               DynamoInputPartition(i, n, rate, viaIndex = true,
-                deltaFiles = delta))
+                deltaFiles = delta, pinnedWal = pin))
         }
       }
     }

@@ -633,7 +633,14 @@ final class LocalKVStore(root: String) {
     */
   def scanIndexSegmentDelta(table: String, name: String,
       segment: Int, totalSegments: Int,
-      deltaFiles: Seq[String]): Iterator[(Item, Int)] = {
+      deltaFiles: Seq[String],
+      /** `consistentScan` composition: bound the touched-key images'
+        * base re-derivation to this journal listing too — the whole
+        * index read (drop set AND images) then reflects one snapshot.
+        * None = live base view for images (eventual consistency,
+        * monotonically fresher per key — the default contract).
+        */
+      imageWal: Option[Set[String]] = None): Iterator[(Item, Int)] = {
     val meta = describe(table)
     val ix = meta.indexes.getOrElse(name,
       throw new IllegalArgumentException(s"no index '$name' on $table"))
@@ -650,7 +657,7 @@ final class LocalKVStore(root: String) {
     val copy = scanIndexSegment(table, name, segment, totalSegments)
       .filterNot { case (it, _) => touched.contains(keyOf(meta, it)) }
     def images = dirtyShards.iterator
-      .flatMap(sh => scanSegment(table, sh, meta.shards))
+      .flatMap(sh => scanSegment(table, sh, meta.shards, allowedWal = imageWal))
       .filter { case (it, _) => touched.contains(keyOf(meta, it)) }
       .flatMap { case (it, _) =>
         indexView(meta, ix, it)

@@ -2202,6 +2202,48 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(load(consistent = true).collect().length === 11)
   }
 
+  test("consistentScan composes with the GSI delta overlay: images pin to the listing") {
+    import graft.sources.dynamo.{AttrVal, DynamoInputPartition}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.appendWal("t", 1L, "w0", (0 until 10).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%02d"), "grp" -> AttrVal.S(s"g${i % 2}"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    // first delta: k00 moves to v=100 (touched key, Delta serve)
+    Thread.sleep(3)
+    store.appendWal("t", 2L, "w1", Seq(store.Put(Map(
+      "id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g0"),
+      "v" -> AttrVal.N(BigDecimal(100))))))
+    def load(consistent: Boolean) = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_grp")
+      .option("consistentScan", consistent.toString).load()
+        .filter(col("id") === "k00").select("v")
+    def plan(df: org.apache.spark.sql.DataFrame) = {
+      val bse = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      bse.inputPartitions.map(_.asInstanceOf[DynamoInputPartition])
+    }
+    val pinnedDf = load(consistent = true)
+    assert(plan(pinnedDf).forall(p =>
+      p.viaIndex && p.deltaFiles.nonEmpty && p.pinnedWal.isDefined))
+    val liveDf = load(consistent = false)
+    assert(plan(liveDf).forall(p =>
+      p.viaIndex && p.deltaFiles.nonEmpty && p.pinnedWal.isEmpty))
+    // second delta AFTER both plans, SAME touched key: the pinned
+    // read's image derivation is bounded to its listing (v=100); the
+    // live read re-derives the touched key from the live base (v=200)
+    Thread.sleep(3)
+    store.appendWal("t", 3L, "w2", Seq(store.Put(Map(
+      "id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g0"),
+      "v" -> AttrVal.N(BigDecimal(200))))))
+    assert(pinnedDf.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(liveDf.collect().map(_.getLong(0)).toSeq === Seq(200L))
+  }
+
   test("index-shard zone maps prune GSI scans; any delta disables the skip") {
     import graft.sources.dynamo.{AttrVal, DynamoInputPartition, DynamoOptions, DynamoScan}
     import org.apache.spark.sql.sources.GreaterThanOrEqual
