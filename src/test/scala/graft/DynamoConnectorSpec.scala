@@ -2202,6 +2202,35 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(load(consistent = true).collect().length === 11)
   }
 
+  test("one asOfSeq cut snapshots MULTIPLE tables consistently") {
+    import graft.sources.dynamo.AttrVal
+    // publish sequences are clock stamps (max(seq, closeTime)), so a
+    // single epoch-millis cut is a CROSS-TABLE snapshot coordinate:
+    // every table read at the same asOfSeq reflects one moment — the
+    // multi-table-consistent read DynamoDB PITR restores give.
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    Seq("a", "b").foreach(t => store.createTable(t,
+      TableMeta("id", None, shards = 2, throughput = 1000000L)))
+    def put(t: String, k: String, v: Int): Unit =
+      store.appendWal(t, 1L, s"w$k$v", Seq(store.Put(Map(
+        "id" -> AttrVal.S(k), "v" -> AttrVal.N(BigDecimal(v))))))
+    put("a", "x", 1); put("b", "y", 1) // epoch 1: both tables at v=1
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    put("a", "x", 2); put("b", "y", 2) // epoch 2
+    def read(t: String, asOf: Option[Long]): Long = {
+      val r = asOf.foldLeft(spark.read.format("dynamo")
+        .option("path", root).option("tableName", t)) {
+        (rd, s) => rd.option("asOfSeq", s.toString)
+      }
+      r.load().select("v").head().getLong(0)
+    }
+    assert(read("a", Some(cut)) === 1L && read("b", Some(cut)) === 1L)
+    assert(read("a", None) === 2L && read("b", None) === 2L)
+  }
+
   test("consistentScan composes with the GSI delta overlay: images pin to the listing") {
     import graft.sources.dynamo.{AttrVal, DynamoInputPartition}
     val root = freshRoot()
