@@ -644,27 +644,67 @@ final class LocalKVStore(root: String) {
     val meta = describe(table)
     val ix = meta.indexes.getOrElse(name,
       throw new IllegalArgumentException(s"no index '$name' on $table"))
-    val touched = mutable.HashSet.empty[String]
-    val dirtyShards = mutable.LinkedHashSet.empty[Int]
+    // Fold each touched key's delta suffix into the replay normal form
+    // ([[KeyState]] — the same algebra the merged scan uses). The fold
+    // splits the work:
+    //  - base-INDEPENDENT keys (`present = Left`): a PUT/DELETE won,
+    //    so the final item is in the ops themselves — emit (or drop)
+    //    directly, NO base read at all;
+    //  - base-DEPENDENT keys (`Right(m)` — update-merge-only
+    //    suffixes): re-derive from the base, but only when this
+    //    segment could receive the image (placement provable from the
+    //    merge attrs when they carry the index hash key; otherwise
+    //    unknown → must check). PUT-heavy deltas (the bulk-upsert
+    //    norm) therefore touch ZERO base shards per task, and
+    //    update-heavy ones only the shards whose images can land here.
+    val states = mutable.LinkedHashMap.empty[String, KeyState]
+    val keyShard = mutable.HashMap.empty[String, Int] // base placement
     deltaFiles.sorted.foreach { f =>
-      readWalFile(table, f).foreach { case (_, item, _) =>
-        touched += keyOf(meta, item)
-        dirtyShards += shardOf(meta, item)
+      readWalFile(table, f).foreach { case (tag, item, _) =>
+        val op: Op = tag match {
+          case "PUT" => Put(item)
+          case "UPDATE" => Update(item)
+          case "DELETE" => Delete(item)
+          case "PUTNX" => PutIfAbsent(item)
+          case "UPDIF" => UpdateIfExists(item)
+        }
+        val k = keyOf(meta, item)
+        keyShard(k) = shardOf(meta, item)
+        states(k) = applyOp(states.getOrElse(k, initKeyState), op)
       }
     }
-    if (touched.isEmpty)
+    if (states.isEmpty)
       return scanIndexSegment(table, name, segment, totalSegments)
+    val touched = states.keySet
+    def landsHere(it: Item): Boolean =
+      it.contains(ix.hashKey) &&
+        indexShardOf(meta, it(ix.hashKey)) % totalSegments == segment
+    // direct emissions: base-independent finals landing in this segment
+    val direct = states.valuesIterator
+      .flatMap(_.present.swap.toOption.flatten) // Left(Some(item)) finals
+      .filter(landsHere)
+      .flatMap(indexView(meta, ix, _))
+      .map(pi => (pi, ItemJson.write(pi).length))
+    // base-dependent keys whose image COULD land here: merge attrs
+    // carrying the index hash key prove placement; without it the
+    // final hash comes from the base — unknown, must check
+    val needBase = states.iterator.collect {
+      case (k, KeyState(Right(m), _))
+          if !m.contains(ix.hashKey) || landsHere(m) => k
+    }.toSet
+    val dirtyShards = mutable.LinkedHashSet.empty[Int]
+    needBase.foreach(k => dirtyShards += keyShard(k))
     val copy = scanIndexSegment(table, name, segment, totalSegments)
       .filterNot { case (it, _) => touched.contains(keyOf(meta, it)) }
     def images = dirtyShards.iterator
       .flatMap(sh => scanSegment(table, sh, meta.shards, allowedWal = imageWal))
-      .filter { case (it, _) => touched.contains(keyOf(meta, it)) }
+      .filter { case (it, _) => needBase(keyOf(meta, it)) }
       .flatMap { case (it, _) =>
         indexView(meta, ix, it)
-          .filter(pi => indexShardOf(meta, pi(ix.hashKey)) % totalSegments == segment)
+          .filter(pi => landsHere(pi))
           .map(pi => (pi, ItemJson.write(pi).length))
       }
-    copy ++ images
+    copy ++ direct ++ images
   }
 
   /** Scan one segment of a MATERIALIZED index copy (items are already
@@ -1293,22 +1333,42 @@ final class LocalKVStore(root: String) {
     def inSegment(item: Item): Boolean =
       shardOf(meta, item) % totalSegments == segment
 
-    // WAL replay for this segment's keys. Each key's journal suffix
-    // collapses EAGERLY into a two-sided normal form
-    //   (present: what the base item becomes, absent: what nothing
-    //    becomes)
-    // where `present` is either Left(result) — base-independent
-    // (PUT/DELETE won) — or Right(attrs) — merge `attrs` over the base
-    // (pending UPDATEs; the reference's UpdateItem upsert
-    // [REF: connector/TableConnector.scala — updateItem]). The algebra
-    // of {PUT, DELETE, UPDATE, PUTNX} is closed over this form, so
-    // state stays O(1) per key (one attrs map, bounded by item size)
-    // no matter how many ops the journal holds — never a chain of
-    // per-op closures, and resolution at scan time is a single merge.
+    // WAL replay for this segment's keys — the two-sided normal form
+    // and its op algebra live at class level ([[KeyState]] /
+    // [[applyOp]]): the delta-overlay index read folds the SAME
+    // algebra over a key's delta suffix to decide base-independence.
     // Per-shard WAL files mean this map holds only this segment's
     // overridden keys, bounded by the segment's own write volume.
-    final case class KeyState(present: Either[Option[Item], Item], absent: Option[Item])
-    def applyOp(st: KeyState, op: Op): KeyState = op match {
+    val overrides = mutable.LinkedHashMap.empty[String, KeyState]
+    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach { op =>
+      if (inSegment(op.item)) {
+        val k = keyOf(meta, op.item)
+        overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
+      }
+    }
+    scanSegmentTail(table, segment, totalSegments, meta, overrides)
+  }
+
+  /** Each key's journal suffix collapses EAGERLY into a two-sided
+    * normal form
+    *   (present: what the base item becomes, absent: what nothing
+    *    becomes)
+    * where `present` is either Left(result) — base-INDEPENDENT
+    * (PUT/DELETE won; whenever it is `Left(Some(x))`, `absent` is the
+    * same `x`, so `x` IS the final item regardless of the base) — or
+    * Right(attrs) — merge `attrs` over the base (pending UPDATEs; the
+    * reference's UpdateItem upsert
+    * [REF: connector/TableConnector.scala — updateItem]). The algebra
+    * of {PUT, DELETE, UPDATE, PUTNX, UPDIF} is closed over this form,
+    * so state stays O(1) per key (one attrs map, bounded by item
+    * size) no matter how many ops the journal holds — never a chain
+    * of per-op closures, and resolution at scan time is a single
+    * merge.
+    */
+  private[dynamo] final case class KeyState(
+      present: Either[Option[Item], Item], absent: Option[Item])
+
+  private[dynamo] def applyOp(st: KeyState, op: Op): KeyState = op match {
       case Put(it)    => KeyState(Left(Some(it)), Some(it))
       case Delete(_)  => KeyState(Left(None), None)
       case Update(it) => KeyState(
@@ -1331,18 +1391,20 @@ final class LocalKVStore(root: String) {
           case Right(m)      => Right(m ++ it) // base present → merges
         },
         st.absent.map(_ ++ it)) // absent stays absent (no upsert)
-    }
-    // A key first touched by UPDATE merges with the base at scan time;
-    // by PUTNX keeps the base untouched (present → no-op).
-    val init = KeyState(Right(Map.empty: Item), None)
-    val overrides = mutable.LinkedHashMap.empty[String, KeyState]
-    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach { op =>
-      if (inSegment(op.item)) {
-        val k = keyOf(meta, op.item)
-        overrides(k) = applyOp(overrides.getOrElse(k, init), op)
-      }
-    }
+  }
 
+  /** A fresh fold state: a key first touched by UPDATE merges with
+    * the base at scan time; by PUTNX keeps the base untouched.
+    */
+  private[dynamo] val initKeyState: KeyState =
+    KeyState(Right(Map.empty: Item), None)
+
+  /** Resolve one segment's base files against the folded overrides —
+    * the back half of [[scanSegment]].
+    */
+  private def scanSegmentTail(table: String, segment: Int,
+      totalSegments: Int, meta: TableMeta,
+      overrides: mutable.LinkedHashMap[String, KeyState]): Iterator[(Item, Int)] = {
     val seen = mutable.HashSet.empty[String]
     val shardFiles = listFiles(table, "shard-")
       .filter(p => shardIndex(p) % totalSegments == segment)

@@ -2240,10 +2240,13 @@ class DynamoConnectorSpec extends AnyFunSuite {
       store.Put(Map("id" -> AttrVal.S(f"k$i%02d"), "grp" -> AttrVal.S(s"g${i % 2}"),
         "v" -> AttrVal.N(BigDecimal(i))))))
     store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
-    // first delta: k00 moves to v=100 (touched key, Delta serve)
+    // first delta: an UPDATE-merge on k00 (v=100) — base-DEPENDENT in
+    // the replay normal form, so the overlay re-derives the image from
+    // the base (a PUT would be base-independent and short-circuit the
+    // base read entirely — both plans would then serve the pinned op)
     Thread.sleep(3)
-    store.appendWal("t", 2L, "w1", Seq(store.Put(Map(
-      "id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g0"),
+    store.appendWal("t", 2L, "w1", Seq(store.Update(Map(
+      "id" -> AttrVal.S("k00"),
       "v" -> AttrVal.N(BigDecimal(100))))))
     def load(consistent: Boolean) = spark.read.format("dynamo")
       .option("path", root).option("tableName", "t")
