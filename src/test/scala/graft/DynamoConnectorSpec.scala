@@ -2202,6 +2202,46 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(load(consistent = true).collect().length === 11)
   }
 
+  test("delta-fresh index reads equal the base path under varied pushed filters") {
+    import graft.sources.dynamo.AttrVal
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.appendWal("t", 1L, "w0", (0 until 120).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%03d"), "grp" -> AttrVal.S(s"g${i % 5}"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    store.compact("t")
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    // mixed delta: moves, merges, deletes, sparse transitions
+    store.appendWal("t", 2L, "w1", Seq(
+      store.Put(Map("id" -> AttrVal.S("k001"), "grp" -> AttrVal.S("g4"),
+        "v" -> AttrVal.N(BigDecimal(1000)))),
+      store.Update(Map("id" -> AttrVal.S("k002"), "v" -> AttrVal.N(BigDecimal(2000)))),
+      store.Delete(Map("id" -> AttrVal.S("k003"))),
+      store.Put(Map("id" -> AttrVal.S("new1"), "grp" -> AttrVal.S("g0"),
+        "v" -> AttrVal.N(BigDecimal(777))))))
+    assert(store.indexFreshness("t", "by_grp")
+      .isInstanceOf[graft.sources.dynamo.LocalKVStore.IndexDelta])
+    def read(deltaOn: Boolean, f: org.apache.spark.sql.Column) = {
+      val r = spark.read.format("dynamo")
+        .option("path", root).option("tableName", "t")
+        .option("indexName", "by_grp")
+      (if (deltaOn) r else r.option("gsiDeltaMaxBytes", "0"))
+        .load().filter(f).select("id", "grp", "v")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val filters = Seq(
+      col("grp") === "g4",            // index-key equality (shard-pinned)
+      col("v") >= 100L,               // projected-attr range
+      col("grp").isin("g0", "g1") && col("v") < 50L, // combo
+      col("id").startsWith("k00"),    // table-key prefix
+      lit(true))                      // full sweep
+    filters.zipWithIndex.foreach { case (f, i) =>
+      assert(read(deltaOn = true, f) === read(deltaOn = false, f),
+        s"filter #$i diverged between the delta overlay and the base path")
+    }
+  }
+
   test("one asOfSeq cut snapshots MULTIPLE tables consistently") {
     import graft.sources.dynamo.AttrVal
     // publish sequences are clock stamps (max(seq, closeTime)), so a
