@@ -279,6 +279,44 @@ object Scans {
       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** Iterative graph analytics: 3 PageRank steps over the bipartite
+    * customer↔supplier graph (an edge per distinct trading pair, both
+    * directions, supplier nodes offset by 1e6). The whole computation
+    * is INTEGER arithmetic — ranks in 1e-6 units, contributions
+    * floor-divided, damping applied as 85/100 integer scaling — so
+    * both engines produce bit-identical ranks (the floor of a
+    * bigint/bigint double division is exact: a non-dividing quotient
+    * sits ≥ 1/deg away from any integer, far outside double error).
+    * Each iteration is one join + grouped sum keyed by the edge
+    * destination — the message-passing shape (Pregel's superstep) as
+    * plain relational operators, scaling like any keyed aggregation;
+    * the unrolled-CTE form is exactly how a fixed-step graph job runs
+    * on a 100 TB edge list without a graph framework.
+    */
+  private val pagerank = {
+    def step(prev: String, out: String) =
+      s"""$out AS (SELECT e.dst AS node,
+         |       CAST(150000 + floor(850000.0 *
+         |              sum(CAST(floor(p.rank / d.d) AS BIGINT)) / 1000000.0)
+         |            AS BIGINT) AS rank
+         |FROM $prev p JOIN deg d ON p.node = d.src
+         |             JOIN edges e ON e.src = p.node
+         |GROUP BY e.dst)""".stripMargin
+    s"""WITH links AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, 1000000 + supp AS dst FROM links
+       |  UNION ALL
+       |  SELECT 1000000 + supp AS src, cust AS dst FROM links),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+       |${step("pr0", "pr1")},
+       |${step("pr1", "pr2")},
+       |${step("pr2", "pr3")}
+       |SELECT node, rank FROM pr3 ORDER BY rank DESC, node LIMIT 25""".stripMargin
+  }
+
   /** LATERAL correlated subquery (top-2 orders per customer): Spark
     * decorrelates the per-row ORDER BY/LIMIT into a window rank over
     * ONE join — the plan is a rank filter, never a per-customer
@@ -309,6 +347,7 @@ object Scans {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> sql(pagerank, "orders", "lineitem"),
     "q_sql_tpch_q2" -> sql(tpchQ2, "part", "supplier", "lineitem", "nation", "region"),
     "q_sql_tpch_q9" -> sql(tpchQ9, "part", "supplier", "lineitem", "orders", "nation"),
     "q_sql_tpch_q11" -> sql(tpchQ11, "lineitem", "supplier", "nation"),
@@ -647,6 +686,7 @@ object Scans {
         .orderBy("o_orderkey")))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerank,
     "q_sql_tpch_q2" -> tpchQ2,
     "q_sql_tpch_q9" -> tpchQ9,
     "q_sql_tpch_q11" -> tpchQ11,
