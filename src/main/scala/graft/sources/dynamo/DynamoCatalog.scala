@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class DynamoCatalog extends TableCatalog with FunctionCatalog
     with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -296,6 +297,124 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
     stage(ident, schema, partitions, properties, replacing = true)
+
+  // ---- ViewCatalog: SQL views persisted in the store root ----------
+  //
+  // `CREATE VIEW <cat>.v AS SELECT …` persists the view definition
+  // (SQL text, resolution context, schema, column metadata) as one
+  // JSON document under `<root>/_views/` — the catalog-level
+  // counterpart of DynamoDB-over-Athena's named queries, and the last
+  // Spark 4 catalog surface the plugin lacked. Spark re-parses the
+  // stored SQL against the stored catalog/namespace context at read
+  // time, so views survive sessions and roots can be shared. Writes
+  // are tmp+atomic-rename like every other store artifact.
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+
+  private def viewsDir = java.nio.file.Paths.get(root, "_views")
+  private def viewPath(name: String) = viewsDir.resolve(s"$name.json")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (!java.nio.file.Files.isDirectory(viewsDir)) return Array.empty
+    val s = java.nio.file.Files.list(viewsDir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => Identifier.of(namespace.toArray,
+        p.getFileName.toString.stripSuffix(".json")))
+      .toArray
+    finally s.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.isRegularFile(viewPath(ident.name()))
+
+  private def writeViewDoc(name: String, sql: String, cat: String,
+      ns: Array[String], schema: StructType, qcn: Array[String],
+      aliases: Array[String], comments: Array[String],
+      props: Map[String, String]): Unit = {
+    java.nio.file.Files.createDirectories(viewsDir)
+    def sl(xs: Array[String]): AttrVal = AttrVal.L(
+      Option(xs).getOrElse(Array.empty[String]).toVector
+        .map(x => if (x == null) AttrVal.Null else AttrVal.S(x)))
+    val doc: Map[String, AttrVal] = Map(
+      "sql" -> AttrVal.S(sql),
+      "currentCatalog" -> AttrVal.S(cat),
+      "currentNamespace" -> sl(ns),
+      "schema" -> AttrVal.S(schema.json),
+      "queryColumnNames" -> sl(qcn),
+      "columnAliases" -> sl(aliases),
+      "columnComments" -> sl(comments),
+      "properties" -> AttrVal.M(props.map { case (k, v) => k -> (AttrVal.S(v): AttrVal) }))
+    val tmp = viewsDir.resolve(s".$name.json.tmp")
+    java.nio.file.Files.write(tmp, ItemJson.write(doc).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, viewPath(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewPath(ident.name())
+    if (!java.nio.file.Files.isRegularFile(p)) throw new NoSuchViewException(ident)
+    val m = ItemJson.parse(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    def str(k: String) = m(k).asInstanceOf[AttrVal.S].v
+    def arr(k: String): Array[String] = m(k).asInstanceOf[AttrVal.L].v.map {
+      case AttrVal.S(x) => x
+      case _ => null
+    }.toArray
+    new View {
+      override def name(): String = ident.name()
+      override def query(): String = str("sql")
+      override def currentCatalog(): String = str("currentCatalog")
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(str("schema")).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): util.Map[String, String] =
+        m("properties").asInstanceOf[AttrVal.M].v.map {
+          case (k, AttrVal.S(v)) => k -> v
+          case (k, other) => throw new IllegalStateException(s"view prop $k: $other")
+        }.asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident)) throw new ViewAlreadyExistsException(info.ident)
+    writeViewDoc(info.ident.name(), info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments,
+      info.properties.asScala.toMap)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    var props = v.properties().asScala.toMap
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props += (sp.property() -> sp.value())
+      case rp: ViewChange.RemoveProperty => props -= rp.property()
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    writeViewDoc(ident.name(), v.query(), v.currentCatalog(),
+      v.currentNamespace(), v.schema(), v.queryColumnNames(),
+      v.columnAliases(), v.columnComments(), props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewPath(ident.name()))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+    java.nio.file.Files.move(viewPath(from.name()), viewPath(to.name()),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   // ---- ProcedureCatalog: store maintenance as SQL CALL ------------
   //
