@@ -290,9 +290,21 @@ final class DynamoTable(
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = s"dynamo:${opts.tableName}"
+
+  /** SQL `TRUNCATE TABLE` (the metadata-only mass delete): drops all
+    * content — base shards, journal, sidecars, index copies — keeping
+    * the table definition, exactly what `mode("overwrite")` does
+    * before its load. Same caveats as the store's truncate: not
+    * atomic against concurrent readers/writers (A14).
+    */
+  override def truncateTable(): Boolean = {
+    new LocalKVStore(opts.path).truncateTable(opts.tableName)
+    true
+  }
 
   /** Hidden metadata columns (the Iceberg `_file`/`_pos` pattern):
     * `_shard` = the store shard (bucket) the item lives in — placement

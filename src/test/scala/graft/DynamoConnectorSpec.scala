@@ -2135,7 +2135,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
 
     // normal write after the build → Delta (settle past the folded
     // max's millisecond so this publish can't collide into it)
-    Thread.sleep(3)
+    Thread.sleep(15)
     store.appendWal("t", 2L, "w1", Seq(
       store.Put(Map("id" -> AttrVal.S("yy"), "grp" -> AttrVal.S("g1")))))
     assert(store.indexFreshness("t", "by_grp")
@@ -2256,9 +2256,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
       store.appendWal(t, 1L, s"w$k$v", Seq(store.Put(Map(
         "id" -> AttrVal.S(k), "v" -> AttrVal.N(BigDecimal(v))))))
     put("a", "x", 1); put("b", "y", 1) // epoch 1: both tables at v=1
-    Thread.sleep(5)
+    Thread.sleep(15)
     val cut = System.currentTimeMillis()
-    Thread.sleep(5)
+    Thread.sleep(15)
     put("a", "x", 2); put("b", "y", 2) // epoch 2
     def read(t: String, asOf: Option[Long]): Long = {
       val r = asOf.foldLeft(spark.read.format("dynamo")
@@ -2284,7 +2284,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // the replay normal form, so the overlay re-derives the image from
     // the base (a PUT would be base-independent and short-circuit the
     // base read entirely — both plans would then serve the pinned op)
-    Thread.sleep(3)
+    Thread.sleep(15)
     store.appendWal("t", 2L, "w1", Seq(store.Update(Map(
       "id" -> AttrVal.S("k00"),
       "v" -> AttrVal.N(BigDecimal(100))))))
@@ -2308,7 +2308,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // second delta AFTER both plans, SAME touched key: the pinned
     // read's image derivation is bounded to its listing (v=100); the
     // live read re-derives the touched key from the live base (v=200)
-    Thread.sleep(3)
+    Thread.sleep(15)
     store.appendWal("t", 3L, "w2", Seq(store.Put(Map(
       "id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g0"),
       "v" -> AttrVal.N(BigDecimal(200))))))
@@ -2736,6 +2736,30 @@ class DynamoConnectorSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.hcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.hcat"))(
         spark.conf.set("spark.sql.catalog.hcat", _))
+    }
+  }
+
+  test("TRUNCATE TABLE empties the table but keeps its definition and writability") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root)
+    val prev = spark.conf.getOption("spark.sql.catalog.tcat")
+    try {
+      spark.conf.set("spark.sql.catalog.tcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.tcat.path", root)
+      assert(spark.sql("SELECT count(*) FROM tcat.fruit").head().getLong(0) === 4L)
+      spark.sql("TRUNCATE TABLE tcat.fruit")
+      assert(spark.sql("SELECT count(*) FROM tcat.fruit").head().getLong(0) === 0L)
+      // the definition survives: keys/layout intact, writes land again
+      Seq(("fig", "purple", 0.05, 9L))
+        .toDF("name", "color", "weight_kg", "stock")
+        .write.dynamo(root, "fruit", "name")
+      assert(spark.sql("SELECT name FROM tcat.fruit").as[String]
+        .collect().toSeq === Seq("fig"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.tcat"))(
+        spark.conf.set("spark.sql.catalog.tcat", _))
     }
   }
 
@@ -3362,10 +3386,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
     def maxSeq = store.walFileNames("tt2")
       .map(_.stripPrefix("wal-").takeWhile(_ != '-').toLong).max
     store.appendWal("tt2", 1L, "w1", Seq(put("k1", 1L), put("k2", 2L)))
-    Thread.sleep(5)
+    Thread.sleep(15)
     store.appendWal("tt2", 1L, "w2", Seq(upd("k1", 10L), del("k2"), put("k3", 3L)))
     val epoch2 = maxSeq
-    Thread.sleep(5)
+    Thread.sleep(15)
     store.appendWal("tt2", 1L, "w3", Seq(del("k3"), put("k4", 4L)))
     assert(maxSeq > epoch2, "epoch 3 must publish after the asOf point")
     val seen = spark.readStream.format("dynamo")

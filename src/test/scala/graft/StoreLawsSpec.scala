@@ -254,7 +254,7 @@ class StoreLawsSpec extends AnyFunSuite {
 
     // new writes, base untouched → the increment copies ONLY the new
     // journal files (base shard files at dest keep their identity)
-    Thread.sleep(3)
+    Thread.sleep(15)
     store.appendWal("t", 2L, "w1", Seq(
       store.Put(Map("id" -> AttrVal.S("zz"), "v" -> AttrVal.N(BigDecimal(99)))),
       store.Delete(Map("id" -> AttrVal.S("k00")))))
