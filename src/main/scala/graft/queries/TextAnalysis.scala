@@ -132,6 +132,42 @@ object TextAnalysis {
     // the corpus (per-doc stats map-side; one narrow digest shuffle)
     // + a keyed semi-join — no stage is super-linear, so the plan is
     // the one you'd run at 100 TB.
+    // The FULL pretraining-corpus pipeline as one oracle-checked
+    // composition — the engine's north star end to end: exact dedup
+    // (sha-256, keep min doc_id) → language + quality gates →
+    // benchmark DECONTAMINATION (drop anything sharing a 4-token
+    // shingle with the held-out set) → deterministic train/val/test
+    // split → per-split token budgets. Every stage is the scale shape
+    // its standalone key pins: one digest shuffle, map-side gates, a
+    // broadcast shingle probe, a map-side CASE, and a 3-row rollup.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val keep = docs.groupBy(sha2(col("text"), 256))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val gated = docs.join(keep, "doc_id")
+        .withColumn("n_tok", size(toks))
+        .withColumn("n_stop", size(filter(toks, t => t === "the" || t === "a")))
+        .filter(col("lang") === "en" && col("n_tok") >= 20 &&
+                col("n_stop") * lit(1.0) / col("n_tok") < 0.4)
+      def grams(d: org.apache.spark.sql.DataFrame) = d
+        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(split(col("text"), " ")) - lit(3)),
+          i => array_join(slice(split(col("text"), " "), i, lit(4)), " ")))).as("gram"))
+      val bench = grams(docs.filter(col("doc_id") < 20)).select("gram").distinct()
+      val contaminated = grams(gated.filter(col("doc_id") >= 20))
+        .join(bench, "gram").select("doc_id").distinct()
+      val clean = gated.filter(col("doc_id") >= 20)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+      clean.withColumn("split",
+          when(b <= "ef", "train").when(b <= "f7", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     "q_pipeline_curate" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val toks = split(col("text"), " ")
@@ -583,6 +619,41 @@ object TextAnalysis {
         |       CAST(floor(p * 1000000.0 / (SELECT sum(p) FROM p) + 0.5)
         |            AS BIGINT) AS w_x1e6
         |FROM p ORDER BY source""".stripMargin,
+    "q_pipeline_pretrain" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |                  string_split(text, ' ') AS toks FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |         GROUP BY sha256(text)),
+        |gated AS (SELECT t.doc_id, len(toks) AS n_tok, toks
+        |          FROM t JOIN keep USING (doc_id)
+        |          WHERE lang = 'en' AND len(toks) >= 20
+        |            AND len(list_filter(toks, x -> x IN ('the', 'a')))
+        |                  * 1.0 / len(toks) < 0.4),
+        |bgrams AS (SELECT DISTINCT
+        |             unnest(list_transform(range(1, len(toks) - 2),
+        |                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+        |               AS gram
+        |           FROM t WHERE doc_id < 20 AND len(toks) >= 4),
+        |cgrams AS (SELECT DISTINCT doc_id,
+        |             unnest(list_transform(range(1, len(toks) - 2),
+        |                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+        |               AS gram
+        |           FROM gated WHERE doc_id >= 20 AND n_tok >= 4),
+        |contaminated AS (SELECT DISTINCT doc_id
+        |                 FROM cgrams JOIN bgrams USING (gram)),
+        |clean AS (SELECT doc_id, n_tok FROM gated
+        |          WHERE doc_id >= 20
+        |            AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM (SELECT CASE
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'ef'
+        |          THEN 'train'
+        |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f7'
+        |          THEN 'val'
+        |        ELSE 'test' END AS split, n_tok
+        |      FROM clean)
+        |GROUP BY split ORDER BY split""".stripMargin,
     "q_pipeline_curate" ->
       """WITH q AS (SELECT doc_id, text, lang,
         |         len(string_split(text, ' ')) AS n_tok,
