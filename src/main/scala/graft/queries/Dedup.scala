@@ -117,6 +117,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs for fuzzy (edit-distance ≤ 3) name matching:
+    * blocks are (first char × length band of width 4). Edit distance
+    * ≤ 3 implies |len1 − len2| ≤ 3, so a qualifying pair sits in the
+    * same or an adjacent band; the probe side explodes to bands
+    * {b−1, b, b+1} while the anchor keeps its single band, so every
+    * qualifying pair is emitted EXACTLY once (the anchor band is one
+    * value — no dedup pass). |len diff| ≤ 3 rides as an explicit join
+    * predicate too, so even a hostile all-same-letter vocabulary
+    * yields a narrow ±3-length diagonal, never a block clique.
+    * Package-visible so DedupSkewSpec can pin both the linear
+    * candidate bound and the exactly-once emission.
+    */
+  private[graft] def fuzzyCandidates(names: DataFrame): DataFrame = {
+    val band = floor(length(col("p_name")) / 4)
+    val a = names.select(col("p_name").as("name1"),
+      substring(col("p_name"), 1, 1).as("blk1"),
+      explode(array(band - 1, band, band + 1)).as("band"))
+    val b = names.select(col("p_name").as("name2"),
+      substring(col("p_name"), 1, 1).as("blk2"),
+      band.as("band2"))
+    a.join(b,
+        col("blk1") === col("blk2") && col("band") === col("band2") &&
+          abs(length(col("name1")) - length(col("name2"))) <= 3 &&
+          col("name1") < col("name2"))
+      .select("name1", "name2")
+  }
+
   /** Token-id sets of an ad-hoc (doc_id, text) frame — the spec-side
     * entry into the minhash pipeline.
     */
@@ -156,7 +183,17 @@ object Dedup {
       .select(col("doc_id").as("id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
+    // Convergence is diameter-bounded and path halving makes rounds
+    // O(log diameter); 64 rounds covers any graph that fits on disk
+    // (2^64 nodes). Exceeding the cap means a logic bug (labels
+    // oscillating), and silent non-termination on a cluster is far
+    // worse than a loud abort — so: loud abort.
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64,
+        s"connectedComponents failed to converge after 64 rounds " +
+          s"($changed labels still changing) — min-label fixpoint bug")
       val nbr = edges
         .join(labels.select(col("id").as("nid"), col("comp")),
           col("b") === col("nid"))
@@ -380,22 +417,28 @@ object Dedup {
     // Fuzzy entity matching by edit distance — the data-cleaning
     // resolution shape: match on the DISTINCT vocabulary (dedup
     // first; the name table is orders of magnitude smaller than the
-    // corpus), block by a cheap key (first character) so candidate
-    // pairs are block-local, then exact Levenshtein <= 3 verifies.
-    // The distinct+block stages bound the quadratic the same way LSH
-    // bands do for minhash: all-pairs exists only inside a block of
-    // an already-tiny table, never across the corpus.
-    "q_match_fuzzy" -> ((s, dir) => {
-      val n = Fixtures.part(s, dir).select(col("p_name")).distinct()
-      val a = n.select(col("p_name").as("name1"))
-      val b = n.select(col("p_name").as("name2"))
-      a.join(b,
-          substring(col("name1"), 1, 1) === substring(col("name2"), 1, 1) &&
-            col("name1") < col("name2"))
+    // corpus), block by a composite key so candidate pairs are
+    // block-local, then exact Levenshtein <= 3 verifies.
+    //
+    // Blocking is (first char × length band): edit distance ≤ 3
+    // implies |len1 − len2| ≤ 3, so with bands of width 4 the two
+    // names land in the same or an ADJACENT band. The probe side
+    // explodes to its band and both neighbours {b−1, b, b+1}
+    // (band-overlap trick; both directions because the lexicographic
+    // pair order is independent of length); the anchor side keeps its
+    // single band, so every qualifying pair matches EXACTLY once — no
+    // dedup pass needed. The length-diff bound is ALSO an explicit
+    // join predicate, so even inside a block only a ±3 length window
+    // is quadratic. At a 100× vocabulary a single-letter block is no
+    // longer one all-pairs cell but ~len-range/4 independent cells of
+    // a narrow diagonal — DedupSkewSpec pins the candidate collapse
+    // on a hostile same-letter vocabulary.
+    "q_match_fuzzy" -> ((s, dir) =>
+      fuzzyCandidates(Fixtures.part(s, dir).select(col("p_name")).distinct())
         .withColumn("dist", levenshtein(col("name1"), col("name2")))
         .filter(col("dist") <= 3)
-        .orderBy("name1", "name2")
-    }),
+        .select("name1", "name2", "dist")
+        .orderBy("name1", "name2")),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped BY CLUSTER —
     // assign every vector to its nearest centroid (the k-means E-step

@@ -347,7 +347,41 @@ object Scans {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_graph_pagerank" -> sql(pagerank, "orders", "lineitem"),
+    // PageRank over the customer–supplier bipartite graph, 3 damped
+    // supersteps (integer-exact arithmetic so DuckDB agrees bit-for-
+    // bit; the SQL oracle is the WITH-chain `pagerank` above). The
+    // DataFrame form localCheckpoints `edges`/`deg` ONCE so the
+    // supersteps stop re-deriving the distinct-pairs join — the SQL
+    // form inlines those CTEs into every step, tripling the heaviest
+    // stage. Each superstep is one broadcast-or-shuffle join + one
+    // keyed grouped sum: the relational Pregel shape.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val links = Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Fixtures.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("cust"),
+          col("l_suppkey").cast("long").as("supp"))
+        .distinct()
+      val edges = links
+        .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
+        .unionAll(links.select((col("supp") + 1000000L).as("src"),
+          col("cust").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        pr = pr
+          .join(deg.select(col("src").as("dn"), col("d")), col("node") === col("dn"))
+          .select(col("node"), floor(col("rank") / col("d")).as("share"))
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) +
+            floor(lit(850000.0) * sum(col("share")) / 1000000.0)).as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+      }
+      pr.orderBy(col("rank").desc, col("node")).limit(25)
+    }),
     "q_sql_tpch_q2" -> sql(tpchQ2, "part", "supplier", "lineitem", "nation", "region"),
     "q_sql_tpch_q9" -> sql(tpchQ9, "part", "supplier", "lineitem", "orders", "nation"),
     "q_sql_tpch_q11" -> sql(tpchQ11, "lineitem", "supplier", "nation"),

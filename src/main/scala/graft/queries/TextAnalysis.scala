@@ -74,20 +74,27 @@ object TextAnalysis {
     // of all token OCCURRENCES the top-k vocabulary covers (the
     // "coverage at vocab size" curve; rank ties broken by token asc).
     // The corpus-sized work (token counting) is a distributed
-    // explode+agg; the ranking window runs over the VOCABULARY — a
-    // table orders of magnitude smaller than the corpus, which is the
-    // only reason a global-order window is admissible here.
+    // explode+agg; the head selection is `orderBy().limit(50)` which
+    // lowers to TakeOrderedAndProject — bounded per-partition heaps,
+    // never a full sort or a single-partition window, so the shape
+    // holds even when the vocabulary itself is billions of rows.
+    // rank + cumulative coverage over the 50-row head come from a
+    // broadcast triangular self-join (k² = 2 500 pairs), not a
+    // global-order window: no WindowExec with an empty partition spec
+    // exists anywhere in this plan (PlanSpec pins that).
     "q_tok_vocab" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val freq = Fixtures.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy(col("freq").desc, col("tok").asc)
-      freq
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum", sum("freq").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= 50)
+      val top = freq.orderBy(col("freq").desc, col("tok").asc).limit(50)
+      // b "sorts before or at" a under (freq desc, tok asc); the order
+      // is total (tok is unique), so count = row_number, sum = cumsum.
+      val b = top.select(col("tok").as("b_tok"), col("freq").as("b_freq"))
+      top.join(broadcast(b),
+          col("b_freq") > col("freq") ||
+            (col("b_freq") === col("freq") && col("b_tok") <= col("tok")))
+        .groupBy(col("tok"), col("freq"))
+        .agg(count(lit(1)).as("rank"), sum("b_freq").as("cum"))
         .crossJoin(broadcast(freq.agg(sum("freq").as("tot"))))
         .select(col("rank").cast("long").as("rank"), col("tok"), col("freq"),
           floor(col("cum") / col("tot") * 10000 + 0.5).as("cov_x1e4"))
@@ -254,14 +261,27 @@ object TextAnalysis {
     // slope of ln(frequency) against ln(rank) — the one-number corpus
     // health check (natural text sits near −1; templated/synthetic
     // corpora drift). Corpus-sized work is the distributed token
-    // count; the ranking window and the regression run over the
-    // VOCABULARY only (the same two-tier shape as q_tok_vocab).
+    // count. Every token needs its ln(rank), so the rank itself is
+    // computed DISTRIBUTED: range-sort the vocabulary by (cnt desc,
+    // tok) into globally-ordered partition runs, then zipWithIndex
+    // (one count-per-partition pass + one offset-adding map pass) —
+    // the canonical two-pass distributed rank. No single-partition
+    // window anywhere (PlanSpec pins that): a billion-token
+    // vocabulary never funnels to one task. Tie order within a cnt
+    // group cannot change the answer — the multiset of (rank, cnt)
+    // is invariant under permuting equal-cnt rows.
     "q_tok_zipf" -> ((s, dir) => {
+      import s.implicits._
       val tf = Fixtures.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val ranked = tf.withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
+      val sorted = tf
+        .repartitionByRange(32, col("cnt").desc, col("tok").asc)
+        .sortWithinPartitions(col("cnt").desc, col("tok").asc)
+        .select(col("cnt")).as[Long]
+      val ranked = sorted.rdd.zipWithIndex()
+        .map { case (cnt, i) => (i + 1L, cnt) }
+        .toDF("rk", "cnt")
         .select(log(col("rk")).as("x"), log(col("cnt")).as("y"))
       ranked.agg(
         count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),

@@ -63,6 +63,44 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(rows.map(_._2).sorted.toSeq === (1L until 120L))
   }
 
+  test("fuzzy-match blocking: candidates stay linear on a same-letter vocabulary") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // Hostile vocabulary: 300 names, ALL starting with 'a' — first-char
+    // blocking alone would make one C(300,2) = 44 850-pair clique.
+    // Lengths spread over 5..104 (3 names per length), so the length
+    // band + |len diff| <= 3 predicate must cut candidates to exactly
+    // the same-letter pairs within a ±3 length window.
+    val names = (0 until 300).map { i =>
+      val len = 5 + i % 100
+      "a" * (len - 3) + f"$i%03d" // unique suffix, exact target length
+    }.toDF("p_name")
+    val cand = Dedup.fuzzyCandidates(names)
+    val got = cand.count()
+    // exact expectation, computed independently of the blocking scheme
+    val lens = (0 until 300).map(i => 5 + i % 100)
+    val expected = (for {
+      i <- 0 until 300; j <- 0 until 300 if i != j
+      if math.abs(lens(i) - lens(j)) <= 3
+    } yield 1).size / 2
+    assert(got === expected.toLong, "blocking emitted a wrong candidate set")
+    assert(got < 44850 / 10, s"candidate count $got is not linear-ish in V")
+    // exactly-once emission: the band-overlap probe must not duplicate
+    assert(cand.distinct().count() === got)
+  }
+
+  test("fuzzy-match blocking loses no edit-distance-3 pair across a band boundary") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // lengths 7 and 8 straddle the width-4 band boundary (7/4=1, 8/4=2);
+    // also check the extreme |len diff| = 3 case (5 vs 8).
+    val names = Seq("aaaaaaa", "aaaaaaaa", "aaaaa", "bbbbbbbb").toDF("p_name")
+    val got = Dedup.fuzzyCandidates(names)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("aaaaa", "aaaaaaa"), ("aaaaa", "aaaaaaaa"),
+      ("aaaaaaa", "aaaaaaaa")))
+  }
+
   test("hot-token list is broadcast, not shuffled against the corpus") {
     val plan = TextOps.cappedCandidates(corpus, dfCap = 50L)
       .queryExecution.executedPlan.toString

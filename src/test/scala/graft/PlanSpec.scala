@@ -116,6 +116,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q_tok_vocab: bounded top-k head, no single-partition window anywhere") {
+    val df = SparkEntry.queries("q_tok_vocab")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the round-8 shape moved the whole vocabulary through one
+    // WindowExec task; the fix must keep ALL windows out of the plan
+    assert(!p.contains("Window ["), s"WindowExec crept back into q_tok_vocab:\n$p")
+    // the corpus-side head selection is a bounded per-partition heap
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tok_zipf: distributed rank, no single-partition window anywhere") {
+    val df = SparkEntry.queries("q_tok_zipf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), s"WindowExec crept back into q_tok_zipf:\n$p")
+  }
+
+  test("TPC-H Q9: every dimension broadcasts, p_name filter reaches the scan") {
+    val df = SparkEntry.queries("q_sql_tpch_q9")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("StringContains(p_name"), p)
+  }
+
+  test("TPC-H Q19: common-conjunct extraction keeps the join equi") {
+    val df = SparkEntry.queries("q_sql_tpch_q19")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("TPC-H Q21: EXISTS/NOT EXISTS lower to semi + anti joins") {
+    val df = SparkEntry.queries("q_sql_tpch_q21")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("hash sampling stays map-side: no exchange before the filter") {
     val df = SparkEntry.queries("q_sample_hash")(spark, sf)
     // the only exchange allowed is the final orderBy's range partitioning
