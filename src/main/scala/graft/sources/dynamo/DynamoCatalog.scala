@@ -313,23 +313,41 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
   import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
 
   private def viewsDir = java.nio.file.Paths.get(root, "_views")
-  private def viewPath(name: String) = viewsDir.resolve(s"$name.json")
+
+  /** One filesystem-safe token per identifier part: URL-encode, then
+    * escape '.' and '*' which URLEncoder leaves bare — '.' is the
+    * part separator in the stored file name and must not occur inside
+    * a part, and a quoted view name containing '/' or '..' must not
+    * be able to escape `_views/`. The namespace is part of the key,
+    * so same-named views in different namespaces cannot collide.
+    */
+  private def viewToken(part: String): String =
+    java.net.URLEncoder.encode(part, "UTF-8")
+      .replace(".", "%2E").replace("*", "%2A")
+  private def viewPath(ident: Identifier) = viewsDir.resolve(
+    (ident.namespace() :+ ident.name()).map(viewToken).mkString(".") + ".json")
 
   override def listViews(namespace: String*): Array[Identifier] = {
     if (!java.nio.file.Files.isDirectory(viewsDir)) return Array.empty
+    val want = namespace.toArray
     val s = java.nio.file.Files.list(viewsDir)
     try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => Identifier.of(namespace.toArray,
-        p.getFileName.toString.stripSuffix(".json")))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map { n =>
+        val parts = n.stripSuffix(".json").split('.')
+          .map(t => java.net.URLDecoder.decode(t, "UTF-8"))
+        Identifier.of(parts.init, parts.last)
+      }
+      .filter(_.namespace().sameElements(want))
       .toArray
     finally s.close()
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    java.nio.file.Files.isRegularFile(viewPath(ident.name()))
+    java.nio.file.Files.isRegularFile(viewPath(ident))
 
-  private def writeViewDoc(name: String, sql: String, cat: String,
+  private def writeViewDoc(ident: Identifier, sql: String, cat: String,
       ns: Array[String], schema: StructType, qcn: Array[String],
       aliases: Array[String], comments: Array[String],
       props: Map[String, String]): Unit = {
@@ -346,16 +364,17 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
       "columnAliases" -> sl(aliases),
       "columnComments" -> sl(comments),
       "properties" -> AttrVal.M(props.map { case (k, v) => k -> (AttrVal.S(v): AttrVal) }))
-    val tmp = viewsDir.resolve(s".$name.json.tmp")
+    val tmp = viewsDir.resolve(
+      "." + viewPath(ident).getFileName.toString + ".tmp")
     java.nio.file.Files.write(tmp, ItemJson.write(doc).getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, viewPath(name),
+    java.nio.file.Files.move(tmp, viewPath(ident),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def loadView(ident: Identifier): View = {
-    val p = viewPath(ident.name())
+    val p = viewPath(ident)
     if (!java.nio.file.Files.isRegularFile(p)) throw new NoSuchViewException(ident)
     val m = ItemJson.parse(new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -384,7 +403,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
 
   override def createView(info: ViewInfo): View = {
     if (viewExists(info.ident)) throw new ViewAlreadyExistsException(info.ident)
-    writeViewDoc(info.ident.name(), info.sql, info.currentCatalog,
+    writeViewDoc(info.ident, info.sql, info.currentCatalog,
       info.currentNamespace, info.schema, info.queryColumnNames,
       info.columnAliases, info.columnComments,
       info.properties.asScala.toMap)
@@ -400,19 +419,19 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
       case other => throw new IllegalArgumentException(
         s"unsupported view change: $other")
     }
-    writeViewDoc(ident.name(), v.query(), v.currentCatalog(),
+    writeViewDoc(ident, v.query(), v.currentCatalog(),
       v.currentNamespace(), v.schema(), v.queryColumnNames(),
       v.columnAliases(), v.columnComments(), props)
     loadView(ident)
   }
 
   override def dropView(ident: Identifier): Boolean =
-    java.nio.file.Files.deleteIfExists(viewPath(ident.name()))
+    java.nio.file.Files.deleteIfExists(viewPath(ident))
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from)) throw new NoSuchViewException(from)
     if (viewExists(to)) throw new ViewAlreadyExistsException(to)
-    java.nio.file.Files.move(viewPath(from.name()), viewPath(to.name()),
+    java.nio.file.Files.move(viewPath(from), viewPath(to),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 

@@ -1465,7 +1465,7 @@ final class DynamoScan(
               l <- cvt(f.dataType, lo, folded.nWhole)
               h <- cvt(f.dataType, hi, folded.nWhole)
             } yield (l, h)
-          // NDV from the mergeable per-shard HLL sketches (±~6.5%):
+          // NDV from the mergeable per-shard HLL sketches (±~3.2%):
           // every shard must carry one (pre-field sidecars decline).
           // Clamped by `present` — a distinct count can never exceed
           // the non-null occurrences — and floored at 1 when any
@@ -1661,9 +1661,24 @@ final class DynamoScan(
         // snapshot serves alone, today's eventually-consistent
         // behavior; a delta found here overlays even if it outgrew
         // the negotiation-time budget (more work, still exact).
-        val delta: Seq[String] = freshness match {
+        val deltaListed: Seq[String] = freshness match {
           case LocalKVStore.IndexDelta(files, _) => files
           case _ => Nil
+        }
+        // consistentScan: the pin and the freshness delta come from
+        // two directory listings, and a WAL file published between
+        // them would sit in the delta but not the pin — overlaying it
+        // (touched-key drops + fresh images) leaks a post-pin write
+        // into a scan that promises one-listing semantics. Strip the
+        // overlay to pin-listed files. Sound because IndexDelta
+        // implies an unchanged compaction watermark since the build:
+        // the journal was append-only between the two listings, so
+        // pin ⊆ freshness listing and the stripped set is exactly the
+        // pin listing's >foldedMax suffix — the copy plus this overlay
+        // reflects precisely the pinned snapshot.
+        val delta: Seq[String] = pin match {
+          case Some(p) => val ps = p.toSet; deltaListed.filter(ps.contains)
+          case None    => deltaListed
         }
         // Zone-map pruning over the INDEX copy's own sidecars
         // (`gsi-zstat-*`, exact at every build): base-shard stats say

@@ -79,7 +79,7 @@ final case class AttrStats(
       * stats file (unknown).
       */
     nWhole: Boolean = true,
-    /** HyperLogLog registers (m = 256, ±~6.5% standard error) over the
+    /** HyperLogLog registers (m = 1024, ±~3.2% standard error) over the
       * attribute's NON-NULL values, hashed through a canonical
       * encoding that identifies decode-equal values (N(1) ≡ N(1.0)).
       * Mergeable by register max — the property that lets per-shard
@@ -1054,20 +1054,38 @@ final class LocalKVStore(root: String) {
     */
   def transactGet(table: String, keys: Seq[Item]): Seq[Option[Item]] = {
     val meta = describe(table)
-    val snapshot = Some(listFiles(table, "wal-")
-      .map(_.getFileName.toString).toSet)
     val canon = keys.map(keyOf(meta, _))
     val wanted = canon.toSet
-    val found = mutable.HashMap.empty[String, Item]
-    keys.map(shardOf(meta, _)).distinct.foreach { sh =>
-      scanSegment(table, sh, meta.shards, allowedWal = snapshot)
-        .map(_._1)
-        .foreach { it =>
-          val k = keyOf(meta, it)
-          if (wanted(k)) found(k) = it
-        }
+    // A concurrent COMPACTION can break the one-listing promise from
+    // under the listing: a WAL file published after the snapshot can
+    // be folded into a base shard mid-read, so shards scanned later
+    // would serve post-snapshot state through their base slice — the
+    // half-applied visibility this method exists to exclude. Fence:
+    // capture the compaction watermark WITH the listing and retry the
+    // whole read if it moved by the end (compaction is rare and
+    // bounded; 5 collisions in a row means an operator is running
+    // compaction in a tight loop — fail loudly rather than spin).
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val wmBefore = compactionWatermark(table)
+      val snapshot = Some(listFiles(table, "wal-")
+        .map(_.getFileName.toString).toSet)
+      val found = mutable.HashMap.empty[String, Item]
+      keys.map(shardOf(meta, _)).distinct.foreach { sh =>
+        scanSegment(table, sh, meta.shards, allowedWal = snapshot)
+          .map(_._1)
+          .foreach { it =>
+            val k = keyOf(meta, it)
+            if (wanted(k)) found(k) = it
+          }
+      }
+      if (compactionWatermark(table) == wmBefore) return canon.map(found.get)
+      if (attempt >= 5) throw new IllegalStateException(
+        s"transactGet on '$table' raced a moving compaction watermark " +
+          s"$attempt times — snapshot read cannot be pinned")
     }
-    canon.map(found.get)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Cross-JVM + in-process serialization of transactional
@@ -1636,6 +1654,23 @@ final class LocalKVStore(root: String) {
     // stale — clear them so the destination mirrors the source set
     new LocalKVStore(destRoot).walFileNames(table)
       .foreach(n => Files.deleteIfExists(dst.resolve(n)))
+    // ...and the destination's BASE view: a re-backup into the same
+    // destination after a reshard-shrink or truncate would otherwise
+    // leave orphan shard-NNN.jsonl (and their zone-map sidecars) from
+    // the OLD layout, which a restored store merges into the view —
+    // resurrected rows. Unlike the journal case this is a correctness
+    // hole, not staleness: mirror-delete base files and sidecars the
+    // source listing no longer has. (Copy-step REPLACE_EXISTING covers
+    // same-name files; this covers DISAPPEARED names.)
+    val srcNames = (listFiles(table, "shard-") ++ listStatFiles(table))
+      .map(_.getFileName.toString).toSet
+    val dstListing = Files.list(dst)
+    try dstListing.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("shard-") || n.startsWith("zstat-")) && !srcNames(n)
+      }.toList.foreach(Files.deleteIfExists(_))
+    finally dstListing.close()
     listFiles(table, "wal-").foreach(cp)
     listFiles(table, "shard-").foreach(cp)
     listStatFiles(table).foreach(cp)

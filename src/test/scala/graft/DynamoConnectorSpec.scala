@@ -2812,6 +2812,45 @@ class DynamoConnectorSpec extends AnyFunSuite {
       again.loadView(Identifier.of(ns, "crimson")))
   }
 
+  test("ViewCatalog: namespaces isolate same-named views; hostile names cannot escape _views/") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val cat = new graft.sources.dynamo.DynamoCatalog
+    cat.initialize("vns", new CaseInsensitiveStringMap(java.util.Map.of("path", root)))
+    val schema = StructType(Seq(StructField("x", IntegerType)))
+    def mkInfo(id: Identifier, sql: String) = new ViewInfo(id, sql, "vns",
+      id.namespace(), schema, Array("x"), Array("x"), Array[String](null),
+      java.util.Map.of())
+    // same bare name in two namespaces: both exist, each loads its own SQL
+    val va = Identifier.of(Array("alpha"), "v")
+    val vb = Identifier.of(Array("beta"), "v")
+    cat.createView(mkInfo(va, "SELECT 1 AS x"))
+    cat.createView(mkInfo(vb, "SELECT 2 AS x"))
+    assert(cat.viewExists(va) && cat.viewExists(vb))
+    assert(cat.loadView(va).query() === "SELECT 1 AS x")
+    assert(cat.loadView(vb).query() === "SELECT 2 AS x")
+    assert(cat.listViews("alpha").toSeq === Seq(va))
+    assert(cat.listViews("beta").toSeq === Seq(vb))
+    assert(cat.dropView(va) && !cat.viewExists(va) && cat.viewExists(vb))
+    // a quoted name containing path separators and dots stays a single
+    // sanitized file under _views/ — it cannot climb out of the dir
+    val evil = Identifier.of(Array("default"), "../escape/v.json")
+    cat.createView(mkInfo(evil, "SELECT 3 AS x"))
+    assert(cat.loadView(evil).query() === "SELECT 3 AS x")
+    assert(cat.listViews("default").toSeq === Seq(evil))
+    val viewsDir = java.nio.file.Paths.get(root, "_views")
+    val stray = java.nio.file.Paths.get(root, "escape")
+    assert(!java.nio.file.Files.exists(stray), "view name escaped _views/")
+    val inDir = java.nio.file.Files.list(viewsDir)
+    try assert(inDir.iterator().asScala.forall(
+      _.getParent.getFileName.toString == "_views"))
+    finally inDir.close()
+    assert(cat.dropView(evil))
+  }
+
   test("CTAS composes with clusterWrite=shard: staged write is bucket-clustered") {
     import spark.implicits._
     val root = freshRoot()

@@ -237,6 +237,84 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("re-backup into the same destination mirrors base deletions (truncate, reshard-shrink)") {
+    val srcRoot = Files.createTempDirectory("graft-rebk-src").toString
+    val store = new LocalKVStore(srcRoot)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.bulkLoad("t", store.describe("t"), (0 until 40).iterator.map(i =>
+      Map("id" -> AttrVal.S(f"old$i%02d"), "v" -> AttrVal.N(BigDecimal(i)))))
+    def view(st: LocalKVStore) =
+      st.scanSegment("t", 0, 1).map(_._1).toVector.sortBy(_.toString)
+    val dest = Files.createTempDirectory("graft-rebk-dst").toString
+    store.backupTable("t", dest)
+    assert(view(new LocalKVStore(dest)) === view(store))
+
+    // truncate + smaller reload: the old shard files vanish at the
+    // source; a re-backup into the SAME destination must delete the
+    // destination's orphans too, or the restore resurrects old rows
+    store.truncateTable("t")
+    store.bulkLoad("t", store.describe("t"), Iterator(
+      Map("id" -> AttrVal.S("fresh"), "v" -> AttrVal.N(BigDecimal(1)))))
+    store.backupTable("t", dest)
+    assert(view(new LocalKVStore(dest)) === view(store),
+      "truncated rows resurrected from orphan destination shard files")
+
+    // reshard-shrink: 4 shards → 2 rewrites the base layout; stale
+    // shard-2/3 files (and their zone sidecars) must not survive at
+    // the destination
+    store.appendWal("t", 5L, "w1", (0 until 20).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"n$i%02d"), "v" -> AttrVal.N(BigDecimal(i))))))
+    store.compact("t")
+    (0 until 4).foreach(sh => store.reshardShard("t", sh, 2))
+    store.finishReshard("t", 2)
+    store.backupTable("t", dest)
+    val restored = new LocalKVStore(dest)
+    assert(view(restored) === view(store),
+      "reshard-shrunk layout polluted by orphan destination files")
+    val srcFiles = new java.io.File(s"$srcRoot/t").list()
+      .filter(n => n.startsWith("shard-") || n.startsWith("zstat-")).sorted.toVector
+    val dstFiles = new java.io.File(s"$dest/t").list()
+      .filter(n => n.startsWith("shard-") || n.startsWith("zstat-")).sorted.toVector
+    assert(dstFiles === srcFiles, "destination base/sidecar set drifted from source")
+  }
+
+  test("backupTable under a concurrent transactional write storm captures a consistent cut") {
+    val srcRoot = Files.createTempDirectory("graft-cbk-src").toString
+    val store = new LocalKVStore(srcRoot)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    @volatile var writerFailure: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try for (i <- 0 until 120) {
+        // each transaction writes a cross-shard (a_i, b_i) pair in ONE
+        // -sall journal file — the unit a consistent cut must keep whole
+        store.transactWrite("t", i + 10L, f"w$i%03d", Seq(
+          store.Put(Map("id" -> AttrVal.S(f"a$i%03d"), "g" -> AttrVal.N(BigDecimal(i)))),
+          store.Put(Map("id" -> AttrVal.S(f"b$i%03d"), "g" -> AttrVal.N(BigDecimal(i))))))
+      } catch { case e: Throwable => writerFailure = Some(e) }
+    })
+    writer.start()
+    val dests = (0 until 5).map { k =>
+      Thread.sleep(8)
+      val d = Files.createTempDirectory(s"graft-cbk-d$k").toString
+      store.backupTable("t", d)
+      d
+    }
+    writer.join()
+    assert(writerFailure.isEmpty, s"writer thread failed: $writerFailure")
+    dests.foreach { d =>
+      val r = new LocalKVStore(d)
+      val ids = r.scanSegment("t", 0, 1).map(_._1)
+        .map(_("id").asInstanceOf[AttrVal.S].v).toSet
+      for (i <- 0 until 120)
+        assert(ids.contains(f"a$i%03d") === ids.contains(f"b$i%03d"),
+          s"transaction $i is half-visible in the backup at $d")
+    }
+    // the final backup of a quiesced store is complete
+    val dLast = Files.createTempDirectory("graft-cbk-final").toString
+    store.backupTable("t", dLast)
+    assert(new LocalKVStore(dLast).scanSegment("t", 0, 1).size === 240)
+  }
+
   test("incremental backup ships only new journal; base changes force a full copy") {
     val srcRoot = Files.createTempDirectory("graft-ibk-src").toString
     val store = new LocalKVStore(srcRoot)
