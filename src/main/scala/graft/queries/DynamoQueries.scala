@@ -50,12 +50,11 @@ object DynamoQueries {
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
     }.mkString(",").hashCode.toHexString
-    // v6: zone-map sidecars gained the `other` presence flag, the
-    // per-shard item counter, and per-attribute present/nSum/nWhole
-    // accumulators — stats written by older builds read back
-    // conservative (no stats-answered aggregates), so reseed once
-    // rather than serve declined fast paths
-    "/tmp/graft-dynamo-v6/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
+    // v7: compaction now writes range-sorted bases with page-directory
+    // sidecars (the Query fast path) — stores compacted by older
+    // builds have no directory (correct but unpruned), so reseed once
+    // rather than serve q_dyn_query as a full-shard read
+    "/tmp/graft-dynamo-v7/" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + "-" + fp
   }
 
   /** Cross-process seed guard: the seeded store lives in shared /tmp,
@@ -336,6 +335,22 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // DynamoDB `Query` shape (KeyConditionExpression analogue): hash
+    // key pinned by equality + a sort-key range condition. Shard
+    // pruning plans ONE segment (the owning shard), and inside it the
+    // page directory written at compaction skips every base page
+    // outside [100, 100000] on the sorted sort key — the read costs
+    // O(matching pages), not O(shard), like Query vs Scan. At 100 TB
+    // this is the difference between a point-ish read and a partition
+    // scan; DynamoConnectorSpec pins the sub-shard read count.
+    "q_dyn_query" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      s.read.dynamo(root, "orders")
+        .filter(col("o_custkey") === 37 && col("o_orderkey").between(100, 100000))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Range-keyed scan (composite primary key): hash-key predicate +
     // range predicate + non-key filter, all pushed to the store scan.
     "q_dyn_range" -> ((s, dir) => {
@@ -608,6 +623,11 @@ object DynamoQueries {
     "q_dyn_range" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey <= 100 AND o_totalprice > 50000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dyn_query" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey = 37
+        |  AND o_orderkey BETWEEN 100 AND 100000
         |ORDER BY o_orderkey""".stripMargin,
     // int32 columns widen to BIGINT through the store's N type.
     "q_dyn_scan" ->

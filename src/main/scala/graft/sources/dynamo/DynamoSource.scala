@@ -1265,7 +1265,8 @@ object DynamoScan {
     * [[Ttl.visibleItem]]'s projection is idempotent on them).
     */
   def partitionItems(store: LocalKVStore, opts: DynamoOptions,
-      partition: DynamoInputPartition): Iterator[(Item, Int)] =
+      partition: DynamoInputPartition,
+      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] =
     if (partition.viaIndex && partition.deltaFiles.nonEmpty)
       store.scanIndexSegmentDelta(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments, partition.deltaFiles,
@@ -1276,7 +1277,22 @@ object DynamoScan {
     else
       store.scanSegment(opts.tableName, partition.segment,
         partition.totalSegments, opts.asOfSeq,
-        allowedWal = partition.pinnedWal.map(_.toSet))
+        allowedWal = partition.pinnedWal.map(_.toSet),
+        window = window)
+
+  /** The `Query`-shape window for a BASE-path read, or None: requires
+    * a composite-key layout-2 table, no index view in the read (a
+    * base-fallback GSI read projects before filtering — windowing
+    * would be sound on the visible base keys but isn't worth the
+    * coupling), and pushed conjuncts that pin the hash key
+    * ([[PageIndex.deriveWindow]]). Purely an I/O skip: every emitted
+    * item still passes through the same filter evaluation.
+    */
+  def queryWindow(meta: TableMeta, opts: DynamoOptions,
+      pushed: Array[Filter]): Option[PageIndex.KeyWindow] =
+    if (opts.indexName.isDefined || meta.layout < 2) None
+    else meta.rangeKey.flatMap(rk =>
+      PageIndex.deriveWindow(pushed.toSeq, meta.hashKey, rk))
 }
 
 final class DynamoScan(
@@ -2537,7 +2553,8 @@ final class DynamoPartitionReader(
   // SPJ planning (see planInputPartitions); it owns no matching rows.
   private val items: Iterator[(Item, Int)] =
     if (partition.padEmpty) Iterator.empty
-    else DynamoScan.partitionItems(store, opts, partition)
+    else DynamoScan.partitionItems(store, opts, partition,
+      DynamoScan.queryWindow(placementMeta, opts, pushed))
 
   // One clock per scan task: every item in the partition sees the same
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).

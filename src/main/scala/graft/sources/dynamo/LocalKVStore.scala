@@ -792,12 +792,7 @@ final class LocalKVStore(root: String) {
 
   // ---- primary key handling ----
 
-  private def encKeyAttr(a: AttrVal): String = a match {
-    case AttrVal.S(v) => "s:" + v
-    case AttrVal.N(v) => "n:" + v.bigDecimal.stripTrailingZeros.toPlainString
-    case AttrVal.B(v) => "b:" + java.util.Base64.getEncoder.encodeToString(v)
-    case other => throw new IllegalArgumentException(s"unsupported key type $other")
-  }
+  private def encKeyAttr(a: AttrVal): String = LocalKVStore.encKeyAttr(a)
 
   /** Item IDENTITY: the full primary key (hash, plus range if the
     * table has one) — what dedups puts, resolves updates, and keys
@@ -836,6 +831,8 @@ final class LocalKVStore(root: String) {
   def bulkLoad(table: String, meta: TableMeta, items: Iterator[Item]): Unit = {
     createTable(table, meta)
     deleteIndexFiles(table) // full rewrite: any materialized copy is stale
+    // unsorted rewrite: page directories no longer describe the bytes
+    listFiles(table, "pageidx-").foreach(Files.deleteIfExists(_))
     val dir = tableDir(table)
     val writers = Array.tabulate(meta.shards) { i =>
       Files.newBufferedWriter(dir.resolve(f"shard-$i%03d.jsonl"), UTF_8)
@@ -1333,7 +1330,15 @@ final class LocalKVStore(root: String) {
       /** Pin the replay to exactly this journal-file set (a caller's
         * one-listing snapshot — [[transactGet]]); None = live listing.
         */
-      allowedWal: Option[Set[String]] = None): Iterator[(Item, Int)] = {
+      allowedWal: Option[Set[String]] = None,
+      /** Query-shape sub-shard pruning: when the caller's filters pin
+        * the hash key and bound the sort key, base pages provably
+        * outside this window are skipped ([[PageIndex]]). Purely an
+        * I/O skip — the caller still evaluates the same filters on
+        * every emitted item, so a missing/stale page directory only
+        * costs bytes, never rows.
+        */
+      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] = {
     val meta = describe(table)
     // An asOfSeq below the compaction watermark is unsatisfiable: the
     // folded base would serve post-snapshot state for every key whose
@@ -1364,7 +1369,7 @@ final class LocalKVStore(root: String) {
         overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
       }
     }
-    scanSegmentTail(table, segment, totalSegments, meta, overrides)
+    scanSegmentTail(table, segment, totalSegments, meta, overrides, window)
   }
 
   /** Each key's journal suffix collapses EAGERLY into a two-sided
@@ -1422,15 +1427,30 @@ final class LocalKVStore(root: String) {
     */
   private def scanSegmentTail(table: String, segment: Int,
       totalSegments: Int, meta: TableMeta,
-      overrides: mutable.LinkedHashMap[String, KeyState]): Iterator[(Item, Int)] = {
+      overrides: mutable.LinkedHashMap[String, KeyState],
+      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] = {
     val seen = mutable.HashSet.empty[String]
     val shardFiles = listFiles(table, "shard-")
       .filter(p => shardIndex(p) % totalSegments == segment)
     // One shard file ≈ one partition's worth of items, so materializing
     // its lines is bounded by partition sizing; avoids leaking the
     // Files.lines handle held by a lazily-drained iterator.
+    // Under a Query window with a VALID page directory, only the
+    // intersecting pages' bytes are read — sub-shard pruning. Keys in
+    // skipped pages are outside the window by construction; their
+    // journal overrides (if any) surface through `fresh` below in
+    // absent-normal-form, carrying the same out-of-window key attrs
+    // the caller's filters reject.
     val baseItems = shardFiles.iterator.flatMap { p =>
-      Files.readAllLines(p, UTF_8).asScala.filter(_.nonEmpty)
+      val paged = window.flatMap { w =>
+        val idxPath = p.resolveSibling(
+          f"pageidx-s${shardIndex(p)}%03d.jsonl")
+        PageIndex.load(idxPath, p).map { idx =>
+          PageIndex.readPages(p, idx.pages.filter(PageIndex.intersects(_, w)))
+        }
+      }
+      paged.getOrElse(
+        Files.readAllLines(p, UTF_8).asScala.iterator.filter(_.nonEmpty))
     }.flatMap { line =>
       val item = ItemJson.parse(line)
       val k = keyOf(meta, item)
@@ -1500,14 +1520,68 @@ final class LocalKVStore(root: String) {
         case _ => false
       }
     }
-    val merged = scanSegment(table, shard, meta.shards).map(_._1)
+    val merged0 = scanSegment(table, shard, meta.shards).map(_._1)
       .filterNot(expired).toVector
+    // Sorted base (placement key, then typed sort key) — DynamoDB's
+    // within-partition sort-key order. Determinism aside, this is
+    // what makes the Query fast path possible: a sorted shard admits
+    // a sparse page directory ([[PageIndex]]) that a hash-eq +
+    // range-bounded scan uses to read only the qualifying byte range.
+    val ord = new Ordering[Item] {
+      def compare(x: Item, y: Item): Int = {
+        val c = placementOf(meta, x).compareTo(placementOf(meta, y))
+        if (c != 0) c
+        else meta.rangeKey match {
+          case Some(rk) => (x.get(rk), y.get(rk)) match {
+            case (Some(a), Some(b)) => PageIndex.tryCompare(a, b)
+              .getOrElse(encKeyAttr(a).compareTo(encKeyAttr(b)))
+            case _ => 0
+          }
+          case None => 0
+        }
+      }
+    }
+    val merged = merged0.sorted(ord)
+    // Page directory accumulates while writing; published only for
+    // composite-key tables under partition-key placement (layout 2 —
+    // the layout where one hash key's sort run is shard-contiguous).
+    val indexable = meta.rangeKey.isDefined && meta.layout >= 2
+    val pages = Vector.newBuilder[PageIndex.Page]
+    var fileOff = 0L
+    var pOff = 0L; var pLen = 0L; var pCount = 0
+    var pMinH: String = null; var pMaxH: String = null
+    var pMinR: AttrVal = null; var pMaxR: AttrVal = null
+    def closePage(): Unit = if (pCount > 0) {
+      pages += PageIndex.Page(pOff, pLen, pMinH, pMaxH, pMinR, pMaxR)
+      pCount = 0; pLen = 0
+    }
     val tmp = dir.resolve(f"compact-$shard%03d.tmp")
     val w = Files.newBufferedWriter(tmp, UTF_8)
-    try merged.foreach { it => w.write(ItemJson.write(it)); w.write("\n") }
-    finally w.close()
+    try merged.foreach { it =>
+      val line = ItemJson.write(it)
+      val bytes = line.getBytes(UTF_8).length + 1L
+      if (indexable) {
+        val h = placementOf(meta, it)
+        val r = it(meta.rangeKey.get)
+        if (pCount == 0) { pOff = fileOff; pMinH = h; pMinR = r }
+        pMaxH = h; pMaxR = r
+        pCount += 1; pLen += bytes
+        if (pCount >= PageIndex.pageMaxItems || pLen >= PageIndex.pageMaxBytes)
+          closePage()
+      }
+      w.write(line); w.write("\n")
+      fileOff += bytes
+    } finally w.close()
+    closePage()
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Sidecar AFTER the base move: its recorded size must describe
+    // the live file (a crash between the two leaves no sidecar — a
+    // full-shard read, not a wrong one).
+    if (indexable)
+      PageIndex.write(dir.resolve(f"pageidx-s$shard%03d.jsonl"),
+        PageIndex.ShardIndex(fileOff, pages.result()))
+    else Files.deleteIfExists(dir.resolve(f"pageidx-s$shard%03d.jsonl"))
     // Exact zone map of the folded shard — the narrowing step (deletes
     // and TTL reaping take effect here). Written BEFORE the journal
     // deletes: a concurrent planner unioning new-base + old-journal
@@ -1662,18 +1736,23 @@ final class LocalKVStore(root: String) {
     // hole, not staleness: mirror-delete base files and sidecars the
     // source listing no longer has. (Copy-step REPLACE_EXISTING covers
     // same-name files; this covers DISAPPEARED names.)
-    val srcNames = (listFiles(table, "shard-") ++ listStatFiles(table))
+    val srcNames = (listFiles(table, "shard-") ++ listStatFiles(table) ++
+        listFiles(table, "pageidx-"))
       .map(_.getFileName.toString).toSet
     val dstListing = Files.list(dst)
     try dstListing.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith("shard-") || n.startsWith("zstat-")) && !srcNames(n)
+        (n.startsWith("shard-") || n.startsWith("zstat-") ||
+          n.startsWith("pageidx-")) && !srcNames(n)
       }.toList.foreach(Files.deleteIfExists(_))
     finally dstListing.close()
     listFiles(table, "wal-").foreach(cp)
     listFiles(table, "shard-").foreach(cp)
     listStatFiles(table).foreach(cp)
+    // page directories travel with the base files they describe (the
+    // size validation also protects a mismatched pair after a crash)
+    listFiles(table, "pageidx-").foreach(cp)
     // compaction watermarks: asOfSeq floors must survive the restore
     // (history below them is unaddressable in the source too)
     val st = Files.list(src)
@@ -1816,6 +1895,7 @@ final class LocalKVStore(root: String) {
     listFiles(table, "shard-").foreach(Files.delete)
     listFiles(table, "wal-").foreach(Files.delete)
     listStatFiles(table).foreach(Files.deleteIfExists(_))
+    listFiles(table, "pageidx-").foreach(Files.deleteIfExists(_))
     deleteIndexFiles(table)
   }
 
@@ -1960,6 +2040,9 @@ final class LocalKVStore(root: String) {
     // count, but deleting is cheaper than letting readers re-check).
     listStatFiles(table).foreach(Files.deleteIfExists(_))
     deleteIndexFiles(table)
+    // new-layout base files are concatenations, not sorted rewrites —
+    // old page directories describe bytes that no longer exist
+    listFiles(table, "pageidx-").foreach(Files.deleteIfExists(_))
     (0 until newShards).foreach { ns =>
       Files.move(tmp.resolve(f"shard-$ns%03d.jsonl"),
         dir.resolve(f"shard-$ns%03d.jsonl"))
@@ -1995,6 +2078,18 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** Order-preserving-per-type key encoding, shared with the scan
+    * planner's window derivation ([[PageIndex.deriveWindow]]): the
+    * hash component of the page sort order is this string's
+    * lexicographic order, so both sides must agree byte-for-byte.
+    */
+  private[dynamo] def encKeyAttr(a: AttrVal): String = a match {
+    case AttrVal.S(v) => "s:" + v
+    case AttrVal.N(v) => "n:" + v.bigDecimal.stripTrailingZeros.toPlainString
+    case AttrVal.B(v) => "b:" + java.util.Base64.getEncoder.encodeToString(v)
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
 
   /** Result of [[LocalKVStore.indexFreshness]] — how a materialized
     * GSI copy may serve reads right now.

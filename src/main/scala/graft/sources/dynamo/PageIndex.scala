@@ -1,0 +1,269 @@
+package graft.sources.dynamo
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.sources._
+
+import graft.sources.dynamo.ItemJson.Item
+
+/** Sorted-base page index — the `Query` fast path's storage half.
+  *
+  * DynamoDB's `Query` (KeyConditionExpression: hash-key equality plus
+  * an optional sort-key condition) reads only the matching key range
+  * of ONE partition via the table's B-tree; `Scan` + FilterExpression
+  * reads everything [REF: connector/TableConnector.scala — query vs
+  * scan]. The store's analogue: [[LocalKVStore.compactShard]] writes
+  * each base shard SORTED by (placement key, typed sort key) and
+  * records a sparse page directory in a `pageidx-sNNN.jsonl` sidecar
+  * — per page: byte offset/length and the min/max composite key it
+  * covers. A scan whose pushed conjuncts pin the hash key and bound
+  * the sort key then reads only the intersecting pages — sub-shard
+  * I/O pruning, composed UNDER the existing shard pruning (the shard
+  * set first, then pages within the owning shard).
+  *
+  * Soundness under the journal overlay: skipped pages hold only keys
+  * OUTSIDE the qualifying window, so their base rows would be dropped
+  * by the very filters the window was derived from (the reader
+  * evaluates every pushed conjunct on every emitted item). A skipped
+  * key with a pending journal op surfaces through the scan's
+  * fresh-keys tail in its absent-normal-form — its key attrs still
+  * fall outside the window, so the same filters drop it. Keys INSIDE
+  * the window always have their base page read, so present-form
+  * resolution (UPDATE over base) is never short-circuited.
+  *
+  * Staleness: the sidecar records the base file's byte size; any
+  * rewrite path that does not refresh it (bulk load, reshard,
+  * truncate) deletes it outright, and readers additionally ignore a
+  * sidecar whose recorded size disagrees with the file — a stale
+  * directory degrades to a full-shard read, never a wrong one.
+  */
+object PageIndex {
+
+  /** Target page granularity: a page closes at either bound. Small
+    * enough that a point-ish Query reads KBs from a GB shard; large
+    * enough that the directory stays ~1/500th of the data.
+    */
+  val pageMaxItems = 256
+  val pageMaxBytes = 64 * 1024
+
+  /** One page's composite-key coverage. `minR`/`maxR` are the typed
+    * sort-key values (compared with the same semantics Spark uses:
+    * UTF8String byte order for S, numeric for N); hash bounds are the
+    * store's encoded-key strings, whose lexicographic order is the
+    * file's sort order for the hash component.
+    */
+  final case class Page(off: Long, len: Long,
+      minH: String, maxH: String, minR: AttrVal, maxR: AttrVal)
+
+  final case class ShardIndex(fileBytes: Long, pages: Vector[Page])
+
+  /** The qualifying key window of a Query-shaped filter set: hash key
+    * pinned to one value, sort key optionally bounded. `None` bounds
+    * = unbounded on that side.
+    */
+  final case class KeyWindow(hashEnc: String,
+      lo: Option[AttrVal], loInc: Boolean,
+      hi: Option[AttrVal], hiInc: Boolean)
+
+  /** Typed comparison matching [[FilterEval]]'s literal semantics:
+    * S by UTF8String (byte) order — java.lang.String.compareTo sorts
+    * supplementary characters differently and would disagree with
+    * Spark's own range evaluation — N numeric, B unsigned bytewise.
+    * Cross-type or non-key types: None (incomparable → never prune).
+    */
+  def tryCompare(a: AttrVal, b: AttrVal): Option[Int] = (a, b) match {
+    case (AttrVal.S(x), AttrVal.S(y)) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+    case (AttrVal.N(x), AttrVal.N(y)) => Some(x.compare(y))
+    case (AttrVal.B(x), AttrVal.B(y)) =>
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return Some(c)
+        i += 1
+      }
+      Some(java.lang.Integer.compare(x.length, y.length))
+    case _ => None
+  }
+
+  /** Could the page contain a key inside the window? Lexicographic
+    * interval intersection on the (hash, sort) composite: the page
+    * covers [(minH,minR), (maxH,maxR)], the window is
+    * {h} × [lo, hi]. Any incomparable compare answers `true` — a
+    * page is only skipped when its whole interval PROVABLY misses.
+    */
+  def intersects(p: Page, w: KeyWindow): Boolean = {
+    // window start (h, lo) must be <= page end (maxH, maxR)
+    val startOk = {
+      val c = w.hashEnc.compareTo(p.maxH)
+      if (c < 0) true
+      else if (c > 0) false
+      else w.lo match {
+        case None => true
+        case Some(lo) => tryCompare(lo, p.maxR) match {
+          case Some(x) => if (w.loInc) x <= 0 else x < 0
+          case None => true
+        }
+      }
+    }
+    // page start (minH, minR) must be <= window end (h, hi)
+    val endOk = {
+      val c = p.minH.compareTo(w.hashEnc)
+      if (c < 0) true
+      else if (c > 0) false
+      else w.hi match {
+        case None => true
+        case Some(hi) => tryCompare(p.minR, hi) match {
+          case Some(x) => if (w.hiInc) x <= 0 else x < 0
+          case None => true
+        }
+      }
+    }
+    startOk && endOk
+  }
+
+  /** Spark filter literal → typed key value. Mirrors the scan
+    * planner's shard-pruning conversion; None = a type the key
+    * encoding does not cover (no window, full read, still correct).
+    */
+  private def literalAttr(v: Any): Option[AttrVal] = v match {
+    case s: String => Some(AttrVal.S(s))
+    case n: Byte => Some(AttrVal.N(BigDecimal(n.toInt)))
+    case n: Short => Some(AttrVal.N(BigDecimal(n.toInt)))
+    case n: Int => Some(AttrVal.N(BigDecimal(n)))
+    case n: Long => Some(AttrVal.N(BigDecimal(n)))
+    case n: Double => Some(AttrVal.N(BigDecimal(n)))
+    case n: Float => Some(AttrVal.N(BigDecimal(n.toDouble)))
+    case n: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(n)))
+    case n: scala.math.BigDecimal => Some(AttrVal.N(n))
+    case _ => None
+  }
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Derive the Query window from pushed conjuncts: requires an
+    * equality pin on the hash key; sort-key bounds tighten from every
+    * range conjunct found (`=`, `<`, `<=`, `>`, `>=`; `begins_with`
+    * contributes its prefix as an inclusive lower bound — a byte-safe
+    * upper bound would need invalid-UTF8 successor strings, and the
+    * hash pin already bounds the run). Disjunctions contribute
+    * nothing (only top-level conjuncts are sound to window on).
+    */
+  def deriveWindow(filters: Seq[Filter], hashKey: String, rangeKey: String): Option[KeyWindow] = {
+    val flat = filters.flatMap(conjuncts)
+    val hash = flat.collectFirst {
+      case EqualTo(a, v) if a == hashKey && v != null => v
+    }.flatMap(literalAttr)
+    hash.map { h =>
+      var lo: Option[AttrVal] = None; var loInc = true
+      var hi: Option[AttrVal] = None; var hiInc = true
+      def tightenLo(v: AttrVal, inc: Boolean): Unit = lo match {
+        case None => lo = Some(v); loInc = inc
+        case Some(cur) => tryCompare(v, cur) match {
+          case Some(c) if c > 0 || (c == 0 && !inc) => lo = Some(v); loInc = inc
+          case _ => ()
+        }
+      }
+      def tightenHi(v: AttrVal, inc: Boolean): Unit = hi match {
+        case None => hi = Some(v); hiInc = inc
+        case Some(cur) => tryCompare(v, cur) match {
+          case Some(c) if c < 0 || (c == 0 && !inc) => hi = Some(v); hiInc = inc
+          case _ => ()
+        }
+      }
+      flat.foreach {
+        case EqualTo(a, v) if a == rangeKey && v != null =>
+          literalAttr(v).foreach { x => tightenLo(x, inc = true); tightenHi(x, inc = true) }
+        case GreaterThan(a, v) if a == rangeKey && v != null =>
+          literalAttr(v).foreach(tightenLo(_, inc = false))
+        case GreaterThanOrEqual(a, v) if a == rangeKey && v != null =>
+          literalAttr(v).foreach(tightenLo(_, inc = true))
+        case LessThan(a, v) if a == rangeKey && v != null =>
+          literalAttr(v).foreach(tightenHi(_, inc = false))
+        case LessThanOrEqual(a, v) if a == rangeKey && v != null =>
+          literalAttr(v).foreach(tightenHi(_, inc = true))
+        case StringStartsWith(a, p) if a == rangeKey && p != null =>
+          tightenLo(AttrVal.S(p), inc = true)
+        case _ => ()
+      }
+      KeyWindow(LocalKVStore.encKeyAttr(h), lo, loInc, hi, hiInc)
+    }
+  }
+
+  // ---- sidecar I/O (ItemJson lines: header, then one line per page) ----
+
+  def write(path: Path, idx: ShardIndex): Unit = {
+    val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
+    val sb = new StringBuilder()
+    sb.append(ItemJson.write(Map(
+      "fileBytes" -> AttrVal.N(BigDecimal(idx.fileBytes))))).append('\n')
+    idx.pages.foreach { p =>
+      sb.append(ItemJson.write(Map(
+        "off" -> AttrVal.N(BigDecimal(p.off)),
+        "len" -> AttrVal.N(BigDecimal(p.len)),
+        "minH" -> AttrVal.S(p.minH), "maxH" -> AttrVal.S(p.maxH),
+        "minR" -> p.minR, "maxR" -> p.maxR))).append('\n')
+    }
+    Files.write(tmp, sb.toString.getBytes(UTF_8))
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load and VALIDATE against the live base file: a recorded size
+    * that disagrees (any unrefreshed rewrite) discards the directory.
+    */
+  def load(idxPath: Path, basePath: Path): Option[ShardIndex] = {
+    if (!Files.isRegularFile(idxPath) || !Files.isRegularFile(basePath)) return None
+    val lines = Files.readAllLines(idxPath, UTF_8).asScala.filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    def n(it: Item, k: String): Option[Long] = it.get(k).collect { case AttrVal.N(v) => v.toLong }
+    def s(it: Item, k: String): Option[String] = it.get(k).collect { case AttrVal.S(v) => v }
+    val header = ItemJson.parse(lines.head)
+    val recorded = n(header, "fileBytes").getOrElse(return None)
+    if (recorded != Files.size(basePath)) return None
+    val pages = lines.tail.map { ln =>
+      val it = ItemJson.parse(ln)
+      Page(n(it, "off").getOrElse(return None), n(it, "len").getOrElse(return None),
+        s(it, "minH").getOrElse(return None), s(it, "maxH").getOrElse(return None),
+        it.getOrElse("minR", return None), it.getOrElse("maxR", return None))
+    }
+    Some(ShardIndex(recorded, pages.toVector))
+  }
+
+  /** Read only the selected pages' lines from the base file — the
+    * sub-shard I/O skip itself. Pages are line-aligned by
+    * construction; adjacent selected pages coalesce into one read.
+    */
+  def readPages(basePath: Path, pages: Seq[Page]): Iterator[String] = {
+    if (pages.isEmpty) return Iterator.empty
+    // coalesce adjacent byte ranges so a wide window is one seek
+    val sorted = pages.sortBy(_.off)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { p =>
+      runs.lastOption match {
+        case Some((off, len)) if off + len == p.off =>
+          runs(runs.size - 1) = (off, len + p.len)
+        case _ => runs += ((p.off, p.len))
+      }
+    }
+    val ch = java.nio.channels.FileChannel.open(basePath,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      runs.iterator.flatMap { case (off, len) =>
+        val buf = java.nio.ByteBuffer.allocate(len.toInt)
+        ch.position(off)
+        while (buf.hasRemaining && ch.read(buf) >= 0) ()
+        new String(buf.array(), 0, buf.position(), UTF_8)
+          .split('\n').iterator.filter(_.nonEmpty)
+      }.toVector.iterator // materialize within channel scope (bounded by selected pages)
+    } finally ch.close()
+  }
+}

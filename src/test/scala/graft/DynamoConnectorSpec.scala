@@ -3646,4 +3646,149 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .load().select("id").collect().map(_.getString(0)).sorted.toSeq
     assert(vis === Seq("k2", "k3"))
   }
+
+  test("restored backup serves a CDC feed of exactly the captured journal, then tails new writes") {
+    import spark.implicits._
+    val root = freshRoot()
+    seedFruit(root) // 4 PUT journal entries, uncompacted
+    Seq("durian").toDF("name")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "fruit")
+      .option("delete", "true").mode("append").save() // +1 DELETE entry
+    val dest = freshRoot()
+    new LocalKVStore(root).backupTable("fruit", dest)
+    // a post-backup write in the SOURCE must not appear in the
+    // restored feed — the cut is the backup's journal listing
+    Seq(("fig", "purple", 0.05, 9L)).toDF("name", "color", "weight_kg", "stock")
+      .write.dynamo(root, "fruit", "name")
+
+    Thread.sleep(15) // let the clock fence pass every publish stamp
+    val q = spark.readStream.dynamoStream(dest, "fruit", cdc = true)
+      .writeStream.format("memory").queryName("cdcrestored")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt-bk").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdcrestored").collect()
+        .map(r => (r.getAs[String]("_op"), r.getAs[String]("name")))
+      // exactly the captured journal: 4 puts + 1 delete, no fig
+      assert(rows.count(_._1 == "PUT") === 4)
+      assert(rows.count(_._1 == "DELETE") === 1)
+      assert(!rows.exists(_._2 == "fig"))
+      // the restored store is LIVE: a new write there continues the
+      // feed past the restored offset fence, no skip and no replay
+      val st = new LocalKVStore(dest)
+      st.appendWal("fruit", System.currentTimeMillis(), "postrestore", Seq(
+        st.Put(Map("name" -> graft.sources.dynamo.AttrVal.S("guava"),
+          "color" -> graft.sources.dynamo.AttrVal.S("green")))))
+      Thread.sleep(15)
+      q.processAllAvailable()
+      val after = spark.table("cdcrestored").collect()
+        .map(r => (r.getAs[String]("_op"), r.getAs[String]("name")))
+      assert(after.length === rows.length + 1)
+      assert(after.count(_ == ("PUT", "guava")) === 1)
+    } finally q.stop()
+  }
+
+  /** Seed a composite-key table (4 hash keys × 1500 sort keys) through
+    * the connector write path, then compact so bases are range-sorted
+    * with page directories.
+    */
+  private def seedQueryTable(root: String, table: String): Unit = {
+    import spark.implicits._
+    val rows = for (k <- Seq("a", "b", "c", "d"); r <- 1L to 1500L)
+      yield (k, r, s"payload-$k-$r")
+    rows.toDF("k", "r", "payload").repartition(8)
+      .write.format("dynamo")
+      .option("path", root).option("tableName", table)
+      .option("hashKey", "k").option("rangeKey", "r")
+      .mode("append").save()
+    new LocalKVStore(root).compact(table)
+  }
+
+  test("Query fast path: hash-eq + sort-key range reads only the matching pages of one shard") {
+    val root = freshRoot()
+    seedQueryTable(root, "qt")
+    // sanity: compaction published page directories for the sorted bases
+    val dir = java.nio.file.Paths.get(root, "qt")
+    val pidx = Files.list(dir)
+    val nIdx = try pidx.filter(p =>
+      p.getFileName.toString.startsWith("pageidx-")).count()
+    finally pidx.close()
+    assert(nIdx > 0, "compaction should write page-directory sidecars")
+    // no orderBy: a shuffle would wrap the scan in AQE query stages
+    // and hide the BatchScan leaf from the metric lookup below
+    val df = spark.read.dynamo(root, "qt")
+      .filter(col("k") === "b" && col("r").between(100, 150))
+      .select("k", "r", "payload")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(got.length === 51)
+    assert(got.head === (("b", 100L, "payload-b-100")))
+    assert(got.last === (("b", 150L, "payload-b-150")))
+    assert(got.forall { case (k, r, p) => k == "b" && r >= 100 && r <= 150 && p == s"payload-b-$r" })
+    // The owning shard holds ≥ 1500 items (one full hash run) and the
+    // table 6000; a 51-row window at ≤256-item pages must read ≤ 2
+    // pages. itemsScanned well under one hash run proves BOTH the
+    // single-shard plan and the sub-shard page skip.
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan"))
+      .getOrElse(fail("no BatchScan node in the final plan"))
+    val scanned = scan.metrics("itemsScanned").value
+    assert(scanned <= 600, s"expected a paged read, scanned $scanned items")
+  }
+
+  test("Query fast path: journal overlay over skipped pages stays exact") {
+    val root = freshRoot()
+    seedQueryTable(root, "qo")
+    val st = new LocalKVStore(root)
+    import graft.sources.dynamo.AttrVal
+    def key(k: String, r: Long): Map[String, AttrVal] =
+      Map("k" -> AttrVal.S(k), "r" -> AttrVal.N(BigDecimal(r)))
+    // post-compaction journal: one insert INSIDE the window, one
+    // delete inside, one update-merge inside, one insert OUTSIDE
+    st.appendWal("qo", 1L, "ovl", Seq(
+      st.Put(key("b", 125L) + ("payload" -> AttrVal.S("fresh-125"))),
+      st.Delete(key("b", 130L)),
+      st.Update(key("b", 140L) + ("extra" -> AttrVal.S("merged"))),
+      st.Put(key("b", 5000L) + ("payload" -> AttrVal.S("outside")))))
+    val df = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "qo").load()
+      .filter(col("k") === "b" && col("r").between(100, 150))
+      .select("k", "r", "payload", "extra").orderBy("r")
+    val got = df.collect()
+      .map(r => (r.getLong(1), r.getString(2), Option(r.getString(3))))
+    // 51 base rows in [100,150] − 1 delete; the PUT at 125 replaces an
+    // existing key and the out-of-window PUT must not leak through the
+    // fresh-keys tail past the filters
+    assert(got.length === 50, s"unexpected row count ${got.length}")
+    val byR = got.map(g => g._1 -> g).toMap
+    assert(byR(125L)._2 === "fresh-125") // PUT replaced the base item
+    assert(!byR.contains(130L))          // DELETE dropped it
+    assert(byR(140L)._2 === "payload-b-140") // UPDATE merged over base
+    assert(byR(140L)._3 === Some("merged"))
+    assert(!byR.contains(5000L))         // outside the window
+  }
+
+  test("Query fast path: full-shard fallback without a directory returns identical rows") {
+    val root = freshRoot()
+    seedQueryTable(root, "qf")
+    val dir = java.nio.file.Paths.get(root, "qf")
+    def run(): Seq[(String, Long, String)] =
+      spark.read.dynamo(root, "qf")
+        .filter(col("k") === "c" && col("r") >= 1400L)
+        .select("k", "r", "payload").orderBy("r").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val paged = run()
+    // delete every page directory: the same read must degrade to a
+    // full-shard scan with byte-identical results
+    val ls = Files.list(dir)
+    try ls.filter(p => p.getFileName.toString.startsWith("pageidx-"))
+      .forEach(p => Files.delete(p))
+    finally ls.close()
+    val full = run()
+    assert(paged === full)
+    assert(paged.length === 101)
+    assert(paged.map(_._2) === (1400L to 1500L))
+  }
 }

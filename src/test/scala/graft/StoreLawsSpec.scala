@@ -595,4 +595,65 @@ class StoreLawsSpec extends AnyFunSuite {
           s"old=$oldShards new=$newShards base=$base jobs=$jobs")
     }
   }
+
+  test("backup under a concurrent transactional write storm captures an all-or-nothing cut") {
+    // backupTable's journal copy works off ONE listing, and every
+    // transactWrite publishes with ONE rename — so no backup, taken
+    // at ANY instant during a write storm, may contain a transaction
+    // partially. Each transaction writes GROUP_SIZE items sharing a
+    // `tag`; every restored view must hold each tag 0 or GROUP_SIZE
+    // times. (appendWal's per-shard files publish shard-by-shard and
+    // make no such promise — that's why the storm uses transactions.)
+    val root = Files.createTempDirectory("graft-bkstorm-src").toString
+    val dests = (0 until 3).map(_ =>
+      Files.createTempDirectory("graft-bkstorm-dst").toString)
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 8, throughput = 1000000L)
+    store.createTable("bk", meta)
+    store.appendWal("bk", 1L, "seed", (0 until 10).map(i =>
+      store.Put(Map("id" -> AttrVal.S(s"base$i"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    store.compactShard("bk", 0) // some base, most shards journal-only
+
+    val GROUP = 5
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 2).map { tid =>
+      new Thread(() => {
+        try {
+          val st = new LocalKVStore(root)
+          (0 until 40).foreach { b =>
+            val tag = s"t$tid-b$b"
+            st.transactWrite("bk", 1000L + b, s"storm$tid-$b",
+              (0 until GROUP).map(i => st.Put(Map(
+                "id" -> AttrVal.S(s"$tag-i$i"),
+                "tag" -> AttrVal.S(tag)))))
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    writers.foreach(_.start())
+    // interleaved backups while the storm runs (first dest also gets
+    // a RE-backup at the end — the mirror-delete path under churn)
+    dests.foreach { d => store.backupTable("bk", d); Thread.sleep(5) }
+    writers.foreach(_.join())
+    assert(failures.isEmpty, s"storm writer failed: ${failures.peek()}")
+    store.backupTable("bk", dests.head) // re-backup after the storm
+    dests.foreach { d =>
+      val restored = new LocalKVStore(d)
+      val items = restored.scanSegment("bk", 0, 1).map(_._1).toVector
+      // base rows always survive
+      assert((0 until 10).forall(i =>
+        items.exists(_.get("id").contains(AttrVal.S(s"base$i")))))
+      val byTag = items.flatMap(_.get("tag")).collect {
+        case AttrVal.S(t) => t
+      }.groupBy(identity).view.mapValues(_.size)
+      byTag.foreach { case (tag, n) =>
+        assert(n === GROUP, s"backup $d tore transaction $tag: $n/$GROUP items")
+      }
+    }
+    // the final re-backup (storm finished) holds EVERY transaction
+    val finalItems = new LocalKVStore(dests.head)
+      .scanSegment("bk", 0, 1).map(_._1).toVector
+    assert(finalItems.count(_.contains("tag")) === 2 * 40 * GROUP)
+  }
 }
