@@ -127,6 +127,67 @@ object Streaming {
         .orderBy("event_type", "day")
     }),
 
+    // Session path mining (the product-analytics "top user journeys"
+    // rollup): 30-minute-gap sessions per user (the same
+    // gaps-and-islands shape q_stream_session pins), each session
+    // reduced to its first-3-event type path, top paths by session
+    // count. ONE per-user keyed window chain (a single shuffle — the
+    // lag, running-sum and row_number all share the (user_id; ts,
+    // event_id) sort), then a path-vocabulary-sized rollup: |types|³
+    // distinct paths at most, so everything after the window is
+    // metadata-sized at any event volume.
+    "q_events_sessionpath" -> ((s, dir) => {
+      val e = Fixtures.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = e
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("new_sess").over(w))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+      sess.filter(col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING non-purchase event within a 3-day lookback
+    // ('direct' if none). No per-purchase lateral probe: one per-user
+    // window computes the running latest non-purchase touch as a
+    // max-of-struct — (ts, event_id) lexicographic order IS recency —
+    // so attribution costs the same single keyed sort the other
+    // event-sequence rollups pay, and the output is |types|-sized.
+    "q_events_attribution" -> ((s, dir) => {
+      val e = Fixtures.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          max(when(col("event_type") =!= "purchase",
+            struct(col("ts"), col("event_id"), col("event_type")))).over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch").isNotNull &&
+            col("touch.ts") >= col("ts") - expr("INTERVAL 3 DAYS"),
+            col("touch.event_type")).otherwise("direct"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("conversions"),
+          round(sum("value"), 2).as("revenue"))
+        .orderBy("channel")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -221,6 +282,40 @@ object Streaming {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2""".stripMargin,
+    "q_events_sessionpath" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  CAST(ts AS TIMESTAMP) AS t FROM events),
+        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                       OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                                    ORDER BY t, event_id
+        |                                    ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |                                   ORDER BY t, event_id) AS rn FROM g),
+        |p AS (SELECT user_id, sid,
+        |             string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "q_events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  CAST(ts AS TIMESTAMP) AS t FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT coalesce(x.event_type, 'direct') AS channel,
+        |       CAST(count(*) AS BIGINT) AS conversions,
+        |       round(sum(p.value), 2) AS revenue
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT e2.event_type FROM e e2
+        |  WHERE e2.user_id = p.user_id
+        |    AND (e2.t < p.t OR (e2.t = p.t AND e2.event_id < p.event_id))
+        |    AND e2.t >= p.t - INTERVAL 3 DAY
+        |    AND e2.event_type <> 'purchase'
+        |  ORDER BY e2.t DESC, e2.event_id DESC LIMIT 1) x ON TRUE
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val

@@ -257,6 +257,86 @@ object TextAnalysis {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Bigram conditional-probability table (the count-based LM
+    // estimation step behind n-gram quality scoring and contamination
+    // heuristics): P(w2|w1) = count(w1 w2) / count(w1 ·). Bigrams are
+    // built MAP-SIDE from each document's token array (an index
+    // transform — no per-document window, no per-token shuffle), so
+    // the only shuffles are the vocabulary²-bounded grouped count and
+    // a broadcast join against the per-w1 totals (vocabulary-sized at
+    // any corpus scale).
+    "q_tok_bigram_lm" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+        .filter(size(col("a")) >= 2)
+      val bi = d.select(explode(expr(
+          "transform(sequence(1, size(a)-1), i -> struct(a[i-1] AS w1, a[i] AS w2))"))
+        .as("b")).select(col("b.w1"), col("b.w2"))
+      val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("w1").agg(sum("cnt").as("tot"))
+      cnt.join(broadcast(tot), "w1")
+        .withColumn("p", round(col("cnt") / col("tot"), 5))
+        .select("w1", "w2", "cnt", "p")
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(30)
+    }),
+
+    // Fractional-epoch source mixing (the pretraining-mix move:
+    // upsample curated sources by non-integer epoch counts — 2.5
+    // epochs = every doc twice, half the docs a third time). The
+    // fractional copy is decided by a deterministic per-doc md5
+    // uniform, so the materialized mix is exactly reproducible and
+    // entirely map-side: copies come from exploding a per-row
+    // sequence, no join, no shuffle, no driver state — at 100 TB the
+    // mix is a single linear pass whose output volume is the epoch-
+    // weighted corpus size.
+    "q_mix_epochs" -> ((s, dir) => {
+      val ep = Fixtures.documents(s, dir)
+        .withColumn("epochs",
+          when(col("source").isin("src0", "src1", "src2", "src3"), lit(2.5))
+            .when(col("source").isin("src4", "src5", "src6", "src7"), lit(1.5))
+            .otherwise(lit(1.0)))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 6), 16, 10)
+            .cast("double") / lit(16777216.0))
+        .withColumn("n_copies",
+          (floor(col("epochs")) +
+            when(col("u") < col("epochs") - floor(col("epochs")), 1).otherwise(0))
+            .cast("long"))
+      ep.select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // Corpus-duplicated-span fraction (the line-dedup signal at
+    // shingle granularity, CCNet/Gopher-style): per document, the
+    // fraction of its distinct 5-gram spans that appear in ≥ 2
+    // documents corpus-wide. Spans are built map-side from the token
+    // array (index transform, per-doc distinct INSIDE the row), so
+    // the plan is one span-keyed grouped count (constant-width keys)
+    // plus one span-keyed join back — the same linear candidate shape
+    // as the decontamination queries, never an all-pairs stage. At a
+    // 100× corpus the span vocabulary grows sub-linearly and hot
+    // spans would be df-capped like q_dedup_near's token buckets.
+    "q_text_dupspan" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+        .filter(size(col("a")) >= 5)
+      val spans = d.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(a)-4), i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
+          .as("span"))
+      val df = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      spans.join(df, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac", round(col("n_dup") / col("n_spans"), 5))
+        .select("doc_id", "n_spans", "n_dup", "dup_frac")
+        .orderBy("doc_id")
+    }),
+
     // Zipf-law fit over the corpus token distribution: least-squares
     // slope of ln(frequency) against ln(rank) — the one-number corpus
     // health check (natural text sits near −1; templated/synthetic
@@ -695,6 +775,49 @@ object TextAnalysis {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+    "q_tok_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+        |           FROM documents),
+        |b AS (SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |      FROM d WHERE len(a) >= 2),
+        |c AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, sum(cnt) AS tot FROM c GROUP BY 1)
+        |SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, round(cnt / tot, 5) AS p
+        |FROM c JOIN t USING (w1)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 2.5
+        |       WHEN source IN ('src4','src5','src6','src7') THEN 1.5
+        |       ELSE 1.0 END AS epochs,
+        |  (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6))::BIGINT)::DOUBLE
+        |    / 16777216.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |             CAST(floor(epochs) +
+        |                  CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END
+        |                  AS BIGINT) AS n_copies
+        |      FROM d)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM n, LATERAL unnest(generate_series(1, n_copies)) AS t(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
+    "q_text_dupspan" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(list_distinct(list_transform(
+        |               list_zip(a[1:len(a)-4], a[2:len(a)-3], a[3:len(a)-2],
+        |                        a[4:len(a)-1], a[5:len(a)]),
+        |               z -> z[1] || ' ' || z[2] || ' ' || z[3] || ' ' || z[4] || ' ' || z[5]))) AS span
+        |      FROM d WHERE len(a) >= 5),
+        |f AS (SELECT span, count(*) AS df FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 5) AS dup_frac
+        |FROM s JOIN f USING (span)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars,
         |       (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)::DOUBLE
