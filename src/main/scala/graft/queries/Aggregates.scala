@@ -215,6 +215,20 @@ object Aggregates {
             .as("covar_qp"))
         .orderBy("l_returnflag")),
 
+    // Linear-regression aggregate family (regr_*): slope/intercept/R²
+    // of extendedprice over quantity per return flag — one-pass
+    // moment accumulation like the other stats, so still a single
+    // partial+final hash aggregate; rounding absorbs last-ulp
+    // differences (rule D2).
+    "q_agg_regr" -> ((s, dir) =>
+      Fixtures.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")),
+
     // Pivot: one output column per pinned pivot value (explicit value
     // list = deterministic schema; letting Spark scan for values would
     // be an extra pass AND nondeterministic column order).
@@ -262,6 +276,13 @@ object Aggregates {
         |  round(var_samp(l_quantity), 4) AS var_qty,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,

@@ -337,6 +337,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // k-anonymity suppression over quasi-identifiers (the privacy
+    // gate a training-data release runs before shipping metadata):
+    // documents whose (lang, source) group holds fewer than k=20
+    // members get both identifiers suppressed to '*'. One grouped
+    // count (quasi-identifier-vocabulary-sized) broadcast back over
+    // the corpus — a linear pass with a metadata-sized build side at
+    // any scale.
+    "q_text_kanon" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val groups = docs.groupBy("lang", "source").agg(count(lit(1)).as("grp_n"))
+      docs.join(broadcast(groups), Seq("lang", "source"))
+        .select(col("doc_id"),
+          when(col("grp_n") >= 20, col("lang")).otherwise("*").as("lang_out"),
+          when(col("grp_n") >= 20, col("source")).otherwise("*").as("source_out"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Zipf-law fit over the corpus token distribution: least-squares
     // slope of ln(frequency) against ln(rank) — the one-number corpus
     // health check (natural text sits near −1; templated/synthetic
@@ -774,6 +792,15 @@ object TextAnalysis {
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_kanon" ->
+      """WITH g AS (SELECT lang, source, count(*) AS grp_n
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CASE WHEN grp_n >= 20 THEN lang ELSE '*' END AS lang_out,
+        |       CASE WHEN grp_n >= 20 THEN source ELSE '*' END AS source_out,
+        |       n_chars
+        |FROM documents JOIN g USING (lang, source)
         |ORDER BY doc_id""".stripMargin,
     "q_tok_bigram_lm" ->
       """WITH d AS (SELECT doc_id,

@@ -112,7 +112,20 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"),
                 round(percent_rank().over(byPrice), 4).as("pct_rank"),
                 round(cume_dist().over(byPrice), 4).as("cume"))
-        .orderBy("o_custkey", "o_orderkey")))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // nth_value + defaulted lag: the runner-up order per customer
+    // (full-partition frame — the default frame would hide it until
+    // row 2) and the previous order's price with a sentinel default.
+    // Same single per-customer sort as the rest of the family.
+    "q_win_nth" -> ((s, dir) => {
+      val full = byPrice.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Fixtures.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                nth_value(col("o_orderkey"), 2).over(full).as("runner_up"),
+                lag(col("o_totalprice"), 1, -1.0).over(byPrice).as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_win_rownum" ->
@@ -180,5 +193,16 @@ object Windows {
         |       round(cume_dist() OVER w, 4) AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |       nth_value(o_orderkey, 2) OVER wf AS runner_up,
+        |       lag(o_totalprice, 1, -1.0) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

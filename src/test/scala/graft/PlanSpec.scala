@@ -169,4 +169,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") ===
       p.sliding("rangepartitioning".length).count(_.equalsIgnoreCase("rangepartitioning")))
   }
+
+  test("q_tok_bigram_lm: map-side bigram expansion — no window, totals broadcast") {
+    val df = SparkEntry.queries("q_tok_bigram_lm")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // bigrams come from an index transform over the token array, not
+    // a per-document sort — a Window here means the shape regressed
+    assert(!p.contains("Window ["), s"WindowExec crept into q_tok_bigram_lm:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // vocab-sized totals build side
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_text_dupspan: span-keyed linear shape — no window, no cartesian") {
+    val df = SparkEntry.queries("q_text_dupspan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_mix_epochs: entirely map-side — no join, no aggregate, one sort exchange") {
+    val df = SparkEntry.queries("q_mix_epochs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the only exchange is the final orderBy's range partitioning
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") ===
+      p.sliding("rangepartitioning".length).count(_.equalsIgnoreCase("rangepartitioning")))
+  }
+
+  test("q_events_attribution: one keyed window, no per-purchase join probe") {
+    val df = SparkEntry.queries("q_events_attribution")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the lateral-probe formulation would surface as a join; the
+    // running max-of-struct keeps attribution join-free
+    assert(!p.contains("Join"), p)
+    // exactly one WindowExec per plan rendering (AQE prints the plan
+    // twice: Initial + Final)
+    assert(p.sliding("Window [".length).count(_ == "Window [") <= 2, p)
+    assert(p.contains("Window ["), p)
+  }
 }
