@@ -2692,6 +2692,12 @@ final class DynamoGroupedAggReader(
     case None => _ => true
   }
 
+  // Query-shape page window, derived from the same pushed conjuncts
+  // this reader evaluates — a `GROUP BY ... WHERE hash = h AND range
+  // BETWEEN a AND b` aggregates over O(matching pages), not O(shard).
+  private lazy val queryWin: Option[PageIndex.KeyWindow] =
+    DynamoScan.queryWindow(baseMeta, opts, pushed)
+
   /** Spark's grouping equates 0.0 with -0.0 and all NaNs; boxed
     * Double/Float equals does neither, so normalize map-key values.
     */
@@ -2739,7 +2745,7 @@ final class DynamoGroupedAggReader(
       // grouping ⊇ the full primary key: the store holds one item per
       // key, so every item is its own (final) group — stream rows with
       // zero group state, at any segment size
-      DynamoScan.partitionItems(store, opts, part)
+      DynamoScan.partitionItems(store, opts, part, queryWin)
         .flatMap { case (item0, sz) =>
           limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
           scanned += 1
@@ -2759,7 +2765,7 @@ final class DynamoGroupedAggReader(
     }
     else new Iterator[InternalRow] {
       private val src =
-        DynamoScan.partitionItems(store, opts, part)
+        DynamoScan.partitionItems(store, opts, part, queryWin)
       // LinkedHashMap: group emission order = first-seen order, so
       // re-runs of the same segment emit identically (scan order is
       // file order, which is deterministic).
@@ -3041,10 +3047,15 @@ final class DynamoAggReader(
     case None => _ => true
   }
 
+  // Query-shape page window — a pushed `count(*) WHERE hash = h AND
+  // range BETWEEN a AND b` reads O(matching pages), not O(shard).
+  private lazy val queryWin: Option[PageIndex.KeyWindow] =
+    DynamoScan.queryWindow(baseMeta, opts, pushed)
+
   override def next(): Boolean = {
     if (emitted) return false
     if (partition.padEmpty) { emitted = true; return true } // empty partials
-    DynamoScan.partitionItems(store, opts, partition)
+    DynamoScan.partitionItems(store, opts, partition, queryWin)
       .foreach { case (item0, sz) =>
         limiter.acquire(sz.toDouble / opts.bytesPerRCU * consistencyFactor)
         scanned += 1

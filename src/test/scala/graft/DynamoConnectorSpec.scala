@@ -3770,6 +3770,31 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(!byR.contains(5000L))         // outside the window
   }
 
+  test("Query fast path: pushed aggregates compose with the page window") {
+    val root = freshRoot()
+    seedQueryTable(root, "qa")
+    // pushed ungrouped count under a hash-eq + range window: the
+    // aggregate must both return the exact window count AND read only
+    // the matching pages (one hash run holds 1500 items)
+    val df = spark.read.dynamo(root, "qa")
+      .filter(col("k") === "b" && col("r").between(100, 150))
+      .agg(count(lit(1)).as("n"))
+    assert(df.collect().head.getLong(0) === 51L)
+    // the final-agg exchange wraps the scan in AQE query stages —
+    // unwrap them to reach the BatchScan leaf and its metrics
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(s.plan)
+      case other if other.children.isEmpty => Seq(other)
+      case other => other.children.flatMap(leaves)
+    }
+    val scan = leaves(df.queryExecution.executedPlan)
+      .find(_.nodeName.contains("BatchScan"))
+      .getOrElse(fail("no BatchScan node in the final plan"))
+    assert(scan.metrics("itemsScanned").value <= 600,
+      s"aggregate read should be paged, scanned ${scan.metrics("itemsScanned").value}")
+  }
+
   test("Query fast path: full-shard fallback without a directory returns identical rows") {
     val root = freshRoot()
     seedQueryTable(root, "qf")

@@ -656,4 +656,71 @@ class StoreLawsSpec extends AnyFunSuite {
       .scanSegment("bk", 0, 1).map(_._1).toVector
     assert(finalItems.count(_.contains("tag")) === 2 * 40 * GROUP)
   }
+
+  test("LAW: paged (Query-window) scan ≡ full scan, for any window, ops, and range-key type") {
+    // The page-skip law behind the Query fast path: for ANY base
+    // content (numeric or string sort keys, negatives, decimals), ANY
+    // post-compaction journal suffix (puts/updates/deletes inside and
+    // outside the window), and ANY window derivable from pushed
+    // filters, filtering the PAGED scan yields exactly the rows
+    // filtering the FULL scan yields. This is the property the
+    // sub-shard skip must never break: pages may only drop rows the
+    // filters would drop.
+    import org.apache.spark.sql.sources.{Filter => SFilter, _}
+    val genNumeric = Gen.oneOf(true, false)
+    val genCase = for {
+      numeric <- genNumeric
+      nBase <- Gen.chooseNum(200, 600)
+      nHash <- Gen.chooseNum(1, 4)
+      nOps <- Gen.chooseNum(0, 40)
+      h0 <- Gen.chooseNum(0, nHash - 1)
+      loRaw <- Gen.chooseNum(-50, 650)
+      width <- Gen.chooseNum(0, 300)
+      loInc <- Gen.oneOf(true, false)
+      hiInc <- Gen.oneOf(true, false)
+      opKinds <- Gen.listOfN(nOps, Gen.chooseNum(0, 2))
+      opKeys <- Gen.listOfN(nOps, Gen.zip(Gen.chooseNum(0, nHash - 1), Gen.chooseNum(-60, 700)))
+    } yield (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, opKinds.zip(opKeys))
+
+    forAll(genCase) { case (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, ops) =>
+      val root = Files.createTempDirectory("graft-pagedlaw").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("h", Some("r"), shards = 3, throughput = 1000000L)
+      store.createTable("t", meta)
+      def rAttr(i: Int): AttrVal =
+        if (numeric) AttrVal.N(BigDecimal(i) / 2 - 100) // negatives + decimals
+        else AttrVal.S(f"k$i%04d")
+      def item(h: Int, r: Int, tag: String): Item = Map(
+        "h" -> AttrVal.S(s"h$h"), "r" -> rAttr(r), "v" -> AttrVal.S(tag))
+      store.appendWal("t", 1L, "base",
+        (0 until nBase).map(i => store.Put(item(i % nHash, i, s"base$i"))))
+      store.compact("t") // sorted bases + page directories
+      // post-compaction journal suffix
+      val walOps = ops.zipWithIndex.map { case ((kind, (h, r)), i) => kind match {
+        case 0 => store.Put(item(h, r, s"put$i"))
+        case 1 => store.Delete(Map("h" -> AttrVal.S(s"h$h"), "r" -> rAttr(r)))
+        case _ => store.Update(Map("h" -> AttrVal.S(s"h$h"), "r" -> rAttr(r),
+          "u" -> AttrVal.N(BigDecimal(i))))
+      }}
+      if (walOps.nonEmpty) store.appendWal("t", 2L, "suffix", walOps)
+      // window filters: hash eq + range bounds (typed to match rAttr)
+      def bound(i: Int): Any =
+        if (numeric) (BigDecimal(i) / 2 - 100) else f"k$i%04d"
+      val filters: Seq[SFilter] = Seq(
+        EqualTo("h", s"h$h0"),
+        if (loInc) GreaterThanOrEqual("r", bound(loRaw)) else GreaterThan("r", bound(loRaw)),
+        if (hiInc) LessThanOrEqual("r", bound(loRaw + width)) else LessThan("r", bound(loRaw + width)))
+      val window = graft.sources.dynamo.PageIndex.deriveWindow(filters, "h", "r")
+      assert(window.isDefined, "hash-eq filters must derive a window")
+      def view(w: Option[graft.sources.dynamo.PageIndex.KeyWindow]): Map[String, Item] =
+        (0 until 3).flatMap(seg => store.scanSegment("t", seg, 3, window = w).map(_._1))
+          .filter(it => filters.forall(graft.sources.dynamo.FilterEval.eval(_, it)))
+          .map(it => store.keyOf(meta, it) -> it).toMap
+      val paged = view(window)
+      val full = view(None)
+      assert(paged === full,
+        s"paged/full divergence: numeric=$numeric nBase=$nBase h0=$h0 " +
+          s"lo=$loRaw width=$width ops=${ops.size}")
+    }
+  }
 }
