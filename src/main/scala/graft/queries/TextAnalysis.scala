@@ -327,11 +327,20 @@ object TextAnalysis {
         explode(array_distinct(expr(
           "transform(sequence(1, size(a)-4), i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
           .as("span"))
-      val df = spans.groupBy("span").agg(count(lit(1)).as("df"))
-      spans.join(df, "span")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      // A span with df = 1 belongs to exactly ONE document, so
+      //   n_dup(doc) = n_spans(doc) − #spans unique to doc.
+      // That identity replaces the span-keyed join-back (which would
+      // shuffle every span string a second and third time) with one
+      // span-keyed aggregate + two doc-keyed metadata-sized ones —
+      // at 100 TB the span strings cross the wire exactly once.
+      val nSpans = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val uniq = spans.groupBy("span")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("only_doc"))
+        .filter(col("df") === 1)
+        .groupBy(col("only_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      nSpans.join(uniq, Seq("doc_id"), "left")
+        .withColumn("n_dup", col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
         .withColumn("dup_frac", round(col("n_dup") / col("n_spans"), 5))
         .select("doc_id", "n_spans", "n_dup", "dup_frac")
         .orderBy("doc_id")
