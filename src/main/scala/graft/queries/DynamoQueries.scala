@@ -45,7 +45,7 @@ object DynamoQueries {
   // (it happened — round 6 → 7) would leave a stale store silently
   // serving the old rows while the oracle reads the new parquet.
   private def storeRoot(sfDir: String): String = {
-    val fp = Seq("customer", "orders").map { t =>
+    val fp = Seq("customer", "orders", "documents").map { t =>
       val p = Paths.get(s"$sfDir/$t.parquet")
       if (Files.exists(p)) s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
       else "absent"
@@ -128,6 +128,33 @@ object DynamoQueries {
           .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
           .mode("append").save()
         DynamoMaintenance.compact(s, root, "orders")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
+  /** Seed `doc_keys` — a composite table with a STRING sort key
+    * (hash `lang`, range `source:doc_id` zero-padded), the shape
+    * behind `begins_with` Queries. Compacted so bases are
+    * range-sorted with page directories.
+    */
+  private def seededDocKeysRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "doc_keys", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.documents(s, sfDir)
+          .select(col("lang"),
+            concat(col("source"), lit(":"),
+              lpad(col("doc_id").cast("string"), 7, "0")).as("sk"),
+            col("doc_id"), col("n_chars"))
+          .repartition(8)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "doc_keys")
+          .option("hashKey", "lang").option("rangeKey", "sk")
+          .mode("append").save()
+        DynamoMaintenance.compact(s, root, "doc_keys")
         Files.createFile(marker)
       }
     }
@@ -349,6 +376,19 @@ object DynamoQueries {
         .filter(col("o_custkey") === 37 && col("o_orderkey").between(100, 100000))
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // `begins_with` Query shape on a STRING sort key: the hash pin
+    // plans one shard, and the page directory prunes with the prefix
+    // as BOTH an inclusive lower bound and a prefix-space upper bound
+    // (truncated-compare — no invalid-UTF8 successor strings), so the
+    // read touches only the sorted run of matching sort keys.
+    "q_dyn_query_prefix" -> ((s, dir) => {
+      val root = seededDocKeysRoot(s, dir)
+      s.read.dynamo(root, "doc_keys")
+        .filter(col("lang") === "en" && col("sk").startsWith("src1"))
+        .select("doc_id", "sk", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // Range-keyed scan (composite primary key): hash-key predicate +
@@ -629,6 +669,13 @@ object DynamoQueries {
         |FROM orders WHERE o_custkey = 37
         |  AND o_orderkey BETWEEN 100 AND 100000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dyn_query_prefix" ->
+      """SELECT doc_id,
+        |       source || ':' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS sk,
+        |       n_chars
+        |FROM documents
+        |WHERE lang = 'en' AND source LIKE 'src1%'
+        |ORDER BY doc_id""".stripMargin,
     // int32 columns widen to BIGINT through the store's N type.
     "q_dyn_scan" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,

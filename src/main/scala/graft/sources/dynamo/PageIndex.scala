@@ -62,11 +62,17 @@ object PageIndex {
 
   /** The qualifying key window of a Query-shaped filter set: hash key
     * pinned to one value, sort key optionally bounded. `None` bounds
-    * = unbounded on that side.
+    * = unbounded on that side. `prefix` is a `begins_with` constraint
+    * carried in PREFIX space (a byte-successor upper bound could be
+    * invalid UTF-8, so the intersection test compares char-truncated
+    * strings instead — truncation is monotone in UTF8 byte order, so
+    * a page whose first key already exceeds the prefix after
+    * truncation provably holds no match).
     */
   final case class KeyWindow(hashEnc: String,
       lo: Option[AttrVal], loInc: Boolean,
-      hi: Option[AttrVal], hiInc: Boolean)
+      hi: Option[AttrVal], hiInc: Boolean,
+      prefix: Option[String] = None)
 
   /** Typed comparison matching [[FilterEval]]'s literal semantics:
     * S by UTF8String (byte) order — java.lang.String.compareTo sorts
@@ -115,12 +121,25 @@ object PageIndex {
       val c = p.minH.compareTo(w.hashEnc)
       if (c < 0) true
       else if (c > 0) false
-      else w.hi match {
-        case None => true
-        case Some(hi) => tryCompare(p.minR, hi) match {
-          case Some(x) => if (w.hiInc) x <= 0 else x < 0
+      else {
+        val hiOk = w.hi match {
           case None => true
+          case Some(hi) => tryCompare(p.minR, hi) match {
+            case Some(x) => if (w.hiInc) x <= 0 else x < 0
+            case None => true
+          }
         }
+        // begins_with upper bound in prefix space: if the page's first
+        // sort key, TRUNCATED to the prefix length, already exceeds
+        // the prefix, every later key does too (truncation is monotone
+        // in UTF8 byte order) — no key in the page can start with it.
+        val prefOk = (w.prefix, p.minR) match {
+          case (Some(pref), AttrVal.S(minS)) =>
+            val trunc = minS.substring(0, math.min(pref.length, minS.length))
+            tryCompare(AttrVal.S(trunc), AttrVal.S(pref)).forall(_ <= 0)
+          case _ => true
+        }
+        hiOk && prefOk
       }
     }
     startOk && endOk
@@ -151,10 +170,10 @@ object PageIndex {
   /** Derive the Query window from pushed conjuncts: requires an
     * equality pin on the hash key; sort-key bounds tighten from every
     * range conjunct found (`=`, `<`, `<=`, `>`, `>=`; `begins_with`
-    * contributes its prefix as an inclusive lower bound — a byte-safe
-    * upper bound would need invalid-UTF8 successor strings, and the
-    * hash pin already bounds the run). Disjunctions contribute
-    * nothing (only top-level conjuncts are sound to window on).
+    * contributes its prefix as an inclusive lower bound AND a
+    * prefix-space upper bound — see [[KeyWindow.prefix]]).
+    * Disjunctions contribute nothing (only top-level conjuncts are
+    * sound to window on).
     */
   def deriveWindow(filters: Seq[Filter], hashKey: String, rangeKey: String): Option[KeyWindow] = {
     val flat = filters.flatMap(conjuncts)
@@ -164,6 +183,7 @@ object PageIndex {
     hash.map { h =>
       var lo: Option[AttrVal] = None; var loInc = true
       var hi: Option[AttrVal] = None; var hiInc = true
+      var prefix: Option[String] = None
       def tightenLo(v: AttrVal, inc: Boolean): Unit = lo match {
         case None => lo = Some(v); loInc = inc
         case Some(cur) => tryCompare(v, cur) match {
@@ -191,9 +211,13 @@ object PageIndex {
           literalAttr(v).foreach(tightenHi(_, inc = true))
         case StringStartsWith(a, p) if a == rangeKey && p != null =>
           tightenLo(AttrVal.S(p), inc = true)
+          // conjoined prefixes: the longer one subsumes the shorter
+          // when compatible; incompatible prefixes still prune soundly
+          // on whichever is kept (both conjuncts evaluate on rows)
+          if (prefix.forall(q => p.length > q.length)) prefix = Some(p)
         case _ => ()
       }
-      KeyWindow(LocalKVStore.encKeyAttr(h), lo, loInc, hi, hiInc)
+      KeyWindow(LocalKVStore.encKeyAttr(h), lo, loInc, hi, hiInc, prefix)
     }
   }
 

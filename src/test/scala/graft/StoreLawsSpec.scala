@@ -678,11 +678,12 @@ class StoreLawsSpec extends AnyFunSuite {
       width <- Gen.chooseNum(0, 300)
       loInc <- Gen.oneOf(true, false)
       hiInc <- Gen.oneOf(true, false)
+      prefixLen <- Gen.chooseNum(0, 4) // 0 = no begins_with conjunct
       opKinds <- Gen.listOfN(nOps, Gen.chooseNum(0, 2))
       opKeys <- Gen.listOfN(nOps, Gen.zip(Gen.chooseNum(0, nHash - 1), Gen.chooseNum(-60, 700)))
-    } yield (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, opKinds.zip(opKeys))
+    } yield (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, prefixLen, opKinds.zip(opKeys))
 
-    forAll(genCase) { case (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, ops) =>
+    forAll(genCase) { case (numeric, nBase, nHash, h0, loRaw, width, loInc, hiInc, prefixLen, ops) =>
       val root = Files.createTempDirectory("graft-pagedlaw").toString
       val store = new LocalKVStore(root)
       val meta = TableMeta("h", Some("r"), shards = 3, throughput = 1000000L)
@@ -709,7 +710,12 @@ class StoreLawsSpec extends AnyFunSuite {
       val filters: Seq[SFilter] = Seq(
         EqualTo("h", s"h$h0"),
         if (loInc) GreaterThanOrEqual("r", bound(loRaw)) else GreaterThan("r", bound(loRaw)),
-        if (hiInc) LessThanOrEqual("r", bound(loRaw + width)) else LessThan("r", bound(loRaw + width)))
+        if (hiInc) LessThanOrEqual("r", bound(loRaw + width)) else LessThan("r", bound(loRaw + width))) ++
+        // begins_with conjunct (string keys only): exercises the
+        // prefix-space upper bound in the page-intersection test
+        (if (!numeric && prefixLen > 0)
+          Seq(StringStartsWith("r", f"k$loRaw%04d".take(prefixLen)))
+        else Nil)
       val window = graft.sources.dynamo.PageIndex.deriveWindow(filters, "h", "r")
       assert(window.isDefined, "hash-eq filters must derive a window")
       def view(w: Option[graft.sources.dynamo.PageIndex.KeyWindow]): Map[String, Item] =
