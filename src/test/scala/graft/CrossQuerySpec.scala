@@ -78,4 +78,80 @@ class CrossQuerySpec extends AnyFunSuite {
     assert(pq <= exact)
     assert(run("q_sim_ivf_pq").count() === 5)
   }
+
+  test("attribution conversions sum to exactly the purchase count") {
+    // Every purchase is attributed to exactly one channel ('direct'
+    // included), so the channel rollup must partition the purchases.
+    import org.apache.spark.sql.functions._
+    val attributed = run("q_events_attribution")
+      .agg(sum("conversions")).collect().head.getLong(0)
+    val purchases = graft.Fixtures.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed === purchases)
+  }
+
+  test("session paths partition the q_stream_session sessions") {
+    // Rebuilding the path rollup WITHOUT the top-20 limit must count
+    // exactly as many sessions as the session-window query emits —
+    // same gap rule, independent implementations (session_window vs
+    // gaps-and-islands), so drift in either shows up here.
+    import org.apache.spark.sql.functions._
+    val sessions = run("q_stream_session").count()
+    val e = graft.Fixtures.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val nSessions = e
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+          .otherwise(0L))
+      .agg(sum("new_sess")).collect().head.getLong(0)
+    assert(nSessions === sessions)
+  }
+
+  test("epoch mixing emits floor-or-ceil copies per doc, tier ratios inside [floor, ceil]") {
+    import org.apache.spark.sql.functions._
+    val copies = run("q_mix_epochs")
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+    val tiers = Map(
+      Set("src0", "src1", "src2", "src3") -> (2L, 3L, 2.5),
+      Set("src4", "src5", "src6", "src7") -> (1L, 2L, 1.5))
+    val rows = copies.collect()
+    rows.foreach { r =>
+      val (src, n) = (r.getString(1), r.getLong(2))
+      val (lo, hi, _) = tiers.find(_._1.contains(src)).map(_._2).getOrElse((1L, 1L, 1.0))
+      assert(n >= lo && n <= hi, s"$src doc ${r.getLong(0)} got $n copies")
+    }
+    // aggregate upsampling ratio stays inside the tier's [floor, ceil]
+    tiers.foreach { case (srcs, (lo, hi, _)) =>
+      val t = rows.filter(r => srcs.contains(r.getString(1)))
+      if (t.nonEmpty) {
+        val ratio = t.map(_.getLong(2)).sum.toDouble / t.length
+        assert(ratio >= lo && ratio <= hi, s"tier $srcs ratio $ratio")
+      }
+    }
+  }
+
+  test("dupspan fractions agree with a direct double-explode recount") {
+    // Independent recomputation through the join-back shape the
+    // optimized identity replaced — the two must agree row-for-row.
+    import org.apache.spark.sql.functions._
+    val d = graft.Fixtures.documents(spark, sf)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+      .filter(size(col("a")) >= 5)
+    val spans = d.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, size(a)-4), i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
+        .as("span"))
+    val df = spans.groupBy("span").agg(count(lit(1)).as("df"))
+    val direct = spans.join(df, "span").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    val got = run("q_text_dupspan").select("doc_id", "n_spans", "n_dup")
+    assert(got.exceptAll(direct.select("doc_id", "n_spans", "n_dup")).count() === 0)
+    assert(direct.count() === got.count())
+  }
 }
