@@ -335,4 +335,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("streaming ingestion dedups against the store's fingerprint history across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .foreachBatch(StreamOps.ingestDedupBatch(root, "corpus", "fingerprints") _)
+      .start()
+    try {
+      // batch 1: two distinct texts plus a batch-local duplicate
+      in.addData(Doc(1L, "alpha"), Doc(2L, "beta"), Doc(3L, "alpha"))
+      q.processAllAvailable()
+      def corpus(): Seq[(Long, String)] =
+        spark.read.format("dynamo").option("path", root)
+          .option("tableName", "corpus").load()
+          .select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val afterB1 = corpus()
+      assert(afterB1.map(_._2).sorted === Seq("alpha", "beta"))
+      // batch 2: one historical duplicate (different doc_id, same
+      // text) + one genuinely new doc — only the new one lands
+      in.addData(Doc(4L, "beta"), Doc(5L, "gamma"))
+      q.processAllAvailable()
+      val afterB2 = corpus()
+      assert(afterB2.map(_._2).sorted === Seq("alpha", "beta", "gamma"))
+      assert(!afterB2.exists(_._1 == 4L), "historical duplicate was re-admitted")
+      // batch 3: ONLY duplicates → nothing appended, nothing fails
+      in.addData(Doc(6L, "alpha"), Doc(7L, "gamma"))
+      q.processAllAvailable()
+      assert(corpus() === afterB2)
+      // the fingerprint table tracks exactly the admitted texts
+      val fps = spark.read.format("dynamo").option("path", root)
+        .option("tableName", "fingerprints").load().count()
+      assert(fps === 3L)
+    } finally q.stop()
+  }
 }
