@@ -1406,8 +1406,25 @@ final class DynamoScan(
     // A pushed sample shrinks the scan's output proportionally — scale
     // the size estimate so a sampled big table can still auto-broadcast.
     private val store = new LocalKVStore(opts.path)
+    private lazy val statsMeta = store.describe(opts.tableName)
+    // Key/zone shard pruning folds into the estimate too: a
+    // hash-pinned read reports the owning shard's bytes, not the
+    // table's — so a Query-shaped side of a join auto-broadcasts at
+    // its true size. Same pruning composition the planner uses; the
+    // window's sub-shard skip is NOT credited (pages are a reader
+    // decision), which keeps the estimate an over-approximation.
+    private val surviving: Option[Set[Int]] =
+      if (opts.indexName.isDefined) None
+      else (keyShards(store, statsMeta), zoneShards(store, statsMeta)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (Some(a), None)    => Some(a)
+        case (None, z)          => z
+      }
     private val bytes = {
-      val raw = store.sizeBytes(opts.tableName)
+      val raw = surviving match {
+        case Some(keep) => store.sizeBytesShards(opts.tableName, keep)
+        case None => store.sizeBytes(opts.tableName)
+      }
       sample.fold(raw)(s => math.max(1L, (raw * s.fraction).toLong))
     }
     // Row count from the sidecar item counters (DescribeTable's
@@ -1427,10 +1444,16 @@ final class DynamoScan(
           limit.isEmpty && topN.isEmpty && pushedOffset.isEmpty &&
           opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
           opts.indexName.isEmpty && store.journalEmpty(opts.tableName)) {
-        val meta = store.describe(opts.tableName)
+        val meta = statsMeta
         val per = store.tableZoneStats(opts.tableName, meta.shards)
-        if (per.forall(_.exists(_.items.isDefined)))
-          Some(per.flatten.flatMap(_.items).sum)
+        // Under shard pruning, sum only the surviving shards' exact
+        // counters — still an over-approximation of the filtered
+        // output (residual filters shrink it further), but tighter by
+        // the pruned fraction.
+        val keep = surviving.getOrElse((0 until meta.shards).toSet)
+        if (keep.forall(sh => sh >= 0 && sh < meta.shards &&
+            per(sh).exists(_.items.isDefined)))
+          Some(keep.toSeq.map(sh => per(sh).get.items.get).sum)
         else None
       } else None
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
@@ -1460,8 +1483,12 @@ final class DynamoScan(
       val out = new util.HashMap[v2expr.NamedReference, ColumnStatistics]()
       if (rows.isEmpty) return out
       val total = rows.get
-      val meta = store.describe(opts.tableName)
-      val per = store.tableZoneStats(opts.tableName, meta.shards).flatten
+      val meta = statsMeta
+      // Same kept-shard subset as `rows` — mixing all-shard attr
+      // stats with a pruned row total would yield nullCount > rows.
+      val keep = surviving.getOrElse((0 until meta.shards).toSet)
+      val per = store.tableZoneStats(opts.tableName, meta.shards)
+        .zipWithIndex.collect { case (s, i) if keep(i) => s }.flatten
       def cvt(dt: DataType, v: BigDecimal, whole: Boolean): Option[Object] = dt match {
         case LongType if whole && v.isValidLong => Some(java.lang.Long.valueOf(v.toLong))
         case IntegerType if whole && v.isValidInt => Some(java.lang.Integer.valueOf(v.toInt))

@@ -790,6 +790,19 @@ final class LocalKVStore(root: String) {
     listFiles(table, "shard-").map(Files.size(_)).sum +
       listFiles(table, "wal-").map(Files.size(_)).sum
 
+  /** Bytes attributable to a shard SUBSET — the scan-statistics input
+    * for a key/zone-pruned plan: the kept shards' base files plus
+    * their journal files (transaction `-sall` files replay into every
+    * segment, so they always count).
+    */
+  def sizeBytesShards(table: String, keep: Set[Int]): Long =
+    listFiles(table, "shard-").filter(p => keep(shardIndex(p)))
+      .map(Files.size(_)).sum +
+      listFiles(table, "wal-").filter { p =>
+        val sh = walShard(p)
+        sh == LocalKVStore.TxnShard || keep(sh)
+      }.map(Files.size(_)).sum
+
   // ---- primary key handling ----
 
   private def encKeyAttr(a: AttrVal): String = LocalKVStore.encKeyAttr(a)

@@ -3795,6 +3795,21 @@ class DynamoConnectorSpec extends AnyFunSuite {
       s"aggregate read should be paged, scanned ${scan.metrics("itemsScanned").value}")
   }
 
+  test("key-pruned scans report shard-subset statistics (Query sides can auto-broadcast)") {
+    val root = freshRoot()
+    seedQueryTable(root, "qs")
+    def planSize(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = planSize(spark.read.dynamo(root, "qs")
+      .select("k", "r", "payload"))
+    val pinned = planSize(spark.read.dynamo(root, "qs")
+      .filter(col("k") === "b").select("k", "r", "payload"))
+    // 4 hash keys over 16 shards: the pinned read owns 1 shard, so
+    // its reported size must fall well below the full table's
+    assert(pinned * 2 < full,
+      s"hash-pinned stats should shrink to the owning shard: $pinned vs $full")
+  }
+
   test("Query fast path: full-shard fallback without a directory returns identical rows") {
     val root = freshRoot()
     seedQueryTable(root, "qf")
