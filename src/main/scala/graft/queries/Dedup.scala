@@ -179,8 +179,16 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    var labels = docs
-      .select(col("doc_id").as("id"), col("doc_id").as("comp"))
+    // The fixpoint iterates ONLY the edge-involved vertices: an
+    // isolated document is its own component by definition and its
+    // label can never change, so carrying the full corpus through
+    // every round would multiply each iteration's shuffle by
+    // corpus/duplicate-graph — at 100 TB the dup graph is orders of
+    // magnitude smaller than the corpus. Isolated docs rejoin at the
+    // end via coalesce(comp, doc_id).
+    var labels = edges
+      .select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     // Convergence is diameter-bounded and path halving makes rounds
@@ -210,7 +218,10 @@ object Dedup {
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select("id", "comp")
     }
-    labels.select(col("id").as("doc_id"), col("comp").cast("long").as("cluster"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).cast("long").as("cluster"))
       .orderBy("doc_id")
   }
 

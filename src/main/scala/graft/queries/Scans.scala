@@ -369,12 +369,23 @@ object Scans {
         .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
+      // Out-degree folded INTO the edge list once (d is constant per
+      // src, +8 bytes/edge), and the list pre-partitioned by src: each
+      // superstep is then ONE join — whose pr side arrives already
+      // hash-partitioned by node from the previous round's groupBy —
+      // plus the rank aggregation, so the per-iteration cost is a
+      // single keyed shuffle of rank rows, never a re-shuffle of the
+      // edge list. That's the relational Pregel shape that holds at a
+      // 100× graph: edges are shuffled once at build, rank rows
+      // (node-sized, ≪ edges) per superstep.
+      val edgesD = edges.join(deg, "src")
+        .repartition(col("src"))
+        .localCheckpoint(true)
       var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         pr = pr
-          .join(deg.select(col("src").as("dn"), col("d")), col("node") === col("dn"))
-          .select(col("node"), floor(col("rank") / col("d")).as("share"))
-          .join(edges, col("node") === col("src"))
+          .join(edgesD, col("node") === col("src"))
+          .select(col("dst"), floor(col("rank") / col("d")).as("share"))
           .groupBy(col("dst"))
           .agg((lit(150000L) +
             floor(lit(850000.0) * sum(col("share")) / 1000000.0)).as("rank"))
