@@ -1266,7 +1266,7 @@ object DynamoScan {
     */
   def partitionItems(store: LocalKVStore, opts: DynamoOptions,
       partition: DynamoInputPartition,
-      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] =
+      windows: Seq[PageIndex.KeyWindow] = Nil): Iterator[(Item, Int)] =
     if (partition.viaIndex && partition.deltaFiles.nonEmpty)
       store.scanIndexSegmentDelta(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments, partition.deltaFiles,
@@ -1278,21 +1278,23 @@ object DynamoScan {
       store.scanSegment(opts.tableName, partition.segment,
         partition.totalSegments, opts.asOfSeq,
         allowedWal = partition.pinnedWal.map(_.toSet),
-        window = window)
+        windows = windows)
 
   /** The `Query`-shape window for a BASE-path read, or None: requires
     * a composite-key layout-2 table, no index view in the read (a
     * base-fallback GSI read projects before filtering — windowing
     * would be sound on the visible base keys but isn't worth the
     * coupling), and pushed conjuncts that pin the hash key
-    * ([[PageIndex.deriveWindow]]). Purely an I/O skip: every emitted
+    * ([[PageIndex.deriveWindows]] — one window per pinned hash value,
+    * the IN-list BatchGetItem shape included). Purely an I/O skip:
+    * every emitted
     * item still passes through the same filter evaluation.
     */
   def queryWindow(meta: TableMeta, opts: DynamoOptions,
-      pushed: Array[Filter]): Option[PageIndex.KeyWindow] =
-    if (opts.indexName.isDefined || meta.layout < 2) None
-    else meta.rangeKey.flatMap(rk =>
-      PageIndex.deriveWindow(pushed.toSeq, meta.hashKey, rk))
+      pushed: Array[Filter]): Seq[PageIndex.KeyWindow] =
+    if (opts.indexName.isDefined || meta.layout < 2) Nil
+    else meta.rangeKey.toSeq.flatMap(rk =>
+      PageIndex.deriveWindows(pushed.toSeq, meta.hashKey, rk))
 }
 
 final class DynamoScan(
@@ -2722,7 +2724,7 @@ final class DynamoGroupedAggReader(
   // Query-shape page window, derived from the same pushed conjuncts
   // this reader evaluates — a `GROUP BY ... WHERE hash = h AND range
   // BETWEEN a AND b` aggregates over O(matching pages), not O(shard).
-  private lazy val queryWin: Option[PageIndex.KeyWindow] =
+  private lazy val queryWin: Seq[PageIndex.KeyWindow] =
     DynamoScan.queryWindow(baseMeta, opts, pushed)
 
   /** Spark's grouping equates 0.0 with -0.0 and all NaNs; boxed
@@ -3076,7 +3078,7 @@ final class DynamoAggReader(
 
   // Query-shape page window — a pushed `count(*) WHERE hash = h AND
   // range BETWEEN a AND b` reads O(matching pages), not O(shard).
-  private lazy val queryWin: Option[PageIndex.KeyWindow] =
+  private lazy val queryWin: Seq[PageIndex.KeyWindow] =
     DynamoScan.queryWindow(baseMeta, opts, pushed)
 
   override def next(): Boolean = {

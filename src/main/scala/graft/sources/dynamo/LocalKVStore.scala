@@ -1351,7 +1351,7 @@ final class LocalKVStore(root: String) {
         * every emitted item, so a missing/stale page directory only
         * costs bytes, never rows.
         */
-      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] = {
+      windows: Seq[PageIndex.KeyWindow] = Nil): Iterator[(Item, Int)] = {
     val meta = describe(table)
     // An asOfSeq below the compaction watermark is unsatisfiable: the
     // folded base would serve post-snapshot state for every key whose
@@ -1382,7 +1382,7 @@ final class LocalKVStore(root: String) {
         overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
       }
     }
-    scanSegmentTail(table, segment, totalSegments, meta, overrides, window)
+    scanSegmentTail(table, segment, totalSegments, meta, overrides, windows)
   }
 
   /** Each key's journal suffix collapses EAGERLY into a two-sided
@@ -1441,7 +1441,7 @@ final class LocalKVStore(root: String) {
   private def scanSegmentTail(table: String, segment: Int,
       totalSegments: Int, meta: TableMeta,
       overrides: mutable.LinkedHashMap[String, KeyState],
-      window: Option[PageIndex.KeyWindow] = None): Iterator[(Item, Int)] = {
+      windows: Seq[PageIndex.KeyWindow] = Nil): Iterator[(Item, Int)] = {
     val seen = mutable.HashSet.empty[String]
     val shardFiles = listFiles(table, "shard-")
       .filter(p => shardIndex(p) % totalSegments == segment)
@@ -1455,13 +1455,16 @@ final class LocalKVStore(root: String) {
     // absent-normal-form, carrying the same out-of-window key attrs
     // the caller's filters reject.
     val baseItems = shardFiles.iterator.flatMap { p =>
-      val paged = window.flatMap { w =>
-        val idxPath = p.resolveSibling(
-          f"pageidx-s${shardIndex(p)}%03d.jsonl")
-        PageIndex.load(idxPath, p).map { idx =>
-          PageIndex.readPages(p, idx.pages.filter(PageIndex.intersects(_, w)))
+      val paged =
+        if (windows.isEmpty) None
+        else {
+          val idxPath = p.resolveSibling(
+            f"pageidx-s${shardIndex(p)}%03d.jsonl")
+          PageIndex.load(idxPath, p).map { idx =>
+            PageIndex.readPages(p, idx.pages.filter(pg =>
+              windows.exists(PageIndex.intersects(pg, _))))
+          }
         }
-      }
       paged.getOrElse(
         Files.readAllLines(p, UTF_8).asScala.iterator.filter(_.nonEmpty))
     }.flatMap { line =>

@@ -167,20 +167,42 @@ object PageIndex {
     case other => Seq(other)
   }
 
-  /** Derive the Query window from pushed conjuncts: requires an
-    * equality pin on the hash key; sort-key bounds tighten from every
-    * range conjunct found (`=`, `<`, `<=`, `>`, `>=`; `begins_with`
-    * contributes its prefix as an inclusive lower bound AND a
-    * prefix-space upper bound — see [[KeyWindow.prefix]]).
-    * Disjunctions contribute nothing (only top-level conjuncts are
-    * sound to window on).
+  /** Hash-IN fan-out cap: a window per IN value is cheap (one
+    * interval test per page per window), but an unbounded IN list
+    * would make page selection quadratic-ish — beyond this many
+    * pinned hash values, decline windowing (shard pruning still
+    * applies, and the filters still evaluate).
     */
-  def deriveWindow(filters: Seq[Filter], hashKey: String, rangeKey: String): Option[KeyWindow] = {
+  val maxHashWindows = 64
+
+  /** Derive the Query window set from pushed conjuncts: requires the
+    * hash key pinned by equality OR a bounded IN list (DynamoDB's
+    * BatchGetItem / multi-Query shape — one window per pinned value,
+    * all sharing the sort-key bounds); sort-key bounds tighten from
+    * every range conjunct found (`=`, `<`, `<=`, `>`, `>=`;
+    * `begins_with` contributes its prefix as an inclusive lower bound
+    * AND a prefix-space upper bound — see [[KeyWindow.prefix]]).
+    * Disjunctions contribute nothing (only top-level conjuncts are
+    * sound to window on). Soundness of the SET: a key outside every
+    * window either fails the hash equality/IN conjunct or the range
+    * conjuncts — both evaluated on every emitted item.
+    */
+  def deriveWindows(filters: Seq[Filter], hashKey: String, rangeKey: String): Seq[KeyWindow] = {
     val flat = filters.flatMap(conjuncts)
-    val hash = flat.collectFirst {
-      case EqualTo(a, v) if a == hashKey && v != null => v
-    }.flatMap(literalAttr)
-    hash.map { h =>
+    val hashes: Seq[AttrVal] = flat.collectFirst {
+      case EqualTo(a, v) if a == hashKey && v != null => Seq(v)
+      case In(a, vs) if a == hashKey && vs.nonEmpty && !vs.contains(null) &&
+        vs.length <= maxHashWindows => vs.toSeq
+    }.map(_.flatMap(literalAttr(_).toSeq)).getOrElse(Nil)
+    // every pinned value must convert, or the window set would
+    // silently drop a branch of the IN disjunction
+    val converted = flat.collectFirst {
+      case EqualTo(a, v) if a == hashKey && v != null => 1
+      case In(a, vs) if a == hashKey && vs.nonEmpty && !vs.contains(null) &&
+        vs.length <= maxHashWindows => vs.length
+    }.getOrElse(0)
+    if (hashes.isEmpty || hashes.length != converted) return Nil
+    hashes.map { h =>
       var lo: Option[AttrVal] = None; var loInc = true
       var hi: Option[AttrVal] = None; var hiInc = true
       var prefix: Option[String] = None

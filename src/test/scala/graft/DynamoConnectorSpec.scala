@@ -3795,6 +3795,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
       s"aggregate read should be paged, scanned ${scan.metrics("itemsScanned").value}")
   }
 
+  test("Query fast path: IN-list hash keys get one window per value (BatchGetItem shape)") {
+    val root = freshRoot()
+    seedQueryTable(root, "qi")
+    val df = spark.read.dynamo(root, "qi")
+      .filter(col("k").isin("a", "c") && col("r").between(200, 260))
+      .select("k", "r")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length === 2 * 61)
+    assert(got.forall { case (k, r) => (k == "a" || k == "c") && r >= 200 && r <= 260 })
+    // two hash runs of 1500 items each; two ≤256-item pages per run
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan")).getOrElse(fail("no BatchScan"))
+    assert(scan.metrics("itemsScanned").value <= 1200,
+      s"expected paged reads in both runs, scanned ${scan.metrics("itemsScanned").value}")
+  }
+
   test("key-pruned scans report shard-subset statistics (Query sides can auto-broadcast)") {
     val root = freshRoot()
     seedQueryTable(root, "qs")

@@ -707,8 +707,14 @@ class StoreLawsSpec extends AnyFunSuite {
       // window filters: hash eq + range bounds (typed to match rAttr)
       def bound(i: Int): Any =
         if (numeric) (BigDecimal(i) / 2 - 100) else f"k$i%04d"
+      // alternate between a single-hash equality and a 2-value IN
+      // (the BatchGetItem shape → one window per pinned value)
+      val hashConjunct: SFilter =
+        if (nHash >= 2 && h0 % 2 == 0)
+          In("h", Array(s"h$h0", s"h${(h0 + 1) % nHash}"))
+        else EqualTo("h", s"h$h0")
       val filters: Seq[SFilter] = Seq(
-        EqualTo("h", s"h$h0"),
+        hashConjunct,
         if (loInc) GreaterThanOrEqual("r", bound(loRaw)) else GreaterThan("r", bound(loRaw)),
         if (hiInc) LessThanOrEqual("r", bound(loRaw + width)) else LessThan("r", bound(loRaw + width))) ++
         // begins_with conjunct (string keys only): exercises the
@@ -716,14 +722,14 @@ class StoreLawsSpec extends AnyFunSuite {
         (if (!numeric && prefixLen > 0)
           Seq(StringStartsWith("r", f"k$loRaw%04d".take(prefixLen)))
         else Nil)
-      val window = graft.sources.dynamo.PageIndex.deriveWindow(filters, "h", "r")
-      assert(window.isDefined, "hash-eq filters must derive a window")
-      def view(w: Option[graft.sources.dynamo.PageIndex.KeyWindow]): Map[String, Item] =
-        (0 until 3).flatMap(seg => store.scanSegment("t", seg, 3, window = w).map(_._1))
+      val windows = graft.sources.dynamo.PageIndex.deriveWindows(filters, "h", "r")
+      assert(windows.nonEmpty, "hash-pinned filters must derive a window set")
+      def view(w: Seq[graft.sources.dynamo.PageIndex.KeyWindow]): Map[String, Item] =
+        (0 until 3).flatMap(seg => store.scanSegment("t", seg, 3, windows = w).map(_._1))
           .filter(it => filters.forall(graft.sources.dynamo.FilterEval.eval(_, it)))
           .map(it => store.keyOf(meta, it) -> it).toMap
-      val paged = view(window)
-      val full = view(None)
+      val paged = view(windows)
+      val full = view(Nil)
       assert(paged === full,
         s"paged/full divergence: numeric=$numeric nBase=$nBase h0=$h0 " +
           s"lo=$loRaw width=$width ops=${ops.size}")
