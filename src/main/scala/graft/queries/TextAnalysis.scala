@@ -577,6 +577,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM perplexity per document (the KenLM-style quality
+    // filter, self-trained on the corpus): average -log2 P(w2|w1)
+    // over the document's bigrams, conditional probabilities from the
+    // corpus bigram table. Bigrams expand map-side (index transform,
+    // no per-doc window); the LM is vocab²-bounded so the per-doc
+    // scoring join is a constant-width keyed shuffle — at 100 TB the
+    // LM table shrinks relative to the corpus and AQE broadcasts it.
+    // Integer-floored ×1e4 like q_text_lm_score (rule D2: the 1e-4
+    // absolute rounding absorbs double-summation order).
+    "q_text_bigram_ppl" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+        .filter(size(col("a")) >= 2)
+      val bi = d.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a)-1), i -> struct(a[i-1] AS w1, a[i] AS w2))"))
+        .as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("w1").agg(sum("cnt").as("tot"))
+      val lm = cnt.join(tot, "w1")
+        .select(col("w1"), col("w2"),
+          (col("cnt") * lit(1.0) / col("tot")).as("p"))
+      val bits = -log(col("p")) / log(lit(2.0))
+      bi.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          floor(sum(bits) / count(lit(1)) * 10000 + 0.5).as("bits_x1e4"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document n-gram novelty — the decontamination primitive:
     // the fraction of a document's distinct token trigrams that appear
     // in NO other document. The same shape checks a training corpus
@@ -811,6 +841,21 @@ object TextAnalysis {
         |       n_chars
         |FROM documents JOIN g USING (lang, source)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_bigram_ppl" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+        |      FROM d WHERE len(a) >= 2),
+        |t2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM b),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+        |tt AS (SELECT w1, sum(cnt) AS tot FROM c GROUP BY 1),
+        |lm AS (SELECT w1, w2, cnt * 1.0 / tot AS p FROM c JOIN tt USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(floor(sum(-ln(p) / ln(2)) / count(*) * 10000 + 0.5) AS BIGINT)
+        |         AS bits_x1e4
+        |FROM t2 JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_tok_bigram_lm" ->
       """WITH d AS (SELECT doc_id,
         |                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
