@@ -378,6 +378,20 @@ object DynamoQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Query + pushed top-N composition (ScanIndexForward=false +
+    // Limit): the hash pin plans one shard, the page window bounds
+    // the I/O to the matching sort-key run, and the pushed top-N
+    // keeps only the best 5 inside the reader — DynamoDB's descending
+    // Query with Limit, end to end.
+    "q_dyn_query_topn" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      s.read.dynamo(root, "orders")
+        .filter(col("o_custkey") === 37 && col("o_orderkey") >= 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderkey").desc)
+        .limit(5)
+    }),
+
     // `begins_with` Query shape on a STRING sort key: the hash pin
     // plans one shard, and the page directory prunes with the prefix
     // as BOTH an inclusive lower bound and a prefix-space upper bound
@@ -669,6 +683,10 @@ object DynamoQueries {
         |FROM orders WHERE o_custkey = 37
         |  AND o_orderkey BETWEEN 100 AND 100000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dyn_query_topn" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey = 37 AND o_orderkey >= 100
+        |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin,
     "q_dyn_query_prefix" ->
       """SELECT doc_id,
         |       source || ':' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS sk,

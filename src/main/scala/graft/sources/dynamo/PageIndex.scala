@@ -290,12 +290,15 @@ object PageIndex {
     */
   def readPages(basePath: Path, pages: Seq[Page]): Iterator[String] = {
     if (pages.isEmpty) return Iterator.empty
-    // coalesce adjacent byte ranges so a wide window is one seek
+    // coalesce adjacent byte ranges so a wide window is one seek —
+    // capped at 8 MiB per run, so a window covering most of a shard
+    // reads in bounded buffers instead of one shard-sized allocation
+    val maxRunBytes = 8L * 1024 * 1024
     val sorted = pages.sortBy(_.off)
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     sorted.foreach { p =>
       runs.lastOption match {
-        case Some((off, len)) if off + len == p.off =>
+        case Some((off, len)) if off + len == p.off && len + p.len <= maxRunBytes =>
           runs(runs.size - 1) = (off, len + p.len)
         case _ => runs += ((p.off, p.len))
       }

@@ -657,6 +657,30 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(finalItems.count(_.contains("tag")) === 2 * 40 * GROUP)
   }
 
+  test("backup carries page directories: the restored store serves paged reads") {
+    val root = Files.createTempDirectory("graft-bkpages-src").toString
+    val dest = Files.createTempDirectory("graft-bkpages-dst").toString
+    val store = new LocalKVStore(root)
+    store.createTable("p", TableMeta("h", Some("r"), shards = 2, throughput = 1000000L))
+    store.appendWal("p", 1L, "seed", (0 until 400).map(i => store.Put(Map(
+      "h" -> AttrVal.S(s"h${i % 2}"), "r" -> AttrVal.N(BigDecimal(i)),
+      "v" -> AttrVal.S(s"v$i")))))
+    (0 until 2).foreach(store.compactShard("p", _))
+    store.backupTable("p", dest)
+    val restored = new LocalKVStore(dest)
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val filters = Seq(EqualTo("h", "h1"), GreaterThanOrEqual("r", 100), LessThanOrEqual("r", 160))
+    val windows = graft.sources.dynamo.PageIndex.deriveWindows(filters, "h", "r")
+    assert(windows.nonEmpty)
+    def matches(st: LocalKVStore): Set[BigDecimal] =
+      (0 until 2).flatMap(seg => st.scanSegment("p", seg, 2, windows = windows).map(_._1))
+        .filter(it => filters.forall(graft.sources.dynamo.FilterEval.eval(_, it)))
+        .collect { case it => it("r").asInstanceOf[AttrVal.N].v }.toSet
+    assert(matches(restored) === matches(store))
+    // h1 holds the odd r values; [100, 160] contains 30 of them
+    assert(matches(restored).size === 30)
+  }
+
   test("LAW: paged (Query-window) scan ≡ full scan, for any window, ops, and range-key type") {
     // The page-skip law behind the Query fast path: for ANY base
     // content (numeric or string sort keys, negatives, decimals), ANY
