@@ -265,8 +265,16 @@ object PageIndex {
 
   /** Load and VALIDATE against the live base file: a recorded size
     * that disagrees (any unrefreshed rewrite) discards the directory.
+    * A sidecar that fails to PARSE is discarded the same way (full
+    * read) rather than failing the scan: the directory is derived
+    * data — publication is atomic (tmp+move), so a malformed file is
+    * outside corruption, and correctness never depended on it.
     */
-  def load(idxPath: Path, basePath: Path): Option[ShardIndex] = {
+  def load(idxPath: Path, basePath: Path): Option[ShardIndex] =
+    try loadStrict(idxPath, basePath)
+    catch { case _: RuntimeException => None }
+
+  private def loadStrict(idxPath: Path, basePath: Path): Option[ShardIndex] = {
     if (!Files.isRegularFile(idxPath) || !Files.isRegularFile(basePath)) return None
     val lines = Files.readAllLines(idxPath, UTF_8).asScala.filter(_.nonEmpty)
     if (lines.isEmpty) return None

@@ -681,6 +681,27 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(matches(restored).size === 30)
   }
 
+  test("a corrupted page directory degrades to a full read, never a failed or wrong one") {
+    val root = Files.createTempDirectory("graft-corruptidx").toString
+    val store = new LocalKVStore(root)
+    store.createTable("c", TableMeta("h", Some("r"), shards = 1, throughput = 1000000L))
+    store.appendWal("c", 1L, "seed", (0 until 100).map(i => store.Put(Map(
+      "h" -> AttrVal.S("x"), "r" -> AttrVal.N(BigDecimal(i))))))
+    store.compactShard("c", 0)
+    val idx = java.nio.file.Paths.get(root, "c", "pageidx-s000.jsonl")
+    assert(Files.isRegularFile(idx))
+    // mangle the sidecar WITHOUT changing the base file (the size
+    // guard can't catch this; the parse guard must)
+    Files.write(idx, "{\"fileBytes\":{\"N\":\"".getBytes("UTF-8"))
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val filters = Seq(EqualTo("h", "x"), GreaterThanOrEqual("r", 90))
+    val windows = graft.sources.dynamo.PageIndex.deriveWindows(filters, "h", "r")
+    val got = store.scanSegment("c", 0, 1, windows = windows).map(_._1)
+      .filter(it => filters.forall(graft.sources.dynamo.FilterEval.eval(_, it)))
+      .toVector
+    assert(got.size === 10)
+  }
+
   test("LAW: paged (Query-window) scan ≡ full scan, for any window, ops, and range-key type") {
     // The page-skip law behind the Query fast path: for ANY base
     // content (numeric or string sort keys, negatives, decimals), ANY
@@ -737,10 +758,17 @@ class StoreLawsSpec extends AnyFunSuite {
         if (nHash >= 2 && h0 % 2 == 0)
           In("h", Array(s"h$h0", s"h${(h0 + 1) % nHash}"))
         else EqualTo("h", s"h$h0")
+      // occasionally bound with the WRONG type for the sort key: the
+      // filter then never matches (UNKNOWN comparison) and the window
+      // must not prune differently than the full read filters
+      val mism = loRaw % 7 == 0
+      def typedBound(i: Int): Any = if (mism) {
+        if (numeric) f"k$i%04d" else (BigDecimal(i) / 2 - 100)
+      } else bound(i)
       val filters: Seq[SFilter] = Seq(
         hashConjunct,
-        if (loInc) GreaterThanOrEqual("r", bound(loRaw)) else GreaterThan("r", bound(loRaw)),
-        if (hiInc) LessThanOrEqual("r", bound(loRaw + width)) else LessThan("r", bound(loRaw + width))) ++
+        if (loInc) GreaterThanOrEqual("r", typedBound(loRaw)) else GreaterThan("r", typedBound(loRaw)),
+        if (hiInc) LessThanOrEqual("r", typedBound(loRaw + width)) else LessThan("r", typedBound(loRaw + width))) ++
         // begins_with conjunct (string keys only): exercises the
         // prefix-space upper bound in the page-intersection test
         (if (!numeric && prefixLen > 0)
