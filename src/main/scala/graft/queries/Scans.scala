@@ -317,6 +317,32 @@ object Scans {
        |SELECT node, rank FROM pr3 ORDER BY rank DESC, node LIMIT 25""".stripMargin
   }
 
+  /** Synchronous label propagation, 2 unrolled rounds, tie → min
+    * label — the deterministic LPA variant both engines replay
+    * bit-identically (mode with an order tie-break, never hash-order).
+    */
+  private val communities = {
+    def round(prev: String, out: String) =
+      s"""$out AS (SELECT node, lbl FROM (
+         |  SELECT e.src AS node, l.lbl,
+         |         row_number() OVER (PARTITION BY e.src
+         |                            ORDER BY count(*) DESC, l.lbl) AS rk
+         |  FROM edges e JOIN $prev l ON e.dst = l.node
+         |  GROUP BY e.src, l.lbl) WHERE rk = 1)""".stripMargin
+    s"""WITH links AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT cust AS src, 1000000 + supp AS dst FROM links
+       |  UNION ALL
+       |  SELECT 1000000 + supp AS src, cust AS dst FROM links),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")}
+       |SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS size
+       |FROM l2 GROUP BY lbl ORDER BY size DESC, community LIMIT 25""".stripMargin
+  }
+
   /** LATERAL correlated subquery (top-2 orders per customer): Spark
     * decorrelates the per-row ORDER BY/LIMIT into a window rank over
     * ONE join — the plan is a rank filter, never a per-customer
@@ -392,6 +418,43 @@ object Scans {
           .select(col("dst").as("node"), col("rank"))
       }
       pr.orderBy(col("rank").desc, col("node")).limit(25)
+    }),
+
+    // Label-propagation community detection (2 synchronous rounds,
+    // tie → min label) over the same customer–supplier bipartite
+    // graph. Each round is ONE edge⋈label join — labels arrive
+    // node-keyed from the previous round's window — plus a grouped
+    // count and a per-node rank (both keyed by node), so an iteration
+    // costs a single edge-list shuffle probe and node-sized state;
+    // the deterministic min-label tie-break is what lets DuckDB
+    // replay the propagation bit-identically (hash-order modes
+    // cannot).
+    "q_graph_communities" -> ((s, dir) => {
+      val links = Fixtures.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Fixtures.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("cust"),
+          col("l_suppkey").cast("long").as("supp"))
+        .distinct()
+      val edges = links
+        .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
+        .unionAll(links.select((col("supp") + 1000000L).as("src"),
+          col("cust").as("dst")))
+        .localCheckpoint(true)
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 2) {
+        lbl = edges.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("src").orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("lbl"))
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("size"))
+        .select(col("lbl").cast("long").as("community"), col("size"))
+        .orderBy(col("size").desc, col("community")).limit(25)
     }),
     "q_sql_tpch_q2" -> sql(tpchQ2, "part", "supplier", "lineitem", "nation", "region"),
     "q_sql_tpch_q9" -> sql(tpchQ9, "part", "supplier", "lineitem", "orders", "nation"),
@@ -732,6 +795,7 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerank,
+    "q_graph_communities" -> communities,
     "q_sql_tpch_q2" -> tpchQ2,
     "q_sql_tpch_q9" -> tpchQ9,
     "q_sql_tpch_q11" -> tpchQ11,
