@@ -188,6 +188,25 @@ object Streaming {
         .orderBy("channel")
     }),
 
+    // Per-type volume trend (the capacity-forecasting primitive):
+    // least-squares slope/intercept of daily event counts against the
+    // day number, via the one-pass regr_* aggregates. The heavy input
+    // collapses to (days × types) rows in the first aggregation, so
+    // the regression runs on metadata-sized data at any event volume.
+    "q_events_trend" -> ((s, dir) => {
+      val daily = Fixtures.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .withColumn("day_num",
+          datediff(col("d"), lit("2024-01-01").cast("date")).cast("double"))
+        .groupBy("event_type")
+        .agg(round(regr_slope(col("n").cast("double"), col("day_num")), 4).as("slope"),
+          round(regr_intercept(col("n").cast("double"), col("day_num")), 4).as("icept"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     "q_stream_tumbling" -> ((s, dir) =>
       Fixtures.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -316,6 +335,17 @@ object Streaming {
         |    AND e2.event_type <> 'purchase'
         |  ORDER BY e2.t DESC, e2.event_id DESC LIMIT 1) x ON TRUE
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_events_trend" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |                      event_type, count(*) AS n
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       round(regr_slope(CAST(n AS DOUBLE),
+        |               CAST(d - DATE '2024-01-01' AS DOUBLE)), 4) AS slope,
+        |       round(regr_intercept(CAST(n AS DOUBLE),
+        |               CAST(d - DATE '2024-01-01' AS DOUBLE)), 4) AS icept,
+        |       CAST(count(*) AS BIGINT) AS n_days
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
