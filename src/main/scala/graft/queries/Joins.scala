@@ -125,6 +125,29 @@ object Joins {
         .orderBy("user_id", "event_id")
     }),
 
+    // FORWARD as-of (outcome labeling): each click pairs with the
+    // same user's NEXT purchase at-or-after it — the
+    // feature-timestamp → outcome lookup that builds training labels
+    // without leaking the past. Same single keyed-window shape as the
+    // backward as-of, mirrored frame (currentRow .. unboundedFollowing
+    // with first/ignoreNulls); purchases sort before clicks at equal
+    // ts so the inclusive bound holds.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Fixtures.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                when(col("event_type") === "purchase", col("ts")).as("purch_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), when(col("event_type") === "purchase", 0).otherwise(1),
+                 col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_purchase_ts", first("purch_ts", ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts", "next_purchase_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
     // Self-join: line-number pairs within an order, counted per order.
     "q_join_self" -> ((s, dir) => {
       val l = Fixtures.lineitem(s, dir).filter(col("l_orderkey") < 1000)
@@ -258,6 +281,14 @@ object Joins {
         |         AS asof_click_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT c.user_id, c.event_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |       (SELECT min(CAST(p.ts AS TIMESTAMP)) FROM events p
+        |        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |          AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP))
+        |         AS next_purchase_ts
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     "q_join_self" ->
       """SELECT l1.l_orderkey AS o_orderkey, count(*) AS n_pairs
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey < 1000) l1
