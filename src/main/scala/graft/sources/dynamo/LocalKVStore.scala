@@ -841,22 +841,26 @@ final class LocalKVStore(root: String) {
 
   // ---- bulk load (fixture → store) ----
 
+  /** Local fixture loader (driver-side; buffers one table in memory —
+    * the distributed ingest path is the connector write + compaction).
+    * Writes the same sorted bases + page directories compaction does,
+    * so Query-shape reads are paged immediately after a bulk load.
+    */
   def bulkLoad(table: String, meta: TableMeta, items: Iterator[Item]): Unit = {
     createTable(table, meta)
     deleteIndexFiles(table) // full rewrite: any materialized copy is stale
-    // unsorted rewrite: page directories no longer describe the bytes
     listFiles(table, "pageidx-").foreach(Files.deleteIfExists(_))
     val dir = tableDir(table)
-    val writers = Array.tabulate(meta.shards) { i =>
-      Files.newBufferedWriter(dir.resolve(f"shard-$i%03d.jsonl"), UTF_8)
-    }
+    val buf = Array.fill(meta.shards)(Vector.newBuilder[Item])
     val stats = Array.fill(meta.shards)(ShardStats.empty)
-    try items.foreach { it =>
+    items.foreach { it =>
       val sh = shardOf(meta, it)
-      val w = writers(sh)
-      w.write(ItemJson.write(it)); w.write("\n")
+      buf(sh) += it
       stats(sh) = stats(sh).widen(it)
-    } finally writers.foreach(_.close())
+    }
+    (0 until meta.shards).foreach { i =>
+      writeSortedShard(table, meta, i, buf(i).result())
+    }
     stats.zipWithIndex.foreach { case (st, i) =>
       Files.write(dir.resolve(f"zstat-shard-s$i%03d.json"),
         ShardStats.toJson(st).getBytes(UTF_8))
@@ -1518,31 +1522,18 @@ final class LocalKVStore(root: String) {
     * live would void the no-skip guarantee (the zombie writer's
     * close() then at least fails loudly on the missing rename source).
     */
-  def compactShard(table: String, shard: Int,
-      reapTmpIdleMs: Long = 3600000L,
-      expireTtl: Option[(String, Long)] = None): Unit = {
-    val meta = describe(table)
+  /** Write one shard's base file SORTED by (placement key, typed sort
+    * key) — DynamoDB's within-partition sort order — and publish its
+    * page directory ([[PageIndex]]): the layout that admits hash-eq +
+    * sort-key-bounded reads of O(matching pages). Shared by
+    * compaction and bulk load so the two cannot produce different
+    * layouts. The sidecar is written AFTER the base move: its
+    * recorded size must describe the live file (a crash between the
+    * two leaves no sidecar — a full-shard read, not a wrong one).
+    */
+  private def writeSortedShard(table: String, meta: TableMeta, shard: Int,
+      items: Vector[Item]): Unit = {
     val dir = tableDir(table)
-    // A "segment" of totalSegments = meta.shards is exactly one shard.
-    // `expireTtl = (attr, nowEpochS)`: physically drop items whose ttl
-    // attribute is strictly below `now` while folding — the reaper half
-    // of the TTL story (reads only HIDE expired items; this reclaims
-    // them, like DynamoDB's background TTL deletion). Same liveness
-    // rule as scan-time Ttl.alive: non-numeric/missing attr = live.
-    val expired: Item => Boolean = expireTtl match {
-      case None => _ => false
-      case Some((attr, now)) => item => item.get(attr) match {
-        case Some(AttrVal.N(v)) => v < BigDecimal(now)
-        case _ => false
-      }
-    }
-    val merged0 = scanSegment(table, shard, meta.shards).map(_._1)
-      .filterNot(expired).toVector
-    // Sorted base (placement key, then typed sort key) — DynamoDB's
-    // within-partition sort-key order. Determinism aside, this is
-    // what makes the Query fast path possible: a sorted shard admits
-    // a sparse page directory ([[PageIndex]]) that a hash-eq +
-    // range-bounded scan uses to read only the qualifying byte range.
     val ord = new Ordering[Item] {
       def compare(x: Item, y: Item): Int = {
         val c = placementOf(meta, x).compareTo(placementOf(meta, y))
@@ -1557,7 +1548,7 @@ final class LocalKVStore(root: String) {
         }
       }
     }
-    val merged = merged0.sorted(ord)
+    val merged = items.sorted(ord)
     // Page directory accumulates while writing; published only for
     // composite-key tables under partition-key placement (layout 2 —
     // the layout where one hash key's sort run is shard-contiguous).
@@ -1591,13 +1582,33 @@ final class LocalKVStore(root: String) {
     closePage()
     Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // Sidecar AFTER the base move: its recorded size must describe
-    // the live file (a crash between the two leaves no sidecar — a
-    // full-shard read, not a wrong one).
     if (indexable)
       PageIndex.write(dir.resolve(f"pageidx-s$shard%03d.jsonl"),
         PageIndex.ShardIndex(fileOff, pages.result()))
     else Files.deleteIfExists(dir.resolve(f"pageidx-s$shard%03d.jsonl"))
+  }
+
+  def compactShard(table: String, shard: Int,
+      reapTmpIdleMs: Long = 3600000L,
+      expireTtl: Option[(String, Long)] = None): Unit = {
+    val meta = describe(table)
+    val dir = tableDir(table)
+    // A "segment" of totalSegments = meta.shards is exactly one shard.
+    // `expireTtl = (attr, nowEpochS)`: physically drop items whose ttl
+    // attribute is strictly below `now` while folding — the reaper half
+    // of the TTL story (reads only HIDE expired items; this reclaims
+    // them, like DynamoDB's background TTL deletion). Same liveness
+    // rule as scan-time Ttl.alive: non-numeric/missing attr = live.
+    val expired: Item => Boolean = expireTtl match {
+      case None => _ => false
+      case Some((attr, now)) => item => item.get(attr) match {
+        case Some(AttrVal.N(v)) => v < BigDecimal(now)
+        case _ => false
+      }
+    }
+    val merged = scanSegment(table, shard, meta.shards).map(_._1)
+      .filterNot(expired).toVector
+    writeSortedShard(table, meta, shard, merged)
     // Exact zone map of the folded shard — the narrowing step (deletes
     // and TTL reaping take effect here). Written BEFORE the journal
     // deletes: a concurrent planner unioning new-base + old-journal

@@ -681,6 +681,29 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(matches(restored).size === 30)
   }
 
+  test("bulk load writes sorted bases with page directories (paged Query reads, no compaction)") {
+    val root = Files.createTempDirectory("graft-bulkpages").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("h", Some("r"), shards = 2, throughput = 1000000L)
+    // deliberately unsorted input
+    val items = (0 until 300).reverse.map(i => Map(
+      "h" -> (AttrVal.S(s"h${i % 2}"): AttrVal),
+      "r" -> (AttrVal.N(BigDecimal(i)): AttrVal)))
+    store.bulkLoad("b", meta, items.iterator)
+    val dir = java.nio.file.Paths.get(root, "b")
+    assert(Files.isRegularFile(dir.resolve("pageidx-s000.jsonl")))
+    assert(Files.isRegularFile(dir.resolve("pageidx-s001.jsonl")))
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val filters = Seq(EqualTo("h", "h0"), GreaterThanOrEqual("r", 50), LessThanOrEqual("r", 120))
+    val windows = graft.sources.dynamo.PageIndex.deriveWindows(filters, "h", "r")
+    def run(w: Seq[graft.sources.dynamo.PageIndex.KeyWindow]) =
+      (0 until 2).flatMap(seg => store.scanSegment("b", seg, 2, windows = w).map(_._1))
+        .filter(it => filters.forall(graft.sources.dynamo.FilterEval.eval(_, it)))
+        .map(it => it("r").asInstanceOf[AttrVal.N].v).toSet
+    assert(run(windows) === run(Nil))
+    assert(run(windows).size === 36) // even r in [50,120]
+  }
+
   test("a corrupted page directory degrades to a full read, never a failed or wrong one") {
     val root = Files.createTempDirectory("graft-corruptidx").toString
     val store = new LocalKVStore(root)
