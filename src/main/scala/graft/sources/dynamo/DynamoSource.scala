@@ -1273,12 +1273,16 @@ object DynamoScan {
         imageWal = partition.pinnedWal.map(_.toSet))
     else if (partition.viaIndex)
       store.scanIndexSegment(opts.tableName, opts.indexName.get,
-        partition.segment, partition.totalSegments)
+        partition.segment, partition.totalSegments,
+        windows = windows)
     else
       store.scanSegment(opts.tableName, partition.segment,
         partition.totalSegments, opts.asOfSeq,
         allowedWal = partition.pinnedWal.map(_.toSet),
-        windows = windows)
+        // windows derived for an INDEX view must never prune BASE
+        // pages (a base-fallback GSI read lands here with indexName
+        // set — its windows are in index-key space)
+        windows = if (opts.indexName.isEmpty) windows else Nil)
 
   /** The `Query`-shape window for a BASE-path read, or None: requires
     * a composite-key layout-2 table, no index view in the read (a
@@ -1292,9 +1296,20 @@ object DynamoScan {
     */
   def queryWindow(meta: TableMeta, opts: DynamoOptions,
       pushed: Array[Filter]): Seq[PageIndex.KeyWindow] =
-    if (opts.indexName.isDefined || meta.layout < 2) Nil
-    else meta.rangeKey.toSeq.flatMap(rk =>
-      PageIndex.deriveWindows(pushed.toSeq, meta.hashKey, rk))
+    opts.indexName match {
+      // GSI view: windows live in INDEX-key space — the materialized
+      // copy is sorted by (index hash, index sort key); partitionItems
+      // routes them to the copy read only (a base-fallback serve
+      // declines, see the scanSegment call site)
+      case Some(ixName) =>
+        meta.indexes.get(ixName).toSeq.flatMap(ix =>
+          ix.rangeKey.toSeq.flatMap(rk =>
+            PageIndex.deriveWindows(pushed.toSeq, ix.hashKey, rk)))
+      case None =>
+        if (meta.layout < 2) Nil
+        else meta.rangeKey.toSeq.flatMap(rk =>
+          PageIndex.deriveWindows(pushed.toSeq, meta.hashKey, rk))
+    }
 }
 
 final class DynamoScan(

@@ -414,23 +414,18 @@ final class LocalKVStore(root: String) {
       throw new IllegalArgumentException(s"no index '$name' on $table"))
     val stamp = indexBuildStamp(table)
     val dir = tableDir(table)
-    val writers = Array.tabulate(meta.shards) { i =>
-      Files.newBufferedWriter(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"), UTF_8)
-    }
+    val buf = Array.fill(meta.shards)(Vector.newBuilder[Item])
     val stats = Array.fill(meta.shards)(ShardStats.empty)
-    try scanSegment(table, 0, 1).map(_._1)
+    scanSegment(table, 0, 1).map(_._1)
       .flatMap(indexView(meta, ix, _))
       .foreach { it =>
         val is = indexShardOf(meta, it(ix.hashKey))
-        writers(is).write(ItemJson.write(it)); writers(is).write("\n")
+        buf(is) += it
         stats(is) = stats(is).widen(it)
       }
-    finally writers.foreach(_.close())
     (0 until meta.shards).foreach { i =>
-      Files.move(dir.resolve(f".gsi-$name-shard-$i%03d.jsonl.tmp"),
-        dir.resolve(f"gsi-$name-shard-$i%03d.jsonl"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // sorted copy + page directory — the GSI Query layout
+      writeIndexShardSorted(table, name, ix, i, buf(i).result())
       writeIndexZoneStats(table, name, i, stats(i))
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
@@ -525,21 +520,21 @@ final class LocalKVStore(root: String) {
             .toSeq.sortBy(_.getFileName.toString)
           finally st.close()
         }
-      val out = dir.resolve(f".gsi-$name-shard-$is%03d.jsonl.tmp")
-      val w = Files.newBufferedWriter(out, UTF_8)
+      // one index shard's items in memory (same bound as a base-shard
+      // compaction), sorted into the GSI Query layout + directory
+      val items = Vector.newBuilder[Item]
       var st = ShardStats.empty
-      try parts.foreach { p =>
+      parts.foreach { p =>
         val lines = Files.lines(p, UTF_8)
         try lines.iterator().asScala.filter(_.nonEmpty)
           .foreach { l =>
-            w.write(l); w.write("\n")
-            st = st.widen(ItemJson.parse(l))
+            val it = ItemJson.parse(l)
+            items += it
+            st = st.widen(it)
           }
         finally lines.close()
-      } finally w.close()
-      Files.move(out, dir.resolve(f"gsi-$name-shard-$is%03d.jsonl"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      writeIndexShardSorted(table, name, meta.indexes(name), is, items.result())
       writeIndexZoneStats(table, name, is, st)
     }
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
@@ -711,11 +706,32 @@ final class LocalKVStore(root: String) {
     * projected; placement is by index hash key).
     */
   def scanIndexSegment(table: String, name: String,
-      segment: Int, totalSegments: Int): Iterator[(Item, Int)] =
+      segment: Int, totalSegments: Int,
+      /** GSI Query windows (index hash pinned + index sort key
+        * bounded): copy pages provably outside every window are
+        * skipped — the same derived-data I/O skip as the base path,
+        * simpler soundness (a plain copy read has no journal
+        * overlay; the caller still evaluates its filters on every
+        * emitted item).
+        */
+      windows: Seq[PageIndex.KeyWindow] = Nil): Iterator[(Item, Int)] =
     listFiles(table, s"gsi-$name-shard-")
       .filter(p => gsiShardIndex(name, p) % totalSegments == segment)
       .iterator
-      .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
+      .flatMap { p =>
+        val paged =
+          if (windows.isEmpty) None
+          else {
+            val idxPath = p.resolveSibling(
+              f"gsi-pageidx-$name-s${gsiShardIndex(name, p)}%03d.jsonl")
+            PageIndex.load(idxPath, p).map { idx =>
+              PageIndex.readPages(p, idx.pages.filter(pg =>
+                windows.exists(PageIndex.intersects(pg, _))))
+            }
+          }
+        paged.getOrElse(
+          Files.readAllLines(p, UTF_8).asScala.iterator.filter(_.nonEmpty))
+      }
       .filter(_.nonEmpty)
       .map(line => (ItemJson.parse(line), line.length))
 
@@ -1549,10 +1565,30 @@ final class LocalKVStore(root: String) {
       }
     }
     val merged = items.sorted(ord)
-    // Page directory accumulates while writing; published only for
-    // composite-key tables under partition-key placement (layout 2 —
-    // the layout where one hash key's sort run is shard-contiguous).
-    val indexable = meta.rangeKey.isDefined && meta.layout >= 2
+    // Page directory published only for composite-key tables under
+    // partition-key placement (layout 2 — the layout where one hash
+    // key's sort run is shard-contiguous).
+    writePagedFile(
+      tmp = dir.resolve(f"compact-$shard%03d.tmp"),
+      finalPath = dir.resolve(f"shard-$shard%03d.jsonl"),
+      idxPath = dir.resolve(f"pageidx-s$shard%03d.jsonl"),
+      sorted = merged,
+      indexable = meta.rangeKey.isDefined && meta.layout >= 2,
+      hashOf = placementOf(meta, _),
+      rangeOf = it => it(meta.rangeKey.get))
+  }
+
+  /** Low-level sorted-base writer shared by the base and GSI-copy
+    * layouts: writes pre-sorted `sorted` to `finalPath` via tmp+move,
+    * accumulating the page directory keyed by (hashOf, rangeOf) while
+    * writing; `idxPath` is published when `indexable`, else cleared.
+    * The sidecar lands AFTER the base move: its recorded size must
+    * describe the live file (a crash between the two leaves no
+    * sidecar — a full read, not a wrong one).
+    */
+  private def writePagedFile(tmp: Path, finalPath: Path, idxPath: Path,
+      sorted: Vector[Item], indexable: Boolean,
+      hashOf: Item => String, rangeOf: Item => AttrVal): Unit = {
     val pages = Vector.newBuilder[PageIndex.Page]
     var fileOff = 0L
     var pOff = 0L; var pLen = 0L; var pCount = 0
@@ -1562,14 +1598,13 @@ final class LocalKVStore(root: String) {
       pages += PageIndex.Page(pOff, pLen, pMinH, pMaxH, pMinR, pMaxR)
       pCount = 0; pLen = 0
     }
-    val tmp = dir.resolve(f"compact-$shard%03d.tmp")
     val w = Files.newBufferedWriter(tmp, UTF_8)
-    try merged.foreach { it =>
+    try sorted.foreach { it =>
       val line = ItemJson.write(it)
       val bytes = line.getBytes(UTF_8).length + 1L
       if (indexable) {
-        val h = placementOf(meta, it)
-        val r = it(meta.rangeKey.get)
+        val h = hashOf(it)
+        val r = rangeOf(it)
         if (pCount == 0) { pOff = fileOff; pMinH = h; pMinR = r }
         pMaxH = h; pMaxR = r
         pCount += 1; pLen += bytes
@@ -1580,12 +1615,50 @@ final class LocalKVStore(root: String) {
       fileOff += bytes
     } finally w.close()
     closePage()
-    Files.move(tmp, dir.resolve(f"shard-$shard%03d.jsonl"),
+    Files.move(tmp, finalPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     if (indexable)
-      PageIndex.write(dir.resolve(f"pageidx-s$shard%03d.jsonl"),
-        PageIndex.ShardIndex(fileOff, pages.result()))
-    else Files.deleteIfExists(dir.resolve(f"pageidx-s$shard%03d.jsonl"))
+      PageIndex.write(idxPath, PageIndex.ShardIndex(fileOff, pages.result()))
+    else Files.deleteIfExists(idxPath)
+  }
+
+  /** One index-copy shard, sorted by (index hash key, typed index
+    * sort key) with its own page directory — the layout behind GSI
+    * Queries (`gsi-pageidx-<name>-sNNN.jsonl`; the `gsi-` prefix
+    * means every copy-invalidation path clears it with the copy).
+    * Directory published only when the index HAS a sort key and
+    * every projected item carries it (a sparse sort key would leave
+    * pages without comparable bounds — decline, full read).
+    */
+  private def writeIndexShardSorted(table: String, name: String,
+      ix: IndexMeta, shard: Int, items: Vector[Item]): Unit = {
+    val dir = tableDir(table)
+    val ord = new Ordering[Item] {
+      def compare(x: Item, y: Item): Int = {
+        val c = encKeyAttr(x(ix.hashKey)).compareTo(encKeyAttr(y(ix.hashKey)))
+        if (c != 0) c
+        else ix.rangeKey match {
+          case Some(rk) => (x.get(rk), y.get(rk)) match {
+            case (Some(a), Some(b)) => PageIndex.tryCompare(a, b)
+              .getOrElse(encKeyAttr(a).compareTo(encKeyAttr(b)))
+            case (None, Some(_)) => -1
+            case (Some(_), None) => 1
+            case _ => 0
+          }
+          case None => 0
+        }
+      }
+    }
+    val sorted = items.sorted(ord)
+    writePagedFile(
+      tmp = dir.resolve(f".gsi-$name-shard-$shard%03d.jsonl.tmp"),
+      finalPath = dir.resolve(f"gsi-$name-shard-$shard%03d.jsonl"),
+      idxPath = dir.resolve(f"gsi-pageidx-$name-s$shard%03d.jsonl"),
+      sorted = sorted,
+      indexable = ix.rangeKey.isDefined &&
+        sorted.forall(it => ix.rangeKey.forall(it.contains)),
+      hashOf = it => encKeyAttr(it(ix.hashKey)),
+      rangeOf = it => it(ix.rangeKey.get))
   }
 
   def compactShard(table: String, shard: Int,

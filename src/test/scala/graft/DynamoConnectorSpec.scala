@@ -3811,6 +3811,40 @@ class DynamoConnectorSpec extends AnyFunSuite {
       s"expected paged reads in both runs, scanned ${scan.metrics("itemsScanned").value}")
   }
 
+  test("GSI Query: index-sort-key window prunes the materialized copy's pages") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 6000 items, 4 categories (the GSI hash), score = the GSI range
+    val rows = for (i <- 0L until 6000L)
+      yield (i, s"cat${i % 4}", (i / 4) % 1500, s"pl-$i")
+    rows.toDF("id", "cat", "score", "payload").repartition(8)
+      .write.dynamo(root, "gq", "id")
+    val store = new LocalKVStore(root)
+    store.createIndex("gq", "by_cat",
+      IndexMeta("cat", Some("score"), Some(Seq("payload"))))
+    store.buildIndex("gq", "by_cat")
+    // directory sidecars exist for the copy
+    val ls = Files.list(java.nio.file.Paths.get(root, "gq"))
+    val nIdx = try ls.filter(p =>
+      p.getFileName.toString.startsWith("gsi-pageidx-by_cat-")).count()
+    finally ls.close()
+    assert(nIdx > 0, "index build should write page directories")
+    val df = spark.read.dynamoIndex(root, "gq", "by_cat")
+      .filter(col("cat") === "cat2" && col("score").between(100, 140))
+      .select("id", "cat", "score", "payload")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // cat2 = ids with i%4==2; score (i/4)%1500 in [100,140] → 41
+    // scores × 1 id each per 6000-item cycle
+    assert(got.length === 41)
+    assert(got.forall { case (id, s) => id % 4 == 2 && s >= 100 && s <= 140 })
+    // the owning index shard holds cat2's full 1500-item run; a
+    // 41-row window at ≤256-item pages reads ≤ 2 pages of it
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan")).getOrElse(fail("no BatchScan"))
+    assert(scan.metrics("itemsScanned").value <= 600,
+      s"expected a paged GSI read, scanned ${scan.metrics("itemsScanned").value}")
+  }
+
   test("key-pruned scans report shard-subset statistics (Query sides can auto-broadcast)") {
     val root = freshRoot()
     seedQueryTable(root, "qs")
