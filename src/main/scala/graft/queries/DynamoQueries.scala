@@ -106,6 +106,16 @@ object DynamoQueries {
       // read touching one index shard), not the base-scan fallback.
       if (!store.indexFresh("customer", "by_segment"))
         DynamoMaintenance.buildIndex(s, root, "customer", "by_segment")
+      // COMPOSITE GSI (hash c_mktsegment, range c_acctbal): the copy
+      // is range-sorted with page directories, so an index-hash pin +
+      // sort-key bound is a GSI Query — q_dyn_gsi_query reads only
+      // the matching copy pages.
+      if (!store.describe("customer").indexes.contains("by_seg_bal")) {
+        store.createIndex("customer", "by_seg_bal",
+          IndexMeta("c_mktsegment", Some("c_acctbal"), Some(Seq("c_name"))))
+      }
+      if (!store.indexFresh("customer", "by_seg_bal"))
+        DynamoMaintenance.buildIndex(s, root, "customer", "by_seg_bal")
     }
     root
   }
@@ -405,6 +415,19 @@ object DynamoQueries {
         .orderBy("doc_id")
     }),
 
+    // GSI Query (composite index: hash c_mktsegment, range
+    // c_acctbal): the index-hash pin plans the owning INDEX shard and
+    // the sort-key bound prunes the sorted copy's pages — DynamoDB's
+    // `Query` against a GSI, at O(matching pages) I/O.
+    "q_dyn_gsi_query" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      s.read.dynamoIndex(root, "customer", "by_seg_bal")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_acctbal").between(1000.0, 3000.0))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // Range-keyed scan (composite primary key): hash-key predicate +
     // range predicate + non-key filter, all pushed to the store scan.
     "q_dyn_range" -> ((s, dir) => {
@@ -683,6 +706,11 @@ object DynamoQueries {
         |FROM orders WHERE o_custkey = 37
         |  AND o_orderkey BETWEEN 100 AND 100000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dyn_gsi_query" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_acctbal BETWEEN 1000.0 AND 3000.0
+        |ORDER BY c_custkey""".stripMargin,
     "q_dyn_query_topn" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey = 37 AND o_orderkey >= 100
