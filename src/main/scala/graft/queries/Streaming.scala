@@ -143,9 +143,12 @@ object Streaming {
         .partitionBy("user_id").orderBy("ts", "event_id")
       val sess = e
         .withColumn("prev", lag("ts", 1).over(w))
+        // microsecond-exact gap: cast("long") would truncate to
+        // seconds and disagree with the interval-exact oracle on
+        // sub-second boundaries (bit at sf0.1)
         .withColumn("new_sess",
           when(col("prev").isNull ||
-            col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("sid", sum("new_sess").over(w))
         .withColumn("rn", row_number().over(

@@ -105,7 +105,7 @@ class CrossQuerySpec extends AnyFunSuite {
       .withColumn("prev", lag("ts", 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800L * 1000000L, 1L)
           .otherwise(0L))
       .agg(sum("new_sess")).collect().head.getLong(0)
     assert(nSessions === sessions)
