@@ -724,9 +724,9 @@ final class LocalKVStore(root: String) {
           else {
             val idxPath = p.resolveSibling(
               f"gsi-pageidx-$name-s${gsiShardIndex(name, p)}%03d.jsonl")
-            PageIndex.load(idxPath, p).map { idx =>
+            PageIndex.load(idxPath, p).flatMap { idx =>
               PageIndex.readPages(p, idx.pages.filter(pg =>
-                windows.exists(PageIndex.intersects(pg, _))))
+                windows.exists(PageIndex.intersects(pg, _))), idx.fileBytes)
             }
           }
         paged.getOrElse(
@@ -1480,9 +1480,9 @@ final class LocalKVStore(root: String) {
         else {
           val idxPath = p.resolveSibling(
             f"pageidx-s${shardIndex(p)}%03d.jsonl")
-          PageIndex.load(idxPath, p).map { idx =>
+          PageIndex.load(idxPath, p).flatMap { idx =>
             PageIndex.readPages(p, idx.pages.filter(pg =>
-              windows.exists(PageIndex.intersects(pg, _))))
+              windows.exists(PageIndex.intersects(pg, _))), idx.fileBytes)
           }
         }
       paged.getOrElse(

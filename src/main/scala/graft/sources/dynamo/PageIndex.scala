@@ -295,9 +295,18 @@ object PageIndex {
   /** Read only the selected pages' lines from the base file — the
     * sub-shard I/O skip itself. Pages are line-aligned by
     * construction; adjacent selected pages coalesce into one read.
+    *
+    * `expectedBytes` re-validates the file's size ON THE OPEN CHANNEL
+    * (`None` = mismatch, caller falls back to a full read): a
+    * compaction/rebuild swapping the file between [[load]]'s
+    * validation and the open here would otherwise serve new bytes at
+    * old offsets. Once the channel is open the inode is pinned —
+    * an atomic swap after that leaves us reading the (consistent)
+    * old file the directory describes.
     */
-  def readPages(basePath: Path, pages: Seq[Page]): Iterator[String] = {
-    if (pages.isEmpty) return Iterator.empty
+  def readPages(basePath: Path, pages: Seq[Page],
+      expectedBytes: Long): Option[Iterator[String]] = {
+    if (pages.isEmpty) return Some(Iterator.empty)
     // coalesce adjacent byte ranges so a wide window is one seek —
     // capped at 8 MiB per run, so a window covering most of a shard
     // reads in bounded buffers instead of one shard-sized allocation
@@ -314,13 +323,14 @@ object PageIndex {
     val ch = java.nio.channels.FileChannel.open(basePath,
       java.nio.file.StandardOpenOption.READ)
     try {
-      runs.iterator.flatMap { case (off, len) =>
+      if (ch.size() != expectedBytes) return None // swapped under us — full read
+      Some(runs.iterator.flatMap { case (off, len) =>
         val buf = java.nio.ByteBuffer.allocate(len.toInt)
         ch.position(off)
         while (buf.hasRemaining && ch.read(buf) >= 0) ()
         new String(buf.array(), 0, buf.position(), UTF_8)
           .split('\n').iterator.filter(_.nonEmpty)
-      }.toVector.iterator // materialize within channel scope (bounded by selected pages)
+      }.toVector.iterator) // materialize within channel scope (bounded by selected pages)
     } finally ch.close()
   }
 }
