@@ -200,6 +200,16 @@ class PlanSpec extends AnyFunSuite {
       p.sliding("rangepartitioning".length).count(_.equalsIgnoreCase("rangepartitioning")))
   }
 
+  test("graph queries: keyed equi-joins only — no cartesian, no nested loop") {
+    Seq("q_graph_pagerank", "q_graph_communities").foreach { k =>
+      val df = SparkEntry.queries(k)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k:\n$p")
+    }
+  }
+
   test("q_events_attribution: one keyed window, no per-purchase join probe") {
     val df = SparkEntry.queries("q_events_attribution")(spark, sf)
     df.collect()
