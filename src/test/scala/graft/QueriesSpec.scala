@@ -34,6 +34,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY §2B key inventory matches SparkEntry.queries exactly") {
+    // the driver's coverage check walks SURVEY's rows 1:1 against the
+    // queries map — catch drift here, not in the next verdict
+    val src = scala.io.Source.fromFile("SURVEY.md")
+    val survey = try src.getLines()
+      .flatMap(l => "^\\| `(q_[a-z0-9_]+)`".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    finally src.close()
+    val qs = SparkEntry.queries.keySet
+    assert((survey -- qs).isEmpty, s"SURVEY rows without a query: ${survey -- qs}")
+    assert((qs -- survey).isEmpty, s"queries without a SURVEY row: ${qs -- survey}")
+  }
+
   test("every declared query runs and every oracle key exists") {
     val qs = SparkEntry.queries
     val missing = SparkEntry.oracleSql.keySet -- qs.keySet
