@@ -37,7 +37,7 @@ class QueriesSpec extends AnyFunSuite {
   test("SURVEY §2B key inventory matches SparkEntry.queries exactly") {
     // the driver's coverage check walks SURVEY's rows 1:1 against the
     // queries map — catch drift here, not in the next verdict
-    val src = scala.io.Source.fromFile("SURVEY.md")
+    val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
     val survey = try src.getLines()
       .flatMap(l => "^\\| `(q_[a-z0-9_]+)`".r.findFirstMatchIn(l).map(_.group(1)))
       .toSet
