@@ -130,8 +130,10 @@ object Joins {
     // feature-timestamp → outcome lookup that builds training labels
     // without leaking the past. Same single keyed-window shape as the
     // backward as-of, mirrored frame (currentRow .. unboundedFollowing
-    // with first/ignoreNulls); purchases sort before clicks at equal
-    // ts so the inclusive bound holds.
+    // with first/ignoreNulls) AND mirrored tie-break: clicks sort
+    // before purchases at equal ts, so an equal-ts purchase sits at or
+    // after the click's row position and the inclusive p.ts >= c.ts
+    // bound holds.
     "q_join_asof_fwd" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Fixtures.events(s, dir)
@@ -139,7 +141,7 @@ object Joins {
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
                 when(col("event_type") === "purchase", col("ts")).as("purch_ts"))
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), when(col("event_type") === "purchase", 0).otherwise(1),
+        .orderBy(col("ts"), when(col("event_type") === "purchase", 1).otherwise(0),
                  col("event_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       ev.withColumn("next_purchase_ts", first("purch_ts", ignoreNulls = true).over(w))
