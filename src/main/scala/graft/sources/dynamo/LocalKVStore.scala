@@ -414,20 +414,39 @@ final class LocalKVStore(root: String) {
       throw new IllegalArgumentException(s"no index '$name' on $table"))
     val stamp = indexBuildStamp(table)
     val dir = tableDir(table)
-    val buf = Array.fill(meta.shards)(Vector.newBuilder[Item])
+    // Spill per-shard to unsorted tmp files, then sort+write ONE shard
+    // at a time — the in-memory bound is one index shard (the same
+    // bound compaction and finishIndexBuild honor), never the whole
+    // table. Dot-prefixed dir: invisible to every `listFiles` prefix.
+    val tmp = dir.resolve(s".gsi-build-$name")
+    Files.createDirectories(tmp)
     val stats = Array.fill(meta.shards)(ShardStats.empty)
-    scanSegment(table, 0, 1).map(_._1)
+    val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+    try scanSegment(table, 0, 1).map(_._1)
       .flatMap(indexView(meta, ix, _))
       .foreach { it =>
         val is = indexShardOf(meta, it(ix.hashKey))
-        buf(is) += it
+        val w = writers.getOrElseUpdate(is, Files.newBufferedWriter(
+          tmp.resolve(f"part-$is%03d.jsonl"), UTF_8))
+        w.write(ItemJson.write(it)); w.write("\n")
         stats(is) = stats(is).widen(it)
       }
+    finally writers.values.foreach(_.close())
     (0 until meta.shards).foreach { i =>
+      val part = tmp.resolve(f"part-$i%03d.jsonl")
+      val items = Vector.newBuilder[Item]
+      if (Files.isRegularFile(part)) {
+        val lines = Files.lines(part, UTF_8)
+        try lines.iterator().asScala.filter(_.nonEmpty)
+          .foreach(l => items += ItemJson.parse(l))
+        finally lines.close()
+        Files.deleteIfExists(part)
+      }
       // sorted copy + page directory — the GSI Query layout
-      writeIndexShardSorted(table, name, ix, i, buf(i).result())
+      writeIndexShardSorted(table, name, ix, i, items.result())
       writeIndexZoneStats(table, name, i, stats(i))
     }
+    Files.deleteIfExists(tmp)
     val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
     Files.write(mTmp, stamp.getBytes(UTF_8))
     Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
@@ -726,14 +745,37 @@ final class LocalKVStore(root: String) {
               f"gsi-pageidx-$name-s${gsiShardIndex(name, p)}%03d.jsonl")
             PageIndex.load(idxPath, p).flatMap { idx =>
               PageIndex.readPages(p, idx.pages.filter(pg =>
-                windows.exists(PageIndex.intersects(pg, _))), idx.fileBytes)
+                windows.exists(PageIndex.intersects(pg, _))),
+                idx.fileBytes, idx.mtimeNanos)
             }
           }
-        paged.getOrElse(
-          Files.readAllLines(p, UTF_8).asScala.iterator.filter(_.nonEmpty))
+        paged.getOrElse(streamLines(p))
       }
       .filter(_.nonEmpty)
       .map(line => (ItemJson.parse(line), line.length))
+
+  /** Stream a shard file's non-empty lines with O(line) per-task
+    * memory (the whole-file `readAllLines` form buffers the shard in
+    * heap). The reader closes on exhaustion; an early-terminated
+    * consumer (limit pushdown) is covered by the task-completion hook
+    * when inside a Spark task. Shard publication is an atomic
+    * same-directory rename, so the open pins one consistent inode.
+    */
+  private def streamLines(p: Path): Iterator[String] = {
+    val r = Files.newBufferedReader(p, UTF_8)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => r.close()))
+    new Iterator[String] {
+      private var line: String = r.readLine()
+      override def hasNext: Boolean = line != null
+      override def next(): String = {
+        val l = line
+        line = r.readLine()
+        if (line == null) r.close()
+        l
+      }
+    }.filter(_.nonEmpty)
+  }
 
   private def gsiShardIndex(name: String, p: Path): Int =
     p.getFileName.toString
@@ -857,26 +899,43 @@ final class LocalKVStore(root: String) {
 
   // ---- bulk load (fixture → store) ----
 
-  /** Local fixture loader (driver-side; buffers one table in memory —
-    * the distributed ingest path is the connector write + compaction).
-    * Writes the same sorted bases + page directories compaction does,
-    * so Query-shape reads are paged immediately after a bulk load.
+  /** Local fixture loader (driver-side; the distributed ingest path is
+    * the connector write + compaction). Spills per-shard to unsorted
+    * tmp files, then sorts+writes one shard at a time, so the
+    * in-memory bound is one shard — never the whole table. Writes the
+    * same sorted bases + page directories compaction does, so
+    * Query-shape reads are paged immediately after a bulk load.
     */
   def bulkLoad(table: String, meta: TableMeta, items: Iterator[Item]): Unit = {
     createTable(table, meta)
     deleteIndexFiles(table) // full rewrite: any materialized copy is stale
     listFiles(table, "pageidx-").foreach(Files.deleteIfExists(_))
     val dir = tableDir(table)
-    val buf = Array.fill(meta.shards)(Vector.newBuilder[Item])
+    val tmp = dir.resolve(".load-tmp") // dot-prefixed: invisible to listings
+    Files.createDirectories(tmp)
     val stats = Array.fill(meta.shards)(ShardStats.empty)
-    items.foreach { it =>
+    val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
+    try items.foreach { it =>
       val sh = shardOf(meta, it)
-      buf(sh) += it
+      val w = writers.getOrElseUpdate(sh, Files.newBufferedWriter(
+        tmp.resolve(f"part-$sh%03d.jsonl"), UTF_8))
+      w.write(ItemJson.write(it)); w.write("\n")
       stats(sh) = stats(sh).widen(it)
     }
+    finally writers.values.foreach(_.close())
     (0 until meta.shards).foreach { i =>
-      writeSortedShard(table, meta, i, buf(i).result())
+      val part = tmp.resolve(f"part-$i%03d.jsonl")
+      val shardItems = Vector.newBuilder[Item]
+      if (Files.isRegularFile(part)) {
+        val lines = Files.lines(part, UTF_8)
+        try lines.iterator().asScala.filter(_.nonEmpty)
+          .foreach(l => shardItems += ItemJson.parse(l))
+        finally lines.close()
+        Files.deleteIfExists(part)
+      }
+      writeSortedShard(table, meta, i, shardItems.result())
     }
+    Files.deleteIfExists(tmp)
     stats.zipWithIndex.foreach { case (st, i) =>
       Files.write(dir.resolve(f"zstat-shard-s$i%03d.json"),
         ShardStats.toJson(st).getBytes(UTF_8))
@@ -1465,9 +1524,9 @@ final class LocalKVStore(root: String) {
     val seen = mutable.HashSet.empty[String]
     val shardFiles = listFiles(table, "shard-")
       .filter(p => shardIndex(p) % totalSegments == segment)
-    // One shard file ≈ one partition's worth of items, so materializing
-    // its lines is bounded by partition sizing; avoids leaking the
-    // Files.lines handle held by a lazily-drained iterator.
+    // Both arms stream with bounded per-task memory: the paged read
+    // decodes one coalesced run (≤8 MiB) at a time, the full read one
+    // line at a time (`streamLines`).
     // Under a Query window with a VALID page directory, only the
     // intersecting pages' bytes are read — sub-shard pruning. Keys in
     // skipped pages are outside the window by construction; their
@@ -1482,11 +1541,11 @@ final class LocalKVStore(root: String) {
             f"pageidx-s${shardIndex(p)}%03d.jsonl")
           PageIndex.load(idxPath, p).flatMap { idx =>
             PageIndex.readPages(p, idx.pages.filter(pg =>
-              windows.exists(PageIndex.intersects(pg, _))), idx.fileBytes)
+              windows.exists(PageIndex.intersects(pg, _))),
+              idx.fileBytes, idx.mtimeNanos)
           }
         }
-      paged.getOrElse(
-        Files.readAllLines(p, UTF_8).asScala.iterator.filter(_.nonEmpty))
+      paged.getOrElse(streamLines(p))
     }.flatMap { line =>
       val item = ItemJson.parse(line)
       val k = keyOf(meta, item)
@@ -1615,10 +1674,15 @@ final class LocalKVStore(root: String) {
       fileOff += bytes
     } finally w.close()
     closePage()
+    // same-directory rename: ATOMIC_MOVE is supported everywhere this
+    // runs and keeps a concurrent reader from observing a half-copied
+    // file on filesystems where a plain move degrades to copy+delete
     Files.move(tmp, finalPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (indexable)
-      PageIndex.write(idxPath, PageIndex.ShardIndex(fileOff, pages.result()))
+      PageIndex.write(idxPath, PageIndex.ShardIndex(fileOff,
+        PageIndex.mtimeNanosOf(finalPath), pages.result()))
     else Files.deleteIfExists(idxPath)
   }
 

@@ -34,11 +34,13 @@ import graft.sources.dynamo.ItemJson.Item
   * the window always have their base page read, so present-form
   * resolution (UPDATE over base) is never short-circuited.
   *
-  * Staleness: the sidecar records the base file's byte size; any
-  * rewrite path that does not refresh it (bulk load, reshard,
+  * Staleness: the sidecar records the base file's byte size AND its
+  * publish mtime (nanosecond precision) — a generation stamp, so even
+  * a rewrite that happens to preserve the byte size is detected; any
+  * rewrite path that does not refresh the sidecar (bulk load, reshard,
   * truncate) deletes it outright, and readers additionally ignore a
-  * sidecar whose recorded size disagrees with the file — a stale
-  * directory degrades to a full-shard read, never a wrong one.
+  * sidecar whose recorded size or stamp disagrees with the file — a
+  * stale directory degrades to a full-shard read, never a wrong one.
   */
 object PageIndex {
 
@@ -58,7 +60,8 @@ object PageIndex {
   final case class Page(off: Long, len: Long,
       minH: String, maxH: String, minR: AttrVal, maxR: AttrVal)
 
-  final case class ShardIndex(fileBytes: Long, pages: Vector[Page])
+  final case class ShardIndex(fileBytes: Long, mtimeNanos: Long,
+      pages: Vector[Page])
 
   /** The qualifying key window of a Query-shaped filter set: hash key
     * pinned to one value, sort key optionally bounded. `None` bounds
@@ -245,11 +248,19 @@ object PageIndex {
 
   // ---- sidecar I/O (ItemJson lines: header, then one line per page) ----
 
+  /** Base-file generation stamp: last-modified time at nanosecond
+    * precision (millis would make two same-size rewrites within one
+    * tick indistinguishable on filesystems that store finer mtimes).
+    */
+  def mtimeNanosOf(p: Path): Long =
+    Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+
   def write(path: Path, idx: ShardIndex): Unit = {
     val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
     val sb = new StringBuilder()
     sb.append(ItemJson.write(Map(
-      "fileBytes" -> AttrVal.N(BigDecimal(idx.fileBytes))))).append('\n')
+      "fileBytes" -> AttrVal.N(BigDecimal(idx.fileBytes)),
+      "mtime" -> AttrVal.N(BigDecimal(idx.mtimeNanos))))).append('\n')
     idx.pages.foreach { p =>
       sb.append(ItemJson.write(Map(
         "off" -> AttrVal.N(BigDecimal(p.off)),
@@ -263,8 +274,13 @@ object PageIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Load and VALIDATE against the live base file: a recorded size
-    * that disagrees (any unrefreshed rewrite) discards the directory.
+  /** Load and VALIDATE against the live base file: a recorded size OR
+    * mtime that disagrees (any unrefreshed rewrite) discards the
+    * directory — the mtime stamp makes a same-size swap (which a
+    * size-only check would accept, serving old offsets against new
+    * bytes) structurally detectable, not just improbable. Sidecars
+    * from before the stamp existed carry no mtime and are discarded
+    * the same way (they self-heal at the next compaction).
     * A sidecar that fails to PARSE is discarded the same way (full
     * read) rather than failing the scan: the directory is derived
     * data — publication is atomic (tmp+move), so a malformed file is
@@ -282,34 +298,40 @@ object PageIndex {
     def s(it: Item, k: String): Option[String] = it.get(k).collect { case AttrVal.S(v) => v }
     val header = ItemJson.parse(lines.head)
     val recorded = n(header, "fileBytes").getOrElse(return None)
+    val recordedMtime = n(header, "mtime").getOrElse(return None)
     if (recorded != Files.size(basePath)) return None
+    if (recordedMtime != mtimeNanosOf(basePath)) return None
     val pages = lines.tail.map { ln =>
       val it = ItemJson.parse(ln)
       Page(n(it, "off").getOrElse(return None), n(it, "len").getOrElse(return None),
         s(it, "minH").getOrElse(return None), s(it, "maxH").getOrElse(return None),
         it.getOrElse("minR", return None), it.getOrElse("maxR", return None))
     }
-    Some(ShardIndex(recorded, pages.toVector))
+    Some(ShardIndex(recorded, recordedMtime, pages.toVector))
   }
 
   /** Read only the selected pages' lines from the base file — the
     * sub-shard I/O skip itself. Pages are line-aligned by
     * construction; adjacent selected pages coalesce into one read.
     *
-    * `expectedBytes` re-validates the file's size ON THE OPEN CHANNEL
-    * (`None` = mismatch, caller falls back to a full read): a
+    * `expectedBytes`/`expectedMtime` re-validate the file ON THE OPEN
+    * CHANNEL (`None` = mismatch, caller falls back to a full read): a
     * compaction/rebuild swapping the file between [[load]]'s
     * validation and the open here would otherwise serve new bytes at
-    * old offsets. Once the channel is open the inode is pinned —
-    * an atomic swap after that leaves us reading the (consistent)
-    * old file the directory describes.
+    * old offsets. Once the channel is open the inode is pinned — an
+    * atomic swap after that leaves us reading the (consistent) old
+    * file the directory describes, so the returned iterator can be
+    * LAZY: runs decode one at a time (≤8 MiB buffers), per-task
+    * memory is O(run) not O(window). The channel closes when the
+    * iterator exhausts; an early-terminated consumer (limit pushdown)
+    * is covered by the task-completion hook registered when a Spark
+    * task context is present.
     */
   def readPages(basePath: Path, pages: Seq[Page],
-      expectedBytes: Long): Option[Iterator[String]] = {
+      expectedBytes: Long, expectedMtime: Long): Option[Iterator[String]] = {
     if (pages.isEmpty) return Some(Iterator.empty)
     // coalesce adjacent byte ranges so a wide window is one seek —
-    // capped at 8 MiB per run, so a window covering most of a shard
-    // reads in bounded buffers instead of one shard-sized allocation
+    // capped at 8 MiB per run, bounding each decode buffer
     val maxRunBytes = 8L * 1024 * 1024
     val sorted = pages.sortBy(_.off)
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -320,17 +342,29 @@ object PageIndex {
         case _ => runs += ((p.off, p.len))
       }
     }
+    if (mtimeNanosOf(basePath) != expectedMtime)
+      return None // swapped since load() — full read
     val ch = java.nio.channels.FileChannel.open(basePath,
       java.nio.file.StandardOpenOption.READ)
-    try {
-      if (ch.size() != expectedBytes) return None // swapped under us — full read
-      Some(runs.iterator.flatMap { case (off, len) =>
-        val buf = java.nio.ByteBuffer.allocate(len.toInt)
-        ch.position(off)
-        while (buf.hasRemaining && ch.read(buf) >= 0) ()
-        new String(buf.array(), 0, buf.position(), UTF_8)
-          .split('\n').iterator.filter(_.nonEmpty)
-      }.toVector.iterator) // materialize within channel scope (bounded by selected pages)
-    } finally ch.close()
+    if (ch.size() != expectedBytes) { ch.close(); return None }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => if (ch.isOpen) ch.close()))
+    val runIt = runs.iterator
+    Some(new Iterator[String] {
+      private var cur: Iterator[String] = Iterator.empty
+      private def advance(): Unit = {
+        while (!cur.hasNext && runIt.hasNext) {
+          val (off, len) = runIt.next()
+          val buf = java.nio.ByteBuffer.allocate(len.toInt)
+          ch.position(off)
+          while (buf.hasRemaining && ch.read(buf) >= 0) ()
+          cur = new String(buf.array(), 0, buf.position(), UTF_8)
+            .split('\n').iterator.filter(_.nonEmpty)
+        }
+        if (!cur.hasNext && !runIt.hasNext && ch.isOpen) ch.close()
+      }
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): String = { advance(); cur.next() }
+    })
   }
 }

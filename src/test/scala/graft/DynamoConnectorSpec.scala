@@ -3881,4 +3881,43 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(paged.length === 101)
     assert(paged.map(_._2) === (1400L to 1500L))
   }
+
+  test("page directory: a SAME-SIZE base rewrite invalidates the sidecar (generation stamp)") {
+    val root = freshRoot()
+    seedQueryTable(root, "qg")
+    val dir = java.nio.file.Paths.get(root, "qg")
+    val ls = Files.list(dir)
+    val base = try ls.filter(_.getFileName.toString.startsWith("shard-"))
+      .filter(p => Files.size(p) > 0).findFirst().get()
+    finally ls.close()
+    val shard = base.getFileName.toString.stripPrefix("shard-")
+      .stripSuffix(".jsonl").toInt
+    val idxPath = dir.resolve(f"pageidx-s$shard%03d.jsonl")
+    assert(graft.sources.dynamo.PageIndex.load(idxPath, base).isDefined,
+      "fresh sidecar should validate")
+    // Rewrite the base with IDENTICAL byte size but different content
+    // (swap two bytes): a size-only check would accept the stale
+    // directory and serve old offsets against new bytes
+    val bytes = Files.readAllBytes(base)
+    val i = bytes.indexOf('p'.toByte)
+    bytes(i) = 'X'
+    Files.write(base, bytes)
+    assert(Files.size(base) === bytes.length.toLong)
+    assert(graft.sources.dynamo.PageIndex.load(idxPath, base).isEmpty,
+      "same-size rewrite must discard the directory via the mtime stamp")
+  }
+
+  test("page directory: a window covering the whole shard streams the full shard") {
+    val root = freshRoot()
+    seedQueryTable(root, "qw")
+    // window [0, 10000] covers every row of hash 'b' — the lazy per-run
+    // paged read must return exactly the rows a full read would
+    val df = spark.read.dynamo(root, "qw")
+      .filter(col("k") === "b" && col("r").between(0, 10000))
+      .select("k", "r", "payload").orderBy("r")
+    val got = df.collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.length === 1500)
+    assert(got.map(_._1).toSeq === (1L to 1500L))
+    assert(got.forall { case (r, p) => p == s"payload-b-$r" })
+  }
 }
