@@ -809,6 +809,12 @@ final class DynamoScanBuilder(
             // copy, so groups remain confined to one index shard.
             case LocalKVStore.IndexDelta(_, bytes) =>
               bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
+            // write-through: copy + index journal is exact for the
+            // applied prefix (zero overlay work); only the un-applied
+            // suffix needs the delta budget. Journal images place by
+            // the same index-hash function, so grouped claims hold.
+            case LocalKVStore.IndexJournal(_, _, bytes, _) =>
+              bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
             case LocalKVStore.IndexStale => false
           }
         }
@@ -1204,6 +1210,11 @@ final case class DynamoInputPartition(
       * touched-key set) the copy has not folded. Empty = exact copy.
       */
     deltaFiles: Seq[String] = Nil,
+    /** Write-through index journal (round files) pinned at planning —
+      * the copy+journal composition every task replays identically.
+      * Empty = no journal tier in this serve.
+      */
+    journalFiles: Seq[String] = Nil,
     /** `consistentScan`: the journal-file listing captured ONCE at
       * planning — every task (and every task RETRY) replays exactly
       * this set. None = live listing at execution (the default,
@@ -1270,11 +1281,13 @@ object DynamoScan {
     if (partition.viaIndex && partition.deltaFiles.nonEmpty)
       store.scanIndexSegmentDelta(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments, partition.deltaFiles,
-        imageWal = partition.pinnedWal.map(_.toSet))
+        imageWal = partition.pinnedWal.map(_.toSet),
+        journalRounds = partition.journalFiles)
     else if (partition.viaIndex)
       store.scanIndexSegment(opts.tableName, opts.indexName.get,
         partition.segment, partition.totalSegments,
-        windows = windows)
+        windows = windows,
+        journalRounds = partition.journalFiles)
     else
       store.scanSegment(opts.tableName, partition.segment,
         partition.totalSegments, opts.asOfSeq,
@@ -1712,6 +1725,8 @@ final class DynamoScan(
             case LocalKVStore.IndexExact => true
             case LocalKVStore.IndexDelta(_, bytes) =>
               bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
+            case LocalKVStore.IndexJournal(_, _, bytes, _) =>
+              bytes <= opts.gsiDeltaMaxBytes && opts.gsiDeltaMaxBytes > 0
             case LocalKVStore.IndexStale => false
           }))
       if (serve && meta.indexes.contains(ixName)) {
@@ -1721,10 +1736,20 @@ final class DynamoScan(
         // snapshot serves alone, today's eventually-consistent
         // behavior; a delta found here overlays even if it outgrew
         // the negotiation-time budget (more work, still exact).
-        val deltaListed: Seq[String] = freshness match {
-          case LocalKVStore.IndexDelta(files, _) => files
-          case _ => Nil
-        }
+        // Write-through tier: pin the journal round files alongside
+        // the (usually empty) un-applied delta. Under a consistentScan
+        // PIN the journal is DECLINED outright — rounds may fold WAL
+        // files published after the pin listing, and a round file
+        // cannot be partially stripped — falling back to the copy +
+        // the pin-intersected post-BUILD delta (exactly the pre-
+        // journal pinned behavior, still one-listing-consistent).
+        val (journalRounds: Seq[String], deltaListed: Seq[String]) =
+          freshness match {
+            case LocalKVStore.IndexDelta(files, _) => (Nil, files)
+            case LocalKVStore.IndexJournal(rounds, delta, _, buildDelta) =>
+              if (pin.isDefined) (Nil, buildDelta) else (rounds, delta)
+            case _ => (Nil, Nil)
+          }
         // consistentScan: the pin and the freshness delta come from
         // two directory listings, and a WAL file published between
         // them would sit in the delta but not the pin — overlaying it
@@ -1765,6 +1790,7 @@ final class DynamoScan(
             return live.toArray.sorted.map(sh =>
               DynamoInputPartition(sh, meta.shards, rate,
                 viaIndex = true, deltaFiles = delta,
+                journalFiles = journalRounds,
                 pinnedWal = pin): InputPartition)
           case None =>
             val all = (0 until meta.shards).toSet
@@ -1776,13 +1802,15 @@ final class DynamoScan(
               return live.toArray.sorted.map(sh =>
                 DynamoInputPartition(sh, meta.shards, rate,
                   viaIndex = true, deltaFiles = delta,
+                  journalFiles = journalRounds,
                   pinnedWal = pin): InputPartition)
             }
             val n = fullScanSegments(store, meta)
             val rate = math.max(0.1, opts.targetCapacity * throughput / n)
             return Array.tabulate(n)(i =>
               DynamoInputPartition(i, n, rate, viaIndex = true,
-                deltaFiles = delta, pinnedWal = pin))
+                deltaFiles = delta, journalFiles = journalRounds,
+                pinnedWal = pin))
         }
       }
     }

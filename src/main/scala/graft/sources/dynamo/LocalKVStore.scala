@@ -447,11 +447,28 @@ final class LocalKVStore(root: String) {
       writeIndexZoneStats(table, name, i, stats(i))
     }
     Files.deleteIfExists(tmp)
-    val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
-    Files.write(mTmp, stamp.getBytes(UTF_8))
-    Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // publish under the table lock, clearing any write-through journal
+    // first: rounds were derived RELATIVE TO the old copy — replaying
+    // them over the rebuilt one (which already folded their writes)
+    // would regress keys to older images. The lock serializes this
+    // against a concurrent applier round.
+    underTxnLock(table) {
+      dropIndexJournal(table, name)
+      val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
+      Files.write(mTmp, stamp.getBytes(UTF_8))
+      Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Remove one index's write-through journal (rounds + applied
+    * marker) — every path that republishes the copy from scratch must
+    * call this BEFORE its new build marker lands.
+    */
+  private def dropIndexJournal(table: String, name: String): Unit = {
+    Files.deleteIfExists(tableDir(table).resolve(s"gsi-applied-$name.meta"))
+    listRoundFiles(table, name).foreach(Files.deleteIfExists(_))
   }
 
   // ---- per-index-shard zone maps ----
@@ -556,13 +573,17 @@ final class LocalKVStore(root: String) {
       writeIndexShardSorted(table, name, meta.indexes(name), is, items.result())
       writeIndexZoneStats(table, name, is, st)
     }
-    val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
-    val payload =
-      if (stamp.contains(' ')) stamp else s"$stamp ${meta.shards}"
-    Files.write(mTmp, payload.getBytes(UTF_8))
-    Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // same journal-clearing rule as the local build (see buildIndex)
+    underTxnLock(table) {
+      dropIndexJournal(table, name)
+      val mTmp = dir.resolve(s".gsi-$name.meta.tmp")
+      val payload =
+        if (stamp.contains(' ')) stamp else s"$stamp ${meta.shards}"
+      Files.write(mTmp, payload.getBytes(UTF_8))
+      Files.move(mTmp, dir.resolve(s"gsi-$name.meta"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     if (Files.isDirectory(tmp)) {
       val st = Files.list(tmp)
       try st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
@@ -619,10 +640,250 @@ final class LocalKVStore(root: String) {
     val files = listFiles(table, "wal-")
     if (files.count(walPubSeq(_) <= foldedMax) != belowCount)
       return LocalKVStore.IndexStale
-    val delta = files.filter(walPubSeq(_) > foldedMax)
+    val buildDelta = files.filter(walPubSeq(_) > foldedMax)
       .sortBy(_.getFileName.toString)
-    LocalKVStore.IndexDelta(
-      delta.map(_.getFileName.toString), delta.map(Files.size(_)).sum)
+    // Write-through tier: a valid applied marker proves the index
+    // journal (round files) covers exactly the WAL files at or below
+    // `appliedSeq` — serve copy + rounds with only the POST-applied
+    // suffix as overlay (usually empty: the applier runs at publish).
+    // Every guard failure degrades to the build-based delta, never a
+    // wrong serve; the count guards mirror the build marker's
+    // (same-millisecond pubSeq collisions demote instead of hiding).
+    appliedMarker(table, name) match {
+      case Some((aSeq, aCount, aWm, nRounds))
+          if aWm == wm && aSeq >= foldedMax &&
+            files.count(walPubSeq(_) <= aSeq) == aCount =>
+        val rounds = listRoundFiles(table, name)
+          .filter(roundSeq(_, name) <= aSeq).sortBy(_.getFileName.toString)
+        if (rounds.size == nRounds) {
+          val delta = files.filter(walPubSeq(_) > aSeq)
+            .sortBy(_.getFileName.toString)
+          LocalKVStore.IndexJournal(
+            rounds.map(_.getFileName.toString),
+            delta.map(_.getFileName.toString),
+            delta.map(Files.size(_)).sum,
+            buildDelta.map(_.getFileName.toString))
+        } else LocalKVStore.IndexDelta(
+          buildDelta.map(_.getFileName.toString),
+          buildDelta.map(Files.size(_)).sum)
+      case _ =>
+        LocalKVStore.IndexDelta(
+          buildDelta.map(_.getFileName.toString),
+          buildDelta.map(Files.size(_)).sum)
+    }
+  }
+
+  // ---- GSI write-through (incremental index maintenance) ----
+  //
+  // DynamoDB applies base-table writes to each GSI asynchronously from
+  // the table's change log; the index stays usable (and converges)
+  // under sustained writes with no read-time re-derivation. The
+  // store's analogue: after a write publishes, [[applyIndexWrites]]
+  // folds the un-applied WAL suffix — IN GLOBAL pubSeq ORDER, under
+  // the table's transaction lock, so racing key movers cannot split an
+  // item across two index locations — into one ROUND FILE per index
+  // (`gsi-wal-<name>-r<seq>.jsonl`): per touched key, a DEL entry at
+  // the key's PREVIOUS index shard (pre-image resolved from the
+  // applied-prefix merged view) and/or a PUT entry carrying the new
+  // projected image at its new shard. A round publishes with one
+  // atomic rename and the applied marker (`gsi-applied-<name>.meta`)
+  // bumps AFTER it — a crash leaves an orphan round the next applier
+  // reaps and no reader ever consults (reads filter rounds to the
+  // marker's coverage). Index reads then serve copy + rounds with
+  // ZERO base-shard work ([[scanIndexSegment]] journalRounds); only
+  // WAL published after the marker (applier raced/skipped) still
+  // needs the classic delta overlay.
+
+  /** Applied-marker parse: (appliedSeq, belowCount, watermark,
+    * nRounds); None = absent/unparseable.
+    */
+  private def appliedMarker(table: String, name: String): Option[(Long, Long, Long, Int)] = {
+    val p = tableDir(table).resolve(s"gsi-applied-$name.meta")
+    if (!Files.isRegularFile(p)) return None
+    val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
+    if (parts.length < 4) return None
+    try Some((parts(0).toLong, parts(1).toLong, parts(2).toLong, parts(3).toInt))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Round files of one index, defensively tokenized: the remainder
+    * after the literal prefix must be exactly the 20-digit seq (an
+    * index named `x` must not list rounds of an index named `x-r1`).
+    */
+  private def listRoundFiles(table: String, name: String): Seq[Path] =
+    listFiles(table, s"gsi-wal-$name-r").filter(
+      _.getFileName.toString.stripPrefix(s"gsi-wal-$name-r")
+        .matches("\\d{20}\\.jsonl"))
+
+  private def roundSeq(p: Path, name: String): Long =
+    p.getFileName.toString.stripPrefix(s"gsi-wal-$name-r")
+      .stripSuffix(".jsonl").toLong
+
+  /** One round file's entries: (canonical key, index shard,
+    * Some(projected image) = PUT / None = DEL). Rounds are bounded by
+    * writes since the last build, so a whole-file read is fine.
+    */
+  private def readRoundFile(table: String, fileName: String): Iterator[(String, Int, Option[Item])] =
+    Files.readAllLines(tableDir(table).resolve(fileName), UTF_8).asScala
+      .iterator.filter(_.nonEmpty).map { line =>
+        val rec = ItemJson.parse(line)
+        (rec("k").asInstanceOf[AttrVal.S].v,
+          rec("sh").asInstanceOf[AttrVal.N].v.toInt,
+          rec.get("img").map(_.asInstanceOf[AttrVal.M].v))
+      }
+
+  /** Post-publish hook: fold the un-applied WAL suffix into each
+    * index's journal. Non-blocking (tryLock) — a busy table lock means
+    * another applier or a transaction is active; skipping is safe
+    * (this publish's files stay in the delta until a later call).
+    * Failures leave the marker unmoved: the applier is an
+    * optimization, correctness lives in the freshness guards.
+    */
+  def applyIndexWrites(table: String): Unit = {
+    val meta = describe(table)
+    if (meta.indexes.isEmpty) return
+    try {
+      tryUnderTxnLock(table) { applyIndexWritesLocked(table, meta) }
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** The applier body — caller MUST hold the table's transaction
+    * lock (the global-order guarantee lives there).
+    */
+  private def applyIndexWritesLocked(table: String, meta: TableMeta): Unit =
+    meta.indexes.foreach { case (name, ix) =>
+      try applyOneIndex(table, meta, name, ix)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  private def applyOneIndex(table: String, meta: TableMeta,
+      name: String, ix: IndexMeta): Unit = {
+    val dir = tableDir(table)
+    // the journal extends a VALID build marker only (parse mirrors
+    // [[indexFreshness]]); anything else belongs to the rebuild path
+    val bm = dir.resolve(s"gsi-$name.meta")
+    if (!Files.isRegularFile(bm)) return
+    val parts = new String(Files.readAllBytes(bm), UTF_8).trim.split(' ')
+    if (parts.length < 5) return
+    if (!(parts(1).forall(_.isDigit) && parts(1).toInt == meta.shards)) return
+    val (foldedMax, belowCount, wm) =
+      try (parts(2).toLong, parts(3).toLong, parts(4).toLong)
+      catch { case _: NumberFormatException => return }
+    if (compactionWatermark(table) != wm) return
+    val files = listFiles(table, "wal-")
+    if (files.count(walPubSeq(_) <= foldedMax) != belowCount) return
+    val (startSeq, nRounds) = appliedMarker(table, name) match {
+      case Some((aSeq, aCount, aWm, n)) =>
+        // a marker that fails its own guards is POISONED (a pubSeq
+        // collision landed inside the applied range): stop advancing
+        // — readers already fall back to the build delta, and the
+        // next compaction rebuilds + clears everything. Re-applying
+        // from foldedMax over live rounds would double-apply.
+        if (aWm == wm && aSeq >= foldedMax &&
+          files.count(walPubSeq(_) <= aSeq) == aCount) (aSeq, n)
+        else return
+      case None => (foldedMax, 0)
+    }
+    // reap aborted rounds (crash between round publish and marker
+    // bump) — no reader consults them (coverage-filtered) and the
+    // work below re-derives their content
+    listRoundFiles(table, name).filter(roundSeq(_, name) > startSeq)
+      .foreach(Files.deleteIfExists(_))
+    val pending = files.filter(walPubSeq(_) > startSeq)
+      .sortBy(_.getFileName.toString)
+    if (pending.isEmpty) return
+    // fold the pending suffix per key — the same KeyState algebra the
+    // merged scan replays, so conditional ops resolve identically
+    val states = mutable.LinkedHashMap.empty[String, KeyState]
+    val keyShardM = mutable.HashMap.empty[String, Int]
+    pending.foreach { f =>
+      readWalFile(table, f.getFileName.toString).foreach { case (tag, item, _) =>
+        val op: Op = tag match {
+          case "PUT" => Put(item)
+          case "UPDATE" => Update(item)
+          case "DELETE" => Delete(item)
+          case "PUTNX" => PutIfAbsent(item)
+          case "UPDIF" => UpdateIfExists(item)
+        }
+        val k = keyOf(meta, item)
+        keyShardM(k) = shardOf(meta, item)
+        states(k) = applyOp(states.getOrElse(k, initKeyState), op)
+      }
+    }
+    // pre-images AS OF the applied watermark: one merged owning-shard
+    // scan per dirty base shard, replay pinned to the applied WAL
+    // prefix — this is what makes DEL entries land at the key's
+    // CURRENT index location (copy + earlier rounds), closing the
+    // racing-movers hole a writer-local pre-image read would have
+    val appliedWal = files.filter(walPubSeq(_) <= startSeq)
+      .map(_.getFileName.toString).toSet
+    val preImage = mutable.HashMap.empty[String, Item]
+    states.keySet.groupBy(keyShardM).foreach { case (sh, keys) =>
+      scanSegment(table, sh, meta.shards, allowedWal = Some(appliedWal))
+        .foreach { case (it, _) =>
+          val k = keyOf(meta, it)
+          if (keys.contains(k)) preImage(k) = it
+        }
+    }
+    val entries = Vector.newBuilder[(String, Int, Option[Item])]
+    val widenImgs = mutable.HashMap.empty[Int, Vector[Item]]
+    states.foreach { case (k, st) =>
+      val pre = preImage.get(k)
+      val fin: Option[Item] = st.present match {
+        case Left(r)  => r
+        case Right(m) => pre.map(_ ++ m).orElse(st.absent)
+      }
+      val oldProj = pre.flatMap(indexView(meta, ix, _))
+      val newProj = fin.flatMap(indexView(meta, ix, _))
+      val oldSh = oldProj.map(p => indexShardOf(meta, p(ix.hashKey)))
+      val newSh = newProj.map(p => indexShardOf(meta, p(ix.hashKey)))
+      (oldSh, newSh) match {
+        case (Some(o), Some(n)) if o == n =>
+          if (oldProj != newProj) entries += ((k, n, newProj))
+        case (o, n) =>
+          o.foreach(sh => entries += ((k, sh, None)))
+          n.foreach(sh => entries += ((k, sh, newProj)))
+      }
+      (newProj, newSh) match {
+        case (Some(pi), Some(sh)) =>
+          widenImgs(sh) = widenImgs.getOrElse(sh, Vector.empty) :+ pi
+        case _ => ()
+      }
+    }
+    // widen the copy's zone maps BEFORE the round publishes: stats are
+    // an over-approximation, so early widening is harmless and late
+    // widening (a crash window) would make pruning unsound
+    widenImgs.foreach { case (sh, imgs) =>
+      val st0 = indexZoneStats(table, name, sh).getOrElse(ShardStats.empty)
+      writeIndexZoneStats(table, name, sh, imgs.foldLeft(st0)(_.widen(_)))
+    }
+    // publish: round file first (one atomic rename), marker after —
+    // the crash in between leaves an orphan round no reader consults
+    var newSeq = pending.map(walPubSeq).max
+    var roundPath = dir.resolve(f"gsi-wal-$name-r$newSeq%020d.jsonl")
+    while (Files.exists(roundPath)) {
+      newSeq += 1
+      roundPath = dir.resolve(f"gsi-wal-$name-r$newSeq%020d.jsonl")
+    }
+    val tmp = dir.resolve(f".gsi-wal-$name-r$newSeq%020d.jsonl.tmp")
+    val w = Files.newBufferedWriter(tmp, UTF_8)
+    try entries.result().foreach { case (k, sh, img) =>
+      val rec: Item = Map("k" -> AttrVal.S(k),
+        "sh" -> AttrVal.N(BigDecimal(sh))) ++
+        img.map(i => "img" -> AttrVal.M(i))
+      w.write(ItemJson.write(rec)); w.write("\n")
+    } finally w.close()
+    Files.move(tmp, roundPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val mTmp = dir.resolve(s".gsi-applied-$name.meta.tmp")
+    Files.write(mTmp,
+      s"$newSeq ${files.count(walPubSeq(_) <= newSeq)} $wm ${nRounds + 1}"
+        .getBytes(UTF_8))
+    Files.move(mTmp, dir.resolve(s"gsi-applied-$name.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Scan one index-copy segment WITH a journal-delta overlay — the
@@ -654,7 +915,13 @@ final class LocalKVStore(root: String) {
         * None = live base view for images (eventual consistency,
         * monotonically fresher per key — the default contract).
         */
-      imageWal: Option[Set[String]] = None): Iterator[(Item, Int)] = {
+      imageWal: Option[Set[String]] = None,
+      /** Write-through rounds under the copy: the overlay then drops
+        * touched keys from the COMPOSED copy+journal view and
+        * re-derives them from the live base — the same algebra,
+        * wider substrate.
+        */
+      journalRounds: Seq[String] = Nil): Iterator[(Item, Int)] = {
     val meta = describe(table)
     val ix = meta.indexes.getOrElse(name,
       throw new IllegalArgumentException(s"no index '$name' on $table"))
@@ -688,7 +955,8 @@ final class LocalKVStore(root: String) {
       }
     }
     if (states.isEmpty)
-      return scanIndexSegment(table, name, segment, totalSegments)
+      return scanIndexSegment(table, name, segment, totalSegments,
+        journalRounds = journalRounds)
     val touched = states.keySet
     def landsHere(it: Item): Boolean =
       it.contains(ix.hashKey) &&
@@ -708,7 +976,8 @@ final class LocalKVStore(root: String) {
     }.toSet
     val dirtyShards = mutable.LinkedHashSet.empty[Int]
     needBase.foreach(k => dirtyShards += keyShard(k))
-    val copy = scanIndexSegment(table, name, segment, totalSegments)
+    val copy = scanIndexSegment(table, name, segment, totalSegments,
+      journalRounds = journalRounds)
       .filterNot { case (it, _) => touched.contains(keyOf(meta, it)) }
     def images = dirtyShards.iterator
       .flatMap(sh => scanSegment(table, sh, meta.shards, allowedWal = imageWal))
@@ -722,19 +991,26 @@ final class LocalKVStore(root: String) {
   }
 
   /** Scan one segment of a MATERIALIZED index copy (items are already
-    * projected; placement is by index hash key).
+    * projected; placement is by index hash key). With `journalRounds`
+    * (the write-through tier's pinned round-file list) the copy is
+    * composed with the index journal: copy rows superseded by an
+    * entry at their (key, shard) drop, and the latest PUT images of
+    * this segment's shards emit — ZERO base-shard reads. Windows
+    * still page-skip the copy; journal entries (bounded by writes
+    * since the build) always replay in full, and the caller's filters
+    * run on every emitted item either way.
     */
   def scanIndexSegment(table: String, name: String,
       segment: Int, totalSegments: Int,
       /** GSI Query windows (index hash pinned + index sort key
         * bounded): copy pages provably outside every window are
-        * skipped — the same derived-data I/O skip as the base path,
-        * simpler soundness (a plain copy read has no journal
-        * overlay; the caller still evaluates its filters on every
-        * emitted item).
+        * skipped — the same derived-data I/O skip as the base path;
+        * the caller still evaluates its filters on every emitted
+        * item.
         */
-      windows: Seq[PageIndex.KeyWindow] = Nil): Iterator[(Item, Int)] =
-    listFiles(table, s"gsi-$name-shard-")
+      windows: Seq[PageIndex.KeyWindow] = Nil,
+      journalRounds: Seq[String] = Nil): Iterator[(Item, Int)] = {
+    val copy = listFiles(table, s"gsi-$name-shard-")
       .filter(p => gsiShardIndex(name, p) % totalSegments == segment)
       .iterator
       .flatMap { p =>
@@ -753,6 +1029,30 @@ final class LocalKVStore(root: String) {
       }
       .filter(_.nonEmpty)
       .map(line => (ItemJson.parse(line), line.length))
+    if (journalRounds.isEmpty) copy
+    else {
+      val meta = describe(table)
+      val ix = meta.indexes(name)
+      // last round wins per (key, index shard): rounds are named by
+      // their zero-padded end seq, so sorted order IS apply order
+      val ops = mutable.LinkedHashMap.empty[(String, Int), Option[Item]]
+      journalRounds.sorted.foreach { f =>
+        readRoundFile(table, f).foreach { case (k, sh, img) =>
+          ops((k, sh)) = img
+        }
+      }
+      val touched: collection.Set[(String, Int)] = ops.keySet
+      val filtered = copy.filterNot { case (it, _) =>
+        touched.contains((keyOf(meta, it),
+          indexShardOf(meta, it(ix.hashKey))))
+      }
+      val additions = ops.iterator.collect {
+        case ((_, sh), Some(img)) if sh % totalSegments == segment =>
+          (img, ItemJson.write(img).length)
+      }
+      filtered ++ additions
+    }
+  }
 
   /** Stream a shard file's non-empty lines with O(line) per-task
     * memory (the whole-file `readAllLines` form buffers the shard in
@@ -1018,21 +1318,29 @@ final class LocalKVStore(root: String) {
       * and a crash between the two renames leaves only an orphan
       * stats file, reaped at compaction.
       */
-    def close(): Unit = open.foreach { case (shard, w) =>
-      w.close()
-      var pubSeq = math.max(seq, System.currentTimeMillis())
-      while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl")))
-        pubSeq += 1
-      val st = stats.getOrElse(shard, ShardStats.empty)
-      val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-s$shard%03d.json.tmp")
-      Files.write(zTmp, ShardStats.toJson(st).getBytes(UTF_8))
-      Files.move(zTmp,
-        dir.resolve(f"zstat-$pubSeq%020d-$writerId-s$shard%03d.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Files.move(
-        dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"),
-        dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def close(): Unit = {
+      open.foreach { case (shard, w) =>
+        w.close()
+        var pubSeq = math.max(seq, System.currentTimeMillis())
+        while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl")))
+          pubSeq += 1
+        val st = stats.getOrElse(shard, ShardStats.empty)
+        val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-s$shard%03d.json.tmp")
+        Files.write(zTmp, ShardStats.toJson(st).getBytes(UTF_8))
+        Files.move(zTmp,
+          dir.resolve(f"zstat-$pubSeq%020d-$writerId-s$shard%03d.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Files.move(
+          dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"),
+          dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      // GSI write-through: fold the just-published (and any other
+      // pending) WAL into each index journal — DynamoDB's async index
+      // apply, run at publish so a following read serves copy+journal
+      // exactly. Best-effort: a busy lock or failure leaves the files
+      // in the delta tier (still correct).
+      if (open.nonEmpty) applyIndexWrites(table)
     }
 
     /** Discard: close and delete the unpublished buffers. Best-effort
@@ -1114,6 +1422,10 @@ final class LocalKVStore(root: String) {
               s"(current: ${cur.fold("absent")(ItemJson.write)})")
         }
         transactPublish(staged)
+        // write-through while still holding the lock (re-entering via
+        // tryLock would self-deadlock on the file lock)
+        try applyIndexWritesLocked(table, meta)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     } catch { case e: Throwable => transactDiscard(staged); throw e }
   }
@@ -1182,7 +1494,9 @@ final class LocalKVStore(root: String) {
     */
   private def underTxnLock[A](table: String)(body: => A): A = {
     val lockPath = tableDir(table).resolve(".txn.lock")
-    LocalKVStore.jvmLock(lockPath.toString).synchronized {
+    val mon = LocalKVStore.jvmLock(lockPath.toString)
+    mon.lock()
+    try {
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -1190,7 +1504,30 @@ final class LocalKVStore(root: String) {
         val l = ch.lock()
         try body finally l.release()
       } finally ch.close()
-    }
+    } finally mon.unlock()
+  }
+
+  /** Non-blocking [[underTxnLock]]: runs `body` only if BOTH the
+    * in-process monitor and the cross-JVM file lock are free right
+    * now; returns whether it ran. The index applier uses this so a
+    * write publish never stalls behind another table-lock holder —
+    * skipping is safe (reads fall back to the delta overlay until a
+    * later publish catches up).
+    */
+  private def tryUnderTxnLock(table: String)(body: => Unit): Boolean = {
+    val lockPath = tableDir(table).resolve(".txn.lock")
+    val mon = LocalKVStore.jvmLock(lockPath.toString)
+    if (!mon.tryLock()) return false
+    try {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.tryLock()
+        if (l == null) false
+        else { try body finally l.release(); true }
+      } finally ch.close()
+    } finally mon.unlock()
   }
 
   /** Stage a transaction WITHOUT publishing: ops and their stats land
@@ -1238,6 +1575,8 @@ final class LocalKVStore(root: String) {
     staged.groupBy(_.table).toSeq.sortBy(_._1).foreach { case (t, sts) =>
       underTxnLock(t) {
         sts.sortBy(_.writerId).foreach(transactPublish)
+        try applyIndexWritesLocked(t, describe(t))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 
@@ -2265,17 +2604,30 @@ object LocalKVStore {
     * names, `bytes` total) — serve copy + overlay.
     */
   final case class IndexDelta(files: Seq[String], bytes: Long) extends IndexServe
+  /** Write-through tier: the copy plus `rounds` (per-index journal
+    * files the applier published) reflects every WAL file up to the
+    * applied marker with ZERO base-shard work; `delta` is the
+    * un-applied WAL suffix (usually empty — the applier runs at
+    * publish) still needing the classic overlay, `deltaBytes` its
+    * size, and `buildDelta` the full post-BUILD suffix — the fallback
+    * overlay a consistent-scan pin uses when it cannot prove its pin
+    * covers the applied set.
+    */
+  final case class IndexJournal(rounds: Seq[String], delta: Seq[String],
+      deltaBytes: Long, buildDelta: Seq[String]) extends IndexServe
   /** Unprovable — serve from the projected base-scan path. */
   case object IndexStale extends IndexServe
 
   private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  /** In-process monitor per lock-file path: `FileChannel.lock` only
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  /** In-process lock per lock-file path: `FileChannel.lock` only
     * arbitrates BETWEEN JVMs (a second same-JVM locker throws), so
-    * same-process callers serialize here first.
+    * same-process callers serialize here first. A ReentrantLock (not
+    * a monitor) so the index applier's non-blocking tryLock path and
+    * the blocking transaction path exclude each other.
     */
-  private[dynamo] def jvmLock(path: String): Object =
-    jvmLocks.computeIfAbsent(path, _ => new Object)
+  private[dynamo] def jvmLock(path: String): java.util.concurrent.locks.ReentrantLock =
+    jvmLocks.computeIfAbsent(path, _ => new java.util.concurrent.locks.ReentrantLock)
 }
 
 /** TransactWriteItems `ConditionCheck` analogues: conditions on items

@@ -1980,17 +1980,31 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(pinnedParts.length === 1 && pinnedParts.head.viaIndex)
     assert(reds() === Seq(("apple", 3L), ("cherry", 100L)))
 
-    // a write demotes the copy from EXACT to DELTA: the read keeps
-    // serving via the index — copy plus a pinned journal overlay —
-    // and sees the new item immediately (no rebuild, no base sweep)
+    // a write no longer leaves the copy behind at all: write-through
+    // applied it to the index journal at publish, so the read serves
+    // copy + journal EXACTLY — zero un-applied delta, no base sweep —
+    // and sees the new item immediately
     Seq(("elderberry", "red", 0.02, 7L))
       .toDF("name", "color", "weight_kg", "stock")
       .write.dynamo(root, "fruit", "name")
     assert(!store.indexFresh("fruit", "by_color"))
     store.indexFreshness("fruit", "by_color") match {
+      case LocalKVStore.IndexJournal(rounds, delta, bytes, _) =>
+        assert(rounds.nonEmpty && delta.isEmpty && bytes == 0L)
+      case other => fail(s"expected IndexJournal after a write, got $other")
+    }
+    assert(parts().forall(p =>
+      p.viaIndex && p.deltaFiles.isEmpty && p.journalFiles.nonEmpty))
+    assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
+
+    // applier lag (the async model's legitimate state — simulated by
+    // dropping the journal artifacts): the same write demotes to the
+    // classic DELTA tier and the read overlays the journal instead
+    deleteJournalArtifacts(root, "fruit", "by_color")
+    store.indexFreshness("fruit", "by_color") match {
       case LocalKVStore.IndexDelta(files, bytes) =>
         assert(files.nonEmpty && bytes > 0)
-      case other => fail(s"expected IndexDelta after a write, got $other")
+      case other => fail(s"expected IndexDelta after journal drop, got $other")
     }
     assert(parts().forall(p => p.viaIndex && p.deltaFiles.nonEmpty))
     assert(reds() === Seq(("apple", 3L), ("cherry", 100L), ("elderberry", 7L)))
@@ -2078,6 +2092,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
       store.Delete(Map("id" -> AttrVal.S("new1"))), // delete within delta
       store.Put(it("new2", Some("c3"), 2000L))))
 
+    // exercise the classic DELTA overlay: simulate applier lag by
+    // dropping the write-through journal the appendWals just built
+    deleteJournalArtifacts(root, "t", "by_grp")
     val delta = store.indexFreshness("t", "by_grp") match {
       case LocalKVStore.IndexDelta(files, bytes) =>
         // appendWal publishes one journal file per shard it touched
@@ -2120,6 +2137,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(byId("new2")("v") == AttrVal.N(BigDecimal(2000)))
   }
 
+  test("write-through: post-write index read serves copy+journal with ZERO base-shard reads") {
+    import graft.sources.dynamo.AttrVal
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta, (0 until 40).iterator.map(i =>
+      Map("id" -> AttrVal.S(f"k$i%02d"), "grp" -> AttrVal.S(s"g${i % 4}"),
+        "v" -> AttrVal.N(BigDecimal(i)))))
+    store.createIndex("t", "by_grp", IndexMeta("grp", None, Some(Seq("v"))))
+    assert(store.indexFresh("t", "by_grp"))
+    // one write batch with every transition shape: insert, projected-
+    // attr update, delete, and an index-key MOVE (g0 → g9)
+    store.appendWal("t", 1L, "w0", Seq(
+      store.Put(Map("id" -> AttrVal.S("new1"), "grp" -> AttrVal.S("g7"),
+        "v" -> AttrVal.N(BigDecimal(700)))),
+      store.Update(Map("id" -> AttrVal.S("k01"), "v" -> AttrVal.N(BigDecimal(101)))),
+      store.Delete(Map("id" -> AttrVal.S("k02"))),
+      store.Put(Map("id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g9"),
+        "v" -> AttrVal.N(BigDecimal(0))))))
+    val rounds = store.indexFreshness("t", "by_grp") match {
+      case LocalKVStore.IndexJournal(r, delta, bytes, _) =>
+        assert(delta.isEmpty && bytes == 0L,
+          "publish-time applier should leave no un-applied delta")
+        r
+      case other => fail(s"expected IndexJournal post-write, got $other")
+    }
+    // DESTROY every base shard and WAL file: if the journal serve
+    // touched any base state this read would now throw or lose rows
+    val dir = java.nio.file.Paths.get(root, "t")
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("shard-") || n.startsWith("wal-")) && n.endsWith(".jsonl")
+      }
+      .toList.foreach(Files.delete(_))
+    finally ls.close()
+    val got = (0 until 4)
+      .flatMap(s => store.scanIndexSegment("t", "by_grp", s, 4,
+        journalRounds = rounds).map(_._1))
+      .map(it => (it("id").asInstanceOf[AttrVal.S].v,
+        it("grp").asInstanceOf[AttrVal.S].v,
+        it("v").asInstanceOf[AttrVal.N].v.toInt))
+      .sortBy(_._1)
+    val expected = ((0 until 40).map(i =>
+      f"k$i%02d" -> ((s"g${i % 4}", i))).toMap
+      ++ Map("new1" -> (("g7", 700)), "k01" -> (("g1", 101)),
+        "k00" -> (("g9", 0)))
+      - "k02").toSeq
+      .map { case (id, (g, v)) => (id, g, v) }.sortBy(_._1)
+    assert(got === expected)
+  }
+
   test("GSI delta guards: pubSeq collision and compaction drift demote to Stale") {
     import graft.sources.dynamo.AttrVal
     import java.nio.charset.StandardCharsets.UTF_8
@@ -2138,6 +2209,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
     Thread.sleep(15)
     store.appendWal("t", 2L, "w1", Seq(
       store.Put(Map("id" -> AttrVal.S("yy"), "grp" -> AttrVal.S("g1")))))
+    // strip the write-through journal: these guards arbitrate the
+    // BUILD-based delta identification
+    deleteJournalArtifacts(root, "t", "by_grp")
     assert(store.indexFreshness("t", "by_grp")
       .isInstanceOf[LocalKVStore.IndexDelta])
 
@@ -2221,7 +2295,7 @@ class DynamoConnectorSpec extends AnyFunSuite {
       store.Put(Map("id" -> AttrVal.S("new1"), "grp" -> AttrVal.S("g0"),
         "v" -> AttrVal.N(BigDecimal(777))))))
     assert(store.indexFreshness("t", "by_grp")
-      .isInstanceOf[graft.sources.dynamo.LocalKVStore.IndexDelta])
+      .isInstanceOf[graft.sources.dynamo.LocalKVStore.IndexJournal])
     def read(deltaOn: Boolean, f: org.apache.spark.sql.Column) = {
       val r = spark.read.format("dynamo")
         .option("path", root).option("tableName", "t")
@@ -2236,6 +2310,14 @@ class DynamoConnectorSpec extends AnyFunSuite {
       col("grp").isin("g0", "g1") && col("v") < 50L, // combo
       col("id").startsWith("k00"),    // table-key prefix
       lit(true))                      // full sweep
+    filters.zipWithIndex.foreach { case (f, i) =>
+      assert(read(deltaOn = true, f) === read(deltaOn = false, f),
+        s"filter #$i diverged between the copy+journal serve and the base path")
+    }
+    // applier lag → the classic DELTA overlay must agree too
+    deleteJournalArtifacts(root, "t", "by_grp")
+    assert(store.indexFreshness("t", "by_grp")
+      .isInstanceOf[graft.sources.dynamo.LocalKVStore.IndexDelta])
     filters.zipWithIndex.foreach { case (f, i) =>
       assert(read(deltaOn = true, f) === read(deltaOn = false, f),
         s"filter #$i diverged between the delta overlay and the base path")
@@ -2299,21 +2381,39 @@ class DynamoConnectorSpec extends AnyFunSuite {
       }.get
       bse.inputPartitions.map(_.asInstanceOf[DynamoInputPartition])
     }
+    // a consistentScan PIN declines the write-through journal (a
+    // round cannot be partially stripped to the pin listing) and
+    // falls back to copy + pin-intersected BUILD delta
     val pinnedDf = load(consistent = true)
     assert(plan(pinnedDf).forall(p =>
-      p.viaIndex && p.deltaFiles.nonEmpty && p.pinnedWal.isDefined))
+      p.viaIndex && p.deltaFiles.nonEmpty && p.journalFiles.isEmpty &&
+        p.pinnedWal.isDefined))
+    // the live read serves copy+journal — zero overlay, rounds pinned
+    // at planning (tasks must agree on the round set for segment
+    // disjointness), so execution reflects the plan-time snapshot
     val liveDf = load(consistent = false)
     assert(plan(liveDf).forall(p =>
-      p.viaIndex && p.deltaFiles.nonEmpty && p.pinnedWal.isEmpty))
-    // second delta AFTER both plans, SAME touched key: the pinned
-    // read's image derivation is bounded to its listing (v=100); the
-    // live read re-derives the touched key from the live base (v=200)
+      p.viaIndex && p.deltaFiles.isEmpty && p.journalFiles.nonEmpty &&
+        p.pinnedWal.isEmpty))
+    // a write AFTER both plans, SAME touched key: both serve their
+    // plan-time snapshot (v=100) — DynamoDB's eventually-consistent
+    // GSI lag — while a FRESH plan sees the new image (v=200)
     Thread.sleep(15)
     store.appendWal("t", 3L, "w2", Seq(store.Put(Map(
       "id" -> AttrVal.S("k00"), "grp" -> AttrVal.S("g0"),
       "v" -> AttrVal.N(BigDecimal(200))))))
     assert(pinnedDf.collect().map(_.getLong(0)).toSeq === Seq(100L))
-    assert(liveDf.collect().map(_.getLong(0)).toSeq === Seq(200L))
+    assert(liveDf.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(load(consistent = false).collect().map(_.getLong(0)).toSeq === Seq(200L))
+    // applier lag (journal dropped): the live read degrades to the
+    // classic pinned-delta overlay — k00's pinned suffix ends in a
+    // PUT (base-independent), so the overlay serves the pinned final
+    // image with zero base reads
+    deleteJournalArtifacts(root, "t", "by_grp")
+    val lagDf = load(consistent = false)
+    assert(plan(lagDf).forall(p =>
+      p.viaIndex && p.deltaFiles.nonEmpty && p.journalFiles.isEmpty))
+    assert(lagDf.collect().map(_.getLong(0)).toSeq === Seq(200L))
   }
 
   test("index-shard zone maps prune GSI scans; any delta disables the skip") {
@@ -2353,20 +2453,32 @@ class DynamoConnectorSpec extends AnyFunSuite {
       .load().filter(col("v") >= 5000L)
     assert(got.count() === 300L)
 
-    // a journal delta demotes the serve to copy+overlay: overlay
-    // images aren't covered by the copy's stats, so pruning disables
-    // (partitions still serve viaIndex, with the pinned delta)
+    // write-through: the applier WIDENS the target index shard's zone
+    // map before publishing its round, so pruning stays ON under the
+    // journal tier — the g0 shard (now holding v=9999 via the journal)
+    // survives the v>=5000 prune alongside g5..g7, the rest still skip
     store.appendWal("t", 1L, "w0", Seq(store.Put(Map(
       "id" -> AttrVal.S("zzzz"), "grp" -> AttrVal.S("g0"),
       "v" -> AttrVal.N(BigDecimal(9999))))))
+    val afterWrite = parts(GreaterThanOrEqual("v", 5000L))
+    assert(afterWrite.length < 8,
+      s"widened zone maps should keep pruning live, got ${afterWrite.length}/8")
+    assert(afterWrite.length > pruned.length,
+      "the widened g0 shard must now survive the prune")
+    assert(afterWrite.forall(p =>
+      p.viaIndex && p.deltaFiles.isEmpty && p.journalFiles.nonEmpty))
+    def count() = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "t")
+      .option("indexName", "by_grp").option("readPartitions", "8")
+      .load().filter(col("v") >= 5000L).count()
+    assert(count() === 301L)
+    // applier lag → classic delta overlay: images aren't covered by
+    // the copy's stats, so pruning disables outright (all 8 shards)
+    deleteJournalArtifacts(root, "t", "by_grp")
     val afterDelta = parts(GreaterThanOrEqual("v", 5000L))
     assert(afterDelta.length === 8)
     assert(afterDelta.forall(p => p.viaIndex && p.deltaFiles.nonEmpty))
-    // the g0 row with v=9999 now qualifies through the overlay
-    assert(spark.read.format("dynamo")
-      .option("path", root).option("tableName", "t")
-      .option("indexName", "by_grp").option("readPartitions", "8")
-      .load().filter(col("v") >= 5000L).count() === 301L)
+    assert(count() === 301L)
   }
 
   test("transactional write: one atomic publish per task, oversized task fails with no residue") {
@@ -3694,6 +3806,24 @@ class DynamoConnectorSpec extends AnyFunSuite {
     * the connector write path, then compact so bases are range-sorted
     * with page directories.
     */
+  /** Simulate write-through applier lag: drop the index journal
+    * (rounds + applied marker) so freshness falls back to the classic
+    * build-based DELTA tier — the state an async applier that has not
+    * yet run would leave.
+    */
+  private def deleteJournalArtifacts(root: String, table: String, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(root, table)
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(s"gsi-wal-$name-r") || n == s"gsi-applied-$name.meta"
+      }
+      .toList.foreach(Files.deleteIfExists(_))
+    finally ls.close()
+  }
+
   private def seedQueryTable(root: String, table: String): Unit = {
     import spark.implicits._
     val rows = for (k <- Seq("a", "b", "c", "d"); r <- 1L to 1500L)
@@ -3905,6 +4035,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(Files.size(base) === bytes.length.toLong)
     assert(graft.sources.dynamo.PageIndex.load(idxPath, base).isEmpty,
       "same-size rewrite must discard the directory via the mtime stamp")
+  }
+
+  test("Query fast path: RUNTIME filters alone derive page windows (paged read count)") {
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.{expressions => v2e}
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = freshRoot()
+    seedQueryTable(root, "qr")
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "qr"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType)))
+    // NO static filters: everything arrives at runtime, the
+    // broadcast-join DPP shape — the window machinery must compose
+    // them into a Query-shape page window, not just shard pruning
+    val scan = new DynamoScan(opts, schema, Array.empty)
+    val parts = scan.toBatch.planInputPartitions()
+    def strLit(s: String): v2e.Literal[UTF8String] = new v2e.Literal[UTF8String] {
+      override def value(): UTF8String = UTF8String.fromString(s)
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+    }
+    def longLit(v: Long): v2e.Literal[java.lang.Long] = new v2e.Literal[java.lang.Long] {
+      override def value(): java.lang.Long = v
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+    }
+    scan.filter(Array(
+      new v2e.filter.Predicate("=", Array[v2e.Expression](
+        v2e.Expressions.column("k"), strLit("b"))),
+      new v2e.filter.Predicate("<=", Array[v2e.Expression](
+        v2e.Expressions.column("r"), longLit(50L)))))
+    val factory = scan.toBatch.createReaderFactory()
+    var rows = 0L
+    var scanned = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) {
+        val row = r.get().asInstanceOf[InternalRow]
+        assert(row.getUTF8String(0).toString == "b" && row.getLong(1) <= 50L)
+        rows += 1
+      }
+      r.currentMetricsValues().foreach(m =>
+        if (m.name() == "itemsScanned") scanned += m.value())
+    }
+    assert(rows === 50L)
+    // the owning shard holds >= 1500 items (one full hash run); a
+    // 50-row window at <=256-item pages must read <= 2 pages — well
+    // under one run proves the RUNTIME-derived page skip
+    assert(scanned <= 600, s"expected a runtime-windowed paged read, scanned $scanned")
   }
 
   test("page directory: a window covering the whole shard streams the full shard") {

@@ -177,6 +177,24 @@ class StoreLawsSpec extends AnyFunSuite {
           val got = segs.flatten
             .sortBy(it => it("id").asInstanceOf[AttrVal.S].v)
           assert(got === expected, s"base=$base pre=$pre post=$post")
+        // write-through path (the publish-time applier ran): copy +
+        // round files alone — zero base re-derivation — must equal
+        // the same sequential-fold model
+        case graft.sources.dynamo.LocalKVStore.IndexJournal(rounds, delta, _, _) =>
+          val segs = (0 until 4).map(s =>
+            (if (delta.nonEmpty)
+              store.scanIndexSegmentDelta("t", "by_a", s, 4, delta,
+                journalRounds = rounds)
+            else store.scanIndexSegment("t", "by_a", s, 4,
+              journalRounds = rounds)).map(_._1).toVector)
+          val keysPerSeg = segs.map(_.map(_("id")).toSet)
+          keysPerSeg.combinations(2).foreach { case Seq(x, y) =>
+            assert(x.intersect(y).isEmpty)
+          }
+          val got = segs.flatten
+            .sortBy(it => it("id").asInstanceOf[AttrVal.S].v)
+          assert(got === expected,
+            s"write-through: base=$base pre=$pre post=$post")
       }
     }
   }
