@@ -163,17 +163,30 @@ object Scans {
     * national total" shape. Quantities are integral, so the HAVING
     * compare is exact on both engines.
     */
+  /** The textbook form writes the threshold as a scalar subquery
+    * repeating the whole partsupp⋈supplier⋈nation aggregation — and
+    * Spark plans uncorrelated scalar subqueries as SEPARATE adaptive
+    * plans, so the expensive lineitem aggregation runs TWICE (no
+    * exchange reuse across the subquery boundary). The threshold is
+    * just 0.002 × the sum of the grouped values themselves, so derive
+    * it FROM the grouped result via a 1-row cross join: both
+    * references inline to canonically-identical subtrees inside ONE
+    * plan and `ReuseExchange` computes the aggregation once
+    * (PlanSpec pins the `ReusedExchange`). At 100 TB this halves the
+    * dominant fact-side work.
+    */
   private val tpchQ11 =
     """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
       |                   sum(l_quantity) AS ps_availqty
-      |            FROM lineitem GROUP BY 1, 2)
-      |SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS value
-      |FROM ps, supplier, nation
-      |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
-      |GROUP BY ps_partkey
-      |HAVING sum(ps_availqty) > (
-      |  SELECT sum(ps_availqty) * 0.002 FROM ps, supplier, nation
-      |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5')
+      |            FROM lineitem GROUP BY 1, 2),
+      |grouped AS (
+      |  SELECT ps_partkey, sum(ps_availqty) AS raw_value
+      |  FROM ps, supplier, nation
+      |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |  GROUP BY ps_partkey)
+      |SELECT ps_partkey, CAST(raw_value AS BIGINT) AS value
+      |FROM grouped, (SELECT sum(raw_value) * 0.002 AS thr FROM grouped) t
+      |WHERE raw_value > t.thr
       |ORDER BY value DESC, ps_partkey""".stripMargin
 
   /** Q12 (shipping priority audit), adapted: no shipmode/receipt

@@ -154,6 +154,64 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("TPC-H Q2: decorrelated min — keyed joins only, shared lineitem shuffle reused") {
+    val df = SparkEntry.queries("q_sql_tpch_q2")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the correlated min decorrelates to a grouped aggregation joined
+    // back by (partkey, cost) equality — never a nested-loop re-probe
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the partsupp-from-lineitem shuffle feeds BOTH the candidate rows
+    // and the per-part min — one computation, AQE-reused
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("EqualTo(p_size"), p) // part filter at the scan
+    assert(p.contains("TakeOrderedAndProject(limit=100"), p)
+  }
+
+  test("TPC-H Q11: threshold derives FROM the grouped result — aggregation computed once") {
+    // sf0.01: the query is EMPTY at sf0.001 and AQE's empty-relation
+    // propagation collapses the final plan before reuse can show
+    val df = SparkEntry.queries("q_sql_tpch_q11")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the 0.002 threshold is a 1-row aggregate OVER the same grouped
+    // pipeline, cross-joined back: the expensive lineitem aggregation
+    // must appear once and be exchange-reused, not recomputed (the
+    // textbook scalar-subquery form plans it twice — separate
+    // adaptive plans never share stages)
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("Subquery subquery"), p)
+    // exactly one physical lineitem scan in the executed plan
+    assert(p.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet") === 1, p)
+  }
+
+  test("TPC-H Q17: one grouped avg pass + join — never a per-row re-scan") {
+    val df = SparkEntry.queries("q_sql_tpch_q17")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the correlated avg decorrelates to ONE grouped pass over
+    // lineitem joined back by partkey: two lineitem scans total (the
+    // fact rows + the avg input), not one per part
+    assert(p.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet") === 2, p)
+    assert(p.contains("avg(l_quantity"), p)
+    assert(p.contains("EqualTo(p_brand"), p) // part filter at the scan
+  }
+
+  test("TPC-H Q20: nested INs lower to semi joins — no nested loop") {
+    val df = SparkEntry.queries("q_sql_tpch_q20")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("TPC-H Q21: EXISTS/NOT EXISTS lower to semi + anti joins") {
     val df = SparkEntry.queries("q_sql_tpch_q21")(spark, sf)
     df.collect()
