@@ -2216,7 +2216,32 @@ final class LocalKVStore(root: String) {
     * from the restored base ([[refreshIndexes]]), which also renders
     * freshness markers trivially correct.
     */
+  /** Full copy, CONSISTENT under racing base rewrites: the base
+    * manifest is captured BEFORE the copy and re-checked AFTER — a
+    * compaction/reap/bulk-load landing mid-copy could otherwise
+    * produce a torn cut (old shard bytes + the folded journal file
+    * already deleted = those ops in NEITHER half) stamped with a
+    * post-rewrite manifest that the next incremental would trust.
+    * On mismatch the whole copy retries against the new state;
+    * persistent churn fails loudly rather than publishing a torn
+    * backup. Within one stable manifest window the order (journal
+    * first, bases after) composes with compaction's own order (new
+    * base published BEFORE its journal deletes) so every op lands in
+    * at least one copied half.
+    */
   def backupTable(table: String, destRoot: String): Unit = {
+    var attempt = 0
+    while (!backupTableOnce(table, destRoot)) {
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"backupTable('$table'): base state kept changing across " +
+          s"$attempt full-copy attempts — retry when maintenance settles")
+    }
+  }
+
+  /** One full-copy attempt; false = a base rewrite raced the copy. */
+  private def backupTableOnce(table: String, destRoot: String): Boolean = {
+    val manifest = baseManifest(table)
     val src = tableDir(table)
     val dst = Paths.get(destRoot, table)
     Files.createDirectories(dst)
@@ -2265,11 +2290,14 @@ final class LocalKVStore(root: String) {
         n.startsWith("compact-wm-") && !n.endsWith(".tmp")
       }.toList.foreach(cp)
     finally st.close()
-    // manifest of the BASE files this backup captured — the
-    // incremental path's change detector (see backupTableIncremental)
-    Files.write(dst.resolve("_backup_manifest"),
-      baseManifest(table).getBytes(UTF_8))
+    // a base rewrite during the copy voids the cut — retry
+    if (baseManifest(table) != manifest) return false
+    // manifest of the BASE files this backup captured (the PRE-copy
+    // capture, just proven unchanged) — the incremental path's
+    // change detector (see backupTableIncremental)
+    Files.write(dst.resolve("_backup_manifest"), manifest.getBytes(UTF_8))
     new LocalKVStore(destRoot).refreshIndexes(table)
+    true
   }
 
   /** (name, size, mtime) of every base-state file — anything that can
@@ -2299,8 +2327,9 @@ final class LocalKVStore(root: String) {
   def backupTableIncremental(table: String, destRoot: String): Unit = {
     val dst = Paths.get(destRoot, table)
     val manifestPath = dst.resolve("_backup_manifest")
+    val manifestAtStart = baseManifest(table)
     val incremental = Files.isRegularFile(manifestPath) &&
-      new String(Files.readAllBytes(manifestPath), UTF_8) == baseManifest(table)
+      new String(Files.readAllBytes(manifestPath), UTF_8) == manifestAtStart
     if (!incremental) { backupTable(table, destRoot); return }
     val dstStore = new LocalKVStore(destRoot)
     def cp(p: Path): Unit =
@@ -2319,6 +2348,14 @@ final class LocalKVStore(root: String) {
       val core = p.getFileName.toString.stripPrefix("zstat-").stripSuffix(".json")
       freshCores(core)
     }.foreach(cp)
+    // a compaction (or any base rewrite) racing the journal copy voids
+    // the incremental premise — some just-folded journal file may have
+    // vanished before its copy while the destination's base predates
+    // the fold. Fall back to the (retry-validated) full copy.
+    if (baseManifest(table) != manifestAtStart) {
+      backupTable(table, destRoot)
+      return
+    }
     if (fresh.nonEmpty) dstStore.refreshIndexes(table)
   }
 

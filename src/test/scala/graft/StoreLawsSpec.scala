@@ -828,4 +828,83 @@ class StoreLawsSpec extends AnyFunSuite {
           s"lo=$loRaw width=$width ops=${ops.size}")
     }
   }
+
+  private def mergedView(st: LocalKVStore, table: String): Map[String, Item] =
+    st.scanSegment(table, 0, 1).map(_._1)
+      .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+
+  test("incremental backup racing a transaction storm: every cut is transactionally consistent") {
+    val srcRoot = Files.createTempDirectory("graft-bk-storm-src").toString
+    val dstRoot = Files.createTempDirectory("graft-bk-storm-dst").toString
+    val store = new LocalKVStore(srcRoot)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.backupTable("t", dstRoot) // seed the manifest
+    // writer storm: 4 threads x 15 TRANSACTIONS, each atomically
+    // writing a PAIR of keys with the same value — a backup cut that
+    // splits a pair is a torn transaction
+    val writers = (0 until 4).map { w =>
+      new Thread(() => (0 until 15).foreach { i =>
+        store.transactWrite("t", seq = i.toLong, writerId = s"storm$w-$i", Seq(
+          store.Put(Map("id" -> AttrVal.S(s"pA-$w-$i"),
+            "v" -> AttrVal.N(BigDecimal(w * 100 + i)))),
+          store.Put(Map("id" -> AttrVal.S(s"pB-$w-$i"),
+            "v" -> AttrVal.N(BigDecimal(w * 100 + i))))))
+      })
+    }
+    writers.foreach(_.start())
+    // incremental backups racing the storm; each produced cut must be
+    // pair-complete (the -sall transaction files publish atomically,
+    // so any journal LISTING is a consistent cut)
+    (0 until 12).foreach { _ =>
+      store.backupTableIncremental("t", dstRoot)
+      val cut = mergedView(new LocalKVStore(dstRoot), "t")
+      cut.keys.foreach { k =>
+        val partner = if (k.startsWith("pA-")) "pB-" + k.stripPrefix("pA-")
+          else "pA-" + k.stripPrefix("pB-")
+        assert(cut.contains(partner), s"torn transaction in backup cut: $k without $partner")
+        assert(cut(k)("v") === cut(partner)("v"))
+      }
+      Thread.sleep(5)
+    }
+    writers.foreach(_.join())
+    // final incremental: destination must equal the source exactly
+    store.backupTableIncremental("t", dstRoot)
+    assert(mergedView(new LocalKVStore(dstRoot), "t") === mergedView(store, "t"))
+  }
+
+  test("incremental backup racing compaction: fallback engages, no op ever lost from a cut") {
+    val srcRoot = Files.createTempDirectory("graft-bk-compact-src").toString
+    val dstRoot = Files.createTempDirectory("graft-bk-compact-dst").toString
+    val store = new LocalKVStore(srcRoot)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    store.backupTable("t", dstRoot)
+    // monotone puts-only history: a consistent cut is then exactly
+    // "some subset between the pre-backup view and the final view" —
+    // a key visible before a backup that is MISSING from its cut is
+    // the torn-cut bug (ops folded mid-copy landing in neither half)
+    var next = 0
+    def writeBatch(): Unit = {
+      store.appendWal("t", next.toLong, s"w$next", (0 until 8).map { j =>
+        store.Put(Map("id" -> AttrVal.S(s"k-$next-$j"),
+          "v" -> AttrVal.N(BigDecimal(next))))
+      })
+      next += 1
+    }
+    (0 until 6).foreach { round =>
+      writeBatch(); writeBatch()
+      val pre = mergedView(store, "t").keySet
+      val compactor = new Thread(() => store.compact("t"))
+      compactor.start()
+      store.backupTableIncremental("t", dstRoot) // races the compaction
+      compactor.join()
+      val cut = mergedView(new LocalKVStore(dstRoot), "t").keySet
+      val post = mergedView(store, "t").keySet
+      assert(pre.subsetOf(cut), s"round $round lost ops from the cut: ${pre -- cut}")
+      assert(cut.subsetOf(post), s"round $round invented keys: ${cut -- post}")
+    }
+    // the compaction invalidated every manifest mid-loop at least
+    // once; the final state must still converge exactly
+    store.backupTableIncremental("t", dstRoot)
+    assert(mergedView(new LocalKVStore(dstRoot), "t") === mergedView(store, "t"))
+  }
 }
