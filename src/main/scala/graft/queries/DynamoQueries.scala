@@ -244,6 +244,53 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `orders_asof` next to `customer_asof` (same store root):
+    * epoch 1 = the orders parquet copy, compacted; epoch 2 = a journal
+    * batch at the SAME [[asofEpochSeq]] deleting every
+    * `o_orderkey % 10 == 3` order and putting one sentinel. One
+    * epoch-millis cut below that seq is then a CROSS-TABLE snapshot
+    * coordinate — DynamoConnectorSpec ("one asOfSeq cut snapshots
+    * MULTIPLE tables consistently") pins the store-level law this
+    * query exercises end-to-end.
+    */
+  private def seededAsofMultiRoot(s: SparkSession, sfDir: String): String = {
+    val root = seededAsofRoot(s, sfDir) // customer_asof's two epochs
+    withSeedLock(root) {
+      val marker = Paths.get(root, "orders_asof", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.orders(s, sfDir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(16)
+          .write.dynamo(root, "orders_asof", "o_orderkey")
+        DynamoMaintenance.compact(s, root, "orders_asof")
+        val seq = asofEpochSeq
+        Fixtures.orders(s, sfDir)
+          .filter(col("o_orderkey") % 10 === 3)
+          .select("o_orderkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = new LocalKVStore(root)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val w = st.walWriter("orders_asof", seq, f"oasofdel-p$pid%04d")
+            try {
+              it.foreach { r =>
+                w.append(st.Delete(Map("o_orderkey" ->
+                  (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                    : graft.sources.dynamo.AttrVal))))
+              }
+              w.flush()
+            } finally w.close()
+          }
+        val st = new LocalKVStore(root)
+        st.appendWal("orders_asof", seq, "oasofput", Seq(st.Put(Map(
+          "o_orderkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(-1)),
+          "o_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(-1)),
+          "o_totalprice" -> graft.sources.dynamo.AttrVal.N(BigDecimal("0.5"))))))
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   /** Seed `customer_gsid` for the DELTA-fresh GSI read: epoch 1 = the
     * customer copy compacted + `by_seg` index backfilled (exact copy);
     * epoch 2 = a journal delta the copy has NOT folded — deletes of
@@ -324,6 +371,29 @@ object DynamoQueries {
         .option("path", root).option("tableName", "customer_asof")
         .option("asOfSeq", (asofEpochSeq - 1).toString).load()
         .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    // CROSS-TABLE consistent snapshot: ONE epoch-millis cut addresses
+    // BOTH co-stored tables (pubSeq is a clock stamp, so the same
+    // value is a table-independent snapshot coordinate — the
+    // multi-table-consistent read DynamoDB PITR restores give).
+    // Both reads roll back before each table's epoch-2 batch, so the
+    // join equals the plain parquet join — which IS the oracle. A
+    // torn cut (one table pre-epoch-2, the other post) would lose the
+    // %10==3 orders or customers and hash-mismatch.
+    "q_dyn_asof_multi" -> ((s, dir) => {
+      val root = seededAsofMultiRoot(s, dir)
+      val cut = (asofEpochSeq - 1).toString
+      def rd(t: String) = s.read.format("dynamo")
+        .option("path", root).option("tableName", t)
+        .option("asOfSeq", cut).load()
+      val c = rd("customer_asof").select("c_custkey", "c_acctbal")
+      val o = rd("orders_asof").select("o_custkey", "o_totalprice")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+          max("c_acctbal").as("acctbal"))
         .orderBy("c_custkey")
     }),
     "q_dyn_asof_latest" -> ((s, dir) => {
@@ -677,6 +747,14 @@ object DynamoQueries {
     "q_dyn_asof" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    // one cut, two tables: both roll back to their parquet fixtures,
+    // so the oracle is the plain fixture join
+    "q_dyn_asof_multi" ->
+      """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price,
+        |       max(c_acctbal) AS acctbal
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_dyn_asof_latest" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer

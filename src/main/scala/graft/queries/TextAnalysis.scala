@@ -346,6 +346,51 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Span REMOVAL (CCNet-style line dedup, token-granular): delete
+    // every token covered by a corpus-duplicated 5-gram (a span
+    // appearing in >= 2 docs) and emit the cleaned text + removal
+    // stats — the actual cleaning step a pretraining pipeline runs
+    // after q_text_dupspan measures the damage. Shape stays span-keyed
+    // linear: one span-keyed df aggregate, one span-keyed join-back to
+    // recover WHICH positions are covered (removal genuinely needs
+    // them — the df-identity shortcut only yields counts), then one
+    // doc-keyed fold; the per-doc HOF pass (`filter` with index +
+    // `exists` over the start list) is map-side. No window, no
+    // cartesian — span strings cross the wire twice, bounded.
+    "q_text_despan" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+      val posSpans = d.filter(size(col("a")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a)-4), i -> struct(i AS start, " +
+            "concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]) AS span))"))
+          .as("ps"))
+        .select(col("doc_id"), col("ps.start").as("start"), col("ps.span").as("span"))
+      // df = number of DOCS containing the span (per-doc-distinct),
+      // matching q_text_dupspan's definition of "duplicated"
+      val dup = posSpans.select("doc_id", "span").distinct()
+        .groupBy("span").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("span")
+      val dupStarts = posSpans.join(dup, "span")
+        .groupBy("doc_id").agg(collect_set(col("start")).as("starts"))
+      d.join(dupStarts, Seq("doc_id"), "left")
+        .withColumn("starts",
+          coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+        // 1-based token position p is removed iff some dup-span start
+        // s covers it (s <= p <= s+4)
+        .withColumn("kept", expr(
+          "filter(a, (x, i) -> NOT exists(starts, s -> s <= i + 1 AND i + 1 <= s + 4))"))
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("clean_text"),
+          size(col("a")).cast("long").as("n_tokens"),
+          (size(col("a")) - size(col("kept"))).cast("long").as("n_removed"),
+          when(size(col("a")) === 0, lit(0.0))
+            .otherwise(round((size(col("a")) - size(col("kept"))).cast("double")
+              / size(col("a")), 5)).as("removed_frac"))
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity suppression over quasi-identifiers (the privacy
     // gate a training-data release runs before shipping metadata):
     // documents whose (lang, source) group holds fewer than k=20
@@ -899,6 +944,30 @@ object TextAnalysis {
         |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 5) AS dup_frac
         |FROM s JOIN f USING (span)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_despan" ->
+      """WITH d AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+        |           FROM documents),
+        |ps AS (SELECT doc_id, i,
+        |              a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] AS span
+        |       FROM d, unnest(generate_series(1, len(a) - 4)) AS t(i)
+        |       WHERE len(a) >= 5),
+        |dup AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM ps)
+        |        GROUP BY span HAVING count(*) >= 2),
+        |st AS (SELECT ps.doc_id, list(ps.i) AS starts
+        |       FROM ps JOIN dup USING (span) GROUP BY ps.doc_id),
+        |k AS (SELECT d.doc_id, d.a,
+        |             list_filter(d.a, (x, p) ->
+        |               len(list_filter(coalesce(st.starts, []),
+        |                               s -> s <= p AND p <= s + 4)) = 0) AS kept
+        |      FROM d LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |       CAST(len(a) AS BIGINT) AS n_tokens,
+        |       CAST(len(a) - len(kept) AS BIGINT) AS n_removed,
+        |       CASE WHEN len(a) = 0 THEN 0.0
+        |            ELSE round((len(a) - len(kept)) / len(a), 5) END AS removed_frac
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars,
         |       (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)::DOUBLE
