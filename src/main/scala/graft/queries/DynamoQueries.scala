@@ -342,6 +342,86 @@ object DynamoQueries {
             "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("678.9"))))))
         Files.createFile(marker)
       }
+      // strip the write-through journal (idempotent, OUTSIDE the
+      // marker so pre-existing seeded stores migrate too): THIS key
+      // deliberately exercises the classic DELTA overlay (applier-lag
+      // state); the journal-tier serve has its own key
+      // (`q_dyn_gsi_wt`, which keeps its journal)
+      dropJournalArtifacts(root, "customer_gsid", "by_seg")
+    }
+    root
+  }
+
+  /** Delete one index's write-through artifacts (round files +
+    * applied marker) — the applier-lag state, for keys that pin the
+    * delta-overlay tier.
+    */
+  private def dropJournalArtifacts(root: String, table: String, name: String): Unit = {
+    val dir = Paths.get(root, table)
+    Files.deleteIfExists(dir.resolve(s"gsi-applied-$name.meta"))
+    val ls = Files.list(dir)
+    try {
+      val it = ls.iterator()
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(s"gsi-wal-$name-r")) doomed += p
+      }
+      doomed.foreach(Files.deleteIfExists(_))
+    } finally ls.close()
+  }
+
+  /** Seed `customer_gsiw` for the WRITE-THROUGH GSI serve: identical
+    * two-epoch shape to `customer_gsid`, but the publish-time applier's
+    * journal is KEPT — reads serve copy + round files with zero
+    * base-shard work and zero overlay re-derivation (the `IndexJournal`
+    * tier; DynamoConnectorSpec pins the partition shape).
+    */
+  private def seededGsiWtRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer_gsiw", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.customer(s, sfDir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .repartition(16)
+          .write.dynamo(root, "customer_gsiw", "c_custkey")
+        DynamoMaintenance.compact(s, root, "customer_gsiw")
+        val st = new LocalKVStore(root)
+        st.createIndex("customer_gsiw", "by_seg",
+          IndexMeta("c_mktsegment", None, Some(Seq("c_acctbal"))))
+        val seq = asofEpochSeq
+        Fixtures.customer(s, sfDir)
+          .filter(col("c_custkey") % 10 === 7)
+          .select("c_custkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val stl = new LocalKVStore(root)
+            val w = stl.walWriter("customer_gsiw", seq,
+              f"gsiwdel-p${org.apache.spark.TaskContext.getPartitionId()}%04d")
+            try {
+              it.foreach { r =>
+                w.append(stl.Delete(Map("c_custkey" ->
+                  (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                    : graft.sources.dynamo.AttrVal))))
+              }
+              w.flush()
+            } finally w.close()
+          }
+        st.appendWal("customer_gsiw", seq, "gsiwput", Seq(
+          st.Put(Map(
+            "c_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(9999999)),
+            "c_mktsegment" -> graft.sources.dynamo.AttrVal.S("BUILDING"),
+            "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("123.45"))))))
+        st.appendWal("customer_gsiw", seq + 1, "gsiwupd", Seq(
+          st.UpdateIfExists(Map(
+            "c_custkey" -> graft.sources.dynamo.AttrVal.N(BigDecimal(9999999)),
+            "c_acctbal" -> graft.sources.dynamo.AttrVal.N(BigDecimal("678.9"))))))
+        Files.createFile(marker)
+      }
+      // idempotent catch-up OUTSIDE the marker (no-op when the journal
+      // already covers the WAL): heals stores seeded by older builds
+      // whose marker format predates the composition manifest
+      new LocalKVStore(root).applyIndexWrites("customer_gsiw")
     }
     root
   }
@@ -352,6 +432,20 @@ object DynamoQueries {
     // rows vanish, the updated sentinel appears at its merged value —
     // without any rebuild. The oracle expresses the same final state
     // over the parquet fixture.
+    // WRITE-THROUGH GSI read: same two-epoch table shape as
+    // q_dyn_gsi_delta, but the publish-time applier's journal is kept
+    // — the read serves copy + round files EXACTLY, zero base-shard
+    // work, zero read-time re-derivation (the IndexJournal tier;
+    // q_dyn_gsi_delta pins the applier-lag DELTA overlay instead).
+    "q_dyn_gsi_wt" -> ((s, dir) => {
+      val root = seededGsiWtRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_gsiw")
+        .option("indexName", "by_seg").load()
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     "q_dyn_gsi_delta" -> ((s, dir) => {
       val root = seededGsiDeltaRoot(s, dir)
       s.read.format("dynamo")
@@ -846,6 +940,15 @@ object DynamoQueries {
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "q_dyn_gsi_wt" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT CAST(9999999 AS BIGINT) AS c_custkey,
+        |         'BUILDING' AS c_mktsegment,
+        |         CAST(678.9 AS DOUBLE) AS c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "q_dyn_gsi_delta" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer

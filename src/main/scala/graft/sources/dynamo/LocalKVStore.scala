@@ -650,22 +650,23 @@ final class LocalKVStore(root: String) {
     // wrong serve; the count guards mirror the build marker's
     // (same-millisecond pubSeq collisions demote instead of hiding).
     appliedMarker(table, name) match {
-      case Some((aSeq, aCount, aWm, nRounds))
-          if aWm == wm && aSeq >= foldedMax &&
-            files.count(walPubSeq(_) <= aSeq) == aCount =>
-        val rounds = listRoundFiles(table, name)
-          .filter(roundSeq(_, name) <= aSeq).sortBy(_.getFileName.toString)
-        if (rounds.size == nRounds) {
-          val delta = files.filter(walPubSeq(_) > aSeq)
-            .sortBy(_.getFileName.toString)
-          LocalKVStore.IndexJournal(
-            rounds.map(_.getFileName.toString),
-            delta.map(_.getFileName.toString),
-            delta.map(Files.size(_)).sum,
-            buildDelta.map(_.getFileName.toString))
-        } else LocalKVStore.IndexDelta(
-          buildDelta.map(_.getFileName.toString),
-          buildDelta.map(Files.size(_)).sum)
+      case Some((aWm, rounds, applied))
+          if aWm == wm &&
+            rounds.forall(r => Files.isRegularFile(tableDir(table).resolve(r))) =>
+        // delta = files the journal has NOT folded — set difference,
+        // ANY position in the listing. Soundness does not need the
+        // applied set to be a name-order prefix: the overlay DROPS
+        // every delta-touched key from copy+journal and re-derives it
+        // from the live base, so a late same-pubSeq arrival is simply
+        // overlaid (the applier maintains apply-order consistency for
+        // the keys it DID fold — see applyOneIndex's rebuild rule).
+        val delta = buildDelta
+          .filterNot(p => applied.contains(p.getFileName.toString))
+        LocalKVStore.IndexJournal(
+          rounds,
+          delta.map(_.getFileName.toString),
+          delta.map(Files.size(_)).sum,
+          buildDelta.map(_.getFileName.toString))
       case _ =>
         LocalKVStore.IndexDelta(
           buildDelta.map(_.getFileName.toString),
@@ -694,16 +695,40 @@ final class LocalKVStore(root: String) {
   // WAL published after the marker (applier raced/skipped) still
   // needs the classic delta overlay.
 
-  /** Applied-marker parse: (appliedSeq, belowCount, watermark,
-    * nRounds); None = absent/unparseable.
+  /** Applied-marker parse — the journal's COMPOSITION manifest:
+    * (watermark, round file names in replay order, applied WAL file
+    * name set). Explicit names instead of a (seq, count) coverage pair:
+    * a same-millisecond pubSeq collision then lands in the DELTA (set
+    * difference) instead of poisoning the whole journal. None =
+    * absent/unparseable. Format: line 1 = watermark; `r <name>` =
+    * round file; `w <name>` = applied WAL file.
     */
-  private def appliedMarker(table: String, name: String): Option[(Long, Long, Long, Int)] = {
+  private def appliedMarker(table: String, name: String): Option[(Long, Seq[String], Set[String])] = {
     val p = tableDir(table).resolve(s"gsi-applied-$name.meta")
     if (!Files.isRegularFile(p)) return None
-    val parts = new String(Files.readAllBytes(p), UTF_8).trim.split(' ')
-    if (parts.length < 4) return None
-    try Some((parts(0).toLong, parts(1).toLong, parts(2).toLong, parts(3).toInt))
-    catch { case _: NumberFormatException => None }
+    val lines = new String(Files.readAllBytes(p), UTF_8).split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val wm = try lines.head.trim.toLong
+      catch { case _: NumberFormatException => return None }
+    val rounds = lines.tail.collect { case l if l.startsWith("r ") => l.drop(2) }
+    val applied = lines.tail.collect { case l if l.startsWith("w ") => l.drop(2) }
+    if (lines.tail.exists(l => !l.startsWith("r ") && !l.startsWith("w ")))
+      return None
+    Some((wm, rounds.toSeq, applied.toSet))
+  }
+
+  private def writeAppliedMarker(table: String, name: String, wm: Long,
+      rounds: Seq[String], applied: Set[String]): Unit = {
+    val dir = tableDir(table)
+    val sb = new StringBuilder()
+    sb.append(wm).append('\n')
+    rounds.foreach(r => sb.append("r ").append(r).append('\n'))
+    applied.toSeq.sorted.foreach(w => sb.append("w ").append(w).append('\n'))
+    val tmp = dir.resolve(s".gsi-applied-$name.meta.tmp")
+    Files.write(tmp, sb.toString.getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"gsi-applied-$name.meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Round files of one index, defensively tokenized: the remainder
@@ -714,10 +739,6 @@ final class LocalKVStore(root: String) {
     listFiles(table, s"gsi-wal-$name-r").filter(
       _.getFileName.toString.stripPrefix(s"gsi-wal-$name-r")
         .matches("\\d{20}\\.jsonl"))
-
-  private def roundSeq(p: Path, name: String): Long =
-    p.getFileName.toString.stripPrefix(s"gsi-wal-$name-r")
-      .stripSuffix(".jsonl").toLong
 
   /** One round file's entries: (canonical key, index shard,
     * Some(projected image) = PUT / None = DEL). Rounds are bounded by
@@ -773,26 +794,35 @@ final class LocalKVStore(root: String) {
     if (compactionWatermark(table) != wm) return
     val files = listFiles(table, "wal-")
     if (files.count(walPubSeq(_) <= foldedMax) != belowCount) return
-    val (startSeq, nRounds) = appliedMarker(table, name) match {
-      case Some((aSeq, aCount, aWm, n)) =>
-        // a marker that fails its own guards is POISONED (a pubSeq
-        // collision landed inside the applied range): stop advancing
-        // — readers already fall back to the build delta, and the
-        // next compaction rebuilds + clears everything. Re-applying
-        // from foldedMax over live rounds would double-apply.
-        if (aWm == wm && aSeq >= foldedMax &&
-          files.count(walPubSeq(_) <= aSeq) == aCount) (aSeq, n)
-        else return
-      case None => (foldedMax, 0)
+    val folded = files.filter(walPubSeq(_) <= foldedMax)
+      .map(_.getFileName.toString).toSet
+    val (rounds0, applied0) = appliedMarker(table, name) match {
+      case Some((aWm, r, a)) if aWm == wm &&
+          r.forall(f => Files.isRegularFile(dir.resolve(f))) => (r, a)
+      case Some(_) => (Nil: Seq[String], Set.empty[String]) // stale marker: rebuild composition
+      case None => (Nil: Seq[String], Set.empty[String])
     }
-    // reap aborted rounds (crash between round publish and marker
-    // bump) — no reader consults them (coverage-filtered) and the
-    // work below re-derives their content
-    listRoundFiles(table, name).filter(roundSeq(_, name) > startSeq)
-      .foreach(Files.deleteIfExists(_))
-    val pending = files.filter(walPubSeq(_) > startSeq)
+    val unapplied = files
+      .filter(p => walPubSeq(p) > foldedMax &&
+        !applied0.contains(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
-    if (pending.isEmpty) return
+    if (unapplied.isEmpty) return
+    // APPLY-ORDER invariant: the journal's cumulative composition must
+    // equal a NAME-ORDER fold (the order every scan replays). Extending
+    // is only sound when all unapplied files sort AFTER everything
+    // already applied; a late arrival sorting INTO the applied range
+    // (same-millisecond pubSeq collision) forces a REBUILD of the
+    // composition — one fresh round folding the whole post-build
+    // suffix, published under a new marker. Old round files stay on
+    // disk (readers that pinned them keep a consistent view) and are
+    // swept with the other gsi-* files at the next rebuild/compaction.
+    val rebuild = applied0.nonEmpty &&
+      unapplied.head.getFileName.toString < applied0.max
+    val (rounds, applied, pending) =
+      if (rebuild)
+        (Nil: Seq[String], Set.empty[String],
+          files.filter(walPubSeq(_) > foldedMax).sortBy(_.getFileName.toString))
+      else (rounds0, applied0, unapplied)
     // fold the pending suffix per key — the same KeyState algebra the
     // merged scan replays, so conditional ops resolve identically
     val states = mutable.LinkedHashMap.empty[String, KeyState]
@@ -811,13 +841,13 @@ final class LocalKVStore(root: String) {
         states(k) = applyOp(states.getOrElse(k, initKeyState), op)
       }
     }
-    // pre-images AS OF the applied watermark: one merged owning-shard
-    // scan per dirty base shard, replay pinned to the applied WAL
-    // prefix — this is what makes DEL entries land at the key's
-    // CURRENT index location (copy + earlier rounds), closing the
-    // racing-movers hole a writer-local pre-image read would have
-    val appliedWal = files.filter(walPubSeq(_) <= startSeq)
-      .map(_.getFileName.toString).toSet
+    // pre-images AS OF the journal's current composition: one merged
+    // owning-shard scan per dirty base shard, replay pinned to the
+    // folded-prefix ∪ applied-set — this is what makes DEL entries
+    // land at the key's CURRENT index location (copy + earlier
+    // rounds), closing the racing-movers hole a writer-local
+    // pre-image read would have
+    val appliedWal = folded ++ applied
     val preImage = mutable.HashMap.empty[String, Item]
     states.keySet.groupBy(keyShardM).foreach { case (sh, keys) =>
       scanSegment(table, sh, meta.shards, allowedWal = Some(appliedWal))
@@ -877,13 +907,12 @@ final class LocalKVStore(root: String) {
     Files.move(tmp, roundPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val mTmp = dir.resolve(s".gsi-applied-$name.meta.tmp")
-    Files.write(mTmp,
-      s"$newSeq ${files.count(walPubSeq(_) <= newSeq)} $wm ${nRounds + 1}"
-        .getBytes(UTF_8))
-    Files.move(mTmp, dir.resolve(s"gsi-applied-$name.meta"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // marker AFTER the round: the composition manifest — rounds in
+    // replay order plus the exact applied file-name set (a crash in
+    // between leaves an orphan round no marker references)
+    writeAppliedMarker(table, name, wm,
+      rounds :+ roundPath.getFileName.toString,
+      applied ++ pending.map(_.getFileName.toString))
   }
 
   /** Scan one index-copy segment WITH a journal-delta overlay — the

@@ -2191,6 +2191,35 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q_dyn_gsi_wt serves the journal tier, q_dyn_gsi_delta the delta overlay") {
+    import graft.sources.dynamo.DynamoInputPartition
+    def parts(name: String) = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      // sparkPlan, not executedPlan: the query's orderBy makes AQE wrap
+      // the tree and the scan leaf is unreachable from the outer node
+      val bse = df.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail(s"no BatchScanExec in $name"))
+      bse.inputPartitions.map(_.asInstanceOf[DynamoInputPartition])
+    }
+    // the write-through key keeps its publish-time journal: copy +
+    // pinned round files, no un-applied delta
+    val wt = parts("q_dyn_gsi_wt")
+    assert(wt.nonEmpty && wt.forall(p =>
+      p.viaIndex && p.journalFiles.nonEmpty && p.deltaFiles.isEmpty),
+      wt.map(p => (p.viaIndex, p.journalFiles, p.deltaFiles)).toSeq.toString)
+    // the delta key's seeding strips the journal (applier lag): copy +
+    // pinned delta overlay
+    val dl = parts("q_dyn_gsi_delta")
+    assert(dl.nonEmpty && dl.forall(p =>
+      p.viaIndex && p.deltaFiles.nonEmpty && p.journalFiles.isEmpty),
+      dl.map(p => (p.viaIndex, p.journalFiles, p.deltaFiles)).toSeq.toString)
+    // identical final state either way
+    val a = SparkEntry.queries("q_dyn_gsi_wt")(spark, TestSpark.sf).collect().map(_.toSeq)
+    val b = SparkEntry.queries("q_dyn_gsi_delta")(spark, TestSpark.sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("GSI delta guards: pubSeq collision and compaction drift demote to Stale") {
     import graft.sources.dynamo.AttrVal
     import java.nio.charset.StandardCharsets.UTF_8
