@@ -426,7 +426,49 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `user_counters` ENTIRELY through `updateAction=add` writes:
+    * one ADD op per event (+1 to `cnt`, +value to `amount`) — no base
+    * rows at all (UpdateItem's ADD upserts from 0). The table's final
+    * state IS a grouped aggregation, computed on the WRITE path —
+    * DynamoDB's atomic-counter pattern at Spark scale. Reads fold the
+    * add journal through the replay normal form (no compaction here,
+    * deliberately: the query exercises the ADD fold, not the folded
+    * base).
+    */
+  private def seededCounterRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "user_counters", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.events(s, sfDir)
+          .select(col("user_id"), lit(1L).as("cnt"), col("value").as("amount"))
+          .repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "user_counters")
+          .option("hashKey", "user_id")
+          .option("updateAction", "add")
+          .mode("append").save()
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // ATOMIC COUNTERS (UpdateItem ADD): the table was written as one
+    // ADD op per event, so reading it back IS the grouped aggregation
+    // the oracle computes over the raw events — write-side
+    // aggregation, the DynamoDB counter pattern. `amount` re-rounds
+    // because the store accumulates exact decimals while the oracle's
+    // double sum carries fp error.
+    "q_dyn_counter" -> ((s, dir) => {
+      val root = seededCounterRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "user_counters").load()
+        .select(col("user_id"), col("cnt"),
+          round(col("amount"), 2).as("amount"))
+        .orderBy("user_id")
+    }),
     // DELTA-fresh GSI read: the index-key-pinned read serves the
     // materialized copy PLUS the pinned journal overlay — deleted
     // rows vanish, the updated sentinel appears at its merged value —
@@ -841,6 +883,10 @@ object DynamoQueries {
     "q_dyn_asof" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_counter" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 2) AS amount
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // one cut, two tables: both roll back to their parquet fixtures,
     // so the oracle is the plain fixture join
     "q_dyn_asof_multi" ->

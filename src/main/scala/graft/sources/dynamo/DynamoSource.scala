@@ -39,6 +39,7 @@ final case class DynamoOptions(
     throughput: Option[Long],
     writeBatchSize: Int,
     update: Boolean,
+    updateAction: String,
     delete: Boolean,
     ifNotExists: Boolean,
     ifExists: Boolean,
@@ -175,6 +176,12 @@ object DynamoOptions {
       throughput = opt("throughput").map(_.toLong),
       writeBatchSize = opt("writeBatchSize").map(_.toInt).getOrElse(25),
       update = m.getBoolean("update", false),
+      updateAction = opt("updateAction").map(_.toLowerCase) match {
+        case None | Some("set") => "set"
+        case Some(a @ ("add" | "remove")) => a
+        case Some(other) => throw new IllegalArgumentException(
+          s"updateAction must be set|add|remove, got '$other'")
+      },
       delete = m.getBoolean("delete", false),
       ifNotExists = m.getBoolean("ifNotExists", false),
       ifExists = m.getBoolean("ifExists", false),
@@ -1532,7 +1539,7 @@ final class DynamoScan(
           val folded = per.map(_.attrs.getOrElse(f.name, AttrStats.empty))
             .reduce(_ union _)
           val nullCnt = folded.present.map(p => math.max(0L, total - p))
-          val minMax = if (folded.other || folded.sMin.isDefined) None
+          val minMax = if (folded.other || folded.nOpen || folded.sMin.isDefined) None
             else for {
               lo <- folded.nMin; hi <- folded.nMax
               l <- cvt(f.dataType, lo, folded.nWhole)
@@ -1976,7 +1983,7 @@ final class DynamoScan(
         folded.attrs.get(f.name) match {
           case None => None // absent attr: SUM over no rows = null
           case Some(as) =>
-            if (as.other || as.sMin.nonEmpty || !as.nWhole ||
+            if (as.other || as.nOpen || as.sMin.nonEmpty || !as.nWhole ||
                 !integralField(f.dataType))
               return None
             val (fLo, fHi) = f.dataType match {
@@ -2035,6 +2042,7 @@ final class DynamoScan(
       case Some(x) => x
     }
     if (as.other) return None // bool/binary/list/map values present
+    if (as.nOpen) return None // ADD-incremented: range is open
     def numeric(bounds: Option[(BigDecimal, BigDecimal)]): Option[Option[AttrVal]] =
       if (as.sMin.nonEmpty) None // an S value fails the typed decode
       else if (bounds.exists { case (lo, hi) =>
@@ -2194,7 +2202,8 @@ object WalOffset {
   * base snapshot — compose `spark.read.dynamo` (snapshot) with this
   * (changes since) for the classic CDC bootstrap. With `cdc=true` the
   * schema gains a `_op` string column (PUT / UPDATE / DELETE / PUTNX /
-  * UPDIF) and delete markers are emitted (key attrs + `_op`); without
+  * UPDIF / ADD / REMOVE) and delete markers are emitted (key attrs +
+  * `_op`); without
   * it the feed is an upsert stream carrying only the UNCONDITIONAL
   * ops (puts + updates — conditional ops and deletes need `_op` to be
   * applied correctly downstream). `startingOffsets` = `earliest`
@@ -2400,6 +2409,8 @@ final class DynamoWalReader(
       // APPLIED depends on replay state this per-file reader cannot
       // see, and emitting a failed conditional as a plain upsert would
       // diverge a downstream materializer from the batch-scan view.
+      // ADD/REMOVE are likewise base-dependent (an increment is not a
+      // value) and excluded here; CDC mode carries them tagged.
       // CDC mode emits everything with its `_op` tag so the consumer
       // resolves conditions against its own state.
       if (opts.cdc || tag == "PUT" || tag == "UPDATE") {
@@ -3556,6 +3567,27 @@ final class DynamoDataWriter(
     // whole item, so an explicit null column IS the item's content.
     val op: store.Op =
       if (opts.delete) store.Delete(item.view.filterKeys(keyAttrs).toMap)
+      else if (opts.updateAction == "add") {
+        // UpdateItem ADD (atomic counter): every non-null non-key
+        // column is a numeric increment — a write-side aggregation
+        // (repeated keys accumulate, absent attrs start at 0)
+        val adds = item.collect {
+          case (k, AttrVal.N(v)) if !keyAttrs(k) => k -> v }
+        val bad = item.collectFirst {
+          case (k, v) if !keyAttrs(k) && v != AttrVal.Null &&
+            !v.isInstanceOf[AttrVal.N] => k }
+        bad.foreach(k => throw new IllegalArgumentException(
+          s"updateAction=add requires numeric columns; '$k' is not a number"))
+        store.AddTo(
+          item.view.filterKeys(k => keyAttrs(k) || adds.contains(k)).toMap, adds)
+      } else if (opts.updateAction == "remove") {
+        // UpdateItem REMOVE: every non-null non-key column names an
+        // attribute to remove (its value is ignored)
+        val targets = item.keysIterator
+          .filter(k => !keyAttrs(k) && item(k) != AttrVal.Null).toSeq
+        store.RemoveAttrs(item.view.filterKeys(keyAttrs).toMap ++
+          targets.map(_ -> (AttrVal.Null: AttrVal)))
+      }
       else if (opts.update && opts.ifExists)
         store.UpdateIfExists(item.filter(_._2 != AttrVal.Null))
       else if (opts.update) store.Update(item.filter(_._2 != AttrVal.Null))

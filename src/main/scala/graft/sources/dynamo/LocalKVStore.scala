@@ -88,7 +88,15 @@ final case class AttrStats(
       * (DESCRIBE-TABLE-style NDV for the CBO). `None` = pre-field
       * stats file (unknown; no distinct-count claim).
       */
-    hll: Option[Vector[Byte]] = Some(AttrStats.hllZero)) {
+    hll: Option[Vector[Byte]] = Some(AttrStats.hllZero),
+    /** True when some journaled ADD increments this attribute: the
+      * FINAL value = base + increments lies in no recorded range, so
+      * the numeric range is OPEN — pruning through it is unsound and
+      * [[ZoneMap]] must treat any numeric comparison as possibly
+      * true. Sticky under union. False when read from pre-field
+      * files (they predate ADD ops, so their ranges are closed).
+      */
+    nOpen: Boolean = false) {
   def widen(v: AttrVal): AttrStats = v match {
     case AttrVal.N(n) => copy(
       nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
@@ -106,6 +114,18 @@ final case class AttrStats(
     case _ => copy(other = true, present = present.map(_ + 1L),
       hll = hll.map(AttrStats.hllAdd(_, v)))
   }
+  /** ADD increment: the final value is base-dependent, so the range
+    * opens (`nOpen`) and the NDV sketch degrades to unknown; the sum
+    * delta stays EXACT (final sum = base sum + increments, whether
+    * the attr existed or not) and whole-ness composes under union
+    * (fractional base ⇒ base sidecar already reports false).
+    */
+  def widenAdd(v: BigDecimal): AttrStats = copy(
+    present = present.map(_ + 1L),
+    nSum = nSum.map(_ + v),
+    nWhole = nWhole && v.isWhole,
+    hll = None,
+    nOpen = true)
   def union(o: AttrStats): AttrStats = AttrStats(
     (nMin.toSeq ++ o.nMin).minOption,
     (nMax.toSeq ++ o.nMax).maxOption,
@@ -116,7 +136,8 @@ final case class AttrStats(
     for (a <- nSum; b <- o.nSum) yield a + b,
     nWhole && o.nWhole,
     for (a <- hll; b <- o.hll)
-      yield a.lazyZip(b).map((x, y) => if (x >= y) x else y).toVector)
+      yield a.lazyZip(b).map((x, y) => if (x >= y) x else y).toVector,
+    nOpen || o.nOpen)
 }
 
 object AttrStats {
@@ -216,6 +237,24 @@ final case class ShardStats(attrs: Map[String, AttrStats], complete: Boolean,
       }
     counted.copy(items = counted.items.map(_ + 1L))
   }
+  /** Widen for an ADD op: key attrs carry real values (normal widen),
+    * increment attrs open their ranges ([[AttrStats.widenAdd]]).
+    */
+  def widenAdd(item: Item, adds: Map[String, BigDecimal]): ShardStats = {
+    val counted =
+      if (!complete && attrs.isEmpty) this
+      else item.foldLeft(this) { case (st, (a, v)) =>
+        def next(as: AttrStats): AttrStats =
+          adds.get(a).fold(as.widen(v))(as.widenAdd)
+        st.attrs.get(a) match {
+          case Some(as) => st.copy(attrs = st.attrs.updated(a, next(as)))
+          case None if st.attrs.size < ShardStats.maxTrackedAttrs =>
+            st.copy(attrs = st.attrs.updated(a, next(AttrStats.empty)))
+          case None => st.copy(complete = false)
+        }
+      }
+    counted.copy(items = counted.items.map(_ + 1L))
+  }
   def union(o: ShardStats): ShardStats = ShardStats(
     (attrs.keySet ++ o.attrs.keySet).map(a =>
       a -> attrs.getOrElse(a, AttrStats.empty)
@@ -242,6 +281,7 @@ object ShardStats {
           "present" -> num(s.present.map(BigDecimal(_))),
           "nSum" -> num(s.nSum),
           "nWhole" -> AttrVal.Bool(s.nWhole),
+          "nOpen" -> AttrVal.Bool(s.nOpen),
           "hll" -> s.hll.map(r => AttrVal.S(java.util.Base64.getEncoder
             .encodeToString(r.toArray)): AttrVal).getOrElse(AttrVal.Null)))
       })))
@@ -264,7 +304,8 @@ object ShardStats {
               catch { case _: IllegalArgumentException => Array.empty[Byte] }
             // wrong-width registers = unreadable sketch, not a crash
             if (bytes.length == AttrStats.hllM) Some(bytes.toVector) else None
-          })
+          },
+          f.get("nOpen") match { case Some(AttrVal.Bool(b)) => b; case _ => false })
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false },
@@ -829,13 +870,7 @@ final class LocalKVStore(root: String) {
     val keyShardM = mutable.HashMap.empty[String, Int]
     pending.foreach { f =>
       readWalFile(table, f.getFileName.toString).foreach { case (tag, item, _) =>
-        val op: Op = tag match {
-          case "PUT" => Put(item)
-          case "UPDATE" => Update(item)
-          case "DELETE" => Delete(item)
-          case "PUTNX" => PutIfAbsent(item)
-          case "UPDIF" => UpdateIfExists(item)
-        }
+        val op: Op = opOf(meta, tag, item)
         val k = keyOf(meta, item)
         keyShardM(k) = shardOf(meta, item)
         states(k) = applyOp(states.getOrElse(k, initKeyState), op)
@@ -862,7 +897,7 @@ final class LocalKVStore(root: String) {
       val pre = preImage.get(k)
       val fin: Option[Item] = st.present match {
         case Left(r)  => r
-        case Right(m) => pre.map(_ ++ m).orElse(st.absent)
+        case Right(m) => pre.map(resolvePending(_, m)).orElse(st.absent)
       }
       val oldProj = pre.flatMap(indexView(meta, ix, _))
       val newProj = fin.flatMap(indexView(meta, ix, _))
@@ -971,13 +1006,7 @@ final class LocalKVStore(root: String) {
     val keyShard = mutable.HashMap.empty[String, Int] // base placement
     deltaFiles.sorted.foreach { f =>
       readWalFile(table, f).foreach { case (tag, item, _) =>
-        val op: Op = tag match {
-          case "PUT" => Put(item)
-          case "UPDATE" => Update(item)
-          case "DELETE" => Delete(item)
-          case "PUTNX" => PutIfAbsent(item)
-          case "UPDIF" => UpdateIfExists(item)
-        }
+        val op: Op = opOf(meta, tag, item)
         val k = keyOf(meta, item)
         keyShard(k) = shardOf(meta, item)
         states(k) = applyOp(states.getOrElse(k, initKeyState), op)
@@ -996,12 +1025,16 @@ final class LocalKVStore(root: String) {
       .filter(landsHere)
       .flatMap(indexView(meta, ix, _))
       .map(pi => (pi, ItemJson.write(pi).length))
-    // base-dependent keys whose image COULD land here: merge attrs
-    // carrying the index hash key prove placement; without it the
-    // final hash comes from the base — unknown, must check
+    // base-dependent keys whose image COULD land here: a pending SET
+    // of the index hash key proves placement; a missing/ADD/REMOVE
+    // pending leaves the final hash unknown (base-derived, shifted,
+    // or gone) — conservatively check via the base
     val needBase = states.iterator.collect {
-      case (k, KeyState(Right(m), _))
-          if !m.contains(ix.hashKey) || landsHere(m) => k
+      case (k, KeyState(Right(m), _)) if (m.get(ix.hashKey) match {
+        case Some(PSet(v)) =>
+          indexShardOf(meta, v) % totalSegments == segment
+        case _ => true // unknown placement → must check
+      }) => k
     }.toSet
     val dirtyShards = mutable.LinkedHashSet.empty[Int]
     needBase.foreach(k => dirtyShards += keyShard(k))
@@ -1287,6 +1320,20 @@ final class LocalKVStore(root: String) {
     * upserts a fresh one.
     */
   final case class UpdateIfExists(item: Item) extends Op
+  /** DynamoDB UpdateItem `ADD` action (atomic counter): each attr in
+    * `adds` increments the stored number (absent attr = 0; upserts a
+    * fresh item like UpdateItem). `item` = key attrs plus the
+    * increments rendered as N values — the WAL wire form; `adds` is
+    * derived from it with the table's key names at every parse site.
+    * Key attrs are never ADD targets (writers validate).
+    */
+  final case class AddTo(item: Item, adds: Map[String, BigDecimal]) extends Op
+  /** DynamoDB UpdateItem `REMOVE` action: attrs of `item` carrying
+    * `AttrVal.Null` are removed from the stored item (keys are never
+    * Null, so the encoding is unambiguous); upserts a key-only item
+    * when absent, like UpdateItem.
+    */
+  final case class RemoveAttrs(item: Item) extends Op
 
   /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
     * **sharded by the same key-hash as the base shards** — one file per
@@ -1332,8 +1379,14 @@ final class LocalKVStore(root: String) {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND))
       w.write(ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item))))
       w.write("\n")
-      if (!op.isInstanceOf[Delete])
-        stats(shard) = stats.getOrElse(shard, ShardStats.empty).widen(op.item)
+      op match {
+        case _: Delete => () // removing an item never ADDS values
+        case _: RemoveAttrs => () // removing attrs never adds values either
+        case AddTo(it, adds) => // increments OPEN the attrs' ranges
+          stats(shard) = stats.getOrElse(shard, ShardStats.empty).widenAdd(it, adds)
+        case _ =>
+          stats(shard) = stats.getOrElse(shard, ShardStats.empty).widen(op.item)
+      }
     }
 
     def flush(): Unit = open.values.foreach(_.flush())
@@ -1583,7 +1636,11 @@ final class LocalKVStore(root: String) {
         w.write(ItemJson.write(Map(
           "op" -> AttrVal.S(tagOf(op)), "item" -> AttrVal.M(op.item))))
         w.write("\n")
-        if (!op.isInstanceOf[Delete]) stats = stats.widen(op.item)
+        op match {
+          case _: Delete | _: RemoveAttrs => ()
+          case AddTo(it, adds) => stats = stats.widenAdd(it, adds)
+          case _ => stats = stats.widen(op.item)
+        }
       } finally w.close()
       Files.write(zTmp, ShardStats.toJson(stats).getBytes(UTF_8))
       StagedTxn(table, seq, writerId)
@@ -1644,6 +1701,25 @@ final class LocalKVStore(root: String) {
     case _: Delete => "DELETE"
     case _: PutIfAbsent => "PUTNX"
     case _: UpdateIfExists => "UPDIF"
+    case _: AddTo => "ADD"
+    case _: RemoveAttrs => "REMOVE"
+  }
+
+  /** WAL record → Op. ADD targets are the non-key N-valued attrs
+    * (key names from `meta`); REMOVE targets ride as Null values in
+    * the item itself.
+    */
+  private def opOf(meta: TableMeta, tag: String, item: Item): Op = tag match {
+    case "PUT" => Put(item)
+    case "UPDATE" => Update(item)
+    case "DELETE" => Delete(item)
+    case "PUTNX" => PutIfAbsent(item)
+    case "UPDIF" => UpdateIfExists(item)
+    case "ADD" =>
+      val keys: Set[String] = Set(meta.hashKey) ++ meta.rangeKey
+      AddTo(item, item.collect {
+        case (k, AttrVal.N(v)) if !keys(k) => k -> v })
+    case "REMOVE" => RemoveAttrs(item)
   }
 
   /** Shard a journal file belongs to; [[LocalKVStore.TxnShard]] (-1)
@@ -1682,15 +1758,12 @@ final class LocalKVStore(root: String) {
       .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
       .filter(_.nonEmpty)
-      .map { line =>
-        val rec = ItemJson.parse(line)
-        val item = rec("item").asInstanceOf[AttrVal.M].v
-        rec("op").asInstanceOf[AttrVal.S].v match {
-          case "PUT" => Put(item)
-          case "UPDATE" => Update(item)
-          case "DELETE" => Delete(item)
-          case "PUTNX" => PutIfAbsent(item)
-          case "UPDIF" => UpdateIfExists(item)
+      .map {
+        val meta = describe(table) // once per replay, not per line
+        line => {
+          val rec = ItemJson.parse(line)
+          val item = rec("item").asInstanceOf[AttrVal.M].v
+          opOf(meta, rec("op").asInstanceOf[AttrVal.S].v, item)
         }
       }
 
@@ -1849,7 +1922,47 @@ final class LocalKVStore(root: String) {
     * merge.
     */
   private[dynamo] final case class KeyState(
-      present: Either[Option[Item], Item], absent: Option[Item])
+      present: Either[Option[Item], Map[String, Pending]], absent: Option[Item])
+
+  /** A pending per-attribute effect over an unknown base — the
+    * `Right` side of [[KeyState]] generalized from a plain SET-merge
+    * map so UpdateItem's ADD/REMOVE actions stay O(1)-foldable: SET
+    * overwrites, ADD accumulates a numeric delta, REMOVE tombstones.
+    * Still closed under every op, still one bounded map per key.
+    */
+  sealed trait Pending extends Serializable
+  final case class PSet(v: AttrVal) extends Pending
+  final case class PAdd(v: BigDecimal) extends Pending
+  case object PRemove extends Pending
+
+  /** Resolve a pending map over a CONCRETE base item. */
+  private[dynamo] def resolvePending(base: Item, m: Map[String, Pending]): Item =
+    m.foldLeft(base) {
+      case (acc, (k, PSet(v)))  => acc + (k -> v)
+      case (acc, (k, PAdd(v)))  => acc + (k -> (acc.get(k) match {
+        case Some(AttrVal.N(x)) => AttrVal.N(x + v)
+        case _ => AttrVal.N(v) // absent or non-number: ADD starts from 0
+      }))
+      case (acc, (k, PRemove))  => acc - k
+    }
+
+  private def pset(it: Item): Map[String, Pending] =
+    it.map { case (k, v) => k -> (PSet(v): Pending) }
+
+  /** ADD over a concrete item (absent attr counts as 0). */
+  private def addConcrete(x: Item, adds: Map[String, BigDecimal]): Item =
+    adds.foldLeft(x) { case (acc, (k, v)) =>
+      acc + (k -> (acc.get(k) match {
+        case Some(AttrVal.N(n)) => AttrVal.N(n + v)
+        case _ => AttrVal.N(v)
+      }))
+    }
+
+  private def removeTargets(it: Item): Set[String] =
+    it.collect { case (k, AttrVal.Null) => k }.toSet
+
+  private def keysOnly(it: Item): Item =
+    it.filter(_._2 != AttrVal.Null)
 
   private[dynamo] def applyOp(st: KeyState, op: Op): KeyState = op match {
       case Put(it)    => KeyState(Left(Some(it)), Some(it))
@@ -1858,7 +1971,7 @@ final class LocalKVStore(root: String) {
         st.present match {
           case Left(Some(x)) => Left(Some(x ++ it))
           case Left(None)    => Left(Some(it)) // update after delete = fresh item
-          case Right(m)      => Right(m ++ it)
+          case Right(m)      => Right(m ++ pset(it))
         },
         st.absent.map(_ ++ it).orElse(Some(it)))
       case PutIfAbsent(it) => KeyState(
@@ -1871,16 +1984,42 @@ final class LocalKVStore(root: String) {
         st.present match {
           case Left(Some(x)) => Left(Some(x ++ it))
           case Left(None)    => Left(None)  // deleted = absent → no-op
-          case Right(m)      => Right(m ++ it) // base present → merges
+          case Right(m)      => Right(m ++ pset(it)) // base present → merges
         },
         st.absent.map(_ ++ it)) // absent stays absent (no upsert)
+      case AddTo(it, adds) => KeyState(
+        st.present match {
+          case Left(Some(x)) => Left(Some(addConcrete(x, adds)))
+          case Left(None)    => // add after delete: fresh item from 0
+            Left(Some(addConcrete(keysOnly(it) -- adds.keys, adds)))
+          case Right(m) => Right(adds.foldLeft(m) { case (acc, (k, v)) =>
+            acc + (k -> (acc.get(k) match {
+              case Some(PSet(AttrVal.N(x))) => PSet(AttrVal.N(x + v))
+              case Some(PSet(_))            => PSet(AttrVal.N(v)) // non-number: restart from 0
+              case Some(PAdd(x))            => PAdd(x + v)
+              case Some(PRemove) | None     => PAdd(v)
+            }): (String, Pending))
+          })
+        },
+        // over nothing: item materializes with the increments as values
+        st.absent.map(addConcrete(_, adds))
+          .orElse(Some(addConcrete(it.view.filterKeys(k => !adds.contains(k)).toMap, adds))))
+      case RemoveAttrs(it) =>
+        val rm = removeTargets(it)
+        KeyState(
+          st.present match {
+            case Left(Some(x)) => Left(Some(x -- rm))
+            case Left(None)    => Left(Some(keysOnly(it))) // upserts key-only, like UpdateItem
+            case Right(m)      => Right(m ++ rm.map(k => k -> (PRemove: Pending)))
+          },
+          st.absent.map(_ -- rm).orElse(Some(keysOnly(it))))
   }
 
   /** A fresh fold state: a key first touched by UPDATE merges with
     * the base at scan time; by PUTNX keeps the base untouched.
     */
   private[dynamo] val initKeyState: KeyState =
-    KeyState(Right(Map.empty: Item), None)
+    KeyState(Right(Map.empty[String, Pending]), None)
 
   /** Resolve one segment's base files against the folded overrides —
     * the back half of [[scanSegment]].
@@ -1923,7 +2062,7 @@ final class LocalKVStore(root: String) {
         case Some(st) =>
           val resolved = st.present match {
             case Left(r)  => r
-            case Right(m) => Some(item ++ m)
+            case Right(m) => Some(resolvePending(item, m))
           }
           resolved.map(m => (m, ItemJson.write(m).length))
       }

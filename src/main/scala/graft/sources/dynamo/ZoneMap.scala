@@ -81,6 +81,10 @@ object ZoneMap {
         }
       case _ =>
         numLit(v) match {
+          // an ADD-incremented attribute's FINAL value lies in no
+          // recorded range (base + delta) — any numeric comparison
+          // may hold
+          case Some(_) if as.nOpen => true
           case Some(n) => (as.nMin, as.nMax) match {
             case (Some(lo), Some(hi)) =>
               rangeMayHold(lo.compare(n), hi.compare(n), ok)

@@ -2191,6 +2191,48 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("updateAction=add: atomic counters accumulate across tasks; zone maps stay sound") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan}
+    import org.apache.spark.sql.sources.GreaterThan
+    val root = freshRoot()
+    // base rows with a bounded v, compacted so base zone maps are exact
+    Seq(("u1", 10L), ("u2", 20L), ("u3", 30L)).toDF("id", "v")
+      .write.dynamo(root, "ctr", "id")
+    new LocalKVStore(root).compact("ctr")
+    // increment storm: 4 partitions x repeated keys, every row +1 to n
+    // and +vdelta to v — UpdateItem ADD semantics (absent n starts at 0)
+    Seq.tabulate(40)(i => (s"u${i % 4 + 1}", 1L, 100L))
+      .toDF("id", "n", "v")
+      .repartition(4)
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "ctr")
+      .option("updateAction", "add")
+      .mode("append").save()
+    val got = spark.read.dynamo(root, "ctr")
+      .select("id", "n", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // u4 had no base row: ADD upserts from 0
+    assert(got === Seq(("u1", 10L, 1010L), ("u2", 10L, 1020L),
+      ("u3", 10L, 1030L), ("u4", 10L, 1000L)))
+    // zone-map soundness: base stats say v <= 30, but the incremented
+    // values are ~1000 — a v > 500 read must NOT prune those shards
+    // (the ADD sidecars carry an OPEN numeric range)
+    assert(spark.read.dynamo(root, "ctr").filter(col("v") > 500L).count() === 4L)
+    // ... and after compaction folds the adds, stats are exact again
+    new LocalKVStore(root).compact("ctr")
+    assert(spark.read.dynamo(root, "ctr").filter(col("v") > 500L).count() === 4L)
+    // updateAction=remove drops the named attrs (value ignored), keeps keys
+    Seq(("u1", true)).toDF("id", "n")
+      .write.format("dynamo")
+      .option("path", root).option("tableName", "ctr")
+      .option("updateAction", "remove")
+      .mode("append").save()
+    val u1 = spark.read.dynamo(root, "ctr").filter(col("id") === "u1")
+      .select("n", "v").collect().head
+    assert(u1.isNullAt(0) && u1.getLong(1) === 1010L)
+  }
+
   test("q_dyn_gsi_wt serves the journal tier, q_dyn_gsi_delta the delta overlay") {
     import graft.sources.dynamo.DynamoInputPartition
     def parts(name: String) = {

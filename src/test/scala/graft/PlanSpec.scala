@@ -212,6 +212,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_text_despan: span-keyed linear — no window, no cartesian, keyed joins only") {
+    val df = SparkEntry.queries("q_text_despan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("TPC-H Q21: EXISTS/NOT EXISTS lower to semi + anti joins") {
     val df = SparkEntry.queries("q_sql_tpch_q21")(spark, sf)
     df.collect()

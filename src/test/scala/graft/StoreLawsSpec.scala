@@ -39,10 +39,33 @@ class StoreLawsSpec extends AnyFunSuite {
   private def withKey(k: String, attrs: Item): Item = attrs + ("id" -> AttrVal.S(k))
 
   private val genOp: Gen[(String, String, Item)] = for {
-    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE", 2 -> "PUTNX", 2 -> "UPDIF")
+    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE",
+      2 -> "PUTNX", 2 -> "UPDIF", 2 -> "ADDN", 2 -> "RMATTR")
     k <- genKey
     attrs <- genAttrs
   } yield (tag, k, attrs)
+
+  /** Tagged op → store op — the one place the generator's tag
+    * alphabet maps to the store alphabet (ADDN's increments are the
+    * generated attrs' numeric subset; RMATTR removes the generated
+    * attr NAMES, values ignored — Null-encoded like the wire form).
+    */
+  private def toOp(store: LocalKVStore)(tagged: (String, String, Item)): store.Op =
+    tagged match {
+      case ("PUT", k, a)    => store.Put(withKey(k, a))
+      case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
+      case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
+      case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
+      case ("ADDN", k, a)   =>
+        val adds = a.collect { case (n, AttrVal.N(v)) => n -> v }
+        store.AddTo(
+          withKey(k, adds.map { case (n, v) => n -> (AttrVal.N(v): AttrVal) }),
+          adds)
+      case ("RMATTR", k, a) =>
+        store.RemoveAttrs(withKey(k,
+          a.map { case (n, _) => n -> (AttrVal.Null: AttrVal) }))
+      case (_, k, a)        => store.Update(withKey(k, a))
+    }
 
   private val genScenario: Gen[(Seq[(String, Item)], Seq[Seq[(String, String, Item)]])] =
     for {
@@ -58,12 +81,23 @@ class StoreLawsSpec extends AnyFunSuite {
       jobs: Seq[Seq[(String, String, Item)]]): Map[String, Item] =
     jobs.flatten.foldLeft(base.toMap) { case (m, (tag, k, attrs)) =>
       val item = withKey(k, attrs)
+      def cur: Item = m.getOrElse(k, Map("id" -> (AttrVal.S(k): AttrVal)))
       tag match {
         case "PUT"    => m + (k -> item)
         case "DELETE" => m - k
         case "UPDATE" => m + (k -> (m.getOrElse(k, Map.empty: Item) ++ item))
         case "PUTNX"  => if (m.contains(k)) m else m + (k -> item)
         case "UPDIF"  => if (m.contains(k)) m + (k -> (m(k) ++ item)) else m
+        case "ADDN"   => // UpdateItem ADD: numeric add, absent = 0, upserts
+          val adds = attrs.collect { case (n, AttrVal.N(v)) => n -> v }
+          m + (k -> adds.foldLeft(cur) { case (acc, (n, v)) =>
+            acc + (n -> (acc.get(n) match {
+              case Some(AttrVal.N(x)) => AttrVal.N(x + v)
+              case _ => AttrVal.N(v)
+            }))
+          })
+        case "RMATTR" => // UpdateItem REMOVE: drops attrs, upserts key-only
+          m + (k -> (cur -- attrs.keys))
       }
     }
 
@@ -75,13 +109,7 @@ class StoreLawsSpec extends AnyFunSuite {
       store.bulkLoad("t", meta, base.map(_._2).iterator)
       jobs.zipWithIndex.foreach { case (ops, j) =>
         store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
-          ops.map {
-            case ("PUT", k, a)    => store.Put(withKey(k, a))
-            case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
-            case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
-            case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
-            case (_, k, a)        => store.Update(withKey(k, a))
-          })
+          ops.map(toOp(store)))
       }
       val expected = model(base, jobs)
       Seq(1, 3, 4, 7).foreach { n =>
@@ -143,13 +171,7 @@ class StoreLawsSpec extends AnyFunSuite {
       // some jobs land BEFORE the build (folded into the copy), the
       // rest after (the delta the overlay must re-derive)
       val (pre, post) = jobs.splitAt(jobs.size / 2)
-      def toOps(ops: Seq[(String, String, Item)]) = ops.map {
-        case ("PUT", k, a)    => store.Put(withKey(k, a))
-        case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
-        case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
-        case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
-        case (_, k, a)        => store.Update(withKey(k, a))
-      }
+      def toOps(ops: Seq[(String, String, Item)]) = ops.map(toOp(store))
       pre.zipWithIndex.foreach { case (ops, j) =>
         store.appendWal("t", seq = j.toLong, writerId = f"pre$j%03d", toOps(ops)) }
       store.buildIndex("t", "by_a")
@@ -559,13 +581,7 @@ class StoreLawsSpec extends AnyFunSuite {
       // interleaved with the publishes, as concurrent tasks would be
       val writers = jobs.zipWithIndex.map { case (ops, j) =>
         val w = store.walWriter("t", seq = j.toLong, writerId = f"w$j%03d")
-        ops.foreach {
-          case ("PUT", k, a)    => w.append(store.Put(withKey(k, a)))
-          case ("DELETE", k, _) => w.append(store.Delete(Map("id" -> AttrVal.S(k))))
-          case ("PUTNX", k, a)  => w.append(store.PutIfAbsent(withKey(k, a)))
-          case ("UPDIF", k, a)  => w.append(store.UpdateIfExists(withKey(k, a)))
-          case (_, k, a)        => w.append(store.Update(withKey(k, a)))
-        }
+        ops.foreach(o => w.append(toOp(store)(o)))
         (w, j)
       }
       writers.foreach { case (w, j) => if (j % 2 == 0) w.close() else w.abort() }
@@ -588,13 +604,7 @@ class StoreLawsSpec extends AnyFunSuite {
           base.map(_._2).iterator)
         jobs.zipWithIndex.foreach { case (ops, j) =>
           store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
-            ops.map {
-              case ("PUT", k, a)    => store.Put(withKey(k, a))
-              case ("DELETE", k, _) => store.Delete(Map("id" -> AttrVal.S(k)))
-              case ("PUTNX", k, a)  => store.PutIfAbsent(withKey(k, a))
-              case ("UPDIF", k, a)  => store.UpdateIfExists(withKey(k, a))
-              case (_, k, a)        => store.Update(withKey(k, a))
-            })
+            ops.map(toOp(store)))
         }
         val expected = model(base, jobs)
         // serial form of DynamoMaintenance.reshard's phases
