@@ -94,4 +94,29 @@ object DynamoMaintenance {
       .foreach(sh => new LocalKVStore(path).reshardShard(table, sh, newShards))
     store.finishReshard(table, newShards)
   }
+
+  /** Global-Tables-style anti-entropy replication, one task per shard
+    * (replicas share placement, so shard i syncs against shard i with
+    * zero cross-task coordination — see [[Replication]]). Tombstone
+    * maps are read once on the driver and broadcast with the task
+    * closure: they are bounded by deletes, not table size. Returns
+    * (puts, deletes) applied at the destination.
+    */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+      table: String, seq: Long): (Long, Long) = {
+    val src = new LocalKVStore(srcRoot)
+    val shards = src.describe(table).shards
+    val srcT = Replication.tombstones(src, table)
+    val dstT = Replication.tombstones(new LocalKVStore(dstRoot), table)
+    val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
+    val counts = spark.sparkContext
+      .parallelize(0 until shards, parallelism)
+      .map { sh =>
+        val r = Replication.syncShard(new LocalKVStore(srcRoot),
+          new LocalKVStore(dstRoot), table, sh, seq, s"repl-s$sh", srcT, dstT)
+        (r.puts.toLong, r.deletes.toLong)
+      }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    counts
+  }
 }

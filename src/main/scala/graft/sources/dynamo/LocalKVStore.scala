@@ -348,6 +348,11 @@ object ShardStats {
   */
 final class LocalKVStore(root: String) {
 
+  /** Store root path — sibling helpers ([[Replication]]) place their
+    * sidecar files relative to it.
+    */
+  private[dynamo] def rootDir: String = root
+
   private def tableDir(table: String): Path = Paths.get(root, table)
 
   def exists(table: String): Boolean =

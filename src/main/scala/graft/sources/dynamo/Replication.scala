@@ -1,0 +1,424 @@
+package graft.sources.dynamo
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import scala.collection.mutable
+
+import graft.sources.dynamo.ItemJson.Item
+
+/** DynamoDB **Global Tables** analogue: multi-active replication
+  * between independent store roots ("regions") with last-writer-wins
+  * conflict resolution. [REF: public DynamoDB Global Tables semantics
+  * — replicas exchange item IMAGES (not op logs), every item carries
+  * an engine-stamped `aws:rep:updatetime`, conflicts resolve
+  * last-writer-wins on that stamp, and ADD math is NOT merged across
+  * regions (the losing region's counter delta is simply overwritten).]
+  *
+  * Our mapping of those semantics:
+  *
+  *  - **Stamp = (`_rep_ver`, `_rep_src`)** item attributes (version +
+  *    origin region), totally ordered by (ver, region) — version is
+  *    the origin's write clock (epoch millis in production; any
+  *    monotonic long in tests), region breaks exact ties
+  *    deterministically. Writers to a replicated table stamp at write
+  *    time via [[writeStamped]] (the engine-side stamping DynamoDB
+  *    does internally); because stamps are ordinary attributes they
+  *    survive compaction, backups, and time travel for free.
+  *  - **Deletes leave tombstones** (`repltomb-*.jsonl` sidecars, one
+  *    stamp per deleted key) so a replicated delete beats a stale put
+  *    that arrives later — without them the put would resurrect the
+  *    item. A FRESHER put (higher stamp) deliberately wins over an
+  *    older tombstone: that is DynamoDB's actual recreate-after-delete
+  *    behavior, not an anomaly. Tombstones are append-only sidecar
+  *    files, invisible to every scan/journal listing prefix (none of
+  *    which match `repltomb-`), folded to a per-key max at read time;
+  *    volume is bounded by deletes, and a retention sweep may drop
+  *    stamps every replica has acknowledged (not needed at test
+  *    scale — DynamoDB GCs its own tombstones the same way).
+  *  - **Sync = per-shard anti-entropy** ([[syncShard]]): replicas
+  *    share table meta (same hash placement, same shard count), so
+  *    shard i at the source aligns with shard i at the destination —
+  *    each task streams one source shard against one destination
+  *    shard's resolved stamps, O(shard) memory, zero cross-task
+  *    coordination: the same disjointness that makes segmented scans
+  *    and compaction embarrassingly parallel makes replication so
+  *    ([[DynamoMaintenance.replicate]] runs one Spark task per
+  *    shard). State-based sync is a join in the LWW semilattice,
+  *    hence idempotent, commutative, and convergent by construction —
+  *    ReplicationSpec pins all three plus the tombstone laws.
+  *  - **[[syncIncremental]]** is the steady-state CDC-shaped path: it
+  *    ships only keys the source journal touched past a per-region
+  *    watermark (`replmark-*` sidecar at the destination). If
+  *    compaction folded journal history past the watermark the delta
+  *    is unrecoverable from the journal — it falls back LOUDLY to a
+  *    full anti-entropy pass (the result says which path ran) rather
+  *    than silently missing writes.
+  *
+  * Not replicated: `AddTo`/`RemoveAttrs` write-ops ([[writeStamped]]
+  * rejects them). A cross-region counter merge is a CRDT the real
+  * service does not implement either; counters belong to a single
+  * writer region under Global Tables, and we keep that contract
+  * explicit instead of guessing a merge.
+  */
+object Replication {
+
+  /** Origin write-clock attribute (the `aws:rep:updatetime` analogue). */
+  val VerAttr = "_rep_ver"
+
+  /** Origin region attribute — total tie-break at equal versions. */
+  val SrcAttr = "_rep_src"
+
+  /** A replication version: ordered by version, then region.
+    * Contract (same as the real service's updatetime): one (ver,
+    * region) never stamps two DIFFERENT writes of the same key —
+    * a region's write clock is monotonic per key.
+    */
+  final case class Stamp(ver: Long, region: String) {
+    def beats(o: Stamp): Boolean =
+      ver > o.ver || (ver == o.ver && region > o.region)
+  }
+  object Stamp {
+    /** Unstamped (pre-replication) data sorts below every real stamp. */
+    val zero: Stamp = Stamp(0L, "")
+  }
+
+  def stampOf(item: Item): Stamp = {
+    val ver = item.get(VerAttr) match {
+      case Some(AttrVal.N(n)) => n.toLong
+      case _ => 0L
+    }
+    val src = item.get(SrcAttr) match {
+      case Some(AttrVal.S(s)) => s
+      case _ => ""
+    }
+    Stamp(ver, src)
+  }
+
+  def stamped(item: Item, st: Stamp): Item =
+    item + (VerAttr -> AttrVal.N(BigDecimal(st.ver))) +
+      (SrcAttr -> AttrVal.S(st.region))
+
+  /** Replicated-write ops — instance-free mirror of the store's WAL op
+    * surface restricted to what LWW can resolve (see class doc for why
+    * ADD/REMOVE are out).
+    */
+  sealed trait ROp
+  final case class RPut(item: Item) extends ROp
+  final case class RUpdate(item: Item) extends ROp
+  /** `key` = key attributes only, like the store's Delete op. */
+  final case class RDelete(key: Item) extends ROp
+
+  /** Stamping write — every op carries (ver, region) so replicas can
+    * resolve it; deletes also record a tombstone. This is the write
+    * API for replicated tables (plain writes still work — they just
+    * sort below every stamped write, the right semantics for
+    * pre-replication seed data). Distributed writers call this per
+    * partition with a partition-unique `writerId`; puts at scale can
+    * equivalently ride the DSv2 writer with `_rep_ver`/`_rep_src` as
+    * literal columns (stamps are ordinary attributes) — only DELETES
+    * need this entry point, for the tombstone.
+    */
+  def writeStamped(store: LocalKVStore, table: String, region: String,
+      ver: Long, seq: Long, writerId: String, ops: Seq[ROp]): Unit = {
+    val meta = store.describe(table)
+    val st = Stamp(ver, region)
+    val tombs = mutable.ArrayBuffer.empty[(String, Stamp)]
+    val walOps: Seq[store.Op] = ops.map {
+      case RPut(it) => store.Put(stamped(it, st))
+      case RUpdate(it) => store.Update(stamped(it, st))
+      case RDelete(key) =>
+        tombs += ((store.keyOf(meta, key), st))
+        store.Delete(key)
+    }
+    store.appendWal(table, seq, writerId, walOps)
+    if (tombs.nonEmpty) appendTombstones(store, table, seq, writerId, tombs.toSeq)
+  }
+
+  // ---- tombstone sidecars -------------------------------------------------
+
+  /** One line per deleted key: `key \t ver \t region`. Files publish
+    * with tmp+ATOMIC_MOVE like every other sidecar; names embed
+    * (seq, writerId) so parallel tasks never collide.
+    */
+  private def appendTombstones(store: LocalKVStore, table: String,
+      seq: Long, writerId: String, tombs: Seq[(String, Stamp)]): Unit = {
+    val dir = Paths.get(store.rootDir, table)
+    val tmp = dir.resolve(f".repltomb-$seq%020d-$writerId.tmp")
+    val out = tombs.map { case (k, s) => s"$k\t${s.ver}\t${s.region}" }
+      .mkString("", "\n", "\n")
+    Files.write(tmp, out.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(f"repltomb-$seq%020d-$writerId.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All tombstones of a table, folded to the max stamp per key. */
+  def tombstones(store: LocalKVStore, table: String): Map[String, Stamp] = {
+    val dir = Paths.get(store.rootDir, table)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val files: Seq[Path] = {
+      val s = Files.list(dir)
+      try {
+        val b = Vector.newBuilder[Path]
+        s.forEach(p =>
+          if (p.getFileName.toString.startsWith("repltomb-")) b += p)
+        b.result()
+      } finally s.close()
+    }
+    val acc = mutable.HashMap.empty[String, Stamp]
+    files.foreach { p =>
+      Files.readAllLines(p, StandardCharsets.UTF_8).forEach { line =>
+        if (line.nonEmpty) {
+          val i2 = line.lastIndexOf('\t')
+          val i1 = line.lastIndexOf('\t', i2 - 1)
+          val st = Stamp(line.substring(i1 + 1, i2).toLong,
+            line.substring(i2 + 1))
+          val k = line.substring(0, i1)
+          if (acc.get(k).forall(st.beats)) acc(k) = st
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  // ---- anti-entropy sync --------------------------------------------------
+
+  /** What one sync pass did. `full` = whole-table anti-entropy ran
+    * (either asked for, or the incremental path fell back because
+    * compaction folded history past the watermark).
+    */
+  final case class SyncResult(puts: Int, deletes: Int, full: Boolean) {
+    def applied: Int = puts + deletes
+    def +(o: SyncResult): SyncResult =
+      SyncResult(puts + o.puts, deletes + o.deletes, full || o.full)
+  }
+
+  private def requireAligned(a: TableMeta, b: TableMeta, table: String): Unit =
+    require(a.hashKey == b.hashKey && a.rangeKey == b.rangeKey &&
+      a.shards == b.shards,
+      s"replicas of '$table' must share key schema and shard count " +
+        s"(src ${a.hashKey}/${a.rangeKey}/${a.shards} vs " +
+        s"dst ${b.hashKey}/${b.rangeKey}/${b.shards}): shard-aligned " +
+        "anti-entropy needs identical placement")
+
+  /** LWW-resolve one source shard against the matching destination
+    * shard. Streams the source; holds one destination shard's stamps
+    * (not items) plus the divergence set in memory — the same
+    * O(shard) bound compaction runs under. Origin stamps are
+    * preserved verbatim on apply (re-stamping would break
+    * convergence). Tombstone maps are passed in (they are table-
+    * global and cheap); this shard applies only its own keys.
+    */
+  def syncShard(src: LocalKVStore, dst: LocalKVStore, table: String,
+      shard: Int, seq: Long, writerId: String,
+      srcTombs: Map[String, Stamp], dstTombs: Map[String, Stamp]): SyncResult = {
+    val srcMeta = src.describe(table)
+    val dstMeta = dst.describe(table)
+    requireAligned(srcMeta, dstMeta, table)
+    val shards = srcMeta.shards
+
+    val dstStamp = mutable.HashMap.empty[String, Stamp]
+    dst.scanSegment(table, shard, shards).foreach { case (item, _) =>
+      dstStamp(dst.keyOf(dstMeta, item)) = stampOf(item)
+    }
+
+    def bestDst(k: String): Option[Stamp] =
+      (dstStamp.get(k), dstTombs.get(k)) match {
+        case (Some(x), Some(y)) => Some(if (x.beats(y)) x else y)
+        case (x, y) => x.orElse(y)
+      }
+
+    // The source's authoritative state per key is max(live item stamp,
+    // tombstone stamp): a re-created item (put AFTER delete) must ship
+    // as a put even though a tombstone exists, and a live item beaten
+    // by its own tombstone (stale put that lost the local race) must
+    // ship as the delete. Tracking live stamps for tombstoned keys
+    // keeps the two loops from emitting both ops for one key.
+    val srcLive = mutable.HashMap.empty[String, Stamp]
+    val puts = mutable.ArrayBuffer.empty[dst.Op]
+    src.scanSegment(table, shard, shards).foreach { case (item, _) =>
+      val k = src.keyOf(srcMeta, item)
+      val s = stampOf(item)
+      if (srcTombs.contains(k)) srcLive(k) = s
+      val authoritative = srcTombs.get(k).forall(s.beats)
+      val wins = bestDst(k) match {
+        case None => true // absent and never deleted: presence wins
+        case Some(d) => s.beats(d)
+      }
+      if (authoritative && wins)
+        puts += dst.Put(item) // origin stamp rides in the item
+    }
+
+    val deletes = mutable.ArrayBuffer.empty[dst.Op]
+    val newTombs = mutable.ArrayBuffer.empty[(String, Stamp)]
+    srcTombs.foreach { case (k, s) =>
+      if (keyShard(srcMeta, k, src) == shard &&
+          srcLive.get(k).forall(live => !live.beats(s))) {
+        if (dstStamp.get(k).exists(s.beats))
+          deletes += dst.Delete(keyItemOf(dstMeta, k))
+        // Record/refresh the tombstone whenever the destination lacks
+        // an equal-or-better one — even for keys it never stored, so a
+        // three-region relay still carries the delete onward.
+        if (dstTombs.get(k).forall(s.beats)) newTombs += ((k, s))
+      }
+    }
+
+    val ops = puts.toSeq ++ deletes.toSeq
+    if (ops.nonEmpty) dst.appendWal(table, seq, writerId, ops)
+    if (newTombs.nonEmpty)
+      appendTombstones(dst, table, seq, writerId, newTombs.toSeq)
+    SyncResult(puts.size, deletes.size, full = true)
+  }
+
+  private def keyShard(meta: TableMeta, key: String, store: LocalKVStore): Int =
+    store.shardOf(meta, keyItemOf(meta, key))
+
+  /** Rebuild the key attributes an encoded key string denotes — the
+    * inverse of [[LocalKVStore.keyOf]] (`s:`/`n:`/`b:`-tagged values
+    * joined by `|`). Composite split takes the FIRST `|`: a `|` inside
+    * a string hash key would mis-split, the same way it would collide
+    * in `keyOf` itself — the store's existing key-string contract.
+    */
+  private[dynamo] def keyItemOf(meta: TableMeta, key: String): Item = {
+    val parts = meta.rangeKey match {
+      case Some(_) =>
+        val i = key.indexOf('|')
+        require(i > 0, s"composite key expected: $key")
+        Seq(key.substring(0, i), key.substring(i + 1))
+      case None => Seq(key)
+    }
+    val names = Seq(meta.hashKey) ++ meta.rangeKey
+    names.zip(parts).map { case (n, enc) =>
+      val v = enc.substring(2)
+      enc.charAt(0) match {
+        case 's' => n -> AttrVal.S(v)
+        case 'n' => n -> AttrVal.N(BigDecimal(v))
+        case 'b' => n -> AttrVal.B(java.util.Base64.getDecoder.decode(v))
+        case c => throw new IllegalArgumentException(s"key tag '$c' in $key")
+      }
+    }.toMap
+  }
+
+  /** Whole-table anti-entropy (driver-side shard loop — tests and
+    * small tables; [[DynamoMaintenance.replicate]] is the one-task-
+    * per-shard form).
+    */
+  def sync(src: LocalKVStore, dst: LocalKVStore, table: String,
+      seq: Long, writerId: String): SyncResult = {
+    val meta = src.describe(table)
+    requireAligned(meta, dst.describe(table), table)
+    val srcT = tombstones(src, table)
+    val dstT = tombstones(dst, table)
+    (0 until meta.shards).map { sh =>
+      syncShard(src, dst, table, sh, seq, s"$writerId-s$sh", srcT, dstT)
+    }.foldLeft(SyncResult(0, 0, full = true))(_ + _)
+  }
+
+  // ---- incremental (journal-shipping) sync --------------------------------
+
+  private def markPath(dst: LocalKVStore, table: String, srcRegion: String): Path =
+    Paths.get(dst.rootDir, table, s"replmark-$srcRegion.txt")
+
+  /** Highest source pubSeq this destination has already replicated
+    * from `srcRegion` (0 before the first pass).
+    */
+  def watermark(dst: LocalKVStore, table: String, srcRegion: String): Long = {
+    val p = markPath(dst, table, srcRegion)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def writeWatermark(dst: LocalKVStore, table: String,
+      srcRegion: String, wm: Long): Unit = {
+    val p = markPath(dst, table, srcRegion)
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
+    Files.write(tmp, wm.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def walSeqOf(name: String): Long =
+    name.stripPrefix("wal-").take(20).toLong
+
+  /** Ship only keys the source journal touched past the stored
+    * watermark (the CDC-shaped steady-state path: cost is
+    * O(new writes), not O(table)). Falls back LOUDLY to [[sync]] when
+    * source compaction folded journal history past the watermark —
+    * those deltas are unrecoverable from the journal, and missing
+    * them silently would diverge the replicas. The advanced watermark
+    * is the max source pubSeq OBSERVED IN THE LISTING this pass
+    * replayed — never "now" — so a write racing the listing lands
+    * after the new watermark and ships next pass.
+    */
+  def syncIncremental(src: LocalKVStore, srcRegion: String,
+      dst: LocalKVStore, table: String, seq: Long,
+      writerId: String): SyncResult = {
+    val wm = watermark(dst, table, srcRegion)
+    val folded = src.compactionWatermark(table)
+    if (folded > wm) {
+      val r = sync(src, dst, table, seq, writerId)
+      writeWatermark(dst, table, srcRegion,
+        math.max(folded, maxWalSeq(src, table)))
+      return r
+    }
+    val srcMeta = src.describe(table)
+    val dstMeta = dst.describe(table)
+    requireAligned(srcMeta, dstMeta, table)
+
+    val newFiles = src.walFileNames(table).filter(walSeqOf(_) > wm)
+    val touched = mutable.LinkedHashSet.empty[String]
+    newFiles.foreach { f =>
+      src.readWalFile(table, f).foreach { case (_, item, _) =>
+        touched += src.keyOf(srcMeta, item)
+      }
+    }
+    if (touched.isEmpty) return SyncResult(0, 0, full = false)
+    val srcT = tombstones(src, table)
+    val dstT = tombstones(dst, table)
+
+    val keys = touched.toSeq
+    val keyItems = keys.map(keyItemOf(srcMeta, _))
+    val srcNow = src.transactGet(table, keyItems)
+    val dstNow = dst.transactGet(table, keyItems)
+
+    val puts = mutable.ArrayBuffer.empty[dst.Op]
+    val deletes = mutable.ArrayBuffer.empty[dst.Op]
+    val newTombs = mutable.ArrayBuffer.empty[(String, Stamp)]
+    keys.indices.foreach { i =>
+      val k = keys(i)
+      val dstStamp = (dstNow(i).map(stampOf), dstT.get(k)) match {
+        case (Some(x), Some(y)) => Some(if (x.beats(y)) x else y)
+        case (x, y) => x.orElse(y)
+      }
+      // Same authoritative-state rule as [[syncShard]]: a live item
+      // beaten by its own tombstone ships as the delete, not the put.
+      srcNow(i).map(stampOf) match {
+        case Some(s) if srcT.get(k).forall(s.beats) =>
+          if (dstStamp.forall(s.beats)) puts += dst.Put(srcNow(i).get)
+        case _ =>
+          // Key absent (or tombstone-beaten) at source — only a
+          // tombstone authorizes a destination delete.
+          srcT.get(k).foreach { s =>
+            if (dstNow(i).map(stampOf).exists(s.beats))
+              deletes += dst.Delete(keyItemOf(dstMeta, k))
+            if (dstT.get(k).forall(s.beats)) newTombs += ((k, s))
+          }
+      }
+    }
+    val ops = puts.toSeq ++ deletes.toSeq
+    if (ops.nonEmpty) dst.appendWal(table, seq, writerId, ops)
+    if (newTombs.nonEmpty)
+      appendTombstones(dst, table, seq, writerId, newTombs.toSeq)
+    val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
+    writeWatermark(dst, table, srcRegion, newWm)
+    SyncResult(puts.size, deletes.size, full = false)
+  }
+
+  private def maxWalSeq(store: LocalKVStore, table: String): Long = {
+    val names = store.walFileNames(table)
+    if (names.isEmpty) 0L else names.map(walSeqOf).max
+  }
+}

@@ -1,0 +1,243 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.dynamo.{AttrVal, LocalKVStore, Replication, TableMeta}
+import graft.sources.dynamo.ItemJson.Item
+import graft.sources.dynamo.Replication.{RDelete, RPut, Stamp, SyncResult}
+
+/** Laws for the Global Tables analogue ([[Replication]]): state-based
+  * LWW sync is a semilattice join, so replicas must CONVERGE
+  * (bidirectional sync → identical states), syncs must be IDEMPOTENT
+  * (second pass applies nothing) and ORDER-INDEPENDENT, deletes must
+  * beat stale puts across regions (tombstones) while fresher puts
+  * re-create deleted items (DynamoDB's actual recreate semantics),
+  * stamps and tombstones must survive compaction, and the incremental
+  * journal-shipping path must equal full anti-entropy — falling back
+  * loudly when compaction folded journal history past its watermark.
+  */
+class ReplicationSpec extends AnyFunSuite {
+
+  private val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+
+  private def freshPair(): (LocalKVStore, LocalKVStore) = {
+    def mk(): LocalKVStore = {
+      val st = new LocalKVStore(
+        Files.createTempDirectory("repl").toString)
+      st.createTable("t", meta)
+      st
+    }
+    (mk(), mk())
+  }
+
+  private def item(k: String, v: String): Item =
+    Map("id" -> AttrVal.S(k), "v" -> AttrVal.S(v))
+
+  private def key(k: String): Item = Map("id" -> AttrVal.S(k))
+
+  /** Resolved user-visible state: key -> v attr (stamps checked
+    * separately where a law needs them).
+    */
+  private def state(st: LocalKVStore): Map[String, String] =
+    st.scanSegment("t", 0, 1).map { case (it, _) =>
+      val k = it("id").asInstanceOf[AttrVal.S].v
+      val v = it.get("v").collect { case AttrVal.S(s) => s }.getOrElse("")
+      k -> v
+    }.toMap
+
+  /** Full item-level state INCLUDING stamps — convergence must hold
+    * on stamps too, or a third sync would diverge.
+    */
+  private def fullState(st: LocalKVStore): Map[String, Item] =
+    st.scanSegment("t", 0, 1).map { case (it, _) =>
+      it("id").asInstanceOf[AttrVal.S].v -> it
+    }.toMap
+
+  // Publish seqs floor at the wall clock (WalWriter: pubSeq =
+  // max(seq, now), ties across writerIds break by name) — so two
+  // same-millisecond writes with unordered writer names would replay
+  // out of order. Hand out strictly increasing seqs ABOVE the clock,
+  // exactly the contract production callers follow (epoch-millis
+  // write clocks are monotonic per writer).
+  private var seqCounter = System.currentTimeMillis() + 600000L
+  private def nextSeq(): Long = { seqCounter += 1; seqCounter }
+
+  private def w(st: LocalKVStore, region: String, ver: Long,
+      ops: Seq[Replication.ROp]): Unit =
+    Replication.writeStamped(st, "t", region, ver, nextSeq(),
+      s"w$region$ver", ops)
+
+  private def syncBoth(a: LocalKVStore, b: LocalKVStore): SyncResult =
+    Replication.sync(a, b, "t", nextSeq(), "ab") +
+      Replication.sync(b, a, "t", nextSeq(), "ba")
+
+  test("bidirectional sync converges, including stamps; re-sync is idempotent") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k1", "a1")), RPut(item("k2", "a1"))))
+    w(b, "rB", 1, Seq(RPut(item("k3", "b1"))))
+    w(a, "rA", 2, Seq(RPut(item("k2", "a2")))) // newer at A
+    w(b, "rB", 2, Seq(RPut(item("k2", "b2")))) // equal ver: rB region wins
+    syncBoth(a, b)
+    syncBoth(a, b) // second crossing settles relayed state
+    assert(fullState(a) == fullState(b))
+    assert(state(a) == Map("k1" -> "a1", "k2" -> "b2", "k3" -> "b1"))
+    val again = syncBoth(a, b)
+    assert(again.applied == 0, s"idempotence: $again")
+  }
+
+  test("sync order does not change the converged state") {
+    def run(abFirst: Boolean): Map[String, Item] = {
+      val (a, b) = freshPair()
+      w(a, "rA", 5, Seq(RPut(item("x", "ax")), RPut(item("y", "ay"))))
+      w(b, "rB", 4, Seq(RPut(item("x", "bx"))))
+      w(b, "rB", 6, Seq(RPut(item("y", "by")), RDelete(key("z"))))
+      w(a, "rA", 7, Seq(RPut(item("z", "az")))) // fresher than the delete
+      if (abFirst) syncBoth(a, b) else {
+        Replication.sync(b, a, "t", nextSeq(), "ba")
+        Replication.sync(a, b, "t", nextSeq(), "ab")
+      }
+      syncBoth(a, b)
+      assert(fullState(a) == fullState(b))
+      fullState(a)
+    }
+    assert(run(abFirst = true) == run(abFirst = false))
+  }
+
+  test("a replicated delete beats a stale put; a fresher put re-creates") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "old"))))
+    syncBoth(a, b)
+    w(b, "rB", 3, Seq(RDelete(key("k"))))
+    // Stale re-put at A with an OLDER stamp than the delete.
+    w(a, "rA", 2, Seq(RPut(item("k", "stale"))))
+    syncBoth(a, b)
+    syncBoth(a, b)
+    assert(state(a).get("k").isEmpty, "tombstone must beat the stale put")
+    assert(state(b).get("k").isEmpty)
+    // Fresher put AFTER the delete re-creates everywhere.
+    w(a, "rA", 4, Seq(RPut(item("k", "fresh"))))
+    syncBoth(a, b)
+    assert(state(a)("k") == "fresh")
+    assert(state(b)("k") == "fresh")
+  }
+
+  test("stamps and delete propagation survive source compaction") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("p", "v1")), RPut(item("q", "v1"))))
+    w(a, "rA", 2, Seq(RDelete(key("q"))))
+    a.compact("t") // folds the journal: delete now exists ONLY as base
+    // absence + the tombstone sidecar; p's stamp rides its attributes.
+    Replication.sync(a, b, "t", nextSeq(), "ab")
+    assert(state(b) == Map("p" -> "v1"))
+    assert(Replication.stampOf(fullState(b)("p")) == Stamp(1, "rA"))
+    // And the tombstone still guards against a stale put arriving later.
+    w(b, "rB", 1, Seq(RPut(item("q", "stale"))))
+    Replication.sync(a, b, "t", nextSeq(), "ab2")
+    val t = Replication.tombstones(b, "t")
+    assert(t.keys.exists(_.contains("q")), "tombstone must have replicated")
+  }
+
+  test("incremental sync ships only journal-touched keys and equals full sync") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k1", "v1")), RPut(item("k2", "v1"))))
+    val first = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1")
+    // No watermark yet but nothing compacted: journal path, both keys.
+    assert(!first.full && first.puts == 2)
+    w(a, "rA", 2, Seq(RPut(item("k2", "v2")), RDelete(key("k1"))))
+    val second = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(!second.full && second.puts == 1 && second.deletes == 1)
+    assert(state(b) == Map("k2" -> "v2"))
+    val third = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i3")
+    assert(third.applied == 0, "nothing new: nothing shipped")
+    // Full sync agrees exactly.
+    val (c, _) = freshPair()
+    Replication.sync(a, c, "t", nextSeq(), "full")
+    assert(fullState(c) == fullState(b))
+  }
+
+  test("incremental sync falls back to full when compaction overtook the watermark") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k1", "v1"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1")
+    w(a, "rA", 2, Seq(RPut(item("k2", "v2"))))
+    a.compact("t") // folds k2's journal entry past b's watermark
+    val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(r.full, "folded history must force the full anti-entropy path")
+    assert(state(b) == Map("k1" -> "v1", "k2" -> "v2"))
+    // Watermark advanced: the next pass is incremental and empty.
+    val r2 = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i3")
+    assert(!r2.full && r2.applied == 0)
+  }
+
+  test("three-region relay carries deletes and wins through the middle region") {
+    val (a, b) = freshPair()
+    val (c, _) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "v1")), RPut(item("d", "v1"))))
+    Replication.sync(a, b, "t", nextSeq(), "ab")
+    Replication.sync(b, c, "t", nextSeq(), "bc")
+    assert(state(c) == Map("k" -> "v1", "d" -> "v1"))
+    w(a, "rA", 2, Seq(RDelete(key("d"))))
+    // The delete flows A→B→C even though B never wrote anything.
+    Replication.sync(a, b, "t", nextSeq(), "ab2")
+    Replication.sync(b, c, "t", nextSeq(), "bc2")
+    assert(state(c) == Map("k" -> "v1"))
+  }
+
+  test("replicas converge to the LWW oracle under random interleavings") {
+    // Property law, StoreLawsSpec style: random stamped ops at two
+    // regions, random sync interleavings → both replicas equal a
+    // functional LWW fold of all ops.
+    final case class TOp(region: String, ver: Long, k: String, del: Boolean,
+        v: String)
+    val genOps: Gen[List[TOp]] = {
+      var ver = 0L
+      Gen.listOfN(24, for {
+        region <- Gen.oneOf("rA", "rB")
+        k <- Gen.chooseNum(0, 5).map(i => s"k$i")
+        del <- Gen.frequency(3 -> false, 1 -> true)
+        v <- Gen.alphaLowerStr.map(_.take(4))
+      } yield { ver += 1; TOp(region, ver, k, del, v) })
+    }
+    (0 until 25).foreach { i =>
+      genOps(Gen.Parameters.default.withSize(20), Seed(i.toLong)).foreach { ops =>
+        val (a, b) = freshPair()
+        ops.foreach { op =>
+          val st = if (op.region == "rA") a else b
+          val rop = if (op.del) RDelete(key(op.k))
+            else RPut(item(op.k, op.v))
+          w(st, op.region, op.ver, Seq(rop))
+          // Occasional mid-stream sync exercises partial exchanges.
+          if (op.ver % 7 == 0) Replication.sync(a, b, "t", nextSeq(), s"m${op.ver}")
+          if (op.ver % 11 == 0) Replication.sync(b, a, "t", nextSeq(), s"n${op.ver}")
+        }
+        syncBoth(a, b); syncBoth(a, b)
+        // Functional oracle: per key, the op with the max (ver, region).
+        val oracle = ops.groupBy(_.k).flatMap { case (k, kops) =>
+          val winner = kops.maxBy(o => (o.ver, o.region))
+          if (winner.del) None else Some(k -> winner.v)
+        }
+        assert(state(a) == oracle, s"seed $i: A diverged from LWW oracle")
+        assert(fullState(a) == fullState(b), s"seed $i: replicas diverged")
+      }
+    }
+  }
+
+  test("writeStamped rejects non-LWW-resolvable ops is enforced by the ADT") {
+    // RPut/RUpdate/RDelete is the whole ROp alphabet — ADD/REMOVE
+    // cannot be expressed, which IS the rejection (compile-time).
+    // Runtime check: update merges still stamp.
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "v1"))))
+    Replication.writeStamped(a, "t", "rA", 2, nextSeq(), "u",
+      Seq(Replication.RUpdate(Map("id" -> AttrVal.S("k"),
+        "extra" -> AttrVal.S("e")))))
+    Replication.sync(a, b, "t", nextSeq(), "ab")
+    val it = fullState(b)("k")
+    assert(it("v") == AttrVal.S("v1") && it("extra") == AttrVal.S("e"))
+    assert(Replication.stampOf(it) == Stamp(2, "rA"))
+  }
+}
