@@ -454,7 +454,100 @@ object DynamoQueries {
     root
   }
 
+  /** Pinned far-future write clocks for the replica seed (same device
+    * as [[asofEpochSeq]]: a seq above any wall clock is used verbatim
+    * as the pubSeq, so each batch's journal position is deterministic).
+    * Local replay orders by pubSeq; cross-region conflicts resolve by
+    * the LWW STAMPS (`_rep_ver`/`_rep_src`), which are independent of
+    * these.
+    */
+  private val replDelSeq = 4102444900000L
+  private val replSyncSeq1 = 4102444910000L
+  private val replSyncSeq2 = 4102444920000L
+
+  /** Seed TWO replica regions of `customer_rep` (Global Tables shape,
+    * [[graft.sources.dynamo.Replication]]):
+    *  - both regions bootstrap from the customer parquet stamped
+    *    (ver 1, "boot") — identical, like a global table's initial
+    *    region copy;
+    *  - region A puts `c_custkey % 5 == 0` with an `X-` name prefix
+    *    (ver 2, "rA"); region B puts `% 7 == 0` with `c_acctbal+1000`
+    *    (ver 2, "rB") — keys `% 35 == 0` CONFLICT at equal version and
+    *    resolve whole-item to rB (region tie-break), i.e. original
+    *    name, bumped balance;
+    *  - region B deletes `% 9 == 0` (ver 3) through the stamped write
+    *    path, then COMPACTS — so the deletes reach region A through
+    *    tombstone sidecars alone, the post-compaction path;
+    *  - one shard-parallel replicate pass each way converges both
+    *    regions (two-region LWW needs no relay round).
+    * The query reads REGION A — every row it shows arrived there
+    * either locally or by replication — and the oracle states the LWW
+    * outcome directly over the parquet fixture.
+    */
+  private def seededReplicaRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    val rootA = root + "/repA"
+    val rootB = root + "/repB"
+    withSeedLock(root) {
+      val marker = Paths.get(root, "_replica_seeded")
+      if (!Files.exists(marker)) {
+        val boot = Fixtures.customer(s, sfDir)
+          .withColumn("_rep_ver", lit(1L)).withColumn("_rep_src", lit("boot"))
+          .repartition(16)
+        boot.write.dynamo(rootA, "customer_rep", "c_custkey")
+        boot.write.dynamo(rootB, "customer_rep", "c_custkey")
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_name", concat(lit("X-"), col("c_name")))
+          .withColumn("_rep_ver", lit(2L)).withColumn("_rep_src", lit("rA"))
+          .write.dynamo(rootA, "customer_rep", "c_custkey")
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+          .withColumn("_rep_ver", lit(2L)).withColumn("_rep_src", lit("rB"))
+          .write.dynamo(rootB, "customer_rep", "c_custkey")
+        // Stamped deletes from executors — the only op that NEEDS the
+        // store-level write API (puts stamp via plain columns above;
+        // deletes must also record their tombstone).
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 9 === 0)
+          .select("c_custkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = new LocalKVStore(rootB)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val ops = it.map { r =>
+              graft.sources.dynamo.Replication.RDelete(Map("c_custkey" ->
+                (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                  : graft.sources.dynamo.AttrVal)))
+            }.toSeq
+            if (ops.nonEmpty)
+              graft.sources.dynamo.Replication.writeStamped(st,
+                "customer_rep", "rB", 3L, replDelSeq, f"rdel-p$pid%04d",
+                ops.toList)
+          }
+        // Fold region B before replicating: region A must receive the
+        // deletes from tombstone sidecars alone (journal folded away).
+        DynamoMaintenance.compact(s, rootB, "customer_rep")
+        DynamoMaintenance.replicate(s, rootA, rootB, "customer_rep", replSyncSeq1)
+        DynamoMaintenance.replicate(s, rootB, rootA, "customer_rep", replSyncSeq2)
+        Files.createFile(marker)
+      }
+    }
+    rootA
+  }
+
   val queries: Map[String, Q] = Map(
+    // GLOBAL TABLES replication read: region A's state after one
+    // bidirectional anti-entropy pass with region B — B's balance
+    // bumps and deletes arrived by replication (the deletes purely
+    // via tombstones, B's journal was compacted), A's name prefixes
+    // stayed, and the %35 conflict keys resolved whole-item to rB by
+    // the (ver, region) tie-break. The oracle states that LWW outcome
+    // directly over the fixture.
+    "q_dyn_replica" -> ((s, dir) => {
+      val root = seededReplicaRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_rep").load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // ATOMIC COUNTERS (UpdateItem ADD): the table was written as one
     // ADD op per event, so reading it back IS the grouped aggregation
     // the oracle computes over the raw events — write-side
@@ -877,6 +970,18 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // region A after bidirectional LWW sync: %9 deleted (rB ver 3),
+    // %35 conflict → rB's whole item (original name, bumped balance),
+    // %5 → rA's X- prefix, %7 → rB's +1000 balance
+    "q_dyn_replica" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 35 = 0 THEN c_name
+        |       WHEN c_custkey % 5 = 0 THEN 'X-' || c_name
+        |       ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 9 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     // the snapshot read rolls the journal back to before epoch 2, so
     // the oracle is the untouched parquet fixture; the latest read is
     // the fixture with epoch 2 (deletes + sentinel put) expressed in SQL
