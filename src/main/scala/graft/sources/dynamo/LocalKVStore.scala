@@ -1577,9 +1577,12 @@ final class LocalKVStore(root: String) {
   }
 
   /** Cross-JVM + in-process serialization of transactional
-    * check-evaluate-publish sections for one table.
+    * check-evaluate-publish sections for one table. `private[dynamo]`:
+    * [[Replication]] serializes its stamped writes and LWW applies on
+    * the same lock, so a sync apply and a racing stamped write can
+    * never interleave between check and publish.
     */
-  private def underTxnLock[A](table: String)(body: => A): A = {
+  private[dynamo] def underTxnLock[A](table: String)(body: => A): A = {
     val lockPath = tableDir(table).resolve(".txn.lock")
     val mon = LocalKVStore.jvmLock(lockPath.toString)
     mon.lock()

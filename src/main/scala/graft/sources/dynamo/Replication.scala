@@ -131,8 +131,16 @@ object Replication {
         tombs += ((store.keyOf(meta, key), st))
         store.Delete(key)
     }
-    store.appendWal(table, seq, writerId, walOps)
-    if (tombs.nonEmpty) appendTombstones(store, table, seq, writerId, tombs.toSeq)
+    // Under the table lock: a sync apply's check-then-publish section
+    // must never interleave with a stamped write, or a same-
+    // millisecond pubSeq tie (broken by writer NAME) could replay the
+    // fresher-stamped write below the stale image — losing it at its
+    // own origin, which no later pass can repair.
+    store.underTxnLock(table) {
+      store.appendWal(table, seq, writerId, walOps)
+      if (tombs.nonEmpty)
+        appendTombstones(store, table, seq, writerId, tombs.toSeq)
+    }
   }
 
   // ---- tombstone sidecars -------------------------------------------------
@@ -209,6 +217,15 @@ object Replication {
     * preserved verbatim on apply (re-stamping would break
     * convergence). Tombstone maps are passed in (they are table-
     * global and cheap); this shard applies only its own keys.
+    *
+    * Two-phase vs racing writers: candidate discovery runs UNLOCKED
+    * (shard tasks stay parallel); the apply is a check-then-publish
+    * section under the destination's table lock ([[applyLww]]) that
+    * re-resolves just the candidate keys — a stamped write that
+    * landed since discovery makes its candidate drop, a write after
+    * the apply replays above it (the apply pubSeq never exceeds the
+    * journal clock's future). Divergence created DURING the pass is
+    * simply missed and ships next pass — eventual, never wrong-way.
     */
   def syncShard(src: LocalKVStore, dst: LocalKVStore, table: String,
       shard: Int, seq: Long, writerId: String,
@@ -236,7 +253,7 @@ object Replication {
     // ship as the delete. Tracking live stamps for tombstoned keys
     // keeps the two loops from emitting both ops for one key.
     val srcLive = mutable.HashMap.empty[String, Stamp]
-    val puts = mutable.ArrayBuffer.empty[dst.Op]
+    val putCands = mutable.ArrayBuffer.empty[Item]
     src.scanSegment(table, shard, shards).foreach { case (item, _) =>
       val k = src.keyOf(srcMeta, item)
       val s = stampOf(item)
@@ -247,29 +264,75 @@ object Replication {
         case Some(d) => s.beats(d)
       }
       if (authoritative && wins)
-        puts += dst.Put(item) // origin stamp rides in the item
+        putCands += item // origin stamp rides in the item
     }
 
-    val deletes = mutable.ArrayBuffer.empty[dst.Op]
-    val newTombs = mutable.ArrayBuffer.empty[(String, Stamp)]
+    val delCands = mutable.ArrayBuffer.empty[(String, Stamp)]
     srcTombs.foreach { case (k, s) =>
       if (keyShard(srcMeta, k, src) == shard &&
-          srcLive.get(k).forall(live => !live.beats(s))) {
-        if (dstStamp.get(k).exists(s.beats))
-          deletes += dst.Delete(keyItemOf(dstMeta, k))
-        // Record/refresh the tombstone whenever the destination lacks
-        // an equal-or-better one — even for keys it never stored, so a
-        // three-region relay still carries the delete onward.
-        if (dstTombs.get(k).forall(s.beats)) newTombs += ((k, s))
-      }
+          srcLive.get(k).forall(live => !live.beats(s)))
+        delCands += ((k, s))
     }
 
-    val ops = puts.toSeq ++ deletes.toSeq
-    if (ops.nonEmpty) dst.appendWal(table, seq, writerId, ops)
-    if (newTombs.nonEmpty)
-      appendTombstones(dst, table, seq, writerId, newTombs.toSeq)
-    SyncResult(puts.size, deletes.size, full = true)
+    applyLww(dst, dstMeta, table, seq, writerId, putCands.toSeq,
+      delCands.toSeq).copy(full = true)
   }
+
+  /** Check-then-publish under the destination's table lock: re-resolve
+    * exactly the candidate keys against the CURRENT destination state
+    * (one owning-shard snapshot read + a tombstone fold), drop
+    * candidates a racing stamped write has overtaken, and publish the
+    * survivors at a pubSeq above everything already in the journal —
+    * max(caller seq, wall clock, journal max + 1, compaction
+    * watermark + 1) — so the applied image replays LAST for its keys.
+    * A stamped write AFTER this section gets a later pubSeq (writes
+    * take the same lock), so local replay order and stamp order agree
+    * at all times for replicated tables.
+    */
+  private def applyLww(dst: LocalKVStore, dstMeta: TableMeta, table: String,
+      seq: Long, writerId: String, putCands: Seq[Item],
+      delCands: Seq[(String, Stamp)]): SyncResult = {
+    if (putCands.isEmpty && delCands.isEmpty) return SyncResult(0, 0, full = false)
+    dst.underTxnLock(table) {
+      val putKeyed = putCands.map(it => dst.keyOf(dstMeta, it) -> it)
+      val allKeys: Seq[(String, Item)] =
+        (putKeyed.map { case (k, it) => k -> keyAttrsOf(dstMeta, it) } ++
+          delCands.map { case (k, _) => k -> keyItemOf(dstMeta, k) })
+          .distinctBy(_._1)
+      val cur: Map[String, Option[Item]] =
+        allKeys.map(_._1).zip(dst.transactGet(table, allKeys.map(_._2))).toMap
+      val curTombs = tombstones(dst, table)
+      def curStamp(k: String): Option[Stamp] =
+        (cur.getOrElse(k, None).map(stampOf), curTombs.get(k)) match {
+          case (Some(x), Some(y)) => Some(if (x.beats(y)) x else y)
+          case (x, y) => x.orElse(y)
+        }
+      val puts = putKeyed.collect {
+        case (k, it) if curStamp(k).forall(stampOf(it).beats) => dst.Put(it)
+      }
+      val deletes = delCands.collect {
+        case (k, s) if cur.getOrElse(k, None).exists(it => s.beats(stampOf(it))) =>
+          dst.Delete(keyItemOf(dstMeta, k))
+      }
+      // Record/refresh the tombstone whenever the destination lacks an
+      // equal-or-better one — even for keys it never stored, so a
+      // three-region relay still carries the delete onward.
+      val newTombs = delCands.filter { case (k, s) =>
+        curTombs.get(k).forall(s.beats)
+      }
+      val applySeq = Seq(seq, System.currentTimeMillis(),
+        maxWalSeq(dst, table) + 1, dst.compactionWatermark(table) + 1).max
+      val ops = puts ++ deletes
+      if (ops.nonEmpty) dst.appendWal(table, applySeq, writerId, ops)
+      if (newTombs.nonEmpty)
+        appendTombstones(dst, table, applySeq, writerId, newTombs)
+      SyncResult(puts.size, deletes.size, full = false)
+    }
+  }
+
+  /** The key attributes of a full item. */
+  private def keyAttrsOf(meta: TableMeta, item: Item): Item =
+    (Seq(meta.hashKey) ++ meta.rangeKey).map(n => n -> item(n)).toMap
 
   private def keyShard(meta: TableMeta, key: String, store: LocalKVStore): Int =
     store.shardOf(meta, keyItemOf(meta, key))
@@ -384,9 +447,8 @@ object Replication {
     val srcNow = src.transactGet(table, keyItems)
     val dstNow = dst.transactGet(table, keyItems)
 
-    val puts = mutable.ArrayBuffer.empty[dst.Op]
-    val deletes = mutable.ArrayBuffer.empty[dst.Op]
-    val newTombs = mutable.ArrayBuffer.empty[(String, Stamp)]
+    val putCands = mutable.ArrayBuffer.empty[Item]
+    val delCands = mutable.ArrayBuffer.empty[(String, Stamp)]
     keys.indices.foreach { i =>
       val k = keys(i)
       val dstStamp = (dstNow(i).map(stampOf), dstT.get(k)) match {
@@ -397,24 +459,21 @@ object Replication {
       // beaten by its own tombstone ships as the delete, not the put.
       srcNow(i).map(stampOf) match {
         case Some(s) if srcT.get(k).forall(s.beats) =>
-          if (dstStamp.forall(s.beats)) puts += dst.Put(srcNow(i).get)
+          if (dstStamp.forall(s.beats)) putCands += srcNow(i).get
         case _ =>
           // Key absent (or tombstone-beaten) at source — only a
           // tombstone authorizes a destination delete.
           srcT.get(k).foreach { s =>
-            if (dstNow(i).map(stampOf).exists(s.beats))
-              deletes += dst.Delete(keyItemOf(dstMeta, k))
-            if (dstT.get(k).forall(s.beats)) newTombs += ((k, s))
+            if (dstNow(i).map(stampOf).exists(s.beats) ||
+                dstT.get(k).forall(s.beats)) delCands += ((k, s))
           }
       }
     }
-    val ops = puts.toSeq ++ deletes.toSeq
-    if (ops.nonEmpty) dst.appendWal(table, seq, writerId, ops)
-    if (newTombs.nonEmpty)
-      appendTombstones(dst, table, seq, writerId, newTombs.toSeq)
+    val r = applyLww(dst, dstMeta, table, seq, writerId, putCands.toSeq,
+      delCands.toSeq)
     val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
     writeWatermark(dst, table, srcRegion, newWm)
-    SyncResult(puts.size, deletes.size, full = false)
+    r
   }
 
   private def maxWalSeq(store: LocalKVStore, table: String): Long = {

@@ -226,6 +226,47 @@ class ReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("sync racing concurrent writers still converges once writers quiesce") {
+    // Anti-entropy needs no write fence: a pass that overlaps live
+    // writers may ship a torn prefix, but every missed write is still
+    // present at its origin with its stamp, so the next quiescent
+    // pass ships it — convergence is eventual, never wrong-way (a
+    // stale image can never beat the fresher stamp it raced).
+    val (a, b) = freshPair()
+    val keys = (0 until 40).map(i => s"k$i")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val verBase = new java.util.concurrent.atomic.AtomicLong(10)
+    val writers = (0 until 3).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(t)
+          (0 until 25).foreach { _ =>
+            val k = keys(rnd.nextInt(keys.size))
+            val ver = verBase.incrementAndGet()
+            val region = if (t % 2 == 0) "rA" else "rB"
+            val st = if (t % 2 == 0) a else b
+            val op = if (rnd.nextInt(5) == 0) RDelete(key(k))
+              else RPut(item(k, s"v$ver"))
+            Replication.writeStamped(st, "t", region, ver,
+              System.currentTimeMillis() + 1000000L + ver, s"race$t$ver",
+              Seq(op))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    writers.foreach(_.start())
+    // Sync passes racing the writer storm.
+    (0 until 4).foreach { _ =>
+      Replication.sync(a, b, "t", nextSeq(), s"r${nextSeq()}")
+      Replication.sync(b, a, "t", nextSeq(), s"r${nextSeq()}")
+    }
+    writers.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // Quiescent passes settle everything the racing passes missed.
+    syncBoth(a, b); syncBoth(a, b)
+    assert(fullState(a) == fullState(b), "replicas must converge after quiesce")
+  }
+
   test("writeStamped rejects non-LWW-resolvable ops is enforced by the ADT") {
     // RPut/RUpdate/RDelete is the whole ROp alphabet — ADD/REMOVE
     // cannot be expressed, which IS the rejection (compile-time).
