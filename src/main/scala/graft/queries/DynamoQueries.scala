@@ -602,6 +602,28 @@ object DynamoQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     }),
+    // PITR RESTORE-to-new-table: materialize the pre-epoch-2 cut of
+    // customer_asof as a standalone compacted table (shard-parallel
+    // replay + fold; indexes rebuilt from restored data). The
+    // restored table serves WITHOUT any asOfSeq option — the history
+    // is baked in — so it must equal the parquet fixture exactly,
+    // which IS the oracle. q_dyn_asof proves the journal-bounded
+    // READ; this proves the restore MATERIALIZATION.
+    "q_dyn_restore" -> ((s, dir) => {
+      val root = seededAsofRoot(s, dir)
+      withSeedLock(root) {
+        val marker = Paths.get(root, "customer_restored", "_restored")
+        if (!Files.exists(marker)) {
+          DynamoMaintenance.restoreAsOf(s, root, "customer_asof",
+            root, "customer_restored", asofEpochSeq - 1)
+          Files.createFile(marker)
+        }
+      }
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_restored").load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // CROSS-TABLE consistent snapshot: ONE epoch-millis cut addresses
     // BOTH co-stored tables (pubSeq is a clock stamp, so the same
     // value is a table-independent snapshot coordinate — the
@@ -986,6 +1008,11 @@ object DynamoQueries {
     // the oracle is the untouched parquet fixture; the latest read is
     // the fixture with epoch 2 (deletes + sentinel put) expressed in SQL
     "q_dyn_asof" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    // the restore materialized the same pre-epoch-2 cut, so the
+    // restored table equals the untouched fixture
+    "q_dyn_restore" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_counter" ->

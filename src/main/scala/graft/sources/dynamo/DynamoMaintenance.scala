@@ -95,6 +95,47 @@ object DynamoMaintenance {
     store.finishReshard(table, newShards)
   }
 
+  /** Point-in-time RESTORE to a new table (DynamoDB PITR restore
+    * analogue: restores always create a NEW table, never rewrite in
+    * place). One task per shard replays the source shard at the
+    * `asOfSeq` cut (the store rejects cuts below the compaction
+    * watermark loudly) and journals it into the destination; one
+    * compaction pass folds the journal into range-sorted paged bases,
+    * so the restored table serves Query-shape reads immediately.
+    * Secondary indexes re-declare and rebuild from the restored
+    * data — the restore defines them, it does not copy index files
+    * (DynamoDB restores rebuild GSIs the same way). The destination
+    * shares the source's key schema and shard count, so the per-shard
+    * replay writes only its own shard's journal file: no cross-task
+    * coordination, O(shard) memory.
+    */
+  def restoreAsOf(spark: SparkSession, srcRoot: String, table: String,
+      dstRoot: String, newTable: String, asOfSeq: Long): Unit = {
+    val src = new LocalKVStore(srcRoot)
+    val meta = src.describe(table)
+    val dst = new LocalKVStore(dstRoot)
+    dst.createTable(newTable, meta.copy(indexes = Map.empty))
+    val shards = meta.shards
+    val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(0 until shards, parallelism)
+      .foreach { sh =>
+        val s = new LocalKVStore(srcRoot)
+        val d = new LocalKVStore(dstRoot)
+        val w = d.walWriter(newTable, asOfSeq, f"restore-s$sh%03d")
+        try {
+          s.scanSegment(table, sh, shards, asOfSeq = Some(asOfSeq))
+            .foreach { case (item, _) => w.append(d.Put(item)) }
+          w.flush()
+        } finally w.close()
+      }
+    compact(spark, dstRoot, newTable)
+    meta.indexes.foreach { case (name, idx) =>
+      dst.createIndex(newTable, name, idx)
+      buildIndex(spark, dstRoot, newTable, name)
+    }
+  }
+
   /** Global-Tables-style anti-entropy replication, one task per shard
     * (replicas share placement, so shard i syncs against shard i with
     * zero cross-task coordination — see [[Replication]]). Tombstone

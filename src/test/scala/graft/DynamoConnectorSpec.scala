@@ -4162,6 +4162,77 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(scanned <= 600, s"expected a runtime-windowed paged read, scanned $scanned")
   }
 
+  test("restoreAsOf materializes the cut as an independent new table") {
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.createTable("src", meta)
+    val s1 = System.currentTimeMillis() + 1000000L
+    store.appendWal("src", s1, "e1", Seq(
+      store.Put(Map("id" -> graft.sources.dynamo.AttrVal.S("a"),
+        "v" -> graft.sources.dynamo.AttrVal.N(BigDecimal(1)))),
+      store.Put(Map("id" -> graft.sources.dynamo.AttrVal.S("b"),
+        "v" -> graft.sources.dynamo.AttrVal.N(BigDecimal(2))))))
+    store.appendWal("src", s1 + 10, "e2", Seq(
+      store.Delete(Map("id" -> graft.sources.dynamo.AttrVal.S("a"))),
+      store.Put(Map("id" -> graft.sources.dynamo.AttrVal.S("c"),
+        "v" -> graft.sources.dynamo.AttrVal.N(BigDecimal(3))))))
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "src", root, "restored", s1 + 5)
+    def state(t: String): Map[String, Int] =
+      new LocalKVStore(root).scanSegment(t, 0, 1).map { case (it, _) =>
+        it("id").asInstanceOf[graft.sources.dynamo.AttrVal.S].v ->
+          it("v").asInstanceOf[graft.sources.dynamo.AttrVal.N].v.toInt
+      }.toMap
+    assert(state("restored") == Map("a" -> 1, "b" -> 2),
+      "restore must reproduce exactly the pre-cut state")
+    assert(state("src") == Map("b" -> 2, "c" -> 3), "src untouched")
+    // Independence both ways: writing the restored table leaves the
+    // source alone, and vice versa.
+    val st2 = new LocalKVStore(root)
+    st2.appendWal("restored", System.currentTimeMillis() + 2000000L, "w",
+      Seq(st2.Delete(Map("id" -> graft.sources.dynamo.AttrVal.S("b")))))
+    assert(state("restored") == Map("a" -> 1))
+    assert(state("src") == Map("b" -> 2, "c" -> 3))
+  }
+
+  test("restoreAsOf rebuilds secondary indexes from the restored data") {
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    store.createIndex("fruit", "by_color",
+      IndexMeta("color", None, Some(Seq("weight_kg"))))
+    store.buildIndex("fruit", "by_color")
+    val cut = System.currentTimeMillis() + 1000000L
+    // A post-cut write the restore must NOT carry over.
+    store.appendWal("fruit", cut + 10, "late", Seq(
+      store.Put(Map("name" -> graft.sources.dynamo.AttrVal.S("elderberry"),
+        "color" -> graft.sources.dynamo.AttrVal.S("red")))))
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "fruit", root, "fruit_r", cut)
+    val st = new LocalKVStore(root)
+    assert(st.indexFresh("fruit_r", "by_color"),
+      "restored index must be materialized fresh")
+    val reds = spark.read.dynamoIndex(root, "fruit_r", "by_color")
+      .filter(col("color") === "red").select("name").orderBy("name")
+      .collect().map(_.getString(0)).toSeq
+    assert(reds == Seq("apple", "cherry"), "post-cut write must be absent")
+  }
+
+  test("restoreAsOf below the compaction watermark fails loudly") {
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    store.compact("fruit")
+    val wm = store.compactionWatermark("fruit")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+        spark, root, "fruit", root, "fruit_bad", wm - 1)
+    }
+    assert(e.getMessage.contains("predates") ||
+      Option(e.getCause).exists(_.getMessage.contains("predates")))
+  }
+
   test("page directory: a window covering the whole shard streams the full shard") {
     val root = freshRoot()
     seedQueryTable(root, "qw")
