@@ -533,7 +533,81 @@ object DynamoQueries {
     rootA
   }
 
+  /** Seed a second region pair for the INCREMENTAL (journal-shipping)
+    * replication path: region D writes in two waves, each followed by
+    * a `syncIncremental` pass into region C — the first pass
+    * bootstraps and writes the per-region watermark, the second ships
+    * ONLY wave-2 keys (the steady-state CDC-shaped path, cost
+    * O(new writes) not O(table)). Region C never writes locally, so
+    * its state is purely what incremental passes delivered. Wave-2
+    * puts are whole items built from the fixture (LWW replicates
+    * images, not merges), so `%12` keys lose wave 1's balance bump —
+    * the oracle states exactly that.
+    */
+  private def seededReplicaIncRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    val rootC = root + "/repC"
+    val rootD = root + "/repD"
+    withSeedLock(root) {
+      val marker = Paths.get(root, "_replica_inc_seeded")
+      if (!Files.exists(marker)) {
+        val boot = Fixtures.customer(s, sfDir)
+          .withColumn("_rep_ver", lit(1L)).withColumn("_rep_src", lit("boot"))
+          .repartition(16)
+        boot.write.dynamo(rootC, "customer_repi", "c_custkey")
+        boot.write.dynamo(rootD, "customer_repi", "c_custkey")
+        // Wave 1 at D, then the bootstrap incremental pass.
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 500)
+          .withColumn("_rep_ver", lit(2L)).withColumn("_rep_src", lit("rD"))
+          .write.dynamo(rootD, "customer_repi", "c_custkey")
+        graft.sources.dynamo.Replication.syncIncremental(
+          new LocalKVStore(rootD), "rD", new LocalKVStore(rootC),
+          "customer_repi", System.currentTimeMillis(), "inc1")
+        // Wave 2 at D: whole-item puts (reset %12's bump) + deletes.
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 4 === 0)
+          .withColumn("c_name", concat(lit("Y-"), col("c_name")))
+          .withColumn("_rep_ver", lit(3L)).withColumn("_rep_src", lit("rD"))
+          .write.dynamo(rootD, "customer_repi", "c_custkey")
+        Fixtures.customer(s, sfDir).filter(col("c_custkey") % 10 === 1)
+          .select("c_custkey")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = new LocalKVStore(rootD)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val ops = it.map { r =>
+              graft.sources.dynamo.Replication.RDelete(Map("c_custkey" ->
+                (graft.sources.dynamo.AttrVal.N(BigDecimal(r.getLong(0)))
+                  : graft.sources.dynamo.AttrVal)))
+            }.toList
+            if (ops.nonEmpty)
+              graft.sources.dynamo.Replication.writeStamped(st,
+                "customer_repi", "rD", 4L, replDelSeq, f"rdeli-p$pid%04d",
+                ops)
+          }
+        // Steady-state pass: ships only the keys wave 2 touched.
+        graft.sources.dynamo.Replication.syncIncremental(
+          new LocalKVStore(rootD), "rD", new LocalKVStore(rootC),
+          "customer_repi", System.currentTimeMillis(), "inc2")
+        Files.createFile(marker)
+      }
+    }
+    rootC
+  }
+
   val queries: Map[String, Q] = Map(
+    // INCREMENTAL replication read: region C received BOTH waves
+    // purely through journal-shipping syncIncremental passes (the
+    // second shipped only wave-2 keys past the watermark). %4 keys
+    // are wave-2 whole items (original balance — %12 keys lost the
+    // wave-1 bump, LWW replicates images), %3-only keys keep the
+    // +500, %10==1 deleted via stamped tombstones.
+    "q_dyn_replica_inc" -> ((s, dir) => {
+      val root = seededReplicaIncRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_repi").load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // GLOBAL TABLES replication read: region A's state after one
     // bidirectional anti-entropy pass with region B — B's balance
     // bumps and deletes arrived by replication (the deletes purely
@@ -992,6 +1066,18 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // region C after two incremental passes: %10==1 deleted (ver 4),
+    // %4 = wave-2 whole item (original balance, Y- name), %3-only
+    // keeps wave 1's +500
+    "q_dyn_replica_inc" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'Y-' || c_name
+        |       ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 4 = 0 THEN c_acctbal
+        |       WHEN c_custkey % 3 = 0 THEN c_acctbal + 500
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 10 <> 1
+        |ORDER BY c_custkey""".stripMargin,
     // region A after bidirectional LWW sync: %9 deleted (rB ver 3),
     // %35 conflict → rB's whole item (original name, bumped balance),
     // %5 → rA's X- prefix, %7 → rB's +1000 balance
