@@ -161,19 +161,19 @@ object Replication {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** All tombstones of a table, folded to the max stamp per key. */
-  def tombstones(store: LocalKVStore, table: String): Map[String, Stamp] = {
+  private def tombFiles(store: LocalKVStore, table: String): Seq[Path] = {
     val dir = Paths.get(store.rootDir, table)
-    if (!Files.isDirectory(dir)) return Map.empty
-    val files: Seq[Path] = {
-      val s = Files.list(dir)
-      try {
-        val b = Vector.newBuilder[Path]
-        s.forEach(p =>
-          if (p.getFileName.toString.startsWith("repltomb-")) b += p)
-        b.result()
-      } finally s.close()
-    }
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      val b = Vector.newBuilder[Path]
+      s.forEach(p =>
+        if (p.getFileName.toString.startsWith("repltomb-")) b += p)
+      b.result()
+    } finally s.close()
+  }
+
+  private def foldTombFiles(files: Seq[Path]): Map[String, Stamp] = {
     val acc = mutable.HashMap.empty[String, Stamp]
     files.foreach { p =>
       Files.readAllLines(p, StandardCharsets.UTF_8).forEach { line =>
@@ -188,6 +188,40 @@ object Replication {
       }
     }
     acc.toMap
+  }
+
+  /** All tombstones of a table, folded to the max stamp per key. */
+  def tombstones(store: LocalKVStore, table: String): Map[String, Stamp] =
+    foldTombFiles(tombFiles(store, table))
+
+  /** Retention sweep (DynamoDB GCs its replication tombstones after a
+    * retention window the same way): consolidate the sidecars and DROP
+    * stamps with `ver < beforeVer`. SAFETY PRECONDITION — the caller
+    * must know every replica has synced past `beforeVer` (e.g. the min
+    * over replicas of their last converged write clock): a tombstone
+    * dropped while some replica still holds the pre-delete image lets
+    * that image resurrect on the next sync (the spec demonstrates the
+    * hazard as well as the safe path). Runs under the table lock so a
+    * concurrent apply's tombstone append is never deleted: only the
+    * files READ are removed, and the consolidated survivor file
+    * publishes BEFORE the old files go — a racing reader sees a
+    * superset, and max-folding makes duplicates harmless. Returns how
+    * many keys' tombstones were dropped.
+    */
+  def gcTombstones(store: LocalKVStore, table: String, beforeVer: Long,
+      seq: Long): Int = store.underTxnLock(table) {
+    val files = tombFiles(store, table)
+    val acc = foldTombFiles(files)
+    val keep = acc.filter { case (_, s) => s.ver >= beforeVer }
+    if (keep.nonEmpty) {
+      val dir = Paths.get(store.rootDir, table)
+      var pub = seq
+      while (Files.exists(dir.resolve(f"repltomb-$pub%020d-gc.jsonl")))
+        pub += 1
+      appendTombstones(store, table, pub, "gc", keep.toSeq)
+    }
+    files.foreach(Files.deleteIfExists(_))
+    acc.size - keep.size
   }
 
   // ---- anti-entropy sync --------------------------------------------------

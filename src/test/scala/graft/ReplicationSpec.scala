@@ -267,6 +267,40 @@ class ReplicationSpec extends AnyFunSuite {
     assert(fullState(a) == fullState(b), "replicas must converge after quiesce")
   }
 
+  test("tombstone GC after full convergence is safe; premature GC resurrects") {
+    // Safe path: both replicas converged past the delete, GC drops
+    // the tombstones, further syncs change nothing.
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "v")), RPut(item("j", "v"))))
+    w(a, "rA", 2, Seq(RDelete(key("k"))))
+    syncBoth(a, b); syncBoth(a, b)
+    assert(Replication.tombstones(a, "t").nonEmpty)
+    val droppedA = Replication.gcTombstones(a, "t", beforeVer = 3, nextSeq())
+    val droppedB = Replication.gcTombstones(b, "t", beforeVer = 3, nextSeq())
+    assert(droppedA == 1 && droppedB == 1)
+    assert(Replication.tombstones(a, "t").isEmpty)
+    val after = syncBoth(a, b)
+    assert(after.applied == 0 && state(a) == Map("j" -> "v"))
+    // GC keeps fresher tombstones: a cutoff below the stamp retains it.
+    val (c, d) = freshPair()
+    w(c, "rA", 9, Seq(RPut(item("x", "v"))))
+    w(c, "rA", 10, Seq(RDelete(key("x"))))
+    assert(Replication.gcTombstones(c, "t", beforeVer = 10, nextSeq()) == 0)
+    assert(Replication.tombstones(c, "t").values.map(_.ver).toSeq == Seq(10L))
+    // Hazard path (the documented precondition is real): replica d
+    // still holds the PRE-delete image; GC'ing c's tombstone before d
+    // synced lets the stale image resurrect at c.
+    Replication.sync(c, d, "t", nextSeq(), "cd0") // too late: x already deleted at c
+    val (e, f) = freshPair()
+    w(e, "rA", 1, Seq(RPut(item("y", "stale"))))
+    Replication.sync(e, f, "t", nextSeq(), "ef") // f now holds y@1
+    w(e, "rA", 2, Seq(RDelete(key("y"))))
+    Replication.gcTombstones(e, "t", beforeVer = 3, nextSeq()) // PREMATURE
+    Replication.sync(f, e, "t", nextSeq(), "fe")
+    assert(state(e).get("y").contains("stale"),
+      "premature GC must resurrect — this is the hazard the precondition exists for")
+  }
+
   test("writeStamped rejects non-LWW-resolvable ops is enforced by the ADT") {
     // RPut/RUpdate/RDelete is the whole ROp alphabet — ADD/REMOVE
     // cannot be expressed, which IS the rejection (compile-time).
