@@ -282,6 +282,32 @@ object StreamOps {
         .option("hashKey", "fp").mode("append").save()
     }
   }
+
+  /** CONTINUOUS Global-Tables replication: wire the source table's
+    * change feed to an incremental sync pass per micro-batch —
+    * `spark.readStream.dynamoStream(srcRoot, table, cdc = true)
+    * .writeStream.foreachBatch(StreamOps.replicateBatch(srcRoot,
+    * "regA", dstRoot, table) _)`. The CDC rows are deliberately
+    * UNUSED as data: they gate WHEN a pass runs (admission control,
+    * trigger pacing, availability of new journal entries), while the
+    * shipping itself is journal-to-journal
+    * ([[graft.sources.dynamo.Replication.syncIncremental]]) — exact
+    * item fidelity with no row-codec round trip, and the per-region
+    * WATERMARK (not the stream offset) decides what ships. That split
+    * makes every delivery contract trivial: a replayed batch finds
+    * the watermark already advanced and ships nothing (idempotent), a
+    * dropped batch's writes ship with the next one (no loss), and a
+    * restart from any checkpoint state is safe because LWW applies
+    * are order-independent.
+    */
+  def replicateBatch(srcRoot: String, srcRegion: String, dstRoot: String,
+      table: String)(batch: DataFrame, batchId: Long): Unit = {
+    val _ = batch // pacing only; see scaladoc
+    graft.sources.dynamo.Replication.syncIncremental(
+      new graft.sources.dynamo.LocalKVStore(srcRoot), srcRegion,
+      new graft.sources.dynamo.LocalKVStore(dstRoot), table,
+      System.currentTimeMillis(), f"replb-$batchId%06d")
+  }
 }
 
 /** StatefulProcessor for [[StreamOps.highWaterMarks]]. */

@@ -376,4 +376,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(fps === 3L)
     } finally q.stop()
   }
+
+  test("continuous replication: the CDC feed drives incremental sync to a replica") {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, Replication, TableMeta}
+    import graft.sources.dynamo.Implicits._
+    import graft.sources.dynamo.Replication.{RDelete, RPut}
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-repl-src").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-repl-dst").toString
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    val src = new LocalKVStore(srcRoot)
+    val dst = new LocalKVStore(dstRoot)
+    src.createTable("t", meta)
+    dst.createTable("t", meta)
+    def put(k: String, v: String, ver: Long): Unit =
+      Replication.writeStamped(src, "t", "regA", ver,
+        System.currentTimeMillis() + ver, s"w$ver",
+        Seq(RPut(Map("id" -> AttrVal.S(k), "v" -> AttrVal.S(v)))))
+    put("a", "1", 1)
+    val q = spark.readStream.dynamoStream(srcRoot, "t", cdc = true)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-repl-ckpt").toString)
+      .foreachBatch(StreamOps.replicateBatch(srcRoot, "regA", dstRoot, "t") _)
+      .start()
+    try {
+      q.processAllAvailable()
+      def state(st: LocalKVStore): Map[String, String] =
+        st.scanSegment("t", 0, 1).map { case (it, _) =>
+          it("id").asInstanceOf[AttrVal.S].v ->
+            it("v").asInstanceOf[AttrVal.S].v
+        }.toMap
+      assert(state(dst) == Map("a" -> "1"), "bootstrap batch must replicate")
+      put("b", "2", 2); put("a", "3", 3)
+      q.processAllAvailable()
+      assert(state(dst) == Map("a" -> "3", "b" -> "2"),
+        "new writes ship on the next micro-batch")
+      Replication.writeStamped(src, "t", "regA", 4,
+        System.currentTimeMillis() + 4, "w4", Seq(RDelete(Map("id" -> AttrVal.S("b")))))
+      q.processAllAvailable()
+      assert(state(dst) == Map("a" -> "3"), "deletes propagate with tombstones")
+      assert(Replication.tombstones(dst, "t").nonEmpty)
+    } finally q.stop()
+  }
 }
