@@ -698,6 +698,31 @@ object DynamoQueries {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     }),
+    // EXPORT → IMPORT roundtrip: snapshot-export the pre-epoch-2 cut
+    // to parquet (segmented scan → columnar writer), then import that
+    // parquet back through the connector's bulk write into a THIRD
+    // table — the full DynamoDB export/import loop, including the
+    // store-N ↔ parquet-type codec roundtrip — and read the imported
+    // table with no snapshot option. Equals the fixture exactly.
+    "q_dyn_export_import" -> ((s, dir) => {
+      val root = seededAsofRoot(s, dir)
+      withSeedLock(root) {
+        val marker = Paths.get(root, "customer_imported", "_imported")
+        if (!Files.exists(marker)) {
+          val out = root + "/export-customer-asof"
+          DynamoMaintenance.exportAsOf(s, root, "customer_asof", out,
+            Some(asofEpochSeq - 1))
+          s.read.parquet(out).repartition(16)
+            .write.dynamo(root, "customer_imported", "c_custkey")
+          DynamoMaintenance.compact(s, root, "customer_imported")
+          Files.createFile(marker)
+        }
+      }
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_imported").load()
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // CROSS-TABLE consistent snapshot: ONE epoch-millis cut addresses
     // BOTH co-stored tables (pubSeq is a clock stamp, so the same
     // value is a table-independent snapshot coordinate — the
@@ -1099,6 +1124,11 @@ object DynamoQueries {
     // the restore materialized the same pre-epoch-2 cut, so the
     // restored table equals the untouched fixture
     "q_dyn_restore" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    // export→import roundtrips the same cut through parquet + bulk
+    // write, so the imported table also equals the fixture
+    "q_dyn_export_import" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_counter" ->

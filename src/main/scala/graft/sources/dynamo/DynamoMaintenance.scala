@@ -136,6 +136,24 @@ object DynamoMaintenance {
     }
   }
 
+  /** Point-in-time EXPORT to parquet (DynamoDB's
+    * ExportTableToPointInTime analogue — export never consumes table
+    * read capacity there; here it is one segmented snapshot scan).
+    * Spark-first by construction: the export engine IS the
+    * connector's parallel scan (one task per shard subset, consistent
+    * `asOfSeq` replay bounds) feeding Spark's columnar parquet
+    * writer — nothing bespoke to maintain. The inverse (ImportTable)
+    * is the connector's existing bulk write:
+    * `spark.read.parquet(out).write.dynamo(root, table, hashKey)`.
+    */
+  def exportAsOf(spark: SparkSession, root: String, table: String,
+      outPath: String, asOfSeq: Option[Long] = None): Unit = {
+    val rd = spark.read.format("dynamo")
+      .option("path", root).option("tableName", table)
+    asOfSeq.foreach(s => rd.option("asOfSeq", s.toString))
+    rd.load().write.mode("overwrite").parquet(outPath)
+  }
+
   /** Global-Tables-style anti-entropy replication, one task per shard
     * (replicas share placement, so shard i syncs against shard i with
     * zero cross-task coordination — see [[Replication]]). Tombstone
