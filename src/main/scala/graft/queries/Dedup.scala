@@ -83,16 +83,24 @@ object Dedup {
     tok.withColumn("tokid",
       conv(substring(md5(col("tok")), 1, 11), 16, 10).cast("long"))
 
-  /** LSH band rows (doc_id, band, bkey) from token-id sets: all 12
-    * signature minima in ONE aggregation pass (one agg column per
-    * hash — the shuffle carries (doc_id, 12 longs), no ×12 row
-    * expansion through the exchange), bands assembled map-side.
+  /** Full 12-minima signatures (doc_id, mh0..mh11) in ONE aggregation
+    * pass (one agg column per hash — the shuffle carries (doc_id,
+    * 12 longs), no ×12 row expansion through the exchange). Shared by
+    * the batch pipeline here and the incremental ingestion probe
+    * ([[graft.streaming.StreamOps.ingestNearDupBatch]]), which stores
+    * these signatures in the connector as the corpus-side sketch.
     */
-  private def minhashBands(toks: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(toks: DataFrame): DataFrame = {
     val sigCols = MinhashParams.map { case (i, a, b) =>
       min((col("tokid") * a + b) % P).as(s"mh$i")
     }
-    val sig = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Band rows (doc_id, band, bkey) from signatures — assembled
+    * map-side, 6 bands × 2 rows.
+    */
+  private[graft] def bandsOfSigs(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashParams.size / 2).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
@@ -100,6 +108,15 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
   }
+
+  /** Number of minhash functions (the signature-agreement verifier's
+    * denominator).
+    */
+  private[graft] val minhashSize: Int = MinhashParams.size
+
+  /** LSH band rows (doc_id, band, bkey) from token-id sets. */
+  private def minhashBands(toks: DataFrame): DataFrame =
+    bandsOfSigs(minhashSigs(toks))
 
   /** Bucket-STAR candidate edges over LSH bands: inside each
     * (band, signature) bucket, only (bucket-min doc, member) pairs —

@@ -283,6 +283,93 @@ object StreamOps {
     }
   }
 
+  /** Streaming NEAR-duplicate ingestion: admit each micro-batch's
+    * documents only if they are not MinHash-near-duplicates of the
+    * corpus ingested SO FAR — without ever rescanning that corpus.
+    * The connector holds the dedup state as two tables:
+    * `<sigTable>` (hash key `doc_id` → the 12 minhash minima) and
+    * `<bandTable>` (hash key `bb` = band:signature bucket, range key
+    * `doc_id`) — so the history probe is an equi-join on the band
+    * table's OWN hash key (bucket-sharded, SPJ/broadcast-friendly;
+    * only colliding buckets' rows are touched at any scale), and a
+    * candidate's verification reads just the matched docs' stored
+    * signatures, never their text. Jaccard is estimated as the
+    * fraction of agreeing minima (≥ `threshold` ⇒ duplicate; LSH
+    * banding guarantees high-Jaccard pairs collide in some bucket).
+    * Batch-local near-dups resolve by bucket-min doc_id before the
+    * history probe. Replay-idempotent for free: a redelivered batch's
+    * docs match their own registered signatures (agreement 1.0) and
+    * are rejected, so `dest` never double-admits — the same
+    * fingerprint-table contract [[ingestDedupBatch]] pins for exact
+    * dedup, lifted to near-dup. Wire as
+    * `docsStream.writeStream.foreachBatch(ingestNearDupBatch(root,
+    * "corpus", "nd_sigs", "nd_bands") _)`.
+    */
+  def ingestNearDupBatch(root: String, dest: String, sigTable: String,
+      bandTable: String, threshold: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.queries.Dedup
+    val s = batch.sparkSession
+    val docs = batch.select("doc_id", "text").dropDuplicates("doc_id")
+    if (docs.isEmpty) return
+    val sigs = Dedup.minhashSigs(Dedup.tokIds(docs)).localCheckpoint(true)
+    val bands = Dedup.bandsOfSigs(sigs)
+      .withColumn("bb", concat_ws(":", col("band"), col("bkey")))
+      .select(col("doc_id"), col("bb"))
+    val mhCols = (0 until Dedup.minhashSize).map(i => s"mh$i")
+    def agreement(l: String, r: String) =
+      mhCols.map(c => when(col(s"$l.$c") === col(s"$r.$c"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / Dedup.minhashSize
+
+    // Batch-local near-dups: inside each bucket only the min doc_id
+    // survives as admit candidate IF the agreement verifies.
+    val localPairs = bands.as("x").join(bands.as("y"),
+        col("x.bb") === col("y.bb") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("keep"), col("y.doc_id").as("drop_c"))
+      .distinct()
+    val localDrops = localPairs
+      .join(sigs.as("l"), col("keep") === col("l.doc_id"))
+      .join(sigs.as("r"), col("drop_c") === col("r.doc_id"))
+      .filter(agreement("l", "r") >= threshold)
+      .select(col("drop_c").as("doc_id")).distinct()
+
+    val store = new graft.sources.dynamo.LocalKVStore(root)
+    // History probe: bucket-keyed join against the band table, then
+    // signature-agreement verification against the sig table.
+    val histDrops = if (store.exists(bandTable)) {
+      val histBands = s.read.format("dynamo").option("path", root)
+        .option("tableName", bandTable).load()
+        .select(col("bb"), col("doc_id").as("old_doc"))
+      val cand = bands.join(histBands, Seq("bb"))
+        .select("doc_id", "old_doc").distinct()
+      val histSigs = s.read.format("dynamo").option("path", root)
+        .option("tableName", sigTable).load()
+      cand.join(sigs.as("l"), Seq("doc_id"))
+        .join(histSigs.withColumnRenamed("doc_id", "hist_id").as("r"),
+          col("old_doc") === col("hist_id"))
+        .filter(agreement("l", "r") >= threshold)
+        .select("doc_id").distinct()
+    } else s.range(0).select(col("id").as("doc_id"))
+
+    val admitted = docs
+      .join(localDrops.union(histDrops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // freeze BEFORE the writes below register
+    if (!admitted.isEmpty) {
+      admitted.write.format("dynamo")
+        .option("path", root).option("tableName", dest)
+        .option("hashKey", "doc_id").mode("append").save()
+      sigs.join(admitted.select("doc_id"), Seq("doc_id"))
+        .write.format("dynamo")
+        .option("path", root).option("tableName", sigTable)
+        .option("hashKey", "doc_id").mode("append").save()
+      bands.join(admitted.select("doc_id"), Seq("doc_id"))
+        .write.format("dynamo")
+        .option("path", root).option("tableName", bandTable)
+        .option("hashKey", "bb").option("rangeKey", "doc_id")
+        .mode("append").save()
+    }
+  }
+
   /** CONTINUOUS Global-Tables replication: wire the source table's
     * change feed to an incremental sync pass per micro-batch —
     * `spark.readStream.dynamoStream(srcRoot, table, cdc = true)

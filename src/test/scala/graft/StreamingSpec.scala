@@ -377,6 +377,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingestion rejects MinHash-near documents across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-nd").toString
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString)
+      .foreachBatch(StreamOps.ingestNearDupBatch(root, "nd_corpus",
+        "nd_sigs", "nd_bands") _)
+      .start()
+    // 20-token base text; the near variant changes ONE token
+    // (Jaccard ≈ 19/21 ≈ 0.90 → sketch agreement far above 0.5);
+    // the distinct text shares nothing.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 19).map(i => s"tok$i") :+ "tokX").mkString(" ")
+    val other = (1 to 20).map(i => s"zz$i").mkString(" ")
+    try {
+      def corpus(): Seq[Long] =
+        spark.read.format("dynamo").option("path", root)
+          .option("tableName", "nd_corpus").load()
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // Batch 1: base + an in-batch near-dup of it → only base admits.
+      in.addData(Doc(1L, base), Doc(2L, near))
+      q.processAllAvailable()
+      assert(corpus() == Seq(1L), "in-batch near-dup must resolve to bucket-min")
+      // Batch 2: a HISTORICAL near-dup (vs batch 1) + a distinct doc.
+      in.addData(Doc(3L, near), Doc(4L, other))
+      q.processAllAvailable()
+      assert(corpus() == Seq(1L, 4L), "historical near-dup must be rejected")
+      // Batch 3: redelivery of an admitted doc → rejected by its own
+      // registered signature (agreement 1.0), corpus unchanged.
+      in.addData(Doc(5L, base))
+      q.processAllAvailable()
+      assert(corpus() == Seq(1L, 4L), "replayed content must not double-admit")
+    } finally q.stop()
+  }
+
   test("continuous replication: the CDC feed drives incremental sync to a replica") {
     import graft.sources.dynamo.{AttrVal, LocalKVStore, Replication, TableMeta}
     import graft.sources.dynamo.Implicits._
