@@ -4219,6 +4219,44 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(reds == Seq("apple", "cherry"), "post-cut write must be absent")
   }
 
+  test("restore law: restoreAsOf equals the snapshot read at every cut (generated)") {
+    // For random put/update/delete interleavings across multiple WAL
+    // batches and a random cut, the MATERIALIZED restore must equal
+    // the journal-bounded asOfSeq read of the source — i.e. restore
+    // is a pure function of the snapshot, for every snapshot.
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { round =>
+      val root = freshRoot()
+      val store = new LocalKVStore(root)
+      store.createTable("src", TableMeta("id", None, shards = 4,
+        throughput = 1000000L))
+      val base = System.currentTimeMillis() + 1000000L
+      val batches = 4 + rnd.nextInt(3)
+      (0 until batches).foreach { b =>
+        val ops = (0 until 1 + rnd.nextInt(6)).map { _ =>
+          val k = s"k${rnd.nextInt(8)}"
+          if (rnd.nextInt(4) == 0)
+            store.Delete(Map("id" -> graft.sources.dynamo.AttrVal.S(k)))
+          else store.Put(Map(
+            "id" -> graft.sources.dynamo.AttrVal.S(k),
+            "v" -> graft.sources.dynamo.AttrVal.N(BigDecimal(rnd.nextInt(100)))))
+        }
+        store.appendWal("src", base + b * 100, s"b$b", ops)
+      }
+      val cut = base + rnd.nextInt(batches) * 100 + 50 // between batches
+      graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+        spark, root, "src", root, s"r$round", cut)
+      def resolved(t: String, asOf: Option[Long]): Map[String, Int] =
+        new LocalKVStore(root).scanSegment(t, 0, 1, asOfSeq = asOf)
+          .map { case (it, _) =>
+            it("id").asInstanceOf[graft.sources.dynamo.AttrVal.S].v ->
+              it("v").asInstanceOf[graft.sources.dynamo.AttrVal.N].v.toInt
+          }.toMap
+      assert(resolved(s"r$round", None) == resolved("src", Some(cut)),
+        s"round $round at cut $cut")
+    }
+  }
+
   test("restoreAsOf below the compaction watermark fails loudly") {
     val root = freshRoot()
     seedFruit(root)
