@@ -594,7 +594,54 @@ object DynamoQueries {
     rootC
   }
 
+  /** Seed the IVF postings table: embeddings keyed (hash `label` =
+    * coarse cell, range `vec_id`), so one cell's postings live in ONE
+    * shard, range-sorted with page directories after compaction — the
+    * connector as a vector store.
+    */
+  private def seededAnnRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "emb_ivf", "_seeded")
+      if (!Files.exists(marker)) {
+        Similarity.embDouble(s, sfDir).repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "emb_ivf")
+          .option("hashKey", "label").option("rangeKey", "vec_id")
+          .mode("append").save()
+        DynamoMaintenance.compact(s, root, "emb_ivf")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   val queries: Map[String, Q] = Map(
+    // VECTOR STORE on the connector (IVF postings table): the coarse
+    // quantizer picks the query's best cell from the fixture (tiny
+    // centroid math, broadcast), then the candidate scan reads ONLY
+    // that cell's postings from the store — the cell is the table's
+    // HASH KEY, so the broadcast join's runtime key filter prunes to
+    // one shard (and pages within it, §2A 52); exact cosine re-ranks
+    // the cell. Identical math to q_sim_ivf — its oracle verbatim —
+    // with the posting list served by the store instead of parquet,
+    // proving the N↔double codec is bit-exact through the roundtrip.
+    "q_dyn_ann" -> ((s, dir) => {
+      val root = seededAnnRoot(s, dir)
+      val e = Similarity.embDouble(s, dir)
+      val best = Similarity.ivfTopCells(e, 1)
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      val postings = s.read.format("dynamo")
+        .option("path", root).option("tableName", "emb_ivf").load()
+      postings.filter(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(5)
+    }),
     // INCREMENTAL replication read: region C received BOTH waves
     // purely through journal-shipping syncIncremental passes (the
     // second shipped only wave-2 keys past the watermark). %4 keys
@@ -1091,6 +1138,9 @@ object DynamoQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // identical pipeline to q_sim_ivf with the postings served by the
+    // store — the oracle is shared verbatim
+    "q_dyn_ann" -> Similarity.oracle("q_sim_ivf"),
     // region C after two incremental passes: %10==1 deleted (ver 4),
     // %4 = wave-2 whole item (original balance, Y- name), %3-only
     // keeps wave 1's +500

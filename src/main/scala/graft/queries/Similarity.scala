@@ -90,7 +90,7 @@ object Similarity {
     * both engines pick the same cells deterministically. Centroids are
     * a tiny broadcast at any scale.
     */
-  private def ivfTopCells(e: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def ivfTopCells(e: DataFrame, nprobe: Int): DataFrame = {
     val ex = e.select(col("vec_id"), col("label"),
       posexplode(col("emb")).as(Seq("i", "x")))
     val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
