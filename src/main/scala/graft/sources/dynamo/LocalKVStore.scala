@@ -2457,6 +2457,25 @@ final class LocalKVStore(root: String) {
     // page directories travel with the base files they describe (the
     // size validation also protects a mismatched pair after a crash)
     listFiles(table, "pageidx-").foreach(cp)
+    // replication sidecars: tombstones MUST survive a restore (a
+    // replica restored without its delete history would let stale
+    // peers resurrect deleted items on the next sync) and the
+    // per-region watermarks preserve this store's replication view
+    // (losing one only forces a safe full-sync fallback, but the copy
+    // keeps restores incremental). Mirror-delete files GC has since
+    // consolidated away, like the base case above.
+    val srcRepl = (listFiles(table, "repltomb-") ++
+        listFiles(table, "replmark-")).map(_.getFileName.toString).toSet
+    val dstRepl = Files.list(dst)
+    try dstRepl.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("repltomb-") || n.startsWith("replmark-")) &&
+          !srcRepl(n)
+      }.toList.foreach(Files.deleteIfExists(_))
+    finally dstRepl.close()
+    listFiles(table, "repltomb-").foreach(cp)
+    listFiles(table, "replmark-").foreach(cp)
     // compaction watermarks: asOfSeq floors must survive the restore
     // (history below them is unaddressable in the source too)
     val st = Files.list(src)
@@ -2516,6 +2535,11 @@ final class LocalKVStore(root: String) {
     val fresh = listFiles(table, "wal-")
       .filterNot(p => have(p.getFileName.toString))
     fresh.foreach(cp)
+    // replication sidecars ride every incremental pass: tombstone
+    // files are append-only between GC passes (REPLACE_EXISTING makes
+    // re-copies idempotent) and watermark files are tiny.
+    listFiles(table, "repltomb-").foreach(cp)
+    listFiles(table, "replmark-").foreach(cp)
     // their journal sidecars (name-matched; base sidecars unchanged
     // under an unchanged base manifest)
     val freshCores = fresh.map(p => p.getFileName.toString

@@ -301,6 +301,28 @@ class ReplicationSpec extends AnyFunSuite {
       "premature GC must resurrect — this is the hazard the precondition exists for")
   }
 
+  test("backups carry tombstones: a restored replica resists stale-put resurrection") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "v1")), RPut(item("j", "v1"))))
+    Replication.sync(a, b, "t", nextSeq(), "ab") // b now holds k@1 (stale-to-be)
+    w(a, "rA", 2, Seq(RDelete(key("k"))))
+    val destRoot = Files.createTempDirectory("repl-backup").toString
+    a.backupTable("t", destRoot)
+    val restored = new LocalKVStore(destRoot)
+    assert(state(restored) == Map("j" -> "v1"), "backup reflects the delete")
+    assert(Replication.tombstones(restored, "t").nonEmpty,
+      "tombstone sidecars must travel with the backup")
+    // The stale peer can no longer resurrect the deleted item.
+    Replication.sync(b, restored, "t", nextSeq(), "br")
+    assert(state(restored) == Map("j" -> "v1"),
+      "restored replica must reject the stale pre-delete image")
+    // Incremental backups keep carrying later tombstones.
+    w(a, "rA", 3, Seq(RDelete(key("j"))))
+    a.backupTableIncremental("t", destRoot)
+    assert(Replication.tombstones(restored, "t").size == 2)
+    assert(state(restored).isEmpty)
+  }
+
   test("writeStamped rejects non-LWW-resolvable ops is enforced by the ADT") {
     // RPut/RUpdate/RDelete is the whole ROp alphabet — ADD/REMOVE
     // cannot be expressed, which IS the rejection (compile-time).
