@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Fixtures
@@ -616,6 +616,29 @@ object DynamoQueries {
     root
   }
 
+  /** Store-served IVF probe (see `q_dyn_ann`): coarse-quantize from
+    * the fixture (tiny broadcast centroid math), read ONLY the best
+    * `nprobe` cells' postings from the store (the cell is the table's
+    * hash key — the broadcast join's runtime key filter prunes to the
+    * owning shards and pages, §2A 52), exact-cosine re-rank.
+    */
+  private def dynAnnProbe(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val root = seededAnnRoot(s, dir)
+    val e = Similarity.embDouble(s, dir)
+    val best = Similarity.ivfTopCells(e, nprobe)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val postings = s.read.format("dynamo")
+      .option("path", root).option("tableName", "emb_ivf").load()
+    postings.filter(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
     // VECTOR STORE on the connector (IVF postings table): the coarse
     // quantizer picks the query's best cell from the fixture (tiny
@@ -626,22 +649,13 @@ object DynamoQueries {
     // the cell. Identical math to q_sim_ivf — its oracle verbatim —
     // with the posting list served by the store instead of parquet,
     // proving the N↔double codec is bit-exact through the roundtrip.
-    "q_dyn_ann" -> ((s, dir) => {
-      val root = seededAnnRoot(s, dir)
-      val e = Similarity.embDouble(s, dir)
-      val best = Similarity.ivfTopCells(e, 1)
-      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
-      val postings = s.read.format("dynamo")
-        .option("path", root).option("tableName", "emb_ivf").load()
-      postings.filter(col("vec_id") =!= 0)
-        .join(broadcast(best), col("label") === col("best_label"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(graft.functions.Funcs.cosineSim(col("emb"), col("qe")), 4)
-            .as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(5)
-    }),
+    "q_dyn_ann" -> ((s, dir) => dynAnnProbe(s, dir, 1)),
+    // nprobe = 3 over the store: the broadcast join's runtime filter
+    // is now a 3-value key IN-list — the §2A 52 IN-window path — so
+    // the scan reads the three matching cells' shards/pages, not the
+    // table. Recall/latency dial identical to q_sim_ivf_mprobe
+    // (shared oracle).
+    "q_dyn_ann_mprobe" -> ((s, dir) => dynAnnProbe(s, dir, 3)),
     // INCREMENTAL replication read: region C received BOTH waves
     // purely through journal-shipping syncIncremental passes (the
     // second shipped only wave-2 keys past the watermark). %4 keys
@@ -1141,6 +1155,7 @@ object DynamoQueries {
     // identical pipeline to q_sim_ivf with the postings served by the
     // store — the oracle is shared verbatim
     "q_dyn_ann" -> Similarity.oracle("q_sim_ivf"),
+    "q_dyn_ann_mprobe" -> Similarity.oracle("q_sim_ivf_mprobe"),
     // region C after two incremental passes: %10==1 deleted (ver 4),
     // %4 = wave-2 whole item (original balance, Y- name), %3-only
     // keeps wave 1's +500
