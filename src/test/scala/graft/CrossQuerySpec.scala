@@ -77,6 +77,14 @@ class CrossQuerySpec extends AnyFunSuite {
     assert(pq <= mprobe)
     assert(pq <= exact)
     assert(run("q_sim_ivf_pq").count() === 5)
+    // The STORE-served probes are the same math over the same
+    // postings (shared oracles), so they must agree exactly with
+    // their parquet-served twins — the N↔double codec bit-exactness
+    // law, cross-checked engine-side (the DuckDB gate checks it
+    // against SQL; this pins Spark-vs-Spark too).
+    def rows(name: String) = run(name).collect().toSeq
+    assert(rows("q_dyn_ann") == rows("q_sim_ivf"))
+    assert(rows("q_dyn_ann_mprobe") == rows("q_sim_ivf_mprobe"))
   }
 
   test("attribution conversions sum to exactly the purchase count") {
