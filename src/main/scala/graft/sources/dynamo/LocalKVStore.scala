@@ -2258,7 +2258,18 @@ final class LocalKVStore(root: String) {
         case _ => false
       }
     }
-    val merged = scanSegment(table, shard, meta.shards).map(_._1)
+    // ONE journal listing end to end: the fold replays exactly this
+    // set and the delete step below removes exactly this shard's
+    // slice of it. Deriving the delete list from a SECOND listing
+    // would delete-without-folding any file published between the
+    // fold's internal listing and the delete's — losing the write
+    // (the replication racing-compaction law caught exactly that).
+    // Files published after this pin survive the pass and replay over
+    // the new base, which is safe: they are strictly newer ops.
+    val pinned = listFiles(table, "wal-")
+    val pinnedNames = Some(pinned.map(_.getFileName.toString).toSet)
+    val merged = scanSegment(table, shard, meta.shards,
+        allowedWal = pinnedNames).map(_._1)
       .filterNot(expired).toVector
     writeSortedShard(table, meta, shard, merged)
     // Exact zone map of the folded shard — the narrowing step (deletes
@@ -2271,7 +2282,7 @@ final class LocalKVStore(root: String) {
     Files.move(zTmp, dir.resolve(f"zstat-shard-s$shard%03d.json"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val folding = listFiles(table, "wal-").filter(walShard(_) == shard)
+    val folding = pinned.filter(walShard(_) == shard)
     // Snapshot watermark: once these journal files fold into the base,
     // history at or below their pubSeq is no longer addressable — an
     // `asOfSeq` read below the mark would silently return POST-snapshot

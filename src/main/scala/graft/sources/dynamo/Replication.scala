@@ -236,6 +236,31 @@ object Replication {
       SyncResult(puts + o.puts, deletes + o.deletes, full || o.full)
   }
 
+  /** Retry a discovery scan that lost a WAL file to a racing
+    * compaction (listed, then folded+deleted before the read opened
+    * it). Torn-but-readable views need no retry — compaction is
+    * semantics-preserving, so any mixture of pre/post-fold state
+    * under-ships at worst and the next pass repairs (the locked apply
+    * re-checks every candidate against a compaction-fenced read
+    * anyway). Five losses in a row means an operator is compacting in
+    * a tight loop — fail loudly, the [[LocalKVStore.transactGet]]
+    * contract.
+    */
+  private def retryingScan[A](table: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"replication scan on '$table' raced a moving compaction " +
+              s"$attempt times — retry when maintenance settles")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def requireAligned(a: TableMeta, b: TableMeta, table: String): Unit =
     require(a.hashKey == b.hashKey && a.rangeKey == b.rangeKey &&
       a.shards == b.shards,
@@ -270,8 +295,11 @@ object Replication {
     val shards = srcMeta.shards
 
     val dstStamp = mutable.HashMap.empty[String, Stamp]
-    dst.scanSegment(table, shard, shards).foreach { case (item, _) =>
-      dstStamp(dst.keyOf(dstMeta, item)) = stampOf(item)
+    retryingScan(table) {
+      dstStamp.clear()
+      dst.scanSegment(table, shard, shards).foreach { case (item, _) =>
+        dstStamp(dst.keyOf(dstMeta, item)) = stampOf(item)
+      }
     }
 
     def bestDst(k: String): Option[Stamp] =
@@ -288,17 +316,20 @@ object Replication {
     // keeps the two loops from emitting both ops for one key.
     val srcLive = mutable.HashMap.empty[String, Stamp]
     val putCands = mutable.ArrayBuffer.empty[Item]
-    src.scanSegment(table, shard, shards).foreach { case (item, _) =>
-      val k = src.keyOf(srcMeta, item)
-      val s = stampOf(item)
-      if (srcTombs.contains(k)) srcLive(k) = s
-      val authoritative = srcTombs.get(k).forall(s.beats)
-      val wins = bestDst(k) match {
-        case None => true // absent and never deleted: presence wins
-        case Some(d) => s.beats(d)
+    retryingScan(table) {
+      srcLive.clear(); putCands.clear()
+      src.scanSegment(table, shard, shards).foreach { case (item, _) =>
+        val k = src.keyOf(srcMeta, item)
+        val s = stampOf(item)
+        if (srcTombs.contains(k)) srcLive(k) = s
+        val authoritative = srcTombs.get(k).forall(s.beats)
+        val wins = bestDst(k) match {
+          case None => true // absent and never deleted: presence wins
+          case Some(d) => s.beats(d)
+        }
+        if (authoritative && wins)
+          putCands += item // origin stamp rides in the item
       }
-      if (authoritative && wins)
-        putCands += item // origin stamp rides in the item
     }
 
     val delCands = mutable.ArrayBuffer.empty[(String, Stamp)]
@@ -465,12 +496,27 @@ object Replication {
     val dstMeta = dst.describe(table)
     requireAligned(srcMeta, dstMeta, table)
 
-    val newFiles = src.walFileNames(table).filter(walSeqOf(_) > wm)
+    var newFiles: Seq[String] = Nil
     val touched = mutable.LinkedHashSet.empty[String]
-    newFiles.foreach { f =>
-      src.readWalFile(table, f).foreach { case (_, item, _) =>
-        touched += src.keyOf(srcMeta, item)
+    retryingScan(table) {
+      touched.clear()
+      newFiles = src.walFileNames(table).filter(walSeqOf(_) > wm)
+      newFiles.foreach { f =>
+        src.readWalFile(table, f).foreach { case (_, item, _) =>
+          touched += src.keyOf(srcMeta, item)
+        }
       }
+    }
+    // Post-discovery fence: a compaction folding (wm, …] files DURING
+    // the listing loop would make `touched` silently incomplete while
+    // the advanced watermark below hides the gap forever — the one
+    // ordering the entry check can't see. Folds after this line are
+    // safe (their files were already read).
+    if (src.compactionWatermark(table) > wm) {
+      val r = sync(src, dst, table, seq, writerId)
+      writeWatermark(dst, table, srcRegion,
+        math.max(src.compactionWatermark(table), maxWalSeq(src, table)))
+      return r
     }
     if (touched.isEmpty) return SyncResult(0, 0, full = false)
     val srcT = tombstones(src, table)

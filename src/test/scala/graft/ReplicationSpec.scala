@@ -301,6 +301,39 @@ class ReplicationSpec extends AnyFunSuite {
       "premature GC must resurrect — this is the hazard the precondition exists for")
   }
 
+  test("sync racing compaction at both ends still converges once quiescent") {
+    // Compaction rewrites base shards while sync passes scan them:
+    // a racing pass may see a torn view, but every item it misses is
+    // still at its origin with its stamp, and candidate applies
+    // re-check under the table lock against a compaction-fenced
+    // snapshot read (transactGet) — so convergence is eventual and
+    // never wrong-way, same as the racing-writer law.
+    val (a, b) = freshPair()
+    (0 until 30).foreach { i =>
+      w(a, "rA", 10 + i, Seq(RPut(item(s"k$i", s"v$i"))))
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val compactor = new Thread(() => {
+      try while (!stop.get()) { a.compact("t"); b.compact("t") }
+      catch { case e: Throwable => errs.add(e) }
+    })
+    compactor.start()
+    try {
+      (0 until 6).foreach { i =>
+        Replication.sync(a, b, "t", nextSeq(), s"c$i")
+        w(b, "rB", 100 + i, Seq(RPut(item(s"k$i", s"w$i"))))
+        Replication.sync(b, a, "t", nextSeq(), s"d$i")
+      }
+    } finally { stop.set(true); compactor.join() }
+    assert(errs.isEmpty, s"maintenance failed: ${errs.peek()}")
+    syncBoth(a, b); syncBoth(a, b)
+    assert(fullState(a) == fullState(b),
+      "replicas must converge once compaction quiesces")
+    (0 until 6).foreach(i => assert(state(a)(s"k$i") == s"w$i"))
+    (6 until 30).foreach(i => assert(state(a)(s"k$i") == s"v$i"))
+  }
+
   test("backups carry tombstones: a restored replica resists stale-put resurrection") {
     val (a, b) = freshPair()
     w(a, "rA", 1, Seq(RPut(item("k", "v1")), RPut(item("j", "v1"))))

@@ -917,4 +917,35 @@ class StoreLawsSpec extends AnyFunSuite {
     store.backupTableIncremental("t", dstRoot)
     assert(mergedView(new LocalKVStore(dstRoot), "t") === mergedView(store, "t"))
   }
+
+  test("a write racing compaction is never lost (fold and delete pin ONE listing)") {
+    // compactShard folds the journal it replayed and deletes exactly
+    // that set; deriving the delete list from a SECOND listing would
+    // delete-without-folding any file published in between. Storm a
+    // writer against a compaction loop and demand every write
+    // survives.
+    val root = Files.createTempDirectory("law-race").toString
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("id", None, shards = 4, throughput = 1000000L))
+    val n = 300
+    val base = System.currentTimeMillis() + 1000000L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => {
+      try (0 until n).foreach { i =>
+        store.appendWal("t", base + i, s"w$i",
+          Seq(store.Put(Map("id" -> AttrVal.S(s"k$i")))))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.start()
+    try while (writer.isAlive) store.compact("t")
+    finally writer.join()
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    store.compact("t")
+    val got = store.scanSegment("t", 0, 1).map { case (it, _) =>
+      it("id").asInstanceOf[AttrVal.S].v
+    }.toSet
+    val missing = (0 until n).map(i => s"k$i").toSet -- got
+    assert(missing.isEmpty, s"compaction lost ${missing.size} writes: " +
+      missing.take(5).mkString(", "))
+  }
 }
