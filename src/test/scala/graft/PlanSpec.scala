@@ -289,4 +289,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("Window [".length).count(_ == "Window [") <= 2, p)
     assert(p.contains("Window ["), p)
   }
+
+  test("q_dyn_ann: store postings broadcast-joined and top-k bounded, no sort-merge") {
+    val p = plan("q_dyn_ann")
+    // the cell pin arrives as a broadcast (runtime key filter on the
+    // postings scan), the candidate set re-ranks through a bounded
+    // top-k — never a global sort or a shuffled join of the postings
+    assert(p.contains("BatchScan dynamo:emb_ivf"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
