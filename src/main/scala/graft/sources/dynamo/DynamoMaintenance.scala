@@ -95,6 +95,28 @@ object DynamoMaintenance {
     store.finishReshard(table, newShards)
   }
 
+  /** Adaptive partition sizing (DynamoDB splits partitions as they
+    * grow; it never merges them — mirrored here: the count only
+    * RISES). Picks the smallest power-of-two shard count that brings
+    * the mean shard under `targetShardBytes` (capped at `maxShards`)
+    * and reshards when it exceeds the current count; otherwise a
+    * no-op, so it is safe on a maintenance schedule. Returns the
+    * resulting count. Power-of-two growth keeps successive reshards
+    * cheap to reason about and bounds the count's drift to one
+    * doubling per growth epoch at steady ingest.
+    */
+  def autoReshard(spark: SparkSession, path: String, table: String,
+      targetShardBytes: Long = 256L << 20, maxShards: Int = 4096): Int = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val store = new LocalKVStore(path)
+    val cur = store.describe(table).shards
+    val size = store.sizeBytes(table)
+    var want = 1
+    while (want < maxShards && size / want > targetShardBytes) want *= 2
+    if (want > cur) { reshard(spark, path, table, want); want }
+    else cur
+  }
+
   /** Point-in-time RESTORE to a new table (DynamoDB PITR restore
     * analogue: restores always create a NEW table, never rewrite in
     * place). One task per shard replays the source shard at the

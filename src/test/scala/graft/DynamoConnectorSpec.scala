@@ -4162,6 +4162,30 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(scanned <= 600, s"expected a runtime-windowed paged read, scanned $scanned")
   }
 
+  test("autoReshard grows to the target shard size, never shrinks, idempotent") {
+    val root = freshRoot()
+    seedFruit(root)
+    val store = new LocalKVStore(root)
+    val before = store.describe("fruit").shards
+    // A 1-byte target forces growth to the cap (above the default
+    // shard count); a small cap keeps the test cheap.
+    val cap = before * 4
+    val grown = graft.sources.dynamo.DynamoMaintenance.autoReshard(
+      spark, root, "fruit", targetShardBytes = 1L, maxShards = cap)
+    assert(grown == cap && store.describe("fruit").shards == cap)
+    // Reads unchanged through the growth.
+    val names = spark.read.dynamo(root, "fruit")
+      .select("name").orderBy("name").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("apple", "banana", "cherry", "durian"))
+    // Re-run: already at the cap → no-op.
+    assert(graft.sources.dynamo.DynamoMaintenance.autoReshard(
+      spark, root, "fruit", targetShardBytes = 1L, maxShards = cap) == cap)
+    // A generous target never SHRINKS the count (DynamoDB never
+    // merges partitions).
+    assert(graft.sources.dynamo.DynamoMaintenance.autoReshard(
+      spark, root, "fruit", targetShardBytes = 1L << 30) == cap)
+  }
+
   test("restoreAsOf materializes the cut as an independent new table") {
     val root = freshRoot()
     val store = new LocalKVStore(root)
