@@ -454,6 +454,36 @@ object DynamoQueries {
     root
   }
 
+  /** Seed WRITE-SHARDED counters (DynamoDB's hot-partition pattern:
+    * a counter updated by many writers spreads over N sub-keys
+    * `user#slot`, so no single item — hence no single partition —
+    * absorbs the whole write rate; readers sum the slots). Slot =
+    * a deterministic event-content hash mod 8, so the oracle can
+    * reproduce the fan-out exactly.
+    */
+  private def seededCounterShardRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "user_counters_ws", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.events(s, sfDir)
+          .select(
+            concat_ws("#", col("user_id"),
+              pmod(abs(hash(col("event_id"))), lit(8)).cast("string"))
+              .as("ukey"),
+            lit(1L).as("cnt"), col("value").as("amount"))
+          .repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "user_counters_ws")
+          .option("hashKey", "ukey")
+          .option("updateAction", "add")
+          .mode("append").save()
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   /** Pinned far-future write clocks for the replica seed (same device
     * as [[asofEpochSeq]]: a seq above any wall clock is used verbatim
     * as the pubSeq, so each batch's journal position is deterministic).
@@ -707,6 +737,24 @@ object DynamoQueries {
     // — the read serves copy + round files EXACTLY, zero base-shard
     // work, zero read-time re-derivation (the IndexJournal tier;
     // q_dyn_gsi_delta pins the applier-lag DELTA overlay instead).
+    // WRITE-SHARDED counters (the DynamoDB hot-partition pattern):
+    // each user's counter spreads over 8 `user#slot` sub-items so no
+    // single item absorbs the whole write rate; the read sums the
+    // slots back to one row per user — which must equal the plain
+    // grouped aggregation over raw events (the q_dyn_counter oracle),
+    // because any partition of a user's events sums to the same
+    // totals. The slot function never appears in the oracle: that
+    // independence IS the pattern's correctness argument.
+    "q_dyn_counter_sharded" -> ((s, dir) => {
+      val root = seededCounterShardRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "user_counters_ws").load()
+        .select(split(col("ukey"), "#").getItem(0).cast("long").as("user_id"),
+          col("cnt"), col("amount"))
+        .groupBy("user_id")
+        .agg(sum("cnt").as("cnt"), round(sum("amount"), 2).as("amount"))
+        .orderBy("user_id")
+    }),
     "q_dyn_gsi_wt" -> ((s, dir) => {
       val root = seededGsiWtRoot(s, dir)
       s.read.format("dynamo")
@@ -1197,6 +1245,12 @@ object DynamoQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_counter" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 2) AS amount
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // write-sharded counters sum back to the same per-user totals —
+    // the slot fan-out is invisible to the aggregate
+    "q_dyn_counter_sharded" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(value), 2) AS amount
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
