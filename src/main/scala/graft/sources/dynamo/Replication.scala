@@ -138,23 +138,45 @@ object Replication {
     // own origin, which no later pass can repair.
     store.underTxnLock(table) {
       store.appendWal(table, seq, writerId, walOps)
-      if (tombs.nonEmpty)
-        appendTombstones(store, table, seq, writerId, tombs.toSeq)
+      if (tombs.nonEmpty) {
+        // Origin = the PUBLISHED pubSeq of this write's journal files
+        // (the writer floors at the wall clock, so it can exceed
+        // `seq`) — the coordinate peer watermarks actually move
+        // through, read back exactly from our own just-published
+        // names. Recording a too-low origin could let the acked GC
+        // drop a tombstone a lagging peer never replayed.
+        val origin = store.walFileNames(table)
+          .filter(_.contains(s"-$writerId-")).map(walSeqOf)
+          .maxOption.getOrElse(math.max(seq, System.currentTimeMillis()))
+        appendTombstones(store, table, seq, writerId, tombs.toSeq,
+          tombs.iterator.map { case (k, _) => k -> origin }.toMap)
+      }
     }
   }
 
   // ---- tombstone sidecars -------------------------------------------------
 
-  /** One line per deleted key: `key \t ver \t region`. Files publish
-    * with tmp+ATOMIC_MOVE like every other sidecar; names embed
-    * (seq, writerId) so parallel tasks never collide.
+  /** One line per deleted key: `key \t ver \t region [\t originSeq]`.
+    * Files publish with tmp+ATOMIC_MOVE like every other sidecar;
+    * names embed (seq, writerId) so parallel tasks never collide.
+    * `originSeq` is the pubSeq of THIS store's journal entry that
+    * applied the delete — the coordinate peers' replication
+    * watermarks move through, hence the acknowledgment-based GC
+    * cutoff ([[gcTombstonesAcked]]). Three-field lines (older files,
+    * and fresh writes where the file-name seq IS the origin) fall
+    * back to the name's seq.
     */
   private def appendTombstones(store: LocalKVStore, table: String,
-      seq: Long, writerId: String, tombs: Seq[(String, Stamp)]): Unit = {
+      seq: Long, writerId: String, tombs: Seq[(String, Stamp)],
+      origins: Map[String, Long] = Map.empty): Unit = {
     val dir = Paths.get(store.rootDir, table)
     val tmp = dir.resolve(f".repltomb-$seq%020d-$writerId.tmp")
-    val out = tombs.map { case (k, s) => s"$k\t${s.ver}\t${s.region}" }
-      .mkString("", "\n", "\n")
+    val out = tombs.map { case (k, s) =>
+      origins.get(k) match {
+        case Some(o) => s"$k\t${s.ver}\t${s.region}\t$o"
+        case None => s"$k\t${s.ver}\t${s.region}"
+      }
+    }.mkString("", "\n", "\n")
     Files.write(tmp, out.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, dir.resolve(f"repltomb-$seq%020d-$writerId.jsonl"),
@@ -173,17 +195,20 @@ object Replication {
     } finally s.close()
   }
 
-  private def foldTombFiles(files: Seq[Path]): Map[String, Stamp] = {
-    val acc = mutable.HashMap.empty[String, Stamp]
+  /** Per-key (max stamp, origin pubSeq of that stamp's entry). */
+  private def foldTombFiles(files: Seq[Path]): Map[String, (Stamp, Long)] = {
+    val acc = mutable.HashMap.empty[String, (Stamp, Long)]
     files.foreach { p =>
+      val nameSeq = p.getFileName.toString.stripPrefix("repltomb-")
+        .take(20).toLong
       Files.readAllLines(p, StandardCharsets.UTF_8).forEach { line =>
         if (line.nonEmpty) {
-          val i2 = line.lastIndexOf('\t')
-          val i1 = line.lastIndexOf('\t', i2 - 1)
-          val st = Stamp(line.substring(i1 + 1, i2).toLong,
-            line.substring(i2 + 1))
-          val k = line.substring(0, i1)
-          if (acc.get(k).forall(st.beats)) acc(k) = st
+          val f = line.split('\t')
+          val k = f(0)
+          val st = Stamp(f(1).toLong, f(2))
+          val origin = if (f.length > 3) f(3).toLong else nameSeq
+          if (acc.get(k).forall { case (cur, _) => st.beats(cur) })
+            acc(k) = (st, origin)
         }
       }
     }
@@ -192,36 +217,84 @@ object Replication {
 
   /** All tombstones of a table, folded to the max stamp per key. */
   def tombstones(store: LocalKVStore, table: String): Map[String, Stamp] =
-    foldTombFiles(tombFiles(store, table))
+    foldTombFiles(tombFiles(store, table)).map { case (k, (s, _)) => k -> s }
+
+  /** Shared GC core: consolidate sidecars, drop entries `predicate`
+    * approves, preserve each survivor's origin seq. Runs under the
+    * table lock so a concurrent apply's tombstone append is never
+    * deleted: only the files READ are removed, and the consolidated
+    * survivor file publishes BEFORE the old files go — a racing
+    * reader sees a superset, and max-folding makes duplicates
+    * harmless. Returns how many keys' tombstones were dropped.
+    */
+  private def gcWith(store: LocalKVStore, table: String, seq: Long)(
+      drop: ((String, (Stamp, Long))) => Boolean): Int =
+    store.underTxnLock(table) {
+      val files = tombFiles(store, table)
+      val acc = foldTombFiles(files)
+      val keep = acc.filterNot(drop)
+      if (keep.nonEmpty) {
+        val dir = Paths.get(store.rootDir, table)
+        var pub = seq
+        while (Files.exists(dir.resolve(f"repltomb-$pub%020d-gc.jsonl")))
+          pub += 1
+        appendTombstones(store, table, pub, "gc",
+          keep.map { case (k, (s, _)) => (k, s) }.toSeq,
+          keep.map { case (k, (_, o)) => k -> o })
+      }
+      files.foreach(Files.deleteIfExists(_))
+      acc.size - keep.size
+    }
 
   /** Retention sweep (DynamoDB GCs its replication tombstones after a
-    * retention window the same way): consolidate the sidecars and DROP
-    * stamps with `ver < beforeVer`. SAFETY PRECONDITION — the caller
-    * must know every replica has synced past `beforeVer` (e.g. the min
-    * over replicas of their last converged write clock): a tombstone
-    * dropped while some replica still holds the pre-delete image lets
-    * that image resurrect on the next sync (the spec demonstrates the
-    * hazard as well as the safe path). Runs under the table lock so a
-    * concurrent apply's tombstone append is never deleted: only the
-    * files READ are removed, and the consolidated survivor file
-    * publishes BEFORE the old files go — a racing reader sees a
-    * superset, and max-folding makes duplicates harmless. Returns how
-    * many keys' tombstones were dropped.
+    * retention window the same way): DROP stamps with
+    * `ver < beforeVer`. SAFETY PRECONDITION — the caller must know
+    * every replica has synced past `beforeVer`: a tombstone dropped
+    * while some replica still holds the pre-delete image lets that
+    * image resurrect on the next sync (the spec demonstrates the
+    * hazard as well as the safe path). [[gcTombstonesAcked]] COMPUTES
+    * the precondition from peer watermarks instead of trusting the
+    * caller.
     */
   def gcTombstones(store: LocalKVStore, table: String, beforeVer: Long,
-      seq: Long): Int = store.underTxnLock(table) {
-    val files = tombFiles(store, table)
-    val acc = foldTombFiles(files)
-    val keep = acc.filter { case (_, s) => s.ver >= beforeVer }
-    if (keep.nonEmpty) {
-      val dir = Paths.get(store.rootDir, table)
-      var pub = seq
-      while (Files.exists(dir.resolve(f"repltomb-$pub%020d-gc.jsonl")))
-        pub += 1
-      appendTombstones(store, table, pub, "gc", keep.toSeq)
-    }
-    files.foreach(Files.deleteIfExists(_))
-    acc.size - keep.size
+      seq: Long): Int =
+    gcWith(store, table, seq) { case (_, (s, _)) => s.ver < beforeVer }
+
+  /** The acknowledgment floor for [[gcTombstonesAcked]]: the least
+    * source-journal position of `myRegion` that EVERY peer has
+    * replicated through (their `replmark-<myRegion>` watermarks). A
+    * peer that has never run an incremental pass contributes 0 — the
+    * safe default under which nothing is ever GC'd.
+    */
+  def ackedGcFloor(peers: Seq[LocalKVStore], table: String,
+      myRegion: String): Long =
+    if (peers.isEmpty) 0L
+    else peers.map(watermark(_, table, myRegion)).min
+
+  /** Acknowledgment-based tombstone GC — the COMPUTED form of the
+    * [[gcTombstones]] precondition: drop exactly the tombstones whose
+    * applying journal entry (origin pubSeq) every peer's replication
+    * watermark has passed. A peer that synced past the entry has
+    * applied the delete (or something fresher), so no peer still
+    * holds the pre-delete image — resurrection is structurally
+    * impossible, no caller judgment involved.
+    */
+  def gcTombstonesAcked(store: LocalKVStore, table: String, seq: Long,
+      peers: Seq[LocalKVStore], myRegion: String): Int = {
+    val floor = ackedGcFloor(peers, table, myRegion)
+    gcWith(store, table, seq) { case (_, (_, origin)) => origin <= floor }
+  }
+
+  /** Replication lag diagnostic: how far `dst`'s view of `srcRegion`
+    * trails `src`'s journal head, in the journal's clock coordinates
+    * (milliseconds under the production epoch-millis contract). 0 when
+    * fully caught up or the source journal is empty/folded behind the
+    * watermark.
+    */
+  def replicationLag(src: LocalKVStore, srcRegion: String,
+      dst: LocalKVStore, table: String): Long = {
+    val head = math.max(maxWalSeq(src, table), src.compactionWatermark(table))
+    math.max(0L, head - watermark(dst, table, srcRegion))
   }
 
   // ---- anti-entropy sync --------------------------------------------------

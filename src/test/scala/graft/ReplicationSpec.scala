@@ -334,6 +334,33 @@ class ReplicationSpec extends AnyFunSuite {
     (6 until 30).foreach(i => assert(state(a)(s"k$i") == s"v$i"))
   }
 
+  test("acked GC drops only peer-acknowledged tombstones — the computed precondition") {
+    val (a, b) = freshPair()
+    w(a, "rA", 1, Seq(RPut(item("k", "v")), RPut(item("j", "v"))))
+    // Peer B syncs incrementally (watermarks advance), then A deletes.
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1")
+    w(a, "rA", 2, Seq(RDelete(key("k"))))
+    // Before B acknowledges the delete: floor < origin → GC refuses.
+    assert(Replication.gcTombstonesAcked(a, "t", nextSeq(), Seq(b), "rA") == 0)
+    assert(Replication.tombstones(a, "t").nonEmpty,
+      "unacknowledged tombstone must survive")
+    // B ships the delete (watermark passes the applying entry) → GC fires.
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(state(b).get("k").isEmpty)
+    assert(Replication.gcTombstonesAcked(a, "t", nextSeq(), Seq(b), "rA") == 1)
+    assert(Replication.tombstones(a, "t").isEmpty)
+    // And B cannot re-introduce k: it applied the delete, so it holds
+    // no pre-delete image to ship.
+    syncBoth(a, b)
+    assert(state(a) == Map("j" -> "v"))
+    // A peer that never ran an incremental pass floors the GC at 0.
+    val (c, d) = freshPair()
+    w(c, "rA", 1, Seq(RPut(item("x", "v"))))
+    w(c, "rA", 2, Seq(RDelete(key("x"))))
+    assert(Replication.ackedGcFloor(Seq(d), "t", "rA") == 0L)
+    assert(Replication.gcTombstonesAcked(c, "t", nextSeq(), Seq(d), "rA") == 0)
+  }
+
   test("backups carry tombstones: a restored replica resists stale-put resurrection") {
     val (a, b) = freshPair()
     w(a, "rA", 1, Seq(RPut(item("k", "v1")), RPut(item("j", "v1"))))
