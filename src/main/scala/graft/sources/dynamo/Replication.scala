@@ -556,7 +556,15 @@ object Replication {
     */
   def syncIncremental(src: LocalKVStore, srcRegion: String,
       dst: LocalKVStore, table: String, seq: Long,
-      writerId: String): SyncResult = {
+      writerId: String,
+      /** Backlog bound for the driver-side per-key path: more touched
+        * keys than this delegates to the shard-parallel full
+        * anti-entropy instead (same result, O(shard) per task instead
+        * of O(backlog) on the driver) — the first-ever pass against a
+        * long-lived journal is exactly that case. The steady-state
+        * delta stays far below any sane bound.
+        */
+      maxIncrementalKeys: Int = 100000): SyncResult = {
     val wm = watermark(dst, table, srcRegion)
     val folded = src.compactionWatermark(table)
     if (folded > wm) {
@@ -579,6 +587,15 @@ object Replication {
           touched += src.keyOf(srcMeta, item)
         }
       }
+    }
+    // Backlog bound: a first pass against a long-lived journal can
+    // touch table-scale key counts — that belongs to the shard-
+    // parallel full path, not a driver-side per-key resolve.
+    if (touched.size > maxIncrementalKeys) {
+      val r = sync(src, dst, table, seq, writerId)
+      writeWatermark(dst, table, srcRegion,
+        (Seq(wm) ++ newFiles.map(walSeqOf)).max)
+      return r
     }
     // Post-discovery fence: a compaction folding (wm, …] files DURING
     // the listing loop would make `touched` silently incomplete while

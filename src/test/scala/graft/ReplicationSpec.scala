@@ -334,6 +334,21 @@ class ReplicationSpec extends AnyFunSuite {
     (6 until 30).foreach(i => assert(state(a)(s"k$i") == s"v$i"))
   }
 
+  test("incremental sync delegates table-scale backlogs to the full path") {
+    val (a, b) = freshPair()
+    (0 until 12).foreach(i => w(a, "rA", i + 1, Seq(RPut(item(s"k$i", s"v$i")))))
+    // 12 touched keys > a bound of 5 → shard-parallel full path runs
+    // (flagged in the result), state still converges, watermark still
+    // advances so the NEXT pass is a true (empty) incremental.
+    val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "big",
+      maxIncrementalKeys = 5)
+    assert(r.full, "backlog beyond the bound must take the full path")
+    assert(state(b).size == 12)
+    val r2 = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "big2",
+      maxIncrementalKeys = 5)
+    assert(!r2.full && r2.applied == 0)
+  }
+
   test("acked GC drops only peer-acknowledged tombstones — the computed precondition") {
     val (a, b) = freshPair()
     w(a, "rA", 1, Seq(RPut(item("k", "v")), RPut(item("j", "v"))))
