@@ -777,7 +777,39 @@ object TextAnalysis {
           // (Java split limit -1); DuckDB's char split does not.
           aggregate(filter(split(col("text"), ""), c => c =!= ""), lit(0L),
             (h, c) => (h * 31L + ascii(c)) % 1000000007L).as("fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // WINNOWING fingerprints (the MOSS plagiarism-detection selection,
+    // Schleimer/Wilkerson/Aiken 2003): hash every k=3-gram of tokens
+    // (the md5-prefix 44-bit id convention — both engines compute the
+    // identical value), then keep the MINIMUM hash of every w=4
+    // window of consecutive grams, deduplicated. Guarantee: any two
+    // documents sharing a run of ≥ w+k-1 tokens share a fingerprint —
+    // the robust near-dup/overlap primitive between whole-doc hashing
+    // (too brittle) and all-gram storage (too big: winnowing keeps
+    // ~2/(w+1) of grams). ENTIRELY map-side — array HOFs inside
+    // whole-stage codegen, zero joins, zero aggregation; the only
+    // exchange is the output sort. The 100 TB shape: fingerprints
+    // stream out at input-proportional cost.
+    "q_text_winnow" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), c => c =!= "")
+      val gram = (i: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat_ws(" ", slice(toks, i, lit(3)))), 1, 11), 16, 10)
+          .cast("long")
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), gram))
+        .otherwise(array().cast("array<long>"))
+      Fixtures.documents(s, dir)
+        .select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          when(size(col("grams")) === 0, array().cast("array<long>"))
+            .when(size(col("grams")) >= 4,
+              array_distinct(transform(sequence(lit(1), size(col("grams")) - 3),
+                j => array_min(slice(col("grams"), j, lit(4))))))
+            .otherwise(array(array_min(col("grams")))).as("fps"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .orderBy("doc_id", "fp")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_bm25" ->
@@ -1171,5 +1203,29 @@ object TextAnalysis {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing: same md5-prefix gram ids, min per 4-window, distinct
+    "q_text_winnow" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> CAST(('0x' || substring(
+        |               md5(array_to_string(toks[i:i+2], ' ')), 1, 11)) AS BIGINT))
+        |    ELSE [] END AS grams
+        |  FROM base),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) = 0 THEN []
+        |         WHEN len(grams) >= 4 THEN
+        |      list_distinct(list_transform(generate_series(1, len(grams) - 3),
+        |        j -> list_min(grams[j:j+3])))
+        |    ELSE [list_min(grams)] END AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM w
+        |ORDER BY doc_id, fp""".stripMargin)
 }
