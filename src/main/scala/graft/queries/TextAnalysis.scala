@@ -792,22 +792,47 @@ object TextAnalysis {
     // exchange is the output sort. The 100 TB shape: fingerprints
     // stream out at input-proportional cost.
     "q_text_winnow" -> ((s, dir) => {
-      val toks = filter(split(col("text"), " "), c => c =!= "")
-      val gram = (i: org.apache.spark.sql.Column) =>
-        conv(substring(md5(concat_ws(" ", slice(toks, i, lit(3)))), 1, 11), 16, 10)
-          .cast("long")
-      val grams = when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), gram))
-        .otherwise(array().cast("array<long>"))
-      Fixtures.documents(s, dir)
-        .select(col("doc_id"), grams.as("grams"))
+      import org.apache.spark.sql.expressions.Window
+      // Gram construction via zip_with over PRE-SHIFTED arrays: each
+      // slice evaluates once per ROW and the lambdas touch only their
+      // bound elements — linear. (The tempting index-lambda form
+      // `transform(sequence(1, n-2), i => md5(slice(toks, i, 3)))`
+      // re-instantiates the token-array EXPRESSION inside the lambda,
+      // i.e. re-splits the whole text per element: O(n²) per document
+      // — measured 100× slower at sf0.1.)
+      val toksE = filter(split(col("text"), " "), c => c =!= "")
+      val n = size(col("toks"))
+      val t1 = slice(col("toks"), lit(2), greatest(n - 1, lit(0)))
+      val t2 = slice(col("toks"), lit(3), greatest(n - 2, lit(0)))
+      // zip_with pads the shorter side with nulls; concat_ws skips
+      // nulls, so the 2-token tail pairs produce non-null strings but
+      // their grams null out through t2 and are filtered.
+      val pair = zip_with(col("toks"), t1, (a, b) => concat_ws(" ", a, b))
+      val gramsAll = zip_with(pair, t2, (p, c) =>
+        when(c.isNotNull,
+          conv(substring(md5(concat_ws(" ", p, c)), 1, 11), 16, 10)
+            .cast("long")))
+      val rows = Fixtures.documents(s, dir)
+        .select(col("doc_id"), toksE.as("toks"))
         .select(col("doc_id"),
-          when(size(col("grams")) === 0, array().cast("array<long>"))
-            .when(size(col("grams")) >= 4,
-              array_distinct(transform(sequence(lit(1), size(col("grams")) - 3),
-                j => array_min(slice(col("grams"), j, lit(4))))))
-            .otherwise(array(array_min(col("grams")))).as("fps"))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+          filter(gramsAll, g => g.isNotNull).as("grams"))
+        .select(col("doc_id"), posexplode(col("grams")).as(Seq("gpos", "g")))
+      // Window minima per document: ROWS frames over (doc_id, gpos) —
+      // the shuffle is BY DOCUMENT (bounded partitions at any corpus
+      // size), never global. Tail frames narrower than w=4 are not
+      // winnowing windows (wcount filter); docs with fewer than 4
+      // grams contribute their single overall minimum.
+      val w4 = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, 3)
+      val whole = Window.partitionBy("doc_id")
+      val win = rows
+        .withColumn("winmin", min("g").over(w4))
+        .withColumn("wcount", count("g").over(w4))
+        .withColumn("ng", count("g").over(whole))
+      win.filter(col("ng") >= 4 && col("wcount") === 4)
+        .select(col("doc_id"), col("winmin").as("fp"))
+        .union(win.filter(col("ng") < 4)
+          .groupBy("doc_id").agg(min("g").as("fp")))
+        .distinct()
         .orderBy("doc_id", "fp")
     }))
 
