@@ -498,6 +498,31 @@ object Dedup {
     // Embedding-cosine near-dup: pairs whose rounded cosine clears the
     // threshold. Both engines filter on the ROUNDED value so boundary
     // membership can't disagree (the q_agg_having lesson).
+    // Near-dup detection over WINNOWING fingerprints (the detection
+    // half of q_text_winnow, full corpus): docs sharing ≥ 3 RARE
+    // fingerprints (df ≤ 20 — common-phrase buckets are dropped, the
+    // same df-cap device as q_dedup_near_capped) are overlap pairs.
+    // Bucket sizes are capped by the df filter, so the within-bucket
+    // pair join is ≤ C(20,2) per bucket — linear in fingerprints at
+    // any corpus size, never all-pairs; winnowing's guarantee makes
+    // the candidates MEANINGFUL (a shared fp certifies a shared
+    // ≥ w+k−1 token run).
+    "q_dedup_winnow" -> ((s, dir) => {
+      // checkpoint: the fingerprint derivation feeds FOUR subplans
+      // (df count + both join sides via rare) — materialize it once
+      // instead of re-running the winnow pipeline per reference (the
+      // same device the graph queries use for their edge lists)
+      val fps = TextAnalysis.winnowFps(s, dir).localCheckpoint(true)
+      val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      val rare = fps.join(dfreq.filter(col("df") <= 20), "fp")
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy("id1", "id2")
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       val e = Similarity.embDouble(s, dir).filter(col("vec_id") < 300)
       val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
@@ -514,6 +539,38 @@ object Dedup {
     }))
 
   val oracle: Map[String, String] = Map(
+    // winnowing fps (the q_text_winnow CTEs) → df-capped buckets →
+    // shared-fp pair counts
+    "q_dedup_winnow" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> CAST(('0x' || substring(
+        |               md5(array_to_string(toks[i:i+2], ' ')), 1, 11)) AS BIGINT))
+        |    ELSE [] END AS grams
+        |  FROM base),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) = 0 THEN []
+        |         WHEN len(grams) >= 4 THEN
+        |      list_distinct(list_transform(generate_series(1, len(grams) - 3),
+        |        j -> list_min(grams[j:j+3])))
+        |    ELSE [list_min(grams)] END AS fps
+        |  FROM g),
+        |fps AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+        |rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq d USING (fp)
+        |         WHERE d.df <= 20)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id1, id2""".stripMargin,
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Fixtures
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators a training-data pipeline runs over every
   * document: language ID, quality scoring, token counting, content
@@ -791,7 +792,13 @@ object TextAnalysis {
     // whole-stage codegen, zero joins, zero aggregation; the only
     // exchange is the output sort. The 100 TB shape: fingerprints
     // stream out at input-proportional cost.
-    "q_text_winnow" -> ((s, dir) => {
+    "q_text_winnow" -> ((s, dir) => winnowFps(s, dir).orderBy("doc_id", "fp")))
+
+  /** Winnowing fingerprint rows (doc_id, fp), deduplicated, unordered
+    * — shared by `q_text_winnow` (emits them) and `q_dedup_winnow`
+    * (joins docs on shared fingerprints).
+    */
+  private[graft] def winnowFps(s: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // Gram construction via zip_with over PRE-SHIFTED arrays: each
       // slice evaluates once per ROW and the lambdas touch only their
@@ -833,8 +840,7 @@ object TextAnalysis {
         .union(win.filter(col("ng") < 4)
           .groupBy("doc_id").agg(min("g").as("fp")))
         .distinct()
-        .orderBy("doc_id", "fp")
-    }))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_bm25" ->
