@@ -210,10 +210,14 @@ class ReplicationSpec extends AnyFunSuite {
           val rop = if (op.del) RDelete(key(op.k))
             else RPut(item(op.k, op.v))
           w(st, op.region, op.ver, Seq(rop))
-          // Occasional mid-stream sync exercises partial exchanges.
-          if (op.ver % 7 == 0) Replication.sync(a, b, "t", nextSeq(), s"m${op.ver}")
+          // Occasional mid-stream syncs exercise partial exchanges —
+          // alternating the full and the INCREMENTAL path, so the
+          // journal-shipping code faces the same random interleavings.
+          if (op.ver % 7 == 0)
+            Replication.syncIncremental(a, "rA", b, "t", nextSeq(), s"m${op.ver}")
           if (op.ver % 11 == 0) Replication.sync(b, a, "t", nextSeq(), s"n${op.ver}")
         }
+        Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "fin")
         syncBoth(a, b); syncBoth(a, b)
         // Functional oracle: per key, the op with the max (ver, region).
         val oracle = ops.groupBy(_.k).flatMap { case (k, kops) =>
