@@ -44,6 +44,10 @@ object DynamoMaintenance {
     val store = new LocalKVStore(path)
     val stamp = store.indexBuildStamp(table)
     val shards = store.describe(table).shards
+    // The spill dir is shared across tasks, so only the orchestrator
+    // may clear it — a crashed prior build's part files would
+    // otherwise merge back rows the new scan never produced.
+    store.clearSpillDir(table, s"gsi-tmp-$name")
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
@@ -88,6 +92,9 @@ object DynamoMaintenance {
     val oldShards = store.describe(table).shards
     if (oldShards == newShards) return
     compact(spark, path, table)
+    // Shared spill dir: clear crashed-prior-run parts once, driver-side
+    // (tasks must not clear it — they'd race each other's parts).
+    store.clearSpillDir(table, "reshard-tmp")
     val parallelism = math.min(oldShards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until oldShards, parallelism)
@@ -113,6 +120,10 @@ object DynamoMaintenance {
     val size = store.sizeBytes(table)
     var want = 1
     while (want < maxShards && size / want > targetShardBytes) want *= 2
+    // The doubling loop can overshoot a non-power-of-two cap (e.g.
+    // maxShards = 1000 would land on 1024) — clamp to honor the
+    // documented "capped at maxShards" contract exactly.
+    want = math.min(want, maxShards)
     if (want > cur) { reshard(spark, path, table, want); want }
     else cur
   }

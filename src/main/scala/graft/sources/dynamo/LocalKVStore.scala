@@ -466,6 +466,7 @@ final class LocalKVStore(root: String) {
     // table. Dot-prefixed dir: invisible to every `listFiles` prefix.
     val tmp = dir.resolve(s".gsi-build-$name")
     Files.createDirectories(tmp)
+    clearSpillDir(table, s".gsi-build-$name") // crashed-run parts would resurrect
     val stats = Array.fill(meta.shards)(ShardStats.empty)
     val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
     try scanSegment(table, 0, 1).map(_._1)
@@ -1132,7 +1133,7 @@ final class LocalKVStore(root: String) {
     val r = Files.newBufferedReader(p, UTF_8)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => r.close()))
-    new Iterator[String] {
+    val it = new Iterator[String] {
       private var line: String = r.readLine()
       override def hasNext: Boolean = line != null
       override def next(): String = {
@@ -1141,7 +1142,13 @@ final class LocalKVStore(root: String) {
         if (line == null) r.close()
         l
       }
-    }.filter(_.nonEmpty)
+    }
+    // Abandonment backstop (driver-side early termination): the
+    // cleaner action captures ONLY the reader, never the iterator.
+    LocalKVStore.readerCleaner.register(it, () => {
+      try r.close() catch { case _: java.io.IOException => () }
+    })
+    it.filter(_.nonEmpty)
   }
 
   private def gsiShardIndex(name: String, p: Path): Int =
@@ -1280,6 +1287,7 @@ final class LocalKVStore(root: String) {
     val dir = tableDir(table)
     val tmp = dir.resolve(".load-tmp") // dot-prefixed: invisible to listings
     Files.createDirectories(tmp)
+    clearSpillDir(table, ".load-tmp") // a crashed prior run's parts would resurrect
     val stats = Array.fill(meta.shards)(ShardStats.empty)
     val writers = mutable.HashMap.empty[Int, java.io.BufferedWriter]
     try items.foreach { it =>
@@ -1523,8 +1531,16 @@ final class LocalKVStore(root: String) {
   private def currentItem(table: String, meta: TableMeta, key: Item): Option[Item] = {
     val canon = keyOf(meta, key) // validates the full primary key too
     val shard = shardOf(meta, key)
-    scanSegment(table, shard, meta.shards).map(_._1)
-      .find(it => keyOf(meta, it) == canon)
+    // Drain the segment fully instead of `.find`: an early exit would
+    // abandon the underlying shard reader with its fd open until GC,
+    // and transactWrite condition checks run this once per call in a
+    // long-lived driver. Cost order is unchanged — the journal replay
+    // behind scanSegment walks the whole shard slice regardless.
+    var found: Option[Item] = None
+    scanSegment(table, shard, meta.shards).foreach { case (it, _) =>
+      if (found.isEmpty && keyOf(meta, it) == canon) found = Some(it)
+    }
+    found
   }
 
   /** Snapshot-consistent multi-key read — the `TransactGetItems`
@@ -2520,6 +2536,43 @@ final class LocalKVStore(root: String) {
       .sorted.mkString("\n")
   }
 
+  /** Delete part files a crashed PRIOR run left under a shared spill
+    * dir (`.load-tmp`, `.gsi-build-*`, `gsi-tmp-*`, `reshard-tmp`). A
+    * shard that receives no items in the new run never reopens its
+    * part file, so a stale one from the crashed run would be read
+    * back and merged — resurrecting rows the new input never held.
+    * Single-process loaders call this on entry; the shard-parallel
+    * spill paths ([[buildIndexShardParts]], [[reshardShard]]) share
+    * one dir across tasks, so their ORCHESTRATOR
+    * ([[DynamoMaintenance.buildIndex]]/[[DynamoMaintenance.reshard]])
+    * calls it once before fanning out.
+    */
+  def clearSpillDir(table: String, dirName: String): Unit = {
+    val tmp = tableDir(table).resolve(dirName)
+    if (Files.isDirectory(tmp)) {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  /** Digest of [[baseManifest]] — a compact "has any base-state file
+    * been rewritten?" stamp. [[Replication.syncIncremental]] records it
+    * beside the replication watermark: a compaction folding journal
+    * files AT exactly the watermark pubSeq (a same-millisecond
+    * publish racing the previous pass) leaves the compaction
+    * watermark unchanged, but never leaves the base shards unchanged
+    * — the fingerprint is the tell that forces the loud full-sync
+    * fallback instead of silently skipping the folded write.
+    */
+  def baseStateFingerprint(table: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(baseManifest(table).getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Incremental on-demand backup: when the destination's manifest
     * proves the source BASE state is unchanged since the last backup
     * (no compaction/reap/bulk-load/DDL — any of those rewrites a base
@@ -2829,6 +2882,22 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** GC backstop for streaming readers abandoned mid-iteration.
+    * Executor-side early termination (limit pushdown) is closed
+    * deterministically by the TaskContext completion hook, but a
+    * DRIVER-side consumer that stops early (e.g. [[LocalKVStore.samplePage]]'s
+    * byte-bounded schema sample) has no task context — its reader
+    * would hold a file descriptor until process exit, and a
+    * long-lived driver issuing many such calls exhausts fds. Closing
+    * at GC of the abandoned iterator bounds the leak to the live-
+    * reference window; close() is idempotent, so racing the
+    * exhaustion/task-hook close is harmless. Hot per-call driver
+    * paths ([[LocalKVStore.currentItem]]) drain deterministically
+    * instead of relying on this.
+    */
+  private[dynamo] val readerCleaner: java.lang.ref.Cleaner =
+    java.lang.ref.Cleaner.create()
 
   /** Order-preserving-per-type key encoding, shared with the scan
     * planner's window derivation ([[PageIndex.deriveWindow]]): the

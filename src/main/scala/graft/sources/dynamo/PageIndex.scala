@@ -347,10 +347,18 @@ object PageIndex {
     val ch = java.nio.channels.FileChannel.open(basePath,
       java.nio.file.StandardOpenOption.READ)
     if (ch.size() != expectedBytes) { ch.close(); return None }
+    // Re-check the stamp AFTER the open: a same-size atomic swap
+    // landing between the pre-open check and the open would pass the
+    // size-on-channel check while the channel holds the NEW inode —
+    // old page offsets against new bytes, the exact hazard the stamp
+    // closes. Post-open, the channel pins its inode, so a mismatch
+    // here proves the path now names a different file than the
+    // directory describes — fall back to the full read.
+    if (mtimeNanosOf(basePath) != expectedMtime) { ch.close(); return None }
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => if (ch.isOpen) ch.close()))
     val runIt = runs.iterator
-    Some(new Iterator[String] {
+    val it = new Iterator[String] {
       private var cur: Iterator[String] = Iterator.empty
       private def advance(): Unit = {
         while (!cur.hasNext && runIt.hasNext) {
@@ -365,6 +373,13 @@ object PageIndex {
       }
       override def hasNext: Boolean = { advance(); cur.hasNext }
       override def next(): String = { advance(); cur.next() }
+    }
+    // Abandonment backstop (driver-side early termination, no task
+    // context): close the channel at GC of the abandoned iterator.
+    // The action captures only the channel; close() is idempotent.
+    LocalKVStore.readerCleaner.register(it, () => {
+      try { if (ch.isOpen) ch.close() } catch { case _: java.io.IOException => () }
     })
+    Some(it)
   }
 }

@@ -521,21 +521,59 @@ object Replication {
   private def markPath(dst: LocalKVStore, table: String, srcRegion: String): Path =
     Paths.get(dst.rootDir, table, s"replmark-$srcRegion.txt")
 
+  /** Everything one incremental pass must remember about where it
+    * stopped. Beyond the pubSeq watermark itself:
+    *  - `seenAtWm`: journal file NAMES at pubSeq == wm this pass
+    *    replayed. pubSeq is max(seq, epoch-millis) and NOT unique
+    *    across writers/shards — a second writer publishing in the
+    *    same millisecond lands a file at exactly wm AFTER the pass's
+    *    listing. A `> wm` filter would skip it forever; the name-set
+    *    makes the boundary exclusive per FILE, not per seq.
+    *  - `cwAtPass`: the source compaction watermark this pass
+    *    verified to be <= wm. A later fold that lands EXACTLY at wm
+    *    (folding such a colliding boundary file) advances the
+    *    compaction watermark to wm without ever exceeding it — the
+    *    `folded > wm` fallback check alone cannot see it.
+    *  - `baseFp`: [[LocalKVStore.baseStateFingerprint]] at pass time.
+    *    A fold at wm when the compaction watermark ALREADY equaled wm
+    *    moves neither number — but every fold rewrites base shards,
+    *    so the fingerprint is the last-resort tell.
+    * cwAtPass == -1 marks a legacy (bare-number) file: the guards
+    * treat it as "unprovable" and take one loud full sync to upgrade.
+    */
+  private final case class ReplMark(wm: Long, cwAtPass: Long,
+      baseFp: String, seenAtWm: Set[String])
+
+  private def readMark(dst: LocalKVStore, table: String,
+      srcRegion: String): ReplMark = {
+    val p = markPath(dst, table, srcRegion)
+    if (!Files.exists(p)) return ReplMark(0L, 0L, "", Set.empty)
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    lines.headOption match {
+      case Some(h) if h.startsWith("v2 ") =>
+        val parts = h.split(' ')
+        ReplMark(parts(1).toLong, parts(2).toLong,
+          if (parts.length > 3) parts(3) else "",
+          lines.tail.toSet)
+      case Some(h) => ReplMark(h.toLong, -1L, "", Set.empty) // legacy
+      case None => ReplMark(0L, 0L, "", Set.empty)
+    }
+  }
+
   /** Highest source pubSeq this destination has already replicated
     * from `srcRegion` (0 before the first pass).
     */
-  def watermark(dst: LocalKVStore, table: String, srcRegion: String): Long = {
-    val p = markPath(dst, table, srcRegion)
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else 0L
-  }
+  def watermark(dst: LocalKVStore, table: String, srcRegion: String): Long =
+    readMark(dst, table, srcRegion).wm
 
-  private def writeWatermark(dst: LocalKVStore, table: String,
-      srcRegion: String, wm: Long): Unit = {
+  private def writeMark(dst: LocalKVStore, table: String,
+      srcRegion: String, mark: ReplMark): Unit = {
     val p = markPath(dst, table, srcRegion)
     val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
-    Files.write(tmp, wm.toString.getBytes(StandardCharsets.UTF_8),
+    val body = (s"v2 ${mark.wm} ${mark.cwAtPass} ${mark.baseFp}" +:
+      mark.seenAtWm.toSeq.sorted).mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -565,12 +603,31 @@ object Replication {
         * delta stays far below any sane bound.
         */
       maxIncrementalKeys: Int = 100000): SyncResult = {
-    val wm = watermark(dst, table, srcRegion)
+    val mark = readMark(dst, table, srcRegion)
+    val wm = mark.wm
     val folded = src.compactionWatermark(table)
-    if (folded > wm) {
+    val fpPre = src.baseStateFingerprint(table)
+    // Boundary-fold risk: a fold landing EXACTLY at wm (compaction
+    // watermark advanced to wm, or the base rewrote while it already
+    // sat at wm, or the mark is legacy/unprovable) may have folded a
+    // same-millisecond boundary file this destination never replayed
+    // — invisible to the `folded > wm` check because the watermark
+    // never exceeds wm. One loud full sync re-derives from the base.
+    val boundaryFoldRisk = folded == wm && wm > 0 &&
+      (mark.cwAtPass < 0 || folded > mark.cwAtPass || fpPre != mark.baseFp)
+    if (folded > wm || boundaryFoldRisk) {
+      // Pre-sync head capture: [[sync]] ships everything published
+      // BEFORE its shard scans, but a write racing the scan of an
+      // already-visited shard is NOT shipped while still raising the
+      // post-sync maxWalSeq — advancing the watermark to a POST-sync
+      // head would therefore skip that racing write on every later
+      // incremental pass (the only path replicateBatch runs),
+      // silently and forever. Advance only to the head observed here.
+      val preNames = src.walFileNames(table)
+      val preMax = (folded +: preNames.map(walSeqOf)).max
       val r = sync(src, dst, table, seq, writerId)
-      writeWatermark(dst, table, srcRegion,
-        math.max(folded, maxWalSeq(src, table)))
+      writeMark(dst, table, srcRegion, ReplMark(preMax, folded, fpPre,
+        preNames.filter(walSeqOf(_) == preMax).toSet))
       return r
     }
     val srcMeta = src.describe(table)
@@ -581,7 +638,12 @@ object Replication {
     val touched = mutable.LinkedHashSet.empty[String]
     retryingScan(table) {
       touched.clear()
-      newFiles = src.walFileNames(table).filter(walSeqOf(_) > wm)
+      // Per-FILE exclusive boundary: pubSeq is not unique across
+      // writers/shards, so a file published at exactly wm after the
+      // previous pass's listing must still ship — the seen-name set
+      // (not `> wm` alone) decides.
+      newFiles = src.walFileNames(table).filter(f =>
+        walSeqOf(f) > wm || (walSeqOf(f) == wm && !mark.seenAtWm(f)))
       newFiles.foreach { f =>
         src.readWalFile(table, f).foreach { case (_, item, _) =>
           touched += src.keyOf(srcMeta, item)
@@ -590,11 +652,14 @@ object Replication {
     }
     // Backlog bound: a first pass against a long-lived journal can
     // touch table-scale key counts — that belongs to the shard-
-    // parallel full path, not a driver-side per-key resolve.
+    // parallel full path, not a driver-side per-key resolve. The
+    // watermark advances only to the head of the PRE-sync listing
+    // (same rationale as the fallback branch above).
     if (touched.size > maxIncrementalKeys) {
       val r = sync(src, dst, table, seq, writerId)
-      writeWatermark(dst, table, srcRegion,
-        (Seq(wm) ++ newFiles.map(walSeqOf)).max)
+      val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
+      writeMark(dst, table, srcRegion, ReplMark(newWm, folded, fpPre,
+        seenAtBoundary(newWm, mark, newFiles)))
       return r
     }
     // Post-discovery fence: a compaction folding (wm, …] files DURING
@@ -602,13 +667,26 @@ object Replication {
     // the advanced watermark below hides the gap forever — the one
     // ordering the entry check can't see. Folds after this line are
     // safe (their files were already read).
-    if (src.compactionWatermark(table) > wm) {
+    val cwFence = src.compactionWatermark(table)
+    if (cwFence > wm) {
       val r = sync(src, dst, table, seq, writerId)
-      writeWatermark(dst, table, srcRegion,
-        math.max(src.compactionWatermark(table), maxWalSeq(src, table)))
+      val newWm = (Seq(wm, cwFence) ++ newFiles.map(walSeqOf)).max
+      writeMark(dst, table, srcRegion, ReplMark(newWm,
+        math.min(cwFence, newWm), fpPre,
+        seenAtBoundary(newWm, mark, newFiles)))
       return r
     }
-    if (touched.isEmpty) return SyncResult(0, 0, full = false)
+    if (touched.isEmpty) {
+      // Nothing to ship — still refresh the guard fields so a legacy
+      // mark upgrades and the cw/fingerprint bindings track the state
+      // this pass verified (folds strictly BELOW wm are folds of
+      // already-shipped history and must not trip the boundary check
+      // forever after).
+      if (mark.cwAtPass != cwFence || mark.baseFp != fpPre)
+        writeMark(dst, table, srcRegion,
+          mark.copy(cwAtPass = cwFence, baseFp = fpPre))
+      return SyncResult(0, 0, full = false)
+    }
     val srcT = tombstones(src, table)
     val dstT = tombstones(dst, table)
 
@@ -642,8 +720,20 @@ object Replication {
     val r = applyLww(dst, dstMeta, table, seq, writerId, putCands.toSeq,
       delCands.toSeq)
     val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
-    writeWatermark(dst, table, srcRegion, newWm)
+    writeMark(dst, table, srcRegion, ReplMark(newWm, cwFence, fpPre,
+      seenAtBoundary(newWm, mark, newFiles)))
     r
+  }
+
+  /** File names replayed at the new boundary seq: the fresh listing's
+    * names at `newWm`, plus the previous pass's seen set when the
+    * boundary did not move (those files were filtered OUT of this
+    * listing and must stay remembered).
+    */
+  private def seenAtBoundary(newWm: Long, prev: ReplMark,
+      newFiles: Seq[String]): Set[String] = {
+    val fresh = newFiles.filter(walSeqOf(_) == newWm).toSet
+    if (newWm == prev.wm) prev.seenAtWm ++ fresh else fresh
   }
 
   private def maxWalSeq(store: LocalKVStore, table: String): Long = {

@@ -1085,6 +1085,30 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS tz_del")
   }
 
+  test("bulkLoad ignores part files a crashed prior run left in the spill dir") {
+    import graft.sources.dynamo.{LocalKVStore, TableMeta, AttrVal, ItemJson}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("hk", None, shards = 4, throughput = 1000L)
+    // Simulate a crashed earlier load: spill parts exist in EVERY
+    // shard slot. The new load writes to (at most) one shard, so the
+    // untouched slots' stale parts would resurrect their ghost rows
+    // if the spill dir were not cleared on entry.
+    store.createTable("crashy", meta)
+    val tmp = java.nio.file.Paths.get(root, "crashy", ".load-tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    (0 until 4).foreach { sh =>
+      val ghost: Map[String, AttrVal] = Map("hk" -> AttrVal.S(s"ghost$sh"))
+      java.nio.file.Files.write(tmp.resolve(f"part-$sh%03d.jsonl"),
+        (ItemJson.write(ghost) + "\n").getBytes("UTF-8"))
+    }
+    store.bulkLoad("crashy", meta, Iterator(
+      Map("hk" -> (AttrVal.S("real"): AttrVal))))
+    val names = store.scanSegment("crashy", 0, 1).map(_._1("hk"))
+      .collect { case AttrVal.S(s) => s }.toSet
+    assert(names == Set("real"), s"stale spill parts resurrected: $names")
+  }
+
   test("partition-key pin prunes a range-keyed table to one shard (Query path)") {
     import graft.sources.dynamo.{DynamoInputPartition, DynamoOptions, DynamoScan, LocalKVStore, TableMeta, AttrVal}
     import org.apache.spark.sql.sources.EqualTo
@@ -4184,6 +4208,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
     // merges partitions).
     assert(graft.sources.dynamo.DynamoMaintenance.autoReshard(
       spark, root, "fruit", targetShardBytes = 1L << 30) == cap)
+    // Non-power-of-two cap: the doubling loop clamps to the cap
+    // exactly instead of overshooting to the next power of two.
+    val oddCap = cap + 3
+    assert(graft.sources.dynamo.DynamoMaintenance.autoReshard(
+      spark, root, "fruit", targetShardBytes = 1L, maxShards = oddCap) == oddCap)
+    assert(store.describe("fruit").shards == oddCap)
   }
 
   test("restoreAsOf materializes the cut as an independent new table") {

@@ -173,6 +173,86 @@ class ReplicationSpec extends AnyFunSuite {
     assert(!r2.full && r2.applied == 0)
   }
 
+  test("a same-pubSeq write landing at the watermark boundary still ships next pass") {
+    // pubSeq = max(seq, now) is NOT unique across writerIds: a second
+    // writer can publish at EXACTLY the pubSeq the previous pass
+    // recorded as its watermark. A `> wm` filter would skip that file
+    // forever; the mark's seen-name set makes the boundary exclusive
+    // per file, not per seq.
+    val (a, b) = freshPair()
+    val s = nextSeq()
+    Replication.writeStamped(a, "t", "rA", 1, s, "w1", Seq(RPut(item("k1", "v1"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1") // wm = s
+    assert(state(b) == Map("k1" -> "v1"))
+    Replication.writeStamped(a, "t", "rA", 2, s, "w2", Seq(RPut(item("k2", "v2"))))
+    val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(!r.full, "a live boundary file ships incrementally, no fallback needed")
+    assert(state(b) == Map("k1" -> "v1", "k2" -> "v2"),
+      "the boundary-colliding write must not be skipped")
+  }
+
+  test("a boundary-pubSeq write folded before the next pass forces the full fallback") {
+    // Same collision, but compaction folds the unseen boundary file
+    // before the next pass: the compaction watermark lands EXACTLY at
+    // wm (never exceeding it), so the `folded > wm` check alone is
+    // blind — the cw-at-pass / base-fingerprint guards must trip the
+    // loud full sync that re-derives the write from the base.
+    val (a, b) = freshPair()
+    val s = nextSeq()
+    Replication.writeStamped(a, "t", "rA", 1, s, "w1", Seq(RPut(item("k1", "v1"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1") // wm = s
+    Replication.writeStamped(a, "t", "rA", 2, s, "w2", Seq(RPut(item("k2", "v2"))))
+    a.compact("t") // folds BOTH files at pubSeq s: compaction watermark == wm
+    val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(r.full, "a fold landing exactly at the watermark must force full sync")
+    assert(state(b) == Map("k1" -> "v1", "k2" -> "v2"),
+      "the folded boundary write must ship via the fallback")
+    // Settled: the next pass is incremental and empty.
+    val r2 = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i3")
+    assert(!r2.full && r2.applied == 0)
+  }
+
+  test("incremental-only passes converge after fallback full syncs race live writers") {
+    // The fallback branches must advance the watermark only to the
+    // PRE-sync journal head: [[Replication.sync]] does not ship a
+    // write racing the scan of an already-visited shard, so a
+    // watermark taken from a POST-sync listing would place that write
+    // below the watermark unshipped — and replicateBatch (which only
+    // ever runs the incremental path) would skip it forever.
+    val (a, b) = freshPair()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val verBase = new java.util.concurrent.atomic.AtomicLong(10)
+    val writer = new Thread(() => {
+      try {
+        (0 until 200).foreach { i =>
+          val ver = verBase.incrementAndGet()
+          Replication.writeStamped(a, "t", "rA", ver,
+            System.currentTimeMillis() + 1000000L + ver, s"race$ver",
+            Seq(RPut(item(s"k${i % 30}", s"v$ver"))))
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.start()
+    // Each compact pushes the compaction watermark past b's
+    // replication watermark, forcing the next incremental call down
+    // the full-sync fallback — mid-storm, so racing writes land in
+    // the exact window the watermark rule protects.
+    (0 until 8).foreach { _ =>
+      a.compact("t")
+      Replication.syncIncremental(a, "rA", b, "t", nextSeq(), s"f${nextSeq()}")
+    }
+    writer.join()
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    // Quiescent passes: INCREMENTAL ONLY — the steady-state
+    // replicateBatch shape. Any write hidden below the watermark
+    // would leave these passes permanently blind.
+    (0 until 3).foreach { _ =>
+      Replication.syncIncremental(a, "rA", b, "t", nextSeq(), s"q${nextSeq()}")
+    }
+    assert(fullState(a) == fullState(b),
+      "incremental passes alone must repair everything the racing fallbacks missed")
+  }
+
   test("three-region relay carries deletes and wins through the middle region") {
     val (a, b) = freshPair()
     val (c, _) = freshPair()
