@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Timestamped per-invocation ScalaTest report capture: a full-suite
+// transient once overwrote its own evidence before it could be read
+// (the default report location is reused per run). Each `sbt -batch
+// test` invocation evaluates this setting fresh, so every batch run
+// lands its JUnit-style XML under its own epoch directory — the
+// report of a failing run survives later runs. Old dirs are tiny XML;
+// prune by hand if target/ ever matters.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-u", s"target/test-reports/${System.currentTimeMillis}")
 // The bench/verify contract is ONE parseable JSON line on stdout;
 // sbt's default logger would prefix forked output with "[info] ",
 // which breaks a plain json.loads on the line.

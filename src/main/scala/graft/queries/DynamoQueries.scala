@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Fixtures
-import graft.sources.dynamo.{DynamoMaintenance, Implicits, IndexMeta, LocalKVStore}
+import graft.sources.dynamo.{DynamoMaintenance, Implicits, IndexMeta, LocalKVStore, TableMeta, TableTxn}
 import Implicits._
 
 /** Typed-read row shape for `q_dyn_typed` (A7) — schema derived via
@@ -435,6 +435,64 @@ object DynamoQueries {
     * deliberately: the query exercises the ADD fold, not the folded
     * base).
     */
+  /** Seed `txn_cust` + `txn_sum` through CROSS-TABLE atomic
+    * transactions ([[LocalKVStore.transactWriteMulti]] — the
+    * TransactWriteItems-across-tables analogue the per-table journal
+    * rename cannot give). Customers partition into 64 chunks
+    * (`c_custkey % 64`); each chunk commits as ONE transaction
+    * writing the chunk's rows into `txn_cust` AND its summary row
+    * {chunk, n_rows, sum_cents} into `txn_sum`, all-or-nothing under
+    * the shared commit marker. Any torn transaction breaks the
+    * read-back cross-check (per-chunk aggregate of txn_cust vs its
+    * txn_sum row vs the parquet oracle). 100 TB shape: transactions
+    * commit FROM EXECUTORS in parallel — repartition-by-chunk gives
+    * each task whole chunks, and the cross-JVM table locks serialize
+    * only the per-table check/publish windows. Balances ride as
+    * integer cents so every sum is exact and order-independent.
+    */
+  private def seededTxnMultiRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "txn_sum", "_seeded")
+      if (!Files.exists(marker)) {
+        val st0 = new LocalKVStore(root)
+        st0.createTable("txn_cust",
+          TableMeta("c_custkey", None, shards = 16, throughput = 1000000L))
+        st0.createTable("txn_sum",
+          TableMeta("chunk", None, shards = 4, throughput = 1000000L))
+        Fixtures.customer(s, sfDir)
+          .select(col("c_custkey"),
+            (col("c_custkey") % 64).as("chunk"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+          .repartition(16, col("chunk"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val st = new LocalKVStore(root)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            it.toSeq.groupBy(_.getLong(1)).foreach { case (chunk, rows) =>
+              def n(v: Long) = graft.sources.dynamo.AttrVal.N(BigDecimal(v))
+              val custOps = rows.map(r => st.Put(Map(
+                "c_custkey" -> (n(r.getLong(0)): graft.sources.dynamo.AttrVal),
+                "chunk" -> (n(chunk): graft.sources.dynamo.AttrVal),
+                "bal_cents" -> (n(r.getLong(2)): graft.sources.dynamo.AttrVal))))
+              val sumOp = st.Put(Map(
+                "chunk" -> (n(chunk): graft.sources.dynamo.AttrVal),
+                "n_rows" -> (n(rows.size.toLong): graft.sources.dynamo.AttrVal),
+                "sum_cents" ->
+                  (n(rows.map(_.getLong(2)).sum): graft.sources.dynamo.AttrVal)))
+              st.transactWriteMulti(Seq(
+                TableTxn("txn_cust", custOps),
+                TableTxn("txn_sum", Seq(sumOp))),
+                System.currentTimeMillis(), f"txm-p$pid%04d-c$chunk%03d")
+            }
+          }
+        DynamoMaintenance.compact(s, root, "txn_cust")
+        DynamoMaintenance.compact(s, root, "txn_sum")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   private def seededCounterRoot(s: SparkSession, sfDir: String): String = {
     val root = storeRoot(sfDir)
     withSeedLock(root) {
@@ -719,6 +777,26 @@ object DynamoQueries {
     // aggregation, the DynamoDB counter pattern. `amount` re-rounds
     // because the store accumulates exact decimals while the oracle's
     // double sum carries fp error.
+    // CROSS-TABLE ATOMIC TRANSACTIONS: both tables were populated by
+    // transactWriteMulti (one shared-commit-marker transaction per
+    // chunk, executor-parallel). The read cross-checks the two tables
+    // against EACH OTHER (per-chunk aggregate of txn_cust joined to
+    // its txn_sum summary row) and the oracle checks both against the
+    // parquet fixture — a torn transaction (rows without their
+    // summary, or vice versa) hash-mismatches. The 64-row summary
+    // side broadcasts.
+    "q_dyn_txn_multi" -> ((s, dir) => {
+      val root = seededTxnMultiRoot(s, dir)
+      val cust = s.read.format("dynamo")
+        .option("path", root).option("tableName", "txn_cust").load()
+      val sums = s.read.format("dynamo")
+        .option("path", root).option("tableName", "txn_sum").load()
+      cust.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("cust_cents"))
+        .join(broadcast(sums.select(col("chunk"), col("n_rows"),
+          col("sum_cents"))), Seq("chunk"))
+        .orderBy("chunk")
+    }),
     "q_dyn_counter" -> ((s, dir) => {
       val root = seededCounterRoot(s, dir)
       s.read.format("dynamo")
@@ -1244,6 +1322,17 @@ object DynamoQueries {
     "q_dyn_export_import" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    // both sides of the cross-table transaction reduce to the same
+    // parquet aggregate — any torn chunk breaks one of the pair
+    "q_dyn_txn_multi" ->
+      """SELECT CAST(c_custkey % 64 AS BIGINT) AS chunk,
+        |       CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cust_cents,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM customer GROUP BY 1 ORDER BY chunk""".stripMargin,
     "q_dyn_counter" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(value), 2) AS amount

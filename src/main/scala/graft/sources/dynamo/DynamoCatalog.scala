@@ -476,7 +476,7 @@ private object DynamoProcedures {
 
   val names: Array[String] =
     Array("compact", "build_index", "reshard", "reap_expired", "history",
-      "backup_table", "restore_table")
+      "backup_table", "restore_table", "replication_lag")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
@@ -549,6 +549,38 @@ private object DynamoProcedures {
           seq, UTF8String.fromString(writer),
           UTF8String.fromString(shardSuffix), ops, bytes,
           UTF8String.fromString(f))): InternalRow
+      }
+      (schema, rows.toArray)
+    })
+    // Global Tables lag diagnostic (the DescribeTableReplicaAutoScaling
+    // / CloudWatch ReplicationLatency analogue): one row per peer root
+    // — how far that peer's replicated view of THIS region trails this
+    // store's journal head, in the journal's clock coordinates
+    // (milliseconds under the production epoch-millis contract; 0 =
+    // fully caught up). Driver-side: reads two sidecar numbers per
+    // peer, no data scan.
+    case "replication_lag" => Some(proc(name,
+      "replication lag per peer root: how far each peer's view of this " +
+        "region trails this store's journal head (journal-clock ms; " +
+        "0 = caught up); peer_roots is comma-separated",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("my_region", StringType).build(),
+        ProcedureParameter.in("peer_roots", StringType).build())) { in =>
+      val t = in.getUTF8String(0).toString
+      val region = in.getUTF8String(1).toString
+      val peers = in.getUTF8String(2).toString
+        .split(',').map(_.trim).filter(_.nonEmpty)
+      val src = new LocalKVStore(root)
+      val schema = StructType(Seq(
+        StructField("peer_root", StringType, nullable = false),
+        StructField("watermark", LongType, nullable = false),
+        StructField("lag_ms", LongType, nullable = false)))
+      val rows = peers.map { p =>
+        val dst = new LocalKVStore(p)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p),
+          Replication.watermark(dst, t, region),
+          Replication.replicationLag(src, region, dst, t))): InternalRow
       }
       (schema, rows.toArray)
     })

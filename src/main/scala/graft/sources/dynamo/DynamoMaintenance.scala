@@ -21,11 +21,12 @@ object DynamoMaintenance {
     // capture BEFORE the fold: only transaction files every shard
     // provably folded may be reclaimed afterwards
     val txnBefore = store.txnJournalNames(table)
+    val txnFloor = store.pendingTxnFloor(table) // captured WITH txnBefore
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
       .foreach(sh => new LocalKVStore(path).compactShard(table, sh))
-    store.reclaimTxnJournal(table, txnBefore)
+    store.reclaimTxnJournal(table, txnBefore, txnFloor)
     // Refresh materialized GSI copies from the freshly folded view,
     // shard-parallel like the fold itself; no-op without indexes.
     store.describe(table).indexes.keys

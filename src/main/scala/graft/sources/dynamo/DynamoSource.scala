@@ -1366,11 +1366,21 @@ final class DynamoScan(
   private var runtime: Array[Filter] = Array.empty
   private var runtimeAdv: Seq[PredicateV2.VPred] = Nil
 
-  override def filterAttributes(): Array[v2expr.NamedReference] =
+  override def filterAttributes(): Array[v2expr.NamedReference] = {
     // metadata columns (`_shard`/`_size`) are synthesized AFTER the
     // wire-item filter evaluation — a runtime filter on them would see
-    // a missing attribute and drop every row
-    schema.fieldNames.filterNot(metaNames).map(v2expr.Expressions.column)
+    // a missing attribute and drop every row. And only columns that
+    // SURVIVE into readSchema() may be advertised: under aggregate
+    // pushdown the scan's output is [group fields, aggN] — Spark's
+    // dynamic-pruning planner resolves these references against that
+    // output and fails the whole query on a name it cannot find
+    // (group fields are real wire attributes, so runtime filters on
+    // them still evaluate store-side; aggN are synthetic).
+    val out = readSchema().fieldNames.toSet
+    schema.fieldNames
+      .filter(n => out(n) && !metaNames(n))
+      .map(v2expr.Expressions.column)
+  }
 
   override def filter(predicates: Array[v2filter.Predicate]): Unit =
     // A fully-pushed LIMIT/OFFSET counts post-filter rows: Spark may

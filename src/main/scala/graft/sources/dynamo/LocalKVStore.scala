@@ -1525,6 +1525,172 @@ final class LocalKVStore(root: String) {
     } catch { case e: Throwable => transactDiscard(staged); throw e }
   }
 
+  /** Cross-TABLE atomic write — the full TransactWriteItems analogue
+    * (DynamoDB transactions span tables in one region; here, tables
+    * under one store root). Per-table transactions get per-table
+    * atomicity from their single `-sall` rename; two renames in two
+    * directories cannot be atomic together, so this path publishes
+    * each table's ops as a PENDING file (`.x<txnId>` in the writer
+    * slot — invisible to every journal listing) and then commits the
+    * whole transaction with ONE atomic rename of the shared marker
+    * `<root>/.txn-commit-<txnId>`, which [[listFiles]] consults. All
+    * participating tables' locks are held (in table-name order —
+    * deadlock-free) across check-evaluate-publish-mark, so condition
+    * checks stay serializable against the transactional world in
+    * every table at once.
+    *
+    * Crash safety: death BEFORE the marker leaves only invisible
+    * pending files (the compaction reaper deletes unmarked orphans
+    * after they age out); death AFTER the marker is a committed
+    * transaction — both tables serve it. There is no in-between.
+    *
+    * Snapshot cuts (`asOfSeq`) key on per-table pubSeq, so a cut
+    * landing between a transaction's two per-table pubSeqs can tear
+    * it — the same caveat DynamoDB documents for backups/exports
+    * (transactional atomicity is not preserved through PITR). Use
+    * [[transactGetMulti]] for a live cross-table-consistent read.
+    */
+  def transactWriteMulti(txns: Seq[TableTxn], seq: Long,
+      writerId: String): Unit = {
+    require(txns.nonEmpty, "empty transaction")
+    require(txns.map(_.table).distinct.size == txns.size,
+      "one TableTxn per table (merge a table's ops into one entry)")
+    require(!writerId.contains(".x"),
+      "writerId must not contain the reserved '.x' marker")
+    val ordered = txns.sortBy(_.table)
+    val txnId = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(16)
+    // Nested per-table locks in sorted-table order: any two
+    // transactions acquire in the same global order, so no deadlock.
+    def withLocks[A](ts: List[String])(body: => A): A = ts match {
+      case Nil => body
+      case t :: rest => underTxnLock(t)(withLocks(rest)(body))
+    }
+    withLocks(ordered.map(_.table).toList) {
+      // All checks across all tables first: any failure aborts with
+      // nothing staged anywhere.
+      ordered.foreach { tx =>
+        val meta = describe(tx.table)
+        tx.checks.foreach { c =>
+          val cur = currentItem(tx.table, meta, c.key)
+          val ok = c match {
+            case TxnCheck.Exists(_) => cur.isDefined
+            case TxnCheck.Absent(_) => cur.isEmpty
+            case TxnCheck.ValueEq(_, attr, expected) =>
+              cur.exists(_.get(attr).contains(expected))
+          }
+          if (!ok) throw new TxnCheckFailedException(
+            s"cross-table condition failed on ${tx.table}/" +
+              s"${keyOf(meta, c.key)}: $c " +
+              s"(current: ${cur.fold("absent")(ItemJson.write)})")
+        }
+      }
+      // Ops are pure data (no store-instance state), so re-binding
+      // another instance's Op values to this one is safe.
+      val staged = ordered.map(tx => transactStage(tx.table, seq,
+        s"$writerId.x$txnId", tx.ops.asInstanceOf[Seq[Op]]))
+      val published = mutable.ArrayBuffer.empty[(String, String)]
+      try {
+        staged.foreach(st => published += ((st.table, transactPublish(st))))
+        // COMMIT POINT — one atomic rename; everything before it is
+        // invisible, everything after it is fully visible.
+        val marker = txnMarkerPath(txnId)
+        val mTmp = Paths.get(rootDir, s".txn-commit-$txnId.tmp")
+        Files.write(mTmp,
+          ordered.map(_.table).mkString("\n").getBytes(UTF_8))
+        Files.move(mTmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        LocalKVStore.committedTxnCache.add(rootDir + "|" + txnId)
+      } catch { case e: Throwable =>
+        // Uncommitted: delete whatever published (still invisible) and
+        // discard the rest — best-effort, the reaper covers leftovers.
+        published.foreach { case (t, n) =>
+          val d = tableDir(t)
+          try {
+            Files.deleteIfExists(d.resolve(n))
+            Files.deleteIfExists(d.resolve(
+              "zstat-" + n.stripPrefix("wal-").stripSuffix(".jsonl") + ".json"))
+          } catch { case _: java.io.IOException => () }
+        }
+        staged.foreach(transactDiscard)
+        throw e
+      }
+      // Index write-through after the commit point, per table, while
+      // still under the locks (same rationale as transactWrite).
+      ordered.foreach { tx =>
+        try applyIndexWritesLocked(tx.table, describe(tx.table))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  /** Cross-table snapshot read: [[transactGet]] generalized so the
+    * all-or-nothing guarantee covers transactions SPANNING the
+    * queried tables. One captured commit-marker set decides
+    * cross-table-transaction membership for every table's listing
+    * (a marker landing mid-read is excluded from ALL tables — never
+    * table A with, table B without), and each table additionally pins
+    * one journal listing under the usual compaction fence. Results
+    * positionally match `reads`.
+    */
+  def transactGetMulti(
+      reads: Seq[(String, Seq[Item])]): Seq[Seq[Option[Item]]] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val committed = listCommittedTxnIds()
+      val wmBefore = reads.map { case (t, _) => compactionWatermark(t) }
+      // A listed journal file can vanish under the read when a fold
+      // races the pass (listed, then folded+deleted before the open)
+      // — that IS a moved watermark; retry like a post-scan mismatch.
+      val out = try {
+        Some(reads.map { case (table, keys) =>
+          val meta = describe(table)
+          val canon = keys.map(keyOf(meta, _))
+          val wanted = canon.toSet
+          val snapshot = Some(listWalRawNames(table).filter(n =>
+            LocalKVStore.crossTxnIdOf(n).forall(committed)).toSet)
+          val found = mutable.HashMap.empty[String, Item]
+          keys.map(shardOf(meta, _)).distinct.foreach { sh =>
+            scanSegment(table, sh, meta.shards, allowedWal = snapshot)
+              .map(_._1)
+              .foreach { it =>
+                val k = keyOf(meta, it)
+                if (wanted(k)) found(k) = it
+              }
+          }
+          canon.map(found.get)
+        })
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+      out match {
+        case Some(r)
+            if reads.map { case (t, _) => compactionWatermark(t) } == wmBefore =>
+          return r
+        case _ => ()
+      }
+      if (attempt >= 5) throw new IllegalStateException(
+        s"transactGetMulti raced a moving compaction watermark " +
+          s"$attempt times — snapshot read cannot be pinned")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** All committed cross-table transaction ids at this root (one raw
+    * root listing — the pinned set [[transactGetMulti]] reads
+    * against).
+    */
+  private def listCommittedTxnIds(): Set[String] = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) return Set.empty
+    val stream = Files.list(root)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(".txn-commit-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix(".txn-commit-"))
+      .toSet
+    finally stream.close()
+  }
+
   /** The key's current merged item — one owning-shard segment read
     * (base slice + journal replay), item-proportional like a GetItem.
     */
@@ -1576,15 +1742,21 @@ final class LocalKVStore(root: String) {
       val snapshot = Some(listFiles(table, "wal-")
         .map(_.getFileName.toString).toSet)
       val found = mutable.HashMap.empty[String, Item]
-      keys.map(shardOf(meta, _)).distinct.foreach { sh =>
-        scanSegment(table, sh, meta.shards, allowedWal = snapshot)
-          .map(_._1)
-          .foreach { it =>
-            val k = keyOf(meta, it)
-            if (wanted(k)) found(k) = it
-          }
-      }
-      if (compactionWatermark(table) == wmBefore) return canon.map(found.get)
+      // a listed file vanishing under the read IS a racing fold —
+      // retry exactly like a post-scan watermark mismatch
+      val torn = try {
+        keys.map(shardOf(meta, _)).distinct.foreach { sh =>
+          scanSegment(table, sh, meta.shards, allowedWal = snapshot)
+            .map(_._1)
+            .foreach { it =>
+              val k = keyOf(meta, it)
+              if (wanted(k)) found(k) = it
+            }
+        }
+        false
+      } catch { case _: java.nio.file.NoSuchFileException => true }
+      if (!torn && compactionWatermark(table) == wmBefore)
+        return canon.map(found.get)
       if (attempt >= 5) throw new IllegalStateException(
         s"transactGet on '$table' raced a moving compaction watermark " +
           s"$attempt times — snapshot read cannot be pinned")
@@ -1697,7 +1869,7 @@ final class LocalKVStore(root: String) {
     * which hold the table's transaction lock (nesting the lock would
     * throw: `FileChannel.lock` is not reentrant).
     */
-  private[dynamo] def transactPublish(staged: StagedTxn): Unit = {
+  private[dynamo] def transactPublish(staged: StagedTxn): String = {
     val seq = staged.seq; val writerId = staged.writerId
     val dir = tableDir(staged.table)
     val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
@@ -1707,8 +1879,10 @@ final class LocalKVStore(root: String) {
       pubSeq += 1
     Files.move(zTmp, dir.resolve(f"zstat-$pubSeq%020d-$writerId-sall.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl"),
+    val name = f"wal-$pubSeq%020d-$writerId-sall.jsonl"
+    Files.move(tmp, dir.resolve(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    name
   }
 
   /** Drop a staged transaction's buffers; nothing was ever visible. */
@@ -1837,7 +2011,26 @@ final class LocalKVStore(root: String) {
     val stream = Files.list(dir)
     try stream.iterator().asScala.foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("wal-") && n.endsWith(".jsonl")) published += n
+      if (n.startsWith("wal-") && n.endsWith(".jsonl")) {
+        LocalKVStore.crossTxnIdOf(n) match {
+          case Some(id) if !crossTxnCommitted(id) =>
+            // Published-but-unmarked cross-table file: not yet part of
+            // the journal, but its commit marker lands moments later
+            // with the SAME (already-assigned) pubSeq — hold the CDC
+            // frontier below it exactly like an in-flight tmp buffer,
+            // or an end offset advancing past its name would skip the
+            // transaction forever once it commits. The same liveness
+            // cutoff applies: a crashed publisher's orphan stops
+            // fencing after `liveWithinMs` (the reaper deletes it).
+            val mtime =
+              try Files.getLastModifiedTime(p).toMillis
+              catch { case _: java.io.IOException => Long.MinValue }
+            if (mtime >= cutoff)
+              floor = math.min(floor,
+                math.max(n.stripPrefix("wal-").takeWhile(_ != '-').toLong, mtime))
+          case _ => published += n
+        }
+      }
       else if (n.startsWith(".wal-") && n.endsWith(".jsonl.tmp")) {
         val mtime =
           try Files.getLastModifiedTime(p).toMillis
@@ -2282,7 +2475,25 @@ final class LocalKVStore(root: String) {
     // (the replication racing-compaction law caught exactly that).
     // Files published after this pin survive the pass and replay over
     // the new base, which is safe: they are strictly newer ops.
-    val pinned = listFiles(table, "wal-")
+    //
+    // Cross-table PENDING fence, from the SAME raw listing: an
+    // unmarked `.x<txnId>` file will become visible at its already-
+    // assigned pubSeq when its marker lands — folding any file ABOVE
+    // that pubSeq now would later replay the committed transaction
+    // UNDER history it should sort below (order inversion). Fold only
+    // strictly below the pending floor; everything above stays in the
+    // journal and keeps replaying in name order. Orphans (publisher
+    // died pre-marker) stop fencing when the reaper deletes them.
+    val rawPin = listWalRawNames(table)
+    // committedness evaluated ONCE per name (a marker landing mid-
+    // derivation must not flip a file between the floor and the fold)
+    val committedPin = rawPin.map(n =>
+      n -> LocalKVStore.crossTxnIdOf(n).forall(crossTxnCommitted)).toMap
+    val pinFloor = rawPin.iterator.filterNot(committedPin)
+      .map(walPubSeqName).foldLeft(Long.MaxValue)(math.min)
+    val pinned = rawPin.iterator
+      .filter(n => committedPin(n) && walPubSeqName(n) < pinFloor)
+      .map(dir.resolve(_)).toSeq
     val pinnedNames = Some(pinned.map(_.getFileName.toString).toSet)
     val merged = scanSegment(table, shard, meta.shards,
         allowedWal = pinnedNames).map(_._1)
@@ -2355,9 +2566,11 @@ final class LocalKVStore(root: String) {
     */
   def compact(table: String): Unit = {
     val txnBefore = txnJournalNames(table)
+    val txnFloor = pendingTxnFloor(table) // captured WITH txnBefore
     (0 until describe(table).shards).foreach(compactShard(table, _))
-    reclaimTxnJournal(table, txnBefore)
+    reclaimTxnJournal(table, txnBefore, txnFloor)
     reapStaleTmp(table)
+    reapTxnMarkers()
     refreshIndexes(table)
   }
 
@@ -2394,6 +2607,90 @@ final class LocalKVStore(root: String) {
       }
       .toList.foreach(Files.deleteIfExists(_))
     finally stream.close()
+    reapOrphanPending(table, jobAgeMs)
+  }
+
+  /** Reap published-but-never-committed cross-table pending files: a
+    * publisher that died between its per-table publishes and the
+    * commit marker leaves `.x<txnId>` files that no listing will ever
+    * include (and that hold the CDC frontier down while young). The
+    * job-age threshold mirrors the staged-transaction rule — the
+    * marker lands milliseconds after the publish under the same
+    * locks, so anything unmarked after a day is a crash, not a
+    * writer. Also drops commit markers whose journal files have all
+    * folded away in every table under this root (age-gated too, so a
+    * reader that listed an x-file moments ago still finds the
+    * marker).
+    */
+  private def reapOrphanPending(table: String, jobAgeMs: Long): Unit = {
+    val dir = tableDir(table)
+    val now = System.currentTimeMillis()
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("wal-") && n.endsWith(".jsonl") &&
+          LocalKVStore.crossTxnIdOf(n).exists(!crossTxnCommitted(_)) && {
+            try Files.getLastModifiedTime(p).toMillis < now - jobAgeMs
+            catch { case _: java.io.IOException => false }
+          }
+      }
+      .toList.foreach { p =>
+        val n = p.getFileName.toString
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(p.resolveSibling(
+          "zstat-" + n.stripPrefix("wal-").stripSuffix(".jsonl") + ".json"))
+      }
+    finally stream.close()
+  }
+
+  /** Recreate commit markers at a backup destination for every
+    * committed cross-table journal file among `walNames` — atomic
+    * tmp+move per marker, idempotent on re-backup.
+    */
+  private def shipTxnMarkers(destRoot: String, walNames: Seq[String]): Unit =
+    walNames.flatMap(LocalKVStore.crossTxnIdOf).distinct.foreach { id =>
+      val dst = Paths.get(destRoot, s".txn-commit-$id")
+      if (!Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        val tmp = Paths.get(destRoot, s".txn-commit-$id.tmp")
+        val src = txnMarkerPath(id)
+        val body =
+          if (Files.exists(src)) Files.readAllBytes(src) else Array.empty[Byte]
+        Files.write(tmp, body)
+        Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  /** GC committed cross-table markers no table under this root
+    * references anymore (all their journal files folded and
+    * reclaimed). Age-gated: a marker younger than `ageMs` stays even
+    * if unreferenced, so a reader holding a just-captured listing
+    * can still resolve it. Called from full-table compaction.
+    */
+  private[dynamo] def reapTxnMarkers(ageMs: Long = 24L * 60 * 60 * 1000): Unit = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) return
+    val now = System.currentTimeMillis()
+    val ids = listCommittedTxnIds()
+    if (ids.isEmpty) return
+    val referenced = mutable.HashSet.empty[String]
+    val tables = Files.list(root)
+    try tables.iterator().asScala.filter(Files.isDirectory(_)).foreach { td =>
+      val fs = Files.list(td)
+      try fs.iterator().asScala.foreach { p =>
+        LocalKVStore.crossTxnIdOf(p.getFileName.toString)
+          .foreach(referenced += _)
+      } finally fs.close()
+    } finally tables.close()
+    (ids -- referenced).foreach { id =>
+      val m = txnMarkerPath(id)
+      val old =
+        try Files.getLastModifiedTime(m).toMillis < now - ageMs
+        catch { case _: java.io.IOException => false }
+      if (old) Files.deleteIfExists(m)
+    }
   }
 
   /** On-demand backup (DynamoDB's OnDemandBackup analogue): copy the
@@ -2478,7 +2775,13 @@ final class LocalKVStore(root: String) {
           n.startsWith("pageidx-")) && !srcNames(n)
       }.toList.foreach(Files.deleteIfExists(_))
     finally dstListing.close()
-    listFiles(table, "wal-").foreach(cp)
+    val copiedWal = listFiles(table, "wal-")
+    copiedWal.foreach(cp)
+    // Cross-table commit markers live at the ROOT, not the table dir:
+    // a copied `.x<txnId>` journal file is invisible at the
+    // destination without its marker — recreate it there (the file
+    // was in the listing, so it is committed at the source).
+    shipTxnMarkers(destRoot, copiedWal.map(_.getFileName.toString))
     listFiles(table, "shard-").foreach(cp)
     listStatFiles(table).foreach(cp)
     // page directories travel with the base files they describe (the
@@ -2599,6 +2902,9 @@ final class LocalKVStore(root: String) {
     val fresh = listFiles(table, "wal-")
       .filterNot(p => have(p.getFileName.toString))
     fresh.foreach(cp)
+    // committed cross-table files need their root-level marker at the
+    // destination too (see backupTable)
+    shipTxnMarkers(destRoot, fresh.map(_.getFileName.toString))
     // replication sidecars ride every incremental pass: tombstone
     // files are append-only between GC passes (REPLACE_EXISTING makes
     // re-copies idempotent) and watermark files are tiny.
@@ -2642,11 +2948,20 @@ final class LocalKVStore(root: String) {
     * replayable files, never missing history; asOfSeq reads below the
     * mark are rejected like any compacted history.
     */
-  private[dynamo] def reclaimTxnJournal(table: String, folded: Set[String]): Unit = {
+  private[dynamo] def reclaimTxnJournal(table: String, folded: Set[String],
+      /** Min UNCOMMITTED pending pubSeq captured WITH `folded` (the
+        * [[pendingTxnFloor]] at capture time): per-shard folds fence
+        * below their own listing's floor, and any pending that could
+        * have raised a shard's fence above a captured file's pubSeq
+        * was (pubSeq being wall-clock-floored) already unmarked at
+        * capture — so reclaiming only strictly below the CAPTURED
+        * floor reclaims only files every shard provably folded.
+        */
+      foldCeiling: Long = Long.MaxValue): Unit = {
     val dir = tableDir(table)
     val txn = listFiles(table, "wal-")
       .filter(p => walShard(p) == LocalKVStore.TxnShard &&
-        folded(p.getFileName.toString))
+        folded(p.getFileName.toString) && walPubSeq(p) < foldCeiling)
     if (txn.isEmpty) return
     val mx = txn.map(walPubSeq).max
     val wmPath = dir.resolve("compact-wm-txn")
@@ -2868,10 +3183,71 @@ final class LocalKVStore(root: String) {
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val stream = Files.list(dir)
+      // Cross-table PENDING files (`.x<txnId>` in the writer slot) are
+      // part of the journal only once their commit marker exists —
+      // filtering HERE makes every consumer (scans, compaction, CDC,
+      // replication, backups, view versions, index freshness) inherit
+      // the all-or-nothing visibility rule from one place.
       try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(prefix) &&
-                     p.getFileName.toString.endsWith(".jsonl"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(prefix) && n.endsWith(".jsonl") &&
+            LocalKVStore.crossTxnIdOf(n).forall(crossTxnCommitted)
+        }
         .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
+  }
+
+  // ---- cross-table atomic transactions (shared commit marker) ----
+
+  private[dynamo] def txnMarkerPath(txnId: String): Path =
+    Paths.get(rootDir, s".txn-commit-$txnId")
+
+  /** Has the cross-table transaction `txnId` committed at this root?
+    * Positive results cache process-wide (commitment is monotone —
+    * see [[LocalKVStore.committedTxnCache]]).
+    */
+  private[dynamo] def crossTxnCommitted(txnId: String): Boolean = {
+    val key = rootDir + "|" + txnId
+    LocalKVStore.committedTxnCache.contains(key) || {
+      val ok = Files.exists(txnMarkerPath(txnId))
+      if (ok) LocalKVStore.committedTxnCache.add(key)
+      ok
+    }
+  }
+
+  /** Min pubSeq of any UNCOMMITTED cross-table pending file in this
+    * table's journal (Long.MaxValue when none — the usual case). The
+    * fence every history-consuming maintenance pass must respect: a
+    * pending file becomes visible at its ALREADY-ASSIGNED pubSeq when
+    * its marker lands, so folding or watermarking PAST that pubSeq
+    * while it is still unmarked would replay it under (compaction) or
+    * skip it forever (replication) once it commits. CDC applies the
+    * same fence through [[walListingWithPendingFloor]].
+    */
+  private[dynamo] def pendingTxnFloor(table: String): Long =
+    listWalRawNames(table).iterator
+      .filter(n => LocalKVStore.crossTxnIdOf(n).exists(!crossTxnCommitted(_)))
+      .map(walPubSeqName)
+      .foldLeft(Long.MaxValue)(math.min)
+
+  private[dynamo] def walPubSeqName(name: String): Long =
+    name.stripPrefix("wal-").takeWhile(_ != '-').toLong
+
+  /** RAW journal listing including uncommitted pending files —
+    * [[transactGetMulti]] pins ONE captured marker set and decides
+    * inclusion against it, so both tables' snapshots agree on exactly
+    * which cross-table transactions are in.
+    */
+  private def listWalRawNames(table: String): Seq[String] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("wal-") && n.endsWith(".jsonl"))
+        .toSeq.sorted
       finally stream.close()
     }
   }
@@ -2882,6 +3258,47 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** Cross-table transaction id embedded in a PENDING journal file
+    * name — `wal-<pubSeq>-<writerId>.x<txnId>-sall.jsonl`, where
+    * txnId is exactly 16 lowercase hex chars — or None for every
+    * ordinary journal file. The `.x<id>` rides in the writer-id
+    * position so pubSeq/shard parsing is untouched; the strict
+    * hex-16 + `-sall.jsonl` shape keeps caller-supplied writerIds
+    * (which may contain dots) from false-matching.
+    *
+    * Visibility rule (the DynamoDB TransactWriteItems-across-tables
+    * analogue): such a file is part of the journal IFF its commit
+    * marker `<root>/.txn-commit-<txnId>` exists. The marker is ONE
+    * file created with ONE atomic rename after every participating
+    * table's pending file is on disk — so the whole multi-table
+    * transaction commits atomically, where per-table renames alone
+    * would expose table A's half before table B's.
+    */
+  private[dynamo] def crossTxnIdOf(name: String): Option[String] = {
+    val suffix = "-sall.jsonl"
+    if (!name.endsWith(suffix)) None
+    else {
+      val stem = name.dropRight(suffix.length)
+      val i = stem.lastIndexOf(".x")
+      if (i < 0) None
+      else {
+        val id = stem.substring(i + 2)
+        if (id.length == 16 &&
+            id.forall(c => c.isDigit || (c >= 'a' && c <= 'f'))) Some(id)
+        else None
+      }
+    }
+  }
+
+  /** Positive-only cache of observed commit markers, keyed by
+    * `<root>|<txnId>`. Sound because commitment is monotone: a marker
+    * is only ever garbage-collected AFTER all of its journal files
+    * folded away (at which point no listing can name the txn again),
+    * so "seen committed once" never turns false while it matters.
+    */
+  private val committedTxnCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** GC backstop for streaming readers abandoned mid-iteration.
     * Executor-side early termination (limit pushdown) is closed
@@ -2974,3 +3391,10 @@ final class TxnCheckFailedException(msg: String)
   */
 final case class StagedTxn(table: String, seq: Long, writerId: String)
     extends Serializable
+
+/** One table's share of a cross-table transaction
+  * ([[LocalKVStore.transactWriteMulti]]): the ops to apply and the
+  * condition checks to evaluate against that table's current view.
+  */
+final case class TableTxn(table: String, ops: Seq[LocalKVStore#Op],
+    checks: Seq[TxnCheck] = Nil)

@@ -137,7 +137,15 @@ object Replication {
     // fresher-stamped write below the stale image — losing it at its
     // own origin, which no later pass can repair.
     store.underTxnLock(table) {
-      store.appendWal(table, seq, writerId, walOps)
+      // Publish ABOVE the journal head, like [[applyLww]] does: an
+      // apply that just published at maxWalSeq+1 (its own head bump)
+      // can sit above `seq` — a same-millisecond flurry in production,
+      // stacked +1 bumps under a future-clock contract — and a
+      // stamped write replaying BELOW an apply's Delete op loses the
+      // fresher write at its own origin. Both sides hold the table
+      // lock, so flooring here makes publish order match lock order.
+      val pubFloor = maxWalSeq(store, table) + 1
+      store.appendWal(table, math.max(seq, pubFloor), writerId, walOps)
       if (tombs.nonEmpty) {
         // Origin = the PUBLISHED pubSeq of this write's journal files
         // (the writer floors at the wall clock, so it can exceed
@@ -448,15 +456,30 @@ object Replication {
       val puts = putKeyed.collect {
         case (k, it) if curStamp(k).forall(stampOf(it).beats) => dst.Put(it)
       }
-      val deletes = delCands.collect {
-        case (k, s) if cur.getOrElse(k, None).exists(it => s.beats(stampOf(it))) =>
-          dst.Delete(keyItemOf(dstMeta, k))
-      }
       // Record/refresh the tombstone whenever the destination lacks an
       // equal-or-better one — even for keys it never stored, so a
       // three-region relay still carries the delete onward.
       val newTombs = delCands.filter { case (k, s) =>
         curTombs.get(k).forall(s.beats)
+      }
+      val newTombKeys = newTombs.map(_._1).toSet
+      // Delete ops publish for beaten LIVE images, and ALSO for absent
+      // keys whose tombstone is newly recorded here: without a journal
+      // entry the tombstone-only knowledge would be invisible to
+      // incremental discovery (which walks the JOURNAL) — a mesh relay
+      // through a region that never held the item would silently stop
+      // there under incremental-only syncs, and the tombstone's origin
+      // pubSeq would sit above anything peers can ever observe, so the
+      // acked GC could never drain it. A Delete of an absent key
+      // replays to absent-normal-form — free — while giving both the
+      // relay and the ack watermark a real journal coordinate. Never
+      // published when a FRESHER live image exists (seq-ordered replay
+      // would delete it): those tombstones are dominated and inert.
+      val deletes = delCands.collect {
+        case (k, s) if (cur.getOrElse(k, None) match {
+          case Some(it) => s.beats(stampOf(it))
+          case None => newTombKeys(k)
+        }) => dst.Delete(keyItemOf(dstMeta, k))
       }
       val applySeq = Seq(seq, System.currentTimeMillis(),
         maxWalSeq(dst, table) + 1, dst.compactionWatermark(table) + 1).max
@@ -607,6 +630,15 @@ object Replication {
     val wm = mark.wm
     val folded = src.compactionWatermark(table)
     val fpPre = src.baseStateFingerprint(table)
+    // Cross-table pending fence: an unmarked pending file joins the
+    // journal at its ALREADY-ASSIGNED pubSeq once its commit marker
+    // lands — advancing the watermark past that pubSeq now would skip
+    // the committed transaction on every later pass. Cap every
+    // advance strictly below the floor (never regressing an existing
+    // wm; a pending landing AT wm rides the seen-name set instead).
+    // Files above the cap re-ship next pass — idempotent under LWW.
+    val pendFloor = src.pendingTxnFloor(table)
+    def capWm(x: Long): Long = math.max(wm, math.min(x, pendFloor - 1L))
     // Boundary-fold risk: a fold landing EXACTLY at wm (compaction
     // watermark advanced to wm, or the base rewrote while it already
     // sat at wm, or the mark is legacy/unprovable) may have folded a
@@ -624,9 +656,10 @@ object Replication {
       // incremental pass (the only path replicateBatch runs),
       // silently and forever. Advance only to the head observed here.
       val preNames = src.walFileNames(table)
-      val preMax = (folded +: preNames.map(walSeqOf)).max
+      val preMax = capWm((folded +: preNames.map(walSeqOf)).max)
       val r = sync(src, dst, table, seq, writerId)
-      writeMark(dst, table, srcRegion, ReplMark(preMax, folded, fpPre,
+      writeMark(dst, table, srcRegion, ReplMark(preMax,
+        math.min(folded, preMax), fpPre,
         preNames.filter(walSeqOf(_) == preMax).toSet))
       return r
     }
@@ -657,8 +690,9 @@ object Replication {
     // (same rationale as the fallback branch above).
     if (touched.size > maxIncrementalKeys) {
       val r = sync(src, dst, table, seq, writerId)
-      val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
-      writeMark(dst, table, srcRegion, ReplMark(newWm, folded, fpPre,
+      val newWm = capWm((Seq(wm) ++ newFiles.map(walSeqOf)).max)
+      writeMark(dst, table, srcRegion, ReplMark(newWm,
+        math.min(folded, newWm), fpPre,
         seenAtBoundary(newWm, mark, newFiles)))
       return r
     }
@@ -670,7 +704,7 @@ object Replication {
     val cwFence = src.compactionWatermark(table)
     if (cwFence > wm) {
       val r = sync(src, dst, table, seq, writerId)
-      val newWm = (Seq(wm, cwFence) ++ newFiles.map(walSeqOf)).max
+      val newWm = capWm((Seq(wm, cwFence) ++ newFiles.map(walSeqOf)).max)
       writeMark(dst, table, srcRegion, ReplMark(newWm,
         math.min(cwFence, newWm), fpPre,
         seenAtBoundary(newWm, mark, newFiles)))
@@ -719,8 +753,9 @@ object Replication {
     }
     val r = applyLww(dst, dstMeta, table, seq, writerId, putCands.toSeq,
       delCands.toSeq)
-    val newWm = (Seq(wm) ++ newFiles.map(walSeqOf)).max
-    writeMark(dst, table, srcRegion, ReplMark(newWm, cwFence, fpPre,
+    val newWm = capWm((Seq(wm) ++ newFiles.map(walSeqOf)).max)
+    writeMark(dst, table, srcRegion, ReplMark(newWm,
+      math.min(cwFence, newWm), fpPre,
       seenAtBoundary(newWm, mark, newFiles)))
     r
   }

@@ -2908,6 +2908,40 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL replication_lag reports one row per peer with journal-clock lag") {
+    import graft.sources.dynamo.{Replication, TableMeta, AttrVal}
+    import graft.sources.dynamo.Replication.RPut
+    val rootA = freshRoot(); val rootB = freshRoot(); val rootC = freshRoot()
+    val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+    val a = new LocalKVStore(rootA); a.createTable("t", meta)
+    val b = new LocalKVStore(rootB); b.createTable("t", meta)
+    val c = new LocalKVStore(rootC); c.createTable("t", meta)
+    val seq0 = System.currentTimeMillis() + 700000L
+    Replication.writeStamped(a, "t", "rA", 1, seq0, "w1",
+      Seq(RPut(Map("id" -> (AttrVal.S("k"): AttrVal),
+        "v" -> (AttrVal.S("v1"): AttrVal)))))
+    // b syncs (caught up); c never does (lags by the full head)
+    Replication.syncIncremental(a, "rA", b, "t", seq0 + 1, "s1")
+    val prev = spark.conf.getOption("spark.sql.catalog.lagcat")
+    try {
+      spark.conf.set("spark.sql.catalog.lagcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.lagcat.path", rootA)
+      val rows = spark.sql(
+        s"CALL lagcat.replication_lag('t', 'rA', '$rootB,$rootC')").collect()
+      assert(rows.length === 2)
+      val byRoot = rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+      assert(byRoot(rootB)._2 === 0L, s"synced peer must report zero lag: $byRoot")
+      assert(byRoot(rootB)._1 >= seq0)
+      assert(byRoot(rootC)._1 === 0L && byRoot(rootC)._2 > 0L,
+        s"never-synced peer must lag by the journal head: $byRoot")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.lagcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.lagcat"))(
+        spark.conf.set("spark.sql.catalog.lagcat", _))
+    }
+  }
+
   test("CALL history lists the journal publish log, windowed to the last compaction") {
     import spark.implicits._
     val root = freshRoot()

@@ -253,6 +253,42 @@ class ReplicationSpec extends AnyFunSuite {
       "incremental passes alone must repair everything the racing fallbacks missed")
   }
 
+  test("replication watermark fences below an unmarked cross-table pending file") {
+    // A cross-table transaction's journal file publishes BEFORE its
+    // commit marker and joins the journal at that pre-assigned pubSeq
+    // when the marker lands. Incremental passes running in between
+    // must not advance the watermark past that pubSeq, or the
+    // committed transaction would sit below the watermark unshipped
+    // forever.
+    val rootA = Files.createTempDirectory("repl-fence-a").toString
+    val rootB = Files.createTempDirectory("repl-fence-b").toString
+    val a = new LocalKVStore(rootA); a.createTable("t", meta)
+    val b = new LocalKVStore(rootB); b.createTable("t", meta)
+    w(a, "rA", 1, Seq(RPut(item("k1", "v1"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1")
+    // in-flight cross-table transaction: pending file at pub P, unmarked
+    val pub = nextSeq()
+    val txnId = "00feedfacecafe00"
+    val line = graft.sources.dynamo.ItemJson.write(Map(
+      "op" -> (AttrVal.S("PUT"): AttrVal),
+      "item" -> (AttrVal.M(item("k3", "v3")): AttrVal)))
+    Files.write(java.nio.file.Paths.get(rootA, "t",
+      f"wal-$pub%020d-w9.x$txnId-sall.jsonl"), (line + "\n").getBytes("UTF-8"))
+    // ordinary write published ABOVE the pending transaction
+    w(a, "rA", 2, Seq(RPut(item("k2", "v2"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    assert(state(b) == Map("k1" -> "v1", "k2" -> "v2"),
+      "committed writes above the fence still ship")
+    // commit the transaction: ONE marker file at the source root
+    val tmp = java.nio.file.Paths.get(rootA, s".txn-commit-$txnId.tmp")
+    Files.write(tmp, Array.empty[Byte])
+    Files.move(tmp, java.nio.file.Paths.get(rootA, s".txn-commit-$txnId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i3")
+    assert(state(b) == Map("k1" -> "v1", "k2" -> "v2", "k3" -> "v3"),
+      s"the late-committed transaction must ship once marked ($r)")
+  }
+
   test("three-region relay carries deletes and wins through the middle region") {
     val (a, b) = freshPair()
     val (c, _) = freshPair()
@@ -349,6 +385,87 @@ class ReplicationSpec extends AnyFunSuite {
     // Quiescent passes settle everything the racing passes missed.
     syncBoth(a, b); syncBoth(a, b)
     assert(fullState(a) == fullState(b), "replicas must converge after quiesce")
+  }
+
+  test("3-4 region mesh: random write/sync interleavings converge to the LWW oracle; acked GC drains") {
+    // Global Tables run FULL MESH, not pairs: R regions, a random
+    // stamped write history, random DIRECTED sync passes interleaved
+    // (mixing the incremental and full paths), then a quiescent
+    // round-robin — every region must equal the functional LWW fold,
+    // and after convergence the acknowledgment-computed tombstone GC
+    // must drain every region's tombstones without resurrection.
+    (0 until 10).foreach { seedI =>
+      val rnd = new scala.util.Random(seedI.toLong)
+      val nRegions = 3 + (seedI % 2)
+      val regions = (0 until nRegions).map(i => s"r$i")
+      val stores = regions.map { r =>
+        val st = new LocalKVStore(
+          Files.createTempDirectory(s"mesh$r").toString)
+        st.createTable("t", meta); st
+      }
+      final case class TOp(region: Int, ver: Long, k: String, del: Boolean)
+      var ver = 100L
+      val ops = (0 until 30).map { _ =>
+        ver += 1
+        TOp(rnd.nextInt(nRegions), ver, s"k${rnd.nextInt(6)}",
+          rnd.nextInt(4) == 0)
+      }
+      ops.foreach { op =>
+        val st = stores(op.region)
+        val rop = if (op.del) RDelete(key(op.k))
+          else RPut(item(op.k, s"v${op.ver}"))
+        w(st, regions(op.region), op.ver, Seq(rop))
+        // random directed mid-stream passes: any (src, dst) pair, path
+        // chosen at random — partial relays through third regions
+        // included
+        if (rnd.nextInt(3) == 0) {
+          val i = rnd.nextInt(nRegions)
+          var j = rnd.nextInt(nRegions); if (j == i) j = (j + 1) % nRegions
+          if (rnd.nextBoolean())
+            Replication.syncIncremental(stores(i), regions(i), stores(j),
+              "t", nextSeq(), s"mi$i$j${op.ver}")
+          else Replication.sync(stores(i), stores(j), "t", nextSeq(),
+            s"mf$i$j${op.ver}")
+        }
+      }
+      // quiescent full round-robin (nRegions-1 rounds propagate any
+      // relay chain); INCREMENTAL only — the steady-state path
+      (0 until nRegions).foreach { _ =>
+        for (i <- regions.indices; j <- regions.indices if i != j)
+          Replication.syncIncremental(stores(i), regions(i), stores(j),
+            "t", nextSeq(), s"q$i$j${nextSeq()}")
+      }
+      val oracle = ops.groupBy(_.k).flatMap { case (k, kops) =>
+        val win = kops.maxBy(o => (o.ver, regions(o.region)))
+        if (win.del) None else Some(k -> s"v${win.ver}")
+      }
+      stores.zipWithIndex.foreach { case (st, i) =>
+        assert(state(st) == oracle,
+          s"seed $seedI: region ${regions(i)} diverged from the LWW oracle")
+      }
+      // acked GC at every region: after full convergence every peer's
+      // watermark passed every tombstone's origin, so GC drains ALL
+      // tombstones — and one more mesh round must not resurrect.
+      regions.indices.foreach { i =>
+        val peers = stores.indices.filter(_ != i).map(stores)
+        Replication.gcTombstonesAcked(stores(i), "t", nextSeq(),
+          peers, regions(i))
+        // Every WINNING tombstone (key absent in the converged state)
+        // must drain — its relay published a journal entry peers acked.
+        // A DOMINATED tombstone (a fresher put recreated the key) is
+        // inert and may outlive the ack floor: its recording apply had
+        // no journal entry of its own to ack.
+        Replication.tombstones(stores(i), "t").keys.foreach { ck =>
+          assert(oracle.contains(ck.stripPrefix("s:")),
+            s"seed $seedI: winning tombstone $ck survived acked GC at ${regions(i)}")
+        }
+      }
+      for (i <- regions.indices; j <- regions.indices if i != j)
+        Replication.syncIncremental(stores(i), regions(i), stores(j),
+          "t", nextSeq(), s"p$i$j${nextSeq()}")
+      stores.foreach(st => assert(state(st) == oracle,
+        s"seed $seedI: post-GC mesh round resurrected or lost state"))
+    }
   }
 
   test("tombstone GC after full convergence is safe; premature GC resurrects") {

@@ -514,6 +514,163 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(readV(store0) === (threads * perThread).toLong)
   }
 
+  test("cross-table transaction: all-or-nothing via the shared commit marker") {
+    import graft.sources.dynamo.{TableTxn, TxnCheck, TxnCheckFailedException}
+    val root = Files.createTempDirectory("graft-xtxn").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 4, throughput = 1000000L)
+    store.createTable("ta", meta); store.createTable("tb", meta)
+    def it(s: String, v: Long): Item =
+      Map("pk" -> AttrVal.S(s), "v" -> AttrVal.N(BigDecimal(v)))
+    def k(s: String): Item = Map("pk" -> AttrVal.S(s))
+    store.transactWriteMulti(Seq(
+      TableTxn("ta", Seq(store.Put(it("a1", 1)), store.Put(it("a2", 2)))),
+      TableTxn("tb", Seq(store.Put(it("b1", 1))))), 1L, "w0")
+    assert(store.scanSegment("ta", 0, 1).map(_._1).toSet ===
+      Set(it("a1", 1), it("a2", 2)))
+    assert(store.scanSegment("tb", 0, 1).map(_._1).toSet === Set(it("b1", 1)))
+    // pinned cross-table read: positional, per-table key lists
+    assert(store.transactGetMulti(Seq(
+      "ta" -> Seq(k("a1"), k("zz")), "tb" -> Seq(k("b1")))) ===
+      Seq(Seq(Some(it("a1", 1)), None), Seq(Some(it("b1", 1)))))
+    // a failing check on ONE table aborts the WHOLE transaction —
+    // nothing becomes visible in the other table either
+    intercept[TxnCheckFailedException] {
+      store.transactWriteMulti(Seq(
+        TableTxn("ta", Seq(store.Put(it("a3", 9)))),
+        TableTxn("tb", Seq(store.Put(it("b2", 9))),
+          checks = Seq(TxnCheck.Absent(k("b1"))))), 2L, "w1")
+    }
+    assert(store.scanSegment("ta", 0, 1).map(_._1).toSet ===
+      Set(it("a1", 1), it("a2", 2)), "aborted txn leaked into table ta")
+    assert(store.scanSegment("tb", 0, 1).map(_._1).toSet === Set(it("b1", 1)))
+    // compaction folds committed cross-table files and the view holds
+    store.compact("ta"); store.compact("tb")
+    assert(store.scanSegment("ta", 0, 1).map(_._1).toSet ===
+      Set(it("a1", 1), it("a2", 2)))
+    assert(store.scanSegment("tb", 0, 1).map(_._1).toSet === Set(it("b1", 1)))
+  }
+
+  test("a pending cross-table file is invisible everywhere until its marker lands") {
+    // Crash-window simulation through the PUBLIC file contract: a
+    // publisher that died between its per-table publishes and the
+    // commit marker leaves exactly these files.
+    import graft.sources.dynamo.ItemJson
+    val root = Files.createTempDirectory("graft-xtxn-pend").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 2, throughput = 1000000L)
+    store.createTable("ta", meta); store.createTable("tb", meta)
+    def it(s: String, v: Long): Item =
+      Map("pk" -> AttrVal.S(s), "v" -> AttrVal.N(BigDecimal(v)))
+    val txnId = "00deadbeef00cafe"
+    val pub = System.currentTimeMillis() + 5000000L
+    def pend(table: String, key: String, v: Long): Unit = {
+      val line = graft.sources.dynamo.ItemJson.write(Map(
+        "op" -> AttrVal.S("PUT"), "item" -> AttrVal.M(it(key, v))))
+      Files.write(java.nio.file.Paths.get(root, table,
+        f"wal-$pub%020d-w9.x$txnId-sall.jsonl"), (line + "\n").getBytes("UTF-8"))
+    }
+    pend("ta", "x", 7); pend("tb", "y", 8)
+    // invisible to scans, journal listings, and pinned multi-gets
+    assert(store.scanSegment("ta", 0, 1).isEmpty)
+    assert(store.scanSegment("tb", 0, 1).isEmpty)
+    assert(store.walFileNames("ta").isEmpty)
+    assert(store.transactGetMulti(Seq(
+      "ta" -> Seq(Map("pk" -> (AttrVal.S("x"): AttrVal))))) === Seq(Seq(None)))
+    // ...and it holds the CDC frontier down (a feed must not advance
+    // past the pubSeq the transaction will commit at)
+    val (names, floor) = store.walListingWithPendingFloor("ta", 60000L)
+    assert(names.isEmpty && floor.exists(_ <= pub),
+      s"CDC must fence below the pending file: $names / $floor")
+    // compaction must neither fold nor delete it
+    store.compact("ta")
+    assert(Files.exists(java.nio.file.Paths.get(root, "ta",
+      f"wal-$pub%020d-w9.x$txnId-sall.jsonl")))
+    assert(store.scanSegment("ta", 0, 1).isEmpty)
+    // COMMIT: one marker file — both tables flip together
+    val tmp = java.nio.file.Paths.get(root, s".txn-commit-$txnId.tmp")
+    Files.write(tmp, Array.empty[Byte])
+    Files.move(tmp, java.nio.file.Paths.get(root, s".txn-commit-$txnId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(store.scanSegment("ta", 0, 1).map(_._1).toSet === Set(it("x", 7)))
+    assert(store.scanSegment("tb", 0, 1).map(_._1).toSet === Set(it("y", 8)))
+    assert(ItemJson != null) // keep the import referenced
+  }
+
+  test("compaction fences below an unmarked pending file: no replay inversion") {
+    // A pending transaction commits at its ALREADY-ASSIGNED pubSeq.
+    // If compaction folded a LATER write while the transaction was
+    // still unmarked, the committed transaction would later replay
+    // over the folded base — the older write winning over the newer.
+    val root = Files.createTempDirectory("graft-xtxn-fence").toString
+    val store = new LocalKVStore(root)
+    store.createTable("t", TableMeta("pk", None, shards = 1, throughput = 1000000L))
+    def it(v: Long): Item =
+      Map("pk" -> AttrVal.S("k"), "v" -> AttrVal.N(BigDecimal(v)))
+    val txnId = "00deadbeef00beef"
+    val pub = System.currentTimeMillis() + 5000000L
+    val line = graft.sources.dynamo.ItemJson.write(Map(
+      "op" -> AttrVal.S("PUT"), "item" -> AttrVal.M(it(1))))
+    Files.write(java.nio.file.Paths.get(root, "t",
+      f"wal-$pub%020d-w9.x$txnId-sall.jsonl"), (line + "\n").getBytes("UTF-8"))
+    // a NEWER plain write to the same key, published above the pending
+    store.appendWal("t", pub + 10, "w1", Seq(store.Put(it(2))))
+    store.compact("t")
+    // the fence must keep the newer write UNFOLDED (still in journal)
+    assert(store.walFileNames("t").exists(_.contains("-w1-")),
+      "compaction folded past an unmarked pending file")
+    // commit the transaction; the newer plain write must still win
+    val tmp = java.nio.file.Paths.get(root, s".txn-commit-$txnId.tmp")
+    Files.write(tmp, Array.empty[Byte])
+    Files.move(tmp, java.nio.file.Paths.get(root, s".txn-commit-$txnId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(store.scanSegment("t", 0, 1).map(_._1).toSet === Set(it(2)),
+      "replay inversion: the committed transaction beat a newer write")
+    // and a post-commit compaction folds everything in the right order
+    store.compact("t")
+    assert(store.scanSegment("t", 0, 1).map(_._1).toSet === Set(it(2)))
+  }
+
+  test("cross-table transactions under racing readers and compaction never tear") {
+    import graft.sources.dynamo.TableTxn
+    val root = Files.createTempDirectory("graft-xtxn-race").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 2, throughput = 1000000L)
+    store.createTable("ta", meta); store.createTable("tb", meta)
+    def it(v: Long): Item =
+      Map("pk" -> AttrVal.S("k"), "v" -> AttrVal.N(BigDecimal(v)))
+    def k: Item = Map("pk" -> AttrVal.S("k"))
+    val rounds = 40
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writer = new Thread(() => {
+      try (1 to rounds).foreach { i =>
+        val st = new LocalKVStore(root)
+        st.transactWriteMulti(Seq(
+          TableTxn("ta", Seq(st.Put(it(i)))),
+          TableTxn("tb", Seq(st.Put(it(i))))), 1000L + i, s"w$i")
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try (0 until 6).foreach { _ =>
+        val st = new LocalKVStore(root)
+        st.compact("ta"); st.compact("tb"); Thread.sleep(5)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    writer.start(); compactor.start()
+    def vOf(r: Option[Item]): Long =
+      r.fold(0L)(_("v").asInstanceOf[AttrVal.N].v.toLong)
+    (0 until 200).foreach { _ =>
+      val rs = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
+      val (va, vb) = (vOf(rs(0).head), vOf(rs(1).head))
+      assert(va == vb,
+        s"torn cross-table read: ta=$va tb=$vb (the marker set must pin both)")
+    }
+    writer.join(); compactor.join()
+    assert(errs.isEmpty, s"background failure: ${errs.peek()}")
+    val fin = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
+    assert(vOf(fin(0).head) == rounds.toLong && vOf(fin(1).head) == rounds.toLong)
+  }
+
   test("transactWrite commits atomically across shards; replay and compaction compose") {
     val root = Files.createTempDirectory("graft-txn").toString
     val store = new LocalKVStore(root)
