@@ -278,30 +278,59 @@ object Similarity {
       // standard k-means steps, kept deterministic by the same
       // floor-quantized distances/means and tie→code-asc rule as the
       // final encode, so DuckDB replays the training bit-identically.
-      // assign: nearest codebook entry per (vector, subspace) by
-      // quantized L2 (tie → code asc) — the E-step, and also the encoder
-      def assign(codebook: DataFrame): DataFrame =
-        res.join(broadcast(codebook), Seq("m", "j"))
-          .groupBy("vec_id", "label", "m", "code")
-          .agg(floor(sum((col("r") - col("v")) * (col("r") - col("v"))) * 1000000 + 0.5)
-            .as("d"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("code").asc)))
-          .filter(col("rk") === 1)
-          .select("vec_id", "label", "m", "code")
-      // codebook: per-(m, code, j) mean residual over an assignment,
-      // floor-quantized — the M-step
-      def codebook(assignment: DataFrame): DataFrame =
-        res.join(assignment.select("vec_id", "m", "code"), Seq("vec_id", "m"))
-          .groupBy("m", "code", "j")
+      //
+      // FLATTENED shape (round 11): codebooks ride WIDE — one row per
+      // (m, j), one column per code — so the E-step needs no row
+      // multiplication and no join back against a same-sized
+      // assignment table: the four per-(vector, subspace) distances
+      // fold as windowed sums over the residual frame itself, every
+      // row learns its group's argmin code from one CASE (tie → code
+      // asc, exactly the old rank rule), and the M-step groups the
+      // SAME annotated frame. The old shape shuffled `res` against
+      // the assignment twice and ranked through an extra window; this
+      // one runs one (vec_id, m) window per pass. Quantization makes
+      // the re-shaped double sums bit-stable (error ~1e-15 against a
+      // 5e-7 rounding margin), so the DuckDB oracle still replays the
+      // training identically.
+      def wide(cbNarrow: DataFrame): DataFrame =
+        cbNarrow.groupBy("m", "j").agg(
+          max(when(col("code") === 0, col("v"))).as("v0"),
+          max(when(col("code") === 1, col("v"))).as("v1"),
+          max(when(col("code") === 2, col("v"))).as("v2"),
+          max(when(col("code") === 3, col("v"))).as("v3"))
+      val w = Window.partitionBy("vec_id", "m")
+      // quantized L2 to one codebook column; an absent code (empty
+      // cluster: its column is null at every j) sorts above every
+      // real distance and is never chosen
+      def qd(vc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        coalesce(
+          floor(sum((col("r") - vc) * (col("r") - vc)).over(w) * 1000000 + 0.5),
+          lit(Long.MaxValue))
+      // the E-step / encoder: every residual row annotated with its
+      // (vector, subspace) group's nearest code
+      def annotated(cbNarrow: DataFrame): DataFrame = {
+        val joined = res.join(broadcast(wide(cbNarrow)), Seq("m", "j"))
+        val (d0, d1, d2, d3) =
+          (qd(col("v0")), qd(col("v1")), qd(col("v2")), qd(col("v3")))
+        joined.withColumn("code",
+          when(d0 <= d1 && d0 <= d2 && d0 <= d3, 0)
+            .when(d1 <= d2 && d1 <= d3, 1)
+            .when(d2 <= d3, 2)
+            .otherwise(3))
+      }
+      // the M-step: per-(m, code, j) floor-quantized mean residual
+      def codebookOf(annot: DataFrame): DataFrame =
+        annot.groupBy("m", "code", "j")
           .agg((floor(avg("r") * 1000000 + 0.5) / 1000000).as("v"))
-      val seed = res.filter(col("j") < 2)
-        .groupBy("vec_id", "m")
-        .agg(sum(when(col("j") === 0 && col("r") > 0, 1).otherwise(0)
-               + when(col("j") === 1 && col("r") > 0, 2).otherwise(0)).as("code"))
-      val cb0 = codebook(seed)
-      val cb = codebook(assign(cb0)) // refined codebook (one Lloyd step)
-      val enc = assign(cb)
+      // seed codes fold as a windowed sum over the same frame
+      // (nonzero terms only at local dims 0 and 1)
+      val seeded = res.withColumn("code",
+        sum(when(col("j") === 0 && col("r") > 0, 1).otherwise(0)
+          + when(col("j") === 1 && col("r") > 0, 2).otherwise(0)).over(w))
+      val cb0 = codebookOf(seeded)
+      val cb = codebookOf(annotated(cb0)) // refined codebook (one Lloyd step)
+      val enc = annotated(cb).filter(col("j") === 0)
+        .select("vec_id", "label", "m", "code")
       // asymmetric-distance LUT: query residual (per probed cell) vs
       // each codebook entry
       val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))

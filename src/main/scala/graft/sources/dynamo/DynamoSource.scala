@@ -1716,6 +1716,33 @@ final class DynamoScan(
         return (DynamoZoneAnswerPartition(vals) +: scans).toArray
       }
     }
+    // PAGE-statistics answering — the Query-shaped (key-pinned) form
+    // of the block above, closing its `pushed.isEmpty` gap: when the
+    // pushed conjuncts are EXACTLY a key window (hash =/IN, sort-key
+    // bounds), the owning shards are compacted (journal-clean), and
+    // every window-intersecting page is FULLY contained in its window,
+    // the per-page statistics recorded at compaction cover precisely
+    // the qualifying rows — `SELECT min(x), count(*) WHERE hk = ?`
+    // answers with ZERO item reads: DynamoDB Query composed with the
+    // Parquet-row-group-statistics move. Any boundary page (a page
+    // sharing rows with neighboring keys), journal delta on an owning
+    // shard, in-flight transaction, or extra non-key conjunct declines
+    // to the ordinary paged scan — never a wrong answer, only a
+    // cheaper one when provable.
+    if (aggs.nonEmpty && grouped.isEmpty && opts.indexName.isEmpty &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true
+          case _ => false
+        }) {
+      pageAnswerPlan(store, meta).foreach { vals =>
+        return Array[InputPartition](DynamoZoneAnswerPartition(vals))
+      }
+    }
     // Materialized-GSI serve: when the copy is provably fresh — and
     // no read option needs BASE items (TTL liveness checks the base
     // item; snapshots address journal history the copy folded away) —
@@ -1944,6 +1971,60 @@ final class DynamoScan(
     }
     if (scanSet.size >= meta.shards) return None // nothing answerable
     answerValues(folded).map(vals => (vals, scanSet.toSet))
+  }
+
+  /** Fold the page statistics of a fully-contained key window into
+    * one answerable [[ShardStats]] (None = decline; see the planner
+    * block for the exactness argument). Requirements, all provable
+    * from sidecars alone:
+    *  - every pushed conjunct participates in the window shape (hash
+    *    =/IN, sort-key range/begins_with) — anything else constrains
+    *    rows WITHIN pages, which page grain cannot see;
+    *  - the owning shards have no journal (their pages are the whole
+    *    truth) and no transaction file is pending anywhere;
+    *  - each owning shard has a valid page directory whose window-
+    *    intersecting pages ALL carry stats and are ALL contained in
+    *    one of the windows.
+    */
+  private def pageAnswerPlan(store: LocalKVStore,
+      meta: TableMeta): Option[Seq[Option[AttrVal]]] = {
+    if (meta.rangeKey.isEmpty || meta.layout < 2) return None
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
+    val flat = pushed.toSeq.flatMap(conjuncts)
+    val windowable = flat.forall {
+      case EqualTo(a, v) => v != null &&
+        (a == meta.hashKey || meta.rangeKey.contains(a))
+      case In(a, vs) => a == meta.hashKey && vs != null && vs.nonEmpty
+      case GreaterThan(a, v) => v != null && meta.rangeKey.contains(a)
+      case GreaterThanOrEqual(a, v) => v != null && meta.rangeKey.contains(a)
+      case LessThan(a, v) => v != null && meta.rangeKey.contains(a)
+      case LessThanOrEqual(a, v) => v != null && meta.rangeKey.contains(a)
+      case StringStartsWith(a, p) => p != null && meta.rangeKey.contains(a)
+      case _ => false
+    }
+    if (!windowable) return None
+    val windows = PageIndex.deriveWindows(pushed.toSeq, meta.hashKey,
+      meta.rangeKey.get)
+    if (windows.isEmpty) return None
+    val owning = keyShards(store, meta).getOrElse(return None)
+    val dirty = store.journalShards(opts.tableName)
+    if (dirty.contains(LocalKVStore.TxnShard) ||
+        owning.exists(dirty.contains)) return None
+    var folded = ShardStats.empty
+    owning.toSeq.sorted.foreach { sh =>
+      val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
+      val idx = PageIndex.load(
+        dir.resolve(f"pageidx-s$sh%03d.jsonl"),
+        dir.resolve(f"shard-$sh%03d.jsonl")).getOrElse(return None)
+      idx.pages.foreach { p =>
+        if (windows.exists(PageIndex.intersects(p, _))) {
+          if (!windows.exists(PageIndex.contains(p, _))) return None
+          folded = folded.union(p.stats.getOrElse(return None))
+        }
+      }
+    }
+    answerValues(folded)
   }
 
   private def answerValues(folded: ShardStats): Option[Seq[Option[AttrVal]]] = {

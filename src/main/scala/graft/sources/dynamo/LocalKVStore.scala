@@ -2377,9 +2377,15 @@ final class LocalKVStore(root: String) {
     var pOff = 0L; var pLen = 0L; var pCount = 0
     var pMinH: String = null; var pMaxH: String = null
     var pMinR: AttrVal = null; var pMaxR: AttrVal = null
+    // exact per-page column statistics (min/max/present/sum per attr,
+    // row count) — the row-group-stats half of the Query fast path:
+    // a window whose pages are all fully contained answers hash-pinned
+    // aggregates from these with zero item reads
+    var pStats = ShardStats.empty
     def closePage(): Unit = if (pCount > 0) {
-      pages += PageIndex.Page(pOff, pLen, pMinH, pMaxH, pMinR, pMaxR)
-      pCount = 0; pLen = 0
+      pages += PageIndex.Page(pOff, pLen, pMinH, pMaxH, pMinR, pMaxR,
+        Some(pStats))
+      pCount = 0; pLen = 0; pStats = ShardStats.empty
     }
     val w = Files.newBufferedWriter(tmp, UTF_8)
     try sorted.foreach { it =>
@@ -2391,6 +2397,7 @@ final class LocalKVStore(root: String) {
         if (pCount == 0) { pOff = fileOff; pMinH = h; pMinR = r }
         pMaxH = h; pMaxR = r
         pCount += 1; pLen += bytes
+        pStats = pStats.widen(it)
         if (pCount >= PageIndex.pageMaxItems || pLen >= PageIndex.pageMaxBytes)
           closePage()
       }

@@ -58,7 +58,15 @@ object PageIndex {
     * file's sort order for the hash component.
     */
   final case class Page(off: Long, len: Long,
-      minH: String, maxH: String, minR: AttrVal, maxR: AttrVal)
+      minH: String, maxH: String, minR: AttrVal, maxR: AttrVal,
+      /** Exact [[ShardStats]] of THIS page's rows (recorded at write
+        * time since round 11) — the Parquet-row-group-statistics move:
+        * a hash-pinned unfiltered aggregate whose window pages are all
+        * FULLY inside the window answers from these with zero item
+        * reads. None on directories written before the field existed
+        * (they still prune; answering just declines).
+        */
+      stats: Option[ShardStats] = None)
 
   final case class ShardIndex(fileBytes: Long, mtimeNanos: Long,
       pages: Vector[Page])
@@ -147,6 +155,34 @@ object PageIndex {
     }
     startOk && endOk
   }
+
+  /** Is the page ENTIRELY inside the window — every row it holds
+    * provably matches the hash pin AND the sort-key bounds? The dual
+    * of [[intersects]], and the exactness condition for answering an
+    * aggregate from the page's recorded [[ShardStats]]: a contained
+    * page contributes ALL its rows, a merely-intersecting one would
+    * contribute strays. Any incomparable compare answers `false` —
+    * containment must be PROVEN.
+    */
+  def contains(p: Page, w: KeyWindow): Boolean =
+    p.minH == w.hashEnc && p.maxH == w.hashEnc && {
+      val loOk = w.lo.forall(lo => tryCompare(lo, p.minR) match {
+        case Some(c) => if (w.loInc) c <= 0 else c < 0
+        case None => false
+      })
+      val hiOk = w.hi.forall(hi => tryCompare(p.maxR, hi) match {
+        case Some(c) => if (w.hiInc) c <= 0 else c < 0
+        case None => false
+      })
+      // begins_with: both endpoints must carry the prefix — sort
+      // order then puts every row in between inside the prefix too
+      val prefOk = w.prefix.forall(pref => (p.minR, p.maxR) match {
+        case (AttrVal.S(a), AttrVal.S(b)) =>
+          a.startsWith(pref) && b.startsWith(pref)
+        case _ => false
+      })
+      loOk && hiOk && prefOk
+    }
 
   /** Spark filter literal → typed key value. Mirrors the scan
     * planner's shard-pruning conversion; None = a type the key
@@ -262,11 +298,19 @@ object PageIndex {
       "fileBytes" -> AttrVal.N(BigDecimal(idx.fileBytes)),
       "mtime" -> AttrVal.N(BigDecimal(idx.mtimeNanos))))).append('\n')
     idx.pages.foreach { p =>
-      sb.append(ItemJson.write(Map(
+      val base = Map(
         "off" -> AttrVal.N(BigDecimal(p.off)),
         "len" -> AttrVal.N(BigDecimal(p.len)),
         "minH" -> AttrVal.S(p.minH), "maxH" -> AttrVal.S(p.maxH),
-        "minR" -> p.minR, "maxR" -> p.maxR))).append('\n')
+        "minR" -> p.minR, "maxR" -> p.maxR)
+      // HLL registers dropped: NDV never answers from page grain, and
+      // the sketch would multiply the sidecar's size per page
+      val withStats = p.stats.fold(base) { st =>
+        val slim = st.copy(attrs = st.attrs.map { case (a, s) =>
+          a -> s.copy(hll = None) })
+        base + ("stats" -> (AttrVal.S(ShardStats.toJson(slim)): AttrVal))
+      }
+      sb.append(ItemJson.write(withStats)).append('\n')
     }
     Files.write(tmp, sb.toString.getBytes(UTF_8))
     Files.move(tmp, path,
@@ -303,9 +347,16 @@ object PageIndex {
     if (recordedMtime != mtimeNanosOf(basePath)) return None
     val pages = lines.tail.map { ln =>
       val it = ItemJson.parse(ln)
+      // page stats are OPTIONAL derived data: a missing or unparsable
+      // blob only disables answering for this directory, never the
+      // pruning the directory exists for
+      val stats = s(it, "stats").flatMap(j =>
+        try Some(ShardStats.fromJson(j))
+        catch { case _: RuntimeException => None })
       Page(n(it, "off").getOrElse(return None), n(it, "len").getOrElse(return None),
         s(it, "minH").getOrElse(return None), s(it, "maxH").getOrElse(return None),
-        it.getOrElse("minR", return None), it.getOrElse("maxR", return None))
+        it.getOrElse("minR", return None), it.getOrElse("maxR", return None),
+        stats)
     }
     Some(ShardIndex(recorded, recordedMtime, pages.toVector))
   }

@@ -2699,6 +2699,84 @@ class DynamoConnectorSpec extends AnyFunSuite {
       s"journal listing: ${files(_ => true).sorted.mkString(", ")}")
   }
 
+  test("page-stat-answered aggregates: hash-pinned MIN/MAX/COUNT/SUM read zero items") {
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
+      DynamoOptions, DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // ONE shard so both hash keys share a base file: "A" spans exactly
+    // 4 full 256-item pages (page-aligned → containable), then "B"'s
+    // 600 rows follow — its last page is short but still pure-B.
+    store.bulkLoad("pg", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (Iterator.tabulate(1024)(i => Map(
+        "hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i * 2)): AttrVal))) ++
+       Iterator.tabulate(600)(i => Map(
+        "hk" -> (AttrVal.S("B"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i * 3)): AttrVal)))))
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "pg"))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val aggs: Seq[PushedAgg] = Seq(
+      PushedAgg.MinOf(StructField("v", LongType)),
+      PushedAgg.MaxOf(StructField("v", LongType)),
+      PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("v", LongType), LongType))
+    def parts(pushed: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
+        .toBatch.planInputPartitions()
+    def answered(pushed: org.apache.spark.sql.sources.Filter*)
+        : (Long, Long, Long, Long) = {
+      val ps = parts(pushed: _*)
+      assert(ps.length === 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition],
+        s"expected a pure page-stat answer plan, got ${ps.toSeq}")
+      val r = new DynamoAggReaderFactory(opts, pushed.toArray, aggs)
+        .createReader(ps.head)
+      assert(r.next()); val row = r.get(); assert(!r.next())
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    }
+    // hash-pinned, page-aligned key: ZERO scan partitions — the whole
+    // aggregate comes from the owning shard's page statistics
+    assert(answered(EqualTo("hk", "A")) === ((0L, 2046L, 1024L, 1024L * 1023L)))
+    // the short-tail key answers too (its pages are pure-B)
+    assert(answered(EqualTo("hk", "B")) === ((0L, 1797L, 600L, 3L * (599L * 600L / 2))))
+    // page-aligned sort-key window: [256, 512) is exactly page 2 of A
+    assert(answered(EqualTo("hk", "A"), GreaterThanOrEqual("rk", 256L),
+      LessThan("rk", 512L)) === ((512L, 1022L, 256L, (512L to 1022L by 2).sum)))
+    // an unaligned sort window intersects a page it does not contain →
+    // decline to the ordinary paged scan (correct, just not item-free)
+    val declined = parts(EqualTo("hk", "A"), LessThan("rk", 100L))
+    assert(declined.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]) &&
+      declined.nonEmpty, declined.toSeq)
+    // a non-key conjunct constrains rows INSIDE pages → decline
+    val declined2 = parts(EqualTo("hk", "A"), EqualTo("v", 4L))
+    assert(declined2.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]), declined2.toSeq)
+    // a journal delta on the owning shard invalidates page truth → decline
+    store.appendWal("pg", System.currentTimeMillis() + 900000L, "wz",
+      (0 until 256).map(i => store.Put(Map(
+        "hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(5000 + i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(1)): AttrVal)))))
+    val declined3 = parts(EqualTo("hk", "A"))
+    assert(declined3.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]), declined3.toSeq)
+    // ...compaction folds the delta and — the new rows keeping A
+    // page-aligned — restores the zero-item path
+    store.compact("pg")
+    val (mn, mx, cnt, sm) = answered(EqualTo("hk", "A"))
+    assert((mn, mx, cnt, sm) === ((0L, 2046L, 1280L, 1024L * 1023L + 256L)))
+    // end-to-end: the answered plan equals the real computation
+    val got = spark.read.dynamo(root, "pg").filter(col("hk") === "A")
+      .agg(min("v"), max("v"), count(lit(1)), sum("v")).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ===
+      ((0L, 2046L, 1280L, 1024L * 1023L + 256L)))
+  }
+
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
     import spark.implicits._
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,
