@@ -253,20 +253,30 @@ object StreamOps {
     * constant-width keys, the history side arrives hash-sharded by
     * digest (its table hash key IS `fp`) — and the batch side is
     * micro-batch-sized; nothing rescans the corpus. The fresh set is
-    * eagerly materialized BEFORE either write: the second write would
-    * otherwise re-evaluate the anti-join against the fingerprint
-    * table it just updated and observe its own writes (empty set).
-    * Idempotent per batch content: a replayed batch re-derives the
-    * same digests, finds them registered, and appends nothing — the
-    * foreachBatch redelivery contract.
+    * eagerly materialized BEFORE the writes: they would otherwise
+    * re-evaluate the anti-join against the fingerprint table they
+    * update and observe their own writes (empty set).
+    *
+    * Atomicity (round 11): a document and its fingerprint commit in
+    * ONE cross-table transaction ([[graft.sources.dynamo.LocalKVStore.transactWriteMulti]],
+    * 50-doc chunks, committed from executors in parallel). Two
+    * separate table writes left a crash window with REAL failure
+    * modes on redelivery: documents admitted without fingerprints
+    * re-admit as duplicates, fingerprints registered without
+    * documents LOSE the documents to the anti-join forever. With the
+    * shared commit marker both halves land or neither does, so the
+    * replayed batch either finds the fingerprints (skips exactly the
+    * committed chunk) or re-runs it whole — idempotent per batch
+    * content, now crash-point-independent.
     */
   def ingestDedupBatch(root: String, dest: String, fpTable: String)(
       batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta, TableTxn}
     val s = batch.sparkSession
     val candidates = batch
       .withColumn("fp", sha2(col("text"), 256))
       .dropDuplicates("fp")
-    val store = new graft.sources.dynamo.LocalKVStore(root)
+    val store = new LocalKVStore(root)
     val fresh = (if (store.exists(fpTable))
       candidates.join(
         s.read.format("dynamo").option("path", root)
@@ -274,12 +284,51 @@ object StreamOps {
         Seq("fp"), "left_anti")
     else candidates).localCheckpoint(true)
     if (!fresh.isEmpty) {
-      fresh.drop("fp").write.format("dynamo")
-        .option("path", root).option("tableName", dest)
-        .option("hashKey", "doc_id").mode("append").save()
-      fresh.select("fp").write.format("dynamo")
-        .option("path", root).option("tableName", fpTable)
-        .option("hashKey", "fp").mode("append").save()
+      if (!store.exists(dest))
+        store.createTable(dest,
+          TableMeta("doc_id", None, shards = 16, throughput = 1000000L))
+      if (!store.exists(fpTable))
+        store.createTable(fpTable,
+          TableMeta("fp", None, shards = 16, throughput = 1000000L))
+      val docCols = fresh.schema.fieldNames.filterNot(_ == "fp").toSeq
+      fresh.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val st = new LocalKVStore(root)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        rows.grouped(50).zipWithIndex.foreach { case (chunk, ci) =>
+          val docOps = chunk.map(r =>
+            st.Put(docCols.flatMap(c => rowAttr(r, c).map(c -> _)).toMap))
+          val fpOps = chunk.map(r => st.Put(Map(
+            "fp" -> (AttrVal.S(r.getAs[String]("fp")): AttrVal))))
+          st.transactWriteMulti(Seq(
+            TableTxn(dest, docOps), TableTxn(fpTable, fpOps)),
+            System.currentTimeMillis(), f"ing-b$batchId%05d-p$pid%04d-c$ci%04d")
+        }
+      }
+    }
+  }
+
+  /** External row field → wire attribute, for the primitive families
+    * an ingest schema carries (null or an unmapped type omits the
+    * attribute — same sparsity rule as the DSv2 writer).
+    */
+  private def rowAttr(r: org.apache.spark.sql.Row,
+      c: String): Option[graft.sources.dynamo.AttrVal] = {
+    import graft.sources.dynamo.AttrVal
+    val i = r.fieldIndex(c)
+    if (r.isNullAt(i)) None
+    else r.get(i) match {
+      case v: String => Some(AttrVal.S(v))
+      case v: Long => Some(AttrVal.N(BigDecimal(v)))
+      case v: Int => Some(AttrVal.N(BigDecimal(v)))
+      case v: Short => Some(AttrVal.N(BigDecimal(v.toInt)))
+      case v: Byte => Some(AttrVal.N(BigDecimal(v.toInt)))
+      case v: Double => Some(AttrVal.N(BigDecimal(v)))
+      case v: Float => Some(AttrVal.N(BigDecimal(v.toDouble)))
+      case v: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(v)))
+      case v: Boolean => Some(AttrVal.Bool(v))
+      case v: Array[Byte] => Some(AttrVal.B(v))
+      case v: java.sql.Timestamp => Some(AttrVal.N(BigDecimal(v.getTime)))
+      case _ => None
     }
   }
 

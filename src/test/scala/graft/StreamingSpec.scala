@@ -374,6 +374,36 @@ class StreamingSpec extends AnyFunSuite {
       val fps = spark.read.format("dynamo").option("path", root)
         .option("tableName", "fingerprints").load().count()
       assert(fps === 3L)
+      // batch 4 — CRASHED prior delivery: a publisher died between
+      // its per-table pending publishes and the commit marker. The
+      // orphans are invisible (no marker), so the REPLAYED delivery
+      // must re-run the chunk whole and admit the doc exactly once —
+      // the crash-point-independence the cross-table transaction buys
+      // (two independent table writes would re-admit or lose here).
+      import graft.sources.dynamo.{AttrVal, ItemJson}
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val deltaFp = md.digest("delta".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val txnId = "00abad1dea00dead"
+      val pub = System.currentTimeMillis() + 800000L
+      def pend(table: String, item: Map[String, AttrVal]): Unit = {
+        val line = ItemJson.write(Map(
+          "op" -> (AttrVal.S("PUT"): AttrVal),
+          "item" -> (AttrVal.M(item): AttrVal)))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, table,
+            f"wal-$pub%020d-dead.x$txnId-sall.jsonl"),
+          (line + "\n").getBytes("UTF-8"))
+      }
+      pend("corpus", Map(
+        "doc_id" -> AttrVal.N(BigDecimal(8)), "text" -> AttrVal.S("delta")))
+      pend("fingerprints", Map("fp" -> AttrVal.S(deltaFp)))
+      in.addData(Doc(8L, "delta"))
+      q.processAllAvailable()
+      val afterB4 = corpus()
+      assert(afterB4.count(_._2 == "delta") === 1,
+        s"crash replay must admit exactly once: $afterB4")
+      assert(afterB4.exists(r => r._1 == 8L && r._2 == "delta"))
     } finally q.stop()
   }
 
@@ -412,6 +442,59 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(Doc(5L, base))
       q.processAllAvailable()
       assert(corpus() == Seq(1L, 4L), "replayed content must not double-admit")
+    } finally q.stop()
+  }
+
+  test("the CDC feed admits a cross-table transaction atomically at its commit marker") {
+    import graft.sources.dynamo.{AttrVal, ItemJson, LocalKVStore, TableMeta}
+    import graft.sources.dynamo.Implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft-cdc-xtxn").toString
+    val store = new LocalKVStore(root)
+    store.createTable("ta", TableMeta("id", None, shards = 2, throughput = 1000000L))
+    def put(k: String, seqOff: Long): Unit =
+      store.appendWal("ta", System.currentTimeMillis() + seqOff, s"w$seqOff",
+        Seq(store.Put(Map("id" -> (AttrVal.S(k): AttrVal)))))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    put("r1", 0L)
+    val q = spark.readStream.dynamoStream(root, "ta", cdc = true)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-xtxn-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => seen.add(r.getString(0)))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.contains("r1"))
+      // in-flight cross-table transaction: its pending file is
+      // published (pubSeq assigned) but the commit marker has not
+      // landed — the feed must neither deliver it NOR advance past
+      // its pubSeq onto later writes (they would commit out of order)
+      val txnId = "00c0ffee00c0ffee"
+      val pub = System.currentTimeMillis()
+      val line = ItemJson.write(Map(
+        "op" -> (AttrVal.S("PUT"): AttrVal),
+        "item" -> (AttrVal.M(Map("id" -> AttrVal.S("r2"))): AttrVal)))
+      Files.write(Paths.get(root, "ta",
+        f"wal-$pub%020d-w9.x$txnId-sall.jsonl"), (line + "\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+      put("r3", 10L)
+      Thread.sleep(15)
+      q.processAllAvailable()
+      assert(!seen.contains("r2") && !seen.contains("r3"),
+        s"the frontier must hold below an unmarked pending transaction: $seen")
+      // ONE marker rename commits: the transaction AND the later
+      // write both flow on the next batch, in pubSeq order
+      val tmp = Paths.get(root, s".txn-commit-$txnId.tmp")
+      Files.write(tmp, Array.empty[Byte])
+      Files.move(tmp, Paths.get(root, s".txn-commit-$txnId"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(15)
+      q.processAllAvailable()
+      assert(seen.contains("r2") && seen.contains("r3"), s"got $seen")
     } finally q.stop()
   }
 
