@@ -1511,6 +1511,10 @@ final class LocalKVStore(root: String) {
             case TxnCheck.Absent(_) => cur.isEmpty
             case TxnCheck.ValueEq(_, attr, expected) =>
               cur.exists(_.get(attr).contains(expected))
+            case TxnCheck.Cond(_, p) =>
+              require(FilterEval.supported(p),
+                s"unsupported condition predicate: $p")
+              cur.exists(FilterEval.eval(p, _))
           }
           if (!ok) throw new TxnCheckFailedException(
             s"transaction condition failed on ${keyOf(meta, c.key)}: $c " +
@@ -1578,6 +1582,10 @@ final class LocalKVStore(root: String) {
             case TxnCheck.Absent(_) => cur.isEmpty
             case TxnCheck.ValueEq(_, attr, expected) =>
               cur.exists(_.get(attr).contains(expected))
+            case TxnCheck.Cond(_, p) =>
+              require(FilterEval.supported(p),
+                s"unsupported condition predicate: $p")
+              cur.exists(FilterEval.eval(p, _))
           }
           if (!ok) throw new TxnCheckFailedException(
             s"cross-table condition failed on ${tx.table}/" +
@@ -3382,6 +3390,20 @@ object TxnCheck {
   final case class Absent(key: ItemJson.Item) extends TxnCheck
   final case class ValueEq(key: ItemJson.Item, attr: String,
       expected: AttrVal) extends TxnCheck
+  /** General condition — the full ConditionExpression comparator
+    * family (`=`, `<>`, ranges, IN, BETWEEN as a range conjunction,
+    * `begins_with`/`contains` as the string filters,
+    * `attribute_exists`/`attribute_not_exists` as IsNotNull/IsNull),
+    * expressed as a Spark [[org.apache.spark.sql.sources.Filter]] and
+    * evaluated over the key's CURRENT wire item with [[FilterEval]]'s
+    * three-valued semantics: the check passes only when the predicate
+    * is DEFINITELY TRUE against a present item (an absent item fails
+    * every Cond — DynamoDB's rule; use [[Absent]] to assert absence).
+    * Not covered (no Filter analogue): `size()` and
+    * `attribute_type()`.
+    */
+  final case class Cond(key: ItemJson.Item,
+      predicate: org.apache.spark.sql.sources.Filter) extends TxnCheck
 }
 
 /** A transaction condition did not hold at publish; nothing of the

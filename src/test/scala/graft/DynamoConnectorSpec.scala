@@ -2777,6 +2777,92 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ((0L, 2046L, 1280L, 1024L * 1023L + 256L)))
   }
 
+  test("LAW: page-stat-answered aggregates equal the scanned truth, for any key window") {
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
+      DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val aggs: Seq[PushedAgg] = Seq(
+      PushedAgg.MinOf(StructField("v", LongType)),
+      PushedAgg.MaxOf(StructField("v", LongType)),
+      PushedAgg.CountAll,
+      PushedAgg.CountOf(StructField("v", LongType)),
+      PushedAgg.SumOf(StructField("v", LongType), LongType))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    var answeredRuns = 0
+    (0 until 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed.toLong)
+      val root = freshRoot()
+      val store = new LocalKVStore(root)
+      val keysN = 2 + rnd.nextInt(3)
+      val hks = (0 until keysN).map(i => s"K$i")
+      // per-key row counts straddle the 256-item page size so pure
+      // AND boundary pages both occur across seeds; ~10% of rows
+      // carry no `v` (sparse attribute → present-counter paths)
+      val rows = hks.flatMap { hk =>
+        val n = 100 + rnd.nextInt(500)
+        (0 until n).map { i =>
+          val base = Map(
+            "hk" -> (AttrVal.S(hk): AttrVal),
+            "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal))
+          if (rnd.nextInt(10) == 0) base
+          else base + ("v" -> (AttrVal.N(BigDecimal(rnd.nextInt(2000) - 1000L)): AttrVal))
+        }
+      }
+      store.bulkLoad("law", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L), rows.iterator)
+      val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "law"))
+      // random window: hash EQ or IN(2), optional sort bounds
+      val pinnedHks =
+        if (rnd.nextBoolean()) Seq(hks(rnd.nextInt(keysN)))
+        else rnd.shuffle(hks).take(2).sorted
+      val hashF: Filter =
+        if (pinnedHks.size == 1) EqualTo("hk", pinnedHks.head)
+        else In("hk", pinnedHks.toArray[Any])
+      val boundFs = scala.collection.mutable.ArrayBuffer.empty[Filter]
+      var (lo, loInc, hi, hiInc) = (Long.MinValue, true, Long.MaxValue, true)
+      if (rnd.nextBoolean()) {
+        val b = rnd.nextInt(700).toLong
+        if (rnd.nextBoolean()) { boundFs += GreaterThanOrEqual("rk", b); lo = b; loInc = true }
+        else { boundFs += GreaterThan("rk", b); lo = b; loInc = false }
+      }
+      if (rnd.nextBoolean()) {
+        val b = rnd.nextInt(700).toLong
+        if (rnd.nextBoolean()) { boundFs += LessThanOrEqual("rk", b); hi = b; hiInc = true }
+        else { boundFs += LessThan("rk", b); hi = b; hiInc = false }
+      }
+      val pushed = (hashF +: boundFs.toSeq).toArray
+      val ps = new DynamoScan(opts, schema, pushed, aggs = aggs)
+        .toBatch.planInputPartitions()
+      if (ps.length == 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition]) {
+        answeredRuns += 1
+        val r = new DynamoAggReaderFactory(opts, pushed, aggs)
+          .createReader(ps.head)
+        assert(r.next()); val row = r.get(); assert(!r.next())
+        // scanned truth over the same window semantics
+        val in = rows.filter { it =>
+          val hk = it("hk").asInstanceOf[AttrVal.S].v
+          val rk = it("rk").asInstanceOf[AttrVal.N].v.toLong
+          pinnedHks.contains(hk) &&
+            (if (loInc) rk >= lo else rk > lo) &&
+            (if (hiInc) rk <= hi else rk < hi)
+        }
+        val vs = in.flatMap(_.get("v")).map(_.asInstanceOf[AttrVal.N].v.toLong)
+        def lg(i: Int): Option[Long] = if (row.isNullAt(i)) None else Some(row.getLong(i))
+        assert(lg(0) === vs.minOption, s"seed $seed MIN")
+        assert(lg(1) === vs.maxOption, s"seed $seed MAX")
+        assert(lg(2) === Some(in.size.toLong), s"seed $seed COUNT(*)")
+        assert(lg(3) === Some(vs.size.toLong), s"seed $seed COUNT(v)")
+        assert(lg(4) === (if (vs.isEmpty) None else Some(vs.sum)), s"seed $seed SUM")
+      }
+    }
+    assert(answeredRuns >= 2,
+      s"law never exercised the answered path ($answeredRuns runs) — data shape drifted")
+  }
+
   test("zone-map-answered MIN/MAX: exact stats answer without scanning, inexactness declines") {
     import spark.implicits._
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoInputPartition,

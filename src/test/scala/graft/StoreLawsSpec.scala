@@ -464,6 +464,52 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(view() === Set("a", "b"))
   }
 
+  test("Cond checks carry the full ConditionExpression comparator family") {
+    import graft.sources.dynamo.{TableTxn, TxnCheck, TxnCheckFailedException}
+    import org.apache.spark.sql.sources.{And, GreaterThan, IsNull, LessThanOrEqual, Not, StringStartsWith}
+    val root = Files.createTempDirectory("graft-txn-cond").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 2, throughput = 1000000L)
+    store.createTable("t", meta); store.createTable("u", meta)
+    def k(s: String): Item = Map("pk" -> AttrVal.S(s))
+    def it(s: String, bal: Long, tag: String): Item = k(s) +
+      ("bal" -> AttrVal.N(BigDecimal(bal))) + ("tag" -> AttrVal.S(tag))
+    store.transactWrite("t", 1L, "seed", Seq(store.Put(it("acct", 100, "prem"))))
+    // BETWEEN as a range conjunction + begins_with, on the same item
+    store.transactWrite("t", 2L, "w1", Seq(store.Put(it("acct", 90, "prem"))),
+      checks = Seq(TxnCheck.Cond(k("acct"),
+        And(And(GreaterThan("bal", 50L), LessThanOrEqual("bal", 100L)),
+          StringStartsWith("tag", "pr")))))
+    // a failing comparator aborts (bal is 90, not > 200)
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 3L, "w2", Seq(store.Put(it("acct", 0, "x"))),
+        checks = Seq(TxnCheck.Cond(k("acct"), GreaterThan("bal", 200L))))
+    }
+    // three-valued semantics: NOT over a MISSING attribute is UNKNOWN,
+    // never TRUE — the check fails rather than passing vacuously
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 4L, "w3", Seq(store.Put(it("acct", 0, "x"))),
+        checks = Seq(TxnCheck.Cond(k("acct"), Not(IsNull("missing_attr")))))
+    }
+    // Cond against an ABSENT item fails (DynamoDB's rule; Absent
+    // asserts absence explicitly)
+    intercept[TxnCheckFailedException] {
+      store.transactWrite("t", 5L, "w4", Seq(store.Put(it("ghost", 1, "g"))),
+        checks = Seq(TxnCheck.Cond(k("nope"), IsNull("whatever"))))
+    }
+    // and the same checks gate CROSS-TABLE transactions
+    intercept[TxnCheckFailedException] {
+      store.transactWriteMulti(Seq(
+        TableTxn("t", Seq(store.Put(it("acct", 1, "x")))),
+        TableTxn("u", Seq(store.Put(it("other", 1, "y"))),
+          checks = Seq(TxnCheck.Cond(k("acct"), GreaterThan("bal", 0L))))),
+        6L, "w5") // key 'acct' does not exist in table u
+    }
+    val bal = store.scanSegment("t", 0, 1).map(_._1)
+      .find(_("pk") == AttrVal.S("acct")).get("bal")
+    assert(bal === AttrVal.N(BigDecimal(90)), s"only w1 should have landed: $bal")
+  }
+
   test("condition checks serialize against concurrent transactions") {
     import graft.sources.dynamo.{TxnCheck, TxnCheckFailedException}
     val root = Files.createTempDirectory("graft-txn-serial").toString
