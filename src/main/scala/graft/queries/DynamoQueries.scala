@@ -493,6 +493,34 @@ object DynamoQueries {
     root
   }
 
+  /** Seed `events_bytype` — the DynamoDB time-series shape (hash
+    * `event_type`, range `event_id`): a handful of partition keys,
+    * each spanning MANY pages. Compaction's hash-group page alignment
+    * makes every type's run page-pure, so a type-pinned aggregate
+    * answers from per-page statistics with zero item reads
+    * (`q_dyn_query_agg`). Values ride as integer cents so sums are
+    * exact and order-independent.
+    */
+  private def seededEventsByTypeRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "events_bytype", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.events(s, sfDir)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+          .repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "events_bytype")
+          .option("hashKey", "event_type").option("rangeKey", "event_id")
+          .mode("append").save()
+        DynamoMaintenance.compact(s, root, "events_bytype")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   private def seededCounterRoot(s: SparkSession, sfDir: String): String = {
     val root = storeRoot(sfDir)
     withSeedLock(root) {
@@ -796,6 +824,20 @@ object DynamoQueries {
         .join(broadcast(sums.select(col("chunk"), col("n_rows"),
           col("sum_cents"))), Seq("chunk"))
         .orderBy("chunk")
+    }),
+    // PAGE-STATISTIC-ANSWERED Query aggregate (§2A 59): the pushed
+    // hash pin + pushed MIN/MAX/COUNT/SUM resolve entirely from the
+    // owning shard's per-page statistics — hash-group page alignment
+    // keeps each event_type's run page-pure, so the plan is ONE
+    // metadata partition with zero item reads (spec-pinned); the
+    // oracle recomputes over the raw events fixture.
+    "q_dyn_query_agg" -> ((s, dir) => {
+      val root = seededEventsByTypeRoot(s, dir)
+      s.read.dynamo(root, "events_bytype")
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("value_cents").as("cents"))
     }),
     "q_dyn_counter" -> ((s, dir) => {
       val root = seededCounterRoot(s, dir)
@@ -1333,6 +1375,14 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM customer GROUP BY 1 ORDER BY chunk""".stripMargin,
+    // the type-pinned aggregate reduces to the same numbers over the
+    // raw events fixture (cents keep the sum exact)
+    "q_dyn_query_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "q_dyn_counter" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(value), 2) AS amount

@@ -2402,6 +2402,18 @@ final class LocalKVStore(root: String) {
       if (indexable) {
         val h = hashOf(it)
         val r = rangeOf(it)
+        // Hash-group alignment: when the partition key CHANGES and the
+        // open page is already substantial, close it so the new group
+        // starts on a page boundary — large key runs (the time-series
+        // shape) then consist of PURE pages end to end, which is what
+        // lets a hash-pinned aggregate answer from page statistics
+        // with zero item reads (a straddling page poisons the whole
+        // window's containment proof). The size floor keeps small
+        // interleaved groups packing densely: at most one early close
+        // per ≥64-row group, so the directory grows by at most one
+        // page per large group.
+        if (pCount >= PageIndex.pageAlignMinItems && pMaxH != null && h != pMaxH)
+          closePage()
         if (pCount == 0) { pOff = fileOff; pMinH = h; pMinR = r }
         pMaxH = h; pMaxR = r
         pCount += 1; pLen += bytes

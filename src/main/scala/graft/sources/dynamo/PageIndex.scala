@@ -51,6 +51,18 @@ object PageIndex {
   val pageMaxItems = 256
   val pageMaxBytes = 64 * 1024
 
+  /** Hash-group page alignment floor: a page that already holds this
+    * many items closes early when the partition key changes, so a
+    * large key's run occupies PURE pages (its window then answers
+    * aggregates from page statistics alone — a run's TAIL below the
+    * floor would otherwise straddle into the next group and poison
+    * the whole window's containment proof). Below the floor, small
+    * interleaved groups keep packing densely: alignment costs at most
+    * one sub-page per ≥floor-row group, bounding directory growth to
+    * ~1 extra line per such group.
+    */
+  val pageAlignMinItems = 32
+
   /** One page's composite-key coverage. `minR`/`maxR` are the typed
     * sort-key values (compared with the same semantics Spark uses:
     * UTF8String byte order for S, numeric for N); hash bounds are the

@@ -2777,6 +2777,42 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ((0L, 2046L, 1280L, 1024L * 1023L + 256L)))
   }
 
+  test("hash-group page alignment keeps every large key's run answerable") {
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
+      DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // three 300-row groups in ONE shard: without alignment the 44-row
+    // tails of A and B would straddle into their successors and
+    // poison every window's containment proof — with it, each MIDDLE
+    // key still answers with zero item reads
+    store.bulkLoad("al", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (for (k <- Iterator("A", "B", "C"); i <- Iterator.range(0, 300)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "al"))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.MinOf(StructField("v", LongType)),
+      PushedAgg.MaxOf(StructField("v", LongType)))
+    Seq("A", "B", "C").foreach { k =>
+      val ps = new DynamoScan(opts, schema, Array(EqualTo("hk", k)), aggs = aggs)
+        .toBatch.planInputPartitions()
+      assert(ps.length === 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition],
+        s"key $k must answer from aligned page stats, got ${ps.toSeq}")
+      val r = new DynamoAggReaderFactory(opts, Array(EqualTo("hk", k)), aggs)
+        .createReader(ps.head)
+      assert(r.next()); val row = r.get()
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((300L, 0L, 299L)))
+    }
+  }
+
   test("LAW: page-stat-answered aggregates equal the scanned truth, for any key window") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
       DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
