@@ -1743,6 +1743,34 @@ final class DynamoScan(
         return Array[InputPartition](DynamoZoneAnswerPartition(vals))
       }
     }
+    // GSI Query aggregate answering — the index-key-pinned form of
+    // the page-statistics path above: when the materialized copy is
+    // provably EXACT (no delta, no journal overlay) and the pushed
+    // conjuncts are a key window on the INDEX keys whose intersecting
+    // copy pages are all fully contained, the aggregate folds from
+    // the copy's own page statistics with zero item reads — DynamoDB
+    // GSI Query + row-group stats. Same decline directions as the
+    // base path; any staleness tier other than Exact falls through to
+    // the ordinary serve.
+    if (aggs.nonEmpty && grouped.isEmpty && opts.indexName.isDefined &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        serveViaIndex.forall(identity) &&
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true
+          case _ => false
+        }) {
+      val ixName = opts.indexName.get
+      if (meta.indexes.contains(ixName) &&
+          store.indexFreshness(opts.tableName, ixName) == LocalKVStore.IndexExact) {
+        indexPageAnswerPlan(store, meta, ixName).foreach { vals =>
+          return Array[InputPartition](DynamoZoneAnswerPartition(vals))
+        }
+      }
+    }
     // Materialized-GSI serve: when the copy is provably fresh — and
     // no read option needs BASE items (TTL liveness checks the base
     // item; snapshots address journal history the copy folded away) —
@@ -2017,6 +2045,51 @@ final class DynamoScan(
       val idx = PageIndex.load(
         dir.resolve(f"pageidx-s$sh%03d.jsonl"),
         dir.resolve(f"shard-$sh%03d.jsonl")).getOrElse(return None)
+      idx.pages.foreach { p =>
+        if (windows.exists(PageIndex.intersects(p, _))) {
+          if (!windows.exists(PageIndex.contains(p, _))) return None
+          folded = folded.union(p.stats.getOrElse(return None))
+        }
+      }
+    }
+    answerValues(folded)
+  }
+
+  /** [[pageAnswerPlan]] over a MATERIALIZED INDEX COPY's page
+    * directories: windows derive from the INDEX keys, owning shards
+    * from the index hash placement, and page truth from the copy
+    * files (`gsi-<name>-shard-*` + `gsi-pageidx-<name>-s*`). Caller
+    * guarantees the copy is EXACT — the stats then describe exactly
+    * the index view. A copy invalidation racing this read fails the
+    * directory's size/mtime validation and declines.
+    */
+  private def indexPageAnswerPlan(store: LocalKVStore, meta: TableMeta,
+      ixName: String): Option[Seq[Option[AttrVal]]] = {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
+    val ix = meta.indexes(ixName)
+    val rk = ix.rangeKey.getOrElse(return None)
+    val flat = pushed.toSeq.flatMap(conjuncts)
+    val windowable = flat.forall {
+      case EqualTo(a, v) => v != null && (a == ix.hashKey || a == rk)
+      case In(a, vs) => a == ix.hashKey && vs != null && vs.nonEmpty
+      case GreaterThan(a, v) => v != null && a == rk
+      case GreaterThanOrEqual(a, v) => v != null && a == rk
+      case LessThan(a, v) => v != null && a == rk
+      case LessThanOrEqual(a, v) => v != null && a == rk
+      case StringStartsWith(a, p) => p != null && a == rk
+      case _ => false
+    }
+    if (!windowable) return None
+    val windows = PageIndex.deriveWindows(pushed.toSeq, ix.hashKey, rk)
+    if (windows.isEmpty) return None
+    val owning = indexKeyShards(store, meta, ix).getOrElse(return None)
+    val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
+    var folded = ShardStats.empty
+    owning.toSeq.sorted.foreach { sh =>
+      val idx = PageIndex.load(
+        dir.resolve(f"gsi-pageidx-$ixName-s$sh%03d.jsonl"),
+        dir.resolve(f"gsi-$ixName-shard-$sh%03d.jsonl")).getOrElse(return None)
       idx.pages.foreach { p =>
         if (windows.exists(PageIndex.intersects(p, _))) {
           if (!windows.exists(PageIndex.contains(p, _))) return None

@@ -2544,7 +2544,20 @@ final class LocalKVStore(root: String) {
     // high-water mark so scanSegment can reject unsatisfiable snapshot
     // reads loudly. One file per shard (compaction runs shard-parallel
     // — a shared file would race); written atomically via tmp+move.
-    folding.map(walPubSeq).maxOption.foreach { mx =>
+    //
+    // TRANSACTION (`-sall`) files count here too, even though only the
+    // whole-table reclaim may DELETE them: their ops entered this
+    // shard's base at this fold, so (a) an asOfSeq below their pubSeq
+    // already reads post-cut state through the base, and (b) a pinned
+    // snapshot read (transactGet/transactGetMulti) whose listing
+    // predates a racing transaction could otherwise see that
+    // transaction leak in through the base of the shards it reads
+    // AFTER this fold — with NO watermark movement for its retry
+    // fence to detect (the reclaim-time bump only covers files
+    // captured BEFORE the pass, so a mid-pass-committed transaction
+    // folded here moved nothing). Every fold must be observable.
+    (folding ++ pinned.filter(walShard(_) == LocalKVStore.TxnShard))
+      .map(walPubSeq).maxOption.foreach { mx =>
       val wmPath = dir.resolve(f"compact-wm-s$shard%03d")
       val prev =
         if (Files.exists(wmPath))

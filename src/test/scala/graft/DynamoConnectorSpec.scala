@@ -4304,6 +4304,53 @@ class DynamoConnectorSpec extends AnyFunSuite {
       s"expected a paged GSI read, scanned ${scan.metrics("itemsScanned").value}")
   }
 
+  test("GSI Query aggregates answer from the copy's page statistics with zero item reads") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
+      DynamoScan, DynamoZoneAnswerPartition, PushedAgg, AttrVal}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val rows = for (i <- 0L until 6000L)
+      yield (i, s"cat${i % 4}", (i / 4) % 1500, s"pl-$i")
+    rows.toDF("id", "cat", "score", "payload").repartition(8)
+      .write.dynamo(root, "ga", "id")
+    val store = new LocalKVStore(root)
+    store.createIndex("ga", "by_cat",
+      IndexMeta("cat", Some("score"), Some(Seq("payload"))))
+    store.buildIndex("ga", "by_cat")
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "ga", "indexName", "by_cat"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("score", LongType), StructField("payload", StringType)))
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.MinOf(StructField("score", LongType)),
+      PushedAgg.MaxOf(StructField("score", LongType)),
+      PushedAgg.SumOf(StructField("score", LongType), LongType))
+    def parts() = new DynamoScan(opts, schema,
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("cat", "cat1")),
+      aggs = aggs).toBatch.planInputPartitions()
+    val ps = parts()
+    assert(ps.length === 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition],
+      s"an EXACT copy + pinned index key must answer from page stats: ${ps.toSeq}")
+    val r = new DynamoAggReaderFactory(opts,
+      Array(EqualTo("cat", "cat1")), aggs).createReader(ps.head)
+    assert(r.next()); val row = r.get(); assert(!r.next())
+    // cat1 = 1500 rows, scores 0..1499 once each
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((1500L, 0L, 1499L, 1500L * 1499L / 2)))
+    // ANY staleness tier other than Exact declines (a write demotes
+    // the copy to the journal/delta tier) — ordinary serve, no answer
+    store.appendWal("ga", System.currentTimeMillis() + 900000L, "wz",
+      Seq(store.Put(Map(
+        "id" -> (AttrVal.N(BigDecimal(9999)): AttrVal),
+        "cat" -> (AttrVal.S("cat1"): AttrVal),
+        "score" -> (AttrVal.N(BigDecimal(7)): AttrVal)))))
+    val stale = parts()
+    assert(stale.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]), stale.toSeq)
+  }
+
   test("key-pruned scans report shard-subset statistics (Query sides can auto-broadcast)") {
     val root = freshRoot()
     seedQueryTable(root, "qs")

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -705,11 +707,36 @@ class StoreLawsSpec extends AnyFunSuite {
     writer.start(); compactor.start()
     def vOf(r: Option[Item]): Long =
       r.fold(0L)(_("v").asInstanceOf[AttrVal.N].v.toLong)
+    def forensics(): String = {
+      def ls(sub: String) = {
+        val d = java.nio.file.Paths.get(root, sub)
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.map(p =>
+          s"${p.getFileName}:${java.nio.file.Files.size(p)}").toSeq.sorted
+            .mkString("[", ", ", "]")
+        finally s.close()
+      }
+      val markers = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".txn-commit-")).toSeq.sorted.mkString(",")
+        finally s.close()
+      }
+      s"markers=[$markers]\nta=${ls("ta")}\ntb=${ls("tb")}"
+    }
     (0 until 200).foreach { _ =>
       val rs = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
       val (va, vb) = (vOf(rs(0).head), vOf(rs(1).head))
-      assert(va == vb,
-        s"torn cross-table read: ta=$va tb=$vb (the marker set must pin both)")
+      if (va != vb) {
+        // capture everything a post-mortem needs BEFORE failing, and
+        // distinguish a transient read race (a re-read heals) from
+        // real store divergence (it persists)
+        val state = forensics()
+        val again = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
+        val (va2, vb2) = (vOf(again(0).head), vOf(again(1).head))
+        fail(s"torn cross-table read: ta=$va tb=$vb; re-read ta=$va2 tb=$vb2 " +
+          s"(${if (va2 == vb2) "TRANSIENT read race" else "PERSISTENT divergence"})\n$state")
+      }
     }
     writer.join(); compactor.join()
     assert(errs.isEmpty, s"background failure: ${errs.peek()}")
