@@ -1646,8 +1646,25 @@ final class LocalKVStore(root: String) {
     var attempt = 0
     while (true) {
       attempt += 1
-      val committed = listCommittedTxnIds()
+      // Base fingerprints close the fold window the watermark cannot
+      // see (new base published BEFORE the watermark bump — see
+      // [[transactGet]]): a mid-pass-committed transaction folded
+      // into ONE table's base would otherwise leak around the pinned
+      // marker set with no watermark movement. CAPTURE ORDER IS THE
+      // PROOF: fingerprints FIRST, then the marker set — any fold
+      // that could carry a post-capture-committed transaction into a
+      // base this pass reads necessarily lands AFTER the marker
+      // capture, hence after the fingerprint capture, hence inside
+      // the fingerprint window where the recheck sees it. Captured
+      // the other way round, a fold in between would present a
+      // post-snapshot base under an unchanged fingerprint.
       val wmBefore = reads.map { case (t, _) => compactionWatermark(t) }
+      val ownShards = reads.map { case (t, ks) =>
+        val m = describe(t); ks.map(shardOf(m, _)).distinct
+      }
+      val fpBefore = reads.zip(ownShards).map { case ((t, _), shs) =>
+        shardStateFingerprint(t, shs) }
+      val committed = listCommittedTxnIds()
       // A listed journal file can vanish under the read when a fold
       // races the pass (listed, then folded+deleted before the open)
       // — that IS a moved watermark; retry like a post-scan mismatch.
@@ -1672,11 +1689,13 @@ final class LocalKVStore(root: String) {
       } catch { case _: java.nio.file.NoSuchFileException => None }
       out match {
         case Some(r)
-            if reads.map { case (t, _) => compactionWatermark(t) } == wmBefore =>
+            if reads.map { case (t, _) => compactionWatermark(t) } == wmBefore &&
+              reads.zip(ownShards).map { case ((t, _), shs) =>
+                shardStateFingerprint(t, shs) } == fpBefore =>
           return r
         case _ => ()
       }
-      if (attempt >= 5) throw new IllegalStateException(
+      if (attempt >= 8) throw new IllegalStateException(
         s"transactGetMulti raced a moving compaction watermark " +
           s"$attempt times — snapshot read cannot be pinned")
     }
@@ -1747,13 +1766,25 @@ final class LocalKVStore(root: String) {
     while (true) {
       attempt += 1
       val wmBefore = compactionWatermark(table)
+      // The watermark alone cannot fence a racing fold: compaction
+      // publishes the NEW base (which already contains any mid-pass
+      // transaction it folded) BEFORE it bumps the watermark, so a
+      // read running entirely inside that gap would see post-snapshot
+      // state with no watermark movement to detect. Any fold rewrites
+      // base files — the fingerprint (restricted to the shards this
+      // read touches) closes the gap structurally, and it is captured
+      // BEFORE the snapshot listing: a fold able to leak a
+      // post-listing write through the base necessarily lands inside
+      // the fingerprint window.
+      val ownShards = keys.map(shardOf(meta, _)).distinct
+      val fpBefore = shardStateFingerprint(table, ownShards)
       val snapshot = Some(listFiles(table, "wal-")
         .map(_.getFileName.toString).toSet)
       val found = mutable.HashMap.empty[String, Item]
       // a listed file vanishing under the read IS a racing fold —
       // retry exactly like a post-scan watermark mismatch
       val torn = try {
-        keys.map(shardOf(meta, _)).distinct.foreach { sh =>
+        ownShards.foreach { sh =>
           scanSegment(table, sh, meta.shards, allowedWal = snapshot)
             .map(_._1)
             .foreach { it =>
@@ -1763,9 +1794,10 @@ final class LocalKVStore(root: String) {
         }
         false
       } catch { case _: java.nio.file.NoSuchFileException => true }
-      if (!torn && compactionWatermark(table) == wmBefore)
+      if (!torn && compactionWatermark(table) == wmBefore &&
+          shardStateFingerprint(table, ownShards) == fpBefore)
         return canon.map(found.get)
-      if (attempt >= 5) throw new IllegalStateException(
+      if (attempt >= 8) throw new IllegalStateException(
         s"transactGet on '$table' raced a moving compaction watermark " +
           s"$attempt times — snapshot read cannot be pinned")
     }
@@ -2872,10 +2904,16 @@ final class LocalKVStore(root: String) {
     */
   private def baseManifest(table: String): String = {
     val dir = tableDir(table)
+    // nanosecond mtimes: two same-size rewrites within one millisecond
+    // would be invisible at millis — the snapshot-read fingerprint
+    // fence (transactGet/transactGetMulti) needs the finer stamp, the
+    // same reasoning as PageIndex's generation stamp. (Backup
+    // manifests recorded at millis mismatch once and fall back to one
+    // full copy — the safe direction.)
     (listFiles(table, "shard-") :+ dir.resolve("meta.json"))
       .filter(Files.isRegularFile(_))
       .map(p => s"${p.getFileName} ${Files.size(p)} " +
-        s"${Files.getLastModifiedTime(p).toMillis}")
+        s"${Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
       .sorted.mkString("\n")
   }
 
@@ -2899,6 +2937,30 @@ final class LocalKVStore(root: String) {
         .foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+  }
+
+  /** [[baseStateFingerprint]] restricted to the shard files a pinned
+    * read actually touches (plus the table meta): the snapshot-read
+    * retry fence compares this before/after, and whole-table
+    * sensitivity would make a read of ONE shard retry on rewrites of
+    * every other — under a compaction loop that turns bounded retries
+    * into spurious unpinnable failures.
+    */
+  private[dynamo] def shardStateFingerprint(table: String,
+      shards: Seq[Int]): String = {
+    val dir = tableDir(table)
+    val names = shards.distinct.sorted.map(sh => f"shard-$sh%03d.jsonl") :+
+      "meta.json"
+    val body = names.map { n =>
+      val p = dir.resolve(n)
+      if (Files.isRegularFile(p))
+        try s"$n ${Files.size(p)} " +
+          s"${Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)}"
+        catch { case _: java.io.IOException => s"$n RACING" }
+      else s"$n ABSENT"
+    }.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(body.getBytes(UTF_8)).map("%02x".format(_)).mkString
   }
 
   /** Digest of [[baseManifest]] — a compact "has any base-state file

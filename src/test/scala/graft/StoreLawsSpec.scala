@@ -711,9 +711,13 @@ class StoreLawsSpec extends AnyFunSuite {
       def ls(sub: String) = {
         val d = java.nio.file.Paths.get(root, sub)
         val s = java.nio.file.Files.list(d)
-        try s.iterator().asScala.map(p =>
-          s"${p.getFileName}:${java.nio.file.Files.size(p)}").toSeq.sorted
-            .mkString("[", ", ", "]")
+        // files vanish under a racing writer/compactor — forensics
+        // must tolerate that, not replace the evidence with its own crash
+        try s.iterator().asScala.map { p =>
+          val sz = try java.nio.file.Files.size(p).toString
+            catch { case _: java.io.IOException => "GONE" }
+          s"${p.getFileName}:$sz"
+        }.toSeq.sorted.mkString("[", ", ", "]")
         finally s.close()
       }
       val markers = {
@@ -724,20 +728,34 @@ class StoreLawsSpec extends AnyFunSuite {
       }
       s"markers=[$markers]\nta=${ls("ta")}\ntb=${ls("tb")}"
     }
+    // The read contract under a compaction TIGHT-LOOP (this storm is
+    // one, deliberately): every returned result is consistent, and a
+    // read that cannot pin a snapshot after bounded retries fails
+    // LOUDLY — never returns torn data. Both outcomes are legal here;
+    // only a torn RETURN is a bug. Some reads must still land between
+    // compactions or the law would be vacuous.
+    var okReads = 0
     (0 until 200).foreach { _ =>
-      val rs = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
-      val (va, vb) = (vOf(rs(0).head), vOf(rs(1).head))
-      if (va != vb) {
-        // capture everything a post-mortem needs BEFORE failing, and
-        // distinguish a transient read race (a re-read heals) from
-        // real store divergence (it persists)
-        val state = forensics()
-        val again = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
-        val (va2, vb2) = (vOf(again(0).head), vOf(again(1).head))
-        fail(s"torn cross-table read: ta=$va tb=$vb; re-read ta=$va2 tb=$vb2 " +
-          s"(${if (va2 == vb2) "TRANSIENT read race" else "PERSISTENT divergence"})\n$state")
+      try {
+        val rs = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
+        okReads += 1
+        val (va, vb) = (vOf(rs(0).head), vOf(rs(1).head))
+        if (va != vb) {
+          // capture everything a post-mortem needs BEFORE failing, and
+          // distinguish a transient read race (a re-read heals) from
+          // real store divergence (it persists)
+          val state = forensics()
+          val again = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
+          val (va2, vb2) = (vOf(again(0).head), vOf(again(1).head))
+          fail(s"torn cross-table read: ta=$va tb=$vb; re-read ta=$va2 tb=$vb2 " +
+            s"(${if (va2 == vb2) "TRANSIENT read race" else "PERSISTENT divergence"})\n$state")
+        }
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("cannot be pinned") => () // loud, legal
       }
     }
+    assert(okReads > 0, "every read failed to pin — the fence is too eager")
     writer.join(); compactor.join()
     assert(errs.isEmpty, s"background failure: ${errs.peek()}")
     val fin = store.transactGetMulti(Seq("ta" -> Seq(k), "tb" -> Seq(k)))
