@@ -455,10 +455,15 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "txn_sum", "_seeded")
       if (!Files.exists(marker)) {
+        // exists-guards keep the seed re-entrant after a crash
+        // between createTable and the marker: the reseed then re-runs
+        // the idempotent Puts over the surviving dirs instead of
+        // re-initializing metadata over published journal history
+        // (which double-publishes and leans on compaction to converge)
         val st0 = new LocalKVStore(root)
-        st0.createTable("txn_cust",
+        if (!st0.exists("txn_cust")) st0.createTable("txn_cust",
           TableMeta("c_custkey", None, shards = 16, throughput = 1000000L))
-        st0.createTable("txn_sum",
+        if (!st0.exists("txn_sum")) st0.createTable("txn_sum",
           TableMeta("chunk", None, shards = 4, throughput = 1000000L))
         Fixtures.customer(s, sfDir)
           .select(col("c_custkey"),

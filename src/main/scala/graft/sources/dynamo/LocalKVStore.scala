@@ -1548,11 +1548,15 @@ final class LocalKVStore(root: String) {
     * after they age out); death AFTER the marker is a committed
     * transaction — both tables serve it. There is no in-between.
     *
-    * Snapshot cuts (`asOfSeq`) key on per-table pubSeq, so a cut
-    * landing between a transaction's two per-table pubSeqs can tear
-    * it — the same caveat DynamoDB documents for backups/exports
-    * (transactional atomicity is not preserved through PITR). Use
-    * [[transactGetMulti]] for a live cross-table-consistent read.
+    * Snapshot cuts (`asOfSeq`) key on per-table pubSeq; a cut landing
+    * between a transaction's per-table pubSeqs resolves to NONE — the
+    * replay skips the early tables' files so restore/export/
+    * time-travel never reproduce the half-transaction tear DynamoDB
+    * documents for PITR ([[asOfExcludedTxnIds]]; the marker body
+    * carries each participant's published file name to make the
+    * decision marker-local, and the read fails loudly when the early
+    * side was already folded into a base). Use [[transactGetMulti]]
+    * for a live cross-table-consistent read.
     */
   def transactWriteMulti(txns: Seq[TableTxn], seq: Long,
       writerId: String): Unit = {
@@ -1595,17 +1599,23 @@ final class LocalKVStore(root: String) {
       }
       // Ops are pure data (no store-instance state), so re-binding
       // another instance's Op values to this one is safe.
-      val staged = ordered.map(tx => transactStage(tx.table, seq,
+      val staged = ordered.map(tx => transactStage0(tx.table, seq,
         s"$writerId.x$txnId", tx.ops.asInstanceOf[Seq[Op]]))
       val published = mutable.ArrayBuffer.empty[(String, String)]
       try {
         staged.foreach(st => published += ((st.table, transactPublish(st))))
         // COMMIT POINT — one atomic rename; everything before it is
-        // invisible, everything after it is fully visible.
+        // invisible, everything after it is fully visible. The body
+        // records `<table>\t<walFileName>` per participant (v2, round
+        // 12): the file name carries the per-table publish seq, which
+        // is what lets an `asOfSeq` reader decide from the marker
+        // ALONE whether a cut includes this transaction in EVERY
+        // table or none ([[asOfExcludedTxnIds]]).
         val marker = txnMarkerPath(txnId)
         val mTmp = Paths.get(rootDir, s".txn-commit-$txnId.tmp")
         Files.write(mTmp,
-          ordered.map(_.table).mkString("\n").getBytes(UTF_8))
+          published.map { case (t, n) => s"$t\t$n" }.mkString("\n")
+            .getBytes(UTF_8))
         Files.move(mTmp, marker,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         LocalKVStore.committedTxnCache.add(rootDir + "|" + txnId)
@@ -1859,6 +1869,22 @@ final class LocalKVStore(root: String) {
     */
   def transactStage(table: String, seq: Long, writerId: String,
       ops: Seq[Op]): StagedTxn = {
+    // The '.x<16-hex>' suffix is the cross-table pending marker shape:
+    // a caller-supplied writerId that parses as one would make this
+    // single-table transaction's published file invisible to every
+    // listing (no commit marker will ever exist for the forged id)
+    // and eligible for orphan reaping — silent data loss. Only
+    // [[transactWriteMulti]] may mint that shape (it routes through
+    // the private staging entry below).
+    require(LocalKVStore.crossTxnIdOf(
+        f"wal-$seq%020d-$writerId-sall.jsonl").isEmpty,
+      s"writerId '$writerId' ends with the reserved '.x<txnId>' " +
+        "marker shape (use transactWriteMulti for cross-table writes)")
+    transactStage0(table, seq, writerId, ops)
+  }
+
+  private[dynamo] def transactStage0(table: String, seq: Long,
+      writerId: String, ops: Seq[Op]): StagedTxn = {
     require(ops.nonEmpty, "empty transaction")
     val meta = describe(table)
     ops.foreach(op => keyOf(meta, op.item)) // validate before staging
@@ -1986,12 +2012,21 @@ final class LocalKVStore(root: String) {
     */
   private def walOps(table: String, segment: Int, totalSegments: Int,
       asOfSeq: Option[Long] = None,
-      allowedWal: Option[Set[String]] = None): Iterator[Op] =
+      allowedWal: Option[Set[String]] = None): Iterator[Op] = {
+    // cross-table-consistent cut: a committed transaction straddling
+    // the cut (some table's publish ≤ cut, another's >) is resolved
+    // to NONE — its files skip here, and the sibling's are already
+    // above the cut ([[asOfExcludedTxnIds]] throws when the skip is
+    // impossible because the ops were folded into the base)
+    val excludedTxn = asOfSeq
+      .map(asOfExcludedTxnIds(table, _)).getOrElse(Set.empty)
     listFiles(table, "wal-").filter { p =>
       val sh = walShard(p)
       sh == LocalKVStore.TxnShard || sh % totalSegments == segment
     }
       .filter(p => asOfSeq.forall(walPubSeq(p) <= _))
+      .filter(p => excludedTxn.isEmpty || !LocalKVStore
+        .crossTxnIdOf(p.getFileName.toString).exists(excludedTxn))
       .filter(p => allowedWal.forall(_.contains(p.getFileName.toString)))
       .sortBy(_.getFileName.toString).iterator
       .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
@@ -2004,6 +2039,112 @@ final class LocalKVStore(root: String) {
           opOf(meta, rec("op").asInstanceOf[AttrVal.S].v, item)
         }
       }
+  }
+
+  /** Txn ids an `asOfSeq` replay of `table` must SKIP so the cut is
+    * cross-table consistent (round 12): a committed cross-table
+    * transaction whose per-table publish seqs STRADDLE the cut would
+    * otherwise appear in the tables where it published early and be
+    * absent where it published late — the half-transaction tear
+    * DynamoDB documents for PITR, which restore/export/time-travel
+    * here refuse to reproduce. Straddlers resolve to NONE: this
+    * table's files skip, the sibling's are already above the cut.
+    *
+    * Throws (never guesses) when all-or-nothing is unachievable:
+    *  - the straddler's ops were already FOLDED into this table's
+    *    base (its journal file is gone; a base cannot un-fold), or
+    *  - a v1 name-only marker leaves a participant's publish seq
+    *    unresolvable (file folded, that table's watermark above the
+    *    cut) — a wrong include tears here, a wrong exclude tears in
+    *    the sibling that already folded it.
+    * The message names the transaction's publish window so the
+    * caller can re-cut at ≥ max (include everywhere) or rely on
+    * compaction-watermark retention for < min.
+    *
+    * v2 marker bodies (`<table>\t<walFileName>` lines) decide from
+    * the marker alone; v1 bodies (bare table names) resolve each
+    * participant by listing its directory. A marker deleted between
+    * the listing and the read was fully folded everywhere — within
+    * any admissible cut, no constraint.
+    *
+    * Scope: the guarantee is for cuts that precede the marker's
+    * landing — i.e. any cut trailing the present by more than the
+    * publish→marker commit latency (milliseconds, under the table
+    * locks). A "cut" at the live edge racing an in-flight commit is
+    * [[transactGetMulti]]'s domain: that path captures ONE marker
+    * set for all tables, which a per-table snapshot replay cannot.
+    */
+  private def asOfExcludedTxnIds(table: String, cut: Long): Set[String] = {
+    val ids = listCommittedTxnIds()
+    if (ids.isEmpty) return Set.empty
+    def pubOfName(n: String): Long =
+      n.stripPrefix("wal-").takeWhile(_ != '-').toLong
+    val excluded = mutable.HashSet.empty[String]
+    ids.foreach { id =>
+      val body =
+        try new String(Files.readAllBytes(txnMarkerPath(id)), UTF_8)
+        catch { case _: java.io.IOException => "" }
+      val lines = body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      // participant → (pubSeq if resolvable, file name if known)
+      val parts: Seq[(String, Option[Long], Option[String])] =
+        if (lines.exists(_.contains('\t'))) lines.map { l =>
+          val i = l.indexOf('\t')
+          val (t, n) = (l.substring(0, i), l.substring(i + 1))
+          (t, Some(pubOfName(n)), Some(n))
+        } else lines.map { t =>
+          val dir = Paths.get(rootDir, t)
+          val found: Option[String] =
+            if (!Files.isDirectory(dir)) None
+            else {
+              val s = Files.list(dir)
+              try s.iterator().asScala.map(_.getFileName.toString)
+                .find(n => LocalKVStore.crossTxnIdOf(n).contains(id))
+              finally s.close()
+            }
+          (t, found.map(pubOfName), found)
+        }
+      if (parts.exists(_._1 == table)) {
+        // a participant with no live file folded at ≤ its watermark;
+        // the bound substitutes for the unknown publish seq when it
+        // proves ≤ cut, and is AMBIGUOUS when above the cut
+        def leqCut(p: (String, Option[Long], Option[String])) = p match {
+          case (_, Some(seq), _) => Some(seq <= cut)
+          case (t, None, _) =>
+            if (compactionWatermark(t) <= cut) Some(true) else None
+        }
+        val decisions = parts.map(leqCut)
+        if (!decisions.forall(_.contains(true))) {
+          // not (provably) fully within the cut → must exclude
+          // everywhere it WOULD appear; check this table's side
+          val mine = parts.find(_._1 == table).get
+          val ambiguous = decisions.contains(None)
+          val minePast = leqCut(mine).contains(true)
+          val mineLive = mine._3.exists(n =>
+            Files.exists(tableDir(table).resolve(n)))
+          if (minePast && !mineLive) {
+            val pubs = parts.flatMap(_._2)
+            throw new IllegalStateException(
+              s"asOfSeq=$cut tears cross-table transaction $id: its ops " +
+                s"in '$table' were already folded into the base, but the " +
+                s"transaction published up to ${pubs.maxOption.getOrElse(-1L)} " +
+                s"in ${parts.map(_._1).mkString("{", ",", "}")}. Choose a " +
+                "cut at or after that seq to include it everywhere.")
+          }
+          if (ambiguous && minePast) {
+            throw new IllegalStateException(
+              s"asOfSeq=$cut cannot be proven cross-table consistent for " +
+                s"transaction $id (a v1 marker leaves a participant's " +
+                s"publish seq unresolvable in ${parts.map(_._1).mkString("{", ",", "}")}); " +
+                "re-cut at a seq covering every participant's watermark, " +
+                "or recommit the store to refresh markers to v2.")
+          }
+          if (minePast) excluded += id
+          // mine not ≤ cut: the pubSeq filter already drops it here
+        }
+      }
+    }
+    excluded.toSet
+  }
 
   // ---- change feed (streaming read offsets) ----
 

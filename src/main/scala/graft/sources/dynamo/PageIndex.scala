@@ -237,26 +237,57 @@ object PageIndex {
     * sound to window on). Soundness of the SET: a key outside every
     * window either fails the hash equality/IN conjunct or the range
     * conjuncts — both evaluated on every emitted item.
+    *
+    * EVERY hash-pinning conjunct participates: multiple `=`/`IN`
+    * conjuncts on the hash key INTERSECT their value sets (in the
+    * store's encoded-key space, whose equality is the comparison the
+    * file order uses). This matters for the page-statistics ANSWER
+    * path, which — unlike the scan path — never re-evaluates the
+    * pushed conjuncts per row: a first-conjunct-only window for
+    * `hk='a' AND hk='b'` would over-cover and return 'a'-rows'
+    * aggregates where the true answer is the empty set. An empty
+    * intersection, an unconvertible pinned value, or any over-cap IN
+    * list declines windowing entirely (Nil) — sound in both
+    * directions (scan: full read + row filters; answer: decline).
+    * Incompatible `begins_with` prefixes decline the same way (see
+    * the prefix fold below).
     */
   def deriveWindows(filters: Seq[Filter], hashKey: String, rangeKey: String): Seq[KeyWindow] = {
     val flat = filters.flatMap(conjuncts)
-    val hashes: Seq[AttrVal] = flat.collectFirst {
-      case EqualTo(a, v) if a == hashKey && v != null => Seq(v)
-      case In(a, vs) if a == hashKey && vs.nonEmpty && !vs.contains(null) &&
-        vs.length <= maxHashWindows => vs.toSeq
-    }.map(_.flatMap(literalAttr(_).toSeq)).getOrElse(Nil)
-    // every pinned value must convert, or the window set would
-    // silently drop a branch of the IN disjunction
-    val converted = flat.collectFirst {
-      case EqualTo(a, v) if a == hashKey && v != null => 1
-      case In(a, vs) if a == hashKey && vs.nonEmpty && !vs.contains(null) &&
-        vs.length <= maxHashWindows => vs.length
-    }.getOrElse(0)
-    if (hashes.isEmpty || hashes.length != converted) return Nil
-    hashes.map { h =>
+    // one converted encoded-value set PER hash-pinning conjunct;
+    // None = a conjunct whose window participation cannot be proven
+    // (null / unconvertible / over-cap) — declines the whole set, so
+    // no branch of an IN disjunction is ever silently dropped
+    val pinSets: Seq[Option[Set[String]]] = flat.collect {
+      case EqualTo(a, v) if a == hashKey =>
+        if (v == null) None
+        else literalAttr(v).map(x => Set(LocalKVStore.encKeyAttr(x)))
+      case In(a, vs) if a == hashKey =>
+        if (vs == null || vs.isEmpty || vs.contains(null) ||
+            vs.length > maxHashWindows) None
+        else {
+          val conv = vs.toSeq.flatMap(v =>
+            literalAttr(v).map(LocalKVStore.encKeyAttr))
+          if (conv.length == vs.length) Some(conv.toSet) else None
+        }
+    }
+    if (pinSets.isEmpty || pinSets.exists(_.isEmpty)) return Nil
+    val hashEncs: Seq[String] =
+      pinSets.flatten.reduce(_ intersect _).toSeq.sorted
+    if (hashEncs.isEmpty) return Nil
+    // conjoined begins_with prefixes must form a chain (each a prefix
+    // of the longest) — the longest then implies them all; diverging
+    // prefixes make the true range empty, which page containment
+    // cannot express, so decline
+    val prefixes = flat.collect {
+      case StringStartsWith(a, p) if a == rangeKey && p != null => p
+    }
+    val longestPrefix = prefixes.sortBy(-_.length).headOption
+    if (longestPrefix.exists(lp => prefixes.exists(p => !lp.startsWith(p))))
+      return Nil
+    hashEncs.map { hEnc =>
       var lo: Option[AttrVal] = None; var loInc = true
       var hi: Option[AttrVal] = None; var hiInc = true
-      var prefix: Option[String] = None
       def tightenLo(v: AttrVal, inc: Boolean): Unit = lo match {
         case None => lo = Some(v); loInc = inc
         case Some(cur) => tryCompare(v, cur) match {
@@ -283,14 +314,12 @@ object PageIndex {
         case LessThanOrEqual(a, v) if a == rangeKey && v != null =>
           literalAttr(v).foreach(tightenHi(_, inc = true))
         case StringStartsWith(a, p) if a == rangeKey && p != null =>
+          // the chain check above proved the longest prefix implies
+          // every other; each still tightens the lower bound
           tightenLo(AttrVal.S(p), inc = true)
-          // conjoined prefixes: the longer one subsumes the shorter
-          // when compatible; incompatible prefixes still prune soundly
-          // on whichever is kept (both conjuncts evaluate on rows)
-          if (prefix.forall(q => p.length > q.length)) prefix = Some(p)
         case _ => ()
       }
-      KeyWindow(LocalKVStore.encKeyAttr(h), lo, loInc, hi, hiInc, prefix)
+      KeyWindow(hEnc, lo, loInc, hi, hiInc, longestPrefix)
     }
   }
 

@@ -273,7 +273,11 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Unit = {
     import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta, TableTxn}
     val s = batch.sparkSession
+    // a null hash key cannot be Put (the whole 50-doc transaction
+    // would abort at key validation), and a null text has no
+    // fingerprint to dedup on — reject both up front
     val candidates = batch
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .withColumn("fp", sha2(col("text"), 256))
       .dropDuplicates("fp")
     val store = new LocalKVStore(root)
@@ -290,15 +294,15 @@ object StreamOps {
       if (!store.exists(fpTable))
         store.createTable(fpTable,
           TableMeta("fp", None, shards = 16, throughput = 1000000L))
-      val docCols = fresh.schema.fieldNames.filterNot(_ == "fp").toSeq
+      val schema = fresh.schema
       fresh.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val st = new LocalKVStore(root)
+        val encode = rowItemEncoder(schema)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         rows.grouped(50).zipWithIndex.foreach { case (chunk, ci) =>
-          val docOps = chunk.map(r =>
-            st.Put(docCols.flatMap(c => rowAttr(r, c).map(c -> _)).toMap))
-          val fpOps = chunk.map(r => st.Put(Map(
-            "fp" -> (AttrVal.S(r.getAs[String]("fp")): AttrVal))))
+          val items = chunk.map(encode)
+          val docOps = items.map(it => st.Put(it - "fp"))
+          val fpOps = items.map(it => st.Put(Map("fp" -> it("fp"))))
           st.transactWriteMulti(Seq(
             TableTxn(dest, docOps), TableTxn(fpTable, fpOps)),
             System.currentTimeMillis(), f"ing-b$batchId%05d-p$pid%04d-c$ci%04d")
@@ -307,29 +311,24 @@ object StreamOps {
     }
   }
 
-  /** External row field → wire attribute, for the primitive families
-    * an ingest schema carries (null or an unmapped type omits the
-    * attribute — same sparsity rule as the DSv2 writer).
+  /** External `Row` → wire item via the CONNECTOR's own codec
+    * ([[graft.sources.dynamo.Codec.rowWriter]] behind Spark's
+    * external→Catalyst converter): the ingesters' Puts then carry
+    * exactly what the DSv2 append path would have written — arrays,
+    * structs, maps, dates, and the Java 8 datetime types included,
+    * timestamps in the same micros encoding a scan reads back — and
+    * an unmapped type fails LOUDLY at encoder construction instead
+    * of silently dropping the attribute. Nulls are kept as
+    * `AttrVal.Null` (Put replaces the whole item; a null column IS
+    * the item's content — the DSv2 Put rule).
     */
-  private def rowAttr(r: org.apache.spark.sql.Row,
-      c: String): Option[graft.sources.dynamo.AttrVal] = {
-    import graft.sources.dynamo.AttrVal
-    val i = r.fieldIndex(c)
-    if (r.isNullAt(i)) None
-    else r.get(i) match {
-      case v: String => Some(AttrVal.S(v))
-      case v: Long => Some(AttrVal.N(BigDecimal(v)))
-      case v: Int => Some(AttrVal.N(BigDecimal(v)))
-      case v: Short => Some(AttrVal.N(BigDecimal(v.toInt)))
-      case v: Byte => Some(AttrVal.N(BigDecimal(v.toInt)))
-      case v: Double => Some(AttrVal.N(BigDecimal(v)))
-      case v: Float => Some(AttrVal.N(BigDecimal(v.toDouble)))
-      case v: java.math.BigDecimal => Some(AttrVal.N(BigDecimal(v)))
-      case v: Boolean => Some(AttrVal.Bool(v))
-      case v: Array[Byte] => Some(AttrVal.B(v))
-      case v: java.sql.Timestamp => Some(AttrVal.N(BigDecimal(v.getTime)))
-      case _ => None
-    }
+  private def rowItemEncoder(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row => graft.sources.dynamo.ItemJson.Item = {
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    val write = graft.sources.dynamo.Codec.rowWriter(schema)
+    r => write(toCatalyst(r)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
   }
 
   /** Streaming NEAR-duplicate ingestion: admit each micro-batch's
@@ -358,8 +357,11 @@ object StreamOps {
       bandTable: String, threshold: Double = 0.5)(
       batch: DataFrame, batchId: Long): Unit = {
     import graft.queries.Dedup
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta, TableTxn}
     val s = batch.sparkSession
-    val docs = batch.select("doc_id", "text").dropDuplicates("doc_id")
+    val docs = batch.select("doc_id", "text")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .dropDuplicates("doc_id")
     if (docs.isEmpty) return
     val sigs = Dedup.minhashSigs(Dedup.tokIds(docs)).localCheckpoint(true)
     val bands = Dedup.bandsOfSigs(sigs)
@@ -404,18 +406,56 @@ object StreamOps {
       .join(localDrops.union(histDrops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // freeze BEFORE the writes below register
     if (!admitted.isEmpty) {
-      admitted.write.format("dynamo")
-        .option("path", root).option("tableName", dest)
-        .option("hashKey", "doc_id").mode("append").save()
-      sigs.join(admitted.select("doc_id"), Seq("doc_id"))
-        .write.format("dynamo")
-        .option("path", root).option("tableName", sigTable)
-        .option("hashKey", "doc_id").mode("append").save()
-      bands.join(admitted.select("doc_id"), Seq("doc_id"))
-        .write.format("dynamo")
-        .option("path", root).option("tableName", bandTable)
-        .option("hashKey", "bb").option("rangeKey", "doc_id")
-        .mode("append").save()
+      // Crash atomicity (round 12): an admitted document, its
+      // signature row, and ALL its band postings commit in ONE
+      // cross-table transaction. The previous three independent
+      // appends left a crash window in which a document was admitted
+      // but invisible to the history probe (missing band/sig rows) —
+      // its future near-duplicates would then admit. One row per doc
+      // carries the whole write (text + 12 minima + collected bucket
+      // list), chunked so 8 ops/doc stays inside the 100-op
+      // TransactWriteItems bound; chunks commit from executors in
+      // parallel, and a crash replays to either "fully registered —
+      // rejected as its own near-dup" or "absent — re-admitted once".
+      if (!store.exists(dest))
+        store.createTable(dest,
+          TableMeta("doc_id", None, shards = 16, throughput = 1000000L))
+      if (!store.exists(sigTable))
+        store.createTable(sigTable,
+          TableMeta("doc_id", None, shards = 16, throughput = 1000000L))
+      if (!store.exists(bandTable))
+        store.createTable(bandTable,
+          TableMeta("bb", Some("doc_id"), shards = 16, throughput = 1000000L))
+      val payload = admitted
+        .join(sigs, Seq("doc_id"))
+        .join(bands.groupBy("doc_id")
+          .agg(collect_list(col("bb")).as("bbs")), Seq("doc_id"))
+      val schema = payload.schema
+      val sigFields = Set("doc_id") ++ mhCols
+      payload.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val st = new LocalKVStore(root)
+        val encode = rowItemEncoder(schema)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        rows.grouped(12).zipWithIndex.foreach { case (chunk, ci) =>
+          val items = chunk.map(encode)
+          val docOps = items.map(it => st.Put(Map(
+            "doc_id" -> it("doc_id"), "text" -> it("text"))))
+          val sigOps = items.map(it =>
+            st.Put(it.view.filterKeys(sigFields).toMap))
+          val bandOps = items.flatMap { it =>
+            val bbs = it("bbs") match {
+              case AttrVal.L(vs) => vs
+              case other => throw new IllegalStateException(
+                s"band bucket list decoded as $other")
+            }
+            bbs.map(bb => st.Put(Map("bb" -> bb, "doc_id" -> it("doc_id"))))
+          }
+          st.transactWriteMulti(Seq(
+            TableTxn(dest, docOps), TableTxn(sigTable, sigOps),
+            TableTxn(bandTable, bandOps)),
+            System.currentTimeMillis(), f"ndg-b$batchId%05d-p$pid%04d-c$ci%04d")
+        }
+      }
     }
   }
 

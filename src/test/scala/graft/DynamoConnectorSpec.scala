@@ -2777,6 +2777,50 @@ class DynamoConnectorSpec extends AnyFunSuite {
       ((0L, 2046L, 1280L, 1024L * 1023L + 256L)))
   }
 
+  test("conflicting hash pins never reach the page-stat answer path (over-coverage regression)") {
+    import graft.sources.dynamo.{DynamoOptions, DynamoScan,
+      DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("ov", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (for (k <- Iterator("A", "B"); i <- Iterator.range(0, 300)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "ov"))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("v", LongType), LongType))
+    def parts(pushed: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
+        .toBatch.planInputPartitions()
+    // contradictory equalities: the true answer is the EMPTY set — a
+    // first-pin-only window would return A's count/sum from page
+    // stats with no row ever re-checking hk='B'
+    val contradictory = parts(EqualTo("hk", "A"), EqualTo("hk", "B"))
+    assert(contradictory.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]),
+      s"contradictory pins must decline the answer path: ${contradictory.toSeq}")
+    // IN ∧ EQ intersects to {A}: answering is LEGAL here and must
+    // carry exactly A's aggregate
+    val ps = parts(In("hk", Array[Any]("A", "B")), EqualTo("hk", "A"))
+    assert(ps.length === 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition],
+      s"intersectable pins should still answer: ${ps.toSeq}")
+    // end-to-end through the session: both shapes compute the truth
+    val r1 = spark.read.dynamo(root, "ov")
+      .filter(col("hk") === "A" && col("hk") === "B")
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(r1.getLong(0) === 0L && r1.isNullAt(1))
+    val r2 = spark.read.dynamo(root, "ov")
+      .filter(col("hk").isin("A", "B") && col("hk") === "A")
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) === ((300L, 299L * 300L / 2)))
+  }
+
   test("hash-group page alignment keeps every large key's run answerable") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
       DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
@@ -4529,6 +4573,76 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(st2.Delete(Map("id" -> graft.sources.dynamo.AttrVal.S("b")))))
     assert(state("restored") == Map("a" -> 1))
     assert(state("src") == Map("b" -> 2, "c" -> 3))
+  }
+
+  test("restoreAsOf/exportAsOf at a straddling cut never materialize a half-transaction") {
+    // End-to-end form of the StoreLaws consistent-cut law: a
+    // committed cross-table transaction whose per-table publish seqs
+    // straddle the requested cut must appear in BOTH restored tables
+    // or NEITHER — restore and export are exactly the snapshot read,
+    // so they inherit the all-or-nothing resolution.
+    import graft.sources.dynamo.{AttrVal, ItemJson, TableTxn}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 2, throughput = 1000000L)
+    store.createTable("xa", meta); store.createTable("xb", meta)
+    def put(t: String, k: String): Unit =
+      store.appendWal(t, 1000L, "base", Seq(store.Put(Map(
+        "pk" -> (AttrVal.S(k): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(0)): AttrVal)))))
+    put("xa", "a0"); put("xb", "b0")
+    // plant a committed transaction with a deterministic pubSeq gap
+    val txnId = "00feed00beef0002"
+    val now = System.currentTimeMillis()
+    val (pubA, pubB) = (now + 100000L, now + 900000L)
+    def plant(table: String, pub: Long): String = {
+      val name = f"wal-$pub%020d-w7.x$txnId-sall.jsonl"
+      val line = ItemJson.write(Map(
+        "op" -> AttrVal.S("PUT"),
+        "item" -> AttrVal.M(Map(
+          "pk" -> AttrVal.S("t1"), "v" -> AttrVal.N(BigDecimal(1))))))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, table, name),
+        (line + "\n").getBytes("UTF-8"))
+      name
+    }
+    val (nameA, nameB) = (plant("xa", pubA), plant("xb", pubB))
+    val tmp = java.nio.file.Paths.get(root, s".txn-commit-$txnId.tmp")
+    java.nio.file.Files.write(tmp, s"xa\t$nameA\nxb\t$nameB".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(root, s".txn-commit-$txnId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def keys(t: String, at: String): Set[String] =
+      new LocalKVStore(at).scanSegment(t, 0, 1)
+        .map(_._1("pk").asInstanceOf[AttrVal.S].v).toSet
+    val straddle = pubA + 1000L
+    // restore BOTH tables at the straddling cut → txn in neither
+    val dst = freshRoot()
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "xa", dst, "xa", straddle)
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "xb", dst, "xb", straddle)
+    assert(keys("xa", dst) === Set("a0"), "half-transaction restored into xa")
+    assert(keys("xb", dst) === Set("b0"))
+    // restore at a covering cut → txn in both
+    val dst2 = freshRoot()
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "xa", dst2, "xa", pubB)
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "xb", dst2, "xb", pubB)
+    assert(keys("xa", dst2) === Set("a0", "t1"))
+    assert(keys("xb", dst2) === Set("b0", "t1"))
+    // export inherits the same resolution
+    val out = java.nio.file.Files.createTempDirectory("graft-xexp").toString
+    graft.sources.dynamo.DynamoMaintenance.exportAsOf(
+      spark, root, "xa", out + "/xa", Some(straddle))
+    graft.sources.dynamo.DynamoMaintenance.exportAsOf(
+      spark, root, "xb", out + "/xb", Some(straddle))
+    assert(spark.read.parquet(out + "/xa").select("pk").collect()
+      .map(_.getString(0)).toSet === Set("a0"))
+    assert(spark.read.parquet(out + "/xb").select("pk").collect()
+      .map(_.getString(0)).toSet === Set("b0"))
+    assert(classOf[TableTxn] != null) // keep the import referenced
   }
 
   test("restoreAsOf rebuilds secondary indexes from the restored data") {

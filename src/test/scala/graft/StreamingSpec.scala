@@ -445,6 +445,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup ingestion crash replay: orphan pendings are invisible, admission is exactly-once") {
+    // Mirror of the exact-dedup crash law for the THREE-table
+    // near-dup transaction (corpus + signatures + band postings):
+    // a publisher that died between its per-table pending publishes
+    // and the commit marker leaves unmarked orphans in all three
+    // tables. They must be invisible (no half-registered documents),
+    // the REPLAYED delivery must admit the doc exactly once, and the
+    // history probe must then see its bands/signature — a later
+    // near-duplicate rejects. Three independent appends failed both
+    // ways here: doc-without-bands admitted future near-dups,
+    // bands-without-doc lost the document.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-nd-crash").toString
+    val in = MemoryStream[Doc]
+    val q = in.toDF().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-nd-crash-ckpt").toString)
+      .foreachBatch(StreamOps.ingestNearDupBatch(root, "nd_corpus",
+        "nd_sigs", "nd_bands") _)
+      .start()
+    val base = (1 to 20).map(i => s"crash$i").mkString(" ")
+    val near = ((1 to 19).map(i => s"crash$i") :+ "crashX").mkString(" ")
+    try {
+      def corpus(): Seq[Long] =
+        spark.read.format("dynamo").option("path", root)
+          .option("tableName", "nd_corpus").load()
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // batch 1 creates the tables so the orphans have dirs to land in
+      in.addData(Doc(1L, (1 to 20).map(i => s"seed$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(corpus() == Seq(1L))
+      // hand-plant the crashed delivery: pendings in ALL THREE tables
+      // under one txn id, NO commit marker
+      import graft.sources.dynamo.{AttrVal, ItemJson}
+      val txnId = "0000dead0000beef"
+      val pub = System.currentTimeMillis() + 800000L
+      def pend(table: String, items: Seq[Map[String, AttrVal]]): Unit = {
+        val lines = items.map(item => ItemJson.write(Map(
+          "op" -> (AttrVal.S("PUT"): AttrVal),
+          "item" -> (AttrVal.M(item): AttrVal)))).mkString("", "\n", "\n")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, table,
+            f"wal-$pub%020d-dead.x$txnId-sall.jsonl"),
+          lines.getBytes("UTF-8"))
+      }
+      pend("nd_corpus", Seq(Map(
+        "doc_id" -> AttrVal.N(BigDecimal(2)), "text" -> AttrVal.S(base))))
+      pend("nd_sigs", Seq(Map("doc_id" -> AttrVal.N(BigDecimal(2))) ++
+        (0 until graft.queries.Dedup.minhashSize).map(i =>
+          s"mh$i" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+      pend("nd_bands", Seq(Map(
+        "bb" -> AttrVal.S("0:planted"),
+        "doc_id" -> AttrVal.N(BigDecimal(2)))))
+      // the orphans are invisible: the corpus still reads {1}
+      assert(corpus() == Seq(1L), "unmarked pendings must stay invisible")
+      // redelivered batch: doc 2 must admit EXACTLY once (the orphan
+      // never counts), and its registration must be complete
+      in.addData(Doc(2L, base))
+      q.processAllAvailable()
+      val after = corpus()
+      assert(after == Seq(1L, 2L), s"crash replay must admit exactly once: $after")
+      // the history probe sees the admitted doc: a near-duplicate of
+      // it rejects even though doc 2's only durable registration came
+      // from the replayed transaction
+      in.addData(Doc(3L, near))
+      q.processAllAvailable()
+      assert(corpus() == Seq(1L, 2L),
+        "bands/sigs of the replayed admission must reject its near-dup")
+      // and every admitted doc is fully registered: one signature row
+      // per corpus doc (no doc-without-sig or sig-without-doc)
+      val sigIds = spark.read.format("dynamo").option("path", root)
+        .option("tableName", "nd_sigs").load()
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(sigIds == Seq(1L, 2L), s"signature table drifted: $sigIds")
+    } finally q.stop()
+  }
+
   test("the CDC feed admits a cross-table transaction atomically at its commit marker") {
     import graft.sources.dynamo.{AttrVal, ItemJson, LocalKVStore, TableMeta}
     import graft.sources.dynamo.Implicits._
