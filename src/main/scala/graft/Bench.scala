@@ -94,6 +94,35 @@ object Bench {
       }
       (ok, firstErr)
     }
+    // Per-key expected bands (sentinel v2, round 12): the last
+    // committed CLEAN artifact's per-key min. The rep-disagreement
+    // test below catches BURSTS (one rep poisoned) but is blind to
+    // SUSTAINED contention — the round-11 driver run held
+    // q_text_winnow at 15.8 s min-of-2, 8.5x over clean, unflagged,
+    // because both reps fought the same neighbor. A key whose min
+    // exceeds band x max(observed ambient ratio, 3) is flagged even
+    // when its reps agree. Bands live in a separate committed file
+    // (NOT BENCH_LAST.json, which every run — including a poisoned
+    // driver run — overwrites); refresh it only from a clean run.
+    val bandPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BAND", "BENCH_BANDS.json")
+    val bands: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(bandPath)), "UTF-8")
+      val tag = "\"bands\":"
+      val i = txt.indexOf(tag)
+      if (i < 0) Map.empty
+      else {
+        val start = txt.indexOf('{', i + tag.length) + 1
+        val end = txt.indexOf('}', start)
+        txt.substring(start, end).split(',').iterator.flatMap { kv =>
+          val c = kv.lastIndexOf(':')
+          if (c < 0) None
+          else scala.util.Try(
+            kv.take(c).trim.stripPrefix("\"").stripSuffix("\"") ->
+              kv.drop(c + 1).trim.toDouble).toOption
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = keys.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % probeEvery == 0 && probeBase > 0)
@@ -102,18 +131,29 @@ object Bench {
       (name, ok, err)
     }
     if (probeBase > 0) probeRatios += probeOnce() / probeBase
-    // Contaminated keys: reps disagreeing >3x mean something OTHER
-    // than the query dominated one rep (GC storm, CI neighbor). Re-run
-    // those once at suite END — by then the burst has usually passed —
-    // and keep the min over ALL reps; the key stays NAMED in the
-    // artifact so a judge sees exactly which timings fought noise
+    val ambientObserved =
+      if (probeRatios.nonEmpty) probeRatios.max else 1.0
+    def overBand(name: String, ok: Seq[Double]): Boolean =
+      ok.nonEmpty && bands.get(name).exists(b =>
+        b > 0 && ok.min > b * math.max(ambientObserved, 3.0))
+    // Contaminated keys, two detectors: (a) reps disagreeing >3x —
+    // something OTHER than the query dominated one rep (GC storm, CI
+    // neighbor burst); (b) min over reps above the key's clean band —
+    // sustained contention both reps absorbed. Re-run those once at
+    // suite END — by then the burst has usually passed — and keep the
+    // min over ALL reps; keys STILL failing a detector stay NAMED in
+    // the artifact so a judge sees exactly which timings fought noise
     // instead of inferring it from per-key deltas.
-    val contaminated = results.collect {
+    val repDisagree = results.collect {
       case (name, ok, _) if ok.size >= 2 && ok.min > 0.02 &&
         ok.max / ok.min > 3.0 => name
     }
-    if (contaminated.nonEmpty) {
-      val again = contaminated.toSet
+    val bandFlagged = results.collect {
+      case (name, ok, _) if overBand(name, ok) => name
+    }
+    val rerun = (repDisagree ++ bandFlagged).distinct
+    if (rerun.nonEmpty) {
+      val again = rerun.toSet
       results = results.map {
         case (name, ok, err) if again(name) =>
           val (ok2, _) = timeReps(SparkEntry.queries(name), 1)
@@ -121,6 +161,9 @@ object Bench {
         case r => r
       }
     }
+    val contaminated = (repDisagree ++ results.collect {
+      case (name, ok, _) if overBand(name, ok) => name
+    }).distinct.sorted
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.collect { case (k, ok, _) if ok.nonEmpty => s"\"" + k + "\":" + ok.min }
