@@ -844,6 +844,21 @@ object DynamoQueries {
           min("event_id").as("min_id"), max("event_id").as("max_id"),
           sum("value_cents").as("cents"))
     }),
+    // GROUPED page-statistic answering (round 12): GROUP BY the hash
+    // key under a hash-IN pin — each pinned value is one group and one
+    // page-pure run, so the plan folds one exact partial PER GROUP
+    // from the same sidecars q_dyn_query_agg reads: one metadata
+    // partition, zero item reads, three group rows.
+    "q_dyn_group_agg" -> ((s, dir) => {
+      val root = seededEventsByTypeRoot(s, dir)
+      s.read.dynamo(root, "events_bytype")
+        .filter(col("event_type").isin("click", "purchase", "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("value_cents").as("cents"))
+        .orderBy("event_type")
+    }),
     "q_dyn_counter" -> ((s, dir) => {
       val root = seededCounterRoot(s, dir)
       s.read.format("dynamo")
@@ -1388,6 +1403,15 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // grouped form: the per-type page-stat folds reduce to the same
+    // grouped aggregate over the raw events fixture
+    "q_dyn_group_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_dyn_counter" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(value), 2) AS amount

@@ -743,6 +743,12 @@ final class DynamoScanBuilder(
   private def sumType(dt: DataType): Option[DataType] = dt match {
     case LongType | IntegerType | ShortType | ByteType => Some(LongType)
     case DoubleType | FloatType => Some(DoubleType)
+    // Spark's own Sum widening for decimals: scale kept, ten more
+    // integer digits, capped at the max precision. Exact at any
+    // accumulation order (decimal arithmetic), so pushing preserves
+    // bit-identity with the unpushed plan — the money-column case
+    case d: DecimalType =>
+      Some(DecimalType(math.min(38, d.precision + 10), d.scale))
     case _ => None
   }
 
@@ -1705,6 +1711,7 @@ final class DynamoScan(
           case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
           case PushedAgg.CountAll | _: PushedAgg.CountOf => true
           case PushedAgg.SumOf(_, LongType) => true // exact; double sums are order-sensitive
+          case PushedAgg.SumOf(_, _: DecimalType) => true // exact too
           case _ => false
         }) {
       zoneAnswerPlan(store, meta).foreach { case (vals, scanShards) =>
@@ -1737,10 +1744,47 @@ final class DynamoScan(
           case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
           case PushedAgg.CountAll | _: PushedAgg.CountOf => true
           case PushedAgg.SumOf(_, LongType) => true
+          case PushedAgg.SumOf(_, _: DecimalType) => true // exact too
           case _ => false
         }) {
       pageAnswerPlan(store, meta).foreach { vals =>
         return Array[InputPartition](DynamoZoneAnswerPartition(vals))
+      }
+    }
+    // GROUPED page-statistics answering — `GROUP BY <hash key>` over a
+    // hash-IN window, closing the `grouped.isEmpty` gap above: each
+    // pinned hash value IS one group, hash-group page alignment makes
+    // each value's run page-pure, so ONE sidecar pass folds one exact
+    // partial PER GROUP — `SELECT hk, count(*), sum(v) WHERE hk IN
+    // (...) GROUP BY hk` reads zero items. A pinned value with no
+    // intersecting pages holds no rows and emits no group row (SQL
+    // GROUP BY semantics). Declines identically to the ungrouped path
+    // (boundary page, dirty shard, pending transaction, non-window
+    // conjunct, unanswerable stat). When the scan reports per-shard
+    // KeyGroupedPartitioning, the answered rows keep the segment↔shard
+    // identity (one partition per shard, group rows landing on their
+    // owning shard's segment) so SPJ layout claims stay honored.
+    if (aggs.nonEmpty && grouped.exists(_.fields.map(_.name) == Seq(meta.hashKey)) &&
+        opts.indexName.isEmpty &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true
+          case PushedAgg.SumOf(_, _: DecimalType) => true // exact too
+          case _ => false
+        }) {
+      groupedPageAnswerPlan(store, meta).foreach { rows =>
+        if (reportsPerShard(store, meta)) {
+          val byShard = rows.groupBy { case (h, _) =>
+            store.shardOf(meta, Map(meta.hashKey -> h)) }
+          return (0 until meta.shards).map(sh =>
+            DynamoGroupAnswerPartition(sh,
+              byShard.getOrElse(sh, Nil)): InputPartition).toArray
+        }
+        return Array[InputPartition](DynamoGroupAnswerPartition(0, rows))
       }
     }
     // GSI Query aggregate answering — the index-key-pinned form of
@@ -1761,6 +1805,7 @@ final class DynamoScan(
           case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
           case PushedAgg.CountAll | _: PushedAgg.CountOf => true
           case PushedAgg.SumOf(_, LongType) => true
+          case PushedAgg.SumOf(_, _: DecimalType) => true // exact too
           case _ => false
         }) {
       val ixName = opts.indexName.get
@@ -2055,6 +2100,63 @@ final class DynamoScan(
     answerValues(folded)
   }
 
+  /** The GROUPED form of [[pageAnswerPlan]]: one [[ShardStats]] fold
+    * PER key window (= per pinned hash value = per group), under the
+    * same provability rules — every window-intersecting page must
+    * carry stats and be fully contained in its window, owning shards
+    * journal-clean, no transaction pending. Returns `(group value,
+    * answered aggregate values)` per NON-EMPTY group; None declines
+    * the whole plan (a single unanswerable group would otherwise
+    * split the aggregate across two execution paths).
+    */
+  private def groupedPageAnswerPlan(store: LocalKVStore,
+      meta: TableMeta): Option[Seq[(AttrVal, Seq[Option[AttrVal]])]] = {
+    if (meta.rangeKey.isEmpty || meta.layout < 2) return None
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
+    val flat = pushed.toSeq.flatMap(conjuncts)
+    val windowable = flat.forall {
+      case EqualTo(a, v) => v != null &&
+        (a == meta.hashKey || meta.rangeKey.contains(a))
+      case In(a, vs) => a == meta.hashKey && vs != null && vs.nonEmpty
+      case GreaterThan(a, v) => v != null && meta.rangeKey.contains(a)
+      case GreaterThanOrEqual(a, v) => v != null && meta.rangeKey.contains(a)
+      case LessThan(a, v) => v != null && meta.rangeKey.contains(a)
+      case LessThanOrEqual(a, v) => v != null && meta.rangeKey.contains(a)
+      case StringStartsWith(a, p) => p != null && meta.rangeKey.contains(a)
+      case _ => false
+    }
+    if (!windowable) return None
+    val wv = PageIndex.deriveWindowsWithValues(pushed.toSeq, meta.hashKey,
+      meta.rangeKey.get)
+    if (wv.isEmpty) return None
+    val owning = keyShards(store, meta).getOrElse(return None)
+    val dirty = store.journalShards(opts.tableName)
+    if (dirty.contains(LocalKVStore.TxnShard) ||
+        owning.exists(dirty.contains)) return None
+    val folds = scala.collection.mutable.Map.empty[Int, ShardStats]
+    owning.toSeq.sorted.foreach { sh =>
+      val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
+      val idx = PageIndex.load(
+        dir.resolve(f"pageidx-s$sh%03d.jsonl"),
+        dir.resolve(f"shard-$sh%03d.jsonl")).getOrElse(return None)
+      idx.pages.foreach { p =>
+        wv.zipWithIndex.foreach { case ((_, w), i) =>
+          if (PageIndex.intersects(p, w)) {
+            if (!PageIndex.contains(p, w)) return None
+            folds(i) = folds.getOrElse(i, ShardStats.empty)
+              .union(p.stats.getOrElse(return None))
+          }
+        }
+      }
+    }
+    Some(wv.zipWithIndex.flatMap { case ((h, _), i) =>
+      folds.get(i).map { st =>
+        h -> answerValues(st).getOrElse(return None)
+      }
+    })
+  }
+
   /** [[pageAnswerPlan]] over a MATERIALIZED INDEX COPY's page
     * directories: windows derive from the INDEX keys, owning shards
     * from the index hash placement, and page truth from the copy
@@ -2164,6 +2266,39 @@ final class DynamoScan(
                   .getOrElse(BigDecimal(0))
                 if (BigDecimal(n) * maxAbs <= BigDecimal(Long.MaxValue) &&
                     sum >= BigDecimal(Long.MinValue) && sum <= BigDecimal(Long.MaxValue))
+                  Some(AttrVal.N(sum): AttrVal)
+                else return None
+              case _ => return None
+            }
+        }
+      // SUM over DecimalType: exact like the integral case, under the
+      // decimal decode-identity proof — every value's scale fits the
+      // field's (no per-item rounding, `nScaleMax`), every value's
+      // magnitude fits the field's integer digits (no per-item ANSI
+      // error), and the total provably fits the widened result type
+      // (present × max|value| bounds every prefix — the scan's own
+      // decimal sum would raise past it). Float/double sums stay
+      // declined: re-association changes their low bits.
+      case PushedAgg.SumOf(f, wd: DecimalType) =>
+        val d = f.dataType match {
+          case dt: DecimalType => dt
+          case _ => return None
+        }
+        folded.attrs.get(f.name) match {
+          case None => None // absent attr: SUM over no rows = null
+          case Some(as) =>
+            if (as.other || as.nOpen || as.sMin.nonEmpty) return None
+            if (!as.nScaleMax.exists(_ <= d.scale)) return None
+            val fieldLim = BigDecimal(10).pow(d.precision - d.scale)
+            if (as.nMin.exists(_.abs >= fieldLim) ||
+                as.nMax.exists(_.abs >= fieldLim)) return None
+            (as.present, as.nSum) match {
+              case (Some(0L), _) => None
+              case (Some(n), Some(sum)) =>
+                val maxAbs = (as.nMin.map(_.abs).toSeq ++ as.nMax.map(_.abs))
+                  .maxOption.getOrElse(BigDecimal(0))
+                val wideLim = BigDecimal(10).pow(wd.precision - wd.scale)
+                if (BigDecimal(n) * maxAbs < wideLim)
                   Some(AttrVal.N(sum): AttrVal)
                 else return None
               case _ => return None
@@ -2882,10 +3017,13 @@ final class DynamoGroupedAggReaderFactory(
     adv: Seq[PredicateV2.VPred] = Nil,
     sample: Option[PushedSample] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[DynamoInputPartition]
-    new DynamoGroupedAggReader(opts, pushed, group, aggs, p, adv, sample)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case g: DynamoGroupAnswerPartition =>
+        new DynamoGroupAnswerReader(group, aggs, g)
+      case p: DynamoInputPartition =>
+        new DynamoGroupedAggReader(opts, pushed, group, aggs, p, adv, sample)
+    }
 }
 
 /** Grouped aggregate scan: one hash-aggregation pass per segment,
@@ -3158,6 +3296,44 @@ final class DynamoZoneAnswerReader(
   override def close(): Unit = ()
 }
 
+/** The grouped page-statistics answer plan: group rows computed on the
+  * driver from page sidecars ([[DynamoScan.planInputPartitions]]) —
+  * `(pinned hash value, answered aggregate wire values)` per group,
+  * zero items read. Carries a segment id and a [[HasPartitionKey]] so
+  * a per-shard split of the answered groups can honor the scan's
+  * declared KeyGroupedPartitioning (group rows land on the segment
+  * their shard owns, exactly like scanned rows would).
+  */
+final case class DynamoGroupAnswerPartition(segment: Int,
+    rows: Seq[(AttrVal, Seq[Option[AttrVal]])])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(segment)
+}
+
+/** Emits one row per answered group, decoding `(group value, agg
+  * values)` through the SAME [[Codec]] path the grouped scan reader
+  * uses — bit-identical to the scanned plan.
+  */
+final class DynamoGroupAnswerReader(
+    group: PushedGroupBy, aggs: Seq[PushedAgg],
+    partition: DynamoGroupAnswerPartition)
+    extends PartitionReader[InternalRow] {
+  private val schema = StructType(group.fields ++
+    aggs.zipWithIndex.map { case (a, i) => a.resultField(i) })
+  private val decode = Codec.rowReader(schema)
+  private val it = partition.rows.iterator
+  private var cur: InternalRow = _
+  override def next(): Boolean = it.hasNext && {
+    val (h, vals) = it.next()
+    val item: Item = Map(group.fields.head.name -> h) ++
+      vals.zipWithIndex.collect { case (Some(v), i) => s"agg$i" -> v }
+    cur = decode(item)
+    true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
 /** Aggregate accumulators shared by the ungrouped ([[DynamoAggReader]])
   * and grouped ([[DynamoGroupedAggReader]]) pushed scans — one
   * machinery, so the two paths cannot disagree on aggregate semantics.
@@ -3231,6 +3407,7 @@ private[dynamo] object AggAccs {
     private var any = false
     private var l = 0L
     private var d = 0.0
+    private var bd = BigDecimal(0) // decimal sums: exact, no overflow
     def update(item: Item): Unit = {
       val row = decode(item)
       if (!row.isNullAt(0)) {
@@ -3245,12 +3422,27 @@ private[dynamo] object AggAccs {
               case other => throw new IllegalStateException(s"long sum over $other")
             }
             l = Math.addExact(l, v)
+          case (dt: DecimalType, _) =>
+            bd += row.getDecimal(0, dt.precision, dt.scale).toBigDecimal
           case (FloatType, _) => d += row.getFloat(0)
           case _ => d += row.getDouble(0)
         }
       }
     }
-    def result: Any = if (!any) null else if (wide == LongType) l else d
+    def result: Any = if (!any) null else wide match {
+      case LongType => l
+      case w: DecimalType =>
+        // the per-item decodes are exact, so only the TOTAL can
+        // overflow the widened type — where Spark's ANSI decimal sum
+        // raises too; never return a value where the real plan errors
+        val dec = org.apache.spark.sql.types.Decimal(bd)
+        if (!dec.changePrecision(w.precision, w.scale))
+          throw new ArithmeticException(
+            s"SUM(${field.name}) overflows ${w.sql} " +
+              "(pushed decimal sum, ANSI parity)")
+        dec
+      case _ => d
+    }
   }
   def make(aggs: Seq[PushedAgg]): Array[Acc] = aggs.map {
     case PushedAgg.CountAll => new CountAcc

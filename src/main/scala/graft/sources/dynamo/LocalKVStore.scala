@@ -96,7 +96,16 @@ final case class AttrStats(
       * true. Sticky under union. False when read from pre-field
       * files (they predate ADD ops, so their ranges are closed).
       */
-    nOpen: Boolean = false) {
+    nOpen: Boolean = false,
+    /** Max DECIMAL SCALE over the `N` values seen (trailing zeros
+      * stripped; whole values count 0) — the generalization of
+      * [[nWhole]] that lets the SUM answer path prove decode-identity
+      * for `DecimalType(p, s)` columns: every value with scale ≤ s
+      * decodes exactly (no rounding), so the sidecar's exact sum IS
+      * the scan's sum. `None` = pre-field stats file (unknown;
+      * decimal SUM answering declines).
+      */
+    nScaleMax: Option[Int] = Some(0)) {
   def widen(v: AttrVal): AttrStats = v match {
     case AttrVal.N(n) => copy(
       nMin = Some(nMin.filter(_ <= n).getOrElse(n)),
@@ -104,7 +113,8 @@ final case class AttrStats(
       present = present.map(_ + 1L),
       nSum = nSum.map(_ + n),
       nWhole = nWhole && n.isWhole,
-      hll = hll.map(AttrStats.hllAdd(_, v)))
+      hll = hll.map(AttrStats.hllAdd(_, v)),
+      nScaleMax = nScaleMax.map(m => math.max(m, AttrStats.scaleOf(n))))
     case AttrVal.S(s) => copy(
       sMin = Some(sMin.filter(AttrStats.sLe(_, s)).getOrElse(s)),
       sMax = Some(sMax.filter(AttrStats.sGe(_, s)).getOrElse(s)),
@@ -125,7 +135,9 @@ final case class AttrStats(
     nSum = nSum.map(_ + v),
     nWhole = nWhole && v.isWhole,
     hll = None,
-    nOpen = true)
+    nOpen = true,
+    // final = base + increment: scale(final) ≤ max of the two scales
+    nScaleMax = nScaleMax.map(m => math.max(m, AttrStats.scaleOf(v))))
   def union(o: AttrStats): AttrStats = AttrStats(
     (nMin.toSeq ++ o.nMin).minOption,
     (nMax.toSeq ++ o.nMax).maxOption,
@@ -137,7 +149,8 @@ final case class AttrStats(
     nWhole && o.nWhole,
     for (a <- hll; b <- o.hll)
       yield a.lazyZip(b).map((x, y) => if (x >= y) x else y).toVector,
-    nOpen || o.nOpen)
+    nOpen || o.nOpen,
+    for (a <- nScaleMax; b <- o.nScaleMax) yield math.max(a, b))
 }
 
 object AttrStats {
@@ -148,6 +161,13 @@ object AttrStats {
   val hllZero: Vector[Byte] = Vector.fill(hllM)(0: Byte)
 
   val empty: AttrStats = AttrStats(None, None, None, None)
+
+  /** Canonical scale of an `N` value: trailing zeros stripped, never
+    * negative (1.50 → 1, 300 → 0) — the minimal scale at which the
+    * value is exactly representable.
+    */
+  def scaleOf(n: BigDecimal): Int =
+    math.max(0, n.bigDecimal.stripTrailingZeros.scale)
 
   /** Canonical value encoding for the sketch hash: identifies exactly
     * the values the decode/compare paths treat as equal (numbers by
@@ -282,6 +302,7 @@ object ShardStats {
           "nSum" -> num(s.nSum),
           "nWhole" -> AttrVal.Bool(s.nWhole),
           "nOpen" -> AttrVal.Bool(s.nOpen),
+          "nScale" -> num(s.nScaleMax.map(BigDecimal(_))),
           "hll" -> s.hll.map(r => AttrVal.S(java.util.Base64.getEncoder
             .encodeToString(r.toArray)): AttrVal).getOrElse(AttrVal.Null)))
       })))
@@ -305,7 +326,9 @@ object ShardStats {
             // wrong-width registers = unreadable sketch, not a crash
             if (bytes.length == AttrStats.hllM) Some(bytes.toVector) else None
           },
-          f.get("nOpen") match { case Some(AttrVal.Bool(b)) => b; case _ => false })
+          f.get("nOpen") match { case Some(AttrVal.Bool(b)) => b; case _ => false },
+          // absent in pre-field files: scale unknown, decimal SUM declines
+          f.get("nScale").flatMap(num).map(_.toInt))
       case (a, other) => throw new IllegalStateException(s"bad attr stats $a: $other")
       },
       m("complete") match { case AttrVal.Bool(b) => b; case _ => false },
@@ -2876,33 +2899,68 @@ final class LocalKVStore(root: String) {
       }
     }
 
-  /** GC committed cross-table markers no table under this root
-    * references anymore (all their journal files folded and
-    * reclaimed). Age-gated: a marker younger than `ageMs` stays even
+  /** Fold committed cross-table markers whose journal files are gone
+    * from EVERY participant table (all compacted into bases) into the
+    * applied manifest, then delete the marker files — the root
+    * listing and every marker consumer stay bounded by IN-FLIGHT
+    * transactions, not transaction history, and commit evidence
+    * survives in `txn-applied.jsonl` ([[appliedManifestIds]]).
+    *
+    * v2 marker bodies name each participant's file, so folded-ness is
+    * O(participants) existence probes — no walk over every table
+    * directory. v1 name-only bodies (and hand-recovered empty ones)
+    * fall back to one root walk for referenced-ness, shared across
+    * all v1 ids. Age-gated: a marker younger than `ageMs` stays even
     * if unreferenced, so a reader holding a just-captured listing
-    * can still resolve it. Called from full-table compaction.
+    * resolves it without touching the manifest path. The gate is
+    * minutes, not the old 24 h — deletion no longer loses evidence,
+    * it only relocates it. Called from full-table compaction.
     */
-  private[dynamo] def reapTxnMarkers(ageMs: Long = 24L * 60 * 60 * 1000): Unit = {
+  private[graft] def reapTxnMarkers(ageMs: Long = 10L * 60 * 1000): Unit = {
     val root = Paths.get(rootDir)
     if (!Files.isDirectory(root)) return
     val now = System.currentTimeMillis()
     val ids = listCommittedTxnIds()
     if (ids.isEmpty) return
-    val referenced = mutable.HashSet.empty[String]
-    val tables = Files.list(root)
-    try tables.iterator().asScala.filter(Files.isDirectory(_)).foreach { td =>
-      val fs = Files.list(td)
-      try fs.iterator().asScala.foreach { p =>
-        LocalKVStore.crossTxnIdOf(p.getFileName.toString)
-          .foreach(referenced += _)
-      } finally fs.close()
-    } finally tables.close()
-    (ids -- referenced).foreach { id =>
+    val fold = mutable.ArrayBuffer.empty[String]
+    val v1 = mutable.ArrayBuffer.empty[String]
+    ids.foreach { id =>
       val m = txnMarkerPath(id)
       val old =
         try Files.getLastModifiedTime(m).toMillis < now - ageMs
         catch { case _: java.io.IOException => false }
-      if (old) Files.deleteIfExists(m)
+      if (old) {
+        val body =
+          try new String(Files.readAllBytes(m), UTF_8)
+          catch { case _: java.io.IOException => "" }
+        val lines = body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        if (lines.nonEmpty && lines.forall(_.contains('\t'))) {
+          val allGone = lines.forall { l =>
+            val i = l.indexOf('\t')
+            !Files.exists(Paths.get(rootDir,
+              l.substring(0, i), l.substring(i + 1)))
+          }
+          if (allGone) fold += id
+        } else v1 += id
+      }
+    }
+    if (v1.nonEmpty) {
+      val referenced = mutable.HashSet.empty[String]
+      val tables = Files.list(root)
+      try tables.iterator().asScala.filter(Files.isDirectory(_)).foreach { td =>
+        val fs = Files.list(td)
+        try fs.iterator().asScala.foreach { p =>
+          LocalKVStore.crossTxnIdOf(p.getFileName.toString)
+            .foreach(referenced += _)
+        } finally fs.close()
+      } finally tables.close()
+      fold ++= v1.filterNot(referenced)
+    }
+    if (fold.nonEmpty) {
+      // manifest FIRST, then delete: a resolver always finds the id
+      // in at least one place
+      appliedManifestAppend(fold.toSeq)
+      fold.foreach(id => Files.deleteIfExists(txnMarkerPath(id)))
     }
   }
 
@@ -3449,16 +3507,64 @@ final class LocalKVStore(root: String) {
 
   /** Has the cross-table transaction `txnId` committed at this root?
     * Positive results cache process-wide (commitment is monotone —
-    * see [[LocalKVStore.committedTxnCache]]).
+    * see [[LocalKVStore.committedTxnCache]]). A live marker answers
+    * first; a marker already folded into the applied manifest
+    * ([[reapTxnMarkers]]) answers through [[appliedManifestIds]] —
+    * manifest membership ≡ "the marker existed", since only fully
+    * folded COMMITTED markers ever enter it.
     */
   private[dynamo] def crossTxnCommitted(txnId: String): Boolean = {
     val key = rootDir + "|" + txnId
     LocalKVStore.committedTxnCache.contains(key) || {
-      val ok = Files.exists(txnMarkerPath(txnId))
+      val ok = Files.exists(txnMarkerPath(txnId)) ||
+        appliedManifestIds().contains(txnId)
       if (ok) LocalKVStore.committedTxnCache.add(key)
       ok
     }
   }
+
+  /** Append-only manifest of cross-table transactions whose journal
+    * files are FULLY folded into bases in every participant table
+    * (`<root>/txn-applied.jsonl`, one id per line). Folding a
+    * marker here and deleting the marker file ([[reapTxnMarkers]])
+    * bounds the root listing by IN-FLIGHT transactions instead of
+    * all history, while commit evidence survives forever — any
+    * late resolver goes through [[crossTxnCommitted]], which
+    * consults the manifest on a marker miss. The size-keyed cache
+    * is sound because the file only ever grows (duplicate lines
+    * from racing reapers are harmless set members).
+    */
+  private def appliedManifestPath: Path =
+    Paths.get(rootDir, "txn-applied.jsonl")
+
+  private def appliedManifestIds(): Set[String] = {
+    val p = appliedManifestPath
+    val size = try Files.size(p) catch { case _: java.io.IOException => -1L }
+    if (size <= 0) return Set.empty
+    Option(LocalKVStore.manifestCache.get(rootDir)) match {
+      case Some((s, ids)) if s == size => ids
+      case _ =>
+        val ids =
+          try Files.readAllLines(p, UTF_8).asScala.iterator
+            .map(_.trim).filter(_.nonEmpty).toSet
+          catch { case _: java.io.IOException => Set.empty[String] }
+        LocalKVStore.manifestCache.put(rootDir, (size, ids))
+        ids
+    }
+  }
+
+  private def appliedManifestAppend(ids: Seq[String]): Unit =
+    if (ids.nonEmpty) {
+      // O_APPEND keeps concurrent reapers' small line batches whole on
+      // POSIX; interleaving across batches is fine (it is a set)
+      val ch = java.nio.channels.FileChannel.open(appliedManifestPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.APPEND)
+      try ch.write(java.nio.ByteBuffer.wrap(
+        ids.mkString("", "\n", "\n").getBytes(UTF_8)))
+      finally ch.close()
+    }
 
   /** Min pubSeq of any UNCOMMITTED cross-table pending file in this
     * table's journal (Long.MaxValue when none — the usual case). The
@@ -3542,6 +3648,12 @@ object LocalKVStore {
     */
   private val committedTxnCache =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** rootDir → (manifest byte size, parsed id set). Append-only file,
+    * so an unchanged size proves an unchanged set.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
 
   /** GC backstop for streaming readers abandoned mid-iteration.
     * Executor-side early termination (limit pushdown) is closed

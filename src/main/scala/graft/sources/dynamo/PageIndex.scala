@@ -252,28 +252,38 @@ object PageIndex {
     * Incompatible `begins_with` prefixes decline the same way (see
     * the prefix fold below).
     */
-  def deriveWindows(filters: Seq[Filter], hashKey: String, rangeKey: String): Seq[KeyWindow] = {
+  def deriveWindows(filters: Seq[Filter], hashKey: String, rangeKey: String): Seq[KeyWindow] =
+    deriveWindowsWithValues(filters, hashKey, rangeKey).map(_._2)
+
+  /** [[deriveWindows]], keeping each window's pinned hash value in its
+    * TYPED form alongside — the grouped page-statistics answer path
+    * needs the value itself (one emitted group row per non-empty
+    * window), not just its encoded-key spelling.
+    */
+  def deriveWindowsWithValues(filters: Seq[Filter], hashKey: String,
+      rangeKey: String): Seq[(AttrVal, KeyWindow)] = {
     val flat = filters.flatMap(conjuncts)
-    // one converted encoded-value set PER hash-pinning conjunct;
+    // one converted encoded-value map PER hash-pinning conjunct;
     // None = a conjunct whose window participation cannot be proven
     // (null / unconvertible / over-cap) — declines the whole set, so
     // no branch of an IN disjunction is ever silently dropped
-    val pinSets: Seq[Option[Set[String]]] = flat.collect {
+    val pinSets: Seq[Option[Map[String, AttrVal]]] = flat.collect {
       case EqualTo(a, v) if a == hashKey =>
         if (v == null) None
-        else literalAttr(v).map(x => Set(LocalKVStore.encKeyAttr(x)))
+        else literalAttr(v).map(x => Map(LocalKVStore.encKeyAttr(x) -> x))
       case In(a, vs) if a == hashKey =>
         if (vs == null || vs.isEmpty || vs.contains(null) ||
             vs.length > maxHashWindows) None
         else {
           val conv = vs.toSeq.flatMap(v =>
-            literalAttr(v).map(LocalKVStore.encKeyAttr))
-          if (conv.length == vs.length) Some(conv.toSet) else None
+            literalAttr(v).map(x => LocalKVStore.encKeyAttr(x) -> x))
+          if (conv.length == vs.length) Some(conv.toMap) else None
         }
     }
     if (pinSets.isEmpty || pinSets.exists(_.isEmpty)) return Nil
-    val hashEncs: Seq[String] =
-      pinSets.flatten.reduce(_ intersect _).toSeq.sorted
+    val converted: Map[String, AttrVal] = pinSets.flatten.reduce(_ ++ _)
+    val hashEncs: Seq[String] = pinSets.flatten
+      .map(_.keySet).reduce(_ intersect _).toSeq.sorted
     if (hashEncs.isEmpty) return Nil
     // conjoined begins_with prefixes must form a chain (each a prefix
     // of the longest) — the longest then implies them all; diverging
@@ -319,7 +329,7 @@ object PageIndex {
           tightenLo(AttrVal.S(p), inc = true)
         case _ => ()
       }
-      KeyWindow(hEnc, lo, loInc, hi, hiInc, longestPrefix)
+      converted(hEnc) -> KeyWindow(hEnc, lo, loInc, hi, hiInc, longestPrefix)
     }
   }
 

@@ -479,10 +479,13 @@ object StreamOps {
   def replicateBatch(srcRoot: String, srcRegion: String, dstRoot: String,
       table: String)(batch: DataFrame, batchId: Long): Unit = {
     val _ = batch // pacing only; see scaladoc
+    // the source region rides in the writer id: in a MESH, several
+    // edges feed the same destination, and their independent batchId
+    // sequences would otherwise collide on (seq, writerId)
     graft.sources.dynamo.Replication.syncIncremental(
       new graft.sources.dynamo.LocalKVStore(srcRoot), srcRegion,
       new graft.sources.dynamo.LocalKVStore(dstRoot), table,
-      System.currentTimeMillis(), f"replb-$batchId%06d")
+      System.currentTimeMillis(), f"replb-$srcRegion-b$batchId%06d")
   }
 }
 

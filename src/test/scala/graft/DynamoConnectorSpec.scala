@@ -2857,6 +2857,143 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUPED page-stat answering: GROUP BY hash key folds one partial per group, zero items") {
+    import graft.sources.dynamo.{DynamoGroupAnswerPartition,
+      DynamoGroupedAggReaderFactory, DynamoInputPartition, DynamoOptions,
+      DynamoScan, PushedAgg, PushedGroupBy, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // aligned groups in ONE shard — every key's run is page-pure
+    store.bulkLoad("gp", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (for (k <- Iterator("A", "B", "C"); i <- Iterator.range(0, 300)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "gp"))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val group = PushedGroupBy(Seq(StructField("hk", StringType)),
+      keyed = true, unique = false, complete = true)
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("v", LongType), LongType))
+    def parts(pushed: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, pushed.toArray, aggs = aggs,
+        grouped = Some(group)).toBatch.planInputPartitions()
+    // hash-IN window → answered: NO scan partitions, one group row per
+    // pinned value, each from page statistics alone
+    val ps = parts(In("hk", Array[Any]("A", "C")))
+    assert(ps.forall(_.isInstanceOf[DynamoGroupAnswerPartition]), ps.toSeq)
+    val rows = ps.collect { case g: DynamoGroupAnswerPartition => g.rows }
+      .flatten.sortBy(_._1.asInstanceOf[AttrVal.S].v)
+    assert(rows.map(_._1) === Seq(AttrVal.S("A"), AttrVal.S("C")))
+    rows.foreach { case (_, vals) =>
+      assert(vals(0) === Some(AttrVal.N(BigDecimal(300))))
+      assert(vals(1) === Some(AttrVal.N(BigDecimal(299 * 300 / 2))))
+    }
+    // the reader path decodes exactly like the grouped scan
+    val factory = new DynamoGroupedAggReaderFactory(opts,
+      Array(In("hk", Array[Any]("A", "C"))), group, aggs)
+    val got = ps.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getLong(1), row.getLong(2)))
+      }
+      buf
+    }.sortBy(_._1)
+    assert(got === Seq(("A", 300L, 44850L), ("C", 300L, 44850L)))
+    // a pinned value with no rows emits NO group row (SQL semantics)
+    val ps2 = parts(In("hk", Array[Any]("A", "ZZZ")))
+    assert(ps2.forall(_.isInstanceOf[DynamoGroupAnswerPartition]))
+    val rows2 = ps2.collect { case g: DynamoGroupAnswerPartition => g.rows }.flatten
+    assert(rows2.map(_._1) === Seq(AttrVal.S("A")))
+    // decline directions, identical to the ungrouped path: a non-key
+    // conjunct, then a dirty journal
+    val d1 = parts(EqualTo("hk", "A"), EqualTo("v", 4L))
+    assert(d1.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]), d1.toSeq)
+    store.appendWal("gp", System.currentTimeMillis() + 900000L, "wg",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(5000)): AttrVal)))))
+    val d2 = parts(In("hk", Array[Any]("A", "C")))
+    assert(d2.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]), d2.toSeq)
+    assert(d2.exists(_.isInstanceOf[DynamoInputPartition]))
+    // end-to-end: compaction restores the path and the session-level
+    // grouped aggregate computes the truth
+    store.compact("gp")
+    val e2e = spark.read.dynamo(root, "gp")
+      .filter(col("hk").isin("A", "B"))
+      .groupBy("hk").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("hk").collect()
+    assert(e2e.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("A", 301L, 44850L), ("B", 300L, 44850L)))
+  }
+
+  test("decimal SUM answers from sidecars exactly; fractional-beyond-scale declines") {
+    import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
+      DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // money-shaped values: scale ≤ 2, mixed signs
+    val vals = (0 until 700).map(i => BigDecimal(i * 37 - 9000) / 100)
+    store.bulkLoad("dec", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      vals.iterator.zipWithIndex.map { case (v, i) => Map(
+        "hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "bal" -> (AttrVal.N(v): AttrVal)) })
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "dec"))
+    val fld = StructField("bal", DecimalType(12, 2))
+    val wide = DecimalType(22, 2)
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType), fld))
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(fld, wide))
+    def parts(pushed: org.apache.spark.sql.sources.Filter*) =
+      new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
+        .toBatch.planInputPartitions()
+    val ps = parts(EqualTo("hk", "A"))
+    assert(ps.length === 1 && ps.head.isInstanceOf[DynamoZoneAnswerPartition],
+      s"decimal SUM must answer from page stats: ${ps.toSeq}")
+    val r = new DynamoAggReaderFactory(opts, Array(EqualTo("hk", "A")), aggs)
+      .createReader(ps.head)
+    assert(r.next()); val row = r.get(); assert(!r.next())
+    assert(row.getLong(0) === 700L)
+    assert(row.getDecimal(1, 22, 2).toBigDecimal === vals.sum)
+    // the SCANNED plan (answer declined by a dirty journal) computes
+    // the identical decimal through the pushed accumulator
+    store.appendWal("dec", System.currentTimeMillis() + 900000L, "wd",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(9000)): AttrVal),
+        "bal" -> (AttrVal.N(BigDecimal("1.25")): AttrVal)))))
+    val ps2 = parts(EqualTo("hk", "A"))
+    assert(ps2.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]))
+    val r2 = new DynamoAggReaderFactory(opts, Array(EqualTo("hk", "A")), aggs)
+      .createReader(ps2.head)
+    assert(r2.next()); val row2 = r2.get()
+    assert(row2.getLong(0) === 701L)
+    assert(row2.getDecimal(1, 22, 2).toBigDecimal ===
+      vals.sum + BigDecimal("1.25"))
+    // a value with scale BEYOND the field's (0.005) would round in
+    // the per-item decode — the answer path must decline, the scan
+    // path still computes (decode rounds exactly like the row path)
+    store.compact("dec")
+    store.appendWal("dec", System.currentTimeMillis() + 950000L, "wd2",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(9001)): AttrVal),
+        "bal" -> (AttrVal.N(BigDecimal("0.005")): AttrVal)))))
+    store.compact("dec")
+    val ps3 = parts(EqualTo("hk", "A"))
+    assert(ps3.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]),
+      "scale-overflowing value must decline the decimal SUM answer")
+  }
+
   test("LAW: page-stat-answered aggregates equal the scanned truth, for any key window") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
       DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}
@@ -2868,10 +3005,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
       PushedAgg.MaxOf(StructField("v", LongType)),
       PushedAgg.CountAll,
       PushedAgg.CountOf(StructField("v", LongType)),
-      PushedAgg.SumOf(StructField("v", LongType), LongType))
+      PushedAgg.SumOf(StructField("v", LongType), LongType),
+      // decimal SUM rides the same law: exact cents, scale 2
+      PushedAgg.SumOf(StructField("w", DecimalType(12, 2)), DecimalType(22, 2)))
     val schema = StructType(Seq(
       StructField("hk", StringType), StructField("rk", LongType),
-      StructField("v", LongType)))
+      StructField("v", LongType), StructField("w", DecimalType(12, 2))))
     var answeredRuns = 0
     (0 until 12).foreach { seed =>
       val rnd = new scala.util.Random(seed.toLong)
@@ -2888,8 +3027,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
           val base = Map(
             "hk" -> (AttrVal.S(hk): AttrVal),
             "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal))
-          if (rnd.nextInt(10) == 0) base
-          else base + ("v" -> (AttrVal.N(BigDecimal(rnd.nextInt(2000) - 1000L)): AttrVal))
+          val withV =
+            if (rnd.nextInt(10) == 0) base
+            else base + ("v" -> (AttrVal.N(BigDecimal(rnd.nextInt(2000) - 1000L)): AttrVal))
+          if (rnd.nextInt(10) == 0) withV
+          else withV + ("w" ->
+            (AttrVal.N(BigDecimal(rnd.nextInt(400000) - 200000L) / 100): AttrVal))
         }
       }
       store.bulkLoad("law", TableMeta("hk", Some("rk"), shards = 2,
@@ -2937,6 +3080,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
         assert(lg(2) === Some(in.size.toLong), s"seed $seed COUNT(*)")
         assert(lg(3) === Some(vs.size.toLong), s"seed $seed COUNT(v)")
         assert(lg(4) === (if (vs.isEmpty) None else Some(vs.sum)), s"seed $seed SUM")
+        val ws = in.flatMap(_.get("w")).map(_.asInstanceOf[AttrVal.N].v)
+        val wGot = if (row.isNullAt(5)) None
+          else Some(row.getDecimal(5, 22, 2).toBigDecimal)
+        assert(wGot === (if (ws.isEmpty) None else Some(ws.sum)),
+          s"seed $seed SUM(decimal)")
       }
     }
     assert(answeredRuns >= 2,

@@ -599,6 +599,79 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(store.scanSegment("tb", 0, 1).map(_._1).toSet === Set(it("b1", 1)))
   }
 
+  test("fully-folded transaction markers fold into the applied manifest; commitment survives") {
+    // Root-listing hygiene: once a transaction's journal files are
+    // compacted away in EVERY participant table, its commit marker
+    // moves into `txn-applied.jsonl` (append-only) and the marker
+    // file goes — the root stays bounded by in-flight transactions.
+    // Commitment evidence must survive the move: a resolver at a
+    // FRESH root path (no process-wide cache entry) still recognizes
+    // the id as committed.
+    import graft.sources.dynamo.TableTxn
+    val root = Files.createTempDirectory("graft-txn-manifest").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("pk", None, shards = 2, throughput = 1000000L)
+    store.createTable("ma", meta); store.createTable("mb", meta)
+    def it(s: String, v: Long): Item =
+      Map("pk" -> AttrVal.S(s), "v" -> AttrVal.N(BigDecimal(v)))
+    (0 until 5).foreach { i =>
+      store.transactWriteMulti(Seq(
+        TableTxn("ma", Seq(store.Put(it(s"a$i", i)))),
+        TableTxn("mb", Seq(store.Put(it(s"b$i", i)))))
+        , 1000L + i, f"mw$i%02d")
+    }
+    def markers(): Seq[String] = {
+      val s = Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".txn-commit-")).toSeq
+      finally s.close()
+    }
+    assert(markers().size === 5)
+    // fold ONLY ma: every marker still has a live file in mb → none
+    // may fold, whatever its age
+    store.compact("ma")
+    store.reapTxnMarkers(ageMs = 0L)
+    assert(markers().size === 5,
+      "a marker with a live participant file must not fold")
+    assert(store.scanSegment("mb", 0, 1).map(_._1).size === 5)
+    // fold mb too → all five markers move to the manifest
+    store.compact("mb")
+    store.reapTxnMarkers(ageMs = 0L)
+    assert(markers().isEmpty, "fully-folded markers must leave the root")
+    val manifest = java.nio.file.Paths.get(root, "txn-applied.jsonl")
+    assert(Files.isRegularFile(manifest))
+    assert(Files.readAllLines(manifest).size === 5)
+    // views unchanged through the fold
+    assert(store.scanSegment("ma", 0, 1).map(_._1).size === 5)
+    assert(store.scanSegment("mb", 0, 1).map(_._1).size === 5)
+    // commitment survives at a fresh root path (fresh cache key):
+    // copy the store, then plant a journal file under a MANIFESTED id
+    // — it must be visible (committed), not treated as an orphan
+    val root2 = Files.createTempDirectory("graft-txn-manifest2").toString
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = Files.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    copyTree(java.nio.file.Paths.get(root), java.nio.file.Paths.get(root2))
+    val id = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root2, "txn-applied.jsonl")), "UTF-8")
+      .linesIterator.next().trim
+    val line = graft.sources.dynamo.ItemJson.write(Map(
+      "op" -> AttrVal.S("PUT"), "item" -> AttrVal.M(it("late", 99))))
+    Files.write(java.nio.file.Paths.get(root2, "ma",
+      f"wal-${System.currentTimeMillis()}%020d-w.x$id-sall.jsonl"),
+      (line + "\n").getBytes("UTF-8"))
+    val store2 = new LocalKVStore(root2)
+    assert(store2.scanSegment("ma", 0, 1).map(_._1)
+      .exists(_("pk") == AttrVal.S("late")),
+      "a manifested id must still resolve as committed at a fresh root")
+  }
+
   test("asOfSeq cuts are cross-table consistent: a straddling transaction appears NOWHERE") {
     // A committed transaction publishes per-table files at per-table
     // pubSeqs; a cut BETWEEN them must resolve to all-or-nothing

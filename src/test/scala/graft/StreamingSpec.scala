@@ -576,6 +576,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LAW: continuous 3-region mesh (CDC-paced foreachBatch) converges to the LWW oracle") {
+    // The store-level mesh law (ReplicationSpec), re-run with the
+    // STREAMING admission-control path in the loop: every directed
+    // edge (i → j) is a real Structured Streaming query — CDC feed of
+    // region i gating StreamOps.replicateBatch passes into region j —
+    // so trigger pacing, offset bookkeeping, and the per-region
+    // watermark discipline are all under the same random-interleaving
+    // oracle. Writes land mid-stream in random regions; edges drain
+    // in random order; a quiescent round-robin settles relay chains;
+    // every region must equal the functional LWW fold.
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, Replication, TableMeta}
+    import graft.sources.dynamo.Implicits._
+    import graft.sources.dynamo.Replication.{RDelete, RPut}
+    val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+    (0 until 2).foreach { seedI =>
+      val rnd = new scala.util.Random(41L + seedI)
+      val nRegions = 3
+      val regions = (0 until nRegions).map(i => s"m$i")
+      val roots = regions.map(r => java.nio.file.Files
+        .createTempDirectory(s"graft-mesh-$r").toString)
+      val stores = roots.map { r =>
+        val st = new LocalKVStore(r); st.createTable("t", meta); st
+      }
+      // one streaming query per directed edge, CDC-paced
+      val edges = for {
+        i <- regions.indices; j <- regions.indices if i != j
+      } yield spark.readStream.dynamoStream(roots(i), "t", cdc = true)
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft-mesh-ckpt-$seedI-$i$j").toString)
+        .foreachBatch(StreamOps.replicateBatch(
+          roots(i), regions(i), roots(j), "t") _)
+        .start()
+      try {
+        final case class TOp(region: Int, ver: Long, k: String, del: Boolean)
+        var ver = 100L
+        val ops = (0 until 20).map { _ =>
+          ver += 1
+          TOp(rnd.nextInt(nRegions), ver, s"k${rnd.nextInt(5)}",
+            rnd.nextInt(4) == 0)
+        }
+        ops.foreach { op =>
+          val rop = if (op.del) RDelete(Map("id" -> (AttrVal.S(op.k): AttrVal)))
+            else RPut(Map("id" -> (AttrVal.S(op.k): AttrVal),
+              "v" -> (AttrVal.S(s"v${op.ver}"): AttrVal)))
+          Replication.writeStamped(stores(op.region), "t",
+            regions(op.region), op.ver,
+            System.currentTimeMillis() + op.ver, s"mw${op.ver}", Seq(rop))
+          // random mid-stream drains: some edges process, others lag
+          if (rnd.nextInt(3) == 0)
+            rnd.shuffle(edges.toList).take(2).foreach(_.processAllAvailable())
+        }
+        // quiescent: drain every edge, nRegions rounds (relay chains)
+        (0 until nRegions).foreach { _ =>
+          edges.foreach(_.processAllAvailable())
+        }
+        val oracle = ops.groupBy(_.k).flatMap { case (k, kops) =>
+          val win = kops.maxBy(o => (o.ver, regions(o.region)))
+          if (win.del) None else Some(k -> s"v${win.ver}")
+        }
+        def state(st: LocalKVStore): Map[String, String] =
+          st.scanSegment("t", 0, 1).map { case (it, _) =>
+            it("id").asInstanceOf[AttrVal.S].v ->
+              it("v").asInstanceOf[AttrVal.S].v
+          }.toMap
+        stores.zipWithIndex.foreach { case (st, i) =>
+          assert(state(st) == oracle,
+            s"seed $seedI: region ${regions(i)} diverged under streaming mesh")
+        }
+      } finally edges.foreach(_.stop())
+    }
+  }
+
   test("continuous replication: the CDC feed drives incremental sync to a replica") {
     import graft.sources.dynamo.{AttrVal, LocalKVStore, Replication, TableMeta}
     import graft.sources.dynamo.Implicits._
