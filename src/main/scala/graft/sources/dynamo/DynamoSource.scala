@@ -1816,6 +1816,33 @@ final class DynamoScan(
         }
       }
     }
+    // GROUPED GSI Query aggregate answering — GROUP BY the INDEX hash
+    // key under an index-hash-IN pin over an EXACT copy: the grouped
+    // form of the block above, one per-group fold from the copy's own
+    // page directories (index builds align pages to hash-group
+    // boundaries exactly like compaction). The GSI path never reports
+    // per-shard partitioning, so one answer partition always suffices.
+    if (aggs.nonEmpty && opts.indexName.isDefined &&
+        meta.indexes.get(opts.indexName.get).exists(ix =>
+          grouped.exists(_.fields.map(_.name) == Seq(ix.hashKey))) &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        serveViaIndex.forall(identity) &&
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true
+          case PushedAgg.SumOf(_, _: DecimalType) => true
+          case _ => false
+        }) {
+      val ixName = opts.indexName.get
+      if (store.indexFreshness(opts.tableName, ixName) == LocalKVStore.IndexExact) {
+        indexGroupedPageAnswerPlan(store, meta, ixName).foreach { rows =>
+          return Array[InputPartition](DynamoGroupAnswerPartition(0, rows))
+        }
+      }
+    }
     // Materialized-GSI serve: when the copy is provably fresh — and
     // no read option needs BASE items (TTL liveness checks the base
     // item; snapshots address journal history the copy folded away) —
@@ -2202,6 +2229,56 @@ final class DynamoScan(
     answerValues(folded)
   }
 
+  /** The GROUPED form of [[indexPageAnswerPlan]]: per-window folds
+    * over the EXACT materialized copy's page directories — one
+    * `(index hash value, answered values)` row per non-empty pinned
+    * group, zero item reads. Same all-or-nothing decline as the base
+    * grouped path.
+    */
+  private def indexGroupedPageAnswerPlan(store: LocalKVStore, meta: TableMeta,
+      ixName: String): Option[Seq[(AttrVal, Seq[Option[AttrVal]])]] = {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
+    val ix = meta.indexes(ixName)
+    val rk = ix.rangeKey.getOrElse(return None)
+    val flat = pushed.toSeq.flatMap(conjuncts)
+    val windowable = flat.forall {
+      case EqualTo(a, v) => v != null && (a == ix.hashKey || a == rk)
+      case In(a, vs) => a == ix.hashKey && vs != null && vs.nonEmpty
+      case GreaterThan(a, v) => v != null && a == rk
+      case GreaterThanOrEqual(a, v) => v != null && a == rk
+      case LessThan(a, v) => v != null && a == rk
+      case LessThanOrEqual(a, v) => v != null && a == rk
+      case StringStartsWith(a, p) => p != null && a == rk
+      case _ => false
+    }
+    if (!windowable) return None
+    val wv = PageIndex.deriveWindowsWithValues(pushed.toSeq, ix.hashKey, rk)
+    if (wv.isEmpty) return None
+    val owning = indexKeyShards(store, meta, ix).getOrElse(return None)
+    val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
+    val folds = scala.collection.mutable.Map.empty[Int, ShardStats]
+    owning.toSeq.sorted.foreach { sh =>
+      val idx = PageIndex.load(
+        dir.resolve(f"gsi-pageidx-$ixName-s$sh%03d.jsonl"),
+        dir.resolve(f"gsi-$ixName-shard-$sh%03d.jsonl")).getOrElse(return None)
+      idx.pages.foreach { p =>
+        wv.zipWithIndex.foreach { case ((_, w), i) =>
+          if (PageIndex.intersects(p, w)) {
+            if (!PageIndex.contains(p, w)) return None
+            folds(i) = folds.getOrElse(i, ShardStats.empty)
+              .union(p.stats.getOrElse(return None))
+          }
+        }
+      }
+    }
+    Some(wv.zipWithIndex.flatMap { case ((h, _), i) =>
+      folds.get(i).map { st =>
+        h -> answerValues(st).getOrElse(return None)
+      }
+    })
+  }
+
   private def answerValues(folded: ShardStats): Option[Seq[Option[AttrVal]]] = {
     if (!folded.complete) return None
     val vals = aggs.map {
@@ -2326,6 +2403,14 @@ final class DynamoScan(
       case ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | TimestampType | DateType =>
         as.sMin.isEmpty // an S value would crash the typed decode
+      // decimal counts need every value to DECODE (scale overflow
+      // only rounds — still non-null — but integer-digit overflow
+      // raises in the scan this answer replaces)
+      case d: DecimalType =>
+        as.sMin.isEmpty && {
+          val lim = BigDecimal(10).pow(d.precision - d.scale)
+          !as.nMin.exists(_.abs >= lim) && !as.nMax.exists(_.abs >= lim)
+        }
       case _ => false
     }
     if (familyOk) as.present else None
@@ -2359,7 +2444,20 @@ final class DynamoScan(
       case TimestampType => numeric(intBounds(Long.MinValue, Long.MaxValue))
       case DateType    => numeric(intBounds(Int.MinValue, Int.MaxValue))
       case FloatType | DoubleType => numeric(None) // rounding is monotone
-      case _ => None // decimal/bool/binary/nested: no exactness claim
+      // Decimal: exact under the same decode-identity proof the SUM
+      // path uses — every value's scale fits the field's (no per-item
+      // rounding, so the recorded extremum IS the decoded extremum)
+      // and the bounds fit the field's integer digits (no per-item
+      // ANSI error anywhere in the scan this answer replaces)
+      case d: DecimalType =>
+        if (as.sMin.nonEmpty) None
+        else if (!as.nScaleMax.exists(_ <= d.scale)) None
+        else {
+          val lim = BigDecimal(10).pow(d.precision - d.scale)
+          if (as.nMin.exists(_.abs >= lim) || as.nMax.exists(_.abs >= lim)) None
+          else Some((if (wantMin) as.nMin else as.nMax).map(AttrVal.N))
+        }
+      case _ => None // bool/binary/nested: no exactness claim
     }
   }
 

@@ -2954,7 +2954,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val schema = StructType(Seq(
       StructField("hk", StringType), StructField("rk", LongType), fld))
     val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
-      PushedAgg.SumOf(fld, wide))
+      PushedAgg.SumOf(fld, wide), PushedAgg.MinOf(fld), PushedAgg.MaxOf(fld),
+      PushedAgg.CountOf(fld))
     def parts(pushed: org.apache.spark.sql.sources.Filter*) =
       new DynamoScan(opts, schema, pushed.toArray, aggs = aggs)
         .toBatch.planInputPartitions()
@@ -2966,6 +2967,9 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(r.next()); val row = r.get(); assert(!r.next())
     assert(row.getLong(0) === 700L)
     assert(row.getDecimal(1, 22, 2).toBigDecimal === vals.sum)
+    assert(row.getDecimal(2, 12, 2).toBigDecimal === vals.min)
+    assert(row.getDecimal(3, 12, 2).toBigDecimal === vals.max)
+    assert(row.getLong(4) === 700L)
     // the SCANNED plan (answer declined by a dirty journal) computes
     // the identical decimal through the pushed accumulator
     store.appendWal("dec", System.currentTimeMillis() + 900000L, "wd",
@@ -2980,6 +2984,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(row2.getLong(0) === 701L)
     assert(row2.getDecimal(1, 22, 2).toBigDecimal ===
       vals.sum + BigDecimal("1.25"))
+    assert(row2.getDecimal(2, 12, 2).toBigDecimal === vals.min)
+    assert(row2.getDecimal(3, 12, 2).toBigDecimal === vals.max)
     // a value with scale BEYOND the field's (0.005) would round in
     // the per-item decode — the answer path must decline, the scan
     // path still computes (decode rounds exactly like the row path)
@@ -3006,8 +3012,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
       PushedAgg.CountAll,
       PushedAgg.CountOf(StructField("v", LongType)),
       PushedAgg.SumOf(StructField("v", LongType), LongType),
-      // decimal SUM rides the same law: exact cents, scale 2
-      PushedAgg.SumOf(StructField("w", DecimalType(12, 2)), DecimalType(22, 2)))
+      // decimal SUM/MIN/MAX ride the same law: exact cents, scale 2
+      PushedAgg.SumOf(StructField("w", DecimalType(12, 2)), DecimalType(22, 2)),
+      PushedAgg.MinOf(StructField("w", DecimalType(12, 2))),
+      PushedAgg.MaxOf(StructField("w", DecimalType(12, 2))))
     val schema = StructType(Seq(
       StructField("hk", StringType), StructField("rk", LongType),
       StructField("v", LongType), StructField("w", DecimalType(12, 2))))
@@ -3085,6 +3093,10 @@ class DynamoConnectorSpec extends AnyFunSuite {
           else Some(row.getDecimal(5, 22, 2).toBigDecimal)
         assert(wGot === (if (ws.isEmpty) None else Some(ws.sum)),
           s"seed $seed SUM(decimal)")
+        def dec(i: Int): Option[BigDecimal] = if (row.isNullAt(i)) None
+          else Some(row.getDecimal(i, 12, 2).toBigDecimal)
+        assert(dec(6) === ws.minOption, s"seed $seed MIN(decimal)")
+        assert(dec(7) === ws.maxOption, s"seed $seed MAX(decimal)")
       }
     }
     assert(answeredRuns >= 2,
@@ -4541,6 +4553,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
         "score" -> (AttrVal.N(BigDecimal(7)): AttrVal)))))
     val stale = parts()
     assert(stale.forall(!_.isInstanceOf[DynamoZoneAnswerPartition]), stale.toSeq)
+  }
+
+  test("GROUPED GSI Query aggregates answer per-group from the copy's page statistics") {
+    import spark.implicits._
+    import graft.sources.dynamo.{DynamoGroupAnswerPartition,
+      DynamoGroupedAggReaderFactory, DynamoOptions, DynamoScan, PushedAgg,
+      PushedGroupBy, AttrVal}
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val rows = for (i <- 0L until 6000L)
+      yield (i, s"cat${i % 4}", (i / 4) % 1500, s"pl-$i")
+    rows.toDF("id", "cat", "score", "payload").repartition(8)
+      .write.dynamo(root, "gg", "id")
+    val store = new LocalKVStore(root)
+    store.createIndex("gg", "by_cat",
+      IndexMeta("cat", Some("score"), Some(Seq("payload"))))
+    store.buildIndex("gg", "by_cat")
+    val opts = DynamoOptions(java.util.Map.of(
+      "path", root, "tableName", "gg", "indexName", "by_cat"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType),
+      StructField("score", LongType), StructField("payload", StringType)))
+    val group = PushedGroupBy(Seq(StructField("cat", StringType)),
+      keyed = true, unique = false, complete = true)
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("score", LongType), LongType))
+    val pushed = Array[org.apache.spark.sql.sources.Filter](
+      In("cat", Array[Any]("cat0", "cat3")))
+    val ps = new DynamoScan(opts, schema, pushed, aggs = aggs,
+      grouped = Some(group)).toBatch.planInputPartitions()
+    assert(ps.forall(_.isInstanceOf[DynamoGroupAnswerPartition]), ps.toSeq)
+    val got = ps.flatMap { p =>
+      val r = new DynamoGroupedAggReaderFactory(opts, pushed, group, aggs)
+        .createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getLong(1), row.getLong(2)))
+      }
+      buf
+    }.sortBy(_._1)
+    assert(got === Seq(("cat0", 1500L, 1500L * 1499L / 2),
+      ("cat3", 1500L, 1500L * 1499L / 2)))
+    // a write demotes the copy below Exact → declines to the ordinary
+    // grouped serve
+    store.appendWal("gg", System.currentTimeMillis() + 900000L, "wz",
+      Seq(store.Put(Map(
+        "id" -> (AttrVal.N(BigDecimal(9999)): AttrVal),
+        "cat" -> (AttrVal.S("cat0"): AttrVal),
+        "score" -> (AttrVal.N(BigDecimal(7)): AttrVal)))))
+    val stale = new DynamoScan(opts, schema, pushed, aggs = aggs,
+      grouped = Some(group)).toBatch.planInputPartitions()
+    assert(stale.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]), stale.toSeq)
   }
 
   test("key-pruned scans report shard-subset statistics (Query sides can auto-broadcast)") {
