@@ -844,6 +844,20 @@ object DynamoQueries {
           min("event_id").as("min_id"), max("event_id").as("max_id"),
           sum("value_cents").as("cents"))
     }),
+    // FILTERLESS grouped answering (round 12): no pushed filter at
+    // all — the groups enumerate from the page directories' own pure
+    // hash bounds, so the ENTIRE `GROUP BY event_type` aggregate
+    // folds from sidecars with zero item reads (the
+    // DescribeTable-statistics move, per group).
+    "q_dyn_group_scan" -> ((s, dir) => {
+      val root = seededEventsByTypeRoot(s, dir)
+      s.read.dynamo(root, "events_bytype")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("value_cents").as("cents"))
+        .orderBy("event_type")
+    }),
     // GROUPED page-statistic answering (round 12): GROUP BY the hash
     // key under a hash-IN pin — each pinned value is one group and one
     // page-pure run, so the plan folds one exact partial PER GROUP
@@ -1403,6 +1417,14 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // filterless grouped form: sidecar-enumerated groups reduce to
+    // the plain grouped aggregate over the raw events fixture
+    "q_dyn_group_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // grouped form: the per-type page-stat folds reduce to the same
     // grouped aggregate over the raw events fixture
     "q_dyn_group_agg" ->

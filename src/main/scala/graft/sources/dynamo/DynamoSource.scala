@@ -1751,6 +1751,34 @@ final class DynamoScan(
         return Array[InputPartition](DynamoZoneAnswerPartition(vals))
       }
     }
+    // FILTERLESS GROUP BY <hash key> — the grouped analogue of the
+    // zone-answer block: the groups enumerate from the page
+    // directories' own (pure, decodable) hash bounds, so the whole
+    // grouped aggregate folds from sidecars with zero item reads.
+    if (aggs.nonEmpty && grouped.exists(_.fields.map(_.name) == Seq(meta.hashKey)) &&
+        opts.indexName.isEmpty &&
+        !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
+        opts.zonePruning && sample.isEmpty &&
+        pushed.isEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
+        aggs.forall {
+          case _: PushedAgg.MinOf | _: PushedAgg.MaxOf => true
+          case PushedAgg.CountAll | _: PushedAgg.CountOf => true
+          case PushedAgg.SumOf(_, LongType) => true
+          case PushedAgg.SumOf(_, _: DecimalType) => true
+          case _: PushedAgg.AvgOf => true // complete pushes; 2^53 proof
+          case _ => false
+        }) {
+      groupedZoneAnswerPlan(store, meta).foreach { rows =>
+        if (reportsPerShard(store, meta)) {
+          val byShard = rows.groupBy(_._1)
+          return (0 until meta.shards).map(sh =>
+            DynamoGroupAnswerPartition(sh, byShard.getOrElse(sh, Nil)
+              .map(r => (r._2, r._3))): InputPartition).toArray
+        }
+        return Array[InputPartition](
+          DynamoGroupAnswerPartition(0, rows.map(r => (r._2, r._3))))
+      }
+    }
     // GROUPED page-statistics answering — `GROUP BY <hash key>` over a
     // hash-IN window, closing the `grouped.isEmpty` gap above: each
     // pinned hash value IS one group, hash-group page alignment makes
@@ -1774,6 +1802,7 @@ final class DynamoScan(
           case PushedAgg.CountAll | _: PushedAgg.CountOf => true
           case PushedAgg.SumOf(_, LongType) => true
           case PushedAgg.SumOf(_, _: DecimalType) => true // exact too
+          case _: PushedAgg.AvgOf => true // complete pushes; 2^53 proof
           case _ => false
         }) {
       groupedPageAnswerPlan(store, meta).foreach { rows =>
@@ -1834,6 +1863,7 @@ final class DynamoScan(
           case PushedAgg.CountAll | _: PushedAgg.CountOf => true
           case PushedAgg.SumOf(_, LongType) => true
           case PushedAgg.SumOf(_, _: DecimalType) => true
+          case _: PushedAgg.AvgOf => true // complete pushes; 2^53 proof
           case _ => false
         }) {
       val ixName = opts.indexName.get
@@ -2229,6 +2259,54 @@ final class DynamoScan(
     answerValues(folded)
   }
 
+  /** FILTERLESS `GROUP BY <hash key>` from page statistics alone: the
+    * grouped analogue of [[zoneAnswerPlan]], except the GROUPS come
+    * from the page directories themselves — hash-group alignment
+    * makes large keys' runs page-pure, each pure page names its
+    * group in its (decodable) encoded hash bound, and placement puts
+    * every group wholly inside one shard, so per-shard page folds ARE
+    * the grouped aggregate. `SELECT hk, count(*), sum(v) FROM t
+    * GROUP BY hk` over a compacted table then reads zero items at any
+    * size — the DescribeTable-statistics move, per group. Declines
+    * (None) whenever the proof fails: any journal anywhere (new
+    * groups could exist only in a journal), any IMPURE page (small
+    * interleaved groups pack densely below the alignment floor — the
+    * page's rows span groups page grain cannot split), a non-string
+    * group field (string hash values decode injectively; numeric
+    * coercions could merge store values the encoded grouping kept
+    * apart), more groups than `maxPushedGroups`, or any unanswerable
+    * stat. Returns `(owning shard, group value, answered values)` so
+    * a reported per-shard layout can keep the segment↔shard identity.
+    */
+  private def groupedZoneAnswerPlan(store: LocalKVStore, meta: TableMeta)
+      : Option[Seq[(Int, AttrVal, Seq[Option[AttrVal]])]] = {
+    if (meta.rangeKey.isEmpty || meta.layout < 2) return None
+    if (!grouped.exists(_.fields.head.dataType == StringType)) return None
+    if (store.journalShards(opts.tableName).nonEmpty) return None
+    val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
+    var total = 0
+    val perShard = (0 until meta.shards).map { sh =>
+      val idx = PageIndex.load(
+        dir.resolve(f"pageidx-s$sh%03d.jsonl"),
+        dir.resolve(f"shard-$sh%03d.jsonl")).getOrElse(return None)
+      val groups = scala.collection.mutable.LinkedHashMap.empty[String, ShardStats]
+      idx.pages.foreach { p =>
+        if (p.minH != p.maxH || !p.minH.startsWith("s:")) return None
+        groups.update(p.minH, groups.getOrElse(p.minH, ShardStats.empty)
+          .union(p.stats.getOrElse(return None)))
+      }
+      total += groups.size
+      if (total > opts.maxPushedGroups) return None
+      sh -> groups
+    }
+    Some(perShard.flatMap { case (sh, groups) =>
+      groups.toSeq.sortBy(_._1).map { case (enc, st) =>
+        val h = LocalKVStore.decKeyAttr(enc).getOrElse(return None)
+        (sh, h, answerValues(st).getOrElse(return None))
+      }
+    })
+  }
+
   /** The GROUPED form of [[indexPageAnswerPlan]]: per-window folds
     * over the EXACT materialized copy's page directories — one
     * `(index hash value, answered values)` row per non-empty pinned
@@ -2377,6 +2455,38 @@ final class DynamoScan(
                 val wideLim = BigDecimal(10).pow(wd.precision - wd.scale)
                 if (BigDecimal(n) * maxAbs < wideLim)
                   Some(AttrVal.N(sum): AttrVal)
+                else return None
+              case _ => return None
+            }
+        }
+      // AVG over the integer family (arrives only on COMPLETE pushes
+      // — Spark rewrites partial avgs to SUM+COUNT, which answer
+      // above): [[AggAccs.AvgAcc]] accumulates an exact double sum
+      // while every prefix stays ≤ 2^53, so under that bound
+      // (present × max|value|) the answer sum.toDouble / present is
+      // BIT-IDENTICAL to the scanned division. Same family-purity and
+      // field-range rules as the long SUM.
+      case PushedAgg.AvgOf(f) =>
+        folded.attrs.get(f.name) match {
+          case None => None // absent attr: AVG over no rows = null
+          case Some(as) =>
+            if (as.other || as.nOpen || as.sMin.nonEmpty || !as.nWhole ||
+                !integralField(f.dataType))
+              return None
+            val (fLo, fHi) = f.dataType match {
+              case ByteType => (BigDecimal(Byte.MinValue), BigDecimal(Byte.MaxValue))
+              case ShortType => (BigDecimal(Short.MinValue), BigDecimal(Short.MaxValue))
+              case IntegerType => (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue))
+              case _ => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+            }
+            if (as.nMin.exists(_ < fLo) || as.nMax.exists(_ > fHi)) return None
+            (as.present, as.nSum) match {
+              case (Some(0L), _) => None
+              case (Some(n), Some(sum)) =>
+                val maxAbs = (as.nMin.map(_.abs).toSeq ++ as.nMax.map(_.abs))
+                  .maxOption.getOrElse(BigDecimal(0))
+                if (BigDecimal(n) * maxAbs <= BigDecimal(9007199254740992L))
+                  Some(AttrVal.N(BigDecimal(sum.toDouble / n)): AttrVal)
                 else return None
               case _ => return None
             }

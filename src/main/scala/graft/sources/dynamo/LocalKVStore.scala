@@ -3683,6 +3683,22 @@ object LocalKVStore {
     case other => throw new IllegalArgumentException(s"unsupported key type $other")
   }
 
+  /** Inverse of [[encKeyAttr]] — the encoding is prefix-tagged and
+    * lossless (numbers normalize to stripped plain form, which
+    * round-trips through BigDecimal), so a page directory's hash
+    * bounds decode back to the typed value. None on an unrecognized
+    * tag or unparseable payload (a caller treats that as "cannot
+    * prove", never a crash).
+    */
+  private[dynamo] def decKeyAttr(s: String): Option[AttrVal] =
+    if (s.startsWith("s:")) Some(AttrVal.S(s.substring(2)))
+    else if (s.startsWith("n:"))
+      scala.util.Try(AttrVal.N(BigDecimal(s.substring(2)))).toOption
+    else if (s.startsWith("b:"))
+      scala.util.Try(AttrVal.B(
+        java.util.Base64.getDecoder.decode(s.substring(2)))).toOption
+    else None
+
   /** Result of [[LocalKVStore.indexFreshness]] — how a materialized
     * GSI copy may serve reads right now.
     */

@@ -2933,6 +2933,84 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(("A", 301L, 44850L), ("B", 300L, 44850L)))
   }
 
+  test("FILTERLESS GROUP BY hash key answers wholly from page directories") {
+    import graft.sources.dynamo.{DynamoGroupAnswerPartition,
+      DynamoGroupedAggReaderFactory, DynamoOptions, DynamoScan, PushedAgg,
+      PushedGroupBy, TableMeta, AttrVal}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // two shards, four aligned groups — groups enumerate from the
+    // sidecars' own page bounds, no pushed filter anywhere
+    store.bulkLoad("gz", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      (for (k <- Iterator("A", "B", "C", "D"); i <- Iterator.range(0, 300)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "gz"))
+    val schema = StructType(Seq(
+      StructField("hk", StringType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val group = PushedGroupBy(Seq(StructField("hk", StringType)),
+      keyed = true, unique = false, complete = true)
+    // avg included: COMPLETE grouped pushes carry AvgOf, and the
+    // answer path serves it exactly under the 2^53 proof
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("v", LongType), LongType),
+      PushedAgg.AvgOf(StructField("v", LongType)))
+    def parts() = new DynamoScan(opts, schema,
+      Array.empty[org.apache.spark.sql.sources.Filter], aggs = aggs,
+      grouped = Some(group)).toBatch.planInputPartitions()
+    val ps = parts()
+    assert(ps.forall(_.isInstanceOf[DynamoGroupAnswerPartition]),
+      s"filterless grouped agg must answer from sidecars: ${ps.toSeq}")
+    val factory = new DynamoGroupedAggReaderFactory(opts,
+      Array.empty, group, aggs)
+    val got = ps.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getLong(1),
+          row.getLong(2), row.getDouble(3)))
+      }
+      buf
+    }.sortBy(_._1)
+    assert(got === Seq("A", "B", "C", "D").map(k =>
+      (k, 300L, 44850L, 44850.0 / 300)))
+    // e2e: the session-level filterless grouped aggregate agrees
+    val e2e = spark.read.dynamo(root, "gz")
+      .groupBy("hk").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("hk").collect()
+    assert(e2e.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq("A", "B", "C", "D").map(k => (k, 300L, 44850L)))
+    // ANY journal declines (a new group could live only there)
+    store.appendWal("gz", System.currentTimeMillis() + 900000L, "wz",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("E"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(1)): AttrVal)))))
+    assert(parts().forall(!_.isInstanceOf[DynamoGroupAnswerPartition]))
+    store.compact("gz")
+    assert(parts().forall(_.isInstanceOf[DynamoGroupAnswerPartition]))
+    // small interleaved groups → impure pages → decline (row truth
+    // still served by the ordinary grouped scan)
+    val root2 = freshRoot()
+    val st2 = new LocalKVStore(root2)
+    st2.bulkLoad("gz2", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (for (i <- Iterator.range(0, 600)) yield Map(
+        "hk" -> (AttrVal.S(f"h${i / 4}%04d"): AttrVal), // 4-row groups
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val opts2 = DynamoOptions(java.util.Map.of("path", root2, "tableName", "gz2"))
+    val ps2 = new DynamoScan(opts2, schema,
+      Array.empty[org.apache.spark.sql.sources.Filter], aggs = aggs,
+      grouped = Some(group)).toBatch.planInputPartitions()
+    assert(ps2.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]),
+      "dense small groups must decline the sidecar answer")
+  }
+
   test("decimal SUM answers from sidecars exactly; fractional-beyond-scale declines") {
     import graft.sources.dynamo.{DynamoAggReaderFactory, DynamoOptions,
       DynamoScan, DynamoZoneAnswerPartition, PushedAgg, TableMeta, AttrVal}

@@ -628,10 +628,41 @@ class StreamingSpec extends AnyFunSuite {
           if (rnd.nextInt(3) == 0)
             rnd.shuffle(edges.toList).take(2).foreach(_.processAllAvailable())
         }
-        // quiescent: drain every edge, nRegions rounds (relay chains)
-        (0 until nRegions).foreach { _ =>
+        // Quiescent drain to a FIXPOINT, not a fixed round count: the
+        // edges also self-trigger in background threads, so a batch
+        // in flight on edge (2→1) can land its applies into region 1
+        // AFTER this loop already drained (1→0) — a fixed N rounds
+        // then misses the relay tail (observed under CPU load; the
+        // forensic re-sync confirmed the store itself had shipped
+        // nothing wrong — watermarks sat exactly below the unshipped
+        // files). A round that changes NO region's journal head set
+        // shipped nothing and left nothing in flight that could
+        // trigger again — that is convergence, WITH one clock caveat:
+        // the CDC feed's monotone fence gates names past the wall
+        // clock, and this law's LWW stamps ride up to +120 ms in the
+        // future (writeStamped then floors applies ABOVE that head,
+        // so replb names chase the future stamps too). A no-change
+        // round inside that window proves nothing — the files simply
+        // aren't eligible yet (the forensics below proved exactly
+        // this once: direct passes converged in 1 round). Stability
+        // therefore also requires the clock to have passed every
+        // published name's eligibility time.
+        def heads(): Seq[Set[String]] = stores.map(_.walFileNames("t").toSet)
+        def horizon(): Long = stores.flatMap(_.walFileNames("t"))
+          .map(_.substring(4, 24).toLong).maxOption.getOrElse(0L)
+        var prev = heads()
+        var stable = false
+        var rounds = 0
+        while (!stable && rounds < 24) {
+          val wait = horizon() + 2 - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
           edges.foreach(_.processAllAvailable())
+          val cur = heads()
+          stable = cur == prev && horizon() < System.currentTimeMillis()
+          prev = cur
+          rounds += 1
         }
+        assert(stable, s"seed $seedI: mesh failed to quiesce in $rounds rounds")
         val oracle = ops.groupBy(_.k).flatMap { case (k, kops) =>
           val win = kops.maxBy(o => (o.ver, regions(o.region)))
           if (win.del) None else Some(k -> s"v${win.ver}")
@@ -642,8 +673,34 @@ class StreamingSpec extends AnyFunSuite {
               it("v").asInstanceOf[AttrVal.S].v
           }.toMap
         stores.zipWithIndex.foreach { case (st, i) =>
-          assert(state(st) == oracle,
-            s"seed $seedI: region ${regions(i)} diverged under streaming mesh")
+          if (state(st) != oracle) {
+            // FORENSICS: distinguish "watermark skipped data" (a pass
+            // now finds nothing yet state stays wrong — store bug)
+            // from "the streaming drain stopped early" (direct passes
+            // converge — pacing/liveness bug). Capture the diverged
+            // state BEFORE the repair passes mutate it, dump listings,
+            // then run direct store-level incremental rounds.
+            val got0 = state(st)
+            val listing = stores.zipWithIndex.map { case (s2, r) =>
+              s"${regions(r)}: wal=${s2.walFileNames("t").mkString(",")}"
+            }.mkString("\n")
+            var k = 0
+            val extra = new scala.util.Random(7)
+            while (state(st) != oracle && k < 2 * nRegions) {
+              for (a <- regions.indices; b <- regions.indices if a != b)
+                Replication.syncIncremental(stores(a), regions(a),
+                  stores(b), "t", System.currentTimeMillis() + extra.nextInt(3),
+                  s"fx$a$b$k")
+              k += 1
+            }
+            val verdict =
+              if (state(st) == oracle)
+                s"DIRECT store-level passes CONVERGED after $k rounds — " +
+                  "the STREAMING drain stopped early (pacing bug)"
+              else "direct passes DO NOT converge — watermark skipped data (store bug)"
+            fail(s"seed $seedI: region ${regions(i)} diverged under " +
+              s"streaming mesh.\n$verdict\ngot=$got0\noracle=$oracle\n$listing")
+          }
         }
       } finally edges.foreach(_.stop())
     }
