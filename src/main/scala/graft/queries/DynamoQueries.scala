@@ -526,6 +526,42 @@ object DynamoQueries {
     root
   }
 
+  /** Seed the LOCAL-secondary-index fixture: `events_lsi` keeps the
+    * base composite key (hash `event_type`, range `event_id`) and an
+    * LSI `byval` re-sorts each partition by `value_cents` with a
+    * KEYS_ONLY projection — so the read exercises all three LSI-only
+    * semantics at once: `stronglyConsistentReads` honored on an index
+    * read, non-projected attribute (`user_id`) fetched transparently
+    * from the co-located base item, and same-shard placement.
+    * Index creation is guarded separately from the load marker so a
+    * store seeded by an older build gains the index on first touch.
+    */
+  private def seededEventsLsiRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "events_lsi", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.events(s, sfDir)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"),
+            col("user_id"))
+          .repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "events_lsi")
+          .option("hashKey", "event_type").option("rangeKey", "event_id")
+          .mode("append").save()
+        DynamoMaintenance.compact(s, root, "events_lsi")
+        Files.createFile(marker)
+      }
+      val store = new LocalKVStore(root)
+      if (!store.describe("events_lsi").indexes.contains("byval"))
+        store.createIndex("events_lsi", "byval", graft.sources.dynamo.IndexMeta(
+          hashKey = "event_type", rangeKey = Some("value_cents"),
+          projection = Some(Seq.empty), local = true))
+    }
+    root
+  }
+
   private def seededCounterRoot(s: SparkSession, sfDir: String): String = {
     val root = storeRoot(sfDir)
     withSeedLock(root) {
@@ -1177,6 +1213,27 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // LOCAL secondary index (round 12): a strongly-consistent Query
+    // over the LSI's alternate sort key, selecting a NON-PROJECTED
+    // attribute — the two reads a GSI cannot serve (DynamoDB rejects
+    // ConsistentRead on GSIs and cannot fetch outside the
+    // projection). The read demotes to the co-located base partition
+    // (same shard as the table's own — LSI placement), folds the
+    // live journal at reader time, and fetches `user_id` from the
+    // base item transparently.
+    "q_dyn_lsi" -> ((s, dir) => {
+      val root = seededEventsLsiRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "events_lsi")
+        .option("indexName", "byval")
+        .option("stronglyConsistentReads", "true")
+        .load()
+        .filter(col("event_type") === "click" &&
+          col("value_cents") >= 2000L && col("value_cents") <= 8000L)
+        .select("event_type", "event_id", "value_cents", "user_id")
+        .orderBy("event_id")
+    }),
+
     // Grouped aggregate pushdown over the MATERIALIZED GSI, COMPLETE:
     // the copy is hash-partitioned by the INDEX hash key, so grouping
     // by it makes every group index-shard-local — segments ship one
@@ -1543,6 +1600,16 @@ object DynamoQueries {
     "q_dyn_gsi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    // LSI read: consistent serve + base-item fetch reduce to the
+    // plain filtered projection over the raw events fixture
+    "q_dyn_lsi" ->
+      """SELECT event_type, event_id,
+        |       CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+        |       user_id
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND CAST(ROUND(value * 100, 0) AS BIGINT) BETWEEN 2000 AND 8000
+        |ORDER BY event_id""".stripMargin,
     "q_dyn_gsi_wt" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer

@@ -243,12 +243,19 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
     val store = new LocalKVStore(opts.path)
     val sample = opts.indexName match {
       case None => store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
-      case Some(ix) => // GSI read (A8): sample through the index view
+      case Some(ix) => // index read (A8): sample through the index view
         val meta = store.describe(opts.tableName)
         val index = meta.indexes.getOrElse(ix, throw new IllegalArgumentException(
           s"table ${opts.tableName} has no index '$ix' (has: ${meta.indexes.keys.mkString(", ")})"))
+        DynamoScan.rejectGsiConsistent(opts, index)
+        // An LSI infers ALL attributes (DynamoDB's LSI Query defaults
+        // to Select=ALL_ATTRIBUTES: non-projected attributes fetch
+        // transparently from the co-located base item — the sparse
+        // rule still applies). A GSI infers only the projection (it
+        // cannot fetch).
+        val viewIx = if (index.local) index.copy(projection = None) else index
         store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
-          .flatMap(store.indexView(meta, index, _))
+          .flatMap(store.indexView(meta, viewIx, _))
     }
     val inferred = Codec.inferSchema(sample)
     // CDC reads surface the journal op alongside the item attributes.
@@ -808,7 +815,17 @@ final class DynamoScanBuilder(
     */
   private[dynamo] lazy val indexServe: Option[IndexMeta] =
     opts.indexName.flatMap { ix =>
-      if (opts.ttlAttribute.nonEmpty || opts.asOfSeq.nonEmpty) None
+      // Consistency contract first (DynamoDB parity): GSIs REJECT
+      // ConsistentRead; a LOCAL index honors it by declining the
+      // materialized-copy serve entirely — the base-path read folds
+      // the co-located partition's live journal at reader time, which
+      // IS the strongly-consistent serve (no copy lag to reason
+      // about). Checked before freshness so a perfectly-fresh copy
+      // still cannot claim a consistent GSI read.
+      new LocalKVStore(opts.path).describe(opts.tableName).indexes.get(ix)
+        .foreach(DynamoScan.rejectGsiConsistent(opts, _))
+      if (opts.ttlAttribute.nonEmpty || opts.asOfSeq.nonEmpty ||
+          opts.stronglyConsistentReads) None
       else {
         val store = new LocalKVStore(opts.path)
         store.describe(opts.tableName).indexes.get(ix).filter { _ =>
@@ -1021,12 +1038,54 @@ final class DynamoScanBuilder(
     // stores a `_shard` attribute must read it as data, so only the
     // non-shadowed names are synthesized downstream.
     val metaNames = DynamoMetaCols.names.diff(tableSchema.fieldNames.toSet)
+    // DynamoDB projection contract (A8): a read naming attributes the
+    // index does not project FETCHES them from the co-located base
+    // item on a LOCAL index — the serve demotes to the base path
+    // (same shards, so keyed/complete grouped claims negotiated above
+    // still hold; the extra base-read cost is exactly DynamoDB's LSI
+    // fetch billing) — and is an error on a GLOBAL one (GSIs cannot
+    // fetch; DynamoDB's ValidationException). Checked over the FINAL
+    // pruned schema: selecting only projected columns keeps the copy
+    // serve.
+    val overfetch = opts.indexName.exists { ixName =>
+      val meta = new LocalKVStore(opts.path).describe(opts.tableName)
+      meta.indexes.get(ixName).exists { ixm =>
+        DynamoScan.projectedCols(meta, ixm) match {
+          case Some(allowed) =>
+            // WIRE-attribute demand, not requiredSchema verbatim:
+            // under aggregate pushdown the output schema holds
+            // synthetic agg names — the wire attributes an index item
+            // must carry are the group/agg input fields plus every
+            // pushed conjunct's references.
+            val wanted =
+              (if (aggs.nonEmpty)
+                 aggs.collect {
+                   case PushedAgg.CountOf(f) => f.name
+                   case PushedAgg.SumOf(f, _) => f.name
+                   case PushedAgg.MinOf(f) => f.name
+                   case PushedAgg.MaxOf(f) => f.name
+                   case PushedAgg.AvgOf(f) => f.name
+                 }.toSet ++ grouped.toSeq.flatMap(_.fields.map(_.name))
+               else requiredSchema.fieldNames.toSet) ++
+                pushed.flatMap(_.references)
+            val extras = wanted -- allowed -- metaNames - "_op"
+            if (extras.nonEmpty && !ixm.local)
+              throw new IllegalArgumentException(
+                s"columns ${extras.toSeq.sorted.mkString(", ")} are not " +
+                  s"projected into global secondary index '$ixName'; " +
+                  "only local secondary indexes fetch non-projected " +
+                  "attributes from the base table")
+            extras.nonEmpty
+          case None => false
+        }
+      }
+    }
     // Pin the serve-via-index decision (Some(...)) so planning cannot
     // re-decide after negotiation — see [[indexServe]] for why a
     // completeness claim makes the re-check a correctness hazard.
     new DynamoScan(opts, requiredSchema, pushed, limit, aggs, safeTopN, grouped, advPushed,
       offset, pinSingleSegment = pin, sample = sample, metaNames = metaNames,
-      serveViaIndex = Some(indexServe.isDefined))
+      serveViaIndex = Some(indexServe.isDefined && !overfetch))
   }
 }
 
@@ -1259,6 +1318,30 @@ private object ScanMetrics {
 }
 
 object DynamoScan {
+  /** DynamoDB parity: `ConsistentRead = true` against a GLOBAL
+    * secondary index is a ValidationException — GSIs are maintained
+    * asynchronously and have no consistent serve. A LOCAL index
+    * honors it (the read demotes to the co-located base partition's
+    * live journal fold — see [[DynamoScanBuilder.indexServe]]).
+    * Checked at schema inference AND at every plan entry, so both
+    * inferred-schema and user-schema reads fail loudly up front.
+    */
+  def rejectGsiConsistent(opts: DynamoOptions, index: IndexMeta): Unit =
+    if (opts.stronglyConsistentReads && !index.local)
+      throw new IllegalArgumentException(
+        s"stronglyConsistentReads is not supported on global secondary " +
+          s"index '${opts.indexName.getOrElse("")}' (DynamoDB rejects " +
+          "ConsistentRead on GSIs; local secondary indexes support it)")
+
+  /** The attribute set a projected index EXPOSES: both key pairs plus
+    * the INCLUDE list. Reads naming anything else are an error on a
+    * GSI and a transparent base-item fetch on an LSI.
+    */
+  def projectedCols(meta: TableMeta, index: IndexMeta): Option[Set[String]] =
+    index.projection.map(incl =>
+      Set(meta.hashKey) ++ meta.rangeKey ++
+        Set(index.hashKey) ++ index.rangeKey ++ incl)
+
   /** ONE definition of the full-scan segment count, shared by
     * [[DynamoScan.outputPartitioning]], [[DynamoScan.planInputPartitions]]
     * and [[DynamoScanBuilder.pushOffset]]'s single-segment check: if
@@ -1669,6 +1752,13 @@ final class DynamoScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val store = new LocalKVStore(opts.path)
     val meta = store.describe(opts.tableName)
+    // DynamoDB parity gate, before ANY fast path below can serve:
+    // ConsistentRead on a GSI is a ValidationException; on a LOCAL
+    // index it demotes copy-backed serves (including the sidecar
+    // answer paths, whose statistics describe the possibly-lagging
+    // copy) to the live base fold.
+    opts.indexName.foreach(ix =>
+      meta.indexes.get(ix).foreach(DynamoScan.rejectGsiConsistent(opts, _)))
     val throughput = opts.throughput.getOrElse(meta.throughput).toDouble
     // Consistent parallel scan: capture the journal listing ONCE here
     // (driver side) and pin it into every base-path partition — all
@@ -1828,6 +1918,9 @@ final class DynamoScan(
     if (aggs.nonEmpty && grouped.isEmpty && opts.indexName.isDefined &&
         !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
         opts.zonePruning && sample.isEmpty &&
+        // consistent reads must fold the live base (copy statistics
+        // describe a plan-time snapshot, not reader-time state)
+        !opts.stronglyConsistentReads &&
         pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
         serveViaIndex.forall(identity) &&
         aggs.forall {
@@ -1856,6 +1949,7 @@ final class DynamoScan(
           grouped.exists(_.fields.map(_.name) == Seq(ix.hashKey))) &&
         !opts.cdc && opts.asOfSeq.isEmpty && opts.ttlAttribute.isEmpty &&
         opts.zonePruning && sample.isEmpty &&
+        !opts.stronglyConsistentReads && // same rule as the block above
         pushed.nonEmpty && adv.isEmpty && runtime.isEmpty && runtimeAdv.isEmpty &&
         serveViaIndex.forall(identity) &&
         aggs.forall {
@@ -1895,6 +1989,10 @@ final class DynamoScan(
         else LocalKVStore.IndexStale
       val serve = serveViaIndex.getOrElse(
         opts.ttlAttribute.isEmpty && opts.asOfSeq.isEmpty &&
+          // a consistent LSI read never serves the copy snapshot —
+          // the base path's reader-time journal fold IS the
+          // consistent serve (GSIs threw at plan entry)
+          !opts.stronglyConsistentReads &&
           meta.indexes.contains(ixName) && (freshness match {
             case LocalKVStore.IndexExact => true
             case LocalKVStore.IndexDelta(_, bytes) =>
@@ -2049,7 +2147,12 @@ final class DynamoScan(
     * and under `zonePruning=false`.
     */
   private def zoneShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
-    if (opts.indexName.isDefined || !opts.zonePruning) return None
+    // Index reads: base zone stats say nothing about a GSI's shards,
+    // but a LOCAL index reads the base partitions themselves (same
+    // items, same attributes — the sparse rule only REMOVES rows), so
+    // base-shard zone pruning stays sound for it.
+    if (opts.indexName.exists(ix => !meta.indexes.get(ix).exists(_.local)) ||
+        !opts.zonePruning) return None
     val conjuncts = pushed ++ runtime
     if (conjuncts.isEmpty) return None
     val stats = store.tableZoneStats(opts.tableName, meta.shards)
@@ -2627,7 +2730,14 @@ final class DynamoScan(
     } yield attrs.map(store.indexShardOf(meta, _)).toSet
 
   private def keyShards(store: LocalKVStore, meta: TableMeta): Option[Set[Int]] = {
-    if (opts.indexName.isDefined) return None
+    // A secondary-index read's pins live in INDEX-key space and claim
+    // nothing about base placement — EXCEPT a LOCAL index, whose hash
+    // key IS the table's partition key: an LSI Query's hash pin
+    // prunes the base-path serve to the owning shard (DynamoDB's own
+    // locality — an LSI Query touches one partition).
+    if (opts.indexName.exists(ix =>
+        !meta.indexes.get(ix).exists(im => im.local && im.hashKey == meta.hashKey)))
+      return None
     if (meta.layout >= 2)
       for {
         hks <- pinned(meta.hashKey)
@@ -3135,8 +3245,14 @@ final class DynamoPartitionReader(
     */
   private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
     val meta = store.describe(opts.tableName)
-    (meta, meta.indexes.getOrElse(ix,
-      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+    val im = meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}"))
+    // LOCAL index: clear the projection — a base-path LSI read
+    // fetches non-projected attributes from the co-located base item
+    // (DynamoDB LSI semantics; filters may name them too). Copy-served
+    // items arrive pre-projected, so the wider view is idempotent on
+    // them; the sparse rule (all index keys present) still applies.
+    (meta, if (im.local) im.copy(projection = None) else im)
   }
 
   // A pad partition exists only to keep the shard layout visible to
@@ -3268,8 +3384,14 @@ final class DynamoGroupedAggReader(
 
   private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
     val meta = store.describe(opts.tableName)
-    (meta, meta.indexes.getOrElse(ix,
-      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+    val im = meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}"))
+    // LOCAL index: clear the projection — a base-path LSI read
+    // fetches non-projected attributes from the co-located base item
+    // (DynamoDB LSI semantics; filters may name them too). Copy-served
+    // items arrive pre-projected, so the wider view is idempotent on
+    // them; the sparse rule (all index keys present) still applies.
+    (meta, if (im.local) im.copy(projection = None) else im)
   }
 
   private var matched = 0L
@@ -3675,8 +3797,14 @@ final class DynamoAggReader(
 
   private val index: Option[(TableMeta, IndexMeta)] = opts.indexName.map { ix =>
     val meta = store.describe(opts.tableName)
-    (meta, meta.indexes.getOrElse(ix,
-      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}")))
+    val im = meta.indexes.getOrElse(ix,
+      throw new IllegalArgumentException(s"no index '$ix' on ${opts.tableName}"))
+    // LOCAL index: clear the projection — a base-path LSI read
+    // fetches non-projected attributes from the co-located base item
+    // (DynamoDB LSI semantics; filters may name them too). Copy-served
+    // items arrive pre-projected, so the wider view is idempotent on
+    // them; the sparse rule (all index keys present) still applies.
+    (meta, if (im.local) im.copy(projection = None) else im)
   }
 
   private val accs: Array[AggAccs.Acc] = AggAccs.make(aggs)

@@ -33,17 +33,32 @@ final case class TableMeta(
       */
     layout: Int = 2)
 
-/** Global-secondary-index metadata (A8). `projection = None` means
+/** Secondary-index metadata (A8). `projection = None` means
   * ALL attributes (DynamoDB's `ProjectionType.ALL`); `Some(attrs)`
   * mirrors `INCLUDE` — the index exposes its own keys, the table's
   * primary keys, and `attrs`, nothing else. The index is sparse:
-  * items missing the index hash key are invisible through it
-  * [REF: the reference's `indexName` option surface].
+  * items missing ANY index key attribute are invisible through it
+  * (DynamoDB's rule — an index with a sort key omits items that lack
+  * it) [REF: the reference's `indexName` option surface].
+  *
+  * `local = true` is a LOCAL secondary index (DynamoDB LSI): same
+  * partition key as the table, an ALTERNATE sort key, co-resident
+  * with the base partition. The locality buys two semantic upgrades
+  * a GSI cannot offer — `stronglyConsistentReads` is honored (the
+  * read serves from the base partition's live journal fold, never a
+  * possibly-lagging materialized copy; DynamoDB REJECTS
+  * ConsistentRead on GSIs), and reads may name attributes OUTSIDE
+  * the projection (they fetch transparently from the co-located
+  * base item, at base-read cost; on a GSI that is a
+  * ValidationException). Placement is the table's own (index hash
+  * key == table hash key), so same-shard identities — key-pruned
+  * plans, SPJ layout, keyed grouped claims — hold on either path.
   */
 final case class IndexMeta(
     hashKey: String,
     rangeKey: Option[String],
-    projection: Option[Seq[String]])
+    projection: Option[Seq[String]],
+    local: Boolean = false)
 
 /** Per-attribute zone-map entry: min/max over the NUMERIC values and
   * over the STRING values an attribute has taken (UTF8String binary
@@ -392,7 +407,8 @@ final class LocalKVStore(root: String) {
         "rangeKey" -> ix.rangeKey.map(AttrVal.S).getOrElse(AttrVal.Null),
         "projection" -> ix.projection
           .map(p => AttrVal.L(p.map(AttrVal.S).toVector))
-          .getOrElse(AttrVal.Null)))
+          .getOrElse(AttrVal.Null),
+        "local" -> AttrVal.Bool(ix.local)))
     }
     val m: Item = Map(
       "hashKey" -> AttrVal.S(meta.hashKey),
@@ -413,6 +429,20 @@ final class LocalKVStore(root: String) {
     */
   def createIndex(table: String, name: String, index: IndexMeta): Unit = {
     val meta = describe(table)
+    if (index.local) {
+      // DynamoDB's LSI shape rules: an LSI shares the table's
+      // partition key exactly, supplies an ALTERNATE sort key, and
+      // requires a composite-key base table (an LSI on a hash-only
+      // table has nothing to re-sort within a partition).
+      require(index.hashKey == meta.hashKey,
+        s"local index '$name' must use the table's partition key " +
+          s"'${meta.hashKey}' (got '${index.hashKey}')")
+      require(index.rangeKey.nonEmpty,
+        s"local index '$name' requires an alternate sort key")
+      require(meta.rangeKey.nonEmpty,
+        s"local index '$name' requires a composite-key base table " +
+          s"(table '$table' has no sort key)")
+    }
     createTable(table, meta.copy(indexes = meta.indexes + (name -> index)))
     buildIndex(table, name)
   }
@@ -1202,6 +1232,11 @@ final class LocalKVStore(root: String) {
           projection = f("projection") match {
             case AttrVal.L(vs) => Some(vs.map(_.asInstanceOf[AttrVal.S].v))
             case _             => None
+          },
+          // absent in metas written before LSIs existed → global
+          local = f.get("local") match {
+            case Some(AttrVal.Bool(b)) => b
+            case _                     => false
           })
         case (name, other) =>
           throw new IllegalStateException(s"bad index meta $name: $other")
@@ -1225,11 +1260,20 @@ final class LocalKVStore(root: String) {
       })
   }
 
-  /** The item as seen through a GSI: None for items the sparse index
-    * doesn't contain; otherwise the projected attribute set.
+  /** The item as seen through a secondary index: None for items the
+    * sparse index doesn't contain (DynamoDB's rule — an item appears
+    * only when it has EVERY index key attribute, sort key included);
+    * otherwise the projected attribute set. LSI base-path READERS
+    * widen the view by clearing the projection before calling
+    * (DynamoDB's transparent base-item fetch: a local index read may
+    * name — and filter on — non-projected attributes; the co-located
+    * base item supplies them, and the decode schema bounds what the
+    * scan emits). Index COPY builds always pass the declared meta, so
+    * materialized copies store exactly the projection.
     */
   def indexView(meta: TableMeta, index: IndexMeta, item: Item): Option[Item] =
-    if (!item.contains(index.hashKey)) None
+    if (!item.contains(index.hashKey) ||
+        index.rangeKey.exists(rk => !item.contains(rk))) None
     else index.projection match {
       case None => Some(item)
       case Some(incl) =>

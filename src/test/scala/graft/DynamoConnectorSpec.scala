@@ -2933,6 +2933,112 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(("A", 301L, 44850L), ("B", 300L, 44850L)))
   }
 
+  test("LSI: consistent reads, base-item overfetch, shard locality; GSI rejections") {
+    import graft.sources.dynamo.{AttrVal, DynamoInputPartition, DynamoOptions,
+      DynamoScan}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("lt", TableMeta("hk", Some("rk"), shards = 4,
+        throughput = 1000000L),
+      (for (k <- Iterator("A", "B", "C"); i <- Iterator.range(0, 40)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal((i * 7) % 40)): AttrVal),
+        "extra" -> (AttrVal.S(s"x$k$i"): AttrVal))))
+
+    // LSI shape rules (DynamoDB): the table's partition key, an
+    // alternate sort key, and a composite-key base — each enforced
+    intercept[IllegalArgumentException] {
+      store.createIndex("lt", "bad1", IndexMeta("v", Some("rk"), None, local = true))
+    }
+    intercept[IllegalArgumentException] {
+      store.createIndex("lt", "bad2", IndexMeta("hk", None, None, local = true))
+    }
+
+    store.createIndex("lt", "byv",
+      IndexMeta("hk", Some("v"), Some(Seq.empty), local = true))
+    store.createIndex("lt", "gv",
+      IndexMeta("hk", Some("v"), Some(Seq.empty), local = false))
+
+    // ConsistentRead on a GSI → rejected up front (DynamoDB's
+    // ValidationException parity)
+    val gsiCons = intercept[IllegalArgumentException] {
+      spark.read.format("dynamo")
+        .option("path", root).option("tableName", "lt")
+        .option("indexName", "gv")
+        .option("stronglyConsistentReads", "true").load()
+    }
+    assert(gsiCons.getMessage.contains("global secondary index"))
+
+    // inference: the LSI exposes ALL attributes (base-item fetch);
+    // the structurally identical GSI exposes only the projection
+    val lsiDf = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "lt")
+      .option("indexName", "byv")
+      .option("stronglyConsistentReads", "true").load()
+    assert(lsiDf.schema.fieldNames.sorted.toSeq == Seq("extra", "hk", "rk", "v"))
+    val gsiDf = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "lt")
+      .option("indexName", "gv").load()
+    assert(gsiDf.schema.fieldNames.sorted.toSeq == Seq("hk", "rk", "v"))
+
+    // overfetch: the LSI serves the non-projected attr from the
+    // co-located base item; the GSI read naming it throws OUR error
+    // (an explicit schema dodges the unresolved-column analysis path)
+    val fetched = lsiDf.filter(col("hk") === "A" && col("v") === 7)
+      .select("hk", "rk", "v", "extra").collect()
+    assert(fetched.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq == Seq(("A", 1L, 7L, "xA1")))
+    val wideSchema = StructType(Seq(StructField("hk", StringType),
+      StructField("rk", LongType), StructField("v", LongType),
+      StructField("extra", StringType)))
+    val gEx = intercept[Throwable] {
+      spark.read.format("dynamo").schema(wideSchema)
+        .option("path", root).option("tableName", "lt")
+        .option("indexName", "gv").load()
+        .select("hk", "extra").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(gEx).contains("not projected"), msgs(gEx))
+
+    // strong consistency: a write AFTER the index build is visible to
+    // the very next consistent LSI read, and the plan never claims a
+    // viaIndex partition (the base fold IS the consistent serve)
+    store.appendWal("lt", System.currentTimeMillis() + 990000L, "w1",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(99)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(41)): AttrVal),
+        "extra" -> (AttrVal.S("fresh"): AttrVal)))))
+    val fresh = lsiDf.filter(col("v") === 41).select("extra").collect()
+    assert(fresh.map(_.getString(0)).toSeq == Seq("fresh"))
+    val consOpts = DynamoOptions(java.util.Map.of("path", root,
+      "tableName", "lt", "indexName", "byv",
+      "stronglyConsistentReads", "true"))
+    val ps = new DynamoScan(consOpts, wideSchema,
+      Array.empty[org.apache.spark.sql.sources.Filter])
+      .toBatch.planInputPartitions()
+    assert(ps.collect { case p: DynamoInputPartition => p }.nonEmpty)
+    assert(ps.collect { case p: DynamoInputPartition => p }.forall(!_.viaIndex))
+    // LSI locality: the hash pin prunes the consistent serve to the
+    // owning BASE shard (index hash key == table partition key)
+    val pinnedPs = new DynamoScan(consOpts, wideSchema,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("hk", "A")))
+      .toBatch.planInputPartitions()
+    assert(pinnedPs.length == 1, pinnedPs.toSeq)
+
+    // sparse rule (DynamoDB): an item missing the LSI sort key is
+    // invisible through the index, visible in the base read
+    store.appendWal("lt", System.currentTimeMillis() + 990001L, "w2",
+      Seq(store.Put(Map("hk" -> (AttrVal.S("A"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(100)): AttrVal),
+        "extra" -> (AttrVal.S("nosort"): AttrVal)))))
+    assert(lsiDf.filter(col("rk") === 100).count() == 0L)
+    assert(spark.read.dynamo(root, "lt").filter(col("rk") === 100).count() == 1L)
+  }
+
   test("FILTERLESS GROUP BY hash key answers wholly from page directories") {
     import graft.sources.dynamo.{DynamoGroupAnswerPartition,
       DynamoGroupedAggReaderFactory, DynamoOptions, DynamoScan, PushedAgg,
