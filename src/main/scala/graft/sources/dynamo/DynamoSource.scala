@@ -51,6 +51,11 @@ final case class DynamoOptions(
     indexName: Option[String],
     cdc: Boolean,
     startingOffsets: String,
+    /** AT_TIMESTAMP start position (epoch ms): the stream's first
+      * batch begins at the earliest journal file with pubSeq ≥ this.
+      * Mutually exclusive with a non-default `startingOffsets`.
+      */
+    startingTimestamp: Option[Long],
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
     /** Admission control for the CDC/upsert feed: at most this many
@@ -193,6 +198,7 @@ object DynamoOptions {
       indexName = opt("indexName"),
       cdc = m.getBoolean("cdc", false),
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
+      startingTimestamp = opt("startingTimestamp").map(_.toLong),
       cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
       cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L),
       maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toInt).filter(_ > 0),
@@ -1388,32 +1394,39 @@ object DynamoScan {
       store.scanSegment(opts.tableName, partition.segment,
         partition.totalSegments, opts.asOfSeq,
         allowedWal = partition.pinnedWal.map(_.toSet),
-        // windows derived for an INDEX view must never prune BASE
-        // pages (a base-fallback GSI read lands here with indexName
-        // set — its windows are in index-key space)
-        windows = if (opts.indexName.isEmpty) windows else Nil)
+        // windows reaching a base read were derived in TABLE-key
+        // space ([[queryWindow]]'s `viaIndex = false` contract: base
+        // windows for plain reads and LOCAL-index fallbacks, Nil for
+        // a GSI fallback whose pins live in index-key space)
+        windows = windows)
 
-  /** The `Query`-shape window for a BASE-path read, or None: requires
-    * a composite-key layout-2 table, no index view in the read (a
-    * base-fallback GSI read projects before filtering — windowing
-    * would be sound on the visible base keys but isn't worth the
-    * coupling), and pushed conjuncts that pin the hash key
-    * ([[PageIndex.deriveWindows]] — one window per pinned hash value,
-    * the IN-list BatchGetItem shape included). Purely an I/O skip:
-    * every emitted
-    * item still passes through the same filter evaluation.
+  /** The `Query`-shape page window for the partition's OWN key space,
+    * or Nil. `viaIndex = true` (materialized-copy read): windows on
+    * the INDEX keys — the copy is sorted by (index hash, index sort).
+    * `viaIndex = false` (base read): windows on the TABLE keys,
+    * derived for plain reads AND for a LOCAL index's base-path serve
+    * — an LSI's hash pins ARE table-partition pins, so the owning
+    * hash group's pages bound the read (DynamoDB's LSI Query cost:
+    * O(one partition's matching items), even under
+    * `stronglyConsistentReads`); conditions on the ALTERNATE sort key
+    * are not positional in base pages and derive no bound. A GSI
+    * base fallback gets Nil (its pins are index-key-space claims).
+    * Purely an I/O skip either way: every emitted item still passes
+    * through the same filter evaluation.
     */
   def queryWindow(meta: TableMeta, opts: DynamoOptions,
-      pushed: Array[Filter]): Seq[PageIndex.KeyWindow] =
+      pushed: Array[Filter], viaIndex: Boolean): Seq[PageIndex.KeyWindow] =
     opts.indexName match {
-      // GSI view: windows live in INDEX-key space — the materialized
-      // copy is sorted by (index hash, index sort key); partitionItems
-      // routes them to the copy read only (a base-fallback serve
-      // declines, see the scanSegment call site)
-      case Some(ixName) =>
+      case Some(ixName) if viaIndex =>
         meta.indexes.get(ixName).toSeq.flatMap(ix =>
           ix.rangeKey.toSeq.flatMap(rk =>
             PageIndex.deriveWindows(pushed.toSeq, ix.hashKey, rk)))
+      case Some(ixName) =>
+        if (meta.layout < 2 ||
+            !meta.indexes.get(ixName).exists(ix =>
+              ix.local && ix.hashKey == meta.hashKey)) Nil
+        else meta.rangeKey.toSeq.flatMap(rk =>
+          PageIndex.deriveWindows(pushed.toSeq, meta.hashKey, rk))
       case None =>
         if (meta.layout < 2) Nil
         else meta.rangeKey.toSeq.flatMap(rk =>
@@ -2852,8 +2865,34 @@ final class DynamoMicroBatchStream(
 
   private val store = new LocalKVStore(opts.path)
 
+  /** Stream start position — the DynamoDB/Kinesis shard-iterator
+    * family mapped onto WAL-name offsets: `earliest` = TRIM_HORIZON
+    * (offset "" delivers every retained file), `latest` = LATEST
+    * (current frontier; history skipped), a literal `wal-...` name =
+    * AFTER_SEQUENCE_NUMBER (delivery resumes strictly after that
+    * file — exactly the checkpoint-offset shape, so a user can hand
+    * a prior run's committed offset back), and `startingTimestamp`
+    * (epoch ms) = AT_TIMESTAMP: names embed the zero-padded pubSeq,
+    * so the fence `wal-<ts>` admits precisely pubSeq ≥ ts (every
+    * lower name is lexicographically below it, every name at ts
+    * extends it). Unknown spellings fail loudly — a typo'd position
+    * silently meaning "earliest" would replay the whole journal.
+    */
   override def initialOffset(): Offset =
-    if (opts.startingOffsets == "latest") latestOffset() else WalOffset("")
+    opts.startingTimestamp match {
+      case Some(ts) =>
+        require(opts.startingOffsets == "earliest",
+          "startingTimestamp and startingOffsets are mutually exclusive")
+        WalOffset(f"wal-$ts%020d")
+      case None => opts.startingOffsets match {
+        case "latest"   => latestOffset()
+        case "earliest" => WalOffset("")
+        case name if name.startsWith("wal-") => WalOffset(name)
+        case other => throw new IllegalArgumentException(
+          s"startingOffsets must be 'earliest', 'latest', or a " +
+            s"'wal-...' file-name offset (got '$other')")
+      }
+    }
 
   // Monotone cursor: latestOffset must stand still when nothing new
   // published, or `processAllAvailable` (which waits for a no-new-data
@@ -3260,7 +3299,7 @@ final class DynamoPartitionReader(
   private val items: Iterator[(Item, Int)] =
     if (partition.padEmpty) Iterator.empty
     else DynamoScan.partitionItems(store, opts, partition,
-      DynamoScan.queryWindow(placementMeta, opts, pushed))
+      DynamoScan.queryWindow(placementMeta, opts, pushed, partition.viaIndex))
 
   // One clock per scan task: every item in the partition sees the same
   // expiry cutoff (TTL — expired items are hidden, counted as filtered).
@@ -3411,7 +3450,7 @@ final class DynamoGroupedAggReader(
   // this reader evaluates — a `GROUP BY ... WHERE hash = h AND range
   // BETWEEN a AND b` aggregates over O(matching pages), not O(shard).
   private lazy val queryWin: Seq[PageIndex.KeyWindow] =
-    DynamoScan.queryWindow(baseMeta, opts, pushed)
+    DynamoScan.queryWindow(baseMeta, opts, pushed, partition.viaIndex)
 
   /** Spark's grouping equates 0.0 with -0.0 and all NaNs; boxed
     * Double/Float equals does neither, so normalize map-key values.
@@ -3825,7 +3864,7 @@ final class DynamoAggReader(
   // Query-shape page window — a pushed `count(*) WHERE hash = h AND
   // range BETWEEN a AND b` reads O(matching pages), not O(shard).
   private lazy val queryWin: Seq[PageIndex.KeyWindow] =
-    DynamoScan.queryWindow(baseMeta, opts, pushed)
+    DynamoScan.queryWindow(baseMeta, opts, pushed, partition.viaIndex)
 
   override def next(): Boolean = {
     if (emitted) return false

@@ -1720,6 +1720,56 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream start positions: AT_TIMESTAMP + sequence-offset starts; typos fail loudly") {
+    import graft.sources.dynamo.{AttrVal, ItemJson}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("sp", TableMeta("id", None, shards = 1,
+      throughput = 1000000L))
+    // plant journal files at PINNED past pubSeqs (appendWal floors
+    // its publish seq to at least close time — a timestamp law needs
+    // the names' embedded times exact)
+    def put(id: String, seq: Long): Unit = {
+      val line = ItemJson.write(Map(
+        "op" -> (AttrVal.S("PUT"): AttrVal),
+        "item" -> (AttrVal.M(Map("id" -> AttrVal.S(id))): AttrVal)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "sp",
+        f"wal-$seq%020d-w$id-s000.jsonl"), (line + "\n").getBytes("UTF-8"))
+    }
+    val t0 = System.currentTimeMillis() - 10000
+    put("r1", t0); put("r2", t0 + 1000); put("r3", t0 + 2000)
+    def seen(extra: Map[String, String]): Set[String] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      var rd = spark.readStream.format("dynamo")
+        .option("path", root).option("tableName", "sp")
+      extra.foreach { case (k, v) => rd = rd.option(k, v) }
+      val q = rd.load().writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-startpos-ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getString(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // TRIM_HORIZON (default): full retained history
+    assert(seen(Map.empty) == Set("r1", "r2", "r3"))
+    // AT_TIMESTAMP: pubSeq >= ts, boundary INCLUSIVE at an exact hit
+    assert(seen(Map("startingTimestamp" -> (t0 + 1000).toString)) ==
+      Set("r2", "r3"))
+    assert(seen(Map("startingTimestamp" -> (t0 + 1001).toString)) == Set("r3"))
+    // AFTER_SEQUENCE_NUMBER: a prior run's committed WAL-name offset
+    // resumes strictly after it
+    val firstFile = store.walFileNames("sp").min
+    assert(seen(Map("startingOffsets" -> firstFile)) == Set("r2", "r3"))
+    // a typo'd position fails loudly instead of replaying everything
+    val ex = intercept[Throwable] { seen(Map("startingOffsets" -> "earliset")) }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(ex).contains("startingOffsets"), msgs(ex))
+  }
+
   test("upsert feed (cdc=false) excludes conditional ops; CDC feed tags them") {
     import spark.implicits._
     val root = freshRoot()
@@ -3037,6 +3087,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
         "extra" -> (AttrVal.S("nosort"): AttrVal)))))
     assert(lsiDf.filter(col("rk") === 100).count() == 0L)
     assert(spark.read.dynamo(root, "lt").filter(col("rk") === 100).count() == 1L)
+
+    // cross-path law: a WITHIN-projection, non-consistent LSI read
+    // may serve from the materialized copy (+ delta overlay) — and
+    // must equal the consistent base fold row for row (the sparse
+    // item absent from both)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select("hk", "rk", "v").orderBy("hk", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val copyRead = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "lt")
+      .option("indexName", "byv").load()
+    assert(rows(copyRead) == rows(lsiDf))
+    val narrow = StructType(Seq(StructField("hk", StringType),
+      StructField("rk", LongType), StructField("v", LongType)))
+    val psCopy = new DynamoScan(
+      DynamoOptions(java.util.Map.of("path", root, "tableName", "lt",
+        "indexName", "byv")), narrow,
+      Array.empty[org.apache.spark.sql.sources.Filter])
+      .toBatch.planInputPartitions()
+    assert(psCopy.collect { case p: DynamoInputPartition => p }.exists(_.viaIndex),
+      s"within-projection non-consistent LSI read should serve the copy: ${psCopy.toSeq}")
+  }
+
+  test("LSI Query: hash pin windows the consistent base read to the owning pages") {
+    import graft.sources.dynamo.AttrVal
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("ltp", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      (for (k <- Iterator("a", "b", "c", "d"); i <- Iterator.range(0, 1500)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal((i * 31) % 1500)): AttrVal))))
+    store.createIndex("ltp", "byv", IndexMeta("hk", Some("v"), None, local = true))
+    val df = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "ltp")
+      .option("indexName", "byv")
+      .option("stronglyConsistentReads", "true").load()
+      .filter(col("hk") === "b" && col("v") >= 100 && col("v") <= 150)
+      .select("hk", "rk", "v")
+    val got = df.collect()
+    assert(got.length == 51)
+    assert(got.forall(r => r.getString(0) == "b" &&
+      r.getLong(2) >= 100 && r.getLong(2) <= 150))
+    // The consistent serve demotes to the base path; the hash pin is
+    // a TABLE-partition pin, so shard pruning keeps one of two shards
+    // (~3000 items) and the hash-group page window bounds the read to
+    // ~the owning 1500-item run (the alternate-sort conditions are
+    // non-positional in base pages — the run reads whole). Anything
+    // ≤1600 proves the WINDOW, not just the shard prune.
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan")).getOrElse(fail("no BatchScan"))
+    val scanned = scan.metrics("itemsScanned").value
+    assert(scanned <= 1600, s"expected a hash-windowed paged read, scanned $scanned")
   }
 
   test("FILTERLESS GROUP BY hash key answers wholly from page directories") {
