@@ -238,6 +238,13 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!store.exists(ident.name())) return false
+    // DynamoDB DeletionProtectionEnabled: DeleteTable on a protected
+    // table is a ValidationException; everything else still works
+    if (store.describe(ident.name()).deletionProtection)
+      throw new IllegalStateException(
+        s"table ${ident.name()} has deletion protection enabled; " +
+          "disable it first: CALL <catalog>.set_deletion_protection(" +
+          s"'${ident.name()}', false)")
     val dir = java.nio.file.Paths.get(root, ident.name())
     val s = java.nio.file.Files.walk(dir)
     try s.sorted(java.util.Comparator.reverseOrder())
@@ -476,7 +483,8 @@ private object DynamoProcedures {
 
   val names: Array[String] =
     Array("compact", "build_index", "reshard", "reap_expired", "history",
-      "backup_table", "restore_table", "replication_lag")
+      "backup_table", "restore_table", "replication_lag",
+      "set_deletion_protection")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
@@ -611,6 +619,17 @@ private object DynamoProcedures {
       val (t, n) = (in.getUTF8String(0).toString, in.getInt(1))
       DynamoMaintenance.reshard(org.apache.spark.sql.SparkSession.active, root, t, n)
       summary("table" -> t, "shards" -> n)
+    })
+    case "set_deletion_protection" => Some(proc(name,
+      "toggle DeleteTable protection (UpdateTable's " +
+        "DeletionProtectionEnabled): while enabled, DROP TABLE is " +
+        "rejected; data operations are unaffected",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("enabled", BooleanType).build())) { in =>
+      val (t, on) = (in.getUTF8String(0).toString, in.getBoolean(1))
+      val st = new LocalKVStore(root)
+      st.createTable(t, st.describe(t).copy(deletionProtection = on))
+      summary("table" -> t, "deletion_protection" -> on)
     })
     case "reap_expired" => Some(proc(name,
       "physically delete TTL-expired items (DynamoDB's background TTL " +

@@ -56,6 +56,10 @@ final case class DynamoOptions(
       * Mutually exclusive with a non-default `startingOffsets`.
       */
     startingTimestamp: Option[Long],
+    /** CDC rows carry a `_seq` column (journal publish sequence,
+      * epoch ms) — the Streams SequenceNumber analogue. cdc-only.
+      */
+    cdcSeq: Boolean,
     cdcGraceMs: Long,
     cdcPendingTmpMs: Long,
     /** Admission control for the CDC/upsert feed: at most this many
@@ -199,6 +203,7 @@ object DynamoOptions {
       cdc = m.getBoolean("cdc", false),
       startingOffsets = opt("startingOffsets").getOrElse("earliest"),
       startingTimestamp = opt("startingTimestamp").map(_.toLong),
+      cdcSeq = m.getBoolean("cdcSeq", false),
       cdcGraceMs = opt("cdcGraceMs").map(_.toLong).getOrElse(0L),
       cdcPendingTmpMs = opt("cdcPendingTmpMs").map(_.toLong).getOrElse(60000L),
       maxFilesPerTrigger = opt("maxFilesPerTrigger").map(_.toInt).filter(_ > 0),
@@ -272,7 +277,19 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
         s"table ${opts.tableName} has an item attribute named '_op', " +
           "which collides with the CDC op column; rename the attribute " +
           "or read without cdc=true")
-      inferred.add(StructField("_op", StringType))
+      val withOp = inferred.add(StructField("_op", StringType))
+      // `cdcSeq`: the DynamoDB Streams SequenceNumber /
+      // ApproximateCreationDateTime analogue — each change row carries
+      // its journal file's publish sequence (epoch ms; replay order is
+      // (_seq, position-in-file)), so consumers can order merges and
+      // derive event-time watermarks (`timestamp_millis(_seq)`).
+      if (opts.cdcSeq) {
+        require(!inferred.fieldNames.contains("_seq"),
+          s"table ${opts.tableName} has an item attribute named '_seq', " +
+            "which collides with the CDC sequence column; rename the " +
+            "attribute or read without cdcSeq=true")
+        withOp.add(StructField("_seq", LongType))
+      } else withOp
     } else inferred
   }
 
@@ -3050,6 +3067,9 @@ final class DynamoWalReader(
   private val consistencyFactor = if (opts.stronglyConsistentReads) 1.0 else 0.5
 
   private val ops = store.readWalFile(opts.tableName, partition.fileName)
+  // publish sequence embedded in the file name (`wal-<%020d>-...`) —
+  // the `_seq` value every row of this file carries under cdcSeq
+  private val filePubSeq: Long = partition.fileName.substring(4, 24).toLong
   private var current: InternalRow = _
   private var scanned = 0L
   private var filtered = 0L
@@ -3070,7 +3090,16 @@ final class DynamoWalReader(
       // CDC mode emits everything with its `_op` tag so the consumer
       // resolves conditions against its own state.
       if (opts.cdc || tag == "PUT" || tag == "UPDATE") {
-        val item = if (opts.cdc) item0 + ("_op" -> AttrVal.S(tag)) else item0
+        // synthetic CDC columns ride as attributes so the shared
+        // codec/filter machinery sees them: `_op` (the op tag) and,
+        // under cdcSeq, `_seq` (the file's publish sequence — pushed
+        // filters on it prune before decode, e.g. `_seq >= t`)
+        val item =
+          if (opts.cdc && opts.cdcSeq)
+            item0 + ("_op" -> AttrVal.S(tag)) +
+              ("_seq" -> AttrVal.N(BigDecimal(filePubSeq)))
+          else if (opts.cdc) item0 + ("_op" -> AttrVal.S(tag))
+          else item0
         if (pushed.forall(FilterEval.eval(_, item)) &&
             adv.forall(PredicateV2.eval(_, item))) {
           current = decode(item)

@@ -31,7 +31,14 @@ final case class TableMeta(
       * consult this field; a legacy composite table still scans and
       * prunes by its own rules, it just keeps its legacy layout.
       */
-    layout: Int = 2)
+    layout: Int = 2,
+    /** DynamoDB's `DeletionProtectionEnabled` (UpdateTable): while
+      * true, DROP TABLE is rejected. Data operations — writes,
+      * truncate/overwrite, TTL reaping — are unaffected, exactly the
+      * service's scope (protection guards the table resource, not its
+      * items). Absent in metas written before the flag → false.
+      */
+    deletionProtection: Boolean = false)
 
 /** Secondary-index metadata (A8). `projection = None` means
   * ALL attributes (DynamoDB's `ProjectionType.ALL`); `Some(attrs)`
@@ -416,6 +423,7 @@ final class LocalKVStore(root: String) {
       "shards" -> AttrVal.N(BigDecimal(meta.shards)),
       "throughput" -> AttrVal.N(BigDecimal(meta.throughput)),
       "layout" -> AttrVal.N(BigDecimal(meta.layout)),
+      "deletionProtection" -> AttrVal.Bool(meta.deletionProtection),
       "indexes" -> AttrVal.M(idxs))
     Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
   }
@@ -1257,6 +1265,10 @@ final class LocalKVStore(root: String) {
       layout = m.get("layout") match {
         case Some(AttrVal.N(v)) => v.toInt
         case _                  => 1
+      },
+      deletionProtection = m.get("deletionProtection") match {
+        case Some(AttrVal.Bool(b)) => b
+        case _                     => false
       })
   }
 

@@ -1768,6 +1768,40 @@ class DynamoConnectorSpec extends AnyFunSuite {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
     assert(msgs(ex).contains("startingOffsets"), msgs(ex))
+
+    // cdcSeq: each CDC row carries its file's publish sequence (the
+    // Streams SequenceNumber analogue) — consumers order merges and
+    // derive event-time watermarks from it
+    val seqs = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String, Long)]()
+    val q2 = spark.readStream.format("dynamo")
+      .option("path", root).option("tableName", "sp")
+      .option("cdc", "true").option("cdcSeq", "true").load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdcseq-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "_op", "_seq").collect()
+          .foreach(r => seqs.add((r.getString(0), r.getString(1), r.getLong(2))))
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seqs.asScala.toSet == Set(("r1", "PUT", t0),
+      ("r2", "PUT", t0 + 1000), ("r3", "PUT", t0 + 2000)))
+    // a stored `_seq` attribute collides → loud rejection, like `_op`
+    val line = ItemJson.write(Map(
+      "op" -> (AttrVal.S("PUT"): AttrVal),
+      "item" -> (AttrVal.M(Map("id" -> AttrVal.S("r4"),
+        "_seq" -> AttrVal.N(BigDecimal(1)))): AttrVal)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "sp",
+      f"wal-${t0 + 4000}%020d-wseq-s000.jsonl"), (line + "\n").getBytes("UTF-8"))
+    val ex2 = intercept[Throwable] {
+      spark.readStream.format("dynamo")
+        .option("path", root).option("tableName", "sp")
+        .option("cdc", "true").option("cdcSeq", "true").load()
+    }
+    assert(msgs(ex2).contains("_seq"), msgs(ex2))
   }
 
   test("upsert feed (cdc=false) excludes conditional ops; CDC feed tags them") {
@@ -3683,6 +3717,26 @@ class DynamoConnectorSpec extends AnyFunSuite {
         prev2.fold(spark.conf.unset("spark.sql.catalog.rcat"))(
           spark.conf.set("spark.sql.catalog.rcat", _))
       }
+      // deletion protection (UpdateTable's DeletionProtectionEnabled):
+      // a protected table survives DROP TABLE; data ops still work;
+      // disabling re-arms the drop
+      val res2 = spark.sql(
+        "CALL mcat.set_deletion_protection('fruit', true)").collect()
+      assert(res2.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+        Seq(("fruit", true)))
+      val dEx = intercept[Throwable] { spark.sql("DROP TABLE mcat.fruit") }
+      def dmsgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + dmsgs(t.getCause)
+      assert(dmsgs(dEx).contains("deletion protection"), dmsgs(dEx))
+      assert(store.exists("fruit"))
+      assert(spark.read.dynamo(root, "fruit").count() === 4L)
+      Seq(("guava", "green", 0.2, 3L))
+        .toDF("name", "color", "weight_kg", "stock")
+        .write.dynamo(root, "fruit", "name") // data ops unaffected
+      assert(spark.read.dynamo(root, "fruit").count() === 5L)
+      spark.sql("CALL mcat.set_deletion_protection('fruit', false)")
+      spark.sql("DROP TABLE mcat.fruit")
+      assert(!store.exists("fruit"))
     } finally {
       spark.conf.unset("spark.sql.catalog.mcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.mcat"))(
