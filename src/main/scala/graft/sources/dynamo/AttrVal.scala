@@ -87,6 +87,18 @@ object ItemJson {
     item
   }
 
+  /** One line of a DynamoDB S3 table export: `{"Item": {<item>}}` —
+    * the service's DYNAMODB_JSON export line shape (the wrapper key
+    * is literal). Set tags (SS/NS/BS) in real exports decode as `L`.
+    */
+  def parseExportLine(line: String): Item = {
+    val p = new Parser(line)
+    val item = p.parseExportObj()
+    p.skipWs()
+    require(p.eof, s"trailing content in export line at ${p.pos}")
+    item
+  }
+
   private final class Parser(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length
@@ -99,6 +111,16 @@ object ItemJson {
     private def peek: Char = { skipWs(); s.charAt(pos) }
 
     def parseItemObj(): Item = parseObjWith(() => parseAttr())
+
+    def parseExportObj(): Item = {
+      expect('{')
+      val k = parseStr()
+      require(k == "Item", s"""export line must be {"Item": ...}, got key '$k'""")
+      expect(':')
+      val item = parseItemObj()
+      expect('}')
+      item
+    }
 
     private def parseObjWith[V](pv: () => V): Map[String, V] = {
       expect('{')
@@ -137,6 +159,15 @@ object ItemJson {
           }
           AttrVal.L(b.result())
         case "M" => AttrVal.M(parseObjWith(() => parseAttr()))
+        // DynamoDB set types (SS/NS/BS) decode as L — Spark has no set
+        // type (§1.2 rule, same as the reference's TypeConversion).
+        // Accepted on READ for real-export interop; the writer never
+        // emits them (sets round-trip as lists).
+        case "SS" => AttrVal.L(parseStrArray().map(AttrVal.S(_): AttrVal))
+        case "NS" => AttrVal.L(parseStrArray()
+          .map(n => AttrVal.N(BigDecimal(n)): AttrVal))
+        case "BS" => AttrVal.L(parseStrArray()
+          .map(b => AttrVal.B(Base64.getDecoder.decode(b)): AttrVal))
         case other => throw new IllegalArgumentException(s"unknown attr tag $other")
       }
       expect('}')
@@ -148,6 +179,21 @@ object ItemJson {
       if (s.startsWith("true", pos)) { pos += 4; true }
       else if (s.startsWith("false", pos)) { pos += 5; false }
       else throw new IllegalArgumentException(s"expected bool at $pos")
+    }
+
+    /** `["a","b",...]` — the payload shape of the SS/NS/BS set tags
+      * (numbers and binary ride as strings on the wire, like `N`/`B`).
+      */
+    private def parseStrArray(): Vector[String] = {
+      expect('[')
+      val b = Vector.newBuilder[String]
+      if (peek == ']') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += parseStr()
+        if (peek == ',') pos += 1 else { expect(']'); done = true }
+      }
+      b.result()
     }
 
     private def parseStr(): String = {

@@ -66,13 +66,82 @@ object DynamoMaintenance {
     * items cost storage, never visibility.
     */
   def reapExpired(spark: SparkSession, path: String, table: String,
-      ttlAttribute: String, nowEpochS: Long): Unit = {
+      ttlAttribute: String, nowEpochS: Long,
+      /** `Some(region)`: the Global-Tables form — deletions publish
+        * through the STAMPED write path (version above every expired
+        * item's stamp), so LWW tombstone sidecars carry them to
+        * replicas even after the fold. None: plain journal delete
+        * markers (unreplicated tables).
+        */
+      region: Option[String] = None,
+      /** Physically reclaim (compact each shard) after publishing the
+        * markers. `false` leaves the markers in the journal — items
+        * are already invisible to every reader, and a LAGGING CDC
+        * stream keeps its chance to deliver the deletions before some
+        * later compaction folds them (our analogue of the Streams
+        * 24-hour retention window).
+        */
+      fold: Boolean = true): Unit = {
     val shards = new LocalKVStore(path).describe(table).shards
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(0 until shards, parallelism)
-      .foreach(sh => new LocalKVStore(path)
-        .compactShard(table, sh, expireTtl = Some((ttlAttribute, nowEpochS))))
+      .foreach(sh => reapShard(new LocalKVStore(path), table, sh,
+        ttlAttribute, nowEpochS, region, fold))
+  }
+
+  /** Per-shard TTL reap, the CDC/replication-VISIBLE form (DynamoDB
+    * parity: expired items reach Streams as REMOVE records, and
+    * Global Tables replicate the deletions): collect the shard's
+    * expired keys from the merged view, publish ONE journal
+    * delete-marker file under the `ttlreap` writer family — so the
+    * CDC feed, journal-shipping replication, and backups all carry
+    * the deletions like any writer's — then (optionally) fold the
+    * shard so the items are physically reclaimed and, on the stamped
+    * path, the markers compact into tombstone sidecars. Expiry rule
+    * is scan-time [[Ttl.alive]]'s exactly (strictly below now;
+    * non-numeric/missing attribute = live). Same caveat DynamoDB
+    * documents: expiry → deletion is not atomic — a write landing
+    * between the key scan and the marker publish is overridden by
+    * the marker (the service's own window is measured in hours; ours
+    * in milliseconds).
+    */
+  private[dynamo] def reapShard(store: LocalKVStore, table: String,
+      shard: Int, attr: String, nowEpochS: Long,
+      region: Option[String], fold: Boolean): Long = {
+    val meta = store.describe(table)
+    var maxVer = 0L
+    val expired = scala.collection.mutable.ArrayBuffer.empty[Map[String, AttrVal]]
+    store.scanSegment(table, shard, meta.shards).foreach { case (item, _) =>
+      val dead = item.get(attr) match {
+        case Some(AttrVal.N(v)) => v < BigDecimal(nowEpochS)
+        case _                  => false
+      }
+      if (dead) {
+        item.get(Replication.VerAttr).foreach {
+          case AttrVal.N(v) => maxVer = math.max(maxVer, v.toLong)
+          case _            => ()
+        }
+        expired += (Map(meta.hashKey -> item(meta.hashKey)) ++
+          meta.rangeKey.map(rk => rk -> item(rk)))
+      }
+    }
+    if (expired.nonEmpty) region match {
+      case Some(r) =>
+        // one stamp above every expired item's version outranks them
+        // all; a racing fresher write ties at worst and resolves by
+        // the ordinary LWW region tie-break — the same race DynamoDB's
+        // TTL deletion has with concurrent writers
+        Replication.writeStamped(store, table, r, maxVer + 1,
+          System.currentTimeMillis(), f"ttlreap-s$shard%03d",
+          expired.toSeq.map(k => Replication.RDelete(k)))
+      case None =>
+        store.appendWal(table, System.currentTimeMillis(),
+          f"ttlreap-s$shard%03d",
+          expired.toSeq.map(k => store.Delete(k)))
+    }
+    if (fold) store.compactShard(table, shard)
+    expired.size
   }
 
   /** Re-bucket a table into a new shard count — the split/merge move a
@@ -186,6 +255,61 @@ object DynamoMaintenance {
       .option("path", root).option("tableName", table)
     asOfSeq.foreach(s => rd.option("asOfSeq", s.toString))
     rd.load().write.mode("overwrite").parquet(outPath)
+  }
+
+  /** DYNAMODB_JSON export (the service's S3 table-export wire
+    * format): one `{"Item": {...attr-typed JSON...}}` line per item,
+    * shard-parallel, one part file per shard under `dest`. EXACT item
+    * fidelity — no Row codec round trip — so shapes a Spark schema
+    * cannot spell (mixed-type lists, deep maps, arbitrary-precision
+    * `N`) survive byte-faithfully. Inverse: [[importDynamoJson]],
+    * which also ingests REAL DynamoDB S3 exports.
+    */
+  def exportDynamoJson(spark: SparkSession, path: String, table: String,
+      dest: String): Unit = {
+    val shards = new LocalKVStore(path).describe(table).shards
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+    val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
+    spark.sparkContext.parallelize(0 until shards, parallelism).foreach { sh =>
+      val st = new LocalKVStore(path)
+      val out = java.nio.file.Paths.get(dest, f"items-s$sh%03d.json")
+      val w = java.nio.file.Files.newBufferedWriter(out,
+        java.nio.charset.StandardCharsets.UTF_8)
+      try st.scanSegment(table, sh, shards).foreach { case (item, _) =>
+        w.write("{\"Item\":"); w.write(ItemJson.write(item)); w.write("}\n")
+      } finally w.close()
+    }
+  }
+
+  /** Import DYNAMODB_JSON lines — `{"Item": {...}}` per line (the S3
+    * export shape; `wrapped = false` accepts bare item objects) —
+    * into a table: executor-parallel parse feeding chunked journal
+    * appends (exact item fidelity, no Row schema needed), then one
+    * compaction folds the load into sorted bases + page directories.
+    * Reads REAL DynamoDB exports: the set tags SS/NS/BS decode as
+    * lists (§1.2 — Spark has no set type), everything else is the
+    * store's own wire shape already. Creates the table when absent.
+    */
+  def importDynamoJson(spark: SparkSession, path: String, table: String,
+      src: String, hashKey: String, rangeKey: Option[String] = None,
+      shards: Int = 16, wrapped: Boolean = true): Unit = {
+    val store = new LocalKVStore(path)
+    if (!store.exists(table))
+      store.createTable(table, TableMeta(hashKey, rangeKey, shards, 1000000L))
+    spark.read.textFile(src).foreachPartition { (it: Iterator[String]) =>
+      val st = new LocalKVStore(path)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.filter(_.trim.nonEmpty).grouped(1000).zipWithIndex.foreach {
+        case (chunk, ci) =>
+          val ops = chunk.map { line =>
+            st.Put(if (wrapped) ItemJson.parseExportLine(line)
+                   else ItemJson.parse(line))
+          }
+          st.appendWal(table, System.currentTimeMillis(),
+            f"imp-p$pid%05d-c$ci%05d", ops)
+      }
+    }
+    compact(spark, path, table)
   }
 
   /** Global-Tables-style anti-entropy replication, one task per shard

@@ -4724,6 +4724,115 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(vis === Seq("k2", "k3"))
   }
 
+  test("DYNAMODB_JSON export/import round-trips exactly; real-export set tags decode") {
+    import graft.sources.dynamo.{AttrVal, DynamoMaintenance, ItemJson}
+    // golden: the service's export line shape, set tags included —
+    // SS/NS/BS decode as L (§1.2: Spark has no set type)
+    val it = ItemJson.parseExportLine(
+      """{"Item":{"id":{"S":"a"},"tags":{"SS":["x","y"]},""" +
+        """"nums":{"NS":["1","2.5"]},"blobs":{"BS":["AQI="]},"n":{"N":"3.14"}}}""")
+    assert(it("tags") == AttrVal.L(Vector(AttrVal.S("x"), AttrVal.S("y"))))
+    assert(it("nums") == AttrVal.L(Vector(
+      AttrVal.N(BigDecimal(1)), AttrVal.N(BigDecimal("2.5")))))
+    assert(it("blobs").asInstanceOf[AttrVal.L].v.head
+      .asInstanceOf[AttrVal.B].v.toSeq == Seq(1.toByte, 2.toByte))
+    assert(it("n") == AttrVal.N(BigDecimal("3.14")))
+    // round-trip: shapes a Spark schema cannot spell (mixed-type
+    // lists, deep maps, high-precision N) survive byte-faithfully
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("rt", TableMeta("id", Some("r"), shards = 2,
+        throughput = 1000000L),
+      (for (i <- Iterator.range(0, 500)) yield Map(
+        "id" -> (AttrVal.S(s"k${i % 20}"): AttrVal),
+        "r" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "mix" -> (AttrVal.L(Vector(AttrVal.S("s"),
+          AttrVal.N(BigDecimal(i) / 7), AttrVal.Bool(i % 2 == 0),
+          AttrVal.Null)): AttrVal),
+        "m" -> (AttrVal.M(Map("deep" -> AttrVal.L(Vector(
+          AttrVal.N(BigDecimal("0.12345678901234567890")))))): AttrVal))))
+    val dest = freshRoot() + "/exp"
+    DynamoMaintenance.exportDynamoJson(spark, root, "rt", dest)
+    val root2 = freshRoot()
+    DynamoMaintenance.importDynamoJson(spark, root2, "rt2", dest,
+      "id", Some("r"), shards = 4)
+    val st2 = new LocalKVStore(root2)
+    def all(st: LocalKVStore, t: String, shards: Int): Seq[String] =
+      (0 until shards).flatMap(sh =>
+        st.scanSegment(t, sh, shards).map(p => ItemJson.write(p._1))).sorted
+    assert(all(st2, "rt2", 4) == all(store, "rt", 2))
+    // a hand-written real-export file (set tags) imports end to end
+    val srcDir = Files.createTempDirectory("graft-ddbjson")
+    java.nio.file.Files.write(srcDir.resolve("part0.json"),
+      ("""{"Item":{"id":{"S":"s1"},"r":{"N":"1"},"tags":{"SS":["a","b"]}}}""" +
+        "\n").getBytes("UTF-8"))
+    DynamoMaintenance.importDynamoJson(spark, root2, "rt3",
+      srcDir.toString, "id", Some("r"))
+    val got = (0 until 16).flatMap(sh => st2.scanSegment("rt3", sh, 16).map(_._1))
+    assert(got.size == 1 &&
+      got.head("tags") == AttrVal.L(Vector(AttrVal.S("a"), AttrVal.S("b"))))
+  }
+
+  test("TTL reap is CDC-visible (Streams REMOVE parity) and replicates as a stamped delete") {
+    import spark.implicits._
+    import graft.sources.dynamo.{AttrVal, Replication, TableMeta}
+    import graft.sources.dynamo.Replication.RPut
+    val root = freshRoot()
+    Seq(("k1", 10L, Some(999L)), ("k2", 20L, Some(2000000000L)))
+      .toDF("id", "v", "expires_at").write.dynamo(root, "rv", "id")
+    // fold = false: markers stay in the journal so a CDC stream
+    // started at TRIM_HORIZON still delivers the deletion (our
+    // analogue of the Streams 24 h retention window)
+    graft.sources.dynamo.DynamoMaintenance
+      .reapExpired(spark, root, "rv", "expires_at", 1000000000L, fold = false)
+    val ops = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String)]()
+    val q = spark.readStream.format("dynamo")
+      .option("path", root).option("tableName", "rv")
+      .option("cdc", "true").load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-reap-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "_op").collect()
+          .foreach(r => ops.add((r.getString(0), r.getString(1)))); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(ops.asScala.toSet ==
+      Set(("k1", "PUT"), ("k2", "PUT"), ("k1", "DELETE")),
+      s"CDC feed must carry the TTL deletion: ${ops.asScala.toSet}")
+    // reader views already hide the marked item; the next fold
+    // physically reclaims it
+    assert(spark.read.dynamo(root, "rv").select("id").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("k2"))
+
+    // Global-Tables form: the reap publishes STAMPED deletes, so the
+    // fold leaves tombstone sidecars and one anti-entropy pass
+    // removes the expired item at the replica too
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+    val stA = new LocalKVStore(rootA); stA.createTable("t", meta)
+    val stB = new LocalKVStore(rootB); stB.createTable("t", meta)
+    def putBoth(id: String, exp: Long): Unit =
+      Seq(stA, stB).foreach(st => Replication.writeStamped(st, "t", "rA", 1L,
+        System.currentTimeMillis(), s"w$id", Seq(RPut(Map(
+          "id" -> (AttrVal.S(id): AttrVal),
+          "expires_at" -> (AttrVal.N(BigDecimal(exp)): AttrVal))))))
+    putBoth("e1", 999L); putBoth("l1", 2000000000L)
+    graft.sources.dynamo.DynamoMaintenance
+      .reapExpired(spark, rootA, "t", "expires_at", 1000000000L,
+        region = Some("rA")) // fold = true: tombstones must carry it
+    Replication.syncIncremental(stA, "rA", stB, "t",
+      System.currentTimeMillis(), "reapsync")
+    def ids(st: LocalKVStore): Seq[String] =
+      (0 until meta.shards).flatMap(sh => st.scanSegment("t", sh, meta.shards)
+        .map(_._1("id").asInstanceOf[AttrVal.S].v)).sorted
+    assert(ids(stA) == Seq("l1"))
+    assert(ids(stB) == Seq("l1"),
+      "replica must lose the TTL-reaped item via the stamped tombstone")
+  }
+
   test("restored backup serves a CDC feed of exactly the captured journal, then tails new writes") {
     import spark.implicits._
     val root = freshRoot()
