@@ -146,7 +146,12 @@ object Bench {
     // instead of inferring it from per-key deltas.
     val repDisagree = results.collect {
       case (name, ok, _) if ok.size >= 2 && ok.min > 0.02 &&
-        ok.max / ok.min > 3.0 => name
+        ok.max / ok.min > 3.0 &&
+        // the artifact reports the MIN: when that min sits at the
+        // key's clean-band level, one cold/burst-hit rep says nothing
+        // about the reported number — flag rep-disagreement only when
+        // the min ITSELF is suspect (no band, or min above band*1.5)
+        !bands.get(name).exists(b => b > 0 && ok.min <= b * 1.5) => name
     }
     val bandFlagged = results.collect {
       case (name, ok, _) if overBand(name, ok) => name
