@@ -632,17 +632,24 @@ private object DynamoProcedures {
       summary("table" -> t, "deletion_protection" -> on)
     })
     case "reap_expired" => Some(proc(name,
-      "physically delete TTL-expired items (DynamoDB's background TTL " +
-        "deletion): shard-parallel fold dropping items whose attribute " +
-        "is strictly below now_epoch_s",
+      "delete TTL-expired items (DynamoDB's background TTL deletion), " +
+        "CDC/replication-VISIBLE: each shard publishes delete markers " +
+        "(Streams REMOVE parity) before the physical fold; region = " +
+        "stamped Global-Tables deletes (tombstones ship to replicas); " +
+        "fold => false defers the physical reclaim so a lagging change " +
+        "feed keeps its delivery window",
       Array(ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("ttl_attribute", StringType).build(),
-        ProcedureParameter.in("now_epoch_s", LongType).build())) { in =>
+        ProcedureParameter.in("now_epoch_s", LongType).build(),
+        ProcedureParameter.in("region", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("fold", BooleanType).defaultValue("true").build())) { in =>
       val (t, a, now) =
         (in.getUTF8String(0).toString, in.getUTF8String(1).toString, in.getLong(2))
+      val region = Option(in.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
+      val fold = in.getBoolean(4)
       DynamoMaintenance.reapExpired(
-        org.apache.spark.sql.SparkSession.active, root, t, a, now)
-      summary("table" -> t, "ttl_attribute" -> a)
+        org.apache.spark.sql.SparkSession.active, root, t, a, now, region, fold)
+      summary("table" -> t, "ttl_attribute" -> a, "fold" -> fold)
     })
     case _ => None
   }

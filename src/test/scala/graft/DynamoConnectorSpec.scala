@@ -3717,6 +3717,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
         prev2.fold(spark.conf.unset("spark.sql.catalog.rcat"))(
           spark.conf.set("spark.sql.catalog.rcat", _))
       }
+      // reap_expired optional args: fold => false publishes the
+      // delete markers only — items hidden from every read, journal
+      // retains them for lagging CDC streams; a later compact reclaims
+      Seq(("worm", "brown", 0.0, 0L, 100L))
+        .toDF("name", "color", "weight_kg", "stock", "expiry")
+        .write.dynamo(root, "fruit", "name")
+      spark.sql("CALL mcat.reap_expired(table => 'fruit', " +
+        "ttl_attribute => 'expiry', now_epoch_s => 2000000000, " +
+        "fold => false)")
+      assert(spark.read.dynamo(root, "fruit").count() === 4L)
+      assert(!store.journalEmpty("fruit"),
+        "fold => false must leave the delete markers in the journal")
+      spark.sql("CALL mcat.compact('fruit')")
+      assert(spark.read.dynamo(root, "fruit").count() === 4L)
       // deletion protection (UpdateTable's DeletionProtectionEnabled):
       // a protected table survives DROP TABLE; data ops still work;
       // disabling re-arms the drop
