@@ -71,9 +71,25 @@ object Bench {
         (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // Second probe SHAPE (round-12 note: the scan probe under-detects
+    // shuffle-side interference — a neighbor fighting for the same
+    // cores hurts an exchange's fixed barrier far more than a straight
+    // columnar scan, so the heavies moved while the scan probe read
+    // ~1.0): a small fixed groupBy exercises exchange write + fetch +
+    // hash agg, the path the contaminated keys actually share.
+    def probeShuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      try { spark.range(300000)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").sum("v").collect()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
     val probeBase = math.min(probeOnce(), probeOnce()) // warm + min of 2
+    val probeShufBase = math.min(probeShuffleOnce(), probeShuffleOnce())
     val probeEvery = 25
     val probeRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probeShufRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     // A failing query must surface as an "err" entry, not bench at ~0 s
     // and flatter the total: only successful reps are timed, and keys
     // with zero successful reps are excluded from `queries`/the total.
@@ -123,16 +139,34 @@ object Bench {
         }.toMap
       }
     } catch { case _: Throwable => Map.empty }
+    // Pre-flight gate (round-12 What's-wrong #2): a run that STARTS
+    // on a contended machine must not masquerade as a record. Both
+    // probe bases compare against the clean run's committed probe
+    // bands; over 2.5x on either shape stamps the artifact
+    // preflight_failed up front — the run still completes (the driver
+    // expects an artifact), but no reader can mistake it for clean.
+    val preflightFailed =
+      bands.get("probe_scan").exists(b =>
+        b > 0 && probeBase > 0 && probeBase > b * 2.5) ||
+      bands.get("probe_shuffle").exists(b =>
+        b > 0 && probeShufBase > 0 && probeShufBase > b * 2.5)
+    if (preflightFailed)
+      System.err.println(f"BENCH PREFLIGHT FAILED: probe_scan $probeBase%.3f " +
+        f"vs band ${bands.getOrElse("probe_scan", -1.0)}%.3f, probe_shuffle " +
+        f"$probeShufBase%.3f vs band ${bands.getOrElse("probe_shuffle", -1.0)}%.3f")
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = keys.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % probeEvery == 0 && probeBase > 0)
-        probeRatios += probeOnce() / probeBase
+      if (i > 0 && i % probeEvery == 0) {
+        if (probeBase > 0) probeRatios += probeOnce() / probeBase
+        if (probeShufBase > 0) probeShufRatios += probeShuffleOnce() / probeShufBase
+      }
       val (ok, err) = timeReps(fn, reps)
       (name, ok, err)
     }
     if (probeBase > 0) probeRatios += probeOnce() / probeBase
+    if (probeShufBase > 0) probeShufRatios += probeShuffleOnce() / probeShufBase
     val ambientObserved =
-      if (probeRatios.nonEmpty) probeRatios.max else 1.0
+      (probeRatios ++ probeShufRatios).maxOption.getOrElse(1.0)
     def overBand(name: String, ok: Seq[Double]): Boolean =
       ok.nonEmpty && bands.get(name).exists(b =>
         b > 0 && ok.min > b * math.max(ambientObserved, 3.0))
@@ -180,9 +214,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok.min }.sum
     val ambientVec = probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val ambientShufVec = probeShufRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val ambientMax = if (probeRatios.nonEmpty) probeRatios.max else -1.0
     val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"ambient_ratio":$ambientMax,"ambient_ratios":$ambientVec,"contaminated":$contamJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"ambient_ratio":$ambientMax,"ambient_ratios":$ambientVec,"ambient_shuffle_ratios":$ambientShufVec,"probe_scan_base":$probeBase,"probe_shuffle_base":$probeShufBase,"preflight_failed":$preflightFailed,"contaminated":$contamJson,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the driver captures a bounded stdout
     // tail, which truncated 47 of 114 per-query keys in round 3 — the

@@ -2,6 +2,8 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -987,6 +989,16 @@ object DynamoQueries {
       withSeedLock(root) {
         val marker = Paths.get(root, "customer_restored", "_restored")
         if (!Files.exists(marker)) {
+          // no seed marker = no prior completed seed: drop any partial
+          // attempt (restoreAsOf refuses an existing non-quarantined
+          // destination, by the service's restore-to-NEW-table rule)
+          val dst = Paths.get(root, "customer_restored")
+          if (Files.isDirectory(dst)) {
+            val w = Files.walk(dst)
+            try w.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(Files.deleteIfExists(_))
+            finally w.close()
+          }
           DynamoMaintenance.restoreAsOf(s, root, "customer_asof",
             root, "customer_restored", asofEpochSeq - 1)
           Files.createFile(marker)
@@ -1089,6 +1101,24 @@ object DynamoQueries {
         .join(s.table(s"$cat.customer_flags").hint("merge"), "c_custkey")
         .select("c_custkey", "c_name", "c_acctbal", "positive")
         .orderBy("c_custkey")
+    }),
+
+    // PartiQL ExecuteStatement (the service's statement-based data
+    // API): the SELECT translates onto the connector's OWN read — the
+    // CALL's result is literally the DataFrame read's rows, so the
+    // oracle on the parquet fixture checks the whole translator +
+    // read stack. Writes (INSERT/UPDATE/DELETE, conditional journal
+    // ops) are spec-covered in DynamoConnectorSpec.
+    "q_dyn_partiql" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      val cat = "graftdyn" + root.replaceAll("[^A-Za-z0-9]", "")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.dynamo.DynamoCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.path", root)
+      s.conf.set(s"spark.sql.catalog.$cat.readPartitions", "16")
+      s.sql(s"CALL $cat.execute_statement(" +
+        "'SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_mktsegment = ''BUILDING'' AND c_acctbal BETWEEN 1000 AND 5000 " +
+        "ORDER BY c_custkey')")
     }),
 
     // DynamoDB `Query` shape (KeyConditionExpression analogue): hash
@@ -1542,6 +1572,11 @@ object DynamoQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_acctbal BETWEEN 1000.0 AND 3000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_partiql" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_acctbal BETWEEN 1000 AND 5000
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_query_topn" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

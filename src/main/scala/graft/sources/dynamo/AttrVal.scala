@@ -87,6 +87,17 @@ object ItemJson {
     item
   }
 
+  /** `[{"S":"a"},{"N":"1"},...]` — an ExecuteStatement-style parameter
+    * list in the wire value shape (each element one attr-typed value).
+    */
+  def parseAttrVector(line: String): Vector[AttrVal] = {
+    val p = new Parser(line)
+    val vs = p.parseAttrVec()
+    p.skipWs()
+    require(p.eof, s"trailing content in attr list at ${p.pos}")
+    vs
+  }
+
   /** One line of a DynamoDB S3 table export: `{"Item": {<item>}}` —
     * the service's DYNAMODB_JSON export line shape (the wrapper key
     * is literal). Set tags (SS/NS/BS) in real exports decode as `L`.
@@ -111,6 +122,18 @@ object ItemJson {
     private def peek: Char = { skipWs(); s.charAt(pos) }
 
     def parseItemObj(): Item = parseObjWith(() => parseAttr())
+
+    def parseAttrVec(): Vector[AttrVal] = {
+      expect('[')
+      val b = Vector.newBuilder[AttrVal]
+      if (peek == ']') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += parseAttr()
+        if (peek == ',') pos += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
 
     def parseExportObj(): Item = {
       expect('{')

@@ -109,6 +109,8 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
 
   private def loadAt(ident: Identifier, asOfSeq: Option[Long]): Table = {
     if (!store.exists(ident.name())) throw new NoSuchTableException(ident)
+    // quarantine gate: a crashed point-in-time restore must not load
+    store.assertNotRestorePending(ident.name())
     // DDL-declared schema wins (authoritative types, works on an empty
     // table); tables seeded through the path-based writer fall back to
     // sample inference like a path-based read would
@@ -484,9 +486,31 @@ private object DynamoProcedures {
   val names: Array[String] =
     Array("compact", "build_index", "reshard", "reap_expired", "history",
       "backup_table", "restore_table", "replication_lag",
-      "set_deletion_protection")
+      "set_deletion_protection", "execute_statement")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
+    // PartiQL ExecuteStatement (the service's statement-based data
+    // API): a translator onto the connector's own reads and journal
+    // write ops — see [[PartiQL]] for the supported subset and the
+    // service-semantics notes (duplicate INSERT, single-item
+    // UPDATE/DELETE key rule). `parameters` binds `?` placeholders,
+    // as a DYNAMODB_JSON value list: '[{"S":"a"},{"N":"1"}]'.
+    case "execute_statement" => Some(proc(name,
+      "PartiQL ExecuteStatement analogue: single-table SELECT/INSERT/" +
+        "UPDATE/DELETE with key conditions, begins_with/contains/IN/" +
+        "BETWEEN/IS [NOT] MISSING and ORDER BY; SELECT runs the " +
+        "connector's own read plan (pushdown intact); writes ride the " +
+        "store's conditional journal ops; parameters = DYNAMODB_JSON " +
+        "value list binding ? placeholders; unsupported syntax fails " +
+        "loudly",
+      Array(ProcedureParameter.in("statement", StringType).build(),
+        ProcedureParameter.in("parameters", StringType).defaultValue("''").build())) { in =>
+      val statement = in.getUTF8String(0).toString
+      val params = Option(in.getUTF8String(1)).map(_.toString.trim)
+        .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
+        .getOrElse(Vector.empty)
+      PartiQL.execute(root, statement, params)
+    })
     // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
     // the table into another store root — restore = open a store (or
     // point a catalog) at the destination. Registered GSIs rebuild at

@@ -1,5 +1,7 @@
 package graft.sources.dynamo
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Distributed store maintenance. DynamoDB itself compacts internally;
@@ -211,12 +213,26 @@ object DynamoMaintenance {
     * shares the source's key schema and shard count, so the per-shard
     * replay writes only its own shard's journal file: no cross-task
     * coordination, O(shard) memory.
+    *
+    * Crash contract (loudly resumable, not atomic): the destination
+    * carries a `restore-pending.json` quarantine marker from before
+    * its meta.json exists until after the last index build. A crash
+    * anywhere in between leaves a table every connector entry point
+    * REFUSES (no silent half-data reads, no silently missing
+    * indexes); rerunning this job wipes the partial destination and
+    * rebuilds from the same deterministic cut. A destination that
+    * exists WITHOUT the marker is a real table — refused, like the
+    * service (restores always create a new table).
     */
   def restoreAsOf(spark: SparkSession, srcRoot: String, table: String,
       dstRoot: String, newTable: String, asOfSeq: Long): Unit = {
     val src = new LocalKVStore(srcRoot)
     val meta = src.describe(table)
     val dst = new LocalKVStore(dstRoot)
+    if (dst.restorePending(newTable).nonEmpty) dst.wipeTableDir(newTable)
+    else require(!dst.exists(newTable),
+      s"restore destination '$newTable' already exists")
+    dst.markRestorePending(newTable, srcRoot, table, asOfSeq)
     dst.createTable(newTable, meta.copy(indexes = Map.empty))
     val shards = meta.shards
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
@@ -237,6 +253,7 @@ object DynamoMaintenance {
       dst.createIndex(newTable, name, idx)
       buildIndex(spark, dstRoot, newTable, name)
     }
+    dst.clearRestorePending(newTable)
   }
 
   /** Point-in-time EXPORT to parquet (DynamoDB's
@@ -264,21 +281,34 @@ object DynamoMaintenance {
     * cannot spell (mixed-type lists, deep maps, arbitrary-precision
     * `N`) survive byte-faithfully. Inverse: [[importDynamoJson]],
     * which also ingests REAL DynamoDB S3 exports.
+    *
+    * Crash contract: `manifest-summary.json` (the service's export
+    * manifest analogue, carrying `itemCount`/`partCount`) is written
+    * LAST, after every part file — a crashed export is a directory
+    * WITHOUT a manifest, detectable instead of silently short.
     */
   def exportDynamoJson(spark: SparkSession, path: String, table: String,
       dest: String): Unit = {
     val shards = new LocalKVStore(path).describe(table).shards
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
     val parallelism = math.min(shards, spark.sparkContext.defaultParallelism)
-    spark.sparkContext.parallelize(0 until shards, parallelism).foreach { sh =>
-      val st = new LocalKVStore(path)
-      val out = java.nio.file.Paths.get(dest, f"items-s$sh%03d.json")
-      val w = java.nio.file.Files.newBufferedWriter(out,
-        java.nio.charset.StandardCharsets.UTF_8)
-      try st.scanSegment(table, sh, shards).foreach { case (item, _) =>
-        w.write("{\"Item\":"); w.write(ItemJson.write(item)); w.write("}\n")
-      } finally w.close()
-    }
+    val itemCount = spark.sparkContext
+      .parallelize(0 until shards, parallelism).map { sh =>
+        val st = new LocalKVStore(path)
+        val out = java.nio.file.Paths.get(dest, f"items-s$sh%03d.json")
+        val w = java.nio.file.Files.newBufferedWriter(out,
+          java.nio.charset.StandardCharsets.UTF_8)
+        var n = 0L
+        try st.scanSegment(table, sh, shards).foreach { case (item, _) =>
+          w.write("{\"Item\":"); w.write(ItemJson.write(item)); w.write("}\n")
+          n += 1
+        } finally w.close()
+        n
+      }.sum().toLong
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "manifest-summary.json"),
+      s"""{"itemCount":$itemCount,"partCount":$shards}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Import DYNAMODB_JSON lines — `{"Item": {...}}` per line (the S3
@@ -294,9 +324,27 @@ object DynamoMaintenance {
       src: String, hashKey: String, rangeKey: Option[String] = None,
       shards: Int = 16, wrapped: Boolean = true): Unit = {
     val store = new LocalKVStore(path)
+    // An [[exportDynamoJson]] directory carries a manifest alongside
+    // its part files — read only the parts (and surface a crashed,
+    // manifest-less export loudly rather than importing it short).
+    val srcDir = java.nio.file.Paths.get(src)
+    def hasParts: Boolean = {
+      val s = java.nio.file.Files.list(srcDir)
+      try s.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("items-s"))
+      finally s.close()
+    }
+    val input =
+      if (java.nio.file.Files.isDirectory(srcDir) && hasParts) {
+        require(java.nio.file.Files.isRegularFile(
+          srcDir.resolve("manifest-summary.json")),
+          s"'$src' looks like a crashed exportDynamoJson output: part " +
+            "files present but no manifest-summary.json — re-export")
+        s"$src/items-s*.json"
+      } else src
     if (!store.exists(table))
       store.createTable(table, TableMeta(hashKey, rangeKey, shards, 1000000L))
-    spark.read.textFile(src).foreachPartition { (it: Iterator[String]) =>
+    spark.read.textFile(input).foreachPartition { (it: Iterator[String]) =>
       val st = new LocalKVStore(path)
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.filter(_.trim.nonEmpty).grouped(1000).zipWithIndex.foreach {

@@ -252,6 +252,7 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = DynamoOptions(options)
     val store = new LocalKVStore(opts.path)
+    store.assertNotRestorePending(opts.tableName)
     val sample = opts.indexName match {
       case None => store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
       case Some(ix) => // index read (A8): sample through the index view
@@ -404,12 +405,17 @@ final class DynamoTable(
     (if (acceptAnySchema) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // quarantine gate: a crashed point-in-time restore must not serve
+    // a silently partial table (see LocalKVStore restore quarantine)
+    new LocalKVStore(opts.path).assertNotRestorePending(opts.tableName)
     new DynamoScanBuilder(opts, tableSchema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(opts.asOfSeq.isEmpty,
       "asOfSeq is a snapshot-read option: writes always apply to the current table")
+    new LocalKVStore(opts.path).assertNotRestorePending(opts.tableName)
     new DynamoWriteBuilder(opts, info.schema())
   }
 
@@ -422,6 +428,7 @@ final class DynamoTable(
     require(opts.asOfSeq.isEmpty,
       "asOfSeq is a snapshot-read option: UPDATE/MERGE/DELETE always " +
         "apply to the current table")
+    new LocalKVStore(opts.path).assertNotRestorePending(opts.tableName)
     new DynamoRowLevelBuilder(opts, tableSchema, info)
   }
 
@@ -2414,8 +2421,34 @@ final class DynamoScan(
   private def groupedZoneAnswerPlan(store: LocalKVStore, meta: TableMeta)
       : Option[Seq[(Int, AttrVal, Seq[Option[AttrVal]])]] = {
     if (meta.rangeKey.isEmpty || meta.layout < 2) return None
-    if (!grouped.exists(_.fields.head.dataType == StringType)) return None
+    // Group-key type gate: the emitted group value must decode
+    // BIT-IDENTICALLY to what the scanned plan's codec would produce.
+    // Strings decode injectively from their "s:" encoding. INTEGRAL
+    // types are admitted with a per-page invertible-decode proof
+    // below — the canonical "n:" encoding (stripTrailingZeros plain
+    // form) is injective on stored values, so two distinct encoded
+    // groups map to two distinct longs WHEN every value is exactly
+    // representable; a fractional or out-of-range value means the
+    // scan's codec would COERCE (possibly merging groups the encoding
+    // kept apart), so those decline to the ordinary scan. Float/
+    // double/decimal group columns keep declining: rounding in the
+    // decode direction has no injectivity proof.
+    val gType = grouped.map(_.fields.head.dataType).getOrElse(return None)
+    val integral = gType match {
+      case StringType => false
+      case LongType | IntegerType => true
+      case _ => return None
+    }
     if (store.journalShards(opts.tableName).nonEmpty) return None
+    // decoded-exactness proof for one encoded integral group value
+    def integralOk(enc: String): Boolean =
+      LocalKVStore.decKeyAttr(enc) match {
+        case Some(AttrVal.N(v)) => v.isWhole && (gType match {
+          case LongType => v.isValidLong
+          case _        => v.isValidInt
+        })
+        case _ => false
+      }
     val dir = java.nio.file.Paths.get(store.rootDir, opts.tableName)
     var total = 0
     val perShard = (0 until meta.shards).map { sh =>
@@ -2424,7 +2457,9 @@ final class DynamoScan(
         dir.resolve(f"shard-$sh%03d.jsonl")).getOrElse(return None)
       val groups = scala.collection.mutable.LinkedHashMap.empty[String, ShardStats]
       idx.pages.foreach { p =>
-        if (p.minH != p.maxH || !p.minH.startsWith("s:")) return None
+        if (p.minH != p.maxH) return None
+        if (integral) { if (!p.minH.startsWith("n:") || !integralOk(p.minH)) return None }
+        else if (!p.minH.startsWith("s:")) return None
         groups.update(p.minH, groups.getOrElse(p.minH, ShardStats.empty)
           .union(p.stats.getOrElse(return None)))
       }

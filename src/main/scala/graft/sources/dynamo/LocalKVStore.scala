@@ -428,6 +428,68 @@ final class LocalKVStore(root: String) {
     Files.write(dir.resolve("meta.json"), ItemJson.write(m).getBytes(UTF_8))
   }
 
+  // ---- restore quarantine ----
+  //
+  // A PITR restore is multi-file (data replay → fold → index
+  // rebuilds); a crash mid-way would otherwise leave a table that
+  // READS fine but silently misses rows or whole indexes. The restore
+  // job therefore writes `restore-pending.json` into the destination
+  // BEFORE the table's meta.json exists and removes it only after the
+  // last index build: every connector entry point (scan/write/catalog
+  // load) refuses a pending table loudly, and a rerun of the restore
+  // wipes the partial state and converges (replay is deterministic).
+  // Store primitives stay unrestricted — the restore itself folds and
+  // backfills through them.
+
+  private def restorePendingPath(table: String): Path =
+    tableDir(table).resolve("restore-pending.json")
+
+  /** The in-flight/crashed restore's provenance (src root, src table,
+    * cut), or None when the table is not quarantined.
+    */
+  def restorePending(table: String): Option[String] = {
+    val p = restorePendingPath(table)
+    if (Files.isRegularFile(p)) Some(new String(Files.readAllBytes(p), UTF_8))
+    else None
+  }
+
+  /** Connector-boundary gate: loud failure instead of a silently
+    * partial read or a write racing an in-flight restore.
+    */
+  def assertNotRestorePending(table: String): Unit =
+    restorePending(table).foreach { info =>
+      throw new IllegalStateException(
+        s"table '$table' has an incomplete point-in-time restore " +
+          s"($info): rerun DynamoMaintenance.restoreAsOf to complete " +
+          "it, or delete the table directory")
+    }
+
+  private[dynamo] def markRestorePending(table: String, srcRoot: String,
+      srcTable: String, asOfSeq: Long): Unit = {
+    Files.createDirectories(tableDir(table))
+    Files.write(restorePendingPath(table), ItemJson.write(Map(
+      "srcRoot" -> AttrVal.S(srcRoot), "srcTable" -> AttrVal.S(srcTable),
+      "asOfSeq" -> AttrVal.N(BigDecimal(asOfSeq)))).getBytes(UTF_8))
+  }
+
+  private[dynamo] def clearRestorePending(table: String): Unit =
+    Files.deleteIfExists(restorePendingPath(table))
+
+  /** Remove a crashed restore's partial destination entirely (meta,
+    * data, sidecars, the marker) so the rerun starts from nothing.
+    */
+  private[dynamo] def wipeTableDir(table: String): Unit = {
+    val dir = tableDir(table)
+    if (Files.isDirectory(dir)) {
+      // deepest-first: spill subdirs (gsi-tmp-*, reshard-tmp) from the
+      // crashed run must empty before their parent deletes
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+  }
+
   /** Register a GSI on an existing table and BACKFILL its physical
     * copy (DynamoDB creates an index by backfilling it from the
     * table). Reads serve from the materialized copy while it is

@@ -3267,6 +3267,52 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(scanned <= 1600, s"expected a hash-windowed paged read, scanned $scanned")
   }
 
+  test("eventually-consistent LSI reads serve the copy-backed tiers like a GSI") {
+    import graft.sources.dynamo.{AttrVal, DynamoInputPartition, DynamoOptions,
+      DynamoScan, IndexMeta, TableMeta}
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("lc", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      (for (k <- Iterator("a", "b"); i <- Iterator.range(0, 50)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "alt" -> (AttrVal.N(BigDecimal((i * 7) % 50)): AttrVal))))
+    store.createIndex("lc", "byalt", IndexMeta("hk", Some("alt"), None, local = true))
+    val schema = StructType(Seq(StructField("hk", StringType),
+      StructField("rk", LongType), StructField("alt", LongType)))
+    def parts(consistent: Boolean) = new DynamoScan(
+      DynamoOptions(java.util.Map.of("path", root, "tableName", "lc",
+        "indexName", "byalt", "stronglyConsistentReads", consistent.toString)),
+      schema, Array.empty[org.apache.spark.sql.sources.Filter])
+      .toBatch.planInputPartitions()
+    // DEFAULT (eventually-consistent) LSI read: the materialized copy
+    // is exact → the copy-backed tier serves, exactly like a GSI
+    // (consistency is the ONLY thing the LSI locality upgrades; the
+    // cheap copy tiers stay available to the default read)
+    val ev = parts(consistent = false)
+    assert(ev.nonEmpty && ev.forall {
+      case p: DynamoInputPartition => p.viaIndex
+      case _ => false
+    }, s"eventually-consistent LSI read must serve the copy: ${ev.toSeq}")
+    // stronglyConsistentReads: demotes to the base partition's
+    // reader-time fold (the copy is a plan-time snapshot)
+    val con = parts(consistent = true)
+    assert(con.nonEmpty && con.forall {
+      case p: DynamoInputPartition => !p.viaIndex
+      case _ => true
+    }, s"consistent LSI read must fold the live base: ${con.toSeq}")
+    // both serve the same rows here (no in-flight writes)
+    def rows(consistent: Boolean) = spark.read.format("dynamo")
+      .option("path", root).option("tableName", "lc")
+      .option("indexName", "byalt")
+      .option("stronglyConsistentReads", consistent.toString).load()
+      .select("hk", "rk", "alt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(consistent = false) === rows(consistent = true))
+  }
+
   test("FILTERLESS GROUP BY hash key answers wholly from page directories") {
     import graft.sources.dynamo.{DynamoGroupAnswerPartition,
       DynamoGroupedAggReaderFactory, DynamoOptions, DynamoScan, PushedAgg,
@@ -3343,6 +3389,95 @@ class DynamoConnectorSpec extends AnyFunSuite {
       grouped = Some(group)).toBatch.planInputPartitions()
     assert(ps2.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]),
       "dense small groups must decline the sidecar answer")
+  }
+
+  test("LAW: integer-hash-key filterless grouped answers equal the scanned truth; fractional/float declines") {
+    import graft.sources.dynamo.{DynamoGroupAnswerPartition,
+      DynamoGroupedAggReaderFactory, DynamoOptions, DynamoScan, PushedAgg,
+      PushedGroupBy, TableMeta, AttrVal}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("hk", LongType), StructField("rk", LongType),
+      StructField("v", LongType)))
+    val group = PushedGroupBy(Seq(StructField("hk", LongType)),
+      keyed = true, unique = false, complete = true)
+    val aggs: Seq[PushedAgg] = Seq(PushedAgg.CountAll,
+      PushedAgg.SumOf(StructField("v", LongType), LongType),
+      PushedAgg.MinOf(StructField("v", LongType)))
+    var answeredRuns = 0
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed.toLong)
+      val root = freshRoot()
+      val store = new LocalKVStore(root)
+      // random INTEGER hash keys, negatives and epoch-scale included
+      // (the time-series shape the admission exists for); group sizes
+      // above the page grain so hash-group alignment keeps pages pure
+      val hks = (0 until 2 + rnd.nextInt(3)).map(_ =>
+        rnd.nextLong() % 2000000000000L).distinct
+      val rows = hks.flatMap { hk =>
+        (0 until 270 + rnd.nextInt(300)).map { i => Map(
+          "hk" -> (AttrVal.N(BigDecimal(hk)): AttrVal),
+          "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+          "v" -> (AttrVal.N(BigDecimal(rnd.nextInt(2000) - 1000L)): AttrVal))
+        }
+      }
+      store.bulkLoad("ilaw", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L), rows.iterator)
+      val opts = DynamoOptions(java.util.Map.of("path", root, "tableName", "ilaw"))
+      val ps = new DynamoScan(opts, schema,
+        Array.empty[org.apache.spark.sql.sources.Filter], aggs = aggs,
+        grouped = Some(group)).toBatch.planInputPartitions()
+      if (ps.forall(_.isInstanceOf[DynamoGroupAnswerPartition])) {
+        answeredRuns += 1
+        val factory = new DynamoGroupedAggReaderFactory(opts,
+          Array.empty, group, aggs)
+        val got = ps.flatMap { p =>
+          val r = factory.createReader(p)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          while (r.next()) {
+            val row = r.get()
+            buf += ((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+          }
+          buf
+        }.sortBy(_._1)
+        val truth = rows.groupBy(_("hk").asInstanceOf[AttrVal.N].v.toLong)
+          .map { case (hk, its) =>
+            val vs = its.map(_("v").asInstanceOf[AttrVal.N].v.toLong)
+            (hk, its.size.toLong, vs.sum, vs.min)
+          }.toSeq.sortBy(_._1)
+        assert(got.toSeq === truth, s"seed $seed grouped answer != scanned truth")
+      }
+    }
+    assert(answeredRuns >= 6,
+      s"integer grouped law rarely answered ($answeredRuns/8) — alignment drifted")
+    // a FRACTIONAL stored key would coerce under the scan codec's Long
+    // decode (possibly merging groups the encoding kept apart) — the
+    // whole plan must decline to the ordinary scan
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("ifrac", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      (for (hk <- Iterator(BigDecimal(1), BigDecimal("1.5"));
+            i <- Iterator.range(0, 300)) yield Map(
+        "hk" -> (AttrVal.N(hk): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    val optsF = DynamoOptions(java.util.Map.of("path", root, "tableName", "ifrac"))
+    val psF = new DynamoScan(optsF, schema,
+      Array.empty[org.apache.spark.sql.sources.Filter], aggs = aggs,
+      grouped = Some(group)).toBatch.planInputPartitions()
+    assert(psF.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]),
+      "fractional stored key must decline the integral admission")
+    // float/double group columns have no injective decode — type gate
+    val psD = new DynamoScan(optsF,
+      StructType(Seq(StructField("hk", DoubleType), StructField("rk", LongType),
+        StructField("v", LongType))),
+      Array.empty[org.apache.spark.sql.sources.Filter], aggs = aggs,
+      grouped = Some(PushedGroupBy(Seq(StructField("hk", DoubleType)),
+        keyed = true, unique = false, complete = true)))
+      .toBatch.planInputPartitions()
+    assert(psD.forall(!_.isInstanceOf[DynamoGroupAnswerPartition]),
+      "double group column must keep declining")
   }
 
   test("decimal SUM answers from sidecars exactly; fractional-beyond-scale declines") {
@@ -3661,6 +3796,103 @@ class DynamoConnectorSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.ctcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.ctcat"))(
         spark.conf.set("spark.sql.catalog.ctcat", _))
+    }
+  }
+
+  test("execute_statement: the PartiQL subset maps onto connector reads and journal writes") {
+    import graft.sources.dynamo.{AttrVal, IndexMeta, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("pt", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator(
+        Map("hk" -> (AttrVal.S("a"): AttrVal), "rk" -> (AttrVal.N(1): AttrVal),
+          "s" -> (AttrVal.S("x"): AttrVal), "v" -> (AttrVal.N(10): AttrVal)),
+        Map("hk" -> (AttrVal.S("a"): AttrVal), "rk" -> (AttrVal.N(2): AttrVal),
+          "s" -> (AttrVal.S("xy"): AttrVal), "v" -> (AttrVal.N(20): AttrVal)),
+        Map("hk" -> (AttrVal.S("a"): AttrVal), "rk" -> (AttrVal.N(3): AttrVal),
+          "s" -> (AttrVal.S("zz"): AttrVal)), // v missing → IS MISSING
+        Map("hk" -> (AttrVal.S("b"): AttrVal), "rk" -> (AttrVal.N(1): AttrVal),
+          "s" -> (AttrVal.S("yy"): AttrVal), "v" -> (AttrVal.N(40): AttrVal))))
+    store.createIndex("pt", "bys", IndexMeta("s", None, None))
+    val prev = spark.conf.getOption("spark.sql.catalog.pcat")
+    try {
+      spark.conf.set("spark.sql.catalog.pcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.pcat.path", root)
+      def run(stmt: String, params: String = ""): Seq[org.apache.spark.sql.Row] = {
+        val esc = stmt.replace("'", "''")
+        val call = if (params.isEmpty) s"CALL pcat.execute_statement('$esc')"
+          else s"CALL pcat.execute_statement('$esc', '${params.replace("'", "''")}')"
+        spark.sql(call).collect().toSeq
+      }
+      // SELECT = the equivalent DataFrame read, row for row (key
+      // condition + sort bound + projection + ORDER BY)
+      val viaStmt = run("SELECT hk, rk, v FROM pt WHERE hk = 'a' AND rk >= 2 ORDER BY rk")
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val viaRead = spark.read.dynamo(root, "pt")
+        .filter(col("hk") === "a" && col("rk") >= 2)
+        .select("hk", "rk", "v").orderBy("rk").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      assert(viaStmt === viaRead && viaStmt.size == 2)
+      // the full condition family: begins_with, IN, BETWEEN, contains,
+      // IS [NOT] MISSING, <>
+      assert(run("SELECT rk FROM pt WHERE hk = 'a' AND begins_with(s, 'x')")
+        .map(_.getLong(0)).sorted === Seq(1L, 2L))
+      assert(run("SELECT rk FROM pt WHERE hk IN ('a', 'b') AND rk BETWEEN 2 AND 3")
+        .map(_.getLong(0)).sorted === Seq(2L, 3L))
+      assert(run("SELECT rk FROM pt WHERE hk = 'a' AND contains(s, 'y')")
+        .map(_.getLong(0)) === Seq(2L))
+      assert(run("SELECT rk FROM pt WHERE hk = 'a' AND v IS MISSING")
+        .map(_.getLong(0)) === Seq(3L))
+      assert(run("SELECT rk FROM pt WHERE hk = 'a' AND v IS NOT MISSING AND rk <> 1")
+        .map(_.getLong(0)) === Seq(2L))
+      // ? parameters bind in order, DYNAMODB_JSON value shapes
+      assert(run("SELECT v FROM pt WHERE hk = ? AND rk = ?",
+        """[{"S":"b"},{"N":"1"}]""").map(_.getLong(0)) === Seq(40L))
+      // index read: FROM "table"."index"
+      assert(run("SELECT rk FROM \"pt\".\"bys\" WHERE s = 'yy'")
+        .map(_.getLong(0)) === Seq(1L))
+      // INSERT round-trips; duplicate key reports the service error
+      assert(run("INSERT INTO pt VALUE {'hk': 'c', 'rk': 9, 's': 'new', 'v': 99}")
+        .map(r => (r.getString(0), r.getBoolean(2))) === Seq(("INSERT", true)))
+      assert(run("SELECT s, v FROM pt WHERE hk = 'c' AND rk = 9")
+        .map(r => (r.getString(0), r.getLong(1))) === Seq(("new", 99L)))
+      val dup = intercept[Exception] {
+        run("INSERT INTO pt VALUE {'hk': 'c', 'rk': 9, 's': 'other'}") }
+      assert(dup.getMessage.contains("same key already exists"), dup.getMessage)
+      // UPDATE SET + REMOVE round-trips; missing key and partial key
+      // fail loudly (the service's single-item rule)
+      run("UPDATE pt SET s = 'upd' REMOVE v WHERE hk = 'c' AND rk = 9")
+      val upd = run("SELECT s, v FROM pt WHERE hk = 'c' AND rk = 9")
+      assert(upd.map(_.getString(0)) === Seq("upd") && upd.head.isNullAt(1))
+      val miss = intercept[Exception] {
+        run("UPDATE pt SET s = 'x' WHERE hk = 'nope' AND rk = 1") }
+      assert(miss.getMessage.contains("no item with the specified key"), miss.getMessage)
+      val partial = intercept[Exception] {
+        run("UPDATE pt SET s = 'x' WHERE hk = 'a'") }
+      assert(partial.getMessage.contains("full primary key"), partial.getMessage)
+      // DELETE round-trips; deleting a missing item is the service's
+      // silent no-op
+      run("DELETE FROM pt WHERE hk = 'c' AND rk = 9")
+      assert(run("SELECT rk FROM pt WHERE hk = 'c'").isEmpty)
+      run("DELETE FROM pt WHERE hk = 'c' AND rk = 9") // no-op, no error
+      // unsupported syntax fails LOUDLY, never silently approximates
+      val or = intercept[Exception] {
+        run("SELECT rk FROM pt WHERE hk = 'a' OR rk = 1") }
+      assert(or.getMessage.contains("trailing content"), or.getMessage)
+      val join = intercept[Exception] { run("SELECT rk FROM pt, other") }
+      assert(join.getMessage.contains("trailing content"), join.getMessage)
+      val badParams = intercept[Exception] {
+        run("SELECT rk FROM pt WHERE hk = ?") }
+      assert(badParams.getMessage.contains("placeholders"), badParams.getMessage)
+      // base rows untouched by the write exercises
+      assert(spark.read.dynamo(root, "pt").count() === 4L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.pcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.pcat"))(
+        spark.conf.set("spark.sql.catalog.pcat", _))
     }
   }
 
@@ -4767,6 +4999,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
           AttrVal.N(BigDecimal("0.12345678901234567890")))))): AttrVal))))
     val dest = freshRoot() + "/exp"
     DynamoMaintenance.exportDynamoJson(spark, root, "rt", dest)
+    // manifest written LAST (crash contract): its counts describe the
+    // parts exactly, and an import sees it — not the raw line shape
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dest, "manifest-summary.json"))
+    assert(manifest.contains("\"itemCount\":500") &&
+      manifest.contains("\"partCount\":2"), manifest)
     val root2 = freshRoot()
     DynamoMaintenance.importDynamoJson(spark, root2, "rt2", dest,
       "id", Some("r"), shards = 4)
@@ -4785,6 +5023,15 @@ class DynamoConnectorSpec extends AnyFunSuite {
     val got = (0 until 16).flatMap(sh => st2.scanSegment("rt3", sh, 16).map(_._1))
     assert(got.size == 1 &&
       got.head("tags") == AttrVal.L(Vector(AttrVal.S("a"), AttrVal.S("b"))))
+    // a crashed export — part files, no manifest — refuses to import
+    // (silently-short training data is the failure this closes)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dest, "manifest-summary.json"))
+    val eCrash = intercept[IllegalArgumentException] {
+      DynamoMaintenance.importDynamoJson(spark, root2, "rt4", dest,
+        "id", Some("r"))
+    }
+    assert(eCrash.getMessage.contains("manifest-summary.json"))
   }
 
   test("TTL reap is CDC-visible (Streams REMOVE parity) and replicates as a stamped delete") {
@@ -5342,6 +5589,60 @@ class DynamoConnectorSpec extends AnyFunSuite {
       Seq(st2.Delete(Map("id" -> graft.sources.dynamo.AttrVal.S("b")))))
     assert(state("restored") == Map("a" -> 1))
     assert(state("src") == Map("b" -> 2, "c" -> 3))
+  }
+
+  test("a crashed restore is quarantined: connector reads refuse loudly, rerun converges") {
+    import graft.sources.dynamo.AttrVal
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("src",
+      TableMeta("id", None, shards = 2, throughput = 1000000L))
+    val s1 = System.currentTimeMillis() + 1000000L
+    store.appendWal("src", s1, "e1", (1 to 20).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%03d"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    store.createIndex("src", "byv",
+      graft.sources.dynamo.IndexMeta("v", Some("id"), None))
+    val cut = s1 + 5
+    // PLANT the crash state restoreAsOf's contract documents: the
+    // quarantine marker and destination meta exist, SOME data replayed
+    // (one shard's worth), NO indexes — exactly a die between the
+    // per-shard replay and the index rebuilds, byte-for-byte (the
+    // marker is written before meta.json, so every prefix of the job
+    // leaves either nothing or a marked directory).
+    val dstDir = java.nio.file.Paths.get(root, "restored")
+    java.nio.file.Files.createDirectories(dstDir)
+    java.nio.file.Files.write(dstDir.resolve("restore-pending.json"),
+      s"""{"srcRoot":"$root","srcTable":"src","asOfSeq":$cut}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    store.createTable("restored",
+      TableMeta("id", None, shards = 2, throughput = 1000000L))
+    store.appendWal("restored", cut, "restore-s000", Seq(
+      store.Put(Map("id" -> AttrVal.S("k001"), "v" -> AttrVal.N(BigDecimal(1))))))
+    // Connector read surface refuses the half-restored table LOUDLY —
+    // a silent 1-row read here is the bug this quarantine closes.
+    val e = intercept[IllegalStateException] {
+      spark.read.dynamo(root, "restored").collect()
+    }
+    assert(e.getMessage.contains("incomplete point-in-time restore"),
+      s"wrong refusal: ${e.getMessage}")
+    // Rerun is the documented recovery: wipes the partial destination,
+    // replays the same deterministic cut, rebuilds indexes, clears the
+    // marker.
+    graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+      spark, root, "src", root, "restored", cut)
+    assert(store.restorePending("restored").isEmpty)
+    assert(store.describe("restored").indexes.contains("byv"),
+      "rerun must rebuild the source's indexes")
+    assert(spark.read.dynamo(root, "restored").count() == 20)
+    assert(spark.read.dynamoIndex(root, "restored", "byv").count() == 20)
+    // A destination that exists WITHOUT the marker is a real table:
+    // refused (restores always create a NEW table), never overwritten.
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.dynamo.DynamoMaintenance.restoreAsOf(
+        spark, root, "src", root, "restored", cut)
+    }
+    assert(e2.getMessage.contains("already exists"))
   }
 
   test("restoreAsOf/exportAsOf at a straddling cut never materialize a half-transaction") {

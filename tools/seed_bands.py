@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Re-seed BENCH_BANDS.json from a CLEAN bench artifact.
+
+Usage: python3 tools/seed_bands.py <bench_artifact.json> <note>
+
+Refuses an artifact that flags its own contamination (non-empty
+`contaminated`, `preflight_failed`, or ambient over 1.5x) — the bands
+are the reference every future contamination verdict keys off, so a
+poisoned seed silently redefines "clean" for all later rounds.
+Synthetic `probe_scan` / `probe_shuffle` bands come from the
+artifact's probe bases and drive Bench's pre-flight gate.
+"""
+import json
+import sys
+
+src, note = sys.argv[1], sys.argv[2]
+with open(src) as f:
+    art = json.load(f)
+
+if art.get("contaminated"):
+    sys.exit(f"REFUSED: artifact flags contaminated keys: {art['contaminated']}")
+if art.get("preflight_failed"):
+    sys.exit("REFUSED: artifact is stamped preflight_failed")
+ratios = art.get("ambient_ratios", []) + art.get("ambient_shuffle_ratios", [])
+bad = [r for r in ratios if r > 1.5]
+if bad:
+    sys.exit(f"REFUSED: ambient probe ratios over 1.5x during the run: {bad}")
+
+bands = dict(sorted(art["queries"].items()))
+for probe in ("probe_scan", "probe_shuffle"):
+    base = art.get(f"{probe}_base", -1.0)
+    if base and base > 0:
+        bands[probe] = base
+
+out = {
+    "source": note,
+    "note": ("per-key min seconds from the last committed CLEAN bench run; "
+             "Bench.scala flags keys exceeding band*max(ambient_ratio,3) as "
+             "contaminated, and pre-flights probe_scan/probe_shuffle against "
+             "their bands. Refresh ONLY via tools/seed_bands.py from a clean "
+             "run."),
+    "sf": art.get("sf", "/root/testdata/sf0.1"),
+    "bands": bands,
+}
+with open("BENCH_BANDS.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"seeded {len(bands)} bands from {src}")
