@@ -185,7 +185,16 @@ object Bench {
         // key's clean-band level, one cold/burst-hit rep says nothing
         // about the reported number — flag rep-disagreement only when
         // the min ITSELF is suspect (no band, or min above band*1.5)
-        !bands.get(name).exists(b => b > 0 && ok.min <= b * 1.5) => name
+        !bands.get(name).exists(b => b > 0 && ok.min <= b * 1.5) &&
+        // cold-codegen shape (round-13): on sub-second keys the FIRST
+        // rep carries the query's whole-stage-codegen compile and
+        // routinely reads 3x+ the warm reps — that is JIT, not
+        // contention, and the reported min comes from the warm reps.
+        // Suppress only when rep 1 is the lone outlier AND the warm
+        // reps agree within 1.5x (a burst hitting any warm rep, or
+        // sustained contention, still flags).
+        !(ok.head == ok.max &&
+          (ok.size == 2 || ok.tail.max / ok.tail.min <= 1.5)) => name
     }
     val bandFlagged = results.collect {
       case (name, ok, _) if overBand(name, ok) => name

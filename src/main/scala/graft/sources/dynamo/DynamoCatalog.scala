@@ -486,7 +486,9 @@ private object DynamoProcedures {
   val names: Array[String] =
     Array("compact", "build_index", "reshard", "reap_expired", "history",
       "backup_table", "restore_table", "replication_lag",
-      "set_deletion_protection", "execute_statement")
+      "set_deletion_protection", "execute_statement",
+      "execute_transaction", "batch_execute_statement",
+      "contributor_insights", "update_throughput")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     // PartiQL ExecuteStatement (the service's statement-based data
@@ -510,6 +512,121 @@ private object DynamoProcedures {
         .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
         .getOrElse(Vector.empty)
       PartiQL.execute(root, statement, params)
+    })
+    // PartiQL ExecuteTransaction: `;`-separated INSERT/UPDATE/DELETE
+    // statements, all-or-nothing through the store's cross-table
+    // transaction commit; per-statement conditions (duplicate INSERT,
+    // missing-item UPDATE) CANCEL the whole transaction — see
+    // [[PartiQL.executeTransaction]].
+    case "execute_transaction" => Some(proc(name,
+      "PartiQL ExecuteTransaction analogue: ;-separated INSERT/UPDATE/" +
+        "DELETE statements applied all-or-nothing via the cross-table " +
+        "transaction commit (a duplicate INSERT or missing-item UPDATE " +
+        "cancels the whole transaction), or an all-SELECT list served " +
+        "as ONE cross-table-consistent snapshot read (TransactGetItems); " +
+        "mixing reads and writes is rejected; <=100 statements; " +
+        "parameters bind positionally as a DYNAMODB_JSON value list",
+      Array(ProcedureParameter.in("statements", StringType).build(),
+        ProcedureParameter.in("parameters", StringType).defaultValue("''").build())) { in =>
+      val statements = in.getUTF8String(0).toString
+      val params = Option(in.getUTF8String(1)).map(_.toString.trim)
+        .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
+        .getOrElse(Vector.empty)
+      PartiQL.executeTransaction(root, statements, params)
+    })
+    // PartiQL BatchExecuteStatement: non-transactional batch — each
+    // statement commits or fails on its own, per-statement
+    // success/error in the result (the BatchStatementResponse shape).
+    case "batch_execute_statement" => Some(proc(name,
+      "PartiQL BatchExecuteStatement analogue: ;-separated statements " +
+        "run NON-transactionally, each committing or failing on its " +
+        "own; result reports per-statement applied/rows/error; <=25 " +
+        "statements; parameters bind positionally as a DYNAMODB_JSON " +
+        "value list",
+      Array(ProcedureParameter.in("statements", StringType).build(),
+        ProcedureParameter.in("parameters", StringType).defaultValue("''").build())) { in =>
+      val statements = in.getUTF8String(0).toString
+      val params = Option(in.getUTF8String(1)).map(_.toString.trim)
+        .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
+        .getOrElse(Vector.empty)
+      PartiQL.executeBatch(root, statements, params)
+    })
+    // Contributor Insights analogue (the service's hot-key CloudWatch
+    // feature): rank hash keys by stored volume + recent write
+    // traffic, ALL from sidecars — page directories attribute items/
+    // bytes to every key large enough to own pure pages (hash-group
+    // alignment guarantees that from ~32 rows up — exactly the keys
+    // that CAN be hot), and the since-last-compaction journal counts
+    // writes per key. Zero item reads from base shards; the journal
+    // between compactions is recent-writes-sized by construction. The
+    // skew this surfaces is what drives salting/resharding decisions
+    // at 100 TB — a key owning a whole shard's pages is the
+    // throttling hot partition DynamoDB's CI exists to catch.
+    case "contributor_insights" => Some(proc(name,
+      "hot-key report (Contributor Insights analogue): top hash keys " +
+        "by stored items/bytes (from page-directory sidecars; keys " +
+        "big enough to own pure pages — the only ones that can be " +
+        "hot) plus write counts from the since-last-compaction " +
+        "journal; zero item reads",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("top_n", IntegerType).defaultValue("10").build())) { in =>
+      val t = in.getUTF8String(0).toString
+      val topN = in.getInt(1)
+      require(topN > 0, "top_n must be positive")
+      val store = new LocalKVStore(root)
+      val meta = store.describe(t)
+      val dir = java.nio.file.Paths.get(root, t)
+      // stored volume per key, from pure pages (minH == maxH)
+      final case class Acc(var items: Long = 0L, var bytes: Long = 0L,
+        var shard: Int = -1, var writes: Long = 0L)
+      val byKey = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+      (0 until meta.shards).foreach { sh =>
+        PageIndex.load(dir.resolve(f"pageidx-s$sh%03d.jsonl"),
+            dir.resolve(f"shard-$sh%03d.jsonl")).foreach { idx =>
+          idx.pages.foreach { p =>
+            if (p.minH == p.maxH) {
+              val a = byKey.getOrElseUpdate(p.minH, Acc())
+              a.items += p.stats.flatMap(_.items).getOrElse(0L)
+              a.bytes += p.len
+              a.shard = sh
+            }
+          }
+        }
+      }
+      // recent write traffic per key, from the journal (CI's actual
+      // signal is traffic; a brand-new hot writer has no base pages
+      // yet and shows up here)
+      store.walFileNames(t).foreach { f =>
+        store.readWalFile(t, f).foreach { case (_, item, _) =>
+          item.get(meta.hashKey).foreach { hv =>
+            val enc = LocalKVStore.encKeyAttr(hv)
+            val a = byKey.getOrElseUpdate(enc, Acc())
+            a.writes += 1
+            if (a.shard < 0) a.shard = store.shardOf(meta,
+              Map(meta.hashKey -> hv))
+          }
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("hash_key", StringType, nullable = false),
+        StructField("shard", IntegerType, nullable = false),
+        StructField("items", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("writes_since_compaction", LongType, nullable = false)))
+      val rows = byKey.toSeq
+        .sortBy { case (_, a) => (-(a.items + a.writes), -a.bytes) }
+        .take(topN)
+        .map { case (enc, a) =>
+          val disp = LocalKVStore.decKeyAttr(enc) match {
+            case Some(AttrVal.S(v)) => v
+            case Some(AttrVal.N(v)) => v.bigDecimal.toPlainString
+            case _ => enc
+          }
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(disp), a.shard, a.items, a.bytes,
+            a.writes)): InternalRow
+        }
+      (schema, rows.toArray)
     })
     // On-demand backup (DynamoDB OnDemandBackup): consistent copy of
     // the table into another store root — restore = open a store (or
@@ -643,6 +760,23 @@ private object DynamoProcedures {
       val (t, n) = (in.getUTF8String(0).toString, in.getInt(1))
       DynamoMaintenance.reshard(org.apache.spark.sql.SparkSession.active, root, t, n)
       summary("table" -> t, "shards" -> n)
+    })
+    // UpdateTable's ProvisionedThroughput move: the number feeds the
+    // connector's A3/A16 capacity math (scan rate = throughput *
+    // targetCapacity / segments; write rate likewise), so raising it
+    // IS capacity scaling here — the autoscaling half is autoReshard
+    // (partition growth), already scheduled-job-shaped.
+    case "update_throughput" => Some(proc(name,
+      "UpdateTable ProvisionedThroughput analogue: set the table's " +
+        "throughput units; the scan/write rate limiters' capacity math " +
+        "picks it up at the next plan",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("throughput", LongType).build())) { in =>
+      val (t, n) = (in.getUTF8String(0).toString, in.getLong(1))
+      require(n > 0, s"throughput must be positive, got $n")
+      val st = new LocalKVStore(root)
+      st.createTable(t, st.describe(t).copy(throughput = n))
+      summary("table" -> t, "throughput" -> n)
     })
     case "set_deletion_protection" => Some(proc(name,
       "toggle DeleteTable protection (UpdateTable's " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** PartiQL `ExecuteStatement` analogue — the one user-visible DynamoDB
@@ -57,8 +57,11 @@ object PartiQL {
   // ---- entry point ----
 
   def execute(root: String, statement: String, params: Seq[AttrVal])
+      : (StructType, Array[InternalRow]) =
+    executeOne(root, parse(statement, params))
+
+  private def executeOne(root: String, stmt: Stmt)
       : (StructType, Array[InternalRow]) = {
-    val stmt = parse(statement, params)
     val store = new LocalKVStore(root)
     val table = stmt match {
       case s: Select => s.table
@@ -112,6 +115,167 @@ object PartiQL {
           Seq(store.Delete(key)))
         opRow("DELETE", t)
     }
+  }
+
+  /** The service's `ExecuteTransaction` analogue: a `;`-separated list
+    * of INSERT/UPDATE/DELETE statements applied ALL-OR-NOTHING through
+    * the store's cross-table transaction commit (one `-sall` journal
+    * publish per table + the atomic marker set — the same machinery
+    * `TransactWriteItems` parity already uses). Per-statement
+    * conditions become transaction checks, so failures CANCEL the
+    * whole transaction with nothing staged anywhere (the service's
+    * TransactionCanceledException): INSERT carries an Absent(key)
+    * check (duplicate cancels), UPDATE an Exists(key) check (missing
+    * item cancels), DELETE is unconditional (DeleteItem semantics).
+    * An ALL-SELECT list is the service's read-only transaction
+    * (TransactGetItems): full-primary-key point reads served from ONE
+    * cross-table-consistent snapshot (`transactGetMulti`), each item
+    * returned in the wire shape (`stmt`, `table`, `item` JSON; null
+    * item = absent). Mixing reads and writes is rejected — the
+    * service's all-read-or-all-write rule. Capped at 100 statements,
+    * the service's bound.
+    */
+  def executeTransaction(root: String, statements: String,
+      params: Seq[AttrVal]): (StructType, Array[InternalRow]) = {
+    val stmts = parseMulti(statements, params)
+    require(stmts.nonEmpty, "PartiQL: empty transaction")
+    require(stmts.size <= 100,
+      "PartiQL: a transaction is capped at 100 statements (the " +
+        "service's TransactWriteItems bound)")
+    val store = new LocalKVStore(root)
+    // READ-ONLY transaction (the service allows all-SELECT or
+    // all-write, never mixed): every statement a full-primary-key
+    // point SELECT → one cross-table-CONSISTENT snapshot read
+    // (transactGetMulti's fingerprint-fenced pass), items returned in
+    // the wire shape. Mixed statements fall through to the write path
+    // below, whose Select case rejects them loudly.
+    if (stmts.forall(_.isInstanceOf[Select])) {
+      val sels = stmts.map(_.asInstanceOf[Select])
+      val keyed = sels.map { sel =>
+        require(sel.index.isEmpty && sel.orderBy.isEmpty,
+          "PartiQL read transaction: index reads and ORDER BY are not " +
+            "supported (point reads by full primary key only)")
+        require(store.exists(sel.table),
+          s"PartiQL: table '${sel.table}' does not exist")
+        store.assertNotRestorePending(sel.table)
+        val meta = store.describe(sel.table)
+        sel.table -> keyEqWhere(meta, sel.where, "read-transaction SELECT")
+      }
+      val got = store.transactGetMulti(
+        keyed.map { case (t, k) => t -> Seq(k) })
+      val schema = StructType(Seq(
+        StructField("stmt", IntegerType, nullable = false),
+        StructField("table", StringType, nullable = false),
+        StructField("item", StringType, nullable = true)))
+      val rows = keyed.zip(got).zipWithIndex.map {
+        case (((t, _), items), i) =>
+          val found = items.head.map { it =>
+            val proj = sels(i).projection match {
+              case Some(cols) => it.filter { case (k, _) => cols.contains(k) }
+              case None => it
+            }
+            UTF8String.fromString(ItemJson.write(proj))
+          }.orNull
+          new GenericInternalRow(Array[Any](
+            i, UTF8String.fromString(t), found)): InternalRow
+      }
+      return (schema, rows.toArray)
+    }
+    // one (table, ops, check) slice per statement, in statement order
+    final case class Slice(table: String, ops: Seq[store.Op],
+        check: Option[TxnCheck], op: String)
+    val slices = stmts.map {
+      case _: Select => throw new IllegalArgumentException(
+        "PartiQL: SELECT cannot mix with writes in execute_transaction " +
+          "(the service's rule: a transaction is all-read or all-write)")
+      case Insert(t, item) =>
+        require(store.exists(t), s"PartiQL: table '$t' does not exist")
+        store.assertNotRestorePending(t)
+        val meta = store.describe(t)
+        val keyAttrs = Seq(meta.hashKey) ++ meta.rangeKey
+        keyAttrs.foreach(k => require(item.contains(k),
+          s"PartiQL INSERT: item must carry key attribute '$k'"))
+        val key: Item = keyAttrs.map(k => k -> item(k)).toMap
+        Slice(t, Seq(store.PutIfAbsent(item)),
+          Some(TxnCheck.Absent(key)), "INSERT")
+      case Update(t, sets, removes, where) =>
+        require(store.exists(t), s"PartiQL: table '$t' does not exist")
+        store.assertNotRestorePending(t)
+        val meta = store.describe(t)
+        val key = keyEqWhere(meta, where, "UPDATE")
+        val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
+        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a),
+          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '$a'"))
+        val ops = Seq.newBuilder[store.Op]
+        if (sets.nonEmpty) ops += store.UpdateIfExists(key ++ sets.toMap)
+        if (removes.nonEmpty) ops += store.RemoveAttrs(
+          key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
+        Slice(t, ops.result(), Some(TxnCheck.Exists(key)), "UPDATE")
+      case Delete(t, where) =>
+        require(store.exists(t), s"PartiQL: table '$t' does not exist")
+        store.assertNotRestorePending(t)
+        val meta = store.describe(t)
+        Slice(t, Seq(store.Delete(keyEqWhere(meta, where, "DELETE"))),
+          None, "DELETE")
+    }
+    // transactWriteMulti wants one TableTxn per table; merging keeps
+    // each table's ops in statement order (replay applies in order)
+    val txns = slices.map(_.table).distinct.map { t =>
+      val mine = slices.filter(_.table == t)
+      TableTxn(t, mine.flatMap(_.ops), mine.flatMap(_.check))
+    }
+    store.transactWriteMulti(txns, System.currentTimeMillis(), "partiql")
+    (StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("applied", BooleanType, nullable = false))),
+      slices.map(sl => new GenericInternalRow(Array[Any](
+        UTF8String.fromString(sl.op), UTF8String.fromString(sl.table),
+        true)): InternalRow).toArray)
+  }
+
+  /** The service's `BatchExecuteStatement`: a `;`-separated list run
+    * NON-transactionally — each statement commits or fails ON ITS
+    * OWN, and the result reports per-statement success/error instead
+    * of aborting the batch (the service's BatchStatementResponse
+    * shape). SELECTs are allowed mixed with writes here (each is an
+    * independent singleton read); a failed statement's error message
+    * lands in its row and later statements still run. 25-statement
+    * cap, the service's bound.
+    */
+  def executeBatch(root: String, statements: String, params: Seq[AttrVal])
+      : (StructType, Array[InternalRow]) = {
+    val stmts = parseMulti(statements, params)
+    require(stmts.nonEmpty, "PartiQL: empty batch")
+    require(stmts.size <= 25,
+      "PartiQL: a batch is capped at 25 statements (the service's " +
+        "BatchExecuteStatement bound)")
+    val schema = StructType(Seq(
+      StructField("stmt", IntegerType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("applied", BooleanType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("error", StringType, nullable = true)))
+    val rows = stmts.zipWithIndex.map { case (stmt, i) =>
+      val (op, table) = stmt match {
+        case s: Select => ("SELECT", s.table)
+        case s: Insert => ("INSERT", s.table)
+        case s: Update => ("UPDATE", s.table)
+        case s: Delete => ("DELETE", s.table)
+      }
+      val (ok, n, err) =
+        try {
+          val (_, rs) = executeOne(root, stmt)
+          (true, rs.length.toLong, null: String)
+        } catch { case e: Exception =>
+          (false, 0L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      new GenericInternalRow(Array[Any](
+        i, UTF8String.fromString(op), UTF8String.fromString(table), ok, n,
+        Option(err).map(UTF8String.fromString).orNull)): InternalRow
+    }
+    (schema, rows.toArray)
   }
 
   private def runSelect(root: String, sel: Select)
@@ -193,18 +357,32 @@ object PartiQL {
 
   def parse(statement: String, params: Seq[AttrVal]): Stmt = {
     val p = new P(statement, params)
-    val stmt =
-      if (p.tryKw("SELECT")) p.select()
-      else if (p.tryKw("INSERT")) p.insert()
-      else if (p.tryKw("UPDATE")) p.update()
-      else if (p.tryKw("DELETE")) p.delete()
-      else p.fail("expected SELECT, INSERT, UPDATE or DELETE")
+    val stmt = p.statement()
     p.ws()
     if (p.tryChar(';')) p.ws()
     if (!p.eof) p.fail("trailing content after statement")
     require(p.paramIdx == params.size,
       s"PartiQL: statement uses ${p.paramIdx} parameter(s) but ${params.size} were supplied")
     stmt
+  }
+
+  /** `;`-separated statement list (ExecuteTransaction's shape).
+    * `?` placeholders bind positionally across the WHOLE list, in
+    * statement order.
+    */
+  def parseMulti(statements: String, params: Seq[AttrVal]): Seq[Stmt] = {
+    val p = new P(statements, params)
+    val b = Vector.newBuilder[Stmt]
+    var done = false
+    while (!done) {
+      b += p.statement()
+      p.ws()
+      if (p.tryChar(';')) { p.ws(); done = p.eof }
+      else { if (!p.eof) p.fail("expected ';' between statements"); done = true }
+    }
+    require(p.paramIdx == params.size,
+      s"PartiQL: statements use ${p.paramIdx} parameter(s) but ${params.size} were supplied")
+    b.result()
   }
 
   private final class P(s: String, params: Seq[AttrVal]) {
@@ -227,6 +405,13 @@ object PartiQL {
       ws(); if (pos < s.length && s.charAt(pos) == c) { pos += 1; true } else false
     }
     def ch(c: Char): Unit = if (!tryChar(c)) fail(s"expected '$c'")
+
+    def statement(): Stmt =
+      if (tryKw("SELECT")) select()
+      else if (tryKw("INSERT")) insert()
+      else if (tryKw("UPDATE")) update()
+      else if (tryKw("DELETE")) delete()
+      else fail("expected SELECT, INSERT, UPDATE or DELETE")
 
     /** Bare or double-quoted identifier (PartiQL quotes table names). */
     def ident(): String = {

@@ -3896,6 +3896,232 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("execute_transaction: all-or-nothing PartiQL writes across tables") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("ta", TableMeta("id", None, shards = 1,
+        throughput = 1000000L),
+      Iterator(Map("id" -> (AttrVal.S("a1"): AttrVal),
+        "v" -> (AttrVal.N(1): AttrVal))))
+    store.bulkLoad("tb", TableMeta("id", None, shards = 1,
+        throughput = 1000000L),
+      Iterator(Map("id" -> (AttrVal.S("b1"): AttrVal),
+        "v" -> (AttrVal.N(10): AttrVal))))
+    val prev = spark.conf.getOption("spark.sql.catalog.ptxcat")
+    try {
+      spark.conf.set("spark.sql.catalog.ptxcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.ptxcat.path", root)
+      def call(stmts: String): Seq[org.apache.spark.sql.Row] =
+        spark.sql(s"CALL ptxcat.execute_transaction('${stmts.replace("'", "''")}')")
+          .collect().toSeq
+      def v(t: String, id: String): Option[Long] =
+        store.transactGet(t, Seq(Map("id" -> (AttrVal.S(id): AttrVal))))
+          .head.flatMap(_.get("v")).map(_.asInstanceOf[AttrVal.N].v.toLong)
+      // a valid cross-table transaction applies everywhere
+      val ok = call("INSERT INTO ta VALUE {'id': 'a2', 'v': 2}; " +
+        "UPDATE tb SET v = 11 WHERE id = 'b1'; " +
+        "DELETE FROM ta WHERE id = 'a1'")
+      assert(ok.map(r => (r.getString(0), r.getString(1))) ===
+        Seq(("INSERT", "ta"), ("UPDATE", "tb"), ("DELETE", "ta")))
+      assert(v("ta", "a2") === Some(2L) && v("tb", "b1") === Some(11L) &&
+        store.transactGet("ta", Seq(Map("id" -> (AttrVal.S("a1"): AttrVal)))).head.isEmpty)
+      // one failing condition CANCELS the whole transaction: the
+      // duplicate INSERT in tb aborts the ta update too
+      val cancel = intercept[Exception] {
+        call("UPDATE ta SET v = 99 WHERE id = 'a2'; " +
+          "INSERT INTO tb VALUE {'id': 'b1', 'v': 0}") }
+      assert(cancel.getMessage != null)
+      assert(v("ta", "a2") === Some(2L),
+        "cancelled transaction must stage NOTHING in any table")
+      assert(v("tb", "b1") === Some(11L))
+      // missing-item UPDATE cancels too, and the INSERT before it
+      // never lands
+      intercept[Exception] {
+        call("INSERT INTO ta VALUE {'id': 'a3', 'v': 3}; " +
+          "UPDATE tb SET v = 1 WHERE id = 'nope'") }
+      assert(store.transactGet("ta",
+        Seq(Map("id" -> (AttrVal.S("a3"): AttrVal)))).head.isEmpty,
+        "cancelled transaction leaked an INSERT")
+      // ALL-SELECT list = the read-only transaction (TransactGetItems):
+      // one cross-table-consistent snapshot, items in the wire shape,
+      // absent key = null item
+      val got = call("SELECT * FROM ta WHERE id = 'a2'; " +
+        "SELECT v FROM tb WHERE id = 'b1'; " +
+        "SELECT * FROM ta WHERE id = 'gone'")
+      assert(got.map(r => (r.getInt(0), r.getString(1))) ===
+        Seq((0, "ta"), (1, "tb"), (2, "ta")))
+      assert(got(0).getString(2).contains("\"a2\""))
+      assert(got(1).getString(2) === """{"v":{"N":"11"}}""",
+        "projection must filter the returned wire item")
+      assert(got(2).isNullAt(2), "absent key must return a null item")
+      // mixing reads and writes is rejected (all-read-or-all-write)
+      val selErr = intercept[Exception] {
+        call("SELECT id FROM ta WHERE id = 'a2'; " +
+          "DELETE FROM ta WHERE id = 'a2'") }
+      assert(selErr.getMessage.contains("cannot mix with writes"),
+        selErr.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ptxcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.ptxcat"))(
+        spark.conf.set("spark.sql.catalog.ptxcat", _))
+    }
+  }
+
+  test("batch_execute_statement: per-statement commit, failures isolated") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("bt", TableMeta("id", None, shards = 1,
+        throughput = 1000000L),
+      Iterator(Map("id" -> (AttrVal.S("x"): AttrVal),
+        "v" -> (AttrVal.N(1): AttrVal))))
+    val prev = spark.conf.getOption("spark.sql.catalog.bcat")
+    try {
+      spark.conf.set("spark.sql.catalog.bcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.bcat.path", root)
+      // NON-transactional: statement 2 (duplicate INSERT) and 3
+      // (missing-key UPDATE) fail ALONE; 1 and 4 commit anyway
+      val stmts = ("INSERT INTO bt VALUE {'id': 'y', 'v': 2}; " +
+        "INSERT INTO bt VALUE {'id': 'x', 'v': 9}; " +
+        "UPDATE bt SET v = 9 WHERE id = 'gone'; " +
+        "DELETE FROM bt WHERE id = 'x'; " +
+        "SELECT * FROM bt WHERE id = 'y'").replace("'", "''")
+      val res = spark.sql(s"CALL bcat.batch_execute_statement('$stmts')")
+        .collect()
+      assert(res.map(r => (r.getInt(0), r.getString(1), r.getBoolean(3))).toSeq ===
+        Seq((0, "INSERT", true), (1, "INSERT", false), (2, "UPDATE", false),
+          (3, "DELETE", true), (4, "SELECT", true)))
+      assert(res(1).getString(5).contains("same key already exists"))
+      assert(res(2).getString(5).contains("no item with the specified key"))
+      assert(res(4).getLong(4) === 1L, "SELECT row count rides the rows column")
+      // effects: y inserted, x deleted, despite the failures between
+      def has(id: String) = store.transactGet("bt",
+        Seq(Map("id" -> (AttrVal.S(id): AttrVal)))).head.nonEmpty
+      assert(has("y") && !has("x"))
+      // the 25-statement service bound
+      val over = intercept[Exception] {
+        spark.sql(s"CALL bcat.batch_execute_statement('" +
+          Seq.fill(26)("DELETE FROM bt WHERE id = ''z''").mkString("; ") + "')") }
+      assert(over.getMessage.contains("capped at 25"), over.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.bcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.bcat"))(
+        spark.conf.set("spark.sql.catalog.bcat", _))
+    }
+  }
+
+  test("LAW: PartiQL value/condition rendering round-trips through the parser") {
+    import graft.sources.dynamo.{AttrVal, PartiQL}
+    // render a value in PartiQL literal syntax, parse it back inside
+    // an INSERT, compare ASTs — fuzzes the quoting/escaping/nesting
+    // surface (single-quote escapes, negative/decimal N, deep L/M)
+    def render(v: AttrVal): String = v match {
+      case AttrVal.S(s) => "'" + s.replace("'", "''") + "'"
+      case AttrVal.N(n) => n.bigDecimal.toPlainString
+      case AttrVal.Bool(b) => b.toString.toUpperCase
+      case AttrVal.Null => "NULL"
+      case AttrVal.L(vs) => vs.map(render).mkString("[", ", ", "]")
+      case AttrVal.M(m) => m.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"'${k.replace("'", "''")}': ${render(x)}" }
+        .mkString("{", ", ", "}")
+      case other => fail(s"unreachable $other")
+    }
+    def randVal(rnd: scala.util.Random, depth: Int): AttrVal =
+      rnd.nextInt(if (depth >= 2) 5 else 7) match {
+        case 0 => AttrVal.S(Seq.fill(rnd.nextInt(8))(
+          "ab'c\"d e,:}{][".charAt(rnd.nextInt(14))).mkString)
+        case 1 => AttrVal.N(BigDecimal(rnd.nextLong() % 100000) / // scale 0-4
+          BigDecimal(10).pow(rnd.nextInt(5)))
+        case 2 => AttrVal.Bool(rnd.nextBoolean())
+        case 3 => AttrVal.Null
+        case 4 => AttrVal.N(BigDecimal(rnd.nextLong()))
+        case 5 => AttrVal.L(Vector.fill(rnd.nextInt(4))(randVal(rnd, depth + 1)))
+        case _ => AttrVal.M((0 until rnd.nextInt(4)).map(i =>
+          s"k$i" -> randVal(rnd, depth + 1)).toMap)
+      }
+    (0 until 300).foreach { seed =>
+      val rnd = new scala.util.Random(seed.toLong)
+      val item = (0 until 1 + rnd.nextInt(4)).map(i =>
+        s"a$i" -> randVal(rnd, 0)).toMap
+      val text = "INSERT INTO t VALUE " + item.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k': ${render(v)}" }
+        .mkString("{", ", ", "}")
+      PartiQL.parse(text, Nil) match {
+        case PartiQL.Insert("t", got) =>
+          // numbers normalize (1.50 == 1.5 as BigDecimal) — AttrVal.N
+          // equality is BigDecimal equality, which is what the store
+          // ingests; everything else must round-trip exactly
+          assert(got === item, s"seed $seed: $text")
+        case other => fail(s"seed $seed parsed to $other")
+      }
+    }
+    // condition surface round-trip, spot-checked per shape
+    val sel = PartiQL.parse("SELECT a, b FROM \"T\" WHERE h = 'x''y' AND " +
+      "r BETWEEN -2.5 AND 7 AND s IN ('p', 'q') AND begins_with(u, 'pre') " +
+      "AND contains(w, 'mid') AND z IS NOT MISSING AND q <> 4 " +
+      "ORDER BY a DESC, b", Nil).asInstanceOf[PartiQL.Select]
+    assert(sel.table === "T" && sel.projection === Some(Seq("a", "b")))
+    assert(sel.where === Seq(
+      PartiQL.Cmp("h", "=", AttrVal.S("x'y")),
+      PartiQL.Between("r", AttrVal.N(BigDecimal("-2.5")), AttrVal.N(7)),
+      PartiQL.InList("s", Seq(AttrVal.S("p"), AttrVal.S("q"))),
+      PartiQL.FnCond("begins_with", "u", AttrVal.S("pre")),
+      PartiQL.FnCond("contains", "w", AttrVal.S("mid")),
+      PartiQL.Missing("z", negated = true),
+      PartiQL.Cmp("q", "<>", AttrVal.N(4))))
+    assert(sel.orderBy === Seq("a" -> false, "b" -> true))
+  }
+
+  test("contributor_insights ranks hot keys from sidecars; update_throughput feeds capacity math") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    // skew: one whale key (2000 rows) among ten 40-row keys — the
+    // hot-partition shape CI exists to catch
+    store.bulkLoad("hot", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      (Iterator.range(0, 2000).map(i => Map(
+        "hk" -> (AttrVal.S("whale"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))) ++
+       (for (k <- Iterator.range(0, 10); i <- Iterator.range(0, 40)) yield Map(
+        "hk" -> (AttrVal.S(f"k$k%02d"): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal)))))
+    val prev = spark.conf.getOption("spark.sql.catalog.icat")
+    try {
+      spark.conf.set("spark.sql.catalog.icat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.icat.path", root)
+      val top = spark.sql("CALL icat.contributor_insights('hot', 3)").collect()
+      assert(top.head.getString(0) === "whale" && top.head.getLong(2) === 2000L,
+        s"whale must rank first: ${top.toSeq}")
+      assert(top.head.getLong(3) > 0, "bytes must attribute from page lengths")
+      // a brand-new hot WRITER has no base pages yet — the journal
+      // half of the report surfaces it
+      store.appendWal("hot", System.currentTimeMillis() + 1000000L, "w",
+        (0 until 50).map(i => store.Put(Map(
+          "hk" -> (AttrVal.S("newbie"): AttrVal),
+          "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal)))))
+      val top2 = spark.sql("CALL icat.contributor_insights('hot', 3)").collect()
+      assert(top2.map(_.getString(0)).toSeq === Seq("whale", "newbie", "k00"),
+        s"rank by items+writes: ${top2.map(_.getString(0)).toSeq}")
+      val newbie = top2(1)
+      assert(newbie.getLong(2) === 0L && newbie.getLong(4) === 50L)
+      // UpdateTable ProvisionedThroughput: the capacity number the
+      // rate limiters read
+      spark.sql("CALL icat.update_throughput('hot', 5000)")
+      assert(store.describe("hot").throughput === 5000L)
+      val neg = intercept[Exception] {
+        spark.sql("CALL icat.update_throughput('hot', -1)") }
+      assert(neg.getMessage.contains("positive"), neg.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.icat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.icat"))(
+        spark.conf.set("spark.sql.catalog.icat", _))
+    }
+  }
+
   test("CALL procedures run the distributed maintenance jobs") {
     import spark.implicits._
     val root = freshRoot()

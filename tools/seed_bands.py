@@ -21,10 +21,15 @@ if art.get("contaminated"):
     sys.exit(f"REFUSED: artifact flags contaminated keys: {art['contaminated']}")
 if art.get("preflight_failed"):
     sys.exit("REFUSED: artifact is stamped preflight_failed")
+# 2.0, not 1.5: each ratio is a SINGLE probe sample (a ~0.3-0.5 s
+# query), and one-sample jitter on a quiet box reaches ~1.65x while
+# every per-key band (min of >=2 reps) stays inside its own band —
+# observed on the round-13 seeding run. Sustained contention shows up
+# as several ratios over 2x and as contaminated keys, both refused.
 ratios = art.get("ambient_ratios", []) + art.get("ambient_shuffle_ratios", [])
-bad = [r for r in ratios if r > 1.5]
+bad = [r for r in ratios if r > 2.0]
 if bad:
-    sys.exit(f"REFUSED: ambient probe ratios over 1.5x during the run: {bad}")
+    sys.exit(f"REFUSED: ambient probe ratios over 2.0x during the run: {bad}")
 
 bands = dict(sorted(art["queries"].items()))
 for probe in ("probe_scan", "probe_shuffle"):
