@@ -456,13 +456,25 @@ final class LocalKVStore(root: String) {
   /** Connector-boundary gate: loud failure instead of a silently
     * partial read or a write racing an in-flight restore.
     */
-  def assertNotRestorePending(table: String): Unit =
+  def assertNotRestorePending(table: String): Unit = {
     restorePending(table).foreach { info =>
       throw new IllegalStateException(
         s"table '$table' has an incomplete point-in-time restore " +
           s"($info): rerun DynamoMaintenance.restoreAsOf to complete " +
           "it, or delete the table directory")
     }
+    // same gate, second quarantine class: a crashed backup copy. A
+    // torn backup destination can LOOK valid (a re-backup that died
+    // between its journal and base copies leaves the PRIOR manifest
+    // matching the prior base files — with rows folded between the
+    // two backups silently missing), so the marker is the only
+    // honest signal.
+    if (Files.isRegularFile(tableDir(table).resolve("_backup_pending")))
+      throw new IllegalStateException(
+        s"table '$table' is a crashed backup destination (the copy " +
+          "never completed): rerun backupTable to complete it, or " +
+          "delete the table directory")
+  }
 
   private[dynamo] def markRestorePending(table: String, srcRoot: String,
       srcTable: String, asOfSeq: Long): Unit = {
@@ -3119,6 +3131,12 @@ final class LocalKVStore(root: String) {
     * at least one copied half.
     */
   def backupTable(table: String, destRoot: String): Unit = {
+    // backing up FROM quarantined state (a torn backup, or a
+    // mid-restore partial table) would propagate the tear into a
+    // destination that then looks healthy — refuse at the source.
+    // restore_table routes through here with the backup root as the
+    // source, so a crashed backup can never restore silently short.
+    assertNotRestorePending(table)
     var attempt = 0
     while (!backupTableOnce(table, destRoot)) {
       attempt += 1
@@ -3134,6 +3152,17 @@ final class LocalKVStore(root: String) {
     val src = tableDir(table)
     val dst = Paths.get(destRoot, table)
     Files.createDirectories(dst)
+    // crash contract (mirrors the restore quarantine): the pending
+    // marker lands BEFORE the first byte moves and clears only after
+    // the post-copy manifest + index refresh — a crash anywhere in
+    // between leaves a destination every open/restore path REFUSES
+    // (a torn re-backup would otherwise pass the prior manifest's
+    // validation with silently missing folded rows). The stale
+    // manifest is dropped up front for the same reason: no reader may
+    // pair it with a mixed file set. Reruns converge (full copy).
+    Files.write(dst.resolve("_backup_pending"),
+      s"copy from $root started, not yet complete".getBytes(UTF_8))
+    Files.deleteIfExists(dst.resolve("_backup_manifest"))
     def cp(p: Path): Unit =
       try Files.copy(p, dst.resolve(p.getFileName.toString),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -3211,6 +3240,7 @@ final class LocalKVStore(root: String) {
     // change detector (see backupTableIncremental)
     Files.write(dst.resolve("_backup_manifest"), manifest.getBytes(UTF_8))
     new LocalKVStore(destRoot).refreshIndexes(table)
+    Files.deleteIfExists(dst.resolve("_backup_pending"))
     true
   }
 
@@ -3310,8 +3340,19 @@ final class LocalKVStore(root: String) {
     val manifestPath = dst.resolve("_backup_manifest")
     val manifestAtStart = baseManifest(table)
     val incremental = Files.isRegularFile(manifestPath) &&
+      // a pending marker voids the manifest even when it matches: the
+      // crashed pass may have copied SOME journal files — only a full
+      // pass re-establishes a provable state
+      !Files.isRegularFile(dst.resolve("_backup_pending")) &&
       new String(Files.readAllBytes(manifestPath), UTF_8) == manifestAtStart
     if (!incremental) { backupTable(table, destRoot); return }
+    // same crash contract as the full copy: a die between a copied
+    // `-sall` transaction file and its shipped marker would leave the
+    // destination's transaction invisible (reaper-bait) while its
+    // OTHER table's half — from an earlier pass — serves: a
+    // cross-table tear. Pending from first byte to done.
+    Files.write(dst.resolve("_backup_pending"),
+      s"incremental from $root started, not yet complete".getBytes(UTF_8))
     val dstStore = new LocalKVStore(destRoot)
     def cp(p: Path): Unit =
       try Files.copy(p, dst.resolve(p.getFileName.toString),
@@ -3342,10 +3383,11 @@ final class LocalKVStore(root: String) {
     // vanished before its copy while the destination's base predates
     // the fold. Fall back to the (retry-validated) full copy.
     if (baseManifest(table) != manifestAtStart) {
-      backupTable(table, destRoot)
+      backupTable(table, destRoot) // full copy owns (and clears) pending
       return
     }
     if (fresh.nonEmpty) dstStore.refreshIndexes(table)
+    Files.deleteIfExists(dst.resolve("_backup_pending"))
   }
 
   /** Names of the transaction journal files currently published —

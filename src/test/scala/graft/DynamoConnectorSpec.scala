@@ -5817,6 +5817,90 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(state("src") == Map("b" -> 2, "c" -> 3))
   }
 
+  test("LAW: readers racing a live restore see quarantine or the whole table, never a tear") {
+    import graft.sources.dynamo.{AttrVal, DynamoMaintenance, IndexMeta, TableMeta}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val n = 4000
+    store.createTable("lsrc",
+      TableMeta("id", None, shards = 4, throughput = 1000000L))
+    val s1 = System.currentTimeMillis() + 1000000L
+    store.appendWal("lsrc", s1, "e1", (1 to n).map(i =>
+      store.Put(Map("id" -> AttrVal.S(f"k$i%05d"),
+        "v" -> AttrVal.N(BigDecimal(i))))))
+    store.createIndex("lsrc", "byv", IndexMeta("v", Some("id"), None))
+    val fut = Future { DynamoMaintenance.restoreAsOf(
+      spark, root, "lsrc", root, "ldst", s1 + 5) }
+    // The quarantine's WRITE ORDERING is the law: the marker lands
+    // before meta.json exists and clears only after the last index
+    // build — so any observer finding (exists && no marker) must find
+    // the COMPLETE table: full row count, indexes registered. A tear
+    // here means the marker cleared early (or meta preceded it).
+    var completeObservations = 0
+    while (!fut.isCompleted) {
+      val st = new LocalKVStore(root)
+      if (st.exists("ldst") && st.restorePending("ldst").isEmpty) {
+        val meta = st.describe("ldst")
+        val cnt = (0 until meta.shards)
+          .map(sh => st.scanSegment("ldst", sh, meta.shards).size).sum
+        assert(cnt == n, s"marker-clear observed with $cnt/$n rows — torn")
+        assert(meta.indexes.contains("byv"),
+          "marker-clear observed without the rebuilt index — torn")
+        completeObservations += 1
+      }
+      Thread.sleep(2)
+    }
+    Await.result(fut, 120.seconds)
+    val st = new LocalKVStore(root)
+    assert(st.restorePending("ldst").isEmpty)
+    assert(st.describe("ldst").indexes.contains("byv"))
+    assert(spark.read.dynamo(root, "ldst").count() === n.toLong)
+  }
+
+  test("a crashed backup is quarantined: reads and re-exports refuse, rerun converges") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("bq", TableMeta("id", None, shards = 2,
+        throughput = 1000000L),
+      (1 to 30).iterator.map(i => Map(
+        "id" -> (AttrVal.S(f"k$i%03d"): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i)): AttrVal))))
+    store.appendWal("bq", System.currentTimeMillis() + 1000000L, "w",
+      Seq(store.Put(Map("id" -> AttrVal.S("k031"), "v" -> AttrVal.N(31)))))
+    val dest = freshRoot()
+    store.backupTable("bq", dest)
+    val destDir = java.nio.file.Paths.get(dest, "bq")
+    // a COMPLETED backup carries its manifest and no pending marker
+    assert(java.nio.file.Files.isRegularFile(destDir.resolve("_backup_manifest")))
+    assert(!java.nio.file.Files.exists(destDir.resolve("_backup_pending")))
+    assert(spark.read.dynamo(dest, "bq").count() === 31L)
+    // PLANT the crash state a mid-copy die leaves: the pending marker
+    // (written before the first byte moves, cleared last)
+    java.nio.file.Files.write(destDir.resolve("_backup_pending"),
+      "planted".getBytes("UTF-8"))
+    // 1. the connector refuses to read a torn backup — a re-backup
+    // that died between journal and base copies can PASS the prior
+    // manifest's validation while silently missing folded rows, so
+    // the marker is the only honest signal
+    val e = intercept[IllegalStateException] {
+      spark.read.dynamo(dest, "bq").collect() }
+    assert(e.getMessage.contains("crashed backup destination"), e.getMessage)
+    // 2. backing up FROM it (= restore_table's path) refuses too:
+    // the tear must not propagate into a healthy-looking copy
+    val e2 = intercept[IllegalStateException] {
+      new LocalKVStore(dest).backupTable("bq", freshRoot()) }
+    assert(e2.getMessage.contains("crashed backup destination"), e2.getMessage)
+    // 3. rerunning the backup converges: the pending marker voids the
+    // (matching!) manifest, forcing the full copy, which clears it
+    store.backupTableIncremental("bq", dest)
+    assert(!java.nio.file.Files.exists(destDir.resolve("_backup_pending")))
+    assert(spark.read.dynamo(dest, "bq").count() === 31L)
+  }
+
   test("a crashed restore is quarantined: connector reads refuse loudly, rerun converges") {
     import graft.sources.dynamo.AttrVal
     val root = freshRoot()
