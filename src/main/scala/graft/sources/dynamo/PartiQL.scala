@@ -50,9 +50,15 @@ object PartiQL {
       projection: Option[Seq[String]], where: Seq[Cond],
       orderBy: Seq[(String, Boolean)]) extends Stmt
   final case class Insert(table: String, item: Item) extends Stmt
+  /** `returning`: `Some("OLD")`/`Some("NEW")` for `RETURNING ALL
+    * OLD|NEW *` (the service's UpdateItem ReturnValues surface in
+    * PartiQL spelling); DELETE supports OLD only, INSERT none.
+    */
   final case class Update(table: String, sets: Seq[(String, AttrVal)],
-      removes: Seq[String], where: Seq[Cond]) extends Stmt
-  final case class Delete(table: String, where: Seq[Cond]) extends Stmt
+      removes: Seq[String], where: Seq[Cond],
+      returning: Option[String] = None) extends Stmt
+  final case class Delete(table: String, where: Seq[Cond],
+      returning: Option[String] = None) extends Stmt
 
   // ---- entry point ----
 
@@ -89,16 +95,17 @@ object PartiQL {
         store.appendWal(t, System.currentTimeMillis(), "partiql",
           Seq(store.PutIfAbsent(item)))
         opRow("INSERT", t)
-      case Update(t, sets, removes, where) =>
+      case Update(t, sets, removes, where, returning) =>
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "UPDATE")
         val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
         (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a),
           s"PartiQL UPDATE: cannot SET/REMOVE key attribute '$a' " +
             "(the service's ValidationException — write a new item instead)"))
-        require(store.transactGet(t, Seq(key)).head.nonEmpty,
-          s"PartiQL UPDATE: no item with the specified key in '$t' " +
-            "(the service's ConditionalCheckFailedException analogue)")
+        val cur = store.transactGet(t, Seq(key)).head.getOrElse(
+          throw new IllegalArgumentException(
+            s"PartiQL UPDATE: no item with the specified key in '$t' " +
+              "(the service's ConditionalCheckFailedException analogue)"))
         // one journal append = one atomic publish; UpdateIfExists
         // merges the SETs only into a live item, RemoveAttrs drops the
         // REMOVEd attributes (replay applies them in order)
@@ -107,15 +114,39 @@ object PartiQL {
         if (removes.nonEmpty)
           ops += store.RemoveAttrs(key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
         store.appendWal(t, System.currentTimeMillis(), "partiql", ops.result())
-        opRow("UPDATE", t)
-      case Delete(t, where) =>
+        returning match {
+          case None => opRow("UPDATE", t)
+          case Some("OLD") => opRowWithItem("UPDATE", t, Some(cur))
+          // NEW image derived from the same read the existence check
+          // used — the merge UpdateIfExists/RemoveAttrs replay applies
+          // (A14's millisecond race window, like the read itself)
+          case Some(_) => opRowWithItem("UPDATE", t,
+            Some((cur ++ sets.toMap) -- removes))
+        }
+      case Delete(t, where, returning) =>
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "DELETE")
+        // capture the OLD image before the marker lands (absent item =
+        // null, like the service's empty Attributes)
+        val old = if (returning.isDefined)
+          store.transactGet(t, Seq(key)).head else None
         store.appendWal(t, System.currentTimeMillis(), "partiql",
           Seq(store.Delete(key)))
-        opRow("DELETE", t)
+        if (returning.isDefined) opRowWithItem("DELETE", t, old)
+        else opRow("DELETE", t)
     }
   }
+
+  private def opRowWithItem(op: String, table: String, item: Option[Item])
+      : (StructType, Array[InternalRow]) = (
+    StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("applied", BooleanType, nullable = false),
+      StructField("item", StringType, nullable = true))),
+    Array[InternalRow](new GenericInternalRow(Array[Any](
+      UTF8String.fromString(op), UTF8String.fromString(table), true,
+      item.map(it => UTF8String.fromString(ItemJson.write(it))).orNull))))
 
   /** The service's `ExecuteTransaction` analogue: a `;`-separated list
     * of INSERT/UPDATE/DELETE statements applied ALL-OR-NOTHING through
@@ -198,7 +229,10 @@ object PartiQL {
         val key: Item = keyAttrs.map(k => k -> item(k)).toMap
         Slice(t, Seq(store.PutIfAbsent(item)),
           Some(TxnCheck.Absent(key)), "INSERT")
-      case Update(t, sets, removes, where) =>
+      case Update(t, sets, removes, where, returning) =>
+        require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
+          "in execute_transaction (the service's TransactWriteItems " +
+          "returns no item images)")
         require(store.exists(t), s"PartiQL: table '$t' does not exist")
         store.assertNotRestorePending(t)
         val meta = store.describe(t)
@@ -211,7 +245,10 @@ object PartiQL {
         if (removes.nonEmpty) ops += store.RemoveAttrs(
           key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
         Slice(t, ops.result(), Some(TxnCheck.Exists(key)), "UPDATE")
-      case Delete(t, where) =>
+      case Delete(t, where, returning) =>
+        require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
+          "in execute_transaction (the service's TransactWriteItems " +
+          "returns no item images)")
         require(store.exists(t), s"PartiQL: table '$t' does not exist")
         store.assertNotRestorePending(t)
         val meta = store.describe(t)
@@ -280,7 +317,26 @@ object PartiQL {
 
   private def runSelect(root: String, sel: Select)
       : (StructType, Array[InternalRow]) = {
-    val spark = SparkSession.active
+    val df = buildSelect(SparkSession.active, root, sel)
+    (df.schema, df.queryExecution.executedPlan.executeCollect().map(_.copy()))
+  }
+
+  /** A SELECT statement as a lazy DataFrame — the composable form of
+    * `execute` (filter further, join, write), and what specs use to
+    * pin that a statement's plan IS the equivalent read's plan
+    * (pushed key conditions, pruned shards, index serve).
+    */
+  def selectDataFrame(spark: SparkSession, root: String,
+      statement: String, params: Seq[AttrVal] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    parse(statement, params) match {
+      case sel: Select => buildSelect(spark, root, sel)
+      case other => throw new IllegalArgumentException(
+        s"PartiQL.selectDataFrame takes a SELECT, got $other")
+    }
+
+  private def buildSelect(spark: SparkSession, root: String,
+      sel: Select): org.apache.spark.sql.DataFrame = {
     var rd = spark.read.format("dynamo")
       .option("path", root).option("tableName", sel.table)
     sel.index.foreach(ix => rd = rd.option("indexName", ix))
@@ -290,7 +346,7 @@ object PartiQL {
     if (sel.orderBy.nonEmpty)
       df = df.orderBy(sel.orderBy.map { case (a, asc) =>
         if (asc) col(a).asc else col(a).desc }: _*)
-    (df.schema, df.queryExecution.executedPlan.executeCollect().map(_.copy()))
+    df
   }
 
   private def opRow(op: String, table: String)
@@ -597,14 +653,32 @@ object PartiQL {
       }
       if (!any) fail("UPDATE requires at least one SET or REMOVE clause")
       kw("WHERE")
-      Update(t, sets.result(), removes.result(), condAnd())
+      Update(t, sets.result(), removes.result(), condAnd(),
+        returningClause(allowNew = true))
     }
 
     def delete(): Delete = {
       kw("FROM")
       val t = ident()
       kw("WHERE")
-      Delete(t, condAnd())
+      Delete(t, condAnd(), returningClause(allowNew = false))
     }
+
+    /** `RETURNING ALL OLD *` / `RETURNING ALL NEW *` — only the forms
+      * the service's PartiQL accepts (DELETE has no "new" image).
+      */
+    private def returningClause(allowNew: Boolean): Option[String] =
+      if (!tryKw("RETURNING")) None
+      else {
+        kw("ALL")
+        val which =
+          if (tryKw("OLD")) "OLD"
+          else if (tryKw("NEW")) {
+            if (!allowNew) fail("DELETE supports RETURNING ALL OLD * only")
+            "NEW"
+          } else fail("expected OLD or NEW after RETURNING ALL")
+        ch('*')
+        Some(which)
+      }
   }
 }

@@ -3873,6 +3873,27 @@ class DynamoConnectorSpec extends AnyFunSuite {
       val partial = intercept[Exception] {
         run("UPDATE pt SET s = 'x' WHERE hk = 'a'") }
       assert(partial.getMessage.contains("full primary key"), partial.getMessage)
+      // RETURNING ALL OLD|NEW * (the service's ReturnValues surface in
+      // PartiQL spelling): UPDATE returns either image, DELETE the old
+      val rNew = run("UPDATE pt SET s = 'r2' WHERE hk = 'c' AND rk = 9 " +
+        "RETURNING ALL NEW *")
+      assert(rNew.size == 1 && rNew.head.getString(3).contains("{\"S\":\"r2\"}"),
+        rNew.toSeq.toString)
+      val rOld = run("DELETE FROM pt WHERE hk = 'c' AND rk = 9 " +
+        "RETURNING ALL OLD *")
+      assert(rOld.head.getString(3).contains("{\"S\":\"r2\"}"),
+        "DELETE must return the pre-delete image")
+      assert(run("SELECT rk FROM pt WHERE hk = 'c'").isEmpty)
+      // deleting a missing item with RETURNING: null image (the
+      // service's empty Attributes), still the silent no-op
+      val rGone = run("DELETE FROM pt WHERE hk = 'c' AND rk = 9 " +
+        "RETURNING ALL OLD *")
+      assert(rGone.head.isNullAt(3))
+      val newOnDel = intercept[Exception] {
+        run("DELETE FROM pt WHERE hk = 'c' AND rk = 9 RETURNING ALL NEW *") }
+      assert(newOnDel.getMessage.contains("RETURNING ALL OLD"), newOnDel.getMessage)
+      // re-seed the plain-DELETE assertions below
+      run("INSERT INTO pt VALUE {'hk': 'c', 'rk': 9, 's': 'upd'}")
       // DELETE round-trips; deleting a missing item is the service's
       // silent no-op
       run("DELETE FROM pt WHERE hk = 'c' AND rk = 9")
@@ -3961,11 +3982,42 @@ class DynamoConnectorSpec extends AnyFunSuite {
           "DELETE FROM ta WHERE id = 'a2'") }
       assert(selErr.getMessage.contains("cannot mix with writes"),
         selErr.getMessage)
+      // RETURNING has no transactional form (TransactWriteItems
+      // returns no item images) — rejected loudly
+      val retErr = intercept[Exception] {
+        call("DELETE FROM ta WHERE id = 'a2' RETURNING ALL OLD *") }
+      assert(retErr.getMessage.contains("RETURNING is not supported"),
+        retErr.getMessage)
     } finally {
       spark.conf.unset("spark.sql.catalog.ptxcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.ptxcat"))(
         spark.conf.set("spark.sql.catalog.ptxcat", _))
     }
+  }
+
+  test("PartiQL SELECT runs the connector's own plan: key window pushes, pages prune") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.bulkLoad("pq", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      (for (k <- Iterator("a", "b", "c", "d"); i <- Iterator.range(0, 1500)) yield Map(
+        "hk" -> (AttrVal.S(k): AttrVal),
+        "rk" -> (AttrVal.N(BigDecimal(i)): AttrVal),
+        "v" -> (AttrVal.N(BigDecimal(i * 3)): AttrVal))))
+    val df = PartiQL.selectDataFrame(spark, root,
+      "SELECT hk, rk, v FROM pq WHERE hk = 'b' AND rk BETWEEN 100 AND 150")
+    val got = df.collect()
+    assert(got.length == 51 && got.forall(_.getString(0) == "b"))
+    // the statement's plan IS the DataFrame read's: the key equality
+    // prunes to the owning shard (~3000 of 6000 items) and the
+    // sort-key BETWEEN window prunes base pages inside it — anything
+    // ≤1600 scanned proves the WINDOW pushed, not just the shard
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("BatchScan")).getOrElse(fail("no BatchScan"))
+    val scanned = scan.metrics("itemsScanned").value
+    assert(scanned <= 1600,
+      s"statement plan must push the key window, scanned $scanned")
   }
 
   test("batch_execute_statement: per-statement commit, failures isolated") {
