@@ -342,8 +342,22 @@ object DynamoMaintenance {
             "files present but no manifest-summary.json — re-export")
         s"$src/items-s*.json"
       } else src
-    if (!store.exists(table))
+    // Crash contract (the service's ImportTable FAILED state): when
+    // the import CREATES the destination, a die mid-load would leave
+    // a readable half-loaded table — quarantine it from before
+    // meta.json exists until after the final fold; rerunning with the
+    // same source converges (keyed Puts are idempotent). An import
+    // into a PRE-EXISTING table is this engine's append extension and
+    // carries ordinary write semantics (but never into a quarantined
+    // one).
+    if (!store.exists(table)) {
+      store.markImportPending(table, s"import from $src")
       store.createTable(table, TableMeta(hashKey, rangeKey, shards, 1000000L))
+    } else if (!store.importPending(table)) {
+      // rerun of a crashed import keeps its own marker until done;
+      // anything ELSE quarantined must not take appends
+      store.assertNotRestorePending(table)
+    }
     spark.read.textFile(input).foreachPartition { (it: Iterator[String]) =>
       val st = new LocalKVStore(path)
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -358,6 +372,7 @@ object DynamoMaintenance {
       }
     }
     compact(spark, path, table)
+    store.clearImportPending(table)
   }
 
   /** Global-Tables-style anti-entropy replication, one task per shard

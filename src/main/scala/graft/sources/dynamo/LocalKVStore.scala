@@ -474,7 +474,28 @@ final class LocalKVStore(root: String) {
         s"table '$table' is a crashed backup destination (the copy " +
           "never completed): rerun backupTable to complete it, or " +
           "delete the table directory")
+    // third class: a crashed bulk import into a table the import
+    // itself created — readable-but-half-loaded is the service's
+    // ImportTable FAILED state, not a table (rerunning the import
+    // with the same source converges: keyed Puts are idempotent).
+    if (Files.isRegularFile(tableDir(table).resolve("_import_pending")))
+      throw new IllegalStateException(
+        s"table '$table' is a half-loaded import destination (the " +
+          "import never completed): rerun importDynamoJson with the " +
+          "same source to complete it, or delete the table directory")
   }
+
+  private[dynamo] def markImportPending(table: String, info: String): Unit = {
+    Files.createDirectories(tableDir(table))
+    Files.write(tableDir(table).resolve("_import_pending"),
+      info.getBytes(UTF_8))
+  }
+
+  private[dynamo] def importPending(table: String): Boolean =
+    Files.isRegularFile(tableDir(table).resolve("_import_pending"))
+
+  private[dynamo] def clearImportPending(table: String): Unit =
+    Files.deleteIfExists(tableDir(table).resolve("_import_pending"))
 
   private[dynamo] def markRestorePending(table: String, srcRoot: String,
       srcTable: String, asOfSeq: Long): Unit = {

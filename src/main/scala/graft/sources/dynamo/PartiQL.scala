@@ -62,6 +62,14 @@ object PartiQL {
 
   // ---- entry point ----
 
+  /** Per-call writer id: two concurrent statements landing in the
+    * same millisecond would otherwise target the SAME journal file
+    * name (seq + writerId + shard) and overwrite each other's ops —
+    * the service has no such collision, so neither may we.
+    */
+  private def writerId(): String =
+    "partiql-" + java.util.UUID.randomUUID().toString.take(8)
+
   def execute(root: String, statement: String, params: Seq[AttrVal])
       : (StructType, Array[InternalRow]) =
     executeOne(root, parse(statement, params))
@@ -92,7 +100,7 @@ object PartiQL {
         require(store.transactGet(t, Seq(key)).head.isEmpty,
           s"PartiQL INSERT: an item with the same key already exists " +
             s"in '$t' (the service's DuplicateItemException)")
-        store.appendWal(t, System.currentTimeMillis(), "partiql",
+        store.appendWal(t, System.currentTimeMillis(), writerId(),
           Seq(store.PutIfAbsent(item)))
         opRow("INSERT", t)
       case Update(t, sets, removes, where, returning) =>
@@ -113,7 +121,7 @@ object PartiQL {
         if (sets.nonEmpty) ops += store.UpdateIfExists(key ++ sets.toMap)
         if (removes.nonEmpty)
           ops += store.RemoveAttrs(key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
-        store.appendWal(t, System.currentTimeMillis(), "partiql", ops.result())
+        store.appendWal(t, System.currentTimeMillis(), writerId(), ops.result())
         returning match {
           case None => opRow("UPDATE", t)
           case Some("OLD") => opRowWithItem("UPDATE", t, Some(cur))
@@ -130,7 +138,7 @@ object PartiQL {
         // null, like the service's empty Attributes)
         val old = if (returning.isDefined)
           store.transactGet(t, Seq(key)).head else None
-        store.appendWal(t, System.currentTimeMillis(), "partiql",
+        store.appendWal(t, System.currentTimeMillis(), writerId(),
           Seq(store.Delete(key)))
         if (returning.isDefined) opRowWithItem("DELETE", t, old)
         else opRow("DELETE", t)
@@ -261,7 +269,7 @@ object PartiQL {
       val mine = slices.filter(_.table == t)
       TableTxn(t, mine.flatMap(_.ops), mine.flatMap(_.check))
     }
-    store.transactWriteMulti(txns, System.currentTimeMillis(), "partiql")
+    store.transactWriteMulti(txns, System.currentTimeMillis(), writerId())
     (StructType(Seq(
       StructField("op", StringType, nullable = false),
       StructField("table", StringType, nullable = false),

@@ -3995,6 +3995,44 @@ class DynamoConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("LAW: racing PartiQL INSERTs write once; a settled item never overwrites") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("race",
+      TableMeta("id", None, shards = 1, throughput = 1000000L))
+    def tryInsert(v: Int): Either[String, Int] =
+      try { PartiQL.execute(root,
+        s"INSERT INTO race VALUE {'id': 'k', 'v': $v}", Nil); Right(v) }
+      catch { case e: Exception => Left(e.getMessage) }
+    val results = Await.result(
+      Future.sequence((1 to 16).map(i => Future(tryInsert(i)))), 60.seconds)
+    val winners = results.collect { case Right(v) => v }
+    val losers = results.collect { case Left(m) => m }
+    assert(winners.nonEmpty, "at least one racing INSERT must succeed")
+    assert(losers.forall(_.contains("same key already exists")), losers)
+    // however many threads slipped past the LOUD check in the race
+    // window, the CONDITIONAL op means exactly one write landed — and
+    // its value is one a success-reporting thread wrote
+    val item = store.transactGet("race",
+      Seq(Map("id" -> (AttrVal.S("k"): AttrVal)))).head
+    val v = item.get.apply("v").asInstanceOf[AttrVal.N].v.toInt
+    assert(winners.contains(v),
+      s"stored v=$v must come from a success-reporting thread ($winners)")
+    // SETTLED item: every later racing INSERT reports the duplicate
+    // and the value never moves (PutIfAbsent cannot overwrite)
+    val after = Await.result(
+      Future.sequence((100 to 115).map(i => Future(tryInsert(i)))), 60.seconds)
+    assert(after.forall(_.isLeft), s"settled key must refuse every INSERT: $after")
+    val v2 = store.transactGet("race",
+      Seq(Map("id" -> (AttrVal.S("k"): AttrVal)))).head
+      .get.apply("v").asInstanceOf[AttrVal.N].v.toInt
+    assert(v2 == v, "a settled item's value must never move under racing INSERTs")
+  }
+
   test("PartiQL SELECT runs the connector's own plan: key window pushes, pages prune") {
     import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
     val root = freshRoot()
@@ -5910,6 +5948,37 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(st.restorePending("ldst").isEmpty)
     assert(st.describe("ldst").indexes.contains("byv"))
     assert(spark.read.dynamo(root, "ldst").count() === n.toLong)
+  }
+
+  test("a crashed import is quarantined: half-loaded tables refuse reads, rerun converges") {
+    import graft.sources.dynamo.{AttrVal, DynamoMaintenance, ItemJson, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val srcDir = Files.createTempDirectory("graft-impq")
+    val lines = (1 to 40).map(i =>
+      s"""{"Item":{"id":{"S":"k$i"},"v":{"N":"$i"}}}""")
+    java.nio.file.Files.write(srcDir.resolve("part0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    // PLANT the crash state a mid-load die leaves: marker + meta + a
+    // PARTIAL journal (half the rows) — exactly the readable-but-
+    // half-loaded shape the service's ImportTable FAILED state exists
+    // to prevent serving
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "imp"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "imp", "_import_pending"),
+      s"import from $srcDir".getBytes("UTF-8"))
+    store.createTable("imp", TableMeta("id", None, 4, 1000000L))
+    store.appendWal("imp", System.currentTimeMillis(), "imp-p00000-c00000",
+      lines.take(20).map(l => store.Put(ItemJson.parseExportLine(l))))
+    val e = intercept[IllegalStateException] {
+      spark.read.dynamo(root, "imp").collect() }
+    assert(e.getMessage.contains("half-loaded import"), e.getMessage)
+    // rerun with the same source converges: keyed Puts are idempotent,
+    // the final fold clears the marker
+    DynamoMaintenance.importDynamoJson(spark, root, "imp",
+      srcDir.toString, "id", None, shards = 4)
+    assert(spark.read.dynamo(root, "imp").count() === 40L)
+    assert(store.journalEmpty("imp"), "rerun must end folded")
   }
 
   test("a crashed backup is quarantined: reads and re-exports refuse, rerun converges") {
