@@ -500,18 +500,22 @@ private object DynamoProcedures {
     case "execute_statement" => Some(proc(name,
       "PartiQL ExecuteStatement analogue: single-table SELECT/INSERT/" +
         "UPDATE/DELETE with key conditions, begins_with/contains/IN/" +
-        "BETWEEN/IS [NOT] MISSING and ORDER BY; SELECT runs the " +
-        "connector's own read plan (pushdown intact); writes ride the " +
-        "store's conditional journal ops; parameters = DYNAMODB_JSON " +
-        "value list binding ? placeholders; unsupported syntax fails " +
-        "loudly",
+        "BETWEEN/IS [NOT] MISSING, ORDER BY and RETURNING ALL OLD|NEW " +
+        "*; SELECT runs the connector's own read plan (pushdown " +
+        "intact); writes ride the store's conditional journal ops; " +
+        "parameters = DYNAMODB_JSON value list binding ? placeholders; " +
+        "limit/consistent_read are the API's request parameters " +
+        "(SELECT only); unsupported syntax fails loudly",
       Array(ProcedureParameter.in("statement", StringType).build(),
-        ProcedureParameter.in("parameters", StringType).defaultValue("''").build())) { in =>
+        ProcedureParameter.in("parameters", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("limit", IntegerType).defaultValue("-1").build(),
+        ProcedureParameter.in("consistent_read", BooleanType).defaultValue("false").build())) { in =>
       val statement = in.getUTF8String(0).toString
       val params = Option(in.getUTF8String(1)).map(_.toString.trim)
         .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
         .getOrElse(Vector.empty)
-      PartiQL.execute(root, statement, params)
+      val limit = Some(in.getInt(2)).filter(_ >= 0)
+      PartiQL.execute(root, statement, params, limit, in.getBoolean(3))
     })
     // PartiQL ExecuteTransaction: `;`-separated INSERT/UPDATE/DELETE
     // statements, all-or-nothing through the store's cross-table

@@ -70,12 +70,28 @@ object PartiQL {
   private def writerId(): String =
     "partiql-" + java.util.UUID.randomUUID().toString.take(8)
 
-  def execute(root: String, statement: String, params: Seq[AttrVal])
+  /** `limit`/`consistentRead` are the ExecuteStatement API's own
+    * request parameters (they sit beside the statement, not in it —
+    * PartiQL has no LIMIT keyword and no consistency syntax): both
+    * apply to SELECT only and fail loudly on writes, like the
+    * service's validation. ConsistentRead on a GSI read keeps the
+    * connector's own GSI rejection.
+    */
+  def execute(root: String, statement: String, params: Seq[AttrVal],
+      limit: Option[Int] = None, consistentRead: Boolean = false)
       : (StructType, Array[InternalRow]) =
-    executeOne(root, parse(statement, params))
+    executeOne(root, parse(statement, params), limit, consistentRead)
 
-  private def executeOne(root: String, stmt: Stmt)
+  private def executeOne(root: String, stmt: Stmt,
+      limit: Option[Int] = None, consistentRead: Boolean = false)
       : (StructType, Array[InternalRow]) = {
+    if (!stmt.isInstanceOf[Select]) {
+      require(limit.isEmpty,
+        "PartiQL: the Limit parameter applies to SELECT statements only")
+      require(!consistentRead,
+        "PartiQL: the ConsistentRead parameter applies to SELECT " +
+          "statements only")
+    }
     val store = new LocalKVStore(root)
     val table = stmt match {
       case s: Select => s.table
@@ -86,7 +102,7 @@ object PartiQL {
     require(store.exists(table), s"PartiQL: table '$table' does not exist")
     store.assertNotRestorePending(table)
     stmt match {
-      case sel: Select => runSelect(root, sel)
+      case sel: Select => runSelect(root, sel, limit, consistentRead)
       case Insert(t, item) =>
         val meta = store.describe(t)
         val keyAttrs = Seq(meta.hashKey) ++ meta.rangeKey
@@ -323,9 +339,14 @@ object PartiQL {
     (schema, rows.toArray)
   }
 
-  private def runSelect(root: String, sel: Select)
+  private def runSelect(root: String, sel: Select,
+      limit: Option[Int], consistentRead: Boolean)
       : (StructType, Array[InternalRow]) = {
-    val df = buildSelect(SparkSession.active, root, sel)
+    var df = buildSelect(SparkSession.active, root, sel, consistentRead)
+    limit.foreach { n =>
+      require(n > 0, s"PartiQL: Limit must be positive, got $n")
+      df = df.limit(n)
+    }
     (df.schema, df.queryExecution.executedPlan.executeCollect().map(_.copy()))
   }
 
@@ -344,9 +365,11 @@ object PartiQL {
     }
 
   private def buildSelect(spark: SparkSession, root: String,
-      sel: Select): org.apache.spark.sql.DataFrame = {
+      sel: Select, consistentRead: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     var rd = spark.read.format("dynamo")
       .option("path", root).option("tableName", sel.table)
+      .option("stronglyConsistentReads", consistentRead.toString)
     sel.index.foreach(ix => rd = rd.option("indexName", ix))
     var df = rd.load()
     sel.where.foreach(c => df = df.filter(cond2col(c)))

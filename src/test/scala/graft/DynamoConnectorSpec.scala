@@ -3854,6 +3854,22 @@ class DynamoConnectorSpec extends AnyFunSuite {
       // index read: FROM "table"."index"
       assert(run("SELECT rk FROM \"pt\".\"bys\" WHERE s = 'yy'")
         .map(_.getLong(0)) === Seq(1L))
+      // Limit and ConsistentRead are the API's REQUEST parameters
+      // (PartiQL has no LIMIT keyword): SELECT only, loud otherwise
+      val lim = spark.sql("CALL pcat.execute_statement(statement => " +
+        "'SELECT rk FROM pt WHERE hk = ''a'' ORDER BY rk', limit => 2)")
+        .collect()
+      assert(lim.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      val cons = spark.sql("CALL pcat.execute_statement(statement => " +
+        "'SELECT rk FROM pt WHERE hk = ''b''', consistent_read => true)")
+        .collect()
+      assert(cons.length === 1)
+      val limOnWrite = intercept[Exception] {
+        spark.sql("CALL pcat.execute_statement(statement => " +
+          "'DELETE FROM pt WHERE hk = ''b'' AND rk = 1', limit => 1)")
+          .collect() }
+      assert(limOnWrite.getMessage.contains("applies to SELECT"),
+        limOnWrite.getMessage)
       // INSERT round-trips; duplicate key reports the service error
       assert(run("INSERT INTO pt VALUE {'hk': 'c', 'rk': 9, 's': 'new', 'v': 99}")
         .map(r => (r.getString(0), r.getBoolean(2))) === Seq(("INSERT", true)))
