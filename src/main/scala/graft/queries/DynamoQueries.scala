@@ -528,6 +528,36 @@ object DynamoQueries {
     root
   }
 
+  /** Seed the INTEGER-hash-key fixture: `events_byday` buckets events
+    * by epoch day (hash `epoch_day` — a LONG, the common time-series
+    * partition shape), range `event_id`. Exercises the integral
+    * admission of the filterless sidecar-grouped answer end to end
+    * (§2A 71): the `n:` key encoding decodes invertibly to the Spark
+    * LongType group value, so `GROUP BY epoch_day` folds wholly from
+    * page statistics.
+    */
+  private def seededEventsByDayRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "events_byday", "_seeded")
+      if (!Files.exists(marker)) {
+        Fixtures.events(s, sfDir)
+          .select(
+            floor(unix_timestamp(col("ts")) / 86400).cast("long").as("epoch_day"),
+            col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+          .repartition(16)
+          .write.format("dynamo")
+          .option("path", root).option("tableName", "events_byday")
+          .option("hashKey", "epoch_day").option("rangeKey", "event_id")
+          .mode("append").save()
+        DynamoMaintenance.compact(s, root, "events_byday")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   /** Seed the LOCAL-secondary-index fixture: `events_lsi` keeps the
     * base composite key (hash `event_type`, range `event_id`) and an
     * LSI `byval` re-sorts each partition by `value_cents` with a
@@ -895,6 +925,22 @@ object DynamoQueries {
           min("event_id").as("min_id"), max("event_id").as("max_id"),
           sum("value_cents").as("cents"))
         .orderBy("event_type")
+    }),
+    // INTEGER-hash-key filterless grouped answering (round 13, §2A
+    // 71): the time-series shape — GROUP BY an epoch-day LONG hash
+    // key. The canonical `n:` encoding decodes invertibly into the
+    // LongType group column (every stored day is whole and in range),
+    // so the whole grouped aggregate folds from page sidecars with
+    // zero item reads; a fractional or out-of-range stored key would
+    // decline to the ordinary grouped scan.
+    "q_dyn_group_scan_ts" -> ((s, dir) => {
+      val root = seededEventsByDayRoot(s, dir)
+      s.read.dynamo(root, "events_byday")
+        .groupBy("epoch_day")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("value_cents").as("cents"))
+        .orderBy("epoch_day")
     }),
     // GROUPED page-statistic answering (round 12): GROUP BY the hash
     // key under a hash-IN pin — each pinned value is one group and one
@@ -1512,6 +1558,16 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // integer-hash-key filterless grouped form: the sidecar-enumerated
+    // LONG groups reduce to the plain day-bucketed aggregate
+    "q_dyn_group_scan_ts" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+        |         AS epoch_day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin,
     // grouped form: the per-type page-stat folds reduce to the same
     // grouped aggregate over the raw events fixture
     "q_dyn_group_agg" ->
