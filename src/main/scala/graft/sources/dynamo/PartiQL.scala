@@ -238,7 +238,7 @@ object PartiQL {
     }
     // one (table, ops, check) slice per statement, in statement order
     final case class Slice(table: String, ops: Seq[store.Op],
-        check: Option[TxnCheck], op: String)
+        check: Option[TxnCheck], op: String, key: Item)
     val slices = stmts.map {
       case _: Select => throw new IllegalArgumentException(
         "PartiQL: SELECT cannot mix with writes in execute_transaction " +
@@ -252,7 +252,7 @@ object PartiQL {
           s"PartiQL INSERT: item must carry key attribute '$k'"))
         val key: Item = keyAttrs.map(k => k -> item(k)).toMap
         Slice(t, Seq(store.PutIfAbsent(item)),
-          Some(TxnCheck.Absent(key)), "INSERT")
+          Some(TxnCheck.Absent(key)), "INSERT", key)
       case Update(t, sets, removes, where, returning) =>
         require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
           "in execute_transaction (the service's TransactWriteItems " +
@@ -268,7 +268,7 @@ object PartiQL {
         if (sets.nonEmpty) ops += store.UpdateIfExists(key ++ sets.toMap)
         if (removes.nonEmpty) ops += store.RemoveAttrs(
           key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
-        Slice(t, ops.result(), Some(TxnCheck.Exists(key)), "UPDATE")
+        Slice(t, ops.result(), Some(TxnCheck.Exists(key)), "UPDATE", key)
       case Delete(t, where, returning) =>
         require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
           "in execute_transaction (the service's TransactWriteItems " +
@@ -276,9 +276,22 @@ object PartiQL {
         require(store.exists(t), s"PartiQL: table '$t' does not exist")
         store.assertNotRestorePending(t)
         val meta = store.describe(t)
-        Slice(t, Seq(store.Delete(keyEqWhere(meta, where, "DELETE"))),
-          None, "DELETE")
+        val key = keyEqWhere(meta, where, "DELETE")
+        Slice(t, Seq(store.Delete(key)), None, "DELETE", key)
     }
+    // the service's rule: one transaction cannot include multiple
+    // operations on one item (ValidationException) — without this,
+    // e.g. INSERT k + UPDATE k would cancel via the pre-apply Exists
+    // check with a misleading error. (Binary key attrs compare by
+    // reference here and may slip through — the conservative
+    // direction: such a pair still just cancels via its checks.)
+    val dup = slices.groupBy(s => (s.table, s.key)).collectFirst {
+      case ((t, k), ss) if ss.size > 1 =>
+        s"table '$t' key ${ItemJson.write(k)} (${ss.map(_.op).mkString(" + ")})"
+    }
+    require(dup.isEmpty,
+      "PartiQL: a transaction cannot include multiple operations on " +
+        s"one item (the service's ValidationException): ${dup.getOrElse("")}")
     // transactWriteMulti wants one TableTxn per table; merging keeps
     // each table's ops in statement order (replay applies in order)
     val txns = slices.map(_.table).distinct.map { t =>

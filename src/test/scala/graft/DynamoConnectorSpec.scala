@@ -4004,6 +4004,14 @@ class DynamoConnectorSpec extends AnyFunSuite {
         call("DELETE FROM ta WHERE id = 'a2' RETURNING ALL OLD *") }
       assert(retErr.getMessage.contains("RETURNING is not supported"),
         retErr.getMessage)
+      // one item, one operation (the service's ValidationException):
+      // INSERT + UPDATE of the same key cannot share a transaction
+      val sameItem = intercept[Exception] {
+        call("INSERT INTO ta VALUE {'id': 'a9', 'v': 1}; " +
+          "UPDATE ta SET v = 2 WHERE id = 'a9'") }
+      assert(sameItem.getMessage.contains("multiple operations on one item"),
+        sameItem.getMessage)
+      assert(v("ta", "a9").isEmpty, "rejected transaction staged nothing")
     } finally {
       spark.conf.unset("spark.sql.catalog.ptxcat.path")
       prev.fold(spark.conf.unset("spark.sql.catalog.ptxcat"))(
