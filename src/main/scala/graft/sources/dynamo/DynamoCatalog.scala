@@ -488,7 +488,7 @@ private object DynamoProcedures {
       "backup_table", "restore_table", "replication_lag",
       "set_deletion_protection", "execute_statement",
       "execute_transaction", "batch_execute_statement",
-      "contributor_insights", "update_throughput")
+      "contributor_insights", "update_throughput", "describe_table")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     // PartiQL ExecuteStatement (the service's statement-based data
@@ -764,6 +764,29 @@ private object DynamoProcedures {
       val (t, n) = (in.getUTF8String(0).toString, in.getInt(1))
       DynamoMaintenance.reshard(org.apache.spark.sql.SparkSession.active, root, t, n)
       summary("table" -> t, "shards" -> n)
+    })
+    // DescribeTable (the service's most-called API): table metadata
+    // plus ItemCount/TableSizeBytes. Like the service's (updated
+    // roughly six-hourly there), the count here is sidecar-derived —
+    // exact as of the shard stats' last rewrite, never a scan; -1
+    // when some shard's stats are unreadable (unknowable ≠ 0).
+    case "describe_table" => Some(proc(name,
+      "DescribeTable analogue: shards, throughput, placement layout, " +
+        "deletion protection, index names, item count and byte size " +
+        "from sidecars (count -1 when some shard's stats are " +
+        "unreadable); zero item reads",
+      Array(ProcedureParameter.in("table", StringType).build())) { in =>
+      val t = in.getUTF8String(0).toString
+      val st = new LocalKVStore(root)
+      val meta = st.describe(t)
+      val perShard = st.tableZoneStats(t, meta.shards).map(_.flatMap(_.items))
+      val itemCount = if (perShard.forall(_.isDefined)) perShard.flatten.sum
+        else -1L
+      summary("table" -> t, "shards" -> meta.shards,
+        "throughput" -> meta.throughput, "layout" -> meta.layout,
+        "deletion_protection" -> meta.deletionProtection,
+        "item_count" -> itemCount, "size_bytes" -> st.sizeBytes(t),
+        "indexes" -> meta.indexes.keys.toSeq.sorted.mkString(","))
     })
     // UpdateTable's ProvisionedThroughput move: the number feeds the
     // connector's A3/A16 capacity math (scan rate = throughput *

@@ -4226,6 +4226,14 @@ class DynamoConnectorSpec extends AnyFunSuite {
       // rate limiters read
       spark.sql("CALL icat.update_throughput('hot', 5000)")
       assert(store.describe("hot").throughput === 5000L)
+      // DescribeTable: metadata + sidecar-derived ItemCount/size,
+      // zero item reads (2400 base items; the 50 journal puts are
+      // counted too — journal zstats ride the union)
+      val desc = spark.sql("CALL icat.describe_table('hot')").collect().head
+      assert(desc.getString(0) === "hot" && desc.getInt(1) === 2)
+      assert(desc.getLong(2) === 5000L, "throughput must reflect the update")
+      assert(desc.getLong(5) === 2450L, s"item_count: ${desc.getLong(5)}")
+      assert(desc.getLong(6) > 0, "size_bytes from file sizes")
       val neg = intercept[Exception] {
         spark.sql("CALL icat.update_throughput('hot', -1)") }
       assert(neg.getMessage.contains("positive"), neg.getMessage)
