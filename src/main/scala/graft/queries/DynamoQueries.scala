@@ -1167,6 +1167,56 @@ object DynamoQueries {
         "ORDER BY c_custkey')")
     }),
 
+    // PartiQL boolean WHERE structure (round-14 dialect extension):
+    // OR / NOT / parentheses translate onto the same DataFrame read,
+    // through the LAZY composable surface (selectDataFrame) — the
+    // analytics-path form with no page bound, fully distributed, so
+    // this key stays sf-proof while the CALL form pages at ~1 MB.
+    "q_dyn_partiql_or" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      graft.sources.dynamo.PartiQL.selectDataFrame(s, root,
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
+          "WHERE c_mktsegment = 'BUILDING' OR " +
+          "(c_acctbal < 500 AND NOT (c_mktsegment = 'MACHINERY'))")
+        .orderBy("c_custkey")
+    }),
+
+    // ExecuteStatement pagination (the service's NextToken): drive the
+    // token loop at a tiny page bound so the key proves, under the
+    // DuckDB oracle, that bounded pages CONCATENATE to the one-shot
+    // read — resume is an ordered read with a PUSHED sort-key start
+    // window, so page N+1 never rescans pages 1..N's key range.
+    "q_dyn_partiql_page" -> ((s, dir) => {
+      val root = seededOrdersRoot(s, dir)
+      import graft.sources.dynamo.PartiQL
+      val stmt = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 37"
+      val out = Seq.newBuilder[org.apache.spark.sql.Row]
+      var token: Option[String] = None
+      var done = false
+      var pages = 0
+      while (!done) {
+        val (sch, rows) = PartiQL.execute(root, stmt, Nil, None, false,
+          token, pageBytes = 64)
+        pages += 1
+        require(pages < 1000, "paging must terminate")
+        val okI = sch.fieldIndex("o_orderkey")
+        val tpI = sch.fieldIndex("o_totalprice")
+        rows.foreach(r => out +=
+          org.apache.spark.sql.Row(r.getLong(okI), r.getDouble(tpI)))
+        sch.fieldNames.indexOf("next_token") match {
+          case i if i >= 0 => token = Some(rows.head.getUTF8String(i).toString)
+          case _ => done = true
+        }
+      }
+      require(pages > 1, s"the tiny page bound must force >1 page, got $pages")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(out.result().asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }),
+
     // DynamoDB `Query` shape (KeyConditionExpression analogue): hash
     // key pinned by equality + a sort-key range condition. Shard
     // pruning plans ONE segment (the owning shard), and inside it the
@@ -1634,6 +1684,14 @@ object DynamoQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_acctbal BETWEEN 1000 AND 5000
         |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_partiql_or" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' OR
+        |  (c_acctbal < 500 AND NOT (c_mktsegment = 'MACHINERY'))
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_partiql_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey = 37 ORDER BY o_orderkey""".stripMargin,
     "q_dyn_query_topn" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey = 37 AND o_orderkey >= 100

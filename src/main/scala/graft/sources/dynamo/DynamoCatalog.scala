@@ -504,18 +504,23 @@ private object DynamoProcedures {
         "*; SELECT runs the connector's own read plan (pushdown " +
         "intact); writes ride the store's conditional journal ops; " +
         "parameters = DYNAMODB_JSON value list binding ? placeholders; " +
-        "limit/consistent_read are the API's request parameters " +
-        "(SELECT only); unsupported syntax fails loudly",
+        "limit/consistent_read/next_token are the API's request " +
+        "parameters (SELECT only); a SELECT page is bounded at ~1 MB " +
+        "and a truncated page carries its continuation token in an " +
+        "extra next_token column; unsupported syntax fails loudly",
       Array(ProcedureParameter.in("statement", StringType).build(),
         ProcedureParameter.in("parameters", StringType).defaultValue("''").build(),
         ProcedureParameter.in("limit", IntegerType).defaultValue("-1").build(),
-        ProcedureParameter.in("consistent_read", BooleanType).defaultValue("false").build())) { in =>
+        ProcedureParameter.in("consistent_read", BooleanType).defaultValue("false").build(),
+        ProcedureParameter.in("next_token", StringType).defaultValue("''").build())) { in =>
       val statement = in.getUTF8String(0).toString
       val params = Option(in.getUTF8String(1)).map(_.toString.trim)
         .filter(_.nonEmpty).map(ItemJson.parseAttrVector)
         .getOrElse(Vector.empty)
       val limit = Some(in.getInt(2)).filter(_ >= 0)
-      PartiQL.execute(root, statement, params, limit, in.getBoolean(3))
+      val token = Option(in.getUTF8String(4)).map(_.toString.trim)
+        .filter(_.nonEmpty)
+      PartiQL.execute(root, statement, params, limit, in.getBoolean(3), token)
     })
     // PartiQL ExecuteTransaction: `;`-separated INSERT/UPDATE/DELETE
     // statements, all-or-nothing through the store's cross-table
@@ -606,8 +611,12 @@ private object DynamoProcedures {
             val enc = LocalKVStore.encKeyAttr(hv)
             val a = byKey.getOrElseUpdate(enc, Acc())
             a.writes += 1
-            if (a.shard < 0) a.shard = store.shardOf(meta,
-              Map(meta.hashKey -> hv))
+            // layout-1 tables with a range key place by FULL key, which
+            // a hash-only journal attribution can't compute — leave the
+            // shard unknown (-1) rather than throw on keyOf's missing
+            // range key (layout>=2 places by hash alone, always safe)
+            if (a.shard < 0 && (meta.layout >= 2 || meta.rangeKey.isEmpty))
+              a.shard = store.shardOf(meta, Map(meta.hashKey -> hv))
           }
         }
       }
@@ -802,7 +811,13 @@ private object DynamoProcedures {
       val (t, n) = (in.getUTF8String(0).toString, in.getLong(1))
       require(n > 0, s"throughput must be positive, got $n")
       val st = new LocalKVStore(root)
-      st.createTable(t, st.describe(t).copy(throughput = n))
+      // refuse quarantined destinations, and take the table's txn/meta
+      // lock so the describe→copy→createTable read-modify-write can't
+      // silently drop a concurrent createIndex/reshard meta update
+      st.assertNotRestorePending(t)
+      st.underTxnLock(t) {
+        st.createTable(t, st.describe(t).copy(throughput = n))
+      }
       summary("table" -> t, "throughput" -> n)
     })
     case "set_deletion_protection" => Some(proc(name,
@@ -813,7 +828,10 @@ private object DynamoProcedures {
         ProcedureParameter.in("enabled", BooleanType).build())) { in =>
       val (t, on) = (in.getUTF8String(0).toString, in.getBoolean(1))
       val st = new LocalKVStore(root)
-      st.createTable(t, st.describe(t).copy(deletionProtection = on))
+      st.assertNotRestorePending(t) // same RMW discipline as update_throughput
+      st.underTxnLock(t) {
+        st.createTable(t, st.describe(t).copy(deletionProtection = on))
+      }
       summary("table" -> t, "deletion_protection" -> on)
     })
     case "reap_expired" => Some(proc(name,

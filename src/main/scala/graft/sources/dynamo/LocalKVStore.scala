@@ -1521,6 +1521,35 @@ final class LocalKVStore(root: String) {
     * when absent, like UpdateItem.
     */
   final case class RemoveAttrs(item: Item) extends Op
+  /** Conditional REMOVE (DynamoDB `attribute_exists(pk)` condition on
+    * an UpdateItem REMOVE): drops the Null-marked attrs only if the
+    * key HAS a visible item at its point in replay order — never
+    * upserts a key-only phantom. This is the op PartiQL UPDATE must
+    * use: its pre-append existence check is advisory, and a DELETE
+    * publishing between that check and the append must leave the key
+    * ABSENT (an unconditional [[RemoveAttrs]] would resurrect it).
+    */
+  final case class RemoveAttrsIfExists(item: Item) extends Op
+  /** DynamoDB UpdateItem SET/REMOVE on nested document paths
+    * (`SET a.b = 5`, `REMOVE l[2]`), conditional on the item existing
+    * (never upserts — PartiQL UPDATE is the only emitter and its
+    * semantics require a live item). `edits` apply in order; each
+    * navigates M fields / L indices from a top-level attr and either
+    * SETs the leaf (`value` = Some) or REMOVEs it (None). An edit
+    * whose navigation fails on the value actually present at replay
+    * is a silent no-op — DynamoDB validates document paths against
+    * the CURRENT item the same way, and a racing writer that replaced
+    * the structure must not fault the whole replay. SET on a list
+    * index past the end appends (the service's documented behavior);
+    * REMOVE past the end is a no-op. Wire form: `item` = key attrs +
+    * the edits encoded under the reserved `"__edits"` attr (only
+    * PATH-tagged records carry it, so no user attr can collide).
+    */
+  final case class PathEdits(key: Item, edits: Seq[LocalKVStore.PathEdit])
+      extends Op {
+    def item: Item =
+      key + (LocalKVStore.EditsAttr -> LocalKVStore.encodeEdits(edits))
+  }
 
   /** Incremental WAL writer for one (seq, writerId) pair. WAL files are
     * **sharded by the same key-hash as the base shards** — one file per
@@ -1568,7 +1597,18 @@ final class LocalKVStore(root: String) {
       w.write("\n")
       op match {
         case _: Delete => () // removing an item never ADDS values
-        case _: RemoveAttrs => () // removing attrs never adds values either
+        case _: RemoveAttrs | _: RemoveAttrsIfExists =>
+          () // removing attrs never adds values either
+        case pe: PathEdits =>
+          // key attrs widen normally; each edited top-level attr is a
+          // DOCUMENT (M/L) — record an opaque presence (`other`) so
+          // the union makes no min/max/NDV claims about the merged
+          // value (edit leaves only ever live INSIDE such a document)
+          stats(shard) = stats.getOrElse(shard, ShardStats.empty)
+            .widen(pe.key ++ pe.edits.collect {
+              case LocalKVStore.PathEdit(Left(t) +: rest, _) if rest.nonEmpty =>
+                t -> (AttrVal.M(Map.empty): AttrVal)
+            }.toMap)
         case AddTo(it, adds) => // increments OPEN the attrs' ranges
           stats(shard) = stats.getOrElse(shard, ShardStats.empty).widenAdd(it, adds)
         case _ =>
@@ -2073,7 +2113,12 @@ final class LocalKVStore(root: String) {
           "op" -> AttrVal.S(tagOf(op)), "item" -> AttrVal.M(op.item))))
         w.write("\n")
         op match {
-          case _: Delete | _: RemoveAttrs => ()
+          case _: Delete | _: RemoveAttrs | _: RemoveAttrsIfExists => ()
+          case pe: PathEdits => stats = stats.widen(
+            pe.key ++ pe.edits.collect {
+              case LocalKVStore.PathEdit(Left(t) +: rest, _) if rest.nonEmpty =>
+                t -> (AttrVal.M(Map.empty): AttrVal)
+            }.toMap)
           case AddTo(it, adds) => stats = stats.widenAdd(it, adds)
           case _ => stats = stats.widen(op.item)
         }
@@ -2141,6 +2186,8 @@ final class LocalKVStore(root: String) {
     case _: UpdateIfExists => "UPDIF"
     case _: AddTo => "ADD"
     case _: RemoveAttrs => "REMOVE"
+    case _: RemoveAttrsIfExists => "REMIF"
+    case _: PathEdits => "PATH"
   }
 
   /** WAL record → Op. ADD targets are the non-key N-valued attrs
@@ -2158,6 +2205,9 @@ final class LocalKVStore(root: String) {
       AddTo(item, item.collect {
         case (k, AttrVal.N(v)) if !keys(k) => k -> v })
     case "REMOVE" => RemoveAttrs(item)
+    case "REMIF" => RemoveAttrsIfExists(item)
+    case "PATH" => PathEdits(item - LocalKVStore.EditsAttr,
+      LocalKVStore.decodeEdits(item(LocalKVStore.EditsAttr)))
   }
 
   /** Shard a journal file belongs to; [[LocalKVStore.TxnShard]] (-1)
@@ -2506,6 +2556,12 @@ final class LocalKVStore(root: String) {
   final case class PSet(v: AttrVal) extends Pending
   final case class PAdd(v: BigDecimal) extends Pending
   case object PRemove extends Pending
+  /** Pending nested-document edits over the attr's unknown base value
+    * ([[PathEdits]] folded into a `Right` suffix): applied to the
+    * base's value at scan time, in order; the attr stays absent if
+    * the base lacks it (the op never upserts).
+    */
+  final case class PPath(edits: Seq[LocalKVStore.PathEdit]) extends Pending
 
   /** Resolve a pending map over a CONCRETE base item. */
   private[dynamo] def resolvePending(base: Item, m: Map[String, Pending]): Item =
@@ -2516,6 +2572,11 @@ final class LocalKVStore(root: String) {
         case _ => AttrVal.N(v) // absent or non-number: ADD starts from 0
       }))
       case (acc, (k, PRemove))  => acc - k
+      case (acc, (k, PPath(edits))) => acc.get(k) match {
+        case Some(v) => acc + (k -> edits.foldLeft(v)((vv, e) =>
+          LocalKVStore.editValue(vv, e.path.tail, e.value).getOrElse(vv)))
+        case None => acc // base lacks the attr: path edits never upsert
+      }
     }
 
   private def pset(it: Item): Map[String, Pending] =
@@ -2585,6 +2646,42 @@ final class LocalKVStore(root: String) {
             case Right(m)      => Right(m ++ rm.map(k => k -> (PRemove: Pending)))
           },
           st.absent.map(_ -- rm).orElse(Some(keysOnly(it))))
+      case RemoveAttrsIfExists(it) =>
+        val rm = removeTargets(it)
+        KeyState(
+          st.present match {
+            case Left(Some(x)) => Left(Some(x -- rm))
+            case Left(None)    => Left(None) // deleted = absent → no-op (no phantom upsert)
+            case Right(m)      => Right(m ++ rm.map(k => k -> (PRemove: Pending)))
+          },
+          st.absent.map(_ -- rm)) // absent stays absent
+      case PathEdits(_, edits) =>
+        KeyState(
+          st.present match {
+            case Left(Some(x)) => Left(Some(LocalKVStore.applyPathEdits(x, edits)))
+            case Left(None)    => Left(None) // deleted = absent → no-op
+            case Right(m) =>
+              // fold per top-level attr into the pending normal form
+              val byTop = edits.collect {
+                case e @ LocalKVStore.PathEdit(Left(top) +: rest, _)
+                  if rest.nonEmpty => top -> e
+              }
+              Right(byTop.foldLeft(m) { case (acc, (top, e)) =>
+                acc + (top -> (acc.get(top) match {
+                  // attr value fully known → edit it concretely
+                  case Some(PSet(v)) => PSet(
+                    LocalKVStore.editValue(v, e.path.tail, e.value).getOrElse(v))
+                  case Some(PPath(prior)) => PPath(prior :+ e)
+                  // removed → absent → path doesn't exist → no-op
+                  case Some(PRemove) => PRemove
+                  // pending ADD resolves to a NUMBER; navigating into a
+                  // number always fails → the edit is a no-op
+                  case Some(p: PAdd) => p
+                  case None => PPath(Seq(e))
+                }): (String, Pending))
+              })
+          },
+          st.absent.map(LocalKVStore.applyPathEdits(_, edits)))
   }
 
   /** A fresh fold state: a key first touched by UPDATE merges with
@@ -3788,6 +3885,90 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** One nested-document edit ([[LocalKVStore.PathEdits]]): `path` =
+    * the top-level attr (Left) followed by M-field (Left) / L-index
+    * (Right) segments; `value` Some = SET the leaf, None = REMOVE it.
+    */
+  final case class PathEdit(path: Seq[Either[String, Int]],
+      value: Option[AttrVal])
+
+  /** Reserved wire attr carrying a PATH record's edit list. Only
+    * PATH-tagged journal records have it, so no user attr collides.
+    */
+  private[dynamo] val EditsAttr = "__edits"
+
+  private[dynamo] def encodeEdits(edits: Seq[PathEdit]): AttrVal =
+    AttrVal.L(edits.toVector.map(e => AttrVal.M(
+      Map("p" -> (AttrVal.L(e.path.toVector.map {
+        case Left(f)  => AttrVal.S(f): AttrVal
+        case Right(i) => AttrVal.N(i)
+      }): AttrVal)) ++ e.value.map(v => "v" -> v)): AttrVal))
+
+  private[dynamo] def decodeEdits(a: AttrVal): Seq[PathEdit] = a match {
+    case AttrVal.L(es) => es.map {
+      case AttrVal.M(m) => PathEdit(
+        m("p") match {
+          case AttrVal.L(segs) => segs.map {
+            case AttrVal.S(f) => Left(f)
+            case AttrVal.N(i) => Right(i.toInt)
+            case other => throw new IllegalArgumentException(
+              s"corrupt PATH record segment: $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"corrupt PATH record path: $other")
+        },
+        m.get("v"))
+      case other => throw new IllegalArgumentException(
+        s"corrupt PATH record edit: $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"corrupt PATH record edits: $other")
+  }
+
+  /** Apply one edit to a concrete value (`segs` excludes the top-level
+    * attr). Some(newValue) on success; None = navigation failed →
+    * caller keeps the value untouched (the no-op contract).
+    */
+  private[dynamo] def editValue(v: AttrVal, segs: Seq[Either[String, Int]],
+      set: Option[AttrVal]): Option[AttrVal] = segs match {
+    case Seq() => None // top-level SET/REMOVE belongs to the plain ops
+    case Seq(last) => (v, last) match {
+      case (AttrVal.M(m), Left(f)) =>
+        set match {
+          case Some(nv) => Some(AttrVal.M(m + (f -> nv)))
+          case None => if (m.contains(f)) Some(AttrVal.M(m - f)) else None
+        }
+      case (AttrVal.L(l), Right(i)) =>
+        if (i < 0) None
+        else if (i >= l.size)
+          set.map(nv => AttrVal.L(l :+ nv)) // SET past the end appends
+        else Some(AttrVal.L(set.fold(l.patch(i, Nil, 1))(nv => l.updated(i, nv))))
+      case _ => None
+    }
+    case head +: rest => (v, head) match {
+      case (AttrVal.M(m), Left(f)) =>
+        m.get(f).flatMap(editValue(_, rest, set))
+          .map(nv => AttrVal.M(m + (f -> nv)))
+      case (AttrVal.L(l), Right(i)) if i >= 0 && i < l.size =>
+        editValue(l(i), rest, set).map(nv => AttrVal.L(l.updated(i, nv)))
+      case _ => None
+    }
+  }
+
+  /** Apply a PATH op's edits to a concrete ITEM, in order. */
+  private[dynamo] def applyPathEdits(x: Item, edits: Seq[PathEdit]): Item =
+    edits.foldLeft(x) { (acc, e) =>
+      e.path match {
+        case Left(top) +: rest if rest.nonEmpty =>
+          acc.get(top) match {
+            case Some(v) => editValue(v, rest, e.value)
+              .map(nv => acc + (top -> nv)).getOrElse(acc)
+            case None => acc // attr absent → document path doesn't exist
+          }
+        case _ => acc
+      }
+    }
 
   /** Cross-table transaction id embedded in a PENDING journal file
     * name — `wal-<pubSeq>-<writerId>.x<txnId>-sall.jsonl`, where

@@ -3,7 +3,7 @@ package graft.sources.dynamo
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, try_element_at}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,6 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * not an engine: the statement's DynamoDB PartiQL subset
   * (single-table SELECT / INSERT / UPDATE / DELETE, key conditions,
   * `begins_with`/`contains`/`IN`/`BETWEEN`/`IS [NOT] MISSING`,
+  * full boolean WHERE structure (`AND`/`OR`/`NOT`, parentheses),
+  * nested document paths (`a.b`, `l[2]`, mixed) in WHERE, projection,
+  * ORDER BY and UPDATE SET/REMOVE,
   * `ORDER BY`, `?` parameters) maps onto the connector's OWN reads
   * and journal write ops, so a SELECT runs exactly the plan the
   * equivalent DataFrame read would (pushdown, key windows, index
@@ -31,34 +34,93 @@ import org.apache.spark.unsafe.types.UTF8String
   * the driver — ExecuteStatement is the service's OLTP surface
   * (bounded pages), not the analytics path; unbounded scans belong on
   * the DataFrame read.
+  *
+  * Known divergence — `IS MISSING` vs stored `NULL`: the service
+  * distinguishes an ABSENT attribute (MISSING) from one present with
+  * the NULL type. The connector's relational decode deliberately
+  * conflates the two (`Codec.scala` maps both to SQL NULL — a
+  * DataFrame column has no third state), so `IS [NOT] MISSING` here
+  * translates to `isNull`/`isNotNull` and items carrying an explicit
+  * NULL-typed attribute match `IS MISSING` where the service would
+  * not. Intentional and bounded: the same conflation governs every
+  * read path (scans, filters, oracles), so PartiQL agrees with the
+  * equivalent DataFrame read — the invariant this translator pins.
   */
 object PartiQL {
   import ItemJson.Item
 
   // ---- AST ----
 
+  /** Attribute reference: a top-level name plus optional nested
+    * document segments — M fields (`a.b`) and L indices (`l[2]`),
+    * freely mixed (`a.b[3].c`). `simple` = a plain top-level attr,
+    * the only shape key conditions and write targets accept where
+    * the service requires one.
+    */
+  final case class DocPath(head: String,
+      segs: Seq[Either[String, Int]] = Nil) {
+    def simple: Boolean = segs.isEmpty
+    def render: String = head + segs.map {
+      case Left(f)  => "." + f
+      case Right(i) => s"[$i]"
+    }.mkString
+    /** The store-op path shape (top attr + segments). */
+    def full: Seq[Either[String, Int]] = Left(head) +: segs
+  }
+  object DocPath {
+    /** Source-compat: a bare string is a simple top-level path. */
+    import scala.language.implicitConversions
+    implicit def fromString(a: String): DocPath = DocPath(a)
+  }
+
   sealed trait Cond
-  final case class Cmp(attr: String, op: String, v: AttrVal) extends Cond
-  final case class Between(attr: String, lo: AttrVal, hi: AttrVal) extends Cond
-  final case class InList(attr: String, vs: Seq[AttrVal]) extends Cond
+  final case class Cmp(attr: DocPath, op: String, v: AttrVal) extends Cond
+  final case class Between(attr: DocPath, lo: AttrVal, hi: AttrVal) extends Cond
+  final case class InList(attr: DocPath, vs: Seq[AttrVal]) extends Cond
   /** `begins_with(attr, v)` / `contains(attr, v)`. */
-  final case class FnCond(fn: String, attr: String, v: AttrVal) extends Cond
-  final case class Missing(attr: String, negated: Boolean) extends Cond
+  final case class FnCond(fn: String, attr: DocPath, v: AttrVal) extends Cond
+  final case class Missing(attr: DocPath, negated: Boolean) extends Cond
+  /** Boolean structure (the service's PartiQL accepts full boolean
+    * WHERE expressions): parsed with standard precedence
+    * (NOT > AND > OR, parentheses group); top-level ANDs are
+    * flattened back into the conjunct list, so pure-conjunct
+    * statements keep their exact previous shape (and the write
+    * paths' key-equality rule keeps rejecting anything else loudly).
+    */
+  final case class OrCond(l: Cond, r: Cond) extends Cond
+  final case class AndCond(l: Cond, r: Cond) extends Cond
+  final case class NotCond(c: Cond) extends Cond
 
   sealed trait Stmt
   final case class Select(table: String, index: Option[String],
-      projection: Option[Seq[String]], where: Seq[Cond],
-      orderBy: Seq[(String, Boolean)]) extends Stmt
+      projection: Option[Seq[DocPath]], where: Seq[Cond],
+      orderBy: Seq[(DocPath, Boolean)]) extends Stmt
   final case class Insert(table: String, item: Item) extends Stmt
   /** `returning`: `Some("OLD")`/`Some("NEW")` for `RETURNING ALL
     * OLD|NEW *` (the service's UpdateItem ReturnValues surface in
     * PartiQL spelling); DELETE supports OLD only, INSERT none.
     */
-  final case class Update(table: String, sets: Seq[(String, AttrVal)],
-      removes: Seq[String], where: Seq[Cond],
+  final case class Update(table: String, sets: Seq[(DocPath, AttrVal)],
+      removes: Seq[DocPath], where: Seq[Cond],
       returning: Option[String] = None) extends Stmt
   final case class Delete(table: String, where: Seq[Cond],
       returning: Option[String] = None) extends Stmt
+
+  /** Navigate a document path over a concrete item (None = the path
+    * doesn't exist — MISSING on the service).
+    */
+  private def lookupPath(it: Item, p: DocPath): Option[AttrVal] =
+    p.segs.foldLeft(it.get(p.head)) {
+      case (Some(AttrVal.M(m)), Left(f))  => m.get(f)
+      case (Some(AttrVal.L(l)), Right(i)) => l.lift(i)
+      case _ => None
+    }
+
+  /** Top-level AND conjuncts of a parsed WHERE tree. */
+  private def flattenAnd(c: Cond): Seq[Cond] = c match {
+    case AndCond(l, r) => flattenAnd(l) ++ flattenAnd(r)
+    case other => Seq(other)
+  }
 
   // ---- entry point ----
 
@@ -77,19 +139,30 @@ object PartiQL {
     * service's validation. ConsistentRead on a GSI read keeps the
     * connector's own GSI rejection.
     */
+  /** Service page bound: ExecuteStatement returns at most ~1 MB of
+    * items per call, with a NextToken to resume.
+    */
+  val PageBytes: Int = 1 << 20
+
   def execute(root: String, statement: String, params: Seq[AttrVal],
-      limit: Option[Int] = None, consistentRead: Boolean = false)
+      limit: Option[Int] = None, consistentRead: Boolean = false,
+      nextToken: Option[String] = None, pageBytes: Int = PageBytes)
       : (StructType, Array[InternalRow]) =
-    executeOne(root, parse(statement, params), limit, consistentRead)
+    executeOne(root, parse(statement, params), limit, consistentRead,
+      nextToken, pageBytes)
 
   private def executeOne(root: String, stmt: Stmt,
-      limit: Option[Int] = None, consistentRead: Boolean = false)
+      limit: Option[Int] = None, consistentRead: Boolean = false,
+      nextToken: Option[String] = None, pageBytes: Int = PageBytes)
       : (StructType, Array[InternalRow]) = {
     if (!stmt.isInstanceOf[Select]) {
       require(limit.isEmpty,
         "PartiQL: the Limit parameter applies to SELECT statements only")
       require(!consistentRead,
         "PartiQL: the ConsistentRead parameter applies to SELECT " +
+          "statements only")
+      require(nextToken.isEmpty,
+        "PartiQL: the NextToken parameter applies to SELECT " +
           "statements only")
     }
     val store = new LocalKVStore(root)
@@ -102,7 +175,8 @@ object PartiQL {
     require(store.exists(table), s"PartiQL: table '$table' does not exist")
     store.assertNotRestorePending(table)
     stmt match {
-      case sel: Select => runSelect(root, sel, limit, consistentRead)
+      case sel: Select =>
+        runSelect(root, store, sel, limit, consistentRead, nextToken, pageBytes)
       case Insert(t, item) =>
         val meta = store.describe(t)
         val keyAttrs = Seq(meta.hashKey) ++ meta.rangeKey
@@ -123,29 +197,27 @@ object PartiQL {
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "UPDATE")
         val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
-        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a),
-          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '$a' " +
+        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a.head),
+          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}' " +
             "(the service's ValidationException — write a new item instead)"))
         val cur = store.transactGet(t, Seq(key)).head.getOrElse(
           throw new IllegalArgumentException(
             s"PartiQL UPDATE: no item with the specified key in '$t' " +
               "(the service's ConditionalCheckFailedException analogue)"))
-        // one journal append = one atomic publish; UpdateIfExists
-        // merges the SETs only into a live item, RemoveAttrs drops the
-        // REMOVEd attributes (replay applies them in order)
-        val ops = Seq.newBuilder[store.Op]
-        if (sets.nonEmpty) ops += store.UpdateIfExists(key ++ sets.toMap)
-        if (removes.nonEmpty)
-          ops += store.RemoveAttrs(key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
-        store.appendWal(t, System.currentTimeMillis(), writerId(), ops.result())
+        val (edits, newImgFn) = updateOps(store, key, sets, removes, Some(cur))
+        // one journal append = one atomic publish; ALL ops are
+        // conditional on the item existing AT REPLAY ORDER, so a
+        // DELETE racing the advisory existence check above can only
+        // lose the error report, never resurrect the item (an
+        // unconditional RemoveAttrs would upsert a key-only phantom)
+        store.appendWal(t, System.currentTimeMillis(), writerId(), edits)
         returning match {
           case None => opRow("UPDATE", t)
           case Some("OLD") => opRowWithItem("UPDATE", t, Some(cur))
           // NEW image derived from the same read the existence check
-          // used — the merge UpdateIfExists/RemoveAttrs replay applies
-          // (A14's millisecond race window, like the read itself)
-          case Some(_) => opRowWithItem("UPDATE", t,
-            Some((cur ++ sets.toMap) -- removes))
+          // used — the merge the conditional replay applies (A14's
+          // millisecond race window, like the read itself)
+          case Some(_) => opRowWithItem("UPDATE", t, Some(newImgFn(cur)))
         }
       case Delete(t, where, returning) =>
         val meta = store.describe(t)
@@ -225,8 +297,12 @@ object PartiQL {
       val rows = keyed.zip(got).zipWithIndex.map {
         case (((t, _), items), i) =>
           val found = items.head.map { it =>
-            val proj = sels(i).projection match {
-              case Some(cols) => it.filter { case (k, _) => cols.contains(k) }
+            val proj: Item = sels(i).projection match {
+              // document paths navigate the stored item (the service's
+              // ProjectionExpression); missing/dead paths just drop
+              case Some(cols) => cols.flatMap(p =>
+                lookupPath(it, p).map(v =>
+                  (if (p.simple) p.head else p.render) -> v)).toMap
               case None => it
             }
             UTF8String.fromString(ItemJson.write(proj))
@@ -262,13 +338,15 @@ object PartiQL {
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "UPDATE")
         val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
-        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a),
-          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '$a'"))
-        val ops = Seq.newBuilder[store.Op]
-        if (sets.nonEmpty) ops += store.UpdateIfExists(key ++ sets.toMap)
-        if (removes.nonEmpty) ops += store.RemoveAttrs(
-          key ++ removes.map(_ -> (AttrVal.Null: AttrVal)).toMap)
-        Slice(t, ops.result(), Some(TxnCheck.Exists(key)), "UPDATE", key)
+        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a.head),
+          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}'"))
+        // nested-path targets: advisory single-item read for the LOUD
+        // ValidationException on a dead path (the transaction's own
+        // Exists check still guards existence atomically at commit)
+        val curOpt = if ((sets.map(_._1) ++ removes).exists(!_.simple))
+          store.transactGet(t, Seq(key)).head else None
+        val (ops, _) = updateOps(store, key, sets, removes, curOpt)
+        Slice(t, ops, Some(TxnCheck.Exists(key)), "UPDATE", key)
       case Delete(t, where, returning) =>
         require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
           "in execute_transaction (the service's TransactWriteItems " +
@@ -352,15 +430,147 @@ object PartiQL {
     (schema, rows.toArray)
   }
 
-  private def runSelect(root: String, sel: Select,
-      limit: Option[Int], consistentRead: Boolean)
+  /** SELECT with the service's paging model: the driver-side response
+    * is bounded at `pageBytes` (~the service's 1 MB); a truncated page
+    * carries an opaque continuation token in an extra `next_token`
+    * column (same value on every row — the tabular analogue of the
+    * response's NextToken sibling field), and resuming re-runs the
+    * ordered read with a PUSHED sort-key start window (the page-index
+    * prune machinery the connector already has), so page N+1 never
+    * rescans pages 1..N's key range. Paging requires the service's
+    * own Query shape — hash key pinned by equality, a sort key, and
+    * at most a sort-key ORDER BY (its direction is the page order);
+    * a SELECT outside that shape whose result exceeds the bound fails
+    * LOUDLY pointing at the unbounded composable read
+    * ([[selectDataFrame]]) instead of silently truncating. The driver
+    * pulls result partitions INCREMENTALLY (`toRdd.toLocalIterator`),
+    * so an over-bound result never materializes whole on the driver —
+    * the round-13 ExecuteStatement scope cut this closes.
+    */
+  private def runSelect(root: String, store: LocalKVStore, sel: Select,
+      limit: Option[Int], consistentRead: Boolean,
+      nextToken: Option[String], pageBytes: Int)
       : (StructType, Array[InternalRow]) = {
-    var df = buildSelect(SparkSession.active, root, sel, consistentRead)
+    val spark = SparkSession.active
+    val meta = store.describe(sel.table)
+    val rkName = meta.rangeKey
+    val hashPinned = sel.where.exists {
+      case Cmp(a, "=", _) => a.simple && a.head == meta.hashKey
+      case _ => false
+    }
+    val pageable = hashPinned && rkName.isDefined && sel.index.isEmpty &&
+      (sel.orderBy.isEmpty ||
+        (sel.orderBy.sizeIs == 1 && sel.orderBy.head._1.simple &&
+          sel.orderBy.head._1.head == rkName.get))
+    val desc = sel.orderBy.headOption.exists(!_._2)
+    val sig = pageSig(sel)
+    // resume window from the token: a pushed sort-key bound
+    val resume: Option[AttrVal] = nextToken.map { tok =>
+      val m = try ItemJson.parse(new String(
+        java.util.Base64.getDecoder.decode(tok), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"PartiQL: malformed NextToken", e) }
+      require(m.get("sig").contains(AttrVal.S(sig)),
+        "PartiQL: NextToken was issued for a different statement")
+      require(pageable, "PartiQL: NextToken requires the paged Query shape")
+      m("rk")
+    }
+    // paging needs the sort key IN the scanned output and a total
+    // order over it — append both internally, strip before returning
+    val appendedRk = pageable &&
+      sel.projection.exists(p => !p.exists(pp => pp.simple && rkName.contains(pp.head)))
+    val innerProj =
+      if (!pageable) sel.projection
+      else sel.projection.map(p => if (appendedRk) p :+ DocPath(rkName.get) else p)
+    val innerOrder =
+      if (pageable) Seq(DocPath(rkName.get) -> !desc)
+      else sel.orderBy
+    var df = buildSelect(spark, root,
+      if (pageable) sel.copy(projection = innerProj, orderBy = innerOrder) else sel,
+      consistentRead)
+    resume.foreach { last =>
+      val c = col(rkName.get)
+      df = df.filter(if (desc) c < sparkLit(last) else c > sparkLit(last))
+    }
     limit.foreach { n =>
       require(n > 0, s"PartiQL: Limit must be positive, got $n")
       df = df.limit(n)
     }
-    (df.schema, df.queryExecution.executedPlan.executeCollect().map(_.copy()))
+    val schema = df.schema
+    val rkIdx = if (pageable) schema.fieldIndex(rkName.get) else -1
+    // copy on the EXECUTOR side: toLocalIterator buffers each
+    // partition, and buffering reused UnsafeRows without copying
+    // yields a page of identical rows
+    val it = df.queryExecution.toRdd
+      .mapPartitions(_.map(_.copy()), preservesPartitioning = true)
+      .toLocalIterator
+    val rows = Vector.newBuilder[InternalRow]
+    var bytes = 0L
+    var n = 0
+    var truncated = false
+    while (it.hasNext && !truncated) {
+      val r = it.next()
+      rows += r
+      n += 1
+      bytes += (r match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getSizeInBytes.toLong
+        case _ => 32L * schema.length
+      })
+      if (bytes >= pageBytes && it.hasNext) truncated = true
+    }
+    val collected = rows.result()
+    if (!truncated)
+      return (stripRk(schema, appendedRk, rkIdx),
+        collected.map(projectOut(schema, appendedRk, rkIdx, _, None)).toArray)
+    require(pageable,
+      s"PartiQL: the SELECT's result exceeds the ${pageBytes}-byte page " +
+        "bound and this statement shape cannot page (paging needs a " +
+        "single-hash-key key condition and a sort key, ordered by that " +
+        "sort key) — use the unbounded DataFrame read (selectDataFrame) " +
+        "for large results")
+    val lastRk = rkAttrOf(schema(rkIdx).dataType, collected.last, rkIdx)
+    val token = java.util.Base64.getEncoder.encodeToString(
+      ItemJson.write(Map("sig" -> AttrVal.S(sig), "rk" -> lastRk))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (stripRk(schema, appendedRk, rkIdx)
+       .add(StructField("next_token", StringType, nullable = true)),
+      collected.map(projectOut(schema, appendedRk, rkIdx, _, Some(token))).toArray)
+  }
+
+  /** Binds a token to the statement that issued it. */
+  private def pageSig(sel: Select): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sel.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def stripRk(schema: StructType, appended: Boolean, rkIdx: Int): StructType =
+    if (!appended) schema
+    else StructType(schema.fields.zipWithIndex.collect {
+      case (f, i) if i != rkIdx => f })
+
+  private def projectOut(schema: StructType, appended: Boolean, rkIdx: Int,
+      r: InternalRow, token: Option[String]): InternalRow = {
+    val keep = schema.fields.indices.filter(i => !appended || i != rkIdx)
+    val vals = keep.map(i => r.get(i, schema(i).dataType)).toArray[Any]
+    new GenericInternalRow(token.fold(vals)(t => vals :+ (UTF8String.fromString(t): Any)))
+  }
+
+  /** The sort-key value of a result row, as the AttrVal the resume
+    * window pushes (keys are S/N/B on the service).
+    */
+  private def rkAttrOf(dt: org.apache.spark.sql.types.DataType,
+      r: InternalRow, i: Int): AttrVal = dt match {
+    case StringType => AttrVal.S(r.getUTF8String(i).toString)
+    case LongType => AttrVal.N(BigDecimal(r.getLong(i)))
+    case IntegerType => AttrVal.N(BigDecimal(r.getInt(i)))
+    case org.apache.spark.sql.types.DoubleType => AttrVal.N(BigDecimal(r.getDouble(i)))
+    case d: org.apache.spark.sql.types.DecimalType =>
+      AttrVal.N(r.getDecimal(i, d.precision, d.scale).toBigDecimal)
+    case org.apache.spark.sql.types.BinaryType => AttrVal.B(r.getBinary(i))
+    case other => throw new IllegalArgumentException(
+      s"PartiQL: unsupported sort-key type for paging: $other")
   }
 
   /** A SELECT statement as a lazy DataFrame — the composable form of
@@ -386,10 +596,11 @@ object PartiQL {
     sel.index.foreach(ix => rd = rd.option("indexName", ix))
     var df = rd.load()
     sel.where.foreach(c => df = df.filter(cond2col(c)))
-    sel.projection.foreach(p => df = df.select(p.map(col): _*))
+    sel.projection.foreach(p => df = df.select(p.map(pp =>
+      if (pp.simple) col(pp.head) else pathCol(pp).as(pp.render)): _*))
     if (sel.orderBy.nonEmpty)
       df = df.orderBy(sel.orderBy.map { case (a, asc) =>
-        if (asc) col(a).asc else col(a).desc }: _*)
+        if (asc) pathCol(a).asc else pathCol(a).desc }: _*)
     df
   }
 
@@ -408,7 +619,7 @@ object PartiQL {
     */
   private def keyEqWhere(meta: TableMeta, where: Seq[Cond], what: String): Item = {
     val eqs = where.map {
-      case Cmp(a, "=", v) => a -> v
+      case Cmp(a, "=", v) if a.simple => a.head -> v
       case other => throw new IllegalArgumentException(
         s"PartiQL $what: WHERE accepts only primary-key equalities, got $other")
     }
@@ -419,6 +630,48 @@ object PartiQL {
       s"PartiQL $what: WHERE must name exactly the full primary key " +
         s"(${expect.mkString(", ")}), got (${m.keySet.mkString(", ")})")
     m
+  }
+
+  /** Build the conditional journal ops for an UPDATE's SET/REMOVE
+    * lists: plain top-level targets ride `UpdateIfExists` /
+    * `RemoveAttrsIfExists`, nested document paths ride ONE
+    * `PathEdits` op. When the caller holds the current item, every
+    * path is validated against it — a path that doesn't navigate the
+    * current structure is the service's ValidationException, reported
+    * loudly BEFORE anything lands (at replay a racing restructure
+    * degrades to the op's documented silent no-op). Also returns the
+    * new-image function (the same transforms over a concrete OLD
+    * image) for `RETURNING ALL NEW *`.
+    */
+  private def updateOps(store: LocalKVStore, key: Item,
+      sets: Seq[(DocPath, AttrVal)], removes: Seq[DocPath],
+      cur: Option[Item]): (Seq[store.Op], Item => Item) = {
+    val (simpleSets, pathSets) = sets.partition(_._1.simple)
+    val (simpleRems, pathRems) = removes.partition(_.simple)
+    val pathTargets: Seq[(DocPath, Option[AttrVal])] =
+      pathSets.map { case (p, v) => p -> (Some(v): Option[AttrVal]) } ++
+        pathRems.map(p => p -> (None: Option[AttrVal]))
+    cur.foreach { c =>
+      pathTargets.foreach { case (p, v) =>
+        val ok = c.get(p.head)
+          .exists(LocalKVStore.editValue(_, p.segs, v).isDefined)
+        require(ok, s"PartiQL UPDATE: the document path '${p.render}' " +
+          "does not exist in the item (the service's ValidationException)")
+      }
+    }
+    val edits = pathTargets.map { case (p, v) => LocalKVStore.PathEdit(p.full, v) }
+    val ops = Seq.newBuilder[store.Op]
+    if (simpleSets.nonEmpty)
+      ops += store.UpdateIfExists(key ++ simpleSets.map { case (p, v) => p.head -> v })
+    if (simpleRems.nonEmpty)
+      ops += store.RemoveAttrsIfExists(
+        key ++ simpleRems.map(_.head -> (AttrVal.Null: AttrVal)))
+    if (edits.nonEmpty) ops += store.PathEdits(key, edits)
+    val img = (old: Item) => LocalKVStore.applyPathEdits(
+      (old ++ simpleSets.map { case (p, v) => p.head -> v })
+        -- simpleRems.map(_.head),
+      edits)
+    (ops.result(), img)
   }
 
   // ---- condition → Column (the read path IS the DataFrame read) ----
@@ -434,23 +687,40 @@ object PartiQL {
   }
   private def sparkLit(v: AttrVal): Column = lit(rawLit(v))
 
+  /** A path as a Spark Column: struct-field access for M segments,
+    * array index for L segments — the connector's decode maps M to
+    * StructType and L to ArrayType, so navigation is native Catalyst
+    * (`GetStructField`/`GetArrayItem`), never a UDF.
+    */
+  private def pathCol(p: DocPath): Column =
+    p.segs.foldLeft(col(p.head)) {
+      case (c, Left(f))  => c.getField(f)
+      // try_element_at, not getItem: an out-of-range index is MISSING
+      // (null) on the service, never an error — getItem under the
+      // session's ANSI mode would fault the whole scan instead
+      case (c, Right(i)) => try_element_at(c, lit(i + 1))
+    }
+
   private def cond2col(c: Cond): Column = c match {
-    case Cmp(a, "=", v) => col(a) === sparkLit(v)
-    case Cmp(a, "<>", v) => col(a) =!= sparkLit(v)
-    case Cmp(a, "<", v) => col(a) < sparkLit(v)
-    case Cmp(a, "<=", v) => col(a) <= sparkLit(v)
-    case Cmp(a, ">", v) => col(a) > sparkLit(v)
-    case Cmp(a, ">=", v) => col(a) >= sparkLit(v)
+    case Cmp(a, "=", v) => pathCol(a) === sparkLit(v)
+    case Cmp(a, "<>", v) => pathCol(a) =!= sparkLit(v)
+    case Cmp(a, "<", v) => pathCol(a) < sparkLit(v)
+    case Cmp(a, "<=", v) => pathCol(a) <= sparkLit(v)
+    case Cmp(a, ">", v) => pathCol(a) > sparkLit(v)
+    case Cmp(a, ">=", v) => pathCol(a) >= sparkLit(v)
     case Cmp(a, op, _) => throw new IllegalArgumentException(
-      s"PartiQL: unsupported comparison '$op' on '$a'")
-    case Between(a, lo, hi) => col(a) >= sparkLit(lo) && col(a) <= sparkLit(hi)
-    case InList(a, vs) => col(a).isin(vs.map(rawLit): _*)
-    case FnCond("begins_with", a, AttrVal.S(p)) => col(a).startsWith(p)
-    case FnCond("contains", a, AttrVal.S(s)) => col(a).contains(s)
+      s"PartiQL: unsupported comparison '$op' on '${a.render}'")
+    case Between(a, lo, hi) => pathCol(a) >= sparkLit(lo) && pathCol(a) <= sparkLit(hi)
+    case InList(a, vs) => pathCol(a).isin(vs.map(rawLit): _*)
+    case FnCond("begins_with", a, AttrVal.S(p)) => pathCol(a).startsWith(p)
+    case FnCond("contains", a, AttrVal.S(s)) => pathCol(a).contains(s)
     case FnCond(fn, a, v) => throw new IllegalArgumentException(
-      s"PartiQL: $fn('$a', $v) requires a string argument")
-    case Missing(a, false) => col(a).isNull
-    case Missing(a, true) => col(a).isNotNull
+      s"PartiQL: $fn('${a.render}', $v) requires a string argument")
+    case Missing(a, false) => pathCol(a).isNull
+    case Missing(a, true) => pathCol(a).isNotNull
+    case OrCond(l, r) => cond2col(l) || cond2col(r)
+    case AndCond(l, r) => cond2col(l) && cond2col(r)
+    case NotCond(x) => !cond2col(x)
   }
 
   // ---- parser (recursive descent over the DynamoDB PartiQL subset) --
@@ -611,16 +881,36 @@ object PartiQL {
       } else fail("expected a comparison operator")
     }
 
+    /** `attr(.field | [index])*` — a nested document path. */
+    def path(): DocPath = {
+      val h = ident()
+      val segs = Vector.newBuilder[Either[String, Int]]
+      var done = false
+      while (!done) {
+        if (pos < s.length && s.charAt(pos) == '.') {
+          pos += 1; segs += Left(ident())
+        } else if (pos < s.length && s.charAt(pos) == '[') {
+          pos += 1
+          val n = numLit()
+          ch(']')
+          if (!n.isWhole || n < 0 || !n.isValidInt)
+            fail("list index must be a non-negative integer")
+          segs += Right(n.toInt)
+        } else done = true
+      }
+      DocPath(h, segs.result())
+    }
+
     def cond(): Cond = {
       val fn =
         if (tryKw("begins_with")) Some("begins_with")
         else if (tryKw("contains")) Some("contains")
         else None
       if (fn.isDefined) {
-        ch('('); val a = ident(); ch(','); val v = value(); ch(')')
+        ch('('); val a = path(); ch(','); val v = value(); ch(')')
         FnCond(fn.get, a, v)
       } else {
-        val a = ident()
+        val a = path()
         if (tryKw("IS")) {
           val neg = tryKw("NOT"); kw("MISSING"); Missing(a, neg)
         } else if (tryKw("BETWEEN")) {
@@ -635,18 +925,38 @@ object PartiQL {
       }
     }
 
-    def condAnd(): Seq[Cond] = {
-      val b = Vector.newBuilder[Cond]
-      b += cond()
-      while (tryKw("AND")) b += cond()
-      b.result()
+    /** WHERE expression, standard precedence: NOT > AND > OR;
+      * parentheses group. Top-level ANDs flatten back into the
+      * conjunct list ([[flattenAnd]]), so pure-conjunct statements —
+      * including every key-condition shape the write paths accept —
+      * parse to exactly the shape they always did.
+      */
+    def orExpr(): Cond = {
+      var l = andExpr()
+      while (tryKw("OR")) l = OrCond(l, andExpr())
+      l
     }
+    private def andExpr(): Cond = {
+      var l = notExpr()
+      while (tryKw("AND")) l = AndCond(l, notExpr())
+      l
+    }
+    private def notExpr(): Cond =
+      if (tryKw("NOT")) NotCond(notExpr())
+      else {
+        ws()
+        if (pos < s.length && s.charAt(pos) == '(') {
+          pos += 1; val c = orExpr(); ch(')'); c
+        } else cond()
+      }
+
+    def condAnd(): Seq[Cond] = flattenAnd(orExpr())
 
     def select(): Select = {
       val proj = if (tryChar('*')) None else {
-        val b = Vector.newBuilder[String]
-        b += ident()
-        while (tryChar(',')) b += ident()
+        val b = Vector.newBuilder[DocPath]
+        ws(); b += path()
+        while (tryChar(',')) { ws(); b += path() }
         Some(b.result())
       }
       kw("FROM")
@@ -655,10 +965,10 @@ object PartiQL {
       val where = if (tryKw("WHERE")) condAnd() else Nil
       val order = if (tryKw("ORDER")) {
         kw("BY")
-        val b = Vector.newBuilder[(String, Boolean)]
+        val b = Vector.newBuilder[(DocPath, Boolean)]
         var done = false
         while (!done) {
-          val a = ident()
+          ws(); val a = path()
           val asc = if (tryKw("DESC")) false else { tryKw("ASC"); true }
           b += a -> asc
           if (!tryChar(',')) done = true
@@ -677,8 +987,8 @@ object PartiQL {
 
     def update(): Update = {
       val t = ident()
-      val sets = Vector.newBuilder[(String, AttrVal)]
-      val removes = Vector.newBuilder[String]
+      val sets = Vector.newBuilder[(DocPath, AttrVal)]
+      val removes = Vector.newBuilder[DocPath]
       var any = false
       var cont = true
       while (cont) {
@@ -686,13 +996,13 @@ object PartiQL {
           any = true
           var more = true
           while (more) {
-            val a = ident(); ch('='); sets += a -> value()
+            ws(); val a = path(); ch('='); sets += a -> value()
             more = tryChar(',')
           }
         } else if (tryKw("REMOVE")) {
           any = true
           var more = true
-          while (more) { removes += ident(); more = tryChar(',') }
+          while (more) { ws(); removes += path(); more = tryChar(',') }
         } else cont = false
       }
       if (!any) fail("UPDATE requires at least one SET or REMOVE clause")

@@ -3915,10 +3915,11 @@ class DynamoConnectorSpec extends AnyFunSuite {
       run("DELETE FROM pt WHERE hk = 'c' AND rk = 9")
       assert(run("SELECT rk FROM pt WHERE hk = 'c'").isEmpty)
       run("DELETE FROM pt WHERE hk = 'c' AND rk = 9") // no-op, no error
+      // OR is part of the dialect (round 14): a disjunctive WHERE is
+      // the full-scan-with-residual-filter read, row-for-row
+      assert(run("SELECT rk FROM pt WHERE hk = 'a' OR rk = 1")
+        .map(_.getLong(0)).sorted === Seq(1L, 1L, 2L, 3L))
       // unsupported syntax fails LOUDLY, never silently approximates
-      val or = intercept[Exception] {
-        run("SELECT rk FROM pt WHERE hk = 'a' OR rk = 1") }
-      assert(or.getMessage.contains("trailing content"), or.getMessage)
       val join = intercept[Exception] { run("SELECT rk FROM pt, other") }
       assert(join.getMessage.contains("trailing content"), join.getMessage)
       val badParams = intercept[Exception] {
@@ -4057,6 +4058,222 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(v2 == v, "a settled item's value must never move under racing INSERTs")
   }
 
+  test("LAW: a DELETE racing a PartiQL UPDATE never resurrects the item") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val key = Map("id" -> (AttrVal.S("k"): AttrVal))
+    store.bulkLoad("ph", TableMeta("id", None, shards = 1,
+        throughput = 1000000L),
+      Iterator(key ++ Map("s" -> (AttrVal.S("x"): AttrVal),
+        "extra" -> (AttrVal.S("y"): AttrVal))))
+    // simulate the exact race: the UPDATE's advisory existence check
+    // reads the live item, a DELETE publishes, THEN the UPDATE's ops
+    // land. Replay order is what the store resolves, so appending in
+    // that order IS the race's worst interleaving. The ops below are
+    // verbatim what PartiQL UPDATE emits (SET s='z' REMOVE extra) —
+    // both conditional, so the deleted key must stay ABSENT (the old
+    // unconditional RemoveAttrs upserted a key-only phantom here).
+    store.appendWal("ph", System.currentTimeMillis(), "wDel",
+      Seq(store.Delete(key)))
+    store.appendWal("ph", System.currentTimeMillis() + 1, "wUpd",
+      Seq(store.UpdateIfExists(key + ("s" -> (AttrVal.S("z"): AttrVal))),
+        store.RemoveAttrsIfExists(key + ("extra" -> (AttrVal.Null: AttrVal)))))
+    assert(store.transactGet("ph", Seq(key)).head.isEmpty,
+      "a racing UPDATE must not resurrect a deleted item")
+    assert(store.scanSegment("ph", 0, 1).isEmpty,
+      "no phantom row may be visible to scans")
+    // compaction folds the same algebra: still absent afterwards
+    store.compact("ph")
+    assert(store.transactGet("ph", Seq(key)).head.isEmpty,
+      "compaction must not materialize the phantom either")
+    // and the non-race semantics are unchanged: on a LIVE item the
+    // same op pair merges the SET and drops the REMOVEd attr
+    store.appendWal("ph", System.currentTimeMillis() + 2, "wPut",
+      Seq(store.Put(key ++ Map("s" -> (AttrVal.S("x"): AttrVal),
+        "extra" -> (AttrVal.S("y"): AttrVal)))))
+    store.appendWal("ph", System.currentTimeMillis() + 3, "wUpd2",
+      Seq(store.UpdateIfExists(key + ("s" -> (AttrVal.S("z2"): AttrVal))),
+        store.RemoveAttrsIfExists(key + ("extra" -> (AttrVal.Null: AttrVal)))))
+    val it = store.transactGet("ph", Seq(key)).head.get
+    assert(it("s") === AttrVal.S("z2") && !it.contains("extra"))
+  }
+
+  test("execute_statement: boolean WHERE structure and nested document paths") {
+    import graft.sources.dynamo.{AttrVal, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    def item(rk: Int, v: Int, lang: String, tags: Seq[String]): Map[String, AttrVal] = Map(
+      "hk" -> AttrVal.S("a"), "rk" -> AttrVal.N(rk), "v" -> AttrVal.N(v),
+      "meta" -> AttrVal.M(Map(
+        "lang" -> AttrVal.S(lang), "score" -> (AttrVal.N(v * 2): AttrVal))),
+      "tags" -> AttrVal.L(tags.toVector.map(AttrVal.S(_): AttrVal)))
+    store.bulkLoad("nt", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator(item(1, 10, "en", Seq("x", "y", "z")),
+        item(2, 20, "fr", Seq("p")),
+        item(3, 30, "en", Seq("q", "r")),
+        item(4, 5, "fr", Seq())))
+    val prev = spark.conf.getOption("spark.sql.catalog.ncat")
+    try {
+      spark.conf.set("spark.sql.catalog.ncat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.ncat.path", root)
+      def run(stmt: String): Seq[org.apache.spark.sql.Row] = {
+        val esc = stmt.replace("'", "''")
+        spark.sql(s"CALL ncat.execute_statement('$esc')").collect().toSeq
+      }
+      // OR / parens: identical rows to the equivalent DataFrame read
+      val viaStmt = run("SELECT rk FROM nt WHERE hk = 'a' AND " +
+        "(v > 15 OR meta.lang = 'fr') ORDER BY rk").map(_.getLong(0))
+      val viaRead = spark.read.dynamo(root, "nt")
+        .filter(col("hk") === "a" &&
+          (col("v") > 15 || col("meta").getField("lang") === "fr"))
+        .select("rk").orderBy("rk").collect().map(_.getLong(0)).toSeq
+      assert(viaStmt === viaRead && viaStmt === Seq(2L, 3L, 4L))
+      // NOT
+      assert(run("SELECT rk FROM nt WHERE hk = 'a' AND NOT (v > 15) ORDER BY rk")
+        .map(_.getLong(0)) === Seq(1L, 4L))
+      // nested paths in WHERE (M field + L index) and projection
+      assert(run("SELECT rk FROM nt WHERE hk = 'a' AND tags[0] = 'q'")
+        .map(_.getLong(0)) === Seq(3L))
+      val proj = run("SELECT meta.lang, tags[0] FROM nt WHERE hk = 'a' AND rk = 1")
+      assert(proj.map(r => (r.getString(0), r.getString(1))) === Seq(("en", "x")))
+      // UPDATE SET/REMOVE on nested paths, RETURNING ALL NEW *
+      val upd = run("UPDATE nt SET meta.score = 99, v = 11 REMOVE tags[1] " +
+        "WHERE hk = 'a' AND rk = 1 RETURNING ALL NEW *")
+      assert(upd.map(r => (r.getString(0), r.getBoolean(2))) === Seq(("UPDATE", true)))
+      val img = upd.head.getString(3)
+      assert(img.contains("\"99\"") && !img.contains("\"y\""), img)
+      val after = spark.read.dynamo(root, "nt")
+        .filter(col("hk") === "a" && col("rk") === 1)
+        .select(col("meta").getField("score").as("sc"),
+          col("tags"), col("v")).collect()
+      assert(after.length === 1)
+      assert(after.head.getLong(0) === 99L && after.head.getLong(2) === 11L)
+      assert(after.head.getSeq[String](1) === Seq("x", "z"))
+      // a dead document path is the service's ValidationException, LOUD
+      val dead = intercept[Exception] {
+        run("UPDATE nt SET meta.nope.deep = 1 WHERE hk = 'a' AND rk = 2") }
+      assert(dead.getMessage.contains("does not exist"), dead.getMessage)
+      // SET past a list's end appends (the service's documented shape)
+      run("UPDATE nt SET tags[9] = 'w' WHERE hk = 'a' AND rk = 3")
+      assert(spark.read.dynamo(root, "nt")
+        .filter(col("rk") === 3).select("tags").head().getSeq[String](0)
+        === Seq("q", "r", "w"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ncat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.ncat"))(
+        spark.conf.set("spark.sql.catalog.ncat", _))
+    }
+  }
+
+  test("execute_statement pages: bounded chunks concatenate to the one-shot read") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val pad = "x" * 120
+    store.bulkLoad("pg", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator.range(0, 6000).map(i => Map(
+        "hk" -> (AttrVal.S("big"): AttrVal),
+        "rk" -> (AttrVal.N(i): AttrVal),
+        "payload" -> (AttrVal.S(s"$pad$i"): AttrVal))))
+    val stmt = "SELECT payload, rk FROM pg WHERE hk = 'big'"
+    val spark0 = spark // force session init
+    assert(spark0 != null)
+    // page at 64 KiB so the 6000-item (~800 KB) result needs many pages
+    def page(token: Option[String]) =
+      PartiQL.execute(root, stmt, Nil, None, false, token, pageBytes = 64 * 1024)
+    var token: Option[String] = None
+    val got = Vector.newBuilder[Long]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val (schema, rows) = page(token)
+      pages += 1
+      info(s"page $pages: ${rows.length} rows, class ${rows.head.getClass.getSimpleName}")
+      assert(pages < 40, "paging must terminate")
+      val rkI = schema.fieldIndex("rk")
+      rows.foreach(r => got += r.getLong(rkI))
+      val tokI = schema.fieldNames.indexOf("next_token")
+      tokI match {
+        case i if i >= 0 =>
+          val ts = rows.map(_.getUTF8String(i).toString).distinct
+          assert(ts.size === 1, "one token per page, on every row")
+          token = Some(ts.head)
+          // bounded: a 64 KiB page of ~130-byte rows holds well under
+          // the whole 6000 (and more than one row)
+          assert(rows.length > 1 && rows.length < 2000)
+        case _ => done = true
+      }
+    }
+    assert(pages > 3, s"expected several pages, got $pages")
+    // concatenation == the one-shot unbounded read, in order
+    assert(got.result() === (0L until 6000L))
+    // paging never rescans: page 2's plan pushes rk > last (spot-check
+    // via the resumed page's first row)
+    val (s1, r1) = page(None)
+    val t1 = r1.head.getUTF8String(s1.fieldNames.indexOf("next_token")).toString
+    val (s2, r2) = PartiQL.execute(root, stmt, Nil, None, false, Some(t1),
+      pageBytes = 64 * 1024)
+    assert(r2.head.getLong(s2.fieldIndex("rk")) ===
+      r1.last.getLong(s1.fieldIndex("rk")) + 1)
+    // a token from another statement is refused
+    val other = PartiQL.execute(root,
+      "SELECT rk FROM pg WHERE hk = 'big'", Nil, None, false, None,
+      pageBytes = 64 * 1024)
+    val otherTok = other._2.head.getUTF8String(
+      other._1.fieldNames.indexOf("next_token")).toString
+    val bad = intercept[Exception] { page(Some(otherTok)) }
+    assert(bad.getMessage.contains("different statement"), bad.getMessage)
+    // DESC pages walk downwards and concatenate completely too
+    val descStmt = "SELECT rk FROM pg WHERE hk = 'big' ORDER BY rk DESC"
+    var dTok: Option[String] = None
+    val dGot = Vector.newBuilder[Long]
+    var dDone = false
+    while (!dDone) {
+      val (ds, dr) = PartiQL.execute(root, descStmt, Nil, None, false, dTok,
+        pageBytes = 32 * 1024)
+      dr.foreach(r => dGot += r.getLong(ds.fieldIndex("rk")))
+      ds.fieldNames.indexOf("next_token") match {
+        case i if i >= 0 => dTok = Some(dr.head.getUTF8String(i).toString)
+        case _ => dDone = true
+      }
+    }
+    assert(dGot.result() === (0L until 6000L).reverse)
+    // a projection WITHOUT the sort key still pages (internal append,
+    // stripped from the returned schema)
+    val (ps, pr) = PartiQL.execute(root,
+      "SELECT payload FROM pg WHERE hk = 'big'", Nil, None, false, None,
+      pageBytes = 64 * 1024)
+    assert(ps.fieldNames.toSeq === Seq("payload", "next_token"))
+    assert(pr.nonEmpty)
+    // a scan-shaped over-bound SELECT fails loudly, never truncates
+    val loud = intercept[Exception] {
+      PartiQL.execute(root, "SELECT payload, rk FROM pg", Nil, None, false,
+        None, pageBytes = 64 * 1024) }
+    assert(loud.getMessage.contains("cannot page"), loud.getMessage)
+    // writes are unaffected by paging params (wired SELECT-only)
+    val wr = intercept[Exception] {
+      PartiQL.execute(root, "DELETE FROM pg WHERE hk = 'big' AND rk = 1",
+        Nil, None, false, Some("zzz")) }
+    assert(wr.getMessage.contains("SELECT"), wr.getMessage)
+    // and the procedure surface round-trips the token parameter
+    val prev = spark.conf.getOption("spark.sql.catalog.pgcat")
+    try {
+      spark.conf.set("spark.sql.catalog.pgcat", "graft.sources.dynamo.DynamoCatalog")
+      spark.conf.set("spark.sql.catalog.pgcat.path", root)
+      val one = spark.sql("CALL pgcat.execute_statement(statement => " +
+        "'SELECT rk FROM pg WHERE hk = ''big'' AND rk < 50')").collect()
+      assert(one.length === 50 &&
+        !one.head.schema.fieldNames.contains("next_token"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.pgcat.path")
+      prev.fold(spark.conf.unset("spark.sql.catalog.pgcat"))(
+        spark.conf.set("spark.sql.catalog.pgcat", _))
+    }
+  }
+
   test("PartiQL SELECT runs the connector's own plan: key window pushes, pages prune") {
     import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
     val root = freshRoot()
@@ -4175,7 +4392,8 @@ class DynamoConnectorSpec extends AnyFunSuite {
       "r BETWEEN -2.5 AND 7 AND s IN ('p', 'q') AND begins_with(u, 'pre') " +
       "AND contains(w, 'mid') AND z IS NOT MISSING AND q <> 4 " +
       "ORDER BY a DESC, b", Nil).asInstanceOf[PartiQL.Select]
-    assert(sel.table === "T" && sel.projection === Some(Seq("a", "b")))
+    assert(sel.table === "T" &&
+      sel.projection === Some(Seq(PartiQL.DocPath("a"), PartiQL.DocPath("b"))))
     assert(sel.where === Seq(
       PartiQL.Cmp("h", "=", AttrVal.S("x'y")),
       PartiQL.Between("r", AttrVal.N(BigDecimal("-2.5")), AttrVal.N(7)),
@@ -4184,7 +4402,64 @@ class DynamoConnectorSpec extends AnyFunSuite {
       PartiQL.FnCond("contains", "w", AttrVal.S("mid")),
       PartiQL.Missing("z", negated = true),
       PartiQL.Cmp("q", "<>", AttrVal.N(4))))
-    assert(sel.orderBy === Seq("a" -> false, "b" -> true))
+    assert(sel.orderBy === Seq(PartiQL.DocPath("a") -> false,
+      PartiQL.DocPath("b") -> true))
+    // boolean structure + nested paths (round-14 dialect extension):
+    // 300-seed random condition TREES (OR/AND/NOT, parens, document
+    // paths) render → parse → compare, the same law as values above
+    def renderCond(c: PartiQL.Cond): String = c match {
+      case PartiQL.Cmp(a, op, v) => s"${a.render} $op ${render(v)}"
+      case PartiQL.Between(a, lo, hi) =>
+        s"${a.render} BETWEEN ${render(lo)} AND ${render(hi)}"
+      case PartiQL.InList(a, vs) =>
+        s"${a.render} IN (${vs.map(render).mkString(", ")})"
+      case PartiQL.FnCond(fn, a, v) => s"$fn(${a.render}, ${render(v)})"
+      case PartiQL.Missing(a, false) => s"${a.render} IS MISSING"
+      case PartiQL.Missing(a, true) => s"${a.render} IS NOT MISSING"
+      case PartiQL.OrCond(l, r) => s"(${renderCond(l)} OR ${renderCond(r)})"
+      case PartiQL.AndCond(l, r) => s"(${renderCond(l)} AND ${renderCond(r)})"
+      case PartiQL.NotCond(x) => s"NOT (${renderCond(x)})"
+    }
+    def flat(c: PartiQL.Cond): Seq[PartiQL.Cond] = c match {
+      case PartiQL.AndCond(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def randPath(rnd: scala.util.Random): PartiQL.DocPath =
+      PartiQL.DocPath("a" + rnd.nextInt(4),
+        Seq.fill(rnd.nextInt(3))(
+          if (rnd.nextBoolean()) Left("f" + rnd.nextInt(3))
+          else Right(rnd.nextInt(5))))
+    def randLeaf(rnd: scala.util.Random): PartiQL.Cond = rnd.nextInt(6) match {
+      case 0 => PartiQL.Cmp(randPath(rnd),
+        Seq("=", "<>", "<", "<=", ">", ">=")(rnd.nextInt(6)), randVal(rnd, 2))
+      case 1 => PartiQL.Between(randPath(rnd),
+        AttrVal.N(rnd.nextInt(100)), AttrVal.N(100 + rnd.nextInt(100)))
+      case 2 => PartiQL.InList(randPath(rnd),
+        Seq.fill(1 + rnd.nextInt(3))(randVal(rnd, 2)))
+      case 3 => PartiQL.FnCond(
+        if (rnd.nextBoolean()) "begins_with" else "contains",
+        randPath(rnd), AttrVal.S("p" + rnd.nextInt(9)))
+      case 4 => PartiQL.Missing(randPath(rnd), rnd.nextBoolean())
+      case _ => PartiQL.Cmp(randPath(rnd), "=", AttrVal.S("v" + rnd.nextInt(9)))
+    }
+    def randCond(rnd: scala.util.Random, depth: Int): PartiQL.Cond =
+      if (depth >= 3) randLeaf(rnd)
+      else rnd.nextInt(5) match {
+        case 0 => PartiQL.OrCond(randCond(rnd, depth + 1), randCond(rnd, depth + 1))
+        case 1 => PartiQL.AndCond(randCond(rnd, depth + 1), randCond(rnd, depth + 1))
+        case 2 => PartiQL.NotCond(randCond(rnd, depth + 1))
+        case _ => randLeaf(rnd)
+      }
+    (0 until 300).foreach { seed =>
+      val rnd = new scala.util.Random(7000L + seed)
+      val tree = randCond(rnd, 0)
+      val text = s"SELECT * FROM t WHERE ${renderCond(tree)}"
+      PartiQL.parse(text, Nil) match {
+        case s: PartiQL.Select =>
+          assert(s.where === flat(tree), s"seed $seed: $text")
+        case other => fail(s"seed $seed parsed to $other")
+      }
+    }
   }
 
   test("contributor_insights ranks hot keys from sidecars; update_throughput feeds capacity math") {
