@@ -2935,15 +2935,53 @@ final class DynamoMicroBatchStream(
       case Some(ts) =>
         require(opts.startingOffsets == "earliest",
           "startingTimestamp and startingOffsets are mutually exclusive")
+        // a timestamp at/below the fold watermark names changes that
+        // no longer exist as journal files — loud, like an expired
+        // AT_TIMESTAMP iterator (see assertNotTrimmed; the fence
+        // wal-<ts> admits pubSeq >= ts, so the check is the same)
+        assertNotTrimmed(f"wal-$ts%020d", "startingTimestamp position")
         WalOffset(f"wal-$ts%020d")
       case None => opts.startingOffsets match {
         case "latest"   => latestOffset()
         case "earliest" => WalOffset("")
-        case name if name.startsWith("wal-") => WalOffset(name)
+        case name if name.startsWith("wal-") =>
+          assertNotTrimmed(name, "startingOffsets position")
+          WalOffset(name)
         case other => throw new IllegalArgumentException(
           s"startingOffsets must be 'earliest', 'latest', or a " +
             s"'wal-...' file-name offset (got '$other')")
       }
+    }
+
+  /** Loud trim fence (DynamoDB Streams' TrimmedDataAccessException /
+    * expired-iterator shape): a non-empty start position BELOW the
+    * compaction watermark means journal files in (offset, watermark]
+    * were folded into the base and DELETED — a stream resumed there
+    * cannot replay them, and continuing from the surviving names
+    * would SILENTLY skip the gap. `earliest` ("" = TRIM_HORIZON) is
+    * exempt by the same service mapping — it means "from the oldest
+    * RETAINED record", so folding history out from under it is its
+    * normal state, not a gap. Applied wherever the engine advances
+    * from a held offset (plan + admission) and at explicit start
+    * positions (`wal-...` names, `startingTimestamp`). Recovery is a
+    * re-bootstrap: snapshot read + a fresh earliest/latest stream.
+    * Residual edge: a folded file sharing the offset's exact pubSeq
+    * millisecond but sorting after it by writer id hides below the
+    * numeric watermark's resolution — the same one-syscall collision
+    * window the WAL publish path already bounds.
+    */
+  private def assertNotTrimmed(offsetName: String, what: String): Unit =
+    if (offsetName.nonEmpty) {
+      val wm = store.compactionWatermark(opts.tableName)
+      if (wm > store.walPubSeqName(offsetName))
+        throw new IllegalStateException(
+          s"$what '$offsetName' has expired: compaction folded the " +
+            s"journal past it (watermark $wm) and the files between " +
+            "the offset and the watermark no longer exist — the " +
+            "stream cannot resume without silently skipping those " +
+            "changes. Re-bootstrap from a snapshot read plus a fresh " +
+            "earliest/latest stream (DynamoDB Streams' " +
+            "TrimmedDataAccessException analogue).")
     }
 
   // Monotone cursor: latestOffset must stand still when nothing new
@@ -3021,6 +3059,7 @@ final class DynamoMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[WalOffset].last
+    assertNotTrimmed(s, "stream offset") // before claiming anything past a gap
     val past = eligibleNames().filter(_ > s).sorted
     val admitted = maxFilesOf(limit).fold(past)(past.take)
     if (admitted.isEmpty) start
@@ -3051,6 +3090,9 @@ final class DynamoMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WalOffset].last
     val e = end.asInstanceOf[WalOffset].last
+    // the last line of defense: a fold landing between admission and
+    // planning must fail the batch, not thin it
+    assertNotTrimmed(s, "stream offset")
     val files = store.walFileNames(opts.tableName)
       .filter(n => n > s && n <= e).sorted
     val meta = store.describe(opts.tableName)

@@ -576,6 +576,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LAW: a resumed CDC stream replays exactly from its offset or fails LOUDLY on a folded gap") {
+    import graft.sources.dynamo.{AttrVal, LocalKVStore, TableMeta}
+    import graft.sources.dynamo.Implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-cdc-fold").toString
+    val store = new LocalKVStore(root)
+    store.createTable("tf", TableMeta("id", None, shards = 2, throughput = 1000000L))
+    def put(k: String, seqOff: Long): Unit =
+      store.appendWal("tf", System.currentTimeMillis() + seqOff, s"w$seqOff",
+        Seq(store.Put(Map("id" -> (AttrVal.S(k): AttrVal)))))
+    val ckpt = Files.createTempDirectory("graft-cdc-fold-ckpt").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def startQ() = spark.readStream.dynamoStream(root, "tf", cdc = true)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => seen.add(r.getString(0)))
+        ()
+      }.start()
+    // ---- healthy resume: fold only what the checkpoint already saw ----
+    (0 until 5).foreach(i => put(s"a$i", i.toLong))
+    Thread.sleep(15)
+    val q1 = startQ()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert((0 until 5).forall(i => seen.contains(s"a$i")))
+    store.compact("tf") // folds exactly the consumed prefix
+    (0 until 3).foreach(i => put(s"b$i", 10L + i))
+    Thread.sleep(25)
+    val q2 = startQ()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert((0 until 3).forall(i => seen.contains(s"b$i")),
+      s"resume after an already-consumed fold must keep delivering: $seen")
+    // ---- gap: fold UNCONSUMED files past the checkpoint ----
+    (0 until 3).foreach(i => put(s"c$i", 20L + i))
+    store.compact("tf") // deletes the unconsumed c* journal files
+    val q3 = startQ()
+    val loud = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination(2000); ()
+    }
+    q3.stop()
+    assert(loud.getMessage.contains("expired") ||
+      Option(loud.getCause).exists(_.getMessage.contains("expired")), {
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " <- " + chain(t.getCause)
+      chain(loud)
+    })
+    assert(!(0 until 3).exists(i => seen.contains(s"c$i")),
+      "folded changes must never be silently skipped OR partially delivered")
+    // ---- startingTimestamp landing inside the folded range: loud ----
+    val tsLoud = intercept[Exception] {
+      spark.readStream.format("dynamo")
+        .option("path", root).option("tableName", "tf")
+        .option("startingTimestamp",
+          (System.currentTimeMillis() - 3600000L).toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cdc-fold-ckpt2").toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+        .processAllAvailable()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " <- " + chain(t.getCause)
+    assert(chain(tsLoud).contains("expired"), chain(tsLoud))
+    // a timestamp ABOVE the watermark still starts cleanly
+    val okQ = spark.readStream.format("dynamo")
+      .option("path", root).option("tableName", "tf")
+      .option("startingTimestamp",
+        (System.currentTimeMillis() + 60000L).toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-fold-ckpt3").toString)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try okQ.processAllAvailable() finally okQ.stop()
+  }
+
   test("LAW: continuous 3-region mesh (CDC-paced foreachBatch) converges to the LWW oracle") {
     // The store-level mesh law (ReplicationSpec), re-run with the
     // STREAMING admission-control path in the loop: every directed
