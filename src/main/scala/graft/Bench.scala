@@ -126,7 +126,19 @@ object Bench {
         java.nio.file.Paths.get(bandPath)), "UTF-8")
       val tag = "\"bands\":"
       val i = txt.indexOf(tag)
-      if (i < 0) Map.empty
+      // bands are per-SCALE-FACTOR numbers: a run against a different
+      // sf dir (e.g. the sf1 scale proof) must not preflight-fail or
+      // band-flag against sf0.1 timings — no bands, detectors fall
+      // back to rep-disagreement only
+      val sfTag = "\"sf\":"
+      val sfI = txt.indexOf(sfTag)
+      val bandSf = if (sfI < 0) None else {
+        val q1 = txt.indexOf('"', sfI + sfTag.length)
+        val q2 = txt.indexOf('"', q1 + 1)
+        if (q1 < 0 || q2 < 0) None else Some(txt.substring(q1 + 1, q2))
+      }
+      if (bandSf.exists(_ != sfDir)) Map.empty
+      else if (i < 0) Map.empty
       else {
         val start = txt.indexOf('{', i + tag.length) + 1
         val end = txt.indexOf('}', start)
@@ -154,13 +166,23 @@ object Bench {
       System.err.println(f"BENCH PREFLIGHT FAILED: probe_scan $probeBase%.3f " +
         f"vs band ${bands.getOrElse("probe_scan", -1.0)}%.3f, probe_shuffle " +
         f"$probeShufBase%.3f vs band ${bands.getOrElse("probe_shuffle", -1.0)}%.3f")
+    // BASELINE-mapped keys are the bench's public face: min-of-4 (vs
+    // the suite-wide min-of-2) so a single jittered rep can never
+    // print a >2x mapped ratio in an otherwise clean artifact. They
+    // total ~4 s at sf0.1, so the extra reps cost seconds.
+    val mappedKeys = Set("q_scan_full", "q_scan_filter", "q_agg_group",
+      "q_topk_group", "q_sort_limit", "q_stream_tumbling",
+      "q_agg_count_distinct", "q_stream_session", "q_sim_cosine_pairs",
+      "q_tok_explode")
+    def repsFor(name: String): Int =
+      if (mappedKeys(name)) math.max(reps, 4) else reps
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = keys.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % probeEvery == 0) {
         if (probeBase > 0) probeRatios += probeOnce() / probeBase
         if (probeShufBase > 0) probeShufRatios += probeShuffleOnce() / probeShufBase
       }
-      val (ok, err) = timeReps(fn, reps)
+      val (ok, err) = timeReps(fn, repsFor(name))
       (name, ok, err)
     }
     if (probeBase > 0) probeRatios += probeOnce() / probeBase
@@ -178,40 +200,62 @@ object Bench {
     // min over ALL reps; keys STILL failing a detector stay NAMED in
     // the artifact so a judge sees exactly which timings fought noise
     // instead of inferring it from per-key deltas.
-    val repDisagree = results.collect {
-      case (name, ok, _) if ok.size >= 2 && ok.min > 0.02 &&
-        ok.max / ok.min > 3.0 &&
-        // the artifact reports the MIN: when that min sits at the
-        // key's clean-band level, one cold/burst-hit rep says nothing
-        // about the reported number — flag rep-disagreement only when
-        // the min ITSELF is suspect (no band, or min above band*1.5)
-        !bands.get(name).exists(b => b > 0 && ok.min <= b * 1.5) &&
-        // cold-codegen shape (round-13): on sub-second keys the FIRST
-        // rep carries the query's whole-stage-codegen compile and
-        // routinely reads 3x+ the warm reps — that is JIT, not
-        // contention, and the reported min comes from the warm reps.
-        // Suppress only when rep 1 is the lone outlier AND the warm
-        // reps agree within 1.5x (a burst hitting any warm rep, or
-        // sustained contention, still flags).
-        !(ok.head == ok.max &&
-          (ok.size == 2 || ok.tail.max / ok.tail.min <= 1.5)) => name
-    }
-    val bandFlagged = results.collect {
-      case (name, ok, _) if overBand(name, ok) => name
-    }
-    val rerun = (repDisagree ++ bandFlagged).distinct
-    if (rerun.nonEmpty) {
-      val again = rerun.toSet
-      results = results.map {
-        case (name, ok, err) if again(name) =>
-          val (ok2, _) = timeReps(SparkEntry.queries(name), 1)
-          (name, ok ++ ok2, err)
-        case r => r
+    def repDisagreeOf(rs: Seq[(String, Seq[Double], Option[String])]): Seq[String] =
+      rs.collect {
+        case (name, ok, _) if ok.size >= 2 && ok.min > 0.02 &&
+          ok.max / ok.min > 3.0 &&
+          // the artifact reports the MIN: when that min sits at the
+          // key's clean-band level, one cold/burst-hit rep says nothing
+          // about the reported number — flag rep-disagreement only when
+          // the min ITSELF is suspect (no band, or min above band*1.5)
+          !bands.get(name).exists(b => b > 0 && ok.min <= b * 1.5) &&
+          // cold-codegen shape (round-13): on sub-second keys the FIRST
+          // rep carries the query's whole-stage-codegen compile and
+          // routinely reads 3x+ the warm reps — that is JIT, not
+          // contention, and the reported min comes from the warm reps.
+          // Suppress only when rep 1 is the lone outlier AND the warm
+          // reps agree within 1.5x (a burst hitting any warm rep, or
+          // sustained contention, still flags).
+          !(ok.head == ok.max &&
+            (ok.size == 2 || ok.tail.max / ok.tail.min <= 1.5)) => name
       }
+    def bandFlaggedOf(rs: Seq[(String, Seq[Double], Option[String])]): Seq[String] =
+      rs.collect { case (name, ok, _) if overBand(name, ok) => name }
+    // Self-healing pass (round-13 gap: the driver's artifact carried 7
+    // contaminated keys because the burst arrived AFTER preflight).
+    // Re-time ONLY the sentinel-flagged keys at suite end — but first a
+    // fresh probe pair decides whether the machine is quiet NOW: if
+    // either probe shape still reads >1.5x its base, the burst is still
+    // live and a re-time would just measure it again, so we skip and
+    // leave the keys honestly flagged. When quiet, each flagged key's
+    // reps are REPLACED by a fresh min-of-reps measurement (the old
+    // reps measured the burst, not the query) and the key is listed in
+    // `retimed` so a reader knows which numbers came from the heal pass.
+    val flagged0 = (repDisagreeOf(results) ++ bandFlaggedOf(results)).distinct
+    var retimed = List.empty[String]
+    if (flagged0.nonEmpty) {
+      val scanNow = if (probeBase > 0) probeOnce() / probeBase else 1.0
+      val shufNow = if (probeShufBase > 0) probeShuffleOnce() / probeShufBase else 1.0
+      val quiet = scanNow > 0 && shufNow > 0 && scanNow <= 1.5 && shufNow <= 1.5
+      if (quiet) {
+        val again = flagged0.toSet
+        results = results.map {
+          case (name, ok, err) if again(name) =>
+            val (ok2, _) = timeReps(SparkEntry.queries(name), repsFor(name))
+            if (ok2.nonEmpty) { retimed ::= name; (name, ok2, err) }
+            else (name, ok, err)
+          case r => r
+        }
+      } else System.err.println(f"BENCH HEAL SKIPPED: probes still hot " +
+        f"(scan $scanNow%.2f, shuffle $shufNow%.2f) — flagged keys keep " +
+        "their contended timings")
     }
-    val contaminated = (repDisagree ++ results.collect {
-      case (name, ok, _) if overBand(name, ok) => name
-    }).distinct.sorted
+    // Contamination re-judged on the FINAL reps: a retimed key whose
+    // fresh reps agree and sit inside its band is clean; one still
+    // failing a detector stays named.
+    val contaminated =
+      (repDisagreeOf(results) ++ bandFlaggedOf(results)).distinct.sorted
+    val retimedSorted = retimed.sorted
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.collect { case (k, ok, _) if ok.nonEmpty => s"\"" + k + "\":" + ok.min }
@@ -224,9 +268,15 @@ object Bench {
     val total = results.collect { case (_, ok, _) if ok.nonEmpty => ok.min }.sum
     val ambientVec = probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val ambientShufVec = probeShufRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
-    val ambientMax = if (probeRatios.nonEmpty) probeRatios.max else -1.0
+    // the headline ambient scalar is the max over BOTH probe shapes —
+    // the same number contamination gating uses (a shuffle-only burst
+    // previously printed ambient_ratio ~1.0 next to flagged keys); the
+    // per-shape maxima ride alongside for forensics
+    val ambientScanMax = if (probeRatios.nonEmpty) probeRatios.max else -1.0
+    val ambientShufMax = if (probeShufRatios.nonEmpty) probeShufRatios.max else -1.0
     val contamJson = contaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"ambient_ratio":$ambientMax,"ambient_ratios":$ambientVec,"ambient_shuffle_ratios":$ambientShufVec,"probe_scan_base":$probeBase,"probe_shuffle_base":$probeShufBase,"preflight_failed":$preflightFailed,"contaminated":$contamJson,"sf":"$sfDir"}"""
+    val retimedJson = retimedSorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"ambient_ratio":$ambientObserved,"ambient_scan_ratio":$ambientScanMax,"ambient_shuffle_ratio":$ambientShufMax,"ambient_ratios":$ambientVec,"ambient_shuffle_ratios":$ambientShufVec,"probe_scan_base":$probeBase,"probe_shuffle_base":$probeShufBase,"preflight_failed":$preflightFailed,"contaminated":$contamJson,"retimed":$retimedJson,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the driver captures a bounded stdout
     // tail, which truncated 47 of 114 per-query keys in round 3 — the
