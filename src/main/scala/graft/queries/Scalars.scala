@@ -59,7 +59,10 @@ object Scalars {
           (col("l_orderkey") % 7).as("md"),
           round(pow(col("l_discount") + 1.0, 2), 4).as("p2"),
           round(abs(col("l_tax") - 0.05), 4).as("ab"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // total order: duplicate (l_orderkey, l_linenumber) pairs
+        // exist in the fixture, so every output column tie-breaks
+        .orderBy("l_orderkey", "l_linenumber", "sq", "lg", "ce", "fl",
+          "md", "p2", "ab")),
 
     "q_conditional" -> ((s, dir) =>
       Fixtures.orders(s, dir)
@@ -184,7 +187,8 @@ object Scalars {
         |       l_orderkey % 7 AS md,
         |       round(pow(l_discount + 1.0, 2), 4) AS p2,
         |       round(abs(l_tax - 0.05), 4) AS ab
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, lg, ce, fl,
+        |  md, p2, ab""".stripMargin,
     "q_conditional" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_totalprice > 300000.0 THEN 'high'

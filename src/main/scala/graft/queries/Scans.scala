@@ -524,15 +524,22 @@ object Scans {
       Fixtures.nation(s, dir).orderBy("n_nationkey")),
 
     "q_scan_prune" -> ((s, dir) =>
+      // ORDER BY must be TOTAL over the projection: the synthetic
+      // lineitem has duplicate (l_orderkey, l_linenumber) pairs, and
+      // at sf1 the two engines break those ties differently
       Fixtures.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     "q_scan_filter" -> ((s, dir) =>
       Fixtures.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
                 col("l_discount") > 0.05)
-        .orderBy("l_orderkey", "l_linenumber")),
+        // total order over every projected column (duplicate
+        // (l_orderkey, l_linenumber) pairs exist in the fixture)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_quantity", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")),
 
     // Pure-SQL entry point: the same engine through `spark.sql` over
     // registered views (TPC-H Q3 shape) — Catalyst plans SQL text and
@@ -785,7 +792,7 @@ object Scans {
         .filter(nullif(col("l_linenumber"), lit(1)).isNull)
         .select(col("l_orderkey"), col("l_linenumber"),
                 coalesce(nullif(col("l_returnflag"), lit("A")), lit("was_A")).as("flag_or_a"))
-        .orderBy("l_orderkey")),
+        .orderBy("l_orderkey", "l_linenumber", "flag_or_a")),
 
     "q_filter_startswith" -> ((s, dir) =>
       Fixtures.part(s, dir)
@@ -942,11 +949,13 @@ object Scans {
     "q_scan_full" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_scan_filter" ->
       """SELECT * FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_extendedprice, l_quantity, l_discount, l_tax,
+        |  l_returnflag, l_linestatus, l_shipdate""".stripMargin,
     "q_filter_eq" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
     "q_filter_range" ->
@@ -961,7 +970,7 @@ object Scans {
       """SELECT l_orderkey, l_linenumber,
         |       coalesce(nullif(l_returnflag, 'A'), 'was_A') AS flag_or_a
         |FROM lineitem WHERE nullif(l_linenumber, 1) IS NULL
-        |ORDER BY l_orderkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, flag_or_a""".stripMargin,
     "q_filter_startswith" ->
       """SELECT p_partkey, p_brand, p_name FROM part
         |WHERE p_brand LIKE 'Brand#1%' ORDER BY p_partkey""".stripMargin,

@@ -76,7 +76,9 @@ object SetSortOps {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "metric", "value")
-        .orderBy("l_orderkey", "l_linenumber", "metric")))
+        // "value" tie-break: duplicate (l_orderkey, l_linenumber)
+        // pairs exist in the fixture, so the order must be total
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")))
 
   val oracle: Map[String, String] = Map(
     "q_unpivot" ->
@@ -87,7 +89,7 @@ object SetSortOps {
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM l
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q_sort_multi" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
         |FROM lineitem

@@ -33,6 +33,12 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # heavy oracles (LSH pair joins at sf1) need a bounded memory
+    # footprint with disk spill, or the in-memory default climbs to
+    # the sandbox ceiling and the box swaps/OOMs
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         con.execute(
