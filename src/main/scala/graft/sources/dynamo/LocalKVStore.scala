@@ -2562,21 +2562,33 @@ final class LocalKVStore(root: String) {
     * the base lacks it (the op never upserts).
     */
   final case class PPath(edits: Seq[LocalKVStore.PathEdit]) extends Pending
+  /** Ordered composition for the rare pending pairs with no closed
+    * one-step form (e.g. path edits followed by ADD: whether the ADD
+    * sees a number depends on the base). Resolution folds the chain
+    * left-to-right over the base value; still O(suffix ops) per key.
+    */
+  final case class PChain(ps: List[Pending]) extends Pending
+
+  /** Resolve one attr's pending over its concrete current value
+    * (None = absent). The single place pending semantics are defined
+    * over values — [[resolvePending]] and [[PChain]] both fold it.
+    */
+  private def resolve1(cur: Option[AttrVal], p: Pending): Option[AttrVal] = p match {
+    case PSet(v) => Some(v)
+    case PAdd(v) => Some(cur match {
+      case Some(AttrVal.N(x)) => AttrVal.N(x + v)
+      case _ => AttrVal.N(v) // absent or non-number: ADD starts from 0
+    })
+    case PRemove => None
+    case PPath(edits) => cur.map(v => edits.foldLeft(v)((vv, e) =>
+      LocalKVStore.editValue(vv, e.path.tail, e.value).getOrElse(vv)))
+    case PChain(ps) => ps.foldLeft(cur)(resolve1)
+  }
 
   /** Resolve a pending map over a CONCRETE base item. */
   private[dynamo] def resolvePending(base: Item, m: Map[String, Pending]): Item =
-    m.foldLeft(base) {
-      case (acc, (k, PSet(v)))  => acc + (k -> v)
-      case (acc, (k, PAdd(v)))  => acc + (k -> (acc.get(k) match {
-        case Some(AttrVal.N(x)) => AttrVal.N(x + v)
-        case _ => AttrVal.N(v) // absent or non-number: ADD starts from 0
-      }))
-      case (acc, (k, PRemove))  => acc - k
-      case (acc, (k, PPath(edits))) => acc.get(k) match {
-        case Some(v) => acc + (k -> edits.foldLeft(v)((vv, e) =>
-          LocalKVStore.editValue(vv, e.path.tail, e.value).getOrElse(vv)))
-        case None => acc // base lacks the attr: path edits never upsert
-      }
+    m.foldLeft(base) { case (acc, (k, p)) =>
+      resolve1(acc.get(k), p).fold(acc - k)(v => acc + (k -> v))
     }
 
   private def pset(it: Item): Map[String, Pending] =
@@ -2630,7 +2642,16 @@ final class LocalKVStore(root: String) {
               case Some(PSet(AttrVal.N(x))) => PSet(AttrVal.N(x + v))
               case Some(PSet(_))            => PSet(AttrVal.N(v)) // non-number: restart from 0
               case Some(PAdd(x))            => PAdd(x + v)
-              case Some(PRemove) | None     => PAdd(v)
+              // pending REMOVE made the attr ABSENT whatever the base
+              // holds, so ADD restarts from 0 base-INDEPENDENTLY —
+              // PAdd here would wrongly add onto the removed base
+              // value at resolution (caught by the StoreLaws fuzz)
+              case Some(PRemove)            => PSet(AttrVal.N(v))
+              case None                     => PAdd(v)
+              // whether ADD sees a number after path edits depends on
+              // the base — no closed form, fold at resolution
+              case Some(p: PPath)           => PChain(List(p, PAdd(v)))
+              case Some(PChain(ps))         => PChain(ps :+ PAdd(v))
             }): (String, Pending))
           })
         },
@@ -2677,6 +2698,7 @@ final class LocalKVStore(root: String) {
                   // pending ADD resolves to a NUMBER; navigating into a
                   // number always fails → the edit is a no-op
                   case Some(p: PAdd) => p
+                  case Some(PChain(ps)) => PChain(ps :+ PPath(Seq(e)))
                   case None => PPath(Seq(e))
                 }): (String, Pending))
               })

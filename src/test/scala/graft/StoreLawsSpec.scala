@@ -31,21 +31,57 @@ class StoreLawsSpec extends AnyFunSuite {
   // Small key pool to force collisions between base rows and ops.
   private val genKey: Gen[String] = Gen.chooseNum(0, 11).map(i => s"k$i")
 
-  private def genAttrs: Gen[Item] =
+  private def genFlat: Gen[Item] =
     Gen.mapOf(Gen.zip(
       Gen.oneOf("a", "b", "c"),
       Gen.oneOf(
         Gen.chooseNum(-999L, 999L).map(v => AttrVal.N(BigDecimal(v)): AttrVal),
         Gen.alphaStr.map(s => AttrVal.S(s.take(6)): AttrVal))))
 
+  /** Flat attrs plus sometimes a nested document (`m`: M, `l`: L) so
+    * the PATH op family has structures to navigate — and sometimes
+    * NOT, so path edits against scalars/absent attrs fuzz the no-op
+    * contract too.
+    */
+  private def genAttrs: Gen[Item] = for {
+    flat <- genFlat
+    withM <- Gen.option(Gen.zip(Gen.chooseNum(-99L, 99L), Gen.alphaStr)
+      .map { case (n, s) => "m" -> (AttrVal.M(Map(
+        "x" -> AttrVal.N(BigDecimal(n)),
+        "y" -> AttrVal.S(s.take(4)))): AttrVal) })
+    withL <- Gen.option(Gen.listOfN(3, Gen.chooseNum(0L, 9L))
+      .map(vs => "l" -> (AttrVal.L(
+        vs.toVector.map(v => AttrVal.N(BigDecimal(v)): AttrVal)): AttrVal)))
+  } yield flat ++ withM ++ withL
+
   private def withKey(k: String, attrs: Item): Item = attrs + ("id" -> AttrVal.S(k))
 
-  private val genOp: Gen[(String, String, Item)] = for {
-    tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE",
-      2 -> "PUTNX", 2 -> "UPDIF", 2 -> "ADDN", 2 -> "RMATTR")
+  /** PATH ops encode one edit in the attrs slot the tuple alphabet
+    * already carries: `p` = dotted target (m.x / m.z / l.<i>), `v` =
+    * SET value (absent = REMOVE).
+    */
+  private val genPathOp: Gen[(String, String, Item)] = for {
     k <- genKey
-    attrs <- genAttrs
-  } yield (tag, k, attrs)
+    p <- Gen.oneOf("m.x", "m.y", "m.z", "l.0", "l.2", "l.5")
+    v <- Gen.option(Gen.chooseNum(-99L, 99L).map(n => AttrVal.N(BigDecimal(n)): AttrVal))
+  } yield ("PATH", k,
+    Map("p" -> (AttrVal.S(p): AttrVal)) ++ v.map("v" -> _))
+
+  private val genOp: Gen[(String, String, Item)] = Gen.frequency(
+    15 -> (for {
+      tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE",
+        2 -> "PUTNX", 2 -> "UPDIF", 2 -> "ADDN", 2 -> "RMATTR",
+        2 -> "RMIF")
+      k <- genKey
+      attrs <- genAttrs
+    } yield (tag, k, attrs)),
+    3 -> genPathOp)
+
+  private def parsePath(p: String): Seq[Either[String, Int]] = {
+    val Array(top, seg) = p.split("\\.", 2)
+    Seq(Left(top),
+      if (top == "l") Right(seg.toInt) else Left(seg))
+  }
 
   /** Tagged op → store op — the one place the generator's tag
     * alphabet maps to the store alphabet (ADDN's increments are the
@@ -66,6 +102,13 @@ class StoreLawsSpec extends AnyFunSuite {
       case ("RMATTR", k, a) =>
         store.RemoveAttrs(withKey(k,
           a.map { case (n, _) => n -> (AttrVal.Null: AttrVal) }))
+      case ("RMIF", k, a) =>
+        store.RemoveAttrsIfExists(withKey(k,
+          a.map { case (n, _) => n -> (AttrVal.Null: AttrVal) }))
+      case ("PATH", k, a) =>
+        store.PathEdits(Map("id" -> AttrVal.S(k)),
+          Seq(LocalKVStore.PathEdit(
+            parsePath(a("p").asInstanceOf[AttrVal.S].v), a.get("v"))))
       case (_, k, a)        => store.Update(withKey(k, a))
     }
 
@@ -100,6 +143,35 @@ class StoreLawsSpec extends AnyFunSuite {
           })
         case "RMATTR" => // UpdateItem REMOVE: drops attrs, upserts key-only
           m + (k -> (cur -- attrs.keys))
+        case "RMIF" => // conditional REMOVE: live item only, never upserts
+          if (m.contains(k)) m + (k -> (m(k) -- attrs.keys)) else m
+        case "PATH" => // nested SET/REMOVE: live item only; navigation
+          // failure = no-op; SET past a list's end appends
+          if (!m.contains(k)) m
+          else {
+            val it = m(k)
+            val Array(top, seg) = attrs("p").asInstanceOf[AttrVal.S].v.split("\\.", 2)
+            val v = attrs.get("v")
+            val edited: Option[AttrVal] = (it.get(top), top) match {
+              case (Some(AttrVal.M(mm)), "m") => v match {
+                case Some(nv) => Some(AttrVal.M(mm + (seg -> nv)))
+                case None =>
+                  if (mm.contains(seg)) Some(AttrVal.M(mm - seg)) else None
+              }
+              case (Some(AttrVal.L(vs)), "l") =>
+                val i = seg.toInt
+                v match {
+                  case Some(nv) =>
+                    Some(AttrVal.L(
+                      if (i < vs.size) vs.updated(i, nv) else vs :+ nv))
+                  case None =>
+                    if (i < vs.size) Some(AttrVal.L(vs.patch(i, Nil, 1)))
+                    else None
+                }
+              case _ => None // absent or non-document attr: no-op
+            }
+            edited.fold(m)(nv => m + (k -> (it + (top -> nv))))
+          }
       }
     }
 
@@ -127,7 +199,7 @@ class StoreLawsSpec extends AnyFunSuite {
           .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
         assert(view.keySet === expected.keySet, s"n=$n base=$base jobs=$jobs")
         expected.foreach { case (k, item) =>
-          assert(view(k) === item, s"n=$n key=$k")
+          assert(view(k) === item, s"n=$n key=$k base=$base jobs=$jobs")
         }
       }
     }
