@@ -4099,6 +4099,53 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(it("s") === AttrVal.S("z2") && !it.contains("extra"))
   }
 
+  test("LAW: live racing PartiQL UPDATEs vs DELETE never leave a phantom (16 threads)") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    store.createTable("lr", TableMeta("id", None, shards = 1, throughput = 1000000L))
+    // The planted law pins the worst replay ORDER; this one drives the
+    // real statement surface with real threads: per round, one item is
+    // inserted, then 15 UPDATEs (SET + REMOVE halves, both conditional
+    // ops) race one DELETE. Whatever interleaving the scheduler picks,
+    // the end state is EITHER absent (DELETE landed last in replay
+    // order and conditional ops no-op'd) OR a live item whose attrs
+    // come only from the INSERT/UPDATE alphabet — never a key-only
+    // phantom, never a REMOVE-resurrected row.
+    (0 until 6).foreach { round =>
+      PartiQL.execute(root,
+        s"INSERT INTO lr VALUE {'id': 'k$round', 's': 'base', 'extra': 'e0'}", Nil)
+      def upd(i: Int): Unit =
+        try { PartiQL.execute(root,
+          s"UPDATE lr SET s = 'u$i' REMOVE extra WHERE id = 'k$round'", Nil); () }
+        catch { case _: Exception => () } // racing DELETE: loud error OK
+      def del(): Unit =
+        try { PartiQL.execute(root,
+          s"DELETE FROM lr WHERE id = 'k$round'", Nil); () }
+        catch { case _: Exception => () }
+      Await.result(Future.sequence(
+        (1 to 15).map(i => Future(upd(i))) :+ Future(del())), 60.seconds)
+      val key = Map("id" -> (AttrVal.S(s"k$round"): AttrVal))
+      store.transactGet("lr", Seq(key)).head match {
+        case None => () // deleted — fine
+        case Some(it) =>
+          assert(it.contains("s"),
+            s"round $round: live item must carry 's', got $it — a key-only " +
+              "phantom means a conditional op upserted after the DELETE")
+          val s = it("s").asInstanceOf[AttrVal.S].v
+          assert(s == "base" || s.startsWith("u"), s"round $round: $it")
+      }
+      // compaction folds the same algebra — state class is unchanged
+      store.compact("lr")
+      store.transactGet("lr", Seq(key)).head.foreach { it =>
+        assert(it.contains("s"), s"round $round post-compaction: $it")
+      }
+    }
+  }
+
   test("execute_statement: boolean WHERE structure and nested document paths") {
     import graft.sources.dynamo.{AttrVal, TableMeta}
     val root = freshRoot()
