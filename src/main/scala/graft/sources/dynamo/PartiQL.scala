@@ -494,7 +494,13 @@ object PartiQL {
     }
     limit.foreach { n =>
       require(n > 0, s"PartiQL: Limit must be positive, got $n")
-      df = df.limit(n)
+      // the service's Limit stops EVALUATION but still returns a
+      // NextToken when more data remains — so on the pageable shape,
+      // push limit+1 (the pushdown still bounds the read) and let the
+      // loop below stop at n with the (n+1)th row proving truncation;
+      // a non-pageable SELECT keeps the plain limit (no token exists
+      // to hand back)
+      df = df.limit(if (pageable) n + 1 else n)
     }
     val schema = df.schema
     val rkIdx = if (pageable) schema.fieldIndex(rkName.get) else -1
@@ -508,6 +514,7 @@ object PartiQL {
     var bytes = 0L
     var n = 0
     var truncated = false
+    val rowCap = if (pageable) limit.getOrElse(Int.MaxValue) else Int.MaxValue
     while (it.hasNext && !truncated) {
       val r = it.next()
       rows += r
@@ -517,7 +524,7 @@ object PartiQL {
           u.getSizeInBytes.toLong
         case _ => 32L * schema.length
       })
-      if (bytes >= pageBytes && it.hasNext) truncated = true
+      if ((bytes >= pageBytes || n >= rowCap) && it.hasNext) truncated = true
     }
     val collected = rows.result()
     if (!truncated)

@@ -4295,6 +4295,20 @@ class DynamoConnectorSpec extends AnyFunSuite {
       pageBytes = 64 * 1024)
     assert(ps.fieldNames.toSeq === Seq("payload", "next_token"))
     assert(pr.nonEmpty)
+    // the service's Limit semantics: a Limit-stopped page still hands
+    // back a token (more data remains), and resume continues after it
+    val (ls1, lr1) = PartiQL.execute(root, stmt, Nil, Some(100), false, None)
+    assert(lr1.length === 100)
+    val lTok = lr1.head.getUTF8String(ls1.fieldNames.indexOf("next_token")).toString
+    val (ls2, lr2) = PartiQL.execute(root, stmt, Nil, Some(100), false, Some(lTok))
+    assert(lr2.length === 100)
+    assert(lr2.head.getLong(ls2.fieldIndex("rk")) ===
+      lr1.last.getLong(ls1.fieldIndex("rk")) + 1)
+    // and a Limit covering the whole remainder ends WITHOUT a token
+    val (ls3, lr3) = PartiQL.execute(root,
+      "SELECT rk FROM pg WHERE hk = 'big' AND rk >= 5990", Nil,
+      Some(100), false, None)
+    assert(lr3.length === 10 && !ls3.fieldNames.contains("next_token"))
     // a scan-shaped over-bound SELECT fails loudly, never truncates
     val loud = intercept[Exception] {
       PartiQL.execute(root, "SELECT payload, rk FROM pg", Nil, None, false,
