@@ -495,6 +495,53 @@ object Dedup {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup with a corpus-sized candidate scope — the scale path
+    // the sf3 probe demanded: q_dedup_semantic's pair stage is n²/k
+    // and the fixture's label alphabet pins k, so at 30× the within-
+    // cluster join went quadratic. Here each k-means cell is refined
+    // by an LSH band — the first r SIGN BITS of the raw float
+    // embedding (axis-aligned random-hyperplane LSH; cosine-similar
+    // vectors agree on signs, so true near-dups stay co-banded) —
+    // with r derived from the corpus: r = clamp(0..8,
+    // ceil(log2(n / (k·200)))), i.e. bands grow just fast enough to
+    // hold ~200 vectors each. Candidate pairs are then ~n·200/2 at
+    // ANY corpus size — linear — at the standard LSH recall trade
+    // (boundary pairs split across bands). r is a pure function of
+    // (count, distinct labels), computed identically by the oracle's
+    // own SQL, and the sign bits compare the SAME stored float on
+    // both engines — no arithmetic to disagree on. At the gate scales
+    // r = 0 (bands degenerate to the plain cells), so this key also
+    // pins that the refinement machinery is a no-op exactly when the
+    // corpus doesn't need it.
+    "q_dedup_semantic_lsh" -> ((s, dir) => {
+      val assigned = Similarity.clusterAssign(s, dir).select("vec_id", "cluster")
+      val eRaw = Fixtures.embeddings(s, dir)
+      // one metadata-cheap aggregate decides r (deterministic scalars)
+      val cnt = eRaw.agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("k")).head()
+      val (n, k) = (cnt.getLong(0), cnt.getLong(1))
+      val r = math.min(8, math.max(0,
+        math.ceil(math.log(n.toDouble / (k * 200.0)) / math.log(2.0)).toInt))
+      val signs = concat((0 until 8).map(i =>
+        when(element_at(col("embedding"), i + 1) >= 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      val banded = eRaw.select(col("vec_id"), substring(signs, 1, r).as("band"))
+      val e = Similarity.embDouble(s, dir).select(col("vec_id"), col("emb"))
+      val withEmb = assigned.join(banded, "vec_id").join(e, "vec_id")
+      val lower = withEmb.select(col("cluster").as("lc"), col("band").as("lb"),
+        col("vec_id").as("lo_id"), col("emb").as("lo_emb"))
+      val dominated = withEmb.join(lower,
+          col("cluster") === col("lc") && col("band") === col("lb") &&
+            col("lo_id") < col("vec_id"))
+        .filter(round(graft.functions.Funcs.cosineSim(col("emb"), col("lo_emb")), 4)
+          >= 0.42)
+        .select("vec_id").distinct()
+      assigned.join(banded, "vec_id")
+        .join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"), col("band"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup: pairs whose rounded cosine clears the
     // threshold. Both engines filter on the ROUNDED value so boundary
     // membership can't disagree (the q_agg_having lesson).
@@ -789,6 +836,54 @@ object Dedup {
         |        JOIN vn nb ON nb.vec_id = dt.lo
         |        WHERE round(dot / (na.vn * nb.vn), 4) >= 0.42)
         |SELECT vec_id, cluster FROM asg
+        |WHERE vec_id NOT IN (SELECT hi FROM dom) ORDER BY vec_id""".stripMargin,
+    "q_dedup_semantic_lsh" ->
+      """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i
+        |            FROM embeddings),
+        |cent AS (SELECT label, i, floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+        |         FROM ex GROUP BY 1, 2),
+        |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS vn FROM ex GROUP BY 1),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, cent.label, sum(e.x * cent.c) AS dot
+        |       FROM ex e JOIN cent ON e.i = cent.i GROUP BY 1, 2),
+        |r AS (SELECT vec_id, label,
+        |             CASE WHEN vn.vn * cn.cn > 0
+        |                  THEN CAST(floor(dot / (vn.vn * cn.cn) * 10000 + 0.5)
+        |                       AS BIGINT) END AS score_x1e4
+        |      FROM sc JOIN vn USING (vec_id) JOIN cn USING (label)),
+        |asg AS (SELECT vec_id, label AS cluster FROM (
+        |  SELECT vec_id, label,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY score_x1e4 DESC, label) AS rk
+        |  FROM r) WHERE rk = 1),
+        |prm AS (SELECT LEAST(8, GREATEST(0, CAST(ceil(log2(
+        |          count(*) / (count(DISTINCT label) * 200.0))) AS INT))) AS r
+        |        FROM embeddings),
+        |sg AS (SELECT vec_id, substring(
+        |         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+        |                CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END),
+        |         1, (SELECT r FROM prm)) AS band
+        |       FROM embeddings),
+        |ab AS (SELECT asg.vec_id, cluster, band FROM asg JOIN sg USING (vec_id)),
+        |dt AS (SELECT hi.vec_id AS hi, lo.vec_id AS lo, sum(a.x * b.x) AS dot
+        |       FROM ab hi JOIN ab lo
+        |         ON hi.cluster = lo.cluster AND hi.band = lo.band
+        |        AND lo.vec_id < hi.vec_id
+        |       JOIN ex a ON a.vec_id = hi.vec_id
+        |       JOIN ex b ON b.vec_id = lo.vec_id AND b.i = a.i
+        |       GROUP BY 1, 2),
+        |dom AS (SELECT DISTINCT dt.hi FROM dt
+        |        JOIN vn na ON na.vec_id = dt.hi
+        |        JOIN vn nb ON nb.vec_id = dt.lo
+        |        WHERE round(dot / (na.vn * nb.vn), 4) >= 0.42)
+        |SELECT vec_id, cluster, band FROM ab
         |WHERE vec_id NOT IN (SELECT hi FROM dom) ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
