@@ -36,6 +36,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LSH band width for `q_dedup_semantic_lsh`:
+    * r = clamp(0..8, ceil(log2(ceil(n / (k·200))))) — bands grow just
+    * fast enough to hold ~200 vectors each. PURE INTEGER arithmetic
+    * (ceil-division + bit length), because the oracle computes the
+    * same r in SQL and a floating log2 at an exact power-of-two ratio
+    * can flip ceil() by one ULP on one engine only, diverging the
+    * whole key's output. Package-visible so a spec can pin the
+    * boundary values directly.
+    */
+  private[graft] def bandBits(n: Long, k: Long): Int = {
+    val denom = k * 200L
+    val q = (n + denom - 1L) / denom // ceil(n / (k*200)), exactly
+    if (q <= 1L) 0
+    else math.min(8, 64 - java.lang.Long.numberOfLeadingZeros(q - 1L))
+  }
+
   private val P = 2147483647L // 2^31 - 1, Mersenne prime modulus
 
   /** (i, a, b) for minhash_i(tok) = (a·tokid + b) mod P; 12 hashes →
@@ -507,8 +523,12 @@ object Dedup {
     // hold ~200 vectors each. Candidate pairs are then ~n·200/2 at
     // ANY corpus size — linear — at the standard LSH recall trade
     // (boundary pairs split across bands). r is a pure function of
-    // (count, distinct labels), computed identically by the oracle's
-    // own SQL, and the sign bits compare the SAME stored float on
+    // (count, distinct labels) in INTEGER arithmetic ([[bandBits]]:
+    // ceil-division + bit length, mirrored by the oracle's integer
+    // CASE ladder — a floating log2 could flip ceil() by one ULP on
+    // one engine at an exact power-of-two ratio), computed identically
+    // by the oracle's own SQL, and the sign bits compare the SAME
+    // stored float on
     // both engines — no arithmetic to disagree on. At the gate scales
     // r = 0 (bands degenerate to the plain cells), so this key also
     // pins that the refinement machinery is a no-op exactly when the
@@ -520,8 +540,7 @@ object Dedup {
       val cnt = eRaw.agg(count(lit(1)).as("n"),
         countDistinct(col("label")).as("k")).head()
       val (n, k) = (cnt.getLong(0), cnt.getLong(1))
-      val r = math.min(8, math.max(0,
-        math.ceil(math.log(n.toDouble / (k * 200.0)) / math.log(2.0)).toInt))
+      val r = bandBits(n, k)
       val signs = concat((0 until 8).map(i =>
         when(element_at(col("embedding"), i + 1) >= 0, lit("1"))
           .otherwise(lit("0"))): _*)
@@ -857,9 +876,13 @@ object Dedup {
         |         row_number() OVER (PARTITION BY vec_id
         |                            ORDER BY score_x1e4 DESC, label) AS rk
         |  FROM r) WHERE rk = 1),
-        |prm AS (SELECT LEAST(8, GREATEST(0, CAST(ceil(log2(
-        |          count(*) / (count(DISTINCT label) * 200.0))) AS INT))) AS r
-        |        FROM embeddings),
+        |prm AS (SELECT LEAST(8, CASE WHEN q <= 1 THEN 0 WHEN q <= 2 THEN 1
+        |          WHEN q <= 4 THEN 2 WHEN q <= 8 THEN 3 WHEN q <= 16 THEN 4
+        |          WHEN q <= 32 THEN 5 WHEN q <= 64 THEN 6 WHEN q <= 128 THEN 7
+        |          ELSE 8 END) AS r
+        |        FROM (SELECT (count(*) + count(DISTINCT label) * 200 - 1)
+        |                     // (count(DISTINCT label) * 200) AS q
+        |              FROM embeddings)),
         |sg AS (SELECT vec_id, substring(
         |         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
         |                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,

@@ -370,6 +370,24 @@ object Scans {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Shuffle width for the EDGE-scale stages of the graph supersteps,
+    * from the measured edge count (one cheap count over the already-
+    * localCheckpointed edge list): `max(session default,
+    * ceil(edges / 375k))`, capped at 4096. Per-task working set —
+    * sort-merge sort buffers, per-partition window frames — then stays
+    * ~375k edge rows (tens of MB) at ANY corpus size, so the keys
+    * self-size instead of OOMing a stock 32-partition 8 GB JVM the
+    * moment the graph outgrows it (the r14 sf3 probe's finding). At
+    * the gate scales (sf ≤ 1, ≤ ~12M edges) this IS the session
+    * default, so small-scale plans keep their exact width.
+    */
+  private def edgeParts(s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame): Int = {
+    val n = edges.count()
+    val dflt = s.sessionState.conf.numShufflePartitions
+    math.max(dflt, math.min(4096L, (n + 374999L) / 375000L).toInt)
+  }
+
   /** Register exactly the views a statement needs, then run it. */
   private def sql(stmt: String, tables: String*): Q = (s, dir) => {
     tables.foreach {
@@ -416,9 +434,11 @@ object Scans {
       // single keyed shuffle of rank rows, never a re-shuffle of the
       // edge list. That's the relational Pregel shape that holds at a
       // 100× graph: edges are shuffled once at build, rank rows
-      // (node-sized, ≪ edges) per superstep.
+      // (node-sized, ≪ edges) per superstep. The width SELF-SIZES
+      // from the edge count ([[edgeParts]]) so the per-partition join
+      // sort stays bounded at any sf.
       val edgesD = edges.join(deg, "src")
-        .repartition(col("src"))
+        .repartition(edgeParts(s, edges), col("src"))
         .localCheckpoint(true)
       var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
@@ -454,10 +474,23 @@ object Scans {
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
           col("cust").as("dst")))
         .localCheckpoint(true)
+      // Edge-list pre-partitioned by dst ONCE at the self-sized width
+      // ([[edgeParts]]): each round's label join reuses the layout.
+      // Inside a round, ONE sized repartition by src carries the
+      // edge-scale join output into BOTH the grouped count and the
+      // rank window (HashPartitioning(src) satisfies the group's
+      // (src,lbl) clustering AND the window's src partitioning, so
+      // neither adds an exchange — previously the window re-shuffled
+      // near-edge-scale grouped rows at the stock width, the r14 sf3
+      // OOM site).
+      val parts = edgeParts(s, edges)
+      val edgesP = edges.repartition(parts, col("dst")).localCheckpoint(true)
       var lbl = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to 2) {
-        lbl = edges.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+        lbl = edgesP.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
+          .select(col("src"), col("lbl"))
+          .repartition(parts, col("src"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window

@@ -1606,7 +1606,7 @@ final class LocalKVStore(root: String) {
           // value (edit leaves only ever live INSIDE such a document)
           stats(shard) = stats.getOrElse(shard, ShardStats.empty)
             .widen(pe.key ++ pe.edits.collect {
-              case LocalKVStore.PathEdit(Left(t) +: rest, _) if rest.nonEmpty =>
+              case LocalKVStore.PathEdit(Left(t) +: _, _, _) =>
                 t -> (AttrVal.M(Map.empty): AttrVal)
             }.toMap)
         case AddTo(it, adds) => // increments OPEN the attrs' ranges
@@ -2116,7 +2116,7 @@ final class LocalKVStore(root: String) {
           case _: Delete | _: RemoveAttrs | _: RemoveAttrsIfExists => ()
           case pe: PathEdits => stats = stats.widen(
             pe.key ++ pe.edits.collect {
-              case LocalKVStore.PathEdit(Left(t) +: rest, _) if rest.nonEmpty =>
+              case LocalKVStore.PathEdit(Left(t) +: _, _, _) =>
                 t -> (AttrVal.M(Map.empty): AttrVal)
             }.toMap)
           case AddTo(it, adds) => stats = stats.widenAdd(it, adds)
@@ -2581,7 +2581,7 @@ final class LocalKVStore(root: String) {
     })
     case PRemove => None
     case PPath(edits) => cur.map(v => edits.foldLeft(v)((vv, e) =>
-      LocalKVStore.editValue(vv, e.path.tail, e.value).getOrElse(vv)))
+      LocalKVStore.applyEdit1(vv, e).getOrElse(vv)))
     case PChain(ps) => ps.foldLeft(cur)(resolve1)
   }
 
@@ -2684,14 +2684,14 @@ final class LocalKVStore(root: String) {
             case Right(m) =>
               // fold per top-level attr into the pending normal form
               val byTop = edits.collect {
-                case e @ LocalKVStore.PathEdit(Left(top) +: rest, _)
-                  if rest.nonEmpty => top -> e
+                case e @ LocalKVStore.PathEdit(Left(top) +: rest, _, app)
+                  if rest.nonEmpty || app.isDefined => top -> e
               }
               Right(byTop.foldLeft(m) { case (acc, (top, e)) =>
                 acc + (top -> (acc.get(top) match {
                   // attr value fully known → edit it concretely
                   case Some(PSet(v)) => PSet(
-                    LocalKVStore.editValue(v, e.path.tail, e.value).getOrElse(v))
+                    LocalKVStore.applyEdit1(v, e).getOrElse(v))
                   case Some(PPath(prior)) => PPath(prior :+ e)
                   // removed → absent → path doesn't exist → no-op
                   case Some(PRemove) => PRemove
@@ -3911,9 +3911,18 @@ object LocalKVStore {
   /** One nested-document edit ([[LocalKVStore.PathEdits]]): `path` =
     * the top-level attr (Left) followed by M-field (Left) / L-index
     * (Right) segments; `value` Some = SET the leaf, None = REMOVE it.
+    *
+    * `append` turns the edit into the service's `list_append`: the
+    * path must navigate to an existing LIST value and `value` must be
+    * `Some(L(elems))` — the elements concatenate onto the list's end
+    * (`Some(true)`) or front (`Some(false)`). Unlike SET/REMOVE the
+    * path here may be a bare top-level attr (the common
+    * `SET l = list_append(l, ?)` shape). A path that doesn't navigate
+    * to a list keeps the op's documented replay contract: silent
+    * no-op (a racing restructure degrades, never faults the fold).
     */
   final case class PathEdit(path: Seq[Either[String, Int]],
-      value: Option[AttrVal])
+      value: Option[AttrVal], append: Option[Boolean] = None)
 
   /** Reserved wire attr carrying a PATH record's edit list. Only
     * PATH-tagged journal records have it, so no user attr collides.
@@ -3925,7 +3934,9 @@ object LocalKVStore {
       Map("p" -> (AttrVal.L(e.path.toVector.map {
         case Left(f)  => AttrVal.S(f): AttrVal
         case Right(i) => AttrVal.N(i)
-      }): AttrVal)) ++ e.value.map(v => "v" -> v)): AttrVal))
+      }): AttrVal))
+        ++ e.value.map(v => "v" -> v)
+        ++ e.append.map(a => "a" -> (AttrVal.Bool(a): AttrVal))): AttrVal))
 
   private[dynamo] def decodeEdits(a: AttrVal): Seq[PathEdit] = a match {
     case AttrVal.L(es) => es.map {
@@ -3940,7 +3951,12 @@ object LocalKVStore {
           case other => throw new IllegalArgumentException(
             s"corrupt PATH record path: $other")
         },
-        m.get("v"))
+        m.get("v"),
+        m.get("a").map {
+          case AttrVal.Bool(b) => b
+          case other => throw new IllegalArgumentException(
+            s"corrupt PATH record append flag: $other")
+        })
       case other => throw new IllegalArgumentException(
         s"corrupt PATH record edit: $other")
     }
@@ -3978,13 +3994,55 @@ object LocalKVStore {
     }
   }
 
+  /** Navigate `segs` to a leaf and transform it with `f` (None from
+    * `f` or a failed navigation = the whole edit is a no-op). Unlike
+    * [[editValue]]'s SET leaf case this never CREATES the leaf — it is
+    * the read-modify shape `list_append` needs, including at an empty
+    * `segs` (a bare top-level attr).
+    */
+  private def mapAt(v: AttrVal, segs: Seq[Either[String, Int]])(
+      f: AttrVal => Option[AttrVal]): Option[AttrVal] = segs match {
+    case Seq() => f(v)
+    case head +: rest => (v, head) match {
+      case (AttrVal.M(m), Left(fld)) =>
+        m.get(fld).flatMap(mapAt(_, rest)(f))
+          .map(nv => AttrVal.M(m + (fld -> nv)))
+      case (AttrVal.L(l), Right(i)) if i >= 0 && i < l.size =>
+        mapAt(l(i), rest)(f).map(nv => AttrVal.L(l.updated(i, nv)))
+      case _ => None
+    }
+  }
+
+  /** Apply one edit to a TOP-LEVEL attr's concrete value (the edit's
+    * `path.tail` navigates inside it). The single definition of edit
+    * semantics over values — the item fold ([[applyPathEdits]]) and
+    * the pending algebra's concrete resolutions all call here, so
+    * SET/REMOVE/list_append can never drift between replay paths.
+    * None = navigation failed / wrong shape → caller keeps the value
+    * (the op's silent no-op replay contract).
+    */
+  private[dynamo] def applyEdit1(v: AttrVal, e: PathEdit): Option[AttrVal] =
+    e.append match {
+      case None => editValue(v, e.path.tail, e.value)
+      case Some(atEnd) => e.value match {
+        case Some(AttrVal.L(elems)) => mapAt(v, e.path.tail) {
+          case AttrVal.L(cur) =>
+            Some(AttrVal.L(if (atEnd) cur ++ elems else elems ++ cur))
+          case _ => None // list_append onto a non-list: no-op at replay
+        }
+        case _ => None // corrupt operand (emitters always send an L)
+      }
+    }
+
   /** Apply a PATH op's edits to a concrete ITEM, in order. */
   private[dynamo] def applyPathEdits(x: Item, edits: Seq[PathEdit]): Item =
     edits.foldLeft(x) { (acc, e) =>
       e.path match {
-        case Left(top) +: rest if rest.nonEmpty =>
+        // SET/REMOVE need a nested path (top-level forms ride the
+        // plain ops); list_append may target a bare top-level list
+        case Left(top) +: rest if rest.nonEmpty || e.append.isDefined =>
           acc.get(top) match {
-            case Some(v) => editValue(v, rest, e.value)
+            case Some(v) => applyEdit1(v, e)
               .map(nv => acc + (top -> nv)).getOrElse(acc)
             case None => acc // attr absent → document path doesn't exist
           }

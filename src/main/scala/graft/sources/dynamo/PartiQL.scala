@@ -3,8 +3,8 @@ package graft.sources.dynamo
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.functions.{col, lit, try_element_at}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{col, length, lit, try_element_at, when}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** PartiQL `ExecuteStatement` analogue — the one user-visible DynamoDB
@@ -79,6 +79,21 @@ object PartiQL {
   final case class InList(attr: DocPath, vs: Seq[AttrVal]) extends Cond
   /** `begins_with(attr, v)` / `contains(attr, v)`. */
   final case class FnCond(fn: String, attr: DocPath, v: AttrVal) extends Cond
+  /** `size(attr) <op> n` — the service's size() condition function:
+    * string length in characters, binary length in bytes, element
+    * count for lists/maps (the decoded M is a struct; its size is the
+    * count of PRESENT fields, matching the per-item map entry count).
+    */
+  final case class SizeCmp(attr: DocPath, op: String, v: AttrVal) extends Cond
+  /** `attribute_type(attr, 'S'|'N'|'BOOL'|'B'|'L'|'M')` — true when
+    * the attribute exists with that wire type. Post-decode a column
+    * has ONE static type, so this is `isNotNull` when the decoded type
+    * matches the tag and constant-false otherwise; the set tags
+    * (SS/NS/BS decode as L) and 'NULL' (indistinguishable from
+    * MISSING after decode — the documented IS MISSING conflation)
+    * are rejected loudly.
+    */
+  final case class AttrType(attr: DocPath, tag: String) extends Cond
   final case class Missing(attr: DocPath, negated: Boolean) extends Cond
   /** Boolean structure (the service's PartiQL accepts full boolean
     * WHERE expressions): parsed with standard precedence
@@ -100,9 +115,16 @@ object PartiQL {
     * OLD|NEW *` (the service's UpdateItem ReturnValues surface in
     * PartiQL spelling); DELETE supports OLD only, INSERT none.
     */
+  /** `appends`: `SET l = list_append(l, v)` clauses — (target path,
+    * list operand, true = append at end / false = prepend). The
+    * target must be one of list_append's own operands (the service's
+    * read-elsewhere-write-here form `SET a = list_append(b, v)` has
+    * no single-path conditional edit and is rejected loudly).
+    */
   final case class Update(table: String, sets: Seq[(DocPath, AttrVal)],
       removes: Seq[DocPath], where: Seq[Cond],
-      returning: Option[String] = None) extends Stmt
+      returning: Option[String] = None,
+      appends: Seq[(DocPath, AttrVal, Boolean)] = Nil) extends Stmt
   final case class Delete(table: String, where: Seq[Cond],
       returning: Option[String] = None) extends Stmt
 
@@ -193,18 +215,20 @@ object PartiQL {
         store.appendWal(t, System.currentTimeMillis(), writerId(),
           Seq(store.PutIfAbsent(item)))
         opRow("INSERT", t)
-      case Update(t, sets, removes, where, returning) =>
+      case Update(t, sets, removes, where, returning, appends) =>
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "UPDATE")
         val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
-        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a.head),
-          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}' " +
-            "(the service's ValidationException — write a new item instead)"))
+        (sets.map(_._1) ++ removes ++ appends.map(_._1)).foreach(a =>
+          require(!keyAttrs(a.head),
+            s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}' " +
+              "(the service's ValidationException — write a new item instead)"))
         val cur = store.transactGet(t, Seq(key)).head.getOrElse(
           throw new IllegalArgumentException(
             s"PartiQL UPDATE: no item with the specified key in '$t' " +
               "(the service's ConditionalCheckFailedException analogue)"))
-        val (edits, newImgFn) = updateOps(store, key, sets, removes, Some(cur))
+        val (edits, newImgFn) =
+          updateOps(store, key, sets, removes, appends, Some(cur))
         // one journal append = one atomic publish; ALL ops are
         // conditional on the item existing AT REPLAY ORDER, so a
         // DELETE racing the advisory existence check above can only
@@ -329,7 +353,7 @@ object PartiQL {
         val key: Item = keyAttrs.map(k => k -> item(k)).toMap
         Slice(t, Seq(store.PutIfAbsent(item)),
           Some(TxnCheck.Absent(key)), "INSERT", key)
-      case Update(t, sets, removes, where, returning) =>
+      case Update(t, sets, removes, where, returning, appends) =>
         require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
           "in execute_transaction (the service's TransactWriteItems " +
           "returns no item images)")
@@ -338,14 +362,17 @@ object PartiQL {
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "UPDATE")
         val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
-        (sets.map(_._1) ++ removes).foreach(a => require(!keyAttrs(a.head),
-          s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}'"))
-        // nested-path targets: advisory single-item read for the LOUD
-        // ValidationException on a dead path (the transaction's own
-        // Exists check still guards existence atomically at commit)
-        val curOpt = if ((sets.map(_._1) ++ removes).exists(!_.simple))
+        (sets.map(_._1) ++ removes ++ appends.map(_._1)).foreach(a =>
+          require(!keyAttrs(a.head),
+            s"PartiQL UPDATE: cannot SET/REMOVE key attribute '${a.head}'"))
+        // nested-path / list_append targets: advisory single-item read
+        // for the LOUD ValidationException on a dead path (the
+        // transaction's own Exists check still guards existence
+        // atomically at commit)
+        val curOpt = if ((sets.map(_._1) ++ removes).exists(!_.simple)
+            || appends.nonEmpty)
           store.transactGet(t, Seq(key)).head else None
-        val (ops, _) = updateOps(store, key, sets, removes, curOpt)
+        val (ops, _) = updateOps(store, key, sets, removes, appends, curOpt)
         Slice(t, ops, Some(TxnCheck.Exists(key)), "UPDATE", key)
       case Delete(t, where, returning) =>
         require(returning.isEmpty, "PartiQL: RETURNING is not supported " +
@@ -463,7 +490,7 @@ object PartiQL {
         (sel.orderBy.sizeIs == 1 && sel.orderBy.head._1.simple &&
           sel.orderBy.head._1.head == rkName.get))
     val desc = sel.orderBy.headOption.exists(!_._2)
-    val sig = pageSig(sel)
+    val sig = pageSig(sel, meta)
     // resume window from the token: a pushed sort-key bound
     val resume: Option[AttrVal] = nextToken.map { tok =>
       val m = try ItemJson.parse(new String(
@@ -489,6 +516,24 @@ object PartiQL {
       if (pageable) sel.copy(projection = innerProj, orderBy = innerOrder) else sel,
       consistentRead)
     resume.foreach { last =>
+      // the token's sort-key value must still mean what it meant when
+      // issued: a table recreated under the token with a same-NAMED
+      // range key of a different TYPE would otherwise resume into a
+      // mistyped comparison (empty or full pages — silently wrong
+      // either way, the one paging shape data mutations can corrupt)
+      val dt = df.schema(rkName.get).dataType
+      val kindOk = (last, dt) match {
+        case (_: AttrVal.S, StringType) => true
+        case (_: AttrVal.N, LongType | IntegerType |
+          org.apache.spark.sql.types.DoubleType) => true
+        case (_: AttrVal.N, _: org.apache.spark.sql.types.DecimalType) => true
+        case (_: AttrVal.B, BinaryType) => true
+        case _ => false
+      }
+      require(kindOk, "PartiQL: NextToken's sort-key value does not " +
+        s"match the table's current sort-key type ($dt) — the table " +
+        "was recreated under the token; re-run the statement without " +
+        "a token")
       val c = col(rkName.get)
       df = df.filter(if (desc) c < sparkLit(last) else c > sparkLit(last))
     }
@@ -540,15 +585,64 @@ object PartiQL {
     val token = java.util.Base64.getEncoder.encodeToString(
       ItemJson.write(Map("sig" -> AttrVal.S(sig), "rk" -> lastRk))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the continuation column is reserved: appending it next to a
+    // projected user attribute of the same name would leave two
+    // 'next_token' fields and token-loop consumers reading item data
+    // as the token — reject loudly instead
+    require(!stripRk(schema, appendedRk, rkIdx).fieldNames
+        .contains("next_token"),
+      "PartiQL: the paged result projects an attribute named " +
+        "'next_token', which collides with the reserved continuation " +
+        "column — project it under another name (or use the unbounded " +
+        "DataFrame read)")
     (stripRk(schema, appendedRk, rkIdx)
        .add(StructField("next_token", StringType, nullable = true)),
       collected.map(projectOut(schema, appendedRk, rkIdx, _, Some(token))).toArray)
   }
 
-  /** Binds a token to the statement that issued it. */
-  private def pageSig(sel: Select): String = {
+  /** A value in the canonical item wire encoding — binary values
+    * render as their base64 CONTENT, not the JVM array identity that
+    * `Array[Byte].toString` would give (two executes of the same
+    * binary-keyed statement must produce the same signature, or the
+    * token loop breaks on every resume).
+    */
+  private def renderVal(v: AttrVal): String = ItemJson.write(Map("v" -> v))
+
+  private def renderCond(c: Cond): String = c match {
+    case Cmp(a, op, v) => s"cmp(${a.render},$op,${renderVal(v)})"
+    case Between(a, lo, hi) =>
+      s"between(${a.render},${renderVal(lo)},${renderVal(hi)})"
+    case InList(a, vs) => s"in(${a.render},${vs.map(renderVal).mkString(",")})"
+    case FnCond(fn, a, v) => s"$fn(${a.render},${renderVal(v)})"
+    case SizeCmp(a, op, v) => s"size(${a.render},$op,${renderVal(v)})"
+    case AttrType(a, tag) => s"attrtype(${a.render},$tag)"
+    case Missing(a, neg) => s"missing(${a.render},$neg)"
+    case OrCond(l, r) => s"or(${renderCond(l)},${renderCond(r)})"
+    case AndCond(l, r) => s"and(${renderCond(l)},${renderCond(r)})"
+    case NotCond(x) => s"not(${renderCond(x)})"
+  }
+
+  /** Binds a token to the statement that issued it AND to the table's
+    * key schema: the digest is a CANONICAL rendering of the AST (value
+    * literals in the item wire encoding — never case-class toString,
+    * whose `Array[Byte]` identity would change per call) plus the
+    * hash/range key names. A table dropped and recreated with
+    * different keys under a held token therefore fails loudly as
+    * "different statement" instead of resuming into a read whose
+    * pushed sort-key window no longer means anything.
+    */
+  private def pageSig(sel: Select, meta: TableMeta): String = {
+    val canon = Seq(
+      sel.table,
+      sel.index.getOrElse(""),
+      sel.projection.fold("*")(_.map(_.render).mkString(",")),
+      sel.where.map(renderCond).mkString(";"),
+      sel.orderBy.map { case (a, asc) =>
+        a.render + (if (asc) ":a" else ":d") }.mkString(","),
+      s"keys:${meta.hashKey},${meta.rangeKey.getOrElse("")}"
+    ).mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(sel.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
 
@@ -602,7 +696,7 @@ object PartiQL {
       .option("stronglyConsistentReads", consistentRead.toString)
     sel.index.foreach(ix => rd = rd.option("indexName", ix))
     var df = rd.load()
-    sel.where.foreach(c => df = df.filter(cond2col(c)))
+    sel.where.foreach(c => df = df.filter(cond2col(c, df.schema)))
     sel.projection.foreach(p => df = df.select(p.map(pp =>
       if (pp.simple) col(pp.head) else pathCol(pp).as(pp.render)): _*))
     if (sel.orderBy.nonEmpty)
@@ -652,21 +746,46 @@ object PartiQL {
     */
   private def updateOps(store: LocalKVStore, key: Item,
       sets: Seq[(DocPath, AttrVal)], removes: Seq[DocPath],
+      appends: Seq[(DocPath, AttrVal, Boolean)],
       cur: Option[Item]): (Seq[store.Op], Item => Item) = {
     val (simpleSets, pathSets) = sets.partition(_._1.simple)
     val (simpleRems, pathRems) = removes.partition(_.simple)
     val pathTargets: Seq[(DocPath, Option[AttrVal])] =
       pathSets.map { case (p, v) => p -> (Some(v): Option[AttrVal]) } ++
         pathRems.map(p => p -> (None: Option[AttrVal]))
+    // list_append's operand is a LIST on the service — statement
+    // shape, so reject it loudly regardless of the item's state
+    appends.foreach { case (p, v, _) => require(v.isInstanceOf[AttrVal.L],
+      s"PartiQL UPDATE: list_append's operand for '${p.render}' must be " +
+        "a list (the service's ValidationException)") }
     cur.foreach { c =>
       pathTargets.foreach { case (p, v) =>
-        val ok = c.get(p.head)
-          .exists(LocalKVStore.editValue(_, p.segs, v).isDefined)
+        val ok = v match {
+          case Some(_) => c.get(p.head)
+            .exists(LocalKVStore.editValue(_, p.segs, v).isDefined)
+          // REMOVE faults only on invalid INTERMEDIATE navigation —
+          // an absent LEAF in a navigable container of the right kind
+          // is the service's documented no-op
+          case None =>
+            lookupPath(c, DocPath(p.head, p.segs.init)).exists {
+              case AttrVal.M(_) => p.segs.last.isLeft
+              case AttrVal.L(_) => p.segs.last.isRight
+              case _ => false
+            }
+        }
         require(ok, s"PartiQL UPDATE: the document path '${p.render}' " +
           "does not exist in the item (the service's ValidationException)")
       }
+      appends.foreach { case (p, _, _) =>
+        require(lookupPath(c, p).exists(_.isInstanceOf[AttrVal.L]),
+          s"PartiQL UPDATE: list_append target '${p.render}' is not an " +
+            "existing list (the service's ValidationException)")
+      }
     }
-    val edits = pathTargets.map { case (p, v) => LocalKVStore.PathEdit(p.full, v) }
+    val edits =
+      pathTargets.map { case (p, v) => LocalKVStore.PathEdit(p.full, v) } ++
+        appends.map { case (p, v, atEnd) =>
+          LocalKVStore.PathEdit(p.full, Some(v), Some(atEnd)) }
     val ops = Seq.newBuilder[store.Op]
     if (simpleSets.nonEmpty)
       ops += store.UpdateIfExists(key ++ simpleSets.map { case (p, v) => p.head -> v })
@@ -708,26 +827,98 @@ object PartiQL {
       case (c, Right(i)) => try_element_at(c, lit(i + 1))
     }
 
-  private def cond2col(c: Cond): Column = c match {
-    case Cmp(a, "=", v) => pathCol(a) === sparkLit(v)
-    case Cmp(a, "<>", v) => pathCol(a) =!= sparkLit(v)
-    case Cmp(a, "<", v) => pathCol(a) < sparkLit(v)
-    case Cmp(a, "<=", v) => pathCol(a) <= sparkLit(v)
-    case Cmp(a, ">", v) => pathCol(a) > sparkLit(v)
-    case Cmp(a, ">=", v) => pathCol(a) >= sparkLit(v)
-    case Cmp(a, op, _) => throw new IllegalArgumentException(
-      s"PartiQL: unsupported comparison '$op' on '${a.render}'")
+  private def cmpCol(c: Column, op: String, v: Column, at: DocPath): Column =
+    op match {
+      case "=" => c === v
+      case "<>" => c =!= v
+      case "<" => c < v
+      case "<=" => c <= v
+      case ">" => c > v
+      case ">=" => c >= v
+      case other => throw new IllegalArgumentException(
+        s"PartiQL: unsupported comparison '$other' on '${at.render}'")
+    }
+
+  /** The decoded Spark type a document path lands on, from the read's
+    * own schema (None = the path names nothing the decode produced).
+    * `size()`/`attribute_type()` resolve against this — post-decode a
+    * column's type is STATIC, so both functions compile to plain
+    * Catalyst over the typed column, never a per-row type dispatch.
+    */
+  private def pathType(schema: StructType, p: DocPath)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    def walk(dt: org.apache.spark.sql.types.DataType,
+        segs: Seq[Either[String, Int]])
+        : Option[org.apache.spark.sql.types.DataType] = segs match {
+      case Seq() => Some(dt)
+      case Left(f) +: rest => dt match {
+        case st: StructType =>
+          st.fields.find(_.name == f).flatMap(x => walk(x.dataType, rest))
+        case org.apache.spark.sql.types.MapType(_, v, _) => walk(v, rest)
+        case _ => None
+      }
+      case Right(_) +: rest => dt match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => walk(et, rest)
+        case _ => None
+      }
+    }
+    schema.fields.find(_.name == p.head).flatMap(f => walk(f.dataType, p.segs))
+  }
+
+  private def cond2col(c: Cond, schema: StructType): Column = c match {
+    case Cmp(a, op, v) => cmpCol(pathCol(a), op, sparkLit(v), a)
     case Between(a, lo, hi) => pathCol(a) >= sparkLit(lo) && pathCol(a) <= sparkLit(hi)
     case InList(a, vs) => pathCol(a).isin(vs.map(rawLit): _*)
     case FnCond("begins_with", a, AttrVal.S(p)) => pathCol(a).startsWith(p)
     case FnCond("contains", a, AttrVal.S(s)) => pathCol(a).contains(s)
     case FnCond(fn, a, v) => throw new IllegalArgumentException(
       s"PartiQL: $fn('${a.render}', $v) requires a string argument")
+    case SizeCmp(a, op, n) =>
+      require(n.isInstanceOf[AttrVal.N], s"PartiQL: size('${a.render}') " +
+        "compares against a number (the service's ValidationException)")
+      val sz: Column = pathType(schema, a) match {
+        // string: character count; binary: byte count — both are
+        // Spark's own `length`, matching the service's size()
+        case Some(StringType | BinaryType) => length(pathCol(a))
+        case Some(_: org.apache.spark.sql.types.ArrayType |
+                  _: org.apache.spark.sql.types.MapType) =>
+          org.apache.spark.sql.functions.size(pathCol(a))
+        // decoded M = struct of every key the table's items use; the
+        // per-item entry count is the count of PRESENT fields
+        case Some(st: StructType) =>
+          val base = pathCol(a)
+          st.fields.map(f => when(base.getField(f.name).isNotNull, 1)
+            .otherwise(0): Column).reduce(_ + _)
+        case Some(other) => throw new IllegalArgumentException(
+          s"PartiQL: size('${a.render}') is undefined on the decoded " +
+            s"type $other (the service's ValidationException)")
+        case None => throw new IllegalArgumentException(
+          s"PartiQL: size('${a.render}') names no attribute the read " +
+            "decodes — the condition could never be true")
+      }
+      cmpCol(sz, op, sparkLit(n), a)
+    case AttrType(a, tag) =>
+      val dt = pathType(schema, a)
+      val matches = (tag, dt) match {
+        case ("S", Some(StringType)) => true
+        case ("N", Some(_: org.apache.spark.sql.types.NumericType)) => true
+        case ("BOOL", Some(BooleanType)) => true
+        case ("B", Some(BinaryType)) => true
+        case ("L", Some(_: org.apache.spark.sql.types.ArrayType)) => true
+        case ("M", Some(_: StructType |
+                        _: org.apache.spark.sql.types.MapType)) => true
+        case ("S" | "N" | "BOOL" | "B" | "L" | "M", _) => false
+        case (other, _) => throw new IllegalArgumentException(
+          s"PartiQL: attribute_type tag '$other' is not supported here " +
+            "(sets decode as L; NULL is indistinguishable from MISSING " +
+            "after decode — use IS MISSING)")
+      }
+      if (matches) pathCol(a).isNotNull else lit(false)
     case Missing(a, false) => pathCol(a).isNull
     case Missing(a, true) => pathCol(a).isNotNull
-    case OrCond(l, r) => cond2col(l) || cond2col(r)
-    case AndCond(l, r) => cond2col(l) && cond2col(r)
-    case NotCond(x) => !cond2col(x)
+    case OrCond(l, r) => cond2col(l, schema) || cond2col(r, schema)
+    case AndCond(l, r) => cond2col(l, schema) && cond2col(r, schema)
+    case NotCond(x) => !cond2col(x, schema)
   }
 
   // ---- parser (recursive descent over the DynamoDB PartiQL subset) --
@@ -782,6 +973,20 @@ object PartiQL {
       ws(); if (pos < s.length && s.charAt(pos) == c) { pos += 1; true } else false
     }
     def ch(c: Char): Unit = if (!tryChar(c)) fail(s"expected '$c'")
+
+    /** Keyword-then-'(' lookahead: consumes the keyword ONLY when a
+      * call follows, so an attribute that happens to be named like a
+      * condition function (`size = 3`) still parses as a path.
+      */
+    def tryFn(name: String): Boolean = {
+      val save = pos
+      if (!tryKw(name)) false
+      else {
+        ws()
+        if (pos < s.length && s.charAt(pos) == '(') true
+        else { pos = save; false }
+      }
+    }
 
     def statement(): Stmt =
       if (tryKw("SELECT")) select()
@@ -910,12 +1115,22 @@ object PartiQL {
 
     def cond(): Cond = {
       val fn =
-        if (tryKw("begins_with")) Some("begins_with")
-        else if (tryKw("contains")) Some("contains")
+        if (tryFn("begins_with")) Some("begins_with")
+        else if (tryFn("contains")) Some("contains")
         else None
       if (fn.isDefined) {
         ch('('); val a = path(); ch(','); val v = value(); ch(')')
         FnCond(fn.get, a, v)
+      } else if (tryFn("size")) {
+        ch('('); val a = path(); ch(')')
+        SizeCmp(a, cmpOp(), value())
+      } else if (tryFn("attribute_type")) {
+        ch('('); val a = path(); ch(','); val v = value(); ch(')')
+        v match {
+          case AttrVal.S(tag) => AttrType(a, tag)
+          case other => fail(s"attribute_type's second argument must " +
+            s"be a type tag string, got $other")
+        }
       } else {
         val a = path()
         if (tryKw("IS")) {
@@ -996,6 +1211,27 @@ object PartiQL {
       val t = ident()
       val sets = Vector.newBuilder[(DocPath, AttrVal)]
       val removes = Vector.newBuilder[DocPath]
+      val appends = Vector.newBuilder[(DocPath, AttrVal, Boolean)]
+      // one list_append operand: the target path itself, or a value
+      def appendOperand(target: DocPath): Option[AttrVal] = {
+        ws()
+        val save = pos
+        val identStart = pos < s.length &&
+          s.charAt(pos).isLetter || (pos < s.length && s.charAt(pos) == '_')
+        if (identStart) {
+          // TRUE/FALSE/NULL are value keywords, not paths (restore
+          // pos: value() re-parses them)
+          if (tryKw("TRUE") || tryKw("FALSE") || tryKw("NULL")) {
+            pos = save; Some(value())
+          } else {
+            val p = path()
+            if (p != target) fail(s"list_append may only read the SET " +
+              s"target itself ('${target.render}'); reading another " +
+              s"path ('${p.render}') has no single-item conditional form")
+            None // the target-path operand
+          }
+        } else Some(value())
+      }
       var any = false
       var cont = true
       while (cont) {
@@ -1003,7 +1239,22 @@ object PartiQL {
           any = true
           var more = true
           while (more) {
-            ws(); val a = path(); ch('='); sets += a -> value()
+            ws(); val a = path(); ch('=')
+            if (tryFn("list_append")) {
+              ch('(')
+              val op1 = appendOperand(a); ch(',')
+              val op2 = appendOperand(a); ch(')')
+              (op1, op2) match {
+                // list_append(target, v) appends; list_append(v,
+                // target) prepends — the service's two spellings
+                case (None, Some(v)) => appends += ((a, v, true))
+                case (Some(v), None) => appends += ((a, v, false))
+                case (None, None) => fail("list_append's operands " +
+                  "cannot both be the target path")
+                case (Some(_), Some(_)) => fail("one of list_append's " +
+                  "operands must be the SET target path")
+              }
+            } else sets += a -> value()
             more = tryChar(',')
           }
         } else if (tryKw("REMOVE")) {
@@ -1015,7 +1266,7 @@ object PartiQL {
       if (!any) fail("UPDATE requires at least one SET or REMOVE clause")
       kw("WHERE")
       Update(t, sets.result(), removes.result(), condAnd(),
-        returningClause(allowNew = true))
+        returningClause(allowNew = true), appends.result())
     }
 
     def delete(): Delete = {

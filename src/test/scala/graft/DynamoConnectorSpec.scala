@@ -6602,4 +6602,287 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === (1L to 1500L))
     assert(got.forall { case (r, p) => p == s"payload-b-$r" })
   }
+
+  test("execute_statement: size() and attribute_type() condition functions") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    def item(rk: Int, s: String, tags: Seq[String], extra: Map[String, AttrVal])
+        : Map[String, AttrVal] = Map(
+      "hk" -> AttrVal.S("a"), "rk" -> AttrVal.N(rk), "s" -> AttrVal.S(s),
+      "tags" -> AttrVal.L(tags.toVector.map(AttrVal.S(_): AttrVal))) ++ extra
+    assert(spark != null) // force session init for PartiQL.execute
+    store.bulkLoad("szt", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator(
+        item(1, "ab", Seq("x"), Map(
+          "bin" -> AttrVal.B(Array[Byte](1, 2, 3)),
+          "meta" -> AttrVal.M(Map("a" -> AttrVal.N(1), "b" -> AttrVal.N(2))),
+          "size" -> AttrVal.N(7))),
+        item(2, "abcd", Seq("x", "y", "z"), Map(
+          "bin" -> AttrVal.B(Array[Byte](9)),
+          "meta" -> AttrVal.M(Map("a" -> AttrVal.N(1))))),
+        item(3, "abcdef", Seq(), Map("n" -> AttrVal.N(5)))))
+    def run(stmt: String): Seq[Long] = {
+      val (schema, rows) = PartiQL.execute(root, stmt, Nil)
+      val i = schema.fieldIndex("rk")
+      rows.map(_.getLong(i)).toSeq.sorted
+    }
+    // size() over every decoded shape: string chars, list elements,
+    // binary bytes, and the struct-decoded M's PRESENT-field count
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(s) > 3") === Seq(2L, 3L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(tags) = 3") === Seq(2L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(bin) >= 3") === Seq(1L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) = 2") === Seq(1L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) = 1") === Seq(2L))
+    // ...and it agrees with the equivalent DataFrame read
+    val viaRead = spark.read.dynamo(root, "szt")
+      .filter(col("hk") === "a" && length(col("s")) > 3)
+      .select("rk").collect().map(_.getLong(0)).toSeq.sorted
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(s) > 3") === viaRead)
+    // an attribute NAMED size is still a path (function needs a call)
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size = 7") === Seq(1L))
+    // attribute_type: present-with-matching-decoded-type
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(n, 'N')")
+      === Seq(3L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(s, 'S')")
+      === Seq(1L, 2L, 3L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(bin, 'B')")
+      === Seq(1L, 2L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(tags, 'L')")
+      === Seq(1L, 2L, 3L))
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(meta, 'M')")
+      === Seq(1L, 2L))
+    // a non-matching tag is constant-false, not an error
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(s, 'N')")
+      === Seq())
+    // unsupported tags (sets decode as L; NULL == MISSING post-decode)
+    // are loud
+    val loud = intercept[Exception] {
+      run("SELECT rk FROM szt WHERE hk = 'a' AND attribute_type(s, 'SS')") }
+    assert(loud.getMessage.contains("not supported"), loud.getMessage)
+    // size() against a non-number is the service's ValidationException
+    val nn = intercept[Exception] {
+      run("SELECT rk FROM szt WHERE hk = 'a' AND size(s) > 'x'") }
+    assert(nn.getMessage.contains("number"), nn.getMessage)
+  }
+
+  test("execute_statement: list_append and REMOVE-of-absent-leaf semantics") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    assert(spark != null) // force session init for PartiQL.execute
+    store.bulkLoad("lt", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator(
+        Map("hk" -> (AttrVal.S("a"): AttrVal), "rk" -> (AttrVal.N(1): AttrVal),
+          "tags" -> (AttrVal.L(Vector(AttrVal.S("x"), AttrVal.S("y"))): AttrVal),
+          "meta" -> (AttrVal.M(Map(
+            "arr" -> AttrVal.L(Vector(AttrVal.N(1))),
+            "keep" -> AttrVal.S("k"))): AttrVal),
+          "s" -> (AttrVal.S("v"): AttrVal))))
+    def exec(stmt: String, params: Seq[AttrVal] = Nil) =
+      PartiQL.execute(root, stmt, params)
+    def tags(): Seq[String] = spark.read.dynamo(root, "lt")
+      .filter(col("rk") === 1).select("tags").head().getSeq[String](0)
+    // append form: SET l = list_append(l, [..])
+    exec("UPDATE lt SET tags = list_append(tags, ['z','w']) " +
+      "WHERE hk = 'a' AND rk = 1")
+    assert(tags() === Seq("x", "y", "z", "w"))
+    // prepend form: SET l = list_append([..], l)
+    exec("UPDATE lt SET tags = list_append(['p'], tags) " +
+      "WHERE hk = 'a' AND rk = 1")
+    assert(tags() === Seq("p", "x", "y", "z", "w"))
+    // ? parameter operand, and RETURNING ALL NEW shows the appended list
+    val (ns, nr) = exec("UPDATE lt SET tags = list_append(tags, ?) " +
+      "WHERE hk = 'a' AND rk = 1 RETURNING ALL NEW *",
+      Seq(AttrVal.L(Vector(AttrVal.S("q")))))
+    val img = nr.head.getUTF8String(ns.fieldIndex("item")).toString
+    assert(img.contains("\"q\""), img)
+    assert(tags() === Seq("p", "x", "y", "z", "w", "q"))
+    // nested list target
+    exec("UPDATE lt SET meta.arr = list_append(meta.arr, [2]) " +
+      "WHERE hk = 'a' AND rk = 1")
+    assert(spark.read.dynamo(root, "lt").filter(col("rk") === 1)
+      .select(col("meta").getField("arr")).head().getSeq[Long](0) === Seq(1L, 2L))
+    // the appended state survives compaction (the journal replay path
+    // applies the same edit semantics as the live fold)
+    graft.sources.dynamo.DynamoMaintenance.compact(spark, root, "lt")
+    assert(tags() === Seq("p", "x", "y", "z", "w", "q"))
+    // list_append onto a non-list / absent attr is the service's
+    // ValidationException, loud
+    val nl = intercept[Exception] {
+      exec("UPDATE lt SET s = list_append(s, ['x']) WHERE hk = 'a' AND rk = 1") }
+    assert(nl.getMessage.contains("not an existing list"), nl.getMessage)
+    val ab = intercept[Exception] {
+      exec("UPDATE lt SET nope = list_append(nope, ['x']) WHERE hk = 'a' AND rk = 1") }
+    assert(ab.getMessage.contains("not an existing list"), ab.getMessage)
+    // a non-list operand is loud too
+    val nlo = intercept[Exception] {
+      exec("UPDATE lt SET tags = list_append(tags, 'x') WHERE hk = 'a' AND rk = 1") }
+    assert(nlo.getMessage.contains("must be a list"), nlo.getMessage)
+    // read-elsewhere-write-here has no single-item conditional form
+    val other = intercept[Exception] {
+      exec("UPDATE lt SET tags = list_append(meta.arr, ['x']) " +
+        "WHERE hk = 'a' AND rk = 1") }
+    assert(other.getMessage.contains("target itself"), other.getMessage)
+    // REMOVE of an absent LEAF in a navigable container: the
+    // service's no-op, not an error
+    exec("UPDATE lt REMOVE meta.absent WHERE hk = 'a' AND rk = 1")
+    assert(spark.read.dynamo(root, "lt").filter(col("rk") === 1)
+      .select(col("meta").getField("keep")).head().getString(0) === "k")
+    // list index past the end: absent leaf, no-op
+    exec("UPDATE lt REMOVE tags[99] WHERE hk = 'a' AND rk = 1")
+    assert(tags() === Seq("p", "x", "y", "z", "w", "q"))
+    // but an invalid INTERMEDIATE path still faults loudly
+    val dead = intercept[Exception] {
+      exec("UPDATE lt REMOVE nope.deep WHERE hk = 'a' AND rk = 1") }
+    assert(dead.getMessage.contains("does not exist"), dead.getMessage)
+    // and REMOVE of a leaf under a non-container faults (s is a string)
+    val nc = intercept[Exception] {
+      exec("UPDATE lt REMOVE s.deep WHERE hk = 'a' AND rk = 1") }
+    assert(nc.getMessage.contains("does not exist"), nc.getMessage)
+    // list_append inside execute_transaction rides the same PathEdits
+    PartiQL.executeTransaction(root,
+      "UPDATE lt SET tags = list_append(tags, ['t']) WHERE hk = 'a' AND rk = 1",
+      Nil)
+    assert(tags() === Seq("p", "x", "y", "z", "w", "q", "t"))
+  }
+
+  test("LAW: paging tokens bind to statement content, not value identity (binary keys)") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val pad = "x" * 200
+    assert(spark != null) // force session init for PartiQL.execute
+    store.bulkLoad("bt", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator.range(0, 2000).map(i => Map(
+        "hk" -> (AttrVal.B(Array[Byte](7, 42)): AttrVal),
+        "rk" -> (AttrVal.N(i): AttrVal),
+        "payload" -> (AttrVal.S(s"$pad$i"): AttrVal))))
+    val stmt = "SELECT payload, rk FROM bt WHERE hk = ?"
+    // each call constructs a FRESH Array[Byte] — equal bytes, distinct
+    // identity; the signature must come from the CONTENT (the old
+    // case-class-toString signature changed per call and rejected
+    // every resume on binary-keyed statements)
+    def page(token: Option[String]) = PartiQL.execute(root, stmt,
+      Seq(AttrVal.B(Array[Byte](7, 42))), None, false, token,
+      pageBytes = 64 * 1024)
+    val (s1, r1) = page(None)
+    val tokI = s1.fieldNames.indexOf("next_token")
+    assert(tokI >= 0, "first page must truncate at this bound")
+    val t1 = r1.head.getUTF8String(tokI).toString
+    val (s2, r2) = page(Some(t1)) // fresh parse + fresh byte array
+    assert(r2.nonEmpty)
+    assert(r2.head.getLong(s2.fieldIndex("rk")) ===
+      r1.last.getLong(s1.fieldIndex("rk")) + 1)
+    // a BINARY SORT KEY pages too: the token carries the base64
+    // content and the resume window pushes a binary comparison
+    store.bulkLoad("bsk", TableMeta("hk", Some("rk"), shards = 2,
+        throughput = 1000000L),
+      Iterator.range(0, 2000).map(i => Map(
+        "hk" -> (AttrVal.S("h"): AttrVal),
+        "rk" -> (AttrVal.B(Array[Byte](
+          ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)): AttrVal),
+        "payload" -> (AttrVal.S(s"$pad$i"): AttrVal))))
+    val bstmt = "SELECT payload, rk FROM bsk WHERE hk = 'h'"
+    var tok: Option[String] = None
+    var n = 0
+    var done = false
+    var pages = 0
+    while (!done) {
+      val (bs, br) = PartiQL.execute(root, bstmt, Nil, None, false, tok,
+        pageBytes = 64 * 1024)
+      n += br.length
+      pages += 1
+      assert(pages < 40)
+      bs.fieldNames.indexOf("next_token") match {
+        case i if i >= 0 => tok = Some(br.head.getUTF8String(i).toString)
+        case _ => done = true
+      }
+    }
+    assert(pages > 1 && n === 2000, s"pages=$pages n=$n")
+  }
+
+  test("LAW: a resumed page reads the CURRENT table state; key-schema drift is loud") {
+    import graft.sources.dynamo.{AttrVal, PartiQL, TableMeta}
+    val root = freshRoot()
+    val store = new LocalKVStore(root)
+    val pad = "x" * 200
+    assert(spark != null) // force session init for PartiQL.execute
+    def seed(rkName: String, rkOf: Int => AttrVal): Unit =
+      store.bulkLoad("mt", TableMeta("hk", Some(rkName), shards = 2,
+          throughput = 1000000L),
+        Iterator.range(0, 2000).filter(_ % 2 == 0).map(i => Map(
+          "hk" -> (AttrVal.S("h"): AttrVal),
+          rkName -> rkOf(i),
+          "payload" -> (AttrVal.S(s"$pad$i"): AttrVal))))
+    seed("rk", i => AttrVal.N(i))
+    val stmt = "SELECT payload, rk FROM mt WHERE hk = 'h'"
+    def page(token: Option[String]) =
+      PartiQL.execute(root, stmt, Nil, None, false, token, pageBytes = 64 * 1024)
+    val (s1, r1) = page(None)
+    val tokI = s1.fieldNames.indexOf("next_token")
+    assert(tokI >= 0)
+    val t1 = r1.head.getUTF8String(tokI).toString
+    val lastSeen = r1.last.getLong(s1.fieldIndex("rk"))
+    // pagination is NOT a snapshot (the service's own semantics): a
+    // write landing in the remaining window between pages is VISIBLE
+    // to the resumed read...
+    PartiQL.execute(root, s"INSERT INTO mt VALUE {'hk': 'h', " +
+      s"'rk': ${lastSeen + 1}, 'payload': 'fresh'}", Nil)
+    // ...and a delete ahead of the cursor disappears (lastSeen is
+    // even — the seed wrote even rks only — so lastSeen+2 exists)
+    PartiQL.execute(root, s"DELETE FROM mt WHERE hk = 'h' AND rk = ${lastSeen + 2}",
+      Nil)
+    val (s2, r2) = page(Some(t1))
+    val rks = r2.map(_.getLong(s2.fieldIndex("rk"))).toSeq
+    assert(rks.head === lastSeen + 1, s"inserted row must appear: $rks")
+    assert(!rks.contains(lastSeen + 2), "deleted row must be gone")
+    assert(rks.contains(lastSeen + 4), "undisturbed rows still page")
+    // truncate + rewrite under the token (the overwrite dance): the
+    // resumed read sees exactly the CURRENT rows in the remaining
+    // window — never stale pre-truncate rows
+    store.truncateTable("mt")
+    Seq(lastSeen - 2, lastSeen + 10, lastSeen + 20).foreach(rk =>
+      PartiQL.execute(root, s"INSERT INTO mt VALUE {'hk': 'h', " +
+        s"'rk': $rk, 'payload': 'post-truncate'}", Nil))
+    val (s3, r3) = page(Some(t1))
+    assert(r3.map(_.getLong(s3.fieldIndex("rk"))).toSeq ===
+      Seq(lastSeen + 10, lastSeen + 20))
+    assert(!s3.fieldNames.contains("next_token"))
+    // drop + recreate with a DIFFERENT range-key NAME: the signature
+    // binds the key schema, so the held token is refused loudly
+    def dropTable(): Unit = {
+      val dir = java.nio.file.Paths.get(root, "mt")
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+    dropTable()
+    seed("rk2", i => AttrVal.N(i))
+    val renamed = intercept[Exception] { page(Some(t1)) }
+    assert(renamed.getMessage.contains("different statement"),
+      renamed.getMessage)
+    // drop + recreate with the SAME names but a STRING-typed sort key:
+    // the token's numeric cursor no longer means anything — loud, never
+    // a mistyped (empty or overfull) resumed page
+    dropTable()
+    seed("rk", i => AttrVal.S(f"k$i%06d"))
+    val retyped = intercept[Exception] { page(Some(t1)) }
+    assert(retyped.getMessage.contains("sort-key type"), retyped.getMessage)
+    // reserved-column collision: a paged projection naming next_token
+    // is refused instead of returning two same-named columns
+    store.bulkLoad("ck", TableMeta("hk", Some("rk"), shards = 1,
+        throughput = 1000000L),
+      Iterator.range(0, 2000).map(i => Map(
+        "hk" -> (AttrVal.S("h"): AttrVal), "rk" -> (AttrVal.N(i): AttrVal),
+        "next_token" -> (AttrVal.S(s"$pad$i"): AttrVal))))
+    val coll = intercept[Exception] {
+      PartiQL.execute(root, "SELECT next_token, rk FROM ck WHERE hk = 'h'",
+        Nil, None, false, None, pageBytes = 32 * 1024) }
+    assert(coll.getMessage.contains("collides"), coll.getMessage)
+  }
 }

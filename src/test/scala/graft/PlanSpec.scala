@@ -307,6 +307,14 @@ class PlanSpec extends AnyFunSuite {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$k:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k:\n$p")
+      // the superstep width SELF-SIZES from the edge count (r14's sf3
+      // OOM fix) but must stay at the session default at gate scale —
+      // every hash exchange here is the stock width, no key silently
+      // over-partitions small data
+      val dflt = spark.sessionState.conf.numShufflePartitions
+      val widths = raw"hashpartitioning\([^()]*(?:\([^()]*\)[^()]*)*, (\d+)\)".r
+        .findAllMatchIn(p).map(_.group(1).toInt).toSet
+      assert(widths.nonEmpty && widths == Set(dflt), s"$k widths=$widths:\n$p")
     }
   }
 

@@ -104,4 +104,24 @@ class QueriesSpec extends AnyFunSuite {
     val liCount = Fixtures.lineitem(spark, sf).count()
     assert(total == liCount)
   }
+
+  test("semantic-LSH band width: integer arithmetic, exact at power-of-two ratios") {
+    // r = clamp(0..8, ceil(log2(ceil(n/(k*200))))) in pure integers —
+    // mirrors the oracle's CASE ladder; a floating log2 could flip
+    // ceil() by one ULP at EXACT power-of-two ratios (the boundary
+    // cases pinned here, where n = k*200*2^m must give exactly m)
+    assert(queries.Dedup.bandBits(1, 1) == 0)
+    assert(queries.Dedup.bandBits(200, 1) == 0)
+    assert(queries.Dedup.bandBits(201, 1) == 1)
+    for (k <- Seq(1L, 5L, 16L); m <- 0 to 8)
+      assert(queries.Dedup.bandBits(k * 200 * (1L << m), k) == m,
+        s"k=$k m=$m")
+    // the 0..8 clamp holds arbitrarily far up
+    assert(queries.Dedup.bandBits(200L * 511, 1) == 8)
+    assert(queries.Dedup.bandBits(Long.MaxValue / 2, 1) == 8)
+    // one past a power of two steps up
+    for (k <- Seq(1L, 5L); m <- 1 to 7)
+      assert(queries.Dedup.bandBits(k * 200 * (1L << m) + 1, k) == m + 1,
+        s"k=$k m=$m +1")
+  }
 }

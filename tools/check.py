@@ -5,9 +5,25 @@ NOT part of the engine (the Scala library has zero Python deps) — this
 script just lets the builder run the same DuckDB-oracle comparison the
 driver runs, before committing.
 
-Usage: python tools/check.py <verify_out_dir> <sf_dir> [query ...]
+Usage: python tools/check.py <verify_out_dir> <sf_dir> [options] [query ...]
   <verify_out_dir> must contain <name>/ parquet dirs + oracle_sql.json
   (produced by `sbt "runMain graft.Verify <sf_dir> <verify_out_dir>"`).
+Options:
+  --json <path>  also write a driver-shaped correctness artifact
+                 ({name: {rows_match, schema_match, hash_match,
+                 spark_rows, oracle_rows, err}}) — what the standing
+                 sf1 regression gate commits as CORRECTNESS_sf1.json.
+  --big          big-fixture mode (sf >= ~1): q_dedup_cluster_full's
+                 recursive-CTE connected components is decomposed into
+                 an iterative fixpoint loop over temp tables (same
+                 algebra — the heavy prefix is taken VERBATIM from the
+                 committed oracle text; only the `reach` recursion is
+                 replaced by min-label propagation, which computes the
+                 identical min-reachable-id per node). The recursive
+                 form materializes the full reachability relation and
+                 exceeds sandbox memory at sf1; the loop is
+                 O(nodes × diameter). Cross-checked against the
+                 recursive oracle at the driver's own sf0.01 gate.
 """
 import glob
 import json
@@ -18,6 +34,11 @@ import sys
 import duckdb
 import pyarrow.parquet as pq
 
+# The suffix of the committed q_dedup_cluster_full oracle that --big
+# swaps for the fixpoint loop (everything BEFORE it — tokenization,
+# MinHash, banding, Jaccard verify, edges — runs verbatim).
+CC_TAIL = ",\nreach(id, comp) AS (\n"
+
 
 def norm(v):
     if isinstance(v, float):
@@ -27,16 +48,72 @@ def norm(v):
     return v
 
 
+def duck_mem_limit():
+    """Bounded-memory cap for the heavy oracles: never RAISE DuckDB's
+    default (80% of physical RAM) — on a small box a hardcoded 48GB
+    would take the cap ABOVE physical memory. min(48GB, 60% of RAM)."""
+    try:
+        total_gb = (os.sysconf("SC_PAGE_SIZE") *
+                    os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+    except (ValueError, OSError):
+        total_gb = 16.0
+    return f"{max(1, min(48, int(total_gb * 0.6)))}GB"
+
+
+def run_cc_iterative(con, sql):
+    """q_dedup_cluster_full at big sf: run the oracle's own prefix (up
+    to and including the `edges` CTE), then replace the recursive
+    `reach` CTE with min-label propagation to a fixpoint — the same
+    min-reachable-id-per-node result, without materializing the full
+    reachability relation."""
+    head, _ = sql.split(CC_TAIL, 1)  # raises if the oracle text drifts
+    con.execute("DROP TABLE IF EXISTS cc_edges")
+    con.execute("DROP TABLE IF EXISTS cc_comp")
+    con.execute("CREATE TEMP TABLE cc_edges AS " + head +
+                "\nSELECT a, b FROM edges")
+    con.execute("CREATE TEMP TABLE cc_comp AS "
+                "SELECT doc_id AS id, doc_id AS comp FROM documents")
+    while True:
+        con.execute(
+            "CREATE TEMP TABLE cc_next AS "
+            "SELECT id, min(comp) AS comp FROM ("
+            "  SELECT id, comp FROM cc_comp"
+            "  UNION ALL"
+            "  SELECT e.a AS id, c.comp FROM cc_edges e"
+            "  JOIN cc_comp c ON c.id = e.b"
+            ") GROUP BY id")
+        changed = con.execute(
+            "SELECT count(*) FROM cc_next n JOIN cc_comp c USING (id) "
+            "WHERE n.comp <> c.comp").fetchone()[0]
+        con.execute("DROP TABLE cc_comp")
+        con.execute("ALTER TABLE cc_next RENAME TO cc_comp")
+        if changed == 0:
+            break
+    return con.execute(
+        "SELECT id AS doc_id, CAST(comp AS BIGINT) AS cluster "
+        "FROM cc_comp ORDER BY doc_id").arrow()
+
+
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    big = False
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    if "--big" in args:
+        big = True
+        args.remove("--big")
+    out_dir, sf_dir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     # heavy oracles (LSH pair joins at sf1) need a bounded memory
     # footprint with disk spill, or the in-memory default climbs to
     # the sandbox ceiling and the box swaps/OOMs
-    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET memory_limit='{duck_mem_limit()}'")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in ("region nation customer supplier part orders lineitem "
@@ -45,29 +122,45 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        entry = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": None,
+                 "oracle_rows": None, "err": None}
+        report[name] = entry
         files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
+            entry["err"] = "no_spark_output"
             n_fail += 1
             continue
         got = pq.read_table(files)
+        entry["spark_rows"] = got.num_rows
         try:
-            exp = con.execute(sql).arrow()
+            if big and name == "q_dedup_cluster_full":
+                exp = run_cc_iterative(con, sql)
+            else:
+                exp = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            entry["err"] = f"oracle_error: {e}"
             n_fail += 1
             continue
+        entry["oracle_rows"] = exp.num_rows
         g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
+        entry["rows_match"] = got.num_rows == exp.num_rows
+        entry["schema_match"] = g_cols == e_cols
         if g_cols != e_cols:
             print(f"FAIL {name}: columns {g_cols} vs {e_cols}")
+            entry["hash_match"] = False
             n_fail += 1
             continue
         got, exp = got.select(g_cols), exp.select(e_cols)
         g_rows = [tuple(norm(v) for v in r) for r in zip(*(c.to_pylist() for c in got.columns))] if got.num_rows else []
         e_rows = [tuple(norm(v) for v in r) for r in zip(*(c.to_pylist() for c in exp.columns))] if exp.num_rows else []
+        entry["hash_match"] = g_rows == e_rows
         if g_rows == e_rows:
             print(f"PASS {name} ({len(g_rows)} rows)")
             n_pass += 1
@@ -86,6 +179,10 @@ def main():
             # schema hint
             print(f"  spark schema: {[(f.name, str(f.type)) for f in got.schema]}")
             print(f"  duck  schema: {[(f.name, str(f.type)) for f in exp.schema]}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# Standing sf1 regression gate (round-15 verdict item 1): rebuild the
+# deterministic sf1 fixture, oracle-verify EVERY query key against
+# DuckDB at 10x the driver's gate scale, and bench the full inventory —
+# one command, so every future round refreshes the committed
+# CORRECTNESS_sf1.json / BENCH_sf1.json instead of re-deriving the
+# round-14 scale proof by hand.
+#
+# Usage: tools/scale_gate.sh [--skip-bench]
+#   produces/overwrites, at the repo root:
+#     CORRECTNESS_sf1.json  (check.py --json, driver-shaped)
+#     BENCH_sf1.json        (graft.Bench at SPARK_GRAFT_SF_DIR=sf1)
+#
+# q_dedup_cluster_full's oracle runs in check.py's --big mode: the
+# committed oracle's own heavy prefix verbatim, with the recursive-CTE
+# connected components swapped for an iterative fixpoint (the recursive
+# form exceeds sandbox memory at sf1 — see check.py docstring).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1=${SF1_DIR:-/tmp/testdata/sf1}
+OUT=${VERIFY_OUT:-/tmp/verify_sf1}
+
+if [ ! -f "$SF1/lineitem.parquet" ]; then
+  echo "== building sf1 fixture at $SF1 (deterministic, from sf0.1) =="
+  python tools/make_sf.py /root/testdata/sf0.1 "$SF1" 10
+else
+  echo "== sf1 fixture present at $SF1 =="
+fi
+
+echo "== Verify: dumping all query results at sf1 =="
+sbt -batch "runMain graft.Verify $SF1 $OUT"
+
+echo "== check.py: DuckDB oracle compare at sf1 (--big) =="
+python tools/check.py "$OUT" "$SF1" --big --json CORRECTNESS_sf1.json
+
+if [ "${1:-}" != "--skip-bench" ]; then
+  echo "== Bench at sf1 =="
+  SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" \
+    | tee /tmp/bench_sf1_run.log
+  grep -o '{"metric".*' /tmp/bench_sf1_run.log | tail -1 > BENCH_sf1.json
+  python - <<'PY'
+import json
+d = json.load(open("BENCH_sf1.json"))
+print(f"sf1 bench: {d['value']:.1f}s, contaminated={d.get('contaminated')}, "
+      f"retimed={d.get('retimed')}, preflight_failed={d.get('preflight_failed')}")
+PY
+fi
+echo "== scale gate done =="
