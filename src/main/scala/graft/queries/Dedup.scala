@@ -844,12 +844,15 @@ object Dedup {
         |         row_number() OVER (PARTITION BY vec_id
         |                            ORDER BY score_x1e4 DESC, label) AS rk
         |  FROM r) WHERE rk = 1),
-        |dt AS (SELECT hi.vec_id AS hi, lo.vec_id AS lo, sum(a.x * b.x) AS dot
+        |ed AS (SELECT vec_id,
+        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |       FROM embeddings),
+        |dt AS (SELECT hi.vec_id AS hi, lo.vec_id AS lo,
+        |              list_dot_product(ea.e, eb.e) AS dot
         |       FROM asg hi JOIN asg lo
         |         ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
-        |       JOIN ex a ON a.vec_id = hi.vec_id
-        |       JOIN ex b ON b.vec_id = lo.vec_id AND b.i = a.i
-        |       GROUP BY 1, 2),
+        |       JOIN ed ea ON ea.vec_id = hi.vec_id
+        |       JOIN ed eb ON eb.vec_id = lo.vec_id),
         |dom AS (SELECT DISTINCT dt.hi FROM dt
         |        JOIN vn na ON na.vec_id = dt.hi
         |        JOIN vn nb ON nb.vec_id = dt.lo

@@ -1181,6 +1181,25 @@ object DynamoQueries {
         .orderBy("c_custkey")
     }),
 
+    // PartiQL condition functions (round-15 dialect completion):
+    // size() resolves against the read's own decoded schema (string →
+    // length, list/map → element count, binary → bytes) and
+    // attribute_type() against the static decoded type — both compile
+    // to native Catalyst over the same DataFrame read, so the key
+    // pins the whole translator + type-resolution path under the
+    // DuckDB oracle. size(c_mktsegment) = 8 selects exactly the
+    // BUILDING segment (the only 8-char value) — a predicate the
+    // translation must get right per-row, not a constant.
+    "q_dyn_partiql_fn" -> ((s, dir) => {
+      val root = seededRoot(s, dir)
+      graft.sources.dynamo.PartiQL.selectDataFrame(s, root,
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
+          "WHERE (size(c_mktsegment) = 8 OR " +
+          "(size(c_name) > 17 AND c_acctbal < 0)) " +
+          "AND attribute_type(c_acctbal, 'N')")
+        .orderBy("c_custkey")
+    }),
+
     // ExecuteStatement pagination (the service's NextToken): drive the
     // token loop at a tiny page bound so the key proves, under the
     // DuckDB oracle, that bounded pages CONCATENATE to the one-shot
@@ -1688,6 +1707,12 @@ object DynamoQueries {
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING' OR
         |  (c_acctbal < 500 AND NOT (c_mktsegment = 'MACHINERY'))
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dyn_partiql_fn" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE (length(c_mktsegment) = 8 OR
+        |  (length(c_name) > 17 AND c_acctbal < 0))
+        |  AND c_acctbal IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
     "q_dyn_partiql_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -12,9 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * not an engine: the statement's DynamoDB PartiQL subset
   * (single-table SELECT / INSERT / UPDATE / DELETE, key conditions,
   * `begins_with`/`contains`/`IN`/`BETWEEN`/`IS [NOT] MISSING`,
+  * the condition functions `size()` and `attribute_type()`,
   * full boolean WHERE structure (`AND`/`OR`/`NOT`, parentheses),
   * nested document paths (`a.b`, `l[2]`, mixed) in WHERE, projection,
-  * ORDER BY and UPDATE SET/REMOVE,
+  * ORDER BY and UPDATE SET/REMOVE, `SET l = list_append(l, v)` /
+  * `list_append(v, l)` (the same-path forms — reading ANOTHER path
+  * has no single-item conditional edit and is rejected loudly),
   * `ORDER BY`, `?` parameters) maps onto the connector's OWN reads
   * and journal write ops, so a SELECT runs exactly the plan the
   * equivalent DataFrame read would (pushdown, key windows, index
