@@ -1179,7 +1179,7 @@ final class LocalKVStore(root: String) {
         journalRounds = journalRounds)
     val touched = states.keySet
     def landsHere(it: Item): Boolean =
-      it.contains(ix.hashKey) &&
+      it.get(ix.hashKey).exists(LocalKVStore.keyTyped) &&
         indexShardOf(meta, it(ix.hashKey)) % totalSegments == segment
     // direct emissions: base-independent finals landing in this segment
     val direct = states.valuesIterator
@@ -1193,8 +1193,11 @@ final class LocalKVStore(root: String) {
     // or gone) — conservatively check via the base
     val needBase = states.iterator.collect {
       case (k, KeyState(Right(m), _)) if (m.get(ix.hashKey) match {
-        case Some(PSet(v)) =>
+        case Some(PSet(v)) if LocalKVStore.keyTyped(v) =>
           indexShardOf(meta, v) % totalSegments == segment
+        // a pending SET to a NON-key-typed value makes the final
+        // image index-invisible, but the base's OLD image may still
+        // need a removal here → must check (same as unknown)
         case _ => true // unknown placement → must check
       }) => k
     }.toSet
@@ -1379,8 +1382,18 @@ final class LocalKVStore(root: String) {
     * materialized copies store exactly the projection.
     */
   def indexView(meta: TableMeta, index: IndexMeta, item: Item): Option[Item] =
-    if (!item.contains(index.hashKey) ||
-        index.rangeKey.exists(rk => !item.contains(rk))) None
+    // Sparse rule, extended to TYPE: an index key slot holding a
+    // non-key-typed value (Bool/L/M/Null — DynamoDB keys are S/N/B
+    // only) makes the item invisible through the index, same as a
+    // missing attribute. The service rejects such an item at WRITE
+    // time because its index declares key types; this store's indexes
+    // are schemaless, so without this rule one odd item would poison
+    // every later index rebuild (encKeyAttr faults inside compaction —
+    // found by the round-15 StoreLaws fuzz extension) instead of
+    // failing the write that caused it.
+    if (!item.get(index.hashKey).exists(LocalKVStore.keyTyped) ||
+        index.rangeKey.exists(rk => !item.get(rk).exists(LocalKVStore.keyTyped)))
+      None
     else index.projection match {
       case None => Some(item)
       case Some(incl) =>
@@ -3907,6 +3920,15 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** True for the value types DynamoDB accepts as KEY attributes
+    * (S/N/B). Index visibility and shard placement consult this —
+    * see [[LocalKVStore.indexView]]'s extended sparse rule.
+    */
+  private[dynamo] def keyTyped(a: AttrVal): Boolean = a match {
+    case _: AttrVal.S | _: AttrVal.N | _: AttrVal.B => true
+    case _ => false
+  }
 
   /** One nested-document edit ([[LocalKVStore.PathEdits]]): `path` =
     * the top-level attr (Left) followed by M-field (Left) / L-index

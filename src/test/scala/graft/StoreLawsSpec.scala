@@ -45,10 +45,17 @@ class StoreLawsSpec extends AnyFunSuite {
     */
   private def genAttrs: Gen[Item] = for {
     flat <- genFlat
-    withM <- Gen.option(Gen.zip(Gen.chooseNum(-99L, 99L), Gen.alphaStr)
-      .map { case (n, s) => "m" -> (AttrVal.M(Map(
+    withM <- Gen.option(Gen.zip(Gen.zip(Gen.chooseNum(-99L, 99L), Gen.alphaStr),
+        Gen.option(Gen.listOfN(2, Gen.chooseNum(0L, 9L))))
+      .map { case ((n, s), zl) => "m" -> (AttrVal.M(Map(
         "x" -> AttrVal.N(BigDecimal(n)),
-        "y" -> AttrVal.S(s.take(4)))): AttrVal) })
+        "y" -> AttrVal.S(s.take(4)))
+        // sometimes a NESTED list, so the append family (LAPP) has a
+        // non-top-level live target to hit — and sometimes not, so
+        // appends against scalars/absent leaves fuzz the no-op too
+        ++ zl.map(vs => "z" -> (AttrVal.L(
+          vs.toVector.map(v => AttrVal.N(BigDecimal(v)): AttrVal)): AttrVal))
+      ): AttrVal) })
     withL <- Gen.option(Gen.listOfN(3, Gen.chooseNum(0L, 9L))
       .map(vs => "l" -> (AttrVal.L(
         vs.toVector.map(v => AttrVal.N(BigDecimal(v)): AttrVal)): AttrVal)))
@@ -67,6 +74,24 @@ class StoreLawsSpec extends AnyFunSuite {
   } yield ("PATH", k,
     Map("p" -> (AttrVal.S(p): AttrVal)) ++ v.map("v" -> _))
 
+  /** LAPP encodes one list_append edit: `p` = target (a bare
+    * top-level attr or a dotted leaf), `v` = the L of elements to
+    * concatenate, `a` = at-end (true) / prepend (false). Targets mix
+    * live lists (`l`, `m.z` when the generator grew one) with
+    * scalars/absent leaves (`m.x`, `a`) so the op's silent-no-op
+    * replay contract fuzzes alongside the live concatenations.
+    */
+  private val genAppendOp: Gen[(String, String, Item)] = for {
+    k <- genKey
+    p <- Gen.oneOf("l", "m.z", "m.x", "a")
+    atEnd <- Gen.oneOf(true, false)
+    elems <- Gen.listOfN(2, Gen.chooseNum(100L, 109L))
+  } yield ("LAPP", k, Map(
+    "p" -> (AttrVal.S(p): AttrVal),
+    "v" -> (AttrVal.L(elems.toVector
+      .map(n => AttrVal.N(BigDecimal(n)): AttrVal)): AttrVal),
+    "a" -> (AttrVal.Bool(atEnd): AttrVal)))
+
   private val genOp: Gen[(String, String, Item)] = Gen.frequency(
     15 -> (for {
       tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE",
@@ -75,13 +100,15 @@ class StoreLawsSpec extends AnyFunSuite {
       k <- genKey
       attrs <- genAttrs
     } yield (tag, k, attrs)),
-    3 -> genPathOp)
+    3 -> genPathOp,
+    2 -> genAppendOp)
 
-  private def parsePath(p: String): Seq[Either[String, Int]] = {
-    val Array(top, seg) = p.split("\\.", 2)
-    Seq(Left(top),
-      if (top == "l") Right(seg.toInt) else Left(seg))
-  }
+  private def parsePath(p: String): Seq[Either[String, Int]] =
+    p.split("\\.", 2) match {
+      case Array(top) => Seq(Left(top))
+      case Array(top, seg) => Seq(Left(top),
+        if (top == "l") Right(seg.toInt) else Left(seg))
+    }
 
   /** Tagged op → store op — the one place the generator's tag
     * alphabet maps to the store alphabet (ADDN's increments are the
@@ -109,6 +136,11 @@ class StoreLawsSpec extends AnyFunSuite {
         store.PathEdits(Map("id" -> AttrVal.S(k)),
           Seq(LocalKVStore.PathEdit(
             parsePath(a("p").asInstanceOf[AttrVal.S].v), a.get("v"))))
+      case ("LAPP", k, a) =>
+        store.PathEdits(Map("id" -> AttrVal.S(k)),
+          Seq(LocalKVStore.PathEdit(
+            parsePath(a("p").asInstanceOf[AttrVal.S].v), a.get("v"),
+            Some(a("a").asInstanceOf[AttrVal.Bool].v))))
       case (_, k, a)        => store.Update(withKey(k, a))
     }
 
@@ -171,6 +203,30 @@ class StoreLawsSpec extends AnyFunSuite {
               case _ => None // absent or non-document attr: no-op
             }
             edited.fold(m)(nv => m + (k -> (it + (top -> nv))))
+          }
+        case "LAPP" => // list_append: live item only; target must
+          // navigate to an existing LIST, anything else is a no-op
+          if (!m.contains(k)) m
+          else {
+            val it = m(k)
+            val elems = attrs("v").asInstanceOf[AttrVal.L].v
+            val atEnd = attrs("a").asInstanceOf[AttrVal.Bool].v
+            def cat(cur: Vector[AttrVal]): AttrVal =
+              AttrVal.L(if (atEnd) cur ++ elems else elems ++ cur)
+            attrs("p").asInstanceOf[AttrVal.S].v.split("\\.", 2) match {
+              case Array(top) => it.get(top) match {
+                case Some(AttrVal.L(cur)) => m + (k -> (it + (top -> cat(cur))))
+                case _ => m
+              }
+              case Array(top, seg) => it.get(top) match {
+                case Some(AttrVal.M(mm)) => mm.get(seg) match {
+                  case Some(AttrVal.L(cur)) =>
+                    m + (k -> (it + (top -> (AttrVal.M(mm + (seg -> cat(cur))): AttrVal))))
+                  case _ => m
+                }
+                case _ => m
+              }
+            }
           }
       }
     }
