@@ -890,7 +890,8 @@ object PartiQL {
         // per-item entry count is the count of PRESENT fields
         case Some(st: StructType) =>
           val base = pathCol(a)
-          st.fields.map(f => when(base.getField(f.name).isNotNull, 1)
+          if (st.fields.isEmpty) lit(0) // an always-empty decoded M
+          else st.fields.map(f => when(base.getField(f.name).isNotNull, 1)
             .otherwise(0): Column).reduce(_ + _)
         case Some(other) => throw new IllegalArgumentException(
           s"PartiQL: size('${a.render}') is undefined on the decoded " +
