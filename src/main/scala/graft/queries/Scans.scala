@@ -434,9 +434,16 @@ object Scans {
       // single keyed shuffle of rank rows, never a re-shuffle of the
       // edge list. That's the relational Pregel shape that holds at a
       // 100× graph: edges are shuffled once at build, rank rows
-      // (node-sized, ≪ edges) per superstep. The width SELF-SIZES
-      // from the edge count ([[edgeParts]]) so the per-partition join
-      // sort stays bounded at any sf.
+      // (node-sized, ≪ edges) per superstep. The build-time
+      // repartition width SELF-SIZES from the edge count
+      // ([[edgeParts]]) so the checkpointed partitions stay bounded at
+      // any sf. (Measured both placements at sf3/8 GB: repartition
+      // INSIDE the checkpoint — balanced materialized partitions, the
+      // superstep joins re-shuffling from them at the stock width —
+      // runs 30 s; hoisting it into the query plan for partitioning
+      // visibility runs 58 s. The join was never this key's memory
+      // cliff — communities' window path was, and is sized in ITS
+      // plan below — so the cheaper shape wins here.)
       val edgesD = edges.join(deg, "src")
         .repartition(edgeParts(s, edges), col("src"))
         .localCheckpoint(true)
@@ -474,17 +481,21 @@ object Scans {
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
           col("cust").as("dst")))
         .localCheckpoint(true)
-      // Edge-list pre-partitioned by dst ONCE at the self-sized width
-      // ([[edgeParts]]): each round's label join reuses the layout.
-      // Inside a round, ONE sized repartition by src carries the
-      // edge-scale join output into BOTH the grouped count and the
-      // rank window (HashPartitioning(src) satisfies the group's
-      // (src,lbl) clustering AND the window's src partitioning, so
-      // neither adds an exchange — previously the window re-shuffled
+      // Edge-list pre-partitioned by dst ONCE PER EXECUTION at the
+      // self-sized width ([[edgeParts]]): both rounds' label joins
+      // share the one Exchange (ReusedExchange — the repartition is
+      // deliberately NOT checkpointed, because a checkpoint scan
+      // reports unknown partitioning and would force a per-round
+      // stock-width re-shuffle). Inside a round, ONE sized
+      // repartition by src carries the edge-scale join output into
+      // BOTH the grouped count and the rank window
+      // (HashPartitioning(src) satisfies the group's (src,lbl)
+      // clustering AND the window's src partitioning, so neither adds
+      // an exchange — previously the window re-shuffled
       // near-edge-scale grouped rows at the stock width, the r14 sf3
       // OOM site).
       val parts = edgeParts(s, edges)
-      val edgesP = edges.repartition(parts, col("dst")).localCheckpoint(true)
+      val edgesP = edges.repartition(parts, col("dst"))
       var lbl = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to 2) {

@@ -36,7 +36,13 @@ python tools/check.py "$OUT" "$SF1" --big --json CORRECTNESS_sf1.json
 
 if [ "${1:-}" != "--skip-bench" ]; then
   echo "== Bench at sf1 =="
-  SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" \
+  # sf-scoped bands (seeded from the last committed clean sf1 artifact
+  # via seed_bands.py): give sub-second keys the same min-level noise
+  # suppression the sf0.1 bands give, instead of band-less
+  # rep-disagreement roulette on a noisy box
+  BAND_ARGS=()
+  [ -f BENCH_BANDS_sf1.json ] && BAND_ARGS=(SPARK_GRAFT_BENCH_BAND=BENCH_BANDS_sf1.json)
+  env "${BAND_ARGS[@]}" SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" \
     | tee /tmp/bench_sf1_run.log
   grep -o '{"metric".*' /tmp/bench_sf1_run.log | tail -1 > BENCH_sf1.json
   python - <<'PY'

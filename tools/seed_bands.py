@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
-"""Re-seed BENCH_BANDS.json from a CLEAN bench artifact.
+"""Re-seed a bench-band file from a CLEAN bench artifact.
 
-Usage: python3 tools/seed_bands.py <bench_artifact.json> <note>
+Usage: python3 tools/seed_bands.py <bench_artifact.json> <note> [out.json]
+
+`out.json` defaults to BENCH_BANDS.json (the sf0.1 bands Bench reads
+by default). Bands are per-SCALE-FACTOR: pass BENCH_BANDS_sf1.json
+when seeding from an sf1 artifact and point Bench at it with
+SPARK_GRAFT_BENCH_BAND (tools/scale_gate.sh does this automatically),
+so sub-second keys at sf1 get the same min-level noise suppression
+sf0.1 runs have had since round 12 instead of band-less
+rep-disagreement roulette on a noisy box.
 
 Refuses an artifact that flags its own contamination (non-empty
 `contaminated`, `preflight_failed`, or ambient over 1.5x) — the bands
@@ -47,6 +55,7 @@ out = {
     "sf": art.get("sf", "/root/testdata/sf0.1"),
     "bands": bands,
 }
-with open("BENCH_BANDS.json", "w") as f:
+out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_BANDS.json"
+with open(out_path, "w") as f:
     json.dump(out, f, indent=1)
-print(f"seeded {len(bands)} bands from {src}")
+print(f"seeded {len(bands)} bands from {src} into {out_path}")
