@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * as [[Bench]] — for diagnosing order-dependent interference between
   * bench keys: `runMain graft.BenchSeq k1 k2 k3 ...` times each key
   * (2 reps) after running its predecessors, exactly like the bench.
+  *
+  * When `SPARK_GRAFT_BENCH_OUT` is set, also writes a Bench-shaped
+  * JSON artifact (min-of-reps per key) — `tools/sf3_probe.sh` uses
+  * this to commit the sf3 regression probe as a file instead of a
+  * commit-message table.
   */
 object BenchSeq {
   def main(args: Array[String]): Unit = {
@@ -22,7 +27,7 @@ object BenchSeq {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id) s").collect()
-    args.foreach { key =>
+    val results = args.map { key =>
       val fn = SparkEntry.queries(key)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -30,6 +35,19 @@ object BenchSeq {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"BENCHSEQ $key%-24s ${times.map(t => f"$t%.2f").mkString(" ")} s")
+      key -> times
+    }
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      def f3(d: Double) = f"$d%.3f"
+      val qs = results.map { case (k, ts) => s""""$k":${f3(ts.min)}""" }
+        .mkString("{", ",", "}")
+      val reps = results
+        .map { case (k, ts) => s""""$k":[${ts.map(f3).mkString(",")}]""" }
+        .mkString("{", ",", "}")
+      val total = f3(results.map(_._2.min).sum)
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      println(line)
     }
     spark.stop()
   }

@@ -47,6 +47,10 @@ object Dedup {
     */
   private[graft] def bandBits(n: Long, k: Long): Int = {
     val denom = k * 200L
+    // Empty corpus (n=0) or zero distinct labels (k=0 — countDistinct
+    // ignores NULLs, so an all-NULL label column yields 0): one band,
+    // same as the pre-integer code's degenerate r=0, instead of a /0.
+    if (n == 0L || denom == 0L) return 0
     val q = (n + denom - 1L) / denom // ceil(n / (k*200)), exactly
     if (q <= 1L) 0
     else math.min(8, 64 - java.lang.Long.numberOfLeadingZeros(q - 1L))

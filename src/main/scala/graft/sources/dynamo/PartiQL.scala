@@ -890,9 +890,15 @@ object PartiQL {
         // per-item entry count is the count of PRESENT fields
         case Some(st: StructType) =>
           val base = pathCol(a)
-          if (st.fields.isEmpty) lit(0) // an always-empty decoded M
-          else st.fields.map(f => when(base.getField(f.name).isNotNull, 1)
-            .otherwise(0): Column).reduce(_ + _)
+          // NULL (not 0) when the attribute is absent from the item —
+          // the service's size() on a missing attribute is false under
+          // every comparison, and 0 would make `size(m) = 0` match
+          // items that have no m at all.
+          val cnt: Column =
+            if (st.fields.isEmpty) lit(0) // an always-empty decoded M
+            else st.fields.map(f => when(base.getField(f.name).isNotNull, 1)
+              .otherwise(0): Column).reduce(_ + _)
+          when(base.isNotNull, cnt).otherwise(lit(null))
         case Some(other) => throw new IllegalArgumentException(
           s"PartiQL: size('${a.render}') is undefined on the decoded " +
             s"type $other (the service's ValidationException)")

@@ -6635,6 +6635,12 @@ class DynamoConnectorSpec extends AnyFunSuite {
     assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(bin) >= 3") === Seq(1L))
     assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) = 2") === Seq(1L))
     assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) = 1") === Seq(2L))
+    // size() on an ABSENT attribute is false under every comparison
+    // (the service never resolves it to 0): item 3 has no meta, so
+    // size(meta) = 0 and size(meta) < 5 both exclude it.
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) = 0") === Seq())
+    assert(run("SELECT rk FROM szt WHERE hk = 'a' AND size(meta) < 5")
+      === Seq(1L, 2L))
     // ...and it agrees with the equivalent DataFrame read
     val viaRead = spark.read.dynamo(root, "szt")
       .filter(col("hk") === "a" && length(col("s")) > 3)

@@ -123,5 +123,10 @@ class QueriesSpec extends AnyFunSuite {
     for (k <- Seq(1L, 5L); m <- 1 to 7)
       assert(queries.Dedup.bandBits(k * 200 * (1L << m) + 1, k) == m + 1,
         s"k=$k m=$m +1")
+    // degenerate corpora: n=0 (empty embeddings table) and k=0 (all
+    // labels NULL — countDistinct skips NULLs) give one band, not /0
+    assert(queries.Dedup.bandBits(0, 1) == 0)
+    assert(queries.Dedup.bandBits(0, 0) == 0)
+    assert(queries.Dedup.bandBits(1000, 0) == 0)
   }
 }

@@ -81,6 +81,13 @@ def run_cc_iterative(con, sql):
             "  UNION ALL"
             "  SELECT e.a AS id, c.comp FROM cc_edges e"
             "  JOIN cc_comp c ON c.id = e.b"
+            "  UNION ALL"
+            # Propagate BOTH directions so the fixpoint is correct even
+            # if the oracle's edges CTE ever emits only a<b pairs; a
+            # no-op on today's symmetric (id1,id2 UNION ALL id2,id1)
+            # edge list.
+            "  SELECT e.b AS id, c.comp FROM cc_edges e"
+            "  JOIN cc_comp c ON c.id = e.a"
             ") GROUP BY id")
         changed = con.execute(
             "SELECT count(*) FROM cc_next n JOIN cc_comp c USING (id) "

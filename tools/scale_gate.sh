@@ -40,11 +40,17 @@ if [ "${1:-}" != "--skip-bench" ]; then
   # via seed_bands.py): give sub-second keys the same min-level noise
   # suppression the sf0.1 bands give, instead of band-less
   # rep-disagreement roulette on a noisy box
+  # ${arr[@]+...} guards the empty-array case: under `set -u` on
+  # bash < 4.4 an empty "${BAND_ARGS[@]}" is an 'unbound variable'
+  # error (the first-ever sf1 seeding run has no band file yet).
   BAND_ARGS=()
   [ -f BENCH_BANDS_sf1.json ] && BAND_ARGS=(SPARK_GRAFT_BENCH_BAND=BENCH_BANDS_sf1.json)
-  env "${BAND_ARGS[@]}" SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" \
+  # SPARK_GRAFT_BENCH_OUT routes the artifact straight to BENCH_sf1.json:
+  # gate runs never touch BENCH_LAST.json (the sf0.1 clean capture), and
+  # the artifact no longer depends on stdout-tail capture surviving.
+  env ${BAND_ARGS[@]+"${BAND_ARGS[@]}"} SPARK_GRAFT_SF_DIR="$SF1" \
+    SPARK_GRAFT_BENCH_OUT=BENCH_sf1.json sbt -batch "runMain graft.Bench" \
     | tee /tmp/bench_sf1_run.log
-  grep -o '{"metric".*' /tmp/bench_sf1_run.log | tail -1 > BENCH_sf1.json
   python - <<'PY'
 import json
 d = json.load(open("BENCH_sf1.json"))
