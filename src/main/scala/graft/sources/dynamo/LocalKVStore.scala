@@ -1825,40 +1825,50 @@ final class LocalKVStore(root: String) {
         }
       }
       // Ops are pure data (no store-instance state), so re-binding
-      // another instance's Op values to this one is safe.
-      val staged = ordered.map(tx => transactStage0(tx.table, seq,
-        s"$writerId.x$txnId", tx.ops.asInstanceOf[Seq[Op]]))
-      val published = mutable.ArrayBuffer.empty[(String, String)]
-      try {
-        staged.foreach(st => published += ((st.table, transactPublish(st))))
-        // COMMIT POINT — one atomic rename; everything before it is
-        // invisible, everything after it is fully visible. The body
-        // records `<table>\t<walFileName>` per participant (v2, round
-        // 12): the file name carries the per-table publish seq, which
-        // is what lets an `asOfSeq` reader decide from the marker
-        // ALONE whether a cut includes this transaction in EVERY
-        // table or none ([[asOfExcludedTxnIds]]).
-        val marker = txnMarkerPath(txnId)
-        val mTmp = Paths.get(rootDir, s".txn-commit-$txnId.tmp")
-        Files.write(mTmp,
-          published.map { case (t, n) => s"$t\t$n" }.mkString("\n")
-            .getBytes(UTF_8))
-        Files.move(mTmp, marker,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        LocalKVStore.committedTxnCache.add(rootDir + "|" + txnId)
-      } catch { case e: Throwable =>
-        // Uncommitted: delete whatever published (still invisible) and
-        // discard the rest — best-effort, the reaper covers leftovers.
-        published.foreach { case (t, n) =>
-          val d = tableDir(t)
-          try {
-            Files.deleteIfExists(d.resolve(n))
-            Files.deleteIfExists(d.resolve(
-              "zstat-" + n.stripPrefix("wal-").stripSuffix(".jsonl") + ".json"))
-          } catch { case _: java.io.IOException => () }
+      // another instance's Op values to this one is safe. A table
+      // whose share is CHECK-ONLY (a ConditionCheck participant, e.g.
+      // PartiQL's [NOT] EXISTS) stages nothing: its checks were just
+      // evaluated under the held locks, it contributes no state, and
+      // an empty published WAL would only add a torn-read surface for
+      // asOfSeq to reason about. A transaction where EVERY table is
+      // check-only commits vacuously — all checks passed, no marker
+      // needed (nothing exists for a crash to tear).
+      val staged = ordered.filter(_.ops.nonEmpty).map(tx =>
+        transactStage0(tx.table, seq,
+          s"$writerId.x$txnId", tx.ops.asInstanceOf[Seq[Op]]))
+      if (staged.nonEmpty) {
+        val published = mutable.ArrayBuffer.empty[(String, String)]
+        try {
+          staged.foreach(st => published += ((st.table, transactPublish(st))))
+          // COMMIT POINT — one atomic rename; everything before it is
+          // invisible, everything after it is fully visible. The body
+          // records `<table>\t<walFileName>` per participant (v2, round
+          // 12): the file name carries the per-table publish seq, which
+          // is what lets an `asOfSeq` reader decide from the marker
+          // ALONE whether a cut includes this transaction in EVERY
+          // table or none ([[asOfExcludedTxnIds]]).
+          val marker = txnMarkerPath(txnId)
+          val mTmp = Paths.get(rootDir, s".txn-commit-$txnId.tmp")
+          Files.write(mTmp,
+            published.map { case (t, n) => s"$t\t$n" }.mkString("\n")
+              .getBytes(UTF_8))
+          Files.move(mTmp, marker,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          LocalKVStore.committedTxnCache.add(rootDir + "|" + txnId)
+        } catch { case e: Throwable =>
+          // Uncommitted: delete whatever published (still invisible) and
+          // discard the rest — best-effort, the reaper covers leftovers.
+          published.foreach { case (t, n) =>
+            val d = tableDir(t)
+            try {
+              Files.deleteIfExists(d.resolve(n))
+              Files.deleteIfExists(d.resolve(
+                "zstat-" + n.stripPrefix("wal-").stripSuffix(".jsonl") + ".json"))
+            } catch { case _: java.io.IOException => () }
+          }
+          staged.foreach(transactDiscard)
+          throw e
         }
-        staged.foreach(transactDiscard)
-        throw e
       }
       // Index write-through after the commit point, per table, while
       // still under the locks (same rationale as transactWrite).

@@ -9,23 +9,46 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** PartiQL `ExecuteStatement` analogue — the one user-visible DynamoDB
   * query surface with no other counterpart here. A thin TRANSLATOR,
-  * not an engine: the statement's DynamoDB PartiQL subset
-  * (single-table SELECT / INSERT / UPDATE / DELETE, key conditions,
-  * `begins_with`/`contains`/`IN`/`BETWEEN`/`IS [NOT] MISSING`,
-  * the condition functions `size()` and `attribute_type()`,
-  * full boolean WHERE structure (`AND`/`OR`/`NOT`, parentheses),
-  * nested document paths (`a.b`, `l[2]`, mixed) in WHERE, projection,
-  * ORDER BY and UPDATE SET/REMOVE, `SET l = list_append(l, v)` /
-  * `list_append(v, l)` (the same-path forms — reading ANOTHER path
-  * has no single-item conditional edit and is rejected loudly),
-  * `ORDER BY`, `?` parameters) maps onto the connector's OWN reads
-  * and journal write ops, so a SELECT runs exactly the plan the
-  * equivalent DataFrame read would (pushdown, key windows, index
-  * serve — all intact) and writes ride the store's atomic conditional
-  * ops (`PutIfAbsent` / `UpdateIfExists`), the same machinery the
-  * sinks use. Unsupported syntax fails loudly — never a silent
-  * approximation. [REF: the service's ExecuteStatement API — its
-  * PartiQL dialect is documented as exactly this subset.]
+  * not an engine: the statement's DynamoDB PartiQL subset maps onto
+  * the connector's OWN reads and journal write ops, so a SELECT runs
+  * exactly the plan the equivalent DataFrame read would (pushdown,
+  * key windows, index serve — all intact) and writes ride the store's
+  * atomic conditional ops (`PutIfAbsent` / `UpdateIfExists`), the
+  * same machinery the sinks use. Unsupported syntax fails loudly —
+  * never a silent approximation. [REF: the service's ExecuteStatement
+  * API — its PartiQL dialect is documented as exactly this subset.]
+  *
+  * SCOPE vs the service's documented grammar (the conformance-sweep
+  * spec walks this list production by production):
+  *   - SELECT: `*` or attribute-path projection, `FROM table[.index]`
+  *     (bare or double-quoted identifiers), WHERE, multi-key ORDER BY
+  *     ASC/DESC, `?` parameters. Limit/ConsistentRead/NextToken are
+  *     API parameters beside the statement, like the service.
+  *   - WHERE conditions: `= <> < <= > >=`, `BETWEEN`, `IN`,
+  *     `begins_with`, `contains`, `size()`, `attribute_type()`,
+  *     `IS [NOT] MISSING`, full `AND`/`OR`/`NOT` + parentheses,
+  *     nested document paths (`a.b`, `l[2]`, mixed).
+  *   - INSERT: `INTO table VALUE {tuple}` — one item (the grammar has
+  *     no VALUES list and no INSERT..SELECT).
+  *   - UPDATE: repeated `SET path = literal` / `REMOVE path` clauses,
+  *     `SET l = list_append(l, v)` / `list_append(v, l)` (the
+  *     same-path forms — reading ANOTHER path has no single-item
+  *     conditional edit and is rejected loudly), key-equality WHERE,
+  *     `RETURNING ALL|MODIFIED OLD|NEW *` (UpdateItem's four
+  *     ReturnValues). The value side is a LITERAL: the grammar has no
+  *     arithmetic, attribute references, or set_add/set_delete (sets
+  *     decode as L here).
+  *   - DELETE: key-equality WHERE, `RETURNING ALL OLD *` only.
+  *   - execute_transaction: `;`-separated all-read or all-write list,
+  *     plus `[NOT] EXISTS (SELECT * FROM t WHERE ...)` condition
+  *     checks (transactions-only, like the service; EXISTS carries
+  *     extra attribute conditions, NOT EXISTS is key-only absence).
+  *   - execute_batch: `;`-separated independent statements with
+  *     per-statement error slots; EXISTS rejected per-statement.
+  *   - OUT OF SCOPE, loud: LIMIT keyword, multi-table FROM, JOIN,
+  *     GROUP BY, aggregates, DISTINCT, subqueries outside EXISTS,
+  *     native-UpdateExpression spellings (`attribute_exists`, `ADD`,
+  *     arithmetic), set literals/functions (`<<..>>`, set_add).
   *
   * Service-semantics notes: INSERT of an existing key reports the
   * DuplicateItemException analogue (and the underlying op is
@@ -115,8 +138,10 @@ object PartiQL {
       orderBy: Seq[(DocPath, Boolean)]) extends Stmt
   final case class Insert(table: String, item: Item) extends Stmt
   /** `returning`: `Some("OLD")`/`Some("NEW")` for `RETURNING ALL
-    * OLD|NEW *` (the service's UpdateItem ReturnValues surface in
-    * PartiQL spelling); DELETE supports OLD only, INSERT none.
+    * OLD|NEW *`, `Some("MOD_OLD")`/`Some("MOD_NEW")` for `RETURNING
+    * MODIFIED OLD|NEW *` (the service's UpdateItem ReturnValues
+    * surface — ALL_OLD/ALL_NEW/UPDATED_OLD/UPDATED_NEW — in PartiQL
+    * spelling); DELETE supports ALL OLD only, INSERT none.
     */
   /** `appends`: `SET l = list_append(l, v)` clauses — (target path,
     * list operand, true = append at end / false = prepend). The
@@ -130,6 +155,17 @@ object PartiQL {
       appends: Seq[(DocPath, AttrVal, Boolean)] = Nil) extends Stmt
   final case class Delete(table: String, where: Seq[Cond],
       returning: Option[String] = None) extends Stmt
+  /** `[NOT] EXISTS (SELECT * FROM t WHERE ...)` — the service's
+    * transaction ConditionCheck in PartiQL spelling, valid ONLY inside
+    * `execute_transaction` (the service rejects it in
+    * ExecuteStatement and BatchExecuteStatement). EXISTS requires the
+    * keyed item to exist AND satisfy any extra WHERE conditions at
+    * publish time (evaluated atomically with the commit); NOT EXISTS
+    * asserts absence (key-only WHERE — the service's
+    * attribute_not_exists-on-the-key shape). A failed check cancels
+    * the whole transaction with nothing staged anywhere.
+    */
+  final case class ExistsCheck(sel: Select, negated: Boolean) extends Stmt
 
   /** Navigate a document path over a concrete item (None = the path
     * doesn't exist — MISSING on the service).
@@ -196,10 +232,16 @@ object PartiQL {
       case i: Insert => i.table
       case u: Update => u.table
       case d: Delete => d.table
+      case _: ExistsCheck => throw new IllegalArgumentException(
+        "PartiQL: EXISTS is valid only in execute_transaction (the " +
+          "service's ConditionCheck — it rejects EXISTS in " +
+          "ExecuteStatement and BatchExecuteStatement)")
     }
     require(store.exists(table), s"PartiQL: table '$table' does not exist")
     store.assertNotRestorePending(table)
     stmt match {
+      // unreachable: the table extraction above already threw
+      case _: ExistsCheck => throw new IllegalStateException("unreachable")
       case sel: Select =>
         runSelect(root, store, sel, limit, consistentRead, nextToken, pageBytes)
       case Insert(t, item) =>
@@ -244,7 +286,18 @@ object PartiQL {
           // NEW image derived from the same read the existence check
           // used — the merge the conditional replay applies (A14's
           // millisecond race window, like the read itself)
-          case Some(_) => opRowWithItem("UPDATE", t, Some(newImgFn(cur)))
+          case Some("NEW") => opRowWithItem("UPDATE", t, Some(newImgFn(cur)))
+          // MODIFIED = UpdateItem's UPDATED_OLD/UPDATED_NEW: only the
+          // top-level attributes this statement touched (a nested
+          // edit returns its whole top-level attribute, the service's
+          // shape); a REMOVEd attribute is naturally absent from the
+          // NEW side, and a SET of a previously-absent one from OLD
+          case Some(mod) =>
+            val touched = (sets.map(_._1.head) ++ removes.map(_.head) ++
+              appends.map(_._1.head)).toSet
+            val img = if (mod == "MOD_OLD") cur else newImgFn(cur)
+            opRowWithItem("UPDATE", t,
+              Some(img.filter { case (k, _) => touched(k) }))
         }
       case Delete(t, where, returning) =>
         val meta = store.describe(t)
@@ -386,6 +439,35 @@ object PartiQL {
         val meta = store.describe(t)
         val key = keyEqWhere(meta, where, "DELETE")
         Slice(t, Seq(store.Delete(key)), None, "DELETE", key)
+      case ExistsCheck(sel, negated) =>
+        val what = if (negated) "NOT EXISTS" else "EXISTS"
+        require(store.exists(sel.table),
+          s"PartiQL: table '${sel.table}' does not exist")
+        store.assertNotRestorePending(sel.table)
+        require(sel.index.isEmpty && sel.orderBy.isEmpty &&
+            sel.projection.isEmpty,
+          s"PartiQL $what: the inner statement must be `SELECT * FROM " +
+            "table WHERE ...` — no index read, projection or ORDER BY " +
+            "(the service's ConditionCheck shape)")
+        val meta = store.describe(sel.table)
+        val (key, extra) = keyAndConds(meta, sel.where, what)
+        val check =
+          if (negated) {
+            // NOT EXISTS asserts ABSENCE of the keyed item; an extra
+            // attribute condition under negation would mean "no item
+            // OR an item failing the condition" — a shape the
+            // service's ConditionCheck expresses with EXISTS + a
+            // negated ConditionExpression, so require the key-only
+            // spelling here rather than guess.
+            require(extra.isEmpty, "PartiQL NOT EXISTS: WHERE must name " +
+              "the full primary key only — assert attribute conditions " +
+              "with EXISTS (absence is the service's " +
+              "attribute_not_exists on the key)")
+            TxnCheck.Absent(key)
+          } else if (extra.isEmpty) TxnCheck.Exists(key)
+          else TxnCheck.Cond(key, extra.map(cond2filter)
+            .reduce(org.apache.spark.sql.sources.And(_, _)))
+        Slice(sel.table, Nil, Some(check), what, key)
     }
     // the service's rule: one transaction cannot include multiple
     // operations on one item (ValidationException) — without this,
@@ -445,6 +527,10 @@ object PartiQL {
         case s: Insert => ("INSERT", s.table)
         case s: Update => ("UPDATE", s.table)
         case s: Delete => ("DELETE", s.table)
+        // transactions-only; executeOne below reports it in this
+        // statement's error slot (the batch's per-statement shape)
+        case s: ExistsCheck =>
+          (if (s.negated) "NOT EXISTS" else "EXISTS", s.sel.table)
       }
       val (ok, n, err) =
         try {
@@ -736,6 +822,71 @@ object PartiQL {
     m
   }
 
+  /** EXISTS's WHERE split: full-primary-key equalities (exactly the
+    * table's key, via [[keyEqWhere]]'s own validation) plus whatever
+    * extra attribute conditions ride along — the ConditionCheck's
+    * Key + ConditionExpression halves.
+    */
+  private def keyAndConds(meta: TableMeta, where: Seq[Cond], what: String)
+      : (Item, Seq[Cond]) = {
+    val keyAttrs = Set(meta.hashKey) ++ meta.rangeKey
+    val (keyEqs, extra) = where.partition {
+      case Cmp(a, "=", _) if a.simple && keyAttrs(a.head) => true
+      case _ => false
+    }
+    (keyEqWhere(meta, keyEqs, what), extra)
+  }
+
+  /** A WHERE conjunct as a Spark `sources.Filter` for a transaction
+    * ConditionCheck ([[TxnCheck.Cond]] — evaluated with
+    * [[FilterEval]]'s three-valued semantics over the keyed item's
+    * CURRENT wire form, atomically at publish). Top-level attributes
+    * and the Filter-expressible family only; anything with no Filter
+    * analogue (size(), attribute_type(), nested paths, binary/NULL
+    * literals — FilterEval compares S/N/BOOL) is rejected LOUDLY,
+    * never compiled into a silently-always-cancelling check.
+    */
+  private def cond2filter(c: Cond): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.{sources => F}
+    def top(a: DocPath): String = {
+      require(a.simple, s"PartiQL EXISTS: nested path '${a.render}' is " +
+        "not supported in a transaction condition (top-level " +
+        "attributes only)")
+      a.head
+    }
+    def l(v: AttrVal, at: DocPath): Any = v match {
+      case AttrVal.B(_) | AttrVal.Null => throw new IllegalArgumentException(
+        s"PartiQL EXISTS: binary/NULL literals in the condition on " +
+          s"'${at.render}' have no wire-item comparison analogue here")
+      case other => rawLit(other)
+    }
+    c match {
+      case Cmp(a, "=", v)  => F.EqualTo(top(a), l(v, a))
+      case Cmp(a, "<>", v) => F.Not(F.EqualTo(top(a), l(v, a)))
+      case Cmp(a, "<", v)  => F.LessThan(top(a), l(v, a))
+      case Cmp(a, "<=", v) => F.LessThanOrEqual(top(a), l(v, a))
+      case Cmp(a, ">", v)  => F.GreaterThan(top(a), l(v, a))
+      case Cmp(a, ">=", v) => F.GreaterThanOrEqual(top(a), l(v, a))
+      case Between(a, lo, hi) => F.And(
+        F.GreaterThanOrEqual(top(a), l(lo, a)),
+        F.LessThanOrEqual(top(a), l(hi, a)))
+      case InList(a, vs) => F.In(top(a), vs.map(v => l(v, a)).toArray)
+      case FnCond("begins_with", a, AttrVal.S(p)) =>
+        F.StringStartsWith(top(a), p)
+      case FnCond("contains", a, AttrVal.S(x)) =>
+        F.StringContains(top(a), x)
+      case Missing(a, negated) =>
+        if (negated) F.IsNotNull(top(a)) else F.IsNull(top(a))
+      case AndCond(x, y) => F.And(cond2filter(x), cond2filter(y))
+      case OrCond(x, y)  => F.Or(cond2filter(x), cond2filter(y))
+      case NotCond(x)    => F.Not(cond2filter(x))
+      case other => throw new IllegalArgumentException(
+        s"PartiQL EXISTS: condition $other has no transaction " +
+          "ConditionCheck analogue (size()/attribute_type() are " +
+          "read-side only here)")
+    }
+  }
+
   /** Build the conditional journal ops for an UPDATE's SET/REMOVE
     * lists: plain top-level targets ride `UpdateIfExists` /
     * `RemoveAttrsIfExists`, nested document paths ride ONE
@@ -999,11 +1150,32 @@ object PartiQL {
     }
 
     def statement(): Stmt =
-      if (tryKw("SELECT")) select()
+      if (tryFn("EXISTS")) existsCheck(negated = false)
+      else if (tryNotExists()) existsCheck(negated = true)
+      else if (tryKw("SELECT")) select()
       else if (tryKw("INSERT")) insert()
       else if (tryKw("UPDATE")) update()
       else if (tryKw("DELETE")) delete()
-      else fail("expected SELECT, INSERT, UPDATE or DELETE")
+      else fail("expected SELECT, INSERT, UPDATE, DELETE or [NOT] EXISTS")
+
+    /** `NOT EXISTS (` lookahead — restores on anything else, so a
+      * statement can never start with a bare NOT anyway and nothing
+      * is stolen from the other productions.
+      */
+    private def tryNotExists(): Boolean = {
+      val save = pos
+      if (tryKw("NOT") && tryFn("EXISTS")) true
+      else { pos = save; false }
+    }
+
+    /** `[NOT] EXISTS (SELECT ...)` — transaction ConditionCheck. */
+    def existsCheck(negated: Boolean): ExistsCheck = {
+      ch('(')
+      kw("SELECT")
+      val sel = select()
+      ch(')')
+      ExistsCheck(sel, negated)
+    }
 
     /** Bare or double-quoted identifier (PartiQL quotes table names). */
     def ident(): String = {
@@ -1286,21 +1458,30 @@ object PartiQL {
       Delete(t, condAnd(), returningClause(allowNew = false))
     }
 
-    /** `RETURNING ALL OLD *` / `RETURNING ALL NEW *` — only the forms
-      * the service's PartiQL accepts (DELETE has no "new" image).
+    /** `RETURNING [ALL|MODIFIED] [OLD|NEW] *` — the service's full
+      * PartiQL return-values grammar for UPDATE (UpdateItem's ALL_OLD
+      * / UPDATED_OLD / ALL_NEW / UPDATED_NEW); DELETE accepts
+      * `ALL OLD *` only (DeleteItem's ReturnValues has no NEW or
+      * UPDATED forms).
       */
     private def returningClause(allowNew: Boolean): Option[String] =
       if (!tryKw("RETURNING")) None
       else {
-        kw("ALL")
+        val modified =
+          if (tryKw("ALL")) false
+          else if (tryKw("MODIFIED")) {
+            if (!allowNew) fail("DELETE supports RETURNING ALL OLD * only")
+            true
+          } else fail("expected ALL or MODIFIED after RETURNING")
         val which =
           if (tryKw("OLD")) "OLD"
           else if (tryKw("NEW")) {
             if (!allowNew) fail("DELETE supports RETURNING ALL OLD * only")
             "NEW"
-          } else fail("expected OLD or NEW after RETURNING ALL")
+          } else fail("expected OLD or NEW after RETURNING " +
+            (if (modified) "MODIFIED" else "ALL"))
         ch('*')
-        Some(which)
+        Some((if (modified) "MOD_" else "") + which)
       }
   }
 }
