@@ -289,6 +289,157 @@ class ReplicationSpec extends AnyFunSuite {
       s"the late-committed transaction must ship once marked ($r)")
   }
 
+  test("LAW: a committed cross-table transaction ships per-table, whole — destination may lack the other table") {
+    // Replication × transactions (r15 verdict item 3). The pinned
+    // semantics: replication is PER-TABLE state shipping (DynamoDB
+    // global tables; transactions are documented as NOT transactional
+    // across regions), so a committed cross-table transaction's share
+    // of a replicated table ships WHOLE through syncIncremental — the
+    // root-level commit marker never travels, and the destination is
+    // free to lack the transaction's OTHER table entirely. The only
+    // thing that must never ship is an UNCOMMITTED pending half — the
+    // watermark fence + listing invisibility guarantee that, including
+    // while full anti-entropy runs mid-commit.
+    import graft.sources.dynamo.{LocalKVStore => KV, TableTxn}
+    import scala.jdk.CollectionConverters._
+    val rootA = Files.createTempDirectory("repl-xtxn-src").toString
+    val rootB = Files.createTempDirectory("repl-xtxn-dst").toString
+    val a = new LocalKVStore(rootA)
+    a.createTable("t", meta)
+    a.createTable("u", meta) // replicates NOWHERE
+    val b = new LocalKVStore(rootB)
+    b.createTable("t", meta) // the destination has no "u" at all
+    w(a, "rA", 1, Seq(RPut(item("k1", "v1"))))
+    a.appendWal("t", nextSeq(), "wseed", Seq(a.Put(Map(
+      "id" -> AttrVal.S("k2"),
+      "l" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1))))))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1")
+    // a REAL cross-table transaction with nested-edit cargo in the
+    // replicated table and a plain write in the unreplicated one.
+    // Replicated mutations must advance their LWW stamp (the stamp
+    // contract: one (ver, region) never stamps two different writes
+    // of a key) — here the transaction bumps k2's stamp attrs in the
+    // same atomic slice as its path edit, the transactional spelling
+    // of writeStamped.
+    a.transactWriteMulti(Seq(
+      TableTxn("t", Seq(
+        a.Put(item("k3", "t3")),
+        a.PathEdits(Map("id" -> (AttrVal.S("k2"): AttrVal)),
+          Seq(KV.PathEdit(Seq(Left("l"), Right(0)),
+            Some(AttrVal.N(BigDecimal(9)))))),
+        a.Update(Map("id" -> AttrVal.S("k2"),
+          Replication.VerAttr -> AttrVal.N(BigDecimal(2)),
+          Replication.SrcAttr -> AttrVal.S("rA")))), Nil),
+      TableTxn("u", Seq(a.Put(item("k9", "u9"))), Nil)),
+      nextSeq(), "xt1")
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
+    def visible(st: LocalKVStore): Map[String, Item] =
+      st.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v ->
+          (it - Replication.VerAttr - Replication.SrcAttr)).toMap
+    assert(visible(b) === visible(a),
+      "the committed transaction's t-share must ship whole")
+    assert(visible(b)("k2")("l") ===
+      AttrVal.L(Vector(AttrVal.N(BigDecimal(9)))),
+      "path-edit cargo must ship as its resolved effect")
+    // mid-commit window: pending halves in BOTH tables, marker absent.
+    // Full anti-entropy (sync) runs NOW — nothing of the pending may
+    // ship, and the incremental watermark must stay fenced below it.
+    val pub = nextSeq()
+    val txnId = "00c0ffee00c0ffee"
+    def pend(table: String, k: String): Unit = {
+      val line = graft.sources.dynamo.ItemJson.write(Map(
+        "op" -> (AttrVal.S("PUT"): AttrVal),
+        "item" -> (AttrVal.M(item(k, "pending")): AttrVal)))
+      Files.write(java.nio.file.Paths.get(rootA, table,
+        f"wal-$pub%020d-w9.x$txnId-sall.jsonl"), (line + "\n").getBytes("UTF-8"))
+    }
+    pend("t", "k4"); pend("u", "k8")
+    val beforeMid = visible(b)
+    Replication.sync(a, b, "t", nextSeq(), "anti1") // anti-entropy mid-commit
+    assert(visible(b) === beforeMid,
+      "anti-entropy mid-commit must not ship a torn pending half")
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i3")
+    assert(visible(b) === beforeMid)
+    // COMMIT at the source; the next incremental pass ships t's share
+    val tmp = java.nio.file.Paths.get(rootA, s".txn-commit-$txnId.tmp")
+    Files.write(tmp, Array.empty[Byte])
+    Files.move(tmp, java.nio.file.Paths.get(rootA, s".txn-commit-$txnId"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i4")
+    assert(visible(b) === visible(a))
+    assert(visible(b).contains("k4"), "the committed share must ship")
+    assert(!Files.exists(java.nio.file.Paths.get(rootB, "u")),
+      "replication must never materialize the unreplicated table")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(rootB))
+      .iterator().asScala.forall(p =>
+        !p.getFileName.toString.startsWith(".txn-commit-")),
+      "the commit marker must never travel to the destination")
+    // ...and the LWW floor: an in-place mutation that does NOT
+    // advance its stamp (here: a plain unstamped Put over the
+    // stamped k2) sorts below the destination's copy and never
+    // ships — the flip side of the stamp contract above
+    a.appendWal("t", nextSeq(), "wplain",
+      Seq(a.Put(item("k2", "mutated-unstamped"))))
+    Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i5")
+    assert(!visible(b)("k2").contains("v"),
+      "a stamp-regressing mutation must not replicate (LWW floor)")
+  }
+
+  test("LAW: index-invisible items (non-key-typed index slots) survive backup and anti-entropy") {
+    // r15's keyTyped rule made items whose index key slot holds a
+    // Bool/L/M sparse-INVISIBLE in the index instead of poisoning
+    // rebuilds. The r16 frontier: those items as REPLICATION and
+    // BACKUP cargo, including a pending chain that ENDS
+    // index-invisible (a path edit retypes the slot) — both sides
+    // must rebuild indexes cleanly and agree on the index view.
+    import graft.sources.dynamo.{IndexMeta, LocalKVStore => KV}
+    val rootA = Files.createTempDirectory("repl-keytyped-a").toString
+    val a = new LocalKVStore(rootA)
+    val imeta = TableMeta("id", None, shards = 2, throughput = 1000000L,
+      indexes = Map("by_v" -> IndexMeta("v", None, None)))
+    a.bulkLoad("t", imeta, Iterator(
+      Map("id" -> AttrVal.S("k1"), "v" -> AttrVal.S("g1")),
+      Map("id" -> AttrVal.S("k2"), "v" -> AttrVal.S("g2"))))
+    a.buildIndex("t", "by_v")
+    // k3 arrives index-invisible outright AND its pending chain ends
+    // with a nested edit; k2's chain ENDS invisible (an Update
+    // retypes v to Bool — top-level retypes ride the plain ops, path
+    // edits are nested-only by contract); k1 stays visible
+    a.appendWal("t", nextSeq(), "w1", Seq(
+      a.Put(Map("id" -> AttrVal.S("k3"), "v" -> AttrVal.Bool(true),
+        "m" -> AttrVal.M(Map("x" -> AttrVal.N(BigDecimal(1)))))),
+      a.Update(Map("id" -> AttrVal.S("k2"), "v" -> AttrVal.Bool(false))),
+      a.PathEdits(Map("id" -> (AttrVal.S("k3"): AttrVal)),
+        Seq(KV.PathEdit(Seq(Left("m"), Left("x")),
+          Some(AttrVal.N(BigDecimal(2))))))))
+    def idxView(st: LocalKVStore): Vector[Item] = {
+      st.compact("t") // rebuild registered copies — must not fault
+      (0 until 2).flatMap(s =>
+        st.scanIndexSegment("t", "by_v", s, 2).map(_._1))
+        .toVector.sortBy(_.toString)
+    }
+    val srcIdx = idxView(a)
+    assert(srcIdx.map(_("id")) === Vector(AttrVal.S("k1")),
+      "only the key-typed item is index-visible at the source")
+    // backup: the restored store rebuilds the same (sparse) index
+    val dstRoot = Files.createTempDirectory("repl-keytyped-bk").toString
+    a.backupTable("t", dstRoot)
+    val r = new LocalKVStore(dstRoot)
+    assert(idxView(r) === srcIdx)
+    assert(r.scanSegment("t", 0, 1).map(_._1).toVector.sortBy(_.toString)
+      === a.scanSegment("t", 0, 1).map(_._1).toVector.sortBy(_.toString),
+      "index-invisible items still restore as BASE data")
+    // anti-entropy: a replica receives the items and agrees
+    val rootB = Files.createTempDirectory("repl-keytyped-b").toString
+    val b = new LocalKVStore(rootB)
+    b.createTable("t", imeta)
+    b.buildIndex("t", "by_v")
+    Replication.sync(a, b, "t", nextSeq(), "ae")
+    assert(idxView(b) === srcIdx)
+    assert(b.scanSegment("t", 0, 1).map(_._1).toVector.size === 3)
+  }
+
   test("three-region relay carries deletes and wins through the middle region") {
     val (a, b) = freshPair()
     val (c, _) = freshPair()

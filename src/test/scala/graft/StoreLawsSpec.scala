@@ -92,6 +92,18 @@ class StoreLawsSpec extends AnyFunSuite {
       .map(n => AttrVal.N(BigDecimal(n)): AttrVal)): AttrVal),
     "a" -> (AttrVal.Bool(atEnd): AttrVal)))
 
+  /** ADD aimed AT a container attribute (`m`/`l`) — the r16 frontier:
+    * an AddTo landing on the same top-level slot a nested PathEdit /
+    * list_append targets (AddTo's absent-or-non-numeric rule replaces
+    * the container with the sum-seed N, turning every later nested
+    * edit under it into the documented silent no-op).
+    */
+  private val genAddOnContainer: Gen[(String, String, Item)] = for {
+    k <- genKey
+    name <- Gen.oneOf("m", "l", "a")
+    n <- Gen.chooseNum(-9L, 9L)
+  } yield ("ADDN", k, Map(name -> (AttrVal.N(BigDecimal(n)): AttrVal)))
+
   private val genOp: Gen[(String, String, Item)] = Gen.frequency(
     15 -> (for {
       tag <- Gen.frequency(4 -> "PUT", 3 -> "UPDATE", 2 -> "DELETE",
@@ -101,7 +113,8 @@ class StoreLawsSpec extends AnyFunSuite {
       attrs <- genAttrs
     } yield (tag, k, attrs)),
     3 -> genPathOp,
-    2 -> genAppendOp)
+    2 -> genAppendOp,
+    1 -> genAddOnContainer)
 
   private def parsePath(p: String): Seq[Either[String, Int]] =
     p.split("\\.", 2) match {
@@ -258,6 +271,105 @@ class StoreLawsSpec extends AnyFunSuite {
           assert(view(k) === item, s"n=$n key=$k base=$base jobs=$jobs")
         }
       }
+    }
+  }
+
+  test("LAW: TTL reap composes with the fold; later path edits never resurrect") {
+    // The r16 frontier: list_append / PathEdits racing TTL expiry on
+    // the same item. Model: fold jobs1, physically reap expired items
+    // (ttl attr `b` strictly below now=0 — compactShard's documented
+    // rule; non-numeric/missing = live), then fold jobs2 over the
+    // reaped state. PathEdits/list_append aimed at a reaped item must
+    // behave exactly like edits on a never-existed key (the op
+    // family's live-item-only contract) — never a key-only phantom,
+    // never a resurrected container.
+    forAll(Gen.zip(genScenario, Gen.listOf(Gen.nonEmptyListOf(genOp)
+        .map(_.take(10))).map(_.take(3)))) { case ((base, jobs1), jobs2) =>
+      val root = Files.createTempDirectory("graft-ttl-laws").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("id", None, shards = 3, throughput = 1000000L)
+      store.bulkLoad("t", meta, base.map(_._2).iterator)
+      jobs1.zipWithIndex.foreach { case (ops, j) =>
+        store.appendWal("t", seq = j.toLong, writerId = f"w$j%03d",
+          ops.map(toOp(store)))
+      }
+      (0 until meta.shards).foreach(s =>
+        store.compactShard("t", s, expireTtl = Some(("b", 0L))))
+      val alive: ((String, Item)) => Boolean = { case (_, it) =>
+        it.get("b") match {
+          case Some(AttrVal.N(v)) => v >= BigDecimal(0)
+          case _ => true
+        }
+      }
+      val reaped = model(base, jobs1).toSeq.filter(alive)
+      jobs2.zipWithIndex.foreach { case (ops, j) =>
+        store.appendWal("t", seq = 100L + j, writerId = f"x$j%03d",
+          ops.map(toOp(store)))
+      }
+      val expected = model(reaped.map { case (k, it) => k -> it }, jobs2)
+      val view = store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+      assert(view.keySet === expected.keySet,
+        s"base=$base jobs1=$jobs1 jobs2=$jobs2")
+      expected.foreach { case (k, item) =>
+        assert(view(k) === item, s"key=$k jobs2=$jobs2")
+      }
+    }
+  }
+
+  test("LAW: cross-table transactions carry PathEdits; a failed check cancels them whole") {
+    import graft.sources.dynamo.{TableTxn, TxnCheck, TxnCheckFailedException}
+    // The r16 frontier: nested edits as TRANSACTION cargo. Each txn
+    // carries one generated op list per table (path edits and appends
+    // included); a passing transaction must equal the per-table fold,
+    // a failing check must leave BOTH tables exactly as they were.
+    forAll(Gen.zip(
+        Gen.listOf(Gen.nonEmptyListOf(genOp).map(_.take(6))).map(_.take(3)),
+        Gen.listOf(Gen.nonEmptyListOf(genOp).map(_.take(6))).map(_.take(3))))
+    { case (opsA, opsB) =>
+      val root = Files.createTempDirectory("graft-txn-path").toString
+      val store = new LocalKVStore(root)
+      val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+      val seedA = withKey("k0", Map("l" -> (AttrVal.L(Vector(
+        AttrVal.N(BigDecimal(1)))): AttrVal)))
+      val seedB = withKey("k1", Map("m" -> (AttrVal.M(Map(
+        "x" -> AttrVal.N(BigDecimal(5)))): AttrVal)))
+      store.bulkLoad("ta", meta, Iterator(seedA))
+      store.bulkLoad("tb", meta, Iterator(seedB))
+      val pairs = opsA.zipAll(opsB, Nil, Nil)
+      pairs.zipWithIndex.foreach { case ((oa, ob), i) =>
+        store.transactWriteMulti(Seq(
+          TableTxn("ta", oa.map(toOp(store)), Nil),
+          TableTxn("tb", ob.map(toOp(store)), Nil)),
+          seq = 1000L + i, writerId = f"t$i%03d")
+      }
+      val expA = model(Seq("k0" -> seedA), opsA)
+      val expB = model(Seq("k1" -> seedB), opsB)
+      def viewOf(t: String): Map[String, Item] =
+        store.scanSegment(t, 0, 1).map(_._1)
+          .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+      assert(viewOf("ta") === expA, s"opsA=$opsA")
+      assert(viewOf("tb") === expB, s"opsB=$opsB")
+      // and a FAILING check cancels path-edit cargo in BOTH tables
+      // (sentinel key "zz" is outside the generator's k0..k11 pool,
+      // so it is PRESENT here no matter what the fold did)
+      store.appendWal("tb", seq = 5000L, writerId = "zseed",
+        Seq(store.Put(withKey("zz", Map.empty))))
+      val before = (viewOf("ta"), viewOf("tb"))
+      intercept[TxnCheckFailedException] {
+        store.transactWriteMulti(Seq(
+          TableTxn("ta", Seq(toOp(store)(("PATH", "k0", Map(
+            "p" -> (AttrVal.S("l.0"): AttrVal),
+            "v" -> (AttrVal.N(BigDecimal(99)): AttrVal))))), Nil),
+          TableTxn("tb", Seq(toOp(store)(("LAPP", "k1", Map(
+            "p" -> (AttrVal.S("m.z"): AttrVal),
+            "v" -> (AttrVal.L(Vector(AttrVal.N(BigDecimal(7)))): AttrVal),
+            "a" -> (AttrVal.Bool(true): AttrVal))))),
+            Seq(TxnCheck.Absent(Map("id" -> (AttrVal.S("zz"): AttrVal)))))),
+          seq = 9999L, writerId = "tfail")
+      }
+      assert((viewOf("ta"), viewOf("tb")) === before,
+        "a cancelled transaction leaked a path edit")
     }
   }
 
