@@ -4124,6 +4124,13 @@ class DynamoConnectorSpec extends AnyFunSuite {
         "UPDATE acct SET bal = 1 WHERE id = 'a'") }
     assert(dup.getMessage.contains("multiple operations on one item"),
       dup.getMessage)
+    // ? parameters bind positionally ACROSS the statement list,
+    // including inside an EXISTS condition
+    PartiQL.executeTransaction(root,
+      "EXISTS (SELECT * FROM acct WHERE id = ? AND bal >= ?); " +
+        "INSERT INTO ledger VALUE {'id': ?}",
+      Seq(AttrVal.S("a"), AttrVal.N(50), AttrVal.S("p1")))
+    assert(entry("p1"))
     // transactions-only: ExecuteStatement rejects EXISTS loudly...
     val single = intercept[Exception] {
       PartiQL.execute(root, "EXISTS (SELECT * FROM acct WHERE id = 'a')",
@@ -5433,6 +5440,61 @@ class DynamoConnectorSpec extends AnyFunSuite {
         .option("ifExists", "true").mode("append").save()
     }
     assert(err.getMessage.contains("ifExists"))
+  }
+
+  test("LAW: TTL reap is region-local; visible state still converges across replicas") {
+    // TTL × replication (the r16 crash-window lens on expiry): the
+    // physical reap (compactShard expireTtl) is REGION-LOCAL, like
+    // the service's background TTL deleter, and deliberately leaves
+    // NO tombstone — so anti-entropy may ship an expired item's bytes
+    // back into a region that already reaped it. That is fine BY
+    // CONSTRUCTION: the ttl attribute replicates with the item, so
+    // every region's read hides it identically — VISIBLE state
+    // converges even when physical state differs. A fresher stamped
+    // re-creation with a future expiry replicates and becomes visible
+    // everywhere (DynamoDB's own recreate semantics), while the
+    // reap + re-ship cycle can never resurrect the EXPIRED image.
+    import graft.sources.dynamo.{AttrVal, Replication, TableMeta}
+    import graft.sources.dynamo.Replication.RPut
+    val rootA = freshRoot(); val rootB = freshRoot()
+    val meta = TableMeta("id", None, shards = 2, throughput = 1000000L)
+    val a = new LocalKVStore(rootA); a.createTable("t", meta)
+    val b = new LocalKVStore(rootB); b.createTable("t", meta)
+    val NOW = 1000000000L
+    def it(k: String, ttl: Option[Long]): graft.sources.dynamo.ItemJson.Item =
+      Map("id" -> (AttrVal.S(k): AttrVal)) ++
+        ttl.map(t => "expires_at" -> (AttrVal.N(BigDecimal(t)): AttrVal))
+    var seq = System.currentTimeMillis() + 600000L
+    def nx(): Long = { seq += 1; seq }
+    Replication.writeStamped(a, "t", "rA", 1L, nx(), "wa", Seq(
+      RPut(it("k_expired", Some(100L))),
+      RPut(it("k_live", Some(NOW + 1000L))),
+      RPut(it("k_noattr", None))))
+    Replication.sync(a, b, "t", nx(), "s1")
+    // region A physically reaps; region B has not run its reaper yet
+    (0 until meta.shards).foreach(s =>
+      a.compactShard("t", s, expireTtl = Some(("expires_at", NOW))))
+    assert(a.scanSegment("t", 0, 1).size === 2 &&
+      b.scanSegment("t", 0, 1).size === 3,
+      "reap must be local: A dropped the expired item, B still holds it")
+    // anti-entropy both ways: B ships the expired bytes back to A
+    Replication.sync(b, a, "t", nx(), "s2")
+    Replication.sync(a, b, "t", nx(), "s3")
+    def visible(root: String): Seq[String] =
+      spark.read.format("dynamo")
+        .option("path", root).option("tableName", "t")
+        .option("ttlAttribute", "expires_at").option("ttlNow", NOW.toString)
+        .load().select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(visible(rootA) === Seq("k_live", "k_noattr"))
+    assert(visible(rootA) === visible(rootB),
+      "visible state must converge even though physical state differs")
+    // fresher stamped re-creation with a future expiry replicates and
+    // is visible everywhere — recreate, not resurrection
+    Replication.writeStamped(b, "t", "rB", 2L, nx(), "wb", Seq(
+      RPut(it("k_expired", Some(NOW + 999L)))))
+    Replication.sync(b, a, "t", nx(), "s4")
+    assert(visible(rootA) === Seq("k_expired", "k_live", "k_noattr"))
+    assert(visible(rootA) === visible(rootB))
   }
 
   test("ttlAttribute hides expired items from scans and COUNT pushdown") {

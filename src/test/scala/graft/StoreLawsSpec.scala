@@ -274,6 +274,88 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("pairwise WAL-op grid: EVERY ordered op pair over every base shape == model") {
+    // The random alphabet exercises pairs probabilistically; this grid
+    // makes the r15-verdict "covers every WAL op pairwise" claim
+    // LITERAL: 15 concrete op shapes (every WAL op family, including
+    // the nested-edit and container-ADD variants) × 15 × 3 base
+    // shapes (absent / flat / full nested), each pair on its own key
+    // in ONE store, folded in two ordered WAL files and compared to
+    // the sequential model in a single scan.
+    val shapes: Seq[(String, Item)] = Seq(
+      "PUT" -> Map("a" -> AttrVal.N(BigDecimal(1)),
+        "m" -> AttrVal.M(Map("x" -> AttrVal.N(BigDecimal(1)))),
+        "l" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)),
+          AttrVal.N(BigDecimal(2))))),
+      "UPDATE" -> Map("b" -> AttrVal.S("u")),
+      "DELETE" -> Map.empty,
+      "PUTNX" -> Map("a" -> AttrVal.N(BigDecimal(7))),
+      "UPDIF" -> Map("c" -> AttrVal.N(BigDecimal(3))),
+      "ADDN" -> Map("a" -> AttrVal.N(BigDecimal(5))),
+      "ADDC" -> Map("m" -> AttrVal.N(BigDecimal(5))), // ADD on container
+      "RMATTR" -> Map("m" -> AttrVal.Null),
+      "RMIF" -> Map("a" -> AttrVal.Null),
+      "PATHSET" -> Map("p" -> AttrVal.S("m.x"),
+        "v" -> AttrVal.N(BigDecimal(9))),
+      "PATHRM" -> Map("p" -> AttrVal.S("m.x")),
+      "PATHL" -> Map("p" -> AttrVal.S("l.1"),
+        "v" -> AttrVal.N(BigDecimal(8))),
+      "LAPPA" -> Map("p" -> AttrVal.S("l"),
+        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(100)))),
+        "a" -> AttrVal.Bool(true)),
+      "LAPPP" -> Map("p" -> AttrVal.S("m.z"),
+        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(101)))),
+        "a" -> AttrVal.Bool(false)),
+      "LAPPS" -> Map("p" -> AttrVal.S("a"),
+        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(102)))),
+        "a" -> AttrVal.Bool(true)))
+    def real(tag: String): String = tag match {
+      case "ADDC" => "ADDN"
+      case "PATHSET" | "PATHRM" | "PATHL" => "PATH"
+      case "LAPPA" | "LAPPP" | "LAPPS" => "LAPP"
+      case other => other
+    }
+    val bases: Seq[Option[Item]] = Seq(
+      None,
+      Some(Map("a" -> (AttrVal.N(BigDecimal(0)): AttrVal))),
+      Some(Map(
+        "a" -> (AttrVal.N(BigDecimal(0)): AttrVal),
+        "m" -> (AttrVal.M(Map(
+          "x" -> AttrVal.N(BigDecimal(1)),
+          "z" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)))))): AttrVal),
+        "l" -> (AttrVal.L(Vector(
+          AttrVal.N(BigDecimal(1)), AttrVal.N(BigDecimal(2)),
+          AttrVal.N(BigDecimal(3)))): AttrVal))))
+    val combos = for {
+      (s1, i) <- shapes.zipWithIndex
+      (s2, j) <- shapes.zipWithIndex
+      (b, bi) <- bases.zipWithIndex
+    } yield (s"g${i}_${j}_$bi", s1, s2, b)
+    val root = Files.createTempDirectory("graft-pairwise").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta,
+      combos.iterator.flatMap { case (k, _, _, b) => b.map(withKey(k, _)) })
+    val job1 = combos.map { case (k, (t, a), _, _) => (real(t), k, a) }
+    val job2 = combos.map { case (k, _, (t, a), _) => (real(t), k, a) }
+    store.appendWal("t", 1L, "w001", job1.map(toOp(store)))
+    store.appendWal("t", 2L, "w002", job2.map(toOp(store)))
+    val baseSeq = combos.flatMap { case (k, _, _, b) => b.map(k -> withKey(k, _)) }
+    val expected = model(baseSeq, Seq(job1, job2))
+    val view = store.scanSegment("t", 0, 1).map(_._1)
+      .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    assert(view.keySet === expected.keySet)
+    combos.foreach { case (k, s1, s2, b) =>
+      assert(view.get(k) === expected.get(k),
+        s"pair ${s1._1} then ${s2._1} over base=$b diverged at $k")
+    }
+    // the same grid must survive a fold: compaction replays identically
+    store.compact("t")
+    val folded = store.scanSegment("t", 0, 1).map(_._1)
+      .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    assert(folded === view, "compaction changed a pairwise outcome")
+  }
+
   test("LAW: TTL reap composes with the fold; later path edits never resurrect") {
     // The r16 frontier: list_append / PathEdits racing TTL expiry on
     // the same item. Model: fold jobs1, physically reap expired items
