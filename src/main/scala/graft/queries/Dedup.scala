@@ -887,8 +887,10 @@ object Dedup {
         |          WHEN q <= 4 THEN 2 WHEN q <= 8 THEN 3 WHEN q <= 16 THEN 4
         |          WHEN q <= 32 THEN 5 WHEN q <= 64 THEN 6 WHEN q <= 128 THEN 7
         |          ELSE 8 END) AS r
-        |        FROM (SELECT (count(*) + count(DISTINCT label) * 200 - 1)
-        |                     // (count(DISTINCT label) * 200) AS q
+        |        FROM (SELECT CASE WHEN count(*) = 0
+        |                          OR count(DISTINCT label) = 0 THEN 0
+        |                     ELSE (count(*) + count(DISTINCT label) * 200 - 1)
+        |                          // (count(DISTINCT label) * 200) END AS q
         |              FROM embeddings)),
         |sg AS (SELECT vec_id, substring(
         |         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,

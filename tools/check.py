@@ -69,8 +69,14 @@ def run_cc_iterative(con, sql):
     head, _ = sql.split(CC_TAIL, 1)  # raises if the oracle text drifts
     con.execute("DROP TABLE IF EXISTS cc_edges")
     con.execute("DROP TABLE IF EXISTS cc_comp")
+    # Symmetrize ONCE at creation (edge-orientation-proof even if the
+    # oracle ever emits only a<b pairs) — a DISTINCT here is a no-op
+    # on today's already-symmetric edges CTE, and the fixpoint below
+    # then needs only ONE join direction per iteration instead of two.
     con.execute("CREATE TEMP TABLE cc_edges AS " + head +
-                "\nSELECT a, b FROM edges")
+                "\nSELECT DISTINCT a, b FROM ("
+                "SELECT a, b FROM edges UNION ALL "
+                "SELECT b AS a, a AS b FROM edges)")
     con.execute("CREATE TEMP TABLE cc_comp AS "
                 "SELECT doc_id AS id, doc_id AS comp FROM documents")
     while True:
@@ -79,15 +85,10 @@ def run_cc_iterative(con, sql):
             "SELECT id, min(comp) AS comp FROM ("
             "  SELECT id, comp FROM cc_comp"
             "  UNION ALL"
+            # one direction suffices: cc_edges is symmetrized at
+            # creation above
             "  SELECT e.a AS id, c.comp FROM cc_edges e"
             "  JOIN cc_comp c ON c.id = e.b"
-            "  UNION ALL"
-            # Propagate BOTH directions so the fixpoint is correct even
-            # if the oracle's edges CTE ever emits only a<b pairs; a
-            # no-op on today's symmetric (id1,id2 UNION ALL id2,id1)
-            # edge list.
-            "  SELECT e.b AS id, c.comp FROM cc_edges e"
-            "  JOIN cc_comp c ON c.id = e.a"
             ") GROUP BY id")
         changed = con.execute(
             "SELECT count(*) FROM cc_next n JOIN cc_comp c USING (id) "

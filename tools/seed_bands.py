@@ -25,6 +25,13 @@ src, note = sys.argv[1], sys.argv[2]
 with open(src) as f:
     art = json.load(f)
 
+# An artifact WITHOUT the contamination fields never went through
+# Bench's gating at all (e.g. a BenchSeq sequential-probe capture) —
+# refusing it here keeps "missing screening" from reading as "clean".
+if not isinstance(art.get("contaminated"), list):
+    sys.exit("REFUSED: artifact carries no contamination verdict "
+             "(not a gated graft.Bench capture — BenchSeq probe "
+             "artifacts cannot seed bands)")
 if art.get("contaminated"):
     sys.exit(f"REFUSED: artifact flags contaminated keys: {art['contaminated']}")
 if art.get("preflight_failed"):
