@@ -274,6 +274,56 @@ class StoreLawsSpec extends AnyFunSuite {
     }
   }
 
+  /** The grid tests' concrete op shapes: every WAL op family with one
+    * deterministic payload each — the nested-edit variants (SET /
+    * REMOVE / list-index), both list_append orientations plus the
+    * onto-a-scalar no-op form, and ADD aimed at a container.
+    */
+  private val pairwiseShapes: Seq[(String, Item)] = Seq(
+    "PUT" -> Map("a" -> AttrVal.N(BigDecimal(1)),
+      "m" -> AttrVal.M(Map("x" -> AttrVal.N(BigDecimal(1)))),
+      "l" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)),
+        AttrVal.N(BigDecimal(2))))),
+    "UPDATE" -> Map("b" -> AttrVal.S("u")),
+    "DELETE" -> Map.empty,
+    "PUTNX" -> Map("a" -> AttrVal.N(BigDecimal(7))),
+    "UPDIF" -> Map("c" -> AttrVal.N(BigDecimal(3))),
+    "ADDN" -> Map("a" -> AttrVal.N(BigDecimal(5))),
+    "ADDC" -> Map("m" -> AttrVal.N(BigDecimal(5))), // ADD on container
+    "RMATTR" -> Map("m" -> AttrVal.Null),
+    "RMIF" -> Map("a" -> AttrVal.Null),
+    "PATHSET" -> Map("p" -> AttrVal.S("m.x"),
+      "v" -> AttrVal.N(BigDecimal(9))),
+    "PATHRM" -> Map("p" -> AttrVal.S("m.x")),
+    "PATHL" -> Map("p" -> AttrVal.S("l.1"),
+      "v" -> AttrVal.N(BigDecimal(8))),
+    "LAPPA" -> Map("p" -> AttrVal.S("l"),
+      "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(100)))),
+      "a" -> AttrVal.Bool(true)),
+    "LAPPP" -> Map("p" -> AttrVal.S("m.z"),
+      "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(101)))),
+      "a" -> AttrVal.Bool(false)),
+    "LAPPS" -> Map("p" -> AttrVal.S("a"),
+      "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(102)))),
+      "a" -> AttrVal.Bool(true)))
+
+  /** Pseudo-tag → the generator/model alphabet's real tag. */
+  private def realTag(tag: String): String = tag match {
+    case "ADDC" => "ADDN"
+    case "PATHSET" | "PATHRM" | "PATHL" => "PATH"
+    case "LAPPA" | "LAPPP" | "LAPPS" => "LAPP"
+    case other => other
+  }
+
+  private val fullNestedBase: Item = Map(
+    "a" -> (AttrVal.N(BigDecimal(0)): AttrVal),
+    "m" -> (AttrVal.M(Map(
+      "x" -> AttrVal.N(BigDecimal(1)),
+      "z" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)))))): AttrVal),
+    "l" -> (AttrVal.L(Vector(
+      AttrVal.N(BigDecimal(1)), AttrVal.N(BigDecimal(2)),
+      AttrVal.N(BigDecimal(3)))): AttrVal))
+
   test("pairwise WAL-op grid: EVERY ordered op pair over every base shape == model") {
     // The random alphabet exercises pairs probabilistically; this grid
     // makes the r15-verdict "covers every WAL op pairwise" claim
@@ -282,50 +332,12 @@ class StoreLawsSpec extends AnyFunSuite {
     // shapes (absent / flat / full nested), each pair on its own key
     // in ONE store, folded in two ordered WAL files and compared to
     // the sequential model in a single scan.
-    val shapes: Seq[(String, Item)] = Seq(
-      "PUT" -> Map("a" -> AttrVal.N(BigDecimal(1)),
-        "m" -> AttrVal.M(Map("x" -> AttrVal.N(BigDecimal(1)))),
-        "l" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)),
-          AttrVal.N(BigDecimal(2))))),
-      "UPDATE" -> Map("b" -> AttrVal.S("u")),
-      "DELETE" -> Map.empty,
-      "PUTNX" -> Map("a" -> AttrVal.N(BigDecimal(7))),
-      "UPDIF" -> Map("c" -> AttrVal.N(BigDecimal(3))),
-      "ADDN" -> Map("a" -> AttrVal.N(BigDecimal(5))),
-      "ADDC" -> Map("m" -> AttrVal.N(BigDecimal(5))), // ADD on container
-      "RMATTR" -> Map("m" -> AttrVal.Null),
-      "RMIF" -> Map("a" -> AttrVal.Null),
-      "PATHSET" -> Map("p" -> AttrVal.S("m.x"),
-        "v" -> AttrVal.N(BigDecimal(9))),
-      "PATHRM" -> Map("p" -> AttrVal.S("m.x")),
-      "PATHL" -> Map("p" -> AttrVal.S("l.1"),
-        "v" -> AttrVal.N(BigDecimal(8))),
-      "LAPPA" -> Map("p" -> AttrVal.S("l"),
-        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(100)))),
-        "a" -> AttrVal.Bool(true)),
-      "LAPPP" -> Map("p" -> AttrVal.S("m.z"),
-        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(101)))),
-        "a" -> AttrVal.Bool(false)),
-      "LAPPS" -> Map("p" -> AttrVal.S("a"),
-        "v" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(102)))),
-        "a" -> AttrVal.Bool(true)))
-    def real(tag: String): String = tag match {
-      case "ADDC" => "ADDN"
-      case "PATHSET" | "PATHRM" | "PATHL" => "PATH"
-      case "LAPPA" | "LAPPP" | "LAPPS" => "LAPP"
-      case other => other
-    }
+    val shapes: Seq[(String, Item)] = pairwiseShapes
+    def real(tag: String): String = realTag(tag)
     val bases: Seq[Option[Item]] = Seq(
       None,
       Some(Map("a" -> (AttrVal.N(BigDecimal(0)): AttrVal))),
-      Some(Map(
-        "a" -> (AttrVal.N(BigDecimal(0)): AttrVal),
-        "m" -> (AttrVal.M(Map(
-          "x" -> AttrVal.N(BigDecimal(1)),
-          "z" -> AttrVal.L(Vector(AttrVal.N(BigDecimal(1)))))): AttrVal),
-        "l" -> (AttrVal.L(Vector(
-          AttrVal.N(BigDecimal(1)), AttrVal.N(BigDecimal(2)),
-          AttrVal.N(BigDecimal(3)))): AttrVal))))
+      Some(fullNestedBase))
     val combos = for {
       (s1, i) <- shapes.zipWithIndex
       (s2, j) <- shapes.zipWithIndex
@@ -354,6 +366,48 @@ class StoreLawsSpec extends AnyFunSuite {
     val folded = store.scanSegment("t", 0, 1).map(_._1)
       .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
     assert(folded === view, "compaction changed a pairwise outcome")
+  }
+
+  test("triple WAL-op grid: every ordered op TRIPLE over absent/nested bases == model") {
+    // Pairs can't catch three-step compositions (r14's ADD-after-
+    // REMOVE surfaced only under a third op's rebuild; r15's index
+    // poisoning needed write → retype → rebuild). Same harness as the
+    // pairwise grid, one op deeper: 15³ ordered triples × 2 base
+    // shapes = 6750 keys in ONE store, three ordered WAL files, one
+    // scan vs the model, then the same compare after compaction.
+    val shapes: Seq[(String, Item)] = pairwiseShapes
+    val bases: Seq[Option[Item]] = Seq(None, Some(fullNestedBase))
+    val combos = for {
+      (s1, i) <- shapes.zipWithIndex
+      (s2, j) <- shapes.zipWithIndex
+      (s3, l) <- shapes.zipWithIndex
+      (b, bi) <- bases.zipWithIndex
+    } yield (s"t${i}_${j}_${l}_$bi", s1, s2, s3, b)
+    val root = Files.createTempDirectory("graft-triples").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta,
+      combos.iterator.flatMap { case (k, _, _, _, b) => b.map(withKey(k, _)) })
+    val job1 = combos.map { case (k, (t, a), _, _, _) => (realTag(t), k, a) }
+    val job2 = combos.map { case (k, _, (t, a), _, _) => (realTag(t), k, a) }
+    val job3 = combos.map { case (k, _, _, (t, a), _) => (realTag(t), k, a) }
+    store.appendWal("t", 1L, "w001", job1.map(toOp(store)))
+    store.appendWal("t", 2L, "w002", job2.map(toOp(store)))
+    store.appendWal("t", 3L, "w003", job3.map(toOp(store)))
+    val baseSeq = combos.flatMap { case (k, _, _, _, b) =>
+      b.map(k -> withKey(k, _)) }
+    val expected = model(baseSeq, Seq(job1, job2, job3))
+    def scanAll(): Map[String, Item] =
+      store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    val view = scanAll()
+    assert(view.keySet === expected.keySet)
+    combos.foreach { case (k, s1, s2, s3, b) =>
+      assert(view.get(k) === expected.get(k),
+        s"triple ${s1._1}>${s2._1}>${s3._1} base=${b.isDefined} at $k")
+    }
+    store.compact("t")
+    assert(scanAll() === view, "compaction changed a triple outcome")
   }
 
   test("LAW: TTL reap composes with the fold; later path edits never resurrect") {
