@@ -39,13 +39,28 @@ object BenchSeq {
     }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
       def f3(d: Double) = f"$d%.3f"
-      val qs = results.map { case (k, ts) => s""""$k":${f3(ts.min)}""" }
+      // A repeated key on the command line is legitimate here (probing
+      // order-dependent interference, e.g. `k1 k1 k2`) — suffix the
+      // repeats (`k1`, `k1#2`) so the JSON object keeps every rep pair
+      // instead of JSON parsers silently dropping duplicate keys.
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val uniq = results.map { case (k, ts) =>
+        val n = seen.updateWith(k)(c => Some(c.getOrElse(0) + 1)).get
+        (if (n == 1) k else s"$k#$n") -> ts
+      }
+      def jstr(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val qs = uniq.map { case (k, ts) => s"${jstr(k)}:${f3(ts.min)}" }
         .mkString("{", ",", "}")
-      val reps = results
-        .map { case (k, ts) => s""""$k":[${ts.map(f3).mkString(",")}]""" }
+      val reps = uniq
+        .map { case (k, ts) => s"${jstr(k)}:[${ts.map(f3).mkString(",")}]" }
         .mkString("{", ",", "}")
       val total = f3(results.map(_._2.min).sum)
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
       println(line)
     }

@@ -500,6 +500,180 @@ object DynamoQueries {
     root
   }
 
+  /** Seed the PartiQL `execute_transaction` ConditionCheck fixture
+    * (§2A 84 → its CORRECTNESS row): `txn_chk_gate` holds one gate
+    * item per gated customer (c_custkey % 100 = 0) and `txn_chk` the
+    * written rows. Four transactions run per key through the full
+    * PartiQL surface — an `EXISTS` check WITH an attribute condition
+    * (commits iff the gate item's `bal_cents >= 0`), a `NOT EXISTS`
+    * on an absent key (always commits), a `NOT EXISTS` on the present
+    * key (always cancels), and an `EXISTS` whose condition is
+    * unsatisfiable over the fixture (always cancels). Every expected
+    * cancellation is REQUIRED to throw the TransactionCanceled
+    * analogue and stage nothing — a leaked write lands in `txn_chk`
+    * and hash-mismatches the oracle. Base rows are re-Put on every
+    * (re)seed so a crashed seed replays deterministically.
+    */
+  private def seededTxnCheckRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "txn_chk", "_seeded")
+      if (!Files.exists(marker)) {
+        val st0 = new LocalKVStore(root)
+        if (!st0.exists("txn_chk")) st0.createTable("txn_chk",
+          TableMeta("c_custkey", None, shards = 8, throughput = 1000000L))
+        if (!st0.exists("txn_chk_gate")) st0.createTable("txn_chk_gate",
+          TableMeta("c_custkey", None, shards = 8, throughput = 1000000L))
+        Fixtures.customer(s, sfDir)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+          .repartition(16)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            import graft.sources.dynamo.{PartiQL, TxnCheckFailedException}
+            val st = new LocalKVStore(root)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            def n(v: Long): graft.sources.dynamo.AttrVal =
+              graft.sources.dynamo.AttrVal.N(BigDecimal(v))
+            val rows = it.toVector
+            if (rows.nonEmpty) {
+              val seq = System.currentTimeMillis()
+              st.appendWal("txn_chk_gate", seq, f"seedg-p$pid%04d",
+                rows.map(r => st.Put(Map(
+                  "c_custkey" -> n(r.getLong(0)),
+                  "bal_cents" -> n(r.getLong(1))))))
+              st.appendWal("txn_chk", seq, f"seedc-p$pid%04d",
+                rows.map(r => st.Put(Map(
+                  "c_custkey" -> n(r.getLong(0)),
+                  "bal_cents" -> n(r.getLong(1))))))
+              def expectCancel(stmts: String): Unit =
+                try {
+                  PartiQL.executeTransaction(root, stmts, Nil)
+                  throw new IllegalStateException(
+                    s"transaction must cancel but committed: $stmts")
+                } catch { case _: TxnCheckFailedException => () }
+              rows.foreach { r =>
+                val (k, b) = (r.getLong(0), r.getLong(1))
+                // condition-carrying EXISTS gates the flag write
+                val t1 = "EXISTS (SELECT * FROM txn_chk_gate " +
+                  s"WHERE c_custkey = $k AND bal_cents >= 0); " +
+                  s"UPDATE txn_chk SET flagged = 1 WHERE c_custkey = $k"
+                if (b >= 0) PartiQL.executeTransaction(root, t1, Nil)
+                else expectCancel(t1)
+                // NOT EXISTS on an absent key commits
+                PartiQL.executeTransaction(root,
+                  "NOT EXISTS (SELECT * FROM txn_chk_gate " +
+                    s"WHERE c_custkey = ${k + 1000000000L}); " +
+                    s"UPDATE txn_chk SET chk2 = 1 WHERE c_custkey = $k", Nil)
+                // NOT EXISTS on the present key cancels the whole txn
+                expectCancel(
+                  "NOT EXISTS (SELECT * FROM txn_chk_gate " +
+                    s"WHERE c_custkey = $k); " +
+                    s"UPDATE txn_chk SET chk2 = 999 WHERE c_custkey = $k")
+                // EXISTS with an unsatisfiable condition cancels too
+                expectCancel(
+                  "EXISTS (SELECT * FROM txn_chk_gate " +
+                    s"WHERE c_custkey = $k AND bal_cents >= 100000000); " +
+                    s"UPDATE txn_chk SET chk2 = 777 WHERE c_custkey = $k")
+              }
+            }
+          }
+        DynamoMaintenance.compact(s, root, "txn_chk")
+        DynamoMaintenance.compact(s, root, "txn_chk_gate")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
+  /** Seed the `RETURNING MODIFIED OLD|NEW *` fixture (§2A 85 → its
+    * CORRECTNESS row): per gated customer three UPDATE statements run
+    * through ExecuteStatement and their RETURNED images are PERSISTED
+    * into `txn_ret_out`, so the oracle checks the returned-attrs
+    * projection itself, durably, on every run:
+    *   p1 `SET tag, bonus_cents … RETURNING MODIFIED NEW *`
+    *      → image is EXACTLY {tag, bonus_cents} (required in-task);
+    *   p2 `SET tag, bonus_cents, fresh REMOVE seg … RETURNING
+    *      MODIFIED OLD *` → OLD carries the touched-and-previously-
+    *      present {tag, bonus_cents, seg}; `fresh` (absent before) is
+    *      absent from OLD (required);
+    *   p3 `SET probe REMOVE bonus_cents … RETURNING MODIFIED NEW *`
+    *      → the REMOVEd attribute is absent from NEW: image is
+    *      exactly {probe} (required).
+    * Base rows re-Put each (re)seed keep the passes deterministic.
+    */
+  private def seededReturningRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "txn_ret_out", "_seeded")
+      if (!Files.exists(marker)) {
+        val st0 = new LocalKVStore(root)
+        if (!st0.exists("txn_ret")) st0.createTable("txn_ret",
+          TableMeta("c_custkey", None, shards = 8, throughput = 1000000L))
+        if (!st0.exists("txn_ret_out")) st0.createTable("txn_ret_out",
+          TableMeta("c_custkey", None, shards = 8, throughput = 1000000L))
+        Fixtures.customer(s, sfDir)
+          .filter(col("c_custkey") % 100 === 0)
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"),
+            col("c_mktsegment"))
+          .repartition(16)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            import graft.sources.dynamo.{AttrVal, ItemJson, PartiQL}
+            val st = new LocalKVStore(root)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            def n(v: Long): AttrVal = AttrVal.N(BigDecimal(v))
+            val rows = it.toVector
+            if (rows.nonEmpty) {
+              st.appendWal("txn_ret", System.currentTimeMillis(),
+                f"seedr-p$pid%04d", rows.map(r => st.Put(Map(
+                  "c_custkey" -> n(r.getLong(0)),
+                  "bal_cents" -> n(r.getLong(1)),
+                  "seg" -> AttrVal.S(r.getString(2))))))
+              def img(stmt: String): Map[String, AttrVal] = {
+                val (sch, rws) = PartiQL.execute(root, stmt, Nil)
+                ItemJson.parse(
+                  rws(0).getUTF8String(sch.fieldIndex("item")).toString)
+              }
+              val outOps = rows.map { r =>
+                val k = r.getLong(0)
+                val b = 2L * r.getLong(1) + 7L
+                val p1 = img(s"UPDATE txn_ret SET tag = 'k$k', " +
+                  s"bonus_cents = $b WHERE c_custkey = $k " +
+                  "RETURNING MODIFIED NEW *")
+                require(p1.keySet == Set("tag", "bonus_cents") &&
+                  p1("bonus_cents") == n(b),
+                  s"MODIFIED NEW must be exactly the touched attrs, got $p1")
+                val p2 = img(s"UPDATE txn_ret SET tag = 'k$k', " +
+                  s"bonus_cents = ${b + 1}, fresh = 1 REMOVE seg " +
+                  s"WHERE c_custkey = $k RETURNING MODIFIED OLD *")
+                require(p2.keySet == Set("tag", "bonus_cents", "seg"),
+                  "MODIFIED OLD must carry touched-and-present attrs " +
+                    s"only (no 'fresh'), got $p2")
+                val p3 = img(s"UPDATE txn_ret SET probe = 2 " +
+                  s"REMOVE bonus_cents WHERE c_custkey = $k " +
+                  "RETURNING MODIFIED NEW *")
+                require(p3.keySet == Set("probe"),
+                  s"a REMOVEd attr must be absent from MODIFIED NEW, got $p3")
+                st.Put(Map(
+                  "c_custkey" -> n(k),
+                  "tag" -> p2("tag"),
+                  "bonus_new1" -> p1("bonus_cents"),
+                  "bonus_old2" -> p2("bonus_cents"),
+                  "seg_old2" -> p2("seg")))
+              }
+              st.appendWal("txn_ret_out", System.currentTimeMillis(),
+                f"seedo-p$pid%04d", outOps)
+            }
+          }
+        DynamoMaintenance.compact(s, root, "txn_ret")
+        DynamoMaintenance.compact(s, root, "txn_ret_out")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   /** Seed `events_bytype` — the DynamoDB time-series shape (hash
     * `event_type`, range `event_id`): a handful of partition keys,
     * each spanning MANY pages. Compaction's hash-group page alignment
@@ -897,6 +1071,45 @@ object DynamoQueries {
         .join(broadcast(sums.select(col("chunk"), col("n_rows"),
           col("sum_cents"))), Seq("chunk"))
         .orderBy("chunk")
+    }),
+    // PartiQL ConditionCheck (§2A 84): the final txn_chk state after
+    // the per-key transaction quartet — `flagged` present exactly
+    // where the EXISTS condition held over the gate item, `chk2` = 1
+    // everywhere because the two always-cancelling transactions (the
+    // 999/777 writes) staged NOTHING. Explicit schema: the flag
+    // attrs are sparse, so inference's sample page must not decide
+    // the shape at scale.
+    "q_dyn_txn_check" -> ((s, dir) => {
+      val root = seededTxnCheckRoot(s, dir)
+      import org.apache.spark.sql.types._
+      s.read.format("dynamo")
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("bal_cents", LongType),
+          StructField("flagged", LongType),
+          StructField("chk2", LongType))))
+        .option("path", root).option("tableName", "txn_chk").load()
+        .select("c_custkey", "bal_cents", "flagged", "chk2")
+        .orderBy("c_custkey")
+    }),
+    // RETURNING MODIFIED (§2A 85): the persisted returned-images
+    // table — bonus_new1 from pass 1's MODIFIED NEW, bonus_old2 +
+    // seg_old2 from pass 2's MODIFIED OLD (seg was REMOVEd by that
+    // very statement, so only the RETURNED image still knows it; the
+    // oracle checks it against the fixture's c_mktsegment).
+    "q_dyn_returning" -> ((s, dir) => {
+      val root = seededReturningRoot(s, dir)
+      import org.apache.spark.sql.types._
+      s.read.format("dynamo")
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("tag", StringType),
+          StructField("bonus_new1", LongType),
+          StructField("bonus_old2", LongType),
+          StructField("seg_old2", StringType))))
+        .option("path", root).option("tableName", "txn_ret_out").load()
+        .select("c_custkey", "tag", "bonus_new1", "bonus_old2", "seg_old2")
+        .orderBy("c_custkey")
     }),
     // PAGE-STATISTIC-ANSWERED Query aggregate (§2A 59): the pushed
     // hash pin + pushed MIN/MAX/COUNT/SUM resolve entirely from the
@@ -1611,6 +1824,28 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM customer GROUP BY 1 ORDER BY chunk""".stripMargin,
+    // the ConditionCheck quartet's final state restates over the
+    // fixture: flagged iff the gate condition held, chk2 = 1 iff the
+    // cancelled transactions (999/777) truly staged nothing
+    "q_dyn_txn_check" ->
+      """SELECT c_custkey,
+        |       CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+        |       CASE WHEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) >= 0
+        |            THEN CAST(1 AS BIGINT) END AS flagged,
+        |       CAST(1 AS BIGINT) AS chk2
+        |FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    // the persisted MODIFIED images restate over the fixture: both
+    // bonus columns are the pass-1 value (pass 2's OLD is pass 1's
+    // NEW) and seg_old2 is the fixture segment the REMOVE destroyed
+    "q_dyn_returning" ->
+      """SELECT c_custkey,
+        |       'k' || CAST(c_custkey AS VARCHAR) AS tag,
+        |       2 * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 7 AS bonus_new1,
+        |       2 * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 7 AS bonus_old2,
+        |       c_mktsegment AS seg_old2
+        |FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
     // the type-pinned aggregate reduces to the same numbers over the
     // raw events fixture (cents keep the sum exact)
     "q_dyn_query_agg" ->

