@@ -110,6 +110,36 @@ object Codec {
     }.toMap
   }
 
+  /** Column-at-a-time cell encode for the columnar WRITE path (the
+    * write-side mirror of the read's `putScalar`): per-type VECTOR
+    * getters layered over the SAME [[attrWriter]] value→AttrVal
+    * conversion the row writer uses — the wire value for a cell is
+    * produced by one shared definition, so the row and columnar write
+    * paths cannot disagree on encoding. Gated to the columnar-read
+    * type set (flat primitives + array-of-primitive); anything else
+    * must take the row path.
+    */
+  def vectorCellWriter(dt: DataType)
+      : (org.apache.spark.sql.vectorized.ColumnVector, Int) => AttrVal = {
+    val conv = attrWriter(dt)
+    dt match {
+      case LongType | TimestampType => (v, i) => conv(v.getLong(i))
+      case IntegerType | DateType   => (v, i) => conv(v.getInt(i))
+      case ShortType   => (v, i) => conv(v.getShort(i))
+      case ByteType    => (v, i) => conv(v.getByte(i))
+      case DoubleType  => (v, i) => conv(v.getDouble(i))
+      case FloatType   => (v, i) => conv(v.getFloat(i))
+      case BooleanType => (v, i) => conv(v.getBoolean(i))
+      case StringType  => (v, i) => conv(v.getUTF8String(i))
+      case BinaryType  => (v, i) => conv(v.getBinary(i))
+      // ColumnarArray IS an ArrayData — the array conversion is the
+      // row writer's own, element getters included
+      case ArrayType(_, _) => (v, i) => conv(v.getArray(i))
+      case other => throw new UnsupportedOperationException(
+        s"columnar write of $other (callers gate on the columnar type set)")
+    }
+  }
+
   private def attrWriter(dt: DataType): Any => AttrVal = dt match {
     case StringType  => v => AttrVal.S(v.toString)
     case LongType    => v => AttrVal.N(BigDecimal(v.asInstanceOf[Long]))

@@ -4444,10 +4444,12 @@ final class DynamoDataWriter(
   private def flush(): Unit = {
     if (buffer.nonEmpty) {
       var batchBytes = 0L
-      buffer.foreach { op =>
-        wal.append(op)
-        batchBytes += ItemJson.write(op.item).length
-      }
+      // append returns the journal line length — byte accounting rides
+      // the ONE serialization instead of re-encoding every item (the
+      // encode, not the I/O, is the bulk-load hot path); WCU costing
+      // now counts actual journal bytes (op tag included), marginally
+      // more faithful than the bare item form it replaced
+      buffer.foreach { op => batchBytes += wal.append(op) }
       wal.flush()
       limiter.acquire(math.max(1.0, batchBytes.toDouble / opts.bytesPerWCU))
       bytes += batchBytes
@@ -4491,4 +4493,103 @@ final class DynamoDataWriter(
     // clean their own buffers on failure — no residue either way
     if (opts.transactional == "off") wal.abort()
   override def close(): Unit = ()
+}
+
+/** Columnar bulk-ingest path — the write-side mirror of
+  * [[DynamoColumnarReader]]. Spark 4.1.2's DSv2 write surface is
+  * row-only (`DataWriter[InternalRow]`; no columnar-write negotiation
+  * exists upstream), so the columnar input is taken from the PLAN:
+  * when the DataFrame's executed plan ends in a columnar segment
+  * (e.g. a parquet scan of a flat schema, the 100 TB ingest shape)
+  * and every column is in the columnar type set, `ingest` consumes
+  * `executeColumnar()` directly — ColumnarBatch cells encode via
+  * [[Codec.vectorCellWriter]] (per-type vector getters over the SAME
+  * value→AttrVal conversion the row writer uses) and feed the SAME
+  * [[LocalKVStore.WalWriter]], so wire form, placement, zone-map
+  * sidecars and publish semantics are shared with the row path by
+  * construction. Skipping the ColumnarToRow materialization is the
+  * win: parquet vectors go to journal lines without building an
+  * UnsafeRow per item. Anything else — nested schema, a plan with no
+  * columnar tail, update/delete/transactional modes — falls back to
+  * the ordinary row write (`df.write.format("dynamo")`), which stays
+  * the general path. Returns true iff the columnar path ran.
+  */
+object DynamoColumnarIngest {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+
+  /** The plan's full-output columnar segment, if one exists: unwrap
+    * codegen/adapter shells and strip the final ColumnarToRow. A
+    * Project/Filter above the transition means the columnar output is
+    * NOT the DataFrame's output — no segment, take the row path.
+    */
+  private def columnarTail(p: SparkPlan): Option[SparkPlan] = p match {
+    case w: WholeStageCodegenExec => columnarTail(w.child)
+    case i: InputAdapter          => columnarTail(i.child)
+    case c: ColumnarToRowExec     => Some(c.child)
+    case other if other.supportsColumnar => Some(other)
+    case _ => None
+  }
+
+  def supported(schema: StructType): Boolean =
+    schema.fields.nonEmpty &&
+      schema.fields.forall(f => DynamoColumnarReader.supported(f.dataType))
+
+  def ingest(df: DataFrame, path: String, tableName: String,
+      hashKey: String, rangeKey: Option[String] = None,
+      shards: Int = 16): Boolean = {
+    val schema = df.schema
+    val tail =
+      if (supported(schema)) columnarTail(df.queryExecution.executedPlan)
+      else None
+    tail match {
+      case None =>
+        var w = df.write.format("dynamo")
+          .option("path", path).option("tableName", tableName)
+          .option("hashKey", hashKey).option("shards", shards.toString)
+        rangeKey.foreach(rk => w = w.option("rangeKey", rk))
+        w.mode("append").save()
+        false
+      case Some(colPlan) =>
+        val store = new LocalKVStore(path)
+        if (!store.exists(tableName))
+          store.createTable(tableName,
+            TableMeta(hashKey, rangeKey, shards, 1000000L))
+        val meta = store.describe(tableName)
+        val missing = (Seq(meta.hashKey) ++ meta.rangeKey)
+          .filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"ingest schema ${schema.fieldNames.mkString("(", ", ", ")")} is " +
+            s"missing key column(s) ${missing.mkString(", ")} of $tableName")
+        val seq = System.currentTimeMillis()
+        val names = schema.fields.map(_.name)
+        val cells = schema.fields.map(f => Codec.vectorCellWriter(f.dataType))
+        colPlan.executeColumnar().foreachPartition { batches =>
+          val st = new LocalKVStore(path)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val wal = st.walWriter(tableName, seq, f"colw-p$pid%05d")
+          try {
+            batches.foreach { batch =>
+              val nCols = names.length
+              val cols = Array.tabulate(nCols)(batch.column)
+              var r = 0
+              val nRows = batch.numRows()
+              while (r < nRows) {
+                val b = Map.newBuilder[String, AttrVal]
+                var c = 0
+                while (c < nCols) {
+                  b += names(c) -> (if (cols(c).isNullAt(r)) AttrVal.Null
+                    else cells(c)(cols(c), r))
+                  c += 1
+                }
+                wal.append(st.Put(b.result()))
+                r += 1
+              }
+            }
+            wal.close()
+          } catch { case e: Throwable => wal.abort(); throw e }
+        }
+        true
+    }
+  }
 }

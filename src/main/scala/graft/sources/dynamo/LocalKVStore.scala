@@ -1599,14 +1599,20 @@ final class LocalKVStore(root: String) {
     // published stats always over-approximates the merged view.
     private val stats = mutable.HashMap.empty[Int, ShardStats]
 
-    def append(op: Op): Unit = {
+    /** Returns the op's serialized line length (chars) so callers
+      * accounting write bytes (rate limiting, metrics) reuse THIS
+      * serialization instead of re-encoding the item a second time —
+      * on a bulk load the encode is the hot path, not the I/O.
+      */
+    def append(op: Op): Int = {
       val tag = tagOf(op)
       val shard = shardOf(meta, op.item)
       val w = open.getOrElseUpdate(shard,
         Files.newBufferedWriter(
           dir.resolve(f".wal-$seq%020d-$writerId-s$shard%03d.jsonl.tmp"), UTF_8,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND))
-      w.write(ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item))))
+      val line = ItemJson.write(Map("op" -> AttrVal.S(tag), "item" -> AttrVal.M(op.item)))
+      w.write(line)
       w.write("\n")
       op match {
         case _: Delete => () // removing an item never ADDS values
@@ -1627,6 +1633,7 @@ final class LocalKVStore(root: String) {
         case _ =>
           stats(shard) = stats.getOrElse(shard, ShardStats.empty).widen(op.item)
       }
+      line.length
     }
 
     def flush(): Unit = open.values.foreach(_.flush())

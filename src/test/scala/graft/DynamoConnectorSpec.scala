@@ -5868,6 +5868,111 @@ class DynamoConnectorSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("samp_v")
   }
 
+  test("table-sample membership is EXACTLY the seeded-hash law (independent reimplementation)") {
+    // The content-exact check behind q_dyn_sample's no-oracle gap:
+    // the sampled key set must equal an INDEPENDENT in-test
+    // reimplementation of the membership law — FNV-1a seeded with the
+    // query seed, splitmix64 finalizer, top 53 bits → u ∈ [0,1),
+    // keep iff u < fraction — computed over the store's canonical key
+    // encoding ("s:<id>" / "n:<stripped-plain>"). Deliberately NOT a
+    // call into PushedSample.keeps: a silent change to the hash, the
+    // finalizer, or the canonical encoding fails HERE even though
+    // DuckDB cannot express the check (tools/check.py runs the same
+    // reimplementation in Python for the CORRECTNESS artifact).
+    import spark.implicits._
+    def keeps(canonical: String, seed: Long, frac: Double): Boolean = {
+      val bytes = canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = seed ^ 0xcbf29ce484222325L
+      bytes.foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+      h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+      h ^= (h >>> 31)
+      (h >>> 11).toDouble / (1L << 53).toDouble < frac
+    }
+    val root = freshRoot()
+    // string keys (canonical "s:<id>")
+    (0 until 500).map(i => (f"k$i%03d", i.toLong)).toDF("id", "v")
+      .write.dynamo(root, "smps", "id")
+    val gotS = spark.read.dynamo(root, "smps").sample(0.3, 1234L)
+      .select("id").collect().map(_.getString(0)).toSet
+    val expS = (0 until 500).map(i => f"k$i%03d")
+      .filter(k => keeps("s:" + k, 1234L, 0.3)).toSet
+    assert(gotS === expS, "string-key membership drifted from the law")
+    assert(expS.nonEmpty && expS.size < 500)
+    // numeric keys (canonical "n:<stripped-plain>") — q_dyn_sample's
+    // exact shape (seed 1234, fraction 0.3, N hash key)
+    (1 until 501).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .write.dynamo(root, "smpn", "id")
+    val gotN = spark.read.dynamo(root, "smpn").sample(0.3, 1234L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expN = (1L until 501L).filter(k => keeps("n:" + k, 1234L, 0.3)).toSet
+    assert(gotN === expN, "numeric-key membership drifted from the law")
+    assert(expN.nonEmpty && expN.size < 500)
+  }
+
+  test("columnar ingest ≡ row write: identical table state from either path") {
+    // The write-side mirror of the columnar read: a parquet scan of a
+    // flat schema ingests via executeColumnar() + vectorCellWriter
+    // (same value→AttrVal conversion, same WalWriter) — the resulting
+    // table must be indistinguishable from the row writer's. Pins the
+    // fallback too: a nested schema (no columnar type set) must take
+    // the row path and still land the same state.
+    import spark.implicits._
+    import graft.sources.dynamo.DynamoColumnarIngest
+    val root = freshRoot()
+    val pq = java.nio.file.Files.createTempDirectory("graft-coling").toString
+    val df0 = (0 until 1000).map { i =>
+      (i.toLong, f"name$i%04d", i * 1.5, i % 3 == 0,
+        Array(i.toLong, i + 1L), f"b$i%03d".getBytes("UTF-8"))
+    }.toDF("id", "name", "score", "flag", "arr", "blob")
+    df0.write.mode("overwrite").parquet(pq)
+    val scan = spark.read.parquet(pq)
+    // columnar path actually taken (a parquet scan of a flat schema
+    // has a columnar tail)
+    assert(DynamoColumnarIngest.ingest(scan, root, "colw", "id"),
+      "parquet scan of a flat schema must take the columnar path")
+    spark.read.parquet(pq).write.dynamo(root, "roww", "id")
+    def read(t: String) = spark.read.dynamo(root, t)
+      .select("id", "name", "score", "flag", "arr", "blob")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getBoolean(3), r.getSeq[Long](4).toVector,
+        r.getAs[Array[Byte]](5).toVector))
+      .sortBy(_._1).toVector
+    assert(read("colw") === read("roww"),
+      "columnar-ingested state diverged from the row writer's")
+    // nulls round-trip identically through both paths
+    // fractional score: a whole double would read back as Long
+    // through N inference and the comparison would type-mismatch
+    val nulls = Seq((1L, Some("x"), Some(2.5)), (2L, None, None))
+      .toDF("id", "name", "score")
+    nulls.write.mode("overwrite").parquet(pq + "2")
+    assert(DynamoColumnarIngest.ingest(
+      spark.read.parquet(pq + "2"), root, "colw2", "id"))
+    spark.read.parquet(pq + "2").write.dynamo(root, "roww2", "id")
+    def read2(t: String) = spark.read.dynamo(root, t)
+      .select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toVector
+    assert(read2("colw2") === read2("roww2"))
+    // nested schema → no columnar type set → row fallback, same state
+    val nested = Seq((1L, (2L, "a")), (2L, (3L, "b"))).toDF("id", "st")
+    assert(!DynamoColumnarIngest.ingest(nested, root, "colw3", "id"),
+      "nested schema must fall back to the row path")
+    nested.write.dynamo(root, "roww3", "id")
+    def read3(t: String) = spark.read.dynamo(root, t)
+      .selectExpr("id", "st.*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toVector
+    assert(read3("colw3") === read3("roww3"))
+    // an in-memory DataFrame (no columnar tail) also falls back
+    val local = Seq((10L, "z")).toDF("id", "name")
+    assert(!DynamoColumnarIngest.ingest(local, root, "colw4", "id"),
+      "a plan without a columnar tail must fall back to the row path")
+    assert(spark.read.dynamo(root, "colw4").count() === 1L)
+  }
+
   test("metadata columns _shard/_size project on demand, stay hidden from *") {
     import spark.implicits._
     val root = freshRoot()

@@ -410,6 +410,70 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(scanAll() === view, "compaction changed a triple outcome")
   }
 
+  test("racing-writers WAL-op grid: every ordered pair from two CONCURRENT committers is one of the two serializations") {
+    // The pairwise/triple grids prove ORDER-composition (sequential
+    // files); this grid covers the same 15-op alphabet under RACING
+    // committers: for every op pair (15 × 15 shapes × 2 bases = 450
+    // keys) thread A commits the pair's first op and thread B its
+    // second — each op its OWN transactWrite (real wall-clock seq,
+    // real staged file + atomic marker), key orders shuffled
+    // differently per thread so interleavings decorrelate. The law:
+    // whatever the scheduler does, each key's final state is EXACTLY
+    // one of the two serializations (opA∘opB or opB∘opA) — never an
+    // interleaved hybrid, never a torn or phantom state — and
+    // compaction preserves whichever serialization landed. Outcome
+    // CHOICE is scheduler-dependent by design; MEMBERSHIP is not, so
+    // the assertion is load-proof (no wall-clock margins anywhere).
+    val shapes: Seq[(String, Item)] = pairwiseShapes
+    val bases: Seq[Option[Item]] = Seq(None, Some(fullNestedBase))
+    val combos = for {
+      (s1, i) <- shapes.zipWithIndex
+      (s2, j) <- shapes.zipWithIndex
+      (b, bi) <- bases.zipWithIndex
+    } yield (s"r${i}_${j}_$bi", s1, s2, b)
+    val root = Files.createTempDirectory("graft-racing").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta,
+      combos.iterator.flatMap { case (k, _, _, b) => b.map(withKey(k, _)) })
+    def committer(pick: ((String, (String, Item), (String, Item),
+          Option[Item])) => (String, Item), seed: Long, wid: String,
+        fail: java.util.concurrent.atomic.AtomicReference[Throwable]) =
+      new Thread(() => try {
+        new scala.util.Random(seed).shuffle(combos).foreach { c =>
+          val (tag, args) = pick(c)
+          store.transactWrite("t", System.currentTimeMillis(),
+            wid + c._1, Seq(toOp(store)((realTag(tag), c._1, args))))
+        }
+      } catch { case e: Throwable => fail.set(e) })
+    val errA = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val errB = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val ta = committer(_._2, 0xA17L, "ra-", errA)
+    val tb = committer(_._3, 0xB17L, "rb-", errB)
+    ta.start(); tb.start()
+    ta.join(120000); tb.join(120000)
+    assert(!ta.isAlive && !tb.isAlive, "a committer did not finish")
+    assert(errA.get() == null, s"committer A failed: ${errA.get()}")
+    assert(errB.get() == null, s"committer B failed: ${errB.get()}")
+    def scanAll(): Map[String, Item] =
+      store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    val view = scanAll()
+    combos.foreach { case (k, (t1, a1), (t2, a2), b) =>
+      val bseq = b.map(k -> withKey(k, _)).toSeq
+      val o1 = (realTag(t1), k, a1)
+      val o2 = (realTag(t2), k, a2)
+      val allowed = Set(
+        model(bseq, Seq(Seq(o1), Seq(o2))).get(k),
+        model(bseq, Seq(Seq(o2), Seq(o1))).get(k))
+      assert(allowed.contains(view.get(k)),
+        s"race $t1 || $t2 over base=${b.isDefined} at $k: " +
+          s"got ${view.get(k)}, allowed one of $allowed")
+    }
+    store.compact("t")
+    assert(scanAll() === view, "compaction changed a raced outcome")
+  }
+
   test("LAW: TTL reap composes with the fold; later path edits never resurrect") {
     // The r16 frontier: list_append / PathEdits racing TTL expiry on
     // the same item. Model: fold jobs1, physically reap expired items
