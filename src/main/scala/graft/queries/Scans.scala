@@ -388,6 +388,30 @@ object Scans {
     math.max(dflt, math.min(4096L, (n + 374999L) / 375000L).toInt)
   }
 
+  /** Storage level for EDGE-SCALE checkpoints, self-sized like
+    * [[edgeParts]]: the default in-memory level below ~20M lineitem
+    * rows (edge lists fit well under the storage fraction at the
+    * pinned 8 GB heap — measured green through sf3), DISK_ONLY above.
+    * At sf10 the round-17 probe's one cliff was exactly this:
+    * pagerank's TWO edge-scale MEMORY_AND_DISK checkpoint block sets
+    * pinned the unified pool up to storageFraction and starved the
+    * superstep joins' execution memory into UNABLE_TO_ACQUIRE_MEMORY
+    * at 8 AND 16 GB. Disk blocks take ZERO pool and re-read
+    * sequentially per superstep — the same trade a 1000-executor
+    * cluster makes for graphs that dwarf aggregate executor memory.
+    * Thresholded on the INPUT table's count (a cheap metadata-shaped
+    * scan) because the level must be chosen BEFORE the edge list is
+    * first materialized.
+    */
+  private val edgeCkptBigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private def edgeCkptBig(s: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    // memoized per fixture dir (immutable inputs): the threshold count
+    // must not re-run on every bench rep of a graph key
+    edgeCkptBigCache.computeIfAbsent(dir,
+      _ => Fixtures.lineitem(s, dir).count() > 20000000L)
+
   /** Register exactly the views a statement needs, then run it. */
   private def sql(stmt: String, tables: String*): Q = (s, dir) => {
     tables.foreach {
@@ -419,11 +443,23 @@ object Scans {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
-      val edges = links
+      // Edge-scale checkpoints self-size their storage level
+      // ([[edgeCkptBig]]): pagerank holds TWO of them (edges + edgesD
+      // below), and past ~20M input rows their MEMORY_AND_DISK blocks
+      // pin the unified pool and starve superstep execution memory
+      // (the sf10 probe's one cliff) — DISK_ONLY there; the default
+      // in-memory level below (DISK_ONLY at sf0.1 measured a 1.5×
+      // riser, the wrong trade when the blocks are 30 MB). Node-sized
+      // `deg` stays in memory at every scale.
+      val big = edgeCkptBig(s, dir)
+      def ckptEdges(df: org.apache.spark.sql.DataFrame) =
+        if (big) df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        else df.localCheckpoint(true)
+      val edges = ckptEdges(links
         .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
-          col("cust").as("dst")))
-        .localCheckpoint(true)
+          col("cust").as("dst"))))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
       // Out-degree folded INTO the edge list once (d is constant per
@@ -444,9 +480,8 @@ object Scans {
       // visibility runs 58 s. The join was never this key's memory
       // cliff — communities' window path was, and is sized in ITS
       // plan below — so the cheaper shape wins here.)
-      val edgesD = edges.join(deg, "src")
-        .repartition(edgeParts(s, edges), col("src"))
-        .localCheckpoint(true)
+      val edgesD = ckptEdges(edges.join(deg, "src")
+        .repartition(edgeParts(s, edges), col("src")))
       var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         pr = pr
@@ -476,11 +511,21 @@ object Scans {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
-      val edges = links
+      // Self-sized level like pagerank's edge checkpoints
+      // ([[edgeCkptBig]]): communities survived the sf10 probe at
+      // 8 GB with the default level (one edge checkpoint, not two),
+      // but an edge-scale block set pinning the unified pool is the
+      // same cliff class one decade later — past the threshold,
+      // zero-pool disk blocks buy the headroom for one sequential
+      // re-read per round.
+      val edges0 = links
         .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
           col("cust").as("dst")))
-        .localCheckpoint(true)
+      val edges =
+        if (edgeCkptBig(s, dir)) edges0.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        else edges0.localCheckpoint(true)
       // Edge-list pre-partitioned by dst ONCE PER EXECUTION at the
       // self-sized width ([[edgeParts]]): both rounds' label joins
       // share the one Exchange (ReusedExchange — the repartition is

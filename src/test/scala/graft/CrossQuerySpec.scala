@@ -49,8 +49,12 @@ class CrossQuerySpec extends AnyFunSuite {
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
     // the sketch keys are approximate-valued by design (banded by
     // QueriesSpec); q_dyn_sample's pushed key-hash sample is exact but
-    // not expressible in portable SQL (DynamoConnectorSpec pins its
-    // semantics instead)
+    // not expressible in portable SQL — since r17 it IS content-exact
+    // checked anyway: DynamoConnectorSpec pins the membership law
+    // against an independent hash reimplementation, and check.py runs
+    // the same reimplementation in Python as a synthetic oracle entry
+    // (only the driver's own DuckDB-only artifact still says
+    // no_oracle)
     val declaredNoOracle =
       Set("q_agg_approx_distinct", "q_agg_sketch_union",
         "q_agg_approx_percentile", "q_dyn_sample")

@@ -1250,6 +1250,20 @@ class StoreLawsSpec extends AnyFunSuite {
       }
     } finally { stop.set(true); writer.join(20000) }
     assert(writerFailure.isEmpty, s"writer thread failed: $writerFailure")
+    // starvation fallback: if the scheduler never let a probe land
+    // while the storm ran (32 cores make that near-impossible, but
+    // the deflaked law must not depend on it), probe once now — the
+    // writer is joined, so the committed fence covers every txn and
+    // the membership law still gets one non-vacuous evaluation
+    if (probes == 0) {
+      val cut = lastCommitted.get()
+      assert(cut > 0L, "writer committed nothing — storm vacuous")
+      def keysAt(t: String): Set[String] =
+        store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
+          .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
+      assert(keysAt("sa") === keysAt("sb"), "post-join cut tore")
+      probes = 1
+    }
     assert(probes > 0, "no probe landed while the storm ran — law vacuous")
     assert(failures.isEmpty, failures.toArray.mkString("\n"))
   }
