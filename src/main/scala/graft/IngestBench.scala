@@ -25,6 +25,7 @@ object IngestBench {
     spark.range(1000000).selectExpr("sum(id) s").collect() // JVM warmup
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-bench")
       .toString
+    try {
     val reps = 3
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -60,7 +61,11 @@ object IngestBench {
       s""""row_write":${f3(rowTimes.min)},"columnar_ingest":${f3(colTimes.min)},""" +
       s""""row_reps":[${rowTimes.map(f3).mkString(",")}],""" +
       s""""col_reps":[${colTimes.map(f3).mkString(",")}]}""")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-    spark.stop()
+    } finally {
+      // a failed require must not leak the multi-GB temp store or a
+      // live local[32] session into the next bench
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop()
+    }
   }
 }

@@ -412,6 +412,17 @@ object Scans {
     edgeCkptBigCache.computeIfAbsent(dir,
       _ => Fixtures.lineitem(s, dir).count() > 20000000L)
 
+  /** The ONE edge-scale checkpoint policy, shared by every graph key
+    * (a level tweak edited in one query must never silently leave the
+    * other on the old policy): default in-memory level below the
+    * [[edgeCkptBig]] threshold, DISK_ONLY above.
+    */
+  private def ckptEdges(s: org.apache.spark.sql.SparkSession, dir: String)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (edgeCkptBig(s, dir)) df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint(true)
+
   /** Register exactly the views a statement needs, then run it. */
   private def sql(stmt: String, tables: String*): Q = (s, dir) => {
     tables.foreach {
@@ -444,19 +455,16 @@ object Scans {
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
       // Edge-scale checkpoints self-size their storage level
-      // ([[edgeCkptBig]]): pagerank holds TWO of them (edges + edgesD
-      // below), and past ~20M input rows their MEMORY_AND_DISK blocks
-      // pin the unified pool and starve superstep execution memory
-      // (the sf10 probe's one cliff) — DISK_ONLY there; the default
-      // in-memory level below (DISK_ONLY at sf0.1 measured a 1.5×
-      // riser, the wrong trade when the blocks are 30 MB). Node-sized
-      // `deg` stays in memory at every scale.
-      val big = edgeCkptBig(s, dir)
-      def ckptEdges(df: org.apache.spark.sql.DataFrame) =
-        if (big) df.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        else df.localCheckpoint(true)
-      val edges = ckptEdges(links
+      // ([[ckptEdges]]/[[edgeCkptBig]]): pagerank holds TWO of them
+      // (edges + edgesD below), and past ~20M input rows their
+      // MEMORY_AND_DISK blocks pin the unified pool and starve
+      // superstep execution memory (the sf10 probe's one cliff) —
+      // DISK_ONLY there; the default in-memory level below (DISK_ONLY
+      // at sf0.1 measured a 1.5× riser, the wrong trade when the
+      // blocks are 30 MB). Node-sized `deg` stays in memory at every
+      // scale.
+      val ckpt = ckptEdges(s, dir) _
+      val edges = ckpt(links
         .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
           col("cust").as("dst"))))
@@ -480,7 +488,7 @@ object Scans {
       // visibility runs 58 s. The join was never this key's memory
       // cliff — communities' window path was, and is sized in ITS
       // plan below — so the cheaper shape wins here.)
-      val edgesD = ckptEdges(edges.join(deg, "src")
+      val edgesD = ckpt(edges.join(deg, "src")
         .repartition(edgeParts(s, edges), col("src")))
       var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
@@ -511,21 +519,16 @@ object Scans {
         .select(col("o_custkey").cast("long").as("cust"),
           col("l_suppkey").cast("long").as("supp"))
         .distinct()
-      // Self-sized level like pagerank's edge checkpoints
-      // ([[edgeCkptBig]]): communities survived the sf10 probe at
-      // 8 GB with the default level (one edge checkpoint, not two),
-      // but an edge-scale block set pinning the unified pool is the
-      // same cliff class one decade later — past the threshold,
-      // zero-pool disk blocks buy the headroom for one sequential
-      // re-read per round.
-      val edges0 = links
+      // Self-sized level via the shared [[ckptEdges]] policy:
+      // communities survived the sf10 probe at 8 GB with the default
+      // level (one edge checkpoint, not two), but an edge-scale block
+      // set pinning the unified pool is the same cliff class one
+      // decade later — past the threshold, zero-pool disk blocks buy
+      // the headroom for one sequential re-read per round.
+      val edges = ckptEdges(s, dir)(links
         .select(col("cust").as("src"), (col("supp") + 1000000L).as("dst"))
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
-          col("cust").as("dst")))
-      val edges =
-        if (edgeCkptBig(s, dir)) edges0.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        else edges0.localCheckpoint(true)
+          col("cust").as("dst"))))
       // Edge-list pre-partitioned by dst ONCE PER EXECUTION at the
       // self-sized width ([[edgeParts]]): both rounds' label joins
       // share the one Exchange (ReusedExchange — the repartition is

@@ -4564,15 +4564,33 @@ object DynamoColumnarIngest {
         val seq = System.currentTimeMillis()
         val names = schema.fields.map(_.name)
         val cells = schema.fields.map(f => Codec.vectorCellWriter(f.dataType))
-        colPlan.executeColumnar().foreachPartition { batches =>
+        val rdd = colPlan.executeColumnar()
+        // write-rate parity with the row path (WriteSetup.ratePerWriter
+        // defaults): the columnar path honors the table's throughput
+        // model too, so the two paths differ ONLY in encode shape
+        val ratePerWriter = math.max(0.1,
+          1.0 * meta.throughput.toDouble /
+            math.max(1, rdd.getNumPartitions))
+        val bytesPerWCU = 1000
+        rdd.foreachPartition { batches =>
           val st = new LocalKVStore(path)
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val wal = st.walWriter(tableName, seq, f"colw-p$pid%05d")
+          val tc = org.apache.spark.TaskContext.get()
+          // the walWriter (seq, writerId) uniqueness contract: fold the
+          // task ATTEMPT id in, like the row writer does with taskId —
+          // a retried or speculative attempt must never CREATE+APPEND
+          // onto a dead attempt's (possibly torn) buffer. A crashed
+          // attempt's buffer stays an invisible dot-prefixed orphan;
+          // duplicate SUCCESSFUL attempts publish idempotent Puts
+          // (plain-Put mode only), converging to the same state.
+          val wal = st.walWriter(tableName, seq,
+            f"colw-p${tc.partitionId()}%05d-a${tc.taskAttemptId()}")
+          val limiter = new RateLimiter(ratePerWriter)
           try {
             batches.foreach { batch =>
               val nCols = names.length
               val cols = Array.tabulate(nCols)(batch.column)
               var r = 0
+              var batchBytes = 0L
               val nRows = batch.numRows()
               while (r < nRows) {
                 val b = Map.newBuilder[String, AttrVal]
@@ -4582,9 +4600,11 @@ object DynamoColumnarIngest {
                     else cells(c)(cols(c), r))
                   c += 1
                 }
-                wal.append(st.Put(b.result()))
+                batchBytes += wal.append(st.Put(b.result()))
                 r += 1
               }
+              if (nRows > 0) limiter.acquire(
+                math.max(1.0, batchBytes.toDouble / bytesPerWCU))
             }
             wal.close()
           } catch { case e: Throwable => wal.abort(); throw e }

@@ -1190,13 +1190,21 @@ class StoreLawsSpec extends AnyFunSuite {
     // between the two per-table reads served a "tear" that was really
     // a violated precondition (the r16 judge's 1-in-348 flake).
     // Encoded deterministically instead: the writer uses strictly
-    // increasing seqs and publishes the seq of the last transaction
-    // whose transactWriteMulti has RETURNED (marker durably landed);
-    // probes cut only at that fence, so every txn with seq <= cut is
-    // fully committed no matter how long the scheduler stalls anyone.
-    // The inside-the-window semantics stay covered by the two
-    // deterministic hand-planted tests above ("a cut that would tear"
-    // and "a pending cross-table file is invisible everywhere").
+    // increasing FUTURE seqs (base = now + 10^7 ms, so
+    // transactPublish's pubSeq = max(seq, now) equals the passed seq
+    // EXACTLY on every participant file — with past seqs the publish
+    // bump would lift every file above any committed-seq cut and the
+    // probes would compare empty sets, a vacuous law) and publishes
+    // the seq of the last transaction whose transactWriteMulti has
+    // RETURNED (marker durably landed); probes cut only at that
+    // fence. The probe then knows the EXACT expected view: the
+    // committed prefix k0000..k(cut-base) — asserted per table, which
+    // both proves cut consistency AND that the cut actually serves
+    // the committed transactions (anti-vacuity). No assertion depends
+    // on how long any thread is descheduled. The inside-the-window
+    // semantics stay covered by the two deterministic hand-planted
+    // tests above ("a cut that would tear" and "a pending cross-table
+    // file is invisible everywhere").
     import graft.sources.dynamo.TableTxn
     val root = Files.createTempDirectory("graft-xtxn-storm-cut").toString
     val store = new LocalKVStore(root)
@@ -1204,6 +1212,7 @@ class StoreLawsSpec extends AnyFunSuite {
     store.createTable("sa", meta); store.createTable("sb", meta)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seqBase = System.currentTimeMillis() + 10000000L
     val lastCommitted = new java.util.concurrent.atomic.AtomicLong(0L)
     @volatile var writerFailure: Option[Throwable] = None
     val writer = new Thread(() => {
@@ -1212,59 +1221,54 @@ class StoreLawsSpec extends AnyFunSuite {
         while (!stop.get() && i < 400) {
           val item: Item = Map(
             "pk" -> AttrVal.S(f"k$i%04d"), "v" -> AttrVal.N(BigDecimal(i)))
-          val seq = 10000L + i // strictly increasing: no seq tie can
-          // put an in-flight txn at or below the committed fence
           store.transactWriteMulti(Seq(
             TableTxn("sa", Seq(store.Put(item))),
             TableTxn("sb", Seq(store.Put(item)))),
-            seq, f"storm$i%04d")
-          lastCommitted.set(seq)
+            seqBase + i, f"storm$i%04d")
+          lastCommitted.set(seqBase + i)
           i += 1
           Thread.sleep(1)
         }
       } catch { case e: Throwable => writerFailure = Some(e) }
     })
+    def probe(cut: Long): Unit = {
+      val expected = (0L to (cut - seqBase)).map(i => f"k$i%04d").toSet
+      def keysAt(t: String): Set[String] =
+        store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
+          .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
+      try {
+        val (a, b) = (keysAt("sa"), keysAt("sb"))
+        if (a != expected || b != expected) failures.add(
+          s"cut $cut: expected ${expected.size} committed keys, " +
+            s"sa missing=${expected -- a} extra=${a -- expected}, " +
+            s"sb missing=${expected -- b} extra=${b -- expected}")
+      } catch {
+        case e: IllegalStateException =>
+          // the loud outcome is legal (fold raced the cut); a torn or
+          // wrong RETURN is not
+          assert(e.getMessage.contains("asOfSeq"), e.getMessage)
+      }
+    }
     writer.start()
     val deadline = System.currentTimeMillis() + 4500L
     var probes = 0
     try {
       while (writer.isAlive && System.currentTimeMillis() < deadline) {
         val cut = lastCommitted.get()
-        if (cut > 0L) {
-          probes += 1
-          def keysAt(t: String): Set[String] =
-            store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
-              .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
-          try {
-            val (a, b) = (keysAt("sa"), keysAt("sb"))
-            if (a != b) failures.add(
-              s"cut $cut tore: only-in-a=${a -- b} only-in-b=${b -- a}")
-          } catch {
-            case e: IllegalStateException =>
-              // the loud outcome is legal (fold raced the cut); a torn
-              // RETURN is not
-              assert(e.getMessage.contains("asOfSeq"), e.getMessage)
-          }
-        }
+        if (cut > 0L) { probes += 1; probe(cut) }
         Thread.sleep(7)
       }
     } finally { stop.set(true); writer.join(20000) }
     assert(writerFailure.isEmpty, s"writer thread failed: $writerFailure")
-    // starvation fallback: if the scheduler never let a probe land
-    // while the storm ran (32 cores make that near-impossible, but
-    // the deflaked law must not depend on it), probe once now — the
-    // writer is joined, so the committed fence covers every txn and
-    // the membership law still gets one non-vacuous evaluation
-    if (probes == 0) {
-      val cut = lastCommitted.get()
-      assert(cut > 0L, "writer committed nothing — storm vacuous")
-      def keysAt(t: String): Set[String] =
-        store.scanSegment(t, 0, 1, asOfSeq = Some(cut)).map(_._1)
-          .map(_("pk").asInstanceOf[AttrVal.S].v).toSet
-      assert(keysAt("sa") === keysAt("sb"), "post-join cut tore")
-      probes = 1
-    }
-    assert(probes > 0, "no probe landed while the storm ran — law vacuous")
+    // final probe AFTER the join doubles as the starvation fallback
+    // (32 cores make zero mid-storm probes near-impossible, but the
+    // deflaked law must not depend on scheduling) and as the
+    // end-state check: the last committed cut serves the whole prefix
+    val cutEnd = lastCommitted.get()
+    assert(cutEnd > 0L, "writer committed nothing — storm vacuous")
+    probe(cutEnd)
+    probes += 1
+    assert(probes > 0, "unreachable — the post-join probe always runs")
     assert(failures.isEmpty, failures.toArray.mkString("\n"))
   }
 

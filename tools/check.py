@@ -121,21 +121,18 @@ def sample_keeps(canonical, seed, frac):
     return (h >> 11) / float(1 << 53) < frac
 
 
-def check_dyn_sample(con, out_dir):
+def dyn_sample_oracle(con):
     """Content-exact expected rows for q_dyn_sample: the customer
     fixture filtered by the seeded-hash membership over the canonical
     numeric key encoding ("n:<custkey>"), projected and ordered like
-    the query (seed 1234, fraction 0.3)."""
-    files = sorted(glob.glob(os.path.join(out_dir, "q_dyn_sample", "*.parquet")))
-    if not files:
-        return None, None
-    got = pq.read_table(files)
+    the query (seed 1234, fraction 0.3). The Spark side is read by the
+    main compare loop like any other key."""
     full = con.execute(
         "SELECT c_custkey, c_name, c_acctbal FROM customer "
         "ORDER BY c_custkey").arrow()
     keep = [sample_keeps(f"n:{k}", 1234, 0.3)
             for k in full.column("c_custkey").to_pylist()]
-    return got, full.filter(keep)
+    return full.filter(keep)
 
 
 def main():
@@ -191,7 +188,7 @@ def main():
         entry["spark_rows"] = got.num_rows
         try:
             if sql is None:  # q_dyn_sample: python hash-membership oracle
-                _, exp = check_dyn_sample(con, out_dir)
+                exp = dyn_sample_oracle(con)
                 entry["check"] = "python_hash_membership"
             elif big and name == "q_dedup_cluster_full":
                 exp = run_cc_iterative(con, sql)

@@ -64,9 +64,9 @@ for k in "${KEYS[@]}"; do
   fi
 done
 
-python - "$OUTDIR" <<'PY'
+python - "$OUTDIR" "$SF10" <<'PY'
 import glob, json, os, sys
-outdir = sys.argv[1]
+outdir, sf10_dir = sys.argv[1], sys.argv[2]
 queries, reps, cliffs, fails = {}, {}, [], []
 for k in sorted(glob.glob(os.path.join(outdir, "*.json"))):
     name = os.path.basename(k)[:-5]
@@ -79,7 +79,7 @@ for f in glob.glob(os.path.join(outdir, "*.fail")):
     fails.append(os.path.basename(f)[:-5])
 art = {"metric": "total", "value": round(sum(queries.values()), 3),
        "unit": "sec", "queries": queries, "reps": reps,
-       "sf": "/tmp/testdata/sf10", "heap_cliff_16g": sorted(cliffs),
+       "sf": sf10_dir, "heap_cliff_16g": sorted(cliffs),
        "failed": sorted(fails)}
 with open("BENCH_sf10probe.json", "w") as f:
     json.dump(art, f, sort_keys=True)
