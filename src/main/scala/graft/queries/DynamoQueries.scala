@@ -689,6 +689,32 @@ object DynamoQueries {
     root
   }
 
+  /** Seed a table through the COLUMNAR ingest path (§2A 86 → its
+    * CORRECTNESS row): the customer parquet scan has a columnar tail,
+    * so `DynamoColumnarIngest.ingest` consumes `executeColumnar()`
+    * directly — ColumnarBatch cells → vectorCellWriter → the same
+    * WalWriter as the row path. The seed REQUIRES the columnar path
+    * was actually taken (a silent row-fallback would make the key
+    * vacuous), then compacts. The oracle is the plain fixture: any
+    * cell the columnar encode got wrong hash-mismatches.
+    */
+  private def seededColumnarIngestRoot(s: SparkSession, sfDir: String): String = {
+    val root = storeRoot(sfDir)
+    withSeedLock(root) {
+      val marker = Paths.get(root, "customer_colw", "_seeded")
+      if (!Files.exists(marker)) {
+        val tookColumnar = graft.sources.dynamo.DynamoColumnarIngest.ingest(
+          Fixtures.customer(s, sfDir), root, "customer_colw", "c_custkey")
+        require(tookColumnar,
+          "customer fixture scan must take the columnar ingest path " +
+            "(a row-fallback here would leave §2A-86 untested)")
+        DynamoMaintenance.compact(s, root, "customer_colw")
+        Files.createFile(marker)
+      }
+    }
+    root
+  }
+
   /** Seed `events_bytype` — the DynamoDB time-series shape (hash
     * `event_type`, range `event_id`): a handful of partition keys,
     * each spanning MANY pages. Compaction's hash-group page alignment
@@ -1086,6 +1112,21 @@ object DynamoQueries {
         .join(broadcast(sums.select(col("chunk"), col("n_rows"),
           col("sum_cents"))), Seq("chunk"))
         .orderBy("chunk")
+    }),
+    // COLUMNAR-INGESTED table read-back (§2A 86): customer_colw was
+    // loaded exclusively through DynamoColumnarIngest (ColumnarBatch
+    // cells → vectorCellWriter → the shared WalWriter; the seed
+    // REQUIRES the columnar path ran), so this key oracle-checks the
+    // whole columnar encode against the parquet fixture cell-by-cell
+    // — the CORRECTNESS row for the columnar write path, same shape
+    // as q_dyn_scan's for the row path.
+    "q_dyn_ingest_columnar" -> ((s, dir) => {
+      val root = seededColumnarIngestRoot(s, dir)
+      s.read.format("dynamo")
+        .option("path", root).option("tableName", "customer_colw").load()
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .orderBy("c_custkey")
     }),
     // PartiQL ConditionCheck (§2A 84): the final txn_chk state after
     // the per-key transaction quartet — `flagged` present exactly
@@ -1839,6 +1880,13 @@ object DynamoQueries {
         |       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
         |         AS sum_cents
         |FROM customer GROUP BY 1 ORDER BY chunk""".stripMargin,
+    // the columnar-ingested copy is faithful ⇔ it equals the fixture
+    // (int32 widens to BIGINT through the store's N type, like
+    // q_dyn_scan)
+    "q_dyn_ingest_columnar" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // the ConditionCheck quartet's final state restates over the
     // fixture: flagged iff the gate condition held, chk2 = 1 iff the
     // cancelled transactions (999/777) truly staged nothing
