@@ -546,16 +546,10 @@ object DynamoQueries {
                 rows.map(r => st.Put(Map(
                   "c_custkey" -> n(r.getLong(0)),
                   "bal_cents" -> n(r.getLong(1))))))
-              // Publish fence: the base Puts' published seq is at most
-              // the wall clock AT RETURN of appendWal; the statements
-              // below journal at the CURRENT clock, and replay orders
-              // equal seqs by writerId — where "partiql-…" sorts
-              // BEFORE "seedc-…", which would replay the
-              // conditional-on-existence UPDATE against a not-yet-Put
-              // item and silently skip it. Waiting for the clock to
-              // advance makes every statement seq STRICTLY greater.
-              val fence = System.currentTimeMillis()
-              while (System.currentTimeMillis() <= fence) Thread.sleep(1)
+              // No publish fence needed: the store's monotone stamp
+              // (LocalKVStore.nextPubSeq) orders every statement file
+              // strictly after the just-published seed files — the
+              // r17 wall-clock wait here is obsolete.
               def expectCancel(stmts: String): Unit =
                 try {
                   PartiQL.executeTransaction(root, stmts, Nil)
@@ -640,11 +634,9 @@ object DynamoQueries {
                   "c_custkey" -> n(r.getLong(0)),
                   "bal_cents" -> n(r.getLong(1)),
                   "seg" -> AttrVal.S(r.getString(2))))))
-              // same publish fence as seededTxnCheckRoot: a same-millis
-              // "partiql-…" statement file would replay BEFORE
-              // "seedr-…" and the conditional UPDATE would skip
-              val fence = System.currentTimeMillis()
-              while (System.currentTimeMillis() <= fence) Thread.sleep(1)
+              // No publish fence needed (see seededTxnCheckRoot): the
+              // store's monotone stamp orders statement files strictly
+              // after the seed publish.
               def img(stmt: String): Map[String, AttrVal] = {
                 val (sch, rws) = PartiQL.execute(root, stmt, Nil)
                 ItemJson.parse(

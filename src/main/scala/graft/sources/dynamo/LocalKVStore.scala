@@ -1578,15 +1578,15 @@ final class LocalKVStore(root: String) {
     * observe a torn half-flushed line, and a failed task that calls
     * [[abort]] (or never reaches close) leaves nothing visible.
     *
-    * `pubSeq = max(seq, now)` is stamped immediately before each
-    * rename, so lexicographic name order is PUBLISH order: a file's
-    * name can sort below an already-listed name only if the writer is
-    * descheduled between the `currentTimeMillis` read and the rename
-    * syscall — a window of one syscall, not (as with naming at append
-    * time) the whole write job's runtime. The caller's `seq` acts as a
-    * floor so callers that hand out increasing seqs (e.g. the
-    * streaming sink's queryStart+epoch) keep their ordering even on a
-    * clock step backwards; ties break by `writerId`.
+    * `pubSeq = max(seq, now, maxListed + 1, lastStamped + 1)` (see
+    * [[nextPubSeq]]) is stamped immediately before the renames, so
+    * lexicographic name order is PUBLISH order: every new file sorts
+    * STRICTLY after everything already published to the table — two
+    * causally-ordered commits can never tie on pubSeq and replay in
+    * writerId order (the lost-update inversion). The caller's `seq`
+    * acts as a floor so callers that hand out increasing seqs (e.g.
+    * the streaming sink's queryStart+epoch) keep their ordering even
+    * on a clock step backwards.
     */
   final class WalWriter private[LocalKVStore] (table: String, meta: TableMeta, seq: Long, writerId: String) {
     private val dir = tableDir(table)
@@ -1648,9 +1648,14 @@ final class LocalKVStore(root: String) {
       * stats file, reaped at compaction.
       */
     def close(): Unit = {
+      // One monotone stamp for the whole publish: this writer's shard
+      // files may share a pubSeq (same writer — no ordering between
+      // them matters), but every one sorts strictly after all files
+      // already published to this table (see [[nextPubSeq]]).
+      val pub0 = if (open.isEmpty) 0L else nextPubSeq(table, seq)
       open.foreach { case (shard, w) =>
         w.close()
-        var pubSeq = math.max(seq, System.currentTimeMillis())
+        var pubSeq = pub0
         while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-s$shard%03d.jsonl")))
           pubSeq += 1
         val st = stats.getOrElse(shard, ShardStats.empty)
@@ -2189,7 +2194,7 @@ final class LocalKVStore(root: String) {
     val dir = tableDir(staged.table)
     val tmp = dir.resolve(f".wal-$seq%020d-$writerId-sall.jsonl.tmp")
     val zTmp = dir.resolve(f".zstat-$seq%020d-$writerId-sall.json.tmp")
-    var pubSeq = math.max(seq, System.currentTimeMillis())
+    var pubSeq = nextPubSeq(staged.table, seq)
     while (Files.exists(dir.resolve(f"wal-$pubSeq%020d-$writerId-sall.jsonl")))
       pubSeq += 1
     Files.move(zTmp, dir.resolve(f"zstat-$pubSeq%020d-$writerId-sall.json"),
@@ -2257,6 +2262,45 @@ final class LocalKVStore(root: String) {
     */
   private def walPubSeq(p: Path): Long =
     p.getFileName.toString.stripPrefix("wal-").takeWhile(_ != '-').toLong
+
+  /** Strictly-monotone publish stamp for `table`:
+    * `max(seq, now, maxListedWal + 1, lastStampedHere + 1)`.
+    *
+    * The `maxListed + 1` term is the cross-writer fence: replay sorts
+    * journal files by NAME, breaking equal-pubSeq ties by writerId —
+    * so two causally-ordered commits landing in the same millisecond
+    * (second one read the first's effects under the txn lock) could
+    * otherwise replay in INVERTED order and lose the earlier write.
+    * Transactional publishers call this while holding the table's
+    * txn lock, so the listing is guaranteed to include every earlier
+    * committed file; bulk writers (no lock) still get within-JVM
+    * strictness from the shared [[LocalKVStore.pubClock]] and a
+    * best-effort cross-JVM fence from the listing — benign, because
+    * two writers neither of which observed the other have no required
+    * order. Pending cross-table files count too (they occupy the same
+    * name space and replay in name order once their marker commits).
+    * `seq` stays a floor so callers that hand out increasing seqs
+    * (the streaming sink's queryStart+epoch) keep their ordering even
+    * on a clock step backwards.
+    */
+  private[dynamo] def nextPubSeq(table: String, seq: Long): Long = {
+    val dir = tableDir(table)
+    var listedMax = 0L
+    if (Files.isDirectory(dir)) {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("wal-") && n.endsWith(".jsonl")) {
+          val s = walPubSeqName(n)
+          if (s > listedMax) listedMax = s
+        }
+      } finally stream.close()
+    }
+    LocalKVStore.pubClock(dir.toString).updateAndGet { prev =>
+      math.max(math.max(seq, System.currentTimeMillis()),
+        math.max(listedMax, prev) + 1)
+    }
+  }
 
   /** WAL ops for the given segment only (per-shard WAL files make this
     * proportional to the segment's own journal, not the table's).
@@ -4214,6 +4258,17 @@ object LocalKVStore {
     */
   private[dynamo] def jvmLock(path: String): java.util.concurrent.locks.ReentrantLock =
     jvmLocks.computeIfAbsent(path, _ => new java.util.concurrent.locks.ReentrantLock)
+
+  private val pubClocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  /** Process-wide last-stamped publish sequence per table directory —
+    * the in-JVM half of the monotone publish fence (see
+    * [[LocalKVStore.nextPubSeq]]). Keyed by directory path, like
+    * [[jvmLock]], so every store instance over the same root shares
+    * one clock.
+    */
+  private[dynamo] def pubClock(dirPath: String): java.util.concurrent.atomic.AtomicLong =
+    pubClocks.computeIfAbsent(dirPath, _ => new java.util.concurrent.atomic.AtomicLong(0L))
 }
 
 /** TransactWriteItems `ConditionCheck` analogues: conditions on items

@@ -57,12 +57,12 @@ class ReplicationSpec extends AnyFunSuite {
       it("id").asInstanceOf[AttrVal.S].v -> it
     }.toMap
 
-  // Publish seqs floor at the wall clock (WalWriter: pubSeq =
-  // max(seq, now), ties across writerIds break by name) — so two
-  // same-millisecond writes with unordered writer names would replay
-  // out of order. Hand out strictly increasing seqs ABOVE the clock,
-  // exactly the contract production callers follow (epoch-millis
-  // write clocks are monotonic per writer).
+  // Publish seqs floor at the wall clock (WalWriter stamps
+  // pubSeq = max(seq, now, maxListed+1) — see LocalKVStore.nextPubSeq).
+  // Hand out strictly increasing seqs ABOVE the clock so each write's
+  // pubSeq equals its seq exactly and the laws' watermark arithmetic
+  // stays deterministic — the contract production callers follow
+  // (epoch-millis write clocks are monotonic per writer).
   private var seqCounter = System.currentTimeMillis() + 600000L
   private def nextSeq(): Long = { seqCounter += 1; seqCounter }
 
@@ -173,18 +173,55 @@ class ReplicationSpec extends AnyFunSuite {
     assert(!r2.full && r2.applied == 0)
   }
 
+  /** Forge a same-pubSeq boundary tie: rename `writerId`'s published
+    * journal files (wal + zstat sidecar) down to `pub`. The store's
+    * own monotone stamp ([[LocalKVStore.nextPubSeq]]) no longer emits
+    * such ties through the API, but a foreign or legacy writer whose
+    * clock lags can still land these names — the watermark guards
+    * must keep holding for them.
+    */
+  private def forgePub(root: String, writerId: String, pub: Long): Unit = {
+    val dir = java.nio.file.Paths.get(root, "t")
+    val st = Files.list(dir)
+    val hits = try {
+      val buf = Vector.newBuilder[java.nio.file.Path]
+      val it = st.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if ((n.startsWith("wal-") || n.startsWith("zstat-")) &&
+            n.contains(s"-$writerId-")) buf += p
+      }
+      buf.result()
+    } finally st.close()
+    assert(hits.nonEmpty, s"no published files for writer $writerId")
+    hits.foreach { p =>
+      val n = p.getFileName.toString
+      val pre = n.takeWhile(_ != '-')
+      val rest = n.drop(pre.length + 1 + 20) // skip "-" + 20-digit pubSeq
+      Files.move(p, dir.resolve(f"$pre-$pub%020d$rest"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   test("a same-pubSeq write landing at the watermark boundary still ships next pass") {
-    // pubSeq = max(seq, now) is NOT unique across writerIds: a second
-    // writer can publish at EXACTLY the pubSeq the previous pass
+    // pubSeq uniqueness across writerIds is only guaranteed for
+    // writers of THIS store build (the monotone stamp): a foreign
+    // writer can land a file at EXACTLY the pubSeq the previous pass
     // recorded as its watermark. A `> wm` filter would skip that file
     // forever; the mark's seen-name set makes the boundary exclusive
     // per file, not per seq.
-    val (a, b) = freshPair()
+    val rootA = Files.createTempDirectory("repl-boundary-a").toString
+    val a = new LocalKVStore(rootA); a.createTable("t", meta)
+    val b = new LocalKVStore(
+      Files.createTempDirectory("repl-boundary-b").toString)
+    b.createTable("t", meta)
     val s = nextSeq()
     Replication.writeStamped(a, "t", "rA", 1, s, "w1", Seq(RPut(item("k1", "v1"))))
     Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1") // wm = s
     assert(state(b) == Map("k1" -> "v1"))
-    Replication.writeStamped(a, "t", "rA", 2, s, "w2", Seq(RPut(item("k2", "v2"))))
+    Replication.writeStamped(a, "t", "rA", 2, nextSeq(), "w2", Seq(RPut(item("k2", "v2"))))
+    forgePub(rootA, "w2", s)
     val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
     assert(!r.full, "a live boundary file ships incrementally, no fallback needed")
     assert(state(b) == Map("k1" -> "v1", "k2" -> "v2"),
@@ -197,11 +234,16 @@ class ReplicationSpec extends AnyFunSuite {
     // wm (never exceeding it), so the `folded > wm` check alone is
     // blind — the cw-at-pass / base-fingerprint guards must trip the
     // loud full sync that re-derives the write from the base.
-    val (a, b) = freshPair()
+    val rootA = Files.createTempDirectory("repl-boundary2-a").toString
+    val a = new LocalKVStore(rootA); a.createTable("t", meta)
+    val b = new LocalKVStore(
+      Files.createTempDirectory("repl-boundary2-b").toString)
+    b.createTable("t", meta)
     val s = nextSeq()
     Replication.writeStamped(a, "t", "rA", 1, s, "w1", Seq(RPut(item("k1", "v1"))))
     Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i1") // wm = s
-    Replication.writeStamped(a, "t", "rA", 2, s, "w2", Seq(RPut(item("k2", "v2"))))
+    Replication.writeStamped(a, "t", "rA", 2, nextSeq(), "w2", Seq(RPut(item("k2", "v2"))))
+    forgePub(rootA, "w2", s)
     a.compact("t") // folds BOTH files at pubSeq s: compaction watermark == wm
     val r = Replication.syncIncremental(a, "rA", b, "t", nextSeq(), "i2")
     assert(r.full, "a fold landing exactly at the watermark must force full sync")
