@@ -194,8 +194,12 @@ object DynamoQueries {
   }
 
   /** Pinned journal sequence for the `customer_asof` epoch-2 batch:
-    * far enough in the future that `pubSeq = max(seq, closeTime)` is
-    * the seq itself — a deterministic time-travel point at any clock.
+    * far enough in the future that every epoch-2 file publishes AT or
+    * just above it (the monotone stamp `max(seq, now, maxListed+1)`
+    * spreads concurrent writers across seq..seq+k), so any cut below
+    * `asofEpochSeq` is a deterministic time-travel point at any
+    * clock — epoch-2 ops commute (distinct keys), so the spread
+    * within the batch never changes the replayed state.
     */
   private val asofEpochSeq = 4102444800000L // 2100-01-01T00:00:00Z in ms
 
@@ -851,11 +855,12 @@ object DynamoQueries {
   }
 
   /** Pinned far-future write clocks for the replica seed (same device
-    * as [[asofEpochSeq]]: a seq above any wall clock is used verbatim
-    * as the pubSeq, so each batch's journal position is deterministic).
-    * Local replay orders by pubSeq; cross-region conflicts resolve by
-    * the LWW STAMPS (`_rep_ver`/`_rep_src`), which are independent of
-    * these.
+    * as [[asofEpochSeq]]: a seq above any wall clock floors the
+    * pubSeq, and the monotone stamp keeps each batch's files within
+    * seq..seq+writers — far below the next batch's base, so batch
+    * ORDER in the journal is deterministic). Local replay orders by
+    * pubSeq; cross-region conflicts resolve by the LWW STAMPS
+    * (`_rep_ver`/`_rep_src`), which are independent of these.
     */
   private val replDelSeq = 4102444900000L
   private val replSyncSeq1 = 4102444910000L

@@ -547,11 +547,12 @@ object Replication {
   /** Everything one incremental pass must remember about where it
     * stopped. Beyond the pubSeq watermark itself:
     *  - `seenAtWm`: journal file NAMES at pubSeq == wm this pass
-    *    replayed. pubSeq is max(seq, epoch-millis) and NOT unique
-    *    across writers/shards — a second writer publishing in the
-    *    same millisecond lands a file at exactly wm AFTER the pass's
-    *    listing. A `> wm` filter would skip it forever; the name-set
-    *    makes the boundary exclusive per FILE, not per seq.
+    *    replayed. THIS store's monotone stamp no longer emits
+    *    same-pubSeq ties, but pubSeq is not unique across FOREIGN
+    *    writers (a legacy build, a lagging clock on another host) —
+    *    one can land a file at exactly wm AFTER the pass's listing.
+    *    A `> wm` filter would skip it forever; the name-set makes
+    *    the boundary exclusive per FILE, not per seq.
     *  - `cwAtPass`: the source compaction watermark this pass
     *    verified to be <= wm. A later fold that lands EXACTLY at wm
     *    (folding such a colliding boundary file) advances the

@@ -13,6 +13,10 @@ Options:
                  ({name: {rows_match, schema_match, hash_match,
                  spark_rows, oracle_rows, err}}) — what the standing
                  sf1 regression gate commits as CORRECTNESS_sf1.json.
+  --pagerank-py  check q_graph_pagerank against the independent numpy
+                 replay instead of the DuckDB WITH-chain — for
+                 fixtures (sf10+) where the SQL oracle's inlined
+                 supersteps exhaust spill disk.
   --big          big-fixture mode (sf >= ~1): q_dedup_cluster_full's
                  recursive-CTE connected components is decomposed into
                  an iterative fixpoint loop over temp tables (same
@@ -121,6 +125,45 @@ def sample_keeps(canonical, seed, frac):
     return (h >> 11) / float(1 << 53) < frac
 
 
+def pagerank_oracle(con):
+    """Independent numpy replay of q_graph_pagerank for fixtures where
+    the DuckDB WITH-chain oracle is infeasible (the sf10 probe: the 3
+    inlined supersteps re-derive the distinct-pairs join per round and
+    exhausted spill disk). Only the distinct cust-supp pair derivation
+    runs in DuckDB; the supersteps replay the engine's exact
+    arithmetic — float64 division + floor for the per-edge share
+    (Spark's `floor(rank / d)` divides BIGINTs as DOUBLE, which can
+    differ from integer division near quotient boundaries), exact
+    integer share sums (every addend and partial sum < 2^53, so the
+    float64 bincount is exact), then the engine's own double chain
+    `150000 + floor(850000.0 * sum / 1000000.0)` in the same
+    multiply-then-divide order. Cross-checked against the SQL oracle
+    at sf0.1/sf1 (--pagerank-py vs default must agree)."""
+    import numpy as np
+    import pyarrow as pa
+    pairs = con.execute(
+        "SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust, "
+        "CAST(l_suppkey AS BIGINT) AS supp "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey").arrow()
+    cust = pairs.column("cust").to_numpy()
+    supp = pairs.column("supp").to_numpy() + 1000000
+    src = np.concatenate([cust, supp])
+    dst = np.concatenate([supp, cust])
+    nodes, src_i = np.unique(src, return_inverse=True)
+    dst_i = np.searchsorted(nodes, dst)  # symmetric edges: same node set
+    n = len(nodes)
+    deg = np.bincount(src_i, minlength=n).astype(np.float64)
+    rank = np.full(n, 1000000, dtype=np.int64)
+    for _ in range(3):
+        share = np.floor(rank.astype(np.float64)[src_i] / deg[src_i])
+        s = np.bincount(dst_i, weights=share, minlength=n)
+        rank = (150000 +
+                np.floor(850000.0 * s / 1000000.0)).astype(np.int64)
+    top = np.lexsort((nodes, -rank))[:25]
+    return pa.table({"node": pa.array(nodes[top], type=pa.int64()),
+                     "rank": pa.array(rank[top], type=pa.int64())})
+
+
 def dyn_sample_oracle(con):
     """Content-exact expected rows for q_dyn_sample: the customer
     fixture filtered by the seeded-hash membership over the canonical
@@ -146,6 +189,10 @@ def main():
     if "--big" in args:
         big = True
         args.remove("--big")
+    pagerank_py = False
+    if "--pagerank-py" in args:
+        pagerank_py = True
+        args.remove("--pagerank-py")
     out_dir, sf_dir = args[0], args[1]
     only = set(args[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -190,6 +237,9 @@ def main():
             if sql is None:  # q_dyn_sample: python hash-membership oracle
                 exp = dyn_sample_oracle(con)
                 entry["check"] = "python_hash_membership"
+            elif pagerank_py and name == "q_graph_pagerank":
+                exp = pagerank_oracle(con)
+                entry["check"] = "python_numpy_replay"
             elif big and name == "q_dedup_cluster_full":
                 exp = run_cc_iterative(con, sql)
             else:
