@@ -283,6 +283,24 @@ object Bench {
     // file copy survives regardless of how the line is captured.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // Driver-tail-sized digest, printed LAST (round-18 item 7): the
+    // driver's BENCH_r{N}.json stores a bounded stdout TAIL and
+    // parses the last JSON line inside it — the full per-key line is
+    // ~8 KB, its head falls outside the window, and r17's artifact
+    // carried parsed:null. This digest repeats the headline total,
+    // the 10 BASELINE-mapped keys (min-of-4), and the health fields
+    // in <1 KB so the driver artifact parses standalone; the full
+    // per-key object lives in the file copy it names.
+    val mappedJson = results.collect {
+      case (k, ok, _) if ok.nonEmpty && mappedKeys(k) =>
+        f""""$k":${ok.min}%.3f"""
+    }.mkString("{", ",", "}")
+    val digest = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""n_keys":${results.count(_._2.nonEmpty)},"queries":$mappedJson,""" +
+      f""""queries_are_mapped_subset":true,"errors":$errs,""" +
+      f""""ambient_ratio":$ambientObserved%.3f,"preflight_failed":$preflightFailed,""" +
+      s""""contaminated":$contamJson,"retimed":$retimedJson,"full":"${esc(out)}","sf":"$sfDir"}"""
+    println(digest)
     spark.stop()
   }
 }

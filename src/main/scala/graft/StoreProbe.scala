@@ -65,6 +65,18 @@ object StoreProbe {
     timed("seed_customer_write") {
       cust.repartition(16).write.dynamo(root, "customer", "c_custkey")
     }
+    // columnar-vs-row seed comparison (the q_dyn seeds route through
+    // DynamoColumnarIngest since round 18 — this phase records the
+    // win at probe scale): same rows into a throwaway table, scan
+    // split narrowed so the parquet scan carries the parallelism
+    timed("seed_customer_columnar") {
+      val clone = spark.newSession()
+      clone.conf.set("spark.sql.files.maxPartitionBytes",
+        (8L * 1024 * 1024).toString)
+      val took = graft.sources.dynamo.DynamoColumnarIngest.ingest(
+        Fixtures.customer(clone, sfDir), root, "customer_col", "c_custkey")
+      println(s"STOREPROBE seed_customer_columnar tookColumnar=$took")
+    }
     timed("compact_fold") { DynamoMaintenance.compact(spark, root, "customer") }
     timed("gsi_build") {
       val st = new LocalKVStore(root)

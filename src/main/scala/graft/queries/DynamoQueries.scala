@@ -78,6 +78,34 @@ object DynamoQueries {
     } finally ch.close()
   }
 
+  /** Shared seed-ingest helper (round-18: seeding runs inside every
+    * bench and every verify, so the columnar encoder's measured
+    * 1.2–1.7× win compounds across the whole gate). Flat-schema seed
+    * loads go through [[graft.sources.dynamo.DynamoColumnarIngest]]:
+    * the session CLONE narrows `files.maxPartitionBytes` to 8 MB so
+    * the parquet scan itself carries the write parallelism — the row
+    * path's `repartition(16)` would put an exchange above the scan
+    * and drop the plan's columnar tail. `build` must be a pruning
+    * projection only (plain column selects reach the scan's
+    * ReadSchema; computed columns insert a Project and ingest falls
+    * back to its single-task row write — keep THOSE seeds on the
+    * explicit repartition row path instead).
+    */
+  private def seedIngest(s: SparkSession, root: String, table: String,
+      hashKey: String, rangeKey: Option[String] = None)(
+      build: SparkSession => DataFrame): Unit = {
+    val clone = s.newSession()
+    clone.conf.set("spark.sql.files.maxPartitionBytes",
+      (8L * 1024 * 1024).toString)
+    val t0 = System.nanoTime()
+    val columnar = graft.sources.dynamo.DynamoColumnarIngest.ingest(
+      build(clone), root, table, hashKey, rangeKey)
+    // seeds run once per fixture per /tmp lifetime — one log line per
+    // seed is the before/after evidence, not noise
+    println(f"SEED $table%-18s columnar=$columnar " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
   /** Seed `customer` into the store once per sfDir (marker-file
     * guarded; safe to re-run — puts are keyed upserts).
     */
@@ -86,10 +114,8 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "customer", "_seeded")
       if (!Files.exists(marker)) {
-        // repartition widens the one-file parquet scan so the WAL write
-        // runs task-parallel; compaction fans out one task per shard
-        Fixtures.customer(s, sfDir).repartition(16)
-          .write.dynamo(root, "customer", "c_custkey")
+        seedIngest(s, root, "customer", "c_custkey")(
+          Fixtures.customer(_, sfDir))
         DynamoMaintenance.compact(s, root, "customer")
         Files.createFile(marker)
       }
@@ -132,13 +158,9 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "orders", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.orders(s, sfDir)
-          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-          .repartition(16)
-          .write.format("dynamo")
-          .option("path", root).option("tableName", "orders")
-          .option("hashKey", "o_custkey").option("rangeKey", "o_orderkey")
-          .mode("append").save()
+        seedIngest(s, root, "orders", "o_custkey", Some("o_orderkey"))(
+          Fixtures.orders(_, sfDir)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
         DynamoMaintenance.compact(s, root, "orders")
         Files.createFile(marker)
       }
@@ -217,10 +239,9 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "customer_asof", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.customer(s, sfDir)
-          .select("c_custkey", "c_name", "c_acctbal")
-          .repartition(16)
-          .write.dynamo(root, "customer_asof", "c_custkey")
+        seedIngest(s, root, "customer_asof", "c_custkey")(
+          Fixtures.customer(_, sfDir)
+            .select("c_custkey", "c_name", "c_acctbal"))
         DynamoMaintenance.compact(s, root, "customer_asof")
         val seq = asofEpochSeq
         Fixtures.customer(s, sfDir)
@@ -264,10 +285,9 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "orders_asof", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.orders(s, sfDir)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .repartition(16)
-          .write.dynamo(root, "orders_asof", "o_orderkey")
+        seedIngest(s, root, "orders_asof", "o_orderkey")(
+          Fixtures.orders(_, sfDir)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
         DynamoMaintenance.compact(s, root, "orders_asof")
         val seq = asofEpochSeq
         Fixtures.orders(s, sfDir)
@@ -311,10 +331,12 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "customer_gsid", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.customer(s, sfDir)
-          .select("c_custkey", "c_mktsegment", "c_acctbal")
-          .repartition(16)
-          .write.dynamo(root, "customer_gsid", "c_custkey")
+        seedIngest(s, root, "customer_gsid", "c_custkey")(
+          // parquet-file column order: a select that REORDERS columns
+          // inserts a Project above the scan and drops the columnar
+          // tail; the store holds attr MAPS, so order is free
+          Fixtures.customer(_, sfDir)
+            .select("c_custkey", "c_acctbal", "c_mktsegment"))
         DynamoMaintenance.compact(s, root, "customer_gsid")
         val st = new LocalKVStore(root)
         st.createIndex("customer_gsid", "by_seg",
@@ -388,10 +410,10 @@ object DynamoQueries {
     withSeedLock(root) {
       val marker = Paths.get(root, "customer_gsiw", "_seeded")
       if (!Files.exists(marker)) {
-        Fixtures.customer(s, sfDir)
-          .select("c_custkey", "c_mktsegment", "c_acctbal")
-          .repartition(16)
-          .write.dynamo(root, "customer_gsiw", "c_custkey")
+        seedIngest(s, root, "customer_gsiw", "c_custkey")(
+          // file column order — see customer_gsid
+          Fixtures.customer(_, sfDir)
+            .select("c_custkey", "c_acctbal", "c_mktsegment"))
         DynamoMaintenance.compact(s, root, "customer_gsiw")
         val st = new LocalKVStore(root)
         st.createIndex("customer_gsiw", "by_seg",
@@ -1335,8 +1357,8 @@ object DynamoQueries {
           val out = root + "/export-customer-asof"
           DynamoMaintenance.exportAsOf(s, root, "customer_asof", out,
             Some(asofEpochSeq - 1))
-          s.read.parquet(out).repartition(16)
-            .write.dynamo(root, "customer_imported", "c_custkey")
+          seedIngest(s, root, "customer_imported", "c_custkey")(
+            _.read.parquet(out))
           DynamoMaintenance.compact(s, root, "customer_imported")
           Files.createFile(marker)
         }

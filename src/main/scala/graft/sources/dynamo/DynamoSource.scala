@@ -4519,11 +4519,17 @@ object DynamoColumnarIngest {
   import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
 
   /** The plan's full-output columnar segment, if one exists: unwrap
-    * codegen/adapter shells and strip the final ColumnarToRow. A
+    * codegen/adapter/AQE shells and strip the final ColumnarToRow. A
     * Project/Filter above the transition means the columnar output is
-    * NOT the DataFrame's output — no segment, take the row path.
+    * NOT the DataFrame's output — no segment, take the row path. An
+    * AQE-wrapped plan recurses into the current physical plan (for a
+    * bare scan AQE has nothing to re-plan, so the pre-execution plan
+    * IS the final one; a plan AQE could still rewrite has exchanges
+    * above the scan and lands in the row fallback anyway).
     */
   private def columnarTail(p: SparkPlan): Option[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      columnarTail(a.executedPlan)
     case w: WholeStageCodegenExec => columnarTail(w.child)
     case i: InputAdapter          => columnarTail(i.child)
     case c: ColumnarToRowExec     => Some(c.child)
@@ -4537,7 +4543,8 @@ object DynamoColumnarIngest {
 
   def ingest(df: DataFrame, path: String, tableName: String,
       hashKey: String, rangeKey: Option[String] = None,
-      shards: Int = 16): Boolean = {
+      shards: Int = 16,
+      options: Map[String, String] = Map.empty): Boolean = {
     val schema = df.schema
     val tail =
       if (supported(schema)) columnarTail(df.queryExecution.executedPlan)
@@ -4545,16 +4552,28 @@ object DynamoColumnarIngest {
     tail match {
       case None =>
         var w = df.write.format("dynamo")
-          .option("path", path).option("tableName", tableName)
+        options.foreach { case (k, v) => w = w.option(k, v) }
+        w = w.option("path", path).option("tableName", tableName)
           .option("hashKey", hashKey).option("shards", shards.toString)
         rangeKey.foreach(rk => w = w.option("rangeKey", rk))
         w.mode("append").save()
         false
       case Some(colPlan) =>
+        // One DynamoOptions through the SAME parser the row path uses:
+        // bytesPerWCU / targetCapacity / throughput overrides apply to
+        // both paths, so the claimed write-rate parity holds at any
+        // option setting, not just the defaults.
+        val jopts = new java.util.HashMap[String, String]()
+        options.foreach { case (k, v) => jopts.put(k, v) }
+        jopts.put("path", path); jopts.put("tableName", tableName)
+        jopts.put("hashKey", hashKey); jopts.put("shards", shards.toString)
+        rangeKey.foreach(jopts.put("rangeKey", _))
+        val opts = DynamoOptions(jopts)
         val store = new LocalKVStore(path)
         if (!store.exists(tableName))
           store.createTable(tableName,
-            TableMeta(hashKey, rangeKey, shards, 1000000L))
+            TableMeta(hashKey, rangeKey, shards,
+              opts.throughput.getOrElse(1000000L)))
         val meta = store.describe(tableName)
         val missing = (Seq(meta.hashKey) ++ meta.rangeKey)
           .filterNot(schema.fieldNames.contains)
@@ -4565,13 +4584,12 @@ object DynamoColumnarIngest {
         val names = schema.fields.map(_.name)
         val cells = schema.fields.map(f => Codec.vectorCellWriter(f.dataType))
         val rdd = colPlan.executeColumnar()
-        // write-rate parity with the row path (WriteSetup.ratePerWriter
-        // defaults): the columnar path honors the table's throughput
-        // model too, so the two paths differ ONLY in encode shape
-        val ratePerWriter = math.max(0.1,
-          1.0 * meta.throughput.toDouble /
-            math.max(1, rdd.getNumPartitions))
-        val bytesPerWCU = 1000
+        // write-rate parity with the row path: the SAME
+        // WriteSetup.ratePerWriter / bytesPerWCU model, fed by the
+        // same parsed options — the two paths differ ONLY in encode
+        // shape
+        val ratePerWriter = WriteSetup.ratePerWriter(opts, rdd.getNumPartitions)
+        val bytesPerWCU = opts.bytesPerWCU
         rdd.foreachPartition { batches =>
           val st = new LocalKVStore(path)
           val tc = org.apache.spark.TaskContext.get()

@@ -1599,10 +1599,14 @@ final class LocalKVStore(root: String) {
     // published stats always over-approximates the merged view.
     private val stats = mutable.HashMap.empty[Int, ShardStats]
 
-    /** Returns the op's serialized line length (chars) so callers
-      * accounting write bytes (rate limiting, metrics) reuse THIS
+    /** Returns the op's serialized line length in UTF-8 BYTES (the
+      * unit the journal occupies on disk and WCU accounting bills in)
+      * so callers rate-limiting on write bytes reuse THIS
       * serialization instead of re-encoding the item a second time —
-      * on a bulk load the encode is the hot path, not the I/O.
+      * on a bulk load the encode is the hot path, not the I/O. The
+      * byte count is a counting pass over the just-built string (no
+      * second encode buffer); for the all-ASCII common case it equals
+      * the char count.
       */
     def append(op: Op): Int = {
       val tag = tagOf(op)
@@ -1633,7 +1637,7 @@ final class LocalKVStore(root: String) {
         case _ =>
           stats(shard) = stats.getOrElse(shard, ShardStats.empty).widen(op.item)
       }
-      line.length
+      LocalKVStore.utf8Length(line)
     }
 
     def flush(): Unit = open.values.foreach(_.flush())
@@ -4258,6 +4262,24 @@ object LocalKVStore {
     */
   private[dynamo] def jvmLock(path: String): java.util.concurrent.locks.ReentrantLock =
     jvmLocks.computeIfAbsent(path, _ => new java.util.concurrent.locks.ReentrantLock)
+
+  /** UTF-8 byte length of a string without materializing the byte
+    * array — [[LocalKVStore.WalWriter.append]]'s return unit (journal
+    * bytes on disk). Surrogate halves count 2 each (a valid pair is 4
+    * UTF-8 bytes); an unpaired surrogate actually encodes as the 1-byte
+    * replacement '?', so the count over-approximates by 1 there —
+    * malformed input, conservative direction for WCU billing.
+    */
+  private[dynamo] def utf8Length(s: String): Int = {
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2
+            else if (Character.isSurrogate(c)) 2 else 3)
+      i += 1
+    }
+    n
+  }
 
   private val pubClocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()

@@ -28,6 +28,10 @@ with open(src) as f:
 # An artifact WITHOUT the contamination fields never went through
 # Bench's gating at all (e.g. a BenchSeq sequential-probe capture) —
 # refusing it here keeps "missing screening" from reading as "clean".
+# (BenchSeq artifacts also suffix deliberately-repeated keys `k#2`,
+# `k#3` — any ad-hoc tooling that joins those on raw query names must
+# strip the `#N` suffix first; band tooling never sees them because of
+# this refusal.)
 if not isinstance(art.get("contaminated"), list):
     sys.exit("REFUSED: artifact carries no contamination verdict "
              "(not a gated graft.Bench capture — BenchSeq probe "
