@@ -2312,9 +2312,15 @@ final class LocalKVStore(root: String) {
     * or before that sequence participate — the snapshot-read half of
     * the PITR story (see [[scanSegment]]).
     */
+  /** Yields each replayable op with its file's pubSeq and whether it
+    * came from a transaction (`-sall`) file — [[scanSegment]] needs
+    * both to skip txn ops already FOLDED into a shard's base (see the
+    * folded-but-unreclaimed note there).
+    */
   private def walOps(table: String, segment: Int, totalSegments: Int,
       asOfSeq: Option[Long] = None,
-      allowedWal: Option[Set[String]] = None): Iterator[Op] = {
+      allowedWal: Option[Set[String]] = None): Iterator[(Op, Long, Boolean)] = {
+    val metaOnce = describe(table) // once per replay, not per line
     // cross-table-consistent cut: a committed transaction straddling
     // the cut (some table's publish ≤ cut, another's >) is resolved
     // to NONE — its files skip here, and the sibling's are already
@@ -2331,16 +2337,27 @@ final class LocalKVStore(root: String) {
         .crossTxnIdOf(p.getFileName.toString).exists(excludedTxn))
       .filter(p => allowedWal.forall(_.contains(p.getFileName.toString)))
       .sortBy(_.getFileName.toString).iterator
-      .flatMap(p => Files.readAllLines(p, UTF_8).asScala)
-      .filter(_.nonEmpty)
-      .map {
-        val meta = describe(table) // once per replay, not per line
-        line => {
-          val rec = ItemJson.parse(line)
-          val item = rec("item").asInstanceOf[AttrVal.M].v
-          opOf(meta, rec("op").asInstanceOf[AttrVal.S].v, item)
-        }
+      .flatMap { p =>
+        val pub = walPubSeq(p)
+        val txn = walShard(p) == LocalKVStore.TxnShard
+        Files.readAllLines(p, UTF_8).asScala.iterator
+          .filter(_.nonEmpty).map((_, pub, txn))
       }
+      .map { case (line, pub, txn) =>
+        val rec = ItemJson.parse(line)
+        val item = rec("item").asInstanceOf[AttrVal.M].v
+        (opOf(metaOnce, rec("op").asInstanceOf[AttrVal.S].v, item), pub, txn)
+      }
+  }
+
+  /** This shard's fold frontier: the max pubSeq compactShard has
+    * folded into its base (0 = never compacted).
+    */
+  private def shardCompactWm(table: String, shard: Int): Long = {
+    val p = tableDir(table).resolve(f"compact-wm-s$shard%03d")
+    if (!Files.isRegularFile(p)) 0L
+    else try new String(Files.readAllBytes(p), UTF_8).trim.toLong
+    catch { case _: NumberFormatException => 0L }
   }
 
   /** Txn ids an `asOfSeq` replay of `table` must SKIP so the cut is
@@ -2596,11 +2613,35 @@ final class LocalKVStore(root: String) {
     // Per-shard WAL files mean this map holds only this segment's
     // overridden keys, bounded by the segment's own write volume.
     val overrides = mutable.LinkedHashMap.empty[String, KeyState]
-    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach { op =>
-      if (inSegment(op.item)) {
-        val k = keyOf(meta, op.item)
-        overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
-      }
+    // Folded-but-unreclaimed TRANSACTION files (found by the round-18
+    // ops-racing-maintenance grid): a `-sall` file folds into a
+    // shard's base at that shard's compactShard pass but is only
+    // DELETED by the whole-table reclaim once EVERY shard folded it —
+    // and a standalone per-shard fold (the TTL-reap path) runs no
+    // reclaim at all. In between, replaying the file over the folded
+    // base double-applies non-idempotent ops (ADD, path edits),
+    // PERMANENTLY once the next fold bakes the replay in. The
+    // per-shard compaction watermark records exactly the fold
+    // frontier, per shard because frontiers differ across shards: a
+    // txn-file op whose item lands in a shard with wm >= the file's
+    // pubSeq is already IN that shard's base — skip it. Regular shard
+    // files never need this (their fold deletes them in the same
+    // pinned-listing pass). Watermarks are read once per scan, BEFORE
+    // the base streams: a fold landing between this read and the base
+    // read can still double-apply transiently (same class as the
+    // other documented racing-read windows — a re-read heals); the
+    // persistent corruption is what this closes.
+    val wmCache = mutable.HashMap.empty[Int, Long]
+    def foldedIntoBase(pub: Long, item: Item): Boolean = {
+      val sh = shardOf(meta, item)
+      pub <= wmCache.getOrElseUpdate(sh, shardCompactWm(table, sh))
+    }
+    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach {
+      case (op, pub, txn) =>
+        if (inSegment(op.item) && !(txn && foldedIntoBase(pub, op.item))) {
+          val k = keyOf(meta, op.item)
+          overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
+        }
     }
     scanSegmentTail(table, segment, totalSegments, meta, overrides, windows)
   }

@@ -2006,4 +2006,160 @@ class StoreLawsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"compaction lost ${missing.size} writes: " +
       missing.take(5).mkString(", "))
   }
+
+  test("racing 3-committer grid at ONE forced seq: outcome ∈ the six serializations") {
+    // Round-18 grid extension, built on the device that would have
+    // caught the r17 pubSeq inversion deterministically: every
+    // committer passes the SAME far-future seq, so under the old
+    // stamp (pubSeq = max(seq, now)) every commit of a key would have
+    // published at ONE pubSeq and replayed in writerId order
+    // regardless of commit order — a grid-wide inversion trap. With
+    // the monotone stamp ([[LocalKVStore.nextPubSeq]]) publish order
+    // is commit order, and each key's final state must be one of the
+    // 3! = 6 serializations of its op triple. Membership (never
+    // choice) is scheduler-independent, so the law is load-proof.
+    // Triples are a deterministic stride-sample of the 15^3 space.
+    val shapes: Seq[(String, Item)] = pairwiseShapes
+    val allTriples = for {
+      (s1, _) <- shapes.zipWithIndex
+      (s2, _) <- shapes.zipWithIndex
+      (s3, _) <- shapes.zipWithIndex
+    } yield (s1, s2, s3)
+    val sampled = allTriples.zipWithIndex
+      .collect { case (t, n) if n % 23 == 0 => t }
+    val bases: Seq[Option[Item]] = Seq(None, Some(fullNestedBase))
+    val combos = for {
+      ((s1, s2, s3), n) <- sampled.zipWithIndex
+      (b, bi) <- bases.zipWithIndex
+    } yield (s"f${n}_$bi", s1, s2, s3, b)
+    val root = Files.createTempDirectory("graft-forced-triples").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta,
+      combos.iterator.flatMap { case (k, _, _, _, b) => b.map(withKey(k, _)) })
+    val forced = System.currentTimeMillis() + 20000000L
+    def committer(pick: ((String, (String, Item), (String, Item),
+          (String, Item), Option[Item])) => (String, Item), seed: Long,
+        wid: String,
+        fail: java.util.concurrent.atomic.AtomicReference[Throwable]) =
+      new Thread(() => try {
+        new scala.util.Random(seed).shuffle(combos).foreach { c =>
+          val (tag, args) = pick(c)
+          store.transactWrite("t", forced, wid + c._1,
+            Seq(toOp(store)((realTag(tag), c._1, args))))
+        }
+      } catch { case e: Throwable => fail.set(e) })
+    val errs = Array.fill(3)(
+      new java.util.concurrent.atomic.AtomicReference[Throwable])
+    val ts = Seq(
+      committer(c => c._2, 0x3A17L, "fa-", errs(0)),
+      committer(c => c._3, 0x3B17L, "fb-", errs(1)),
+      committer(c => c._4, 0x3C17L, "fc-", errs(2)))
+    ts.foreach(_.start())
+    ts.foreach(_.join(180000))
+    assert(ts.forall(!_.isAlive), "a committer did not finish")
+    errs.foreach(e => assert(e.get() == null, s"committer failed: ${e.get()}"))
+    def scanAll(): Map[String, Item] =
+      store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    val view = scanAll()
+    combos.foreach { case (k, (t1, a1), (t2, a2), (t3, a3), b) =>
+      val bseq = b.map(k -> withKey(k, _)).toSeq
+      val ops = Seq((realTag(t1), k, a1), (realTag(t2), k, a2),
+        (realTag(t3), k, a3))
+      val allowed = ops.permutations
+        .map(p => model(bseq, p.map(Seq(_))).get(k)).toSet
+      assert(allowed.contains(view.get(k)),
+        s"forced-seq race $t1 || $t2 || $t3 base=${b.isDefined} at $k: " +
+          s"got ${view.get(k)}, allowed $allowed")
+    }
+    store.compact("t")
+    assert(scanAll() === view, "compaction changed a forced-race outcome")
+  }
+
+  test("ops racing MAINTENANCE grid: fold/TTL-reap/index-apply/reap never change op semantics") {
+    // Round-18 item 5(b): the hand-picked maintenance races become a
+    // grid. ONE sequential writer commits every ordered op pair (the
+    // full 15×15 alphabet × {absent, full-nested} bases, each pair
+    // two real transactWrites at the forced-seq device) while a
+    // maintenance thread storms full-table compaction, per-shard
+    // TTL-reap folds (ttl attr absent from every item — the reap must
+    // be a state no-op), index write-through application, index
+    // rebuild, and txn-marker reaping. The law is stronger than the
+    // racing-committer grids': the writer is sequential, so every
+    // key's final state must equal THE one serialization — any
+    // divergence means maintenance changed op semantics. Excluded:
+    // reshard (its documented contract requires exclusive access).
+    import graft.sources.dynamo.IndexMeta
+    val shapes: Seq[(String, Item)] = pairwiseShapes
+    val bases: Seq[Option[Item]] = Seq(None, Some(fullNestedBase))
+    val combos = for {
+      (s1, i) <- shapes.zipWithIndex
+      (s2, j) <- shapes.zipWithIndex
+      (b, bi) <- bases.zipWithIndex
+    } yield (s"m${i}_${j}_$bi", s1, s2, b)
+    val root = Files.createTempDirectory("graft-maint-grid").toString
+    val store = new LocalKVStore(root)
+    val meta = TableMeta("id", None, shards = 4, throughput = 1000000L)
+    store.bulkLoad("t", meta,
+      combos.iterator.flatMap { case (k, _, _, b) => b.map(withKey(k, _)) })
+    store.createIndex("t", "by_a", IndexMeta("a", None, None))
+    val forced = System.currentTimeMillis() + 30000000L
+    val werr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => try {
+      combos.foreach { case (k, (t1, a1), _, _) =>
+        store.transactWrite("t", forced, "mw1-" + k,
+          Seq(toOp(store)((realTag(t1), k, a1))))
+      }
+      combos.foreach { case (k, _, (t2, a2), _) =>
+        store.transactWrite("t", forced, "mw2-" + k,
+          Seq(toOp(store)((realTag(t2), k, a2))))
+      }
+    } catch { case e: Throwable => werr.set(e) })
+    val merr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    writer.start()
+    try {
+      var cycle = 0
+      while (writer.isAlive) {
+        try {
+          cycle match {
+            case 0 => store.compact("t")
+            case 1 => (0 until meta.shards).foreach(s =>
+              store.compactShard("t", s, expireTtl = Some(("zz_ttl", 0L))))
+            case 2 => store.applyIndexWrites("t")
+            case 3 => store.buildIndex("t", "by_a")
+            case _ => store.reapTxnMarkers()
+          }
+        } catch { case e: Throwable => merr.set(e) }
+        cycle = (cycle + 1) % 5
+      }
+    } finally writer.join(300000)
+    assert(!writer.isAlive, "writer did not finish")
+    assert(werr.get() == null, s"writer failed: ${werr.get()}")
+    assert(merr.get() == null, s"maintenance failed: ${merr.get()}")
+    def scanAll(): Map[String, Item] =
+      store.scanSegment("t", 0, 1).map(_._1)
+        .map(it => it("id").asInstanceOf[AttrVal.S].v -> it).toMap
+    val baseSeq = combos.flatMap { case (k, _, _, b) => b.map(k -> withKey(k, _)) }
+    val job1 = combos.map { case (k, (t, a), _, _) => (realTag(t), k, a) }
+    val job2 = combos.map { case (k, _, (t, a), _) => (realTag(t), k, a) }
+    val expected = model(baseSeq, Seq(job1, job2))
+    val view = scanAll()
+    assert(view.keySet === expected.keySet)
+    combos.foreach { case (k, s1, s2, b) =>
+      assert(view.get(k) === expected.get(k),
+        s"maintenance changed ${s1._1} then ${s2._1} " +
+          s"base=${b.isDefined} at $k")
+    }
+    // final fold: state identical, and the rebuilt index copy equals
+    // the base-derived index view
+    store.compact("t")
+    assert(scanAll() === view, "final compaction changed an outcome")
+    assert(store.indexFresh("t", "by_a"), "compaction must rebuild the copy")
+    val ix = store.describe("t").indexes("by_a")
+    val viaCopy = store.scanIndexSegment("t", "by_a", 0, 1).map(_._1).toVector
+    val viaBase = store.scanSegment("t", 0, 1).map(_._1)
+      .flatMap(store.indexView(store.describe("t"), ix, _)).toVector
+    assert(viaCopy.sortBy(_.toString) === viaBase.sortBy(_.toString))
+  }
 }
