@@ -2045,6 +2045,50 @@ object DynamoQueries {
         |FROM documents
         |WHERE lang = 'en' AND source LIKE 'src1%'
         |ORDER BY doc_id""".stripMargin,
+    // The pushed table-sample membership, exactly as the store
+    // computes it (round-18: previously a Python-only oracle; the
+    // driver's DuckDB gate recorded no_oracle): FNV-1a seeded with
+    // 1234 over the canonical key encoding 'n:<custkey>', splitmix64
+    // finalizer, top 53 bits as u in [0,1), keep iff u < 0.3. The
+    // 64-bit wrap-around multiplications run in HUGEINT with 32-bit
+    // limb splits (DuckDB integer arithmetic errors on overflow
+    // instead of wrapping): h*0x100000001b3 = h*435 + (h mod 2^24)
+    // * 2^40 (mod 2^64); the splitmix constants split as
+    // lo + hi*2^32. Independently cross-checked against the Python
+    // reimplementation in tools/check.py and the ScalaTest law.
+    "q_dyn_sample" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    list_reduce(
+        |      list_prepend(
+        |        CAST(xor(CAST(1234 AS UBIGINT),
+        |                 CAST(14695981039346656037 AS UBIGINT)) AS HUGEINT),
+        |        list_transform(
+        |          range(1, length('n:' || CAST(c_custkey AS VARCHAR)) + 1),
+        |          i -> CAST(ascii(substr('n:' || CAST(c_custkey AS VARCHAR),
+        |                                 CAST(i AS INT), 1)) AS HUGEINT))),
+        |      (acc, b) -> (
+        |        (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 435
+        |         + (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+        |            % 16777216) * 1099511627776)
+        |        % 18446744073709551616)) AS fnv
+        |  FROM customer
+        |),
+        |z1 AS (SELECT *, CAST(xor(CAST(fnv AS UBIGINT),
+        |                          CAST(fnv AS UBIGINT) >> 30) AS HUGEINT) AS z FROM f),
+        |m1 AS (SELECT * EXCLUDE (z), (z * 484763065
+        |         + ((z * 3210233709) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM z1),
+        |z2 AS (SELECT * EXCLUDE (z), CAST(xor(CAST(z AS UBIGINT),
+        |                          CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z FROM m1),
+        |m2 AS (SELECT * EXCLUDE (z), (z * 321982955
+        |         + ((z * 2496678331) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS z FROM z2),
+        |z3 AS (SELECT * EXCLUDE (z), CAST(xor(CAST(z AS UBIGINT),
+        |                          CAST(z AS UBIGINT) >> 31) AS UBIGINT) AS z FROM m2)
+        |SELECT c_custkey, c_name, c_acctbal FROM z3
+        |WHERE CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 < 0.3
+        |ORDER BY c_custkey""".stripMargin,
     // int32 columns widen to BIGINT through the store's N type.
     "q_dyn_scan" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,

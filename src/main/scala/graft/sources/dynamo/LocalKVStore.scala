@@ -2312,14 +2312,16 @@ final class LocalKVStore(root: String) {
     * or before that sequence participate — the snapshot-read half of
     * the PITR story (see [[scanSegment]]).
     */
-  /** Yields each replayable op with its file's pubSeq and whether it
-    * came from a transaction (`-sall`) file — [[scanSegment]] needs
-    * both to skip txn ops already FOLDED into a shard's base (see the
-    * folded-but-unreclaimed note there).
+  /** `skipFoldedTxnOp(pubSeq, item)` drops a TRANSACTION-file op
+    * already FOLDED into the item's shard base (see the
+    * folded-but-unreclaimed note in [[scanSegment]]). Evaluated only
+    * for `-sall` files — the per-shard journal hot path (bulk loads,
+    * counters) keeps its allocation profile: one op per line.
     */
   private def walOps(table: String, segment: Int, totalSegments: Int,
       asOfSeq: Option[Long] = None,
-      allowedWal: Option[Set[String]] = None): Iterator[(Op, Long, Boolean)] = {
+      allowedWal: Option[Set[String]] = None,
+      skipFoldedTxnOp: (Long, Item) => Boolean = (_, _) => false): Iterator[Op] = {
     val metaOnce = describe(table) // once per replay, not per line
     // cross-table-consistent cut: a committed transaction straddling
     // the cut (some table's publish ≤ cut, another's >) is resolved
@@ -2338,15 +2340,18 @@ final class LocalKVStore(root: String) {
       .filter(p => allowedWal.forall(_.contains(p.getFileName.toString)))
       .sortBy(_.getFileName.toString).iterator
       .flatMap { p =>
-        val pub = walPubSeq(p)
-        val txn = walShard(p) == LocalKVStore.TxnShard
-        Files.readAllLines(p, UTF_8).asScala.iterator
-          .filter(_.nonEmpty).map((_, pub, txn))
-      }
-      .map { case (line, pub, txn) =>
-        val rec = ItemJson.parse(line)
-        val item = rec("item").asInstanceOf[AttrVal.M].v
-        (opOf(metaOnce, rec("op").asInstanceOf[AttrVal.S].v, item), pub, txn)
+        def parse(line: String): Op = {
+          val rec = ItemJson.parse(line)
+          val item = rec("item").asInstanceOf[AttrVal.M].v
+          opOf(metaOnce, rec("op").asInstanceOf[AttrVal.S].v, item)
+        }
+        val lines = Files.readAllLines(p, UTF_8).asScala.iterator
+          .filter(_.nonEmpty)
+        if (walShard(p) != LocalKVStore.TxnShard) lines.map(parse)
+        else {
+          val pub = walPubSeq(p)
+          lines.map(parse).filterNot(op => skipFoldedTxnOp(pub, op.item))
+        }
       }
   }
 
@@ -2636,12 +2641,12 @@ final class LocalKVStore(root: String) {
       val sh = shardOf(meta, item)
       pub <= wmCache.getOrElseUpdate(sh, shardCompactWm(table, sh))
     }
-    walOps(table, segment, totalSegments, asOfSeq, allowedWal).foreach {
-      case (op, pub, txn) =>
-        if (inSegment(op.item) && !(txn && foldedIntoBase(pub, op.item))) {
-          val k = keyOf(meta, op.item)
-          overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
-        }
+    walOps(table, segment, totalSegments, asOfSeq, allowedWal,
+        skipFoldedTxnOp = foldedIntoBase).foreach { op =>
+      if (inSegment(op.item)) {
+        val k = keyOf(meta, op.item)
+        overrides(k) = applyOp(overrides.getOrElse(k, initKeyState), op)
+      }
     }
     scanSegmentTail(table, segment, totalSegments, meta, overrides, windows)
   }

@@ -48,16 +48,15 @@ class CrossQuerySpec extends AnyFunSuite {
     val orphanOracles = o -- q
     assert(orphanOracles.isEmpty, s"oracle SQL without a query: $orphanOracles")
     // the sketch keys are approximate-valued by design (banded by
-    // QueriesSpec); q_dyn_sample's pushed key-hash sample is exact but
-    // not expressible in portable SQL — since r17 it IS content-exact
-    // checked anyway: DynamoConnectorSpec pins the membership law
-    // against an independent hash reimplementation, and check.py runs
-    // the same reimplementation in Python as a synthetic oracle entry
-    // (only the driver's own DuckDB-only artifact still says
-    // no_oracle)
+    // QueriesSpec). q_dyn_sample left this set in r18: its pushed
+    // key-hash membership (FNV-1a + splitmix64) is now spelled in
+    // DuckDB SQL directly (HUGEINT limb arithmetic + list_reduce —
+    // see DynamoQueries.oracle), so the driver's own gate checks it
+    // content-exactly; DynamoConnectorSpec's independent hash
+    // reimplementation and check.py's Python cross-check both remain.
     val declaredNoOracle =
       Set("q_agg_approx_distinct", "q_agg_sketch_union",
-        "q_agg_approx_percentile", "q_dyn_sample")
+        "q_agg_approx_percentile")
     val noOracle = q -- o
     assert(noOracle === declaredNoOracle,
       s"queries silently missing an oracle: ${noOracle -- declaredNoOracle}")

@@ -237,6 +237,19 @@ def main():
             if sql is None:  # q_dyn_sample: python hash-membership oracle
                 exp = dyn_sample_oracle(con)
                 entry["check"] = "python_hash_membership"
+            elif name == "q_dyn_sample":
+                # the committed SQL oracle (HUGEINT limb arithmetic)
+                # AND the independent Python reimplementation must
+                # agree before either verdict is trusted
+                exp = con.execute(sql).arrow()
+                pyexp = dyn_sample_oracle(con)
+                if (sorted(exp.column_names) != sorted(pyexp.column_names)
+                        or exp.select(sorted(exp.column_names)).to_pylist()
+                        != pyexp.select(sorted(pyexp.column_names)).to_pylist()):
+                    raise RuntimeError(
+                        "q_dyn_sample: DuckDB SQL oracle and Python "
+                        "hash membership disagree")
+                entry["check"] = "duckdb_sql+python_cross"
             elif pagerank_py and name == "q_graph_pagerank":
                 exp = pagerank_oracle(con)
                 entry["check"] = "python_numpy_replay"
