@@ -16,10 +16,27 @@ import org.apache.spark.sql.functions._
 object Fixtures {
 
   /** Generic table loader. Filter/column pushdown reaches the Parquet
-    * scan because we return the raw relation (no caching, no coalesce).
+    * scan because we return the raw relation (no caching of DATA, no
+    * coalesce — every execution still scans parquet).
+    *
+    * The RELATION (file listing + footer schema inference) is memoized
+    * per (session, dir, table) — round 18: `spark.read.parquet` builds
+    * a fresh InMemoryFileIndex and re-reads the footer on every call,
+    * and the bench/verify mains call this ~10³ times per run, all
+    * driver-side, serial, off any executor. Reusing the resolved
+    * relation is exactly what a catalog table (or the guide's
+    * filesource file-index cache) does in production; per-query filter
+    * and column pushdown are unaffected because each query still plans
+    * its own operators over the shared leaf. Keyed by the session
+    * OBJECT so a relation never leaks across sessions (specs
+    * start/stop many; a handful of cached leaf plans per session is
+    * bounded and tiny).
     */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.parquet` has shipped `ts` in two physical shapes across
     * driver testdata generations: Parquet INT64 TIMESTAMP(NANOS)

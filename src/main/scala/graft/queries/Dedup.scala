@@ -223,9 +223,18 @@ object Dedup {
     // corpus/duplicate-graph — at 100 TB the dup graph is orders of
     // magnitude smaller than the corpus. Isolated docs rejoin at the
     // end via coalesce(comp, doc_id).
+    //
+    // Labels initialize at the ROUND-1 fixpoint state directly
+    // (round 18): with identity labels, round 1's neighbor-min step
+    // yields least(id, min neighbor id) and its path-halving step is a
+    // no-op (every label still points at itself), so ONE grouped
+    // aggregate over the edge list replaces what was a distinct + a
+    // full round (two label joins + a checkpoint + a count). Same
+    // per-round shuffle count from round 2 on; one fewer round always.
     var labels = edges
-      .select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+      .groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
+      .select(col("a").as("id"), col("comp"))
       .localCheckpoint(true)
     var changed = 1L
     // Convergence is diameter-bounded and path halving makes rounds
@@ -500,7 +509,16 @@ object Dedup {
     // the ROUNDED cosine so boundary pairs can't split across
     // engines. Output: surviving (vec_id, cluster).
     "q_dedup_semantic" -> ((s, dir) => {
-      val assigned = Similarity.clusterAssign(s, dir).select("vec_id", "cluster")
+      // E-step output MATERIALIZED (round 18): `assigned` feeds three
+      // consumers (both sides of the within-cluster domination join +
+      // the final anti-join), and as a view the whole clusterAssign
+      // pipeline (corpus explode + centroid broadcast + argmax window)
+      // re-executed under each — the r17 executed plan carried SIX
+      // copies of the rank window and 18 parquet scans. Cluster
+      // assignments are exactly the state a SemDeDup run persists
+      // between its E-step and its dedup pass.
+      val assigned = Similarity.clusterAssign(s, dir)
+        .select("vec_id", "cluster").localCheckpoint()
       val e = Similarity.embDouble(s, dir).select(col("vec_id"), col("emb"))
       val withEmb = assigned.join(e, "vec_id")
       val lower = withEmb.select(col("cluster").as("lc"),
@@ -538,7 +556,10 @@ object Dedup {
     // pins that the refinement machinery is a no-op exactly when the
     // corpus doesn't need it.
     "q_dedup_semantic_lsh" -> ((s, dir) => {
-      val assigned = Similarity.clusterAssign(s, dir).select("vec_id", "cluster")
+      // same materialized-E-step device as q_dedup_semantic (three
+      // consumers of `assigned`; see the comment there)
+      val assigned = Similarity.clusterAssign(s, dir)
+        .select("vec_id", "cluster").localCheckpoint()
       val eRaw = Fixtures.embeddings(s, dir)
       // one metadata-cheap aggregate decides r (deterministic scalars)
       val cnt = eRaw.agg(count(lit(1)).as("n"),

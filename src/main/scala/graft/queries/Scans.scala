@@ -469,27 +469,32 @@ object Scans {
         .unionAll(links.select((col("supp") + 1000000L).as("src"),
           col("cust").as("dst"))))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .localCheckpoint(true)
       // Out-degree folded INTO the edge list once (d is constant per
       // src, +8 bytes/edge), and the list pre-partitioned by src: each
       // superstep is then ONE join — whose pr side arrives already
       // hash-partitioned by node from the previous round's groupBy —
       // plus the rank aggregation, so the per-iteration cost is a
       // single keyed shuffle of rank rows, never a re-shuffle of the
-      // edge list. That's the relational Pregel shape that holds at a
-      // 100× graph: edges are shuffled once at build, rank rows
-      // (node-sized, ≪ edges) per superstep. The build-time
-      // repartition width SELF-SIZES from the edge count
-      // ([[edgeParts]]) so the checkpointed partitions stay bounded at
-      // any sf. (Measured both placements at sf3/8 GB: repartition
-      // INSIDE the checkpoint — balanced materialized partitions, the
-      // superstep joins re-shuffling from them at the stock width —
-      // runs 30 s; hoisting it into the query plan for partitioning
-      // visibility runs 58 s. The join was never this key's memory
-      // cliff — communities' window path was, and is sized in ITS
-      // plan below — so the cheaper shape wins here.)
-      val edgesD = ckpt(edges.join(deg, "src")
-        .repartition(edgeParts(s, edges), col("src")))
+      // edge list. The build-time repartition width SELF-SIZES from
+      // the edge count ([[edgeParts]]) so the shuffled partitions stay
+      // bounded at any sf.
+      //
+      // edgesD and deg are deliberately NOT checkpointed (round 18): a
+      // checkpoint scan reports unknown partitioning, so the r17 shape
+      // re-Exchanged the checkpointed edge list inside EVERY superstep
+      // join (3 edge-scale shuffles per run — the executed plan showed
+      // Exchange over Scan ExistingRDD once per superstep, defeating
+      // the "edges shuffled once" design). As plain plan subtrees over
+      // the one checkpointed edge list, all three superstep joins and
+      // both deg consumers (edgesD's fold + pr0's init) canonicalize
+      // identically and ReuseExchange materializes each shuffle ONCE —
+      // the after-plan carries a single edge-scale Exchange plus two
+      // ReusedExchange markers. Memory at scale strictly improves over
+      // the r17 DISK_ONLY edgesD checkpoint: reused shuffle blocks live
+      // on disk outside the unified storage pool (the sf10 cliff was
+      // checkpoint blocks pinning that pool).
+      val edgesD = edges.join(deg, "src")
+        .repartition(edgeParts(s, edges), col("src"))
       var pr = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         pr = pr

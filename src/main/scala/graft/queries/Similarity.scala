@@ -93,7 +93,17 @@ object Similarity {
   private[graft] def ivfTopCells(e: DataFrame, nprobe: Int): DataFrame = {
     val ex = e.select(col("vec_id"), col("label"),
       posexplode(col("emb")).as(Seq("i", "x")))
-    val cent = ex.groupBy("label", "i").agg(avg("x").as("c"))
+    ivfTopCellsFrom(ex, ex.groupBy("label", "i").agg(avg("x").as("c")), nprobe)
+  }
+
+  /** [[ivfTopCells]] over a caller-supplied exploded frame and raw
+    * (un-quantized) centroid table — q_sim_ivf_pq passes the SAME
+    * centroid aggregate it quantizes into the residual basis, so the
+    * corpus-scale explode + (label, i) shuffle happens once per plan
+    * (ReuseExchange) instead of once per consumer. Math unchanged.
+    */
+  private[graft] def ivfTopCellsFrom(ex: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val qx = ex.filter(col("vec_id") === 0).select(col("i"), col("x").as("qx"))
     val qnorm = qx.agg(sqrt(sum(col("qx") * col("qx"))).as("qn"))
     cent.join(broadcast(qx), "i")
@@ -253,13 +263,22 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val sub = 16 // subspace width: 64 dims → M = 4 subspaces
       val e = embDouble(s, dir)
-      val probed = ivfTopCells(e, 3)
       val ex = e.select(col("vec_id"), col("label"),
         posexplode(col("emb")).as(Seq("i", "x")))
+      // ONE per-(label, i) centroid aggregate feeds both the coarse
+      // probe (raw averages) and the residual basis (floor-quantized
+      // projection of the SAME averages) — previously two separate
+      // corpus-explode + shuffle passes; now the (label, i) exchange
+      // canonicalizes identically under both consumers and
+      // ReuseExchange materializes it once. Values are unchanged on
+      // both paths: the probe used avg(x) and the basis used
+      // floor(avg(x)·1e6 + 0.5)/1e6 before, and still do.
+      val centRaw = ex.groupBy("label", "i").agg(avg("x").as("c"))
+      val probed = ivfTopCellsFrom(ex, centRaw, 3)
       // residual basis: floor-quantized per-cell centroids, so both
       // engines subtract bit-identical values
-      val cent = ex.groupBy("label", "i")
-        .agg((floor(avg("x") * 1000000 + 0.5) / 1000000).as("c"))
+      val cent = centRaw.select(col("label"), col("i"),
+        (floor(col("c") * 1000000 + 0.5) / 1000000).as("c"))
       val res = ex.join(broadcast(probed), col("label") === col("best_label"))
         .filter(col("vec_id") =!= 0)
         .join(broadcast(cent), Seq("label", "i"))
@@ -271,6 +290,15 @@ object Similarity {
         // recomputing the explode+joins per consumer — at corpus scale
         // the training set is persisted state, not a view.
         .localCheckpoint()
+        // One visible hash(vec_id) exchange on top of the checkpoint
+        // (round 18): a checkpoint scan reports unknown partitioning,
+        // so the three (vec_id, m) training windows below (seed pass +
+        // two E-steps) each re-shuffled the residual frame — three
+        // residual-scale exchanges per run. hash(vec_id) satisfies the
+        // windows' (vec_id, m) clustering, the three exchange subtrees
+        // canonicalize identically, and ReuseExchange materializes the
+        // shuffle once; each window keeps only its local sort.
+        .repartition(col("vec_id"))
       // trainer: 2-bit sign-quadrant seed per residual subvector
       // (signs of local dims 0 and 1), then ONE Lloyd refinement —
       // assign every subvector to its nearest seed-codebook entry and
@@ -328,7 +356,18 @@ object Similarity {
         sum(when(col("j") === 0 && col("r") > 0, 1).otherwise(0)
           + when(col("j") === 1 && col("r") > 0, 2).otherwise(0)).over(w))
       val cb0 = codebookOf(seeded)
-      val cb = codebookOf(annotated(cb0)) // refined codebook (one Lloyd step)
+      // Refined codebook (one Lloyd step), MATERIALIZED (round 18): cb
+      // feeds both the encoder (`enc` below) and the query-side LUT,
+      // and `enc` itself nests another E-step over cb — left as a view
+      // the whole training chain (seed window → cb0 → E-step window →
+      // M-step) was duplicated under every consumer and executed ~3×
+      // per run (the r17 executed plan carried three separate
+      // REPARTITION_BY_COL stages over the residual checkpoint, one
+      // per copy). The codebook is M×K×sub = 4×4×16 rows of trained
+      // model state — in a real IVFPQ build it is persisted once and
+      // shipped to encoders, which is exactly what this 256-row
+      // checkpoint does.
+      val cb = codebookOf(annotated(cb0)).localCheckpoint()
       val enc = annotated(cb).filter(col("j") === 0)
         .select("vec_id", "label", "m", "code")
       // asymmetric-distance LUT: query residual (per probed cell) vs

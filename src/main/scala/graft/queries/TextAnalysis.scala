@@ -369,8 +369,16 @@ object TextAnalysis {
           .as("ps"))
         .select(col("doc_id"), col("ps.start").as("start"), col("ps.span").as("span"))
       // df = number of DOCS containing the span (per-doc-distinct),
-      // matching q_text_dupspan's definition of "duplicated"
-      val dup = posSpans.select("doc_id", "span").distinct()
+      // matching q_text_dupspan's definition of "duplicated". The
+      // per-doc distinct happens INSIDE the row (array_distinct over
+      // the span array, round 18) so the df count needs ONE span-keyed
+      // exchange — the old distinct().groupBy() shape shuffled the
+      // span strings twice (once hash(doc_id, span), once hash(span)).
+      val dup = d.filter(size(col("a")) >= 5)
+        .select(explode(array_distinct(expr(
+          "transform(sequence(1, size(a)-4), " +
+            "i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
+          .as("span"))
         .groupBy("span").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select("span")
       val dupStarts = posSpans.join(dup, "span")
@@ -835,10 +843,15 @@ object TextAnalysis {
         .withColumn("winmin", min("g").over(w4))
         .withColumn("wcount", count("g").over(w4))
         .withColumn("ng", count("g").over(whole))
-      win.filter(col("ng") >= 4 && col("wcount") === 4)
+      // Short docs (ng < 4) fold into the SAME pass (round 18): their
+      // 0..3 frame at gpos = 0 spans every gram, so winmin there IS
+      // the overall minimum the old union branch re-derived with a
+      // second copy of the whole explode+window subtree plus a grouped
+      // min — one disjunctive filter replaces union + groupBy and the
+      // window pipeline executes once. Output set unchanged.
+      win.filter((col("ng") >= 4 && col("wcount") === 4) ||
+          (col("ng") < 4 && col("gpos") === 0))
         .select(col("doc_id"), col("winmin").as("fp"))
-        .union(win.filter(col("ng") < 4)
-          .groupBy("doc_id").agg(min("g").as("fp")))
         .distinct()
   }
 
