@@ -197,7 +197,16 @@ object Dedup {
     * [[starCandidates]]'s linear bound instead.
     */
   private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    // One visible hash(doc_id) exchange under every toks consumer
+    // (round 18): the explode + per-token md5 id derivation feeds the
+    // signature aggregate AND both verify sides, and as a plain view
+    // it re-executed under each — the identical repartition subtrees
+    // canonicalize equal, so ReuseExchange materializes the tokenized
+    // corpus once and the md5 pass runs once per query instead of 3×.
+    // hash(doc_id) also pre-satisfies the signature groupBy and the
+    // verify window/t1-join clustering.
     val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+      .repartition(col("doc_id"))
     val bands = minhashBands(toks)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -275,13 +284,21 @@ object Dedup {
     * pairs with jaccard ≥ 0.6 (integer-exact threshold, rule D2).
     */
   private def verifyJaccard(cand: DataFrame, toks: DataFrame): DataFrame = {
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val t1 = toks.select(col("doc_id").as("id1"), col("tokid"))
-    val t2 = toks.select(col("doc_id").as("id2"), col("tokid"))
+    // Set sizes ride WITH the token rows (round 18): n is a window
+    // count over doc_id annotated before the candidate joins and
+    // folded out of the pair aggregate as min(n1)/min(n2) — n is
+    // constant per document, so the min IS the size. The r17 shape
+    // aggregated sizes separately and joined them back onto the pair
+    // table twice: one grouped pass + two pair-scale join exchanges
+    // more than this form, for identical integer (shared, n1, n2)
+    // triples and therefore an identical verified-pair set.
+    val tn = toks.withColumn("n", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val t1 = tn.select(col("doc_id").as("id1"), col("tokid"), col("n").as("na"))
+    val t2 = tn.select(col("doc_id").as("id2"), col("tokid"), col("n").as("nb"))
     cand.join(t1, "id1").join(t2, Seq("id2", "tokid"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"),
+        min("na").as("n1"), min("nb").as("n2"))
       .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
       .select(col("id1"), col("id2"),
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
@@ -397,7 +414,10 @@ object Dedup {
     // The oracle builds the IDENTICAL star graph in recursive SQL, so
     // the semantics are pinned, not approximated.
     "q_dedup_cluster_full" -> ((s, dir) => {
+      // shared hash(doc_id) exchange under every toks consumer — same
+      // device (and rationale) as [[minhashVerified]]
       val toks = withTokId(tokSetAll(s, dir)).select("doc_id", "tokid")
+        .repartition(col("doc_id"))
       connectedComponents(
         Fixtures.documents(s, dir),
         verifyJaccard(starCandidates(toks), toks).select("id1", "id2"))
@@ -411,24 +431,29 @@ object Dedup {
     // q_dedup_minhash — no all-pairs stage exists — with the
     // verification ratio swapped.
     "q_text_containment" -> ((s, dir) => {
+      // shared hash(doc_id) exchange under every toks consumer — same
+      // device (and rationale) as [[minhashVerified]]
       val toks = withTokId(tokSet(s, dir)).select("doc_id", "tokid")
+        .repartition(col("doc_id"))
       val bands = minhashBands(toks)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
         .distinct()
-      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // same size-rides-with-tokens device as [[verifyJaccard]]: one
+      // window count replaces the sizes aggregate + two pair joins
+      val tn = toks.withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val shared = cand
-        .join(toks.as("a"), col("id1") === col("a.doc_id"))
-        .join(toks.as("b"),
+        .join(tn.as("a"), col("id1") === col("a.doc_id"))
+        .join(tn.as("b"),
           col("id2") === col("b.doc_id") && col("a.tokid") === col("b.tokid"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("shared"),
+          min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
       shared
-        .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
         .select(col("id1"), col("id2"),
-          floor(col("shared") / least(col("s1.n"), col("s2.n")) * 10000 + 0.5)
+          floor(col("shared") / least(col("n1"), col("n2")) * 10000 + 0.5)
             .as("cont_x1e4"))
         .filter(col("cont_x1e4") >= 8000)
         .orderBy("id1", "id2")
@@ -604,8 +629,19 @@ object Dedup {
       // instead of re-running the winnow pipeline per reference (the
       // same device the graph queries use for their edge lists)
       val fps = TextAnalysis.winnowFps(s, dir).localCheckpoint(true)
-      val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      val rare = fps.join(dfreq.filter(col("df") <= 20), "fp")
+      // df cap as a WINDOW over fp (round 18): the old
+      // groupBy-then-join-back shape shuffled the fingerprint rows
+      // twice (once into the df aggregate, once into the join) — the
+      // count-over-partition form needs ONE hash(fp) exchange, the cap
+      // filter rides on it, and the self-join below joins two copies
+      // of that already-fp-partitioned subtree (ReuseExchange → the fp
+      // shuffle materializes once per run). Same df per row, same rare
+      // set.
+      val rare = fps
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("df") <= 20)
+        .select("doc_id", "fp")
       rare.as("a").join(rare.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

@@ -678,8 +678,12 @@ object TextAnalysis {
       val g = Fixtures.documents(s, dir)
         .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
-      val dfreq = g.groupBy("gram").agg(count(lit(1)).as("ndocs"))
-      g.join(dfreq, "gram")
+      // gram df as a window over the gram partition (round 18): one
+      // hash(gram) exchange instead of grouped-count + join-back — the
+      // per-doc grams are already distinct, so the window count IS the
+      // old ndocs
+      g.withColumn("ndocs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           floor(sum(when(col("ndocs") === 1, 1.0).otherwise(0.0)) / count(lit(1))

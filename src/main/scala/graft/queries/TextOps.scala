@@ -39,21 +39,23 @@ object TextOps {
     * overlap is not similarity).
     */
   private[graft] def nearDupCapped(d: DataFrame, dfCap: Long): DataFrame = {
-    val tok = tokenize(d)
     // ONE definition of the candidate generator, shared with the spec
     // hook below — a cap-rule tweak applied to only one copy would let
     // DedupSkewSpec keep passing against a stale pipeline.
     val cand = cappedCandidates(d, dfCap)
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // set size rides WITH the token rows (round 18, the verifyJaccard
+    // device) — one window count instead of a sizes aggregate + two
+    // pair-scale join-backs; identical integer (shared, n1, n2) triples
+    val tok = tokenize(d)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val shared = cand
       .join(tok.as("ta"), col("id1") === col("ta.doc_id"))
       .join(tok.as("tb"),
         col("id2") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
       .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("ta.n")).as("n1"), min(col("tb.n")).as("n2"))
     shared
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
       .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
       .select(col("id1"), col("id2"),
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
@@ -117,17 +119,20 @@ object TextOps {
     // engines agree on pair membership regardless of float rounding.
     "q_dedup_near" -> ((s, dir) => {
       val d = Fixtures.documents(s, dir).filter(col("doc_id") < 300)
+      // set size rides WITH the token rows (round 18, the verifyJaccard
+      // device): a window count over doc_id replaces the separate sizes
+      // aggregate + two pair-scale join-backs; min(n) per pair side IS
+      // the size (constant per doc) — identical integer triples
       val tok = d.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val shared = tok.as("a")
         .join(tok.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("shared"))
+        .agg(count(lit(1)).as("shared"),
+          min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
       shared
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
         .filter(col("shared") * 10 >= (col("n1") + col("n2") - col("shared")) * 6)
         .select(col("id1"), col("id2"),
           round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
@@ -147,19 +152,19 @@ object TextOps {
     "q_dedup_ngram" -> ((s, dir) => {
       val d = Fixtures.documents(s, dir)
         .filter(col("doc_id") < 120 && length(col("text")) >= 3)
+      // same size-rides-with-shingles device as q_dedup_near (round 18)
       val gr = d.select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
-          .as("g"))
-      val sizes = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          explode(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+            .as("g"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val shared = gr.as("a")
         .join(gr.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("shared"))
+        .agg(count(lit(1)).as("shared"),
+          min(col("a.n")).as("n1"), min(col("b.n")).as("n2"))
       shared
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
         .filter(col("shared") * 2 >= col("n1") + col("n2") - col("shared"))
         .select(col("id1"), col("id2"),
           round(col("shared") / (col("n1") + col("n2") - col("shared")), 4)
@@ -183,12 +188,15 @@ object TextOps {
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      // document frequency from the tf aggregate, not a second explode:
-      // tf's rows ARE the distinct (doc, token) pairs, and the identical
-      // subplan lets ReuseExchange scan+shuffle the corpus once.
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // document frequency as a WINDOW over the tf aggregate (round
+      // 18): tf's rows ARE the distinct (doc, token) pairs, so a count
+      // over the token partition equals the old grouped df — and needs
+      // one hash(token) exchange where the groupBy-then-join-back
+      // shape shuffled the tf rows into the aggregate AND into the
+      // join separately.
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(dfreq, "token").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"), col("token"))
