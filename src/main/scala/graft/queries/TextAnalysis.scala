@@ -158,11 +158,15 @@ object TextAnalysis {
         .withColumn("n_stop", size(filter(toks, t => t === "the" || t === "a")))
         .filter(col("lang") === "en" && col("n_tok") >= 20 &&
                 col("n_stop") * lit(1.0) / col("n_tok") < 0.4)
+      // token array projected once per row — same O(tokens²) fix as
+      // q_text_contaminate's grams (the lambda otherwise re-splits the
+      // text per element)
       def grams(d: org.apache.spark.sql.DataFrame) = d
-        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), split(col("text"), " ").as("ga"))
+        .filter(size(col("ga")) >= 4)
         .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(split(col("text"), " ")) - lit(3)),
-          i => array_join(slice(split(col("text"), " "), i, lit(4)), " ")))).as("gram"))
+          sequence(lit(1), size(col("ga")) - lit(3)),
+          i => array_join(slice(col("ga"), i, lit(4)), " ")))).as("gram"))
       val bench = grams(docs.filter(col("doc_id") < 20)).select("gram").distinct()
       val contaminated = grams(gated.filter(col("doc_id") >= 20))
         .join(bench, "gram").select("doc_id").distinct()
@@ -496,12 +500,17 @@ object TextAnalysis {
     // `.distinct()` here would shuffle every shingle of every
     // document — the one stage that would dominate at 100 TB.
     "q_text_contaminate" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      // token array PROJECTED once per row before the gram transform
+      // (round 18): with `split(text)` inlined inside the transform
+      // lambda, the lambda body re-split the whole text PER ELEMENT —
+      // O(tokens²) per document, the exact trap the winnowFps comment
+      // documents. Same grams, one split per row.
       def grams(d: org.apache.spark.sql.DataFrame) = d
-        .filter(size(split(col("text"), " ")) >= 4)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 4)
         .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - lit(3)),
-          i => array_join(slice(toks, i, lit(4)), " ")))).as("gram"))
+          sequence(lit(1), size(col("a")) - lit(3)),
+          i => array_join(slice(col("a"), i, lit(4)), " ")))).as("gram"))
       val all = Fixtures.documents(s, dir)
       val bench = grams(all.filter(col("doc_id") < 20)).select("gram").distinct()
       grams(all.filter(col("doc_id") >= 20))
