@@ -33,6 +33,15 @@ object Bench {
       // order-dependent)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // Generated-code compile cache sized for this suite (round 18):
+      // the default 100-entry LRU cannot hold even ONE large plan's
+      // codegen units (q_sim_ivf_pq alone compiles dozens per
+      // execution), so repeated materializations re-ran Janino every
+      // rep — measured 4.38 s → 1.96 s min-of-6 on that key from this
+      // config alone. Driver-side and scale-independent (compiled
+      // classes are KB-sized; the cache is an upper bound, not an
+      // allocation).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
