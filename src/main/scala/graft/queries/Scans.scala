@@ -552,15 +552,23 @@ object Scans {
       var lbl = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to 2) {
+        // Per-node winner as an AGGREGATE, not a rank window (round
+        // 18): "max count, tie → min label" is exactly
+        // min(struct(-c, lbl)) under lexicographic struct ordering —
+        // the same deterministic winner the old row_number(ORDER BY c
+        // DESC, lbl) picked, without the window's per-round
+        // partition sort (the r14 sf3 OOM site was this window's
+        // buffer). Both grouped passes run on the ONE sized
+        // repartition: hash(src) satisfies (src, lbl) clustering and
+        // the second group's src clustering, so neither adds an
+        // exchange.
         lbl = edgesP.join(lbl.select(col("node").as("dst"), col("lbl")), "dst")
           .select(col("src"), col("lbl"))
           .repartition(parts, col("src"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("src").orderBy(col("c").desc, col("lbl"))))
-          .filter(col("rk") === 1)
-          .select(col("src").as("node"), col("lbl"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("src").as("node"), col("m").getField("l").as("lbl"))
       }
       lbl.groupBy("lbl").agg(count(lit(1)).as("size"))
         .select(col("lbl").cast("long").as("community"), col("size"))
