@@ -629,18 +629,25 @@ object Dedup {
       // instead of re-running the winnow pipeline per reference (the
       // same device the graph queries use for their edge lists)
       val fps = TextAnalysis.winnowFps(s, dir).localCheckpoint(true)
-      // df cap as a WINDOW over fp (round 18): the old
-      // groupBy-then-join-back shape shuffled the fingerprint rows
-      // twice (once into the df aggregate, once into the join) — the
-      // count-over-partition form needs ONE hash(fp) exchange, the cap
-      // filter rides on it, and the self-join below joins two copies
-      // of that already-fp-partitioned subtree (ReuseExchange → the fp
-      // shuffle materializes once per run). Same df per row, same rare
-      // set.
-      val rare = fps
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      // df cap as a GROUPED aggregate + BROADCAST join-back (round 19;
+      // guide §2.3/§2.5/§3.1): the r18 window form shuffled EVERY fp
+      // row through one hash(fp) exchange and buffered each
+      // fingerprint's whole group in one window frame — a
+      // common-phrase fingerprint at corpus scale funnels through a
+      // single task's buffer before the cap filter drops it. The
+      // grouped form partial-aggregates map-side (the exchange carries
+      // fp-dictionary-sized partial counts — 8-byte longs, not rows),
+      // and the df-capped dictionary broadcasts back, dropping hot-fp
+      // rows BEFORE any row-scale exchange. The build side is the fp
+      // DICTIONARY (sub-linear in corpus size; winnowing keeps
+      // ~2/(w+1) of grams and dedups per doc) — if it ever outgrew the
+      // broadcast budget the same grouped-agg output joins by shuffle,
+      // still strictly less data than the old full-row fp exchange.
+      // Same df per fp, same rare set, same pairs.
+      val rareFp = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
+        .select("fp")
+      val rare = fps.join(broadcast(rareFp), "fp")
         .select("doc_id", "fp")
       rare.as("a").join(rare.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

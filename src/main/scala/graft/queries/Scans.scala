@@ -549,9 +549,20 @@ object Scans {
       // OOM site).
       val parts = edgeParts(s, edges)
       val edgesP = edges.repartition(parts, col("dst"))
-      var lbl = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 2) {
+      // Round 1 folded into ONE grouped aggregate (round 19, the same
+      // device as connectedComponents' round-1 fold): with identity
+      // labels, round 1's neighbor-label counts are all 1 (the edge
+      // list is distinct), so its "max count, tie → min label" winner
+      // is simply min(dst) per src. That one min-aggregate — map-side
+      // partial, node-sized shuffle — replaces the identity-label
+      // distinct init (an edge-scale shuffle), round 1's edge⋈label
+      // join, its edge-scale repartition(src), and its two grouped
+      // passes. Labels enter round 2 at exactly the old round-1
+      // fixpoint, so the propagation and output are unchanged.
+      var lbl = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+      for (_ <- 2 to 2) {
         // Per-node winner as an AGGREGATE, not a rank window (round
         // 18): "max count, tie → min label" is exactly
         // min(struct(-c, lbl)) under lexicographic struct ordering —

@@ -328,9 +328,14 @@ object TextAnalysis {
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
         .filter(size(col("a")) >= 5)
+      // spans dictionary-encoded to 64-bit xxhash64 keys inside the
+      // row (round 19) — the span string never reaches the exchange;
+      // see q_text_despan for the full rationale (guide §2.3). Counts
+      // per doc and per span are hash-invariant, so the output is
+      // unchanged (oracle-pinned at every SF).
       val spans = d.select(col("doc_id"),
         explode(array_distinct(expr(
-          "transform(sequence(1, size(a)-4), i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
+          "transform(sequence(1, size(a)-4), i -> xxhash64(concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3])))")))
           .as("span"))
       // A span with df = 1 belongs to exactly ONE document, so
       //   n_dup(doc) = n_spans(doc) − #spans unique to doc.
@@ -366,22 +371,34 @@ object TextAnalysis {
       val d = Fixtures.documents(s, dir)
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+      // Spans are DICTIONARY-ENCODED to 64-bit xxhash64 keys the
+      // moment they leave the row (round 19, guide §2.3 "narrower
+      // types"/"shuffle keys instead of payloads"): the span STRING
+      // (five tokens, ~30–40 bytes) never reaches an exchange, a hash
+      // table, or a broadcast — only its 8-byte hash does, on both the
+      // df-aggregate side and the position side, shrinking the one
+      // span-keyed exchange and the dup-set broadcast ~5×. The span
+      // text itself is never output, so the result is unchanged (the
+      // oracle pins that at every SF); a 64-bit collision over the
+      // span dictionary is ~|spans|²/2⁶⁵ — negligible, and the
+      // deterministic fixtures make the green oracle runs binding.
       val posSpans = d.filter(size(col("a")) >= 5)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(a)-4), i -> struct(i AS start, " +
-            "concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]) AS span))"))
+            "xxhash64(concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3])) AS span))"))
           .as("ps"))
         .select(col("doc_id"), col("ps.start").as("start"), col("ps.span").as("span"))
       // df = number of DOCS containing the span (per-doc-distinct),
       // matching q_text_dupspan's definition of "duplicated". The
       // per-doc distinct happens INSIDE the row (array_distinct over
-      // the span array, round 18) so the df count needs ONE span-keyed
-      // exchange — the old distinct().groupBy() shape shuffled the
-      // span strings twice (once hash(doc_id, span), once hash(span)).
+      // the hashed-span array, round 18) so the df count needs ONE
+      // span-keyed exchange — the old distinct().groupBy() shape
+      // shuffled the span strings twice (once hash(doc_id, span), once
+      // hash(span)).
       val dup = d.filter(size(col("a")) >= 5)
         .select(explode(array_distinct(expr(
           "transform(sequence(1, size(a)-4), " +
-            "i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))")))
+            "i -> xxhash64(concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3])))")))
           .as("span"))
         .groupBy("span").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select("span")

@@ -188,14 +188,21 @@ object TextOps {
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      // document frequency as a WINDOW over the tf aggregate (round
-      // 18): tf's rows ARE the distinct (doc, token) pairs, so a count
-      // over the token partition equals the old grouped df — and needs
-      // one hash(token) exchange where the groupBy-then-join-back
-      // shape shuffled the tf rows into the aggregate AND into the
-      // join separately.
+      // document frequency as a GROUPED aggregate + BROADCAST join-back
+      // (round 19; guide §2.3 aggregate-before-shuffle + §3.1): tf's
+      // rows ARE the distinct (doc, token) pairs, so count-per-token
+      // over them equals df. The r18 window form shuffled EVERY tf row
+      // through one hash(token) exchange and buffered each token's
+      // whole group in a single window frame — a stopword's group at
+      // corpus scale funnels through one task's window buffer (skew,
+      // guide §2.5). The grouped form does map-side partial counts, so
+      // the hash(token) exchange carries vocabulary-sized partials,
+      // and the vocabulary-sized df table broadcasts back onto tf —
+      // tf itself never re-shuffles (its subtree is shared with the
+      // df build through ReuseExchange). Same df per row, same scores.
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      tf.join(broadcast(dfreq), "token")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"))
