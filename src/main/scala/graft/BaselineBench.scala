@@ -24,6 +24,13 @@ object BaselineBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Same codegen compile-cache sizing as graft.Bench (round 19,
+      // r18 verdict item 8): the baseline is min-of-reps too, so it
+      // pays the same default-100-entry Janino recompile tax the graft
+      // harness stopped paying in round 18 — leaving it stock would
+      // make the bench-vs-baseline ratio measure harness config
+      // asymmetry instead of query shape.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -292,23 +292,41 @@ object Bench {
     // file copy survives regardless of how the line is captured.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    // Driver-tail-sized digest, printed LAST (round-18 item 7): the
-    // driver's BENCH_r{N}.json stores a bounded stdout TAIL and
-    // parses the last JSON line inside it — the full per-key line is
-    // ~8 KB, its head falls outside the window, and r17's artifact
-    // carried parsed:null. This digest repeats the headline total,
-    // the 10 BASELINE-mapped keys (min-of-4), and the health fields
-    // in <1 KB so the driver artifact parses standalone; the full
-    // per-key object lives in the file copy it names.
-    val mappedJson = results.collect {
-      case (k, ok, _) if ok.nonEmpty && mappedKeys(k) =>
-        f""""$k":${ok.min}%.3f"""
-    }.mkString("{", ",", "}")
-    val digest = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""n_keys":${results.count(_._2.nonEmpty)},"queries":$mappedJson,""" +
-      f""""queries_are_mapped_subset":true,"errors":$errs,""" +
-      f""""ambient_ratio":$ambientObserved%.3f,"preflight_failed":$preflightFailed,""" +
-      s""""contaminated":$contamJson,"retimed":$retimedJson,"full":"${esc(out)}","sf":"$sfDir"}"""
+    // Driver-tail-sized digest, printed LAST (round-18 item 7, widened
+    // in round 19): the driver's BENCH_r{N}.json stores a bounded
+    // stdout TAIL — measured at exactly 2000 characters across
+    // BENCH_r15..r18 — and parses the last complete JSON line inside
+    // it, so the full 228-key map (~7 KB even at 3 decimals) can NEVER
+    // parse from the tail; r17's artifact carried parsed:null for
+    // exactly that reason. The r18 digest swung to the other extreme
+    // (only the 10 BASELINE-mapped keys), shrinking the driver's
+    // per-query regression radar to 10/228. This digest carries the
+    // 10 mapped keys PLUS as many of the most expensive remaining
+    // keys as fit a conservative 1750-char line budget (~55-60 keys,
+    // covering the large majority of suite seconds — the omitted tail
+    // keys are sub-0.1 s and jitter-dominated, where a regression is
+    // not measurable anyway). The full per-key object lives in the
+    // file copy this line names.
+    val mappedNow = results.collect {
+      case (k, ok, _) if ok.nonEmpty && mappedKeys(k) => (k, ok.min) }
+    val extrasByTime = results.collect {
+      case (k, ok, _) if ok.nonEmpty && !mappedKeys(k) => (k, ok.min) }
+      .sortBy(-_._2)
+    def digestOf(qs: Seq[(String, Double)]): String = {
+      val qj = qs.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        s""""n_keys":${results.count(_._2.nonEmpty)},"queries":$qj,""" +
+        s""""queries_subset":"mapped+top_by_sec","errors":$errs,""" +
+        f""""ambient_ratio":$ambientObserved%.3f,"preflight_failed":$preflightFailed,""" +
+        s""""contaminated":$contamJson,"retimed":$retimedJson,"full":"${esc(out)}","sf":"$sfDir"}"""
+    }
+    var chosen = mappedNow
+    var digest = digestOf(chosen)
+    for ((k, v) <- extrasByTime) {
+      val candidate = digestOf(chosen :+ ((k, v)))
+      if (candidate.length <= 1750) { chosen = chosen :+ ((k, v)); digest = candidate }
+    }
     println(digest)
     spark.stop()
   }
