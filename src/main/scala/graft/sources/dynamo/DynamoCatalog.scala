@@ -118,7 +118,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
     val schema =
       if (java.nio.file.Files.isRegularFile(sp))
         DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
-      else Codec.inferSchema(store.samplePage(ident.name()))
+      else Codec.inferSchema(store.samplePageCached(ident.name()))
     val opts = asOfSeq.fold(tableOpts(ident.name()))(seq =>
       tableOpts(ident.name()).copy(asOfSeq = Some(seq)))
     new DynamoTable(opts, schema, acceptAnySchema = false)
@@ -194,7 +194,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
           val current =
             if (java.nio.file.Files.isRegularFile(sp))
               DataType.fromJson(java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
-            else Codec.inferSchema(store.samplePage(ident.name()))
+            else Codec.inferSchema(store.samplePageCached(ident.name()))
           val updated = changes.foldLeft(current) {
             case (sch, add: TableChange.AddColumn) =>
               require(add.fieldNames().length == 1,
@@ -208,7 +208,7 @@ class DynamoCatalog extends TableCatalog with FunctionCatalog
               // to — a re-added column must come back under a type the
               // stored values actually carry (numeric widening is fine,
               // the decoder reads N as any numeric).
-              Codec.inferSchema(store.samplePage(ident.name()))
+              Codec.inferSchema(store.samplePageCached(ident.name()))
                 .find(_.name == col).foreach { stored =>
                   val ok = stored.dataType == add.dataType() ||
                     (stored.dataType.isInstanceOf[NumericType] &&

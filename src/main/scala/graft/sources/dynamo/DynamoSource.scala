@@ -254,7 +254,7 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
     val store = new LocalKVStore(opts.path)
     store.assertNotRestorePending(opts.tableName)
     val sample = opts.indexName match {
-      case None => store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
+      case None => store.samplePageCached(opts.tableName, asOfSeq = opts.asOfSeq)
       case Some(ix) => // index read (A8): sample through the index view
         val meta = store.describe(opts.tableName)
         val index = meta.indexes.getOrElse(ix, throw new IllegalArgumentException(
@@ -266,7 +266,7 @@ class DynamoTableProvider extends TableProvider with DataSourceRegister {
         // rule still applies). A GSI infers only the projection (it
         // cannot fetch).
         val viewIx = if (index.local) index.copy(projection = None) else index
-        store.samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
+        store.samplePageCached(opts.tableName, asOfSeq = opts.asOfSeq)
           .flatMap(store.indexView(meta, viewIx, _))
     }
     val inferred = Codec.inferSchema(sample)
@@ -941,7 +941,7 @@ final class DynamoScanBuilder(
   private def groupsLookBounded(cols: Seq[String]): Boolean =
     boundedCache.getOrElse(cols, {
       val sample = new LocalKVStore(opts.path)
-        .samplePage(opts.tableName, asOfSeq = opts.asOfSeq)
+        .samplePageCached(opts.tableName, asOfSeq = opts.asOfSeq)
       val r = sample.size < 64 ||
         sample.map(it => cols.map(it.get)).distinct.size * 2 <= sample.size
       boundedCache += cols -> r

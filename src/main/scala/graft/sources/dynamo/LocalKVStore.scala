@@ -2907,6 +2907,33 @@ final class LocalKVStore(root: String) {
     out.result()
   }
 
+  /** [[samplePage]] memoized per (root, table, asOfSeq), validated by
+    * [[viewVersion]] (round 19, guide §6 metadata caching — the
+    * driver-side analogue of a catalog's cached table schema). Every
+    * `format("dynamo").load()` infers its schema from a fresh sample
+    * page, which replays the base + journal merge single-threaded ON
+    * THE DRIVER — stack-sampling the bench showed ~15–20% of the
+    * q_dyn keys' wall time inside this pre-planning sample, repeated
+    * identically per load of a content-stable store. The cache key is
+    * the version stamp: any write (raises journal count/max pubSeq)
+    * or compaction (moves the watermark) changes `viewVersion`, so a
+    * mutated table re-samples — never a stale schema. Only the
+    * default-`maxBytes` page is cached (the inference path); custom
+    * page sizes go straight through.
+    */
+  def samplePageCached(table: String,
+      asOfSeq: Option[Long] = None): Seq[Item] = {
+    val key = (root, table, asOfSeq)
+    val ver = viewVersion(table)
+    val hit = LocalKVStore.sampleCache.get(key)
+    if (hit != null && hit._1 == ver) hit._2
+    else {
+      val fresh = samplePage(table, asOfSeq = asOfSeq)
+      LocalKVStore.sampleCache.put(key, (ver, fresh))
+      fresh
+    }
+  }
+
   /** Folds one shard's WAL into its base file and deletes that shard's
     * journal — shard-local state only (one shard's items + its own WAL
     * overrides in memory), and no file is shared with any other shard,
@@ -4031,6 +4058,15 @@ object LocalKVStore {
     * suffix): they belong to every segment's replay.
     */
   val TxnShard: Int = -1
+
+  /** [[LocalKVStore.samplePageCached]]'s backing map:
+    * (root, table, asOfSeq) → (viewVersion at sampling time, sample).
+    * One entry per distinct table a JVM touches (the sample is the
+    * inference page, ≤ ~1 MB of parsed items); a new version REPLACES
+    * the entry, so the map never grows with mutation history.
+    */
+  private val sampleCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Option[Long]), (String, Seq[Item])]
 
   /** True for the value types DynamoDB accepts as KEY attributes
     * (S/N/B). Index visibility and shard placement consult this —
