@@ -165,7 +165,7 @@ object ItemJson {
       expect(':')
       val v: AttrVal = tag match {
         case "S"    => AttrVal.S(parseStr())
-        case "N"    => AttrVal.N(BigDecimal(parseStr()))
+        case "N"    => AttrVal.N(numOf(parseStr()))
         case "BOOL" => AttrVal.Bool(parseBool())
         case "NULL" => parseBool(); AttrVal.Null
         case "B"    => AttrVal.B(Base64.getDecoder.decode(parseStr()))
@@ -188,13 +188,38 @@ object ItemJson {
         // emits them (sets round-trip as lists).
         case "SS" => AttrVal.L(parseStrArray().map(AttrVal.S(_): AttrVal))
         case "NS" => AttrVal.L(parseStrArray()
-          .map(n => AttrVal.N(BigDecimal(n)): AttrVal))
+          .map(n => AttrVal.N(numOf(n)): AttrVal))
         case "BS" => AttrVal.L(parseStrArray()
           .map(b => AttrVal.B(Base64.getDecoder.decode(b)): AttrVal))
         case other => throw new IllegalArgumentException(s"unknown attr tag $other")
       }
       expect('}')
       v
+    }
+
+    /** Wire number → BigDecimal with a fast integer path (round 19):
+      * a pure-integer literal of ≤18 digits becomes
+      * `BigDecimal.valueOf(long)` — same unscaled value, same scale 0,
+      * byte-identical on re-write via `toPlainString` — skipping the
+      * string constructor's char-array walk. Anything with a sign
+      * quirk, fraction, exponent, or 19+ digits takes the exact
+      * string constructor unchanged (scale preservation: "1.50" must
+      * stay scale 2 so write∘parse is the identity).
+      */
+    private def numOf(str: String): BigDecimal = {
+      val n = str.length
+      val i0 = if (n > 0 && str.charAt(0) == '-') 1 else 0
+      if (n > i0 && n - i0 <= 18) {
+        var i = i0
+        var digits = true
+        while (digits && i < n) {
+          val c = str.charAt(i)
+          if (c < '0' || c > '9') digits = false else i += 1
+        }
+        if (digits)
+          return BigDecimal(java.math.BigDecimal.valueOf(java.lang.Long.parseLong(str)))
+      }
+      BigDecimal(str)
     }
 
     private def parseBool(): Boolean = {
@@ -221,10 +246,21 @@ object ItemJson {
 
     private def parseStr(): String = {
       expect('"')
-      val sb = new StringBuilder
+      // Fast path (round 19): scan to the terminator first — store
+      // lines are machine-written and escapes are rare, so most
+      // strings come straight out as ONE substring instead of a
+      // per-character StringBuilder append (parseStr is the hottest
+      // frame of the journal decode: it runs per key, per type tag,
+      // and per string/number payload of every item).
+      val start = pos
+      var c = s.charAt(pos)
+      while (c != '"' && c != '\\') { pos += 1; c = s.charAt(pos) }
+      if (c == '"') { val r = s.substring(start, pos); pos += 1; return r }
+      val sb = new java.lang.StringBuilder(s.length - start)
+      sb.append(s, start, pos)
       while (s.charAt(pos) != '"') {
-        val c = s.charAt(pos)
-        if (c == '\\') {
+        val c1 = s.charAt(pos)
+        if (c1 == '\\') {
           pos += 1
           s.charAt(pos) match {
             case '"'  => sb.append('"')
@@ -240,7 +276,7 @@ object ItemJson {
               pos += 4
             case e => throw new IllegalArgumentException(s"bad escape \\$e")
           }
-        } else sb.append(c)
+        } else sb.append(c1)
         pos += 1
       }
       pos += 1

@@ -73,6 +73,30 @@ class CodecLawsSpec extends AnyFunSuite {
     assert(eqItem(ItemJson.parse(ItemJson.write(item)), item))
   }
 
+  test("ItemJson number parse: integer fast path preserves value, scale, and text") {
+    // round-19 parser fast paths: pure-integer <=18-digit literals take
+    // BigDecimal.valueOf(long); everything else the exact string
+    // constructor. write-after-parse must stay the identity on the TEXT
+    // (toPlainString), and escape-bearing strings must still decode
+    // after the zero-copy scan-ahead.
+    val texts = Seq("0", "-0", "7", "-7", "007", "123456789012345678",
+      "-123456789012345678", "1234567890123456789", // 19 digits: slow path
+      "99999999999999999999999999", "1.50", "-0.004", "2e3", "0.000")
+    for (t <- texts) {
+      val line = s"""{"n":{"N":"$t"}}"""
+      val parsed = ItemJson.parse(line)("n").asInstanceOf[AttrVal.N].v
+      assert(parsed == BigDecimal(t), s"value for $t")
+      assert(parsed.bigDecimal.scale == new java.math.BigDecimal(t).scale,
+        s"scale for $t")
+      // the writer emits toPlainString — "007" canonicalizes to "7",
+      // "2e3" to "2000"; scale (hence trailing zeros) is preserved
+      assert(parsed.bigDecimal.toPlainString ==
+        new java.math.BigDecimal(t).toPlainString, s"text for $t")
+    }
+    val esc = "{\"k\":{\"S\":\"plain then \\\"quoted\\\" A tail\"}}"
+    assert(ItemJson.parse(esc)("k") == AttrVal.S("plain then \"quoted\" A tail"))
+  }
+
   // ---- row codec laws over a nested schema ----
 
   private val schema = StructType(Seq(
