@@ -857,11 +857,23 @@ object TextAnalysis {
         when(c.isNotNull,
           conv(substring(md5(concat_ws(" ", p, c)), 1, 11), 16, 10)
             .cast("long")))
+      // posexplode_OUTER + a post-filter on the GENERATED column
+      // (round 19): a plain posexplode makes the optimizer infer
+      // `size(grams) > 0 AND isnotnull(grams)` and push it below the
+      // projections, substituting the alias — the executed plan then
+      // carried the ENTIRE gram pipeline (split × 6, both zip_withs,
+      // the md5 per gram) a second time inside a per-row Filter ahead
+      // of the projection that computes it for real. The outer form
+      // infers no filter; empty-gram docs emit one (null, null) row
+      // that the isNotNull on `g` — a generated column, not pushable
+      // below the Generate — drops. Row set identical (the grams
+      // array never holds nulls: they are filtered inside the row).
       val rows = Fixtures.documents(s, dir)
         .select(col("doc_id"), toksE.as("toks"))
         .select(col("doc_id"),
           filter(gramsAll, g => g.isNotNull).as("grams"))
-        .select(col("doc_id"), posexplode(col("grams")).as(Seq("gpos", "g")))
+        .select(col("doc_id"), posexplode_outer(col("grams")).as(Seq("gpos", "g")))
+        .filter(col("g").isNotNull)
       // Window minima per document: ROWS frames over (doc_id, gpos) —
       // the shuffle is BY DOCUMENT (bounded partitions at any corpus
       // size), never global. Tail frames narrower than w=4 are not
