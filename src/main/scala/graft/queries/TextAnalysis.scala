@@ -368,9 +368,18 @@ object TextAnalysis {
     // `exists` over the start list) is map-side. No window, no
     // cartesian — span strings cross the wire twice, bounded.
     "q_text_despan" -> ((s, dir) => {
+      // Tokenized frame materialized ONCE for its three consumers
+      // (round 19): position-spans, the dup-span df aggregate, and the
+      // final reconstruction join each re-scanned the parquet and
+      // re-split every document as plain views — three full tokenize
+      // passes per run. One per-execution checkpoint runs the split
+      // once (same device as q_dedup_winnow's fps checkpoint);
+      // measured 2.1 → 1.7 s same-box at sf0.1 and 47 → 33 s at sf3
+      // (8 GB heap — the token arrays spill-safely at 30×).
       val d = Fixtures.documents(s, dir)
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > lit(0)).as("a"))
+        .localCheckpoint(true)
       // Spans are DICTIONARY-ENCODED to 64-bit xxhash64 keys the
       // moment they leave the row (round 19, guide §2.3 "narrower
       // types"/"shuffle keys instead of payloads"): the span STRING
