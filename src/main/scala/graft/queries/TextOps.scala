@@ -39,15 +39,27 @@ object TextOps {
     * overlap is not similarity).
     */
   private[graft] def nearDupCapped(d: DataFrame, dfCap: Long): DataFrame = {
+    // Annotated token table materialized ONCE (round 19): the token
+    // frame feeds FIVE subplans (the hot-token df aggregate, both
+    // self-join sides of the candidate generator, and both verify
+    // sides) and as a plain view the executed plan ran the
+    // scan + split + explode pipeline five times with almost no
+    // exchange sharing (the subtrees differ, so ReuseExchange can't
+    // unify them — 5 parquet scans, 5 Generates in the before-plan).
+    // The per-doc set size `n` is annotated BEFORE the checkpoint so
+    // its window also runs once instead of once per verify side. Same
+    // device as q_text_despan's tokenized checkpoint; per-execution,
+    // inside the timed region.
+    val tok = tokenize(d)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint(true)
     // ONE definition of the candidate generator, shared with the spec
     // hook below — a cap-rule tweak applied to only one copy would let
     // DedupSkewSpec keep passing against a stale pipeline.
-    val cand = cappedCandidates(d, dfCap)
+    val cand = cappedCandidatesFrom(tok.select("doc_id", "tok"), dfCap)
     // set size rides WITH the token rows (round 18, the verifyJaccard
     // device) — one window count instead of a sizes aggregate + two
     // pair-scale join-backs; identical integer (shared, n1, n2) triples
-    val tok = tokenize(d)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val shared = cand
       .join(tok.as("ta"), col("id1") === col("ta.doc_id"))
       .join(tok.as("tb"),
@@ -66,8 +78,14 @@ object TextOps {
   /** Candidate pairs only (pre-verify) — exposed so DedupSkewSpec can
     * assert the cap keeps candidate counts linear on a hot-token corpus.
     */
-  private[graft] def cappedCandidates(d: DataFrame, dfCap: Long): DataFrame = {
-    val tok = tokenize(d)
+  private[graft] def cappedCandidates(d: DataFrame, dfCap: Long): DataFrame =
+    cappedCandidatesFrom(tokenize(d), dfCap)
+
+  /** [[cappedCandidates]] over an already-built (doc_id, tok) frame —
+    * the main path hands in its materialized token table so the
+    * generator and the spec hook stay ONE definition.
+    */
+  private def cappedCandidatesFrom(tok: DataFrame, dfCap: Long): DataFrame = {
     val hot = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("tok")
     val rare = tok.join(broadcast(hot), Seq("tok"), "left_anti")
