@@ -139,16 +139,20 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_pairs" -> ((s, dir) => {
-      // Norms precomputed per vector (n folds), not per pair (n² folds)
-      // — the same factoring the oracle's CTE uses, and bit-identical
-      // to inlining since each vector's fold order is unchanged.
+      // Fused single-loop kernel per pair (round 19; the q_dedup_embed
+      // device): the HOF form folded dot via aggregate(zip_with(...)),
+      // materializing a 64-element intermediate array per pair before
+      // the fold — [[graft.functions.CosineSim]] runs one codegen'd
+      // loop over both arrays with no allocation, and FunctionsSpec
+      // pins it bit-identical to the HOF composition (same index
+      // order, same double math), so the rounded cosines — and the
+      // oracle hash — are unchanged.
       val e = embDouble(s, dir).filter(col("vec_id") < 200)
-        .withColumn("nrm", norm(col("emb")))
-      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"), col("nrm").as("nb"))
+      val a = e.select(col("vec_id").as("id1"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("id2"), col("emb").as("eb"))
       a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-                round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+                round(graft.functions.Funcs.cosineSim(col("ea"), col("eb")), 4)
                   .as("cosine"))
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
         .limit(10)
