@@ -40,7 +40,13 @@ object Bench {
       // rep — measured 4.38 s → 1.96 s min-of-6 on that key from this
       // config alone. Driver-side and scale-independent (compiled
       // classes are KB-sized; the cache is an upper bound, not an
-      // allocation).
+      // allocation). FRESH-JVM requirement (round-19 advisor note):
+      // the conf is read once when the JVM-static codegen cache first
+      // initializes, so in a JVM where codegen already ran under
+      // another session (e.g. sbt tests before a runMain) the setting
+      // is silently ignored — the bench mains fork a fresh JVM, which
+      // is what makes it effective; a shared-JVM run losing the win is
+      // not a regression.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -33,10 +33,29 @@ object Fixtures {
     * bounded and tiny).
     */
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.computeIfAbsent((spark, sfDir, name),
+    // WeakHashMap keyed by the session OBJECT (round 19, advisor note):
+    // the former strong ConcurrentHashMap keyed by (session, dir, name)
+    // retained every stopped session's SessionState/InMemoryFileIndex
+    // for the JVM's lifetime — spec suites start/stop dozens of
+    // sessions per sbt JVM. Weak session keys let a stopped,
+    // unreferenced session's entries be collected; the inner map stays
+    // bounded per LIVE session. All access synchronized on the outer
+    // map (WeakHashMap is not thread-safe; this is driver-side,
+    // ~10³ calls per run — contention-free).
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** `events.parquet` has shipped `ts` in two physical shapes across
     * driver testdata generations: Parquet INT64 TIMESTAMP(NANOS)
